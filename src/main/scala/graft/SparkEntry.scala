@@ -37,7 +37,41 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+    queries("q_idx_point_lookup")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Index-engine scratch tables: the driver testdata ships single-file
+  // tables, so file-level pruning needs a deterministic multi-file copy.
+  // Built once per (scale factor, engine version) under target/ and
+  // indexed through the public graft.index API.
+  // ---------------------------------------------------------------------
+
+  private val scratchRoot = "/root/repo/target/graft_scratch"
+
+  private def scratchVersion: String = graft.index.IndexMetadata.CurrentVersion.toString
+
+  /** Indexed multi-file copy of lineitem for sfDir; create-once. */
+  private[graft] def indexedLineitem(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.synchronized {
+      import graft.index.implicits._
+      val sfName = new java.io.File(dir).getName
+      val scratch = s"$scratchRoot/$sfName"
+      val tableDir = s"$scratch/lineitem"
+      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
+      val marker = new java.io.File(s"$scratch/lineitem_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .repartition(16, col("l_orderkey"))
+          .write.mode("overwrite").parquet(tableDir)
+        s.index.create.mode("overwrite")
+          .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+          .parquet(tableDir)
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      s.index.parquet(tableDir)
+    }
 
   // ---------------------------------------------------------------------
   // Relational operator suite (SURVEY.md §2.3 delegated categories —
@@ -232,6 +266,63 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    // ------------------------------------------------------------------
+    // Index engine (SURVEY.md §2.1): indexed Parquet scans — point,
+    // range, IN, And/Or with unindexed residue, string equality — over a
+    // multi-file lineitem copy indexed via spark.index.create. Results
+    // must equal a plain scan of the original table; pruning is asserted
+    // in IndexEndToEndSpec and measured in Bench.
+    // ------------------------------------------------------------------
+
+    "q_idx_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val li = indexedLineitem(s, dir)
+      val key = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(min($"l_orderkey")).head.getLong(0)
+      li.filter($"l_orderkey" === key)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          $"l_returnflag")
+        .orderBy($"l_linenumber")
+    }),
+
+    "q_idx_range_date" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1992-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1992-04-01").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_idx_in_list" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitem(s, dir)
+        .filter($"l_suppkey".isin(1L, 2L, 3L))
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    "q_idx_and_or" -> ((s, dir) => {
+      import s.implicits._
+      val key = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(max($"l_orderkey")).head.getLong(0)
+      indexedLineitem(s, dir)
+        .filter(($"l_returnflag" === "R" && $"l_suppkey" === 1L) ||
+          $"l_orderkey" === key)
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    "q_idx_string_eq" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitem(s, dir)
+        .filter($"l_returnflag" === "A")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
+        .orderBy($"l_linestatus")
+    }),
+
     // Time-window aggregation over the events table (streaming-shaped
     // query run in batch; window start rendered as string for a
     // timestamp-precision-agnostic compare).
@@ -352,6 +443,32 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
         |FROM orders""".stripMargin,
+    "q_idx_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
+    "q_idx_range_date" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1992-04-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_in_list" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+        |FROM lineitem WHERE l_suppkey IN (1, 2, 3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_and_or" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' AND l_suppkey = 1)
+        |   OR l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_string_eq" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,

@@ -1,0 +1,154 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.graft.{GraftFileIndex, SparkInternals}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Index lifecycle: create / exists / delete / load for a Parquet table
+  * path or catalog table. The reference's IndexedDataSource.scala +
+  * ParquetMetastoreSupport.scala re-expressed Spark-first:
+  *   - file listing + partition discovery via InMemoryFileIndex;
+  *   - min/max/null statistics from footers (metadata-only job);
+  *   - sketches via one DataFrame aggregation;
+  *   - pruning lives in [[GraftFileIndex.listFiles]] (no planner strategy).
+  */
+object IndexedDataSource {
+
+  def resolveTablePath(spark: SparkSession, path: String): Path = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"table path does not exist: $path")
+    fs.makeQualified(p)
+  }
+
+  /** Build and persist the index (reference flow §3.1). */
+  def createIndex(
+      spark: SparkSession,
+      path: String,
+      dataspace: String,
+      mode: SaveMode,
+      columns: Seq[String],
+      indexAll: Boolean): Unit = {
+    val conf = IndexConf(spark)
+    val metastore = new Metastore(spark, conf)
+    val tablePath = resolveTablePath(spark, path)
+
+    metastore.create(dataspace, tablePath, mode) { indexDir =>
+      SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
+      val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
+      val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
+      require(allFiles.nonEmpty || partDirs.nonEmpty, s"no parquet files under $tablePath")
+
+      // data schema from the files themselves (no partition columns)
+      val dataSchema: StructType =
+        if (allFiles.isEmpty) StructType(Nil)
+        else spark.read.parquet(allFiles.head.getPath.toString).schema
+
+      val indexSchema = resolveIndexSchema(dataSchema, partitionSchema, columns, indexAll)
+
+      val numParts =
+        if (conf.numPartitions > 0) conf.numPartitions
+        else math.min(spark.sparkContext.defaultParallelism * 3,
+          spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+      val refs = partDirs.flatMap(_._2).map(f =>
+        StatisticsBuilder.FileRef(f.getPath.toString, f.getLen, f.getModificationTime))
+      val statsByPath =
+        StatisticsBuilder.collectFooterStats(spark, refs, indexSchema, numParts)
+
+      val sketchKind = if (conf.filterEnabled && indexSchema.nonEmpty) Some(conf.filterType) else None
+      sketchKind.foreach { kind =>
+        val dataFiles = allFiles.map(_.getPath.toString)
+        val maxRows = statsByPath.values.flatten.map(_.rowCount).maxOption.getOrElse(0L)
+        StatisticsBuilder.buildSketches(
+          spark, dataFiles, indexSchema, kind,
+          expectedItems = math.max(4096L, maxRows),
+          new Path(indexDir, Metastore.SketchDir))
+      }
+
+      val partitions = partDirs.map { case (values, files) =>
+        PartitionEntry(
+          values = partitionSchema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+            IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
+          },
+          files = files.map { f =>
+            FileEntry(f.getPath.toString, f.getLen, f.getModificationTime,
+              statsByPath.getOrElse(f.getPath.toString, Nil))
+          })
+      }
+
+      metastore.writeMetadata(indexDir, IndexMetadata(
+        version = IndexMetadata.CurrentVersion,
+        tablePath = tablePath.toString,
+        dataSchema = dataSchema,
+        indexSchema = indexSchema,
+        partitionSchema = partitionSchema,
+        sketchKind = sketchKind,
+        partitions = partitions))
+    }
+  }
+
+  /** Validate/choose indexed columns (reference ParquetSchemaUtils.scala:
+    * 40-87 + ParquetMetastoreSupport.scala:111-117): top-level, supported
+    * type, unique, not a partition column; indexByAll prunes to supported. */
+  private def resolveIndexSchema(
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      columns: Seq[String],
+      indexAll: Boolean): StructType = {
+    val partitionCols = partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    if (indexAll) {
+      StructType(dataSchema.fields.filter(f =>
+        Canon.isSupported(f.dataType) && !partitionCols.contains(f.name.toLowerCase)))
+    } else {
+      require(columns.nonEmpty, "no columns given to indexBy")
+      val dups = columns.groupBy(_.toLowerCase).filter(_._2.size > 1).keys
+      require(dups.isEmpty, s"duplicate index columns: ${dups.mkString(", ")}")
+      val fields = columns.map { c =>
+        require(!partitionCols.contains(c.toLowerCase),
+          s"cannot index partition column $c (reference ParquetMetastoreSupport.scala:111-117)")
+        val f = dataSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $c not found in table schema ${dataSchema.simpleString}"))
+        require(Canon.isSupported(f.dataType),
+          s"column $c has unsupported type ${f.dataType.simpleString}; " +
+            s"supported: int, bigint, string, date, timestamp, timestamp_ntz")
+        f
+      }
+      StructType(fields.map(f => StructField(f.name, f.dataType, f.nullable, f.metadata)))
+    }
+  }
+
+  def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean = {
+    val metastore = Metastore(spark)
+    try metastore.exists(dataspace, resolveTablePath(spark, path))
+    catch { case _: Exception => false }
+  }
+
+  def deleteIndex(spark: SparkSession, path: String, dataspace: String): Unit = {
+    val metastore = Metastore(spark)
+    val tablePath = resolveTablePath(spark, path)
+    SketchStore.invalidate(new Path(metastore.location(dataspace, tablePath), Metastore.SketchDir))
+    metastore.delete(dataspace, tablePath)
+  }
+
+  /** Load the indexed relation as a DataFrame (reference flow §3.2 step 1). */
+  def load(spark: SparkSession, path: String, dataspace: String): DataFrame = {
+    val conf = IndexConf(spark)
+    val metastore = new Metastore(spark, conf)
+    val tablePath = resolveTablePath(spark, path)
+    if (conf.createIfNotExists && !metastore.exists(dataspace, tablePath)) {
+      createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true)
+    }
+    val (indexDir, meta) = metastore.load(dataspace, tablePath)
+    val fileIndex = new GraftFileIndex(spark, indexDir, meta)
+    if (conf.eagerLoading && meta.sketchKind.isDefined) {
+      SketchStore.forDir(new Path(indexDir, Metastore.SketchDir),
+        spark.sparkContext.hadoopConfiguration).preload()
+    }
+    SparkInternals.parquetRelation(
+      spark, fileIndex, meta.partitionSchema, meta.dataSchema, Map.empty)
+  }
+}

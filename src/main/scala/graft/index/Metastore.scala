@@ -1,0 +1,168 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Runtime configuration surface (reference IndexConf.scala:22-109). Read
+  * from the session conf on each access so `spark.conf.set` works live. */
+class IndexConf(spark: SparkSession) {
+  private def get(key: String, default: String): String =
+    spark.conf.getOption(key).getOrElse(default)
+
+  def metastoreLocation: String = {
+    val v = get(IndexConf.MetastoreLocation, "")
+    if (v.nonEmpty) v else new Path(sys.props("user.dir"), "index_metastore").toString
+  }
+  def createIfNotExists: Boolean = get(IndexConf.CreateIfNotExists, "false").toBoolean
+  def numPartitions: Int = get(IndexConf.NumPartitions, "0").toInt
+  def filterEnabled: Boolean = get(IndexConf.FilterEnabled, "true").toBoolean
+  def filterType: String = get(IndexConf.FilterType, Sketch.Bloom)
+  def eagerLoading: Boolean = get(IndexConf.EagerLoading, "false").toBoolean
+}
+
+object IndexConf {
+  val MetastoreLocation = "spark.sql.index.metastore"
+  val CreateIfNotExists = "spark.sql.index.createIfNotExists"
+  val NumPartitions = "spark.sql.index.partitions"
+  val FilterEnabled = "spark.sql.index.parquet.filter.enabled"
+  val FilterType = "spark.sql.index.parquet.filter.type"
+  val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
+
+  def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
+}
+
+/** Filesystem metastore: one directory per (dataspace, table path) holding
+  * `metadata.json`, the sketch parquet table, and a `_SUCCESS` commit
+  * marker. Mirrors the reference's Metastore.scala:40-302 — same layout
+  * idea (`{root}/{dataspace}/{scheme}/{path}`), same SaveMode matrix, same
+  * `_SUCCESS`-gated loads — with a small synchronized LRU cache instead of
+  * Guava.
+  */
+class Metastore(spark: SparkSession, conf: IndexConf) {
+
+  val hadoopConf: Configuration = spark.sparkContext.hadoopConfiguration
+
+  def metastorePath: Path = {
+    val p = new Path(conf.metastoreLocation)
+    val fs = p.getFileSystem(hadoopConf)
+    fs.makeQualified(p)
+  }
+
+  def fs: FileSystem = metastorePath.getFileSystem(hadoopConf)
+
+  /** Index directory for a table path: {root}/{dataspace}/{scheme}/{path}. */
+  def location(dataspace: String, tablePath: Path): Path = {
+    val qualified = tablePath.getFileSystem(hadoopConf).makeQualified(tablePath)
+    val uri = qualified.toUri
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val cleanPath = uri.getPath.stripPrefix("/").replace('/', '_')
+    new Path(new Path(new Path(metastorePath, dataspace), scheme), cleanPath)
+  }
+
+  def exists(dataspace: String, tablePath: Path): Boolean = {
+    val dir = location(dataspace, tablePath)
+    try fs.exists(new Path(dir, Metastore.SuccessFile)) catch { case _: Exception => false }
+  }
+
+  /** SaveMode-aware create transaction (reference Metastore.scala:131-179):
+    * Overwrite deletes and rebuilds; ErrorIfExists throws; Ignore no-ops;
+    * Append is delegated to the body (Parquet support rejects it). Writes
+    * `_SUCCESS` on success; cleans up on failure. */
+  def create(dataspace: String, tablePath: Path, mode: SaveMode)(body: Path => Unit): Unit = {
+    val dir = location(dataspace, tablePath)
+    Metastore.cacheInvalidate(dir.toString)
+    val alreadyExists = exists(dataspace, tablePath)
+    mode match {
+      case SaveMode.Overwrite =>
+        if (fs.exists(dir)) fs.delete(dir, true)
+      case SaveMode.ErrorIfExists if alreadyExists =>
+        throw new IllegalStateException(s"Index already exists for $tablePath at $dir")
+      case SaveMode.Ignore if alreadyExists => return
+      case SaveMode.Append =>
+        throw new UnsupportedOperationException(
+          "Append mode is not supported for Parquet index (reference ParquetMetastoreSupport.scala:104-107)")
+      case _ =>
+    }
+    fs.mkdirs(dir)
+    try {
+      body(dir)
+      val out = fs.create(new Path(dir, Metastore.SuccessFile), true)
+      out.close()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(dir, true) catch { case _: Exception => }
+        throw e
+    }
+  }
+
+  def delete(dataspace: String, tablePath: Path): Unit = {
+    val dir = location(dataspace, tablePath)
+    Metastore.cacheInvalidate(dir.toString)
+    try { fs.delete(dir, true); () } catch { case _: Exception => }
+  }
+
+  /** Load index metadata, `_SUCCESS`-gated, via the process-wide LRU
+    * cache (reference caches the full catalog; we cache the metadata tree
+    * and rebuild the cheap FileIndex wrapper per query). */
+  def load(dataspace: String, tablePath: Path): (Path, IndexMetadata) = {
+    val dir = location(dataspace, tablePath)
+    val meta = Metastore.cacheGet(dir.toString) {
+      if (!fs.exists(new Path(dir, Metastore.SuccessFile))) {
+        throw new IllegalStateException(
+          s"Index for $tablePath does not exist or is corrupt (no _SUCCESS in $dir). " +
+            "Create it with spark.index.create first.")
+      }
+      val in = fs.open(new Path(dir, Metastore.MetadataFile))
+      val bytes = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+      IndexMetadata.fromJsonString(new String(bytes, StandardCharsets.UTF_8))
+    }
+    (dir, meta)
+  }
+
+  def writeMetadata(dir: Path, meta: IndexMetadata): Unit = {
+    val out = fs.create(new Path(dir, Metastore.MetadataFile), true)
+    try out.write(IndexMetadata.toJsonString(meta).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object Metastore {
+  val SuccessFile = "_SUCCESS"
+  val MetadataFile = "metadata.json"
+  val SketchDir = "sketches"
+
+  val Dataspace = "source"
+  val CatalogDataspace = "catalog"
+
+  private val MaxCached = 16
+  private val cache = new mutable.LinkedHashMap[String, IndexMetadata]()
+
+  private def cacheGet(key: String)(loader: => IndexMetadata): IndexMetadata =
+    cache.synchronized {
+      cache.get(key) match {
+        case Some(m) =>
+          // refresh LRU position
+          cache.remove(key); cache.put(key, m); m
+        case None =>
+          val m = loader
+          if (cache.size >= MaxCached) cache.remove(cache.head._1)
+          cache.put(key, m)
+          m
+      }
+    }
+
+  private def cacheInvalidate(key: String): Unit =
+    cache.synchronized { cache.remove(key); () }
+
+  def apply(spark: SparkSession): Metastore = new Metastore(spark, IndexConf(spark))
+}

@@ -1,0 +1,199 @@
+package graft.index
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkInternals
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed index-statistics collection (replaces the reference's
+  * ParquetStatisticsRDD full-data scan — SURVEY.md §7.1 deltas #2/#3):
+  *
+  *   1. min/max/null per row group come from Parquet footers only — a
+  *      metadata-read job over the file list (no data pass);
+  *   2. membership sketches (when enabled) are built with ONE declarative
+  *      DataFrame aggregation: scan indexed columns, group by
+  *      input_file_name(), aggregate with [[SketchAgg]] — map-side partial
+  *      sketches, tiny shuffle (one serialized sketch per file × column).
+  *
+  * Both steps scale with the cluster: footers job = one cheap task per file
+  * slice; sketch job = a normal whole-stage-codegen parquet scan.
+  */
+object StatisticsBuilder {
+
+  /** Serializable file handle shipped to the footer job. */
+  case class FileRef(path: String, size: Long, modificationTime: Long)
+
+  /** Read per-row-group statistics for `indexSchema` columns from each
+    * file's footer. Runs as a Spark job over the file list. */
+  def collectFooterStats(
+      spark: SparkSession,
+      files: Seq[FileRef],
+      indexSchema: StructType,
+      numPartitions: Int): Map[String, Seq[BlockStats]] = {
+    if (files.isEmpty) return Map.empty
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    val fields = indexSchema.fields.map(f => (f.name, f.dataType.json))
+    val slices = math.max(1, math.min(numPartitions, files.size))
+    spark.sparkContext
+      .parallelize(files, slices)
+      .map { ref =>
+        val types = fields.map { case (n, dj) => (n, DataType.fromJson(dj)) }
+        ref.path -> readFooterBlocks(ref.path, types, confBc.value.value)
+      }
+      .collect()
+      .toMap
+  }
+
+  /** Executor-side: one footer read → BlockStats per row group. */
+  private def readFooterBlocks(
+      path: String,
+      indexed: Array[(String, DataType)],
+      conf: org.apache.hadoop.conf.Configuration): Seq[BlockStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+        val byName = block.getColumns.asScala
+          .filter(_.getPath.size == 1)
+          .map(c => c.getPath.toDotString -> c)
+          .toMap
+        val cols = indexed.flatMap { case (name, dt) =>
+          byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
+            .map(c => name -> chunkStats(c, dt))
+        }.toMap
+        BlockStats(block.getRowCount, cols)
+      }
+    } finally reader.close()
+  }
+
+  /** Column-chunk footer statistics → canonical ColumnStats. Unusable or
+    * absent stats (e.g. INT96 timestamps) degrade to all-None, which the
+    * fold treats as may-contain. */
+  private def chunkStats(c: ColumnChunkMetaData, dt: DataType): ColumnStats = {
+    val st = c.getStatistics
+    if (st == null) return ColumnStats(None, None, None)
+    val nullCount = if (st.isNumNullsSet) Some(st.getNumNulls) else None
+    if (!st.hasNonNullValue) return ColumnStats(None, None, nullCount)
+
+    val prim = c.getPrimitiveType
+    def tsScale: Option[Long => Long] = prim.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+        case TimeUnit.MILLIS => Some((v: Long) => v * 1000L)
+        case TimeUnit.MICROS => Some(identity[Long] _)
+        case TimeUnit.NANOS => Some((v: Long) => Math.floorDiv(v, 1000L))
+      }
+      case _ => None
+    }
+
+    val minmax: Option[(Any, Any)] = (dt, prim.getPrimitiveTypeName) match {
+      case (IntegerType, PrimitiveTypeName.INT32) | (DateType, PrimitiveTypeName.INT32) =>
+        Some((st.genericGetMin.asInstanceOf[Number].longValue,
+          st.genericGetMax.asInstanceOf[Number].longValue))
+      case (LongType, PrimitiveTypeName.INT64) =>
+        Some((st.genericGetMin.asInstanceOf[Number].longValue,
+          st.genericGetMax.asInstanceOf[Number].longValue))
+      case (TimestampType, PrimitiveTypeName.INT64) | (TimestampNTZType, PrimitiveTypeName.INT64) =>
+        tsScale.map { f =>
+          (f(st.genericGetMin.asInstanceOf[Number].longValue),
+            f(st.genericGetMax.asInstanceOf[Number].longValue))
+        }
+      case (StringType, PrimitiveTypeName.BINARY) =>
+        // parquet-mr truncated binary stats remain valid bounds; unsigned
+        // lexicographic order matches UTF8String.binaryCompare.
+        Some((new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8),
+          new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None // INT96 and any physical/logical mismatch: unknown
+    }
+    minmax match {
+      case Some((mn, mx)) => ColumnStats(Some(mn), Some(mx), nullCount)
+      case None => ColumnStats(None, None, nullCount)
+    }
+  }
+
+  /** Build per-(file × column) membership sketches with a single
+    * DataFrame aggregation and write them as a parquet table
+    * (file, column, kind, data) under `sketchDir`. */
+  def buildSketches(
+      spark: SparkSession,
+      filePaths: Seq[String],
+      indexSchema: StructType,
+      confKind: String,
+      expectedItems: Long,
+      sketchDir: Path): Unit = {
+    if (filePaths.isEmpty || indexSchema.isEmpty) return
+    val df = spark.read.parquet(filePaths: _*)
+    val aggs = indexSchema.fields.map { f =>
+      val kind = Sketch.resolveKind(confKind, f.dataType)
+      SparkInternals.wrap(
+        SketchAgg(SparkInternals.unwrap(col(f.name)), kind, expectedItems)
+          .toAggregateExpression()).as(f.name)
+    }
+    val wide = df
+      .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = indexSchema.fields.map { f =>
+      val kind = Sketch.resolveKind(confKind, f.dataType)
+      s"'${f.name}', '$kind', `${f.name}`"
+    }.mkString(", ")
+    val long = wide.selectExpr(
+      "__file as file",
+      s"stack(${indexSchema.size}, $stackArgs) as (column, kind, data)")
+    long.write.mode("overwrite").parquet(sketchDir.toString)
+  }
+}
+
+/** Mergeable sketch-building aggregate: a native Catalyst
+  * TypedImperativeAggregate so sketch construction runs inside Spark's
+  * aggregation machinery (partial aggregation map-side; only serialized
+  * sketches cross the shuffle). Replaces the reference's executor-side
+  * imperative loop in ParquetStatisticsRDD.scala:213-241. */
+case class SketchAgg(
+    child: Expression,
+    kind: String,
+    expectedItems: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Sketch] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_sketch_agg"
+
+  override def createAggregationBuffer(): Sketch = Sketch.create(kind, expectedItems)
+
+  override def update(buffer: Sketch, input: InternalRow): Sketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.put(Canon.fromCatalyst(child.dataType, v))
+    buffer
+  }
+
+  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+
+  override def eval(buffer: Sketch): Any = buffer.serialize()
+
+  override def serialize(buffer: Sketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): Sketch = Sketch.deserialize(kind, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SketchAgg =
+    copy(child = newChildren.head)
+}

@@ -1,0 +1,109 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.graft.SparkInternals
+
+/** User-facing fluent API, drop-in shaped like the reference
+  * (package.scala:25-43 + DataFrameIndexManager.scala):
+  *
+  * {{{
+  * import graft.index.implicits._
+  * spark.index.create.mode("overwrite").indexBy("id", "code").parquet(path)
+  * spark.index.exists.parquet(path)
+  * val df = spark.index.parquet(path)          // pruned scans
+  * spark.index.delete.parquet(path)
+  * spark.index.table("catalogTable")           // catalog tables
+  * }}}
+  */
+object implicits {
+  implicit class GraftIndexSession(val spark: SparkSession) {
+    def index: IndexManager = new IndexManager(spark)
+  }
+}
+
+class IndexManager(spark: SparkSession) {
+
+  private var extraOptions: Map[String, String] = Map.empty
+
+  def option(key: String, value: String): IndexManager = { extraOptions += key -> value; this }
+  def option(key: String, value: Boolean): IndexManager = option(key, value.toString)
+  def option(key: String, value: Long): IndexManager = option(key, value.toString)
+  def option(key: String, value: Double): IndexManager = option(key, value.toString)
+  def options(opts: Map[String, String]): IndexManager = { extraOptions ++= opts; this }
+
+  def create: CreateIndexCommand = new CreateIndexCommand(spark)
+  def exists: ExistsIndexCommand = new ExistsIndexCommand(spark)
+  def delete: DeleteIndexCommand = new DeleteIndexCommand(spark)
+
+  /** Load indexed Parquet table as a DataFrame with index-driven pruning. */
+  def parquet(path: String): DataFrame =
+    IndexedDataSource.load(spark, path, Metastore.Dataspace)
+
+  /** Load an indexed catalog table. */
+  def table(tableName: String): DataFrame = {
+    val (_, location) = requireParquetTable(spark, tableName)
+    IndexedDataSource.load(spark, location.toString, Metastore.CatalogDataspace)
+  }
+
+  private[index] def requireParquetTable(
+      spark: SparkSession, tableName: String): (String, org.apache.hadoop.fs.Path) = {
+    val (provider, location) = SparkInternals.catalogTableInfo(spark, tableName)
+    if (!provider.equalsIgnoreCase("parquet")) {
+      throw new UnsupportedOperationException(
+        s"table $tableName has provider $provider; only parquet tables can be indexed " +
+          "(reference CatalogTableSource.scala:60-62)")
+    }
+    (provider, location)
+  }
+}
+
+class CreateIndexCommand(spark: SparkSession) {
+  private var saveMode: SaveMode = SaveMode.ErrorIfExists
+  private var columns: Seq[String] = Nil
+  private var all: Boolean = false
+
+  def mode(m: SaveMode): CreateIndexCommand = { saveMode = m; this }
+  def mode(m: String): CreateIndexCommand = {
+    saveMode = m.toLowerCase match {
+      case "overwrite" => SaveMode.Overwrite
+      case "append" => SaveMode.Append
+      case "ignore" => SaveMode.Ignore
+      case "error" | "errorifexists" | "default" => SaveMode.ErrorIfExists
+      case other => throw new IllegalArgumentException(s"unknown save mode: $other")
+    }
+    this
+  }
+
+  def indexBy(cols: String*): CreateIndexCommand = { columns = cols; all = false; this }
+  def indexByColumns(cols: Column*): CreateIndexCommand =
+    indexBy(cols.map(c => SparkInternals.unwrap(c).asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.NamedExpression].name): _*)
+  def indexByAll(): CreateIndexCommand = { columns = Nil; all = true; this }
+
+  def parquet(path: String): Unit =
+    IndexedDataSource.createIndex(spark, path, Metastore.Dataspace, saveMode, columns, all)
+
+  def table(tableName: String): Unit = {
+    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    IndexedDataSource.createIndex(
+      spark, location.toString, Metastore.CatalogDataspace, saveMode, columns, all)
+  }
+}
+
+class ExistsIndexCommand(spark: SparkSession) {
+  def parquet(path: String): Boolean =
+    IndexedDataSource.existsIndex(spark, path, Metastore.Dataspace)
+  def table(tableName: String): Boolean = {
+    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    IndexedDataSource.existsIndex(spark, location.toString, Metastore.CatalogDataspace)
+  }
+}
+
+class DeleteIndexCommand(spark: SparkSession) {
+  def parquet(path: String): Unit =
+    IndexedDataSource.deleteIndex(spark, path, Metastore.Dataspace)
+  def table(tableName: String): Unit = {
+    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    IndexedDataSource.deleteIndex(spark, location.toString, Metastore.CatalogDataspace)
+  }
+}

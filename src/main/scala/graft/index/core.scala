@@ -1,0 +1,200 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Canonical value domain for index statistics and sketches.
+  *
+  * Every indexable Spark type maps onto either `Long` (int, long, date as
+  * epoch days, timestamp as epoch micros) or `String`. Both the statistics
+  * builder (Catalyst-side values) and the filter prober (external JVM values
+  * from `sources.Filter`) normalize into this domain, so build and probe can
+  * never disagree on representation.
+  *
+  * Reference semantics being reproduced: the five supported types of
+  * ParquetSchemaUtils.scala:32-33 and the epoch-long hashing of
+  * Date/Timestamp in ColumnFilterStatistics.scala:279-299.
+  */
+object Canon {
+
+  val supportedTypes: Set[DataType] =
+    Set(IntegerType, LongType, StringType, DateType, TimestampType, TimestampNTZType)
+
+  def isSupported(dt: DataType): Boolean = supportedTypes.contains(dt)
+
+  /** Catalyst-internal value (Int days, Long micros, UTF8String, …) →
+    * canonical. Caller guarantees v != null and dt is supported. */
+  def fromCatalyst(dt: DataType, v: Any): Any = dt match {
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case LongType => v.asInstanceOf[Long]
+    case DateType => v.asInstanceOf[Int].toLong
+    case TimestampType | TimestampNTZType => v.asInstanceOf[Long]
+    case StringType => v.toString
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** External JVM value (as carried by `sources.Filter`) → canonical.
+    * Returns None on any type we cannot confidently normalize — the fold
+    * treats that as "may contain" (conservative). */
+  def fromExternal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (IntegerType, i: java.lang.Integer) => Some(i.longValue)
+    case (IntegerType, s: java.lang.Short) => Some(s.longValue)
+    case (IntegerType, b: java.lang.Byte) => Some(b.longValue)
+    case (LongType, l: java.lang.Long) => Some(l.longValue)
+    case (LongType, i: java.lang.Integer) => Some(i.longValue)
+    case (DateType, d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d).toLong)
+    case (DateType, ld: java.time.LocalDate) => Some(ld.toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, i: java.time.Instant) => Some(DateTimeUtils.instantToMicros(i))
+    case (TimestampNTZType, ldt: java.time.LocalDateTime) => Some(DateTimeUtils.localDateTimeToMicros(ldt))
+    case (StringType, s: String) => Some(s)
+    case (StringType, u: UTF8String) => Some(u.toString)
+    case _ => None
+  }
+
+  /** Total order on canonical values of one type. Strings compare in UTF-8
+    * binary order (Spark's own string ordering), not UTF-16 — fixing the
+    * reference's Java-String-ordering wrinkle (SURVEY.md §7.5). */
+  def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y))
+    case _ => throw new IllegalArgumentException(s"incomparable: $a vs $b")
+  }
+}
+
+/** Per-(row-group × column) statistics, canonical-valued.
+  *
+  * `min`/`max` are None either when the chunk holds no non-null values or
+  * when the footer carried no usable statistics; `nullCount` is None when
+  * unknown. The verdict helpers below distinguish those cases via the
+  * block's rowCount. Mirrors ColumnStatistics.scala:26-160 semantics with
+  * footer-derived values (SURVEY.md §7.1 design delta #2).
+  */
+case class ColumnStats(
+    min: Option[Any],
+    max: Option[Any],
+    nullCount: Option[Long]) {
+
+  /** True when we know the chunk contains zero non-null values. */
+  def knownAllNull(rowCount: Long): Boolean =
+    min.isEmpty && nullCount.contains(rowCount)
+
+  def hasNull: Boolean = nullCount.forall(_ > 0) // unknown → may have nulls
+
+  /** May this chunk contain value v (canonical, non-null)?
+    * Reference: ColumnStatistics.contains, null-tolerant (:97-102). */
+  def mayContain(v: Any, rowCount: Long): Boolean =
+    (min, max) match {
+      case (Some(lo), Some(hi)) =>
+        Canon.compare(v, lo) >= 0 && Canon.compare(v, hi) <= 0
+      case _ => !knownAllNull(rowCount) // unknown stats → maybe
+    }
+}
+
+/** Statistics for one Parquet row group. */
+case class BlockStats(rowCount: Long, columns: Map[String, ColumnStats])
+
+/** The pruning verdict algebra: fold a pushed `sources.Filter` against one
+  * file's per-block statistics plus optional per-(file × column) membership
+  * sketches, producing a may-contain verdict. A file is scanned iff any of
+  * its blocks may contain a matching row; empty files (0 blocks) are always
+  * pruned (reference ParquetIndexFilters.scala:29-46,43-45).
+  *
+  * Deliberate deltas vs the reference fold (ParquetIndexFilters.scala:52-138):
+  *   - the whole tree folds per block and ORs across blocks, so
+  *     `And(a, b)` must hold within a single block — strictly stronger
+  *     pruning than the reference's per-leaf OR, still sound;
+  *   - `Not` never folds through a non-constant child: the reference maps
+  *     Not(Trivial(true)) → Trivial(false), which turns "may contain" into
+  *     "definitely absent" and can wrongly prune; we return true instead.
+  */
+object FilterFold {
+
+  /** @param sketchFor (column) → sketch for this file, if built */
+  def fileMayContain(
+      filter: Filter,
+      blocks: Seq[BlockStats],
+      sketchFor: String => Option[Sketch],
+      schema: StructType): Boolean = {
+    if (blocks.isEmpty) false
+    else blocks.exists(b => blockMayContain(filter, b, sketchFor, schema))
+  }
+
+  def blockMayContain(
+      filter: Filter,
+      block: BlockStats,
+      sketchFor: String => Option[Sketch],
+      schema: StructType): Boolean = {
+
+    def dtOf(attr: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(attr)).map(_.dataType)
+
+    def eqVerdict(attr: String, value: Any): Boolean = {
+      if (value == null) return nullVerdict(attr)
+      val verdict = for {
+        dt <- dtOf(attr)
+        canon <- Canon.fromExternal(dt, value)
+      } yield {
+        val rangeOk = block.columns.get(attr) match {
+          case Some(st) => st.mayContain(canon, block.rowCount)
+          case None => true // column not indexed in this block
+        }
+        // Sketch covers the whole file (superset of this block) — sound to
+        // consult for any block. Stats-range AND sketch, as the reference
+        // (ParquetIndexFilters.scala:54-64).
+        rangeOk && sketchFor(attr).forall(_.mightContain(canon))
+      }
+      verdict.getOrElse(true)
+    }
+
+    def nullVerdict(attr: String): Boolean =
+      block.columns.get(attr).forall(_.hasNull)
+
+    def rangeVerdict(attr: String, value: Any)(cmp: (Any, ColumnStats) => Boolean): Boolean = {
+      val verdict = for {
+        dt <- dtOf(attr)
+        canon <- Canon.fromExternal(dt, value)
+        st <- block.columns.get(attr)
+      } yield {
+        if (st.min.isDefined) cmp(canon, st)
+        else !st.knownAllNull(block.rowCount) // no stats → maybe; all-null → no
+      }
+      verdict.getOrElse(true)
+    }
+
+    filter match {
+      case EqualTo(a, v) => eqVerdict(a, v)
+      case EqualNullSafe(a, null) => nullVerdict(a)
+      case EqualNullSafe(a, v) => eqVerdict(a, v)
+      case In(a, vs) => vs != null && vs.exists(eqVerdict(a, _))
+      case IsNull(a) => nullVerdict(a)
+      // v strictly greater than max, or equal to it, cannot satisfy `> v`
+      // (reference :80-85); analogous boundary rules below.
+      case GreaterThan(a, v) =>
+        rangeVerdict(a, v)((c, st) => Canon.compare(c, st.max.get) < 0)
+      case GreaterThanOrEqual(a, v) =>
+        rangeVerdict(a, v)((c, st) => Canon.compare(c, st.max.get) <= 0)
+      case LessThan(a, v) =>
+        rangeVerdict(a, v)((c, st) => Canon.compare(c, st.min.get) > 0)
+      case LessThanOrEqual(a, v) =>
+        rangeVerdict(a, v)((c, st) => Canon.compare(c, st.min.get) >= 0)
+      case And(l, r) =>
+        blockMayContain(l, block, sketchFor, schema) &&
+          blockMayContain(r, block, sketchFor, schema)
+      case Or(l, r) =>
+        blockMayContain(l, block, sketchFor, schema) ||
+          blockMayContain(r, block, sketchFor, schema)
+      case Not(_: AlwaysTrue) => false
+      case Not(_: AlwaysFalse) => true
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
+      // IsNotNull, StringStartsWith/EndsWith/Contains, Not(…), anything
+      // else: scan the file (reference :128-137).
+      case _ => true
+    }
+  }
+}

@@ -1,0 +1,94 @@
+/*
+ * Shim exposing the handful of Spark-internal APIs the graft index engine
+ * needs. Lives under org.apache.spark.sql so that `private[sql]` members are
+ * reachable — the same approach the reference takes for its whole codebase
+ * (see /root/reference src layout under org.apache.spark.sql.execution);
+ * unlike the reference we confine it to this single file.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+
+object SparkInternals {
+
+  /** Catalyst predicate expression → data-source filter (None if not
+    * translatable). Mirrors what FileSourceStrategy pushes to scans. */
+  def translateFilter(e: Expression): Option[sources.Filter] =
+    DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** Compile a predicate over the given schema, binding attribute
+    * references by (case-insensitive) name. */
+  def compilePredicate(exprs: Seq[Expression], schema: StructType): InternalRow => Boolean = {
+    if (exprs.isEmpty) return _ => true
+    val bound = exprs.reduce(org.apache.spark.sql.catalyst.expressions.And).transform {
+      case a: AttributeReference =>
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(a.name))
+        require(idx >= 0, s"partition column ${a.name} not in ${schema.fieldNames.mkString(",")}")
+        BoundReference(idx, schema(idx).dataType, schema(idx).nullable)
+    }
+    val pred = Predicate.create(bound)
+    pred.initialize(0)
+    row => pred.eval(row)
+  }
+
+  def toAttributes(schema: StructType): Seq[Attribute] = DataTypeUtils.toAttributes(schema)
+
+  def wrap(e: Expression): Column = ExpressionUtils.column(e)
+  def unwrap(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def partitionDirectory(values: InternalRow, files: Array[FileStatus]): PartitionDirectory =
+    PartitionDirectory(values, files)
+
+  /** Build a DataFrame over a custom FileIndex backed by the Parquet file
+    * format — the relation assembly the reference does at
+    * IndexedDataSource.scala:80-86. */
+  def parquetRelation(
+      spark: SparkSession,
+      location: FileIndex,
+      partitionSchema: StructType,
+      dataSchema: StructType,
+      options: Map[String, String]): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = HadoopFsRelation(
+      location = location,
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema.asNullable,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = options)(classic)
+    classic.baseRelationToDataFrame(relation)
+  }
+
+  /** Driver-side file listing + Hive-style partition discovery for a table
+    * root, via Spark's own InMemoryFileIndex. Returns (partitionSchema,
+    * Seq[(partitionValues, partitionValueStrings, files)]). */
+  def discoverTable(spark: SparkSession, root: Path)
+      : (StructType, Seq[(InternalRow, Seq[FileStatus])]) = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val idx = new InMemoryFileIndex(classic, Seq(root), Map.empty, None)
+    val partitionSchema = idx.partitionSpec().partitionColumns
+    val dirs = idx.listFiles(Nil, Nil).map { pd =>
+      (pd.values, pd.files.map(_.fileStatus))
+    }
+    (partitionSchema, dirs)
+  }
+
+  /** Resolve a catalog table to (provider, location path). */
+  def catalogTableInfo(spark: SparkSession, tableName: String): (String, Path) = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ident = classic.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = classic.sessionState.catalog.getTableMetadata(ident)
+    val provider = meta.provider.getOrElse("")
+    (provider, new Path(meta.location))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.implicits._
+
+/** End-to-end differential suite: every indexed query must return exactly
+  * the rows of the plain `spark.read.parquet` query (the reference's
+  * checkAnswer pattern, TestBase.scala:123-133), and selective equality
+  * predicates must actually prune files. */
+class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val work = Files.createTempDirectory("graft-e2e").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-index-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(IndexConf.MetastoreLocation, s"$work/metastore")
+    .getOrCreate()
+
+  private lazy val tablePath = {
+    val p = s"$work/lineitem"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(8, col("l_orderkey"))
+      .write.parquet(p)
+    p
+  }
+
+  private def checkSame(indexed: DataFrame, plain: DataFrame): Unit = {
+    val a = indexed.collect().map(_.toString).sorted
+    val b = plain.collect().map(_.toString).sorted
+    assert(a.length == b.length, s"row count: indexed=${a.length} plain=${b.length}")
+    assert(a.sameElements(b), "row contents differ")
+  }
+
+  private def filesScanned(df: DataFrame): Long = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    scans.map(_.relation.location.listFiles(Nil, Nil).map(_.files.size).sum).sum.toLong
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.index.create.mode("overwrite")
+      .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+      .parquet(tablePath)
+  }
+
+  test("create + exists + delete lifecycle") {
+    assert(spark.index.exists.parquet(tablePath))
+    spark.index.delete.parquet(tablePath)
+    assert(!spark.index.exists.parquet(tablePath))
+    spark.index.create.mode("overwrite")
+      .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+      .parquet(tablePath)
+    assert(spark.index.exists.parquet(tablePath))
+  }
+
+  test("point equality matches plain read and prunes files") {
+    val key = spark.read.parquet(tablePath).select("l_orderkey").head.getLong(0)
+    val indexed = spark.index.parquet(tablePath).filter(col("l_orderkey") === key)
+    val plain = spark.read.parquet(tablePath).filter(col("l_orderkey") === key)
+    checkSame(indexed, plain)
+
+    val pruned = indexed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    indexed.collect() // force listFiles
+    assert(pruned.isDefined, "indexed scan must use GraftFileIndex")
+    assert(pruned.get.lastListedFiles < pruned.get.lastTotalFiles,
+      s"expected pruning: ${pruned.get.lastListedFiles}/${pruned.get.lastTotalFiles}")
+  }
+
+  test("IN list matches") {
+    val keys = spark.read.parquet(tablePath)
+      .select("l_orderkey").distinct().limit(3).collect().map(_.getLong(0))
+    val cond = col("l_orderkey").isin(keys: _*)
+    checkSame(
+      spark.index.parquet(tablePath).filter(cond),
+      spark.read.parquet(tablePath).filter(cond))
+  }
+
+  test("range predicates match") {
+    val cond = col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1995-03-01").cast("timestamp")
+    checkSame(
+      spark.index.parquet(tablePath).filter(cond),
+      spark.read.parquet(tablePath).filter(cond))
+  }
+
+  test("and/or tree with unsupported residue matches") {
+    val plainDf = spark.read.parquet(tablePath)
+    // l_quantity is unindexed — exercises the only-fully-indexed-pushdown rule
+    val cond2 = (col("l_orderkey") === 1L && col("l_returnflag") === "R") ||
+      (col("l_suppkey") < 10L && col("l_quantity") > 30.0)
+    checkSame(
+      spark.index.parquet(tablePath).filter(cond2),
+      plainDf.filter(cond2))
+  }
+
+  test("string equality with bloom sketch matches") {
+    val cond = col("l_returnflag") === "A"
+    checkSame(
+      spark.index.parquet(tablePath).filter(cond),
+      spark.read.parquet(tablePath).filter(cond))
+  }
+
+  test("negative: equality on absent key prunes everything and returns 0") {
+    val indexed = spark.index.parquet(tablePath).filter(col("l_orderkey") === -42L)
+    assert(indexed.count() === 0L)
+  }
+
+  test("projection-only query matches") {
+    checkSame(
+      spark.index.parquet(tablePath).select("l_orderkey", "l_quantity"),
+      spark.read.parquet(tablePath).select("l_orderkey", "l_quantity"))
+  }
+
+  test("dict sketch variant matches") {
+    spark.conf.set(IndexConf.FilterType, "dict")
+    try {
+      spark.index.create.mode("overwrite").indexBy("l_suppkey", "l_linenumber")
+        .parquet(tablePath)
+      val cond = col("l_suppkey") === 5L && col("l_linenumber") === 1
+      checkSame(
+        spark.index.parquet(tablePath).filter(cond),
+        spark.read.parquet(tablePath).filter(cond))
+    } finally {
+      spark.conf.set(IndexConf.FilterType, "bloom")
+      spark.index.create.mode("overwrite")
+        .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+        .parquet(tablePath)
+    }
+  }
+
+  test("save mode matrix") {
+    // exists → error
+    intercept[IllegalStateException] {
+      spark.index.create.mode("error").indexBy("l_orderkey").parquet(tablePath)
+    }
+    // ignore → no-op
+    spark.index.create.mode("ignore").indexBy("l_orderkey").parquet(tablePath)
+    // append → rejected
+    intercept[UnsupportedOperationException] {
+      spark.index.create.mode("append").indexBy("l_orderkey").parquet(tablePath)
+    }
+  }
+
+  test("unsupported column type rejected") {
+    val e = intercept[IllegalArgumentException] {
+      spark.index.create.mode("overwrite").indexBy("l_quantity").parquet(tablePath)
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("partitioned table: partition pruning + index pruning") {
+    val pPath = s"$work/orders_part"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(pPath)
+    spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(pPath)
+
+    val cond = col("o_year") === 1995 && col("o_custkey") === 7L
+    val indexed = spark.index.parquet(pPath).filter(cond)
+    val plain = spark.read.parquet(pPath).filter(cond)
+    checkSame(indexed, plain)
+
+    // indexing a partition column is rejected
+    val e = intercept[IllegalArgumentException] {
+      spark.index.create.mode("overwrite").indexBy("o_year").parquet(pPath)
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
