@@ -62,6 +62,11 @@ def main(sf_dir, out_dir):
             print(f"SCHEMA   {name}: oracle={sorted(ocols)} spark={sorted(scols)}")
             n_fail += 1
             continue
+        otypes = {d[0]: str(d[1]) for d in o.description}
+        stypes = {d[0]: str(d[1]) for d in s.description}
+        mismatched = {c: (otypes[c], stypes[c]) for c in otypes if otypes[c] != stypes[c]}
+        if mismatched:
+            print(f"TYPES?   {name}: {mismatched} (warning only)")
         oh, on = canon(orows, ocols)
         sh, sn = canon(srows, scols)
         if on != sn:

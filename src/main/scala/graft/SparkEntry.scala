@@ -288,8 +288,8 @@ object SparkEntry {
     "q_idx_range_date" -> ((s, dir) => {
       import s.implicits._
       indexedLineitem(s, dir)
-        .filter($"l_shipdate" >= lit("1992-01-01").cast("timestamp_ntz") &&
-          $"l_shipdate" < lit("1992-04-01").cast("timestamp_ntz"))
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1995-04-01").cast("timestamp_ntz"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"l_returnflag")
@@ -321,6 +321,134 @@ object SparkEntry {
         .groupBy($"l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
         .orderBy($"l_linestatus")
+    }),
+
+    // ------------------------------------------------------------------
+    // Training-data pipeline operators (graft.text / dedup / ann /
+    // multimodal) over the documents + embeddings tables.
+    // ------------------------------------------------------------------
+
+    // Token counting + BPE-ish subword estimate.
+    "q_text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select($"doc_id",
+          graft.text.TextFunctions.tokenCount($"text").as("n_tokens"),
+          graft.text.TextFunctions.subwordCountEstimate($"text").as("n_subwords"),
+          length($"text").as("n_chars_raw"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: ratios + combined score.
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.text.TextFunctions
+      tbl(s, dir, "documents")
+        .select($"doc_id",
+          round(t.punctRatio($"text"), 4).as("punct_ratio"),
+          round(t.digitRatio($"text"), 4).as("digit_ratio"),
+          round(t.stopwordRatio($"text"), 4).as("stopword_ratio"),
+          t.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID heuristic distribution.
+    "q_text_langid" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select(graft.text.TextFunctions.langId($"text").as("lang_pred"))
+        .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy($"lang_pred")
+    }),
+
+    // Document fingerprinting (md5 of normalized text).
+    "q_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select($"doc_id", graft.text.TextFunctions.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+        .limit(200)
+    }),
+
+    // Exact dedup groups on a content-prefix hash key.
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val key = md5(concat_ws(" ",
+        slice(graft.text.TextFunctions.tokens($"text"), 1, 3)))
+      tbl(s, dir, "documents")
+        .groupBy(key.as("dup_key"))
+        .agg(count(lit(1)).as("group_size"), min($"doc_id").as("keeper_id"))
+        .filter($"group_size" > 1)
+        .orderBy($"dup_key")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (k=3, τ=0.5).
+    "q_dedup_ngram" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.ngramJaccardPairs(
+          tbl(s, dir, "documents"), $"doc_id", $"text", shingleK = 3, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // MinHash+LSH near-dup pairs — same planted duplicates, banded join
+    // (no cross join). Oracle: the exact-Jaccard pair SET (id_a, id_b);
+    // est_jaccard is signature-estimated so only pair identity is
+    // oracle-checkable.
+    "q_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.minhashPairs(
+          tbl(s, dir, "documents"), $"doc_id", $"text",
+          numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash Hamming-distance near-dup pairs (rows-only check).
+    "q_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.simhashPairs(
+          tbl(s, dir, "documents"), $"doc_id", $"text", maxDist = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Brute-force cosine top-10 for the first embedding vector.
+    "q_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.bruteForceTopK(
+        emb, $"vec_id", $"embedding", q, k = 10, excludeId = Some(qRow.getLong(0)))
+    }),
+
+    // Embedding cosine near-dup pairs (exact, τ=0.4).
+    "q_ann_cosine_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.ann.Ann.cosinePairs(
+          tbl(s, dir, "embeddings"), $"vec_id", $"embedding",
+          threshold = 0.4, dim = 64, bucketed = false)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LSH-bucketed ANN over the same query vector (recall<1 ⇒ rows-only).
+    "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.lshTopK(
+        emb, $"vec_id", $"embedding", q, k = 10, nBits = 8,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
+    // Multimodal decode plumbing (stubbed kernels, real Dataset pipeline).
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.decodeDocuments(s, tbl(s, dir, "documents"))
+        .select($"id", $"modality", $"width", $"height", $"nFrames", $"byteLen")
+        .orderBy($"id")
     }),
 
     // Time-window aggregation over the events table (streaming-shaped
@@ -443,6 +571,142 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
         |FROM orders""".stripMargin,
+    "q_text_tokens" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(coalesce(list_sum(list_transform(toks,
+        |    s -> greatest(1, CAST(ceil(length(s)/6.0) AS INT)))), 0) AS INT) AS n_subwords,
+        |  CAST(length(text) AS INT) AS n_chars_raw
+        |FROM tt ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |m AS (SELECT doc_id,
+        |  length(regexp_replace(text,'[^[:punct:]]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS pr,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s)))::DOUBLE
+        |    / greatest(len(toks),1)::DOUBLE AS sr,
+        |  len(toks) AS nt
+        |  FROM tt)
+        |SELECT doc_id, round(pr,4) AS punct_ratio, round(dr,4) AS digit_ratio,
+        |  round(sr,4) AS stopword_ratio,
+        |  round(0.25*least(nt::DOUBLE/64.0, 1.0) + 0.25*least(sr*4.0, 1.0)
+        |    + 0.25*(1.0-least(pr*4.0, 1.0)) + 0.25*(1.0-least(dr*4.0, 1.0)), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (SELECT text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |s AS (SELECT
+        |  len(list_filter(toks, w -> list_contains(['the','a','and','of','to','is','in','that','it','as'], w))) AS en,
+        |  len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','auf'], w))) AS de,
+        |  len(list_filter(toks, w -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], w))) AS fr,
+        |  len(list_filter(toks, w -> list_contains(['el','los','las','y','es','un','una','en','que','por'], w))) AS es,
+        |  length(regexp_replace(text,'[^\x{4e00}-\x{9fff}]','','g'))::DOUBLE
+        |    / greatest(length(text),1)::DOUBLE AS cjkr
+        |  FROM tt)
+        |SELECT CASE WHEN cjkr > 0.05 THEN 'zh'
+        |  WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und'
+        |  WHEN en>=de AND en>=fr AND en>=es THEN 'en'
+        |  WHEN de>=fr AND de>=es THEN 'de'
+        |  WHEN fr>=es THEN 'fr' ELSE 'es' END AS lang_pred, count(*) AS n
+        |FROM s GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fp
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |k AS (SELECT doc_id, md5(array_to_string(
+        |  (CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END)[1:3], ' ')) AS dup_key
+        |  FROM t)
+        |SELECT dup_key, count(*) AS group_size, min(doc_id) AS keeper_id
+        |FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |s AS (SELECT vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1,65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+        |  / greatest(
+        |      sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))), 1e-12) AS c
+        |  FROM embeddings, q WHERE vec_id <> q.qid)
+        |SELECT neighbor_id, round(c, 6) AS cosine FROM s
+        |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_ann_cosine_pairs" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum(list_transform(range(1,65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / greatest(
+        |        sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1,65),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-12), 6) AS cosine
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INT) AS len FROM documents)
+        |SELECT id, modality,
+        |  CAST(CASE modality WHEN 'image' THEN 16 + len % 640
+        |    WHEN 'audio' THEN 0 ELSE 16 + len % 320 END AS INT) AS width,
+        |  CAST(CASE modality WHEN 'image' THEN 16 + (len * 7) % 480
+        |    WHEN 'audio' THEN 0 ELSE 16 + (len * 3) % 240 END AS INT) AS height,
+        |  CAST(CASE modality WHEN 'image' THEN 1
+        |    WHEN 'audio' THEN 1 + len % 16 ELSE 1 + len % 32 END AS INT) AS "nFrames",
+        |  len AS "byteLen"
+        |FROM m ORDER BY id""".stripMargin,
     "q_idx_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
         |FROM lineitem
@@ -451,8 +715,8 @@ object SparkEntry {
     "q_idx_range_date" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1992-04-01 00:00:00'
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_idx_in_list" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice

@@ -1,0 +1,205 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * declarative DataFrame transformations so Catalyst plans them (map-side
+  * partial aggregation, broadcast where small, shuffle only on the chosen
+  * keys):
+  *
+  *   - exact:   hash-groupBy on a content key;
+  *   - MinHash: shingle → minhash signature → LSH band join → signature-
+  *              estimated Jaccard (scale path: candidates only meet inside
+  *              a band bucket — no cross join);
+  *   - SimHash: 64-bit fingerprint → 16-bit chunk blocking → Hamming ≤ k;
+  *   - n-gram Jaccard: exact set similarity with a size-ratio prefilter.
+  *
+  * All hashing is xxhash64-based and fully deterministic.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Keep one representative row (smallest tieBreak) per key. */
+  def dedupExact(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tieBreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Duplicate groups (key, size, member ids) with size > 1. */
+  def exactDuplicateGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(count(lit(1)).as("group_size"), sort_array(collect_list(id)).as("ids"))
+      .filter(col("group_size") > 1)
+
+  // ---- shingling ------------------------------------------------------
+
+  /** Distinct k-word shingles of the normalized text; texts shorter than k
+    * tokens collapse to one whole-text shingle. Native expression — the
+    * HOF formulation dominated the whole dedup pipeline's runtime. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(graft.functions.exprs.word_shingles(TextFunctions.tokens(text), k))
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** numHashes-long minhash signature (native expression: one xxhash64
+    * pair per shingle + universal-hash composition across seeds). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    graft.functions.exprs.minhash_signature(sh, numHashes)
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  def signatureJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a).cast("double")
+
+  /** Candidate pairs whose signatures agree on at least one LSH band,
+    * scored by signature-estimated Jaccard and thresholded.
+    *
+    * Scale design: docs are exploded to (bandIdx, bandKey) and candidates
+    * meet through an equi-join on the band key — a hash shuffle on
+    * (bandIdx, bandKey), never a cross join. Hot buckets (identical
+    * boilerplate docs) are the skew risk; AQE skew-join handles moderate
+    * cases, salting is the escape hatch.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    */
+  def minhashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigDf = df.select(id.as("__id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
+    val banded = sigDf.select(col("__id"), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))))
+        .as(Seq("__band", "__key")))
+    val left = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_a"), col("__sig").as("__sig_a"))
+    val right = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_b"), col("__sig").as("__sig_b"))
+    left.join(right, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        signatureJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+  }
+
+  /** Remove near-duplicates: drop every doc that pairs with a smaller id. */
+  def dedupMinhash(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val dupIds = minhashPairs(df, id, text, numHashes, bands, shingleK, threshold)
+      .select(col("id_b").as("__dup_id")).distinct()
+    df.join(dupIds, id === col("__dup_id"), "left_anti")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset: per token hash, each bit votes
+    * ±1; fingerprint bit = sign of the vote sum. Native expression —
+    * the HOF formulation (aggregate × zip_with over 64 bits) evaluates
+    * interpreted per element and is ~100× slower. */
+  def simhash64(text: Column): Column =
+    graft.functions.exprs.simhash64(TextFunctions.tokens(text))
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, blocked on
+    * 16-bit fingerprint chunks (pigeonhole: distance ≤ 3 ⇒ some chunk of 4
+    * is identical — candidates meet via equi-join on (chunk idx, value)). */
+  def simhashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxDist: Int = 3): DataFrame = {
+    val fp = df.select(id.as("__id"), simhash64(text).as("__fp"))
+    val chunked = fp.select(col("__id"), col("__fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("__fp"), (c * lit(16)).cast("int")).bitwiseAND(0xFFFFL)))
+        .as(Seq("__chunk", "__val")))
+    val left = chunked.select(col("__chunk"), col("__val"),
+      col("__id").as("id_a"), col("__fp").as("__fp_a"))
+    val right = chunked.select(col("__chunk"), col("__val"),
+      col("__id").as("id_b"), col("__fp").as("__fp_b"))
+    left.join(right, Seq("__chunk", "__val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ---- exact n-gram Jaccard -------------------------------------------
+
+  /** Exact Jaccard over distinct n-gram shingles, pairs with sim ≥
+    * threshold.
+    *
+    * Default (scale) path: candidate pairs come from the MinHash LSH band
+    * join, then exact Jaccard verifies each candidate — quadratic work is
+    * avoided entirely; recall for a pair at similarity s is
+    * 1-(1-s^r)^b (≈1-4e-8 at s=0.9 with 64 hashes / 16 bands). The
+    * `exact=true` path cross-joins with a size-ratio prefilter
+    * (|A|/|B| ≥ τ is necessary for J ≥ τ) — guaranteed complete, small
+    * tables only. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      exact: Boolean = false,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val sh = df.select(id.as("__id"), shingles(text, shingleK).as("__sh"))
+    val candidates: DataFrame =
+      if (exact) {
+        sh.select(col("__id").as("id_a"))
+          .crossJoin(sh.select(col("__id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        require(numHashes % bands == 0, "numHashes must be divisible by bands")
+        val rows = numHashes / bands
+        val sig = sh.select(col("__id"),
+          minhashSignature(col("__sh"), numHashes).as("__sig"))
+        val banded = sig.select(col("__id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))))
+            .as(Seq("__band", "__key")))
+        banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+          .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
+            Seq("__band", "__key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+      }
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .filter(least(size(col("__sh_a")), size(col("__sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("__sh_a")), size(col("__sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` so they run
+  * inside whole-stage codegen with no UDF boundary. Every function has an
+  * exact ANSI-SQL twin (used as the DuckDB oracle in SparkEntry):
+  * language-ID (stopword + CJK heuristic), quality scoring, token
+  * counting, and document fingerprinting.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text; empty text → empty array. */
+  def tokens(c: Column): Column = {
+    val n = normalized(c)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** A BPE-ish subword count estimate: whitespace tokens plus one extra
+    * unit per 6 characters of long tokens (cheap stand-in for a real
+    * tokenizer's subword splits; deterministic + SQL-expressible). */
+  def subwordCountEstimate(c: Column): Column =
+    aggregate(tokens(c), lit(0),
+      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(6.0)).cast("int")))
+
+  def charCount(c: Column): Column = length(c)
+
+  private def ratioOf(c: Column, keepClass: String): Column =
+    length(regexp_replace(c, keepClass, "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Share of ASCII punctuation characters. */
+  def punctRatio(c: Column): Column = ratioOf(c, "[^\\p{Punct}]")
+
+  /** Share of decimal digits. */
+  def digitRatio(c: Column): Column = ratioOf(c, "[^0-9]")
+
+  /** Share of uppercase ASCII letters. */
+  def upperRatio(c: Column): Column = ratioOf(c, "[^A-Z]")
+
+  /** Share of CJK ideographs (used for zh detection). */
+  def cjkRatio(c: Column): Column = ratioOf(c, "[^\\x{4e00}-\\x{9fff}]")
+
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "as")
+  val stopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf")
+  val stopwordsFr: Seq[String] =
+    Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+  val stopwordsEs: Seq[String] =
+    Seq("el", "los", "las", "y", "es", "un", "una", "en", "que", "por")
+
+  def stopwordHits(c: Column, words: Seq[String]): Column = {
+    val lits = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(lits, t)))
+  }
+
+  def stopwordRatio(c: Column): Column =
+    stopwordHits(c, stopwordsEn).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Deterministic language-ID heuristic: CJK ratio → zh; otherwise argmax
+    * of per-language stopword hits with a fixed en>de>fr>es tie order;
+    * all-zero → "und". (On synthetic word-salad corpora this mostly says
+    * "en"/"und" — the point is the operator shape + oracle parity.) */
+  def langId(c: Column): Column = {
+    val en = stopwordHits(c, stopwordsEn)
+    val de = stopwordHits(c, stopwordsDe)
+    val fr = stopwordHits(c, stopwordsFr)
+    val es = stopwordHits(c, stopwordsEs)
+    when(cjkRatio(c) > 0.05, "zh")
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Deterministic [0,1] quality score from length, stopword density and
+    * punctuation/digit noise. Identical double arithmetic on both engines
+    * → safe to round at 4dp. */
+  def qualityScore(c: Column): Column = {
+    val lengthScore = least(tokenCount(c).cast("double") / lit(64.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(c) * lit(4.0), lit(1.0))
+    val digitPenalty = least(digitRatio(c) * lit(4.0), lit(1.0))
+    round(
+      lit(0.25) * lengthScore + lit(0.25) * stopScore +
+        lit(0.25) * (lit(1.0) - punctPenalty) + lit(0.25) * (lit(1.0) - digitPenalty), 4)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (md5 exists on both
+    * engines; use [[fingerprint64]] for a cheaper Spark-only 64-bit key). */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** 64-bit xxhash fingerprint (Spark-side pipelines; not oracle-portable). */
+  def fingerprint64(c: Column): Column = xxhash64(normalized(c))
+}

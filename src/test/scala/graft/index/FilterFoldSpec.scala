@@ -1,0 +1,170 @@
+package graft.index
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the pruning verdict algebra (reference
+  * ParquetIndexFiltersSuite semantics, SURVEY.md §2.2) plus a ScalaCheck
+  * soundness property: a false verdict must imply no matching rows. */
+class FilterFoldSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType),
+    StructField("s", StringType)))
+
+  private def noSketch: String => Option[Sketch] = _ => None
+
+  private def block(rows: Long, aMin: Long, aMax: Long, aNulls: Long = 0): BlockStats =
+    BlockStats(rows, Map("a" -> ColumnStats(Some(aMin), Some(aMax), Some(aNulls))))
+
+  private def verdict(f: Filter, blocks: Seq[BlockStats]): Boolean =
+    FilterFold.fileMayContain(f, blocks, noSketch, schema)
+
+  test("empty file (0 blocks) always prunes") {
+    assert(!verdict(EqualTo("a", 1L), Nil))
+    assert(!verdict(IsNull("a"), Nil))
+  }
+
+  test("equality against min/max range") {
+    val b = Seq(block(10, 5L, 10L))
+    assert(verdict(EqualTo("a", 5L), b))
+    assert(verdict(EqualTo("a", 7L), b))
+    assert(verdict(EqualTo("a", 10L), b))
+    assert(!verdict(EqualTo("a", 4L), b))
+    assert(!verdict(EqualTo("a", 11L), b))
+  }
+
+  test("boundary rules for ranges (reference :80-101)") {
+    val b = Seq(block(10, 5L, 10L))
+    assert(!verdict(GreaterThan("a", 10L), b)) // v == max excluded
+    assert(verdict(GreaterThan("a", 9L), b))
+    assert(verdict(GreaterThanOrEqual("a", 10L), b))
+    assert(!verdict(GreaterThanOrEqual("a", 11L), b))
+    assert(!verdict(LessThan("a", 5L), b)) // v == min excluded
+    assert(verdict(LessThan("a", 6L), b))
+    assert(verdict(LessThanOrEqual("a", 5L), b))
+    assert(!verdict(LessThanOrEqual("a", 4L), b))
+  }
+
+  test("null semantics") {
+    assert(verdict(IsNull("a"), Seq(block(10, 5L, 10L, aNulls = 1))))
+    assert(!verdict(IsNull("a"), Seq(block(10, 5L, 10L, aNulls = 0))))
+    // all-null chunk: no non-null values, equality cannot match
+    val allNull = Seq(BlockStats(10, Map("a" -> ColumnStats(None, None, Some(10)))))
+    assert(!verdict(EqualTo("a", 1L), allNull))
+    assert(verdict(IsNull("a"), allNull))
+  }
+
+  test("unknown stats are conservative") {
+    val unknown = Seq(BlockStats(10, Map("a" -> ColumnStats(None, None, None))))
+    assert(verdict(EqualTo("a", 1L), unknown))
+    assert(verdict(GreaterThan("a", 99L), unknown))
+    assert(verdict(IsNull("a"), unknown))
+  }
+
+  test("unindexed attribute and unsupported filters scan the file") {
+    val b = Seq(block(10, 5L, 10L))
+    assert(verdict(EqualTo("zzz", 1L), b))
+    assert(verdict(IsNotNull("a"), b))
+    assert(verdict(StringStartsWith("s", "x"), b))
+  }
+
+  test("And must hold within one block; Or across") {
+    val blocks = Seq(block(10, 0L, 10L), block(10, 100L, 110L))
+    // 5 and 105 in different blocks — And prunes (stronger than reference)
+    assert(!verdict(And(EqualTo("a", 5L), EqualTo("a", 105L)), blocks))
+    assert(verdict(Or(EqualTo("a", 5L), EqualTo("a", 105L)), blocks))
+    assert(verdict(And(GreaterThan("a", 3L), LessThan("a", 8L)), blocks))
+  }
+
+  test("Not never wrongly prunes (delta vs reference)") {
+    val b = Seq(block(10, 5L, 10L))
+    // block contains values != 7 too — must scan
+    assert(verdict(Not(EqualTo("a", 7L)), b))
+    assert(!verdict(Not(AlwaysTrue()), b))
+    assert(verdict(Not(AlwaysFalse()), b))
+  }
+
+  test("In: existential, empty array prunes") {
+    val b = Seq(block(10, 5L, 10L))
+    assert(verdict(In("a", Array[Any](1L, 7L)), b))
+    assert(!verdict(In("a", Array[Any](1L, 2L)), b))
+    assert(!verdict(In("a", Array.empty[Any]), b))
+  }
+
+  test("string stats compare in UTF-8 binary order") {
+    val b = Seq(BlockStats(3,
+      Map("s" -> ColumnStats(Some("aa"), Some("bb"), Some(0)))))
+    assert(FilterFold.fileMayContain(EqualTo("s", "ab"), b, noSketch, schema))
+    assert(!FilterFold.fileMayContain(EqualTo("s", "ca"), b, noSketch, schema))
+    assert(!FilterFold.fileMayContain(EqualTo("s", "a"), b, noSketch, schema))
+  }
+
+  test("sketch sharpens equality but not ranges") {
+    val sketch = Sketch.create(Sketch.Dict, 16)
+    sketch.put(7L)
+    val withSketch: String => Option[Sketch] =
+      c => if (c == "a") Some(sketch) else None
+    val b = Seq(block(10, 5L, 10L))
+    assert(FilterFold.fileMayContain(EqualTo("a", 7L), b, withSketch, schema))
+    // 6 is in range but not in the dict → pruned
+    assert(!FilterFold.fileMayContain(EqualTo("a", 6L), b, withSketch, schema))
+    // ranges ignore sketches
+    assert(FilterFold.fileMayContain(GreaterThan("a", 6L), b, withSketch, schema))
+  }
+
+  // ---- soundness property ---------------------------------------------
+
+  private val valueGen = Gen.chooseNum(-50L, 50L)
+  private val rowsGen = Gen.nonEmptyListOf(Gen.option(valueGen))
+
+  private def leafGen: Gen[Filter] = Gen.oneOf(
+    valueGen.map(v => EqualTo("a", v)),
+    valueGen.map(v => GreaterThan("a", v)),
+    valueGen.map(v => GreaterThanOrEqual("a", v)),
+    valueGen.map(v => LessThan("a", v)),
+    valueGen.map(v => LessThanOrEqual("a", v)),
+    Gen.listOf(valueGen).map(vs => In("a", vs.map(_.asInstanceOf[Any]).toArray)),
+    Gen.const(IsNull("a")))
+
+  private def filterGen(depth: Int): Gen[Filter] =
+    if (depth == 0) leafGen
+    else Gen.oneOf(
+      leafGen,
+      Gen.zip(filterGen(depth - 1), filterGen(depth - 1)).map { case (l, r) => And(l, r) },
+      Gen.zip(filterGen(depth - 1), filterGen(depth - 1)).map { case (l, r) => Or(l, r) },
+      filterGen(depth - 1).map(Not))
+
+  private def rowMatches(f: Filter, v: Option[Long]): Boolean = f match {
+    case EqualTo("a", x) => v.contains(x.asInstanceOf[Long])
+    case GreaterThan("a", x) => v.exists(_ > x.asInstanceOf[Long])
+    case GreaterThanOrEqual("a", x) => v.exists(_ >= x.asInstanceOf[Long])
+    case LessThan("a", x) => v.exists(_ < x.asInstanceOf[Long])
+    case LessThanOrEqual("a", x) => v.exists(_ <= x.asInstanceOf[Long])
+    case In("a", xs) => v.exists(x => xs.contains(x))
+    case IsNull("a") => v.isEmpty
+    case And(l, r) => rowMatches(l, v) && rowMatches(r, v)
+    case Or(l, r) => rowMatches(l, v) || rowMatches(r, v)
+    case Not(c) => !rowMatches(c, v)
+    case _ => true
+  }
+
+  test("soundness: verdict=false implies no row in the file matches") {
+    val prop = Prop.forAll(rowsGen, filterGen(3)) { (rows, f) =>
+      // build footer-accurate stats for the single block
+      val nonNull = rows.flatten
+      val stats =
+        if (nonNull.isEmpty) ColumnStats(None, None, Some(rows.size.toLong))
+        else ColumnStats(Some(nonNull.min), Some(nonNull.max),
+          Some(rows.count(_.isEmpty).toLong))
+      val blocks = Seq(BlockStats(rows.size.toLong, Map("a" -> stats)))
+      val v = FilterFold.fileMayContain(f, blocks, noSketch, schema)
+      v || !rows.exists(r => rowMatches(f, r))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.{MediaRecord, Multimodal}
+import graft.text.TextFunctions
+
+/** Unit coverage for the training-data pipeline operators. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- text ------------------------------------------------------------
+
+  test("tokens/normalization edge cases") {
+    val df = Seq("Hello,  WORLD!", "", "  ", "a-b c_d", "123 !!!").toDF("t")
+    val got = df.select(TextFunctions.tokenCount($"t")).as[Int].collect()
+    assert(got.sameElements(Array(2, 0, 0, 4, 1)))
+  }
+
+  test("langId picks stopword-dominant language and CJK") {
+    val df = Seq(
+      "the cat and the dog of it",
+      "der hund und die katze ist",
+      "le chat et la maison est",
+      "el perro y la casa es",
+      "你好世界你好世界你好",
+      "xyzzy qwerty").toDF("t")
+    val got = df.select(TextFunctions.langId($"t")).as[String].collect()
+    assert(got.sameElements(Array("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("quality score in [0,1], higher for clean prose") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills",
+      "!!! ### 12345 @@@@ %%%%").toDF("t")
+    val Array(clean, junk) =
+      df.select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(clean > junk)
+    assert(clean <= 1.0 && junk >= 0.0)
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("a", "Hello  World!"), ("b", "hello world")).toDF("id", "t")
+    val fps = df.select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different content about spark query engines and indexes"),
+    (4L, "another unrelated document mentioning parquet row groups and bloom filters"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps one representative per key") {
+    val out = Dedup.dedupExact(docs, TextFunctions.fingerprint($"text"), $"id")
+    assert(out.count() == 4) // 1 and 5 are identical
+    assert(out.filter($"id" === 5L).isEmpty)
+  }
+
+  test("minhash pairs find planted near-dups and identical docs") {
+    val pairs = Dedup.minhashPairs(docs, $"id", $"text",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)), s"identical pair missing: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L)),
+      s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedupMinhash removes the larger-id duplicates") {
+    val kept = Dedup.dedupMinhash(docs, $"id", $"text").select($"id")
+      .as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(4L))
+    assert(!kept.contains(5L) && !kept.contains(2L))
+  }
+
+  test("simhash: identical texts distance 0, near long texts small distance") {
+    // SimHash distance concentrates only for longish docs: a 1-token edit
+    // in an n-token doc flips ~64·P(|vote margin|≤2)/4 bits, which needs
+    // n ≳ 50 to stay below a handful. Use a 60-token fixture.
+    val base = Array.tabulate(60)(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok30", "changed")
+    val longDocs = Seq((1L, base), (2L, edited), (3L, base),
+      (4L, Array.tabulate(60)(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(longDocs, $"id", $"text", maxDist = 8)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 3L)) == 0)
+    assert(pairs.contains((1L, 2L)), s"near pair missing: $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard: candidate path equals exact path here") {
+    val fast = Dedup.ngramJaccardPairs(docs, $"id", $"text", threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, $"id", $"text", threshold = 0.5,
+        exact = true)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(fast == exact)
+    assert(exact.exists { case (a, b, j) => a == 1L && b == 5L && j == 1.0 })
+  }
+
+  // ---- ann -------------------------------------------------------------
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 0.01f, 0.0f, 0.0f))
+  ).toDF("vec_id", "v")
+
+  test("brute-force top-k orders by cosine") {
+    val got = Ann.bruteForceTopK(vecs, $"vec_id", $"v",
+        Seq(1.0, 0.0, 0.0, 0.0), k = 3, excludeId = Some(0L))
+      .select($"neighbor_id").as[Long].collect()
+    assert(got.sameElements(Array(4L, 1L, 2L)))
+  }
+
+  test("cosine of identical vector is 1, opposite is -1") {
+    val one = vecs.filter($"vec_id" === 0L)
+      .select(Ann.cosine($"v", array(lit(1.0), lit(0.0), lit(0.0), lit(0.0))))
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+    val neg = vecs.filter($"vec_id" === 3L)
+      .select(Ann.cosine($"v", array(lit(1.0), lit(0.0), lit(0.0), lit(0.0))))
+      .as[Double].head()
+    assert(math.abs(neg + 1.0) < 1e-12)
+  }
+
+  test("native dot equals HOF dot bit-for-bit") {
+    val hof = vecs.select(
+      aggregate(zip_with(transform($"v", x => x.cast("double")),
+        transform($"v", x => x.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    val native = vecs.select(graft.functions.exprs.norm_squared($"v"))
+      .as[Double].collect()
+    assert(hof.sameElements(native))
+  }
+
+  test("lsh bucket is deterministic and self-consistent") {
+    val planes = Ann.hyperplanes(8, 4)
+    assert(planes == Ann.hyperplanes(8, 4))
+    val b1 = vecs.select(Ann.lshBucket($"v", planes)).as[Long].collect()
+    val b2 = vecs.select(Ann.lshBucket($"v", planes)).as[Long].collect()
+    assert(b1.sameElements(b2))
+    // a vector and its duplicate share a bucket
+    val got = Ann.lshTopK(vecs, $"vec_id", $"v", Seq(1.0, 0.0, 0.0, 0.0),
+      k = 5, nBits = 4, excludeId = Some(0L))
+    assert(got.collect().map(_.getLong(0)).contains(4L))
+  }
+
+  // ---- multimodal ------------------------------------------------------
+
+  test("decode stub is deterministic and schema-stable") {
+    val media = Seq(
+      MediaRecord(1L, "image", "hello world".getBytes, Map("k" -> "v")),
+      MediaRecord(2L, "audio", Array.fill(100)(7.toByte), Map.empty),
+      MediaRecord(3L, "video", Array.fill(1000)(1.toByte), Map.empty)).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.id)
+    assert(out.map(_.modality).sameElements(Array("image", "audio", "video")))
+    assert(out(0).width == 16 + 11 % 640 && out(0).height == 16 + 77 % 480)
+    assert(out(1).nFrames == 1 + 100 % 16)
+    assert(out(2).nFrames == 1 + 1000 % 32)
+    assert(out.forall(_.feature.length == 8))
+    // determinism
+    val again = Multimodal.decode(media).collect().sortBy(_.id)
+    assert(out.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("frame sampling emits bounded windows") {
+    val media = Seq(MediaRecord(1L, "video", Array.tabulate(100)(_.toByte), Map.empty)).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 30, frameLen = 10, maxFrames = 5)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.length == 3)
+    assert(frames(1).offset == 30 && frames(1).frame.length == 10)
+    assert(frames(0).frame.head == 0.toByte && frames(1).frame.head == 30.toByte)
+  }
+
+  test("media table from documents carries binary + metadata") {
+    val docs = Seq((1L, "abc", "en", "s1", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Multimodal.mediaFromDocuments(docs).collect().head
+    assert(m.getAs[Array[Byte]]("data").sameElements("abc".getBytes))
+    assert(m.getAs[Map[String, String]]("meta")("source") == "s1")
+  }
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}
