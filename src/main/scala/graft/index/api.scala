@@ -24,6 +24,20 @@ object implicits {
 class IndexManager(spark: SparkSession) {
 
   private var extraOptions: Map[String, String] = Map.empty
+  private var sourceFormat: String = "parquet"
+
+  /** Source format selector (reference DataFrameIndexManager.format);
+    * only parquet is supported, matching the reference's sole
+    * MetastoreSupport implementation. */
+  def format(source: String): IndexManager = {
+    require(source.equalsIgnoreCase("parquet"),
+      s"unsupported index source format: $source (only parquet)")
+    sourceFormat = source.toLowerCase
+    this
+  }
+
+  /** format(...).load(path) — reference DataFrameIndexManager.load. */
+  def load(path: String): DataFrame = parquet(path)
 
   def option(key: String, value: String): IndexManager = { extraOptions += key -> value; this }
   def option(key: String, value: Boolean): IndexManager = option(key, value.toString)
@@ -75,6 +89,8 @@ class CreateIndexCommand(spark: SparkSession) {
   }
 
   def indexBy(cols: String*): CreateIndexCommand = { columns = cols; all = false; this }
+  /** Java-friendly overload (reference DataFrameIndexManager.scala:184-209). */
+  def indexBy(cols: Array[String]): CreateIndexCommand = indexBy(cols.toSeq: _*)
   def indexByColumns(cols: Column*): CreateIndexCommand =
     indexBy(cols.map(c => SparkInternals.unwrap(c).asInstanceOf[
       org.apache.spark.sql.catalyst.expressions.NamedExpression].name): _*)

@@ -25,6 +25,7 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config(IndexConf.MetastoreLocation, s"$work/metastore")
+    .config("spark.sql.warehouse.dir", s"$work/warehouse")
     .getOrCreate()
 
   private lazy val tablePath = {
@@ -181,6 +182,69 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.index.create.mode("overwrite").indexBy("o_year").parquet(pPath)
     }
     assert(e.getMessage.contains("partition column"))
+  }
+
+  test("IsNull / null-aware predicates on a table with nulls") {
+    val nPath = s"$work/lineitem_nulls"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("l_returnflag",
+        when(col("l_linenumber") === 1, lit(null: String)).otherwise(col("l_returnflag")))
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(nPath)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey", "l_returnflag").parquet(nPath)
+    for (cond <- Seq(
+      col("l_returnflag").isNull,
+      col("l_returnflag").isNull && col("l_orderkey") > 100L,
+      col("l_returnflag") <=> "R",
+      col("l_returnflag").isNotNull && col("l_orderkey") === 7L)) {
+      checkSame(
+        spark.index.parquet(nPath).filter(cond),
+        spark.read.parquet(nPath).filter(cond))
+    }
+  }
+
+  test("createIfNotExists auto-creates on load") {
+    val aPath = s"$work/auto_table"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode("overwrite").parquet(aPath)
+    spark.conf.set(IndexConf.CreateIfNotExists, "true")
+    try {
+      assert(!spark.index.exists.parquet(aPath))
+      val got = spark.index.parquet(aPath).count()
+      assert(spark.index.exists.parquet(aPath))
+      assert(got == spark.read.parquet(aPath).count())
+    } finally spark.conf.set(IndexConf.CreateIfNotExists, "false")
+  }
+
+  test("catalog table: create/query/delete via table()") {
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode("overwrite").format("parquet").saveAsTable("graft_nation")
+    try {
+      spark.index.create.mode("overwrite").indexBy("n_nationkey").table("graft_nation")
+      assert(spark.index.exists.table("graft_nation"))
+      val cond = col("n_nationkey") === 7
+      checkSame(
+        spark.index.table("graft_nation").filter(cond),
+        spark.table("graft_nation").filter(cond))
+      spark.index.delete.table("graft_nation")
+      assert(!spark.index.exists.table("graft_nation"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_nation")
+  }
+
+  test("eager sketch loading returns same results") {
+    spark.conf.set(IndexConf.EagerLoading, "true")
+    try {
+      val key = spark.read.parquet(tablePath).select("l_orderkey").head.getLong(0)
+      checkSame(
+        spark.index.parquet(tablePath).filter(col("l_orderkey") === key),
+        spark.read.parquet(tablePath).filter(col("l_orderkey") === key))
+    } finally spark.conf.set(IndexConf.EagerLoading, "false")
+  }
+
+  test("format() accepts parquet only; load() is an alias") {
+    intercept[IllegalArgumentException] { spark.index.format("json") }
+    val viaLoad = spark.index.format("parquet").load(tablePath)
+    assert(viaLoad.count() == spark.read.parquet(tablePath).count())
   }
 
   override def afterAll(): Unit = {

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ↔ batch agreement: on a static input, the streaming window
+  * aggregation and the stateful sessionizer must reproduce the batch
+  * (window-function) answers exactly. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def batchEvents = graft.SparkEntry.eventsTbl(spark, dir)
+
+  test("streaming hourly window equals batch aggregation") {
+    val streamed = Streaming.hourlyEventCounts(spark, dir)
+      .collect().map(_.toString).sorted
+    val batch = batchEvents
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n", $"total_value")
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
+  test("stateful sessionizer agrees with window-function sessionize") {
+    val events = batchEvents
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Event]
+    val stateful = StatefulSessionize(events, gapMinutes = 30)
+      .groupBy($"user_id")
+      .agg(max($"session_seq").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(_.toString).sorted
+    val windowed = Streaming.sessionize(batchEvents, gapMinutes = 30)
+      .groupBy($"user_id")
+      .agg(max($"session_seq").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(_.toString).sorted
+    assert(stateful.sameElements(windowed))
+  }
+
+  test("session stats are sane") {
+    val stats = Streaming.sessionStats(batchEvents, gapMinutes = 30)
+    val row = stats.agg(sum($"n_sessions"), max($"max_session_events")).head
+    assert(row.getLong(0) > 0)
+  }
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}
