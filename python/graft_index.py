@@ -1,0 +1,119 @@
+"""Python API for the graft Parquet index engine (py4j wrapper).
+
+Mirrors the reference's Python surface (lightcopy.index.QueryContext —
+/root/reference python/src/lightcopy/index.py:26-371) over the Scala
+fluent API:
+
+    from graft_index import QueryContext
+    context = QueryContext(spark)
+    context.index.create.mode('overwrite').indexBy('id', 'code').parquet(path)
+    context.index.exists.parquet(path)
+    df = context.index.parquet(path)       # pruned scans, pyspark DataFrame
+    context.index.delete.parquet(path)
+    df = context.index.table('tbl')        # catalog tables
+
+Requires the graft jar on the driver classpath
+(spark.driver.extraClassPath or --jars).
+"""
+
+from pyspark.sql import DataFrame
+
+
+def _to_jarray(spark, cols):
+    gateway = spark.sparkContext._gateway
+    arr = gateway.new_array(gateway.jvm.java.lang.String, len(cols))
+    for i, c in enumerate(cols):
+        arr[i] = c
+    return arr
+
+
+class CreateIndexCommand:
+    def __init__(self, spark, jcmd):
+        self._spark = spark
+        self._jcmd = jcmd
+
+    def mode(self, mode):
+        self._jcmd = self._jcmd.mode(mode)
+        return self
+
+    def indexBy(self, *cols):
+        self._jcmd = self._jcmd.indexBy(_to_jarray(self._spark, list(cols)))
+        return self
+
+    def indexByAll(self):
+        self._jcmd = self._jcmd.indexByAll()
+        return self
+
+    def parquet(self, path):
+        self._jcmd.parquet(path)
+
+    def table(self, name):
+        self._jcmd.table(name)
+
+
+class ExistsIndexCommand:
+    def __init__(self, jcmd):
+        self._jcmd = jcmd
+
+    def parquet(self, path):
+        return self._jcmd.parquet(path)
+
+    def table(self, name):
+        return self._jcmd.table(name)
+
+
+class DeleteIndexCommand:
+    def __init__(self, jcmd):
+        self._jcmd = jcmd
+
+    def parquet(self, path):
+        self._jcmd.parquet(path)
+
+    def table(self, name):
+        self._jcmd.table(name)
+
+
+class IndexManager:
+    def __init__(self, spark):
+        self._spark = spark
+        self._jmgr = spark._jvm.graft.index.IndexManager(spark._jsparkSession)
+
+    @property
+    def create(self):
+        return CreateIndexCommand(self._spark, self._jmgr.create())
+
+    @property
+    def exists(self):
+        return ExistsIndexCommand(self._jmgr.exists())
+
+    @property
+    def delete(self):
+        return DeleteIndexCommand(self._jmgr.delete())
+
+    def format(self, source):
+        self._jmgr = self._jmgr.format(source)
+        return self
+
+    def option(self, key, value):
+        self._jmgr = self._jmgr.option(key, str(value))
+        return self
+
+    def parquet(self, path):
+        return DataFrame(self._jmgr.parquet(path), self._spark)
+
+    def load(self, path):
+        return DataFrame(self._jmgr.load(path), self._spark)
+
+    def table(self, name):
+        return DataFrame(self._jmgr.table(name), self._spark)
+
+
+class QueryContext:
+    """Entry point, shaped like the reference's QueryContext."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    @property
+    def index(self):
+        return IndexManager(self._spark)

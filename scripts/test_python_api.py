@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Integration smoke test for the Python API (python/graft_index.py).
+
+Runs with the driver-side pyspark against the packaged graft jar:
+    python3 scripts/test_python_api.py
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "python"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+JAR = os.path.join(os.path.dirname(__file__), "..",
+                   "target", "scala-2.13", "parquetindexspark_2.13-0.1.0.jar")
+
+
+def main():
+    work = tempfile.mkdtemp(prefix="graft-py-")
+    spark = (SparkSession.builder
+             .master("local[4]")
+             .appName("graft-python-api-test")
+             .config("spark.driver.extraClassPath", os.path.abspath(JAR))
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.index.metastore", f"{work}/metastore")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    from graft_index import QueryContext
+
+    table = f"{work}/lineitem"
+    (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+     .repartition(8, "l_orderkey").write.parquet(table))
+
+    ctx = QueryContext(spark)
+    ctx.index.create.mode("overwrite").indexBy("l_orderkey", "l_returnflag").parquet(table)
+    assert ctx.index.exists.parquet(table), "index should exist"
+
+    key = spark.read.parquet(table).agg({"l_orderkey": "min"}).collect()[0][0]
+    indexed = ctx.index.parquet(table).filter(f"l_orderkey = {key}").collect()
+    plain = spark.read.parquet(table).filter(f"l_orderkey = {key}").collect()
+    assert sorted(map(str, indexed)) == sorted(map(str, plain)), "results differ"
+    assert len(indexed) > 0
+
+    ctx.index.delete.parquet(table)
+    assert not ctx.index.exists.parquet(table), "index should be gone"
+
+    print(f"PYTHON API OK: {len(indexed)} rows matched, lifecycle complete")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, WordShingles}
+
+/** Session extension (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the graft native expressions as SQL functions so pure-SQL
+  * pipelines (spark.sql / thrift / notebooks) can use them:
+  *
+  * {{{
+  *   SELECT graft_simhash64(graft_word_shingles(split(text, ' '), 3)),
+  *          graft_dot(a, b), graft_norm2(v),
+  *          graft_minhash_signature(shingles, 64)
+  * }}}
+  *
+  * The index engine itself needs no planner/analyzer rules (pruning lives
+  * in the FileIndex — SURVEY.md §7.1 delta #1), so functions are the whole
+  * injection surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+
+    register("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash of a string array") {
+      exprs => SimHash64(exprs.head)
+    }
+    register("graft_word_shingles",
+      "graft_word_shingles(tokens, k) - k-word shingles of a token array") {
+      exprs => WordShingles(exprs.head, intLit(exprs(1), "k"))
+    }
+    register("graft_minhash_signature",
+      "graft_minhash_signature(shingles, numHashes) - MinHash signature") {
+      exprs => MinHashSignature(exprs.head, intLit(exprs(1), "numHashes"))
+    }
+    register("graft_dot",
+      "graft_dot(a, b) - double-precision dot product of numeric arrays") {
+      exprs => DotProduct(exprs.head, exprs(1))
+    }
+    register("graft_norm2",
+      "graft_norm2(a) - squared L2 norm of a numeric array") {
+      exprs => NormSquared(exprs.head)
+    }
+  }
+}

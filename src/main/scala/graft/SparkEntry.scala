@@ -451,6 +451,25 @@ object SparkEntry {
         .orderBy($"id")
     }),
 
+    // JSON extraction from the events props column.
+    "q_scalar_json" -> ((s, dir) => {
+      import s.implicits._
+      eventsTbl(s, dir)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    }),
+
+    // CUBE grouping sets.
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
     // ------------------------------------------------------------------
     // Streaming (graft.streaming): a real Structured Streaming query
     // (file source → watermark → windowed agg → memory sink) and
@@ -753,6 +772,15 @@ object SparkEntry {
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,

@@ -135,10 +135,13 @@ case class SimHash64(child: Expression)
 }
 
 private object VecOps {
-  /** Read element i of a float/double array as double. */
+  /** Read element i of a numeric array as double. */
   @inline def get(arr: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => arr.getFloat(i).toDouble
     case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
     case _ => throw new IllegalArgumentException(s"numeric array expected, got $et")
   }
 

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-extensions-spec")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("SQL surface of the native expressions") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_simhash64(array('a','b','c')) AS sh,
+        |  graft_word_shingles(array('a','b','c','d'), 3) AS ws,
+        |  graft_minhash_signature(array('a','b'), 4) AS mh,
+        |  graft_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+        |  graft_norm2(array(3.0, 4.0)) AS n2
+        |""".stripMargin).head()
+    assert(row.getAs[scala.collection.Seq[String]]("ws").toSeq == Seq("a b c", "b c d"))
+    assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Double]("n2") == 25.0)
+    // determinism
+    val again = spark.sql("SELECT graft_simhash64(array('a','b','c'))").head().getLong(0)
+    assert(row.getAs[Long]("sh") == again)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(array('a'), 1 + 1)").head()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getCause != null)
+  }
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}
