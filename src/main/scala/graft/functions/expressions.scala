@@ -25,6 +25,70 @@ private object Hashing {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
 
+/** Normalize + tokenize in one pass: lowercase, then split on runs of
+  * bytes outside [a-z0-9]. Byte-level equivalent of
+  * `split(trim(regexp_replace(regexp_replace(lower(c),'[^a-z0-9 ]',' '),' +',' ')), ' ')`
+  * — every non-alphanumeric character (multi-byte included) becomes a
+  * separator and separator runs collapse, so the token streams are
+  * identical while skipping two regex passes per document. */
+case class Tokenize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase
+    val bytes = lowered.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val start = i
+        while (i < n && {
+          val c = bytes(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Tokenize = copy(child = c)
+}
+
+/** Count of array elements contained in a fixed string set (codegen-free
+  * replacement for `size(filter(tokens, t => array_contains(lits, t)))`,
+  * whose lambda evaluates interpreted per token). */
+case class CountInSet(child: Expression, words: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var count = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) count += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(count)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInSet = copy(child = c)
+}
+
 /** k-word shingles of a token array: element i = tokens[i..i+k) joined by
   * a single space; fewer than k tokens collapse to one whole-text shingle.
   * (The transform/slice/concat_ws HOF formulation evaluates interpreted
@@ -203,6 +267,10 @@ case class NormSquared(child: Expression)
 
 /** Column-level wrappers. */
 object exprs {
+  def tokenize(text: Column): Column =
+    SparkInternals.wrap(Tokenize(SparkInternals.unwrap(text)))
+  def count_in_set(tokens: Column, words: Seq[String]): Column =
+    SparkInternals.wrap(CountInSet(SparkInternals.unwrap(tokens), words))
   def word_shingles(tokens: Column, k: Int): Column =
     SparkInternals.wrap(WordShingles(SparkInternals.unwrap(tokens), k))
   def minhash_signature(tokens: Column, numHashes: Int): Column =

@@ -16,11 +16,10 @@ object TextFunctions {
   def normalized(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Whitespace tokens of the normalized text; empty text → empty array. */
-  def tokens(c: Column): Column = {
-    val n = normalized(c)
-    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
-  }
+  /** Whitespace tokens of the normalized text; empty text → empty array.
+    * Native single-pass expression, token-stream-identical to
+    * `split(normalized(c), " ")` (verified in PipelineSpec). */
+  def tokens(c: Column): Column = graft.functions.exprs.tokenize(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -58,10 +57,8 @@ object TextFunctions {
   val stopwordsEs: Seq[String] =
     Seq("el", "los", "las", "y", "es", "un", "una", "en", "que", "por")
 
-  def stopwordHits(c: Column, words: Seq[String]): Column = {
-    val lits = array(words.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(lits, t)))
-  }
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    graft.functions.exprs.count_in_set(tokens(c), words)
 
   def stopwordRatio(c: Column): Column =
     stopwordHits(c, stopwordsEn).cast("double") /

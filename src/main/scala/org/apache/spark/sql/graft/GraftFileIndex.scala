@@ -82,11 +82,21 @@ class GraftFileIndex(
         if (indexFilters.isEmpty) files
         else {
           val combined = indexFilters.reduce(SAnd)
-          files.filter { f =>
+          val store = sketchStore
+          // Fold verdicts are independent per file — evaluate them on the
+          // driver's common pool (the reference used per-file Futures,
+          // ParquetIndex.scala:166-178). Sequential fallback for few files.
+          val useSketches = meta.sketchKind.isDefined
+          def mayContain(f: FileEntry): Boolean =
             FilterFold.fileMayContain(
               combined, f.blocks,
-              col => if (meta.sketchKind.isDefined) sketchStore.sketchFor(f.path, col) else None,
+              col => if (useSketches) store.sketchFor(f.path, col) else None,
               meta.indexSchema)
+          if (files.size < 64) files.filter(mayContain)
+          else {
+            import scala.jdk.CollectionConverters._
+            files.asJava.parallelStream().filter(f => mayContain(f))
+              .collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
           }
         }
       counted.add(kept.size.toLong)

@@ -24,6 +24,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- text ------------------------------------------------------------
 
+  test("native tokenize equals the regexp normalization pipeline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    val regexTokens =
+      when(length(norm) === 0, array().cast("array<string>")).otherwise(split(norm, " "))
+    val diff = docs.select(
+      TextFunctions.tokens($"text").as("a"), regexTokens.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    // unicode / multibyte separators collapse identically
+    val edge = Seq("Héllo—wörld né 你好 a.b", "ÄÖÜ émigré").toDF("text")
+    val ediff = edge.select(TextFunctions.tokens($"text").as("a"),
+      when(length(trim(regexp_replace(regexp_replace(lower($"text"),
+        "[^a-z0-9 ]", " "), " +", " "))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(regexp_replace(regexp_replace(lower($"text"),
+          "[^a-z0-9 ]", " "), " +", " ")), " ")).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(ediff == 0)
+  }
+
   test("tokens/normalization edge cases") {
     val df = Seq("Hello,  WORLD!", "", "  ", "a-b c_d", "123 !!!").toDF("t")
     val got = df.select(TextFunctions.tokenCount($"t")).as[Int].collect()
