@@ -36,9 +36,14 @@ object Bench {
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: $e")
+          false
+      }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
+    val failed = results.collect { case (n, (_, false)) => n }.toSeq
 
     // -- index effectiveness on a selective point query
     val key = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -60,10 +65,12 @@ object Bench {
       spark.read.parquet(scratchPath).filter($"l_orderkey" === key).count())
     val speedup = if (idxTime > 0) plainTime / idxTime else 0.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.collect { case (v, true) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,""" +
       s""""files_scanned_ratio":$ratio,"indexed_speedup":$speedup,""" +
       s""""point_query_indexed_sec":$idxTime,"point_query_plain_sec":$plainTime,""" +
       s""""sf":"$sfDir"}""")

@@ -32,7 +32,9 @@ object SparkEntry {
   private[graft] def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer `div`, not `/`: epoch nanos exceed 2^53, so double-precision
+    // division can be off by 1µs (ADVICE r1)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -791,7 +793,7 @@ object SparkEntry {
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
-        |    WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |    WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
         |  FROM l),
         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),

@@ -81,22 +81,26 @@ object Dedup {
     val rows = numHashes / bands
     val sigDf = df.select(id.as("__id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
-    val banded = sigDf.select(col("__id"), col("__sig"),
+    // Band join carries ids only — shipping the 64-long signatures through
+    // the ×bands-exploded shuffle would amplify shuffle volume ~2×bands×
+    // signature size per doc. Signatures are re-joined once per side after
+    // the candidate pairs are distinct (same shape as ngramJaccardPairs).
+    val banded = sigDf.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))))
         .as(Seq("__band", "__key")))
-    val left = banded.select(col("__band"), col("__key"),
-      col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val right = banded.select(col("__band"), col("__key"),
-      col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    left.join(right, Seq("__band", "__key"))
+    val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
+        Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        signatureJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+        round(signatureJaccard(col("__sig_a"), col("__sig_b")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
   }
 
   /** Remove near-duplicates: drop every doc that pairs with a smaller id. */
@@ -123,18 +127,31 @@ object Dedup {
     graft.functions.exprs.simhash64(TextFunctions.tokens(text))
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, blocked on
-    * 16-bit fingerprint chunks (pigeonhole: distance ≤ 3 ⇒ some chunk of 4
-    * is identical — candidates meet via equi-join on (chunk idx, value)). */
+    * maxDist+1 contiguous fingerprint chunks (pigeonhole: distance ≤ d over
+    * d+1 chunks ⇒ some chunk is identical — candidates meet via equi-join
+    * on (chunk idx, value); the chunk partition is derived from maxDist so
+    * blocking is complete for any 1 ≤ maxDist ≤ 15). */
   def simhashPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 15,
+      s"maxDist must be in [1, 15] (need maxDist+1 chunks of >=4 bits): $maxDist")
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    // chunk c covers `width` bits starting at `off`; first `rem` chunks get
+    // one extra bit so the 64 bits are fully partitioned
+    val chunkExprs = (0 until nChunks).map { c =>
+      val width = base + (if (c < rem) 1 else 0)
+      val off = c * base + math.min(c, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftright", col("__fp"), lit(off)).bitwiseAND(mask)
+    }
     val fp = df.select(id.as("__id"), simhash64(text).as("__fp"))
     val chunked = fp.select(col("__id"), col("__fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("__fp"), (c * lit(16)).cast("int")).bitwiseAND(0xFFFFL)))
-        .as(Seq("__chunk", "__val")))
+      posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__val")))
     val left = chunked.select(col("__chunk"), col("__val"),
       col("__id").as("id_a"), col("__fp").as("__fp_a"))
     val right = chunked.select(col("__chunk"), col("__val"),

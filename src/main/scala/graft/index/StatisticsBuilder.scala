@@ -113,9 +113,19 @@ object StatisticsBuilder {
         }
       case (StringType, PrimitiveTypeName.BINARY) =>
         // parquet-mr truncated binary stats remain valid bounds; unsigned
-        // lexicographic order matches UTF8String.binaryCompare.
-        Some((new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8),
-          new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)))
+        // lexicographic order matches UTF8String.binaryCompare. A truncated
+        // bound can split a multi-byte sequence: lossy decode would replace
+        // it with U+FFFD (whose UTF-8 bytes can sort above the original
+        // prefix → unsound pruning), so only accept bounds whose decode
+        // round-trips to the identical bytes; otherwise degrade to unknown.
+        val minBytes = st.getMinBytes
+        val maxBytes = st.getMaxBytes
+        val mn = new String(minBytes, java.nio.charset.StandardCharsets.UTF_8)
+        val mx = new String(maxBytes, java.nio.charset.StandardCharsets.UTF_8)
+        val roundTrips =
+          java.util.Arrays.equals(mn.getBytes(java.nio.charset.StandardCharsets.UTF_8), minBytes) &&
+            java.util.Arrays.equals(mx.getBytes(java.nio.charset.StandardCharsets.UTF_8), maxBytes)
+        if (roundTrips) Some((mn, mx)) else None
       case _ => None // INT96 and any physical/logical mismatch: unknown
     }
     minmax match {

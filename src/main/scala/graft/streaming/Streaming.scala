@@ -27,7 +27,7 @@ object Streaming {
     spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]") // glob: file source accepts globs, not bare files
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Hourly tumbling-window aggregation as a real streaming query:
@@ -63,8 +63,10 @@ object Streaming {
       .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev_ts").isNull, 1)
-          .when(unix_timestamp(col("ts")) - unix_timestamp(col("__prev_ts")) >
-            gapMinutes * 60L, 1)
+          // microsecond precision (unix_timestamp truncates to seconds and
+          // could disagree with StatefulSessionize's millis near the gap)
+          .when(unix_micros(col("ts")) - unix_micros(col("__prev_ts")) >
+            gapMinutes * 60L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("__new_session")).over(byUser))
       .drop("__prev_ts", "__new_session")
