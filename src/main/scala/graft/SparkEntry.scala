@@ -405,11 +405,14 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // SimHash Hamming-distance near-dup pairs (rows-only check).
+    // SimHash Hamming-distance near-dup pairs. Token hash = md5-lower-64
+    // so the DuckDB oracle reproduces the fingerprints bit-for-bit
+    // (md5_number_lower) — a full value-level check of tokenize → bit
+    // votes → chunk blocking → Hamming join.
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       graft.dedup.Dedup.simhashPairs(
-          tbl(s, dir, "documents"), $"doc_id", $"text", maxDist = 3)
+          tbl(s, dir, "documents"), $"doc_id", $"text", maxDist = 3, algo = "md5")
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -424,12 +427,14 @@ object SparkEntry {
         emb, $"vec_id", $"embedding", q, k = 10, excludeId = Some(qRow.getLong(0)))
     }),
 
-    // Embedding cosine near-dup pairs (exact, τ=0.4).
+    // Embedding cosine near-dup pairs, LSH-bucket-blocked (the scale
+    // path: candidates meet via equi-join on the bucket, no cross join).
+    // Oracle recomputes the seeded hyperplane buckets from literals.
     "q_ann_cosine_pairs" -> ((s, dir) => {
       import s.implicits._
       graft.ann.Ann.cosinePairs(
           tbl(s, dir, "embeddings"), $"vec_id", $"embedding",
-          threshold = 0.4, dim = 64, bucketed = false)
+          threshold = 0.4, dim = 64, bucketed = true, nBits = 8)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -501,6 +506,42 @@ object SparkEntry {
         .orderBy($"win_start", $"event_type")
     })
   )
+
+  // ---------------------------------------------------------------------
+  // Oracle-SQL generators for the LSH queries: the hyperplanes are a pure
+  // function of (nBits, dim, seed), so the oracle embeds them as literals
+  // and recomputes every bucket assignment independently in DuckDB.
+  // ---------------------------------------------------------------------
+
+  /** Round-trip double literal DuckDB parses as DOUBLE (not DECIMAL). */
+  private def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  /** Sign-bit LSH bucket of `vecCol` in table `t` as a DuckDB expression —
+    * mirrors [[graft.ann.Ann.lshBucket]] over the same seeded planes. */
+  private def bucketSql(vecCol: String, nBits: Int, dim: Int, seed: Long): String =
+    graft.ann.Ann.hyperplanes(nBits, dim, seed).zipWithIndex.map { case (p, i) =>
+      val plane = p.map(sqlDouble).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,${dim + 1}), " +
+        s"j -> CAST($vecCol[j] AS DOUBLE) * $plane[j])) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** One bucket column per LSH table (seed 42+t, as hyperplaneTables). */
+  private def bucketColsSql(vecCol: String, nBits: Int, dim: Int, tables: Int): String =
+    (0 until tables).map(t =>
+      s"  ${bucketSql(vecCol, nBits, dim, 42L + t)} AS b$t").mkString(",\n")
+
+  /** Cosine of two DuckDB float-list columns in double precision. */
+  private def cosineSql(a: String, b: String, dim: Int): String = {
+    val r = s"range(1,${dim + 1})"
+    s"""list_sum(list_transform($r, i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / greatest(
+       |        sqrt(list_sum(list_transform($r, i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform($r, i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))), 1e-12)""".stripMargin
+  }
 
   /** DuckDB-dialect oracle for each query above (same table names as the
     * parquet basenames in the sf directory). */
@@ -716,18 +757,44 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_cosine_pairs" ->
-      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |${bucketColsSql("embedding", 8, 64, 4)}
+        |  FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(
-        |    list_sum(list_transform(range(1,65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / greatest(
-        |        sqrt(list_sum(list_transform(range(1,65),
-        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(range(1,65),
-        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-12), 6) AS cosine
-        |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+        |  round(${cosineSql("a.embedding", "b.embedding", 64)}, 6) AS cosine
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id AND
+        |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |${bucketColsSql("embedding", 8, 64, 4)}
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS e,
+        |    b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3 FROM v
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |s AS (SELECT vec_id AS neighbor_id,
+        |  ${cosineSql("embedding", "q.e", 64)} AS c
+        |  FROM v, q WHERE vec_id <> q.qid AND
+        |    (v.b0 = q.qb0 OR v.b1 = q.qb1 OR v.b2 = q.qb2 OR v.b3 = q.qb3))
+        |SELECT neighbor_id, round(c, 6) AS cosine FROM s
+        |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |h AS (SELECT doc_id, list_transform(toks, s -> md5_number_lower(s)) AS hs FROM tt),
+        |f AS (SELECT doc_id, list_transform(range(0,64), b ->
+        |    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+        |    THEN 1 ELSE 0 END) AS bits
+        |  FROM h),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1,65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |  FROM f a, f b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS id,

@@ -67,9 +67,24 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** Bucket-restricted ANN: search only vectors sharing the query's LSH
-    * bucket (recall < 1 by construction; raise nBits↓/multi-probe for
-    * recall, or pre-partition the table by bucket at 100 TB scale). */
+  /** Hyperplane tables for multi-table LSH: table t uses seed+t, so every
+    * table is derivable from (nBits, dim, tables, seed) alone. */
+  def hyperplaneTables(
+      nBits: Int, dim: Int, tables: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => hyperplanes(nBits, dim, seed + t))
+
+  /** Driver-side bucket of a literal query vector in one table. */
+  def bucketOf(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+
+  /** Bucket-restricted ANN with multi-table LSH: search vectors sharing
+    * the query's bucket in ANY of `tables` independent hyperplane tables
+    * (recall 1-(1-p^nBits)^tables for per-plane agreement p; still < 1 —
+    * the scan stays a codegen'd filter, no shuffle). At 100 TB the
+    * buckets become partition keys so a query touches `tables` partitions. */
   def lshTopK(
       df: DataFrame,
       id: Column,
@@ -77,23 +92,28 @@ object Ann {
       query: Seq[Double],
       k: Int,
       nBits: Int = 8,
+      tables: Int = 4,
       seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
     val dim = query.length
-    val planes = hyperplanes(nBits, dim, seed)
-    val queryBucket = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a * b }.sum
-      if (d > 0) 1L << i else 0L
-    }.sum
-    val bucketed = df.select(id.as("neighbor_id"), vec.as("__v"),
-      lshBucket(vec, planes).as("__bucket"))
-      .filter(col("__bucket") === queryBucket)
+    val planeTables = hyperplaneTables(nBits, dim, tables, seed)
+    val anyBucketMatch = planeTables
+      .map(p => lshBucket(vec, p) === lit(bucketOf(query, p)))
+      .reduce(_ || _)
+    val bucketed = df.filter(anyBucketMatch).select(id.as("neighbor_id"), vec.as("__v"))
     bruteForceTopK(bucketed, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
 
-  /** Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold), blocked
-    * on the LSH bucket so candidates meet via equi-join, not cross join.
-    * Exact variant (bucketed=false) cross-joins — small tables only. */
+  /** Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+    *
+    * Default (scale) path: multi-table LSH blocking — each vector is
+    * exploded to `tables` (table, bucket) keys, candidates meet via an
+    * ids-only equi-join on the key, pairs are deduped, then vectors are
+    * re-joined once per side for the exact cosine verify. No cross join;
+    * shuffle carries ids + one long per (vector × table). Recall for a
+    * pair with cosine c is 1-(1-(1-θ/π)^nBits)^tables, θ=arccos(c).
+    *
+    * The exact variant (bucketed=false) cross-joins — small inputs only. */
   def cosinePairs(
       df: DataFrame,
       id: Column,
@@ -102,26 +122,32 @@ object Ann {
       dim: Int,
       bucketed: Boolean = true,
       nBits: Int = 8,
+      tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     val base = df.select(id.as("__id"), vec.as("__v"))
-    val (left, right, keys) =
+    val candidates =
       if (bucketed) {
-        val planes = hyperplanes(nBits, dim, seed)
-        val b = base.withColumn("__bucket", lshBucket(col("__v"), planes))
-        (b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va")),
-          b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb")),
-          Seq("__bucket"))
+        val planeTables = hyperplaneTables(nBits, dim, tables, seed)
+        val banded = base.select(col("__id"),
+          posexplode(array(planeTables.map(p => lshBucket(col("__v"), p)): _*))
+            .as(Seq("__t", "__b")))
+        banded.select(col("__t"), col("__b"), col("__id").as("id_a"))
+          .join(banded.select(col("__t"), col("__b"), col("__id").as("id_b")),
+            Seq("__t", "__b"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
       } else {
-        (base.select(col("__id").as("id_a"), col("__v").as("__va")),
-          base.select(col("__id").as("id_b"), col("__v").as("__vb")),
-          Nil)
+        base.select(col("__id").as("id_a"))
+          .crossJoin(base.select(col("__id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
       }
-    // Precompute per-vector norms once (N sqrt's) instead of per pair (N²).
-    val leftN = left.withColumn("__na", norm(col("__va")))
-    val rightN = right.withColumn("__nb", norm(col("__vb")))
-    val joined = if (keys.isEmpty) leftN.crossJoin(rightN) else leftN.join(rightN, keys)
-    joined
-      .filter(col("id_a") < col("id_b"))
+    // Re-join vectors once per side; per-vector norms computed once (N
+    // sqrt's) instead of per pair (N²).
+    candidates
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va"),
+        norm(col("__v")).as("__na")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        norm(col("__v")).as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("__va"), col("__vb")) /
           greatest(col("__na") * col("__nb"), lit(1e-12)), 6).as("cosine"))

@@ -123,8 +123,8 @@ object Dedup {
     * ±1; fingerprint bit = sign of the vote sum. Native expression —
     * the HOF formulation (aggregate × zip_with over 64 bits) evaluates
     * interpreted per element and is ~100× slower. */
-  def simhash64(text: Column): Column =
-    graft.functions.exprs.simhash64(TextFunctions.tokens(text))
+  def simhash64(text: Column, algo: String = "xx"): Column =
+    graft.functions.exprs.simhash64(TextFunctions.tokens(text), algo)
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, blocked on
     * maxDist+1 contiguous fingerprint chunks (pigeonhole: distance ≤ d over
@@ -135,7 +135,8 @@ object Dedup {
       df: DataFrame,
       id: Column,
       text: Column,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      algo: String = "xx"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15] (need maxDist+1 chunks of >=4 bits): $maxDist")
     val nChunks = maxDist + 1
@@ -149,7 +150,7 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       call_function("shiftright", col("__fp"), lit(off)).bitwiseAND(mask)
     }
-    val fp = df.select(id.as("__id"), simhash64(text).as("__fp"))
+    val fp = df.select(id.as("__id"), simhash64(text, algo).as("__fp"))
     val chunked = fp.select(col("__id"), col("__fp"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__val")))
     val left = chunked.select(col("__chunk"), col("__val"),

@@ -23,6 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
 private object Hashing {
   def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian long of MD5 digest bytes 8..15 — bit-identical to
+    * DuckDB's `md5_number_lower`, which makes simhash fingerprints
+    * replicable by an external SQL oracle. */
+  def md5Lower64(s: UTF8String): Long = {
+    val md = md5TL.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
 }
 
 /** Normalize + tokenize in one pass: lowercase, then split on runs of
@@ -163,9 +181,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** 64-bit SimHash of a string array (token list): per element hash, each
-  * bit votes ±1, fingerprint bit = sign of the vote sum. */
-case class SimHash64(child: Expression)
+  * bit votes ±1, fingerprint bit = sign of the vote sum.
+  *
+  * `algo` selects the token hash: "xx" (xxhash64, fastest — default) or
+  * "md5" (lower 8 digest bytes, little-endian = DuckDB md5_number_lower,
+  * so an external SQL engine can reproduce fingerprints exactly). */
+case class SimHash64(child: Expression, algo: String = "xx")
   extends UnaryExpression with CodegenFallback {
+
+  require(algo == "xx" || algo == "md5", s"unknown simhash token hash: $algo")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -173,11 +197,13 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
+    val md5 = algo == "md5"
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Hashing.hash(arr.getUTF8String(i), 42L)
+        val tok = arr.getUTF8String(i)
+        val h = if (md5) Hashing.md5Lower64(tok) else Hashing.hash(tok, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -196,6 +222,26 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+object SimHash64 {
+  /** Dotted-eval helper for tests: simhash of a token seq, JVM-side. */
+  def of(tokens: Seq[String], algo: String = "xx"): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val u = UTF8String.fromString(t)
+      val h = if (algo == "md5") Hashing.md5Lower64(u) else Hashing.hash(u, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
 }
 
 private object VecOps {
@@ -275,8 +321,8 @@ object exprs {
     SparkInternals.wrap(WordShingles(SparkInternals.unwrap(tokens), k))
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     SparkInternals.wrap(MinHashSignature(SparkInternals.unwrap(tokens), numHashes))
-  def simhash64(tokens: Column): Column =
-    SparkInternals.wrap(SimHash64(SparkInternals.unwrap(tokens)))
+  def simhash64(tokens: Column, algo: String = "xx"): Column =
+    SparkInternals.wrap(SimHash64(SparkInternals.unwrap(tokens), algo))
   def dot_product(a: Column, b: Column): Column =
     SparkInternals.wrap(DotProduct(SparkInternals.unwrap(a), SparkInternals.unwrap(b)))
   def norm_squared(a: Column): Column =

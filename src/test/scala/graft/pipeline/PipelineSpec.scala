@@ -187,6 +187,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.collect().map(_.getLong(0)).contains(4L))
   }
 
+  test("bucketed cosinePairs: equi-join plan (no cartesian), subset of exact") {
+    val bucketed = Ann.cosinePairs(vecs, $"vec_id", $"v",
+      threshold = 0.4, dim = 4, bucketed = true, nBits = 4, tables = 4)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed path must not cross-join:\n$plan")
+    val exact = Ann.cosinePairs(vecs, $"vec_id", $"v",
+        threshold = 0.4, dim = 4, bucketed = false)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val got = bucketed.as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "multi-table LSH found no near-dup candidates")
+    got.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"pair ($a,$b,$c) not in exact set")
+    }
+  }
+
+  test("simhash md5 token hash matches DuckDB md5_number_lower semantics") {
+    // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72; lower 8 digest bytes
+    // little-endian = 0x727fe1287d3f96d6 = 8250560606382298838
+    val h = Seq(("abc")).toDF("t")
+      .select(graft.functions.exprs.simhash64(array(lit("abc")), algo = "md5"))
+      .as[Long].head()
+    // single token: fingerprint bits == hash bits
+    assert(h == 8250560606382298838L, s"got $h")
+  }
+
   // ---- multimodal ------------------------------------------------------
 
   test("decode stub is deterministic and schema-stable") {
