@@ -43,12 +43,15 @@ object IndexedDataSource {
     val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
     require(allFiles.nonEmpty || partDirs.nonEmpty, s"no parquet files under $tablePath")
 
-    // data schema from the files themselves (no partition columns)
-    val dataSchema: StructType =
+    // First-file schema is enough to validate the indexBy() columns (the
+    // reference also infers the index schema from the first footer); the
+    // persisted data schema is merged across ALL files after the footer
+    // job below, so heterogeneous tables keep every column.
+    val firstSchema: StructType =
       if (allFiles.isEmpty) StructType(Nil)
       else spark.read.parquet(allFiles.head.getPath.toString).schema
 
-    val indexSchema = resolveIndexSchema(dataSchema, partitionSchema, columns, indexAll)
+    val indexSchema = resolveIndexSchema(firstSchema, partitionSchema, columns, indexAll)
 
     metastore.create(dataspace, tablePath, mode) { indexDir =>
       SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
@@ -62,13 +65,26 @@ object IndexedDataSource {
       val statsByPath =
         StatisticsBuilder.collectFooterStats(spark, refs, indexSchema, numParts)
 
+      // merged data schema across every file's footer, field metadata
+      // preserved, first-file field order first (reference
+      // ParquetMetastoreSupport.scala:237-272 + ParquetSchemaUtils.scala:98-124)
+      val fileSchemas = refs.flatMap(r => statsByPath.get(r.path)).map(f =>
+        org.apache.spark.sql.types.DataType.fromJson(f.schemaJson).asInstanceOf[StructType])
+      val dataSchema =
+        if (fileSchemas.isEmpty) firstSchema
+        else fileSchemas.reduce(SparkInternals.mergeSchemas)
+
       val sketchKind = if (conf.filterEnabled && indexSchema.nonEmpty) Some(conf.filterType) else None
       sketchKind.foreach { kind =>
         val dataFiles = allFiles.map(_.getPath.toString)
-        val maxRows = statsByPath.values.flatten.map(_.rowCount).maxOption.getOrElse(0L)
+        // Sketches cover a whole file, so size blooms by the largest
+        // per-file row SUM, not the largest single row group — a
+        // multi-row-group file would otherwise get an undersized bloom
+        // (sound, but higher FPP → weaker pruning).
+        val maxFileRows = statsByPath.values.map(_.rowCount).maxOption.getOrElse(0L)
         StatisticsBuilder.buildSketches(
           spark, dataFiles, indexSchema, kind,
-          expectedItems = math.max(4096L, maxRows),
+          expectedItems = math.max(4096L, maxFileRows),
           new Path(indexDir, Metastore.SketchDir))
       }
 
@@ -79,7 +95,7 @@ object IndexedDataSource {
           },
           files = files.map { f =>
             FileEntry(f.getPath.toString, f.getLen, f.getModificationTime,
-              statsByPath.getOrElse(f.getPath.toString, Nil))
+              statsByPath.get(f.getPath.toString).map(_.blocks).getOrElse(Nil))
           })
       }
 

@@ -37,13 +37,20 @@ object StatisticsBuilder {
   /** Serializable file handle shipped to the footer job. */
   case class FileRef(path: String, size: Long, modificationTime: Long)
 
-  /** Read per-row-group statistics for `indexSchema` columns from each
-    * file's footer. Runs as a Spark job over the file list. */
+  /** Per-file footer read result: the file's own Spark schema (JSON, field
+    * metadata preserved) + per-row-group statistics. */
+  case class FileFooter(schemaJson: String, blocks: Seq[BlockStats]) {
+    def rowCount: Long = blocks.map(_.rowCount).sum
+  }
+
+  /** Read per-row-group statistics for `indexSchema` columns plus the file
+    * schema from each file's footer. Runs as a Spark job over the file
+    * list. */
   def collectFooterStats(
       spark: SparkSession,
       files: Seq[FileRef],
       indexSchema: StructType,
-      numPartitions: Int): Map[String, Seq[BlockStats]] = {
+      numPartitions: Int): Map[String, FileFooter] = {
     if (files.isEmpty) return Map.empty
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
@@ -59,14 +66,17 @@ object StatisticsBuilder {
       .toMap
   }
 
-  /** Executor-side: one footer read → BlockStats per row group. */
+  /** Executor-side: one footer read → schema + BlockStats per row group. */
   private def readFooterBlocks(
       path: String,
       indexed: Array[(String, DataType)],
-      conf: org.apache.hadoop.conf.Configuration): Seq[BlockStats] = {
+      conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
-      reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+      val fileMeta = reader.getFooter.getFileMetaData
+      val schema = SparkInternals.footerSparkSchema(
+        fileMeta.getKeyValueMetaData, fileMeta.getSchema)
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
         val byName = block.getColumns.asScala
           .filter(_.getPath.size == 1)
           .map(c => c.getPath.toDotString -> c)
@@ -77,6 +87,7 @@ object StatisticsBuilder {
         }.toMap
         BlockStats(block.getRowCount, cols)
       }
+      FileFooter(schema.json, blocks)
     } finally reader.close()
   }
 
@@ -145,7 +156,9 @@ object StatisticsBuilder {
       expectedItems: Long,
       sketchDir: Path): Unit = {
     if (filePaths.isEmpty || indexSchema.isEmpty) return
-    val df = spark.read.parquet(filePaths: _*)
+    // mergeSchema: an indexed column absent from some files must read as
+    // null there (heterogeneous tables), not fail schema inference
+    val df = spark.read.option("mergeSchema", "true").parquet(filePaths: _*)
     val aggs = indexSchema.fields.map { f =>
       val kind = Sketch.resolveKind(confKind, f.dataType)
       SparkInternals.wrap(

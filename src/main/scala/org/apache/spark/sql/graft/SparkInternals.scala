@@ -83,6 +83,27 @@ object SparkInternals {
     (partitionSchema, dirs)
   }
 
+  /** Merge two file schemas (type widening + new-field append), preserving
+    * per-field metadata from the left/first occurrence — the reference's
+    * ParquetSchemaUtils.merge (:98-124) via Spark's own StructType.merge. */
+  def mergeSchemas(a: StructType, b: StructType): StructType = a.merge(b)
+
+  /** Spark StructType of one parquet footer: prefer the Spark schema JSON
+    * the writer persisted in key-value metadata (field metadata
+    * round-trips), else convert the parquet MessageType. Executor-safe. */
+  def footerSparkSchema(
+      kvMeta: java.util.Map[String, String],
+      msg: org.apache.parquet.schema.MessageType): StructType = {
+    Option(kvMeta.get("org.apache.spark.sql.parquet.row.metadata"))
+      .flatMap { j =>
+        scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]).toOption
+      }
+      .getOrElse(
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+          .convert(msg))
+  }
+
   /** Resolve a catalog table to (provider, location path). */
   def catalogTableInfo(spark: SparkSession, tableName: String): (String, Path) = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

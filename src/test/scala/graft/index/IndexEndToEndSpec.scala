@@ -231,6 +231,158 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE IF EXISTS graft_nation")
   }
 
+  // ------------------------------------------------------------------
+  // Reference edge-case differential fixtures (IndexSuite.scala:657-881)
+  // ------------------------------------------------------------------
+
+  test("all-null indexed column: equality prunes to 0, isNull keeps all") {
+    val p = s"$work/all_null"
+    spark.range(16).withColumn("nl", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id", "nl").parquet(p)
+    assert(spark.index.parquet(p).filter(col("nl") === "a").count() === 0L)
+    assert(spark.index.parquet(p).filter(col("nl").isNull).count() === 16L)
+    checkSame(
+      spark.index.parquet(p).filter(col("nl").isNull && col("id") < 8),
+      spark.read.parquet(p).filter(col("nl").isNull && col("id") < 8))
+  }
+
+  test("#25 UTF-8 min/max: multi-byte above ascii orders correctly") {
+    val p = s"$work/utf8_a"
+    import spark.implicits._
+    Seq("a", "é").toDF("col").coalesce(1).write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("col").parquet(p)
+    val got = spark.index.parquet(p).filter(col("col") > "a").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("é"))
+  }
+
+  test("#25 UTF-8 min/max: multi-byte between ascii bounds") {
+    val p = s"$work/utf8_b"
+    import spark.implicits._
+    Seq("aa", "bé", "bb").toDF("col").coalesce(1).write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("col").parquet(p)
+    val got = spark.index.parquet(p).filter(col("col") > "bb").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("bé"))
+  }
+
+  test("#25 UTF-8-only values: point equality with sketches") {
+    val p = s"$work/utf8_c"
+    import spark.implicits._
+    Seq("ᚠᛇᚻ", "᛫ᛒᛦᚦ᛫ᚠᚱ", "ᚩᚠᚢᚱ᛫", "ᚠᛁᚱᚪ᛫ᚷ", "ᛖᚻᚹᛦ", "ᛚᚳᚢᛗ").toDF("col")
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("col").parquet(p)
+    val got = spark.index.parquet(p).filter(col("col") === "ᛖᚻᚹᛦ").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("ᛖᚻᚹᛦ"))
+    checkSame(
+      spark.index.parquet(p).filter(col("col") >= "ᛖ"),
+      spark.read.parquet(p).filter(col("col") >= "ᛖ"))
+  }
+
+  test("#40 table with empty files (odd partitions filtered out)") {
+    val p = s"$work/empty_parts"
+    import spark.implicits._
+    spark.sparkContext.parallelize(0 until 8, 8)
+      .map(x => (x, s"$x")).filter(_._1 % 2 == 0).toDF("col1", "col2")
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexByAll().parquet(p)
+    val got = spark.index.parquet(p).filter(col("col1") === 2).collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "2")))
+  }
+
+  test("#40 fully empty table indexes and returns 0 rows") {
+    val p = s"$work/empty_table"
+    import spark.implicits._
+    spark.sparkContext.parallelize(0 until 8, 8)
+      .map(x => (x, s"$x")).filter(_ => false).toDF("col1", "col2")
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexByAll().parquet(p)
+    assert(spark.index.parquet(p).filter(col("col1") === 2).count() === 0L)
+    assert(spark.index.parquet(p).count() === 0L)
+  }
+
+  test("string column of all empty values") {
+    val p = s"$work/str_empty_all"
+    import spark.implicits._
+    Seq("", "", "", "").toDF("col").write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexByAll().parquet(p)
+    assert(spark.index.parquet(p).filter(col("col") === "").count() === 4L)
+  }
+
+  test("string column of some empty values") {
+    val p = s"$work/str_empty_some"
+    import spark.implicits._
+    Seq("", "1", "", "1").toDF("col").write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexByAll().parquet(p)
+    val df = spark.index.parquet(p)
+    assert(df.filter(col("col") === "").count() === 2L)
+    assert(df.filter(col("col") === "1").count() === 2L)
+    assert(df.filter(col("col") > "").count() === 2L)
+  }
+
+  test("field metadata round-trips through the index schema") {
+    import org.apache.spark.sql.types._
+    val p = s"$work/with_metadata"
+    val schema = StructType(Nil)
+      .add("id", LongType, false,
+        new MetadataBuilder().putString("key", "long col").build())
+      .add("name", StringType, true,
+        new MetadataBuilder().putString("key", "str col").build())
+    val rdd = spark.sparkContext.parallelize(
+      org.apache.spark.sql.Row(1L, "a") :: org.apache.spark.sql.Row(2L, "b") ::
+        org.apache.spark.sql.Row(3L, "c") :: Nil)
+    spark.createDataFrame(rdd, schema).write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexByAll().parquet(p)
+    val indexed = spark.index.parquet(p)
+    assert(indexed.schema.fields.map(_.name).toSeq == Seq("id", "name"))
+    assert(indexed.schema("id").metadata.getString("key") == "long col")
+    assert(indexed.schema("name").metadata.getString("key") == "str col")
+    assert(indexed.schema == spark.read.parquet(p).schema)
+    checkSame(indexed.filter(col("id") === 2L),
+      spark.read.parquet(p).filter(col("id") === 2L))
+  }
+
+  test("unsupported types rejected: array and struct columns") {
+    import spark.implicits._
+    val p = s"$work/unsupported"
+    Seq(("a", Seq("x", "y"), (1, 2))).toDF("c1", "arr", "st")
+      .write.mode("overwrite").parquet(p)
+    val e1 = intercept[IllegalArgumentException] {
+      spark.index.create.mode("overwrite").indexBy("arr").parquet(p)
+    }
+    assert(e1.getMessage.contains("unsupported type"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.index.create.mode("overwrite").indexBy("c1", "st").parquet(p)
+    }
+    assert(e2.getMessage.contains("unsupported type"))
+    // indexByAll prunes to the supported column and still works
+    spark.index.create.mode("overwrite").indexByAll().parquet(p)
+    checkSame(
+      spark.index.parquet(p).filter(col("c1") === "a"),
+      spark.read.parquet(p).filter(col("c1") === "a"))
+  }
+
+  test("heterogeneous files: schema merges across footers, queries work") {
+    import spark.implicits._
+    val p = s"$work/two_schemas"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(p)
+    Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "s", "extra")
+      .write.mode("append").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id").parquet(p)
+    val indexed = spark.index.parquet(p)
+    // merged schema keeps the column only some files have
+    assert(indexed.schema.fieldNames.toSeq == Seq("id", "s", "extra"))
+    val plain = spark.read.option("mergeSchema", "true").parquet(p)
+    checkSame(indexed.orderBy("id"), plain.orderBy("id"))
+    checkSame(
+      indexed.filter(col("id") === 3L),
+      plain.filter(col("id") === 3L))
+    // files without the filtered row's value are pruned
+    checkSame(
+      indexed.filter(col("id") >= 3L && col("extra").isNotNull),
+      plain.filter(col("id") >= 3L && col("extra").isNotNull))
+  }
+
   test("eager sketch loading returns same results") {
     spark.conf.set(IndexConf.EagerLoading, "true")
     try {
