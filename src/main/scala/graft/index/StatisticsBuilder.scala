@@ -165,8 +165,12 @@ object StatisticsBuilder {
         SketchAgg(SparkInternals.unwrap(col(f.name)), kind, expectedItems)
           .toAggregateExpression()).as(f.name)
     }
+    // Key rows by the NORMALIZED path (same normalization the read side
+    // uses) so query-time `file IN (...)` pushdown filters on exact
+    // stored values.
+    val normPath = udf((s: String) => SketchStore.normalizePath(s))
     val wide = df
-      .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
+      .select((col("*") +: Seq(normPath(input_file_name()).as("__file"))): _*)
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
     val stackArgs = indexSchema.fields.map { f =>
@@ -176,7 +180,10 @@ object StatisticsBuilder {
     val long = wide.selectExpr(
       "__file as file",
       s"stack(${indexSchema.size}, $stackArgs) as (column, kind, data)")
-    long.write.mode("overwrite").parquet(sketchDir.toString)
+    // Sort by file so row-group min/max + dictionary stats make the
+    // query-time pruned read skip everything outside the survivor set.
+    long.sort(col("file"), col("column"))
+      .write.mode("overwrite").parquet(sketchDir.toString)
   }
 }
 

@@ -114,6 +114,16 @@ case class BlockStats(rowCount: Long, columns: Map[String, ColumnStats])
   */
 object FilterFold {
 
+  /** Does the tree contain a verdict that can consult a membership
+    * sketch (EqualTo/In/EqualNullSafe)? Callers skip sketch IO when not. */
+  def usesMembership(filter: Filter): Boolean = filter match {
+    case _: EqualTo | _: In | _: EqualNullSafe => true
+    case And(l, r) => usesMembership(l) || usesMembership(r)
+    case Or(l, r) => usesMembership(l) || usesMembership(r)
+    case Not(c) => usesMembership(c)
+    case _ => false
+  }
+
   /** @param sketchFor (column) → sketch for this file, if built */
   def fileMayContain(
       filter: Filter,

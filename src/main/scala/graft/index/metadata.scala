@@ -38,7 +38,9 @@ case class FileEntry(
     blocks: Seq[BlockStats])
 
 object IndexMetadata {
-  val CurrentVersion = 1
+  // v2: sketch table keyed by normalized file path + sorted by (file,
+  // column) for pruned query-time reads; v1 indexes must be rebuilt.
+  val CurrentVersion = 2
 
   /** Render a Catalyst-internal partition value as a string (via Cast to
     * string), parse back with [[castFromString]]. */

@@ -82,22 +82,32 @@ class GraftFileIndex(
         if (indexFilters.isEmpty) files
         else {
           val combined = indexFilters.reduce(SAnd)
-          val store = sketchStore
           // Fold verdicts are independent per file — evaluate them on the
           // driver's common pool (the reference used per-file Futures,
           // ParquetIndex.scala:166-178). Sequential fallback for few files.
-          val useSketches = meta.sketchKind.isDefined
-          def mayContain(f: FileEntry): Boolean =
-            FilterFold.fileMayContain(
-              combined, f.blocks,
-              col => if (useSketches) store.sketchFor(f.path, col) else None,
-              meta.indexSchema)
-          if (files.size < 64) files.filter(mayContain)
-          else {
-            import scala.jdk.CollectionConverters._
-            files.asJava.parallelStream().filter(f => mayContain(f))
-              .collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
-          }
+          def prune(fs: Seq[FileEntry])(mayContain: FileEntry => Boolean): Seq[FileEntry] =
+            if (fs.size < 64) fs.filter(mayContain)
+            else {
+              import scala.jdk.CollectionConverters._
+              fs.asJava.parallelStream().filter(f => mayContain(f))
+                .collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
+            }
+          // Pass 1: min/max-only fold — no sketch IO.
+          val survivors = prune(files)(f =>
+            FilterFold.fileMayContain(combined, f.blocks, _ => None, meta.indexSchema))
+          // Pass 2: sketches refine equality/IN verdicts, loaded in ONE
+          // pruned parquet read restricted to the survivor set (the 100 TB
+          // path: driver sketch residency is bounded by query selectivity,
+          // not table size). Range-only queries skip sketch IO entirely.
+          if (meta.sketchKind.isDefined && survivors.nonEmpty &&
+              FilterFold.usesMembership(combined)) {
+            val store = sketchStore
+            store.ensureLoaded(survivors.map(_.path))
+            prune(survivors)(f =>
+              FilterFold.fileMayContain(
+                combined, f.blocks, col => store.sketchFor(f.path, col),
+                meta.indexSchema))
+          } else survivors
         }
       counted.add(kept.size.toLong)
       SparkInternals.partitionDirectory(values, kept.map(toFileStatus).toArray)

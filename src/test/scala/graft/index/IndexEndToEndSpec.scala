@@ -383,6 +383,37 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.filter(col("id") >= 3L && col("extra").isNotNull))
   }
 
+  test("sketch reads are pruned to surviving files (no full-table load)") {
+    val p = s"$work/sketch_prune"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartitionByRange(64, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite")
+      .indexBy("l_orderkey", "l_returnflag").parquet(p)
+    val ms = Metastore(spark)
+    val sketchDir = new org.apache.hadoop.fs.Path(
+      ms.location(Metastore.Dataspace, IndexedDataSource.resolveTablePath(spark, p)),
+      Metastore.SketchDir)
+    SketchStore.invalidate(sketchDir) // fresh store → zeroed telemetry
+    val store = SketchStore.forDir(sketchDir, spark.sparkContext.hadoopConfiguration)
+
+    val key = spark.read.parquet(p).select("l_orderkey").head.getLong(0)
+    checkSame(
+      spark.index.parquet(p).filter(col("l_orderkey") === key),
+      spark.read.parquet(p).filter(col("l_orderkey") === key))
+
+    val totalRows = 64L * 2 // files × indexed columns
+    assert(store.rowsRead.sum > 0, "sketches were consulted")
+    assert(store.rowsRead.sum < totalRows,
+      s"expected pruned sketch read, got ${store.rowsRead.sum}/$totalRows rows")
+
+    // range-only predicates never touch sketch IO
+    val before = store.rowsRead.sum
+    spark.index.parquet(p).filter(col("l_orderkey") > key).count()
+    assert(store.rowsRead.sum == before, "range query must not load sketches")
+  }
+
   test("eager sketch loading returns same results") {
     spark.conf.set(IndexConf.EagerLoading, "true")
     try {
