@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `sbt test` verifies the Python surface too: PythonApiSpec shells out to
+// scripts/test_python_api.py against the packaged jar, so package first.
+Test / test := (Test / test).dependsOn(Compile / packageBin).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

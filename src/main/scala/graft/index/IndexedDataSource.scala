@@ -23,15 +23,17 @@ object IndexedDataSource {
     fs.makeQualified(p)
   }
 
-  /** Build and persist the index (reference flow §3.1). */
+  /** Build and persist the index (reference flow §3.1). `options` are
+    * per-call `spark.sql.index.*` overrides from the fluent API. */
   def createIndex(
       spark: SparkSession,
       path: String,
       dataspace: String,
       mode: SaveMode,
       columns: Seq[String],
-      indexAll: Boolean): Unit = {
-    val conf = IndexConf(spark)
+      indexAll: Boolean,
+      options: Map[String, String] = Map.empty): Unit = {
+    val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
     val tablePath = resolveTablePath(spark, path)
 
@@ -154,13 +156,19 @@ object IndexedDataSource {
     metastore.delete(dataspace, tablePath)
   }
 
-  /** Load the indexed relation as a DataFrame (reference flow §3.2 step 1). */
-  def load(spark: SparkSession, path: String, dataspace: String): DataFrame = {
-    val conf = IndexConf(spark)
+  /** Load the indexed relation as a DataFrame (reference flow §3.2 step 1).
+    * `options`: `spark.sql.index.*` keys override the session conf for
+    * this load; the rest are handed to the parquet relation. */
+  def load(
+      spark: SparkSession,
+      path: String,
+      dataspace: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
     val tablePath = resolveTablePath(spark, path)
     if (conf.createIfNotExists && !metastore.exists(dataspace, tablePath)) {
-      createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true)
+      createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true, options)
     }
     val (indexDir, meta) = metastore.load(dataspace, tablePath)
     val fileIndex = new GraftFileIndex(spark, indexDir, meta)
@@ -168,7 +176,8 @@ object IndexedDataSource {
       SketchStore.forDir(new Path(indexDir, Metastore.SketchDir),
         spark.sparkContext.hadoopConfiguration).preload()
     }
+    val relationOptions = options.filterNot(_._1.startsWith("spark.sql.index."))
     SparkInternals.parquetRelation(
-      spark, fileIndex, meta.partitionSchema, meta.dataSchema, Map.empty)
+      spark, fileIndex, meta.partitionSchema, meta.dataSchema, relationOptions)
   }
 }

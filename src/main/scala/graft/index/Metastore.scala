@@ -10,10 +10,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Runtime configuration surface (reference IndexConf.scala:22-109). Read
-  * from the session conf on each access so `spark.conf.set` works live. */
-class IndexConf(spark: SparkSession) {
+  * from the session conf on each access so `spark.conf.set` works live;
+  * per-call `option(...)` maps override the session (reference threads
+  * manager options the same way, DataFrameIndexManager.scala:29-128). */
+class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty) {
   private def get(key: String, default: String): String =
-    spark.conf.getOption(key).getOrElse(default)
+    overrides.getOrElse(key, spark.conf.getOption(key).getOrElse(default))
 
   def metastoreLocation: String = {
     val v = get(IndexConf.MetastoreLocation, "")
@@ -35,6 +37,8 @@ object IndexConf {
   val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
+  def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =
+    new IndexConf(spark, overrides)
 }
 
 /** Filesystem metastore: one directory per (dataspace, table path) holding

@@ -21,6 +21,13 @@ object implicits {
   }
 }
 
+/** Java-friendly entry point (reference com.github.lightcopy.QueryContext,
+  * package.scala:25-35): `new QueryContext(spark).index()` — no implicits,
+  * no Scala default arguments on the call path. */
+class QueryContext(spark: SparkSession) {
+  def index(): IndexManager = new IndexManager(spark)
+}
+
 class IndexManager(spark: SparkSession) {
 
   private var extraOptions: Map[String, String] = Map.empty
@@ -39,24 +46,33 @@ class IndexManager(spark: SparkSession) {
   /** format(...).load(path) — reference DataFrameIndexManager.load. */
   def load(path: String): DataFrame = parquet(path)
 
+  /** Per-call options (reference DataFrameIndexManager.option/options,
+    * DataFrameIndexManager.scala:29-128): `spark.sql.index.*` keys
+    * override the session conf for this manager's loads/creates; other
+    * keys flow to the underlying parquet relation. */
   def option(key: String, value: String): IndexManager = { extraOptions += key -> value; this }
   def option(key: String, value: Boolean): IndexManager = option(key, value.toString)
   def option(key: String, value: Long): IndexManager = option(key, value.toString)
   def option(key: String, value: Double): IndexManager = option(key, value.toString)
   def options(opts: Map[String, String]): IndexManager = { extraOptions ++= opts; this }
+  /** Java-friendly overload. */
+  def options(opts: java.util.Map[String, String]): IndexManager = {
+    import scala.jdk.CollectionConverters._
+    options(opts.asScala.toMap)
+  }
 
-  def create: CreateIndexCommand = new CreateIndexCommand(spark)
+  def create: CreateIndexCommand = new CreateIndexCommand(spark, extraOptions)
   def exists: ExistsIndexCommand = new ExistsIndexCommand(spark)
   def delete: DeleteIndexCommand = new DeleteIndexCommand(spark)
 
   /** Load indexed Parquet table as a DataFrame with index-driven pruning. */
   def parquet(path: String): DataFrame =
-    IndexedDataSource.load(spark, path, Metastore.Dataspace)
+    IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions)
 
   /** Load an indexed catalog table. */
   def table(tableName: String): DataFrame = {
     val (_, location) = requireParquetTable(spark, tableName)
-    IndexedDataSource.load(spark, location.toString, Metastore.CatalogDataspace)
+    IndexedDataSource.load(spark, location.toString, Metastore.CatalogDataspace, extraOptions)
   }
 
   private[index] def requireParquetTable(
@@ -71,10 +87,14 @@ class IndexManager(spark: SparkSession) {
   }
 }
 
-class CreateIndexCommand(spark: SparkSession) {
+class CreateIndexCommand(spark: SparkSession, initialOptions: Map[String, String] = Map.empty) {
   private var saveMode: SaveMode = SaveMode.ErrorIfExists
   private var columns: Seq[String] = Nil
   private var all: Boolean = false
+  private var extraOptions: Map[String, String] = initialOptions
+
+  def option(key: String, value: String): CreateIndexCommand = { extraOptions += key -> value; this }
+  def options(opts: Map[String, String]): CreateIndexCommand = { extraOptions ++= opts; this }
 
   def mode(m: SaveMode): CreateIndexCommand = { saveMode = m; this }
   def mode(m: String): CreateIndexCommand = {
@@ -97,12 +117,13 @@ class CreateIndexCommand(spark: SparkSession) {
   def indexByAll(): CreateIndexCommand = { columns = Nil; all = true; this }
 
   def parquet(path: String): Unit =
-    IndexedDataSource.createIndex(spark, path, Metastore.Dataspace, saveMode, columns, all)
+    IndexedDataSource.createIndex(
+      spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions)
 
   def table(tableName: String): Unit = {
     val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
     IndexedDataSource.createIndex(
-      spark, location.toString, Metastore.CatalogDataspace, saveMode, columns, all)
+      spark, location.toString, Metastore.CatalogDataspace, saveMode, columns, all, extraOptions)
   }
 }
 

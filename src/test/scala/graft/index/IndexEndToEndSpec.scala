@@ -424,6 +424,33 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(IndexConf.EagerLoading, "false")
   }
 
+  test("QueryContext Java-style entry, Array overloads, options plumbing") {
+    val p = s"$work/qc_table"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode("overwrite").parquet(p)
+    // the exact call chain Java uses: new QueryContext(spark).index()...
+    val ctx = new QueryContext(spark)
+    ctx.index().create
+      .mode("overwrite")
+      .option(IndexConf.FilterEnabled, "false") // per-call override
+      .indexBy(Array("r_regionkey"))            // Java array overload
+      .parquet(p)
+    // the option reached the build: no sketch table was written
+    val ms = Metastore(spark)
+    val sketchDir = new org.apache.hadoop.fs.Path(
+      ms.location(Metastore.Dataspace, IndexedDataSource.resolveTablePath(spark, p)),
+      Metastore.SketchDir)
+    assert(!ms.fs.exists(sketchDir),
+      "filter.enabled=false option must suppress the sketch build")
+    checkSame(
+      ctx.index().parquet(p).filter(col("r_regionkey") === 2L),
+      spark.read.parquet(p).filter(col("r_regionkey") === 2L))
+    // manager-level options thread into create via .create
+    val im = ctx.index().option(IndexConf.FilterEnabled, "true")
+    im.create.mode("overwrite").indexBy(Array("r_regionkey")).parquet(p)
+    assert(ms.fs.exists(sketchDir), "manager option must flow into create")
+  }
+
   test("format() accepts parquet only; load() is an alias") {
     intercept[IllegalArgumentException] { spark.index.format("json") }
     val viaLoad = spark.index.format("parquet").load(tablePath)
