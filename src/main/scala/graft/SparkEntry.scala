@@ -75,6 +75,28 @@ object SparkEntry {
       s.index.parquet(tableDir)
     }
 
+  /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
+    * indexed on o_custkey); create-once per (sf, engine version). */
+  private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.synchronized {
+      import graft.index.implicits._
+      val sfName = new java.io.File(dir).getName
+      val scratch = s"$scratchRoot/$sfName"
+      val tableDir = s"$scratch/orders_part"
+      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
+      val marker = new java.io.File(s"$scratch/orders_part_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(tableDir)
+        s.index.create.mode("overwrite").indexBy("o_custkey").parquet(tableDir)
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      s.index.parquet(tableDir)
+    }
+
   // ---------------------------------------------------------------------
   // Relational operator suite (SURVEY.md §2.3 delegated categories —
   // part of the complete-engine surface a reference user relies on).
@@ -325,6 +347,19 @@ object SparkEntry {
         .orderBy($"l_linestatus")
     }),
 
+    // Hive-partitioned table: partition pruning (o_year) composes with
+    // index-statistics pruning (o_custkey) inside listFiles.
+    "q_idx_partition" -> ((s, dir) => {
+      import s.implicits._
+      val part = indexedOrdersPart(s, dir)
+      val key = s.read.parquet(s"$dir/orders.parquet")
+        .filter(year($"o_orderdate") === 1995)
+        .agg(min($"o_custkey")).head.getLong(0)
+      part.filter($"o_year" === 1995 && $"o_custkey" === key)
+        .select($"o_orderkey", $"o_custkey", $"o_year", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
     // ------------------------------------------------------------------
     // Training-data pipeline operators (graft.text / dedup / ann /
     // multimodal) over the documents + embeddings tables.
@@ -485,6 +520,15 @@ object SparkEntry {
 
     "q_stream_hourly" -> ((s, dir) =>
       graft.streaming.Streaming.hourlyEventCounts(s, dir)),
+
+    // Same aggregation through the at-scale sink: update output mode +
+    // foreachBatch parquet upsert (no complete-mode driver materialization).
+    "q_stream_hourly_update" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+      graft.streaming.Streaming.hourlyEventCountsUpsert(s, dir, out)
+        .orderBy($"win_start", $"event_type")
+    }),
 
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -836,6 +880,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS total
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_idx_partition" ->
+      """SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND o_custkey =
+        |  (SELECT min(o_custkey) FROM orders WHERE year(o_orderdate) = 1995)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,
@@ -851,6 +902,11 @@ object SparkEntry {
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_hourly_update" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value

@@ -52,6 +52,60 @@ object Streaming {
     spark.table(name).orderBy(col("win_start"), col("event_type"))
   }
 
+  /** The at-scale variant of [[hourlyEventCounts]]: update output mode +
+    * foreachBatch upsert into a parquet directory. Complete mode re-emits
+    * the whole result every trigger and the memory sink holds it on the
+    * driver — fine for a test, fatal at 100 TB. Update mode emits only
+    * changed windows; the watermark lets Spark evict window state older
+    * than (max event time - 1 hour); the upsert keeps the file sink
+    * consistent under re-emission. Returns the materialized sink table. */
+  def hourlyEventCountsUpsert(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val dataDir = s"$outDir/data"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => upsertParquet(batch, dataDir, Seq("win_start", "event_type"), batchId)
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch(upsert)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(dataDir)
+  }
+
+  /** Last-write-wins upsert of `batch` into a parquet dir keyed by `keys`:
+    * surviving old rows (anti-join on the batch's keys) + the new batch are
+    * written to a temp dir and swapped in atomically. The plain-parquet
+    * stand-in for a MERGE-capable table format sink. */
+  private def upsertParquet(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      path: String,
+      keys: Seq[String],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dataPath.getFileSystem(hconf)
+    val merged =
+      if (!fs.exists(dataPath)) batch
+      else {
+        val existing = spark.read.parquet(path)
+        existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(s"${path}_tmp_$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dataPath, true)
+    fs.rename(tmp, dataPath)
+    ()
+  }
+
   /** Gap-based sessionization, batch formulation: a new session starts
     * after `gapMinutes` of inactivity per user. Declarative window
     * functions (lag → gap flag → running sum) so Catalyst plans one

@@ -177,6 +177,15 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = spark.read.parquet(pPath).filter(cond)
     checkSame(indexed, plain)
 
+    // partition pruning composes with index pruning: the listing touches
+    // fewer files than the table holds
+    val fi = indexed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.isDefined)
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected partition+index pruning: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+
     // indexing a partition column is rejected
     val e = intercept[IllegalArgumentException] {
       spark.index.create.mode("overwrite").indexBy("o_year").parquet(pPath)

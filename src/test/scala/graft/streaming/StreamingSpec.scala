@@ -36,6 +36,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("update-mode foreachBatch upsert sink equals batch aggregation") {
+    val out = java.nio.file.Files.createTempDirectory("graft-upsert-spec").toString
+    val streamed = Streaming.hourlyEventCountsUpsert(spark, dir, out)
+      .collect().map(_.toString).sorted
+    val batch = batchEvents
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n", $"total_value")
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+    // re-running the same upsert over the sink keeps it consistent
+    // (last-write-wins on the window keys, no duplicate rows)
+    val out2 = Streaming.hourlyEventCountsUpsert(
+      spark, dir, out + "_2").collect().map(_.toString).sorted
+    assert(out2.sameElements(batch))
+  }
+
   test("stateful sessionizer agrees with window-function sessionize") {
     val events = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
