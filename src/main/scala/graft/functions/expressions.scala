@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.SparkInternals
 import org.apache.spark.sql.types._
@@ -13,9 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * The same semantics are expressible with `zip_with`/`aggregate`
   * higher-order functions, but HOF lambdas evaluate interpreted
   * per-element — at millions of (pair × dimension) steps that dominates
-  * the runtime. These evals run the tight loop in JVM code instead
-  * (~100× per-element). CodegenFallback keeps them usable inside
-  * whole-stage codegen plans; doGenCode is a future sharpening.
+  * the runtime. These run the tight loop in JVM code (~100× per element)
+  * and participate in whole-stage codegen with a real `doGenCode`: the
+  * generated code passes the (already codegen'd) child value straight to
+  * the kernel — no row materialization, unlike CodegenFallback, which
+  * forces an InternalRow round-trip per call. The interpreted
+  * `nullSafeEval` path shares the same kernel for non-codegen contexts
+  * (e.g. inside TypedImperativeAggregate.update).
   */
 
 /** xxhash64 of a UTF8String with an explicit seed (Spark's xxhash64
@@ -43,6 +47,18 @@ private object Hashing {
   }
 }
 
+/** Shared doGenCode shape: evaluate the child(ren) inline, call the
+  * expression instance's `compute` kernel via a constant reference. */
+private[functions] trait KernelUnaryCodegen { self: UnaryExpression =>
+  /** Java source for one kernel invocation given the child variable. */
+  protected def kernelCall(ref: String, c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, getClass.getName)
+    defineCodeGen(ctx, ev, c => kernelCall(ref, c))
+  }
+}
+
 /** Normalize + tokenize in one pass: lowercase, then split on runs of
   * bytes outside [a-z0-9]. Byte-level equivalent of
   * `split(trim(regexp_replace(regexp_replace(lower(c),'[^a-z0-9 ]',' '),' +',' ')), ' ')`
@@ -50,13 +66,13 @@ private object Hashing {
   * separator and separator runs collapse, so the token streams are
   * identical while skipping two regex passes per document. */
 case class Tokenize(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelUnaryCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase
+  def compute(input: UTF8String): ArrayData = {
+    val lowered = input.toLowerCase
     val bytes = lowered.getBytes
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
@@ -74,6 +90,10 @@ case class Tokenize(child: Expression)
     new GenericArrayData(out.toArray)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
   override protected def withNewChildInternal(c: Expression): Tokenize = copy(child = c)
 }
 
@@ -81,9 +101,9 @@ case class Tokenize(child: Expression)
   * replacement for `size(filter(tokens, t => array_contains(lits, t)))`,
   * whose lambda evaluates interpreted per token). */
 case class CountInSet(child: Expression, words: Seq[String])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelUnaryCodegen {
 
-  private lazy val set: java.util.HashSet[UTF8String] = {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
@@ -92,8 +112,7 @@ case class CountInSet(child: Expression, words: Seq[String])
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Int = {
     var count = 0
     var i = 0
     val n = arr.numElements()
@@ -101,26 +120,27 @@ case class CountInSet(child: Expression, words: Seq[String])
       if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) count += 1
       i += 1
     }
-    java.lang.Integer.valueOf(count)
+    count
   }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
 
   override protected def withNewChildInternal(c: Expression): CountInSet = copy(child = c)
 }
 
 /** k-word shingles of a token array: element i = tokens[i..i+k) joined by
-  * a single space; fewer than k tokens collapse to one whole-text shingle.
-  * (The transform/slice/concat_ws HOF formulation evaluates interpreted
-  * per position — ~40µs each; this loop is ~100× faster.) */
+  * a single space; fewer than k tokens collapse to one whole-text shingle. */
 case class WordShingles(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelUnaryCodegen {
 
   private val space = UTF8String.fromString(" ")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
@@ -143,6 +163,10 @@ case class WordShingles(child: Expression, k: Int)
     }
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
@@ -150,13 +174,12 @@ case class WordShingles(child: Expression, k: Int)
   * (h1 + i*h2) — the standard universal-hash composition, one xxhash64
   * pair per element instead of numHashes full hashes. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelUnaryCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -177,6 +200,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     new GenericArrayData(sig)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
@@ -187,15 +214,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * "md5" (lower 8 digest bytes, little-endian = DuckDB md5_number_lower,
   * so an external SQL engine can reproduce fingerprints exactly). */
 case class SimHash64(child: Expression, algo: String = "xx")
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelUnaryCodegen {
 
   require(algo == "xx" || algo == "md5", s"unknown simhash token hash: $algo")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val md5 = algo == "md5"
     var i = 0
@@ -218,30 +244,54 @@ case class SimHash64(child: Expression, algo: String = "xx")
       if (votes(b) > 0) fp |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(fp)
+    fp
   }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
 object SimHash64 {
-  /** Dotted-eval helper for tests: simhash of a token seq, JVM-side. */
+  /** JVM-side helper for tests: simhash of a token seq. */
   def of(tokens: Seq[String], algo: String = "xx"): Long = {
-    val votes = new Array[Int](64)
-    tokens.foreach { t =>
-      val u = UTF8String.fromString(t)
-      val h = if (algo == "md5") Hashing.md5Lower64(u) else Hashing.hash(u, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
-    fp
+    val arr = new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+    SimHash64(null, algo).compute(arr)
   }
+}
+
+/** Sum over string-array elements of max(1, ceil(numChars / unit)) — the
+  * BPE-ish subword estimate, one pass, no per-token lambda. */
+case class SubwordCount(child: Expression, unit: Int)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(unit > 0, s"unit must be positive: $unit")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def compute(arr: ArrayData): Int = {
+    var total = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val chars = arr.getUTF8String(i).numChars()
+        val units = (chars + unit - 1) / unit
+        total += math.max(1, units)
+      }
+      i += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): SubwordCount = copy(child = c)
 }
 
 private object VecOps {
@@ -263,16 +313,15 @@ private object VecOps {
   * left-to-right (bit-identical to the zip_with/aggregate formulation and
   * to a sequential SQL list_sum). */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val etx = VecOps.elemType(left)
-    val ety = VecOps.elemType(right)
+  @transient private lazy val etx = VecOps.elemType(left)
+  @transient private lazy val ety = VecOps.elemType(right)
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
@@ -280,7 +329,15 @@ case class DotProduct(left: Expression, right: Expression)
       acc += VecOps.get(x, etx, i) * VecOps.get(y, ety, i)
       i += 1
     }
-    java.lang.Double.valueOf(acc)
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, classOf[DotProduct].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
@@ -289,14 +346,14 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Sum of squares (squared L2 norm) of a numeric array, left-to-right. */
 case class NormSquared(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with KernelUnaryCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
-    val et = VecOps.elemType(child)
+  @transient private lazy val et = VecOps.elemType(child)
+
+  def compute(x: ArrayData): Double = {
     var acc = 0.0
     var i = 0
     val n = x.numElements()
@@ -305,8 +362,12 @@ case class NormSquared(child: Expression)
       acc += v * v
       i += 1
     }
-    java.lang.Double.valueOf(acc)
+    acc
   }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
 
   override protected def withNewChildInternal(c: Expression): NormSquared = copy(child = c)
 }
@@ -321,6 +382,8 @@ object exprs {
     SparkInternals.wrap(WordShingles(SparkInternals.unwrap(tokens), k))
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     SparkInternals.wrap(MinHashSignature(SparkInternals.unwrap(tokens), numHashes))
+  def subword_count(tokens: Column, unit: Int): Column =
+    SparkInternals.wrap(SubwordCount(SparkInternals.unwrap(tokens), unit))
   def simhash64(tokens: Column, algo: String = "xx"): Column =
     SparkInternals.wrap(SimHash64(SparkInternals.unwrap(tokens), algo))
   def dot_product(a: Column, b: Column): Column =

@@ -25,10 +25,11 @@ object TextFunctions {
 
   /** A BPE-ish subword count estimate: whitespace tokens plus one extra
     * unit per 6 characters of long tokens (cheap stand-in for a real
-    * tokenizer's subword splits; deterministic + SQL-expressible). */
+    * tokenizer's subword splits; deterministic + SQL-expressible).
+    * Native one-pass kernel — the HOF `aggregate` formulation evaluated
+    * its lambda interpreted per token. */
   def subwordCountEstimate(c: Column): Column =
-    aggregate(tokens(c), lit(0),
-      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(6.0)).cast("int")))
+    graft.functions.exprs.subword_count(tokens(c), 6)
 
   def charCount(c: Column): Column = length(c)
 

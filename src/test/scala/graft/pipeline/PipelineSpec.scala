@@ -214,6 +214,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h == 8250560606382298838L, s"got $h")
   }
 
+  test("native kernels compile in whole-stage codegen with fallback disabled") {
+    // With spark.sql.codegen.fallback=false a Janino failure in any
+    // doGenCode throws instead of silently reverting to interpreted eval,
+    // so this proves the kernels generate valid code (no CodegenFallback).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val t = graft.text.TextFunctions
+      val got = docs.select(
+        t.tokenCount($"text").as("tc"),
+        t.subwordCountEstimate($"text").as("sw"),
+        t.stopwordHits($"text", t.stopwordsEn).as("sh"),
+        Dedup.simhash64($"text").as("xx"),
+        Dedup.simhash64($"text", algo = "md5").as("m5"),
+        Dedup.minhashSignature(Dedup.shingles($"text", 3), 16).as("sig"))
+        .collect()
+      assert(got.nonEmpty && got.forall(_.getAs[Seq[Long]]("sig").length == 16))
+      val dots = vecs.select(
+        graft.functions.exprs.dot_product($"v", $"v").as("d"),
+        graft.functions.exprs.norm_squared($"v").as("n"))
+        .collect()
+      dots.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   // ---- multimodal ------------------------------------------------------
 
   test("decode stub is deterministic and schema-stable") {
