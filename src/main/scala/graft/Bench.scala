@@ -32,6 +32,7 @@ object Bench {
     // -- warmup (untimed): scratch tables + index build + codegen paths
     val indexed = SparkEntry.indexedLineitem(spark, sfDir)
     indexed.count()
+    SparkEntry.indexedOrdersPart(spark, sfDir).count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.map { case (name, fn) =>

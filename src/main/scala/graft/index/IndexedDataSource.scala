@@ -57,48 +57,43 @@ object IndexedDataSource {
 
     metastore.create(dataspace, tablePath, mode) { indexDir =>
       SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
+      IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
       val numParts =
         if (conf.numPartitions > 0) conf.numPartitions
         else math.min(spark.sparkContext.defaultParallelism * 3,
           spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
 
-      val refs = partDirs.flatMap(_._2).map(f =>
-        StatisticsBuilder.FileRef(f.getPath.toString, f.getLen, f.getModificationTime))
-      val statsByPath =
-        StatisticsBuilder.collectFooterStats(spark, refs, indexSchema, numParts)
+      // (partitionIdx, ref) pairs; block hosts preserved for task
+      // locality and for locality-aware scans at query time
+      val refs: Seq[(Int, StatisticsBuilder.FileRef)] =
+        partDirs.zipWithIndex.flatMap { case ((_, files), idx) =>
+          files.filter(_.getLen > 0).map { f =>
+            val locs = SparkInternals.blockLocations(f)
+            idx -> StatisticsBuilder.FileRef(
+              f.getPath.toString, f.getLen, f.getModificationTime,
+              blockSize = if (f.getBlockSize > 0) f.getBlockSize else FileEntry.DefaultBlockSize,
+              locationsJson = IndexMetadata.locationsToJsonString(locs),
+              hosts = locs.flatMap(_.hosts).distinct)
+          }
+        }
 
-      // merged data schema across every file's footer, field metadata
-      // preserved, first-file field order first (reference
-      // ParquetMetastoreSupport.scala:237-272 + ParquetSchemaUtils.scala:98-124)
-      val fileSchemas = refs.flatMap(r => statsByPath.get(r.path)).map(f =>
-        org.apache.spark.sql.types.DataType.fromJson(f.schemaJson).asInstanceOf[StructType])
-      val dataSchema =
-        if (fileSchemas.isEmpty) firstSchema
-        else fileSchemas.reduce(SparkInternals.mergeSchemas)
+      // footer job writes the per-file stats table executor-side and
+      // returns only the merged schema + counts (driver never holds
+      // per-file stats — scales to millions of files)
+      val summary = StatisticsBuilder.writeFileStats(
+        spark, refs, indexSchema, numParts, new Path(indexDir, Metastore.FilesDir))
+      val dataSchema = summary.dataSchema.getOrElse(firstSchema)
 
       val sketchKind = if (conf.filterEnabled && indexSchema.nonEmpty) Some(conf.filterType) else None
       sketchKind.foreach { kind =>
-        val dataFiles = allFiles.map(_.getPath.toString)
         // Sketches cover a whole file, so size blooms by the largest
         // per-file row SUM, not the largest single row group — a
         // multi-row-group file would otherwise get an undersized bloom
         // (sound, but higher FPP → weaker pruning).
-        val maxFileRows = statsByPath.values.map(_.rowCount).maxOption.getOrElse(0L)
         StatisticsBuilder.buildSketches(
-          spark, dataFiles, indexSchema, kind,
-          expectedItems = math.max(4096L, maxFileRows),
+          spark, allFiles.map(_.getPath.toString), indexSchema, kind,
+          expectedItems = math.max(4096L, summary.maxFileRows),
           new Path(indexDir, Metastore.SketchDir))
-      }
-
-      val partitions = partDirs.map { case (values, files) =>
-        PartitionEntry(
-          values = partitionSchema.fields.zipWithIndex.toSeq.map { case (f, i) =>
-            IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
-          },
-          files = files.map { f =>
-            FileEntry(f.getPath.toString, f.getLen, f.getModificationTime,
-              statsByPath.get(f.getPath.toString).map(_.blocks).getOrElse(Nil))
-          })
       }
 
       metastore.writeMetadata(indexDir, IndexMetadata(
@@ -108,7 +103,13 @@ object IndexedDataSource {
         indexSchema = indexSchema,
         partitionSchema = partitionSchema,
         sketchKind = sketchKind,
-        partitions = partitions))
+        partitionValues = partDirs.map { case (values, _) =>
+          partitionSchema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+            IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
+          }
+        },
+        fileCount = summary.fileCount,
+        totalBytes = summary.totalBytes))
     }
   }
 
@@ -152,7 +153,9 @@ object IndexedDataSource {
   def deleteIndex(spark: SparkSession, path: String, dataspace: String): Unit = {
     val metastore = Metastore(spark)
     val tablePath = resolveTablePath(spark, path)
-    SketchStore.invalidate(new Path(metastore.location(dataspace, tablePath), Metastore.SketchDir))
+    val indexDir = metastore.location(dataspace, tablePath)
+    SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
+    IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
     metastore.delete(dataspace, tablePath)
   }
 

@@ -26,6 +26,10 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
   def filterEnabled: Boolean = get(IndexConf.FilterEnabled, "true").toBoolean
   def filterType: String = get(IndexConf.FilterType, Sketch.Bloom)
   def eagerLoading: Boolean = get(IndexConf.EagerLoading, "false").toBoolean
+  /** File count at/above which listFiles pruning runs as a Spark job over
+    * the files table instead of a driver-side fold. */
+  def distributedPruningThreshold: Long =
+    get(IndexConf.DistributedPruningThreshold, "100000").toLong
 }
 
 object IndexConf {
@@ -35,6 +39,7 @@ object IndexConf {
   val FilterEnabled = "spark.sql.index.parquet.filter.enabled"
   val FilterType = "spark.sql.index.parquet.filter.type"
   val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
+  val DistributedPruningThreshold = "spark.sql.index.pruning.distributedThreshold"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =
@@ -144,6 +149,7 @@ object Metastore {
   val SuccessFile = "_SUCCESS"
   val MetadataFile = "metadata.json"
   val SketchDir = "sketches"
+  val FilesDir = "files"
 
   val Dataspace = "source"
   val CatalogDataspace = "catalog"

@@ -34,8 +34,16 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object StatisticsBuilder {
 
-  /** Serializable file handle shipped to the footer job. */
-  case class FileRef(path: String, size: Long, modificationTime: Long)
+  /** Serializable file handle shipped to the footer job. `hosts` carries
+    * the file's block hosts for task locality (reference
+    * ParquetStatisticsRDD.getPreferredLocations, :100-121). */
+  case class FileRef(
+      path: String,
+      size: Long,
+      modificationTime: Long,
+      blockSize: Long = FileEntry.DefaultBlockSize,
+      locationsJson: String = "[]",
+      hosts: Seq[String] = Nil)
 
   /** Per-file footer read result: the file's own Spark schema (JSON, field
     * metadata preserved) + per-row-group statistics. */
@@ -43,27 +51,67 @@ object StatisticsBuilder {
     def rowCount: Long = blocks.map(_.rowCount).sum
   }
 
-  /** Read per-row-group statistics for `indexSchema` columns plus the file
-    * schema from each file's footer. Runs as a Spark job over the file
-    * list. */
-  def collectFooterStats(
+  /** Driver-side summary of the footer job (everything metadata.json
+    * needs; per-file rows live only in the written files table). */
+  case class FileStatsSummary(
+      dataSchema: Option[StructType],
+      fileCount: Long,
+      totalBytes: Long,
+      maxFileRows: Long)
+
+  /** The footer job: read per-row-group statistics for `indexSchema`
+    * columns plus each file's schema, and write the per-file rows
+    * STRAIGHT from the executors to the `files` parquet table —
+    * per-file stats never materialize on the driver, so index builds
+    * scale to millions of files. Tasks prefer the hosts holding the
+    * most bytes of their slice. Returns the merged data schema + counts. */
+  def writeFileStats(
       spark: SparkSession,
-      files: Seq[FileRef],
+      refs: Seq[(Int, FileRef)],
       indexSchema: StructType,
-      numPartitions: Int): Map[String, FileFooter] = {
-    if (files.isEmpty) return Map.empty
+      numPartitions: Int,
+      filesDir: Path): FileStatsSummary = {
+    if (refs.isEmpty) return FileStatsSummary(None, 0L, 0L, 0L)
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val fields = indexSchema.fields.map(f => (f.name, f.dataType.json))
-    val slices = math.max(1, math.min(numPartitions, files.size))
-    spark.sparkContext
-      .parallelize(files, slices)
-      .map { ref =>
-        val types = fields.map { case (n, dj) => (n, DataType.fromJson(dj)) }
-        ref.path -> readFooterBlocks(ref.path, types, confBc.value.value)
+    val slices = math.max(1, math.min(numPartitions, refs.size))
+    val perSlice = (refs.size + slices - 1) / slices
+    val grouped: Seq[(Seq[(Int, FileRef)], Seq[String])] =
+      refs.grouped(perSlice).toSeq.map { g =>
+        val byHost = g.flatMap { case (_, r) => r.hosts.map(_ -> r.size) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        val top = byHost.toSeq.sortBy(-_._2).take(3).map(_._1)
+        (g, top)
       }
-      .collect()
-      .toMap
+    val rows = spark.sparkContext
+      .makeRDD(grouped)
+      .flatMap { group =>
+        val types = fields.map { case (n, dj) => (n, DataType.fromJson(dj)) }
+        group.iterator.map { case (partitionIdx, ref) =>
+          val footer = readFooterBlocks(ref.path, types, confBc.value.value)
+          FileStatsRow(partitionIdx, ref.path, ref.size, ref.modificationTime,
+            ref.blockSize, ref.locationsJson, footer.schemaJson,
+            IndexMetadata.blocksToJsonString(footer.blocks), footer.rowCount)
+        }
+      }
+    spark.createDataFrame(rows)
+      .sortWithinPartitions("partitionIdx", "path")
+      .write.mode("overwrite").parquet(filesDir.toString)
+
+    // summary + schema merge from the written table (columnar reads of
+    // three small columns; distinct schemas are few even at 1M files)
+    val back = spark.read.parquet(filesDir.toString)
+    val agg = back.agg(
+      count(lit(1)), sum(col("size")), max(col("rowCount"))).head
+    val schemaJsons = back.groupBy(col("schemaJson"))
+      .agg(min(col("path")).as("firstPath"))
+      .orderBy(col("firstPath"))
+      .collect().map(_.getString(0))
+    val merged = schemaJsons
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .reduceOption(SparkInternals.mergeSchemas)
+    FileStatsSummary(merged, agg.getLong(0), agg.getLong(1), agg.getLong(2))
   }
 
   /** Executor-side: one footer read → schema + BlockStats per row group. */

@@ -6,12 +6,14 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Driver-side index metadata tree, persisted as versioned JSON at
+/** Driver-side index metadata SUMMARY, persisted as versioned JSON at
   * `<indexDir>/metadata.json` (design delta vs the reference's Kryo blob —
-  * SURVEY.md §7.1 #4). Shape mirrors the reference's ParquetIndexMetadata
-  * (metadata.scala:76-81): table path, schemas, partition spec, per-file
-  * per-row-group column statistics. Sketches live in a sibling parquet
-  * table (see SketchStore), not inline.
+  * SURVEY.md §7.1 #4): table path, schemas, partition values, counts.
+  * Per-file entries and row-group statistics live in the sibling
+  * `files` parquet table (written straight from the stats job's
+  * executors — they never materialize on the driver at create), and
+  * sketches in the `sketches` parquet table (see SketchStore). This keeps
+  * metadata.json O(partitions), not O(files × blocks × columns).
   */
 case class IndexMetadata(
     version: Int,
@@ -20,27 +22,60 @@ case class IndexMetadata(
     indexSchema: StructType,
     partitionSchema: StructType,
     sketchKind: Option[String],
-    partitions: Seq[PartitionEntry]) {
+    partitionValues: Seq[Seq[Option[String]]],
+    fileCount: Long,
+    totalBytes: Long) {
 
-  def allFiles: Seq[FileEntry] = partitions.flatMap(_.files)
   def indexedColumns: Set[String] = indexSchema.fieldNames.toSet
 }
 
-/** One Hive-style partition (or the whole table when unpartitioned —
-  * a single entry with no values). Values are stored as SQL-cast strings,
-  * None for the null partition. */
+/** One Hive-style partition's reconstructed file list (the whole table
+  * when unpartitioned — a single entry with no values). */
 case class PartitionEntry(values: Seq[Option[String]], files: Seq[FileEntry])
+
+/** One data-file block location (host list for an offset range). */
+case class BlockLoc(offset: Long, length: Long, hosts: Seq[String])
 
 case class FileEntry(
     path: String,
     size: Long,
     modificationTime: Long,
-    blocks: Seq[BlockStats])
+    blocks: Seq[BlockStats],
+    blockSize: Long = FileEntry.DefaultBlockSize,
+    locations: Seq[BlockLoc] = Nil)
+
+object FileEntry {
+  val DefaultBlockSize: Long = 128L * 1024 * 1024
+}
+
+/** One row of the `files` parquet table: flat primitives + JSON-encoded
+  * nested parts so both Spark jobs and parquet-hadoop Group reads handle
+  * it without converters. */
+case class FileStatsRow(
+    partitionIdx: Int,
+    path: String,
+    size: Long,
+    modificationTime: Long,
+    blockSize: Long,
+    locationsJson: String,
+    schemaJson: String,
+    blocksJson: String,
+    rowCount: Long) {
+
+  def toEntry: FileEntry = FileEntry(
+    path, size, modificationTime,
+    IndexMetadata.blocksFromJsonString(blocksJson),
+    blockSize,
+    IndexMetadata.locationsFromJsonString(locationsJson))
+}
 
 object IndexMetadata {
   // v2: sketch table keyed by normalized file path + sorted by (file,
-  // column) for pruned query-time reads; v1 indexes must be rebuilt.
-  val CurrentVersion = 2
+  // column) for pruned query-time reads.
+  // v3: per-file stats moved out of metadata.json into the `files`
+  // parquet table (written by the stats job's executors); metadata.json
+  // is an O(partitions) summary. Older indexes must be rebuilt.
+  val CurrentVersion = 3
 
   /** Render a Catalyst-internal partition value as a string (via Cast to
     * string), parse back with [[castFromString]]. */
@@ -101,23 +136,31 @@ object IndexMetadata {
       case _ => Map.empty
     })
 
-  private def fileToJson(f: FileEntry): JValue = JObject(
-    "path" -> JString(f.path),
-    "size" -> JLong(f.size),
-    "modificationTime" -> JLong(f.modificationTime),
-    "blocks" -> JArray(f.blocks.toList.map(blockToJson)))
-
-  private def fileFromJson(j: JValue): FileEntry = FileEntry(
-    path = (j \ "path").asInstanceOf[JString].s,
-    size = jlong(j \ "size"),
-    modificationTime = jlong(j \ "modificationTime"),
-    blocks = (j \ "blocks").asInstanceOf[JArray].arr.map(blockFromJson))
-
   private def jlong(j: JValue): Long = j match {
     case JLong(l) => l
     case JInt(i) => i.toLong
     case other => throw new IllegalArgumentException(s"expected long, got $other")
   }
+
+  /** Per-file block stats ↔ compact JSON (the `blocksJson` column of the
+    * files table; parsed executor-side in the distributed prune). */
+  def blocksToJsonString(blocks: Seq[BlockStats]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(blocks.toList.map(blockToJson))))
+
+  def blocksFromJsonString(s: String): Seq[BlockStats] =
+    JsonMethods.parse(s).asInstanceOf[JArray].arr.map(blockFromJson)
+
+  def locationsToJsonString(locs: Seq[BlockLoc]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(locs.toList.map(l =>
+      JArray(List(JLong(l.offset), JLong(l.length),
+        JArray(l.hosts.toList.map(JString(_): JValue))))))))
+
+  def locationsFromJsonString(s: String): Seq[BlockLoc] =
+    JsonMethods.parse(s).asInstanceOf[JArray].arr.map {
+      case JArray(List(off, len, JArray(hosts))) =>
+        BlockLoc(jlong(off), jlong(len), hosts.map(_.asInstanceOf[JString].s))
+      case other => throw new IllegalArgumentException(s"bad location json $other")
+    }
 
   def toJsonString(m: IndexMetadata): String = {
     val j = JObject(
@@ -127,11 +170,10 @@ object IndexMetadata {
       "indexSchema" -> JString(m.indexSchema.json),
       "partitionSchema" -> JString(m.partitionSchema.json),
       "sketchKind" -> m.sketchKind.map(JString(_): JValue).getOrElse(JNothing),
-      "partitions" -> JArray(m.partitions.toList.map { p =>
-        JObject(
-          "values" -> JArray(p.values.toList.map(_.map(JString(_): JValue).getOrElse(JNull))),
-          "files" -> JArray(p.files.toList.map(fileToJson)))
-      }))
+      "partitionValues" -> JArray(m.partitionValues.toList.map(p =>
+        JArray(p.toList.map(_.map(JString(_): JValue).getOrElse(JNull))))),
+      "fileCount" -> JLong(m.fileCount),
+      "totalBytes" -> JLong(m.totalBytes))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -150,14 +192,14 @@ object IndexMetadata {
       indexSchema = DataType.fromJson((j \ "indexSchema").asInstanceOf[JString].s).asInstanceOf[StructType],
       partitionSchema = DataType.fromJson((j \ "partitionSchema").asInstanceOf[JString].s).asInstanceOf[StructType],
       sketchKind = (j \ "sketchKind").toOption.collect { case JString(k) => k },
-      partitions = (j \ "partitions").asInstanceOf[JArray].arr.map { p =>
-        PartitionEntry(
-          values = (p \ "values").asInstanceOf[JArray].arr.map {
-            case JNull => None
-            case JString(v) => Some(v)
-            case other => throw new IllegalArgumentException(s"bad partition value $other")
-          },
-          files = (p \ "files").asInstanceOf[JArray].arr.map(fileFromJson))
-      })
+      partitionValues = (j \ "partitionValues").asInstanceOf[JArray].arr.map { p =>
+        p.asInstanceOf[JArray].arr.map {
+          case JNull => None
+          case JString(v) => Some(v)
+          case other => throw new IllegalArgumentException(s"bad partition value $other")
+        }
+      },
+      fileCount = jlong(j \ "fileCount"),
+      totalBytes = jlong(j \ "totalBytes"))
   }
 }

@@ -88,6 +88,9 @@ object Streaming {
       path: String,
       keys: Seq[String],
       batchId: Long): Unit = {
+    // watermark finalization triggers a no-data microbatch — nothing to
+    // upsert, skip the rewrite
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val dataPath = new org.apache.hadoop.fs.Path(path)
@@ -100,7 +103,10 @@ object Streaming {
           .unionByName(batch)
       }
     val tmp = new org.apache.hadoop.fs.Path(s"${path}_tmp_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.toString)
+    // The sink's cardinality is windows × event types — orders of
+    // magnitude below the input — so a handful of files suffices and
+    // avoids per-trigger small-file buildup.
+    merged.coalesce(4).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(dataPath, true)
     fs.rename(tmp, dataPath)
     ()

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{BlockLocation, FileStatus, LocatedFileStatus, Path}
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.sources.{And => SAnd, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.util.SerializableConfiguration
 
-import graft.index.{FileEntry, FilterFold, IndexMetadata, SketchStore}
+import graft.index.{FileEntry, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
 
 /** The product: a Spark [[FileIndex]] that serves the file listing from the
   * persisted index metadata and prunes partitions AND files inside
@@ -24,6 +25,13 @@ import graft.index.{FileEntry, FilterFold, IndexMetadata, SketchStore}
   * MetastoreIndex.scala:80-84 hack) are needed — stock FileSourceStrategy
   * drives the index, and the full predicate is still applied after the scan,
   * keeping pruning purely an optimization.
+  *
+  * Scale design: metadata.json is an O(partitions) summary; per-file stats
+  * live in the `files` parquet table. Tables below
+  * `spark.sql.index.pruning.distributedThreshold` files fold on the driver
+  * from a cached read of that table; larger tables run the SAME fold as a
+  * Spark job over it (executors probe sketches for their own survivor
+  * slices), and only surviving entries ever reach the driver.
   */
 class GraftFileIndex(
     spark: SparkSession,
@@ -32,16 +40,21 @@ class GraftFileIndex(
   extends FileIndex with Logging {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val filesDir = new Path(indexDir, graft.index.Metastore.FilesDir)
 
-  // (partition values row, files) reconstructed once per instance
-  private lazy val partitionEntries: Seq[(InternalRow, Seq[FileEntry])] =
-    meta.partitions.map { p =>
-      val values = InternalRow.fromSeq(
-        p.values.zip(meta.partitionSchema.fields).map { case (s, f) =>
-          IndexMetadata.castFromString(f.dataType, s)
-        })
-      (values, p.files)
+  /** Partition value rows in files-table partitionIdx order. */
+  private lazy val partitionValueRows: Seq[InternalRow] =
+    meta.partitionValues.map { vals =>
+      InternalRow.fromSeq(vals.zip(meta.partitionSchema.fields).map { case (s, f) =>
+        IndexMetadata.castFromString(f.dataType, s)
+      })
     }
+
+  /** Driver-path file entries grouped by partitionIdx (cached per index
+    * dir; only used below the distributed-pruning threshold). */
+  private lazy val entriesByPartition: Map[Int, Seq[FileEntry]] =
+    IndexFilesTable.readAll(filesDir, hadoopConf)
+      .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
 
   private def sketchStore: SketchStore =
     SketchStore.forDir(new Path(indexDir, graft.index.Metastore.SketchDir), hadoopConf)
@@ -49,7 +62,9 @@ class GraftFileIndex(
   /** files-scanned telemetry for the last listFiles call (read by tests
     * and the bench harness). */
   @volatile var lastListedFiles: Long = -1L
-  @volatile var lastTotalFiles: Long = meta.allFiles.size.toLong
+  @volatile var lastTotalFiles: Long = meta.fileCount
+  /** True iff the last listFiles pruning ran as a Spark job. */
+  @volatile var lastPrunedDistributed: Boolean = false
 
   override def rootPaths: Seq[Path] = Seq(new Path(meta.tablePath))
 
@@ -61,12 +76,15 @@ class GraftFileIndex(
 
     // 1. partition pruning — interpreted predicate over partition values
     //    (reference ParquetIndex.prunePartitions, ParquetIndex.scala:112-145)
-    val afterPartitions =
-      if (partitionFilters.isEmpty || meta.partitionSchema.isEmpty) partitionEntries
+    val keptPartitions: Seq[(Int, InternalRow)] = {
+      val all = partitionValueRows.zipWithIndex.map(_.swap)
+      if (partitionFilters.isEmpty || meta.partitionSchema.isEmpty) all
       else {
         val pred = SparkInternals.compilePredicate(partitionFilters, meta.partitionSchema)
-        partitionEntries.filter { case (values, _) => pred(values) }
+        all.filter { case (_, values) => pred(values) }
       }
+    }
+    val allPartitionsKept = keptPartitions.size == meta.partitionValues.size
 
     // 2. index pruning — translate data filters, keep those fully covered
     //    by indexed columns (reference IndexSourceStrategy.scala:63-66),
@@ -76,47 +94,32 @@ class GraftFileIndex(
       .flatMap(SparkInternals.translateFilter)
       .filter(_.references.forall(r => indexed.contains(r.toLowerCase)))
 
-    val counted = new LongAdder
-    val result = afterPartitions.map { case (values, files) =>
-      val kept =
-        if (indexFilters.isEmpty) files
-        else {
-          val combined = indexFilters.reduce(SAnd)
-          // Fold verdicts are independent per file — evaluate them on the
-          // driver's common pool (the reference used per-file Futures,
-          // ParquetIndex.scala:166-178). Sequential fallback for few files.
-          def prune(fs: Seq[FileEntry])(mayContain: FileEntry => Boolean): Seq[FileEntry] =
-            if (fs.size < 64) fs.filter(mayContain)
-            else {
-              import scala.jdk.CollectionConverters._
-              fs.asJava.parallelStream().filter(f => mayContain(f))
-                .collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
-            }
-          // Pass 1: min/max-only fold — no sketch IO.
-          val survivors = prune(files)(f =>
-            FilterFold.fileMayContain(combined, f.blocks, _ => None, meta.indexSchema))
-          // Pass 2: sketches refine equality/IN verdicts, loaded in ONE
-          // pruned parquet read restricted to the survivor set (the 100 TB
-          // path: driver sketch residency is bounded by query selectivity,
-          // not table size). Range-only queries skip sketch IO entirely.
-          if (meta.sketchKind.isDefined && survivors.nonEmpty &&
-              FilterFold.usesMembership(combined)) {
-            val store = sketchStore
-            store.ensureLoaded(survivors.map(_.path))
-            prune(survivors)(f =>
-              FilterFold.fileMayContain(
-                combined, f.blocks, col => store.sketchFor(f.path, col),
-                meta.indexSchema))
-          } else survivors
+    val distributed = meta.fileCount >= IndexConf(spark).distributedPruningThreshold
+    lastPrunedDistributed = false
+    val keptByPartition: Map[Int, Seq[FileEntry]] = indexFilters match {
+      case Nil =>
+        survivorsUnfiltered(keptPartitions.map(_._1), allPartitionsKept, distributed)
+      case fs =>
+        val combined = fs.reduce(SAnd)
+        if (distributed) {
+          lastPrunedDistributed = true
+          distributedPrune(combined, keptPartitions.map(_._1).toSet, allPartitionsKept)
+        } else {
+          driverPrune(combined, keptPartitions.map(_._1))
         }
+    }
+
+    val counted = new LongAdder
+    val result = keptPartitions.map { case (idx, values) =>
+      val kept = keptByPartition.getOrElse(idx, Nil)
       counted.add(kept.size.toLong)
       SparkInternals.partitionDirectory(values, kept.map(toFileStatus).toArray)
     }
     lastListedFiles = counted.sum()
-    lastTotalFiles = meta.allFiles.size.toLong
+    lastTotalFiles = meta.fileCount
     if (indexFilters.nonEmpty) {
       logInfo(s"graft index pruning: kept $lastListedFiles/$lastTotalFiles files " +
-        s"for filters ${indexFilters.mkString(", ")}")
+        s"(distributed=$lastPrunedDistributed) for filters ${indexFilters.mkString(", ")}")
     }
     result.filter(_.files.nonEmpty) match {
       // keep at least the empty listing shape Spark expects
@@ -126,12 +129,111 @@ class GraftFileIndex(
     }
   }
 
-  private def toFileStatus(f: FileEntry): FileStatus =
-    new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime, new Path(f.path))
+  /** No index filters: the listing is every file of the kept partitions. */
+  private def survivorsUnfiltered(
+      keptIdx: Seq[Int],
+      allPartitionsKept: Boolean,
+      distributed: Boolean): Map[Int, Seq[FileEntry]] = {
+    if (!distributed) {
+      keptIdx.map(i => i -> entriesByPartition.getOrElse(i, Nil)).toMap
+    } else {
+      // big table, no cacheable driver copy — stream the rows of the kept
+      // partitions only (partitionIdx pushdown into the files table)
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      var ds = classic.read.parquet(filesDir.toString).as[FileStatsRow]
+      if (!allPartitionsKept) ds = ds.where($"partitionIdx".isin(keptIdx: _*))
+      ds.collect().toSeq.groupBy(_.partitionIdx)
+        .view.mapValues(_.map(_.toEntry)).toMap
+    }
+  }
 
-  override def inputFiles: Array[String] = meta.allFiles.map(_.path).toArray
+  /** Driver-side two-pass fold (min/max, then pruned sketch refinement);
+    * the reference's per-file Futures (ParquetIndex.scala:166-178) become
+    * a parallel stream. */
+  private def driverPrune(
+      combined: Filter,
+      keptIdx: Seq[Int]): Map[Int, Seq[FileEntry]] = {
+    def prune(fs: Seq[FileEntry])(mayContain: FileEntry => Boolean): Seq[FileEntry] =
+      if (fs.size < 64) fs.filter(mayContain)
+      else {
+        import scala.jdk.CollectionConverters._
+        fs.asJava.parallelStream().filter(f => mayContain(f))
+          .collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
+      }
+    keptIdx.map { idx =>
+      val files = entriesByPartition.getOrElse(idx, Nil)
+      // Pass 1: min/max-only fold — no sketch IO.
+      val survivors = prune(files)(f =>
+        FilterFold.fileMayContain(combined, f.blocks, _ => None, meta.indexSchema))
+      // Pass 2: sketches refine equality/IN verdicts, loaded in ONE pruned
+      // parquet read restricted to the survivor set. Range-only queries
+      // skip sketch IO entirely.
+      val kept =
+        if (meta.sketchKind.isDefined && survivors.nonEmpty &&
+            FilterFold.usesMembership(combined)) {
+          val store = sketchStore
+          store.ensureLoaded(survivors.map(_.path))
+          prune(survivors)(f =>
+            FilterFold.fileMayContain(
+              combined, f.blocks, col => store.sketchFor(f.path, col),
+              meta.indexSchema))
+        } else survivors
+      idx -> kept
+    }.toMap
+  }
 
-  override def refresh(): Unit = ()
+  /** The same fold as a Spark job over the files table: executors parse
+    * their slice's stats, apply min/max, then probe sketches for their own
+    * survivors (pruned `file IN` reads). Only surviving entries are
+    * collected — driver residency is O(survivors) regardless of table
+    * size. */
+  private def distributedPrune(
+      combined: Filter,
+      keptIdx: Set[Int],
+      allPartitionsKept: Boolean): Map[Int, Seq[FileEntry]] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val schemaJson = meta.indexSchema.json
+    val useMembership = meta.sketchKind.isDefined && FilterFold.usesMembership(combined)
+    val sketchDirStr = new Path(indexDir, graft.index.Metastore.SketchDir).toString
+    val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    val filterBc = spark.sparkContext.broadcast(combined)
+    var ds = classic.read.parquet(filesDir.toString).as[FileStatsRow]
+    if (!allPartitionsKept) ds = ds.where($"partitionIdx".isin(keptIdx.toSeq: _*))
+    val survivors = ds.mapPartitions { it =>
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val filter = filterBc.value
+      val minMax = it.filter(r => FilterFold.fileMayContain(
+        filter, IndexMetadata.blocksFromJsonString(r.blocksJson), _ => None, schema))
+      if (!useMembership) minMax
+      else {
+        val surv = minMax.toVector
+        if (surv.isEmpty) Iterator.empty
+        else {
+          val store = new SketchStore(new Path(sketchDirStr), confBc.value.value)
+          store.ensureLoaded(surv.map(_.path))
+          surv.iterator.filter(r => FilterFold.fileMayContain(
+            filter, IndexMetadata.blocksFromJsonString(r.blocksJson),
+            col => store.sketchFor(r.path, col), schema))
+        }
+      }
+    }.collect()
+    survivors.toSeq.groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
+  }
 
-  override def sizeInBytes: Long = meta.allFiles.map(_.size).sum
+  private def toFileStatus(f: FileEntry): FileStatus = {
+    val base = new FileStatus(
+      f.size, false, 1, f.blockSize, f.modificationTime, new Path(f.path))
+    if (f.locations.isEmpty) base
+    else new LocatedFileStatus(base, f.locations.map(l =>
+      new BlockLocation(l.hosts.toArray, l.hosts.toArray, l.offset, l.length)).toArray)
+  }
+
+  override def inputFiles: Array[String] =
+    IndexFilesTable.readAll(filesDir, hadoopConf).map(_.path).toArray
+
+  override def refresh(): Unit = IndexFilesTable.invalidate(filesDir)
+
+  override def sizeInBytes: Long = meta.totalBytes
 }

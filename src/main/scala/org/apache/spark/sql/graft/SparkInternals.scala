@@ -83,6 +83,15 @@ object SparkInternals {
     (partitionSchema, dirs)
   }
 
+  /** Block locations of a listed file (present when the listing produced
+    * LocatedFileStatus — e.g. HDFS; empty on plain FileStatus). */
+  def blockLocations(f: FileStatus): Seq[graft.index.BlockLoc] = f match {
+    case l: org.apache.hadoop.fs.LocatedFileStatus =>
+      l.getBlockLocations.toSeq.map(b =>
+        graft.index.BlockLoc(b.getOffset, b.getLength, b.getHosts.toSeq.filterNot(_ == "localhost")))
+    case _ => Nil
+  }
+
   /** Merge two file schemas (type widening + new-field append), preserving
     * per-field metadata from the left/first occurrence — the reference's
     * ParquetSchemaUtils.merge (:98-124) via Spark's own StructType.merge. */

@@ -423,6 +423,27 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.rowsRead.sum == before, "range query must not load sketches")
   }
 
+  test("distributed pruning path (threshold forced low) matches driver path") {
+    spark.conf.set(IndexConf.DistributedPruningThreshold, "1")
+    try {
+      val key = spark.read.parquet(tablePath).select("l_orderkey").head.getLong(0)
+      val indexed = spark.index.parquet(tablePath).filter(col("l_orderkey") === key)
+      checkSame(indexed, spark.read.parquet(tablePath).filter(col("l_orderkey") === key))
+      val fi = indexed.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+      indexed.collect()
+      assert(fi.exists(_.lastPrunedDistributed), "expected the Spark-job fold path")
+      assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+        s"distributed fold must still prune: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+      // range filter + unfiltered listing also work distributed
+      checkSame(
+        spark.index.parquet(tablePath).filter(col("l_orderkey") > key),
+        spark.read.parquet(tablePath).filter(col("l_orderkey") > key))
+      checkSame(spark.index.parquet(tablePath), spark.read.parquet(tablePath))
+    } finally spark.conf.unset(IndexConf.DistributedPruningThreshold)
+  }
+
   test("eager sketch loading returns same results") {
     spark.conf.set(IndexConf.EagerLoading, "true")
     try {
