@@ -290,6 +290,35 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    // Statistical aggregates: stddev/variance/median (exact interpolated
+    // percentile — matches DuckDB quantile_cont).
+    "q_agg_stats" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev($"l_quantity"), 4).as("sd_qty"),
+          round(var_samp($"l_quantity"), 4).as("var_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(min($"l_extendedprice"), 2).as("min_price"),
+          round(max($"l_extendedprice"), 2).as("max_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Array functions over split text (size/contains/element_at/sort+join).
+    "q_scalar_array" -> ((s, dir) => {
+      import s.implicits._
+      val words = split($"p_type", " ")
+      tbl(s, dir, "part")
+        .select(
+          $"p_partkey",
+          size(words).as("n_words"),
+          array_contains(words, "BRUSHED").cast("int").as("has_brushed"),
+          element_at(words, 1).as("first_word"),
+          array_join(sort_array(words), "_").as("sorted_words"))
+        .orderBy($"p_partkey")
+    }),
+
     // ------------------------------------------------------------------
     // Index engine (SURVEY.md §2.1): indexed Parquet scans — point,
     // range, IN, And/Or with unindexed residue, string equality — over a
@@ -438,6 +467,15 @@ object SparkEntry {
           numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
         .select($"id_a", $"id_b")
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Near-duplicate clusters: LSH pairs → exact-Jaccard verify →
+    // connected components (the shape corpus dedup actually ships).
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.duplicateClusters(
+          tbl(s, dir, "documents"), $"doc_id", $"text", shingleK = 3, threshold = 0.5)
+        .orderBy($"cluster_id")
     }),
 
     // SimHash Hamming-distance near-dup pairs. Token hash = md5-lower-64
@@ -692,6 +730,23 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
         |FROM orders""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scalar_array" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
+        |  CAST(list_contains(string_split(p_type, ' '), 'BRUSHED') AS INT)
+        |    AS has_brushed,
+        |  string_split(p_type, ' ')[1] AS first_word,
+        |  array_to_string(list_sort(string_split(p_type, ' ')), '_')
+        |    AS sorted_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_text_tokens" ->
       """WITH t AS (SELECT doc_id, text,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -771,6 +826,30 @@ object SparkEntry {
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.node),
+        |lbl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT cluster_id, count(*) AS size,
+        |  list_sort(list(node)) AS members
+        |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

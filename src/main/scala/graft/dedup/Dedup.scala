@@ -166,6 +166,59 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  // ---- duplicate clusters (connected components) ----------------------
+
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * returns (id, label) where label = min id reachable from id.
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the minimum — rounds = graph diameter, and near-dup
+    * graphs are unions of small cliques, so it converges in 2-3 rounds.
+    * Every round is one shuffle on id; `localCheckpoint` truncates the
+    * growing lineage so plans stay O(1) per round. (At extreme diameters
+    * the alternating large-star/small-star formulation halves rounds;
+    * not needed for dedup graphs.) */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: LSH-candidate pairs verified by exact
+    * n-gram Jaccard ≥ threshold, closed under transitivity. One row per
+    * cluster: (cluster_id = min member id, size, sorted members). */
+  def duplicateClusters(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, id, text, shingleK, threshold)
+    connectedComponents(pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("size"), sort_array(collect_list(col("id"))).as("members"))
+  }
+
   // ---- exact n-gram Jaccard -------------------------------------------
 
   /** Exact Jaccard over distinct n-gram shingles, pairs with sim ≥

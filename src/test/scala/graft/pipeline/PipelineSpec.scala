@@ -127,6 +127,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
   }
 
+  test("connected components: chain + clique + singleton edges") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), clique 10-11-12, pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("duplicateClusters groups transitive near-dups") {
+    val clusters = Dedup.duplicateClusters(docs, $"id", $"text", threshold = 0.5)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map { case (cid, size, members) => cid -> ((size, members)) }.toMap
+    // docs 1, 2, 5 are mutual near-dups (see fixtures above)
+    assert(clusters(1L) == ((3L, Seq(1L, 2L, 5L))), s"got $clusters")
+  }
+
   test("ngram jaccard: candidate path equals exact path here") {
     val fast = Dedup.ngramJaccardPairs(docs, $"id", $"text", threshold = 0.5)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
