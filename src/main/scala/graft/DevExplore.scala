@@ -3,16 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Throwaway: dump only the changed queries + their oracles for a quick
-  * local DuckDB compare (deleted before round end). */
+/** Throwaway dev harness (deleted before round end):
+  *   - default: dump named queries + oracles for a quick DuckDB compare;
+  *   - "plans": audit every query's physical plan for scale red flags.
+  */
 object DevExplore {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = if (args.length > 1) args(1) else "target/verify_delta"
-    val names = args.drop(2).toSeq match {
-      case Nil => Seq("q_dedup_simhash", "q_ann_cosine_pairs", "q_ann_lsh")
-      case xs => xs
-    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -20,6 +16,35 @@ object DevExplore {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.headOption.contains("plans")) {
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+      val skip = Set("q_stream_hourly", "q_stream_hourly_update", "q_sessionize")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!skip.contains(name)) {
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.executedPlan.toString
+            val flags = Seq(
+              "CartesianProduct" -> plan.contains("CartesianProduct"),
+              "NestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+              "noWSCG" -> !plan.contains("WholeStageCodegen")
+            ).collect { case (f, true) => f }
+            val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+              .findAllIn(plan).length
+            println(s"PLAN $name: exchanges=$exchanges flags=${flags.mkString(",")}")
+          } catch { case e: Throwable => println(s"PLAN $name: ERROR $e") }
+        }
+      }
+      spark.stop(); return
+    }
+
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "target/verify_delta"
+    val names = args.drop(2).toSeq match {
+      case Nil => Seq("q_dedup_simhash", "q_ann_cosine_pairs", "q_ann_lsh")
+      case xs => xs
+    }
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
