@@ -305,6 +305,27 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // PIVOT (conditional aggregation with fixed value list).
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum($"o_totalprice"), 2))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Correlated scalar subquery through the SQL surface.
+    "q_subquery_scalar" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM graft_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM graft_customer c ORDER BY c_custkey LIMIT 1000""".stripMargin)
+    }),
+
     // Array functions over split text (size/contains/element_at/sort+join).
     "q_scalar_array" -> ((s, dir) => {
       import s.implicits._
@@ -561,9 +582,13 @@ object SparkEntry {
 
     // Same aggregation through the at-scale sink: update output mode +
     // foreachBatch parquet upsert (no complete-mode driver materialization).
+    // Fixed scratch location, wiped per run — repeated Verify/Bench calls
+    // don't accumulate checkpoint/sink garbage.
     "q_stream_hourly_update" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+      val sfName = new java.io.File(dir).getName
+      val out = s"$scratchRoot/$sfName/stream_upsert"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       graft.streaming.Streaming.hourlyEventCountsUpsert(s, dir, out)
         .orderBy($"win_start", $"event_type")
     }),
@@ -601,20 +626,22 @@ object SparkEntry {
     if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
-  /** Sign-bit LSH bucket of `vecCol` in table `t` as a DuckDB expression —
-    * mirrors [[graft.ann.Ann.lshBucket]] over the same seeded planes. */
-  private def bucketSql(vecCol: String, nBits: Int, dim: Int, seed: Long): String =
-    graft.ann.Ann.hyperplanes(nBits, dim, seed).zipWithIndex.map { case (p, i) =>
+  /** Sign-bit LSH bucket of `vecCol` over the given planes as a DuckDB
+    * expression — mirrors [[graft.ann.Ann.lshBucket]]. */
+  private def bucketSql(vecCol: String, dim: Int, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       val plane = p.map(sqlDouble).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(range(1,${dim + 1}), " +
         s"j -> CAST($vecCol[j] AS DOUBLE) * $plane[j])) > 0 " +
         s"THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** One bucket column per LSH table (seed 42+t, as hyperplaneTables). */
+  /** One bucket column per LSH table, derived from the SAME
+    * [[graft.ann.Ann.hyperplaneTables]] the operators use. */
   private def bucketColsSql(vecCol: String, nBits: Int, dim: Int, tables: Int): String =
-    (0 until tables).map(t =>
-      s"  ${bucketSql(vecCol, nBits, dim, 42L + t)} AS b$t").mkString(",\n")
+    graft.ann.Ann.hyperplaneTables(nBits, dim, tables).zipWithIndex.map { case (planes, t) =>
+      s"  ${bucketSql(vecCol, dim, planes)} AS b$t"
+    }.mkString(",\n")
 
   /** Cosine of two DuckDB float-list columns in double precision. */
   private def cosineSql(a: String, b: String, dim: Int): String = {
@@ -738,6 +765,17 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey LIMIT 1000""".stripMargin,
     "q_scalar_array" ->
       """SELECT p_partkey,
         |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,

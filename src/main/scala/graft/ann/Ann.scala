@@ -67,11 +67,16 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** Hyperplane tables for multi-table LSH: table t uses seed+t, so every
-    * table is derivable from (nBits, dim, tables, seed) alone. */
+  /** Hyperplane tables for multi-table LSH, derivable from
+    * (nBits, dim, tables, seed) alone. Each table's seed is byteswap64-
+    * mixed: a plain `seed + t` would collide with the `(b<<32) ^ d` seed
+    * layout inside [[hyperplanes]] (42^d == 43^(d^1)), making the tables
+    * coordinate PERMUTATIONS of each other instead of independent —
+    * silently collapsing the multi-table recall gain. */
   def hyperplaneTables(
       nBits: Int, dim: Int, tables: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] =
-    (0 until tables).map(t => hyperplanes(nBits, dim, seed + t))
+    (0 until tables).map(t =>
+      hyperplanes(nBits, dim, scala.util.hashing.byteswap64(seed + 0x9E3779B97F4A7C15L * (t + 1))))
 
   /** Driver-side bucket of a literal query vector in one table. */
   def bucketOf(query: Seq[Double], planes: Seq[Seq[Double]]): Long =

@@ -201,6 +201,12 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          s"($changed labels still changing) — graph diameter exceeds maxIterations; " +
+          "raise it or pre-contract the graph")
+    }
     labels
   }
 

@@ -174,7 +174,7 @@ object IndexedDataSource {
       createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true, options)
     }
     val (indexDir, meta) = metastore.load(dataspace, tablePath)
-    val fileIndex = new GraftFileIndex(spark, indexDir, meta)
+    val fileIndex = new GraftFileIndex(spark, indexDir, meta, conf)
     if (conf.eagerLoading && meta.sketchKind.isDefined) {
       SketchStore.forDir(new Path(indexDir, Metastore.SketchDir),
         spark.sparkContext.hadoopConfiguration).preload()

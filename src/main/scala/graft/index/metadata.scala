@@ -29,10 +29,6 @@ case class IndexMetadata(
   def indexedColumns: Set[String] = indexSchema.fieldNames.toSet
 }
 
-/** One Hive-style partition's reconstructed file list (the whole table
-  * when unpartitioned — a single entry with no values). */
-case class PartitionEntry(values: Seq[Option[String]], files: Seq[FileEntry])
-
 /** One data-file block location (host list for an offset range). */
 case class BlockLoc(offset: Long, length: Long, hosts: Seq[String])
 
@@ -66,6 +62,25 @@ case class FileStatsRow(
     path, size, modificationTime,
     IndexMetadata.blocksFromJsonString(blocksJson),
     blockSize,
+    IndexMetadata.locationsFromJsonString(locationsJson))
+
+  def toListRow: FileListRow =
+    FileListRow(partitionIdx, path, size, modificationTime, blockSize, locationsJson)
+}
+
+/** Slim projection of [[FileStatsRow]] for building the scan listing:
+  * no stats/schema blobs, so collecting survivors of the distributed
+  * prune ships only what toFileStatus needs. */
+case class FileListRow(
+    partitionIdx: Int,
+    path: String,
+    size: Long,
+    modificationTime: Long,
+    blockSize: Long,
+    locationsJson: String) {
+
+  def toEntry: FileEntry = FileEntry(
+    path, size, modificationTime, Nil, blockSize,
     IndexMetadata.locationsFromJsonString(locationsJson))
 }
 

@@ -81,9 +81,11 @@ object Streaming {
 
   /** Last-write-wins upsert of `batch` into a parquet dir keyed by `keys`:
     * surviving old rows (anti-join on the batch's keys) + the new batch are
-    * written to a temp dir and swapped in atomically. The plain-parquet
-    * stand-in for a MERGE-capable table format sink. */
-  private def upsertParquet(
+    * written to a temp dir, the old dir is renamed aside, the new one
+    * renamed in, and only then is the old data deleted — a crash between
+    * steps leaves either the old or the new complete sink on disk, never
+    * neither. The plain-parquet stand-in for a MERGE-capable table format. */
+  private[streaming] def upsertParquet(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       path: String,
       keys: Seq[String],
@@ -107,8 +109,10 @@ object Streaming {
     // magnitude below the input — so a handful of files suffices and
     // avoids per-trigger small-file buildup.
     merged.coalesce(4).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dataPath, true)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old_$batchId")
+    if (fs.exists(dataPath)) fs.rename(dataPath, old)
     fs.rename(tmp, dataPath)
+    if (fs.exists(old)) fs.delete(old, true)
     ()
   }
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.{And => SAnd, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.index.{FileEntry, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
+import graft.index.{FileEntry, FileListRow, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
 
 /** The product: a Spark [[FileIndex]] that serves the file listing from the
   * persisted index metadata and prunes partitions AND files inside
@@ -36,8 +36,12 @@ import graft.index.{FileEntry, FileStatsRow, FilterFold, IndexConf, IndexFilesTa
 class GraftFileIndex(
     spark: SparkSession,
     indexDir: Path,
-    meta: IndexMetadata)
+    meta: IndexMetadata,
+    conf: IndexConf)
   extends FileIndex with Logging {
+
+  def this(spark: SparkSession, indexDir: Path, meta: IndexMetadata) =
+    this(spark, indexDir, meta, IndexConf(spark))
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val filesDir = new Path(indexDir, graft.index.Metastore.FilesDir)
@@ -94,7 +98,7 @@ class GraftFileIndex(
       .flatMap(SparkInternals.translateFilter)
       .filter(_.references.forall(r => indexed.contains(r.toLowerCase)))
 
-    val distributed = meta.fileCount >= IndexConf(spark).distributedPruningThreshold
+    val distributed = meta.fileCount >= conf.distributedPruningThreshold
     lastPrunedDistributed = false
     val keptByPartition: Map[Int, Seq[FileEntry]] = indexFilters match {
       case Nil =>
@@ -137,13 +141,16 @@ class GraftFileIndex(
     if (!distributed) {
       keptIdx.map(i => i -> entriesByPartition.getOrElse(i, Nil)).toMap
     } else {
-      // big table, no cacheable driver copy — stream the rows of the kept
-      // partitions only (partitionIdx pushdown into the files table)
+      // big table, no cacheable driver copy — collect only the slim
+      // listing columns of the kept partitions (partitionIdx pushdown +
+      // column pruning into the files table; no stats/schema blobs)
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
-      var ds = classic.read.parquet(filesDir.toString).as[FileStatsRow]
+      var ds = classic.read.parquet(filesDir.toString)
       if (!allPartitionsKept) ds = ds.where($"partitionIdx".isin(keptIdx: _*))
-      ds.collect().toSeq.groupBy(_.partitionIdx)
+      ds.select($"partitionIdx", $"path", $"size", $"modificationTime",
+          $"blockSize", $"locationsJson").as[FileListRow]
+        .collect().toSeq.groupBy(_.partitionIdx)
         .view.mapValues(_.map(_.toEntry)).toMap
     }
   }
@@ -206,18 +213,21 @@ class GraftFileIndex(
       val filter = filterBc.value
       val minMax = it.filter(r => FilterFold.fileMayContain(
         filter, IndexMetadata.blocksFromJsonString(r.blocksJson), _ => None, schema))
-      if (!useMembership) minMax
-      else {
-        val surv = minMax.toVector
-        if (surv.isEmpty) Iterator.empty
+      val kept =
+        if (!useMembership) minMax
         else {
-          val store = new SketchStore(new Path(sketchDirStr), confBc.value.value)
-          store.ensureLoaded(surv.map(_.path))
-          surv.iterator.filter(r => FilterFold.fileMayContain(
-            filter, IndexMetadata.blocksFromJsonString(r.blocksJson),
-            col => store.sketchFor(r.path, col), schema))
+          val surv = minMax.toVector
+          if (surv.isEmpty) Iterator.empty
+          else {
+            val store = new SketchStore(new Path(sketchDirStr), confBc.value.value)
+            store.ensureLoaded(surv.map(_.path))
+            surv.iterator.filter(r => FilterFold.fileMayContain(
+              filter, IndexMetadata.blocksFromJsonString(r.blocksJson),
+              col => store.sketchFor(r.path, col), schema))
+          }
         }
-      }
+      // ship only the slim listing columns back to the driver
+      kept.map(_.toListRow)
     }.collect()
     survivors.toSeq.groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
   }
@@ -231,7 +241,7 @@ class GraftFileIndex(
   }
 
   override def inputFiles: Array[String] =
-    IndexFilesTable.readAll(filesDir, hadoopConf).map(_.path).toArray
+    IndexFilesTable.readPaths(filesDir, hadoopConf).toArray
 
   override def refresh(): Unit = IndexFilesTable.invalidate(filesDir)
 

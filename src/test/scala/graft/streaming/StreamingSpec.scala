@@ -47,11 +47,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         $"event_type", $"n", $"total_value")
       .collect().map(_.toString).sorted
     assert(streamed.length == batch.length && streamed.sameElements(batch))
-    // re-running the same upsert over the sink keeps it consistent
-    // (last-write-wins on the window keys, no duplicate rows)
-    val out2 = Streaming.hourlyEventCountsUpsert(
-      spark, dir, out + "_2").collect().map(_.toString).sorted
-    assert(out2.sameElements(batch))
+  }
+
+  test("upsert merge branch: overlapping keys last-write-wins, no duplicates") {
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-merge").toString + "/data"
+    val b0 = Seq(("h1", "a", 1L, 1.0), ("h2", "a", 2L, 2.0))
+      .toDF("win_start", "event_type", "n", "total_value")
+    val b1 = Seq(("h2", "a", 5L, 5.0), ("h3", "b", 3L, 3.0))
+      .toDF("win_start", "event_type", "n", "total_value")
+    Streaming.upsertParquet(b0, path, Seq("win_start", "event_type"), 0L)
+    Streaming.upsertParquet(b1, path, Seq("win_start", "event_type"), 1L)
+    // empty batch (watermark finalization) must be a no-op
+    Streaming.upsertParquet(b1.limit(0), path, Seq("win_start", "event_type"), 2L)
+    val got = spark.read.parquet(path)
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("h1", "a", 1L, 1.0), ("h2", "a", 5L, 5.0), ("h3", "b", 3L, 3.0)))
   }
 
   test("stateful sessionizer agrees with window-function sessionize") {
