@@ -79,8 +79,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // Signatures feed three consumers (band explode + two per-side
+    // re-joins); a lazy localCheckpoint computes them once and shares the
+    // materialized blocks instead of re-running tokenize→shingle→minhash
+    // per consumer (~512 B/doc of executor storage at 64 hashes).
     val sigDf = df.select(id.as("__id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
+      .localCheckpoint(false)
     // Band join carries ids only — shipping the 64-long signatures through
     // the ×bands-exploded shuffle would amplify shuffle volume ~2×bands×
     // signature size per doc. Signatures are re-joined once per side after
@@ -246,7 +251,10 @@ object Dedup {
       exact: Boolean = false,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
+    // shingle sets feed candidate generation + two verify-side joins —
+    // compute once (see minhashPairs note)
     val sh = df.select(id.as("__id"), shingles(text, shingleK).as("__sh"))
+      .localCheckpoint(false)
     val candidates: DataFrame =
       if (exact) {
         sh.select(col("__id").as("id_a"))
