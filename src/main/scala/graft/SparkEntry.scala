@@ -448,6 +448,17 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // Corpus-level term frequencies: explode tokens → count → top 50
+    // (partial aggregation map-side; only (token, count) pairs shuffle).
+    "q_text_topterms" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select(explode(graft.text.TextFunctions.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok")
+        .limit(50)
+    }),
+
     // Document fingerprinting (md5 of normalized text).
     "q_text_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -835,6 +846,15 @@ object SparkEntry {
         |  WHEN de>=fr AND de>=es THEN 'de'
         |  WHEN fr>=es THEN 'fr' ELSE 'es' END AS lang_pred, count(*) AS n
         |FROM s GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    "q_text_topterms" ->
+      """WITH t AS (SELECT
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT unnest(
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END) AS tok
+        |  FROM t)
+        |SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fp

@@ -19,6 +19,17 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
+  /** Session for a streaming query with state-shuffle parallelism sized to
+    * the aggregation's key cardinality (windows × types ≪ batch shuffle
+    * default) — fewer state-store partitions means far fewer checkpoint
+    * files per microbatch. Isolated via newSession so the batch session's
+    * shuffle setting is untouched. */
+  private def streamingSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** events.parquet with TIMESTAMP(NANOS) read as micros — streaming twin
     * of SparkEntry.eventsTbl. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -34,7 +45,8 @@ object Streaming {
     * watermarked event time, complete-mode memory sink, drained with
     * processAllAvailable so a static parquet input yields the exact batch
     * answer. Returns the materialized result. */
-  def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyEventCounts(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(parent, statePartitions = 8)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -59,7 +71,8 @@ object Streaming {
     * changed windows; the watermark lets Spark evict window state older
     * than (max event time - 1 hour); the upsert keeps the file sink
     * consistent under re-emission. Returns the materialized sink table. */
-  def hourlyEventCountsUpsert(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+  def hourlyEventCountsUpsert(parent: SparkSession, dir: String, outDir: String): DataFrame = {
+    val spark = streamingSession(parent, statePartitions = 8)
     val dataDir = s"$outDir/data"
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")

@@ -444,6 +444,40 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(IndexConf.DistributedPruningThreshold)
   }
 
+  test("catalog: non-parquet provider rejected; dual dataspace independent") {
+    import spark.implicits._
+    // JSON-provider catalog table cannot be indexed (reference
+    // IndexSuite.scala:917-942)
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite")
+      .format("json").saveAsTable("graft_json_tbl")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        spark.index.create.mode("overwrite").indexBy("id").table("graft_json_tbl")
+      }
+      assert(e.getMessage.contains("provider"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_json_tbl")
+
+    // the same physical path carries two independent indexes under the
+    // source and catalog dataspaces (reference IndexSuite.scala:944-965)
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode("overwrite").format("parquet").saveAsTable("graft_region")
+    try {
+      val location = org.apache.spark.sql.graft.SparkInternals
+        .catalogTableInfo(spark, "graft_region")._2.toString
+      spark.index.create.mode("overwrite").indexBy("r_regionkey").table("graft_region")
+      spark.index.create.mode("overwrite").indexBy("r_regionkey").parquet(location)
+      assert(spark.index.exists.table("graft_region"))
+      assert(spark.index.exists.parquet(location))
+      spark.index.delete.parquet(location)
+      assert(!spark.index.exists.parquet(location))
+      assert(spark.index.exists.table("graft_region"), "catalog index must survive")
+      checkSame(
+        spark.index.table("graft_region").filter(col("r_regionkey") === 2L),
+        spark.table("graft_region").filter(col("r_regionkey") === 2L))
+      spark.index.delete.table("graft_region")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_region")
+  }
+
   test("eager sketch loading returns same results") {
     spark.conf.set(IndexConf.EagerLoading, "true")
     try {
