@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, WordShingles}
+import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, SubwordCount, Tokenize, WordShingles}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the graft native expressions as SQL functions so pure-SQL
@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_norm2",
       "graft_norm2(a) - squared L2 norm of a numeric array") {
       exprs => NormSquared(exprs.head)
+    }
+    register("graft_tokenize",
+      "graft_tokenize(text) - lowercase alphanumeric tokens of a string") {
+      exprs => Tokenize(exprs.head)
+    }
+    register("graft_subword_count",
+      "graft_subword_count(tokens, unit) - sum of max(1, ceil(chars/unit)) per token") {
+      exprs => SubwordCount(exprs.head, intLit(exprs(1), "unit"))
     }
   }
 }

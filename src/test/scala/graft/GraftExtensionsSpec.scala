@@ -20,12 +20,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  graft_word_shingles(array('a','b','c','d'), 3) AS ws,
         |  graft_minhash_signature(array('a','b'), 4) AS mh,
         |  graft_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
-        |  graft_norm2(array(3.0, 4.0)) AS n2
+        |  graft_norm2(array(3.0, 4.0)) AS n2,
+        |  graft_tokenize('Hello, World-42!') AS tk,
+        |  graft_subword_count(array('abcdefgh', 'xy'), 6) AS sw
         |""".stripMargin).head()
     assert(row.getAs[scala.collection.Seq[String]]("ws").toSeq == Seq("a b c", "b c d"))
     assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n2") == 25.0)
+    assert(row.getAs[scala.collection.Seq[String]]("tk").toSeq == Seq("hello", "world", "42"))
+    assert(row.getAs[Int]("sw") == 3) // ceil(8/6)=2 + max(1, ceil(2/6))=1
     // determinism
     val again = spark.sql("SELECT graft_simhash64(array('a','b','c'))").head().getLong(0)
     assert(row.getAs[Long]("sh") == again)
