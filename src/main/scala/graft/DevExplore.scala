@@ -17,6 +17,39 @@ object DevExplore {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.headOption.contains("stress")) {
+      // 256-file table at sf0.1: driver-fold vs distributed-fold latency
+      import graft.index.implicits._
+      import org.apache.spark.sql.functions._
+      val work = "/root/repo/target/stress"
+      val table = s"$work/lineitem256"
+      spark.conf.set(graft.index.IndexConf.MetastoreLocation, s"$work/metastore")
+      if (!new java.io.File(s"$work/ready").exists()) {
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .repartitionByRange(256, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(table)
+        val t0 = System.nanoTime()
+        spark.index.create.mode("overwrite")
+          .indexBy("l_orderkey", "l_returnflag").parquet(table)
+        println(f"[stress] index build: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        java.nio.file.Files.createFile(Paths.get(s"$work/ready"))
+      }
+      val key = spark.read.parquet(table).agg(min(col("l_orderkey"))).head.getLong(0)
+      def timeQuery(label: String): Unit = {
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = spark.index.parquet(table).filter(col("l_orderkey") === key).count()
+          println(f"[stress] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        }
+      }
+      timeQuery("driver-fold")
+      spark.conf.set(graft.index.IndexConf.DistributedPruningThreshold, "1")
+      timeQuery("distributed-fold")
+      spark.conf.unset(graft.index.IndexConf.DistributedPruningThreshold)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("plans")) {
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
       val skip = Set("q_stream_hourly", "q_stream_hourly_update", "q_sessionize")

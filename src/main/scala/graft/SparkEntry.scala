@@ -543,6 +543,17 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Embedding dedup: keep one representative per transitive cosine
+    // cluster (LSH-blocked pairs → connected components → keep min id).
+    "q_ann_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.ann.Ann.dedupEmbeddings(
+          tbl(s, dir, "embeddings"), $"vec_id", $"embedding",
+          threshold = 0.4, dim = 64, nBits = 8, tables = 4)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    }),
+
     // LSH-bucketed ANN over the same query vector (recall<1 ⇒ rows-only).
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
@@ -947,6 +958,24 @@ object SparkEntry {
         |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_dedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding,
+        |${bucketColsSql("embedding", 8, 64, 4)}
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id AND
+        |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        |    AND round(${cosineSql("a.embedding", "b.embedding", 64)}, 6) >= 0.4),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.node),
+        |dup AS (SELECT node FROM reach GROUP BY node HAVING min(lab) < node)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT node FROM dup)
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, embedding,
         |${bucketColsSql("embedding", 8, 64, 4)}

@@ -109,6 +109,29 @@ object Ann {
     bruteForceTopK(bucketed, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
 
+  /** Embedding-level dedup: drop every vector that is transitively
+    * cosine-connected (≥ threshold, within the multi-table LSH blocking)
+    * to a smaller id — i.e. keep one representative per near-duplicate
+    * cluster. Pairs come from [[cosinePairs]]'s bucketed path; the
+    * closure via [[graft.dedup.Dedup.connectedComponents]]. */
+  def dedupEmbeddings(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      dim: Int,
+      nBits: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosinePairs(df, id, vec, threshold, dim,
+      bucketed = true, nBits = nBits, tables = tables, seed = seed)
+    val dups = graft.dedup.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__dup"))
+    df.join(dups, id === col("__dup"), "left_anti")
+  }
+
   /** Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
     *
     * Default (scale) path: multi-table LSH blocking — each vector is

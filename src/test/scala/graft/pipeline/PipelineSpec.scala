@@ -235,6 +235,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h == 8250560606382298838L, s"got $h")
   }
 
+  test("dedupEmbeddings keeps one representative per cosine cluster") {
+    val kept = Ann.dedupEmbeddings(vecs, $"vec_id", $"v",
+        threshold = 0.95, dim = 4, nBits = 4, tables = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    // vectors 0, 1, 4 point the same way (cos > 0.95): keep 0, drop 1 and 4
+    assert(kept.contains(0L) && !kept.contains(4L), s"got $kept")
+    assert(kept.contains(2L) && kept.contains(3L), s"orthogonal/opposite kept: $kept")
+  }
+
   test("native kernels compile in whole-stage codegen with fallback disabled") {
     // With spark.sql.codegen.fallback=false a Janino failure in any
     // doGenCode throws instead of silently reverting to interpreted eval,
