@@ -164,6 +164,37 @@ object FilterFold {
     def nullVerdict(attr: String): Boolean =
       block.columns.get(attr).forall(_.hasNull)
 
+    // Prefix pruning (improvement over the reference, which always scans
+    // on StringStartsWith): any s with prefix p satisfies
+    // bytes(p) <= bytes(s) < successor(bytes(p)) in unsigned
+    // lexicographic (UTF-8 binary) order, so the block may match iff
+    // [min, max] intersects that range. Comparison happens at the BYTE
+    // level because the successor (last non-0xFF byte bumped) need not be
+    // valid UTF-8.
+    def prefixVerdict(attr: String, prefix: String): Boolean = {
+      val verdict = for {
+        dt <- dtOf(attr)
+        if dt == StringType
+        st <- block.columns.get(attr)
+      } yield {
+        if (st.min.isEmpty) !st.knownAllNull(block.rowCount)
+        else {
+          val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val minB = st.min.get.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val maxB = st.max.get.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val geOk = FilterFold.unsignedCompare(p, maxB) <= 0
+          val ltOk = FilterFold.successorBytes(p) match {
+            case Some(up) => FilterFold.unsignedCompare(minB, up) < 0
+            case None => true // prefix is all 0xFF: no upper bound
+          }
+          geOk && ltOk
+        }
+      }
+      verdict.getOrElse(true)
+    }
+
     def rangeVerdict(attr: String, value: Any)(cmp: (Any, ColumnStats) => Boolean): Boolean = {
       val verdict = for {
         dt <- dtOf(attr)
@@ -202,9 +233,40 @@ object FilterFold {
       case Not(_: AlwaysFalse) => true
       case _: AlwaysTrue => true
       case _: AlwaysFalse => false
-      // IsNotNull, StringStartsWith/EndsWith/Contains, Not(…), anything
-      // else: scan the file (reference :128-137).
+      // Improvements over the reference (which scans on both): a block
+      // known to hold only nulls cannot satisfy IsNotNull, and prefix
+      // predicates prune by byte range.
+      case IsNotNull(a) =>
+        block.columns.get(a).forall(st => !st.knownAllNull(block.rowCount))
+      case StringStartsWith(a, p) if p != null => prefixVerdict(a, p)
+      // StringEndsWith/Contains, Not(…), anything else: scan the file
+      // (reference :128-137).
       case _ => true
+    }
+  }
+
+  /** Unsigned lexicographic byte comparison (= UTF8String.binaryCompare). */
+  private[index] def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Least byte string strictly greater than every string with prefix
+    * `p`: bump the last non-0xFF byte and truncate; None if all 0xFF. */
+  private[index] def successorBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
     }
   }
 }

@@ -71,6 +71,48 @@ class FilterFoldSpec extends AnyFunSuite {
     assert(verdict(StringStartsWith("s", "x"), b))
   }
 
+  test("isNotNull prunes known-all-null blocks (improvement over reference)") {
+    val allNull = Seq(BlockStats(10, Map("a" -> ColumnStats(None, None, Some(10)))))
+    assert(!verdict(IsNotNull("a"), allNull))
+    assert(verdict(IsNotNull("a"), Seq(block(10, 5L, 10L))))
+    val unknown = Seq(BlockStats(10, Map("a" -> ColumnStats(None, None, None))))
+    assert(verdict(IsNotNull("a"), unknown))
+  }
+
+  test("prefix pruning by byte range (improvement over reference)") {
+    val b = Seq(BlockStats(3,
+      Map("s" -> ColumnStats(Some("mm"), Some("pp"), Some(0)))))
+    assert(verdict(StringStartsWith("s", "m"), b))
+    assert(verdict(StringStartsWith("s", "n"), b))
+    assert(verdict(StringStartsWith("s", "p"), b))
+    assert(verdict(StringStartsWith("s", "mm"), b))
+    assert(!verdict(StringStartsWith("s", "a"), b), "succ('a')='b' <= min")
+    assert(!verdict(StringStartsWith("s", "q"), b), "'q' > max")
+    assert(!verdict(StringStartsWith("s", "pq"), b), "'pq' > max 'pp'")
+    assert(verdict(StringStartsWith("s", ""), b), "empty prefix matches anything")
+    // multi-byte stats: é = C3 A9
+    val utf = Seq(BlockStats(2,
+      Map("s" -> ColumnStats(Some("é1"), Some("é9"), Some(0)))))
+    assert(verdict(StringStartsWith("s", "é"), utf))
+    assert(!verdict(StringStartsWith("s", "f"), utf), "'f' (0x66) < 0xC3 range")
+  }
+
+  test("prefix soundness: verdict=false implies no string matches") {
+    val charGen = Gen.oneOf('a', 'b', 'z', 'é', '日', '0')
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(strGen), strGen) { (values, prefix) =>
+      val sorted = values.sortWith(Canon.compare(_, _) < 0)
+      val blocks = Seq(BlockStats(values.size.toLong,
+        Map("s" -> ColumnStats(Some(sorted.head), Some(sorted.last), Some(0)))))
+      val v = FilterFold.fileMayContain(
+        StringStartsWith("s", prefix), blocks, noSketch, schema)
+      v || !values.exists(_.startsWith(prefix))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("And must hold within one block; Or across") {
     val blocks = Seq(block(10, 0L, 10L), block(10, 100L, 110L))
     // 5 and 105 in different blocks — And prunes (stronger than reference)

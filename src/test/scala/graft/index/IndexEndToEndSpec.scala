@@ -117,6 +117,18 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(tablePath).filter(cond))
   }
 
+  test("startsWith predicates match and can prune") {
+    for (prefix <- Seq("A", "R", "N", "Z", "")) {
+      val cond = col("l_returnflag").startsWith(prefix)
+      checkSame(
+        spark.index.parquet(tablePath).filter(cond),
+        spark.read.parquet(tablePath).filter(cond))
+    }
+    // no flag starts with "Z" → everything prunes
+    assert(spark.index.parquet(tablePath)
+      .filter(col("l_returnflag").startsWith("Z")).count() === 0L)
+  }
+
   test("negative: equality on absent key prunes everything and returns 0") {
     val indexed = spark.index.parquet(tablePath).filter(col("l_orderkey") === -42L)
     assert(indexed.count() === 0L)
