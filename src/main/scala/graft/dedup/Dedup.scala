@@ -82,7 +82,9 @@ object Dedup {
     // Signatures feed three consumers (band explode + two per-side
     // re-joins); a lazy localCheckpoint computes them once and shares the
     // materialized blocks instead of re-running tokenize→shingle→minhash
-    // per consumer (~512 B/doc of executor storage at 64 hashes).
+    // per consumer (~512 B/doc of executor storage at 64 hashes; blocks
+    // are released when the checkpointed RDD is GC'd via ContextCleaner,
+    // i.e. after the result DataFrame itself becomes unreachable).
     val sigDf = df.select(id.as("__id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
       .localCheckpoint(false)

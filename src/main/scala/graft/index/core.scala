@@ -179,13 +179,13 @@ object FilterFold {
       } yield {
         if (st.min.isEmpty) !st.knownAllNull(block.rowCount)
         else {
-          val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (p, succ) = FilterFold.prefixBounds(prefix)
           val minB = st.min.get.asInstanceOf[String]
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val maxB = st.max.get.asInstanceOf[String]
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val geOk = FilterFold.unsignedCompare(p, maxB) <= 0
-          val ltOk = FilterFold.successorBytes(p) match {
+          val ltOk = succ match {
             case Some(up) => FilterFold.unsignedCompare(minB, up) < 0
             case None => true // prefix is all 0xFF: no upper bound
           }
@@ -243,6 +243,21 @@ object FilterFold {
       // (reference :128-137).
       case _ => true
     }
+  }
+
+  /** (prefix bytes, successor bound) memo — pure function of the filter,
+    * evaluated per block in the pruning hot path; queries use a handful
+    * of distinct prefixes, so a small bounded cache removes the repeated
+    * encode + successor allocations across 100k-file folds. */
+  private val prefixBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Option[Array[Byte]])]()
+
+  private[index] def prefixBounds(prefix: String): (Array[Byte], Option[Array[Byte]]) = {
+    if (prefixBoundsCache.size > 1024) prefixBoundsCache.clear()
+    prefixBoundsCache.computeIfAbsent(prefix, { p =>
+      val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (bytes, successorBytes(bytes))
+    })
   }
 
   /** Unsigned lexicographic byte comparison (= UTF8String.binaryCompare). */

@@ -19,11 +19,12 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
-  /** Session for a streaming query with state-shuffle parallelism sized to
-    * the aggregation's key cardinality (windows × types ≪ batch shuffle
-    * default) — fewer state-store partitions means far fewer checkpoint
-    * files per microbatch. Isolated via newSession so the batch session's
-    * shuffle setting is untouched. */
+  /** Session for a streaming query with bounded state-shuffle parallelism:
+    * the hourly aggregations key on windows × event types, far below the
+    * batch shuffle default, so fewer state-store partitions mean far
+    * fewer checkpoint files per microbatch. `statePartitions` is the
+    * caller-visible knob — raise it for high-cardinality keys. Isolated
+    * via newSession so the batch session's shuffle setting is untouched. */
   private def streamingSession(spark: SparkSession, statePartitions: Int): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -45,8 +46,9 @@ object Streaming {
     * watermarked event time, complete-mode memory sink, drained with
     * processAllAvailable so a static parquet input yields the exact batch
     * answer. Returns the materialized result. */
-  def hourlyEventCounts(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamingSession(parent, statePartitions = 8)
+  def hourlyEventCounts(
+      parent: SparkSession, dir: String, statePartitions: Int = 8): DataFrame = {
+    val spark = streamingSession(parent, statePartitions)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -71,8 +73,10 @@ object Streaming {
     * changed windows; the watermark lets Spark evict window state older
     * than (max event time - 1 hour); the upsert keeps the file sink
     * consistent under re-emission. Returns the materialized sink table. */
-  def hourlyEventCountsUpsert(parent: SparkSession, dir: String, outDir: String): DataFrame = {
-    val spark = streamingSession(parent, statePartitions = 8)
+  def hourlyEventCountsUpsert(
+      parent: SparkSession, dir: String, outDir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val spark = streamingSession(parent, statePartitions)
     val dataDir = s"$outDir/data"
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
