@@ -454,6 +454,18 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.read.parquet(tablePath).filter(col("l_orderkey") > key))
       checkSame(spark.index.parquet(tablePath), spark.read.parquet(tablePath))
     } finally spark.conf.unset(IndexConf.DistributedPruningThreshold)
+
+    // per-call option switches the path too (no session conf set)
+    val key2 = spark.read.parquet(tablePath).select("l_orderkey").head.getLong(0)
+    val viaOpt = spark.index
+      .option(IndexConf.DistributedPruningThreshold, "1")
+      .parquet(tablePath).filter(col("l_orderkey") === key2)
+    viaOpt.collect()
+    val fi2 = viaOpt.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi2.exists(_.lastPrunedDistributed),
+      "option() must thread the threshold into listFiles")
   }
 
   test("catalog: non-parquet provider rejected; dual dataspace independent") {
