@@ -404,6 +404,30 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.filter(col("id") >= 3L && col("extra").isNotNull))
   }
 
+  test("multi-row-group files: blooms sized by file rows, pruning intact") {
+    val p = s"$work/multi_rg"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(2, col("l_orderkey"))
+      .write.option("parquet.block.size", 64 * 1024) // force several row groups
+      .mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey").parquet(p)
+    val ms = Metastore(spark)
+    val filesDir = new org.apache.hadoop.fs.Path(
+      ms.location(Metastore.Dataspace, IndexedDataSource.resolveTablePath(spark, p)),
+      Metastore.FilesDir)
+    val rows = IndexFilesTable.readAll(filesDir, spark.sparkContext.hadoopConfiguration)
+    assert(rows.exists(r => IndexMetadata.blocksFromJsonString(r.blocksJson).size > 1),
+      "fixture must produce multi-row-group files")
+    // bloom covers the whole file: an absent key prunes everything, a
+    // present key from ANY row group matches the plain scan
+    assert(spark.index.parquet(p).filter(col("l_orderkey") === -1L).count() === 0L)
+    val keys = spark.read.parquet(p).select("l_orderkey").distinct()
+      .orderBy(col("l_orderkey").desc).limit(1).head.getLong(0)
+    checkSame(
+      spark.index.parquet(p).filter(col("l_orderkey") === keys),
+      spark.read.parquet(p).filter(col("l_orderkey") === keys))
+  }
+
   test("sketch reads are pruned to surviving files (no full-table load)") {
     val p = s"$work/sketch_prune"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
