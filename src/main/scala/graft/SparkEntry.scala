@@ -165,6 +165,32 @@ object SparkEntry {
         .orderBy($"c_nationkey")
     }),
 
+    // Left outer join: every customer, order count may be zero.
+    "q_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_price"))
+        .orderBy($"c_custkey")
+        .limit(1000)
+    }),
+
+    // Window: lead/lag/first_value across an ordered partition.
+    "q_window_leadlag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      tbl(s, dir, "orders")
+        .filter($"o_custkey" < 200)
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          first($"o_orderkey").over(w).as("first_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // Window: rank within group, top-k per partition.
     "q_window_rank" -> ((s, dir) => {
       import s.implicits._
@@ -710,6 +736,19 @@ object SparkEntry {
         |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |   AND o_totalprice > 400000.0)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey LIMIT 1000""".stripMargin,
+    "q_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_rank" ->
       """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
