@@ -404,6 +404,52 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.filter(col("id") >= 3L && col("extra").isNotNull))
   }
 
+  test("DateType index column: equality and range pruning") {
+    val p = s"$work/orders_date"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+      .repartitionByRange(8, col("o_date"))
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("o_date", "o_orderkey").parquet(p)
+    val d = java.sql.Date.valueOf("1995-06-15")
+    for (cond <- Seq(
+      col("o_date") === d,
+      col("o_date") >= d && col("o_date") < java.sql.Date.valueOf("1995-09-01"),
+      col("o_date").isin(d, java.sql.Date.valueOf("1996-01-01")))) {
+      checkSame(
+        spark.index.parquet(p).filter(cond),
+        spark.read.parquet(p).filter(cond))
+    }
+    // range-partitioned by date → a one-day equality must prune files
+    val indexed = spark.index.parquet(p).filter(col("o_date") === d)
+    indexed.collect()
+    val fi = indexed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles)
+  }
+
+  test("INT96 timestamps degrade gracefully (no stats, correct results)") {
+    val p = s"$work/int96_ts"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(p)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    spark.index.create.mode("overwrite").indexBy("ts", "o_orderkey").parquet(p)
+    val cond = col("ts") >= lit("1995-01-01").cast("timestamp") &&
+      col("ts") < lit("1996-01-01").cast("timestamp")
+    // INT96 footer stats are unusable → may-contain (no unsound pruning),
+    // results still exact via the residual filter
+    checkSame(
+      spark.index.parquet(p).filter(cond),
+      spark.read.parquet(p).filter(cond))
+    // the other indexed column still prunes
+    assert(spark.index.parquet(p).filter(col("o_orderkey") === -5L).count() === 0L)
+  }
+
   test("multi-row-group files: blooms sized by file rows, pruning intact") {
     val p = s"$work/multi_rg"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
