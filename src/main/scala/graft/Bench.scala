@@ -33,6 +33,7 @@ object Bench {
     val indexed = SparkEntry.indexedLineitem(spark, sfDir)
     indexed.count()
     SparkEntry.indexedOrdersPart(spark, sfDir).count()
+    SparkEntry.indexedLineitemDict(spark, sfDir).count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -75,6 +75,33 @@ object SparkEntry {
       s.index.parquet(tableDir)
     }
 
+  /** Indexed lineitem copy with DICT/BITMAP sketches (per-call option):
+    * long column → exact dict, int column → roaring bitmap. Separate
+    * table dir so the bloom-indexed copy keeps its own index. */
+  private[graft] def indexedLineitemDict(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.synchronized {
+      import graft.index.implicits._
+      val sfName = new java.io.File(dir).getName
+      val scratch = s"$scratchRoot/$sfName"
+      val tableDir = s"$scratch/lineitem_dict"
+      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
+      val marker = new java.io.File(s"$scratch/lineitem_dict_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .withColumn("l_linenumber", col("l_linenumber").cast("int"))
+          .repartition(16, col("l_suppkey"))
+          .write.mode("overwrite").parquet(tableDir)
+        s.index.create.mode("overwrite")
+          .option(graft.index.IndexConf.FilterType, "dict")
+          .indexBy("l_suppkey", "l_linenumber")
+          .parquet(tableDir)
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      s.index.parquet(tableDir)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -421,6 +448,16 @@ object SparkEntry {
         .groupBy($"l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
         .orderBy($"l_linestatus")
+    }),
+
+    // Dict/bitmap sketch variants under the oracle gate: exact-set dict
+    // on the long key, roaring bitmap on the int line number.
+    "q_idx_dict" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemDict(s, dir)
+        .filter($"l_suppkey" === 7L && $"l_linenumber" === 2)
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_quantity")
+        .orderBy($"l_orderkey")
     }),
 
     // Hive-partitioned table: partition pruning (o_year) composes with
@@ -1085,6 +1122,11 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS total
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_idx_dict" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |  l_suppkey, l_quantity
+        |FROM lineitem WHERE l_suppkey = 7 AND l_linenumber = 2
+        |ORDER BY l_orderkey""".stripMargin,
     "q_idx_partition" ->
       """SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INT) AS o_year,
         |  o_totalprice
