@@ -566,10 +566,14 @@ object SparkEntry {
 
     // Near-duplicate clusters: LSH pairs → exact-Jaccard verify →
     // connected components (the shape corpus dedup actually ships).
+    // `members` is emitted as a comma-joined string (numeric order kept):
+    // the driver's comparison hashes scalar cells, not arrays.
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       graft.dedup.Dedup.duplicateClusters(
           tbl(s, dir, "documents"), $"doc_id", $"text", shingleK = 3, threshold = 0.5)
+        .withColumn("members",
+          array_join(expr("transform(members, x -> cast(x as string))"), ","))
         .orderBy($"cluster_id")
     }),
 
@@ -993,7 +997,7 @@ object SparkEntry {
         |  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.node),
         |lbl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
         |SELECT cluster_id, count(*) AS size,
-        |  list_sort(list(node)) AS members
+        |  array_to_string(list_sort(list(node)), ',') AS members
         |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id,
