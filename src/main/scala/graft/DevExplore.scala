@@ -14,6 +14,7 @@ object DevExplore {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.streamingQueryListeners", "graft.DevStreamListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,6 +48,49 @@ object DevExplore {
       spark.conf.set(graft.index.IndexConf.DistributedPruningThreshold, "1")
       timeQuery("distributed-fold")
       spark.conf.unset(graft.index.IndexConf.DistributedPruningThreshold)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("stream")) {
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      def time[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[stream] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      // warm the parquet read + codegen paths so stream timings isolate
+      // streaming machinery
+      time("batch-warmup")(SparkEntry.queries("q_events_window")(spark, sfDir).count())
+      for (sp <- Seq(4, 4); i <- 1 to 1) {
+        time(s"complete-sp$sp-$i")(
+          graft.streaming.Streaming.hourlyEventCounts(spark, sfDir, sp).count())
+        val out = Files.createTempDirectory("graft_stream_prof").toString
+        time(s"upsert-sp$sp-$i")(
+          graft.streaming.Streaming.hourlyEventCountsUpsert(spark, sfDir, out, sp).count())
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("cc")) {
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      import org.apache.spark.sql.functions._
+      def time[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[cc] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (1 to 2).foreach { i =>
+        val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+          docs, col("doc_id"), col("text"), 3, 0.5)
+        time(s"pairs-$i")(pairs.count())
+        val pairs2 = graft.dedup.Dedup.ngramJaccardPairs(
+          docs, col("doc_id"), col("text"), 3, 0.5)
+        time(s"cc-$i")(graft.dedup.Dedup.connectedComponents(pairs2).count())
+        time(s"clusters-full-$i")(graft.dedup.Dedup.duplicateClusters(
+          docs, col("doc_id"), col("text"), 3, 0.5).count())
+        time(s"ann-dedup-$i")(SparkEntry.queries("q_ann_dedup")(spark, sfDir).count())
+      }
       spark.stop(); return
     }
 
@@ -95,4 +139,14 @@ object DevExplore {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+}
+
+/** Dev-only: per-microbatch duration dump for the stream profiler. */
+class DevStreamListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  def onQueryProgress(e: QueryProgressEvent): Unit =
+    println(s"[stream]   batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+      s"durationMs=${e.progress.durationMs}")
 }

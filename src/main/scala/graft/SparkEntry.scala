@@ -666,8 +666,13 @@ object SparkEntry {
     // gap-based sessionization; both must reproduce the batch answer.
     // ------------------------------------------------------------------
 
+    // statePartitions=2: state cardinality is windows × event types
+    // (~200 keys), so 2 store partitions bound the per-microbatch
+    // commit/IO overhead — the manual analogue of the shuffle coalescing
+    // AQE would do but can't in stateful streaming. Raise with key
+    // cardinality at scale.
     "q_stream_hourly" -> ((s, dir) =>
-      graft.streaming.Streaming.hourlyEventCounts(s, dir)),
+      graft.streaming.Streaming.hourlyEventCounts(s, dir, statePartitions = 2)),
 
     // Same aggregation through the at-scale sink: update output mode +
     // foreachBatch parquet upsert (no complete-mode driver materialization).
@@ -678,7 +683,7 @@ object SparkEntry {
       val sfName = new java.io.File(dir).getName
       val out = s"$scratchRoot/$sfName/stream_upsert"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-      graft.streaming.Streaming.hourlyEventCountsUpsert(s, dir, out)
+      graft.streaming.Streaming.hourlyEventCountsUpsert(s, dir, out, statePartitions = 2)
         .orderBy($"win_start", $"event_type")
     }),
 
