@@ -705,6 +705,72 @@ object SparkEntry {
           date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
           $"event_type", $"n", $"total_value")
         .orderBy($"win_start", $"event_type")
+    }),
+
+    // ------------------------------------------------------------------
+    // Temporal joins (graft.ops.Temporal): operators Spark lacks as
+    // built-ins, planned as equi-shuffles (no nested-loop / cartesian).
+    // Times are carried as epoch-micros longs end to end.
+    // ------------------------------------------------------------------
+
+    // As-of join, attribution shape: for each purchase, the most recent
+    // click by the same user at or before the purchase (ties: largest
+    // event_id). One shuffle on user_id, no join node.
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsTbl(s, dir)
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("t_us"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"t_us")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"t_us")
+      graft.ops.Temporal.asofJoin(
+          purchases, "user_id", "t_us",
+          clicks, "user_id", "t_us",
+          payload = Seq("event_id", "t_us"), tieBreak = "event_id")
+        .orderBy($"event_id")
+    }),
+
+    // Interval range join: per purchase, count + value of view/click
+    // activity by the same user in the preceding hour. Intervals bucket
+    // to ≤ 2 one-hour buckets → equi-join on (user, bucket), exact
+    // bounds as a post-join filter; purchases with no activity kept via
+    // a final left join.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000000L
+      val ev = eventsTbl(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_micros($"ts").as("t_us"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"t_us",
+          ($"t_us" - hourUs).as("lo_us"), ($"t_us" - 1L).as("hi_us"))
+      val activity = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("a_user"), $"t_us".as("a_t_us"), $"value".as("a_value"))
+      val joined = graft.ops.Temporal.rangeJoin(
+        purchases, "lo_us", "hi_us", activity, "a_t_us",
+        bucketWidth = hourUs, keys = Some(("user_id", "a_user")))
+      val agg = joined.groupBy($"event_id")
+        .agg(count(lit(1)).as("n_prior"), round(sum($"a_value"), 4).as("v_prior"))
+      purchases.select($"event_id", $"user_id", $"t_us")
+        .join(agg, Seq("event_id"), "left")
+        .select($"event_id", $"user_id", $"t_us",
+          coalesce($"n_prior", lit(0L)).as("n_prior"),
+          round(coalesce($"v_prior", lit(0.0)), 4).as("v_prior"))
+        .orderBy($"event_id")
+    }),
+
+    // Exact percentiles (sort-based aggregate) per group.
+    "q_agg_percentile" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -1148,6 +1214,36 @@ object SparkEntry {
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.t_us,
+        |  l.event_id AS asof_event_id, l.t_us AS asof_t_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.t_us FROM c
+        |  WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+        |  ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1) l ON true
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT user_id, epoch_us(ts) AS t_us, value
+        |  FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT p.event_id, p.user_id, p.t_us,
+        |  count(a.t_us) AS n_prior,
+        |  round(coalesce(sum(a.value), 0), 4) AS v_prior
+        |FROM p LEFT JOIN a ON a.user_id = p.user_id
+        |  AND a.t_us BETWEEN p.t_us - 3600000000 AND p.t_us - 1
+        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_scalar_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+/** Unit coverage for the temporal join operators (as-of, range join). */
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-temporal-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // quotes: (key, time, quote_id, px); trades: (key, time, trade_id)
+  private lazy val quotes = Seq(
+    (1L, 10L, 100L, 1.0),
+    (1L, 20L, 101L, 2.0),
+    (1L, 20L, 102L, 3.0), // tie on time with 101 — larger id wins
+    (1L, 30L, 103L, 4.0),
+    (2L, 15L, 200L, 9.0)
+  ).toDF("key", "t", "quote_id", "px")
+
+  private lazy val trades = Seq(
+    (1L, 5L, 1000L),  // before any quote -> null
+    (1L, 20L, 1001L), // equal time -> inclusive, tie-break to 102
+    (1L, 25L, 1002L), // between -> 102
+    (1L, 99L, 1003L), // after all -> 103
+    (2L, 15L, 2000L), // other key, equal time -> 200
+    (3L, 50L, 3000L)  // key with no quotes -> null
+  ).toDF("key", "t", "trade_id")
+
+  test("asofJoin picks latest right row at or before left time, ties by tieBreak") {
+    val out = Temporal.asofJoin(
+      trades, "key", "t", quotes, "key", "t",
+      payload = Seq("quote_id", "px"), tieBreak = "quote_id")
+    val byTrade = out.collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        (Option(r.getAs[java.lang.Long]("asof_quote_id")), Option(r.getAs[java.lang.Double]("asof_px"))))
+      .toMap
+    assert(byTrade(1000L) == ((None, None)))
+    assert(byTrade(1001L) == ((Some(102L), Some(3.0))))
+    assert(byTrade(1002L) == ((Some(102L), Some(3.0))))
+    assert(byTrade(1003L) == ((Some(103L), Some(4.0))))
+    assert(byTrade(2000L) == ((Some(200L), Some(9.0))))
+    assert(byTrade(3000L) == ((None, None)))
+    assert(out.count() == trades.count()) // exactly one output row per left row
+  }
+
+  test("asofJoin plans a single shuffle and no join node") {
+    val out = Temporal.asofJoin(
+      trades, "key", "t", quotes, "key", "t",
+      payload = Seq("quote_id"), tieBreak = "quote_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join node:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("rangeJoin matches inclusive bounds across bucket boundaries") {
+    // intervals chosen to span 1, 2 and 3 buckets of width 10
+    val intervals = Seq(
+      (1L, 100L, 5L, 9L),   // inside one bucket
+      (2L, 200L, 8L, 21L),  // spans three buckets
+      (3L, 300L, 40L, 40L)  // degenerate single-point interval
+    ).toDF("ikey", "interval_id", "lo", "hi")
+    val points = Seq(
+      (1L, 5L, 500L),  // at lo -> match interval 100
+      (1L, 9L, 501L),  // at hi -> match interval 100
+      (1L, 10L, 502L), // outside -> no match
+      (2L, 21L, 503L), // at hi in third bucket -> match 200
+      (2L, 22L, 504L), // past hi, same bucket -> no match
+      (3L, 40L, 505L), // exact point -> match 300
+      (9L, 8L, 506L)   // key mismatch -> no match
+    ).toDF("pkey", "pt", "point_id")
+    val out = Temporal.rangeJoin(
+      intervals, "lo", "hi", points, "pt",
+      bucketWidth = 10L, keys = Some(("ikey", "pkey")))
+    val pairs = out.select($"interval_id", $"point_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 500L), (100L, 501L), (200L, 503L), (300L, 505L)))
+  }
+
+  test("rangeJoin emits no duplicate pairs for multi-bucket intervals") {
+    val intervals = Seq((1L, 1L, 0L, 35L)).toDF("ikey", "interval_id", "lo", "hi")
+    val points = Seq((1L, 17L, 7L)).toDF("pkey", "pt", "point_id")
+    val out = Temporal.rangeJoin(intervals, "lo", "hi", points, "pt",
+      bucketWidth = 10L, keys = Some(("ikey", "pkey")))
+    assert(out.count() == 1)
+  }
+
+  test("rangeJoin without keys joins on bucket only, and plans no cartesian") {
+    val intervals = Seq((1L, 0L, 9L), (2L, 100L, 109L)).toDF("interval_id", "lo", "hi")
+    val points = Seq((5L, 50L), (105L, 51L)).toDF("pt", "point_id")
+    val out = Temporal.rangeJoin(intervals, "lo", "hi", points, "pt", bucketWidth = 10L)
+    val pairs = out.select($"interval_id", $"point_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 50L), (2L, 51L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("rangeJoin rejects colliding column names") {
+    val l = Seq((1L, 2L, 3L)).toDF("id", "lo", "hi")
+    val r = Seq((1L, 2L)).toDF("id", "pt")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(l, "lo", "hi", r, "pt", 10L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
