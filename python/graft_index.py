@@ -73,6 +73,24 @@ class DeleteIndexCommand:
         self._jcmd.table(name)
 
 
+class RefreshIndexCommand:
+    """Incremental refresh after table files changed; returns a dict with
+    the (re-)indexed and dropped file counts."""
+
+    def __init__(self, jcmd):
+        self._jcmd = jcmd
+
+    @staticmethod
+    def _stats(jstats):
+        return {"addedFiles": jstats.addedFiles(), "removedFiles": jstats.removedFiles()}
+
+    def parquet(self, path):
+        return self._stats(self._jcmd.parquet(path))
+
+    def table(self, name):
+        return self._stats(self._jcmd.table(name))
+
+
 class IndexManager:
     def __init__(self, spark):
         self._spark = spark
@@ -81,6 +99,10 @@ class IndexManager:
     @property
     def create(self):
         return CreateIndexCommand(self._spark, self._jmgr.create())
+
+    @property
+    def refresh(self):
+        return RefreshIndexCommand(self._jmgr.refresh())
 
     @property
     def exists(self):

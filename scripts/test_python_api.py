@@ -44,10 +44,19 @@ def main():
     assert sorted(map(str, indexed)) == sorted(map(str, plain)), "results differ"
     assert len(indexed) > 0
 
+    # incremental refresh: append files, refresh, re-query
+    (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+     .limit(100).repartition(2).write.mode("append").parquet(table))
+    stats = ctx.index.refresh.parquet(table)
+    assert stats == {"addedFiles": 2, "removedFiles": 0}, f"refresh stats: {stats}"
+    indexed2 = ctx.index.parquet(table).filter(f"l_orderkey = {key}").collect()
+    plain2 = spark.read.parquet(table).filter(f"l_orderkey = {key}").collect()
+    assert sorted(map(str, indexed2)) == sorted(map(str, plain2)), "post-refresh differ"
+
     ctx.index.delete.parquet(table)
     assert not ctx.index.exists.parquet(table), "index should be gone"
 
-    print(f"PYTHON API OK: {len(indexed)} rows matched, lifecycle complete")
+    print(f"PYTHON API OK: {len(indexed)} rows matched, lifecycle+refresh complete")
     spark.stop()
 
 

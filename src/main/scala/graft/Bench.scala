@@ -34,6 +34,7 @@ object Bench {
     indexed.count()
     SparkEntry.indexedOrdersPart(spark, sfDir).count()
     SparkEntry.indexedLineitemDict(spark, sfDir).count()
+    SparkEntry.indexedLineitemRefreshed(spark, sfDir).count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -102,6 +102,38 @@ object SparkEntry {
       s.index.parquet(tableDir)
     }
 
+  /** Indexed lineitem copy built through the INCREMENTAL path: index half
+    * the files, append the rest, `spark.index.refresh` — so the refresh
+    * flow (delta footer job, appended stats + sketches, metadata update)
+    * is exercised by the oracle gate on every run; create-once. */
+  private[graft] def indexedLineitemRefreshed(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.synchronized {
+      import graft.index.implicits._
+      val sfName = new java.io.File(dir).getName
+      val scratch = s"$scratchRoot/$sfName"
+      val tableDir = s"$scratch/lineitem_refresh"
+      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
+      val marker = new java.io.File(s"$scratch/lineitem_refresh_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").parquet(tableDir)
+        s.index.create.mode("overwrite")
+          .indexBy("l_orderkey", "l_returnflag").parquet(tableDir)
+        li.filter(col("l_orderkey") % 2 === 1)
+          .repartition(8, col("l_orderkey"))
+          .write.mode("append").parquet(tableDir)
+        val stats = s.index.refresh.parquet(tableDir)
+        require(stats.addedFiles == 8L && stats.removedFiles == 0L,
+          s"refresh scratch build expected 8 added files, got $stats")
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      s.index.parquet(tableDir)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -428,6 +460,21 @@ object SparkEntry {
         .filter($"l_suppkey".isin(1L, 2L, 3L))
         .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
         .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Query through an index built by create-on-half + append + refresh:
+    // both file generations must answer, with pruning (the point key is
+    // odd, so it lives only in refresh-appended files).
+    "q_idx_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val li = indexedLineitemRefreshed(s, dir)
+      val oddKey = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter($"l_orderkey" % 2 === 1)
+        .agg(min($"l_orderkey")).head.getLong(0)
+      li.filter($"l_orderkey" === oddKey || $"l_returnflag" === "R")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
     }),
 
     "q_idx_and_or" -> ((s, dir) => {
@@ -1176,6 +1223,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
         |ORDER BY l_linenumber""".stripMargin,
+    "q_idx_refresh" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey =
+        |    (SELECT min(l_orderkey) FROM lineitem WHERE l_orderkey % 2 = 1)
+        |  OR l_returnflag = 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_idx_range_date" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem

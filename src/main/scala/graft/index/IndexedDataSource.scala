@@ -144,6 +144,152 @@ object IndexedDataSource {
     }
   }
 
+  /** Outcome of [[refreshIndex]]: how many data files were (re-)indexed
+    * and how many stale entries were dropped. (0, 0) = index was current. */
+  case class RefreshStats(addedFiles: Long, removedFiles: Long)
+
+  /** Incrementally refresh an existing index after the table gained or
+    * lost files. The reference rejects SaveMode.Append outright
+    * (ParquetMetastoreSupport.scala:104-107) — but at 100 TB a full
+    * rebuild because one day of files landed is not an option, so
+    * refresh re-indexes ONLY the delta:
+    *
+    *   - the current listing is diffed against the `files` table on
+    *     (path, size, modificationTime) — a distributed anti-join; only
+    *     the changed-file handles ever sit on the driver;
+    *   - new/rewritten files get footer stats + sketches through the
+    *     same jobs as create, APPENDED to the two parquet tables;
+    *   - removed/rewritten files' stale rows are dropped by a
+    *     semi-join rewrite of the files table (metadata-sized) and, only
+    *     when removals exist, of the sketch table;
+    *   - partition dirs keep their original indexes (metadata partition
+    *     list is append-only), so existing rows stay valid.
+    *
+    * The `_SUCCESS` marker is removed for the duration of the update and
+    * restored after the new metadata is written: a crash mid-refresh
+    * fails subsequent loads ("create it first") instead of serving a
+    * torn index — the same guarantee create() gives.
+    */
+  def refreshIndex(
+      spark: SparkSession,
+      path: String,
+      dataspace: String,
+      options: Map[String, String] = Map.empty): RefreshStats = {
+    import org.apache.spark.sql.functions.{col, udf}
+
+    val conf = IndexConf(spark, options)
+    val metastore = new Metastore(spark, conf)
+    val tablePath = resolveTablePath(spark, path)
+    val (indexDir, meta) = metastore.load(dataspace, tablePath)
+    val fs = metastore.fs
+    val filesDir = new Path(indexDir, Metastore.FilesDir)
+    val sketchDir = new Path(indexDir, Metastore.SketchDir)
+
+    val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
+    require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        partitionSchema, meta.partitionSchema),
+      s"partition schema changed (${meta.partitionSchema.simpleString} -> " +
+        s"${partitionSchema.simpleString}); rebuild the index with create.mode(\"overwrite\")")
+
+    // Stable partition indexing: existing entries keep their position,
+    // newly appeared partition dirs append. Entries whose partition
+    // vanished stay (no file row references them — harmless).
+    val partValues = scala.collection.mutable.ArrayBuffer(meta.partitionValues: _*)
+    val idxByValues = scala.collection.mutable.HashMap(
+      meta.partitionValues.zipWithIndex: _*)
+    val current: Seq[(Int, StatisticsBuilder.FileRef)] = partDirs.flatMap { case (values, files) =>
+      val vStr: Seq[Option[String]] = partitionSchema.fields.zipWithIndex.toSeq.map {
+        case (f, i) => IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
+      }
+      val idx = idxByValues.getOrElseUpdate(vStr, { partValues += vStr; partValues.size - 1 })
+      files.filter(_.getLen > 0).map { f =>
+        val locs = SparkInternals.blockLocations(f)
+        idx -> StatisticsBuilder.FileRef(
+          f.getPath.toString, f.getLen, f.getModificationTime,
+          blockSize = if (f.getBlockSize > 0) f.getBlockSize else FileEntry.DefaultBlockSize,
+          locationsJson = IndexMetadata.locationsToJsonString(locs),
+          hosts = locs.flatMap(_.hosts).distinct)
+      }
+    }
+
+    // Distributed diff on (path, size, modificationTime): a rewritten
+    // file (same path, new size/mtime) counts as removed + added.
+    import spark.implicits._
+    val currentKeys = current.map { case (_, r) => (r.path, r.size, r.modificationTime) }
+      .toDF("path", "size", "modificationTime")
+    val oldKeys = spark.read.parquet(filesDir.toString)
+      .select(col("path"), col("size"), col("modificationTime"))
+    val keyCols = Seq("path", "size", "modificationTime")
+    val addedPaths = currentKeys.join(oldKeys, keyCols, "left_anti")
+      .select("path").as[String].collect().toSet
+    val removedCount = oldKeys.join(currentKeys, keyCols, "left_anti").count()
+    if (addedPaths.isEmpty && removedCount == 0) return RefreshStats(0L, 0L)
+
+    val addedRefs = current.filter { case (_, r) => addedPaths.contains(r.path) }
+
+    Metastore.cacheInvalidate(indexDir.toString)
+    SketchStore.invalidate(sketchDir)
+    IndexFilesTable.invalidate(filesDir)
+    fs.delete(new Path(indexDir, Metastore.SuccessFile), false)
+
+    // 1. Drop stale file rows (semi-join against the live listing keys,
+    //    rewritten via tmp dir + rename — the table is metadata-sized).
+    if (removedCount > 0) {
+      val keep = spark.read.parquet(filesDir.toString)
+        .join(currentKeys, keyCols, "left_semi")
+      val tmp = new Path(indexDir, Metastore.FilesDir + "_tmp")
+      keep.sort(col("partitionIdx"), col("path"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(filesDir, true)
+      fs.rename(tmp, filesDir)
+    }
+
+    // 2. Footer job over the added files only, appended to the files
+    //    table; the returned summary re-aggregates the WHOLE table, so
+    //    counts and the merged schema are global.
+    val numParts =
+      if (conf.numPartitions > 0) conf.numPartitions
+      else math.min(spark.sparkContext.defaultParallelism * 3,
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val summary =
+      if (addedRefs.nonEmpty) {
+        StatisticsBuilder.writeFileStats(
+          spark, addedRefs, meta.indexSchema, numParts, filesDir, mode = "append")
+      } else StatisticsBuilder.summarizeFilesTable(spark, filesDir)
+
+    // 3. Sketches: drop stale rows first (only when removals exist —
+    //    semi-join against the settled files table, fully distributed),
+    //    then append sketches for the added files.
+    meta.sketchKind.foreach { kind =>
+      if (removedCount > 0 && fs.exists(sketchDir)) {
+        val normPath = udf((s: String) => SketchStore.normalizePath(s))
+        val liveKeys = spark.read.parquet(filesDir.toString)
+          .select(normPath(col("path")).as("file"))
+        val keep = spark.read.parquet(sketchDir.toString)
+          .join(liveKeys, Seq("file"), "left_semi")
+        val tmp = new Path(indexDir, Metastore.SketchDir + "_tmp")
+        keep.sort(col("file"), col("column"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(sketchDir, true)
+        fs.rename(tmp, sketchDir)
+      }
+      if (addedRefs.nonEmpty) {
+        StatisticsBuilder.buildSketches(
+          spark, addedRefs.map(_._2.path), meta.indexSchema, kind,
+          expectedItems = math.max(4096L, summary.maxFileRows),
+          sketchDir, mode = "append")
+      }
+    }
+
+    metastore.writeMetadata(indexDir, meta.copy(
+      dataSchema = summary.dataSchema.getOrElse(meta.dataSchema),
+      partitionValues = partValues.toSeq,
+      fileCount = summary.fileCount,
+      totalBytes = summary.totalBytes))
+    fs.create(new Path(indexDir, Metastore.SuccessFile), true).close()
+    RefreshStats(addedPaths.size.toLong, removedCount)
+  }
+
   def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean = {
     val metastore = Metastore(spark)
     try metastore.exists(dataspace, resolveTablePath(spark, path))

@@ -171,7 +171,7 @@ object Metastore {
       }
     }
 
-  private def cacheInvalidate(key: String): Unit =
+  private[index] def cacheInvalidate(key: String): Unit =
     cache.synchronized { cache.remove(key); () }
 
   def apply(spark: SparkSession): Metastore = new Metastore(spark, IndexConf(spark))

@@ -70,7 +70,8 @@ object StatisticsBuilder {
       refs: Seq[(Int, FileRef)],
       indexSchema: StructType,
       numPartitions: Int,
-      filesDir: Path): FileStatsSummary = {
+      filesDir: Path,
+      mode: String = "overwrite"): FileStatsSummary = {
     if (refs.isEmpty) return FileStatsSummary(None, 0L, 0L, 0L)
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
@@ -97,10 +98,13 @@ object StatisticsBuilder {
       }
     spark.createDataFrame(rows)
       .sortWithinPartitions("partitionIdx", "path")
-      .write.mode("overwrite").parquet(filesDir.toString)
+      .write.mode(mode).parquet(filesDir.toString)
+    summarizeFilesTable(spark, filesDir)
+  }
 
-    // summary + schema merge from the written table (columnar reads of
-    // three small columns; distinct schemas are few even at 1M files)
+  /** Summary + schema merge over the whole files table (columnar reads of
+    * three small columns; distinct schemas are few even at 1M files). */
+  def summarizeFilesTable(spark: SparkSession, filesDir: Path): FileStatsSummary = {
     val back = spark.read.parquet(filesDir.toString)
     val agg = back.agg(
       count(lit(1)), sum(col("size")), max(col("rowCount"))).head
@@ -202,7 +206,8 @@ object StatisticsBuilder {
       indexSchema: StructType,
       confKind: String,
       expectedItems: Long,
-      sketchDir: Path): Unit = {
+      sketchDir: Path,
+      mode: String = "overwrite"): Unit = {
     if (filePaths.isEmpty || indexSchema.isEmpty) return
     // mergeSchema: an indexed column absent from some files must read as
     // null there (heterogeneous tables), not fail schema inference
@@ -230,8 +235,10 @@ object StatisticsBuilder {
       s"stack(${indexSchema.size}, $stackArgs) as (column, kind, data)")
     // Sort by file so row-group min/max + dictionary stats make the
     // query-time pruned read skip everything outside the survivor set.
+    // (Appended part files are each sorted internally, which is what the
+    // per-row-group `file IN` pushdown needs.)
     long.sort(col("file"), col("column"))
-      .write.mode("overwrite").parquet(sketchDir.toString)
+      .write.mode(mode).parquet(sketchDir.toString)
   }
 }
 

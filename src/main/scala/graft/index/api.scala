@@ -64,6 +64,7 @@ class IndexManager(spark: SparkSession) {
   def create: CreateIndexCommand = new CreateIndexCommand(spark, extraOptions)
   def exists: ExistsIndexCommand = new ExistsIndexCommand(spark)
   def delete: DeleteIndexCommand = new DeleteIndexCommand(spark)
+  def refresh: RefreshIndexCommand = new RefreshIndexCommand(spark, extraOptions)
 
   /** Load indexed Parquet table as a DataFrame with index-driven pruning. */
   def parquet(path: String): DataFrame =
@@ -124,6 +125,26 @@ class CreateIndexCommand(spark: SparkSession, initialOptions: Map[String, String
     val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
     IndexedDataSource.createIndex(
       spark, location.toString, Metastore.CatalogDataspace, saveMode, columns, all, extraOptions)
+  }
+}
+
+/** Incremental refresh of an existing index after table files changed —
+  * stats/sketches are (re)built for the delta only (no reference
+  * counterpart: the reference rejects Append and requires a full
+  * rebuild). Returns counts of (re-)indexed and dropped files. */
+class RefreshIndexCommand(spark: SparkSession, initialOptions: Map[String, String] = Map.empty) {
+  private var extraOptions: Map[String, String] = initialOptions
+
+  def option(key: String, value: String): RefreshIndexCommand = { extraOptions += key -> value; this }
+  def options(opts: Map[String, String]): RefreshIndexCommand = { extraOptions ++= opts; this }
+
+  def parquet(path: String): IndexedDataSource.RefreshStats =
+    IndexedDataSource.refreshIndex(spark, path, Metastore.Dataspace, extraOptions)
+
+  def table(tableName: String): IndexedDataSource.RefreshStats = {
+    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    IndexedDataSource.refreshIndex(
+      spark, location.toString, Metastore.CatalogDataspace, extraOptions)
   }
 }
 

@@ -615,6 +615,104 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaLoad.count() == spark.read.parquet(tablePath).count())
   }
 
+  test("refresh: appended files become visible and are pruned") {
+    val rPath = s"$work/lineitem_refresh"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.filter(col("l_orderkey") % 2 === 0)
+      .repartition(4, col("l_orderkey")).write.mode("overwrite").parquet(rPath)
+    spark.index.create.mode("overwrite")
+      .indexBy("l_orderkey", "l_returnflag").parquet(rPath)
+
+    // no-op refresh: nothing changed
+    val none = spark.index.refresh.parquet(rPath)
+    assert(none == IndexedDataSource.RefreshStats(0L, 0L))
+
+    // append the other half as new files
+    li.filter(col("l_orderkey") % 2 === 1)
+      .repartition(4, col("l_orderkey")).write.mode("append").parquet(rPath)
+    val stats = spark.index.refresh.parquet(rPath)
+    assert(stats.addedFiles == 4L && stats.removedFiles == 0L,
+      s"expected 4 added / 0 removed, got $stats")
+
+    // full differential: indexed == plain over the whole (grown) table
+    checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))
+
+    // an odd key lives only in appended files — found, and pruned
+    val oddKey = li.filter(col("l_orderkey") % 2 === 1)
+      .agg(min(col("l_orderkey"))).head.getLong(0)
+    val q = spark.index.parquet(rPath).filter(col("l_orderkey") === oddKey)
+    checkSame(q, spark.read.parquet(rPath).filter(col("l_orderkey") === oddKey))
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    q.collect() // force listFiles
+    assert(fi.isDefined)
+    assert(fi.get.lastListedFiles < 8,
+      s"expected pruning over 8 files, listed ${fi.get.lastListedFiles}")
+
+    // bloom sketches were appended too: string equality still prunes
+    val flagQ = spark.index.parquet(rPath)
+      .filter(col("l_orderkey") === oddKey && col("l_returnflag") === "R")
+    checkSame(flagQ, spark.read.parquet(rPath)
+      .filter(col("l_orderkey") === oddKey && col("l_returnflag") === "R"))
+  }
+
+  test("refresh: removed and rewritten files drop stale index entries") {
+    val rPath = s"$work/lineitem_refresh_rm"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(6, col("l_orderkey")).write.mode("overwrite").parquet(rPath)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey").parquet(rPath)
+
+    // remove two data files behind the index's back
+    val dir = new java.io.File(rPath)
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.take(2).foreach(f => assert(f.delete()))
+    val stats = spark.index.refresh.parquet(rPath)
+    assert(stats == IndexedDataSource.RefreshStats(0L, 2L), s"got $stats")
+    checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))
+
+    // rewrite the remaining table in place (same path, new files):
+    // old entries drop, new files index
+    val schema = spark.read.parquet(rPath).schema
+    val snapshot = spark.read.parquet(rPath).collect()
+    val snapDf = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(snapshot: _*)), schema)
+    snapDf.repartition(3).write.mode("overwrite").parquet(rPath)
+    val stats2 = spark.index.refresh.parquet(rPath)
+    assert(stats2.addedFiles == 3L && stats2.removedFiles == 4L, s"got $stats2")
+    checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))
+    assert(spark.index.parquet(rPath).count() == snapshot.length.toLong)
+  }
+
+  test("refresh: new partition dir appends partition values") {
+    val pPath = s"$work/orders_part_refresh"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.filter(col("o_year") < 2000)
+      .write.partitionBy("o_year").mode("overwrite").parquet(pPath)
+    spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(pPath)
+
+    orders.filter(col("o_year") >= 2000)
+      .write.partitionBy("o_year").mode("append").parquet(pPath)
+    val stats = spark.index.refresh.parquet(pPath)
+    assert(stats.addedFiles > 0 && stats.removedFiles == 0L, s"got $stats")
+
+    val cond = col("o_year") === 2000 && col("o_custkey") === 7L
+    checkSame(spark.index.parquet(pPath).filter(cond),
+      spark.read.parquet(pPath).filter(cond))
+    checkSame(spark.index.parquet(pPath), spark.read.parquet(pPath))
+  }
+
+  test("refresh: missing index is rejected") {
+    val mPath = s"$work/lineitem_refresh_missing"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .limit(10).write.mode("overwrite").parquet(mPath)
+    val e = intercept[IllegalStateException] {
+      spark.index.refresh.parquet(mPath)
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()
