@@ -680,6 +680,21 @@ object SparkEntry {
         excludeId = Some(qRow.getLong(0)))
     }),
 
+    // IVF-flat ANN: coarse cells from a deterministic codebook, query
+    // probes the 4 nearest of 16 cells and exact-re-ranks inside — the
+    // inverted-file scale path (cells become partition keys at ingest).
+    // Oracle recomputes every cell assignment from centroid literals.
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.ivfTopK(
+        emb, $"vec_id", $"embedding", q, k = 10, cells = 16, nprobe = 4,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
     // Multimodal decode plumbing (stubbed kernels, real Dataset pipeline).
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
@@ -733,6 +748,12 @@ object SparkEntry {
       graft.streaming.Streaming.hourlyEventCountsUpsert(s, dir, out, statePartitions = 2)
         .orderBy($"win_start", $"event_type")
     }),
+
+    // Streaming exact dedup: every distinct (user, event type) pair is
+    // emitted exactly once (stateful dropDuplicates, append mode).
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingDistinct(
+        s, dir, Seq("user_id", "event_type"))),
 
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -851,6 +872,17 @@ object SparkEntry {
     }.mkString(",\n")
 
   /** Cosine of two DuckDB float-list columns in double precision. */
+  /** 16-element list of `vecCol`·centroid dots, from the SAME
+    * [[graft.ann.Ann.ivfCodebook]] the operator uses. */
+  private def ivfDotsSql(vecCol: String, cells: Int, dim: Int): String = {
+    val cents = graft.ann.Ann.ivfCodebook(cells, dim)
+    cents.map { c =>
+      val lit = c.map(sqlDouble).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1,${dim + 1}), " +
+        s"i -> CAST($vecCol[i] AS DOUBLE) * $lit[i]))"
+    }.mkString("[\n    ", ",\n    ", "]")
+  }
+
   private def cosineSql(a: String, b: String, dim: Int): String = {
     val r = s"range(1,${dim + 1})"
     s"""list_sum(list_transform($r, i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -1187,6 +1219,22 @@ object SparkEntry {
         |    (v.b0 = q.qb0 OR v.b1 = q.qb1 OR v.b2 = q.qb2 OR v.b3 = q.qb3))
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |  ${ivfDotsSql("embedding", 16, 64)} AS dots
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id, embedding,
+        |    list_position(dots, list_max(dots)) - 1 AS cell FROM v),
+        |q AS (SELECT vec_id AS qid, embedding AS e, dots AS qdots FROM v
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |qd AS (SELECT unnest(range(16)) AS cell, unnest(qdots) AS d FROM q),
+        |probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT 4),
+        |s AS (SELECT c.vec_id AS neighbor_id,
+        |  ${cosineSql("c.embedding", "q.e", 64)} AS c
+        |  FROM cells c, q WHERE c.vec_id <> q.qid
+        |    AND c.cell IN (SELECT cell FROM probe))
+        |SELECT neighbor_id, round(c, 6) AS cosine FROM s
+        |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -1268,6 +1316,9 @@ object SparkEntry {
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
         |  FROM events WHERE event_type = 'purchase'),

@@ -109,6 +109,62 @@ object Ann {
     bruteForceTopK(bucketed, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
 
+  /** Deterministic IVF codebook: `k` unit-normalized centroids, a pure
+    * function of (k, dim, seed) — the same spectral-hash construction as
+    * [[hyperplanes]], L2-normalized in exact driver arithmetic so both
+    * the operators and the SQL oracle can embed identical literals. In
+    * production the codebook would come from k-means over a sample; the
+    * probe structure below is unchanged by where centroids come from. */
+  def ivfCodebook(k: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    hyperplanes(k, dim, scala.util.hashing.byteswap64(seed ^ 0x1DF5C3A7B9E1L))
+      .map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / n)
+      }
+
+  /** Coarse-quantizer cell of `vec`: index of the max-dot centroid
+    * (spherical Voronoi), ties to the FIRST max index — the exact
+    * formulation `array_position(dots, array_max(dots)) - 1` so DuckDB's
+    * `list_position(dots, list_max(dots)) - 1` reproduces every
+    * assignment bit-for-bit. */
+  def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = array(centroids.map(c => dot(vec, array(c.map(lit): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Driver-side: the `nprobe` cells nearest a literal query vector
+    * (by centroid dot, descending; ties by cell index). */
+  def ivfProbeCells(
+      query: Seq[Double], centroids: Seq[Seq[Double]], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(nprobe).map(_._2)
+
+  /** IVF(-flat) top-k: vectors are assigned to coarse cells once (at
+    * scale: a partitioning/clustering key written at ingest); a query
+    * exact-re-ranks only the `nprobe` nearest cells — it touches
+    * nprobe/k of the data instead of all of it, and recall loss is
+    * confined to neighbours quantized into unprobed cells. */
+  def ivfTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Double],
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe must be in [1, $cells]")
+    val cents = ivfCodebook(cells, query.length, seed)
+    val probe = ivfProbeCells(query, cents, nprobe)
+    val restricted = df
+      .filter(ivfCell(vec, cents).isin(probe: _*))
+      .select(id.as("neighbor_id"), vec.as("__v"))
+    bruteForceTopK(restricted, col("neighbor_id"), col("__v"), query, k, excludeId)
+  }
+
   /** Embedding-level dedup: drop every vector that is transitively
     * cosine-connected (≥ threshold, within the multi-table LSH blocking)
     * to a smaller id — i.e. keep one representative per near-duplicate

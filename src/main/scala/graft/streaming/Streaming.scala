@@ -133,6 +133,33 @@ object Streaming {
     ()
   }
 
+  /** Streaming exact deduplication: emit each distinct key combination
+    * once, as it first arrives — Structured Streaming's stateful
+    * `dropDuplicates` over the key columns only. Projecting to the keys
+    * BEFORE deduplicating keeps the state store entries key-sized and
+    * makes the emitted rows deterministic (a full-row variant would keep
+    * whichever row arrived first). Append output mode: each key crosses
+    * the sink exactly once. State is unbounded by design for global
+    * dedup; when keys age out of relevance, bound it with
+    * `dropDuplicatesWithinWatermark` instead. */
+  def streamingDistinct(
+      parent: SparkSession, dir: String, keys: Seq[String],
+      statePartitions: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val spark = streamingSession(parent, statePartitions)
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .select(keys.map(col): _*)
+      .dropDuplicates(keys)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(keys.map(col): _*)
+  }
+
   /** Gap-based sessionization, batch formulation: a new session starts
     * after `gapMinutes` of inactivity per user. Declarative window
     * functions (lag → gap flag → running sum) so Catalyst plans one

@@ -225,6 +225,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivf: deterministic codebook, cells partition vectors, probe recalls subset") {
+    val cents = Ann.ivfCodebook(8, 4)
+    assert(cents == Ann.ivfCodebook(8, 4))
+    // unit centroids
+    cents.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-12)
+    }
+    // every vector gets exactly one cell in [0, k)
+    val cells = vecs.select(Ann.ivfCell($"v", cents).as("c")).as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // probing ALL cells is exhaustive: equals brute force exactly
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val all = Ann.ivfTopK(vecs, $"vec_id", $"v", q, k = 5,
+      cells = 8, nprobe = 8, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Ann.bruteForceTopK(vecs, $"vec_id", $"v", q, k = 5,
+      excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.sameElements(brute), "nprobe=k must equal brute force")
+    // restricted probe returns a subset of the probed cells' vectors,
+    // ranked identically to brute force on that subset
+    val restricted = Ann.ivfTopK(vecs, $"vec_id", $"v", q, k = 5,
+      cells = 8, nprobe = 2, excludeId = Some(0L)).collect()
+    val probed = Ann.ivfProbeCells(q, cents, 2).toSet
+    val cellOf = vecs.select($"vec_id", Ann.ivfCell($"v", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    restricted.foreach(r => assert(probed.contains(cellOf(r.getLong(0)))))
+  }
+
   test("simhash md5 token hash matches DuckDB md5_number_lower semantics") {
     // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72; lower 8 digest bytes
     // little-endian = 0x727fe1287d3f96d6 = 8250560606382298838

@@ -86,5 +86,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) > 0)
   }
 
+  test("streaming distinct equals batch distinct, one row per key") {
+    val streamed = Streaming.streamingDistinct(spark, dir, Seq("user_id", "event_type"))
+      .collect().map(_.toString).sorted
+    val batch = batchEvents.select($"user_id", $"event_type").distinct()
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length, "one emission per distinct key")
+    assert(streamed.sameElements(batch))
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }
