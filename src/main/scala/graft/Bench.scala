@@ -35,6 +35,7 @@ object Bench {
     SparkEntry.indexedOrdersPart(spark, sfDir).count()
     SparkEntry.indexedLineitemDict(spark, sfDir).count()
     SparkEntry.indexedLineitemRefreshed(spark, sfDir).count()
+    SparkEntry.indexedLineitemClustered(spark, sfDir).count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.map { case (name, fn) =>

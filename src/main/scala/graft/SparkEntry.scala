@@ -134,6 +134,31 @@ object SparkEntry {
       s.index.parquet(tableDir)
     }
 
+  /** Range-clustered indexed lineitem (graft.ops.Layout.clusterBy on
+    * l_shipdate): each file covers a narrow shipdate slice, so footer
+    * min/max prunes RANGE predicates — which the hash-layout copy cannot
+    * (every hashed file spans the full date domain); create-once. */
+  private[graft] def indexedLineitemClustered(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.synchronized {
+      import graft.index.implicits._
+      val sfName = new java.io.File(dir).getName
+      val scratch = s"$scratchRoot/$sfName"
+      val tableDir = s"$scratch/lineitem_clustered"
+      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
+      val marker = new java.io.File(s"$scratch/lineitem_clustered_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        graft.ops.Layout.clusterBy(
+            s.read.parquet(s"$dir/lineitem.parquet"), 16, col("l_shipdate"))
+          .write.mode("overwrite").parquet(tableDir)
+        s.index.create.mode("overwrite")
+          .indexBy("l_shipdate", "l_orderkey").parquet(tableDir)
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      s.index.parquet(tableDir)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -475,6 +500,35 @@ object SparkEntry {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Range predicate over the range-clustered layout: min/max pruning
+    // works BECAUSE the layout correlates with the predicate (the
+    // hash-layout q_idx_range_date scans everything; this scans the few
+    // files whose shipdate slice intersects — see IndexEndToEndSpec).
+    "q_idx_range_cluster" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemClustered(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Salted equi-join (hot-key skew shape): deterministic row-hash salt
+    // on the big side, small side replicated xsalts, join on (key, salt);
+    // merge hint keeps it a shuffle join so the salt actually matters.
+    "q_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val joined = graft.ops.Skew.saltedJoin(
+        tbl(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice"),
+        "l_orderkey",
+        tbl(s, dir, "orders").select($"o_orderkey", $"o_orderpriority").hint("merge"),
+        "o_orderkey", salts = 8)
+      joined.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
+        .orderBy($"o_orderpriority")
     }),
 
     "q_idx_and_or" -> ((s, dir) => {
@@ -1284,6 +1338,17 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_range_cluster" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_idx_in_list" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem WHERE l_suppkey IN (1, 2, 3)

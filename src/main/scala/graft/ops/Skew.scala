@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot-key workloads.
+  *
+  * AQE's skew-join handling splits oversized shuffle partitions at
+  * runtime, but a partition holding ONE pathological key cannot be split
+  * by key ranges — every row of that key still lands in one task. Salting
+  * separates even that case: the hot key's rows spread across `salts`
+  * tasks at the cost of replicating the other side once per salt value.
+  */
+object Skew {
+
+  /** Salted inner equi-join for when neither side fits a broadcast and a
+    * handful of keys dominate the big side. The big side gets a
+    * deterministic salt — hash of the whole row mod `salts`, so retries
+    * and re-runs salt identically (no nondeterministic round-robin) —
+    * and the small side is replicated once per salt; the join runs on
+    * (key, salt). Shuffle volume grows by ×salts on the SMALL side only.
+    *
+    * Output = big columns then small columns (names must be disjoint),
+    * inner-join semantics, row-identical to the unsalted join.
+    */
+  def saltedJoin(
+      big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val dup = big.columns.toSet.intersect(small.columns.toSet)
+    require(dup.isEmpty, s"big/small column names must be disjoint, both have: $dup")
+
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int"))
+      .alias("__B")
+    val s = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit).toIndexedSeq: _*)))
+      .alias("__S")
+    b.join(s,
+        col(s"__B.$bigKey") === col(s"__S.$smallKey") &&
+          col("__B.__salt") === col("__S.__salt"))
+      .select((big.columns.map(c => col(s"__B.$c")) ++
+        small.columns.map(c => col(s"__S.$c"))).toIndexedSeq: _*)
+  }
+}

@@ -703,6 +703,42 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkSame(spark.index.parquet(pPath), spark.read.parquet(pPath))
   }
 
+  test("range-clustered layout: range predicates prune files, hash layout cannot") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val lo = lit("1995-01-01").cast("timestamp_ntz")
+    val hi = lit("1995-04-01").cast("timestamp_ntz")
+    val cond = col("l_shipdate") >= lo && col("l_shipdate") < hi
+
+    def listedFor(path: String): Long = {
+      val q = spark.index.parquet(path).filter(cond)
+      val fi = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+      q.collect()
+      fi.lastListedFiles
+    }
+
+    val cPath = s"$work/lineitem_clustered"
+    graft.ops.Layout.clusterBy(li, 16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(cPath)
+    spark.index.create.mode("overwrite").indexBy("l_shipdate").parquet(cPath)
+    checkSame(spark.index.parquet(cPath).filter(cond),
+      spark.read.parquet(cPath).filter(cond))
+    val clusteredListed = listedFor(cPath)
+
+    val hPath = s"$work/lineitem_hashed"
+    li.repartition(16, col("l_orderkey")).write.mode("overwrite").parquet(hPath)
+    spark.index.create.mode("overwrite").indexBy("l_shipdate").parquet(hPath)
+    val hashedListed = listedFor(hPath)
+
+    // ~7 years of dates over 16 range-clustered files -> a one-quarter
+    // range intersects few slices; each hashed file spans all dates.
+    assert(clusteredListed < 16, s"clustered layout should prune, listed $clusteredListed")
+    assert(clusteredListed < hashedListed,
+      s"clustered=$clusteredListed should beat hashed=$hashedListed")
+    assert(hashedListed == 16, s"hash layout cannot range-prune, listed $hashedListed")
+  }
+
   test("refresh: missing index is rejected") {
     val mPath = s"$work/lineitem_refresh_missing"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+/** Unit coverage for the skew-mitigation operators. */
+class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-skew-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // hot key 1L holds 90% of the big side
+  private lazy val big = ((1 to 900).map(i => (1L, i.toDouble)) ++
+    (1 to 100).map(i => ((i % 7 + 2).toLong, i.toDouble)))
+    .toDF("bkey", "bval")
+  private lazy val small = (1L to 9L).map(k => (k, s"name_$k")).toDF("skey", "sname")
+
+  test("saltedJoin is row-identical to the plain inner join") {
+    val salted = Skew.saltedJoin(big, "bkey", small, "skey", salts = 8)
+      .collect().map(_.toString).sorted
+    val plain = big.join(small, $"bkey" === $"skey")
+      .select($"bkey", $"bval", $"skey", $"sname")
+      .collect().map(_.toString).sorted
+    assert(salted.length == plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("salt spreads the hot key across multiple values, deterministically") {
+    val saltOf = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8L)).cast("int"))
+    val hotSalts = saltOf.filter($"bkey" === 1L)
+      .select($"__salt").distinct().count()
+    assert(hotSalts > 1, s"hot key stayed on $hotSalts salt(s)")
+    // deterministic across runs
+    val a = saltOf.select($"__salt").as[Int].collect()
+    val b = saltOf.select($"__salt").as[Int].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("saltedJoin joins on (key, salt) without broadcast under merge hint") {
+    val out = Skew.saltedJoin(big, "bkey", small.hint("merge"), "skey", salts = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"merge hint ignored:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+  }
+
+  test("saltedJoin rejects colliding column names") {
+    val l = Seq((1L, 2L)).toDF("id", "x")
+    val r = Seq((1L, 2L)).toDF("id", "y")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, "id", r, "id", 4)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
