@@ -61,7 +61,9 @@ object DevExplore {
       // warm the parquet read + codegen paths so stream timings isolate
       // streaming machinery
       time("batch-warmup")(SparkEntry.queries("q_events_window")(spark, sfDir).count())
-      for (sp <- Seq(4, 4); i <- 1 to 1) {
+      // two measured iterations at the production state-partition count
+      val sp = 4
+      for (i <- 1 to 2) {
         time(s"complete-sp$sp-$i")(
           graft.streaming.Streaming.hourlyEventCounts(spark, sfDir, sp).count())
         val out = Files.createTempDirectory("graft_stream_prof").toString

@@ -52,54 +52,52 @@ object SparkEntry {
 
   private def scratchVersion: String = graft.index.IndexMetadata.CurrentVersion.toString
 
-  /** Indexed multi-file copy of lineitem for sfDir; create-once. */
-  private[graft] def indexedLineitem(s: SparkSession, dir: String): DataFrame =
+  /** Create-once protocol shared by every scratch table: version-marked
+    * build under target/, then served through the indexed read. The
+    * `build` closure receives the table dir and must leave it indexed. */
+  private def scratchTable(s: SparkSession, dir: String, name: String)(
+      build: String => Unit): DataFrame =
     SparkEntry.synchronized {
       import graft.index.implicits._
-      val sfName = new java.io.File(dir).getName
-      val scratch = s"$scratchRoot/$sfName"
-      val tableDir = s"$scratch/lineitem"
+      val scratch = s"$scratchRoot/${new java.io.File(dir).getName}"
+      val tableDir = s"$scratch/$name"
       s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
-      val marker = new java.io.File(s"$scratch/lineitem_ready")
+      val marker = new java.io.File(s"$scratch/${name}_ready")
       val upToDate = marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
       if (!upToDate) {
-        s.read.parquet(s"$dir/lineitem.parquet")
-          .repartition(16, col("l_orderkey"))
-          .write.mode("overwrite").parquet(tableDir)
-        s.index.create.mode("overwrite")
-          .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
-          .parquet(tableDir)
+        build(tableDir)
         java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
       }
       s.index.parquet(tableDir)
+    }
+
+  /** Indexed multi-file copy of lineitem for sfDir; create-once. */
+  private[graft] def indexedLineitem(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "lineitem") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+        .parquet(tableDir)
     }
 
   /** Indexed lineitem copy with DICT/BITMAP sketches (per-call option):
     * long column → exact dict, int column → roaring bitmap. Separate
     * table dir so the bloom-indexed copy keeps its own index. */
   private[graft] def indexedLineitemDict(s: SparkSession, dir: String): DataFrame =
-    SparkEntry.synchronized {
+    scratchTable(s, dir, "lineitem_dict") { tableDir =>
       import graft.index.implicits._
-      val sfName = new java.io.File(dir).getName
-      val scratch = s"$scratchRoot/$sfName"
-      val tableDir = s"$scratch/lineitem_dict"
-      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
-      val marker = new java.io.File(s"$scratch/lineitem_dict_ready")
-      val upToDate = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
-      if (!upToDate) {
-        s.read.parquet(s"$dir/lineitem.parquet")
-          .withColumn("l_linenumber", col("l_linenumber").cast("int"))
-          .repartition(16, col("l_suppkey"))
-          .write.mode("overwrite").parquet(tableDir)
-        s.index.create.mode("overwrite")
-          .option(graft.index.IndexConf.FilterType, "dict")
-          .indexBy("l_suppkey", "l_linenumber")
-          .parquet(tableDir)
-        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
-      }
-      s.index.parquet(tableDir)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("l_linenumber", col("l_linenumber").cast("int"))
+        .repartition(16, col("l_suppkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .option(graft.index.IndexConf.FilterType, "dict")
+        .indexBy("l_suppkey", "l_linenumber")
+        .parquet(tableDir)
     }
 
   /** Indexed lineitem copy built through the INCREMENTAL path: index half
@@ -107,31 +105,20 @@ object SparkEntry {
     * flow (delta footer job, appended stats + sketches, metadata update)
     * is exercised by the oracle gate on every run; create-once. */
   private[graft] def indexedLineitemRefreshed(s: SparkSession, dir: String): DataFrame =
-    SparkEntry.synchronized {
+    scratchTable(s, dir, "lineitem_refresh") { tableDir =>
       import graft.index.implicits._
-      val sfName = new java.io.File(dir).getName
-      val scratch = s"$scratchRoot/$sfName"
-      val tableDir = s"$scratch/lineitem_refresh"
-      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
-      val marker = new java.io.File(s"$scratch/lineitem_refresh_ready")
-      val upToDate = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
-      if (!upToDate) {
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
-        li.filter(col("l_orderkey") % 2 === 0)
-          .repartition(8, col("l_orderkey"))
-          .write.mode("overwrite").parquet(tableDir)
-        s.index.create.mode("overwrite")
-          .indexBy("l_orderkey", "l_returnflag").parquet(tableDir)
-        li.filter(col("l_orderkey") % 2 === 1)
-          .repartition(8, col("l_orderkey"))
-          .write.mode("append").parquet(tableDir)
-        val stats = s.index.refresh.parquet(tableDir)
-        require(stats.addedFiles == 8L && stats.removedFiles == 0L,
-          s"refresh scratch build expected 8 added files, got $stats")
-        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
-      }
-      s.index.parquet(tableDir)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_orderkey", "l_returnflag").parquet(tableDir)
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartition(8, col("l_orderkey"))
+        .write.mode("append").parquet(tableDir)
+      val stats = s.index.refresh.parquet(tableDir)
+      require(stats.addedFiles == 8L && stats.removedFiles == 0L,
+        s"refresh scratch build expected 8 added files, got $stats")
     }
 
   /** Range-clustered indexed lineitem (graft.ops.Layout.clusterBy on
@@ -139,46 +126,24 @@ object SparkEntry {
     * min/max prunes RANGE predicates — which the hash-layout copy cannot
     * (every hashed file spans the full date domain); create-once. */
   private[graft] def indexedLineitemClustered(s: SparkSession, dir: String): DataFrame =
-    SparkEntry.synchronized {
+    scratchTable(s, dir, "lineitem_clustered") { tableDir =>
       import graft.index.implicits._
-      val sfName = new java.io.File(dir).getName
-      val scratch = s"$scratchRoot/$sfName"
-      val tableDir = s"$scratch/lineitem_clustered"
-      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
-      val marker = new java.io.File(s"$scratch/lineitem_clustered_ready")
-      val upToDate = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
-      if (!upToDate) {
-        graft.ops.Layout.clusterBy(
-            s.read.parquet(s"$dir/lineitem.parquet"), 16, col("l_shipdate"))
-          .write.mode("overwrite").parquet(tableDir)
-        s.index.create.mode("overwrite")
-          .indexBy("l_shipdate", "l_orderkey").parquet(tableDir)
-        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
-      }
-      s.index.parquet(tableDir)
+      graft.ops.Layout.clusterBy(
+          s.read.parquet(s"$dir/lineitem.parquet"), 16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_shipdate", "l_orderkey").parquet(tableDir)
     }
 
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
-    SparkEntry.synchronized {
+    scratchTable(s, dir, "orders_part") { tableDir =>
       import graft.index.implicits._
-      val sfName = new java.io.File(dir).getName
-      val scratch = s"$scratchRoot/$sfName"
-      val tableDir = s"$scratch/orders_part"
-      s.conf.set(graft.index.IndexConf.MetastoreLocation, s"$scratch/metastore")
-      val marker = new java.io.File(s"$scratch/orders_part_ready")
-      val upToDate = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
-      if (!upToDate) {
-        s.read.parquet(s"$dir/orders.parquet")
-          .withColumn("o_year", year(col("o_orderdate")))
-          .write.mode("overwrite").partitionBy("o_year").parquet(tableDir)
-        s.index.create.mode("overwrite").indexBy("o_custkey").parquet(tableDir)
-        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
-      }
-      s.index.parquet(tableDir)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tableDir)
+      s.index.create.mode("overwrite").indexBy("o_custkey").parquet(tableDir)
     }
 
   // ---------------------------------------------------------------------

@@ -169,6 +169,11 @@ object IndexedDataSource {
     * restored after the new metadata is written: a crash mid-refresh
     * fails subsequent loads ("create it first") instead of serving a
     * torn index — the same guarantee create() gives.
+    *
+    * Limitation (shared with Spark's own file-listing caches): a file
+    * rewritten IN PLACE with both size and mtime preserved (`cp -p` over
+    * same-length content) is indistinguishable from unchanged and keeps
+    * its old stats; use create.mode("overwrite") after such a rewrite.
     */
   def refreshIndex(
       spark: SparkSession,

@@ -115,7 +115,10 @@ object StatisticsBuilder {
     val merged = schemaJsons
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .reduceOption(SparkInternals.mergeSchemas)
-    FileStatsSummary(merged, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    // sum/max are NULL over an empty table (all files removed) — degrade to 0.
+    FileStatsSummary(merged, agg.getLong(0),
+      if (agg.isNullAt(1)) 0L else agg.getLong(1),
+      if (agg.isNullAt(2)) 0L else agg.getLong(2))
   }
 
   /** Executor-side: one footer read → schema + BlockStats per row group. */
@@ -211,7 +214,14 @@ object StatisticsBuilder {
     if (filePaths.isEmpty || indexSchema.isEmpty) return
     // mergeSchema: an indexed column absent from some files must read as
     // null there (heterogeneous tables), not fail schema inference
-    val df = spark.read.option("mergeSchema", "true").parquet(filePaths: _*)
+    val read = spark.read.option("mergeSchema", "true").parquet(filePaths: _*)
+    // An indexed column absent from EVERY file in this batch (incremental
+    // refresh over a homogeneous delta) must still aggregate — as all-null,
+    // yielding an empty sketch (sound: the files really contain no values).
+    val df = indexSchema.fields.foldLeft(read) { (d, f) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
     val aggs = indexSchema.fields.map { f =>
       val kind = Sketch.resolveKind(confKind, f.dataType)
       SparkInternals.wrap(

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted inner equi-join for when neither side fits a broadcast and a
-    * handful of keys dominate the big side. The big side gets a
-    * deterministic salt — hash of the whole row mod `salts`, so retries
-    * and re-runs salt identically (no nondeterministic round-robin) —
-    * and the small side is replicated once per salt; the join runs on
-    * (key, salt). Shuffle volume grows by ×salts on the SMALL side only.
+    * handful of keys dominate the big side. The big side gets a salt —
+    * row hash mixed with a per-partition row ordinal mod `salts`, so even
+    * byte-identical duplicate rows of the hot key (the dedup-workload
+    * case, where a pure row hash would collapse to one salt) spread
+    * across tasks, and the value is stable for a stable input
+    * partitioning — and the small side is replicated once per salt; the
+    * join runs on (key, salt). Shuffle volume grows by ×salts on the
+    * SMALL side only.
     *
     * Output = big columns then small columns (names must be disjoint),
     * inner-join semantics, row-identical to the unsalted join.
@@ -30,9 +33,10 @@ object Skew {
     require(salts > 0, "salts must be positive")
     val dup = big.columns.toSet.intersect(small.columns.toSet)
     require(dup.isEmpty, s"big/small column names must be disjoint, both have: $dup")
+    require(!(big.columns ++ small.columns).contains("__salt"),
+      "column name __salt is reserved by saltedJoin")
 
-    val b = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int"))
+    val b = big.withColumn("__salt", saltExpr(big.columns.map(col).toIndexedSeq, salts))
       .alias("__B")
     val s = small.withColumn("__salt",
       explode(array((0 until salts).map(lit).toIndexedSeq: _*)))
@@ -43,4 +47,10 @@ object Skew {
       .select((big.columns.map(c => col(s"__B.$c")) ++
         small.columns.map(c => col(s"__S.$c"))).toIndexedSeq: _*)
   }
+
+  /** Big-side salt: row hash + per-partition ordinal, mod `salts`. The
+    * ordinal term is what spreads byte-identical duplicate rows; the hash
+    * term decorrelates rows that arrive ordered by key. */
+  private[graft] def saltExpr(rowCols: Seq[org.apache.spark.sql.Column], salts: Int) =
+    pmod(xxhash64(rowCols: _*) + monotonically_increasing_id(), lit(salts.toLong)).cast("int")
 }

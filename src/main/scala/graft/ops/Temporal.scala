@@ -42,14 +42,19 @@ object Temporal {
     val lType = left.select(lStructCol.as("s")).schema("s").dataType
     val pStructCol = struct(payload.map(col).toIndexedSeq: _*)
     val pType = right.select(pStructCol.as("s")).schema("s").dataType
+    // Native type so string/timestamp tie-breaks order correctly (a cast to
+    // long would null them out and make the winner nondeterministic).
+    val tbType = right.select(col(tieBreak).as("s")).schema("s").dataType
 
     val lSide = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"),
-      lit(1).as("__side"), lit(null).cast("long").as("__tb"),
+      lit(1).as("__side"), lit(null).cast(tbType).as("__tb"),
       lStructCol.as("__l"), lit(null).cast(pType).as("__p"))
-    val rSide = right.select(
+    // A NULL rightTime can never satisfy rightTime <= leftTime, but it would
+    // sort first (nulls-first asc) and win `last(ignoreNulls)` — drop it.
+    val rSide = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__side"), col(tieBreak).cast("long").as("__tb"),
+      lit(0).as("__side"), col(tieBreak).as("__tb"),
       lit(null).cast(lType).as("__l"), pStructCol.as("__p"))
 
     val w = Window.partitionBy(col("__k"))
@@ -87,6 +92,8 @@ object Temporal {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"left/right column names must be disjoint, both have: $dup")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "column name __bucket is reserved by rangeJoin")
 
     val lb = left.withColumn("__bucket",
       explode(sequence(

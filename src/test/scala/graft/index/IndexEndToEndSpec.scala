@@ -684,6 +684,46 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.index.parquet(rPath).count() == snapshot.length.toLong)
   }
 
+  test("refresh: survives ALL data files being removed") {
+    // retention-job shape: every file deleted; the summary aggregates over
+    // an empty files table (NULL sum/max must degrade to 0, not NPE)
+    val rPath = s"$work/lineitem_refresh_all_rm"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .limit(100).repartition(3).write.mode("overwrite").parquet(rPath)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey").parquet(rPath)
+
+    val dir = new java.io.File(rPath)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    val stats = spark.index.refresh.parquet(rPath)
+    assert(stats == IndexedDataSource.RefreshStats(0L, 3L), s"got $stats")
+    // index stays loadable (the _SUCCESS marker was restored) and empty
+    assert(spark.index.parquet(rPath).count() == 0L)
+  }
+
+  test("refresh: heterogeneous append whose files lack an indexed column") {
+    // delta files carry only (k, v); the index also covers `extra`, which
+    // must aggregate as all-null in the delta sketch job, not fail to resolve
+    val rPath = s"$work/hetero_refresh"
+    import spark.implicits._
+    (1L to 50L).map(k => (k, s"v$k", k * 10)).toDF("k", "v", "extra")
+      .repartition(2).write.mode("overwrite").parquet(rPath)
+    spark.index.create.mode("overwrite").indexBy("k", "extra").parquet(rPath)
+
+    (51L to 80L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(rPath)
+    val stats = spark.index.refresh.parquet(rPath)
+    assert(stats.addedFiles == 2L && stats.removedFiles == 0L, s"got $stats")
+
+    val plain = spark.read.option("mergeSchema", "true").parquet(rPath)
+    checkSame(spark.index.parquet(rPath), plain)
+    // predicate on the column absent from the delta: old rows still found,
+    // and the all-null delta sketches/stats exclude the new files soundly
+    checkSame(spark.index.parquet(rPath).filter(col("extra") === 100L),
+      plain.filter(col("extra") === 100L))
+    checkSame(spark.index.parquet(rPath).filter(col("k") === 60L),
+      plain.filter(col("k") === 60L))
+  }
+
   test("refresh: new partition dir appends partition values") {
     val pPath = s"$work/orders_part_refresh"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

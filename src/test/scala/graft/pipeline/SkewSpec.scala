@@ -37,7 +37,7 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("salt spreads the hot key across multiple values, deterministically") {
     val saltOf = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8L)).cast("int"))
+      Skew.saltExpr(big.columns.map(col).toIndexedSeq, 8))
     val hotSalts = saltOf.filter($"bkey" === 1L)
       .select($"__salt").distinct().count()
     assert(hotSalts > 1, s"hot key stayed on $hotSalts salt(s)")
@@ -45,6 +45,32 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = saltOf.select($"__salt").as[Int].collect()
     val b = saltOf.select($"__salt").as[Int].collect()
     assert(a.sameElements(b))
+  }
+
+  test("salt spreads byte-identical duplicate rows of the hot key") {
+    // the dedup-workload shape: one key, all rows identical — a pure row
+    // hash collapses these onto a single salt and the join stays skewed
+    val dupes = Seq.fill(400)((1L, 42.0)).toDF("bkey", "bval")
+    val spread = dupes
+      .withColumn("__salt", Skew.saltExpr(dupes.columns.map(col).toIndexedSeq, 8))
+      .select($"__salt").distinct().count()
+    assert(spread > 1, s"identical duplicates stayed on $spread salt(s)")
+    // and the join over them is still row-identical to the plain join
+    val salted = Skew.saltedJoin(dupes, "bkey", small, "skey", salts = 8)
+      .collect().map(_.toString).sorted
+    val plain = dupes.join(small, $"bkey" === $"skey")
+      .select($"bkey", $"bval", $"skey", $"sname")
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+  }
+
+  test("saltedJoin rejects a user column named __salt") {
+    val l = Seq((1L, 2L)).toDF("id", "__salt")
+    val r = Seq((1L, 2L)).toDF("rid", "y")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, "id", r, "rid", 4)
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 
   test("saltedJoin joins on (key, salt) without broadcast under merge hint") {

@@ -54,6 +54,35 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == trades.count()) // exactly one output row per left row
   }
 
+  test("asofJoin ignores right rows with a NULL time") {
+    // a null-time quote sorts before every trade (nulls first) and would
+    // wrongly win last(ignoreNulls) if not filtered out
+    val q = Seq(
+      (Some(1L), Option.empty[Long], Some(700L)),
+      (Some(2L), Some(10L), Some(701L))
+    ).toDF("key", "t", "quote_id")
+    val tr = Seq((1L, 50L, 1L), (2L, 50L, 2L)).toDF("key", "t", "trade_id")
+    val out = Temporal.asofJoin(tr, "key", "t", q, "key", "t",
+      payload = Seq("quote_id"), tieBreak = "quote_id")
+    val byTrade = out.collect()
+      .map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[java.lang.Long]("asof_quote_id")))
+      .toMap
+    assert(byTrade(1L).isEmpty, "NULL-time right row must never match")
+    assert(byTrade(2L).contains(701L))
+  }
+
+  test("asofJoin breaks ties by a string tieBreak in native ordering") {
+    // a cast-to-long tie-break would null out the strings and pick
+    // nondeterministically; native ordering must pick "b" over "a"
+    val q = Seq((1L, 10L, "a", 1.0), (1L, 10L, "b", 2.0)).toDF("key", "t", "qid", "px")
+    val tr = Seq((1L, 20L, 1L)).toDF("key", "t", "trade_id")
+    val out = Temporal.asofJoin(tr, "key", "t", q, "key", "t",
+      payload = Seq("qid", "px"), tieBreak = "qid")
+    val row = out.collect().head
+    assert(row.getAs[String]("asof_qid") == "b")
+    assert(row.getAs[Double]("asof_px") == 2.0)
+  }
+
   test("asofJoin plans a single shuffle and no join node") {
     val out = Temporal.asofJoin(
       trades, "key", "t", quotes, "key", "t",
