@@ -643,6 +643,51 @@ object SparkEntry {
         .orderBy($"cluster_id")
     }),
 
+    // Per-(doc, term) TF-IDF over a bounded corpus slice; tf/df are
+    // integers, the score rounds at the cross-engine double noise floor.
+    "q_text_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Tfidf.tfidf(
+          tbl(s, dir, "documents").filter($"doc_id" < 50), $"doc_id", $"text")
+        .orderBy($"doc_id", $"term")
+    }),
+
+    // Deterministic stratified sampling: exactly 10 docs per source,
+    // ranked by salted md5 of the id — reproducible on any engine, so
+    // the oracle checks the SAMPLE MEMBERSHIP value-for-value.
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.stratifiedSample(
+          tbl(s, dir, "documents"), $"source", $"doc_id", n = 10, salt = "s1")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic hash-fraction sampling (map-side, no shuffle):
+    // keep iff md5-prefix < fraction of the 32-bit space.
+    "q_sample_hash" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.hashSample(
+          tbl(s, dir, "documents"), $"doc_id", fraction = 0.25, salt = "s2")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark decontamination: corpus docs sharing >= 2 distinct
+    // 3-shingles with a held-out "benchmark" slice (every 20th doc).
+    // Benchmark shingles broadcast; the corpus side never shuffles until
+    // the (doc,bench) overlap count. Oracle = exact shingle-set
+    // intersection sizes in DuckDB.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Decontaminate.contaminatedPairs(
+          docs.filter($"doc_id" % 20 =!= 0), $"doc_id", $"text",
+          docs.filter($"doc_id" % 20 === 0), $"doc_id", $"text",
+          shingleK = 3, minOverlap = 2)
+        .orderBy($"doc_id", $"bench_id")
+    }),
+
     // SimHash Hamming-distance near-dup pairs. Token hash = md5-lower-64
     // so the DuckDB oracle reproduces the fingerprints bit-for-bit
     // (md5_number_lower) — a full value-level check of tokenize → bit
@@ -1144,6 +1189,46 @@ object SparkEntry {
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents WHERE doc_id < 50),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE), 4) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('s1|' || doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE '0' || substr(md5('s2|' || doc_id::VARCHAR), 1, 8) < '040000000'
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 20 = 0)
+        |SELECT c.doc_id, b.bench_id, len(list_intersect(c.s, b.s)) AS overlap
+        |FROM c, b WHERE len(list_intersect(c.s, b.s)) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

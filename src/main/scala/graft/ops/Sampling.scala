@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for dataset curation. Random
+  * sampling (`df.sample`) is nondeterministic across retries and
+  * partitionings — a rerun of the pipeline yields a different corpus.
+  * These operators derive every keep/drop decision from a salted hash of
+  * the row's id, so the sample is a pure function of (data, salt): stable
+  * under retries, re-partitioning, and incremental re-runs, and
+  * reproducible by any engine that can md5 (which is how the DuckDB
+  * oracle checks them value-for-value).
+  */
+object Sampling {
+
+  /** Hex md5 of `salt|id` — the shared ranking key. Lowercase fixed-width
+    * hex compares lexicographically exactly like the underlying 128-bit
+    * number, in any engine. */
+  private def rankHash(id: Column, salt: String): Column =
+    md5(concat_ws("|", lit(salt), id.cast("string")))
+
+  /** Exact-N-per-stratum sample: within each stratum, rank rows by the
+    * salted id hash (id as tie-break) and keep the first `n`.
+    *
+    * Scale: one shuffle on the stratum key; each stratum sorts in its
+    * partition. A pathologically hot stratum degrades to one task's
+    * sort — pre-filter with [[hashSample]] at a generous fraction first
+    * (hash-fraction ∘ rank keeps determinism) to bound the sort input.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratum: Column, id: Column, n: Int,
+      salt: String = "graft"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(stratum).orderBy(rankHash(id, salt), id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Deterministic Bernoulli-style sample: keep a row iff the first 8 hex
+    * digits of its salted id hash fall below `fraction` of the 32-bit
+    * space. Pure map-side filter — no shuffle, no state; the same row is
+    * kept in every rerun and on every engine. Granularity 1/2³². */
+  def hashSample(
+      df: DataFrame, id: Column, fraction: Double,
+      salt: String = "graft"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    // Both sides zero-padded to 9 hex digits so fraction=1.0 (0x100000000,
+    // above every 32-bit prefix) still compares correctly as a string.
+    val threshold = f"${math.round(fraction * 4294967296.0).min(4294967296L)}%09x"
+    df.filter(concat(lit("0"), substring(rankHash(id, salt), 1, 8)) < lit(threshold))
+  }
+}

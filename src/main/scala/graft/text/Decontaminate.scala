@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: find (and drop) corpus
+  * documents that share k-word shingles with an evaluation/benchmark set.
+  * The standard pre-training hygiene step — eval questions that leak into
+  * the corpus inflate benchmark scores — and a pure relational shape:
+  * explode shingles on both sides and equi-join, never pairwise text
+  * comparison.
+  *
+  * Scale design: the benchmark side is eval-set-sized (10³–10⁵ docs), so
+  * its exploded shingle list broadcasts; the 100 TB corpus side streams
+  * map-side through the broadcast hash join with NO corpus shuffle. The
+  * only shuffle is the (doc, bench) overlap count, whose input is just
+  * the matched shingle rows — bounded by actual contamination, not corpus
+  * size.
+  */
+object Decontaminate {
+
+  /** (doc_id, bench_id, overlap) for every corpus × benchmark pair
+    * sharing at least `minOverlap` DISTINCT k-word shingles.
+    *
+    * `overlap` counts distinct shared shingles: [[graft.dedup.Dedup.shingles]]
+    * emits each doc's distinct shingle set, so each shared shingle joins
+    * exactly once per (doc, bench) pair and a plain count is the distinct
+    * overlap.
+    *
+    * @param shingleK   shingle width in tokens; larger k = stricter match
+    *                   (8–13 typical for decontamination, small corpora
+    *                   need smaller)
+    * @param minOverlap pairs with fewer distinct shared shingles are
+    *                   dropped (raises precision against boilerplate)
+    */
+  def contaminatedPairs(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      shingleK: Int = 8, minOverlap: Int = 1): DataFrame = {
+    require(shingleK >= 1, "shingleK must be >= 1")
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val cSh = corpus.select(corpusId.as("doc_id"),
+      explode(graft.dedup.Dedup.shingles(corpusText, shingleK)).as("__sh"))
+    val bSh = bench.select(benchId.as("bench_id"),
+      explode(graft.dedup.Dedup.shingles(benchText, shingleK)).as("__sh"))
+    cSh.join(broadcast(bSh), Seq("__sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** The corpus with every contaminated document removed (anti-join on
+    * the flagged ids — corpus rows never shuffle, flagged ids broadcast). */
+  def decontaminate(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      shingleK: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val flagged = contaminatedPairs(
+      corpus, corpusId, corpusText, bench, benchId, benchText,
+      shingleK, minOverlap)
+      .select(col("doc_id").as("__flagged_id")).distinct()
+    corpus.join(broadcast(flagged), corpusId === col("__flagged_id"), "left_anti")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+import graft.text.{Decontaminate, Tfidf}
+
+/** Unit coverage for the corpus-curation operators: decontamination,
+  * deterministic sampling, TF-IDF. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("contaminatedPairs counts distinct shared shingles, minOverlap filters") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words here entirely"),
+      (3L, "the quick brown fox sat still")
+    ).toDF("id", "txt")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")
+    ).toDF("bid", "btxt")
+    // 3-shingles of doc1 ∩ bench: "the quick brown", "quick brown fox",
+    // "brown fox jumps" → overlap 3; doc3 ∩ bench: 2; doc2: 0
+    val pairs = Decontaminate.contaminatedPairs(
+      corpus, $"id", $"txt", bench, $"bid", $"btxt",
+      shingleK = 3, minOverlap = 2)
+    val got = pairs.select($"doc_id", $"bench_id", $"overlap")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 3L), (3L, 100L, 2L)))
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words here entirely")
+    ).toDF("id", "txt")
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("bid", "btxt")
+    val clean = Decontaminate.decontaminate(
+      corpus, $"id", $"txt", bench, $"bid", $"btxt", shingleK = 3, minOverlap = 2)
+    assert(clean.select($"id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("contaminatedPairs broadcasts the benchmark side") {
+    val corpus = Seq((1L, "a b c d")).toDF("id", "txt")
+    val bench = Seq((2L, "a b c")).toDF("bid", "btxt")
+    val plan = Decontaminate.contaminatedPairs(
+      corpus, $"id", $"txt", bench, $"bid", $"btxt", 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+  }
+
+  test("stratifiedSample: exact n per stratum, deterministic, subset of input") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val a = Sampling.stratifiedSample(df, $"src", $"id", n = 7, salt = "t")
+    assert(a.groupBy($"src").count().as[(String, Long)].collect().toMap
+      == Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+    val b = Sampling.stratifiedSample(df, $"src", $"id", n = 7, salt = "t")
+    assert(a.select($"id").as[Long].collect().sorted
+      .sameElements(b.select($"id").as[Long].collect().sorted))
+    // different salt -> (almost surely) different members, same counts
+    val c = Sampling.stratifiedSample(df, $"src", $"id", n = 7, salt = "u")
+    assert(!c.select($"id").as[Long].collect().sorted
+      .sameElements(a.select($"id").as[Long].collect().sorted))
+  }
+
+  test("stratifiedSample keeps whole strata smaller than n") {
+    val df = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "src")
+    assert(Sampling.stratifiedSample(df, $"src", $"id", n = 10).count() == 2L)
+  }
+
+  test("hashSample: fraction edges, determinism, rough proportion") {
+    val df = (1L to 2000L).toDF("id")
+    assert(Sampling.hashSample(df, $"id", 0.0).count() == 0L)
+    assert(Sampling.hashSample(df, $"id", 1.0).count() == 2000L)
+    val n = Sampling.hashSample(df, $"id", 0.3, salt = "t").count()
+    assert(n > 450 && n < 750, s"0.3 of 2000 sampled $n") // ±25% tolerance
+    val a = Sampling.hashSample(df, $"id", 0.3, salt = "t").as[Long].collect().sorted
+    val b = Sampling.hashSample(df, $"id", 0.3, salt = "t").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("hashSample plans no shuffle") {
+    val df = (1L to 100L).toDF("id")
+    val plan = Sampling.hashSample(df, $"id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side filter must not shuffle:\n$plan")
+  }
+
+  test("tfidf matches hand-computed scores") {
+    // 3 docs; "apple" in all 3 (idf=ln(1)=0), "banana" in 1 (idf=ln 3),
+    // "cherry" twice in doc 3 and once in doc 2 (df=2)
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "apple cherry cherry")
+    ).toDF("id", "txt")
+    val out = Tfidf.tfidf(docs, $"id", $"txt")
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val ln3 = math.log(3.0)
+    val ln15 = math.log(1.5)
+    def r(x: Double) = math.round(x * 10000.0) / 10000.0
+    assert(out == Set(
+      (1L, "apple", 1L, 3L, 0.0),
+      (1L, "banana", 1L, 1L, r(ln3)),
+      (2L, "apple", 1L, 3L, 0.0),
+      (2L, "cherry", 1L, 2L, r(ln15)),
+      (3L, "apple", 1L, 3L, 0.0),
+      (3L, "cherry", 2L, 2L, r(2 * ln15))))
+  }
+
+  test("tfidf counts empty-token docs toward N but emits no rows for them") {
+    val docs = Seq((1L, "apple"), (2L, "")).toDF("id", "txt")
+    val out = Tfidf.tfidf(docs, $"id", $"txt")
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    // N=2, df(apple)=1 -> idf = ln 2
+    val r = math.round(math.log(2.0) * 10000.0) / 10000.0
+    assert(out == Set((1L, "apple", 1L, 1L, r)))
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
