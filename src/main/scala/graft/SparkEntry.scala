@@ -135,6 +135,21 @@ object SparkEntry {
         .indexBy("l_shipdate", "l_orderkey").parquet(tableDir)
     }
 
+  /** Z-ordered indexed lineitem (graft.ops.Layout.zorderBy on
+    * (l_orderkey, l_suppkey)): bit-interleaved layout, so range
+    * predicates on EITHER key prune files — single-key clustering can
+    * only serve its first key; create-once. */
+  private[graft] def indexedLineitemZorder(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "lineitem_zorder") { tableDir =>
+      import graft.index.implicits._
+      graft.ops.Layout.zorderBy(
+          s.read.parquet(s"$dir/lineitem.parquet"), 16,
+          Seq("l_orderkey", "l_suppkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_orderkey", "l_suppkey").parquet(tableDir)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -479,6 +494,17 @@ object SparkEntry {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Z-order layout: a conjunctive range on BOTH interleaved keys scans
+    // only the files whose z-rectangle intersects; the oracle checks the
+    // rows, the e2e suite asserts the pruning.
+    "q_idx_zorder" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemZorder(s, dir)
+        .filter($"l_suppkey".between(10, 25) && $"l_orderkey".between(5000, 20000))
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
     // Salted equi-join (hot-key skew shape): deterministic row-hash salt
@@ -1394,6 +1420,11 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_suppkey BETWEEN 10 AND 25 AND l_orderkey BETWEEN 5000 AND 20000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS total

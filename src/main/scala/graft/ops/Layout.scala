@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Data-layout helpers for pruning-friendly ingest.
   *
@@ -32,5 +33,53 @@ object Layout {
     require(cols.nonEmpty, "at least one cluster column required")
     require(numFiles > 0, "numFiles must be positive")
     df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+  }
+
+  /** Z-order (Morton-curve) clustering for MULTI-dimensional pruning.
+    * [[clusterBy]] makes the first key selective and later keys
+    * near-useless (they only order inside a slice); interleaving the
+    * quantized bits of every key instead gives each file a small
+    * hyper-rectangle of the joint domain, so a range predicate on ANY
+    * single clustered column prunes to ~N^((d-1)/d) of the files.
+    *
+    * Mechanics: each column is quantized to `bitsPerCol` uniform buckets
+    * between its observed min/max (one cheap agg job — no per-row
+    * driver work), the bucket bits are interleaved into a single long
+    * z-value with codegen'd shift/mask expressions, and the rows are
+    * range-repartitioned + sorted by it. NULL z-values (null keys)
+    * collect in the first range partition.
+    *
+    * Caveat: uniform buckets lose selectivity under heavy value skew —
+    * pre-map skewed columns to a more uniform domain (e.g. a rank or log
+    * transform) before z-ordering. Columns must be numerically castable.
+    */
+  def zorderBy(
+      df: DataFrame, numFiles: Int, cols: Seq[String],
+      bitsPerCol: Int = 12): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least two columns (use clusterBy for one)")
+    require(numFiles > 0, "numFiles must be positive")
+    require(bitsPerCol >= 1 && cols.size * bitsPerCol <= 63,
+      s"cols*bitsPerCol must fit a long: ${cols.size}*$bitsPerCol")
+    val nBuckets = 1 << bitsPerCol
+    val mmExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mm = df.agg(mmExprs.head, mmExprs.tail: _*).head
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // constant or all-null column: no information, all rows in bucket 0
+      if (mm.isNullAt(2 * i) || mm.getDouble(2 * i) == mm.getDouble(2 * i + 1)) lit(0L)
+      else (least(width_bucket(col(c).cast("double"),
+        lit(mm.getDouble(2 * i)), lit(mm.getDouble(2 * i + 1)), lit(nBuckets)),
+        lit(nBuckets)) - 1).cast("long")
+    }
+    val z = (0 until bitsPerCol).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, ci) =>
+        // bit b of column ci lands at interleaved position b*nCols + ci
+        shiftleft(shiftright(bk, b).bitwiseAND(1L), b * cols.size + ci)
+      }
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
   }
 }

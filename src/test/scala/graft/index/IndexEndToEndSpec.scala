@@ -779,6 +779,47 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashedListed == 16, s"hash layout cannot range-prune, listed $hashedListed")
   }
 
+  test("z-order layout: ranges on EITHER dimension prune; 1-D clustering cannot") {
+    import spark.implicits._
+    // two independent uniform keys — the adversarial case for 1-D layouts
+    val df = (0 until 40000).map(i => (i.toLong % 1000L, (i.toLong * 7919L) % 1000L, i.toLong))
+      .toDF("x", "y", "payload")
+
+    def listedFor(path: String, cond: org.apache.spark.sql.Column): Long = {
+      val q = spark.index.parquet(path).filter(cond)
+      val fi = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+      q.collect()
+      fi.lastListedFiles
+    }
+    val xCond = col("x").between(100, 199)   // 10% of the x domain
+    val yCond = col("y").between(500, 599)   // 10% of the y domain
+
+    val zPath = s"$work/xy_zorder"
+    graft.ops.Layout.zorderBy(df, 16, Seq("x", "y"))
+      .write.mode("overwrite").parquet(zPath)
+    spark.index.create.mode("overwrite").indexBy("x", "y").parquet(zPath)
+    checkSame(spark.index.parquet(zPath).filter(xCond && yCond),
+      spark.read.parquet(zPath).filter(xCond && yCond))
+    val zX = listedFor(zPath, xCond)
+    val zY = listedFor(zPath, yCond)
+    val zBoth = listedFor(zPath, xCond && yCond)
+
+    val cPath = s"$work/xy_clustered"
+    graft.ops.Layout.clusterBy(df, 16, col("x"))
+      .write.mode("overwrite").parquet(cPath)
+    spark.index.create.mode("overwrite").indexBy("x", "y").parquet(cPath)
+    val cY = listedFor(cPath, yCond)
+
+    // 16 z-files tile the plane ~4x4: a 10% slab on either axis crosses
+    // one row/column of tiles (~4-8 files), and the conjunction ~1-2
+    assert(zX < 16, s"z-order should prune x-ranges, listed $zX")
+    assert(zY < 16, s"z-order should prune y-ranges, listed $zY")
+    assert(zBoth <= math.min(zX, zY), s"conjunction listed $zBoth > min($zX,$zY)")
+    assert(cY == 16, s"x-clustered layout cannot prune y-ranges, listed $cY")
+  }
+
   test("refresh: missing index is rejected") {
     val mPath = s"$work/lineitem_refresh_missing"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
