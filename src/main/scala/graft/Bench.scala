@@ -36,6 +36,9 @@ object Bench {
     SparkEntry.indexedLineitemDict(spark, sfDir).count()
     SparkEntry.indexedLineitemRefreshed(spark, sfDir).count()
     SparkEntry.indexedLineitemClustered(spark, sfDir).count()
+    SparkEntry.indexedLineitemZorder(spark, sfDir).count()
+    val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
+    bl.count(); bo.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -150,6 +150,34 @@ object SparkEntry {
         .indexBy("l_orderkey", "l_suppkey").parquet(tableDir)
     }
 
+  /** Bucketed lineitem + orders scratch tables (8 buckets on the order
+    * key, sorted): data written once, bucket layout re-registered into
+    * each fresh in-memory catalog from the files — so the co-located
+    * zero-shuffle join is exercised by the oracle gate on every run. */
+  private[graft] def bucketedJoinTables(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SparkEntry.synchronized {
+      val sfName = new java.io.File(dir).getName
+      val scratch = s"$scratchRoot/$sfName"
+      val safe = sfName.replace('.', '_')
+      val (liName, oName) =
+        (s"graft_bucketed_lineitem_$safe", s"graft_bucketed_orders_$safe")
+      val (liDir, oDir) = (s"$scratch/bucketed_lineitem", s"$scratch/bucketed_orders")
+      val marker = new java.io.File(s"$scratch/bucketed_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        new java.io.File(scratch).mkdirs()
+        graft.ops.Layout.writeBucketed(
+          s.read.parquet(s"$dir/lineitem.parquet"), liName, liDir, 8, "l_orderkey")
+        graft.ops.Layout.writeBucketed(
+          s.read.parquet(s"$dir/orders.parquet"), oName, oDir, 8, "o_orderkey")
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      (graft.ops.Layout.registerBucketed(s, liName, liDir, 8, "l_orderkey"),
+        graft.ops.Layout.registerBucketed(s, oName, oDir, 8, "o_orderkey"))
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -496,6 +524,18 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Co-located bucketed join: both tables pre-bucketed on the join key,
+    // so the fact-to-fact join runs with ZERO exchange (e2e-asserted) —
+    // the shuffle was paid once at ingest.
+    "q_bucket_join" -> ((s, dir) => {
+      import s.implicits._
+      val (li, ord) = bucketedJoinTables(s, dir)
+      li.join(ord.hint("merge"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Z-order layout: a conjunctive range on BOTH interleaved keys scans
     // only the files whose z-rectangle intersects; the oracle checks the
     // rows, the e2e suite asserts the pruning.
@@ -696,6 +736,31 @@ object SparkEntry {
       graft.ops.Sampling.hashSample(
           tbl(s, dir, "documents"), $"doc_id", fraction = 0.25, salt = "s2")
         .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Domain-mixing sampling: per-language keep fractions compiled into
+    // one map-side CASE filter (en half, zh quarter, rest 10%).
+    "q_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.weightedHashSample(
+          tbl(s, dir, "documents"), $"doc_id", $"lang",
+          fractions = Map("en" -> 0.5, "zh" -> 0.25),
+          defaultFraction = 0.1, salt = "s3")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // Sequence packing: per-source prefix-sum token batching at a 2000-
+    // token budget — the pack assignment is a pure window computation the
+    // oracle replays exactly.
+    "q_pack_budget" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Packing.packByBudget(
+          tbl(s, dir, "documents")
+            .select($"doc_id", $"source",
+              size(graft.text.TextFunctions.tokens($"text")).cast("long").as("n_tokens")),
+          shard = $"source", order = $"doc_id", tokens = $"n_tokens", budget = 2000L)
         .orderBy($"doc_id")
     }),
 
@@ -1240,6 +1305,26 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE '0' || substr(md5('s2|' || doc_id::VARCHAR), 1, 8) < '040000000'
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE '0' || substr(md5('s3|' || doc_id::VARCHAR), 1, 8) <
+        |  CASE WHEN lang = 'en' THEN '080000000'
+        |       WHEN lang = 'zh' THEN '040000000'
+        |       ELSE '01999999a' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  len(CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END)::BIGINT AS n_tokens
+        |  FROM t),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM n)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -1420,6 +1505,10 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_idx_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem

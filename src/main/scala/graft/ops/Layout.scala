@@ -82,4 +82,54 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Write `df` as a BUCKETED parquet table (hash-bucketed and sorted on
+    * `key`, explicit storage path, registered under `tableName`).
+    *
+    * Bucketing is the pre-shuffle join layout: two tables bucketed on
+    * their join key with the same bucket count join with NO Exchange at
+    * all — the shuffle was paid once at ingest and is amortized over
+    * every subsequent join/aggregation on that key. At 100 TB this turns
+    * the recurring dominant cost of fact-to-fact joins into a one-time
+    * write cost; `sortBy` additionally lets sort-merge join skip its
+    * sort. Requires reading through the catalog (`spark.table`) — path
+    * reads don't see bucket metadata.
+    */
+  def writeBucketed(
+      df: DataFrame, tableName: String, path: String,
+      buckets: Int, key: String, sortCols: Seq[String] = Nil): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** Re-register an existing bucketed-table path in a (fresh) catalog
+    * WITHOUT rewriting the data — e.g. after a session restart with an
+    * in-memory catalog. The bucket spec must match what the files were
+    * written with ([[writeBucketed]]); Spark trusts the declaration, so a
+    * wrong `buckets`/`key` here silently breaks join correctness. Schema
+    * is lifted from the parquet footers. */
+  def registerBucketed(
+      spark: org.apache.spark.sql.SparkSession, tableName: String, path: String,
+      buckets: Int, key: String, sortCols: Seq[String] = Nil): DataFrame = {
+    if (!spark.catalog.tableExists(tableName)) {
+      val ddl = spark.read.parquet(path).schema.toDDL
+      val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
+      spark.sql(
+        s"""CREATE TABLE `$tableName` ($ddl) USING parquet
+           |CLUSTERED BY (`$key`)
+           |SORTED BY (${sorted.map(c => s"`$c`").mkString(", ")})
+           |INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    spark.table(tableName)
+  }
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: group documents into
+  * consecutive token-budget packs (the unit a trainer concatenates into
+  * fixed-length sequences).
+  */
+object Packing {
+
+  /** Assign each row a `pack_id` so consecutive rows (in `order` within
+    * each `shard`) accumulate ~`budget` tokens per pack:
+    * pack_id = floor(exclusive-prefix-sum(tokens) / budget).
+    *
+    * A document is assigned to the pack its FIRST token lands in, so a
+    * pack may overflow `budget` by less than its last document's length —
+    * the streaming-friendly formulation (one window prefix sum; exact
+    * first-fit would need a running reset no engine's window algebra
+    * expresses). Deterministic given (shard, order).
+    *
+    * Scale: one shuffle on `shard`; pack ids are shard-local (globalize
+    * with (shard, pack_id) — a global pack order would force a single
+    * sort). Pick shards so one shard's rows fit a task's sort.
+    */
+  def packByBudget(
+      df: DataFrame, shard: Column, order: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokens).over(w))
+      // (cum - tokens) = exclusive prefix; exact in double far past any
+      // real corpus shard (2^53 tokens)
+      .withColumn("pack_id",
+        floor((col("__cum") - tokens) / lit(budget.toDouble)).cast("long"))
+      .drop("__cum")
+  }
+}

@@ -47,9 +47,31 @@ object Sampling {
       df: DataFrame, id: Column, fraction: Double,
       salt: String = "graft"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
-    // Both sides zero-padded to 9 hex digits so fraction=1.0 (0x100000000,
-    // above every 32-bit prefix) still compares correctly as a string.
-    val threshold = f"${math.round(fraction * 4294967296.0).min(4294967296L)}%09x"
-    df.filter(concat(lit("0"), substring(rankHash(id, salt), 1, 8)) < lit(threshold))
+    df.filter(concat(lit("0"), substring(rankHash(id, salt), 1, 8))
+      < lit(thresholdHex(fraction)))
   }
+
+  /** Per-stratum [[hashSample]] — the domain-mixing primitive: each
+    * stratum keeps its own fraction (e.g. up-weight curated sources,
+    * down-weight crawl). Still a pure map-side filter: the per-stratum
+    * thresholds compile into one CASE expression, no shuffle, no
+    * stratum-size pre-pass. */
+  def weightedHashSample(
+      df: DataFrame, id: Column, stratum: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1]: $f"))
+    // sorted for a deterministic CASE chain (Map order is not)
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (k, f)) => when(stratum === k, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(concat(lit("0"), substring(rankHash(id, salt), 1, 8)) < thr)
+  }
+
+  // Both compare sides zero-padded to 9 hex digits so fraction=1.0
+  // (0x100000000, above every 32-bit prefix) still compares correctly
+  // as a string.
+  private def thresholdHex(fraction: Double): String =
+    f"${math.round(fraction * 4294967296.0).min(4294967296L)}%09x"
 }

@@ -820,6 +820,40 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cY == 16, s"x-clustered layout cannot prune y-ranges, listed $cY")
   }
 
+  test("bucketed tables: co-located join plans zero Exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val bl = graft.ops.Layout.writeBucketed(
+      li, "e2e_bucketed_lineitem", s"$work/bucketed_lineitem", 4, "l_orderkey")
+    val bo = graft.ops.Layout.writeBucketed(
+      ord, "e2e_bucketed_orders", s"$work/bucketed_orders", 4, "o_orderkey")
+
+    val joined = bl.join(bo.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle the join keys:\n$plan")
+
+    val expect = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    checkSame(joined, expect)
+
+    // a fresh catalog (new session) can re-register the bucketed layout
+    // over the existing files without rewriting them
+    spark.sql("DROP TABLE e2e_bucketed_lineitem")
+    val reRegistered = graft.ops.Layout.registerBucketed(
+      spark, "e2e_bucketed_lineitem", s"$work/bucketed_lineitem", 4, "l_orderkey")
+    val reJoined = reRegistered
+      .join(bo.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val rePlan = reJoined.queryExecution.executedPlan.toString
+    assert(!rePlan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"re-registered bucketed table lost bucket metadata:\n$rePlan")
+    checkSame(reJoined, expect)
+  }
+
   test("refresh: missing index is rejected") {
     val mPath = s"$work/lineitem_refresh_missing"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

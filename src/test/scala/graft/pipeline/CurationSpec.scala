@@ -97,6 +97,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"map-side filter must not shuffle:\n$plan")
   }
 
+  test("weightedHashSample: per-stratum fractions, consistent with hashSample") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+      .toDF("id", "lang")
+    val sampled = Sampling.weightedHashSample(
+      df, $"id", $"lang", Map("en" -> 1.0, "zh" -> 0.0), defaultFraction = 0.5, salt = "t")
+    val counts = sampled.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") == 1000L, s"fraction 1.0 must keep all: $counts")
+    assert(!counts.contains("zh"), s"fraction 0.0 must drop all: $counts")
+    assert(counts("de") > 300 && counts("de") < 700, s"default 0.5: $counts")
+    // per-stratum membership == plain hashSample at that fraction
+    val deOnly = Sampling.hashSample(df.filter($"lang" === "de"), $"id", 0.5, salt = "t")
+      .select($"id").as[Long].collect().sorted
+    val deViaWeighted = sampled.filter($"lang" === "de")
+      .select($"id").as[Long].collect().sorted
+    assert(deOnly.sameElements(deViaWeighted))
+  }
+
+  test("packByBudget assigns packs by exclusive prefix sum per shard") {
+    val df = Seq(
+      ("A", 1L, 800L), ("A", 2L, 800L), ("A", 3L, 800L), ("A", 4L, 800L),
+      ("B", 1L, 2500L), ("B", 2L, 1L)
+    ).toDF("shard", "ord", "toks")
+    val out = graft.ops.Packing.packByBudget(df, $"shard", $"ord", $"toks", budget = 2000L)
+      .select($"shard", $"ord", $"pack_id").as[(String, Long, Long)].collect().toSet
+    // A prefixes 0,800,1600,2400 -> packs 0,0,0,1; B prefixes 0,2500 -> 0,1
+    assert(out == Set(
+      ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 0L), ("A", 4L, 1L),
+      ("B", 1L, 0L), ("B", 2L, 1L)))
+  }
+
   test("tfidf matches hand-computed scores") {
     // 3 docs; "apple" in all 3 (idf=ln(1)=0), "banana" in 1 (idf=ln 3),
     // "cherry" twice in doc 3 and once in doc 2 (df=2)
