@@ -709,6 +709,29 @@ object SparkEntry {
         .orderBy($"cluster_id")
     }),
 
+    // PII redaction: emails / IPv4 / phone numbers masked by an engine-
+    // portable regex chain. PII is planted per-doc so the oracle checks
+    // every mask actually fires on varying inputs.
+    "q_text_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = concat(
+        substring($"text", 1, 80),
+        lit(" contact user"), $"doc_id", lit("@example.com or 10.0."),
+        $"doc_id" % 256, lit(".7 call 555-123-4567"))
+      tbl(s, dir, "documents")
+        .select($"doc_id", graft.text.TextFunctions.redactPii(planted).as("redacted"))
+        .orderBy($"doc_id")
+        .limit(300)
+    }),
+
+    // Per-document 2-gram repetition ratio (boilerplate signal).
+    "q_text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.repetitionStats(
+          tbl(s, dir, "documents"), $"doc_id", $"text", k = 2)
+        .orderBy($"doc_id")
+    }),
+
     // Per-(doc, term) TF-IDF over a bounded corpus slice; tf/df are
     // integers, the score rounds at the cross-engine double noise floor.
     "q_text_tfidf" -> ((s, dir) => {
@@ -1280,6 +1303,31 @@ object SparkEntry {
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  substr(text, 1, 80) || ' contact user' || doc_id ||
+        |  '@example.com or 10.0.' || (doc_id % 256) || '.7 call 555-123-4567' AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+        |    '\+?\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |g AS (SELECT doc_id, unnest(
+        |  CASE WHEN len(toks) <= 2 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-1), i -> array_to_string(toks[i+1:i+2],' ')) END) AS g
+        |  FROM tt),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_count,
+        |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

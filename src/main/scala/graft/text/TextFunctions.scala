@@ -101,4 +101,35 @@ object TextFunctions {
 
   /** 64-bit xxhash fingerprint (Spark-side pipelines; not oracle-portable). */
   def fingerprint64(c: Column): Column = xxhash64(normalized(c))
+
+  /** PII masking: emails, IPv4 addresses and NNN-NNN-NNNN phone numbers
+    * replaced by placeholder tokens. Regexes restricted to the syntax
+    * Java regex and RE2 interpret identically (explicit classes, bounded
+    * repetition, \b), so the masking is engine-portable — email first so
+    * its digits can't half-match as a phone number. Codegen'd
+    * regexp_replace chain, no UDF. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
+  }
+
+  /** Per-document k-gram repetition statistics — the boilerplate /
+    * degenerate-text signal quality filters threshold on:
+    * (doc_id, n_grams, top_count, rep_ratio = top/total). Two pipelined
+    * aggregations, shuffle keyed on (doc, gram) then doc. */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 2): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(id.as("doc_id"),
+      explode(graft.functions.exprs.word_shingles(tokens(text), k)).as("__g"))
+    grams.groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_grams"), max(col("__c")).as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_grams").cast("double"), 4)
+          .as("rep_ratio"))
+  }
 }

@@ -160,6 +160,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((1L, "apple", 1L, 1L, r)))
   }
 
+  test("redactPii masks email, ipv4 and phone; leaves clean text intact") {
+    import graft.text.TextFunctions
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "host 192.168.001.1 up"),
+      (3L, "call +555-123-4567 or 555-987-6543"),
+      (4L, "nothing sensitive 12.5 here v1.2.3.4.5")
+    ).toDF("id", "txt")
+    val got = df.select($"id", TextFunctions.redactPii($"txt").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "host <IP> up")
+    assert(got(3L) == "call <PHONE> or <PHONE>")
+    // no \b between "v" and "1", so the leftmost IP match is "2.3.4.5"
+    assert(got(4L) == "nothing sensitive 12.5 here v1.<IP>")
+  }
+
+  test("repetitionStats computes top-gram ratio per doc") {
+    import graft.text.TextFunctions
+    val df = Seq(
+      (1L, "a b a b a"),      // 2-grams: ab,ba,ab,ba -> top 2 of 4
+      (2L, "x x x x"),        // xx,xx,xx -> top 3 of 3
+      (3L, "one")             // short doc -> single whole-text gram
+    ).toDF("id", "txt")
+    val got = TextFunctions.repetitionStats(df, $"id", $"txt", k = 2)
+      .select($"doc_id", $"n_grams", $"top_count", $"rep_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 4L, 2L, 0.5), (2L, 3L, 3L, 1.0), (3L, 1L, 1L, 1.0)))
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()
