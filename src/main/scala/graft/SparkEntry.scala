@@ -100,6 +100,22 @@ object SparkEntry {
         .parquet(tableDir)
     }
 
+  /** Indexed part copy with exact DICT sketches on the low-cardinality
+    * string columns, laid out so p_type values cluster per file — the
+    * fixture for substring (Contains/EndsWith) pruning, which only an
+    * exact dictionary can answer; create-once. */
+  private[graft] def indexedPartDict(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "part_dict") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/part.parquet")
+        .repartition(16, col("p_type"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .option(graft.index.IndexConf.FilterType, "dict")
+        .indexBy("p_type", "p_brand")
+        .parquet(tableDir)
+    }
+
   /** Indexed lineitem copy built through the INCREMENTAL path: index half
     * the files, append the rest, `spark.index.refresh` — so the refresh
     * flow (delta footer job, appended stats + sketches, metadata update)
@@ -119,6 +135,27 @@ object SparkEntry {
       val stats = s.index.refresh.parquet(tableDir)
       require(stats.addedFiles == 8L && stats.removedFiles == 0L,
         s"refresh scratch build expected 8 added files, got $stats")
+    }
+
+  /** Indexed lineitem copy that goes through SMALL-FILE COMPACTION after
+    * indexing: 32 tiny files → Layout.compact rewrites them into the
+    * target size → spark.index.refresh re-indexes the delta. The oracle
+    * gate then proves compaction is row-preserving AND the refreshed
+    * index still answers; create-once. */
+  private[graft] def indexedLineitemCompacted(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "lineitem_compact") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(32, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_orderkey", "l_returnflag").parquet(tableDir)
+      val cs = graft.ops.Layout.compact(s, tableDir)
+      require(cs.compactedFiles == 32L && cs.producedFiles >= 1L &&
+        cs.producedFiles < 32L, s"compaction expected to rewrite 32 files: $cs")
+      val rs = s.index.refresh.parquet(tableDir)
+      require(rs.addedFiles == cs.producedFiles && rs.removedFiles == cs.compactedFiles,
+        s"refresh after compaction out of step: $rs vs $cs")
     }
 
   /** Range-clustered indexed lineitem (graft.ops.Layout.clusterBy on
@@ -510,6 +547,18 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Aggregation through a compacted-then-refreshed index: the 32-file
+    // small-file tail was rewritten by Layout.compact and re-indexed by
+    // spark.index.refresh; rows must match the pre-compaction table.
+    "q_idx_compact" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemCompacted(s, dir)
+        .filter($"l_orderkey" <= 30000L)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Range predicate over the range-clustered layout: min/max pruning
     // works BECAUSE the layout correlates with the predicate (the
     // hash-layout q_idx_range_date scans everything; this scans the few
@@ -594,6 +643,17 @@ object SparkEntry {
 
     // Hive-partitioned table: partition pruning (o_year) composes with
     // index-statistics pruning (o_custkey) inside listFiles.
+    // Substring predicates (Contains + EndsWith) answered by the EXACT
+    // dict sketches: files whose p_type dictionary lacks a '%CONOM%'
+    // match are pruned — min/max can't do this, only a dictionary can.
+    "q_idx_contains" -> ((s, dir) => {
+      import s.implicits._
+      indexedPartDict(s, dir)
+        .filter($"p_type".contains("CONOM") && $"p_brand".endsWith("3"))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_retailprice")
+        .orderBy($"p_partkey")
+    }),
+
     "q_idx_partition" -> ((s, dir) => {
       import s.implicits._
       val part = indexedOrdersPart(s, dir)
@@ -729,6 +789,17 @@ object SparkEntry {
       import s.implicits._
       graft.text.TextFunctions.repetitionStats(
           tbl(s, dir, "documents"), $"doc_id", $"text", k = 2)
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus-level boilerplate segment removal (line-dedup shape): drop
+    // 2-token segments occurring in >= 20 distinct docs; the frequent-
+    // segment lexicon is aggregated once and the corpus side is cleaned
+    // in a pure map-side projection (no shuffle of the documents).
+    "q_text_segdedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.dedupSegments(
+          tbl(s, dir, "documents"), $"doc_id", $"text", k = 2, minDocs = 20)
         .orderBy($"doc_id")
     }),
 
@@ -932,6 +1003,12 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) =>
       graft.streaming.Streaming.streamingDistinct(
         s, dir, Seq("user_id", "event_type"))),
+
+    // Watermarked stream-stream inner join (click → purchase attribution
+    // within 4 h, per user): state evicted by watermark + time bound,
+    // append sink; static input drained ⇒ exact batch-join parity.
+    "q_stream_join" -> ((s, dir) =>
+      graft.streaming.Streaming.clickPurchaseJoin(s, dir, withinMinutes = 240)),
 
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -1328,6 +1405,21 @@ object SparkEntry {
         |SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_count,
         |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_segdedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |words AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS idx FROM tt),
+        |segs AS (SELECT doc_id, (idx-1)//2 AS i, string_agg(w, ' ' ORDER BY idx) AS seg
+        |  FROM words GROUP BY doc_id, (idx-1)//2),
+        |freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 20)
+        |SELECT s.doc_id, count(*)::INT AS segs_total,
+        |  sum(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END)::INT AS segs_removed,
+        |  coalesce(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.i), '') AS clean_text
+        |FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -1541,6 +1633,16 @@ object SparkEntry {
         |    (SELECT min(l_orderkey) FROM lineitem WHERE l_orderkey % 2 = 1)
         |  OR l_returnflag = 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_contains" ->
+      """SELECT p_partkey, p_brand, p_type, p_retailprice
+        |FROM part
+        |WHERE p_type LIKE '%CONOM%' AND p_brand LIKE '%3'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_idx_compact" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey <= 30000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_idx_range_date" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
@@ -1602,6 +1704,15 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_seconds
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 240::BIGINT * 60 * 1000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
         |  FROM events WHERE event_type = 'purchase'),

@@ -118,6 +118,8 @@ object FilterFold {
     * sketch (EqualTo/In/EqualNullSafe)? Callers skip sketch IO when not. */
   def usesMembership(filter: Filter): Boolean = filter match {
     case _: EqualTo | _: In | _: EqualNullSafe => true
+    // substring predicates consult an exact dictionary when one exists
+    case _: StringContains | _: StringEndsWith => true
     case And(l, r) => usesMembership(l) || usesMembership(r)
     case Or(l, r) => usesMembership(l) || usesMembership(r)
     case Not(c) => usesMembership(c)
@@ -195,6 +197,15 @@ object FilterFold {
       verdict.getOrElse(true)
     }
 
+    def substringVerdict(attr: String, pred: String => Boolean): Boolean = {
+      val blockOk = block.columns.get(attr)
+        .forall(st => !st.knownAllNull(block.rowCount))
+      blockOk && (dtOf(attr) match {
+        case Some(StringType) => sketchFor(attr).forall(_.mightContainMatching(pred))
+        case _ => true // non-string or unknown column: not our predicate
+      })
+    }
+
     def rangeVerdict(attr: String, value: Any)(cmp: (Any, ColumnStats) => Boolean): Boolean = {
       val verdict = for {
         dt <- dtOf(attr)
@@ -239,8 +250,17 @@ object FilterFold {
       case IsNotNull(a) =>
         block.columns.get(a).forall(st => !st.knownAllNull(block.rowCount))
       case StringStartsWith(a, p) if p != null => prefixVerdict(a, p)
-      // StringEndsWith/Contains, Not(…), anything else: scan the file
-      // (reference :128-137).
+      // Substring predicates: min/max ranges can't answer them, but an
+      // EXACT dictionary sketch enumerates the file's string values, so
+      // the file is prunable iff no dict value matches (improvement over
+      // the reference, which always scans). An all-null file has an empty
+      // dict → prunes (NULL never satisfies Contains/EndsWith). A block
+      // known all-null can't match either, even with a file-level dict hit.
+      case StringContains(a, sub) if sub != null =>
+        substringVerdict(a, _.contains(sub))
+      case StringEndsWith(a, suffix) if suffix != null =>
+        substringVerdict(a, _.endsWith(suffix))
+      // Not(…), anything else: scan the file (reference :128-137).
       case _ => true
     }
   }

@@ -24,6 +24,13 @@ sealed trait Sketch extends Serializable {
   def mightContain(canon: Any): Boolean
   def merge(other: Sketch): Sketch
   def serialize(): Array[Byte]
+
+  /** May the file contain a STRING value satisfying `pred`? Only an exact
+    * dictionary can answer (it enumerates the file's value set); the
+    * probabilistic/bitmap sketches return true (= cannot prune). Powers
+    * Contains/EndsWith pruning — beyond the reference, which always
+    * scans on those predicates (ParquetIndexFilters.scala:128-137). */
+  def mightContainMatching(pred: String => Boolean): Boolean = true
 }
 
 final class BloomSketch(val bf: BloomFilter) extends Sketch {
@@ -54,6 +61,18 @@ final class DictSketch(val set: java.util.HashSet[Any]) extends Sketch {
   override def mightContain(canon: Any): Boolean = set.contains(canon)
   override def merge(other: Sketch): Sketch = {
     set.addAll(other.asInstanceOf[DictSketch].set); this
+  }
+  /** Exact: scan the value set. A non-string entry (dict over a numeric
+    * column) makes the predicate inapplicable → conservative true. */
+  override def mightContainMatching(pred: String => Boolean): Boolean = {
+    val it = set.iterator()
+    while (it.hasNext) {
+      it.next() match {
+        case s: String => if (pred(s)) return true
+        case _ => return true
+      }
+    }
+    false
   }
   override def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -111,6 +111,68 @@ object Layout {
     spark.table(tableName)
   }
 
+  /** Outcome of [[compact]]: input files rewritten, files produced,
+    * bytes rewritten. (0,0,0) = nothing worth compacting. */
+  case class CompactionStats(
+      compactedFiles: Long, producedFiles: Long, bytesRewritten: Long)
+
+  /** Small-file compaction for a (non-Hive-partitioned) parquet table dir:
+    * files under `smallFileBytes` are rewritten into ~`targetFileBytes`
+    * outputs; files already big enough are NOT touched. The small-files
+    * problem is the dominant operational tax at 100 TB — per-file open
+    * cost, footer reads, scheduler pressure and index-entry count all
+    * scale with file COUNT, not bytes — and the fix must not degenerate
+    * into "rewrite the table": only the small tail is read and written,
+    * so compaction cost is proportional to the garbage, not the data.
+    *
+    * Mechanics: list data files, select the small tail, read just those
+    * files, `coalesce` (narrow — no shuffle) to ceil(bytes/target)
+    * outputs, write to a `_compact_tmp` staging dir, then move the new
+    * files in and delete the originals. The rename-in happens before the
+    * delete, so a crash mid-move leaves a readable table with transient
+    * DUPLICATE rows, never lost rows — plain parquet dirs have no
+    * manifest to swap atomically; run `spark.index.refresh` after
+    * compaction (it diffs the file list) and re-run compaction to heal.
+    * Skips compaction when fewer than `minFiles` small files exist (one
+    * small file gains nothing from a rewrite).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      smallFileBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 2): CompactionStats = {
+    require(smallFileBytes > 0 && targetFileBytes >= smallFileBytes,
+      s"need 0 < smallFileBytes <= targetFileBytes: $smallFileBytes, $targetFileBytes")
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val smalls = dataFiles.filter(_.getLen < smallFileBytes)
+    if (smalls.size < minFiles) return CompactionStats(0L, 0L, 0L)
+    val bytes = smalls.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(smalls.map(_.getPath.toString): _*)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val produced = fs.listStatus(tmp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // move in under names that cannot collide with writer-generated ones,
+    // THEN drop the originals (crash ⇒ transient duplicates, never loss)
+    produced.zipWithIndex.foreach { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(dir,
+        s"part-compact-${System.currentTimeMillis()}-$i.parquet")
+      if (!fs.rename(st.getPath, target)) {
+        throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
+      }
+    }
+    smalls.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+    CompactionStats(smalls.size.toLong, produced.size.toLong, bytes)
+  }
+
   /** Re-register an existing bucketed-table path in a (fresh) catalog
     * WITHOUT rewriting the data — e.g. after a session restart with an
     * in-memory catalog. The bucket spec must match what the files were

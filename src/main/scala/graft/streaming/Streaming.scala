@@ -160,6 +160,52 @@ object Streaming {
     spark.table(name).orderBy(keys.map(col): _*)
   }
 
+  /** Watermarked STREAM-STREAM inner join: clicks joined to the purchases
+    * that follow them within `withinMinutes`, per user. The canonical
+    * funnel/attribution shape, and the streaming operator whose state
+    * design actually matters at scale: both sides are watermarked and the
+    * join condition bounds purchase_ts to [click_ts, click_ts + window],
+    * so Spark derives a state-retention horizon per side and EVICTS
+    * buffered rows as the watermark passes — state is O(events in the
+    * watermark+window horizon), not O(stream history). Inner-join matches
+    * emit eagerly (append mode); the shuffle keys both sides on user_id.
+    * On a static input, drained with processAllAvailable, the result is
+    * exactly the batch join — the parity the oracle checks.
+    *
+    * @return (click_id, purchase_id, user_id, lag_seconds)
+    */
+  def clickPurchaseJoin(
+      parent: SparkSession, dir: String, withinMinutes: Int = 240,
+      statePartitions: Int = 8): DataFrame = {
+    require(withinMinutes > 0, "withinMinutes must be positive")
+    val spark = streamingSession(parent, statePartitions)
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        // integer div: exact at any magnitude (see eventsStream's nanos note)
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_seconds"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Gap-based sessionization, batch formulation: a new session starts
     * after `gapMinutes` of inactivity per user. Declarative window
     * functions (lag → gap flag → running sum) so Catalyst plans one

@@ -116,6 +116,59 @@ object TextFunctions {
     regexp_replace(ip, "\\+?\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
   }
 
+  /** Non-overlapping k-token segments of the normalized text, in document
+    * order (the no-newline analogue of a document's "lines" — segment i
+    * covers tokens [i*k, i*k+k)). The unit of corpus-level boilerplate
+    * removal in [[dedupSegments]]. */
+  def segments(c: Column, k: Int): Column = {
+    require(k >= 1, s"segment length must be >= 1: $k")
+    val toks = tokens(c)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(toks).cast("double") / k).cast("int") - 1),
+        i => array_join(slice(toks, i * k + lit(1), lit(k)), " ")))
+  }
+
+  /** Corpus-level boilerplate segment removal (the line-dedup step of
+    * RefinedWeb/C4-style curation, on k-token segments since this corpus
+    * has no newlines): drop every segment that occurs in >= `minDocs`
+    * distinct documents, keeping the rest in order.
+    *
+    * Scale design: the frequent-segment lexicon is aggregated first
+    * (map-side partial agg, shuffle keyed on segment — never on the
+    * document) and is SMALL BY CONSTRUCTION (bounded by corpus vocabulary
+    * of repeated boilerplate, not corpus size), so it is inlined as an
+    * array literal and the documents are cleaned in a single map-side
+    * projection — the 100 TB corpus side never shuffles, mirroring
+    * [[graft.text.Decontaminate]]'s broadcast shape. `maxLexicon` guards
+    * the assumption; if a corpus ever exceeds it, lower `minDocs` is wrong
+    * or the data is degenerate — fail loudly rather than silently ship a
+    * giant plan.
+    *
+    * @return (doc_id, segs_total, segs_removed, clean_text)
+    */
+  def dedupSegments(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 2, minDocs: Int = 20,
+      maxLexicon: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lexicon = df.select(id.as("__id"), explode(segments(text, k)).as("__seg"))
+      .groupBy(col("__seg"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__seg"))
+      .collect().map(_.getString(0)).sorted
+    require(lexicon.length <= maxLexicon,
+      s"frequent-segment lexicon ${lexicon.length} exceeds maxLexicon $maxLexicon")
+    val lex = typedlit(lexicon.toSeq)
+    val segs = segments(text, k)
+    val kept = filter(segs, s => !array_contains(lex, s))
+    df.select(id.as("doc_id"),
+      size(segs).as("segs_total"),
+      (size(segs) - size(kept)).as("segs_removed"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** Per-document k-gram repetition statistics — the boilerplate /
     * degenerate-text signal quality filters threshold on:
     * (doc_id, n_grams, top_count, rep_ratio = top/total). Two pipelined

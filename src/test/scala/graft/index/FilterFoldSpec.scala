@@ -57,6 +57,33 @@ class FilterFoldSpec extends AnyFunSuite {
     assert(verdict(IsNull("a"), allNull))
   }
 
+  test("substring predicates consult an exact dict sketch") {
+    val dict = Sketch.create(Sketch.Dict, 10)
+    dict.put("ECONOMY"); dict.put("PROMO")
+    val withDict: String => Option[Sketch] =
+      c => if (c == "s") Some(dict) else None
+    val b = Seq(BlockStats(5,
+      Map("s" -> ColumnStats(Some("ECONOMY"), Some("PROMO"), Some(0)))))
+
+    assert(FilterFold.fileMayContain(StringContains("s", "CONOM"), b, withDict, schema))
+    assert(!FilterFold.fileMayContain(StringContains("s", "STANDARD"), b, withDict, schema))
+    assert(FilterFold.fileMayContain(StringEndsWith("s", "OMO"), b, withDict, schema))
+    assert(!FilterFold.fileMayContain(StringEndsWith("s", "XYZ"), b, withDict, schema))
+    // no sketch → cannot prune
+    assert(FilterFold.fileMayContain(StringContains("s", "STANDARD"), b, noSketch, schema))
+    // bloom sketch → cannot answer substring, conservative
+    val bloom = Sketch.create(Sketch.Bloom, 10)
+    bloom.put("ECONOMY")
+    assert(FilterFold.fileMayContain(StringContains("s", "STANDARD"), b,
+      c => if (c == "s") Some(bloom) else None, schema))
+    // all-null block cannot satisfy a substring predicate even w/o sketch
+    val allNull = Seq(BlockStats(5, Map("s" -> ColumnStats(None, None, Some(5)))))
+    assert(!FilterFold.fileMayContain(StringContains("s", "E"), allNull, noSketch, schema))
+    // substring predicates now count as membership users (sketch IO gate)
+    assert(FilterFold.usesMembership(StringContains("s", "x")))
+    assert(FilterFold.usesMembership(Or(StringEndsWith("s", "x"), EqualTo("a", 1L))))
+  }
+
   test("unknown stats are conservative") {
     val unknown = Seq(BlockStats(10, Map("a" -> ColumnStats(None, None, None))))
     assert(verdict(EqualTo("a", 1L), unknown))

@@ -58,6 +58,33 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(tablePath)
   }
 
+  test("small-file compaction: rows preserved, file count cut, refresh re-indexes") {
+    val p = s"$work/lineitem_compact_e2e"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(16, col("l_orderkey")).write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey").parquet(p)
+    val before = spark.read.parquet(p).collect().map(_.toString).sorted
+
+    // files above the small threshold are left alone → no-op
+    assert(graft.ops.Layout.compact(spark, p, smallFileBytes = 1) ==
+      graft.ops.Layout.CompactionStats(0L, 0L, 0L))
+
+    val st = graft.ops.Layout.compact(spark, p)
+    assert(st.compactedFiles == 16L && st.producedFiles == 1L && st.bytesRewritten > 0L)
+    val dataFiles = new java.io.File(p).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(dataFiles.length == 1 && dataFiles.head.getName.startsWith("part-compact-"))
+
+    val rs = spark.index.refresh.parquet(p)
+    assert(rs.addedFiles == 1L && rs.removedFiles == 16L)
+    val after = spark.index.parquet(p).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction must be row-preserving")
+
+    // a lone already-compacted file is not worth rewriting → no-op
+    assert(graft.ops.Layout.compact(spark, p) ==
+      graft.ops.Layout.CompactionStats(0L, 0L, 0L))
+  }
+
   test("create + exists + delete lifecycle") {
     assert(spark.index.exists.parquet(tablePath))
     spark.index.delete.parquet(tablePath)
@@ -154,6 +181,42 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.index.create.mode("overwrite")
         .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
         .parquet(tablePath)
+    }
+  }
+
+  test("substring predicates prune via exact dict sketch") {
+    val p = s"$work/part_dict_e2e"
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .repartition(8, col("p_type"))
+      .write.mode("overwrite").parquet(p)
+    spark.conf.set(IndexConf.FilterType, "dict")
+    try {
+      spark.index.create.mode("overwrite").indexBy("p_type", "p_brand").parquet(p)
+
+      def graftIndex(df: DataFrame) = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+
+      val contains = col("p_type").contains("CONOM")
+      val indexed = spark.index.parquet(p).filter(contains)
+      checkSame(indexed, spark.read.parquet(p).filter(contains))
+      val fi = graftIndex(indexed)
+      indexed.collect() // force listFiles
+      assert(fi.lastListedFiles < fi.lastTotalFiles,
+        s"dict Contains should prune: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+
+      val endsWith = col("p_brand").endsWith("21")
+      checkSame(
+        spark.index.parquet(p).filter(endsWith),
+        spark.read.parquet(p).filter(endsWith))
+
+      // no match in any dictionary → everything pruned, zero rows
+      val none = spark.index.parquet(p).filter(col("p_type").contains("ZZZZ"))
+      assert(none.count() == 0L)
+      val fiNone = graftIndex(none)
+      assert(fiNone.lastListedFiles == 0L)
+    } finally {
+      spark.conf.set(IndexConf.FilterType, "bloom")
     }
   }
 

@@ -177,6 +177,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == "nothing sensitive 12.5 here v1.<IP>")
   }
 
+  test("dedupSegments drops corpus-frequent segments, keeps rest in order") {
+    // segment "visit our sponsor" (k=3) planted in 3 of 4 docs
+    val docs = Seq(
+      (1L, "alpha beta gamma visit our sponsor delta epsilon zeta"),
+      (2L, "visit our sponsor one two three four five six"),
+      (3L, "unique words only in this document right here now"),
+      (4L, "seven eight nine visit our sponsor ten eleven twelve")
+    ).toDF("id", "txt")
+    val out = graft.text.TextFunctions.dedupSegments(
+        docs, col("id"), col("txt"), k = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 3, 1), (2L, 3, 1), (3L, 3, 0), (4L, 3, 1)))
+    assert(out(0).getString(3) == "alpha beta gamma delta epsilon zeta")
+    assert(out(1).getString(3) == "one two three four five six")
+    assert(out(2).getString(3) == "unique words only in this document right here now")
+  }
+
+  test("dedupSegments cleans the corpus map-side (no shuffle in the plan)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b e f"), (3L, "a b g h")).toDF("id", "txt")
+    val out = graft.text.TextFunctions.dedupSegments(
+      docs, col("id"), col("txt"), k = 2, minDocs = 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(out.filter(col("segs_removed") =!= 1).isEmpty)
+  }
+
   test("repetitionStats computes top-gram ratio per doc") {
     import graft.text.TextFunctions
     val df = Seq(

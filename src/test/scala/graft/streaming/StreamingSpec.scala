@@ -65,6 +65,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("h1", "a", 1L, 1.0), ("h2", "a", 5L, 5.0), ("h3", "b", 3L, 3.0)))
   }
 
+  test("stream-stream join equals batch interval join") {
+    val streamed = Streaming.clickPurchaseJoin(spark, dir, withinMinutes = 240)
+      .collect().map(_.toString).sorted
+    val ev = batchEvents
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 240 MINUTES"))
+      .select($"click_id", $"purchase_id", $"user_id",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_seconds"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("stateful sessionizer agrees with window-function sessionize") {
     val events = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
