@@ -37,6 +37,8 @@ object Bench {
     SparkEntry.indexedLineitemRefreshed(spark, sfDir).count()
     SparkEntry.indexedLineitemClustered(spark, sfDir).count()
     SparkEntry.indexedLineitemZorder(spark, sfDir).count()
+    SparkEntry.indexedPartDict(spark, sfDir).count()
+    SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()

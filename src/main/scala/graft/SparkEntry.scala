@@ -1010,6 +1010,31 @@ object SparkEntry {
     "q_stream_join" -> ((s, dir) =>
       graft.streaming.Streaming.clickPurchaseJoin(s, dir, withinMinutes = 240)),
 
+    // Stream-static broadcast enrichment (stateless streaming join).
+    "q_stream_enrich" -> ((s, dir) =>
+      graft.streaming.Streaming.enrichWithCustomers(s, dir)),
+
+    // Rolling 1-hour per-user window via a RANGE frame on event time —
+    // the numeric-range formulation both engines evaluate identically.
+    "q_window_range" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      eventsTbl(s, dir)
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum($"value").over(w), 4).as("sum_1h"))
+        .orderBy($"event_id")
+    }),
+
+    // One-pass column profiling over orders (nulls / distincts / bounds).
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+          tbl(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy(col("column_name"))),
+
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       graft.streaming.Streaming.sessionStats(eventsTbl(s, dir), gapMinutes = 30)
@@ -1704,6 +1729,27 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+             |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_seconds

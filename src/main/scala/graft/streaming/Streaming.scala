@@ -206,6 +206,31 @@ object Streaming {
     spark.table(name).orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** STREAM-STATIC enrichment join: the events stream joined to the
+    * (small) customer dimension, broadcast to every task — the stateless
+    * workhorse of streaming ingest. No watermark and no state store: each
+    * micro-batch joins against the static side independently, so this
+    * scales with batch size, not stream history; the dimension refreshes
+    * per batch read. Append mode, row-level output. */
+  def enrichWithCustomers(
+      parent: SparkSession, dir: String, statePartitions: Int = 2): DataFrame = {
+    val spark = streamingSession(parent, statePartitions)
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventsStream(spark, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("event_id"))
+  }
+
   /** Gap-based sessionization, batch formulation: a new session starts
     * after `gapMinutes` of inactivity per user. Declarative window
     * functions (lag → gap flag → running sum) so Catalyst plans one

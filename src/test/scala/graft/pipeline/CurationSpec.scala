@@ -203,6 +203,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("segs_removed") =!= 1).isEmpty)
   }
 
+  test("profile: one row per column with null/distinct/bounds") {
+    val df = Seq(
+      (1L, Some("x"), 10),
+      (2L, None, 20),
+      (3L, Some("y"), 20)
+    ).toDF("id", "s", "v")
+    val p = graft.ops.Profile.profile(df, Seq("id", "s", "v"))
+      .orderBy("column_name").collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("id", "s", "v"))
+    val byName = p.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(byName("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(byName("s") == ((3L, 1L, 2L, "x", "y")))
+    assert(byName("v") == ((3L, 0L, 2L, "10", "20")))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.profile(df, Seq("nope"))
+    }
+  }
+
   test("repetitionStats computes top-gram ratio per doc") {
     import graft.text.TextFunctions
     val df = Seq(

@@ -84,6 +84,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("stream-static enrichment equals batch join") {
+    val streamed = Streaming.enrichWithCustomers(spark, dir)
+      .collect().map(_.toString).sorted
+    val batch = batchEvents
+      .join(spark.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey", $"c_mktsegment"), $"user_id" === $"c_custkey")
+      .select($"event_id", $"user_id", $"c_mktsegment", $"event_type", $"value")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("stateful sessionizer agrees with window-function sessionize") {
     val events = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
