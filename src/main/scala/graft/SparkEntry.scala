@@ -803,6 +803,15 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Sliding-window chunking (size 32, stride 16): the context-window
+    // prep step before embedding/packing; pure map-side explode.
+    "q_text_chunks" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.chunkDocs(
+          tbl(s, dir, "documents"), $"doc_id", $"text", k = 32, stride = 16)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Per-(doc, term) TF-IDF over a bounded corpus slice; tf/df are
     // integers, the score rounds at the cross-engine double noise floor.
     "q_text_tfidf" -> ((s, dir) => {
@@ -1039,6 +1048,31 @@ object SparkEntry {
       import s.implicits._
       graft.streaming.Streaming.sessionStats(eventsTbl(s, dir), gapMinutes = 30)
         .orderBy($"user_id")
+    }),
+
+    // Spark's NATIVE session_window (gap-merged event-time sessions as a
+    // grouping expression — one shuffle on (user, session)); oracle
+    // replays the gap semantics with lag + cumulative sum.
+    "q_session_window" -> ((s, dir) => {
+      import s.implicits._
+      eventsTbl(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("session_value"))
+        .select($"user_id",
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          $"n_events", $"session_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // Fixed-bound histogram of order totals via width_bucket.
+    "q_agg_histogram" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "orders")
+        .groupBy(width_bucket($"o_totalprice", lit(0.0), lit(600000.0), lit(24))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"bucket")
     }),
 
     // Time-window aggregation over the events table (streaming-shaped
@@ -1445,6 +1479,20 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.i), '') AS clean_text
         |FROM segs s LEFT JOIN freq f ON s.seg = f.seg
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+        |ints AS (SELECT unnest(range(0, 256)) AS c)
+        |SELECT doc_id, c::INT AS chunk_idx,
+        |  len(toks[c*16+1 : c*16+32])::INT AS n_tokens,
+        |  array_to_string(toks[c*16+1 : c*16+32], ' ') AS chunk_text
+        |FROM n JOIN ints
+        |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -1729,6 +1777,29 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH l AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+        |    WHEN epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*)::BIGINT AS n_events, round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_agg_histogram" ->
+      // DuckDB has no width_bucket; replicate Spark's formula exactly:
+      // width = (600000-0)/24 = 25000 (exact double), bucket =
+      // floor(v/width)+1 clamped to 0 / n+1 outside the bounds.
+      """SELECT (CASE WHEN o_totalprice < 0.0 THEN 0
+        |    WHEN o_totalprice >= 600000.0 THEN 25
+        |    ELSE floor(o_totalprice / 25000.0)::BIGINT + 1 END)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey

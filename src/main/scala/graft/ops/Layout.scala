@@ -173,6 +173,24 @@ object Layout {
     CompactionStats(smalls.size.toLong, produced.size.toLong, bytes)
   }
 
+  /** Remove staging debris a crashed [[compact]] (or foreachBatch upsert)
+    * can leave behind: `_compact_tmp` and `*_tmp_*`/`*_old_*` directories
+    * under the table dir. Data files are never touched — staging names
+    * all start with `_` or carry the tmp/old infix, which readers already
+    * ignore. Returns the number of directories removed. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, tableDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val stale = fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory &&
+        (n == "_compact_tmp" || n.matches(".*_tmp_\\d+$") || n.matches(".*_old_\\d+$"))
+    }
+    stale.foreach(st => fs.delete(st.getPath, true))
+    stale.size
+  }
+
   /** Re-register an existing bucketed-table path in a (fresh) catalog
     * WITHOUT rewriting the data — e.g. after a session restart with an
     * in-memory catalog. The bucket spec must match what the files were

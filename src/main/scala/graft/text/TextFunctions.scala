@@ -169,6 +169,37 @@ object TextFunctions {
       array_join(kept, " ").as("clean_text"))
   }
 
+  /** Sliding-window document chunking: split each document into token
+    * windows of size `k` advancing by `stride` (overlapping when
+    * stride < k) — the context-window preparation step before embedding
+    * or sequence packing. Chunk c covers tokens [c*stride, c*stride+k);
+    * the last chunk may be partial but no chunk is fully contained in an
+    * earlier one; an empty document yields no chunks. Pure map-side
+    * per-document expression work — nothing shuffles.
+    *
+    * @return (doc_id, chunk_idx, n_tokens, chunk_text)
+    */
+  def chunkDocs(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 32, stride: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"chunk size must be >= 1: $k")
+    require(stride >= 1 && stride <= k, s"stride must be in [1, k]: $stride")
+    // index of the last chunk: ceil(max(n-k, 0) / stride), integer math
+    val lastStart =
+      expr(s"(greatest(size(__toks) - $k, 0) + ${stride - 1}) div $stride").cast("int")
+    df.withColumn("__toks", tokens(text))
+      .withColumn("__chunk", explode(
+        when(size(col("__toks")) === 0,
+          array().cast("array<struct<idx:int,toks:array<string>>>"))
+          .otherwise(transform(sequence(lit(0), lastStart),
+            c => struct(c.cast("int").as("idx"),
+              slice(col("__toks"), c * stride + lit(1), lit(k)).as("toks"))))))
+      .select(id.as("doc_id"),
+        col("__chunk.idx").as("chunk_idx"),
+        size(col("__chunk.toks")).as("n_tokens"),
+        array_join(col("__chunk.toks"), " ").as("chunk_text"))
+  }
+
   /** Per-document k-gram repetition statistics — the boilerplate /
     * degenerate-text signal quality filters threshold on:
     * (doc_id, n_grams, top_count, rep_ratio = top/total). Two pipelined

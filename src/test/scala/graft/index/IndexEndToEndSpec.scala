@@ -85,6 +85,19 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Layout.CompactionStats(0L, 0L, 0L))
   }
 
+  test("vacuum removes staging debris, never data") {
+    val p = s"$work/vacuum_e2e"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(p)
+    val rows = spark.read.parquet(p).count()
+    new java.io.File(s"$p/_compact_tmp").mkdirs()
+    new java.io.File(s"$p/data_tmp_42").mkdirs()
+    new java.io.File(s"$p/data_old_7").mkdirs()
+    assert(graft.ops.Layout.vacuum(spark, p) == 3)
+    assert(graft.ops.Layout.vacuum(spark, p) == 0)
+    assert(spark.read.parquet(p).count() == rows)
+    assert(graft.ops.Layout.vacuum(spark, s"$work/does_not_exist") == 0)
+  }
+
   test("create + exists + delete lifecycle") {
     assert(spark.index.exists.parquet(tablePath))
     spark.index.delete.parquet(tablePath)

@@ -203,6 +203,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("segs_removed") =!= 1).isEmpty)
   }
 
+  test("chunkDocs: overlap, partial tail, short and empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, k=4 s=2 → chunks at 0,2,4,6
+      (2L, "x y"),                 // shorter than k → one whole-doc chunk
+      (3L, "")                     // empty → no chunks
+    ).toDF("id", "txt")
+    val out = graft.text.TextFunctions.chunkDocs(
+        docs, col("id"), col("txt"), k = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "c d e f"),
+      (1L, 2, 4, "e f g h"), (1L, 3, 4, "g h i j"),
+      (2L, 0, 2, "x y")))
+    // stride == k → non-overlapping partition of the tokens
+    val flat = graft.text.TextFunctions.chunkDocs(
+        docs.filter(col("id") === 1L), col("id"), col("txt"), k = 4, stride = 4)
+      .collect().map(_.getString(3))
+    assert(flat.sorted.toSeq == Seq("a b c d", "e f g h", "i j"))
+  }
+
   test("profile: one row per column with null/distinct/bounds") {
     val df = Seq(
       (1L, Some("x"), 10),
