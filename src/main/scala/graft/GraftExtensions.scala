@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, SubwordCount, Tokenize, WordShingles}
+import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, SubwordCount, Tokenize, WordShingles, WordWindows}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the graft native expressions as SQL functions so pure-SQL
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_word_shingles",
       "graft_word_shingles(tokens, k) - k-word shingles of a token array") {
       exprs => WordShingles(exprs.head, intLit(exprs(1), "k"))
+    }
+    register("graft_word_windows",
+      "graft_word_windows(tokens, k, stride) - strided token windows (stride == k: segments)") {
+      exprs => WordWindows(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "stride"))
     }
     register("graft_minhash_signature",
       "graft_minhash_signature(shingles, numHashes) - MinHash signature") {

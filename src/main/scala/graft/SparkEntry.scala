@@ -953,6 +953,16 @@ object SparkEntry {
         excludeId = Some(qRow.getLong(0)))
     }),
 
+    // Int8 scalar quantization (the 4× ANN memory cut): integer-exact
+    // per-vector summary + the raw double scale, identical arithmetic on
+    // both engines.
+    "q_ann_quantize" -> ((s, dir) => {
+      import s.implicits._
+      graft.ann.Ann.quantizeInt8Summary(
+          tbl(s, dir, "embeddings"), $"vec_id", $"embedding")
+        .orderBy($"vec_id")
+    }),
+
     // Multimodal decode plumbing (stubbed kernels, real Dataset pipeline).
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
@@ -1647,6 +1657,20 @@ object SparkEntry {
         |    (v.b0 = q.qb0 OR v.b1 = q.qb1 OR v.b2 = q.qb2 OR v.b3 = q.qb3))
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_ann_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(e, x -> least(greatest(
+        |    floor(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5),
+        |    -127.0), 127.0)::BIGINT) AS qs
+        |  FROM s)
+        |SELECT vec_id, scale, list_sum(qs)::BIGINT AS q_sum,
+        |  list_min(qs) AS q_min, list_max(qs) AS q_max,
+        |  len(list_filter(qs, x -> abs(x) = 127))::INT AS n_saturated
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding,
         |  ${ivfDotsSql("embedding", 16, 64)} AS dots

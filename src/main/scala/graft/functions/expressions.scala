@@ -130,6 +130,41 @@ case class CountInSet(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): CountInSet = copy(child = c)
 }
 
+/** Array minus a fixed string set, order and duplicates preserved — the
+  * hash-set twin of [[CountInSet]] for boilerplate removal, replacing
+  * `filter(arr, s => !array_contains(lits, s))`, which scans the literal
+  * array per element (O(|arr| × |set|) interpreted). */
+case class RemoveInSet(child: Expression, words: Seq[String])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      if (!set.contains(v)) out.add(v)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): RemoveInSet = copy(child = c)
+}
+
 /** k-word shingles of a token array: element i = tokens[i..i+k) joined by
   * a single space; fewer than k tokens collapse to one whole-text shingle. */
 case class WordShingles(child: Expression, k: Int)
@@ -168,6 +203,54 @@ case class WordShingles(child: Expression, k: Int)
   override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** Strided token windows: window w starts at token w*stride and covers
+  * min(k, remaining) tokens joined by a single space; the last window
+  * index is ceil(max(n-k, 0)/stride), so the tail may be partial but no
+  * window is contained in an earlier one; an empty array yields no
+  * windows. stride == k gives non-overlapping segments (boilerplate
+  * dedup), stride < k overlapping chunks (context-window prep). */
+case class WordWindows(child: Expression, k: Int, stride: Int)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(k >= 1, s"window size must be >= 1: $k")
+  require(stride >= 1 && stride <= k, s"stride must be in [1, k]: $stride")
+
+  private val space = UTF8String.fromString(" ")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val extra = math.max(n - k, 0)
+    val nWin = (extra + stride - 1) / stride + 1
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      val start = w * stride
+      val len = math.min(k, n - start)
+      val window = new Array[UTF8String](len)
+      System.arraycopy(toks, start, window, 0, len)
+      out(w) = UTF8String.concatWs(space, window: _*)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): WordWindows = copy(child = c)
 }
 
 /** MinHash signature of a string array: sig(i) = min over elements of
@@ -378,8 +461,12 @@ object exprs {
     SparkInternals.wrap(Tokenize(SparkInternals.unwrap(text)))
   def count_in_set(tokens: Column, words: Seq[String]): Column =
     SparkInternals.wrap(CountInSet(SparkInternals.unwrap(tokens), words))
+  def remove_in_set(tokens: Column, words: Seq[String]): Column =
+    SparkInternals.wrap(RemoveInSet(SparkInternals.unwrap(tokens), words))
   def word_shingles(tokens: Column, k: Int): Column =
     SparkInternals.wrap(WordShingles(SparkInternals.unwrap(tokens), k))
+  def word_windows(tokens: Column, k: Int, stride: Int): Column =
+    SparkInternals.wrap(WordWindows(SparkInternals.unwrap(tokens), k, stride))
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     SparkInternals.wrap(MinHashSignature(SparkInternals.unwrap(tokens), numHashes))
   def subword_count(tokens: Column, unit: Int): Column =

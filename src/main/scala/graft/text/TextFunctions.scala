@@ -120,14 +120,8 @@ object TextFunctions {
     * order (the no-newline analogue of a document's "lines" — segment i
     * covers tokens [i*k, i*k+k)). The unit of corpus-level boilerplate
     * removal in [[dedupSegments]]. */
-  def segments(c: Column, k: Int): Column = {
-    require(k >= 1, s"segment length must be >= 1: $k")
-    val toks = tokens(c)
-    when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), ceil(size(toks).cast("double") / k).cast("int") - 1),
-        i => array_join(slice(toks, i * k + lit(1), lit(k)), " ")))
-  }
+  def segments(c: Column, k: Int): Column =
+    graft.functions.exprs.word_windows(tokens(c), k, k)
 
   /** Corpus-level boilerplate segment removal (the line-dedup step of
     * RefinedWeb/C4-style curation, on k-token segments since this corpus
@@ -137,9 +131,9 @@ object TextFunctions {
     * Scale design: the frequent-segment lexicon is aggregated first
     * (map-side partial agg, shuffle keyed on segment — never on the
     * document) and is SMALL BY CONSTRUCTION (bounded by corpus vocabulary
-    * of repeated boilerplate, not corpus size), so it is inlined as an
-    * array literal and the documents are cleaned in a single map-side
-    * projection — the 100 TB corpus side never shuffles, mirroring
+    * of repeated boilerplate, not corpus size), so it is inlined into a
+    * native hash-set expression and the documents are cleaned in a single
+    * map-side projection — the 100 TB corpus side never shuffles, mirroring
     * [[graft.text.Decontaminate]]'s broadcast shape. `maxLexicon` guards
     * the assumption; if a corpus ever exceeds it, lower `minDocs` is wrong
     * or the data is degenerate — fail loudly rather than silently ship a
@@ -160,9 +154,9 @@ object TextFunctions {
       .collect().map(_.getString(0)).sorted
     require(lexicon.length <= maxLexicon,
       s"frequent-segment lexicon ${lexicon.length} exceeds maxLexicon $maxLexicon")
-    val lex = typedlit(lexicon.toSeq)
     val segs = segments(text, k)
-    val kept = filter(segs, s => !array_contains(lex, s))
+    // native hash-set removal: O(|segs|) per doc, not O(|segs| × lexicon)
+    val kept = graft.functions.exprs.remove_in_set(segs, lexicon.toIndexedSeq)
     df.select(id.as("doc_id"),
       size(segs).as("segs_total"),
       (size(segs) - size(kept)).as("segs_removed"),
@@ -184,20 +178,12 @@ object TextFunctions {
       k: Int = 32, stride: Int = 16): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"chunk size must be >= 1: $k")
     require(stride >= 1 && stride <= k, s"stride must be in [1, k]: $stride")
-    // index of the last chunk: ceil(max(n-k, 0) / stride), integer math
-    val lastStart =
-      expr(s"(greatest(size(__toks) - $k, 0) + ${stride - 1}) div $stride").cast("int")
-    df.withColumn("__toks", tokens(text))
-      .withColumn("__chunk", explode(
-        when(size(col("__toks")) === 0,
-          array().cast("array<struct<idx:int,toks:array<string>>>"))
-          .otherwise(transform(sequence(lit(0), lastStart),
-            c => struct(c.cast("int").as("idx"),
-              slice(col("__toks"), c * stride + lit(1), lit(k)).as("toks"))))))
-      .select(id.as("doc_id"),
-        col("__chunk.idx").as("chunk_idx"),
-        size(col("__chunk.toks")).as("n_tokens"),
-        array_join(col("__chunk.toks"), " ").as("chunk_text"))
+    df.select(id.as("doc_id"),
+        posexplode(graft.functions.exprs.word_windows(tokens(text), k, stride))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ")).as("n_tokens"),
+        col("chunk_text"))
   }
 
   /** Per-document k-gram repetition statistics — the boilerplate /

@@ -273,6 +273,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(2L) && kept.contains(3L), s"orthogonal/opposite kept: $kept")
   }
 
+  test("quantizeInt8: symmetric scale, portable rounding, zero vector") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = graft.ann.Ann.quantizeInt8(df, col("id"), col("v"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getDouble(1) == 1.0 / 127.0)
+    // floor(v/scale + 0.5): 127, floor(-63.0)=-63, floor(32.25)=32, 0
+    assert(out(0).getSeq[Long](2) == Seq(127L, -63L, 32L, 0L))
+    assert(out(1).getDouble(1) == 0.0)
+    assert(out(1).getSeq[Long](2) == Seq(0L, 0L, 0L, 0L))
+    // quantization is within half a step of the original everywhere
+    val err = graft.ann.Ann.quantizeInt8(df, col("id"), col("v"))
+      .join(df, col("vec_id") === col("id"))
+      .select(expr(
+        "aggregate(zip_with(q, v, (qi, vi) -> abs(qi * scale - cast(vi as double))), " +
+          "cast(0.0 as double), (a, x) -> greatest(a, x))").as("maxerr"),
+        col("scale"))
+      .collect()
+    err.foreach(r => assert(r.getDouble(0) <= r.getDouble(1) / 2 + 1e-12))
+  }
+
   test("native kernels compile in whole-stage codegen with fallback disabled") {
     // With spark.sql.codegen.fallback=false a Janino failure in any
     // doGenCode throws instead of silently reverting to interpreted eval,
@@ -286,9 +309,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         t.stopwordHits($"text", t.stopwordsEn).as("sh"),
         Dedup.simhash64($"text").as("xx"),
         Dedup.simhash64($"text", algo = "md5").as("m5"),
-        Dedup.minhashSignature(Dedup.shingles($"text", 3), 16).as("sig"))
+        Dedup.minhashSignature(Dedup.shingles($"text", 3), 16).as("sig"),
+        graft.functions.exprs.word_windows(t.tokens($"text"), 4, 2).as("ww"),
+        graft.functions.exprs.remove_in_set(t.tokens($"text"), Seq("the", "a")).as("rs"))
         .collect()
       assert(got.nonEmpty && got.forall(_.getAs[Seq[Long]]("sig").length == 16))
+      assert(got.forall(r => !r.getAs[Seq[String]]("rs").exists(Set("the", "a"))))
       val dots = vecs.select(
         graft.functions.exprs.dot_product($"v", $"v").as("d"),
         graft.functions.exprs.norm_squared($"v").as("n"))
