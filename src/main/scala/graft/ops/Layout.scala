@@ -116,8 +116,10 @@ object Layout {
   case class CompactionStats(
       compactedFiles: Long, producedFiles: Long, bytesRewritten: Long)
 
-  /** Small-file compaction for a (non-Hive-partitioned) parquet table dir:
-    * files under `smallFileBytes` are rewritten into ~`targetFileBytes`
+  /** Small-file compaction for a parquet table dir (flat or
+    * Hive-partitioned — partition leaf dirs are compacted independently,
+    * so every rewritten file stays inside its partition): files under
+    * `smallFileBytes` are rewritten into ~`targetFileBytes`
     * outputs; files already big enough are NOT touched. The small-files
     * problem is the dominant operational tax at 100 TB — per-file open
     * cost, footer reads, scheduler pressure and index-entry count all
@@ -144,6 +146,31 @@ object Layout {
       s"need 0 < smallFileBytes <= targetFileBytes: $smallFileBytes, $targetFileBytes")
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hive-partitioned table: recurse into the partition leaf dirs and
+    // compact each independently (a compacted file must stay inside its
+    // partition). Leaf dirs are compacted sequentially — each is one
+    // small Spark job; the intra-job parallelism is what matters, and
+    // sequential leaves keep peak task pressure bounded.
+    val subDirs = fs.listStatus(dir).toSeq.filter(st =>
+      st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    if (subDirs.nonEmpty) {
+      val stats = subDirs.map(d =>
+        compact(spark, d.getPath.toString, smallFileBytes, targetFileBytes, minFiles)) :+
+        compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
+      return CompactionStats(
+        stats.map(_.compactedFiles).sum,
+        stats.map(_.producedFiles).sum,
+        stats.map(_.bytesRewritten).sum)
+    }
+    compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
+  }
+
+  private def compactLeaf(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int): CompactionStats = {
     val dataFiles = fs.listStatus(dir).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")

@@ -85,6 +85,26 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Layout.CompactionStats(0L, 0L, 0L))
   }
 
+  test("compaction recurses into Hive partition dirs, rows preserved") {
+    val p = s"$work/orders_part_compact"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(4, col("o_orderkey"))
+      .write.partitionBy("o_year").parquet(p)
+    val before = spark.read.parquet(p).collect().map(_.toString).sorted
+    val years = new java.io.File(p).listFiles.filter(_.getName.startsWith("o_year=")).toSeq
+    assert(years.nonEmpty)
+    def leafFiles(d: java.io.File) =
+      d.listFiles.filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(years.forall(leafFiles(_).length == 4))
+
+    val st = graft.ops.Layout.compact(spark, p)
+    assert(st.compactedFiles == 4L * years.size && st.producedFiles == years.size.toLong)
+    assert(years.forall(leafFiles(_).length == 1))
+    val after = spark.read.parquet(p).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "partitioned compaction must preserve rows")
+  }
+
   test("vacuum removes staging debris, never data") {
     val p = s"$work/vacuum_e2e"
     spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(p)
