@@ -150,7 +150,13 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tableDir)
       s.index.create.mode("overwrite")
         .indexBy("l_orderkey", "l_returnflag").parquet(tableDir)
-      val cs = graft.ops.Layout.compact(s, tableDir)
+      // thresholds derived from the actual file sizes so the fixture
+      // compacts all 32 files into a few at ANY scale factor
+      val sizes = new java.io.File(tableDir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .map(_.length)
+      val cs = graft.ops.Layout.compact(s, tableDir,
+        smallFileBytes = sizes.max + 1, targetFileBytes = sizes.sum / 4 + 1)
       require(cs.compactedFiles == 32L && cs.producedFiles >= 1L &&
         cs.producedFiles < 32L, s"compaction expected to rewrite 32 files: $cs")
       val rs = s.index.refresh.parquet(tableDir)
@@ -1483,12 +1489,17 @@ object SparkEntry {
         |words AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS idx FROM tt),
         |segs AS (SELECT doc_id, (idx-1)//2 AS i, string_agg(w, ' ' ORDER BY idx) AS seg
         |  FROM words GROUP BY doc_id, (idx-1)//2),
-        |freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 20)
-        |SELECT s.doc_id, count(*)::INT AS segs_total,
-        |  sum(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END)::INT AS segs_removed,
-        |  coalesce(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.i), '') AS clean_text
-        |FROM segs s LEFT JOIN freq f ON s.seg = f.seg
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+        |freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 20),
+        |agg AS (SELECT s.doc_id, count(*)::INT AS segs_total,
+        |    sum(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END)::INT AS segs_removed,
+        |    coalesce(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.i), '') AS clean_text
+        |  FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+        |  GROUP BY s.doc_id)
+        |SELECT t.doc_id, coalesce(a.segs_total, 0) AS segs_total,
+        |  coalesce(a.segs_removed, 0) AS segs_removed,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_text_chunks" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -1496,7 +1507,8 @@ object SparkEntry {
         |tt AS (SELECT doc_id,
         |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
         |n AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
-        |ints AS (SELECT unnest(range(0, 256)) AS c)
+        |ints AS (SELECT unnest(range(0, (SELECT
+        |  coalesce(max((greatest(n - 32, 0) + 15) // 16 + 1), 0) FROM n))) AS c)
         |SELECT doc_id, c::INT AS chunk_idx,
         |  len(toks[c*16+1 : c*16+32])::INT AS n_tokens,
         |  array_to_string(toks[c*16+1 : c*16+32], ' ') AS chunk_text
@@ -1802,13 +1814,13 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "q_session_window" ->
-      """WITH l AS (SELECT user_id, ts, value,
+      """WITH l AS (SELECT user_id, event_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
         |    WHEN epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns
         |  FROM l),
-        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*)::BIGINT AS n_events, round(sum(value), 4) AS session_value

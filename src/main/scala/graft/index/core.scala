@@ -118,11 +118,21 @@ object FilterFold {
     * sketch (EqualTo/In/EqualNullSafe)? Callers skip sketch IO when not. */
   def usesMembership(filter: Filter): Boolean = filter match {
     case _: EqualTo | _: In | _: EqualNullSafe => true
-    // substring predicates consult an exact dictionary when one exists
-    case _: StringContains | _: StringEndsWith => true
     case And(l, r) => usesMembership(l) || usesMembership(r)
     case Or(l, r) => usesMembership(l) || usesMembership(r)
     case Not(c) => usesMembership(c)
+    case _ => false
+  }
+
+  /** Does the tree contain a substring predicate (Contains/EndsWith)?
+    * Only an EXACT dictionary sketch can answer those — callers must not
+    * load bloom/bitmap sketches for a substring-only tree (IO with zero
+    * pruning power). */
+  def usesSubstring(filter: Filter): Boolean = filter match {
+    case _: StringContains | _: StringEndsWith => true
+    case And(l, r) => usesSubstring(l) || usesSubstring(r)
+    case Or(l, r) => usesSubstring(l) || usesSubstring(r)
+    case Not(c) => usesSubstring(c)
     case _ => false
   }
 

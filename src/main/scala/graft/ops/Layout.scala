@@ -129,12 +129,21 @@ object Layout {
     *
     * Mechanics: list data files, select the small tail, read just those
     * files, `coalesce` (narrow — no shuffle) to ceil(bytes/target)
-    * outputs, write to a `_compact_tmp` staging dir, then move the new
-    * files in and delete the originals. The rename-in happens before the
-    * delete, so a crash mid-move leaves a readable table with transient
-    * DUPLICATE rows, never lost rows — plain parquet dirs have no
-    * manifest to swap atomically; run `spark.index.refresh` after
-    * compaction (it diffs the file list) and re-run compaction to heal.
+    * outputs, staged under a per-run id with a crash-recovery protocol
+    * (plain parquet dirs have no manifest to swap atomically, so the
+    * protocol makes every crash window recoverable instead):
+    *
+    *   1. write outputs to `_compact_tmp_<runId>/`
+    *   2. rename them in as `part-compact-<runId>-*.parquet`
+    *   3. write `_compact_manifest_<runId>` listing the originals
+    *   4. delete the originals, then the tmp dir, then the manifest
+    *
+    * Recovery (runs automatically at the start of every compact): a
+    * manifest present means every rename-in completed → roll FORWARD
+    * (finish deleting the listed originals); a tmp dir without a
+    * manifest means the run died mid-flight → roll BACK (drop that
+    * run's moved-in files; the originals are all still present). Either
+    * way the table converges to exactly one copy of every row.
     * Skips compaction when fewer than `minFiles` small files exist (one
     * small file gains nothing from a rewrite).
     */
@@ -166,11 +175,58 @@ object Layout {
     compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
   }
 
+  private val TmpPrefix = "_compact_tmp_"
+  private val ManifestPrefix = "_compact_manifest_"
+
+  /** Finish or undo interrupted compaction runs in `dir` (leaf level).
+    * Manifest present → all rename-ins completed → roll forward by
+    * deleting the listed originals; tmp dir without manifest → roll back
+    * by deleting that run's moved-in `part-compact-<runId>-*` files (the
+    * originals are untouched until the manifest exists). Returns the
+    * number of interrupted runs healed. */
+  private[graft] def recoverLeaf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    val entries = fs.listStatus(dir).toSeq
+    var healed = 0
+    entries.filter(_.getPath.getName.startsWith(ManifestPrefix)).foreach { m =>
+      val runId = m.getPath.getName.stripPrefix(ManifestPrefix)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m.getPath), "UTF-8"))
+      try {
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty)
+          .foreach { name =>
+            val p = new org.apache.hadoop.fs.Path(dir, name)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+      } finally in.close()
+      val tmp = new org.apache.hadoop.fs.Path(dir, TmpPrefix + runId)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      fs.delete(m.getPath, false)
+      healed += 1
+    }
+    entries.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith(TmpPrefix) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(dir,
+          ManifestPrefix + st.getPath.getName.stripPrefix(TmpPrefix)))
+    }.foreach { tmp =>
+      val runId = tmp.getPath.getName.stripPrefix(TmpPrefix)
+      fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith(s"part-compact-$runId-"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(tmp.getPath, true)
+      healed += 1
+    }
+    healed
+  }
+
   private def compactLeaf(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       smallFileBytes: Long, targetFileBytes: Long, minFiles: Int): CompactionStats = {
+    recoverLeaf(fs, dir)
     val dataFiles = fs.listStatus(dir).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
@@ -179,43 +235,62 @@ object Layout {
     if (smalls.size < minFiles) return CompactionStats(0L, 0L, 0L)
     val bytes = smalls.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir, "_compact_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir, TmpPrefix + runId)
     spark.read.parquet(smalls.map(_.getPath.toString): _*)
       .coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     val produced = fs.listStatus(tmp).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    // move in under names that cannot collide with writer-generated ones,
-    // THEN drop the originals (crash ⇒ transient duplicates, never loss)
+    // 2. rename in under run-id names (crash here → rollback, no manifest)
     produced.zipWithIndex.foreach { case (st, i) =>
       val target = new org.apache.hadoop.fs.Path(dir,
-        s"part-compact-${System.currentTimeMillis()}-$i.parquet")
+        s"part-compact-$runId-$i.parquet")
       if (!fs.rename(st.getPath, target)) {
         throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
       }
     }
+    // 3. manifest = commit point (crash after → roll forward)
+    val manifest = new org.apache.hadoop.fs.Path(dir, ManifestPrefix + runId)
+    val out = fs.create(manifest, false)
+    try out.write(smalls.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // 4. delete originals, tmp dir, then the manifest itself
     smalls.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
+    fs.delete(manifest, false)
     CompactionStats(smalls.size.toLong, produced.size.toLong, bytes)
   }
 
-  /** Remove staging debris a crashed [[compact]] (or foreachBatch upsert)
-    * can leave behind: `_compact_tmp` and `*_tmp_*`/`*_old_*` directories
-    * under the table dir. Data files are never touched — staging names
-    * all start with `_` or carry the tmp/old infix, which readers already
-    * ignore. Returns the number of directories removed. */
+  /** Heal interrupted [[compact]] runs (roll forward / roll back, see
+    * `recoverLeaf`) across a flat or partitioned table dir without
+    * compacting anything, and remove crashed foreachBatch-upsert staging
+    * SIBLINGS of `tableDir` (`<dir>_tmp_<batchId>` / `<dir>_old_<batchId>`
+    * — the upsert stages next to its sink, so only exact
+    * sink-path-prefixed names are touched; data files and partition dirs
+    * never match). Returns the number of items healed/removed. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, tableDir: String): Int = {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return 0
-    val stale = fs.listStatus(dir).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isDirectory &&
-        (n == "_compact_tmp" || n.matches(".*_tmp_\\d+$") || n.matches(".*_old_\\d+$"))
+    var n = 0
+    if (fs.exists(dir)) {
+      n += recoverLeaf(fs, dir)
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .foreach(st => n += recoverLeaf(fs, st.getPath))
     }
-    stale.foreach(st => fs.delete(st.getPath, true))
-    stale.size
+    val parent = dir.getParent
+    if (parent != null && fs.exists(parent)) {
+      val stale = fs.listStatus(parent).toSeq.filter { st =>
+        val nme = st.getPath.getName
+        st.isDirectory && (nme.matches(
+          java.util.regex.Pattern.quote(dir.getName) + "_(tmp|old)_\\d+"))
+      }
+      stale.foreach(st => fs.delete(st.getPath, true))
+      n += stale.size
+    }
+    n
   }
 
   /** Re-register an existing bucketed-table path in a (fresh) catalog

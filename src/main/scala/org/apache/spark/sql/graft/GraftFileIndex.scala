@@ -155,6 +155,15 @@ class GraftFileIndex(
     }
   }
 
+  /** Can this index's sketches sharpen any verdict in the filter tree?
+    * Equality/IN: any sketch kind. Substring (Contains/EndsWith): ONLY
+    * the exact dictionary — loading bloom/bitmap bytes for a
+    * substring-only tree would be pure IO with zero pruning power. */
+  private def sketchCanRefine(combined: Filter): Boolean =
+    FilterFold.usesMembership(combined) ||
+      (meta.sketchKind.contains(graft.index.Sketch.Dict) &&
+        FilterFold.usesSubstring(combined))
+
   /** Driver-side two-pass fold (min/max, then pruned sketch refinement);
     * the reference's per-file Futures (ParquetIndex.scala:166-178) become
     * a parallel stream. */
@@ -178,7 +187,7 @@ class GraftFileIndex(
       // skip sketch IO entirely.
       val kept =
         if (meta.sketchKind.isDefined && survivors.nonEmpty &&
-            FilterFold.usesMembership(combined)) {
+            sketchCanRefine(combined)) {
           val store = sketchStore
           store.ensureLoaded(survivors.map(_.path))
           prune(survivors)(f =>
@@ -202,7 +211,7 @@ class GraftFileIndex(
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
     val schemaJson = meta.indexSchema.json
-    val useMembership = meta.sketchKind.isDefined && FilterFold.usesMembership(combined)
+    val useMembership = meta.sketchKind.isDefined && sketchCanRefine(combined)
     val sketchDirStr = new Path(indexDir, graft.index.Metastore.SketchDir).toString
     val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     val filterBc = spark.sparkContext.broadcast(combined)

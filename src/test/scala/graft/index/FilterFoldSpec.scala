@@ -79,9 +79,12 @@ class FilterFoldSpec extends AnyFunSuite {
     // all-null block cannot satisfy a substring predicate even w/o sketch
     val allNull = Seq(BlockStats(5, Map("s" -> ColumnStats(None, None, Some(5)))))
     assert(!FilterFold.fileMayContain(StringContains("s", "E"), allNull, noSketch, schema))
-    // substring predicates now count as membership users (sketch IO gate)
-    assert(FilterFold.usesMembership(StringContains("s", "x")))
-    assert(FilterFold.usesMembership(Or(StringEndsWith("s", "x"), EqualTo("a", 1L))))
+    // substring predicates gate sketch IO separately from equality
+    // membership (only an exact dict can answer them)
+    assert(FilterFold.usesSubstring(StringContains("s", "x")))
+    assert(FilterFold.usesSubstring(Or(StringEndsWith("s", "x"), EqualTo("a", 1L))))
+    assert(!FilterFold.usesMembership(StringContains("s", "x")))
+    assert(!FilterFold.usesSubstring(EqualTo("a", 1L)))
   }
 
   test("unknown stats are conservative") {

@@ -105,17 +105,53 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.sameElements(before), "partitioned compaction must preserve rows")
   }
 
-  test("vacuum removes staging debris, never data") {
+  test("vacuum heals compaction debris and upsert staging, never data") {
     val p = s"$work/vacuum_e2e"
     spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(p)
     val rows = spark.read.parquet(p).count()
-    new java.io.File(s"$p/_compact_tmp").mkdirs()
-    new java.io.File(s"$p/data_tmp_42").mkdirs()
-    new java.io.File(s"$p/data_old_7").mkdirs()
+    // dead compaction run (tmp, no manifest) + upsert staging siblings
+    new java.io.File(s"$p/_compact_tmp_dead1").mkdirs()
+    new java.io.File(s"${p}_tmp_42").mkdirs()
+    new java.io.File(s"${p}_old_7").mkdirs()
+    // a sibling whose name does NOT match the sink-prefixed pattern stays
+    new java.io.File(s"$work/vacuum_e2e_other_tmp_1").mkdirs()
     assert(graft.ops.Layout.vacuum(spark, p) == 3)
     assert(graft.ops.Layout.vacuum(spark, p) == 0)
+    assert(new java.io.File(s"$work/vacuum_e2e_other_tmp_1").exists())
     assert(spark.read.parquet(p).count() == rows)
     assert(graft.ops.Layout.vacuum(spark, s"$work/does_not_exist") == 0)
+  }
+
+  test("compaction crash recovery: rollback without manifest, roll-forward with") {
+    val p = s"$work/compact_recover"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .repartition(4).write.parquet(p)
+    val rows = spark.read.parquet(p).count()
+    def dataFiles = new java.io.File(p).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+
+    // crash BETWEEN rename-ins (tmp dir present, no manifest): a moved-in
+    // duplicate of one original must be rolled BACK
+    val f0 = dataFiles.head
+    java.nio.file.Files.copy(f0.toPath,
+      new java.io.File(s"$p/part-compact-dead01-0.parquet").toPath)
+    new java.io.File(s"$p/_compact_tmp_dead01").mkdirs()
+    assert(spark.read.parquet(p).count() > rows) // duplicates visible
+    assert(graft.ops.Layout.vacuum(spark, p) == 1)
+    assert(spark.read.parquet(p).count() == rows)
+    assert(!new java.io.File(s"$p/part-compact-dead01-0.parquet").exists())
+
+    // crash AFTER the manifest (all renames done): the listed original
+    // must be rolled FORWARD (deleted), keeping exactly one copy
+    val f1 = dataFiles.head
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(s"$p/part-compact-dead02-0.parquet").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(s"$p/_compact_manifest_dead02").toPath, f1.getName.getBytes)
+    assert(graft.ops.Layout.vacuum(spark, p) == 1)
+    assert(spark.read.parquet(p).count() == rows)
+    assert(!f1.exists())
+    assert(new java.io.File(s"$p/part-compact-dead02-0.parquet").exists())
   }
 
   test("create + exists + delete lifecycle") {
