@@ -384,6 +384,36 @@ object SparkEntry {
     }),
 
     // Scalar string functions.
+    // Full outer join with non-matching rows on BOTH sides (disjoint
+    // key-range slices force left-only and right-only null fills).
+    "q_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val cust = tbl(s, dir, "customer")
+        .filter($"c_custkey" <= 100L)
+        .select($"c_custkey", $"c_mktsegment")
+      val ords = tbl(s, dir, "orders")
+        .filter($"o_custkey".between(50L, 150L))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_mktsegment", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy($"custkey")
+    }),
+
+    // Schema-evolution union: unionByName null-fills columns missing on
+    // one side — the heterogeneous-batch shape of long-lived pipelines.
+    "q_union_by_name" -> ((s, dir) => {
+      import s.implicits._
+      val a = tbl(s, dir, "orders")
+        .select($"o_orderpriority".as("priority"), $"o_totalprice".as("amount"))
+      val b = tbl(s, dir, "lineitem")
+        .select($"l_extendedprice".as("amount"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy($"priority")
+        .agg(count(lit(1)).as("n"), round(sum($"amount"), 2).as("total"))
+        .orderBy($"priority".asc_nulls_first)
+    }),
+
     "q_scalar_string" -> ((s, dir) => {
       import s.implicits._
       tbl(s, dir, "part")
@@ -959,6 +989,19 @@ object SparkEntry {
         excludeId = Some(qRow.getLong(0)))
     }),
 
+    // Multi-probe LSH: single table, query bucket + all 1-bit-flip
+    // buckets probed (recall via probes instead of table replication).
+    "q_ann_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.lshTopKMultiProbe(
+        emb, $"vec_id", $"embedding", q, k = 10, nBits = 8,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
     // Int8 scalar quantization (the 4× ANN memory cut): integer-exact
     // per-vector summary + the raw double scale, identical arithmetic on
     // both engines.
@@ -1306,6 +1349,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT s_nationkey AS nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
+    "q_join_full" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 100),
+        |o AS (SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders
+        |  WHERE o_custkey BETWEEN 50 AND 150 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  coalesce(n_orders, 0)::BIGINT AS n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderpriority AS priority, o_totalprice AS amount FROM orders
+        |  UNION ALL
+        |  SELECT NULL AS priority, l_extendedprice AS amount FROM lineitem)
+        |SELECT priority, count(*)::BIGINT AS n, round(sum(amount), 2) AS total
+        |FROM u GROUP BY priority ORDER BY priority NULLS FIRST""".stripMargin,
     "q_scalar_string" ->
       """SELECT p_partkey,
         |  upper(substr(p_name, 1, 10)) AS name10,
@@ -1667,6 +1725,18 @@ object SparkEntry {
         |  ${cosineSql("embedding", "q.e", 64)} AS c
         |  FROM v, q WHERE vec_id <> q.qid AND
         |    (v.b0 = q.qb0 OR v.b1 = q.qb1 OR v.b2 = q.qb2 OR v.b3 = q.qb3))
+        |SELECT neighbor_id, round(c, 6) AS cosine FROM s
+        |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_ann_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |  ${bucketSql("embedding", 64, graft.ann.Ann.hyperplanes(8, 64))} AS b
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS e, b AS qb FROM v
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |s AS (SELECT vec_id AS neighbor_id,
+        |  ${cosineSql("embedding", "q.e", 64)} AS c
+        |  FROM v, q WHERE vec_id <> q.qid AND
+        |    bit_count(xor(v.b, q.qb)) <= 1)
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_quantize" ->

@@ -109,6 +109,31 @@ object Ann {
     bruteForceTopK(bucketed, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
 
+  /** Single-table MULTI-PROBE LSH: instead of paying `tables`× index
+    * storage for recall, probe the query's bucket AND every bucket at
+    * Hamming distance 1 (the nBits buckets reachable by one sign-bit
+    * flip — the bits most likely to be wrong for a near neighbour).
+    * Candidate test is a codegen'd `bit_count(bucket XOR qBucket) <= 1`
+    * filter — no shuffle, no replication; at 100 TB with bucket as the
+    * partition key a query touches nBits+1 partitions. Recall/latency
+    * knob: multi-table trades storage, multi-probe trades probes. */
+  def lshTopKMultiProbe(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Double],
+      k: Int,
+      nBits: Int = 8,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    val planes = hyperplanes(nBits, query.length, seed)
+    val qBucket = bucketOf(query, planes)
+    val probed = df
+      .filter(bit_count(lshBucket(vec, planes).bitwiseXOR(lit(qBucket))) <= 1)
+      .select(id.as("neighbor_id"), vec.as("__v"))
+    bruteForceTopK(probed, col("neighbor_id"), col("__v"), query, k, excludeId)
+  }
+
   /** Deterministic IVF codebook: `k` unit-normalized centroids, a pure
     * function of (k, dim, seed) — the same spectral-hash construction as
     * [[hyperplanes]], L2-normalized in exact driver arithmetic so both

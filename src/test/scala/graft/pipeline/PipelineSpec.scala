@@ -273,6 +273,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(2L) && kept.contains(3L), s"orthogonal/opposite kept: $kept")
   }
 
+  test("multi-probe LSH widens the candidate set to the 1-bit neighborhood") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+    val planes = graft.ann.Ann.hyperplanes(8, q.length)
+    val qb = graft.ann.Ann.bucketOf(q, planes)
+    val b = graft.ann.Ann.lshBucket(col("embedding"), planes)
+    val exactN = emb.filter(b === lit(qb)).count()
+    val probeN = emb.filter(bit_count(b.bitwiseXOR(lit(qb))) <= 1).count()
+    assert(probeN >= exactN && exactN > 0)
+    val res = graft.ann.Ann.lshTopKMultiProbe(
+      emb, col("vec_id"), col("embedding"), q, k = 5, excludeId = Some(0L)).collect()
+    assert(res.length <= 5 && res.forall(_.getLong(0) != 0L))
+    val cosines = res.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+  }
+
   test("quantizeInt8: symmetric scale, portable rounding, zero vector") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
