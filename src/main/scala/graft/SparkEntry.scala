@@ -828,6 +828,36 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Inverted index: term → (doc_freq, posting list); postings emitted
+    // as first/last ids (driver compare hashes scalar cells only).
+    "q_text_invindex" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.invertedIndex(
+          tbl(s, dir, "documents"), $"doc_id", $"text")
+        .select($"term", $"doc_freq",
+          element_at($"postings", 1).as("first_doc"),
+          element_at($"postings", -1).as("last_doc"))
+        .orderBy($"term")
+    }),
+
+    // Conjunctive keyword search by posting intersection.
+    "q_text_search" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.searchAll(
+          tbl(s, dir, "documents"), $"doc_id", $"text", Seq("spark", "window"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic train/val/test split by salted-hash range.
+    "q_sample_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.assignSplit(
+          tbl(s, dir, "documents"), $"doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "s3")
+        .select($"doc_id", $"source", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // Corpus-level boilerplate segment removal (line-dedup shape): drop
     // 2-token segments occurring in >= 20 distinct docs; the frequent-
     // segment lexicon is aggregated once and the corpus side is cleaned
@@ -1538,6 +1568,33 @@ object SparkEntry {
         |SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_count,
         |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_invindex" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |term AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tt)
+        |SELECT term, count(*)::BIGINT AS doc_freq,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM term GROUP BY term ORDER BY term""".stripMargin,
+    "q_text_search" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t)
+        |SELECT doc_id FROM tt
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_split" ->
+      s"""SELECT doc_id, source,
+        |  CASE WHEN '0' || substr(md5('s3|' || doc_id::VARCHAR), 1, 8) <
+        |      '${"%09x".format(math.round(0.8 * 4294967296.0))}' THEN 'train'
+        |    WHEN '0' || substr(md5('s3|' || doc_id::VARCHAR), 1, 8) <
+        |      '${"%09x".format(math.round(0.9 * 4294967296.0))}' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_segdedup" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -69,9 +69,34 @@ object Sampling {
     df.filter(concat(lit("0"), substring(rankHash(id, salt), 1, 8)) < thr)
   }
 
+  /** Deterministic train/val/test split: every row gets a `split` label
+    * from the hash-range its salted id falls into — disjoint, exhaustive,
+    * stable under reruns/repartitioning, and consistent with
+    * [[hashSample]]'s keep set (same hash, same ordering). Map-side only.
+    *
+    * @param splits (label, weight) in priority order; weights sum to 1 */
+  def assignSplit(
+      df: DataFrame, id: Column, splits: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (_, w) => require(w >= 0.0, s"negative weight: $w") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: ${splits.map(_._2).sum}")
+    val h = concat(lit("0"), substring(rankHash(id, salt), 1, 8))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.init.zip(cum.init) match {
+      case Nil => lit(splits.last._1)
+      case (first, c0) +: rest =>
+        rest.foldLeft(when(h < lit(thresholdHex(c0)), first._1)) {
+          case (acc, ((name, _), c)) => acc.when(h < lit(thresholdHex(c)), name)
+        }.otherwise(splits.last._1)
+    }
+    df.withColumn("split", label)
+  }
+
   // Both compare sides zero-padded to 9 hex digits so fraction=1.0
   // (0x100000000, above every 32-bit prefix) still compares correctly
   // as a string.
-  private def thresholdHex(fraction: Double): String =
+  private[ops] def thresholdHex(fraction: Double): String =
     f"${math.round(fraction * 4294967296.0).min(4294967296L)}%09x"
 }

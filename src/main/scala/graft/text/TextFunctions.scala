@@ -186,6 +186,35 @@ object TextFunctions {
         col("chunk_text"))
   }
 
+  /** Posting-list inverted index: one row per distinct term with its
+    * document frequency and sorted posting list. The classic text-search
+    * layout — at 100 TB this is materialized once (explode + one shuffle
+    * keyed on term, map-side combine) and keyword queries become posting
+    * joins instead of corpus scans. */
+  def invertedIndex(
+      df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), explode(array_distinct(tokens(text))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** Conjunctive (AND) keyword search: documents containing EVERY term,
+    * via count-matching exploded terms — the posting-intersection shape,
+    * no per-term corpus rescans. */
+  def searchAll(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "at least one search term required")
+    val distinct = terms.distinct
+    df.select(id.as("doc_id"), explode(array_distinct(tokens(text))).as("term"))
+      .filter(col("term").isin(distinct: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === distinct.size)
+      .select(col("doc_id"))
+  }
+
   /** Per-document k-gram repetition statistics — the boilerplate /
     * degenerate-text signal quality filters threshold on:
     * (doc_id, n_grams, top_count, rep_ratio = top/total). Two pipelined

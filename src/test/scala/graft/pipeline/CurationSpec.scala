@@ -114,6 +114,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deOnly.sameElements(deViaWeighted))
   }
 
+  test("assignSplit: disjoint exhaustive labels, consistent with hashSample") {
+    val df = spark.range(1000).toDF("id")
+    val out = Sampling.assignSplit(df, col("id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "sx")
+    assert(out.count() == 1000)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 700 && byLabel("train") < 900)
+    // the train partition IS hashSample(0.8) with the same salt
+    val sampled = Sampling.hashSample(df, col("id"), 0.8, salt = "sx")
+      .collect().map(_.getLong(0)).toSet
+    val train = out.filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    assert(train == sampled)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, col("id"), Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
+  test("inverted index + conjunctive search agree with direct filters") {
+    val docs = Seq(
+      (1L, "spark window join"), (2L, "spark filter"),
+      (3L, "window only here"), (4L, "spark window agg")
+    ).toDF("id", "txt")
+    val idx = graft.text.TextFunctions.invertedIndex(docs, col("id"), col("txt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(idx("spark") == ((3L, Seq(1L, 2L, 4L))))
+    assert(idx("window") == ((3L, Seq(1L, 3L, 4L))))
+    val hits = graft.text.TextFunctions.searchAll(
+        docs, col("id"), col("txt"), Seq("spark", "window", "spark"))
+      .collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(1L, 4L))
+  }
+
   test("packByBudget assigns packs by exclusive prefix sum per shard") {
     val df = Seq(
       ("A", 1L, 800L), ("A", 2L, 800L), ("A", 3L, 800L), ("A", 4L, 800L),
