@@ -221,6 +221,16 @@ object SparkEntry {
         graft.ops.Layout.registerBucketed(s, oName, oDir, 8, "o_orderkey"))
     }
 
+  /** Events table built by STREAMING ingest with per-batch index
+    * maintenance (create on batch 0, incremental refresh on each later
+    * batch) — the q_stream_ingest fixture; create-once. */
+  private[graft] def streamIngestedEvents(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "events_ingested") { tableDir =>
+      graft.streaming.Streaming.ingestIndexed(
+        s, dir, tableDir, indexCols = Seq("user_id", "event_type"))
+      ()
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -1112,6 +1122,18 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, dir) =>
       graft.streaming.Streaming.enrichWithCustomers(s, dir)),
 
+    // Query over a table built by streaming ingest with per-batch index
+    // maintenance: indexed predicate answers through the incrementally
+    // refreshed index (create on batch 0 + refresh × later batches).
+    "q_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      streamIngestedEvents(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+        .orderBy($"user_id")
+    }),
+
     // Rolling 1-hour per-user window via a RANGE frame on event time —
     // the numeric-range formulation both engines evaluate identically.
     "q_window_range" -> ((s, dir) => {
@@ -1940,6 +1962,10 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_ingest" ->
+      """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_session_window" ->
       """WITH l AS (SELECT user_id, event_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -95,6 +95,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("streaming ingest maintains the index across batches and prunes") {
+    import graft.index.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ingest-spec").toString
+    spark.conf.set(graft.index.IndexConf.MetastoreLocation, s"$work/metastore")
+    val tableDir = s"$work/events_table"
+    val indexed = Streaming.ingestIndexed(
+      spark, dir, tableDir, indexCols = Seq("user_id", "event_type"))
+    // every streamed row landed, none duplicated
+    val got = indexed.orderBy($"event_id").collect().map(_.toString)
+    val want = batchEvents.orderBy($"event_id").collect().map(_.toString)
+    assert(got.length == want.length && got.sameElements(want))
+    assert(spark.index.exists.parquet(tableDir))
+    // the per-batch appends left multiple files; an indexed equality
+    // predicate must prune to a subset
+    val user = batchEvents.select($"user_id").head.getLong(0)
+    val q = spark.index.parquet(tableDir).filter($"user_id" === user)
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    q.collect()
+    assert(fi.lastTotalFiles >= 4, s"expected >=4 ingested files: ${fi.lastTotalFiles}")
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"ingested index should prune: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+  }
+
   test("stateful sessionizer agrees with window-function sessionize") {
     val events = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
