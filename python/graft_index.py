@@ -130,6 +130,29 @@ class IndexManager:
         return DataFrame(self._jmgr.table(name), self._spark)
 
 
+class Ops:
+    """Table-maintenance operators (graft.ops.Layout / Profile)."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._jlayout = spark._jvm.graft.ops.Layout
+
+    def compact(self, table_dir, small_file_bytes=32 << 20,
+                target_file_bytes=128 << 20, min_files=2):
+        """Rewrite the small-file tail of a (flat or partitioned) parquet
+        table; returns dict of compaction stats. Run index.refresh after."""
+        s = self._jlayout.compact(self._spark._jsparkSession, table_dir,
+                                  small_file_bytes, target_file_bytes, min_files)
+        return {"compactedFiles": s.compactedFiles(),
+                "producedFiles": s.producedFiles(),
+                "bytesRewritten": s.bytesRewritten()}
+
+    def vacuum(self, table_dir):
+        """Heal interrupted compactions and drop upsert staging debris;
+        returns the number of items healed/removed."""
+        return self._jlayout.vacuum(self._spark._jsparkSession, table_dir)
+
+
 class QueryContext:
     """Entry point, shaped like the reference's QueryContext."""
 
@@ -139,3 +162,7 @@ class QueryContext:
     @property
     def index(self):
         return IndexManager(self._spark)
+
+    @property
+    def ops(self):
+        return Ops(self._spark)

@@ -53,10 +53,22 @@ def main():
     plain2 = spark.read.parquet(table).filter(f"l_orderkey = {key}").collect()
     assert sorted(map(str, indexed2)) == sorted(map(str, plain2)), "post-refresh differ"
 
+    # ops surface: compact the small-file tail, refresh, re-query
+    before = spark.read.parquet(table).count()
+    cstats = ctx.ops.compact(table)
+    assert cstats["compactedFiles"] == 10 and cstats["producedFiles"] >= 1, cstats
+    rstats = ctx.index.refresh.parquet(table)
+    assert rstats["removedFiles"] == 10, rstats
+    assert spark.read.parquet(table).count() == before, "compaction lost rows"
+    indexed3 = ctx.index.parquet(table).filter(f"l_orderkey = {key}").collect()
+    assert sorted(map(str, indexed3)) == sorted(map(str, indexed2)), "post-compact differ"
+    assert ctx.ops.vacuum(table) == 0
+
     ctx.index.delete.parquet(table)
     assert not ctx.index.exists.parquet(table), "index should be gone"
 
-    print(f"PYTHON API OK: {len(indexed)} rows matched, lifecycle+refresh complete")
+    print(f"PYTHON API OK: {len(indexed)} rows matched, "
+          "lifecycle+refresh+compact complete")
     spark.stop()
 
 

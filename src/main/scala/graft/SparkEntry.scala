@@ -888,6 +888,15 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // Okapi BM25 ranking for a two-term query (identical double
+    // arithmetic on both engines; 4dp round).
+    "q_text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Tfidf.bm25(
+          tbl(s, dir, "documents"), $"doc_id", $"text", Seq("spark", "window"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-(doc, term) TF-IDF over a bounded corpus slice; tf/df are
     // integers, the score rounds at the cross-engine double noise floor.
     "q_text_tfidf" -> ((s, dir) => {
@@ -1652,6 +1661,27 @@ object SparkEntry {
         |FROM n JOIN ints
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_text_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |lens AS (SELECT doc_id, len(toks) AS len FROM tt),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tfall
+        |  WHERE term IN ('spark', 'window') GROUP BY term),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+        |c AS (SELECT (SELECT count(*) FROM tt)::DOUBLE AS n,
+        |  (SELECT sum(len) FROM lens)::DOUBLE / (SELECT count(*) FROM tt)::DOUBLE AS avgdl)
+        |SELECT q.doc_id,
+        |  round(sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |    * q.tf / (q.tf + 1.2 * (0.25 + 0.75 * l.len / c.avgdl))), 4) AS bm25
+        |FROM tfq q JOIN dft d ON q.term = d.term
+        |  JOIN lens l ON q.doc_id = l.doc_id CROSS JOIN c
+        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -31,4 +31,43 @@ object Tfidf {
         round(col("tf") * log(col("__n").cast("double") / col("df").cast("double")), 4)
           .as("tfidf"))
   }
+
+  /** Okapi BM25 ranking of documents against a bag of query `terms`:
+    * score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·len(d)/avgdl)), with
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1). Same aggregation
+    * pipeline as [[tfidf]], restricted to the query terms (the per-doc tf
+    * table filters BEFORE its shuffle, so cost scales with hits, not
+    * vocabulary); corpus constants (N, avgdl) ride one broadcast row.
+    * Deterministic double arithmetic identical on any engine; rounded at
+    * 4 decimals. Documents matching no term are absent (score 0). */
+  def bm25(
+      docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    val distinct = terms.distinct
+    val base = docs.select(id.as("doc_id"),
+      TextFunctions.tokens(text).as("__toks"))
+    val lens = base.select(col("doc_id"), size(col("__toks")).as("__len"))
+    val toks = base.select(col("doc_id"), explode(col("__toks")).as("term"))
+    val tfAll = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("term").isin(distinct: _*))
+    val tfQ = toks.filter(col("term").isin(distinct: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // exact-integer token sum / doc count: avg() would fold doubles in
+    // partition order; integer sums are order-independent on any engine
+    val consts = docs.agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(lens.agg(
+        (sum(col("__len")).cast("double") / count(lit(1)).cast("double"))
+          .as("__avgdl"))))
+    val idf = log((col("__n").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / col("__avgdl"))
+    tfQ.join(broadcast(dfT), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * col("tf").cast("double") / norm), 4).as("bm25"))
+  }
 }
