@@ -838,6 +838,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // End-to-end curation pipeline — the composition a training-data run
+    // actually ships: quality + language gate → exact content dedup
+    // (md5 fingerprint, keep smallest id) → deterministic stratified
+    // sample per source. Every stage is one of this engine's operators.
+    "q_pipeline_curate" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.text.TextFunctions
+      val scored = tbl(s, dir, "documents")
+        .select($"doc_id", $"source",
+          t.qualityScore($"text").as("quality"),
+          t.langId($"text").as("lang_pred"),
+          t.fingerprint($"text").as("fp"))
+        .filter($"quality" >= 0.5 && $"lang_pred".isin("en", "und"))
+      val deduped = graft.dedup.Dedup.dedupExact(scored, $"fp", $"doc_id")
+      graft.ops.Sampling.stratifiedSample(
+          deduped, $"source", $"doc_id", n = 10, salt = "cur")
+        .select($"doc_id", $"source", $"quality")
+        .orderBy($"doc_id")
+    }),
+
     // Inverted index: term → (doc_freq, posting list); postings emitted
     // as first/last ids (driver compare hashes scalar cells only).
     "q_text_invindex" -> ((s, dir) => {
@@ -1599,6 +1619,42 @@ object SparkEntry {
         |SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_count,
         |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pipeline_curate" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source, text, norm,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |m AS (SELECT doc_id, source, md5(norm) AS fp,
+        |  length(regexp_replace(text,'[^[:punct:]]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS pr,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s)))::DOUBLE
+        |    / greatest(len(toks),1)::DOUBLE AS sr,
+        |  len(toks) AS nt,
+        |  len(list_filter(toks, w -> list_contains(['the','a','and','of','to','is','in','that','it','as'], w))) AS en,
+        |  len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','auf'], w))) AS de,
+        |  len(list_filter(toks, w -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], w))) AS fr,
+        |  len(list_filter(toks, w -> list_contains(['el','los','las','y','es','un','una','en','que','por'], w))) AS es,
+        |  length(regexp_replace(text,'[^\x{4e00}-\x{9fff}]','','g'))::DOUBLE
+        |    / greatest(length(text),1)::DOUBLE AS cjkr
+        |  FROM tt),
+        |scored AS (SELECT doc_id, source, fp,
+        |  round(0.25*least(nt::DOUBLE/64.0, 1.0) + 0.25*least(sr*4.0, 1.0)
+        |    + 0.25*(1.0-least(pr*4.0, 1.0)) + 0.25*(1.0-least(dr*4.0, 1.0)), 4) AS quality,
+        |  CASE WHEN cjkr > 0.05 THEN 'zh'
+        |    WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und'
+        |    WHEN en>=de AND en>=fr AND en>=es THEN 'en'
+        |    WHEN de>=fr AND de>=es THEN 'de'
+        |    WHEN fr>=es THEN 'fr' ELSE 'es' END AS lang_pred
+        |  FROM m),
+        |f AS (SELECT * FROM scored
+        |  WHERE quality >= 0.5 AND lang_pred IN ('en', 'und')),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('cur|' || doc_id::VARCHAR), doc_id) AS srn
+        |  FROM d WHERE rn = 1)
+        |SELECT doc_id, source, quality FROM r WHERE srn <= 10
+        |ORDER BY doc_id""".stripMargin,
     "q_text_invindex" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -37,4 +37,29 @@ object Profile {
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** [[profile]] with HyperLogLog distinct counts (`rsd` relative error):
+    * no Expand, one plain aggregation pass — the wide-table / quick-scan
+    * variant. Counts are approximate (not engine-portable); everything
+    * else matches [[profile]]. */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val aggExprs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    row.selectExpr(
+      "__n AS n_rows",
+      s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
 }

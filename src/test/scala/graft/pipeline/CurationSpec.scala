@@ -278,6 +278,23 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("profileApprox: HLL distinct within rsd, no Expand in the plan") {
+    val df = spark.range(20000).toDF("id")
+      .withColumn("m", col("id") % 1000)
+    val exact = graft.ops.Profile.profile(df, Seq("id", "m"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = graft.ops.Profile.profileApprox(df, Seq("id", "m"), rsd = 0.05)
+    val got = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    Seq("id", "m").foreach { c =>
+      val err = math.abs(got(c).toDouble - exact(c)) / exact(c)
+      assert(err < 0.15, s"$c: approx ${got(c)} vs exact ${exact(c)}")
+    }
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    // the exact multi-column profile needs an Expand; the HLL one doesn't
+    assert(graft.ops.Profile.profile(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("repetitionStats computes top-gram ratio per doc") {
     import graft.text.TextFunctions
     val df = Seq(
