@@ -146,6 +146,10 @@ object Layout {
     * way the table converges to exactly one copy of every row.
     * Skips compaction when fewer than `minFiles` small files exist (one
     * small file gains nothing from a rewrite).
+    *
+    * Single-writer assumption: one maintenance process per table at a
+    * time (recovery cannot tell a crashed run from a live concurrent
+    * one — plain parquet dirs have no lock to take).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
@@ -237,7 +241,11 @@ object Layout {
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(dir, TmpPrefix + runId)
-    spark.read.parquet(smalls.map(_.getPath.toString): _*)
+    // mergeSchema: the small tail may span schema-evolved appends; a
+    // single-file schema donor would silently DROP late columns and the
+    // originals are deleted in step 4 — merge unions them instead
+    spark.read.option("mergeSchema", "true")
+      .parquet(smalls.map(_.getPath.toString): _*)
       .coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     val produced = fs.listStatus(tmp).toSeq
@@ -250,11 +258,17 @@ object Layout {
         throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
       }
     }
-    // 3. manifest = commit point (crash after → roll forward)
+    // 3. manifest = commit point. Written INSIDE the staging dir first,
+    // then renamed into place: the rename is the atomic commit — a crash
+    // mid-write can never expose a partial manifest to recovery.
     val manifest = new org.apache.hadoop.fs.Path(dir, ManifestPrefix + runId)
-    val out = fs.create(manifest, false)
+    val manifestTmp = new org.apache.hadoop.fs.Path(tmp, "manifest")
+    val out = fs.create(manifestTmp, true)
     try out.write(smalls.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(manifestTmp, manifest)) {
+      throw new java.io.IOException(s"manifest commit $manifestTmp -> $manifest failed")
+    }
     // 4. delete originals, tmp dir, then the manifest itself
     smalls.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
@@ -263,30 +277,58 @@ object Layout {
   }
 
   /** Heal interrupted [[compact]] runs (roll forward / roll back, see
-    * `recoverLeaf`) across a flat or partitioned table dir without
-    * compacting anything, and remove crashed foreachBatch-upsert staging
-    * SIBLINGS of `tableDir` (`<dir>_tmp_<batchId>` / `<dir>_old_<batchId>`
-    * — the upsert stages next to its sink, so only exact
-    * sink-path-prefixed names are touched; data files and partition dirs
-    * never match). Returns the number of items healed/removed. */
+    * `recoverLeaf`) across a flat or arbitrarily-nested partitioned
+    * table dir, and recover crashed foreachBatch-upsert staging SIBLINGS
+    * of `tableDir` (`<dir>_tmp_<batchId>` / `<dir>_old_<batchId>` — the
+    * upsert stages next to its sink, so only exact sink-path-prefixed
+    * names are touched). If the sink dir itself is MISSING (a crash
+    * landed between the upsert's two renames), the newest complete
+    * staging copy is PROMOTED to the sink rather than deleted — staging
+    * may be the only copy of the data at that point. Returns the number
+    * of items healed/removed.
+    *
+    * Single-writer assumption (same as [[compact]]): do not run
+    * maintenance concurrently with a live compaction/upsert of the same
+    * table — plain parquet dirs offer no lock, and recovery cannot
+    * distinguish a crashed run from a live one. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, tableDir: String): Int = {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var n = 0
     if (fs.exists(dir)) {
-      n += recoverLeaf(fs, dir)
-      fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .foreach(st => n += recoverLeaf(fs, st.getPath))
+      // recover every directory level — compact() recurses arbitrarily deep
+      val queue = scala.collection.mutable.Queue(dir)
+      while (queue.nonEmpty) {
+        val d = queue.dequeue()
+        n += recoverLeaf(fs, d)
+        fs.listStatus(d).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .foreach(st => queue.enqueue(st.getPath))
+      }
     }
     val parent = dir.getParent
     if (parent != null && fs.exists(parent)) {
-      val stale = fs.listStatus(parent).toSeq.filter { st =>
-        val nme = st.getPath.getName
-        st.isDirectory && (nme.matches(
-          java.util.regex.Pattern.quote(dir.getName) + "_(tmp|old)_\\d+"))
+      val pattern = java.util.regex.Pattern.quote(dir.getName) + "_(tmp|old)_(\\d+)"
+      val staging = fs.listStatus(parent).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.matches(pattern))
+      if (!fs.exists(dir) && staging.nonEmpty) {
+        // mid-swap crash: promote the newest complete copy (a _tmp_ holds
+        // the NEW sink, written fully before any rename; _old_ the
+        // previous one) instead of deleting the only surviving data
+        val promote = staging
+          .sortBy { st =>
+            val m = st.getPath.getName
+            (if (m.contains("_tmp_")) 1 else 0, m.substring(m.lastIndexOf('_') + 1).toLong)
+          }
+          .last
+        if (!fs.rename(promote.getPath, dir)) {
+          throw new java.io.IOException(s"promote ${promote.getPath} -> $dir failed")
+        }
+        n += 1
       }
+      val stale = fs.listStatus(parent).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.matches(pattern))
       stale.foreach(st => fs.delete(st.getPath, true))
       n += stale.size
     }

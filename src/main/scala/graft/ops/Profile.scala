@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality gate a 100 TB ingest pipeline runs
@@ -10,45 +10,31 @@ import org.apache.spark.sql.functions._
   * Scale notes: all per-column aggregates fold map-side; the exact
   * distinct counts make Catalyst plan an Expand (one input row per
   * profiled column) — cost is O(rows × cols) but still a single shuffle
-  * keyed by the distinct values. For quick profiles of very wide tables,
-  * swap `countDistinct` for `approx_count_distinct` (HLL, no Expand) —
-  * kept exact here so the result is engine-portable and oracle-checkable.
+  * keyed by the distinct values. [[profileApprox]] swaps the exact counts
+  * for HyperLogLog sketches (no Expand) for wide tables and quick scans.
   * min/max are emitted as strings so one schema serves every column type.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "at least one column to profile")
-    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
-    val aggExprs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val row = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`")
-      .mkString(", ")
-    row.selectExpr(
-      "__n AS n_rows",
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_val, max_val)")
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
-  }
+  /** Exact profile (engine-portable, oracle-checkable). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
 
   /** [[profile]] with HyperLogLog distinct counts (`rsd` relative error):
     * no Expand, one plain aggregation pass — the wide-table / quick-scan
     * variant. Counts are approximate (not engine-portable); everything
     * else matches [[profile]]. */
-  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(
+      df: DataFrame, cols: Seq[String], distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     val aggExprs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

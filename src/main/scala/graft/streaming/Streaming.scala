@@ -254,6 +254,15 @@ object Streaming {
       .foreach(loc => spark.conf.set(graft.index.IndexConf.MetastoreLocation, loc))
     val work = s"${tableDir}_ingest_work"
     val srcDir = s"$work/source"
+    // idempotent restart: a crashed build leaves a partial table and a
+    // checkpoint that would treat re-staged source files as unseen —
+    // re-appending the full dataset next to the partial one. Start clean.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(tableDir, work).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // keyed staging (the kafka-partition-by-key shape): each source file
     // holds a hash slice of the first index column, so the ingested

@@ -154,6 +154,55 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(s"$p/part-compact-dead02-0.parquet").exists())
   }
 
+  test("vacuum promotes the surviving upsert staging copy when the sink is gone") {
+    val p = s"$work/upsert_promote"
+    // crashed mid-swap: sink dir absent, _old_ = previous sink, _tmp_ = new
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .limit(2).write.parquet(s"${p}_old_3")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.parquet(s"${p}_tmp_5")
+    val newRows = spark.read.parquet(s"${p}_tmp_5").count()
+    assert(graft.ops.Layout.vacuum(spark, p) >= 1)
+    assert(spark.read.parquet(p).count() == newRows, "newest copy promoted to sink")
+    assert(!new java.io.File(s"${p}_tmp_5").exists())
+    assert(!new java.io.File(s"${p}_old_3").exists())
+  }
+
+  test("vacuum heals debris in nested partition leaves") {
+    val p = s"$work/nested_vacuum"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+      .filter(col("o_year") === 1995 && col("o_month") <= 2)
+      .write.partitionBy("o_year", "o_month").parquet(p)
+    val rows = spark.read.parquet(p).count()
+    val leaf = new java.io.File(p).listFiles.filter(_.getName.startsWith("o_year="))
+      .head.listFiles.filter(_.getName.startsWith("o_month=")).head
+    // dead run at depth 2: duplicate moved-in file + tmp dir, no manifest
+    val f0 = leaf.listFiles.filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(f0.toPath,
+      new java.io.File(leaf, "part-compact-deadn1-0.parquet").toPath)
+    new java.io.File(leaf, "_compact_tmp_deadn1").mkdirs()
+    assert(spark.read.parquet(p).count() > rows)
+    assert(graft.ops.Layout.vacuum(spark, p) == 1)
+    assert(spark.read.parquet(p).count() == rows)
+  }
+
+  test("compaction merges schema-evolved small files without dropping columns") {
+    val p = s"$work/compact_evolved"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(p)
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .withColumn("extra", col("r_regionkey") * 10)
+      .write.mode("append").parquet(p)
+    val before = spark.read.option("mergeSchema", "true").parquet(p)
+      .select("r_regionkey", "extra").collect().map(_.toString).sorted
+    val st = graft.ops.Layout.compact(spark, p)
+    assert(st.compactedFiles >= 2L)
+    val after = spark.read.option("mergeSchema", "true").parquet(p)
+      .select("r_regionkey", "extra").collect().map(_.toString).sorted
+    assert(after.sameElements(before), "evolved column must survive compaction")
+  }
+
   test("create + exists + delete lifecycle") {
     assert(spark.index.exists.parquet(tablePath))
     spark.index.delete.parquet(tablePath)
