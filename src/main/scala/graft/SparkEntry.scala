@@ -1253,6 +1253,24 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // As-of join with a 2-hour lookback tolerance (pandas merge_asof
+    // shape): a most-recent click older than the bound is no match.
+    "q_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsTbl(s, dir)
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("t_us"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"t_us")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"t_us")
+      graft.ops.Temporal.asofJoin(
+          purchases, "user_id", "t_us",
+          clicks, "user_id", "t_us",
+          payload = Seq("event_id", "t_us"), tieBreak = "event_id",
+          tolerance = Some(2L * 3600L * 1000000L))
+        .orderBy($"event_id")
+    }),
+
     // Interval range join: per purchase, count + value of view/click
     // activity by the same user in the preceding hour. Intervals bucket
     // to ≤ 2 one-hour buckets → equi-join on (user, bucket), exact
@@ -2115,6 +2133,19 @@ object SparkEntry {
         |FROM p LEFT JOIN LATERAL (
         |  SELECT c.event_id, c.t_us FROM c
         |  WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+        |  ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1) l ON true
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.t_us,
+        |  l.event_id AS asof_event_id, l.t_us AS asof_t_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.t_us FROM c
+        |  WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+        |    AND p.t_us - c.t_us <= 7200000000
         |  ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1) l ON true
         |ORDER BY p.event_id""".stripMargin,
     "q_range_join" ->

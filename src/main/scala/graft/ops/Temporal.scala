@@ -31,16 +31,25 @@ object Temporal {
     * @param tieBreak right-side column ordering the winner among right
     *                 rows with identical (key, time) — REQUIRED so the
     *                 result is deterministic, not first-seen
+    * @param tolerance max allowed `leftTime - rightTime` (same numeric
+    *                 unit as the time columns, which must cast to long);
+    *                 a match older than this is dropped (null payload,
+    *                 pandas merge_asof-style). None = unbounded lookback.
     */
   def asofJoin(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String], tieBreak: String,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      tolerance: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one right-side column")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0: $t"))
     val lStructCol = struct(left.columns.map(col).toIndexedSeq: _*)
     val lType = left.select(lStructCol.as("s")).schema("s").dataType
-    val pStructCol = struct(payload.map(col).toIndexedSeq: _*)
+    // the matched right row's time rides inside the payload struct so the
+    // tolerance can be applied after the window carry
+    val pStructCol = struct(
+      (col(rightTime).cast("long").as("__mt") +: payload.map(col)).toIndexedSeq: _*)
     val pType = right.select(pStructCol.as("s")).schema("s").dataType
     // Native type so string/timestamp tie-breaks order correctly (a cast to
     // long would null them out and make the winner nondeterministic).
@@ -64,7 +73,14 @@ object Temporal {
     val out = lSide.unionByName(rSide)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    out.select(
+    val matched = tolerance match {
+      case Some(tol) =>
+        // match too old → same as no match (null payload)
+        out.withColumn("__last",
+          when(col("__t").cast("long") - col("__last.__mt") <= lit(tol), col("__last")))
+      case None => out
+    }
+    matched.select(
       left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
         payload.map(p => col(s"__last.$p").as(s"$prefix$p")): _*)
   }

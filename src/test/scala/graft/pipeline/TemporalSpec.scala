@@ -54,6 +54,26 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == trades.count()) // exactly one output row per left row
   }
 
+  test("asofJoin tolerance drops matches older than the bound") {
+    val out = Temporal.asofJoin(
+      trades, "key", "t", quotes, "key", "t",
+      payload = Seq("quote_id"), tieBreak = "quote_id",
+      tolerance = Some(10L))
+    val byTrade = out.collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("asof_quote_id"))).toMap
+    assert(byTrade(1001L) == Some(102L)) // gap 0 <= 10
+    assert(byTrade(1002L) == Some(102L)) // gap 5 <= 10
+    assert(byTrade(1003L) == None)       // gap 69 > 10 -> dropped
+    assert(byTrade(2000L) == Some(200L)) // gap 0
+    assert(byTrade(1000L) == None && byTrade(3000L) == None)
+    assert(out.count() == trades.count())
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, "key", "t", quotes, "key", "t",
+        payload = Seq("quote_id"), tieBreak = "quote_id", tolerance = Some(-1L))
+    }
+  }
+
   test("asofJoin ignores right rows with a NULL time") {
     // a null-time quote sorts before every trade (nulls first) and would
     // wrongly win last(ignoreNulls) if not filtered out
