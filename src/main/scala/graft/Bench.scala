@@ -39,6 +39,7 @@ object Bench {
     SparkEntry.indexedLineitemZorder(spark, sfDir).count()
     SparkEntry.indexedPartDict(spark, sfDir).count()
     SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
+    SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -57,7 +58,7 @@ object Bench {
     // -- index effectiveness on a selective point query
     val key = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .agg(min($"l_orderkey")).head.getLong(0)
-    def timeBest(f: => Long, n: Int = 3): Double =
+    def timeBest(f: => Long, n: Int = 5): Double =
       (0 until n).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min

@@ -273,6 +273,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(2L) && kept.contains(3L), s"orthogonal/opposite kept: $kept")
   }
 
+  test("WordWindows kernel matches the naive slice formulation") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e")
+    val cases = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+    } :+ Seq.empty[String]
+    for (toks <- cases; k <- Seq(1, 2, 3, 5); stride <- Seq(1, 2, 3, 5) if stride <= k) {
+      val naive =
+        if (toks.isEmpty) Seq.empty[String]
+        else {
+          val last = (math.max(toks.size - k, 0) + stride - 1) / stride
+          (0 to last).map(w => toks.slice(w * stride, w * stride + k).mkString(" "))
+        }
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val got = df.select(
+        graft.functions.exprs.word_windows(col("t"), k, stride).as("w"))
+        .head.getSeq[String](0)
+      assert(got == naive, s"toks=$toks k=$k stride=$stride")
+      if (stride == k && toks.nonEmpty) {
+        // non-overlapping windows partition the tokens exactly
+        assert(got.mkString(" ") == toks.mkString(" "))
+      }
+    }
+  }
+
   test("multi-probe LSH widens the candidate set to the 1-bit neighborhood") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.orderBy(col("vec_id")).limit(1)
