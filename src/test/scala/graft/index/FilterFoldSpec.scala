@@ -223,6 +223,43 @@ class FilterFoldSpec extends AnyFunSuite {
     case _ => true
   }
 
+  test("substring soundness: dict verdict=false implies no string matches") {
+    val sGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'é')).map(_.mkString)
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.option(sGen)), sGen, Gen.oneOf(0, 1, 2)) {
+      (rows, needle, kind) =>
+        val nonNull = rows.flatten
+        val dict = Sketch.create(Sketch.Dict, 16)
+        nonNull.foreach(dict.put)
+        val stats =
+          if (nonNull.isEmpty) ColumnStats(None, None, Some(rows.size.toLong))
+          else {
+            val sorted = nonNull.sortWith(Canon.compare(_, _) < 0)
+            ColumnStats(Some(sorted.head), Some(sorted.last),
+              Some(rows.count(_.isEmpty).toLong))
+          }
+        val blocks = Seq(BlockStats(rows.size.toLong, Map("s" -> stats)))
+        val f: Filter = kind match {
+          case 0 => StringContains("s", needle)
+          case 1 => StringEndsWith("s", needle)
+          case _ => StringStartsWith("s", needle)
+        }
+        val v = FilterFold.fileMayContain(
+          f, blocks, c => if (c == "s") Some(dict) else None, schema)
+        val anyMatch = nonNull.exists { s =>
+          kind match {
+            case 0 => s.contains(needle)
+            case 1 => s.endsWith(needle)
+            case _ => s.startsWith(needle)
+          }
+        }
+        v || !anyMatch
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("soundness: verdict=false implies no row in the file matches") {
     val prop = Prop.forAll(rowsGen, filterGen(3)) { (rows, f) =>
       // build footer-accurate stats for the single block
