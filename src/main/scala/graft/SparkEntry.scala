@@ -919,6 +919,17 @@ object SparkEntry {
 
     // Per-(doc, term) TF-IDF over a bounded corpus slice; tf/df are
     // integers, the score rounds at the cross-engine double noise floor.
+    // Unigram LM quality scoring (the CCNet-style perplexity filter):
+    // average negative log-likelihood per document under the corpus's
+    // own unigram distribution. Per-term logprobs are quantized to
+    // integer micro-nats BEFORE the per-doc sum, so the only cross-row
+    // reduction is exact integer arithmetic on both engines.
+    "q_text_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Tfidf.unigramNll(tbl(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
     "q_text_tfidf" -> ((s, dir) => {
       import s.implicits._
       graft.text.Tfidf.tfidf(
@@ -1078,6 +1089,20 @@ object SparkEntry {
       import s.implicits._
       graft.ann.Ann.quantizeInt8Summary(
           tbl(s, dir, "embeddings"), $"vec_id", $"embedding")
+        .orderBy($"vec_id")
+    }),
+
+    // Lloyd's k-means over embeddings (k=8, 2 iterations): trained
+    // centroids for IVF/diversity sampling. Milli-quantized inputs keep
+    // every cross-row sum exact integer arithmetic, so the oracle
+    // replays init, both centroid updates, and the final assignment
+    // from scratch and matches bit-for-bit.
+    "q_ann_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 2)
+      graft.ann.Ann.kmeansAssign(emb, $"vec_id", $"embedding", cents)
         .orderBy($"vec_id")
     }),
 
@@ -1353,6 +1378,49 @@ object SparkEntry {
       s"list_sum(list_transform(range(1,${dim + 1}), " +
         s"i -> CAST($vecCol[i] AS DOUBLE) * $lit[i]))"
     }.mkString("[\n    ", ",\n    ", "]")
+  }
+
+  /** Full from-scratch replay of [[graft.ann.Ann.kmeansFit]] +
+    * [[graft.ann.Ann.kmeansAssign]] in DuckDB: milli-quantize, init from
+    * the k smallest ids, then per iteration one assignment (row_number
+    * over (dist, cluster) = the operators' first-min tie rule) and one
+    * exact integer-mean centroid update (empty clusters keep their
+    * previous centroid), ending with the final assignment. */
+  private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cent
+         |  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT $k)),
+         |""".stripMargin)
+    for (t <- 1 to iters) {
+      val prev = s"c${t - 1}"
+      sb.append(
+        s"""d$t AS (SELECT v.vec_id, v.q, $prev.c,
+           |  list_sum(list_transform($r,
+           |    i -> (v.q[i] - $prev.cent[i]) * (v.q[i] - $prev.cent[i]))) AS d
+           |  FROM v, $prev),
+           |a$t AS (SELECT vec_id, q, c FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$t) WHERE rn = 1),
+           |m$t AS (SELECT a$t.c, t.i, sum(q[t.i]) / count(*) AS val
+           |  FROM a$t, (SELECT unnest($r) AS i) t GROUP BY a$t.c, t.i),
+           |c$t AS (SELECT $prev.c, coalesce(l.cent, $prev.cent) AS cent FROM $prev
+           |  LEFT JOIN (SELECT c, list(val ORDER BY i) AS cent FROM m$t GROUP BY c) l
+           |  ON $prev.c = l.c),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""df AS (SELECT v.vec_id, c$iters.c,
+         |  list_sum(list_transform($r,
+         |    i -> (v.q[i] - c$iters.cent[i]) * (v.q[i] - c$iters.cent[i]))) AS d
+         |  FROM v, c$iters)
+         |SELECT vec_id, CAST(c AS INT) AS cluster, round(d / 1000000.0, 6) AS dist2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    sb.toString
   }
 
   private def cosineSql(a: String, b: String, dim: Int): String = {
@@ -1952,6 +2020,28 @@ object SparkEntry {
         |    AND c.cell IN (SELECT cell FROM probe))
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    "q_text_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |tc AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+        |n AS (SELECT sum(cnt) AS n FROM tc),
+        |model AS (SELECT term,
+        |  CAST(floor(ln(cnt::DOUBLE / n.n::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM tc, n),
+        |pd AS (SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+        |    -sum(tf.tf * m.lp) AS nll_micro
+        |  FROM tf JOIN model m ON tf.term = m.term GROUP BY tf.doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.nll_micro, 0) AS nll_micro,
+        |  round(pd.nll_micro::DOUBLE / 1000000.0 / pd.n_tokens::DOUBLE, 4) AS avg_nll
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -263,6 +263,97 @@ object Ann {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Embeddings quantized to integer-valued doubles (milli-units,
+    * `floor(x·1000 + 0.5)`): float32→double is exact and floor(x+0.5)
+    * evaluates identically on any engine, so every downstream sum over
+    * these values is EXACT integer arithmetic in doubles — order-
+    * independent, reproducible bit-for-bit by the SQL oracle. The
+    * foundation of the engine-portable k-means below. */
+  def quantizeMilli(vec: Column): Column =
+    transform(vec, x =>
+      floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("double"))
+
+  /** Squared L2 distance as a sequential left fold — the exact
+    * formulation `list_sum(list_transform(...))` evaluates in DuckDB, so
+    * both engines add the per-dimension squares in the same order. */
+  def squaredDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index of the nearest centroid (squared L2), ties to the FIRST
+    * minimum — `array_position(dists, array_min(dists)) - 1`, the same
+    * tie rule [[ivfCell]] uses so the oracle's
+    * `row_number() OVER (ORDER BY dist, cluster) = 1` reproduces it. */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c =>
+      squaredDistance(vec, array(c.map(lit): _*))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Lloyd's k-means over milli-quantized embeddings — the trained
+    * replacement for [[ivfCodebook]]'s hash-derived centroids (its
+    * scaladoc's acknowledged gap) and the standard cluster-balance /
+    * diversity-sampling primitive of corpus curation.
+    *
+    * Deterministic and engine-portable by construction:
+    *   - init: the vectors of the `k` smallest ids;
+    *   - assignment: [[nearestCentroid]] (exact double arithmetic,
+    *     first-min ties);
+    *   - update: per-cluster per-dimension mean = exact integer sum /
+    *     count (quantized inputs keep sums exact below 2⁵³ — at 10⁹
+    *     vectors × |q|≤10⁴ that is 10¹³ ≪ 2⁵³), computed as ONE
+    *     aggregation with `dim+1` map-side-combined columns (no explode,
+    *     shuffle carries k×(dim+1) values); empty clusters keep their
+    *     previous centroid.
+    *
+    * Each iteration is one Spark job; only the k×dim centroid matrix is
+    * collected (exactly MLlib's driver footprint). Returns the centroids
+    * in milli-units.
+    */
+  def kmeansFit(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val q = df.select(id.as("__id"), quantizeMilli(vec).as("__q"))
+    val init = q.orderBy(col("__id")).limit(k).collect()
+    require(init.length == k, s"need at least $k vectors, found ${init.length}")
+    var cents: Seq[Seq[Double]] = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val assigned = q.select(col("__q"), nearestCentroid(col("__q"), cents).as("__c"))
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("__q"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+      val updated = assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val n = r.getLong(dim + 1).toDouble
+          r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1) / n)
+        }.toMap
+      cents = cents.zipWithIndex.map { case (old, j) => updated.getOrElse(j, old) }
+    }
+    cents
+  }
+
+  /** Cluster assignment of every vector against fitted centroids:
+    * (vec_id, cluster, dist2 = squared L2 in ORIGINAL embedding units,
+    * rounded at 6dp). A pure map-side projection — centroids ride the
+    * plan as literals, nothing shuffles. */
+  def kmeansAssign(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val q = quantizeMilli(vec)
+    val dists = array(centroids.map(c =>
+      squaredDistance(q, array(c.map(lit): _*))): _*)
+    df.select(id.as("vec_id"),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
+      round(array_min(dists) / lit(1e6), 6).as("dist2"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory cut
     * that makes billion-vector ANN fit an executor fleet: each vector is
     * rescaled by `scale = max|v_i| / 127` and stored as small ints.

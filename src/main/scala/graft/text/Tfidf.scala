@@ -32,6 +32,48 @@ object Tfidf {
           .as("tfidf"))
   }
 
+  /** CCNet-style unigram language-model scoring — the classic perplexity
+    * quality filter: score every document by its average negative
+    * log-likelihood under the corpus's own unigram distribution (high
+    * avg-NLL ⇒ rare-token word salad; low ⇒ repetitive boilerplate).
+    *
+    * Same three-aggregation pipeline as [[tfidf]]: token explode →
+    * (doc, term) counts, corpus term counts derived FROM the tf table
+    * (shuffle carries one row per (doc, term), not the raw token stream),
+    * and the model — one logprob per VOCABULARY term — broadcast back.
+    * At 100 TB the corpus side shuffles only on (doc, term) and doc.
+    *
+    * Engine-portable: per-term ln(count/N) is quantized to integer
+    * micro-nats (`floor(lp·10⁶ + 0.5)` as LONG) BEFORE the per-document
+    * sum, so the only cross-row float reduction is exact integer
+    * arithmetic — order-independent on any engine. Documents with no
+    * tokens surface with n_tokens = 0 and NULL score.
+    *
+    * @return (doc_id, n_tokens, nll_micro = Σ tf·(−lp_micro),
+    *         avg_nll = nll_micro / 10⁶ / n_tokens rounded at 4dp)
+    */
+  def unigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(text)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val n = termCounts.agg(sum(col("cnt")).as("__n"))
+    val model = termCounts.crossJoin(broadcast(n))
+      .select(col("term"),
+        floor(log(col("cnt").cast("double") / col("__n").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("__lp_micro"))
+    val perDoc = tf.join(broadcast(model), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (-sum(col("tf") * col("__lp_micro"))).as("nll_micro"))
+    docs.select(id.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        round(col("nll_micro").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"), 4).as("avg_nll"))
+  }
+
   /** Okapi BM25 ranking of documents against a bag of query `terms`:
     * score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·len(d)/avgdl)), with
     * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1). Same aggregation

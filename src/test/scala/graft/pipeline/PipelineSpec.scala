@@ -315,6 +315,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("kmeans: recovers planted clusters; assignment is map-side only") {
+    // three tight planted groups; ids 0,1,2 seed the init with one
+    // centroid per group
+    val centers = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(-1.0f, -1.0f))
+    val rows = (0 until 30).map { i =>
+      val g = i % 3
+      val eps = (i / 3) * 0.001f
+      (i.toLong, centers(g).map(_ + eps), g)
+    }
+    val df = rows.map { case (id, v, _) => (id, v) }.toDF("id", "v")
+    val cents = Ann.kmeansFit(df, col("id"), col("v"), k = 3, iters = 3)
+    assert(cents.length == 3)
+    val assigned = Ann.kmeansAssign(df, col("id"), col("v"), cents)
+    // no shuffle: centroids are literals, assignment is a projection
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every planted group lands in exactly one cluster, groups disjoint
+    val clustersOfGroup = rows.groupBy(_._3).map { case (g, rs) =>
+      g -> rs.map(r => byId(r._1)).toSet
+    }
+    assert(clustersOfGroup.values.forall(_.size == 1))
+    assert(clustersOfGroup.values.flatten.toSet.size == 3)
+    // distances to the fitted centroid are tiny (converged)
+    val maxDist = assigned.agg(max($"dist2")).head.getDouble(0)
+    assert(maxDist < 0.01)
+  }
+
+  test("kmeans: empty clusters keep their previous centroid") {
+    val df = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f))
+    ).toDF("id", "v")
+    // init = three identical centroids; ties assign everything to
+    // cluster 0, clusters 1 and 2 stay empty and must keep their init
+    val cents = Ann.kmeansFit(df, col("id"), col("v"), k = 3, iters = 2)
+    assert(cents(0) == Seq(1000.0, 1000.0))
+    assert(cents(1) == Seq(1000.0, 1000.0) && cents(2) == Seq(1000.0, 1000.0))
+    val assigned = Ann.kmeansAssign(df, col("id"), col("v"), cents).collect()
+    assert(assigned.forall(_.getInt(1) == 0))
+  }
+
+  test("unigramNll: exact micro-nat arithmetic, empty doc surfaces null") {
+    val docs = Seq((1L, "a a"), (2L, "a b"), (3L, "")).toDF("id", "text")
+    val out = graft.text.Tfidf.unigramNll(docs, col("id"), col("text"))
+      .orderBy("doc_id").collect()
+    // corpus: a×3, b×1, N=4; lp_micro(a) = floor(ln(3/4)·1e6 + .5) = -287682,
+    // lp_micro(b) = floor(ln(1/4)·1e6 + .5) = -1386294
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L * 287682L)
+    assert(out(0).getDouble(3) == 0.2877)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 287682L + 1386294L)
+    assert(out(1).getDouble(3) == 0.837)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L && out(2).isNullAt(3))
+  }
+
   test("quantizeInt8: symmetric scale, portable rounding, zero vector") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
