@@ -67,10 +67,32 @@ def main(sf_dir, out_dir):
         mismatched = {c: (otypes[c], stypes[c]) for c in otypes if otypes[c] != stypes[c]}
         if mismatched:
             print(f"TYPES?   {name}: {mismatched} (warning only)")
+        # Second comparison through pandas — mirrors the driver's fetch
+        # path, where e.g. a DuckDB HUGEINT sum() becomes float64/object
+        # and stringifies differently from Spark's int64 even when
+        # fetchall() values are identical Python ints.
+        try:
+            opd = con.execute(oracles[name]).df()
+            spd = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+            ).df()
+            oph, _ = canon(list(opd.itertuples(index=False, name=None)),
+                           list(opd.columns))
+            sph, _ = canon(list(spd.itertuples(index=False, name=None)),
+                           list(spd.columns))
+        except Exception as e:
+            print(f"PDERROR  {name}: {e}")
+            oph = sph = None
         oh, on = canon(orows, ocols)
         sh, sn = canon(srows, scols)
         if on != sn:
             print(f"ROWCOUNT {name}: oracle={on} spark={sn}")
+            n_fail += 1
+        elif oh == sh and oph != sph:
+            print(f"PDHASH   {name}: {on} rows match via fetchall but "
+                  f"differ via pandas (engine type portability, e.g. "
+                  f"HUGEINT vs BIGINT) — dtypes oracle={dict(opd.dtypes.astype(str))} "
+                  f"spark={dict(spd.dtypes.astype(str))}")
             n_fail += 1
         elif oh != sh:
             print(f"HASH     {name}: {on} rows, values differ")

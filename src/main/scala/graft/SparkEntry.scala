@@ -924,9 +924,14 @@ object SparkEntry {
     // own unigram distribution. Per-term logprobs are quantized to
     // integer micro-nats BEFORE the per-doc sum, so the only cross-row
     // reduction is exact integer arithmetic on both engines.
+    // Hash only integer-exact columns: nll_micro and avg_nll_micro are
+    // pure integer arithmetic downstream of the micro-nat quantization
+    // (the convenience double avg_nll is dropped — Spark and DuckDB
+    // round(double, 4) can disagree on shortest-repr vs binary HALF_UP).
     "q_text_perplexity" -> ((s, dir) => {
       import s.implicits._
       graft.text.Tfidf.unigramNll(tbl(s, dir, "documents"), $"doc_id", $"text")
+        .select($"doc_id", $"n_tokens", $"nll_micro", $"avg_nll_micro")
         .orderBy($"doc_id")
     }),
 
@@ -2037,9 +2042,9 @@ object SparkEntry {
         |pd AS (SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
         |    -sum(tf.tf * m.lp) AS nll_micro
         |  FROM tf JOIN model m ON tf.term = m.term GROUP BY tf.doc_id)
-        |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
-        |  coalesce(pd.nll_micro, 0) AS nll_micro,
-        |  round(pd.nll_micro::DOUBLE / 1000000.0 / pd.n_tokens::DOUBLE, 4) AS avg_nll
+        |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(pd.nll_micro, 0)::BIGINT AS nll_micro,
+        |  (pd.nll_micro // pd.n_tokens)::BIGINT AS avg_nll_micro
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->

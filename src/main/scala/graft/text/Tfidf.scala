@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * vocabulary doc-frequencies derived FROM the tf table (shuffle on term —
   * input is one row per (doc, term), far smaller than the raw token
   * stream), and the corpus size as a broadcast single-row aggregate. The
-  * tf⋈df join shuffles on term; hint the df side broadcast when the
-  * vocabulary fits (typically yes — vocabularies grow ~log of corpus).
+  * df side carries one row per vocabulary term and is broadcast-hinted
+  * (vocabularies grow ~log of corpus — same hint [[unigramNll]] and
+  * [[bm25]] use), so the tf side never shuffles for the join.
   */
 object Tfidf {
 
@@ -25,7 +26,7 @@ object Tfidf {
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    tf.join(df, Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("__n").cast("double") / col("df").cast("double")), 4)
@@ -49,7 +50,16 @@ object Tfidf {
     * arithmetic — order-independent on any engine. Documents with no
     * tokens surface with n_tokens = 0 and NULL score.
     *
+    * Residual portability caveat: lp_micro quantizes AFTER a
+    * transcendental ln, so a 1-ulp JVM-vs-libm difference at an exact
+    * `.5` boundary could still flip one term (~1e-10 per term); every
+    * column DOWNSTREAM of the quantization is exact integer arithmetic,
+    * including `avg_nll_micro` (integer division — both engines truncate
+    * identically for the non-negative values here). `avg_nll` is the
+    * human-friendly double and is NOT engine-hash-stable.
+    *
     * @return (doc_id, n_tokens, nll_micro = Σ tf·(−lp_micro),
+    *         avg_nll_micro = nll_micro div n_tokens (integer, exact),
     *         avg_nll = nll_micro / 10⁶ / n_tokens rounded at 4dp)
     */
   def unigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
@@ -70,6 +80,7 @@ object Tfidf {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        expr("nll_micro div n_tokens").as("avg_nll_micro"),
         round(col("nll_micro").cast("double") / lit(1e6) /
           col("n_tokens").cast("double"), 4).as("avg_nll"))
   }

@@ -362,10 +362,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus: a×3, b×1, N=4; lp_micro(a) = floor(ln(3/4)·1e6 + .5) = -287682,
     // lp_micro(b) = floor(ln(1/4)·1e6 + .5) = -1386294
     assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L * 287682L)
-    assert(out(0).getDouble(3) == 0.2877)
+    assert(out(0).getLong(3) == 287682L) // 575364 div 2, exact integer path
+    assert(out(0).getDouble(4) == 0.2877)
     assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 287682L + 1386294L)
-    assert(out(1).getDouble(3) == 0.837)
-    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L && out(2).isNullAt(3))
+    assert(out(1).getLong(3) == (287682L + 1386294L) / 2)
+    assert(out(1).getDouble(4) == 0.837)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L &&
+      out(2).isNullAt(3) && out(2).isNullAt(4))
   }
 
   test("quantizeInt8: symmetric scale, portable rounding, zero vector") {
