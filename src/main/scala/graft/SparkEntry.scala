@@ -178,6 +178,33 @@ object SparkEntry {
         .indexBy("l_shipdate", "l_orderkey").parquet(tableDir)
     }
 
+  /** INT96-timestamp orders copy — the legacy-writer fixture: written
+    * with outputTimestampType=INT96, whose footers carry NO usable
+    * timestamp statistics, so RANGE pruning on o_ordertime exists only
+    * because create's full-scan min/max fallback patched the files table
+    * (StatisticsBuilder.fullScanMinMaxFallback; reference covers the same
+    * case via its full-scan stats, ParquetIndexReadSupport.scala:64-73).
+    * Range-clustered so the pruning is observable; create-once. */
+  private[graft] def indexedOrdersInt96(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "orders_int96") { tableDir =>
+      import graft.index.implicits._
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "INT96")
+      try {
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate").cast("timestamp").as("o_ordertime"))
+          .repartitionByRange(16, col("o_ordertime"))
+          .write.mode("overwrite").parquet(tableDir)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.index.create.mode("overwrite")
+        .indexBy("o_ordertime", "o_orderkey").parquet(tableDir)
+    }
+
   /** Z-ordered indexed lineitem (graft.ops.Layout.zorderBy on
     * (l_orderkey, l_suppkey)): bit-interleaved layout, so range
     * predicates on EITHER key prune files — single-key clustering can
@@ -617,6 +644,19 @@ object SparkEntry {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Range over an INT96-written (legacy) timestamp column: footer stats
+    // are unusable for INT96, so this exercises the full-scan min/max
+    // fallback end-to-end — pruning is asserted in IndexEndToEndSpec.
+    "q_idx_range_ts_int96" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrdersInt96(s, dir)
+        .filter($"o_ordertime" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_ordertime" < lit("1995-07-01").cast("timestamp"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus")
     }),
 
     // Co-located bucketed join: both tables pre-bucketed on the join key,
@@ -2112,6 +2152,12 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_range_ts_int96" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_bucket_join" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

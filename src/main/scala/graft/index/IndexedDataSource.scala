@@ -84,6 +84,15 @@ object IndexedDataSource {
         spark, refs, indexSchema, numParts, new Path(indexDir, Metastore.FilesDir))
       val dataSchema = summary.dataSchema.getOrElse(firstSchema)
 
+      // Columns whose footers carried no usable min/max (INT96 timestamps,
+      // non-round-tripping truncated binary bounds) get RANGE stats from a
+      // full scan of only the affected files — restoring the reference's
+      // legacy-table coverage (ParquetIndexReadSupport.scala:64-73).
+      if (conf.minMaxFallback && indexSchema.nonEmpty && refs.nonEmpty) {
+        StatisticsBuilder.fullScanMinMaxFallback(
+          spark, new Path(indexDir, Metastore.FilesDir), indexSchema)
+      }
+
       val sketchKind = if (conf.filterEnabled && indexSchema.nonEmpty) Some(conf.filterType) else None
       sketchKind.foreach { kind =>
         // Sketches cover a whole file, so size blooms by the largest
@@ -258,8 +267,14 @@ object IndexedDataSource {
         spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val summary =
       if (addedRefs.nonEmpty) {
-        StatisticsBuilder.writeFileStats(
+        val s = StatisticsBuilder.writeFileStats(
           spark, addedRefs, meta.indexSchema, numParts, filesDir, mode = "append")
+        // Detection only fires on statless rows, which after an append can
+        // only be the delta — already-patched files keep their bounds.
+        if (conf.minMaxFallback && meta.indexSchema.nonEmpty) {
+          StatisticsBuilder.fullScanMinMaxFallback(spark, filesDir, meta.indexSchema)
+        }
+        s
       } else StatisticsBuilder.summarizeFilesTable(spark, filesDir)
 
     // 3. Sketches: drop stale rows first (only when removals exist —

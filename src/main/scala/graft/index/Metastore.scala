@@ -30,6 +30,11 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * the files table instead of a driver-side fold. */
   def distributedPruningThreshold: Long =
     get(IndexConf.DistributedPruningThreshold, "100000").toLong
+  /** Full-scan min/max fallback for indexed columns whose footers carry
+    * no usable statistics (INT96 timestamps, non-round-tripping truncated
+    * binary bounds). Costs one extra data scan over ONLY the affected
+    * files at create/refresh; zero cost when footer stats are usable. */
+  def minMaxFallback: Boolean = get(IndexConf.MinMaxFallback, "true").toBoolean
 }
 
 object IndexConf {
@@ -40,6 +45,7 @@ object IndexConf {
   val FilterType = "spark.sql.index.parquet.filter.type"
   val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
   val DistributedPruningThreshold = "spark.sql.index.pruning.distributedThreshold"
+  val MinMaxFallback = "spark.sql.index.minMaxFallback"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =

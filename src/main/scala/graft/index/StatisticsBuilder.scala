@@ -200,6 +200,118 @@ object StatisticsBuilder {
     }
   }
 
+  /** Full-scan min/max fallback for indexed columns whose footers carried
+    * no usable statistics — INT96 timestamps from legacy (pre-Spark-3)
+    * writers in particular, plus truncated binary bounds that don't
+    * round-trip through UTF-8 (the reference covers these by computing
+    * ALL stats from a full data scan, ParquetIndexReadSupport.scala:64-73;
+    * we scan only the affected files and columns).
+    *
+    * Three distributed steps, all metadata-sized except the scan:
+    *   1. detect (file, column) pairs where some block has non-null rows
+    *      but no min/max — a Dataset pass over the files table (only the
+    *      affected paths are collected, the same order of driver memory
+    *      as the file listing create() already holds);
+    *   2. one DataFrame aggregation over ONLY those files/columns:
+    *      groupBy(input_file_name) → min/max per column (map-side
+    *      partials, one tiny row per file crosses the shuffle);
+    *   3. join the per-file bounds back onto the files table and rewrite
+    *      it via tmp + rename (same protocol refresh uses).
+    *
+    * The patched bounds are per-FILE, applied to each non-all-null block:
+    * looser than true per-block bounds but sound (every block's values
+    * lie within its file's range). Blocks known all-null keep min/max =
+    * None — that's a STRONGER pruning fact than any range.
+    *
+    * @return number of files whose stats were patched */
+  def fullScanMinMaxFallback(
+      spark: SparkSession,
+      filesDir: Path,
+      indexSchema: StructType): Long = {
+    import spark.implicits._
+    if (indexSchema.isEmpty) return 0L
+    val indexedNames = indexSchema.fields.map(_.name)
+    val files = spark.read.parquet(filesDir.toString).as[FileStatsRow]
+
+    // 1. detection — executor-side JSON parse, only hits come back
+    val affected: Array[(String, Seq[String])] = files.flatMap { r =>
+      val blocks = IndexMetadata.blocksFromJsonString(r.blocksJson)
+      val cols = indexedNames.filter { name =>
+        blocks.exists { b =>
+          b.rowCount > 0 && b.columns.get(name).exists(st =>
+            st.min.isEmpty && !st.knownAllNull(b.rowCount))
+        }
+      }
+      if (cols.isEmpty) Nil else Seq((r.path, cols.toSeq))
+    }.collect()
+    if (affected.isEmpty) return 0L
+
+    val colNames: Seq[String] = affected.flatMap(_._2).distinct.toSeq
+    val colTypes: Map[String, String] =
+      indexSchema.fields.map(f => f.name -> f.dataType.json).toMap
+    val paths = affected.map(_._1).toSeq
+
+    // 2. per-file bounds — one scan of the affected files, pruned to the
+    //    affected columns (ReadSchema carries only those + file name)
+    val read = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val withCols = colNames.foldLeft(read) { (d, c) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      else d.withColumn(c, lit(null).cast(DataType.fromJson(colTypes(c))))
+    }
+    val normPath = udf((s: String) => SketchStore.normalizePath(s))
+    val aggs = colNames.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val perFile = withCols
+      .select((colNames.map(col) :+ normPath(input_file_name()).as("__file")): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    // 3. join + patch + rewrite (tmp + rename, as refresh does)
+    val colNamesB = colNames
+    val colTypesB = colTypes
+    val patched = files.toDF()
+      .join(perFile, normPath(col("path")) === col("__file"), "left")
+      .map { row =>
+        val base = FileStatsRow(
+          row.getAs[Int]("partitionIdx"), row.getAs[String]("path"),
+          row.getAs[Long]("size"), row.getAs[Long]("modificationTime"),
+          row.getAs[Long]("blockSize"), row.getAs[String]("locationsJson"),
+          row.getAs[String]("schemaJson"), row.getAs[String]("blocksJson"),
+          row.getAs[Long]("rowCount"))
+        if (row.getAs[String]("__file") == null) base
+        else {
+          val types = colTypesB.map { case (n, j) => n -> DataType.fromJson(j) }
+          val blocks = IndexMetadata.blocksFromJsonString(base.blocksJson)
+          val newBlocks = blocks.map { b =>
+            val newCols = b.columns.map { case (name, st) =>
+              val patchable = colNamesB.contains(name) && b.rowCount > 0 &&
+                st.min.isEmpty && !st.knownAllNull(b.rowCount)
+              if (!patchable) name -> st
+              else {
+                val mn = Option(row.getAs[Any](s"__min_$name"))
+                  .flatMap(v => Canon.fromExternal(types(name), v))
+                val mx = Option(row.getAs[Any](s"__max_$name"))
+                  .flatMap(v => Canon.fromExternal(types(name), v))
+                if (mn.isDefined && mx.isDefined)
+                  name -> ColumnStats(mn, mx, st.nullCount)
+                else name -> st
+              }
+            }
+            BlockStats(b.rowCount, newCols)
+          }
+          base.copy(blocksJson = IndexMetadata.blocksToJsonString(newBlocks))
+        }
+      }
+    val fs = filesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(filesDir.getParent, filesDir.getName + "_mmtmp")
+    patched.toDF().sort(col("partitionIdx"), col("path"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(filesDir, true)
+    fs.rename(tmp, filesDir)
+    IndexFilesTable.invalidate(filesDir)
+    affected.length.toLong
+  }
+
   /** Build per-(file × column) membership sketches with a single
     * DataFrame aggregation and write them as a parquet table
     * (file, column, kind, data) under `sketchDir`. */

@@ -619,7 +619,10 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
         .repartition(4)
         .write.mode("overwrite").parquet(p)
     } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
-    spark.index.create.mode("overwrite").indexBy("ts", "o_orderkey").parquet(p)
+    // fallback OFF: the legacy degrade-to-may-contain path must stay sound
+    spark.index.create.mode("overwrite")
+      .option(IndexConf.MinMaxFallback, "false")
+      .indexBy("ts", "o_orderkey").parquet(p)
     val cond = col("ts") >= lit("1995-01-01").cast("timestamp") &&
       col("ts") < lit("1996-01-01").cast("timestamp")
     // INT96 footer stats are unusable → may-contain (no unsound pruning),
@@ -629,6 +632,72 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(p).filter(cond))
     // the other indexed column still prunes
     assert(spark.index.parquet(p).filter(col("o_orderkey") === -5L).count() === 0L)
+  }
+
+  test("INT96 timestamps: full-scan min/max fallback restores range pruning") {
+    val p = s"$work/int96_ts_fallback"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"))
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(p)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    // default conf: fallback ON — a data-scan agg patches ts min/max
+    spark.index.create.mode("overwrite").indexBy("ts", "o_orderkey").parquet(p)
+    val cond = col("ts") >= lit("1995-01-01").cast("timestamp") &&
+      col("ts") < lit("1995-04-01").cast("timestamp")
+    checkSame(
+      spark.index.parquet(p).filter(cond),
+      spark.read.parquet(p).filter(cond))
+    // range-clustered by date → the 3-month window must prune files now
+    val indexed = spark.index.parquet(p).filter(cond)
+    indexed.collect()
+    val fi = indexed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected pruning: ${fi.get.lastListedFiles} of ${fi.get.lastTotalFiles}")
+    // point equality on the far edge of the domain prunes too
+    val eq = spark.index.parquet(p)
+      .filter(col("ts") === lit("1998-08-01").cast("timestamp"))
+    eq.collect()
+    val fi2 = eq.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi2.get.lastListedFiles < fi2.get.lastTotalFiles)
+  }
+
+  test("min/max fallback through refresh: appended INT96 files get bounds") {
+    val p = s"$work/int96_ts_refresh"
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderdate"))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      src.filter(col("o_orderdate") < "1996-01-01")
+        .drop("o_orderdate").repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(p)
+      spark.index.create.mode("overwrite").indexBy("ts").parquet(p)
+      src.filter(col("o_orderdate") >= "1996-01-01")
+        .drop("o_orderdate").repartitionByRange(4, col("ts"))
+        .write.mode("append").parquet(p)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val stats = spark.index.refresh.parquet(p)
+    assert(stats.addedFiles > 0L)
+    val cond = col("ts") >= lit("1997-06-01").cast("timestamp")
+    checkSame(
+      spark.index.parquet(p).filter(cond),
+      spark.read.parquet(p).filter(cond))
+    // the predicate only touches refresh-appended files; with patched
+    // bounds the pre-1996 half must be pruned
+    val indexed = spark.index.parquet(p).filter(cond)
+    indexed.collect()
+    val fi = indexed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected pruning: ${fi.get.lastListedFiles} of ${fi.get.lastTotalFiles}")
   }
 
   test("multi-row-group files: blooms sized by file rows, pruning intact") {
