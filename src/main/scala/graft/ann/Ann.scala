@@ -110,13 +110,24 @@ object Ann {
   }
 
   /** Single-table MULTI-PROBE LSH: instead of paying `tables`× index
-    * storage for recall, probe the query's bucket AND every bucket at
-    * Hamming distance 1 (the nBits buckets reachable by one sign-bit
-    * flip — the bits most likely to be wrong for a near neighbour).
-    * Candidate test is a codegen'd `bit_count(bucket XOR qBucket) <= 1`
-    * filter — no shuffle, no replication; at 100 TB with bucket as the
-    * partition key a query touches nBits+1 partitions. Recall/latency
-    * knob: multi-table trades storage, multi-probe trades probes. */
+    * storage for recall, probe the query's bucket AND every bucket within
+    * Hamming distance `probeRadius` (sign bits are the ones most likely
+    * to be wrong for a near neighbour). Candidate test is a codegen'd
+    * `bit_count(bucket XOR qBucket) <= probeRadius` filter — no shuffle,
+    * no replication; at 100 TB with bucket as the partition key a query
+    * touches Σ_{i≤r} C(nBits,i) partitions.
+    *
+    * Probe budget (nBits=8): buckets touched / expected data fraction
+    * grow with the radius —
+    *   r=0 →   1 bucket  (1/256 of the data), lowest recall;
+    *   r=1 →   9 buckets (~3.5%), the default sweet spot;
+    *   r=2 →  37 buckets (~14.5%), recall ⊇ r=1 by construction;
+    *   r=3 →  93 buckets (~36%) — at that point brute force competes.
+    * Recall for a neighbour at angle θ: P(≤r of nBits sign bits differ),
+    * Binomial(nBits, θ/π) CDF at r — monotone in r, so raising the radius
+    * strictly widens the candidate set (asserted in PipelineSpec).
+    * Recall/latency knob: multi-table trades storage, multi-probe trades
+    * probes. */
   def lshTopKMultiProbe(
       df: DataFrame,
       id: Column,
@@ -125,11 +136,14 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       seed: Long = 42L,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= nBits,
+      s"probeRadius must be in [0, $nBits]: $probeRadius")
     val planes = hyperplanes(nBits, query.length, seed)
     val qBucket = bucketOf(query, planes)
     val probed = df
-      .filter(bit_count(lshBucket(vec, planes).bitwiseXOR(lit(qBucket))) <= 1)
+      .filter(bit_count(lshBucket(vec, planes).bitwiseXOR(lit(qBucket))) <= probeRadius)
       .select(id.as("neighbor_id"), vec.as("__v"))
     bruteForceTopK(probed, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
@@ -296,7 +310,18 @@ object Ann {
     * diversity-sampling primitive of corpus curation.
     *
     * Deterministic and engine-portable by construction:
-    *   - init: the vectors of the `k` smallest ids;
+    *   - init (`seeding`):
+    *       - `"first"` (default): the vectors of the `k` smallest ids —
+    *         trivially replayable by the SQL oracle; weak when those ids
+    *         land in one true cluster;
+    *       - `"farthest"`: deterministic k-means++-style seeding — a
+    *         salted-hash sample of `sampleSize` candidates (smallest
+    *         xxhash64(id, seed), ties by id — reproducible on any engine)
+    *         followed by driver-side farthest-first traversal (greedy
+    *         max-min, the deterministic limit of the k-means++ D²
+    *         distribution). Exact integer-in-double arithmetic end to
+    *         end, so an oracle CAN replay it, at the cost of a longer
+    *         SQL derivation;
     *   - assignment: [[nearestCentroid]] (exact double arithmetic,
     *     first-min ties);
     *   - update: per-cluster per-dimension mean = exact integer sum /
@@ -306,35 +331,90 @@ object Ann {
     *     shuffle carries k×(dim+1) values); empty clusters keep their
     *     previous centroid.
     *
-    * Each iteration is one Spark job; only the k×dim centroid matrix is
-    * collected (exactly MLlib's driver footprint). Returns the centroids
-    * in milli-units.
+    * Each iteration is one Spark job over the PERSISTED quantized
+    * projection (scan + quantize paid once, not once per iteration);
+    * only the k×dim centroid matrix is collected (exactly MLlib's driver
+    * footprint). Returns the centroids in milli-units.
     */
   def kmeansFit(
       df: DataFrame,
       id: Column,
       vec: Column,
       k: Int,
-      iters: Int = 2): Seq[Seq[Double]] = {
+      iters: Int = 2,
+      seeding: String = "first",
+      sampleSize: Int = 4096,
+      seed: Long = 42L): Seq[Seq[Double]] = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 0, s"iters must be >= 0: $iters")
+    require(Seq("first", "farthest").contains(seeding),
+      s"seeding must be 'first' or 'farthest': $seeding")
     val q = df.select(id.as("__id"), quantizeMilli(vec).as("__q"))
-    val init = q.orderBy(col("__id")).limit(k).collect()
-    require(init.length == k, s"need at least $k vectors, found ${init.length}")
-    var cents: Seq[Seq[Double]] = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    val dim = cents.head.length
-    for (_ <- 1 to iters) {
-      val assigned = q.select(col("__q"), nearestCentroid(col("__q"), cents).as("__c"))
-      val aggs = (0 until dim).map(i =>
-        sum(element_at(col("__q"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
-      val updated = assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*)
-        .collect().map { r =>
-          val n = r.getLong(dim + 1).toDouble
-          r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1) / n)
-        }.toMap
-      cents = cents.zipWithIndex.map { case (old, j) => updated.getOrElse(j, old) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[Seq[Double]] = seeding match {
+        case "first" =>
+          val init = q.orderBy(col("__id")).limit(k).collect()
+          require(init.length == k, s"need at least $k vectors, found ${init.length}")
+          init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+        case "farthest" =>
+          val cand = q
+            .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+            .limit(math.max(sampleSize, k)).collect()
+            .map(_.getSeq[Double](1).toIndexedSeq)
+          require(cand.length >= k, s"need at least $k vectors, found ${cand.length}")
+          farthestFirst(cand.toIndexedSeq, k)
+      }
+      val dim = cents.head.length
+      for (_ <- 1 to iters) {
+        val assigned = q.select(col("__q"), nearestCentroid(col("__q"), cents).as("__c"))
+        val aggs = (0 until dim).map(i =>
+          sum(element_at(col("__q"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+        val updated = assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val n = r.getLong(dim + 1).toDouble
+            r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1) / n)
+          }.toMap
+        cents = cents.zipWithIndex.map { case (old, j) => updated.getOrElse(j, old) }
+      }
+      cents
+    } finally { q.unpersist(blocking = false); () }
+  }
+
+  /** Greedy farthest-first traversal over a candidate sample: start from
+    * the first candidate (the min-hash one — a deterministic "uniform"
+    * draw), then repeatedly add the candidate with the LARGEST squared
+    * distance to its nearest chosen centroid (ties to the smallest
+    * candidate index). O(|candidates| × k) exact double arithmetic on
+    * integer-valued inputs — deterministic everywhere. */
+  private[ann] def farthestFirst(
+      cand: IndexedSeq[IndexedSeq[Double]], k: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    // min squared distance from each candidate to the chosen set so far
+    val minD2 = Array.tabulate(cand.length)(i => d2(cand(i), cand.head))
+    while (chosen.length < k) {
+      var best = 0
+      var i = 1
+      while (i < cand.length) {
+        if (minD2(i) > minD2(best)) best = i
+        i += 1
+      }
+      chosen += cand(best)
+      i = 0
+      while (i < cand.length) {
+        val d = d2(cand(i), cand(best))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
     }
-    cents
+    chosen.toIndexedSeq
+  }
+
+  private def d2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
   }
 
   /** Cluster assignment of every vector against fitted centroids:

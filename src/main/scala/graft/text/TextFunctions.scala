@@ -131,20 +131,29 @@ object TextFunctions {
     * Scale design: the frequent-segment lexicon is aggregated first
     * (map-side partial agg, shuffle keyed on segment — never on the
     * document) and is SMALL BY CONSTRUCTION (bounded by corpus vocabulary
-    * of repeated boilerplate, not corpus size), so it is inlined into a
-    * native hash-set expression and the documents are cleaned in a single
-    * map-side projection — the 100 TB corpus side never shuffles, mirroring
-    * [[graft.text.Decontaminate]]'s broadcast shape. `maxLexicon` guards
-    * the assumption; if a corpus ever exceeds it, lower `minDocs` is wrong
-    * or the data is degenerate — fail loudly rather than silently ship a
-    * giant plan.
+    * of repeated boilerplate, not corpus size). The corpus is then cleaned
+    * in a single map-side projection — the 100 TB corpus side never
+    * shuffles, mirroring [[graft.text.Decontaminate]]'s broadcast shape.
+    * HOW the lexicon reaches the executors depends on its size:
+    *
+    *   - ≤ `inlineThreshold` entries: inlined into the native
+    *     [[graft.functions.RemoveInSet]] hash-set expression —
+    *     whole-stage-codegen'd, zero per-task setup;
+    *   - above it: shipped ONCE per executor as a broadcast variable
+    *     consumed by a closure (a ~1M-string expression literal would be
+    *     a driver-memory and plan-serialization hazard; the broadcast
+    *     torrent is the mechanism built for exactly this).
+    *
+    * `maxLexicon` still guards the broadcast path; a corpus exceeding it
+    * means `minDocs` is wrong or the data is degenerate — fail loudly.
     *
     * @return (doc_id, segs_total, segs_removed, clean_text)
     */
   def dedupSegments(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       k: Int = 2, minDocs: Int = 20,
-      maxLexicon: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+      maxLexicon: Int = 1 << 20,
+      inlineThreshold: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val lexicon = df.select(id.as("__id"), explode(segments(text, k)).as("__seg"))
       .groupBy(col("__seg"))
@@ -155,8 +164,19 @@ object TextFunctions {
     require(lexicon.length <= maxLexicon,
       s"frequent-segment lexicon ${lexicon.length} exceeds maxLexicon $maxLexicon")
     val segs = segments(text, k)
-    // native hash-set removal: O(|segs|) per doc, not O(|segs| × lexicon)
-    val kept = graft.functions.exprs.remove_in_set(segs, lexicon.toIndexedSeq)
+    val kept =
+      if (lexicon.length <= inlineThreshold) {
+        // native hash-set removal: O(|segs|) per doc, codegen'd
+        graft.functions.exprs.remove_in_set(segs, lexicon.toIndexedSeq)
+      } else {
+        // broadcast-variable kernel: same semantics, lexicon rides the
+        // broadcast torrent instead of the serialized plan
+        val bc = df.sparkSession.sparkContext.broadcast(lexicon.toSet)
+        val rm = udf { segsIn: Seq[String] =>
+          if (segsIn == null) null else segsIn.filterNot(bc.value.contains)
+        }
+        rm(segs)
+      }
     df.select(id.as("doc_id"),
       size(segs).as("segs_total"),
       (size(segs) - size(kept)).as("segs_removed"),

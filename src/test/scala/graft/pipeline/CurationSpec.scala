@@ -238,6 +238,35 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("segs_removed") =!= 1).isEmpty)
   }
 
+  test("dedupSegments large lexicon: broadcast kernel, no giant plan literal") {
+    // two docs share 5000 single-token segments → lexicon of 5000 > the
+    // 4096 inline threshold → broadcast-variable path
+    val shared = (0 until 5000).map(i => f"tok$i%04d").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, "only unique words here")
+    ).toDF("id", "txt")
+    val out = graft.text.TextFunctions.dedupSegments(
+      docs, col("id"), col("txt"), k = 1, minDocs = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the 5000-entry lexicon must NOT be serialized into the plan: the
+    // plan stays KB-sized and carries no native remove_in_set literal
+    assert(!plan.contains("remove_in_set"))
+    assert(plan.length < 100000, s"plan unexpectedly large: ${plan.length} chars")
+    // still map-side only — the corpus never shuffles
+    assert(!plan.contains("Exchange"))
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 5000 && rows(0).getInt(2) == 5000 &&
+      rows(0).getString(3).isEmpty)
+    assert(rows(2).getInt(2) == 0 &&
+      rows(2).getString(3) == "only unique words here")
+    // both delivery mechanisms implement identical semantics
+    val viaInline = graft.text.TextFunctions.dedupSegments(
+        docs, col("id"), col("txt"), k = 1, minDocs = 2,
+        inlineThreshold = 1 << 20)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(rows.map(_.toString).sameElements(viaInline))
+  }
+
   test("chunkDocs: overlap, partial tail, short and empty docs") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, k=4 s=2 → chunks at 0,2,4,6

@@ -315,6 +315,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("multi-probe radius 2 candidate set strictly contains radius 1's") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+    def neighbors(r: Int): Set[Long] = graft.ann.Ann.lshTopKMultiProbe(
+        emb, col("vec_id"), col("embedding"), q, k = 1 << 30,
+        excludeId = Some(0L), probeRadius = r)
+      .collect().map(_.getLong(0)).toSet
+    val r0 = neighbors(0)
+    val r1 = neighbors(1)
+    val r2 = neighbors(2)
+    // monotone candidate sets: every radius-r survivor survives radius r+1
+    assert(r0.subsetOf(r1) && r1.subsetOf(r2))
+    // and on this fixture each step genuinely widens the net
+    assert(r0.size < r1.size && r1.size < r2.size,
+      s"sizes: ${r0.size} / ${r1.size} / ${r2.size}")
+    // top-k with wider probes never ranks a worse neighbour first: the
+    // radius-2 best cosine is >= the radius-1 best
+    def best(r: Int): Double = graft.ann.Ann.lshTopKMultiProbe(
+        emb, col("vec_id"), col("embedding"), q, k = 1,
+        excludeId = Some(0L), probeRadius = r)
+      .head.getDouble(1)
+    assert(best(2) >= best(1))
+  }
+
   test("kmeans: recovers planted clusters; assignment is map-side only") {
     // three tight planted groups; ids 0,1,2 seed the init with one
     // centroid per group
@@ -340,6 +365,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distances to the fitted centroid are tiny (converged)
     val maxDist = assigned.agg(max($"dist2")).head.getDouble(0)
     assert(maxDist < 0.01)
+  }
+
+  test("kmeans farthest-first seeding beats k-smallest-ids on planted clusters") {
+    // ids 0..9 ALL live in cluster A, so "first" seeding starts with
+    // three centroids inside one planted group; two far groups carry
+    // high ids. Farthest-first seeding must pick one seed per group.
+    val centers = Seq(Seq(0.0f, 0.0f), Seq(100.0f, 100.0f), Seq(-100.0f, 100.0f))
+    val rows =
+      (0 until 10).map(i => (i.toLong, centers(0).map(_ + i * 0.001f))) ++
+      (10 until 20).map(i => (i.toLong, centers(1).map(_ + i * 0.001f))) ++
+      (20 until 30).map(i => (i.toLong, centers(2).map(_ + i * 0.001f)))
+    val df = rows.toDF("id", "v")
+    def sse(cents: Seq[Seq[Double]]): Double =
+      Ann.kmeansAssign(df, col("id"), col("v"), cents)
+        .agg(sum($"dist2")).head.getDouble(0)
+    val naive = Ann.kmeansFit(df, col("id"), col("v"), k = 3, iters = 2)
+    val seeded = Ann.kmeansFit(df, col("id"), col("v"), k = 3, iters = 2,
+      seeding = "farthest")
+    // farthest-first recovers all three planted groups…
+    val assigned = Ann.kmeansAssign(df, col("id"), col("v"), seeded)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0 until 10, 10 until 20, 20 until 30)
+      .map(g => g.map(i => assigned(i.toLong)).toSet)
+      .forall(_.size == 1))
+    // …while naive init, trapped in cluster A, converges measurably worse
+    assert(sse(seeded) < sse(naive) / 10,
+      s"seeded=${sse(seeded)} naive=${sse(naive)}")
+    // determinism: the same call yields the same centroids
+    assert(seeded == Ann.kmeansFit(df, col("id"), col("v"), k = 3, iters = 2,
+      seeding = "farthest"))
   }
 
   test("kmeans: empty clusters keep their previous centroid") {
