@@ -1159,6 +1159,20 @@ object SparkEntry {
         .orderBy($"id")
     }),
 
+    // REAL image decode (JDK javax.imageio, zero external deps):
+    // document-derived constant-gray PNGs whose dimensions and mean luma
+    // have closed forms — the oracle states the closed forms, Spark must
+    // recover them through an ACTUAL png-encode → imageio-decode round
+    // trip running inside typed mapPartitions kernels.
+    "q_multimodal_image" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal
+        .decodeDocumentImages(s, tbl(s, dir, "documents"))
+        .select($"id".as("doc_id"), $"width", $"height",
+          $"meanLuma".as("mean_luma"))
+        .orderBy($"doc_id")
+    }),
+
     // JSON extraction from the events props column.
     "q_scalar_json" -> ((s, dir) => {
       import s.implicits._
@@ -2118,6 +2132,12 @@ object SparkEntry {
         |    WHEN 'audio' THEN 1 + len % 16 ELSE 1 + len % 32 END AS INT) AS "nFrames",
         |  len AS "byteLen"
         |FROM m ORDER BY id""".stripMargin,
+    "q_multimodal_image" ->
+      """SELECT doc_id,
+        |  (16 + doc_id % 64)::INT AS width,
+        |  (16 + (doc_id * 7) % 48)::INT AS height,
+        |  (doc_id % 240)::BIGINT AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_idx_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
         |FROM lineitem

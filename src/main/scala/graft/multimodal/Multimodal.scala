@@ -23,17 +23,30 @@ case class DecodedMedia(
 /** One sampled frame (byte window) of a media payload. */
 case class MediaFrame(id: Long, frameIdx: Int, offset: Int, frame: Array[Byte])
 
+/** Decoded image: real codec dimensions + integer-exact whole-image mean
+  * luma (BT.601, floor(x+0.5) of the exact rational) + a grid×grid
+  * mean-luma feature vector (the classic thumbnail embedding). */
+case class DecodedImage(
+    id: Long,
+    width: Int,
+    height: Int,
+    byteLen: Int,
+    meanLuma: Long,
+    feature: Array[Float])
+
 /** Multimodal-column plumbing for training-data pipelines: media as opaque
   * `binary` columns with typed metadata, decode / feature-extract /
   * frame-sample as typed `mapPartitions` stages (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch stage: per-partition iterator in, typed
   * rows out, schema carried by Encoders).
   *
-  * The decode kernels are STUBS — this container has no image/audio
-  * libraries, so decoding is a clearly-marked deterministic fake derived
-  * from payload length/bytes. Everything around them (schemas, Dataset
+  * IMAGE decode is REAL — JDK `javax.imageio` reads PNG/JPEG/BMP/GIF with
+  * zero external dependencies: true codec width/height plus a downsampled
+  * mean-luma grid feature (see [[decodeImage]]). Audio/video decode
+  * remains a clearly-marked deterministic STUB (the JDK ships no
+  * audio/video codecs); everything around the kernels (schemas, Dataset
   * plumbing, partition-iterator batch shape, frame explode) is real and
-  * is what a real libjpeg/ffmpeg kernel would drop into.
+  * is what an ffmpeg kernel would drop into.
   */
 object Multimodal {
 
@@ -107,4 +120,92 @@ object Multimodal {
     import spark.implicits._
     decode(mediaFromDocuments(docs).as[MediaRecord]).toDF()
   }
+
+  // ---- REAL image kernels (JDK javax.imageio, no external deps) --------
+
+  /** Encode a width×height image as PNG bytes; `rgb(x, y)` supplies each
+    * pixel's packed 0xRRGGBB. PNG is lossless, so decode returns the
+    * exact pixels — the fixture generator for the real-decode path. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: `javax.imageio` parses the container (PNG, JPEG,
+    * BMP, GIF), yielding true codec dimensions; luma statistics are
+    * integer-exact sums of BT.601 milli-luma (299·R + 587·G + 114·B per
+    * pixel, an integer in [0, 255000]) so the whole-image mean is a
+    * deterministic rational — floor(x + 0.5) of it reproduces on any
+    * engine. The feature vector is the grid×grid downsampled mean-luma
+    * thumbnail (each cell's mean in [0, 255]), the classic cheap visual
+    * embedding. Throws on undecodable payloads — callers own quarantine
+    * policy. */
+  def decodeImage(r: MediaRecord, grid: Int = 4): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+    require(img != null, s"payload for id ${r.id} is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    // per-cell and whole-image integer milli-luma sums in one pixel pass
+    val cellSum = new Array[Long](grid * grid)
+    val cellN = new Array[Long](grid * grid)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val milli = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        val c = cy * grid + math.min(grid - 1, x * grid / w)
+        cellSum(c) += milli
+        cellN(c) += 1L
+        total += milli
+        x += 1
+      }
+      y += 1
+    }
+    val meanLuma = math.floor(total.toDouble / (1000.0 * w * h) + 0.5).toLong
+    val feature = Array.tabulate(grid * grid)(c =>
+      if (cellN(c) == 0) 0.0f
+      else (cellSum(c).toDouble / (1000.0 * cellN(c))).toFloat)
+    DecodedImage(r.id, w, h, r.data.length, meanLuma, feature)
+  }
+
+  /** Batch REAL image decode — same typed mapPartitions shape as
+    * [[decode]], kernels running per executor partition. */
+  def decodeImages(media: Dataset[MediaRecord], grid: Int = 4): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeImage(_, grid)))
+  }
+
+  /** Deterministic PNG corpus derived from the documents table — the
+    * real-decode fixture: for doc d, a (16 + d%64) × (16 + 7d%48) image
+    * of constant gray d%240, so width/height/mean-luma have closed-form
+    * oracle values while Spark must recover them through an ACTUAL
+    * PNG encode → imageio decode round trip. */
+  def imagesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val w = (16 + d % 64).toInt
+      val h = (16 + (d * 7) % 48).toInt
+      val v = (d % 240).toInt
+      val px = (v << 16) | (v << 8) | v
+      MediaRecord(d, "image", encodePng(w, h, (_, _) => px), Map.empty)
+    }
+  }
+
+  /** End-to-end REAL decode over document-derived PNGs (driver-contract
+    * query q_multimodal_image). */
+  def decodeDocumentImages(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeImages(imagesFromDocuments(spark, docs)).toDF()
 }

@@ -494,6 +494,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
+  test("real image decode: png round trip recovers dims, luma, grid feature") {
+    // 32×16 checkerboard of black and white 8×8 tiles: each 4×4-grid cell
+    // covers exactly one tile, so the luma grid is exactly 0/255
+    val tile = 8
+    val png = Multimodal.encodePng(32, 16, (x, y) =>
+      if (((x / tile) + (y / tile)) % 2 == 0) 0xFFFFFF else 0x000000)
+    val d = Multimodal.decodeImage(MediaRecord(7L, "image", png, Map.empty))
+    assert(d.width == 32 && d.height == 16 && d.byteLen == png.length)
+    assert(d.meanLuma == 128L) // exact mean of half 0, half 255 → 127.5 → round up
+    // grid cells are 8px wide (32/4) and 4px tall (16/4): one tile per
+    // column, two grid rows per tile row — columns alternate, and the
+    // pattern inverts between tile rows
+    val f = d.feature.map(_.toDouble)
+    assert(f.length == 16)
+    val expectRow = Seq(255.0, 0.0, 255.0, 0.0)
+    assert(f.slice(0, 4).toSeq == expectRow && f.slice(4, 8).toSeq == expectRow)
+    assert(f.slice(8, 12).toSeq == expectRow.reverse && f.slice(12, 16).toSeq == expectRow.reverse)
+    // jpeg: lossy pixels but REAL codec dimensions must round-trip
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val j = Multimodal.decodeImage(MediaRecord(8L, "image", jout.toByteArray, Map.empty))
+    assert(j.width == 32 && j.height == 16)
+    // undecodable payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(MediaRecord(9L, "image", "not an image".getBytes, Map.empty))
+    }
+  }
+
+  test("document-derived png corpus decodes to its closed forms") {
+    val docs = Seq((5L, "x"), (100L, "y"), (263L, "z")).toDF("doc_id", "text")
+    val out = Multimodal.decodeDocumentImages(spark, docs)
+      .orderBy("id").collect()
+    for ((r, d) <- out.zip(Seq(5L, 100L, 263L))) {
+      assert(r.getAs[Int]("width") == (16 + d % 64).toInt)
+      assert(r.getAs[Int]("height") == (16 + (d * 7) % 48).toInt)
+      assert(r.getAs[Long]("meanLuma") == d % 240)
+      // constant-gray image: every grid cell equals the global mean
+      assert(r.getAs[Seq[Float]]("feature").forall(_ == (d % 240).toFloat))
+    }
+  }
+
   test("frame sampling emits bounded windows") {
     val media = Seq(MediaRecord(1L, "video", Array.tabulate(100)(_.toByte), Map.empty)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 30, frameLen = 10, maxFrames = 5)
