@@ -137,20 +137,28 @@ class Ops:
         self._spark = spark
         self._jlayout = spark._jvm.graft.ops.Layout
 
+    # 30 min, mirrors graft.ops.MaintenanceLock.DefaultLeaseMs
+    _DEFAULT_LEASE_MS = 30 * 60 * 1000
+
     def compact(self, table_dir, small_file_bytes=32 << 20,
-                target_file_bytes=128 << 20, min_files=2):
+                target_file_bytes=128 << 20, min_files=2,
+                lock_lease_ms=_DEFAULT_LEASE_MS):
         """Rewrite the small-file tail of a (flat or partitioned) parquet
-        table; returns dict of compaction stats. Run index.refresh after."""
+        table; returns dict of compaction stats. Run index.refresh after.
+        Fails fast if another maintenance run holds the table's lock."""
         s = self._jlayout.compact(self._spark._jsparkSession, table_dir,
-                                  small_file_bytes, target_file_bytes, min_files)
+                                  small_file_bytes, target_file_bytes, min_files,
+                                  lock_lease_ms)
         return {"compactedFiles": s.compactedFiles(),
                 "producedFiles": s.producedFiles(),
                 "bytesRewritten": s.bytesRewritten()}
 
-    def vacuum(self, table_dir):
+    def vacuum(self, table_dir, lock_lease_ms=_DEFAULT_LEASE_MS):
         """Heal interrupted compactions and drop upsert staging debris;
-        returns the number of items healed/removed."""
-        return self._jlayout.vacuum(self._spark._jsparkSession, table_dir)
+        returns the number of items healed/removed. Fails fast if another
+        maintenance run holds the table's lock."""
+        return self._jlayout.vacuum(self._spark._jsparkSession, table_dir,
+                                    lock_lease_ms)
 
 
 class QueryContext:

@@ -241,6 +241,12 @@ object IndexedDataSource {
 
     val addedRefs = current.filter { case (_, r) => addedPaths.contains(r.path) }
 
+    // Single-writer enforcement: the whole mutation (files-table rewrite,
+    // sketch append, metadata + _SUCCESS) runs under the index dir's
+    // maintenance lock — a concurrent refresh fails fast instead of
+    // interleaving table rewrites; a crashed run's lock lease-expires.
+    graft.ops.MaintenanceLock.withLock(fs, indexDir) {
+
     Metastore.cacheInvalidate(indexDir.toString)
     SketchStore.invalidate(sketchDir)
     IndexFilesTable.invalidate(filesDir)
@@ -308,6 +314,8 @@ object IndexedDataSource {
       totalBytes = summary.totalBytes))
     fs.create(new Path(indexDir, Metastore.SuccessFile), true).close()
     RefreshStats(addedPaths.size.toLong, removedCount)
+
+    } // MaintenanceLock.withLock
   }
 
   def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean = {

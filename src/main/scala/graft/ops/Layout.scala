@@ -147,29 +147,43 @@ object Layout {
     * Skips compaction when fewer than `minFiles` small files exist (one
     * small file gains nothing from a rewrite).
     *
-    * Single-writer assumption: one maintenance process per table at a
-    * time (recovery cannot tell a crashed run from a live concurrent
-    * one — plain parquet dirs have no lock to take).
+    * Single-writer enforcement: the run holds the table's
+    * [[MaintenanceLock]] (exclusive `_graft_maintenance.lock` + mtime
+    * lease) — a concurrent compact/vacuum of the same table fails fast
+    * with ConcurrentMaintenanceException instead of corrupting; a
+    * crashed holder's lock heals itself after the lease.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
       smallFileBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
-      minFiles: Int = 2): CompactionStats = {
+      minFiles: Int = 2,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): CompactionStats = {
     require(smallFileBytes > 0 && targetFileBytes >= smallFileBytes,
       s"need 0 < smallFileBytes <= targetFileBytes: $smallFileBytes, $targetFileBytes")
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Hive-partitioned table: recurse into the partition leaf dirs and
-    // compact each independently (a compacted file must stay inside its
-    // partition). Leaf dirs are compacted sequentially — each is one
-    // small Spark job; the intra-job parallelism is what matters, and
-    // sequential leaves keep peak task pressure bounded.
+    MaintenanceLock.withLock(fs, dir, lockLeaseMs) {
+      compactDir(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
+    }
+  }
+
+  /** Recursive body of [[compact]] — the lock is held once at the table
+    * root, partition leaves recurse lock-free. Hive-partitioned table:
+    * partition leaf dirs are compacted independently (a compacted file
+    * must stay inside its partition), sequentially — each is one small
+    * Spark job; the intra-job parallelism is what matters, and
+    * sequential leaves keep peak task pressure bounded. */
+  private def compactDir(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int): CompactionStats = {
     val subDirs = fs.listStatus(dir).toSeq.filter(st =>
       st.isDirectory && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
     if (subDirs.nonEmpty) {
       val stats = subDirs.map(d =>
-        compact(spark, d.getPath.toString, smallFileBytes, targetFileBytes, minFiles)) :+
+        compactDir(spark, fs, d.getPath, smallFileBytes, targetFileBytes, minFiles)) :+
         compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
       return CompactionStats(
         stats.map(_.compactedFiles).sum,
@@ -287,13 +301,24 @@ object Layout {
     * may be the only copy of the data at that point. Returns the number
     * of items healed/removed.
     *
-    * Single-writer assumption (same as [[compact]]): do not run
-    * maintenance concurrently with a live compaction/upsert of the same
-    * table — plain parquet dirs offer no lock, and recovery cannot
-    * distinguish a crashed run from a live one. */
-  def vacuum(spark: org.apache.spark.sql.SparkSession, tableDir: String): Int = {
+    * Single-writer enforcement (same lock as [[compact]]): when the sink
+    * dir exists, the run holds its [[MaintenanceLock]], so vacuuming
+    * under a LIVE compaction fails fast instead of rolling back a run
+    * that isn't dead. When the sink dir is missing (mid-swap crash —
+    * there is nowhere to lock), recovery proceeds unlocked, as before. */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Int = {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      MaintenanceLock.withLock(fs, dir, lockLeaseMs)(vacuumBody(fs, dir))
+    } else vacuumBody(fs, dir)
+  }
+
+  private def vacuumBody(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
     var n = 0
     if (fs.exists(dir)) {
       // recover every directory level — compact() recurses arbitrarily deep

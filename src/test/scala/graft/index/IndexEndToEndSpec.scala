@@ -700,6 +700,48 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pruning: ${fi.get.lastListedFiles} of ${fi.get.lastTotalFiles}")
   }
 
+  test("maintenance lock: concurrent run fails fast, lease expiry heals") {
+    val p = s"$work/lock_tbl"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(4).write.mode("overwrite").parquet(p)
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live holder: both compact and vacuum must fail fast, not corrupt
+    graft.ops.MaintenanceLock.withLock(fs, dir) {
+      intercept[graft.ops.ConcurrentMaintenanceException] {
+        graft.ops.Layout.compact(spark, p)
+      }
+      intercept[graft.ops.ConcurrentMaintenanceException] {
+        graft.ops.Layout.vacuum(spark, p)
+      }
+    }
+    // released on exit → next run proceeds
+    assert(graft.ops.Layout.vacuum(spark, p) == 0)
+    // crashed holder: a lock file past its lease is healed automatically
+    val lock = new org.apache.hadoop.fs.Path(dir, graft.ops.MaintenanceLock.LockName)
+    fs.create(lock, false).close()
+    intercept[graft.ops.ConcurrentMaintenanceException] {
+      graft.ops.Layout.vacuum(spark, p)
+    }
+    fs.setTimes(lock, System.currentTimeMillis() - 3600L * 1000, -1)
+    assert(graft.ops.Layout.vacuum(spark, p) == 0)
+    assert(!fs.exists(lock))
+    // refresh takes the INDEX dir's lock: a held lock blocks it
+    spark.index.create.mode("overwrite").indexBy("o_orderkey").parquet(p)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(10).coalesce(1).write.mode("append").parquet(p)
+    val metastore = graft.index.Metastore(spark)
+    val indexDir = metastore.location(graft.index.Metastore.Dataspace,
+      graft.index.IndexedDataSource.resolveTablePath(spark, p))
+    graft.ops.MaintenanceLock.withLock(metastore.fs, indexDir) {
+      intercept[graft.ops.ConcurrentMaintenanceException] {
+        spark.index.refresh.parquet(p)
+      }
+    }
+    val stats = spark.index.refresh.parquet(p)
+    assert(stats.addedFiles > 0L)
+  }
+
   test("multi-row-group files: blooms sized by file rows, pruning intact") {
     val p = s"$work/multi_rg"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
