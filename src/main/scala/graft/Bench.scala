@@ -39,19 +39,33 @@ object Bench {
     SparkEntry.indexedLineitemZorder(spark, sfDir).count()
     SparkEntry.indexedPartDict(spark, sfDir).count()
     SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
+    SparkEntry.indexedOrdersInt96(spark, sfDir).count()
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // Adaptive repetition: sub-second queries are re-run (best of 3) so
+    // JIT/GC noise can't double a 0.1 s number between rounds; queries
+    // already ≥1 s are single-shot (their signal dwarfs the noise and
+    // repeating them would dominate bench wall-clock).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val timed = try {
+        val first = once()
+        val best =
+          if (first < 1.0) math.min(first, math.min(once(), once())) else first
+        Some(best)
+      } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE in $name: $e")
-          false
+          None
       }
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+      name -> (timed.getOrElse(0.0), timed.isDefined)
     }
     val failed = results.collect { case (n, (_, false)) => n }.toSeq
 
