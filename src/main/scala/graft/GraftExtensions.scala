@@ -18,8 +18,9 @@ import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, Su
   * }}}
   *
   * The index engine itself needs no planner/analyzer rules (pruning lives
-  * in the FileIndex — SURVEY.md §7.1 delta #1), so functions are the whole
-  * injection surface.
+  * in the FileIndex — SURVEY.md §7.1 delta #1); the injection surface is
+  * these functions plus the [[graft.index.GraftSqlParser]] DDL parser
+  * (CREATE/DROP/REFRESH/SHOW INDEX — see its scaladoc for the grammar).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -30,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new graft.index.GraftSqlParser(delegate))
+
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -1,0 +1,219 @@
+package graft.index
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.trees.Origin
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
+
+/** SQL DDL surface for the index — pure-SQL pipelines (spark.sql,
+  * JDBC/Thrift, notebooks) get the same four verbs the Scala/Java/Python
+  * builders expose, with no Scala imports:
+  *
+  * {{{
+  *   CREATE INDEX ON PARQUET '/data/events' (user_id, kind)
+  *   CREATE OR REPLACE INDEX ON TABLE sales (s_store_id)
+  *       OPTIONS ('spark.sql.index.parquet.filter.type'='dict')
+  *   CREATE INDEX IF NOT EXISTS ON PARQUET '/data/events' (user_id)
+  *   SHOW INDEX ON PARQUET '/data/events'
+  *   REFRESH INDEX ON PARQUET '/data/events'
+  *   DROP INDEX [IF EXISTS] ON PARQUET '/data/events'
+  * }}}
+  *
+  * Injected by [[graft.GraftExtensions]] as a delegating
+  * `ParserInterface`: statements matching the graft `... INDEX ... ON
+  * (PARQUET|TABLE) ...` shape parse here into `LeafRunnableCommand`s
+  * (driver-side metadata actions, the idiomatic Spark home for DDL —
+  * same execution path as Spark's own `CREATE TABLE`); everything else
+  * delegates to Spark's parser untouched, including Spark's DSv2
+  * `CREATE INDEX ON <table>` form, which never mentions PARQUET paths or
+  * our TABLE spelling with no index name.
+  *
+  * The reference exposes Scala/Java/Python builders only
+  * (DataFrameIndexManager.scala:34-226); the SQL surface is this repo's
+  * extension, mapping 1:1 onto the same `IndexedDataSource` entry points
+  * so semantics (SaveMode matrix, catalog dataspace, option overrides)
+  * cannot drift from the programmatic API.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** An index target: a filesystem parquet path or a catalog table. */
+  sealed trait Target
+  final case class PathTarget(path: String) extends Target
+  final case class TableTarget(name: String) extends Target
+
+  // Statement shapes. A trailing semicolon is tolerated everywhere; the
+  // path is a single-quoted string ('' escapes a quote, SQL-style);
+  // columns are plain or backquoted identifiers.
+  private val TargetRe = """(?:parquet\s*'((?:[^']|'')*)'|table\s+([\w.`]+))"""
+  private val OptionsRe =
+    """(?:\s+options\s*\(\s*((?:'(?:[^']|'')*'\s*=\s*'(?:[^']|'')*'\s*,?\s*)+)\))?"""
+
+  private val CreateRe =
+    ("""(?is)^\s*create\s+(or\s+replace\s+)?index\s+(if\s+not\s+exists\s+)?on\s+""" +
+      TargetRe + """\s*\(\s*([^)]+?)\s*\)""" + OptionsRe + """\s*;?\s*$""").r
+  private val DropRe =
+    ("""(?is)^\s*drop\s+index\s+(if\s+exists\s+)?on\s+""" + TargetRe + """\s*;?\s*$""").r
+  private val RefreshRe =
+    ("""(?is)^\s*refresh\s+index\s+on\s+""" + TargetRe + OptionsRe + """\s*;?\s*$""").r
+  private val ShowRe =
+    ("""(?is)^\s*show\s+index\s+on\s+""" + TargetRe + """\s*;?\s*$""").r
+
+  /** Does the text LOOK like a graft index statement? Used so that a
+    * malformed graft statement raises a graft parse error instead of
+    * delegating into a baffling Spark one. Spark's own DSv2
+    * `CREATE INDEX idx ON tbl` carries an index NAME before ON and never
+    * matches, because this requires `index on (parquet|table)`. */
+  private val ShapeRe =
+    """(?is)^\s*(?:create\s+(?:or\s+replace\s+)?index|drop\s+index|refresh\s+index|show\s+index)\s+(?:if\s+(?:not\s+)?exists\s+)?on\s+(?:parquet|table)\b.*""".r
+
+  private def unquote(s: String): String = s.replace("''", "'")
+
+  private def target(path: String, table: String): Target =
+    if (path != null) PathTarget(unquote(path)) else TableTarget(table.replace("`", ""))
+
+  private def columns(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+
+  private val OptionPairRe = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
+
+  private def options(s: String): Map[String, String] =
+    if (s == null) Map.empty
+    else OptionPairRe.findAllMatchIn(s).map(m =>
+      unquote(m.group(1)) -> unquote(m.group(2))).toMap
+
+  private def fail(sqlText: String, msg: String): Nothing =
+    throw new ParseException(Some(sqlText), Origin(),
+      "PARSE_SYNTAX_ERROR", Map("error" -> msg, "hint" -> ""))
+
+  /** Some(plan) when `sqlText` is a graft index statement; None → delegate. */
+  def parseGraftPlan(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CreateRe(orReplace, ifNotExists, path, table, cols, opts) =>
+      if (orReplace != null && ifNotExists != null) {
+        fail(sqlText, "CREATE INDEX cannot combine OR REPLACE with IF NOT EXISTS")
+      }
+      val mode =
+        if (orReplace != null) "overwrite"
+        else if (ifNotExists != null) "ignore"
+        else "errorifexists"
+      Some(SqlCreateIndex(target(path, table), columns(cols), mode, options(opts)))
+    case DropRe(ifExists, path, table) =>
+      Some(SqlDropIndex(target(path, table), ifExists != null))
+    case RefreshRe(path, table, opts) =>
+      Some(SqlRefreshIndex(target(path, table), options(opts)))
+    case ShowRe(path, table) =>
+      Some(SqlShowIndex(target(path, table)))
+    case ShapeRe() =>
+      fail(sqlText, "malformed graft index statement; expected " +
+        "CREATE [OR REPLACE] INDEX [IF NOT EXISTS] ON (PARQUET '<path>'|TABLE <name>) " +
+        "(col, ...) [OPTIONS ('k'='v', ...)] | " +
+        "DROP INDEX [IF EXISTS] ON <target> | REFRESH INDEX ON <target> " +
+        "[OPTIONS (...)] | SHOW INDEX ON <target>")
+    case _ => None
+  }
+}
+
+import GraftSqlParser.{PathTarget, TableTarget, Target}
+
+/** `CREATE [OR REPLACE] INDEX [IF NOT EXISTS] ON <target> (cols) [OPTIONS]`.
+  * OR REPLACE → SaveMode.Overwrite, IF NOT EXISTS → Ignore, plain →
+  * ErrorIfExists — the builder's own mode matrix. */
+case class SqlCreateIndex(
+    target: Target, cols: Seq[String], mode: String,
+    options: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cmd = new IndexManager(spark).options(options).create.mode(mode).indexBy(cols: _*)
+    target match {
+      case PathTarget(p) => cmd.parquet(p)
+      case TableTarget(t) => cmd.table(t)
+    }
+    Nil
+  }
+}
+
+/** `DROP INDEX [IF EXISTS] ON <target>` — delete is already a no-op on a
+  * missing index; IF EXISTS additionally suppresses resolution errors on
+  * a missing TABLE target. */
+case class SqlDropIndex(target: Target, ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    try target match {
+      case PathTarget(p) => new IndexManager(spark).delete.parquet(p)
+      case TableTarget(t) => new IndexManager(spark).delete.table(t)
+    } catch { case e: Exception if ifExists => }
+    Nil
+  }
+}
+
+/** `REFRESH INDEX ON <target> [OPTIONS]` — incremental delta refresh;
+  * returns one (added_files, removed_files) row. */
+case class SqlRefreshIndex(target: Target, options: Map[String, String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("added_files", LongType, nullable = false)(),
+    AttributeReference("removed_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cmd = new IndexManager(spark).options(options).refresh
+    val stats = target match {
+      case PathTarget(p) => cmd.parquet(p)
+      case TableTarget(t) => cmd.table(t)
+    }
+    Seq(Row(stats.addedFiles, stats.removedFiles))
+  }
+}
+
+/** `SHOW INDEX ON <target>` — one row of index metadata (exists=false
+  * with NULL details when no index is present). */
+case class SqlShowIndex(target: Target) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("exists", BooleanType, nullable = false)(),
+    AttributeReference("table_path", StringType, nullable = false)(),
+    AttributeReference("indexed_columns", StringType)(),
+    AttributeReference("sketch", StringType)(),
+    AttributeReference("file_count", LongType)(),
+    AttributeReference("total_bytes", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (tablePath, dataspace) = target match {
+      case PathTarget(p) =>
+        (IndexedDataSource.resolveTablePath(spark, p), Metastore.Dataspace)
+      case TableTarget(t) =>
+        val (_, location) = new IndexManager(spark).requireParquetTable(spark, t)
+        (IndexedDataSource.resolveTablePath(spark, location.toString),
+          Metastore.CatalogDataspace)
+    }
+    val metastore = Metastore(spark)
+    if (!metastore.exists(dataspace, tablePath)) {
+      Seq(Row(false, tablePath.toString, null, null, null, null))
+    } else {
+      val (_, meta) = metastore.load(dataspace, tablePath)
+      Seq(Row(true, tablePath.toString,
+        meta.indexSchema.fieldNames.mkString(","),
+        meta.sketchKind.orNull, meta.fileCount, meta.totalBytes))
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.ParseException
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.implicits._
+
+/** SQL DDL surface (GraftSqlParser via GraftExtensions): the four verbs
+  * against path and catalog-table targets, the SaveMode matrix spelled
+  * in SQL, option pass-through, and clean delegation of everything that
+  * is not a graft statement. */
+class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val work = Files.createTempDirectory("graft-sqlddl").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sql-ddl")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config(IndexConf.MetastoreLocation, s"$work/metastore")
+    .config("spark.sql.warehouse.dir", s"$work/warehouse")
+    .withExtensions(new graft.GraftExtensions)
+    .getOrCreate()
+
+  private lazy val tablePath = {
+    val p = s"$work/lineitem"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(8, col("l_orderkey"))
+      .write.parquet(p)
+    p
+  }
+
+  /** (listed, total) pruning counters of the graft FileIndex behind `df`
+    * after an action has planned (and therefore listed) the scan. */
+  private def pruning(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val fi = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.nonEmpty, "no GraftFileIndex in plan")
+    (fi.get.lastListedFiles, fi.get.lastTotalFiles)
+  }
+
+  test("CREATE / SHOW / REFRESH / DROP lifecycle on a parquet path") {
+    spark.sql(s"CREATE INDEX ON PARQUET '$tablePath' (l_orderkey, l_returnflag)")
+    assert(spark.index.exists.parquet(tablePath))
+
+    val show = spark.sql(s"SHOW INDEX ON PARQUET '$tablePath'").head()
+    assert(show.getAs[Boolean]("exists"))
+    assert(show.getAs[String]("indexed_columns") == "l_orderkey,l_returnflag")
+    assert(show.getAs[Long]("file_count") == 8L)
+    assert(show.getAs[Long]("total_bytes") > 0L)
+
+    // the SQL-created index prunes like the builder-created one
+    val key = spark.read.parquet(tablePath).agg(min(col("l_orderkey"))).head.getLong(0)
+    val pruned = spark.index.parquet(tablePath).filter(col("l_orderkey") === key)
+    assert(pruned.count() > 0)
+    val (listed, total) = pruning(pruned)
+    assert(total == 8L && listed < total, s"expected pruning: $listed/$total")
+
+    // duplicate plain CREATE → SaveMode.ErrorIfExists
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE INDEX ON PARQUET '$tablePath' (l_orderkey)")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"))
+    // IF NOT EXISTS → Ignore (no-op, columns unchanged)
+    spark.sql(s"CREATE INDEX IF NOT EXISTS ON PARQUET '$tablePath' (l_suppkey)")
+    assert(spark.sql(s"SHOW INDEX ON PARQUET '$tablePath'").head()
+      .getAs[String]("indexed_columns") == "l_orderkey,l_returnflag")
+    // OR REPLACE → Overwrite (rebuilt with the new column list)
+    spark.sql(s"CREATE OR REPLACE INDEX ON PARQUET '$tablePath' (l_suppkey)")
+    assert(spark.sql(s"SHOW INDEX ON PARQUET '$tablePath'").head()
+      .getAs[String]("indexed_columns") == "l_suppkey")
+
+    // REFRESH INDEX picks up appended files and reports the delta
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .limit(50).coalesce(1).write.mode("append").parquet(tablePath)
+    val refreshed = spark.sql(s"REFRESH INDEX ON PARQUET '$tablePath'").head()
+    assert(refreshed.getAs[Long]("added_files") == 1L)
+    assert(refreshed.getAs[Long]("removed_files") == 0L)
+
+    spark.sql(s"DROP INDEX ON PARQUET '$tablePath'")
+    assert(!spark.index.exists.parquet(tablePath))
+    assert(!spark.sql(s"SHOW INDEX ON PARQUET '$tablePath'").head()
+      .getAs[Boolean]("exists"))
+    // missing index: plain DROP is a no-op, IF EXISTS likewise
+    spark.sql(s"DROP INDEX ON PARQUET '$tablePath'")
+    spark.sql(s"DROP INDEX IF EXISTS ON PARQUET '$tablePath'")
+  }
+
+  test("catalog-table target and OPTIONS pass-through") {
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.mode("overwrite").format("parquet").saveAsTable("sqlddl_orders")
+    spark.sql("CREATE INDEX ON TABLE sqlddl_orders (o_orderkey) " +
+      s"OPTIONS ('${IndexConf.FilterType}'='dict')")
+    assert(spark.index.exists.table("sqlddl_orders"))
+    val show = spark.sql("SHOW INDEX ON TABLE sqlddl_orders").head()
+    assert(show.getAs[Boolean]("exists"))
+    assert(show.getAs[String]("sketch") == Sketch.Dict)
+    spark.sql("DROP INDEX ON TABLE sqlddl_orders")
+    assert(!spark.index.exists.table("sqlddl_orders"))
+  }
+
+  test("malformed graft statements fail with the graft grammar message") {
+    val e = intercept[ParseException] {
+      spark.sql(s"CREATE INDEX ON PARQUET '$tablePath'") // no column list
+    }
+    assert(e.getMessage.contains("graft index statement"))
+    val e2 = intercept[ParseException] {
+      spark.sql(
+        s"CREATE OR REPLACE INDEX IF NOT EXISTS ON PARQUET '$tablePath' (a)")
+    }
+    assert(e2.getMessage.contains("OR REPLACE"))
+  }
+
+  test("non-graft SQL delegates untouched") {
+    assert(spark.sql("SELECT 1 + 1 AS v").head().getInt(0) == 2)
+    // Spark's own DSv2 CREATE INDEX shape (named index) is NOT intercepted
+    assert(GraftSqlParser.parseGraftPlan(
+      "CREATE INDEX idx ON TABLE t (col)").isEmpty)
+    assert(GraftSqlParser.parseGraftPlan("SELECT * FROM t").isEmpty)
+    // quoted-path escaping round-trips
+    val plan = GraftSqlParser.parseGraftPlan(
+      "SHOW INDEX ON PARQUET '/tmp/it''s here'")
+    assert(plan.exists {
+      case SqlShowIndex(GraftSqlParser.PathTarget(p)) => p == "/tmp/it's here"
+      case _ => false
+    })
+  }
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}
