@@ -1015,6 +1015,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus mixing to target composition: 50/25/25 over three sources at
+    // a 150-row budget forces src0 through 3 replication epochs and the
+    // others through fractional downsampling — the oracle re-derives
+    // counts, targets, epochs, and thresholds from scratch in SQL.
+    "q_sample_mix" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.mixCorpus(
+          tbl(s, dir, "documents"), $"doc_id", $"source",
+          weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          totalRows = 150L, allowUpsample = true, salt = "mix")
+        .select($"doc_id", $"source", $"epoch")
+        .orderBy($"doc_id", $"epoch")
+    }),
+
     // Sequence packing: per-source prefix-sum token batching at a 2000-
     // token budget — the pack assignment is a pure window computation the
     // oracle replays exactly.
@@ -1915,6 +1929,29 @@ object SparkEntry {
         |       WHEN lang = 'zh' THEN '040000000'
         |       ELSE '01999999a' END
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*)::BIGINT AS n FROM documents
+        |  WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |par AS (
+        |  SELECT source, n,
+        |    CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 0.25 END AS w
+        |  FROM counts),
+        |tgt AS (SELECT source, n, CAST(floor(w * 150 + 0.5) AS BIGINT) AS t FROM par),
+        |ep AS (SELECT source, n, t, CAST(ceil(t::DOUBLE / n) AS BIGINT) AS e FROM tgt),
+        |thr AS (
+        |  SELECT source, e,
+        |    lpad(format('{:x}',
+        |      CAST(floor(t::DOUBLE / (n * e) * 4294967296.0 + 0.5) AS BIGINT)), 9, '0') AS th
+        |  FROM ep),
+        |epochs AS (SELECT source, th, unnest(range(e)) AS epoch FROM thr),
+        |cand AS (
+        |  SELECT d.doc_id, d.source, ei.epoch, ei.th
+        |  FROM documents d JOIN epochs ei ON d.source = ei.source)
+        |SELECT doc_id, source, epoch
+        |FROM cand
+        |WHERE '0' || substr(md5('mix|' || doc_id::VARCHAR || '|' || epoch::VARCHAR), 1, 8) < th
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

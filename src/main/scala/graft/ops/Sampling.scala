@@ -94,6 +94,72 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Corpus mixing to TARGET COMPOSITION — the budgeting layer above
+    * [[weightedHashSample]]: given per-source weights (the composition the
+    * training mix should have) it derives each source's sampling fraction
+    * from the actual source sizes, optionally REPLICATING small sources
+    * for multiple epochs (the Pile/LLaMA-style up-weighting of curated
+    * sources against crawl).
+    *
+    * Derivation (all arithmetic in closed form so a SQL oracle replays it
+    * bit-for-bit): normalized weight w_i, source size n_i, total target
+    * T (`totalRows`, or the largest downsample-only mixture
+    * min_i floor(n_i / w_i) when omitted); per-source target
+    * t_i = floor(w_i·T + 0.5); epochs e_i = ceil(t_i / n_i) (1 unless
+    * `allowUpsample`); keep fraction f_i = t_i / (n_i·e_i) over the
+    * (id, epoch) candidate pairs, decided by the same salted-md5 rank as
+    * [[hashSample]]. Expected |out_i| = t_i with 1/2³² granularity —
+    * membership, like every operator here, is exact and rerun-stable.
+    *
+    * Scale: one k-row count aggregate (k = #sources, driver-collected),
+    * then a pure map-side epoch-explode + hash filter — the corpus never
+    * shuffles; a 100 TB mix runs at scan speed. Output adds an `epoch`
+    * column (0-based; always 0 without upsampling) so downstream dedup
+    * can distinguish deliberate replicas.
+    */
+  def mixCorpus(
+      df: DataFrame, id: Column, source: Column,
+      weights: Map[String, Double],
+      totalRows: Long = -1L,
+      allowUpsample: Boolean = false,
+      salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "at least one source weight required")
+    weights.foreach { case (k, w) => require(w > 0.0, s"weight for $k must be > 0: $w") }
+    val wsum = weights.values.sum
+    val norm = weights.view.mapValues(_ / wsum).toMap
+    val keys = weights.keys.toSeq.sorted
+
+    val counts: Map[String, Long] = df
+      .filter(source.isin(keys: _*))
+      .groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = keys.filterNot(k => counts.getOrElse(k, 0L) > 0L)
+    require(missing.isEmpty, s"sources with no rows: ${missing.mkString(", ")}")
+
+    val t = if (totalRows > 0L) totalRows
+      else keys.map(k => math.floor(counts(k) / norm(k)).toLong).min
+    val plan: Seq[(String, Long, Double)] = keys.map { k =>
+      val target = math.floor(norm(k) * t + 0.5).toLong
+      val epochs = (target + counts(k) - 1) / counts(k) // ceil, ≥ 1
+      require(epochs == 1L || allowUpsample,
+        s"source $k needs $epochs epochs for its target ($target of ${counts(k)} " +
+          "rows); pass allowUpsample = true to replicate it")
+      (k, math.max(1L, epochs), target.toDouble / (counts(k) * math.max(1L, epochs)))
+    }
+
+    val epochsOf = plan.foldLeft(lit(1L)) { case (acc, (k, e, _)) =>
+      when(source === k, lit(e)).otherwise(acc)
+    }
+    val thresholdOf = plan.foldLeft(lit(thresholdHex(0.0))) { case (acc, (k, _, f)) =>
+      when(source === k, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(source.isin(keys: _*))
+      .withColumn("epoch", explode(sequence(lit(0L), epochsOf - 1)))
+      .filter(concat(lit("0"),
+        substring(md5(concat_ws("|", lit(salt), id.cast("string"),
+          col("epoch").cast("string"))), 1, 8)) < thresholdOf)
+  }
+
   // Both compare sides zero-padded to 9 hex digits so fraction=1.0
   // (0x100000000, above every 32-bit prefix) still compares correctly
   // as a string.

@@ -114,6 +114,54 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deOnly.sameElements(deViaWeighted))
   }
 
+  test("mixCorpus: downsample-only default, composition near weights") {
+    // 1000 "crawl" rows, 200 "wiki" rows; equal weights → the largest
+    // feasible mixture without upsampling is bound by wiki: T = 400
+    val df = ((1L to 1000L).map(i => (i, "crawl")) ++
+      (2001L to 2200L).map(i => (i, "wiki"))).toDF("id", "src")
+    val mix = Sampling.mixCorpus(df, $"id", $"src",
+      weights = Map("crawl" -> 1.0, "wiki" -> 1.0), salt = "m")
+    val counts = mix.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // wiki target 200 of 200 → fraction 1.0 keeps all; crawl ~200 of 1000
+    assert(counts("wiki") == 200L, s"binding source keeps all rows: $counts")
+    assert(counts("crawl") > 140 && counts("crawl") < 260, s"~200 expected: $counts")
+    assert(mix.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    // deterministic across reruns
+    val again = Sampling.mixCorpus(df, $"id", $"src",
+      weights = Map("crawl" -> 1.0, "wiki" -> 1.0), salt = "m")
+    assert(mix.select($"id", $"epoch").as[(Long, Long)].collect().sorted
+      .sameElements(again.select($"id", $"epoch").as[(Long, Long)].collect().sorted))
+  }
+
+  test("mixCorpus: upsampling replicates epochs; refused without the flag") {
+    val df = ((1L to 900L).map(i => (i, "crawl")) ++
+      (2001L to 2100L).map(i => (i, "wiki"))).toDF("id", "src")
+    // 50/50 at T=600 → wiki target 300 of 100 rows → 3 epochs
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixCorpus(df, $"id", $"src",
+        weights = Map("crawl" -> 0.5, "wiki" -> 0.5), totalRows = 600L)
+    }
+    assert(e.getMessage.contains("allowUpsample"))
+    val mix = Sampling.mixCorpus(df, $"id", $"src",
+      weights = Map("crawl" -> 0.5, "wiki" -> 0.5), totalRows = 600L,
+      allowUpsample = true, salt = "m")
+    val wiki = mix.filter($"src" === "wiki")
+    // target 300 over 100×3 candidates at fraction 1.0 → exactly 3 epochs of all
+    assert(wiki.count() == 300L)
+    assert(wiki.select($"epoch").distinct().as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L))
+    val crawl = mix.filter($"src" === "crawl")
+    assert(crawl.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(crawl.count() > 230 && crawl.count() < 370, s"~300: ${crawl.count()}")
+  }
+
+  test("mixCorpus plans no shuffle after the count pre-pass") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val plan = Sampling.mixCorpus(df, $"id", $"src",
+      weights = Map("a" -> 0.5, "b" -> 0.5)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must stay map-side:\n$plan")
+  }
+
   test("assignSplit: disjoint exhaustive labels, consistent with hashSample") {
     val df = spark.range(1000).toDF("id")
     val out = Sampling.assignSplit(df, col("id"),
