@@ -1165,6 +1165,21 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // SemDeDup-style semantic dedup: k-means clusters (1 Lloyd iteration,
+    // the oracle replays fit + assignment + pairs + closure from scratch)
+    // block the exact-cosine near-duplicate graph; one survivor per
+    // component.
+    "q_ann_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 1)
+      graft.ann.Ann.semanticDedup(
+          emb, $"vec_id", $"embedding", cents, threshold = 0.4)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    }),
+
     // Multimodal decode plumbing (stubbed kernels, real Dataset pipeline).
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
@@ -1459,11 +1474,14 @@ object SparkEntry {
     * over (dist, cluster) = the operators' first-min tie rule) and one
     * exact integer-mean centroid update (empty clusters keep their
     * previous centroid), ending with the final assignment. */
-  private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
+  /** WITH-body prefix deriving the k-means centroid chain `v, c0 .. c{iters}`
+    * from scratch (quantized vectors, first-k init, Lloyd updates) —
+    * shared by the kmeans and semantic-dedup oracles. Ends with a comma. */
+  private def kmeansCentsSql(k: Int, dim: Int, iters: Int): String = {
     val r = s"range(1, ${dim + 1})"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH v AS (SELECT vec_id,
+      s"""v AS (SELECT vec_id,
          |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
          |  FROM embeddings),
          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cent
@@ -1485,15 +1503,49 @@ object SparkEntry {
            |  ON $prev.c = l.c),
            |""".stripMargin)
     }
-    sb.append(
+    sb.toString
+  }
+
+  private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    "WITH " + kmeansCentsSql(k, dim, iters) +
       s"""df AS (SELECT v.vec_id, c$iters.c,
          |  list_sum(list_transform($r,
          |    i -> (v.q[i] - c$iters.cent[i]) * (v.q[i] - c$iters.cent[i]))) AS d
          |  FROM v, c$iters)
          |SELECT vec_id, CAST(c AS INT) AS cluster, round(d / 1000000.0, 6) AS dist2
          |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
-    sb.toString
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Semantic-dedup oracle: re-derives the k-means centroids, assigns
+    * every vector to its nearest (first-min ties), forms within-cluster
+    * cosine pairs, closes them transitively, keeps min-id per component. */
+  private def semanticDedupSql(k: Int, dim: Int, iters: Int, threshold: Double): String = {
+    val r = s"range(1, ${dim + 1})"
+    "WITH RECURSIVE " + kmeansCentsSql(k, dim, iters) +
+      s"""df AS (SELECT v.vec_id, c$iters.c,
+         |  list_sum(list_transform($r,
+         |    i -> (v.q[i] - c$iters.cent[i]) * (v.q[i] - c$iters.cent[i]))) AS d
+         |  FROM v, c$iters),
+         |asg AS (SELECT vec_id, c
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
+         |  WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM asg x JOIN asg y ON x.c = y.c AND x.vec_id < y.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+         |  WHERE round(${cosineSql("ea.embedding", "eb.embedding", dim)}, 6) >= $threshold),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.node),
+         |dup AS (SELECT node FROM reach GROUP BY node HAVING min(lab) < node)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM dup)
+         |ORDER BY vec_id""".stripMargin
   }
 
   private def cosineSql(a: String, b: String, dim: Int): String = {
@@ -2117,6 +2169,7 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    "q_ann_semdedup" -> semanticDedupSql(k = 8, dim = 64, iters = 1, threshold = 0.4),
     "q_text_perplexity" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

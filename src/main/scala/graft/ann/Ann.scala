@@ -227,6 +227,62 @@ object Ann {
     df.join(dups, id === col("__dup"), "left_anti")
   }
 
+  /** SemDeDup-style within-cluster cosine pairs (id_a < id_b, cosine ≥
+    * threshold): k-means clusters are the BLOCKING key — candidates meet
+    * through an equi-join on their nearest-centroid assignment, and the
+    * exact cosine (6dp, raw embedding units) verifies each candidate.
+    * The semantic-dedup recipe of Abbas et al. 2023 (arXiv:2303.09540),
+    * with trained centroids from [[kmeansFit]] where the LSH blocking of
+    * [[cosinePairs]] would split genuinely similar regions across
+    * hyperplane buckets.
+    *
+    * Scale: assignment is a map-side projection (centroids ride the plan
+    * as literals, k×dim doubles); the join shuffles each side once on the
+    * cluster id. Within-cluster cost is quadratic in cluster size, so at
+    * scale pick k ∝ N to bound clusters near N/k (SemDeDup uses ~100k
+    * clusters for billions of embeddings); a skewed giant cluster is the
+    * signal to refit with larger k, not to widen this join.
+    */
+  def semanticPairs(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid required")
+    val base = df.select(id.as("__id"), vec.as("__v"),
+      nearestCentroid(quantizeMilli(vec), centroids).as("__c"))
+    // cluster blocking yields each pair exactly once (one key per vector,
+    // unlike multi-table LSH), so vectors join through directly — no
+    // ids-only pre-pass + re-join is needed
+    base.select(col("__c"), col("__id").as("id_a"),
+        col("__v").as("__va"), norm(col("__v")).as("__na"))
+      .join(base.select(col("__c"), col("__id").as("id_b"),
+        col("__v").as("__vb"), norm(col("__v")).as("__nb")), Seq("__c"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("__va"), col("__vb")) /
+          greatest(col("__na") * col("__nb"), lit(1e-12)), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Semantic dedup: keep one representative (the smallest id) per
+    * transitively-connected [[semanticPairs]] component — the
+    * cluster-blocked sibling of [[dedupEmbeddings]]. */
+  def semanticDedup(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val pairs = semanticPairs(df, id, vec, centroids, threshold)
+    val dups = graft.dedup.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__dup"))
+    df.join(dups, id === col("__dup"), "left_anti")
+  }
+
   /** Cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
     *
     * Default (scale) path: multi-table LSH blocking — each vector is
