@@ -47,6 +47,13 @@ class CreateIndexCommand:
     def parquet(self, path):
         self._jcmd.parquet(path)
 
+    def orc(self, path):
+        self._jcmd.orc(path)
+
+    def save(self, path):
+        """Build over the manager's format(...) selection."""
+        self._jcmd.save(path)
+
     def table(self, name):
         self._jcmd.table(name)
 
@@ -58,6 +65,9 @@ class ExistsIndexCommand:
     def parquet(self, path):
         return self._jcmd.parquet(path)
 
+    def orc(self, path):
+        return self._jcmd.orc(path)
+
     def table(self, name):
         return self._jcmd.table(name)
 
@@ -68,6 +78,9 @@ class DeleteIndexCommand:
 
     def parquet(self, path):
         self._jcmd.parquet(path)
+
+    def orc(self, path):
+        self._jcmd.orc(path)
 
     def table(self, name):
         self._jcmd.table(name)
@@ -86,6 +99,9 @@ class RefreshIndexCommand:
 
     def parquet(self, path):
         return self._stats(self._jcmd.parquet(path))
+
+    def orc(self, path):
+        return self._stats(self._jcmd.orc(path))
 
     def table(self, name):
         return self._stats(self._jcmd.table(name))
@@ -122,6 +138,9 @@ class IndexManager:
 
     def parquet(self, path):
         return DataFrame(self._jmgr.parquet(path), self._spark)
+
+    def orc(self, path):
+        return DataFrame(self._jmgr.orc(path), self._spark)
 
     def load(self, path):
         return DataFrame(self._jmgr.load(path), self._spark)

@@ -40,6 +40,7 @@ object Bench {
     SparkEntry.indexedPartDict(spark, sfDir).count()
     SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
     SparkEntry.indexedOrdersInt96(spark, sfDir).count()
+    SparkEntry.indexedLineitemOrc(spark, sfDir).count()
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()

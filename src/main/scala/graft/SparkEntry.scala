@@ -55,7 +55,8 @@ object SparkEntry {
   /** Create-once protocol shared by every scratch table: version-marked
     * build under target/, then served through the indexed read. The
     * `build` closure receives the table dir and must leave it indexed. */
-  private def scratchTable(s: SparkSession, dir: String, name: String)(
+  private def scratchTable(s: SparkSession, dir: String, name: String,
+      source: String = "parquet")(
       build: String => Unit): DataFrame =
     SparkEntry.synchronized {
       import graft.index.implicits._
@@ -69,7 +70,7 @@ object SparkEntry {
         build(tableDir)
         java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
       }
-      s.index.parquet(tableDir)
+      if (source == "orc") s.index.orc(tableDir) else s.index.parquet(tableDir)
     }
 
   /** Indexed multi-file copy of lineitem for sfDir; create-once. */
@@ -82,6 +83,20 @@ object SparkEntry {
       s.index.create.mode("overwrite")
         .indexBy("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
         .parquet(tableDir)
+    }
+
+  /** ORC copy of lineitem, indexed and pruned by the same engine — the
+    * second implementation of the reference's MetastoreSupport
+    * extensibility axis (stripe statistics instead of parquet footers,
+    * same sketches/pruning/refresh); create-once. */
+  private[graft] def indexedLineitemOrc(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "lineitem_orc", source = "orc") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").orc(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_orderkey", "l_returnflag").orc(tableDir)
     }
 
   /** Indexed lineitem copy with DICT/BITMAP sketches (per-call option):
@@ -579,6 +594,20 @@ object SparkEntry {
     "q_idx_point_lookup" -> ((s, dir) => {
       import s.implicits._
       val li = indexedLineitem(s, dir)
+      val key = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(min($"l_orderkey")).head.getLong(0)
+      li.filter($"l_orderkey" === key)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+          $"l_returnflag")
+        .orderBy($"l_linenumber")
+    }),
+
+    // Same selective point query through the ORC-backed index: stripe
+    // stats + bloom prune ORC files exactly as footers prune parquet; the
+    // oracle reads the identical rows from the parquet table.
+    "q_idx_orc" -> ((s, dir) => {
+      import s.implicits._
+      val li = indexedLineitemOrc(s, dir)
       val key = s.read.parquet(s"$dir/lineitem.parquet")
         .agg(min($"l_orderkey")).head.getLong(0)
       li.filter($"l_orderkey" === key)
@@ -2229,6 +2258,11 @@ object SparkEntry {
         |  (doc_id % 240)::BIGINT AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_idx_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
+    "q_idx_orc" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
         |FROM lineitem
         |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)

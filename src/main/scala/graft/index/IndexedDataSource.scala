@@ -32,7 +32,9 @@ object IndexedDataSource {
       mode: SaveMode,
       columns: Seq[String],
       indexAll: Boolean,
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty,
+      source: String = Sources.Parquet): Unit = {
+    val src = Sources.normalize(source)
     val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
     val tablePath = resolveTablePath(spark, path)
@@ -43,7 +45,7 @@ object IndexedDataSource {
     // on validation failure — deliberate delta).
     val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
     val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
-    require(allFiles.nonEmpty || partDirs.nonEmpty, s"no parquet files under $tablePath")
+    require(allFiles.nonEmpty || partDirs.nonEmpty, s"no $src files under $tablePath")
 
     // First-file schema is enough to validate the indexBy() columns (the
     // reference also infers the index schema from the first footer); the
@@ -51,7 +53,7 @@ object IndexedDataSource {
     // job below, so heterogeneous tables keep every column.
     val firstSchema: StructType =
       if (allFiles.isEmpty) StructType(Nil)
-      else spark.read.parquet(allFiles.head.getPath.toString).schema
+      else Sources.read(spark, src, Seq(allFiles.head.getPath.toString)).schema
 
     val indexSchema = resolveIndexSchema(firstSchema, partitionSchema, columns, indexAll)
 
@@ -81,16 +83,18 @@ object IndexedDataSource {
       // returns only the merged schema + counts (driver never holds
       // per-file stats — scales to millions of files)
       val summary = StatisticsBuilder.writeFileStats(
-        spark, refs, indexSchema, numParts, new Path(indexDir, Metastore.FilesDir))
+        spark, refs, indexSchema, numParts, new Path(indexDir, Metastore.FilesDir),
+        source = src)
       val dataSchema = summary.dataSchema.getOrElse(firstSchema)
 
       // Columns whose footers carried no usable min/max (INT96 timestamps,
-      // non-round-tripping truncated binary bounds) get RANGE stats from a
-      // full scan of only the affected files — restoring the reference's
-      // legacy-table coverage (ParquetIndexReadSupport.scala:64-73).
+      // non-round-tripping truncated binary bounds, ORC NTZ timestamps)
+      // get RANGE stats from a full scan of only the affected files —
+      // restoring the reference's legacy-table coverage
+      // (ParquetIndexReadSupport.scala:64-73).
       if (conf.minMaxFallback && indexSchema.nonEmpty && refs.nonEmpty) {
         StatisticsBuilder.fullScanMinMaxFallback(
-          spark, new Path(indexDir, Metastore.FilesDir), indexSchema)
+          spark, new Path(indexDir, Metastore.FilesDir), indexSchema, source = src)
       }
 
       val sketchKind = if (conf.filterEnabled && indexSchema.nonEmpty) Some(conf.filterType) else None
@@ -102,7 +106,7 @@ object IndexedDataSource {
         StatisticsBuilder.buildSketches(
           spark, allFiles.map(_.getPath.toString), indexSchema, kind,
           expectedItems = math.max(4096L, summary.maxFileRows),
-          new Path(indexDir, Metastore.SketchDir))
+          new Path(indexDir, Metastore.SketchDir), source = src)
       }
 
       metastore.writeMetadata(indexDir, IndexMetadata(
@@ -112,6 +116,7 @@ object IndexedDataSource {
         indexSchema = indexSchema,
         partitionSchema = partitionSchema,
         sketchKind = sketchKind,
+        source = src,
         partitionValues = partDirs.map { case (values, _) =>
           partitionSchema.fields.zipWithIndex.toSeq.map { case (f, i) =>
             IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
@@ -274,11 +279,13 @@ object IndexedDataSource {
     val summary =
       if (addedRefs.nonEmpty) {
         val s = StatisticsBuilder.writeFileStats(
-          spark, addedRefs, meta.indexSchema, numParts, filesDir, mode = "append")
+          spark, addedRefs, meta.indexSchema, numParts, filesDir, mode = "append",
+          source = meta.source)
         // Detection only fires on statless rows, which after an append can
         // only be the delta — already-patched files keep their bounds.
         if (conf.minMaxFallback && meta.indexSchema.nonEmpty) {
-          StatisticsBuilder.fullScanMinMaxFallback(spark, filesDir, meta.indexSchema)
+          StatisticsBuilder.fullScanMinMaxFallback(
+            spark, filesDir, meta.indexSchema, source = meta.source)
         }
         s
       } else StatisticsBuilder.summarizeFilesTable(spark, filesDir)
@@ -303,7 +310,7 @@ object IndexedDataSource {
         StatisticsBuilder.buildSketches(
           spark, addedRefs.map(_._2.path), meta.indexSchema, kind,
           expectedItems = math.max(4096L, summary.maxFileRows),
-          sketchDir, mode = "append")
+          sketchDir, mode = "append", source = meta.source)
       }
     }
 
@@ -335,26 +342,37 @@ object IndexedDataSource {
 
   /** Load the indexed relation as a DataFrame (reference flow §3.2 step 1).
     * `options`: `spark.sql.index.*` keys override the session conf for
-    * this load; the rest are handed to the parquet relation. */
+    * this load; the rest are handed to the underlying relation. The data
+    * format comes from the index metadata; when `expectedSource` is given
+    * (the fluent API's terminal method), a mismatch fails with a clear
+    * error instead of mis-decoding files. */
   def load(
       spark: SparkSession,
       path: String,
       dataspace: String,
-      options: Map[String, String] = Map.empty): DataFrame = {
+      options: Map[String, String] = Map.empty,
+      expectedSource: Option[String] = None): DataFrame = {
     val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
     val tablePath = resolveTablePath(spark, path)
     if (conf.createIfNotExists && !metastore.exists(dataspace, tablePath)) {
-      createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true, options)
+      createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true,
+        options, expectedSource.getOrElse(Sources.Parquet))
     }
     val (indexDir, meta) = metastore.load(dataspace, tablePath)
+    expectedSource.map(Sources.normalize).foreach { s =>
+      require(s == meta.source,
+        s"index at $tablePath was built over ${meta.source} data, not $s; " +
+          s"load it with format(\"${meta.source}\") / .${meta.source}(path)")
+    }
     val fileIndex = new GraftFileIndex(spark, indexDir, meta, conf)
     if (conf.eagerLoading && meta.sketchKind.isDefined) {
       SketchStore.forDir(new Path(indexDir, Metastore.SketchDir),
         spark.sparkContext.hadoopConfiguration).preload()
     }
     val relationOptions = options.filterNot(_._1.startsWith("spark.sql.index."))
-    SparkInternals.parquetRelation(
-      spark, fileIndex, meta.partitionSchema, meta.dataSchema, relationOptions)
+    SparkInternals.fsRelation(
+      spark, fileIndex, meta.partitionSchema, meta.dataSchema, relationOptions,
+      meta.source)
   }
 }

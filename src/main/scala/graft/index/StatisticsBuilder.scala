@@ -71,8 +71,10 @@ object StatisticsBuilder {
       indexSchema: StructType,
       numPartitions: Int,
       filesDir: Path,
-      mode: String = "overwrite"): FileStatsSummary = {
+      mode: String = "overwrite",
+      source: String = Sources.Parquet): FileStatsSummary = {
     if (refs.isEmpty) return FileStatsSummary(None, 0L, 0L, 0L)
+    val src = Sources.normalize(source)
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val fields = indexSchema.fields.map(f => (f.name, f.dataType.json))
@@ -90,7 +92,9 @@ object StatisticsBuilder {
       .flatMap { group =>
         val types = fields.map { case (n, dj) => (n, DataType.fromJson(dj)) }
         group.iterator.map { case (partitionIdx, ref) =>
-          val footer = readFooterBlocks(ref.path, types, confBc.value.value)
+          val footer =
+            if (src == Sources.Orc) readOrcBlocks(ref.path, types, confBc.value.value)
+            else readFooterBlocks(ref.path, types, confBc.value.value)
           FileStatsRow(partitionIdx, ref.path, ref.size, ref.modificationTime,
             ref.blockSize, ref.locationsJson, footer.schemaJson,
             IndexMetadata.blocksToJsonString(footer.blocks), footer.rowCount)
@@ -200,6 +204,75 @@ object StatisticsBuilder {
     }
   }
 
+  /** Executor-side ORC tail read → schema + per-STRIPE BlockStats (the
+    * stripe is ORC's row-group analog; same metadata-only cost as the
+    * parquet footer read). Column statistics come from the stripe
+    * statistics section; the stats array is indexed by ORC column id
+    * (root = 0, top-level fields follow in order). */
+  private def readOrcBlocks(
+      path: String,
+      indexed: Array[(String, DataType)],
+      conf: org.apache.hadoop.conf.Configuration): FileFooter = {
+    val reader = org.apache.orc.OrcFile.createReader(
+      new Path(path), org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val td = reader.getSchema
+      val schema = SparkInternals.orcSparkSchema(td)
+      val idOf: Map[String, Int] =
+        td.getFieldNames.asScala.zip(td.getChildren.asScala).map {
+          case (n, child) => n.toLowerCase -> child.getId
+        }.toMap
+      val stripes = reader.getStripes.asScala.toSeq
+      val stripeStats = reader.getStripeStatistics.asScala.toSeq
+      val blocks = stripes.zip(stripeStats).map { case (si, ss) =>
+        val colStats = ss.getColumnStatistics
+        val cols = indexed.flatMap { case (name, dt) =>
+          idOf.get(name.toLowerCase).map { cid =>
+            name -> orcStats(colStats(cid), si.getNumberOfRows, dt)
+          }
+        }.toMap
+        BlockStats(si.getNumberOfRows, cols)
+      }
+      FileFooter(schema.json, blocks)
+    } finally reader.close()
+  }
+
+  /** ORC column statistics → canonical ColumnStats (same degradation
+    * contract as [[chunkStats]]: anything not provably sound → None,
+    * which the fold treats as may-contain and the full-scan fallback
+    * patches). Timestamp bounds are millisecond-granular in ORC, so the
+    * max is widened to the end of its millisecond — loose by <1ms, sound.
+    * Truncated string bounds (lowerBound/upperBound) are sound by
+    * definition (lower ≤ min, upper ≥ max). */
+  private def orcStats(
+      cs: org.apache.orc.ColumnStatistics,
+      stripeRows: Long,
+      dt: DataType): ColumnStats = {
+    val nullCount = Some(stripeRows - cs.getNumberOfValues)
+    if (cs.getNumberOfValues == 0L) return ColumnStats(None, None, nullCount)
+    val minmax: Option[(Any, Any)] = (dt, cs) match {
+      case (IntegerType | LongType, s: org.apache.orc.IntegerColumnStatistics) =>
+        Some((s.getMinimum, s.getMaximum))
+      case (DateType, s: org.apache.orc.DateColumnStatistics) =>
+        Some((s.getMinimumDayOfEpoch, s.getMaximumDayOfEpoch))
+      case (StringType, s: org.apache.orc.StringColumnStatistics) =>
+        val mn = Option(s.getMinimum).orElse(Option(s.getLowerBound))
+        val mx = Option(s.getMaximum).orElse(Option(s.getUpperBound))
+        mn.zip(mx)
+      case (TimestampType, s: org.apache.orc.TimestampColumnStatistics) =>
+        Option(s.getMinimumUTC).zip(Option(s.getMaximumUTC)).map { case (a, b) =>
+          (a.getTime * 1000L, b.getTime * 1000L + 999L)
+        }
+      // TimestampNTZ: ORC's local-vs-UTC accessor semantics differ across
+      // writers — degrade to None; the full-scan fallback supplies bounds.
+      case _ => None
+    }
+    minmax match {
+      case Some((mn, mx)) => ColumnStats(Some(mn), Some(mx), nullCount)
+      case None => ColumnStats(None, None, nullCount)
+    }
+  }
+
   /** Full-scan min/max fallback for indexed columns whose footers carried
     * no usable statistics — INT96 timestamps from legacy (pre-Spark-3)
     * writers in particular, plus truncated binary bounds that don't
@@ -227,7 +300,8 @@ object StatisticsBuilder {
   def fullScanMinMaxFallback(
       spark: SparkSession,
       filesDir: Path,
-      indexSchema: StructType): Long = {
+      indexSchema: StructType,
+      source: String = Sources.Parquet): Long = {
     import spark.implicits._
     if (indexSchema.isEmpty) return 0L
     val indexedNames = indexSchema.fields.map(_.name)
@@ -253,7 +327,7 @@ object StatisticsBuilder {
 
     // 2. per-file bounds — one scan of the affected files, pruned to the
     //    affected columns (ReadSchema carries only those + file name)
-    val read = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val read = Sources.read(spark, source, paths)
     val withCols = colNames.foldLeft(read) { (d, c) =>
       if (d.columns.exists(_.equalsIgnoreCase(c))) d
       else d.withColumn(c, lit(null).cast(DataType.fromJson(colTypes(c))))
@@ -322,11 +396,12 @@ object StatisticsBuilder {
       confKind: String,
       expectedItems: Long,
       sketchDir: Path,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      source: String = Sources.Parquet): Unit = {
     if (filePaths.isEmpty || indexSchema.isEmpty) return
     // mergeSchema: an indexed column absent from some files must read as
     // null there (heterogeneous tables), not fail schema inference
-    val read = spark.read.option("mergeSchema", "true").parquet(filePaths: _*)
+    val read = Sources.read(spark, source, filePaths)
     // An indexed column absent from EVERY file in this batch (incremental
     // refresh over a homogeneous delta) must still aggregate — as all-null,
     // yielding an empty sketch (sound: the files really contain no values).

@@ -31,20 +31,20 @@ class QueryContext(spark: SparkSession) {
 class IndexManager(spark: SparkSession) {
 
   private var extraOptions: Map[String, String] = Map.empty
-  private var sourceFormat: String = "parquet"
+  private var sourceFormat: String = Sources.Parquet
 
-  /** Source format selector (reference DataFrameIndexManager.format);
-    * only parquet is supported, matching the reference's sole
-    * MetastoreSupport implementation. */
+  /** Source format selector (reference DataFrameIndexManager.format):
+    * parquet or orc. The reference ships parquet only behind its
+    * extensible MetastoreSupport trait; orc exercises the same axis. */
   def format(source: String): IndexManager = {
-    require(source.equalsIgnoreCase("parquet"),
-      s"unsupported index source format: $source (only parquet)")
-    sourceFormat = source.toLowerCase
+    sourceFormat = Sources.normalize(source)
     this
   }
 
   /** format(...).load(path) — reference DataFrameIndexManager.load. */
-  def load(path: String): DataFrame = parquet(path)
+  def load(path: String): DataFrame =
+    IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions,
+      expectedSource = Some(sourceFormat))
 
   /** Per-call options (reference DataFrameIndexManager.option/options,
     * DataFrameIndexManager.scala:29-128): `spark.sql.index.*` keys
@@ -61,34 +61,47 @@ class IndexManager(spark: SparkSession) {
     options(opts.asScala.toMap)
   }
 
-  def create: CreateIndexCommand = new CreateIndexCommand(spark, extraOptions)
+  def create: CreateIndexCommand =
+    new CreateIndexCommand(spark, extraOptions, sourceFormat)
   def exists: ExistsIndexCommand = new ExistsIndexCommand(spark)
   def delete: DeleteIndexCommand = new DeleteIndexCommand(spark)
   def refresh: RefreshIndexCommand = new RefreshIndexCommand(spark, extraOptions)
 
-  /** Load indexed Parquet table as a DataFrame with index-driven pruning. */
+  /** Load an indexed Parquet table as a DataFrame with index-driven
+    * pruning. */
   def parquet(path: String): DataFrame =
-    IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions)
+    IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions,
+      expectedSource = Some(Sources.Parquet))
 
-  /** Load an indexed catalog table. */
+  /** Load an indexed ORC table as a DataFrame with index-driven pruning. */
+  def orc(path: String): DataFrame =
+    IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions,
+      expectedSource = Some(Sources.Orc))
+
+  /** Load an indexed catalog table (format from the table's provider). */
   def table(tableName: String): DataFrame = {
-    val (_, location) = requireParquetTable(spark, tableName)
-    IndexedDataSource.load(spark, location.toString, Metastore.CatalogDataspace, extraOptions)
+    val (provider, location) = requireSupportedTable(spark, tableName)
+    IndexedDataSource.load(spark, location.toString, Metastore.CatalogDataspace,
+      extraOptions, expectedSource = Some(provider))
   }
 
-  private[index] def requireParquetTable(
+  private[index] def requireSupportedTable(
       spark: SparkSession, tableName: String): (String, org.apache.hadoop.fs.Path) = {
     val (provider, location) = SparkInternals.catalogTableInfo(spark, tableName)
-    if (!provider.equalsIgnoreCase("parquet")) {
+    if (!Sources.All.exists(provider.equalsIgnoreCase)) {
       throw new UnsupportedOperationException(
-        s"table $tableName has provider $provider; only parquet tables can be indexed " +
-          "(reference CatalogTableSource.scala:60-62)")
+        s"table $tableName has provider $provider; only " +
+          s"${Sources.All.mkString("/")} tables can be indexed " +
+          "(reference CatalogTableSource.scala:60-62 restricts to parquet)")
     }
-    (provider, location)
+    (provider.toLowerCase, location)
   }
 }
 
-class CreateIndexCommand(spark: SparkSession, initialOptions: Map[String, String] = Map.empty) {
+class CreateIndexCommand(
+    spark: SparkSession,
+    initialOptions: Map[String, String] = Map.empty,
+    sourceFormat: String = Sources.Parquet) {
   private var saveMode: SaveMode = SaveMode.ErrorIfExists
   private var columns: Seq[String] = Nil
   private var all: Boolean = false
@@ -119,12 +132,27 @@ class CreateIndexCommand(spark: SparkSession, initialOptions: Map[String, String
 
   def parquet(path: String): Unit =
     IndexedDataSource.createIndex(
-      spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions)
+      spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions,
+      Sources.Parquet)
+
+  def orc(path: String): Unit =
+    IndexedDataSource.createIndex(
+      spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions,
+      Sources.Orc)
+
+  /** format(...)-selected build over a path (reference
+    * DataFrameIndexManager's createIndex path). */
+  def save(path: String): Unit =
+    IndexedDataSource.createIndex(
+      spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions,
+      sourceFormat)
 
   def table(tableName: String): Unit = {
-    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    val (provider, location) =
+      new IndexManager(spark).requireSupportedTable(spark, tableName)
     IndexedDataSource.createIndex(
-      spark, location.toString, Metastore.CatalogDataspace, saveMode, columns, all, extraOptions)
+      spark, location.toString, Metastore.CatalogDataspace, saveMode, columns, all,
+      extraOptions, provider)
   }
 }
 
@@ -141,8 +169,12 @@ class RefreshIndexCommand(spark: SparkSession, initialOptions: Map[String, Strin
   def parquet(path: String): IndexedDataSource.RefreshStats =
     IndexedDataSource.refreshIndex(spark, path, Metastore.Dataspace, extraOptions)
 
+  /** Refresh an ORC-table index (the format is read from the index
+    * metadata, so this is the parquet terminal's path-addressed twin). */
+  def orc(path: String): IndexedDataSource.RefreshStats = parquet(path)
+
   def table(tableName: String): IndexedDataSource.RefreshStats = {
-    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    val (_, location) = new IndexManager(spark).requireSupportedTable(spark, tableName)
     IndexedDataSource.refreshIndex(
       spark, location.toString, Metastore.CatalogDataspace, extraOptions)
   }
@@ -151,8 +183,9 @@ class RefreshIndexCommand(spark: SparkSession, initialOptions: Map[String, Strin
 class ExistsIndexCommand(spark: SparkSession) {
   def parquet(path: String): Boolean =
     IndexedDataSource.existsIndex(spark, path, Metastore.Dataspace)
+  def orc(path: String): Boolean = parquet(path)
   def table(tableName: String): Boolean = {
-    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    val (_, location) = new IndexManager(spark).requireSupportedTable(spark, tableName)
     IndexedDataSource.existsIndex(spark, location.toString, Metastore.CatalogDataspace)
   }
 }
@@ -160,8 +193,9 @@ class ExistsIndexCommand(spark: SparkSession) {
 class DeleteIndexCommand(spark: SparkSession) {
   def parquet(path: String): Unit =
     IndexedDataSource.deleteIndex(spark, path, Metastore.Dataspace)
+  def orc(path: String): Unit = parquet(path)
   def table(tableName: String): Unit = {
-    val (_, location) = new IndexManager(spark).requireParquetTable(spark, tableName)
+    val (_, location) = new IndexManager(spark).requireSupportedTable(spark, tableName)
     IndexedDataSource.deleteIndex(spark, location.toString, Metastore.CatalogDataspace)
   }
 }

@@ -24,7 +24,8 @@ case class IndexMetadata(
     sketchKind: Option[String],
     partitionValues: Seq[Seq[Option[String]]],
     fileCount: Long,
-    totalBytes: Long) {
+    totalBytes: Long,
+    source: String = Sources.Parquet) {
 
   def indexedColumns: Set[String] = indexSchema.fieldNames.toSet
 }
@@ -188,7 +189,8 @@ object IndexMetadata {
       "partitionValues" -> JArray(m.partitionValues.toList.map(p =>
         JArray(p.toList.map(_.map(JString(_): JValue).getOrElse(JNull))))),
       "fileCount" -> JLong(m.fileCount),
-      "totalBytes" -> JLong(m.totalBytes))
+      "totalBytes" -> JLong(m.totalBytes),
+      "source" -> JString(m.source))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -215,6 +217,32 @@ object IndexMetadata {
         }
       },
       fileCount = jlong(j \ "fileCount"),
-      totalBytes = jlong(j \ "totalBytes"))
+      totalBytes = jlong(j \ "totalBytes"),
+      // absent in pre-ORC metadata — those indexes are all parquet
+      source = (j \ "source").toOption.collect { case JString(s) => s }
+        .getOrElse(Sources.Parquet))
   }
+}
+
+/** Data-source formats the index engine can read. The reference ships a
+  * single MetastoreSupport implementation (parquet) behind an extensible
+  * trait (MetastoreSupport.scala); here the second format exercises that
+  * axis for real. The index's OWN storage (files/sketch tables,
+  * metadata.json) is parquet regardless — only the DATA files differ. */
+object Sources {
+  val Parquet = "parquet"
+  val Orc = "orc"
+  val All: Seq[String] = Seq(Parquet, Orc)
+
+  def normalize(source: String): String = {
+    val s = source.toLowerCase
+    require(All.contains(s), s"unsupported index source format: $source " +
+      s"(supported: ${All.mkString(", ")})")
+    s
+  }
+
+  /** Multi-file schema-merging read of data files in `source` format. */
+  def read(spark: org.apache.spark.sql.SparkSession, source: String,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    spark.read.option("mergeSchema", "true").format(normalize(source)).load(paths: _*)
 }

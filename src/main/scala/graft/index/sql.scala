@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   *
   * {{{
   *   CREATE INDEX ON PARQUET '/data/events' (user_id, kind)
+  *   CREATE INDEX ON ORC '/data/legacy_events' (user_id)
   *   CREATE OR REPLACE INDEX ON TABLE sales (s_store_id)
   *       OPTIONS ('spark.sql.index.parquet.filter.type'='dict')
   *   CREATE INDEX IF NOT EXISTS ON PARQUET '/data/events' (user_id)
@@ -62,15 +63,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  /** An index target: a filesystem parquet path or a catalog table. */
+  /** An index target: a filesystem path in a named format (parquet/orc)
+    * or a catalog table (format from its provider). */
   sealed trait Target
-  final case class PathTarget(path: String) extends Target
+  final case class PathTarget(source: String, path: String) extends Target
   final case class TableTarget(name: String) extends Target
 
   // Statement shapes. A trailing semicolon is tolerated everywhere; the
   // path is a single-quoted string ('' escapes a quote, SQL-style);
   // columns are plain or backquoted identifiers.
-  private val TargetRe = """(?:parquet\s*'((?:[^']|'')*)'|table\s+([\w.`]+))"""
+  private val TargetRe = """(?:(parquet|orc)\s*'((?:[^']|'')*)'|table\s+([\w.`]+))"""
   private val OptionsRe =
     """(?:\s+options\s*\(\s*((?:'(?:[^']|'')*'\s*=\s*'(?:[^']|'')*'\s*,?\s*)+)\))?"""
 
@@ -90,12 +92,13 @@ object GraftSqlParser {
     * `CREATE INDEX idx ON tbl` carries an index NAME before ON and never
     * matches, because this requires `index on (parquet|table)`. */
   private val ShapeRe =
-    """(?is)^\s*(?:create\s+(?:or\s+replace\s+)?index|drop\s+index|refresh\s+index|show\s+index)\s+(?:if\s+(?:not\s+)?exists\s+)?on\s+(?:parquet|table)\b.*""".r
+    """(?is)^\s*(?:create\s+(?:or\s+replace\s+)?index|drop\s+index|refresh\s+index|show\s+index)\s+(?:if\s+(?:not\s+)?exists\s+)?on\s+(?:parquet|orc|table)\b.*""".r
 
   private def unquote(s: String): String = s.replace("''", "'")
 
-  private def target(path: String, table: String): Target =
-    if (path != null) PathTarget(unquote(path)) else TableTarget(table.replace("`", ""))
+  private def target(src: String, path: String, table: String): Target =
+    if (path != null) PathTarget(src.toLowerCase, unquote(path))
+    else TableTarget(table.replace("`", ""))
 
   private def columns(s: String): Seq[String] =
     s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -113,7 +116,7 @@ object GraftSqlParser {
 
   /** Some(plan) when `sqlText` is a graft index statement; None → delegate. */
   def parseGraftPlan(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case CreateRe(orReplace, ifNotExists, path, table, cols, opts) =>
+    case CreateRe(orReplace, ifNotExists, src, path, table, cols, opts) =>
       if (orReplace != null && ifNotExists != null) {
         fail(sqlText, "CREATE INDEX cannot combine OR REPLACE with IF NOT EXISTS")
       }
@@ -121,16 +124,16 @@ object GraftSqlParser {
         if (orReplace != null) "overwrite"
         else if (ifNotExists != null) "ignore"
         else "errorifexists"
-      Some(SqlCreateIndex(target(path, table), columns(cols), mode, options(opts)))
-    case DropRe(ifExists, path, table) =>
-      Some(SqlDropIndex(target(path, table), ifExists != null))
-    case RefreshRe(path, table, opts) =>
-      Some(SqlRefreshIndex(target(path, table), options(opts)))
-    case ShowRe(path, table) =>
-      Some(SqlShowIndex(target(path, table)))
+      Some(SqlCreateIndex(target(src, path, table), columns(cols), mode, options(opts)))
+    case DropRe(ifExists, src, path, table) =>
+      Some(SqlDropIndex(target(src, path, table), ifExists != null))
+    case RefreshRe(src, path, table, opts) =>
+      Some(SqlRefreshIndex(target(src, path, table), options(opts)))
+    case ShowRe(src, path, table) =>
+      Some(SqlShowIndex(target(src, path, table)))
     case ShapeRe() =>
       fail(sqlText, "malformed graft index statement; expected " +
-        "CREATE [OR REPLACE] INDEX [IF NOT EXISTS] ON (PARQUET '<path>'|TABLE <name>) " +
+        "CREATE [OR REPLACE] INDEX [IF NOT EXISTS] ON (PARQUET|ORC '<path>'|TABLE <name>) " +
         "(col, ...) [OPTIONS ('k'='v', ...)] | " +
         "DROP INDEX [IF EXISTS] ON <target> | REFRESH INDEX ON <target> " +
         "[OPTIONS (...)] | SHOW INDEX ON <target>")
@@ -147,10 +150,13 @@ case class SqlCreateIndex(
     target: Target, cols: Seq[String], mode: String,
     options: Map[String, String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val cmd = new IndexManager(spark).options(options).create.mode(mode).indexBy(cols: _*)
     target match {
-      case PathTarget(p) => cmd.parquet(p)
-      case TableTarget(t) => cmd.table(t)
+      case PathTarget(src, p) =>
+        new IndexManager(spark).format(src).options(options)
+          .create.mode(mode).indexBy(cols: _*).save(p)
+      case TableTarget(t) =>
+        new IndexManager(spark).options(options)
+          .create.mode(mode).indexBy(cols: _*).table(t)
     }
     Nil
   }
@@ -163,7 +169,7 @@ case class SqlDropIndex(target: Target, ifExists: Boolean)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     try target match {
-      case PathTarget(p) => new IndexManager(spark).delete.parquet(p)
+      case PathTarget(_, p) => new IndexManager(spark).delete.parquet(p)
       case TableTarget(t) => new IndexManager(spark).delete.table(t)
     } catch { case e: Exception if ifExists => }
     Nil
@@ -180,7 +186,7 @@ case class SqlRefreshIndex(target: Target, options: Map[String, String])
   override def run(spark: SparkSession): Seq[Row] = {
     val cmd = new IndexManager(spark).options(options).refresh
     val stats = target match {
-      case PathTarget(p) => cmd.parquet(p)
+      case PathTarget(_, p) => cmd.parquet(p)
       case TableTarget(t) => cmd.table(t)
     }
     Seq(Row(stats.addedFiles, stats.removedFiles))
@@ -193,25 +199,26 @@ case class SqlShowIndex(target: Target) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("exists", BooleanType, nullable = false)(),
     AttributeReference("table_path", StringType, nullable = false)(),
+    AttributeReference("source", StringType)(),
     AttributeReference("indexed_columns", StringType)(),
     AttributeReference("sketch", StringType)(),
     AttributeReference("file_count", LongType)(),
     AttributeReference("total_bytes", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (tablePath, dataspace) = target match {
-      case PathTarget(p) =>
+      case PathTarget(_, p) =>
         (IndexedDataSource.resolveTablePath(spark, p), Metastore.Dataspace)
       case TableTarget(t) =>
-        val (_, location) = new IndexManager(spark).requireParquetTable(spark, t)
+        val (_, location) = new IndexManager(spark).requireSupportedTable(spark, t)
         (IndexedDataSource.resolveTablePath(spark, location.toString),
           Metastore.CatalogDataspace)
     }
     val metastore = Metastore(spark)
     if (!metastore.exists(dataspace, tablePath)) {
-      Seq(Row(false, tablePath.toString, null, null, null, null))
+      Seq(Row(false, tablePath.toString, null, null, null, null, null))
     } else {
       val (_, meta) = metastore.load(dataspace, tablePath)
-      Seq(Row(true, tablePath.toString,
+      Seq(Row(true, tablePath.toString, meta.source,
         meta.indexSchema.fieldNames.mkString(","),
         meta.sketchKind.orNull, meta.fileCount, meta.totalBytes))
     }

@@ -49,25 +49,43 @@ object SparkInternals {
   def partitionDirectory(values: InternalRow, files: Array[FileStatus]): PartitionDirectory =
     PartitionDirectory(values, files)
 
-  /** Build a DataFrame over a custom FileIndex backed by the Parquet file
-    * format — the relation assembly the reference does at
-    * IndexedDataSource.scala:80-86. */
-  def parquetRelation(
+  /** Build a DataFrame over a custom FileIndex backed by the given file
+    * format ("parquet" | "orc") — the relation assembly the reference does
+    * at IndexedDataSource.scala:80-86, generalized across sources. */
+  def fsRelation(
       spark: SparkSession,
       location: FileIndex,
       partitionSchema: StructType,
       dataSchema: StructType,
-      options: Map[String, String]): DataFrame = {
+      options: Map[String, String],
+      source: String): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fileFormat = source match {
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+      case _ => new ParquetFileFormat()
+    }
     val relation = HadoopFsRelation(
       location = location,
       partitionSchema = partitionSchema,
       dataSchema = dataSchema.asNullable,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat = fileFormat,
       options = options)(classic)
     classic.baseRelationToDataFrame(relation)
   }
+
+  def parquetRelation(
+      spark: SparkSession,
+      location: FileIndex,
+      partitionSchema: StructType,
+      dataSchema: StructType,
+      options: Map[String, String]): DataFrame =
+    fsRelation(spark, location, partitionSchema, dataSchema, options, "parquet")
+
+  /** Spark StructType of an ORC file schema (executor-safe pure
+    * conversion). */
+  def orcSparkSchema(td: org.apache.orc.TypeDescription): StructType =
+    org.apache.spark.sql.execution.datasources.orc.OrcUtils.toCatalystSchema(td)
 
   /** Driver-side file listing + Hive-style partition discovery for a table
     * root, via Spark's own InMemoryFileIndex. Returns (partitionSchema,

@@ -1,0 +1,161 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.implicits._
+
+/** ORC source support end-to-end: the same index engine (footer-analog
+  * stripe statistics, sketches, pruning, refresh, SQL DDL) over ORC data
+  * files. The reference ships parquet only behind its extensible
+  * MetastoreSupport trait (MetastoreSupport.scala); this suite proves the
+  * second implementation of that axis — results must equal plain
+  * `spark.read.orc` row-for-row while scanning fewer files. */
+class OrcIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val work = Files.createTempDirectory("graft-orc").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-orc-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(IndexConf.MetastoreLocation, s"$work/metastore")
+    .config("spark.sql.warehouse.dir", s"$work/warehouse")
+    .withExtensions(new graft.GraftExtensions)
+    .getOrCreate()
+
+  private lazy val tablePath = {
+    val p = s"$work/orders_orc"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_ordertime", col("o_orderdate").cast("timestamp"))
+      .repartition(8, col("o_orderkey"))
+      .write.orc(p)
+    p
+  }
+
+  private def checkSame(indexed: DataFrame, plain: DataFrame): Unit = {
+    val a = indexed.collect().map(_.toString).sorted
+    val b = plain.collect().map(_.toString).sorted
+    assert(a.length == b.length, s"row count: indexed=${a.length} plain=${b.length}")
+    assert(a.sameElements(b), "row contents differ")
+  }
+
+  private def pruning(df: DataFrame): (Long, Long) = {
+    val fi = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.nonEmpty, "no GraftFileIndex in plan")
+    (fi.get.lastListedFiles, fi.get.lastTotalFiles)
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.index.create.mode("overwrite")
+      .indexBy("o_orderkey", "o_orderstatus", "o_orderdate", "o_ordertime")
+      .orc(tablePath)
+  }
+
+  test("point lookup: equality prunes via stripe stats + bloom, rows match") {
+    val key = spark.read.orc(tablePath).agg(min(col("o_orderkey"))).head.getLong(0)
+    val indexed = spark.index.orc(tablePath).filter(col("o_orderkey") === key)
+    val plain = spark.read.orc(tablePath).filter(col("o_orderkey") === key)
+    checkSame(indexed, plain)
+    val (listed, total) = pruning(indexed)
+    assert(total == 8L && listed < total, s"expected pruning: $listed/$total")
+  }
+
+  test("string equality and date range prune, rows match plain ORC scan") {
+    val iStr = spark.index.orc(tablePath).filter(col("o_orderstatus") === "P")
+    checkSame(iStr, spark.read.orc(tablePath).filter(col("o_orderstatus") === "P"))
+
+    val d = spark.read.orc(tablePath)
+      .agg(min(col("o_orderdate")).cast("string")).head.getString(0)
+    val iDate = spark.index.orc(tablePath)
+      .filter(col("o_orderdate") === lit(d).cast("date"))
+    checkSame(iDate, spark.read.orc(tablePath)
+      .filter(col("o_orderdate") === lit(d).cast("date")))
+  }
+
+  test("timestamp range prunes on a range-clustered ORC table") {
+    val p = s"$work/orders_orc_ts"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_ordertime", col("o_orderdate").cast("timestamp"))
+      .repartitionByRange(8, col("o_ordertime"))
+      .write.orc(p)
+    spark.index.create.mode("overwrite").indexBy("o_ordertime").orc(p)
+    val bounds = spark.read.orc(p)
+      .agg(min(col("o_ordertime")).cast("date"), max(col("o_ordertime")).cast("date"))
+      .head
+    val lo = bounds.getDate(0).toString
+    val indexed = spark.index.orc(p)
+      .filter(col("o_ordertime") < lit(lo).cast("date").cast("timestamp") + expr("INTERVAL 30 DAYS"))
+    checkSame(indexed, spark.read.orc(p)
+      .filter(col("o_ordertime") < lit(lo).cast("date").cast("timestamp") + expr("INTERVAL 30 DAYS")))
+    val (listed, total) = pruning(indexed)
+    assert(total == 8L && listed < total,
+      s"range-clustered ts should prune: $listed/$total")
+  }
+
+  test("refresh picks up appended ORC files; combined rows stay correct") {
+    val p = s"$work/orders_orc_refresh"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(500).coalesce(2).write.orc(p)
+    spark.index.create.mode("overwrite").indexBy("o_orderkey").orc(p)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(600).coalesce(1).write.mode("append").orc(p)
+    val stats = spark.index.refresh.orc(p)
+    assert(stats.addedFiles == 1L && stats.removedFiles == 0L)
+    checkSame(spark.index.orc(p), spark.read.orc(p))
+  }
+
+  test("format mismatch fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      spark.index.parquet(tablePath)
+    }
+    assert(e.getMessage.contains("built over orc"), e.getMessage)
+  }
+
+  test("SQL DDL accepts ORC targets; SHOW INDEX reports the source") {
+    val p = s"$work/orders_orc_sql"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(4, col("o_orderkey")).write.orc(p)
+    spark.sql(s"CREATE INDEX ON ORC '$p' (o_orderkey) " +
+      s"OPTIONS ('${IndexConf.FilterType}'='dict')")
+    val show = spark.sql(s"SHOW INDEX ON ORC '$p'").head()
+    assert(show.getAs[Boolean]("exists"))
+    assert(show.getAs[String]("source") == "orc")
+    assert(show.getAs[String]("sketch") == Sketch.Dict)
+    val key = spark.read.orc(p).agg(min(col("o_orderkey"))).head.getLong(0)
+    val indexed = spark.index.orc(p).filter(col("o_orderkey") === key)
+    checkSame(indexed, spark.read.orc(p).filter(col("o_orderkey") === key))
+    val (listed, total) = pruning(indexed)
+    assert(total == 4L && listed < total, s"dict prune: $listed/$total")
+    spark.sql(s"DROP INDEX ON ORC '$p'")
+    assert(!spark.index.exists.orc(p))
+  }
+
+  test("Hive-partitioned ORC table: partition + index pruning compose") {
+    val p = s"$work/orders_orc_part"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("bucket", (col("o_orderkey") % 3).cast("int"))
+      .repartition(2, col("o_orderkey"))
+      .write.partitionBy("bucket").orc(p)
+    spark.index.create.mode("overwrite").indexBy("o_orderkey").orc(p)
+    val key = spark.read.orc(p).agg(min(col("o_orderkey"))).head.getLong(0)
+    val q = spark.index.orc(p)
+      .filter(col("bucket") === (key % 3).toInt && col("o_orderkey") === key)
+    checkSame(q, spark.read.orc(p)
+      .filter(col("bucket") === (key % 3).toInt && col("o_orderkey") === key))
+    val (listed, total) = pruning(q)
+    assert(listed < total, s"partition+index pruning: $listed/$total")
+  }
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}

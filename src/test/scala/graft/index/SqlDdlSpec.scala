@@ -129,7 +129,7 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = GraftSqlParser.parseGraftPlan(
       "SHOW INDEX ON PARQUET '/tmp/it''s here'")
     assert(plan.exists {
-      case SqlShowIndex(GraftSqlParser.PathTarget(p)) => p == "/tmp/it's here"
+      case SqlShowIndex(GraftSqlParser.PathTarget("parquet", p)) => p == "/tmp/it's here"
       case _ => false
     })
   }
