@@ -167,7 +167,9 @@ object Ann {
     * `list_position(dots, list_max(dots)) - 1` reproduces every
     * assignment bit-for-bit. */
   def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dots = array(centroids.map(c => dot(vec, array(c.map(lit): _*))): _*)
+    // single nested-array literal — see nearestCentroid's planning note
+    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val dots = transform(cents, c => dot(vec, c))
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
@@ -355,8 +357,14 @@ object Ann {
     * tie rule [[ivfCell]] uses so the oracle's
     * `row_number() OVER (ORDER BY dist, cluster) = 1` reproduces it. */
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map(c =>
-      squaredDistance(vec, array(c.map(lit): _*))): _*)
+    // One nested-array literal instead of k×dim lit() nodes: the
+    // expression tree (and codegen) stays O(1) in k and dim — at k=8,
+    // dim=64 the per-element formulation costs seconds of driver
+    // planning per use. Arithmetic is unchanged: transform preserves
+    // centroid order, squaredDistance folds dimensions left-to-right,
+    // array_position keeps the first-min tie rule.
+    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val dists = transform(cents, c => squaredDistance(vec, c))
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -483,8 +491,9 @@ object Ann {
       vec: Column,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val q = quantizeMilli(vec)
-    val dists = array(centroids.map(c =>
-      squaredDistance(q, array(c.map(lit): _*))): _*)
+    // single nested-array literal — see nearestCentroid's planning note
+    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val dists = transform(cents, c => squaredDistance(q, c))
     df.select(id.as("vec_id"),
       (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
       round(array_min(dists) / lit(1e6), 6).as("dist2"))

@@ -254,5 +254,12 @@ class GraftFileIndex(
 
   override def refresh(): Unit = IndexFilesTable.invalidate(filesDir)
 
+  /** Whole-table size — the sound pre-filter estimate the v1 FileIndex
+    * contract expects (filters arrive only at listFiles time, AFTER join
+    * strategies are chosen, so the pruned size cannot inform the initial
+    * plan). A heavily-pruned indexed scan still becomes a broadcast side
+    * at runtime via AQE's re-plan (shuffle stage materializes the pruned
+    * output, `spark.sql.adaptive.autoBroadcastJoinThreshold` converts
+    * the join) — the idiomatic Spark path, not a stats hack here. */
   override def sizeInBytes: Long = meta.totalBytes
 }
