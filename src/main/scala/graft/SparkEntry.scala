@@ -809,6 +809,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style rule gate: per-rule flags + overall pass, thresholds
+    // chosen to split the corpus on every rule the synthetic text can
+    // exercise. The oracle re-derives each flag from scratch.
+    "q_text_gopher" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select($"doc_id",
+          graft.text.TextFunctions.gopherFlags($"text",
+            minWords = 40, maxWords = 100000,
+            minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
+            maxDigitRatio = 0.2, minStopwordHits = 2).as("g"))
+        .select($"doc_id", $"g.words_ok", $"g.mean_word_len_ok",
+          $"g.digit_ok", $"g.stopword_ok", $"g.pass")
+        .orderBy($"doc_id")
+    }),
+
+    // URL/domain provenance filter: deterministic per-doc URLs, blocklist
+    // drops three source domains map-side (literal NOT IN — no shuffle).
+    "q_web_domains" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").withColumn("url",
+        concat(lit("https://www."), $"source", lit(".example.com/doc/"), $"doc_id"))
+      graft.text.Web.filterBlockedDomains(docs, $"url",
+          Seq("src1.example.com", "src3.example.com", "src5.example.com"))
+        .select($"doc_id", graft.text.Web.domainOf($"url").as("domain"))
+        .orderBy($"doc_id")
+    }),
+
     // Language-ID heuristic distribution.
     "q_text_langid" -> ((s, dir) => {
       import s.implicits._
@@ -1776,6 +1804,39 @@ object SparkEntry {
         |  round(0.25*least(nt::DOUBLE/64.0, 1.0) + 0.25*least(sr*4.0, 1.0)
         |    + 0.25*(1.0-least(pr*4.0, 1.0)) + 0.25*(1.0-least(dr*4.0, 1.0)), 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |m AS (SELECT doc_id, len(toks) AS nt,
+        |  coalesce(list_sum(list_transform(toks, s -> length(s))), 0)::DOUBLE
+        |    / greatest(len(toks), 1)::DOUBLE AS ml,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE
+        |    / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s))) AS sh
+        |  FROM tt)
+        |SELECT doc_id,
+        |  (nt >= 40 AND nt <= 100000) AS words_ok,
+        |  (nt > 0 AND ml >= 4.0 AND ml <= 10.0) AS mean_word_len_ok,
+        |  (dr <= 0.2) AS digit_ok,
+        |  (sh >= 2) AS stopword_ok,
+        |  ((nt >= 40 AND nt <= 100000) AND (nt > 0 AND ml >= 4.0 AND ml <= 10.0)
+        |    AND (dr <= 0.2) AND (sh >= 2)) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_web_domains" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com/doc/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  regexp_replace(lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+        |    '^www\.', '') AS domain
+        |  FROM u)
+        |SELECT doc_id, domain FROM d
+        |WHERE domain NOT IN ('src1.example.com','src3.example.com','src5.example.com')
+        |ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH t AS (SELECT text,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -95,6 +95,39 @@ object TextFunctions {
         lit(0.25) * (lit(1.0) - punctPenalty) + lit(0.25) * (lit(1.0) - digitPenalty), 4)
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021, arXiv:2112.11446 §A1.1,
+    * restricted to the LM-free signals): per-rule boolean flags plus an
+    * overall `pass`, as one struct column so a curation pipeline can
+    * filter on `pass` OR keep the flags for per-rule yield accounting —
+    * the standard pre-dedup quality stage. Pure map-side projection over
+    * the codegen'd token/ratio kernels; engine-portable (integer token
+    * counts, identical double division and comparisons).
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen]; digit-character ratio ≤
+    * maxDigitRatio (the available stand-in for Gopher's symbol ratio);
+    * at least minStopwordHits English stopword hits (Gopher requires 2). */
+  def gopherFlags(
+      c: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxDigitRatio: Double = 0.2, minStopwordHits: Int = 2): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val meanLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), _ + _).cast("double") / greatest(n, lit(1)).cast("double")
+    val wordsOk = n >= minWords && n <= maxWords
+    val meanLenOk = n > 0 && meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val digitOk = digitRatio(c) <= maxDigitRatio
+    val stopOk = stopwordHits(c, stopwordsEn) >= minStopwordHits
+    struct(
+      wordsOk.as("words_ok"),
+      meanLenOk.as("mean_word_len_ok"),
+      digitOk.as("digit_ok"),
+      stopOk.as("stopword_ok"),
+      (wordsOk && meanLenOk && digitOk && stopOk).as("pass"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (md5 exists on both
     * engines; use [[fingerprint64]] for a cheaper Spark-only 64-bit key). */
   def fingerprint(c: Column): Column = md5(normalized(c))

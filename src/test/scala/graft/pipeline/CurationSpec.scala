@@ -162,6 +162,59 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"mixing must stay map-side:\n$plan")
   }
 
+  test("Web: host/domain extraction and blocklist filtering") {
+    import graft.text.Web
+    val df = Seq(
+      (1L, "https://www.spam.example.com/page?q=1"),
+      (2L, "http://good.example.org/a/b"),
+      (3L, "https://user:pw@www.Weird.NET:8443/x"),
+      (4L, "not a url at all"),
+      (5L, "ftp://spam.example.com/file")
+    ).toDF("id", "url")
+    val domains = df.select($"id", Web.domainOf($"url").as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(domains(1L) == "spam.example.com")
+    assert(domains(2L) == "good.example.org")
+    assert(domains(3L) == "weird.net") // userinfo skipped, port cut, lowered
+    assert(domains(4L) == "")          // non-URL -> empty, never a false block
+    assert(domains(5L) == "spam.example.com")
+    // literal blocklist: map-side NOT IN, no shuffle
+    val kept = Web.filterBlockedDomains(df, $"url", Seq("spam.example.com"))
+    assert(kept.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+    // DataFrame blocklist: anti-join, same survivors
+    val keptDf = Web.filterBlockedDomains(df, $"url",
+      Seq("spam.example.com").toDF("domain"))
+    assert(keptDf.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("gopherFlags: each rule fires independently; pass is their AND") {
+    import graft.text.TextFunctions
+    val docs = Seq(
+      (1L, ("the is lexicon " * 20).trim),          // all rules pass
+      (2L, "the is short doc"),                     // words_ok fails
+      (3L, ("ab xy zz qq the is " * 10).trim),      // mean len < 3
+      (4L, ("12345 67890 the is words here now " * 8).trim), // digits heavy
+      (5L, ("lexicon semantic corpus " * 20).trim)  // no stopwords
+    ).toDF("id", "text")
+    val out = docs.select($"id",
+        TextFunctions.gopherFlags($"text", minWords = 10, maxWords = 1000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          maxDigitRatio = 0.1, minStopwordHits = 2).as("g"))
+      .select($"id", $"g.words_ok", $"g.mean_word_len_ok", $"g.digit_ok",
+        $"g.stopword_ok", $"g.pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._6, s"short doc must fail words_ok: ${out(2L)}")
+    assert(!out(3L)._3 && !out(3L)._6, s"tiny words must fail mean len: ${out(3L)}")
+    assert(!out(4L)._4 && !out(4L)._6, s"digit-heavy must fail: ${out(4L)}")
+    assert(!out(5L)._5 && !out(5L)._6, s"no stopwords must fail: ${out(5L)}")
+    // pure map-side projection
+    assert(!docs.select(TextFunctions.gopherFlags($"text"))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("assignSplit: disjoint exhaustive labels, consistent with hashSample") {
     val df = spark.range(1000).toDF("id")
     val out = Sampling.assignSplit(df, col("id"),
