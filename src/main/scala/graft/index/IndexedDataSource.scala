@@ -57,6 +57,10 @@ object IndexedDataSource {
 
     val indexSchema = resolveIndexSchema(firstSchema, partitionSchema, columns, indexAll)
 
+    // Same sibling lock refresh holds: a create (overwrite deletes the
+    // index dir) cannot interleave with a live refresh of the same index.
+    graft.ops.MaintenanceLock.withSiblingLock(
+        metastore.fs, metastore.location(dataspace, tablePath)) {
     metastore.create(dataspace, tablePath, mode) { indexDir =>
       SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
       IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
@@ -125,6 +129,7 @@ object IndexedDataSource {
         fileCount = summary.fileCount,
         totalBytes = summary.totalBytes))
     }
+    } // withSiblingLock
   }
 
   /** Validate/choose indexed columns (reference ParquetSchemaUtils.scala:
@@ -247,10 +252,11 @@ object IndexedDataSource {
     val addedRefs = current.filter { case (_, r) => addedPaths.contains(r.path) }
 
     // Single-writer enforcement: the whole mutation (files-table rewrite,
-    // sketch append, metadata + _SUCCESS) runs under the index dir's
-    // maintenance lock — a concurrent refresh fails fast instead of
-    // interleaving table rewrites; a crashed run's lock lease-expires.
-    graft.ops.MaintenanceLock.withLock(fs, indexDir) {
+    // sketch append, metadata + _SUCCESS) runs under the index's SIBLING
+    // maintenance lock (shared with create/delete, which remove the index
+    // dir itself) — a concurrent run fails fast instead of interleaving
+    // table rewrites; a crashed run's lock lease-expires.
+    graft.ops.MaintenanceLock.withSiblingLock(fs, indexDir) {
 
     Metastore.cacheInvalidate(indexDir.toString)
     SketchStore.invalidate(sketchDir)
@@ -335,9 +341,13 @@ object IndexedDataSource {
     val metastore = Metastore(spark)
     val tablePath = resolveTablePath(spark, path)
     val indexDir = metastore.location(dataspace, tablePath)
-    SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
-    IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
-    metastore.delete(dataspace, tablePath)
+    // Sibling lock (shared with create/refresh): deleting an index out
+    // from under a live refresh would leave a torn, _SUCCESS-less dir.
+    graft.ops.MaintenanceLock.withSiblingLock(metastore.fs, indexDir) {
+      SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
+      IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
+      metastore.delete(dataspace, tablePath)
+    }
   }
 
   /** Load the indexed relation as a DataFrame (reference flow §3.2 step 1).

@@ -32,8 +32,24 @@ object MaintenanceLock {
     * holds an unexpired lock. Always releases on exit (success or
     * failure); a crash leaves the lock to lease expiry. */
   def withLock[T](fs: FileSystem, dir: Path, leaseMs: Long = DefaultLeaseMs)(
+      body: => T): T =
+    withLockFile(fs, new Path(dir, LockName), leaseMs)(body)
+
+  /** Sibling-file variant for operations that DELETE `dir` itself
+    * (index create in overwrite mode, index delete): the lock lives
+    * beside the directory as `_<name>.lock`, so it survives the
+    * directory's removal and still excludes refresh (which takes the
+    * same sibling lock). */
+  def withSiblingLock[T](fs: FileSystem, dir: Path, leaseMs: Long = DefaultLeaseMs)(
       body: => T): T = {
-    val lock = new Path(dir, LockName)
+    val parent = Option(dir.getParent).getOrElse(
+      throw new IllegalArgumentException(s"cannot sibling-lock a root path: $dir"))
+    fs.mkdirs(parent)
+    withLockFile(fs, new Path(parent, "_" + dir.getName + ".lock"), leaseMs)(body)
+  }
+
+  private def withLockFile[T](fs: FileSystem, lock: Path, leaseMs: Long)(
+      body: => T): T = {
     // expired lease → the holder is presumed dead; heal it
     val existing =
       try Some(fs.getFileStatus(lock))

@@ -726,20 +726,32 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.setTimes(lock, System.currentTimeMillis() - 3600L * 1000, -1)
     assert(graft.ops.Layout.vacuum(spark, p) == 0)
     assert(!fs.exists(lock))
-    // refresh takes the INDEX dir's lock: a held lock blocks it
+    // create/refresh/delete share the index's SIBLING lock: a held lock
+    // blocks all three (create and delete remove the index dir itself,
+    // so the lock must live beside it)
     spark.index.create.mode("overwrite").indexBy("o_orderkey").parquet(p)
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .limit(10).coalesce(1).write.mode("append").parquet(p)
     val metastore = graft.index.Metastore(spark)
     val indexDir = metastore.location(graft.index.Metastore.Dataspace,
       graft.index.IndexedDataSource.resolveTablePath(spark, p))
-    graft.ops.MaintenanceLock.withLock(metastore.fs, indexDir) {
+    graft.ops.MaintenanceLock.withSiblingLock(metastore.fs, indexDir) {
       intercept[graft.ops.ConcurrentMaintenanceException] {
         spark.index.refresh.parquet(p)
       }
+      intercept[graft.ops.ConcurrentMaintenanceException] {
+        spark.index.create.mode("overwrite").indexBy("o_orderkey").parquet(p)
+      }
+      intercept[graft.ops.ConcurrentMaintenanceException] {
+        spark.index.delete.parquet(p)
+      }
+      // the index survived every blocked mutation attempt
+      assert(spark.index.exists.parquet(p))
     }
     val stats = spark.index.refresh.parquet(p)
     assert(stats.addedFiles > 0L)
+    spark.index.delete.parquet(p)
+    assert(!spark.index.exists.parquet(p))
   }
 
   test("multi-row-group files: blooms sized by file rows, pruning intact") {
