@@ -1201,6 +1201,21 @@ object SparkEntry {
     // Int8 scalar quantization (the 4× ANN memory cut): integer-exact
     // per-vector summary + the raw double scale, identical arithmetic on
     // both engines.
+    // Product quantization: 64-dim float32 → 8 sub-codes (32× memory
+    // cut), top-10 by asymmetric distance — the oracle re-derives every
+    // code from the deterministic codebook literals and recomputes the
+    // ADC from the query row's own embedding.
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.pqAdcTopK(emb, $"vec_id", $"embedding", q,
+        graft.ann.Ann.pqCodebooks(m = 8, k = 16, subDim = 8),
+        k = 10, excludeId = Some(qRow.getLong(0)))
+    }),
+
     "q_ann_quantize" -> ((s, dir) => {
       import s.implicits._
       graft.ann.Ann.quantizeInt8Summary(
@@ -1516,6 +1531,43 @@ object SparkEntry {
   /** Cosine of two DuckDB float-list columns in double precision. */
   /** 16-element list of `vecCol`·centroid dots, from the SAME
     * [[graft.ann.Ann.ivfCodebook]] the operator uses. */
+  /** Full from-scratch replay of [[graft.ann.Ann.pqEncode]] +
+    * [[graft.ann.Ann.pqAdcTopK]]: per-subspace code assignment against
+    * the deterministic codebook literals (first-min ties via
+    * list_position), then the asymmetric distance recomputed from the
+    * query row's own embedding — same dimension fold order and same
+    * left-associated subspace sum as the operators. */
+  private def pqAdcSql(m: Int, k: Int, subDim: Int, topK: Int): String = {
+    val books = graft.ann.Ann.pqCodebooks(m, k, subDim)
+    def bookLit(j: Int): String =
+      books(j).map(_.map(sqlDouble).mkString("[", ", ", "]"))
+        .mkString("[", ",\n      ", "]")
+    val codeExprs = (0 until m).map { j =>
+      val dists = s"list_transform(${bookLit(j)}, c -> " +
+        s"list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (e[${j * subDim} + i] - c[i]) * (e[${j * subDim} + i] - c[i]))))"
+      s"(list_position($dists, list_min($dists)) - 1)"
+    }
+    val adcTerms = (0 until m).map { j =>
+      s"list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (qe[${j * subDim} + i] - (${bookLit(j)})[codes[${j + 1}] + 1][i]) * " +
+        s"(qe[${j * subDim} + i] - (${bookLit(j)})[codes[${j + 1}] + 1][i])))"
+    }
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |c AS (SELECT vec_id, [
+       |  ${codeExprs.mkString(",\n  ")}
+       |  ] AS codes FROM v),
+       |d AS (SELECT c.vec_id AS neighbor_id,
+       |  round(${adcTerms.mkString("\n  + ")}, 6) AS adc_dist2
+       |  FROM c, q)
+       |SELECT neighbor_id, adc_dist2 FROM d
+       |WHERE neighbor_id <> (SELECT min(vec_id) FROM embeddings)
+       |ORDER BY adc_dist2, neighbor_id LIMIT $topK""".stripMargin
+  }
+
   private def ivfDotsSql(vecCol: String, cells: Int, dim: Int): String = {
     val cents = graft.ann.Ann.ivfCodebook(cells, dim)
     cents.map { c =>
@@ -2228,6 +2280,7 @@ object SparkEntry {
         |    bit_count(xor(v.b, q.qb)) <= 1)
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q_ann_pq" -> pqAdcSql(m = 8, k = 16, subDim = 8, topK = 10),
     "q_ann_quantize" ->
       """WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),

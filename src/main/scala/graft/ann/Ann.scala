@@ -335,6 +335,76 @@ object Ann {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Deterministic product-quantization codebooks: `m` subspaces × `k`
+    * sub-centroids of `subDim` dims each, derived per subspace by the
+    * same hash construction as [[ivfCodebook]] (a pure function of the
+    * arguments, so the SQL oracle embeds identical literals). In
+    * production each subspace codebook would come from k-means over a
+    * sample ([[kmeansFit]] on the sliced column); encode/ADC below are
+    * unchanged by where codebooks come from. */
+  def pqCodebooks(
+      m: Int, k: Int, subDim: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j =>
+      ivfCodebook(k, subDim, scala.util.hashing.byteswap64(
+        seed + 0x9E3779B97F4A7C15L * (j + 1))))
+
+  /** PQ encode: vec → `m` sub-codes, code_j = index of the nearest
+    * (squared-L2, first-min ties) sub-centroid of subspace j. The whole
+    * codebook rides the plan as ONE 3-level array literal; pure map-side
+    * projection. At 100 TB this is the memory story of billion-vector
+    * ANN: m bytes per vector (m small ints) instead of 4·dim — a 64-dim
+    * float32 embedding compresses 32× at m=8. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
+    val subDim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subDim)),
+      "all sub-centroids must share subDim")
+    val v = transform(vec, x => x.cast("double"))
+    val cb = typedLit(codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    transform(cb, (book, j) => {
+      val sub = slice(v, j * subDim + 1, lit(subDim))
+      val dists = transform(book, c => squaredDistance(sub, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * exact, each candidate is represented by its code's sub-centroids,
+    * and the distance is the sum of per-subspace lookup-table entries
+    * `table[j][code_j] = ||query_j − codebook_j[code_j]||²` — the
+    * classic Jégou et al. 2011 formulation. The m×k table is computed
+    * driver-side from the literal query (left-fold dimension sums, the
+    * same order the oracle's list_sum uses) and rides the plan as one
+    * literal; scoring is a map-side array lookup + fold, so the scan
+    * never touches the raw vectors — at scale the codes table is the
+    * only thing read. Ties broken by neighbor id. */
+  def pqAdcTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Double],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    require(query.length == m * subDim,
+      s"query dim ${query.length} != m·subDim = ${m * subDim}")
+    val table: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (book, j) =>
+      val qsub = query.slice(j * subDim, (j + 1) * subDim)
+      book.map(c => c.zip(qsub).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val tab = typedLit(table.map(_.toIndexedSeq).toIndexedSeq)
+    val codes = pqEncode(vec, codebooks)
+    val dist = aggregate(
+      transform(codes, (c, j) => element_at(element_at(tab, j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val base = df.select(id.as("neighbor_id"), round(dist, 6).as("adc_dist2"))
+    excludeId.fold(base)(x => base.filter(col("neighbor_id") =!= x))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+      .limit(k)
+  }
+
   /** Embeddings quantized to integer-valued doubles (milli-units,
     * `floor(x·1000 + 0.5)`): float32→double is exact and floor(x+0.5)
     * evaluates identically on any engine, so every downstream sum over

@@ -298,6 +298,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splitPairs == 0L)
   }
 
+  test("PQ: codes in range, exact-centroid vectors decode losslessly") {
+    val m = 4; val k = 8; val subDim = 4
+    val books = Ann.pqCodebooks(m, k, subDim)
+    // vectors assembled exactly from sub-centroids: ADC distance of the
+    // same assembly as query must be 0 (each subspace hits its centroid)
+    def assemble(codes: Seq[Int]): Seq[Double] =
+      codes.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+    val planted = Seq(
+      (0L, assemble(Seq(0, 1, 2, 3))),
+      (1L, assemble(Seq(4, 5, 6, 7))),
+      (2L, assemble(Seq(0, 0, 0, 0)))
+    ).map { case (i, v) => (i, v.map(_.toFloat).toArray) }.toDF("vec_id", "v")
+    val codes = planted.select($"vec_id", Ann.pqEncode($"v", books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(0, 1, 2, 3), s"got ${codes(0L)}")
+    assert(codes(1L) == Seq(4, 5, 6, 7))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < k)))
+    val top = Ann.pqAdcTopK(planted, $"vec_id", $"v",
+        assemble(Seq(0, 1, 2, 3)), books, k = 3)
+      .as[(Long, Double)].collect()
+    assert(top.head == ((0L, 0.0)), s"exact assembly must score 0: ${top.toSeq}")
+    assert(top.map(_._1).sameElements(Array(0L, 2L, 1L)) ||
+      top.map(_._2).sorted.sameElements(top.map(_._2)), "ascending ADC order")
+    // pure map-side scoring: no Exchange before the top-k
+    val plan = Ann.pqAdcTopK(planted, $"vec_id", $"v",
+      assemble(Seq(0, 0, 0, 0)), books, k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k should be TakeOrdered:\n$plan")
+  }
+
   test("WordWindows kernel matches the naive slice formulation") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "b", "ccc", "dd", "e")
