@@ -1216,6 +1216,21 @@ object SparkEntry {
         k = 10, excludeId = Some(qRow.getLong(0)))
     }),
 
+    // IVF-ADC (FAISS IVFPQ): coarse cells cut the scan to 4/16 probe
+    // lists, PQ codes + the ADC table score the survivors — the
+    // billion-vector serving layout (cells = partition key, m bytes per
+    // row, raw vectors never read).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.ivfPqTopK(emb, $"vec_id", $"embedding", q,
+        k = 10, cells = 16, nprobe = 4, m = 8, codebookK = 16,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
     "q_ann_quantize" -> ((s, dir) => {
       import s.implicits._
       graft.ann.Ann.quantizeInt8Summary(
@@ -1537,7 +1552,9 @@ object SparkEntry {
     * list_position), then the asymmetric distance recomputed from the
     * query row's own embedding — same dimension fold order and same
     * left-associated subspace sum as the operators. */
-  private def pqAdcSql(m: Int, k: Int, subDim: Int, topK: Int): String = {
+  /** Per-subspace (code expression over alias `e`, ADC term over aliases
+    * `qe`/`codes`) pairs for the PQ oracles below. */
+  private def pqExprs(m: Int, k: Int, subDim: Int): (Seq[String], Seq[String]) = {
     val books = graft.ann.Ann.pqCodebooks(m, k, subDim)
     def bookLit(j: Int): String =
       books(j).map(_.map(sqlDouble).mkString("[", ", ", "]"))
@@ -1553,6 +1570,11 @@ object SparkEntry {
         s"i -> (qe[${j * subDim} + i] - (${bookLit(j)})[codes[${j + 1}] + 1][i]) * " +
         s"(qe[${j * subDim} + i] - (${bookLit(j)})[codes[${j + 1}] + 1][i])))"
     }
+    (codeExprs, adcTerms)
+  }
+
+  private def pqAdcSql(m: Int, k: Int, subDim: Int, topK: Int): String = {
+    val (codeExprs, adcTerms) = pqExprs(m, k, subDim)
     s"""WITH v AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |q AS (SELECT e AS qe FROM v
@@ -1565,6 +1587,35 @@ object SparkEntry {
        |  FROM c, q)
        |SELECT neighbor_id, adc_dist2 FROM d
        |WHERE neighbor_id <> (SELECT min(vec_id) FROM embeddings)
+       |ORDER BY adc_dist2, neighbor_id LIMIT $topK""".stripMargin
+  }
+
+  /** [[pqAdcSql]] with the IVF coarse filter in front — the IVFADC
+    * replay: cell per vector from the centroid dots (first-max ties),
+    * query probes the nprobe best cells, codes/ADC score only the
+    * survivors. */
+  private def ivfPqSql(
+      cells: Int, nprobe: Int, dim: Int,
+      m: Int, k: Int, subDim: Int, topK: Int): String = {
+    val (codeExprs, adcTerms) = pqExprs(m, k, subDim)
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |  ${ivfDotsSql("embedding", cells, dim)} AS dots
+       |  FROM embeddings),
+       |cl AS (SELECT vec_id, e,
+       |    list_position(dots, list_max(dots)) - 1 AS cell FROM v),
+       |q AS (SELECT vec_id AS qid, e AS qe, dots AS qdots FROM v
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |qd AS (SELECT unnest(range($cells)) AS cell, unnest(qdots) AS d FROM q),
+       |probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT $nprobe),
+       |c AS (SELECT vec_id, [
+       |  ${codeExprs.mkString(",\n  ")}
+       |  ] AS codes FROM cl
+       |  WHERE cell IN (SELECT cell FROM probe)),
+       |d AS (SELECT c.vec_id AS neighbor_id,
+       |  round(${adcTerms.mkString("\n  + ")}, 6) AS adc_dist2
+       |  FROM c, q WHERE c.vec_id <> q.qid)
+       |SELECT neighbor_id, adc_dist2 FROM d
        |ORDER BY adc_dist2, neighbor_id LIMIT $topK""".stripMargin
   }
 
@@ -2281,6 +2332,8 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_pq" -> pqAdcSql(m = 8, k = 16, subDim = 8, topK = 10),
+    "q_ann_ivfpq" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
+      m = 8, k = 16, subDim = 8, topK = 10),
     "q_ann_quantize" ->
       """WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),

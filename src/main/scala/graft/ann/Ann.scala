@@ -148,6 +148,36 @@ object Ann {
     bruteForceTopK(probed, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
 
+  /** IVF-ADC (the FAISS IVFPQ shape): coarse cells restrict the
+    * candidate set to the `nprobe` probe lists nearest the query, then
+    * PQ codes + an asymmetric-distance lookup table score the survivors.
+    * At 100 TB this is the full billion-vector serving layout: the codes
+    * table is PARTITIONED BY cell (each probe reads nprobe/cells of the
+    * data), rows carry m small ints instead of the raw vector, and the
+    * query never touches the embeddings themselves — cell filter and ADC
+    * are both map-side expressions over literals. */
+  def ivfPqTopK(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Double],
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codebookK: Int = 16,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe must be in [1, $cells]")
+    require(query.length % m == 0,
+      s"query dim ${query.length} not divisible into $m subspaces")
+    val cents = ivfCodebook(cells, query.length, seed)
+    val probe = ivfProbeCells(query, cents, nprobe)
+    val books = pqCodebooks(m, codebookK, query.length / m, seed)
+    val restricted = df.filter(ivfCell(vec, cents).isin(probe: _*))
+    pqAdcTopK(restricted, id, vec, query, books, k, excludeId)
+  }
+
   /** Deterministic IVF codebook: `k` unit-normalized centroids, a pure
     * function of (k, dim, seed) — the same spectral-hash construction as
     * [[hyperplanes]], L2-normalized in exact driver arithmetic so both

@@ -141,6 +141,22 @@ class OrcIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.index.exists.orc(p))
   }
 
+  test("ORC catalog table: provider drives the format end-to-end") {
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").format("orc").saveAsTable("orc_cat_orders")
+    spark.index.create.mode("overwrite").indexBy("o_orderkey").table("orc_cat_orders")
+    assert(spark.index.exists.table("orc_cat_orders"))
+    assert(spark.sql("SHOW INDEX ON TABLE orc_cat_orders").head()
+      .getAs[String]("source") == "orc")
+    val key = spark.table("orc_cat_orders").agg(min(col("o_orderkey"))).head.getLong(0)
+    val indexed = spark.index.table("orc_cat_orders").filter(col("o_orderkey") === key)
+    checkSame(indexed, spark.table("orc_cat_orders").filter(col("o_orderkey") === key))
+    val (listed, total) = pruning(indexed)
+    assert(total == 4L && listed < total, s"catalog orc prune: $listed/$total")
+    spark.index.delete.table("orc_cat_orders")
+  }
+
   test("Hive-partitioned ORC table: partition + index pruning compose") {
     val p = s"$work/orders_orc_part"
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
