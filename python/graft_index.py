@@ -161,13 +161,13 @@ class Ops:
 
     def compact(self, table_dir, small_file_bytes=32 << 20,
                 target_file_bytes=128 << 20, min_files=2,
-                lock_lease_ms=_DEFAULT_LEASE_MS):
+                lock_lease_ms=_DEFAULT_LEASE_MS, source="parquet"):
         """Rewrite the small-file tail of a (flat or partitioned) parquet
-        table; returns dict of compaction stats. Run index.refresh after.
-        Fails fast if another maintenance run holds the table's lock."""
+        or orc table; returns dict of compaction stats. Run index.refresh
+        after. Fails fast if another maintenance run holds the lock."""
         s = self._jlayout.compact(self._spark._jsparkSession, table_dir,
                                   small_file_bytes, target_file_bytes, min_files,
-                                  lock_lease_ms)
+                                  lock_lease_ms, source)
         return {"compactedFiles": s.compactedFiles(),
                 "producedFiles": s.producedFiles(),
                 "bytesRewritten": s.bytesRewritten()}

@@ -157,13 +157,15 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
       smallFileBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
       minFiles: Int = 2,
-      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): CompactionStats = {
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs,
+      source: String = "parquet"): CompactionStats = {
     require(smallFileBytes > 0 && targetFileBytes >= smallFileBytes,
       s"need 0 < smallFileBytes <= targetFileBytes: $smallFileBytes, $targetFileBytes")
+    val src = graft.index.Sources.normalize(source)
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     MaintenanceLock.withLock(fs, dir, lockLeaseMs) {
-      compactDir(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
+      compactDir(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles, src)
     }
   }
 
@@ -177,20 +179,21 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
-      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int): CompactionStats = {
+      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int,
+      source: String): CompactionStats = {
     val subDirs = fs.listStatus(dir).toSeq.filter(st =>
       st.isDirectory && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
     if (subDirs.nonEmpty) {
       val stats = subDirs.map(d =>
-        compactDir(spark, fs, d.getPath, smallFileBytes, targetFileBytes, minFiles)) :+
-        compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
+        compactDir(spark, fs, d.getPath, smallFileBytes, targetFileBytes, minFiles, source)) :+
+        compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles, source)
       return CompactionStats(
         stats.map(_.compactedFiles).sum,
         stats.map(_.producedFiles).sum,
         stats.map(_.bytesRewritten).sum)
     }
-    compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles)
+    compactLeaf(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles, source)
   }
 
   private val TmpPrefix = "_compact_tmp_"
@@ -243,11 +246,13 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
-      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int): CompactionStats = {
+      smallFileBytes: Long, targetFileBytes: Long, minFiles: Int,
+      source: String): CompactionStats = {
     recoverLeaf(fs, dir)
+    val ext = "." + source
     val dataFiles = fs.listStatus(dir).toSeq.filter { st =>
       val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      st.isFile && n.endsWith(ext) && !n.startsWith("_") && !n.startsWith(".")
     }
     val smalls = dataFiles.filter(_.getLen < smallFileBytes)
     if (smalls.size < minFiles) return CompactionStats(0L, 0L, 0L)
@@ -258,16 +263,16 @@ object Layout {
     // mergeSchema: the small tail may span schema-evolved appends; a
     // single-file schema donor would silently DROP late columns and the
     // originals are deleted in step 4 — merge unions them instead
-    spark.read.option("mergeSchema", "true")
-      .parquet(smalls.map(_.getPath.toString): _*)
+    spark.read.option("mergeSchema", "true").format(source)
+      .load(smalls.map(_.getPath.toString): _*)
       .coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").format(source).save(tmp.toString)
     val produced = fs.listStatus(tmp).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(ext))
     // 2. rename in under run-id names (crash here → rollback, no manifest)
     produced.zipWithIndex.foreach { case (st, i) =>
       val target = new org.apache.hadoop.fs.Path(dir,
-        s"part-compact-$runId-$i.parquet")
+        s"part-compact-$runId-$i$ext")
       if (!fs.rename(st.getPath, target)) {
         throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
       }

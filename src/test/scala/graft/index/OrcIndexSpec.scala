@@ -157,6 +157,23 @@ class OrcIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.index.delete.table("orc_cat_orders")
   }
 
+  test("ORC compaction: small tail rewritten in format, refresh re-indexes") {
+    val p = s"$work/orders_orc_compact"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(8, col("o_orderkey")).write.orc(p)
+    spark.index.create.mode("overwrite").indexBy("o_orderkey").orc(p)
+    val before = spark.read.orc(p).collect().map(_.toString).sorted
+    val st = graft.ops.Layout.compact(spark, p, source = "orc")
+    assert(st.compactedFiles == 8L && st.producedFiles == 1L && st.bytesRewritten > 0L)
+    val files = new java.io.File(p).listFiles
+      .filter(f => f.getName.endsWith(".orc") && !f.getName.startsWith("_"))
+    assert(files.length == 1 && files.head.getName.startsWith("part-compact-"))
+    val rs = spark.index.refresh.orc(p)
+    assert(rs.addedFiles == 1L && rs.removedFiles == 8L)
+    val after = spark.index.orc(p).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "rows must survive compaction byte-for-byte")
+  }
+
   test("Hive-partitioned ORC table: partition + index pruning compose") {
     val p = s"$work/orders_orc_part"
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
