@@ -41,6 +41,7 @@ object Bench {
     SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
     SparkEntry.indexedOrdersInt96(spark, sfDir).count()
     SparkEntry.indexedLineitemOrc(spark, sfDir).count()
+    SparkEntry.ivfPqCodesDir(spark, sfDir)
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()

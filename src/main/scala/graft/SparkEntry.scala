@@ -273,6 +273,32 @@ object SparkEntry {
       ()
     }
 
+  /** Create-once scratch artifact that is NOT an indexed table (plain
+    * files); returns the artifact dir. */
+  private def scratchPlain(s: SparkSession, dir: String, name: String)(
+      build: String => Unit): String =
+    SparkEntry.synchronized {
+      val scratch = s"$scratchRoot/${new java.io.File(dir).getName}"
+      val tableDir = s"$scratch/$name"
+      val marker = new java.io.File(s"$scratch/${name}_ready")
+      val upToDate = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
+      if (!upToDate) {
+        build(tableDir)
+        java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
+      }
+      tableDir
+    }
+
+  /** Materialized IVFADC codes table (partitioned by cell) for the
+    * embeddings of `dir`; create-once. */
+  private[graft] def ivfPqCodesDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "ivfpq_codes") { td =>
+      graft.ann.Ann.buildIvfPqIndex(
+        tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"), td,
+        dim = 64, cells = 16, m = 8, codebookK = 16)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -1227,6 +1253,20 @@ object SparkEntry {
         .select($"vec_id", $"embedding").head
       val q = qRow.getSeq[Float](1).map(_.toDouble)
       graft.ann.Ann.ivfPqTopK(emb, $"vec_id", $"embedding", q,
+        k = 10, cells = 16, nprobe = 4, m = 8, codebookK = 16,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
+    // Same IVFADC query served from the MATERIALIZED codes table
+    // (partitioned by cell): probe-cell partition pruning + stored-code
+    // ADC — identical results to q_ann_ivfpq at codes-table cost.
+    "q_ann_ivfpq_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.queryIvfPqIndex(s, ivfPqCodesDir(s, dir), q,
         k = 10, cells = 16, nprobe = 4, m = 8, codebookK = 16,
         excludeId = Some(qRow.getLong(0)))
     }),
@@ -2333,6 +2373,9 @@ object SparkEntry {
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_pq" -> pqAdcSql(m = 8, k = 16, subDim = 8, topK = 10),
     "q_ann_ivfpq" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
+      m = 8, k = 16, subDim = 8, topK = 10),
+    // the materialized-codes variant serves the SAME query: one oracle
+    "q_ann_ivfpq_indexed" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
       m = 8, k = 16, subDim = 8, topK = 10),
     "q_ann_quantize" ->
       """WITH v AS (SELECT vec_id,

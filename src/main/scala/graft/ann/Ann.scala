@@ -416,6 +416,20 @@ object Ann {
       codebooks: Seq[Seq[Seq[Double]]],
       k: Int,
       excludeId: Option[Long] = None): DataFrame = {
+    val base = df.select(id.as("neighbor_id"),
+      pqAdcScore(pqEncode(vec, codebooks), query, codebooks).as("adc_dist2"))
+    excludeId.fold(base)(x => base.filter(col("neighbor_id") =!= x))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+      .limit(k)
+  }
+
+  /** ADC distance of an already-encoded `codes` column to a literal
+    * query (6dp): Σ_j table[j][code_j], the m×k table precomputed
+    * driver-side. Scoring stored codes costs one array lookup + fold per
+    * row — no vector math on the scan path. */
+  def pqAdcScore(
+      codes: Column, query: Seq[Double],
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.length
     val subDim = codebooks.head.head.length
     require(query.length == m * subDim,
@@ -425,11 +439,58 @@ object Ann {
       book.map(c => c.zip(qsub).map { case (a, b) => (a - b) * (a - b) }.sum)
     }
     val tab = typedLit(table.map(_.toIndexedSeq).toIndexedSeq)
-    val codes = pqEncode(vec, codebooks)
-    val dist = aggregate(
+    round(aggregate(
       transform(codes, (c, j) => element_at(element_at(tab, j + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val base = df.select(id.as("neighbor_id"), round(dist, 6).as("adc_dist2"))
+      lit(0.0), (acc, x) => acc + x), 6)
+  }
+
+  /** Materialize the IVFADC serving table: (vec_id, codes) PARTITIONED
+    * BY cell. This is the at-scale layout the probe structure assumes —
+    * a query touches only its nprobe partition DIRECTORIES (Spark
+    * partition pruning, visible as PartitionFilters in the scan), reads
+    * m small ints per row, and never opens the embeddings table. Rebuild
+    * = rerun (same deterministic codebooks ⇒ stable codes). */
+  def buildIvfPqIndex(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dir: String,
+      dim: Int,
+      cells: Int = 16,
+      m: Int = 8,
+      codebookK: Int = 16,
+      seed: Long = 42L): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val cents = ivfCodebook(cells, dim, seed)
+    val books = pqCodebooks(m, codebookK, dim / m, seed)
+    df.select(id.as("vec_id"), ivfCell(vec, cents).as("cell"),
+        pqEncode(vec, books).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+  }
+
+  /** Top-k over a [[buildIvfPqIndex]] table: probe-cell partition
+    * pruning + stored-code ADC. Same results as [[ivfPqTopK]] over the
+    * raw vectors (same codebooks ⇒ same codes ⇒ same distances), at
+    * codes-table cost. */
+  def queryIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: Seq[Double],
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codebookK: Int = 16,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe must be in [1, $cells]")
+    val cents = ivfCodebook(cells, query.length, seed)
+    val probe = ivfProbeCells(query, cents, nprobe)
+    val books = pqCodebooks(m, codebookK, query.length / m, seed)
+    val base = spark.read.parquet(dir)
+      .filter(col("cell").isin(probe: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        pqAdcScore(col("codes"), query, books).as("adc_dist2"))
     excludeId.fold(base)(x => base.filter(col("neighbor_id") =!= x))
       .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
       .limit(k)

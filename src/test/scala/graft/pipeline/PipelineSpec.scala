@@ -327,6 +327,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k should be TakeOrdered:\n$plan")
   }
 
+  test("IVFPQ codes table: partition pruning + parity with the raw path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/codes"
+    Ann.buildIvfPqIndex(emb, col("vec_id"), col("embedding"), dir, dim = 64)
+    val qRow = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).head
+    val q = qRow.getSeq[Float](1).map(_.toDouble)
+    val fromCodes = Ann.queryIvfPqIndex(spark, dir, q, k = 10,
+      excludeId = Some(qRow.getLong(0)))
+    val fromRaw = Ann.ivfPqTopK(emb, col("vec_id"), col("embedding"), q,
+      k = 10, excludeId = Some(qRow.getLong(0)))
+    assert(fromCodes.collect().map(_.toString).toSeq ==
+      fromRaw.collect().map(_.toString).toSeq,
+      "stored codes must reproduce the raw-vector IVFADC exactly")
+    // the codes scan reads only the nprobe probe partitions
+    val scan = fromCodes.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 4,
+      s"expected 4 probe partitions, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("WordWindows kernel matches the naive slice formulation") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "b", "ccc", "dd", "e")
