@@ -91,13 +91,24 @@ object Bench {
       spark.read.parquet(scratchPath).filter($"l_orderkey" === key).count())
     val speedup = if (idxTime > 0) plainTime / idxTime else 0.0
 
+    // same selective point query through the ORC-backed index
+    val orcDf = SparkEntry.indexedLineitemOrc(spark, sfDir)
+      .filter($"l_orderkey" === key)
+    orcDf.count()
+    val orcRatio = orcDf.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+      .map(g => g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles))
+      .getOrElse(1.0)
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.collect { case (v, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +
-      s""""files_scanned_ratio":$ratio,"indexed_speedup":$speedup,""" +
+      s""""files_scanned_ratio":$ratio,"orc_files_scanned_ratio":$orcRatio,""" +
+      s""""indexed_speedup":$speedup,""" +
       s""""point_query_indexed_sec":$idxTime,"point_query_plain_sec":$plainTime,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -835,6 +835,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Round-4 composed curation pipeline: Gopher rule gate → URL/domain
+    // provenance filter → corpus mix to target composition (with
+    // epoch upsampling). The oracle replays all three stages — flags,
+    // domain NOT IN, and the full mix derivation with counts taken over
+    // the SURVIVOR set.
+    "q_pipeline_curate2" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.text.TextFunctions
+      val gated = tbl(s, dir, "documents").filter(
+        t.gopherFlags($"text", minWords = 40, maxWords = 100000,
+          minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
+          maxDigitRatio = 0.2, minStopwordHits = 2).getField("pass"))
+      val withUrl = gated.withColumn("url",
+        concat(lit("https://www."), $"source", lit(".example.com/doc/"), $"doc_id"))
+      val clean = graft.text.Web.filterBlockedDomains(withUrl, $"url",
+        Seq("src1.example.com", "src3.example.com", "src5.example.com"))
+      graft.ops.Sampling.mixCorpus(clean, $"doc_id", $"source",
+          weights = Map("src0" -> 1.0, "src2" -> 1.0, "src4" -> 2.0),
+          totalRows = 60L, allowUpsample = true, salt = "cur2")
+        .select($"doc_id", $"source", $"epoch")
+        .orderBy($"doc_id", $"epoch")
+    }),
+
     // Gopher-style rule gate: per-rule flags + overall pass, thresholds
     // chosen to split the corpus on every rule the synthetic text can
     // exercise. The oracle re-derives each flag from scratch.
@@ -1947,6 +1970,50 @@ object SparkEntry {
         |  round(0.25*least(nt::DOUBLE/64.0, 1.0) + 0.25*least(sr*4.0, 1.0)
         |    + 0.25*(1.0-least(pr*4.0, 1.0)) + 0.25*(1.0-least(dr*4.0, 1.0)), 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_pipeline_curate2" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source, text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |m AS (SELECT doc_id, source, len(toks) AS nt,
+        |  coalesce(list_sum(list_transform(toks, s -> length(s))), 0)::DOUBLE
+        |    / greatest(len(toks), 1)::DOUBLE AS ml,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE
+        |    / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s))) AS sh
+        |  FROM tt),
+        |gated AS (SELECT doc_id, source FROM m
+        |  WHERE nt >= 40 AND nt <= 100000 AND nt > 0 AND ml >= 4.0 AND ml <= 10.0
+        |    AND dr <= 0.2 AND sh >= 2),
+        |clean AS (SELECT doc_id, source FROM gated
+        |  WHERE regexp_replace(lower(regexp_extract(
+        |      'https://www.' || source || '.example.com/doc/' || doc_id::VARCHAR,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+        |      '^www\.', '')
+        |    NOT IN ('src1.example.com','src3.example.com','src5.example.com')),
+        |counts AS (
+        |  SELECT source, count(*)::BIGINT AS n FROM clean
+        |  WHERE source IN ('src0','src2','src4') GROUP BY source),
+        |par AS (
+        |  SELECT source, n,
+        |    CASE source WHEN 'src0' THEN 0.25 WHEN 'src2' THEN 0.25 ELSE 0.5 END AS w
+        |  FROM counts),
+        |tgt AS (SELECT source, n, CAST(floor(w * 60 + 0.5) AS BIGINT) AS t FROM par),
+        |ep AS (SELECT source, n, t, CAST(ceil(t::DOUBLE / n) AS BIGINT) AS e FROM tgt),
+        |thr AS (
+        |  SELECT source, e,
+        |    lpad(format('{:x}',
+        |      CAST(floor(t::DOUBLE / (n * e) * 4294967296.0 + 0.5) AS BIGINT)), 9, '0') AS th
+        |  FROM ep),
+        |epochs AS (SELECT source, th, unnest(range(e)) AS epoch FROM thr),
+        |cand AS (
+        |  SELECT d.doc_id, d.source, ei.epoch, ei.th
+        |  FROM clean d JOIN epochs ei ON d.source = ei.source)
+        |SELECT doc_id, source, epoch
+        |FROM cand
+        |WHERE '0' || substr(md5('cur2|' || doc_id::VARCHAR || '|' || epoch::VARCHAR), 1, 8) < th
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q_text_gopher" ->
       """WITH t AS (SELECT doc_id, text,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
