@@ -224,15 +224,26 @@ object StatisticsBuilder {
         }.toMap
       val stripes = reader.getStripes.asScala.toSeq
       val stripeStats = reader.getStripeStatistics.asScala.toSeq
-      val blocks = stripes.zip(stripeStats).map { case (si, ss) =>
-        val colStats = ss.getColumnStatistics
-        val cols = indexed.flatMap { case (name, dt) =>
-          idOf.get(name.toLowerCase).map { cid =>
-            name -> orcStats(colStats(cid), si.getNumberOfRows, dt)
+      // A writer that omitted the stripe-statistics section must NOT make
+      // the file look empty (zero blocks = provably-no-rows to the fold):
+      // synthesize stat-less blocks — may-contain, never wrongly pruned.
+      val blocks =
+        if (stripeStats.size == stripes.size) {
+          stripes.zip(stripeStats).map { case (si, ss) =>
+            val colStats = ss.getColumnStatistics
+            val cols = indexed.flatMap { case (name, dt) =>
+              idOf.get(name.toLowerCase).map { cid =>
+                name -> orcStats(colStats(cid), si.getNumberOfRows, dt)
+              }
+            }.toMap
+            BlockStats(si.getNumberOfRows, cols)
           }
-        }.toMap
-        BlockStats(si.getNumberOfRows, cols)
-      }
+        } else {
+          // explicit all-unknown entries (not an empty map) so the
+          // full-scan min/max fallback recognizes and patches them
+          val unknown = indexed.map { case (n, _) => n -> ColumnStats(None, None, None) }.toMap
+          stripes.map(si => BlockStats(si.getNumberOfRows, unknown))
+        }
       FileFooter(schema.json, blocks)
     } finally reader.close()
   }
