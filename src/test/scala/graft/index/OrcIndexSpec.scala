@@ -103,6 +103,24 @@ class OrcIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"range-clustered ts should prune: $listed/$total")
   }
 
+  test("NTZ timestamp range prunes via the full-scan fallback (ORC has no sound NTZ stripe stats)") {
+    val p = s"$work/orders_orc_ntz"
+    // o_orderdate is TIMESTAMP_NTZ in the source data — stripe stats are
+    // degraded to unknown by design; bounds must come from the fallback
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.orc(p)
+    spark.index.create.mode("overwrite").indexBy("o_orderdate").orc(p)
+    val lo = spark.read.orc(p)
+      .agg(min(col("o_orderdate")).cast("string")).head.getString(0)
+    val cut = lit(lo).cast("timestamp_ntz") + expr("INTERVAL 60 DAYS")
+    val indexed = spark.index.orc(p).filter(col("o_orderdate") < cut)
+    checkSame(indexed, spark.read.orc(p).filter(col("o_orderdate") < cut))
+    val (listed, total) = pruning(indexed)
+    assert(total == 8L && listed < total,
+      s"fallback bounds should range-prune NTZ: $listed/$total")
+  }
+
   test("refresh picks up appended ORC files; combined rows stay correct") {
     val p = s"$work/orders_orc_refresh"
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
