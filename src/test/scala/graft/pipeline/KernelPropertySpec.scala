@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+
+/** Property coverage for the round-4 kernels: the URL regexes are total
+  * and match a reference JVM implementation on arbitrary inputs; PQ
+  * encode/ADC maintain their invariants on random vectors. Batched:
+  * ScalaCheck generates inputs, ONE Spark job evaluates each batch. */
+class KernelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-kernel-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Reference JVM implementation of Web.domainOf (same regexes via
+    * java.util.regex — the semantics the Column version must match). */
+  private def refDomain(url: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)")
+      .matcher(url)
+    val host = if (m.find()) m.group(1).toLowerCase else ""
+    host.replaceFirst("^www\\.", "")
+  }
+
+  test("Web.domainOf is total and equals the JVM reference on arbitrary input") {
+    val part = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("www.", "a@b", "spam.example.com", ":", "/", "?", "#", "://",
+        "HTTPS://", "ftp", "日本", "''", " ", ""))
+    val urlGen = Gen.listOfN(6, part).map(_.mkString)
+    val urls = (1 to 400).flatMap(i => urlGen.sample).distinct
+    val got = urls.toDF("url")
+      .select($"url", graft.text.Web.domainOf($"url").as("d"))
+      .as[(String, String)].collect().toMap
+    urls.foreach { u =>
+      assert(got(u) == refDomain(u), s"mismatch for input <$u>")
+    }
+  }
+
+  test("PQ invariants: code range, ADC equals the naive driver computation") {
+    val m = 4; val k = 8; val subDim = 4; val dim = m * subDim
+    val books = Ann.pqCodebooks(m, k, subDim)
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0))
+    val vecs = (1 to 200).flatMap(_ => vecGen.sample).map(_.toIndexedSeq)
+    val query = vecGen.sample.get
+
+    // naive reference: encode + ADC entirely on the driver
+    def refEncode(v: Seq[Double]): Seq[Int] =
+      (0 until m).map { j =>
+        val sub = v.slice(j * subDim, (j + 1) * subDim)
+        val d = books(j).map(c =>
+          c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum)
+        d.indexOf(d.min)
+      }
+    def refAdc(codes: Seq[Int]): Double = {
+      val raw = (0 until m).map { j =>
+        val qsub = query.slice(j * subDim, (j + 1) * subDim)
+        books(j)(codes(j)).zip(qsub).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.foldLeft(0.0)(_ + _)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    val df = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toArray)
+    }.toDF("vec_id", "v")
+    val got = df.select($"vec_id", Ann.pqEncode($"v", books).as("codes"),
+        Ann.pqAdcScore(Ann.pqEncode($"v", books), query, books).as("d"))
+      .as[(Long, Seq[Int], Double)].collect()
+    got.foreach { case (i, codes, d) =>
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < k),
+        s"codes out of range for vec $i: $codes")
+      assert(codes == refEncode(vecs(i.toInt)),
+        s"encode mismatch for vec $i")
+      assert(math.abs(d - refAdc(codes)) < 1e-9,
+        s"ADC mismatch for vec $i: spark=$d ref=${refAdc(codes)}")
+      assert(d >= 0.0, s"negative ADC for vec $i")
+    }
+  }
+
+  test("mixCorpus with one full-weight source keeps every row in epoch 0") {
+    val df = (1L to 500L).map(i => (i, "only")).toDF("id", "src")
+    val mix = graft.ops.Sampling.mixCorpus(
+      df, col("id"), col("src"), weights = Map("only" -> 1.0))
+    assert(mix.count() == 500L)
+    assert(mix.select(col("epoch")).distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}
