@@ -263,6 +263,14 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 1L, 0L), ("B", 2L, 1L)))
   }
 
+  test("tfidf broadcasts the document-frequency side (plan assert)") {
+    val docs = (1L to 50L).map(i => (i, s"w$i common shared")).toDF("id", "txt")
+    val plan = Tfidf.tfidf(docs, $"id", $"txt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tf⋈df must broadcast the vocabulary side, not shuffle both:\n$plan")
+  }
+
   test("tfidf matches hand-computed scores") {
     // 3 docs; "apple" in all 3 (idf=ln(1)=0), "banana" in 1 (idf=ln 3),
     // "cherry" twice in doc 3 and once in doc 2 (df=2)
