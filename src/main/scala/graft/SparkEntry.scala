@@ -858,6 +858,18 @@ object SparkEntry {
         .orderBy($"doc_id", $"epoch")
     }),
 
+    // Duplicate-segment fraction (Gopher's dup-line signal at 2-word
+    // segment granularity): 181/500 docs at sf0.01 carry at least one
+    // repeated segment, so the fraction genuinely splits the corpus.
+    "q_text_dupseg" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents")
+        .select($"doc_id",
+          graft.text.TextFunctions.duplicateSegmentStats($"text", k = 2).as("d"))
+        .select($"doc_id", $"d.n_segments", $"d.dup_segments", $"d.dup_fraction")
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style rule gate: per-rule flags + overall pass, thresholds
     // chosen to split the corpus on every rule the synthetic text can
     // exercise. The oracle re-derives each flag from scratch.
@@ -2014,6 +2026,24 @@ object SparkEntry {
         |FROM cand
         |WHERE '0' || substr(md5('cur2|' || doc_id::VARCHAR || '|' || epoch::VARCHAR), 1, 8) < th
         |ORDER BY doc_id, epoch""".stripMargin,
+    "q_text_dupseg" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |words AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS idx FROM tt),
+        |segs AS (SELECT doc_id, (idx-1)//2 AS i, string_agg(w, ' ' ORDER BY idx) AS seg
+        |  FROM words GROUP BY doc_id, (idx-1)//2),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_segments,
+        |    (count(*) - count(DISTINCT seg))::BIGINT AS dup_segments
+        |  FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.n_segments, 0)::BIGINT AS n_segments,
+        |  coalesce(a.dup_segments, 0)::BIGINT AS dup_segments,
+        |  round(coalesce(a.dup_segments, 0)::DOUBLE
+        |    / greatest(coalesce(a.n_segments, 0), 1)::DOUBLE, 4) AS dup_fraction
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_text_gopher" ->
       """WITH t AS (SELECT doc_id, text,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -128,6 +128,22 @@ object TextFunctions {
       (wordsOk && meanLenOk && digitOk && stopOk).as("pass"))
   }
 
+  /** Duplicate-segment statistics — Gopher's duplicate-line signal at
+    * k-word segment granularity (the corpus here has no newlines; for
+    * line-structured text, split on '\n' upstream and pass k covering a
+    * line): (n_segments, dup_segments = repeats of an identical earlier
+    * segment, dup_fraction at 4dp). Pure map-side array arithmetic. */
+  def duplicateSegmentStats(c: Column, k: Int): Column = {
+    val segs = segments(c, k)
+    val n = size(segs)
+    val dups = n - size(array_distinct(segs))
+    struct(
+      n.cast("long").as("n_segments"),
+      dups.cast("long").as("dup_segments"),
+      round(dups.cast("double") / greatest(n, lit(1)).cast("double"), 4)
+        .as("dup_fraction"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (md5 exists on both
     * engines; use [[fingerprint64]] for a cheaper Spark-only 64-bit key). */
   def fingerprint(c: Column): Column = md5(normalized(c))

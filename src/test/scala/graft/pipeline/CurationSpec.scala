@@ -188,6 +188,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptDf.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("duplicateSegmentStats counts repeats of identical segments") {
+    import graft.text.TextFunctions
+    val docs = Seq(
+      (1L, "a b a b a b"),       // 3 segments "a b" -> 2 dups
+      (2L, "a b c d e f"),       // 3 distinct segments
+      (3L, "x"),                 // 1 partial segment
+      (4L, "")                   // empty
+    ).toDF("id", "text")
+    val got = docs.select($"id",
+        TextFunctions.duplicateSegmentStats($"text", k = 2).as("d"))
+      .select($"id", $"d.n_segments", $"d.dup_segments", $"d.dup_fraction")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 0.6667)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 1L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(!docs.select(TextFunctions.duplicateSegmentStats($"text", 2))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("gopherFlags: each rule fires independently; pass is their AND") {
     import graft.text.TextFunctions
     val docs = Seq(
