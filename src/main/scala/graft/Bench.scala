@@ -47,11 +47,14 @@ object Bench {
     bl.count(); bo.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    // Adaptive repetition: sub-second queries are re-run (best of 3) so
-    // JIT/GC noise can't double a 0.1 s number between rounds; queries
-    // already ≥1 s are single-shot (their signal dwarfs the noise and
-    // repeating them would dominate bench wall-clock).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Cross-round comparability: queries run in sorted-name order, so adding
+    // a query in round N+1 cannot reshuffle the execution order (and the
+    // GC/queue state) that every other query's single number is measured
+    // under. Adaptive repetition on top: sub-second queries are best-of-3 so
+    // JIT/GC noise can't double a 0.1 s number between rounds; multi-second
+    // queries are best-of-2 (one repeat buys a noise floor without letting
+    // the heavyweights dominate bench wall-clock).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -60,7 +63,8 @@ object Bench {
       val timed = try {
         val first = once()
         val best =
-          if (first < 1.0) math.min(first, math.min(once(), once())) else first
+          if (first < 1.0) math.min(first, math.min(once(), once()))
+          else math.min(first, once())
         Some(best)
       } catch {
         case e: Throwable =>
@@ -69,7 +73,7 @@ object Bench {
       }
       name -> (timed.getOrElse(0.0), timed.isDefined)
     }
-    val failed = results.collect { case (n, (_, false)) => n }.toSeq
+    val failed = results.collect { case (n, (_, false)) => n }
 
     // -- index effectiveness on a selective point query
     val key = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -103,7 +107,7 @@ object Bench {
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case (v, true) => v }.sum
+    val total = results.collect { case (_, (v, true)) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +

@@ -1364,6 +1364,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL audio decode (JDK javax.sound.sampled, zero external deps):
+    // document-derived WAV square waves whose sample rate, channel count,
+    // frame count, duration and RMS all have closed forms — the oracle
+    // states the closed forms, Spark must recover them through an ACTUAL
+    // wav-encode → javax.sound decode round trip inside typed
+    // mapPartitions kernels.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal
+        .decodeDocumentAudios(s, tbl(s, dir, "documents"))
+        .select($"id".as("doc_id"), $"sampleRate".as("sample_rate"),
+          $"channels", $"nSamples".as("n_samples"),
+          $"durationMs".as("duration_ms"), $"rms")
+        .orderBy($"doc_id")
+    }),
+
     // JSON extraction from the events props column.
     "q_scalar_json" -> ((s, dir) => {
       import s.implicits._
@@ -2563,6 +2579,14 @@ object SparkEntry {
         |  (16 + doc_id % 64)::INT AS width,
         |  (16 + (doc_id * 7) % 48)::INT AS height,
         |  (doc_id % 240)::BIGINT AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  8000::INT AS sample_rate,
+        |  1::INT AS channels,
+        |  (800 + 8 * (doc_id % 100))::INT AS n_samples,
+        |  ((800 + 8 * (doc_id % 100)) // 8)::BIGINT AS duration_ms,
+        |  (1 + doc_id % 1000)::BIGINT AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_idx_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag

@@ -23,6 +23,21 @@ case class DecodedMedia(
 /** One sampled frame (byte window) of a media payload. */
 case class MediaFrame(id: Long, frameIdx: Int, offset: Int, frame: Array[Byte])
 
+/** Decoded audio: real container header fields (sample rate, channels,
+  * frame count) plus integer-exact amplitude statistics. `rms` is
+  * round(sqrt(sumOfSquares / nSamples)) over every 16-bit sample;
+  * `feature` is the per-window RMS envelope (the classic cheap audio
+  * fingerprint). */
+case class DecodedAudio(
+    id: Long,
+    sampleRate: Int,
+    channels: Int,
+    nSamples: Int,
+    durationMs: Long,
+    byteLen: Int,
+    rms: Long,
+    feature: Array[Float])
+
 /** Decoded image: real codec dimensions + integer-exact whole-image mean
   * luma (BT.601, floor(x+0.5) of the exact rational) + a grid×grid
   * mean-luma feature vector (the classic thumbnail embedding). */
@@ -42,11 +57,13 @@ case class DecodedImage(
   *
   * IMAGE decode is REAL — JDK `javax.imageio` reads PNG/JPEG/BMP/GIF with
   * zero external dependencies: true codec width/height plus a downsampled
-  * mean-luma grid feature (see [[decodeImage]]). Audio/video decode
-  * remains a clearly-marked deterministic STUB (the JDK ships no
-  * audio/video codecs); everything around the kernels (schemas, Dataset
-  * plumbing, partition-iterator batch shape, frame explode) is real and
-  * is what an ffmpeg kernel would drop into.
+  * mean-luma grid feature (see [[decodeImage]]). AUDIO decode is REAL —
+  * JDK `javax.sound.sampled` parses WAV/AIFF/AU PCM: true sample rate,
+  * channels, frame count, duration and per-window RMS envelope (see
+  * [[decodeAudio]]). Video decode remains a clearly-marked deterministic
+  * STUB (the JDK ships no video codecs); everything around the kernel
+  * (schemas, Dataset plumbing, partition-iterator batch shape, frame
+  * explode) is real and is what an ffmpeg kernel would drop into.
   */
 object Multimodal {
 
@@ -208,4 +225,111 @@ object Multimodal {
     * query q_multimodal_image). */
   def decodeDocumentImages(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeImages(imagesFromDocuments(spark, docs)).toDF()
+
+  // ---- REAL audio kernels (JDK javax.sound.sampled, no external deps) --
+
+  /** Encode interleaved 16-bit PCM samples as a WAV container;
+    * `samples.length` must be a multiple of `channels`. Lossless, so
+    * decode returns the exact samples — the fixture generator for the
+    * real audio-decode path. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat,
+      false) // little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the WAV/AIFF/AU
+    * container, yielding the true sample rate, channel count and frame
+    * count; amplitude statistics are integer-exact sums of squares of the
+    * 16-bit samples, so RMS of a fixture signal has a closed form any
+    * engine reproduces. `durationMs` = floor(frames · 1000 / rate). The
+    * feature vector is the per-window RMS envelope over `windows` equal
+    * frame ranges. Only 16-bit PCM payloads are accepted (the only
+    * encoding the fixture emits; a real pipeline transcodes first).
+    * Throws on undecodable payloads — callers own quarantine policy. */
+  def decodeAudio(r: MediaRecord, windows: Int = 8): DecodedAudio = {
+    import javax.sound.sampled._
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.data))
+    val fmt = in.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16,
+      s"payload for id ${r.id} is not 16-bit signed PCM")
+    val bytes = in.readAllBytes()
+    in.close()
+    val channels = fmt.getChannels
+    val big = fmt.isBigEndian
+    val nSamples = bytes.length / 2
+    val frames = nSamples / channels
+    val winSumSq = new Array[Long](math.max(1, windows))
+    val winN = new Array[Long](math.max(1, windows))
+    var totalSq = 0L
+    var i = 0
+    while (i < nSamples) {
+      val lo = bytes(2 * i) & 0xff
+      val hi = bytes(2 * i + 1) & 0xff
+      val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+      val f = i / channels
+      val w = if (frames == 0) 0 else math.min(windows - 1, f * windows / frames)
+      winSumSq(w) += s.toLong * s
+      winN(w) += 1L
+      totalSq += s.toLong * s
+      i += 1
+    }
+    val rms =
+      if (nSamples == 0) 0L
+      else math.round(math.sqrt(totalSq.toDouble / nSamples))
+    val feature = Array.tabulate(math.max(1, windows))(w =>
+      if (winN(w) == 0) 0.0f
+      else math.sqrt(winSumSq(w).toDouble / winN(w)).toFloat)
+    val rate = math.round(fmt.getSampleRate)
+    val durationMs = if (rate == 0) 0L else frames.toLong * 1000L / rate
+    DecodedAudio(r.id, rate, channels, frames, durationMs, r.data.length,
+      rms, feature)
+  }
+
+  /** Batch REAL audio decode — same typed mapPartitions shape as
+    * [[decodeImages]], kernels running per executor partition. */
+  def decodeAudios(media: Dataset[MediaRecord], windows: Int = 8): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAudio(_, windows)))
+  }
+
+  /** Deterministic WAV corpus derived from the documents table — the
+    * real-decode fixture: for doc d, an 8 kHz mono alternating-sign
+    * square wave of amplitude (1 + d%1000) with 800 + 8·(d%100) frames,
+    * so sample rate / channels / frame count / duration / RMS all have
+    * closed-form oracle values while Spark must recover them through an
+    * ACTUAL wav-encode → javax.sound decode round trip. (Alternating sign
+    * keeps the mean at zero, so RMS == amplitude only if the decoder
+    * recovered the magnitude of every sample.) */
+  def audiosFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val frames = (800 + 8 * (d % 100)).toInt
+      val amp = (1 + d % 1000).toInt
+      val samples = Array.tabulate(frames)(i =>
+        (if (i % 2 == 0) amp else -amp).toShort)
+      MediaRecord(d, "audio", encodeWav(8000, 1, samples), Map.empty)
+    }
+  }
+
+  /** End-to-end REAL audio decode over document-derived WAVs
+    * (driver-contract query q_multimodal_audio). */
+  def decodeDocumentAudios(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeAudios(audiosFromDocuments(spark, docs)).toDF()
 }

@@ -612,6 +612,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real audio decode: wav round trip recovers rate, channels, frames, rms") {
+    // stereo: left channel constant 300, right constant 400 — overall RMS
+    // = sqrt((300² + 400²)/2) = sqrt(125000) ≈ 353.55 → rounds to 354
+    val frames = 160
+    val samples = Array.tabulate(frames * 2)(i =>
+      (if (i % 2 == 0) 300 else 400).toShort)
+    val wav = Multimodal.encodeWav(16000, 2, samples)
+    val d = Multimodal.decodeAudio(MediaRecord(7L, "audio", wav, Map.empty))
+    assert(d.sampleRate == 16000 && d.channels == 2)
+    assert(d.nSamples == frames && d.byteLen == wav.length)
+    assert(d.durationMs == frames.toLong * 1000 / 16000) // = 10 ms
+    assert(d.rms == 354L)
+    // every window sees the same mix, so the whole RMS envelope is flat
+    assert(d.feature.length == 8)
+    assert(d.feature.forall(f => math.abs(f - math.sqrt(125000.0)) < 1e-3))
+    // undecodable payload fails loudly, not silently
+    intercept[Exception] {
+      Multimodal.decodeAudio(MediaRecord(9L, "audio", "not audio".getBytes, Map.empty))
+    }
+  }
+
+  test("document-derived wav corpus decodes to its closed forms") {
+    val docs = Seq((5L, "x"), (100L, "y"), (1263L, "z")).toDF("doc_id", "text")
+    val out = Multimodal.decodeDocumentAudios(spark, docs)
+      .orderBy("id").collect()
+    for ((r, d) <- out.zip(Seq(5L, 100L, 1263L))) {
+      assert(r.getAs[Int]("sampleRate") == 8000)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("nSamples") == (800 + 8 * (d % 100)).toInt)
+      assert(r.getAs[Long]("durationMs") == (800 + 8 * (d % 100)) / 8)
+      // alternating-sign square wave: RMS == amplitude exactly
+      assert(r.getAs[Long]("rms") == 1 + d % 1000)
+      assert(r.getAs[Seq[Float]]("feature").forall(_ == (1 + d % 1000).toFloat))
+    }
+  }
+
   test("frame sampling emits bounded windows") {
     val media = Seq(MediaRecord(1L, "video", Array.tabulate(100)(_.toByte), Map.empty)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 30, frameLen = 10, maxFrames = 5)
