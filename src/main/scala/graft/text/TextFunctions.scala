@@ -191,10 +191,18 @@ object TextFunctions {
     *   - above it: shipped ONCE per executor as a broadcast variable
     *     consumed by a closure (a ~1M-string expression literal would be
     *     a driver-memory and plan-serialization hazard; the broadcast
-    *     torrent is the mechanism built for exactly this).
+    *     torrent is the mechanism built for exactly this);
+    *   - above `maxLexicon`: the lexicon is NEVER collected. The corpus is
+    *     posexploded into (doc, pos, segment) rows, frequent segments are
+    *     dropped with a left-anti join against the lexicon DataFrame, and
+    *     documents are reassembled in position order. This is the one tier
+    *     where the corpus shuffles (explode + anti-join + groupBy doc) —
+    *     the correct trade when the boilerplate lexicon itself is too big
+    *     for any single JVM, instead of failing. Driver memory stays O(1).
     *
-    * `maxLexicon` still guards the broadcast path; a corpus exceeding it
-    * means `minDocs` is wrong or the data is degenerate — fail loudly.
+    * The tier is chosen with a `limit(maxLexicon+1).collect()` probe, so
+    * the driver never materializes more than `maxLexicon`+1 segments even
+    * when the corpus is degenerate.
     *
     * @return (doc_id, segs_total, segs_removed, clean_text)
     */
@@ -204,14 +212,16 @@ object TextFunctions {
       maxLexicon: Int = 1 << 20,
       inlineThreshold: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val lexicon = df.select(id.as("__id"), explode(segments(text, k)).as("__seg"))
+    val lexiconDf = df.select(id.as("__id"), explode(segments(text, k)).as("__seg"))
       .groupBy(col("__seg"))
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__seg"))
-      .collect().map(_.getString(0)).sorted
-    require(lexicon.length <= maxLexicon,
-      s"frequent-segment lexicon ${lexicon.length} exceeds maxLexicon $maxLexicon")
+    // Bounded probe: collects at most maxLexicon+1 rows regardless of how
+    // degenerate the corpus is.
+    val probe = lexiconDf.limit(maxLexicon + 1).collect()
+    if (probe.length > maxLexicon) return dedupSegmentsJoin(df, id, text, k, lexiconDf)
+    val lexicon = probe.map(_.getString(0)).sorted
     val segs = segments(text, k)
     val kept =
       if (lexicon.length <= inlineThreshold) {
@@ -230,6 +240,32 @@ object TextFunctions {
       size(segs).as("segs_total"),
       (size(segs) - size(kept)).as("segs_removed"),
       array_join(kept, " ").as("clean_text"))
+  }
+
+  /** The fully-distributed tier of [[dedupSegments]]: segment-level
+    * left-anti join against the (never collected) frequent-segment
+    * lexicon, then positional reassembly. Row-identical to the broadcast
+    * tier (asserted in PipelineSpec with `maxLexicon = 0`). */
+  private def dedupSegmentsJoin(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int,
+      lexiconDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = df.select(id.as("doc_id"), segments(text, k).as("__segs"))
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__segs")).as(Seq("__pos", "__seg")))
+    val keptRows = exploded.join(lexiconDf, Seq("__seg"), "left_anti")
+    val reassembled = keptRows
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            s => s.getField("__seg")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("__segs")).as("segs_total"))
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("segs_total"),
+        (col("segs_total") - coalesce(col("__kept"), lit(0))).as("segs_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Sliding-window document chunking: split each document into token

@@ -396,6 +396,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toString).sameElements(viaInline))
   }
 
+  test("dedupSegments above maxLexicon: distributed anti-join tier, row-identical") {
+    // corpus with a 6-entry lexicon (minDocs=2, k=1) plus edge docs: one
+    // fully boilerplate (clean_text -> ""), one empty. maxLexicon=2 forces
+    // the never-collected anti-join tier; semantics must match broadcast.
+    val shared = "common words that repeat everywhere always"
+    val docs = Seq(
+      (1L, s"$shared plus something new"),
+      (2L, shared), // fully removed
+      (3L, s"fresh material here $shared"),
+      (4L, "") // no segments at all
+    ).toDF("id", "txt")
+    val viaJoin = graft.text.TextFunctions.dedupSegments(
+        docs, col("id"), col("txt"), k = 1, minDocs = 2, maxLexicon = 2)
+      .orderBy("doc_id").collect()
+    val viaBroadcast = graft.text.TextFunctions.dedupSegments(
+        docs, col("id"), col("txt"), k = 1, minDocs = 2,
+        inlineThreshold = 0) // force the broadcast tier as the yardstick
+      .orderBy("doc_id").collect()
+    assert(viaJoin.map(_.toString).sameElements(viaBroadcast.map(_.toString)))
+    assert(viaJoin(1).getInt(2) == 6 && viaJoin(1).getString(3).isEmpty)
+    assert(viaJoin(3).getInt(1) == 0 && viaJoin(3).getString(3).isEmpty)
+    // the lexicon is never collected on this tier: the plan carries a real
+    // anti-join instead of a remove_in_set literal or broadcast kernel
+    val plan = graft.text.TextFunctions.dedupSegments(
+        docs, col("id"), col("txt"), k = 1, minDocs = 2, maxLexicon = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.contains("remove_in_set"))
+  }
+
   test("chunkDocs: overlap, partial tail, short and empty docs") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, k=4 s=2 → chunks at 0,2,4,6
