@@ -1327,6 +1327,39 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // TRAINED-codebook PQ: per-subspace k-means sub-codebooks (pqFit)
+    // replace the hash-derived ones — the production recall path. The
+    // oracle re-derives all 8 sub-fits from scratch (first-k init, exact
+    // integer-mean Lloyd updates, first-min ties) plus every code and
+    // ADC entry.
+    "q_ann_pq_trained" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      val books = graft.ann.Ann.pqFit(emb, $"vec_id", $"embedding",
+        m = 8, subDim = 8, k = 16, iters = 1)
+      graft.ann.Ann.pqAdcTopKTrained(emb, $"vec_id", $"embedding", q,
+        books, k = 10, excludeId = Some(qRow.getLong(0)))
+    }),
+
+    // TRAINED coarse quantizer IVF: kmeansFit centroids as the coarse
+    // cells (L2 assignment, first-min ties), query probes its 4 nearest
+    // of 16 data-adapted cells, exact cosine re-rank inside. The oracle
+    // replays the fit and every assignment from scratch.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 16, iters = 1)
+      graft.ann.Ann.ivfTopKTrained(emb, $"vec_id", $"embedding", q,
+        cents, k = 10, nprobe = 4, excludeId = Some(qRow.getLong(0)))
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters (1 Lloyd iteration,
     // the oracle replays fit + assignment + pairs + closure from scratch)
     // block the exact-cosine near-duplicate graph; one survivor per
@@ -1755,6 +1788,108 @@ object SparkEntry {
            |""".stripMargin)
     }
     sb.toString
+  }
+
+  /** Full from-scratch replay of [[graft.ann.Ann.pqFit]] +
+    * [[graft.ann.Ann.pqAdcTopKTrained]]: per-subspace k-means over the
+    * sliced milli-quantized sub-vectors (same first-k init / first-min
+    * ties / exact integer-mean updates as [[kmeansCentsSql]], slicing
+    * commutes with quantization), then code assignment against the
+    * FITTED sub-centroids and the left-associated milli-unit ADC sum
+    * reported in original units². */
+  private def pqTrainedSql(
+      m: Int, k: Int, subDim: Int, iters: Int, topK: Int): String = {
+    val r = s"range(1, ${subDim + 1})"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
+         |  FROM embeddings),
+         |""".stripMargin)
+    for (j <- 0 until m) {
+      val p = s"s$j"
+      sb.append(
+        s"""${p}v AS (SELECT vec_id,
+           |  list_transform($r, i -> q[${j * subDim} + i]) AS sq FROM v),
+           |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sq AS cent
+           |  FROM (SELECT vec_id, sq FROM ${p}v ORDER BY vec_id LIMIT $k)),
+           |""".stripMargin)
+      for (t <- 1 to iters) {
+        val prev = s"${p}c${t - 1}"
+        sb.append(
+          s"""${p}d$t AS (SELECT w.vec_id, w.sq, $prev.c,
+             |  list_sum(list_transform($r,
+             |    i -> (w.sq[i] - $prev.cent[i]) * (w.sq[i] - $prev.cent[i]))) AS d
+             |  FROM ${p}v w, $prev),
+             |${p}a$t AS (SELECT vec_id, sq, c FROM (SELECT *, row_number()
+             |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM ${p}d$t) WHERE rn = 1),
+             |${p}m$t AS (SELECT a.c, t.i, sum(a.sq[t.i]) / count(*) AS val
+             |  FROM ${p}a$t a, (SELECT unnest($r) AS i) t GROUP BY a.c, t.i),
+             |${p}c$t AS (SELECT $prev.c, coalesce(l.cent, $prev.cent) AS cent FROM $prev
+             |  LEFT JOIN (SELECT c, list(val ORDER BY i) AS cent FROM ${p}m$t GROUP BY c) l
+             |  ON $prev.c = l.c),
+             |""".stripMargin)
+      }
+      val fin = s"${p}c$iters"
+      sb.append(
+        s"""${p}cd AS (SELECT w.vec_id, f.c,
+           |  list_sum(list_transform($r,
+           |    i -> (w.sq[i] - f.cent[i]) * (w.sq[i] - f.cent[i]))) AS d
+           |  FROM ${p}v w, $fin f),
+           |${p}code AS (SELECT vec_id, c FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM ${p}cd) WHERE rn = 1),
+           |${p}adc AS (SELECT co.vec_id,
+           |  list_sum(list_transform($r,
+           |    i -> (qs.sq[i] - f.cent[i]) * (qs.sq[i] - f.cent[i]))) AS term
+           |  FROM ${p}code co JOIN $fin f ON f.c = co.c,
+           |  (SELECT sq FROM ${p}v
+           |   WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) qs),
+           |""".stripMargin)
+    }
+    val joins = (0 until m)
+      .map(j => s"JOIN s${j}adc t$j ON t$j.vec_id = v.vec_id").mkString("\n  ")
+    val sum = (0 until m).map(j => s"t$j.term").mkString(" + ")
+    sb.append(
+      s"""f AS (SELECT v.vec_id AS neighbor_id,
+         |  round(($sum) / 1000000.0, 6) AS adc_dist2
+         |  FROM v
+         |  $joins
+         |  WHERE v.vec_id <> (SELECT min(vec_id) FROM embeddings))
+         |SELECT neighbor_id, adc_dist2 FROM f
+         |ORDER BY adc_dist2, neighbor_id LIMIT $topK""".stripMargin)
+    sb.toString
+  }
+
+  /** Replay of [[graft.ann.Ann.kmeansFit]] + [[graft.ann.Ann.ivfTopKTrained]]:
+    * the trained-centroid chain, every vector's L2 cell assignment
+    * (first-min ties), the query's nprobe nearest cells (d asc, ties by
+    * cell), exact cosine re-rank of the probed survivors. */
+  private def ivfTrainedSql(
+      k: Int, dim: Int, iters: Int, nprobe: Int, topK: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    "WITH " + kmeansCentsSql(k, dim, iters) +
+      s"""df AS (SELECT v.vec_id, c$iters.c,
+         |  list_sum(list_transform($r,
+         |    i -> (v.q[i] - c$iters.cent[i]) * (v.q[i] - c$iters.cent[i]))) AS d
+         |  FROM v, c$iters),
+         |asg AS (SELECT vec_id, c FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df) WHERE rn = 1),
+         |qv AS (SELECT vec_id AS qid, q AS qq FROM v
+         |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         |qd AS (SELECT c$iters.c,
+         |  list_sum(list_transform($r,
+         |    i -> (qv.qq[i] - c$iters.cent[i]) * (qv.qq[i] - c$iters.cent[i]))) AS d
+         |  FROM c$iters, qv),
+         |probe AS (SELECT c FROM qd ORDER BY d, c LIMIT $nprobe),
+         |s AS (SELECT a.vec_id AS neighbor_id,
+         |  ${cosineSql("ea.embedding", "eq.embedding", dim)} AS cs
+         |  FROM asg a
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN qv ON a.vec_id <> qv.qid
+         |  JOIN embeddings eq ON eq.vec_id = qv.qid
+         |  WHERE a.c IN (SELECT c FROM probe))
+         |SELECT neighbor_id, round(cs, 6) AS cosine FROM s
+         |ORDER BY cs DESC, neighbor_id LIMIT $topK""".stripMargin
   }
 
   private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
@@ -2521,6 +2656,10 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    "q_ann_pq_trained" -> pqTrainedSql(m = 8, k = 16, subDim = 8,
+      iters = 1, topK = 10),
+    "q_ann_ivf_trained" -> ivfTrainedSql(k = 16, dim = 64, iters = 1,
+      nprobe = 4, topK = 10),
     "q_ann_semdedup" -> semanticDedupSql(k = 8, dim = 64, iters = 1, threshold = 0.4),
     "q_text_perplexity" ->
       """WITH t AS (SELECT doc_id,

@@ -181,9 +181,9 @@ object Ann {
   /** Deterministic IVF codebook: `k` unit-normalized centroids, a pure
     * function of (k, dim, seed) — the same spectral-hash construction as
     * [[hyperplanes]], L2-normalized in exact driver arithmetic so both
-    * the operators and the SQL oracle can embed identical literals. In
-    * production the codebook would come from k-means over a sample; the
-    * probe structure below is unchanged by where centroids come from. */
+    * the operators and the SQL oracle can embed identical literals. The
+    * TRAINED alternative is [[kmeansFit]] + [[ivfTopKTrained]]; the probe
+    * structure is unchanged by where centroids come from. */
   def ivfCodebook(k: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
     hyperplanes(k, dim, scala.util.hashing.byteswap64(seed ^ 0x1DF5C3A7B9E1L))
       .map { c =>
@@ -368,10 +368,10 @@ object Ann {
   /** Deterministic product-quantization codebooks: `m` subspaces × `k`
     * sub-centroids of `subDim` dims each, derived per subspace by the
     * same hash construction as [[ivfCodebook]] (a pure function of the
-    * arguments, so the SQL oracle embeds identical literals). In
-    * production each subspace codebook would come from k-means over a
-    * sample ([[kmeansFit]] on the sliced column); encode/ADC below are
-    * unchanged by where codebooks come from. */
+    * arguments, so the SQL oracle embeds identical literals). The
+    * TRAINED alternative is [[pqFit]] (per-subspace [[kmeansFit]]) +
+    * [[pqAdcTopKTrained]]; encode/ADC below are unchanged by where
+    * codebooks come from. */
   def pqCodebooks(
       m: Int, k: Int, subDim: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] =
     (0 until m).map(j =>
@@ -442,6 +442,125 @@ object Ann {
     round(aggregate(
       transform(codes, (c, j) => element_at(element_at(tab, j + 1), c + 1)),
       lit(0.0), (acc, x) => acc + x), 6)
+  }
+
+  /** TRAINED product-quantization codebooks — the production alternative
+    * to the hash-derived [[pqCodebooks]] (whose scaladoc acknowledges the
+    * gap): per-subspace Lloyd's k-means ([[kmeansFit]]) over the sliced
+    * embedding column. Returned centroids are in MILLI-units (the
+    * quantized space [[kmeansFit]] operates in), so encode/score against
+    * them must quantize the vectors the same way — [[pqAdcTopKTrained]]
+    * does. Deterministic and oracle-replayable end to end: slicing
+    * commutes with quantization elementwise, so the SQL oracle re-derives
+    * every sub-codebook from scratch with the same first-k init and
+    * exact integer-mean updates as [[kmeansFit]].
+    *
+    * Cost: m independent fits (each persists its sliced projection and
+    * runs `1 + iters` jobs). At 100 TB you fit on a bounded sample —
+    * codebook quality needs ~100k vectors, not the corpus — then encode
+    * the full corpus map-side with the fitted literals. */
+  def pqFit(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int = 1,
+      seeding: String = "first",
+      sampleSize: Int = 4096,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && subDim >= 1, s"need m, subDim >= 1: $m, $subDim")
+    val v = transform(vec, x => x.cast("double"))
+    (0 until m).map { j =>
+      kmeansFit(df, id, slice(v, j * subDim + 1, subDim), k, iters,
+        seeding, sampleSize, seed)
+    }
+  }
+
+  /** ADC distance against TRAINED milli-unit codebooks: the m×k lookup
+    * table is built driver-side from the MILLI-quantized query, summed
+    * left-to-right over subspaces, and reported in ORIGINAL embedding
+    * units² (divide by 1e6, 6dp) — every input is exact integer-valued
+    * or an exact integer mean, so the oracle reproduces each entry
+    * bit-for-bit. */
+  def pqAdcScoreTrained(
+      codes: Column, queryMilli: Seq[Double],
+      codebooksMilli: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooksMilli.length
+    val subDim = codebooksMilli.head.head.length
+    require(queryMilli.length == m * subDim,
+      s"query dim ${queryMilli.length} != m·subDim = ${m * subDim}")
+    val table: Seq[Seq[Double]] = codebooksMilli.zipWithIndex.map { case (book, j) =>
+      val qsub = queryMilli.slice(j * subDim, (j + 1) * subDim)
+      book.map(c => c.zip(qsub).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val tab = typedLit(table.map(_.toIndexedSeq).toIndexedSeq)
+    round(aggregate(
+      transform(codes, (c, j) => element_at(element_at(tab, j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x) / lit(1e6), 6)
+  }
+
+  /** ADC top-k with TRAINED codebooks from [[pqFit]]: vectors are
+    * milli-quantized, encoded against the milli-unit sub-codebooks
+    * (same [[pqEncode]] kernel — squared-L2, first-min ties), and scored
+    * with [[pqAdcScoreTrained]]. Same map-side shape as [[pqAdcTopK]];
+    * only where the codebooks come from changed. */
+  def pqAdcTopKTrained(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Double],
+      codebooksMilli: Seq[Seq[Seq[Double]]],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val qm = query.map(x => math.floor(x * 1000.0 + 0.5))
+    val base = df.select(id.as("neighbor_id"),
+      pqAdcScoreTrained(pqEncode(quantizeMilli(vec), codebooksMilli),
+        qm, codebooksMilli).as("adc_dist2"))
+    excludeId.fold(base)(x => base.filter(col("neighbor_id") =!= x))
+      .orderBy(col("adc_dist2").asc, col("neighbor_id").asc)
+      .limit(k)
+  }
+
+  /** Driver-side probe list for a TRAINED (k-means / L2) coarse
+    * quantizer: the `nprobe` centroids nearest the milli-quantized query
+    * by squared L2 (ascending, ties by cell index) — the L2 sibling of
+    * the dot-product [[ivfProbeCells]]. */
+  def ivfProbeCellsTrained(
+      queryMilli: Seq[Double], centroidsMilli: Seq[Seq[Double]],
+      nprobe: Int): Seq[Int] =
+    centroidsMilli.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(queryMilli).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2)
+
+  /** IVF-flat top-k with a TRAINED coarse quantizer: cells are
+    * [[kmeansFit]] centroids (assignment via [[nearestCentroid]] on the
+    * milli-quantized vector — squared L2, first-min ties, the exact rule
+    * [[kmeansAssign]] uses), the query probes its `nprobe` nearest cells,
+    * and survivors are exact-cosine re-ranked. Same nprobe/cells scan
+    * fraction as [[ivfTopK]], with data-adapted cells instead of
+    * hash-derived ones. */
+  def ivfTopKTrained(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Double],
+      centroidsMilli: Seq[Seq[Double]],
+      k: Int,
+      nprobe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroidsMilli.length,
+      s"nprobe must be in [1, ${centroidsMilli.length}]")
+    val qm = query.map(x => math.floor(x * 1000.0 + 0.5))
+    val probe = ivfProbeCellsTrained(qm, centroidsMilli, nprobe)
+    val restricted = df
+      .filter(nearestCentroid(quantizeMilli(vec), centroidsMilli).isin(probe: _*))
+      .select(id.as("neighbor_id"), vec.as("__v"))
+    bruteForceTopK(restricted, col("neighbor_id"), col("__v"), query, k, excludeId)
   }
 
   /** Materialize the IVFADC serving table: (vec_id, codes) PARTITIONED

@@ -327,6 +327,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k should be TakeOrdered:\n$plan")
   }
 
+  test("trained PQ codebooks beat hash codebooks on planted-cluster ADC recall") {
+    // 4 planted clusters x 30 vectors in 16 dims, deterministic jitter.
+    val m = 4; val subDim = 4; val dim = m * subDim
+    def center(c: Int, d: Int): Double = (((c * 5 + d * 3) % 7) - 3) * 0.8
+    def jitter(i: Int, d: Int): Double = (((i * 13 + d * 7) % 21) - 10) * 0.02
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (center(i % 4, d) + jitter(i, d)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val q = Array.tabulate(dim)(d => center(0, d) + jitter(999, d)).toSeq
+    // exact L2 ground truth, driver-side
+    val exact = vecs.map { case (i, v) =>
+      (i, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(10).map(_._1).toSet
+    def recall(ids: Seq[Long]): Double = ids.count(exact.contains) / 10.0
+    val hashIds = Ann.pqAdcTopK(df, $"vec_id", $"v", q,
+        Ann.pqCodebooks(m, 16, subDim), k = 10)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    val trained = Ann.pqFit(df, $"vec_id", $"v", m, subDim, k = 16, iters = 2)
+    val trainedIds = Ann.pqAdcTopKTrained(df, $"vec_id", $"v", q, trained, k = 10)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(recall(trainedIds) > recall(hashIds),
+      s"trained ${recall(trainedIds)} should beat hash ${recall(hashIds)}")
+    assert(recall(trainedIds) >= 0.7, s"trained recall too low: ${recall(trainedIds)}")
+    // trained IVF with the same planted clusters: probing the query's
+    // nearest cell must recover the query's own cluster
+    val cents = Ann.kmeansFit(df, $"vec_id", $"v", k = 4, iters = 2,
+      seeding = "farthest")
+    val ivfIds = Ann.ivfTopKTrained(df, $"vec_id", $"v", q, cents,
+        k = 10, nprobe = 1)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(ivfIds.nonEmpty && ivfIds.forall(_ % 4 == 0),
+      s"nprobe=1 should stay inside the planted cluster: $ivfIds")
+  }
+
   test("IVFPQ codes table: partition pruning + parity with the raw path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/codes"
