@@ -888,13 +888,25 @@ object SparkEntry {
 
     // URL/domain provenance filter: deterministic per-doc URLs, blocklist
     // drops three source domains map-side (literal NOT IN — no shuffle).
+    // URL blocklist keyed on the REGISTRABLE domain (eTLD+1 via the
+    // embedded public-suffix snapshot): fixtures vary subdomain depth
+    // (www./a.b./bare/sub.) and TLD shape (.com/.co.uk/.com.au), so
+    // 'src1.co.uk' must block 'a.b.src1.co.uk' but not 'src1.com'. The
+    // oracle re-derives host, www-stripped domain, and registrable
+    // domain from the same suffix snapshot.
     "q_web_domains" -> ((s, dir) => {
       import s.implicits._
+      val sub = when($"doc_id" % 4 === 0, "www.")
+        .when($"doc_id" % 4 === 1, "a.b.")
+        .when($"doc_id" % 4 === 2, "").otherwise("sub.")
+      val tld = when($"doc_id" % 3 === 0, ".com")
+        .when($"doc_id" % 3 === 1, ".co.uk").otherwise(".com.au")
       val docs = tbl(s, dir, "documents").withColumn("url",
-        concat(lit("https://www."), $"source", lit(".example.com/doc/"), $"doc_id"))
-      graft.text.Web.filterBlockedDomains(docs, $"url",
-          Seq("src1.example.com", "src3.example.com", "src5.example.com"))
-        .select($"doc_id", graft.text.Web.domainOf($"url").as("domain"))
+        concat(lit("https://"), sub, $"source", tld, lit("/doc/"), $"doc_id"))
+      graft.text.Web.filterBlockedRegistrable(docs, $"url",
+          Seq("src1.co.uk", "src3.com.au", "src5.com"))
+        .select($"doc_id", graft.text.Web.domainOf($"url").as("domain"),
+          graft.text.Web.registrableDomainOf($"url").as("registrable"))
         .orderBy($"doc_id")
     }),
 
@@ -2216,18 +2228,36 @@ object SparkEntry {
         |  ((nt >= 40 AND nt <= 100000) AND (nt > 0 AND ml >= 4.0 AND ml <= 10.0)
         |    AND (dr <= 0.2) AND (sh >= 2)) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
-    "q_web_domains" ->
-      """WITH u AS (SELECT doc_id,
-        |  'https://www.' || source || '.example.com/doc/' || doc_id::VARCHAR AS url
+    "q_web_domains" -> {
+      // same public-suffix snapshot as Web.registrableDomainOf — the
+      // alternation is generated from it so the two can never drift
+      val alt = graft.text.Web.publicSuffixes
+        .map(_.replace(".", "\\.")).mkString("|")
+      val multi = s"regexp_extract(host, '([^.]+\\.(?:$alt))$$', 1)"
+      val two = "regexp_extract(host, '([^.]+\\.[^.]+)$', 1)"
+      s"""WITH u AS (SELECT doc_id,
+        |  'https://' ||
+        |  CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'a.b.'
+        |    WHEN 2 THEN '' ELSE 'sub.' END ||
+        |  source ||
+        |  CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |    ELSE '.com.au' END ||
+        |  '/doc/' || doc_id::VARCHAR AS url
         |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM u),
         |d AS (SELECT doc_id,
-        |  regexp_replace(lower(regexp_extract(url,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
-        |    '^www\.', '') AS domain
-        |  FROM u)
-        |SELECT doc_id, domain FROM d
-        |WHERE domain NOT IN ('src1.example.com','src3.example.com','src5.example.com')
-        |ORDER BY doc_id""".stripMargin,
+        |  regexp_replace(host, '^www\\.', '') AS domain,
+        |  CASE WHEN $multi <> '' THEN $multi
+        |       WHEN $two <> '' THEN $two
+        |       ELSE host END AS registrable
+        |  FROM h)
+        |SELECT doc_id, domain, registrable FROM d
+        |WHERE registrable NOT IN ('src1.co.uk','src3.com.au','src5.com')
+        |ORDER BY doc_id""".stripMargin
+    },
     "q_text_langid" ->
       """WITH t AS (SELECT text,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

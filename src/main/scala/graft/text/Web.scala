@@ -20,12 +20,68 @@ object Web {
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
 
-  /** Domain used for blocklist matching: the host minus one leading
-    * `www.` label. (True registrable-domain/eTLD+1 needs the public
-    * suffix list; the www-strip is the standard cheap normalization and
-    * keeps the operator dependency-free.) */
+  /** Domain used for exact-host blocklist matching: the host minus one
+    * leading `www.` label. For registrable-domain (eTLD+1) matching —
+    * the keying C4/RefinedWeb-grade blocklists use — see
+    * [[registrableDomainOf]]. */
   def domainOf(url: Column): Column =
     regexp_replace(hostOf(url), "^www\\.", "")
+
+  /** Embedded public-suffix snapshot: the multi-label entries (every
+    * bare TLD already follows the PSL default rule of one public label).
+    * A DATA SNAPSHOT of the common ccTLD second-level registries, not a
+    * dependency — trimmed to two-label suffixes so the longest-match
+    * rule reduces to one anchored regex; extend the list to track the
+    * full publicsuffix.org set. */
+  val publicSuffixes: Seq[String] = Seq(
+    // United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "sch.uk",
+    // Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    // Australia / New Zealand
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "net.nz", "org.nz",
+    // Brazil / Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.ar", "com.mx", "gob.mx", "org.mx", "com.co", "com.pe", "com.ve",
+    "com.ec", "com.uy", "com.do", "com.gt", "com.cl",
+    // China / Korea / Taiwan / Hong Kong / SE Asia
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "net.cn", "org.cn",
+    "co.kr", "go.kr", "or.kr", "ac.kr", "com.tw", "org.tw", "edu.tw",
+    "com.hk", "org.hk", "edu.hk", "com.sg", "edu.sg", "org.sg",
+    "co.th", "ac.th", "go.th", "or.th", "com.my", "org.my", "edu.my",
+    "com.ph", "org.ph", "com.vn", "edu.vn", "co.id", "or.id", "ac.id",
+    "go.id", "com.bd", "com.pk", "edu.pk",
+    // India / Middle East / Africa
+    "ac.in", "co.in", "firm.in", "gen.in", "gov.in", "ind.in", "net.in",
+    "org.in", "res.in", "co.il", "org.il", "ac.il", "gov.il",
+    "com.sa", "com.eg", "com.tr", "edu.tr", "gov.tr", "org.tr",
+    "ac.za", "co.za", "gov.za", "net.za", "org.za", "web.za",
+    "co.ke", "or.ke", "ac.ke", "com.ng", "edu.ng", "gov.ng",
+    // Europe
+    "ac.at", "co.at", "gv.at", "or.at", "com.pl", "edu.pl", "net.pl",
+    "org.pl", "com.ru", "com.ua", "edu.ua", "gov.ua", "com.gr", "edu.gr",
+    "com.pt", "edu.pt", "com.ro", "org.ro", "co.hu", "org.hu")
+
+  private def suffixAlternation: String =
+    publicSuffixes.map(_.replace(".", "\\.")).mkString("|")
+
+  /** Registrable domain (eTLD+1): one label past the public suffix —
+    * multi-label suffixes from the [[publicSuffixes]] snapshot, bare
+    * TLDs via the PSL default single-label rule. `sub.example.co.uk` →
+    * `example.co.uk`; `a.b.example.com` → `example.com`. A host that IS
+    * a public suffix, is single-label, or is empty passes through
+    * unchanged (no registrable domain to extract — never a false
+    * block). Two anchored regexes + a CASE — codegen'd, and replayed
+    * verbatim by the SQL oracle from the same snapshot. */
+  def registrableDomainOf(url: Column): Column = {
+    val host = hostOf(url)
+    val multi = regexp_extract(host, s"([^.]+\\.(?:$suffixAlternation))$$", 1)
+    val twoLabel = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(multi =!= "", multi).when(twoLabel =!= "", twoLabel).otherwise(host)
+  }
 
   /** Drop rows whose URL's [[domainOf]] appears in `blockedDomains`
     * (a one-column DataFrame of domains). A curated blocklist (thousands
@@ -45,5 +101,23 @@ object Web {
       df: DataFrame, url: Column, blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "empty blocklist: nothing to filter")
     df.filter(!domainOf(url).isin(blockedDomains: _*))
+  }
+
+  /** [[filterBlockedDomains]] keyed on the REGISTRABLE domain
+    * ([[registrableDomainOf]]): a blocklist entry `example.co.uk` blocks
+    * `example.co.uk`, `www.example.co.uk`, `a.b.example.co.uk`, … — the
+    * matching C4/RefinedWeb-grade blocklists assume. Same plan shapes as
+    * the exact-host variant (broadcast/shuffled left_anti by size). */
+  def filterBlockedRegistrable(
+      df: DataFrame, url: Column, blockedDomains: DataFrame): DataFrame = {
+    val blocked = blockedDomains.toDF("__blocked_domain")
+    df.join(blocked, registrableDomainOf(url) === col("__blocked_domain"), "left_anti")
+  }
+
+  /** Literal-list registrable-domain blocklist — map-side NOT IN. */
+  def filterBlockedRegistrable(
+      df: DataFrame, url: Column, blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "empty blocklist: nothing to filter")
+    df.filter(!registrableDomainOf(url).isin(blockedDomains: _*))
   }
 }

@@ -188,6 +188,43 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptDf.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("Web: registrable domain (eTLD+1) via the public-suffix snapshot") {
+    import graft.text.Web
+    val df = Seq(
+      (1L, "https://a.example.co.uk/x"),        // multi-label suffix
+      (2L, "https://www.example.co.uk/x"),      // www + multi-label
+      (3L, "https://example.co.uk/x"),          // already registrable
+      (4L, "https://deep.sub.example.com.au/x"),
+      (5L, "https://a.b.example.com/x"),        // default 1-label rule
+      (6L, "https://example.com/x"),
+      (7L, "https://co.uk/"),                   // bare public suffix
+      (8L, "https://localhost/x"),              // single label
+      (9L, "not a url")
+    ).toDF("id", "url")
+    val got = df.select($"id", Web.registrableDomainOf($"url").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "example.co.uk")
+    assert(got(2L) == "example.co.uk")
+    assert(got(3L) == "example.co.uk")
+    assert(got(4L) == "example.com.au")
+    assert(got(5L) == "example.com")
+    assert(got(6L) == "example.com")
+    assert(got(7L) == "co.uk")     // pass-through: no registrable to extract
+    assert(got(8L) == "localhost")
+    assert(got(9L) == "")
+    // a registrable-keyed blocklist blocks every subdomain depth, and
+    // 'example.co.uk' does NOT block 'example.com'
+    val kept = Web.filterBlockedRegistrable(df, $"url", Seq("example.co.uk"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 5L, 6L, 7L, 8L, 9L))
+    assert(!Web.filterBlockedRegistrable(df, $"url", Seq("example.co.uk"))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    val keptDf = Web.filterBlockedRegistrable(df, $"url",
+      Seq("example.com.au", "example.com").toDF("domain"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(keptDf == Seq(1L, 2L, 3L, 7L, 8L, 9L))
+  }
+
   test("duplicateSegmentStats counts repeats of identical segments") {
     import graft.text.TextFunctions
     val docs = Seq(
