@@ -298,14 +298,22 @@ object IndexedDataSource {
 
     // 3. Sketches: drop stale rows first (only when removals exist —
     //    semi-join against the settled files table, fully distributed),
-    //    then append sketches for the added files.
+    //    then append sketches for the added files. Rows of RE-SKETCHED
+    //    paths are anti-joined out too: a file rewritten at the same
+    //    path (removed + added by the diff) is live again by now, so the
+    //    semi-join alone would keep its stale row next to the fresh
+    //    append — a duplicate (file, column) key whose stale sketch
+    //    could win a probe and mis-prune the rewritten content.
     meta.sketchKind.foreach { kind =>
       if (removedCount > 0 && fs.exists(sketchDir)) {
         val normPath = udf((s: String) => SketchStore.normalizePath(s))
         val liveKeys = spark.read.parquet(filesDir.toString)
           .select(normPath(col("path")).as("file"))
+        val addedKeys = addedPaths.toSeq.map(SketchStore.normalizePath)
+          .toDF("file")
         val keep = spark.read.parquet(sketchDir.toString)
           .join(liveKeys, Seq("file"), "left_semi")
+          .join(addedKeys, Seq("file"), "left_anti")
         val tmp = new Path(indexDir, Metastore.SketchDir + "_tmp")
         keep.sort(col("file"), col("column"))
           .write.mode("overwrite").parquet(tmp.toString)

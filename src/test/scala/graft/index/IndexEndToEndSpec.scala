@@ -988,6 +988,70 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.index.parquet(rPath).count() == snapshot.length.toLong)
   }
 
+  test("sketch-table GC: compact+refresh cycles leave live-files × columns rows") {
+    val p = s"$work/sketch_gc"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_quantity").limit(2000)
+    li.repartition(6).write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite")
+      .indexBy("l_orderkey", "l_returnflag").parquet(p)
+    val ms = Metastore(spark)
+    val sketchDir = new org.apache.hadoop.fs.Path(
+      ms.location(Metastore.Dataspace, IndexedDataSource.resolveTablePath(spark, p)),
+      Metastore.SketchDir)
+    val nCols = 2L
+    def liveParquet(): Array[java.io.File] = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def assertInSync(): Unit = {
+      val rows = spark.read.parquet(sketchDir.toString)
+        .select("file", "column").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length.toLong == liveParquet().length * nCols,
+        s"sketch rows ${rows.length} != ${liveParquet().length} files × $nCols cols")
+      assert(rows.distinct.length == rows.length,
+        "duplicate (file, column) sketch keys")
+      val liveNorm =
+        liveParquet().map(f => SketchStore.normalizePath(f.getAbsolutePath)).toSet
+      assert(rows.map(_._1).toSet == liveNorm, "sketch file set != live file set")
+    }
+    assertInSync()
+    for (_ <- 1 to 3) {
+      li.limit(300).repartition(2).write.mode("append").parquet(p)
+      spark.index.refresh.parquet(p)
+      assertInSync()
+      val st = graft.ops.Layout.compact(spark, p)
+      assert(st.compactedFiles > 0L, s"expected a real compaction, got $st")
+      spark.index.refresh.parquet(p)
+      assertInSync()
+      checkSame(spark.index.parquet(p), spark.read.parquet(p))
+    }
+    // same-path rewrite: copy one live file over another (same path, new
+    // size/mtime) — refresh must leave ONE fresh sketch row per key, not
+    // the stale row + the re-sketched append
+    li.limit(300).repartition(2).write.mode("append").parquet(p)
+    spark.index.refresh.parquet(p)
+    val files = liveParquet().sortBy(_.getName)
+    val (a, b) = (files(0), files(1))
+    java.nio.file.Files.copy(b.toPath, a.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep RawLocalFileSystem's checksum sidecar consistent with the copy
+    val (aCrc, bCrc) = (new java.io.File(a.getParent, s".${a.getName}.crc"),
+      new java.io.File(b.getParent, s".${b.getName}.crc"))
+    if (bCrc.exists) {
+      java.nio.file.Files.copy(bCrc.toPath, aCrc.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else if (aCrc.exists) assert(aCrc.delete())
+    assert(a.setLastModified(b.lastModified() + 123456L))
+    val st2 = spark.index.refresh.parquet(p)
+    assert(st2.addedFiles >= 1L && st2.removedFiles >= 1L, s"got $st2")
+    assertInSync()
+    checkSame(spark.index.parquet(p), spark.read.parquet(p))
+    val key = spark.read.parquet(p).select("l_orderkey").head.getLong(0)
+    checkSame(spark.index.parquet(p).filter(col("l_orderkey") === key),
+      spark.read.parquet(p).filter(col("l_orderkey") === key))
+  }
+
   test("refresh: survives ALL data files being removed") {
     // retention-job shape: every file deleted; the summary aggregates over
     // an empty files table (NULL sum/max must degrade to 0, not NPE)
