@@ -105,6 +105,19 @@ object Bench {
       .map(g => g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles))
       .getOrElse(1.0)
 
+    // -- million-file story at test scale: ~50k files, distributed prune.
+    // Build is untimed (create-once scratch); the reported number is the
+    // point-query wall-time, Spark-job fold path included.
+    val df50k = SparkEntry.indexed50kFiles(spark, sfDir)
+    val q50k = df50k.filter($"k" === 5L)
+    val prune50kTime = timeBest(q50k.count(), 3)
+    val fi50k = q50k.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    val ratio50k = fi50k.map(g =>
+      g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles)).getOrElse(1.0)
+    val distributed50k = fi50k.exists(_.lastPrunedDistributed)
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -114,6 +127,10 @@ object Bench {
       s""""files_scanned_ratio":$ratio,"orc_files_scanned_ratio":$orcRatio,""" +
       s""""indexed_speedup":$speedup,""" +
       s""""point_query_indexed_sec":$idxTime,"point_query_plain_sec":$plainTime,""" +
+      s""""prune_50k_files_sec":$prune50kTime,""" +
+      s""""files_50k_scanned_ratio":$ratio50k,""" +
+      s""""files_50k_total":${fi50k.map(_.lastTotalFiles).getOrElse(0L)},""" +
+      s""""files_50k_distributed":$distributed50k,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -99,6 +99,46 @@ object SparkEntry {
         .indexBy("l_orderkey", "l_returnflag").orc(tableDir)
     }
 
+  /** ~50k-file synthetic table (the million-file story at test scale):
+    * 64 range-distinct seed files (one key value each), each replicated
+    * 780× by raw byte copy — identical stats, distinct paths — because
+    * listing, footer indexing and prune cost scale with FILE COUNT, which
+    * is exactly what this table exercises. Sketches are disabled (min/max
+    * pruning is the story; a 50k-row sketch table would just slow the
+    * build) and the reader carries a distributed-pruning threshold BELOW
+    * the file count, so queries take the Spark-job fold path a million-
+    * file table would. Create-once. */
+  private[graft] val Files50kSeeds = 64
+  private[graft] val Files50kCopies = 780 // per seed => 64 × 781 = 49,984 files
+  private[graft] val Files50kRowsPerSeed = 100
+  private[graft] def indexed50kFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.implicits._
+    scratchTable(s, dir, "files50k") { tableDir =>
+      s.range(Files50kSeeds.toLong * Files50kRowsPerSeed)
+        .select((col("id") / Files50kRowsPerSeed).cast("long").as("k"),
+          col("id").as("v"))
+        .repartitionByRange(Files50kSeeds, col("k"))
+        .sortWithinPartitions(col("k"))
+        .write.mode("overwrite").parquet(tableDir)
+      val d = new java.io.File(tableDir)
+      val seeds = d.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      seeds.zipWithIndex.foreach { case (f, si) =>
+        (0 until Files50kCopies).foreach { j =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(d, s"part-copy-$si-$j.parquet").toPath)
+        }
+      }
+      s.index.create.mode("overwrite")
+        .option(graft.index.IndexConf.FilterEnabled, "false")
+        .indexBy("k").parquet(tableDir)
+    }
+    // re-open with the distributed threshold under the file count: the
+    // Spark-job fold path is the one a million-file table would take
+    s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
+      .parquet(s"$scratchRoot/${new java.io.File(dir).getName}/files50k")
+  }
+
   /** Indexed lineitem copy with DICT/BITMAP sketches (per-call option):
     * long column → exact dict, int column → roaring bitmap. Separate
     * table dir so the bloom-indexed copy keeps its own index. */

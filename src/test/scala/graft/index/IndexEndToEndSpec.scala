@@ -988,6 +988,63 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.index.parquet(rPath).count() == snapshot.length.toLong)
   }
 
+  test("50k-file table: distributed prune, survivors-only driver state, live refresh") {
+    // The million-file story at test scale (verifies what the scaladocs
+    // promise): ~50k files index through executor-side footer jobs, the
+    // prune takes the Spark-job fold (threshold is below the file count),
+    // the driver lists only the surviving paths, and refresh stays a
+    // 1-file delta. (fullScanMinMaxFallback is a no-op here: every file
+    // carries footer stats, so its statless-row detection finds nothing.)
+    val saved = spark.conf.getOption(IndexConf.MetastoreLocation)
+    try {
+      val df = graft.SparkEntry.indexed50kFiles(spark, "/root/testdata/sf0.001")
+      val q = df.filter(col("k") === 5L)
+      val expectedFiles = graft.SparkEntry.Files50kCopies + 1L // seed + copies
+      assert(q.count() ==
+        expectedFiles * graft.SparkEntry.Files50kRowsPerSeed)
+      val fi = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+      assert(fi.isDefined)
+      assert(fi.get.lastPrunedDistributed,
+        "50k files over a 10k threshold must take the Spark-job fold path")
+      assert(fi.get.lastTotalFiles >=
+        graft.SparkEntry.Files50kSeeds * expectedFiles,
+        s"expected ~50k files, saw ${fi.get.lastTotalFiles}")
+      assert(fi.get.lastListedFiles == expectedFiles,
+        s"driver must hold only the ${expectedFiles} survivors, " +
+          s"listed ${fi.get.lastListedFiles}")
+
+      // refresh at 50k files: append one new-key file; the diff anti-join
+      // runs distributed and only the 1-file delta reaches the driver
+      val tableDir = "/root/repo/target/graft_scratch/sf0.001/files50k"
+      val preListing = new java.io.File(tableDir).listFiles().map(_.getName).toSet
+      spark.range(100)
+        .select(lit(999L).as("k"), col("id").as("v"))
+        .coalesce(1).write.mode("append").parquet(tableDir)
+      val st = spark.index.refresh.parquet(tableDir)
+      assert(st.addedFiles == 1L && st.removedFiles == 0L, s"got $st")
+      val q2 = spark.index
+        .option(IndexConf.DistributedPruningThreshold, "10000")
+        .parquet(tableDir).filter(col("k") === 999L)
+      assert(q2.count() == 100L)
+      val fi2 = q2.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+      assert(fi2.get.lastListedFiles == 1L,
+        s"new key lives in exactly 1 file, listed ${fi2.get.lastListedFiles}")
+
+      // restore the create-once scratch for later bench runs: drop the
+      // appended file (and its crc sidecar) and refresh it back out
+      val added = new java.io.File(tableDir).listFiles()
+        .filter(f => !preListing.contains(f.getName))
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
+      added.foreach(f => assert(f.delete()))
+      val st2 = spark.index.refresh.parquet(tableDir)
+      assert(st2 == IndexedDataSource.RefreshStats(0L, 1L), s"got $st2")
+    } finally saved.foreach(spark.conf.set(IndexConf.MetastoreLocation, _))
+  }
+
   test("sketch-table GC: compact+refresh cycles leave live-files × columns rows") {
     val p = s"$work/sketch_gc"
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
