@@ -42,6 +42,7 @@ object Bench {
     SparkEntry.indexedOrdersInt96(spark, sfDir).count()
     SparkEntry.indexedLineitemOrc(spark, sfDir).count()
     SparkEntry.ivfPqCodesDir(spark, sfDir)
+    SparkEntry.minhashIndexDir(spark, sfDir)
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()

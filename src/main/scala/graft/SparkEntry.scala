@@ -339,6 +339,17 @@ object SparkEntry {
         dim = 64, cells = 16, m = 8, codebookK = 16)
     }
 
+  /** Materialized MinHash LSH index over the EVEN-id half of documents
+    * (the "already-ingested corpus"); create-once. The odd-id half plays
+    * the incoming batch in `q_dedup_incremental`. */
+  private[graft] def minhashIndexDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "minhash_index") { td =>
+      graft.dedup.Dedup.buildMinhashIndex(
+        tbl(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), td,
+        numHashes = 64, bands = 16, shingleK = 3)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -1010,6 +1021,23 @@ object SparkEntry {
           numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
         .select($"id_a", $"id_b")
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // INCREMENTAL dedup against the materialized MinHash index: the
+    // even-id half of documents is indexed once (signatures + band keys
+    // stored); the odd-id half arrives as a new batch that computes only
+    // its own signatures and joins the stored bands. Oracle: a batch doc
+    // survives iff it has no exact-Jaccard >= 0.5 partner in the corpus
+    // half (the same est==exact pair-set equivalence q_dedup_minhash
+    // rests on, restricted to cross-half pairs).
+    "q_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val batch = tbl(s, dir, "documents").filter($"doc_id" % 2 === 1)
+      graft.dedup.Dedup.dedupAgainstIndex(s, batch, $"doc_id", $"text",
+          minhashIndexDir(s, dir),
+          numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+        .select($"doc_id")
+        .orderBy($"doc_id")
     }),
 
     // Near-duplicate clusters: LSH pairs → exact-Jaccard verify →
@@ -2622,6 +2650,24 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |dup AS (SELECT b.doc_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
         |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),

@@ -455,10 +455,18 @@ object Ann {
     * every sub-codebook from scratch with the same first-k init and
     * exact integer-mean updates as [[kmeansFit]].
     *
-    * Cost: m independent fits (each persists its sliced projection and
-    * runs `1 + iters` jobs). At 100 TB you fit on a bounded sample —
-    * codebook quality needs ~100k vectors, not the corpus — then encode
-    * the full corpus map-side with the fitted literals. */
+    * Cost: the m sub-fits are FUSED — one persisted quantized projection,
+    * one driver-sliced init collect, and ONE Spark job per Lloyd
+    * iteration (each vector explodes into its m sub-vectors; the shuffle
+    * groups on (subspace, cluster) and carries m×k×(subDim+1) values) —
+    * instead of m independent fits' m×(1+iters) jobs. Bit-identical to
+    * per-subspace [[kmeansFit]] (slicing commutes with quantization
+    * elementwise; integer-valued sums are exact in any order; same
+    * first-k / farthest-first init, first-min ties, exact integer-mean
+    * updates — asserted in PipelineSpec), so the SQL oracle's
+    * per-subspace replay is unchanged. At 100 TB you fit on a bounded
+    * sample — codebook quality needs ~100k vectors, not the corpus —
+    * then encode the full corpus map-side with the fitted literals. */
   def pqFit(
       df: DataFrame,
       id: Column,
@@ -471,11 +479,49 @@ object Ann {
       sampleSize: Int = 4096,
       seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && subDim >= 1, s"need m, subDim >= 1: $m, $subDim")
-    val v = transform(vec, x => x.cast("double"))
-    (0 until m).map { j =>
-      kmeansFit(df, id, slice(v, j * subDim + 1, subDim), k, iters,
-        seeding, sampleSize, seed)
-    }
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: $k, $iters")
+    require(Seq("first", "farthest").contains(seeding),
+      s"seeding must be 'first' or 'farthest': $seeding")
+    val q = df.select(id.as("__id"), quantizeMilli(vec).as("__q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def sliced(full: Seq[IndexedSeq[Double]], j: Int): IndexedSeq[IndexedSeq[Double]] =
+        full.map(_.slice(j * subDim, (j + 1) * subDim)).toIndexedSeq
+      var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = seeding match {
+        case "first" =>
+          val init = q.orderBy(col("__id")).limit(k).collect()
+            .map(_.getSeq[Double](1).toIndexedSeq)
+          require(init.length == k, s"need at least $k vectors, found ${init.length}")
+          IndexedSeq.tabulate(m)(j => sliced(init.toIndexedSeq, j))
+        case "farthest" =>
+          val cand = q.orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+            .limit(math.max(sampleSize, k)).collect()
+            .map(_.getSeq[Double](1).toIndexedSeq)
+          require(cand.length >= k, s"need at least $k vectors, found ${cand.length}")
+          IndexedSeq.tabulate(m)(j => farthestFirst(sliced(cand.toIndexedSeq, j), k))
+      }
+      for (_ <- 1 to iters) {
+        val subCols = (0 until m).map { j =>
+          val sub = slice(col("__q"), j * subDim + 1, subDim)
+          struct(lit(j).as("j"), nearestCentroid(sub, books(j)).as("c"), sub.as("s"))
+        }
+        val exploded = q.select(explode(array(subCols: _*)).as("e"))
+          .select(col("e.j").as("__j"), col("e.c").as("__c"), col("e.s").as("__s"))
+        val aggs = (0 until subDim).map(i =>
+          sum(element_at(col("__s"), i + 1)).as(s"__sum$i")) :+ count(lit(1)).as("__n")
+        val updated = exploded.groupBy(col("__j"), col("__c"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val n = r.getLong(subDim + 2).toDouble
+            (r.getInt(0), r.getInt(1)) ->
+              (0 until subDim).map(i => r.getDouble(i + 2) / n).toIndexedSeq
+          }.toMap
+        books = books.zipWithIndex.map { case (book, j) =>
+          book.zipWithIndex.map { case (old, c) => updated.getOrElse((j, c), old) }
+        }
+      }
+      books
+    } finally { q.unpersist(blocking = false); () }
   }
 
   /** ADC distance against TRAINED milli-unit codebooks: the m×k lookup

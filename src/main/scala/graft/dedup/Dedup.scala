@@ -58,6 +58,14 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(a).cast("double")
 
+  /** The `bands` LSH band keys of a signature: band b hashes its `rows`
+    * contiguous signature positions into one long. Shared by the batch
+    * pair join and the materialized index so the two can never disagree. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        slice(sig, b * lit(rows) + lit(1), lit(rows)).cast("array<string>"))))
+
   /** Candidate pairs whose signatures agree on at least one LSH band,
     * scored by signature-estimated Jaccard and thresholded.
     *
@@ -93,10 +101,7 @@ object Dedup {
     // signature size per doc. Signatures are re-joined once per side after
     // the candidate pairs are distinct (same shape as ngramJaccardPairs).
     val banded = sigDf.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))))
-        .as(Seq("__band", "__key")))
+      posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("__band", "__key")))
     val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
       .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
         Seq("__band", "__key"))
@@ -108,6 +113,82 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(signatureJaccard(col("__sig_a"), col("__sig_b")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Materialize the MinHash LSH serving index for INCREMENTAL dedup —
+    * the ingest-time story: a 100 TB corpus' signatures are computed once
+    * at index time, and each new batch only computes its OWN signatures
+    * and equi-joins the stored band keys, instead of re-running
+    * tokenize→shingle→minhash over the corpus per batch.
+    *
+    * Two tables under `dir`, keeping ids-only through the wide join:
+    *   - `bands/` (band, key, doc_id), partitioned by band — the join
+    *     side; a probe shuffles on (band, key) exactly like
+    *     [[minhashPairs]]' in-batch join;
+    *   - `sigs/` (doc_id, sig) — read only to verify candidates
+    *     (signature-estimated Jaccard), never exploded.
+    *
+    * Deterministic signatures ⇒ rebuild = rerun; append a delta batch's
+    * rows to both tables to grow the index incrementally. */
+  def buildMinhashIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = df.select(id.as("doc_id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+      .localCheckpoint(false)
+    sig.write.mode("overwrite").parquet(s"$dir/sigs")
+    sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+  }
+
+  /** Drop every row of `df` (a NEW batch) that is a MinHash near-duplicate
+    * (signature-estimated Jaccard ≥ threshold) of any document in the
+    * [[buildMinhashIndex]] table at `dir`. The batch side computes its
+    * signatures once; the corpus side contributes only stored band keys
+    * (ids through the shuffle) and the candidate signatures — the corpus
+    * text is never read. Same banding/verify arithmetic as
+    * [[minhashPairs]], so recall is identical. In-batch duplicates are
+    * NOT removed here — run [[dedupMinhash]] on the batch first (or after)
+    * if both levels are wanted. */
+  def dedupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigDf = df.select(id.as("__id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
+      .localCheckpoint(false)
+    val newBands = sigDf.select(col("__id"),
+      posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("band", "key")))
+    val corpusBands = spark.read.parquet(s"$dir/bands")
+      .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
+    val candidates = newBands.join(corpusBands, Seq("band", "key"))
+      .select(col("__id"), col("__corpus_id")).distinct()
+    val corpusSigs = spark.read.parquet(s"$dir/sigs")
+      .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
+    val dups = candidates
+      .join(sigDf, Seq("__id"))
+      .join(corpusSigs, Seq("__corpus_id"))
+      .filter(round(signatureJaccard(col("__sig"), col("__corpus_sig")), 4)
+        >= threshold)
+      .select(col("__id").as("__dup_id")).distinct()
+    df.join(dups, id === col("__dup_id"), "left_anti")
   }
 
   /** Remove near-duplicates: drop every doc that pairs with a smaller id. */
@@ -268,10 +349,7 @@ object Dedup {
         val sig = sh.select(col("__id"),
           minhashSignature(col("__sh"), numHashes).as("__sig"))
         val banded = sig.select(col("__id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",",
-              slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))))
-            .as(Seq("__band", "__key")))
+          posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("__band", "__key")))
         banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
           .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
             Seq("__band", "__key"))

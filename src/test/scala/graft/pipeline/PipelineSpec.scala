@@ -112,6 +112,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!kept.contains(5L) && !kept.contains(2L))
   }
 
+  test("minhash index: incremental dedup of a new batch against a stored corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    // corpus = ids 1,3 (near-dups of each other live in the batch too)
+    val corpus = docs.filter($"id" % 2 === 1) // 1, 3, 5
+    val batch = docs.filter($"id" % 2 === 0)  // 2 (near-dup of 1), 4 (unique)
+    Dedup.buildMinhashIndex(corpus, $"id", $"text", dir,
+      numHashes = 64, bands = 16, shingleK = 3)
+    val kept = Dedup.dedupAgainstIndex(spark, batch, $"id", $"text", dir,
+        numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(4L), s"2 is a near-dup of corpus doc 1; got $kept")
+    // parity with the one-shot pair path: a batch doc is dropped iff it
+    // pairs (est_jaccard >= t) with some corpus doc in minhashPairs over
+    // the union — the stored index must not change recall
+    val unionPairs = Dedup.minhashPairs(docs, $"id", $"text",
+        numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val crossDrops = unionPairs.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => b
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => a
+    }.toSet
+    assert(kept == batch.select($"id").as[Long].collect().toSet -- crossDrops)
+    // appending a delta batch to the index grows it incrementally
+    val delta = Seq((6L, "the quick brown fox jumps over the lazy dog near the river bank soon"))
+      .toDF("id", "text")
+    val rows = 64 / 16
+    val sig6 = delta.select($"id".as("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 64).as("sig"))
+    sig6.write.mode("append").parquet(s"$dir/sigs")
+    sig6.select($"doc_id",
+        posexplode(Dedup.bandKeys($"sig", 16, rows)).as(Seq("band", "key")))
+      .select($"band", $"key", $"doc_id")
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    val kept2 = Dedup.dedupAgainstIndex(spark, batch, $"id", $"text", dir)
+      .select($"id").as[Long].collect().toSet
+    assert(kept2 == Set(4L))
+  }
+
   test("simhash: identical texts distance 0, near long texts small distance") {
     // SimHash distance concentrates only for longish docs: a 1-token edit
     // in an n-token doc flips ~64·P(|vote margin|≤2)/4 bits, which needs
@@ -345,6 +383,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hashIds = Ann.pqAdcTopK(df, $"vec_id", $"v", q,
         Ann.pqCodebooks(m, 16, subDim), k = 10)
       .select($"neighbor_id").as[Long].collect().toSeq
+    // the fused multi-subspace fit must be BIT-IDENTICAL to independent
+    // per-subspace kmeansFit calls — that equivalence is what keeps the
+    // q_ann_pq_trained oracle's per-subspace replay valid
+    val fused = Ann.pqFit(df, $"vec_id", $"v", m, subDim, k = 6, iters = 2)
+    val perSub = (0 until m).map { j =>
+      Ann.kmeansFit(df, $"vec_id",
+        slice(transform($"v", x => x.cast("double")), j * subDim + 1, subDim),
+        k = 6, iters = 2)
+    }
+    assert(fused == perSub, "fused pqFit diverged from per-subspace kmeansFit")
+
     val trained = Ann.pqFit(df, $"vec_id", $"v", m, subDim, k = 16, iters = 2)
     val trainedIds = Ann.pqAdcTopKTrained(df, $"vec_id", $"v", q, trained, k = 10)
       .select($"neighbor_id").as[Long].collect().toSeq
