@@ -1173,6 +1173,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Bigram conditional LM (contextual perplexity filter): avg
+    // -ln P(w2|w1) per doc under the corpus's own bigram distribution,
+    // integer micro-nats before the per-doc sum — same portability
+    // discipline as q_text_perplexity, one model row per corpus bigram.
+    "q_text_bigramlm" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Tfidf.bigramNll(tbl(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
     "q_text_tfidf" -> ((s, dir) => {
       import s.implicits._
       graft.text.Tfidf.tfidf(
@@ -2796,6 +2806,30 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
         |  coalesce(pd.nll_micro, 0)::BIGINT AS nll_micro,
         |  (pd.nll_micro // pd.n_tokens)::BIGINT AS avg_nll_micro
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_text_bigramlm" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE [] END) AS bigram FROM tt),
+        |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+        |c AS (SELECT bigram, sum(tf) AS cnt FROM tf GROUP BY bigram),
+        |p AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(cnt) AS w1cnt
+        |  FROM c GROUP BY 1),
+        |model AS (SELECT c.bigram,
+        |  CAST(floor(ln(c.cnt::DOUBLE / p.w1cnt::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM c JOIN p ON split_part(c.bigram, ' ', 1) = p.w1),
+        |pd AS (SELECT tf.doc_id, sum(tf.tf) AS n_bigrams,
+        |    -sum(tf.tf * m.lp) AS nll_micro
+        |  FROM tf JOIN model m ON tf.bigram = m.bigram GROUP BY tf.doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(pd.nll_micro, 0)::BIGINT AS nll_micro,
+        |  (pd.nll_micro // pd.n_bigrams)::BIGINT AS avg_nll_micro
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->

@@ -85,6 +85,56 @@ object Tfidf {
           col("n_tokens").cast("double"), 4).as("avg_nll"))
   }
 
+  /** Bigram conditional LM scoring — the contextual sibling of
+    * [[unigramNll]]: each document is scored by the average negative
+    * conditional log-likelihood −ln P(w₂|w₁) of its CONSECUTIVE token
+    * pairs under the corpus's own bigram distribution, with
+    * P(w₂|w₁) = cnt(w₁ w₂) / cnt(w₁ ·) (denominator = bigram-initial
+    * count, summed over bigrams sharing the prefix). Scoring the
+    * training corpus against itself means every scored bigram has a
+    * nonzero count — no smoothing needed; scoring NEW text against a
+    * fixed model would add add-k smoothing at the same join.
+    *
+    * Same pipeline + portability discipline as [[unigramNll]]: (doc,
+    * bigram) counts shuffle once, per-bigram conditional logprobs
+    * quantize to integer micro-nats BEFORE the per-document sum (the
+    * only cross-row reduction is exact integer arithmetic), and the
+    * prefix-totals side broadcasts (≤ unigram vocabulary rows). The
+    * model join is deliberately UNHINTED: the bigram vocabulary is
+    * bounded by |V|² — at small scale Catalyst auto-broadcasts it, at
+    * 100 TB it correctly degrades to a shuffle join on the bigram.
+    * Documents with < 2 tokens have 0 bigrams and a NULL average.
+    *
+    * @return (doc_id, n_bigrams, nll_micro, avg_nll_micro)
+    */
+  def bigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = TextFunctions.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      graft.functions.exprs.word_shingles(toks, 2))
+      .otherwise(typedLit(Seq.empty[String]))
+    val bg = docs.select(id.as("doc_id"), explode(bigrams).as("bigram"))
+    val tf = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt"))
+    val prefixTotals = cnt
+      .groupBy(substring_index(col("bigram"), " ", 1).as("__w1"))
+      .agg(sum(col("cnt")).as("__w1cnt"))
+    val model = cnt
+      .join(broadcast(prefixTotals),
+        substring_index(col("bigram"), " ", 1) === col("__w1"))
+      .select(col("bigram"),
+        floor(log(col("cnt").cast("double") / col("__w1cnt").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("__lp_micro"))
+    val perDoc = tf.join(model, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (-sum(col("tf") * col("__lp_micro"))).as("nll_micro"))
+    docs.select(id.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        expr("nll_micro div n_bigrams").as("avg_nll_micro"))
+  }
+
   /** Okapi BM25 ranking of documents against a bag of query `terms`:
     * score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·len(d)/avgdl)), with
     * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1). Same aggregation

@@ -188,6 +188,23 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptDf.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("bigramNll: closed-form conditional logprobs, short docs get 0 bigrams") {
+    // corpus bigrams: "a b"x2 (d1+d2), "b a"x1, "a c"x1
+    // P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1 -> micro-nats -405465, -1098612, 0
+    val docs = Seq(
+      (1L, "a b a c"), // bigrams: a b / b a / a c
+      (2L, "a b"),
+      (3L, "x") // single token -> no bigrams
+    ).toDF("id", "text")
+    val got = graft.text.Tfidf.bigramNll(docs, col("id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got(0) == ((1L, 3L, 405465L + 0L + 1098612L, 1504077L / 3)), s"${got(0)}")
+    assert(got(1) == ((2L, 1L, 405465L, 405465L)), s"${got(1)}")
+    assert(got(2) == ((3L, 0L, 0L, -1L)), s"${got(2)}")
+  }
+
   test("Web: registrable domain (eTLD+1) via the public-suffix snapshot") {
     import graft.text.Web
     val df = Seq(
