@@ -1487,6 +1487,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Perceptual-hash (aHash) image dedup over REAL PNG decode: the
+    // two-band gradient fixture gives every doc's 64-bit hash a closed
+    // form the oracle replays from doc_id arithmetic alone, while Spark
+    // must recover it through an actual PNG encode -> imageio decode ->
+    // integer threshold pipeline; `kept` marks the min-id representative
+    // of each exact-hash duplicate group.
+    "q_multimodal_imagehash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = graft.multimodal.Multimodal.perceptualHashes(
+        graft.multimodal.Multimodal.gradientImagesFromDocuments(
+          s, tbl(s, dir, "documents")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"phash")
+      hashed.select($"id".as("doc_id"), $"phash",
+          ($"id" === min($"id").over(w)).as("kept"))
+        .orderBy($"doc_id")
+    }),
+
     // REAL audio decode (JDK javax.sound.sampled, zero external deps):
     // document-derived WAV square waves whose sample rate, channel count,
     // frame count, duration and RMS all have closed forms — the oracle
@@ -2863,6 +2880,15 @@ object SparkEntry {
         |    WHEN 'audio' THEN 1 + len % 16 ELSE 1 + len % 32 END AS INT) AS "nFrames",
         |  len AS "byteLen"
         |FROM m ORDER BY id""".stripMargin,
+    "q_multimodal_imagehash" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN (doc_id % 200) > ((7 * doc_id) % 200) THEN 1085102592571150095
+        |       WHEN ((7 * doc_id) % 200) > (doc_id % 200) THEN -1085102592571150096
+        |       ELSE 0 END AS phash
+        |  FROM documents)
+        |SELECT doc_id, phash,
+        |  (doc_id = min(doc_id) OVER (PARTITION BY phash)) AS kept
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_multimodal_image" ->
       """SELECT doc_id,
         |  (16 + doc_id % 64)::INT AS width,

@@ -214,17 +214,27 @@ object Dedup {
   def simhash64(text: Column, algo: String = "xx"): Column =
     graft.functions.exprs.simhash64(TextFunctions.tokens(text), algo)
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, blocked on
-    * maxDist+1 contiguous fingerprint chunks (pigeonhole: distance ≤ d over
-    * d+1 chunks ⇒ some chunk is identical — candidates meet via equi-join
-    * on (chunk idx, value); the chunk partition is derived from maxDist so
-    * blocking is complete for any 1 ≤ maxDist ≤ 15). */
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist — see
+    * [[fingerprintPairs]] for the blocking scheme. */
   def simhashPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       maxDist: Int = 3,
-      algo: String = "xx"): DataFrame = {
+      algo: String = "xx"): DataFrame =
+    fingerprintPairs(df, id, simhash64(text, algo), maxDist)
+
+  /** Near-dup pairs of ANY 64-bit fingerprint column (SimHash, perceptual
+    * image hash, …) by Hamming distance ≤ maxDist, blocked on maxDist+1
+    * contiguous fingerprint chunks (pigeonhole: distance ≤ d over d+1
+    * chunks ⇒ some chunk is identical — candidates meet via equi-join
+    * on (chunk idx, value); the chunk partition is derived from maxDist so
+    * blocking is complete for any 1 ≤ maxDist ≤ 15). */
+  def fingerprintPairs(
+      df: DataFrame,
+      id: Column,
+      fingerprint: Column,
+      maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15] (need maxDist+1 chunks of >=4 bits): $maxDist")
     val nChunks = maxDist + 1
@@ -238,7 +248,7 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       call_function("shiftright", col("__fp"), lit(off)).bitwiseAND(mask)
     }
-    val fp = df.select(id.as("__id"), simhash64(text, algo).as("__fp"))
+    val fp = df.select(id.as("__id"), fingerprint.as("__fp"))
     val chunked = fp.select(col("__id"), col("__fp"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__val")))
     val left = chunked.select(col("__chunk"), col("__val"),

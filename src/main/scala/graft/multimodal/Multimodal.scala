@@ -226,6 +226,82 @@ object Multimodal {
   def decodeDocumentImages(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeImages(imagesFromDocuments(spark, docs)).toDF()
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: the 8×8
+    * mean-luma grid thresholded at the whole-image mean — bit
+    * c = cy·8+cx set iff cell c's mean milli-luma exceeds the image
+    * mean. The threshold compares integer cross-products
+    * (cellSum·totalN > totalSum·cellN, in BigInt so no image size can
+    * overflow) — never a division — so the hash is bit-deterministic on
+    * any platform. The standard near-duplicate key for images: crops,
+    * re-encodes and mild filters move few bits, so exact-match groups
+    * catch re-encodes and [[graft.dedup.Dedup.fingerprintPairs]] (Hamming
+    * ≤ k with pigeonhole chunk blocking) catches the rest at scale. */
+  def perceptualHash(r: MediaRecord): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+    require(img != null, s"payload for id ${r.id} is not a decodable image")
+    val grid = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](grid * grid)
+    val cellN = new Array[Long](grid * grid)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val milli = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        val c = cy * grid + math.min(grid - 1, x * grid / w)
+        cellSum(c) += milli
+        cellN(c) += 1L
+        total += milli
+        x += 1
+      }
+      y += 1
+    }
+    val totalN = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < grid * grid) {
+      if (cellN(c) > 0 &&
+        BigInt(cellSum(c)) * totalN > BigInt(total) * cellN(c)) {
+        hash |= (1L << c)
+      }
+      c += 1
+    }
+    hash
+  }
+
+  /** Batch perceptual hashing: (id, phash) through the same typed
+    * mapPartitions seam as [[decodeImages]]. */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => (r.id, perceptualHash(r)))).toDF("id", "phash")
+  }
+
+  /** Two-band PNG fixture for the perceptual-hash path: 32×32, left half
+    * gray `doc_id % 200`, right half gray `(7·doc_id) % 200`. Each 8×8
+    * aHash cell then sits wholly in one band, so the hash has exactly
+    * three closed-form values the oracle replays from doc_id arithmetic:
+    * left-band bits (0x0F0F…) when v1 > v2, right-band bits (0xF0F0…)
+    * when v2 > v1, 0 when the bands tie — while Spark must recover them
+    * through a real PNG encode → imageio decode → threshold pipeline. */
+  def gradientImagesFromDocuments(
+      spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val v1 = (d % 200).toInt
+      val v2 = ((7 * d) % 200).toInt
+      val png = encodePng(32, 32, (x, _) => {
+        val v = if (x < 16) v1 else v2
+        (v << 16) | (v << 8) | v
+      })
+      MediaRecord(d, "image", png, Map.empty)
+    }
+  }
+
   // ---- REAL audio kernels (JDK javax.sound.sampled, no external deps) --
 
   /** Encode interleaved 16-bit PCM samples as a WAV container;

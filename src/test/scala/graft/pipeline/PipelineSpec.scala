@@ -696,6 +696,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("perceptual hash: closed-form bands, hamming pairs over real decodes") {
+    // checkerboard from the decode test: 8x8 aHash cells sit wholly in
+    // one tile, alternating above/below the global mean
+    val tile = 8
+    def png(flip: Int => Boolean) = Multimodal.encodePng(32, 16, (x, y) =>
+      if (flip((x / tile) + (y / tile))) 0xFFFFFF else 0x000000)
+    val base = png(v => v % 2 == 0)
+    val h0 = Multimodal.perceptualHash(MediaRecord(1L, "image", base, Map.empty))
+    // 32x16 -> cell width 4px: cx 0,1 in tile 0 (white), cx 2,3 tile 1, …;
+    // rows 0..3 tile row 0, 4..7 row 1 (inverted)
+    val expectedRow0 = (0 until 8).filter(cx => (cx / 2) % 2 == 0)
+    val expected = (0 until 8).flatMap { cy =>
+      val inv = cy >= 4
+      (0 until 8).filter(cx => ((cx / 2) % 2 == 0) != inv).map(cx => cy * 8 + cx)
+    }.map(1L << _).sum
+    assert(h0 == expected, s"got ${h0.toHexString}, want ${expected.toHexString}")
+    assert(expectedRow0 == Seq(0, 1, 4, 5)) // sanity of the derivation
+    // identical image -> identical hash; one flipped tile -> small distance
+    val near = Multimodal.encodePng(32, 16, (x, y) =>
+      if (x < tile && y < tile) 0xEEEEEE // near-white instead of white
+      else if ((((x / tile) + (y / tile)) % 2) == 0) 0xFFFFFF else 0x000000)
+    val imgs = Seq(
+      (1L, base), (2L, base), (3L, near),
+      (4L, Multimodal.encodePng(32, 16, (x, _) => if (x < 16) 0xCCCCCC else 0x111111))
+    ).map { case (i, b) => MediaRecord(i, "image", b, Map.empty) }
+    import spark.implicits._
+    val hashed = Multimodal.perceptualHashes(spark.createDataset(imgs))
+    val pairs = graft.dedup.Dedup.fingerprintPairs(
+        hashed, $"id", $"phash", maxDist = 2)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0, s"identical images must hash equal: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2,
+      s"one dimmed tile flips few bits: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the two-band image is far from the checkerboard: $pairs")
+    // the two-band fixture hits its three closed-form hash values
+    // 3 -> right band brighter, 150 -> left brighter, 100 -> exact tie
+    val docs = Seq((3L, "a"), (150L, "b"), (100L, "c")).toDF("doc_id", "text")
+    val got = Multimodal.perceptualHashes(
+        Multimodal.gradientImagesFromDocuments(spark, docs))
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    def closed(d: Long): Long =
+      if (d % 200 > (7 * d) % 200) 0x0F0F0F0F0F0F0F0FL
+      else if ((7 * d) % 200 > d % 200) 0xF0F0F0F0F0F0F0F0L else 0L
+    assert(Seq(3L, 150L, 100L).forall(d => got(d) == closed(d)),
+      s"closed-form mismatch: $got")
+  }
+
   test("real audio decode: wav round trip recovers rate, channels, frames, rms") {
     // stereo: left channel constant 300, right constant 400 — overall RMS
     // = sqrt((300² + 400²)/2) = sqrt(125000) ≈ 353.55 → rounds to 354
