@@ -389,13 +389,15 @@ object Ann {
     val subDim = codebooks.head.head.length
     require(codebooks.forall(_.forall(_.length == subDim)),
       "all sub-centroids must share subDim")
-    val v = transform(vec, x => x.cast("double"))
-    val cb = typedLit(codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
-    transform(cb, (book, j) => {
-      val sub = slice(v, j * subDim + 1, lit(subDim))
-      val dists = transform(book, c => squaredDistance(sub, c))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
+    // one nearest-centroid kernel per subspace (m codegen'd calls) —
+    // bit-identical to the former transform-over-codebook-literal whose
+    // inner squaredDistance lambdas evaluated interpreted (the kernel
+    // widens float elements to double itself, exactly like the old cast)
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      graft.functions.exprs
+        .nearest_centroid(slice(vec, j * subDim + 1, subDim), book)
+        .getField("idx")
+    }: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
@@ -666,10 +668,11 @@ object Ann {
     * evaluates identically on any engine, so every downstream sum over
     * these values is EXACT integer arithmetic in doubles — order-
     * independent, reproducible bit-for-bit by the SQL oracle. The
-    * foundation of the engine-portable k-means below. */
+    * foundation of the engine-portable k-means below. Native one-pass
+    * kernel (bit-identical to the `transform`+`floor` formulation, which
+    * evaluated its lambda interpreted per element). */
   def quantizeMilli(vec: Column): Column =
-    transform(vec, x =>
-      floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("double"))
+    graft.functions.exprs.quantize_milli(vec)
 
   /** Squared L2 distance as a sequential left fold — the exact
     * formulation `list_sum(list_transform(...))` evaluates in DuckDB, so
@@ -679,20 +682,17 @@ object Ann {
       lit(0.0), (acc, x) => acc + x)
 
   /** Index of the nearest centroid (squared L2), ties to the FIRST
-    * minimum — `array_position(dists, array_min(dists)) - 1`, the same
-    * tie rule [[ivfCell]] uses so the oracle's
-    * `row_number() OVER (ORDER BY dist, cluster) = 1` reproduces it. */
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    // One nested-array literal instead of k×dim lit() nodes: the
-    // expression tree (and codegen) stays O(1) in k and dim — at k=8,
-    // dim=64 the per-element formulation costs seconds of driver
-    // planning per use. Arithmetic is unchanged: transform preserves
-    // centroid order, squaredDistance folds dimensions left-to-right,
-    // array_position keeps the first-min tie rule.
-    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
-    val dists = transform(cents, c => squaredDistance(vec, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+    * minimum — the same tie rule [[ivfCell]] uses so the oracle's
+    * `row_number() OVER (ORDER BY dist, cluster) = 1` reproduces it.
+    * Native kernel: per-centroid squares accumulate left-to-right and
+    * strict `<` keeps the first min — bit-identical to the former
+    * `transform(centsLit, c => squaredDistance(vec, c))` +
+    * `array_position(dists, array_min(dists)) - 1` formulation, whose
+    * HOF lambdas evaluated interpreted per (centroid × dimension) and
+    * dominated the k-means/PQ scan time (kernel-vs-HOF parity asserted
+    * in PipelineSpec). */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.exprs.nearest_centroid(vec, centroids).getField("idx")
 
   /** Lloyd's k-means over milli-quantized embeddings — the trained
     * replacement for [[ivfCodebook]]'s hash-derived centroids (its
@@ -816,13 +816,12 @@ object Ann {
       id: Column,
       vec: Column,
       centroids: Seq[Seq[Double]]): DataFrame = {
-    val q = quantizeMilli(vec)
-    // single nested-array literal — see nearestCentroid's planning note
-    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
-    val dists = transform(cents, c => squaredDistance(q, c))
-    df.select(id.as("vec_id"),
-      (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
-      round(array_min(dists) / lit(1e6), 6).as("dist2"))
+    // one kernel evaluation yields both the argmin and its distance
+    val nc = graft.functions.exprs.nearest_centroid(quantizeMilli(vec), centroids)
+    df.select(id.as("vec_id"), nc.as("__nc"))
+      .select(col("vec_id"),
+        col("__nc.idx").as("cluster"),
+        round(col("__nc.dist") / lit(1e6), 6).as("dist2"))
   }
 
   /** Symmetric per-vector int8 scalar quantization — the 4× memory cut

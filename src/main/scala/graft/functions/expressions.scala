@@ -455,6 +455,92 @@ case class NormSquared(child: Expression)
   override protected def withNewChildInternal(c: Expression): NormSquared = copy(child = c)
 }
 
+/** Milli-quantization of a numeric array: floor(x·1000 + 0.5) per
+  * element as double — the codegen'd twin of
+  * `transform(v, x => floor(x.cast("double") * 1000.0 + 0.5))`, whose
+  * lambda evaluates interpreted per element. float→double is exact, and
+  * `Math.floor` on doubles is the same IEEE op the HOF evaluates, so
+  * outputs are bit-identical. */
+case class QuantizeMilli(child: Expression)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val et = VecOps.elemType(child)
+
+  def compute(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(VecOps.get(x, et, i) * 1000.0 + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): QuantizeMilli = copy(child = c)
+}
+
+/** Nearest centroid (squared L2, FIRST-min ties) of a numeric array
+  * against a fixed centroid matrix, plus the winning distance — the
+  * codegen'd replacement for
+  * `transform(centsLit, c => aggregate(zip_with(v, c, …), 0.0, _+_))` +
+  * `array_position(dists, array_min(dists))`, whose lambdas evaluate
+  * interpreted per (centroid × dimension) and dominate the k-means /
+  * PQ-training scan time. Arithmetic is bit-identical to the HOF
+  * formulation: per centroid the per-dimension squares accumulate
+  * left-to-right from 0.0, and strict `<` keeps the first minimum —
+  * asserted against the HOF path in PipelineSpec. Assumes the vector
+  * and centroids share a dimension (every caller constructs both). */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(centroids.nonEmpty, "at least one centroid required")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val et = VecOps.elemType(child)
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  def compute(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cents.length
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(x.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = VecOps.get(x, et, i) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestD))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
 /** Column-level wrappers. */
 object exprs {
   def tokenize(text: Column): Column =
@@ -477,4 +563,9 @@ object exprs {
     SparkInternals.wrap(DotProduct(SparkInternals.unwrap(a), SparkInternals.unwrap(b)))
   def norm_squared(a: Column): Column =
     SparkInternals.wrap(NormSquared(SparkInternals.unwrap(a)))
+  def quantize_milli(a: Column): Column =
+    SparkInternals.wrap(QuantizeMilli(SparkInternals.unwrap(a)))
+  /** struct(idx, dist) of the nearest centroid (squared L2, first-min). */
+  def nearest_centroid(a: Column, centroids: Seq[Seq[Double]]): Column =
+    SparkInternals.wrap(NearestCentroid(SparkInternals.unwrap(a), centroids))
 }

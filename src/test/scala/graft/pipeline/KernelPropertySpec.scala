@@ -88,6 +88,48 @@ class KernelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearest_centroid / quantize_milli kernels equal the HOF formulation") {
+    // the kernels replaced interpreted HOF pipelines; arithmetic must be
+    // BIT-identical (same fold order, first-min ties) — that identity is
+    // what keeps every kmeans/PQ oracle valid
+    val dim = 16; val k = 6
+    val centGen = Gen.listOfN(dim, Gen.chooseNum(-3000.0, 3000.0))
+    val cents = (1 to k).flatMap(_ => centGen.sample).map(_.toIndexedSeq)
+    // include exact-duplicate centroids to exercise the first-min tie
+    val centsTied = cents.updated(3, cents(1))
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0))
+    val vecs = (1 to 300).flatMap(_ => vecGen.sample)
+    val df = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toArray)
+    }.toDF("vec_id", "v")
+    val hofQuant = transform($"v", x =>
+      floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("double"))
+    val centsLit = typedLit(centsTied.map(_.toIndexedSeq).toIndexedSeq)
+    val hofDists = transform(centsLit, c =>
+      aggregate(zip_with(hofQuant, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val got = df.select($"vec_id",
+        Ann.quantizeMilli($"v").as("kq"), hofQuant.as("hq"),
+        graft.functions.exprs.nearest_centroid(
+          Ann.quantizeMilli($"v"), centsTied).as("nc"),
+        (array_position(hofDists, array_min(hofDists)) - 1).cast("int").as("hidx"),
+        array_min(hofDists).as("hdist"))
+      .select($"vec_id", $"kq", $"hq", $"nc.idx", $"nc.dist", $"hidx", $"hdist")
+      .as[(Long, Seq[Double], Seq[Double], Int, Double, Int, Double)].collect()
+    got.foreach { case (i, kq, hq, kidx, kdist, hidx, hdist) =>
+      assert(kq == hq, s"quantize mismatch for vec $i")
+      assert(kidx == hidx, s"argmin mismatch for vec $i: kernel=$kidx hof=$hidx")
+      assert(kdist == hdist, s"dist mismatch for vec $i: kernel=$kdist hof=$hdist")
+    }
+    // explicit tie: a vector exactly on duplicate centroids 1 and 3 must
+    // pick the FIRST (index 1)
+    val tied = Seq((0L, centsTied(1).map(x => (x / 1000.0).toFloat).toArray))
+      .toDF("vec_id", "v")
+    val t = tied.select(graft.functions.exprs.nearest_centroid(
+      Ann.quantizeMilli($"v"), centsTied).getField("idx")).as[Int].head()
+    assert(t == 1, s"first-min tie must pick index 1, got $t")
+  }
+
   test("mixCorpus with one full-weight source keeps every row in epoch 0") {
     val df = (1L to 500L).map(i => (i, "only")).toDF("id", "src")
     val mix = graft.ops.Sampling.mixCorpus(
