@@ -1504,6 +1504,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Audio envelope fingerprint dedup over REAL WAV decode — the audio
+    // twin of q_multimodal_imagehash: the two-phase fixture gives every
+    // doc's 64-bit fingerprint a closed form the oracle replays from
+    // doc_id arithmetic, while Spark recovers it through an actual WAV
+    // encode -> javax.sound decode -> threshold pipeline.
+    "q_multimodal_audiohash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = graft.multimodal.Multimodal.audioFingerprints(
+        graft.multimodal.Multimodal.twoPhaseAudiosFromDocuments(
+          s, tbl(s, dir, "documents")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"afp")
+      hashed.select($"id".as("doc_id"), $"afp",
+          ($"id" === min($"id").over(w)).as("kept"))
+        .orderBy($"doc_id")
+    }),
+
     // REAL audio decode (JDK javax.sound.sampled, zero external deps):
     // document-derived WAV square waves whose sample rate, channel count,
     // frame count, duration and RMS all have closed forms — the oracle
@@ -2880,6 +2896,15 @@ object SparkEntry {
         |    WHEN 'audio' THEN 1 + len % 16 ELSE 1 + len % 32 END AS INT) AS "nFrames",
         |  len AS "byteLen"
         |FROM m ORDER BY id""".stripMargin,
+    "q_multimodal_audiohash" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN (doc_id % 500) > ((3 * doc_id) % 500) THEN 4294967295
+        |       WHEN ((3 * doc_id) % 500) > (doc_id % 500) THEN -4294967296
+        |       ELSE 0 END AS afp
+        |  FROM documents)
+        |SELECT doc_id, afp,
+        |  (doc_id = min(doc_id) OVER (PARTITION BY afp)) AS kept
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_multimodal_imagehash" ->
       """WITH h AS (SELECT doc_id,
         |  CASE WHEN (doc_id % 200) > ((7 * doc_id) % 200) THEN 1085102592571150095

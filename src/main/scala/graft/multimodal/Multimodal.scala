@@ -408,4 +408,84 @@ object Multimodal {
     * (driver-contract query q_multimodal_audio). */
   def decodeDocumentAudios(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeAudios(audiosFromDocuments(spark, docs)).toDF()
+
+  /** 64-bit audio envelope fingerprint — the audio twin of
+    * [[perceptualHash]]: the signal is split into 64 equal frame
+    * windows and bit w is set iff window w's mean squared amplitude
+    * exceeds the whole-signal mean squared amplitude, compared via
+    * integer cross-products (winSumSq·totalN > totalSq·winN, BigInt —
+    * never a division) so the fingerprint is bit-deterministic. Loudness
+    * -envelope shape survives re-encoding and level-preserving edits, so
+    * exact-match groups catch re-encodes and
+    * [[graft.dedup.Dedup.fingerprintPairs]] catches near-variants at
+    * scale. 16-bit PCM only, like [[decodeAudio]]. */
+  def audioFingerprint(r: MediaRecord): Long = {
+    import javax.sound.sampled._
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.data))
+    val fmt = in.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16,
+      s"payload for id ${r.id} is not 16-bit signed PCM")
+    val bytes = in.readAllBytes()
+    in.close()
+    val channels = fmt.getChannels
+    val big = fmt.isBigEndian
+    val nSamples = bytes.length / 2
+    val frames = nSamples / channels
+    val winSumSq = new Array[Long](64)
+    val winN = new Array[Long](64)
+    var totalSq = 0L
+    var i = 0
+    while (i < nSamples) {
+      val lo = bytes(2 * i) & 0xff
+      val hi = bytes(2 * i + 1) & 0xff
+      val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+      val f = i / channels
+      val w = if (frames == 0) 0 else math.min(63, f * 64 / frames)
+      winSumSq(w) += s.toLong * s
+      winN(w) += 1L
+      totalSq += s.toLong * s
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (winN(w) > 0 &&
+        BigInt(winSumSq(w)) * nSamples > BigInt(totalSq) * winN(w)) {
+        hash |= (1L << w)
+      }
+      w += 1
+    }
+    hash
+  }
+
+  /** Batch audio fingerprinting: (id, afp) through the typed
+    * mapPartitions seam. */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => (r.id, audioFingerprint(r)))).toDF("id", "afp")
+  }
+
+  /** Two-phase WAV fixture for the fingerprint path: 8 kHz mono, 128
+    * frames, first half amplitude 1 + d%500, second half 1 + (3d)%500
+    * (alternating sign, zero mean). Each of the 64 fingerprint windows
+    * sits wholly in one phase, so the hash has exactly three closed-form
+    * values the oracle replays from doc_id arithmetic: low-32 bits when
+    * the first phase is louder, high-32 when the second is, 0 on a tie —
+    * while Spark must recover them through a real WAV encode →
+    * javax.sound decode → threshold pipeline. */
+  def twoPhaseAudiosFromDocuments(
+      spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val a1 = (1 + d % 500).toInt
+      val a2 = (1 + (3 * d) % 500).toInt
+      val samples = Array.tabulate(128) { i =>
+        val a = if (i < 64) a1 else a2
+        (if (i % 2 == 0) a else -a).toShort
+      }
+      MediaRecord(d, "audio", encodeWav(8000, 1, samples), Map.empty)
+    }
+  }
 }

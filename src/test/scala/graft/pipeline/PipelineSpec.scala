@@ -745,6 +745,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"closed-form mismatch: $got")
   }
 
+  test("audio fingerprint: two-phase closed forms, near-dup pairs") {
+    // 1 -> second phase louder (1%500=1 < 3), 167 -> first louder
+    // (167 > 501%500=1), 250 -> exact tie (250 == 750%500)
+    val docs = Seq((1L, "a"), (167L, "b"), (250L, "c")).toDF("doc_id", "text")
+    import spark.implicits._
+    val got = Multimodal.audioFingerprints(
+        Multimodal.twoPhaseAudiosFromDocuments(spark, docs))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0xFFFFFFFF00000000L, s"got ${got(1L).toHexString}")
+    assert(got(167L) == 0x00000000FFFFFFFFL, s"got ${got(167L).toHexString}")
+    assert(got(250L) == 0L, s"got ${got(250L).toHexString}")
+    // near-variant: one window's amplitude nudged over the mean flips few
+    // bits; fingerprintPairs finds it inside the hamming bound
+    def wav(perWin: Int => Int) = Multimodal.encodeWav(8000, 1,
+      Array.tabulate(128) { i =>
+        val a = perWin(i / 2) // window w covers frames 2w, 2w+1
+        (if (i % 2 == 0) a else -a).toShort
+      })
+    val base = wav(w => if (w < 32) 100 else 10)
+    val near = wav(w => if (w < 32) 100 else if (w == 40) 120 else 10)
+    val far = wav(w => if (w % 2 == 0) 100 else 10)
+    val recs = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .map { case (i, b) => MediaRecord(i, "audio", b, Map.empty) }
+    val pairs = graft.dedup.Dedup.fingerprintPairs(
+        Multimodal.audioFingerprints(spark.createDataset(recs)), $"id", $"afp",
+        maxDist = 2)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0, s"identical audio must fingerprint equal: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2,
+      s"one loud window flips few bits: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"alternating envelope is far from two-phase: $pairs")
+  }
+
   test("real audio decode: wav round trip recovers rate, channels, frames, rms") {
     // stereo: left channel constant 300, right constant 400 — overall RMS
     // = sqrt((300² + 400²)/2) = sqrt(125000) ≈ 353.55 → rounds to 354
