@@ -1450,6 +1450,20 @@ object SparkEntry {
         cents, k = 10, nprobe = 4, excludeId = Some(qRow.getLong(0)))
     }),
 
+    // Cluster-balanced diversity sampling: k-means clusters as strata,
+    // 20 lowest salted-hash ids kept per cluster — the selection recipe
+    // for diverse subsets. The oracle replays the fit, every assignment,
+    // and the md5 rank from scratch.
+    "q_ann_diversity" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 1)
+      graft.ann.Ann.diversitySample(
+          emb, $"vec_id", $"embedding", cents, nPerCluster = 20, salt = "d1")
+        .orderBy($"vec_id")
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters (1 Lloyd iteration,
     // the oracle replays fit + assignment + pairs + closure from scratch)
     // block the exact-cosine near-duplicate graph; one survivor per
@@ -2817,6 +2831,17 @@ object SparkEntry {
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
     "q_ann_pq_trained" -> pqTrainedSql(m = 8, k = 16, subDim = 8,
       iters = 1, topK = 10),
+    "q_ann_diversity" -> ("WITH " + kmeansCentsSql(k = 8, dim = 64, iters = 1) +
+      s"""df AS (SELECT v.vec_id, c1.c,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (v.q[i] - c1.cent[i]) * (v.q[i] - c1.cent[i]))) AS d
+         |  FROM v, c1),
+         |asg AS (SELECT vec_id, c FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df) WHERE rn = 1),
+         |r AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c
+         |    ORDER BY md5('d1|' || vec_id::VARCHAR), vec_id) AS rk FROM asg)
+         |SELECT vec_id, CAST(c AS INT) AS cluster FROM r WHERE rk <= 20
+         |ORDER BY vec_id""".stripMargin),
     "q_ann_ivf_trained" -> ivfTrainedSql(k = 16, dim = 64, iters = 1,
       nprobe = 4, topK = 10),
     "q_ann_semdedup" -> semanticDedupSql(k = 8, dim = 64, iters = 1, threshold = 0.4),

@@ -824,6 +824,33 @@ object Ann {
         round(col("__nc.dist") / lit(1e6), 6).as("dist2"))
   }
 
+  /** Cluster-balanced DIVERSITY sampling over an embedding column:
+    * k-means clusters are the strata and each keeps its `nPerCluster`
+    * lowest salted-hash ids — the embedding-space complement of
+    * [[graft.ops.Sampling.stratifiedSample]] and the selection recipe
+    * for diverse fine-tuning subsets (where [[semanticDedup]] removes
+    * redundancy, this keeps a size-bounded spread across semantic
+    * regions). Assignment is the map-side [[nearestCentroid]] kernel
+    * (centroids ride the plan as literals); ranking is the same
+    * engine-portable salted md5 every sampling oracle replays; the only
+    * shuffle is the per-cluster window.
+    *
+    * @return (vec_id, cluster) for the kept vectors
+    */
+  def diversitySample(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Seq[Seq[Double]],
+      nPerCluster: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nPerCluster > 0, s"nPerCluster must be positive: $nPerCluster")
+    val assigned = df.select(id.as("vec_id"),
+      nearestCentroid(quantizeMilli(vec), centroids).as("cluster"))
+    graft.ops.Sampling.stratifiedSample(
+      assigned, col("cluster"), col("vec_id"), nPerCluster, salt)
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory cut
     * that makes billion-vector ANN fit an executor fleet: each vector is
     * rescaled by `scale = max|v_i| / 127` and stored as small ints.

@@ -409,6 +409,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"neighbor_id").as[Long].collect().toSeq
     assert(ivfIds.nonEmpty && ivfIds.forall(_ % 4 == 0),
       s"nprobe=1 should stay inside the planted cluster: $ivfIds")
+    // diversity sampling: exactly nPerCluster from EACH planted cluster,
+    // rerun-stable
+    val div = Ann.diversitySample(df, $"vec_id", $"v", cents, nPerCluster = 5)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect()
+    assert(div.length == 20)
+    assert(div.groupBy(_._2).forall(_._2.length == 5),
+      s"each cluster keeps 5: ${div.groupBy(_._2).view.mapValues(_.length).toMap}")
+    val div2 = Ann.diversitySample(df, $"vec_id", $"v", cents, nPerCluster = 5)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect()
+    assert(div.sortBy(_._1).sameElements(div2.sortBy(_._1)), "rerun-stable")
   }
 
   test("IVFPQ codes table: partition pruning + parity with the raw path") {
