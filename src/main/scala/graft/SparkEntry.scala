@@ -909,6 +909,36 @@ object SparkEntry {
         .orderBy($"doc_id", $"epoch")
     }),
 
+    // Round-5 composed curation pipeline: zero-duplicate-segment gate
+    // (Gopher dup-line, strict) → bigram-LM middle band (CCNet-style:
+    // cut word salad AND boilerplate; model trained on the FULL corpus)
+    // → registrable-domain (eTLD+1) provenance gate over subdomain-
+    // varying URLs → deterministic 10-per-source cap. The oracle replays
+    // every stage from scratch.
+    "q_pipeline_curate3" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.text.TextFunctions
+      val docs = tbl(s, dir, "documents")
+      val seg = docs.filter(
+        t.duplicateSegmentStats($"text", k = 2).getField("dup_fraction") === 0.0)
+      val lm = graft.text.Tfidf.bigramNll(docs, $"doc_id", $"text")
+        .filter($"avg_nll_micro".between(3340000L, 3430000L))
+        .select($"doc_id", $"avg_nll_micro")
+      val banded = seg.join(lm, Seq("doc_id"))
+      val sub = when($"doc_id" % 4 === 0, "www.").when($"doc_id" % 4 === 1, "a.b.")
+        .when($"doc_id" % 4 === 2, "").otherwise("sub.")
+      val tld = when($"doc_id" % 3 === 0, ".com")
+        .when($"doc_id" % 3 === 1, ".co.uk").otherwise(".com.au")
+      val withUrl = banded.withColumn("url",
+        concat(lit("https://"), sub, $"source", tld, lit("/doc/"), $"doc_id"))
+      val clean = graft.text.Web.filterBlockedRegistrable(withUrl, $"url",
+        Seq("src1.co.uk", "src3.com.au", "src5.com"))
+      graft.ops.Sampling.stratifiedSample(
+          clean, $"source", $"doc_id", n = 10, salt = "cur3")
+        .select($"doc_id", $"source", $"avg_nll_micro")
+        .orderBy($"doc_id")
+    }),
+
     // Duplicate-segment fraction (Gopher's dup-line signal at 2-word
     // segment granularity): 181/500 docs at sf0.01 carry at least one
     // repeated segment, so the fraction genuinely splits the corpus.
@@ -2866,6 +2896,62 @@ object SparkEntry {
         |  (pd.nll_micro // pd.n_tokens)::BIGINT AS avg_nll_micro
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_pipeline_curate3" -> {
+      val alt = graft.text.Web.publicSuffixes
+        .map(_.replace(".", "\\.")).mkString("|")
+      val multi = s"regexp_extract(host, '([^.]+\\.(?:$alt))$$', 1)"
+      val two = "regexp_extract(host, '([^.]+\\.[^.]+)$', 1)"
+      s"""WITH t AS (SELECT doc_id, source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |words AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS idx FROM tt),
+        |segs AS (SELECT doc_id, (idx-1)//2 AS i, string_agg(w, ' ' ORDER BY idx) AS seg
+        |  FROM words GROUP BY doc_id, (idx-1)//2),
+        |dupdocs AS (SELECT doc_id FROM segs GROUP BY doc_id
+        |  HAVING count(*) > count(DISTINCT seg)),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE [] END) AS bigram FROM tt),
+        |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+        |c AS (SELECT bigram, sum(tf) AS cnt FROM tf GROUP BY bigram),
+        |p AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(cnt) AS w1cnt
+        |  FROM c GROUP BY 1),
+        |model AS (SELECT c.bigram,
+        |  CAST(floor(ln(c.cnt::DOUBLE / p.w1cnt::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM c JOIN p ON split_part(c.bigram, ' ', 1) = p.w1),
+        |pd AS (SELECT tf.doc_id, sum(tf.tf) AS n_bigrams,
+        |    -sum(tf.tf * m.lp) AS nll_micro
+        |  FROM tf JOIN model m ON tf.bigram = m.bigram GROUP BY tf.doc_id),
+        |band AS (SELECT doc_id, (nll_micro // n_bigrams)::BIGINT AS avg_nll_micro
+        |  FROM pd WHERE (nll_micro // n_bigrams) BETWEEN 3340000 AND 3430000),
+        |joined AS (SELECT d.doc_id, d.source, band.avg_nll_micro
+        |  FROM documents d JOIN band ON d.doc_id = band.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dupdocs)),
+        |u AS (SELECT doc_id, source, avg_nll_micro,
+        |  'https://' ||
+        |  CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'a.b.'
+        |    WHEN 2 THEN '' ELSE 'sub.' END ||
+        |  source ||
+        |  CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |    ELSE '.com.au' END ||
+        |  '/doc/' || doc_id::VARCHAR AS url
+        |  FROM joined),
+        |h AS (SELECT doc_id, source, avg_nll_micro,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM u),
+        |clean AS (SELECT doc_id, source, avg_nll_micro FROM h
+        |  WHERE (CASE WHEN $multi <> '' THEN $multi
+        |         WHEN $two <> '' THEN $two ELSE host END)
+        |    NOT IN ('src1.co.uk','src3.com.au','src5.com')),
+        |r AS (SELECT doc_id, source, avg_nll_micro,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('cur3|' || doc_id::VARCHAR), doc_id) AS rn FROM clean)
+        |SELECT doc_id, source, avg_nll_micro FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin
+    },
     "q_text_bigramlm" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
