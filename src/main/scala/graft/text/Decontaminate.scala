@@ -61,4 +61,39 @@ object Decontaminate {
       .select(col("doc_id").as("__flagged_id")).distinct()
     corpus.join(broadcast(flagged), corpusId === col("__flagged_id"), "left_anti")
   }
+
+  /** Bloom-probe decontamination — the memory-bounded variant of
+    * [[decontaminate]] for benchmark sets too large to broadcast as
+    * exact shingle rows (an exact 10⁸-shingle side is GBs of broadcast
+    * strings; a Bloom filter at 0.1 % fpp is ~170 MB): the benchmark's
+    * shingles fold into per-partition Bloom filters merged by
+    * `stat.bloomFilter`, and the single filter broadcasts once. The
+    * corpus is then cleaned by a pure MAP-SIDE probe — no join at all
+    * (plan-asserted: zero Exchange, zero Join); a doc is dropped when at
+    * least `minOverlap` of its distinct shingles probe positive.
+    *
+    * Conservative by construction: false positives can only OVER-remove
+    * — benchmark text can never leak through. P(clean doc dropped) ≈
+    * 1−(1−fpp)^shingles(doc) at minOverlap=1; size `fpp` against the
+    * corpus's per-doc shingle counts. Not SQL-oracle-portable (Spark's
+    * Bloom hashing) — differentially tested against the exact path. */
+  def decontaminateBloom(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      shingleK: Int = 8, minOverlap: Int = 1,
+      expectedShingles: Long = 1L << 20, fpp: Double = 0.001): DataFrame = {
+    require(shingleK >= 1, "shingleK must be >= 1")
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val bf = bench
+      .select(explode(graft.dedup.Dedup.shingles(benchText, shingleK)).as("__sh"))
+      .stat.bloomFilter("__sh", expectedShingles, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    // broadcast-variable probe kernel: the filter cannot ride a codegen
+    // literal (same trade as dedupSegments' broadcast tier)
+    val hits = udf { shs: Seq[String] =>
+      if (shs == null) 0 else shs.count(bc.value.mightContainString)
+    }
+    corpus.filter(
+      hits(graft.dedup.Dedup.shingles(corpusText, shingleK)) < minOverlap)
+  }
 }

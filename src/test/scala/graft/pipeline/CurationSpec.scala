@@ -60,6 +60,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
   }
 
+  test("decontaminateBloom: map-side probe matches the exact path, never leaks") {
+    val corpus = (1L to 60L).map { i =>
+      (i, if (i % 10 == 0) "the quick brown fox jumps over the lazy dog"
+      else s"unique words number $i about topic ${i * 7} and item ${i * 13} plus tail ${i * 31}")
+    }.toDF("id", "txt")
+    val bench = Seq((100L, "the quick brown fox jumps high today")).toDF("bid", "btxt")
+    val exact = Decontaminate.decontaminate(
+        corpus, $"id", $"txt", bench, $"bid", $"btxt", shingleK = 3, minOverlap = 2)
+      .select($"id").as[Long].collect().toSet
+    val viaBloom = Decontaminate.decontaminateBloom(
+      corpus, $"id", $"txt", bench, $"btxt",
+      shingleK = 3, minOverlap = 2, expectedShingles = 4096, fpp = 0.0001)
+    val bloomIds = viaBloom.select($"id").as[Long].collect().toSet
+    // conservative: bloom can only over-remove, never keep a contaminated doc
+    assert(bloomIds.subsetOf(exact), s"bloom kept a contaminated doc: " +
+      s"${bloomIds -- exact}")
+    // with a generously-sized filter the two paths agree exactly
+    assert(bloomIds == exact, s"over-removal at fpp=1e-4: ${exact -- bloomIds}")
+    // pure map-side: no join, no shuffle anywhere in the corpus plan
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"bloom path must be a map-side probe:\n$plan")
+  }
+
   test("stratifiedSample: exact n per stratum, deterministic, subset of input") {
     val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
     val a = Sampling.stratifiedSample(df, $"src", $"id", n = 7, salt = "t")
