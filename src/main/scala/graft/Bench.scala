@@ -28,6 +28,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    import graft.index.implicits._
 
     // -- warmup (untimed): scratch tables + index build + codegen paths
     val indexed = SparkEntry.indexedLineitem(spark, sfDir)
@@ -119,6 +120,32 @@ object Bench {
       g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles)).getOrElse(1.0)
     val distributed50k = fi50k.exists(_.lastPrunedDistributed)
 
+    // same story through the ORC support: stripe stats, same fold
+    val df50kOrc = SparkEntry.indexed50kFilesOrc(spark, sfDir)
+    val q50kOrc = df50kOrc.filter($"k" === 5L)
+    val prune50kOrcTime = timeBest(q50kOrc.count(), 3)
+    val fi50kOrc = q50kOrc.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    val distributed50kOrc = fi50kOrc.exists(_.lastPrunedDistributed)
+
+    // refresh at 50k files: time one 1-file-delta refresh (re-listing the
+    // 50k-file dir + the distributed diff + the 1-file footer job), then
+    // restore the create-once scratch untimed
+    val dir50k = "/root/repo/target/graft_scratch/" +
+      new java.io.File(sfDir).getName + "/files50k"
+    val pre50k = new java.io.File(dir50k).listFiles().map(_.getName).toSet
+    spark.range(100).select(lit(999L).as("k"), $"id".as("v"))
+      .coalesce(1).write.mode("append").parquet(dir50k)
+    val tR0 = System.nanoTime()
+    spark.index.refresh.parquet(dir50k)
+    val refresh50kTime = (System.nanoTime() - tR0) / 1e9
+    new java.io.File(dir50k).listFiles()
+      .filter(f => !pre50k.contains(f.getName))
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    spark.index.refresh.parquet(dir50k)
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -132,6 +159,9 @@ object Bench {
       s""""files_50k_scanned_ratio":$ratio50k,""" +
       s""""files_50k_total":${fi50k.map(_.lastTotalFiles).getOrElse(0L)},""" +
       s""""files_50k_distributed":$distributed50k,""" +
+      s""""prune_50k_orc_sec":$prune50kOrcTime,""" +
+      s""""files_50k_orc_distributed":$distributed50kOrc,""" +
+      s""""refresh_50k_sec":$refresh50kTime,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -50,7 +50,12 @@ object SparkEntry {
 
   private val scratchRoot = "/root/repo/target/graft_scratch"
 
-  private def scratchVersion: String = graft.index.IndexMetadata.CurrentVersion.toString
+  // second component: scratch-builder revision — bump when a builder's
+  // layout changes (e.g. the deterministic 50k seed construction) so
+  // stale create-once tables rebuild even though the metadata version
+  // didn't move
+  private def scratchVersion: String =
+    s"${graft.index.IndexMetadata.CurrentVersion}.1"
 
   /** Create-once protocol shared by every scratch table: version-marked
     * build under target/, then served through the indexed read. The
@@ -100,29 +105,36 @@ object SparkEntry {
     }
 
   /** ~50k-file synthetic table (the million-file story at test scale):
-    * 64 range-distinct seed files (one key value each), each replicated
-    * 780× by raw byte copy — identical stats, distinct paths — because
-    * listing, footer indexing and prune cost scale with FILE COUNT, which
-    * is exactly what this table exercises. Sketches are disabled (min/max
-    * pruning is the story; a 50k-row sketch table would just slow the
-    * build) and the reader carries a distributed-pruning threshold BELOW
-    * the file count, so queries take the Spark-job fold path a million-
-    * file table would. Create-once. */
+    * 64 single-key seed files, each replicated 780× by raw byte copy —
+    * identical stats, distinct paths — because listing, footer indexing
+    * and prune cost scale with FILE COUNT, which is exactly what this
+    * table exercises. Seeds are built DETERMINISTICALLY: the rows are
+    * generated driver-side in key order and `parallelize(_, 64)` slices
+    * positionally, so partition i holds exactly key i (repartitionByRange
+    * samples boundaries and could merge two keys / leave a partition
+    * empty). Sketches are disabled (min/max pruning is the story; a
+    * 50k-row sketch table would just slow the build) and the reader
+    * carries a distributed-pruning threshold BELOW the file count, so
+    * queries take the Spark-job fold path a million-file table would.
+    * Create-once. */
   private[graft] val Files50kSeeds = 64
   private[graft] val Files50kCopies = 780 // per seed => 64 × 781 = 49,984 files
   private[graft] val Files50kRowsPerSeed = 100
   private[graft] def indexed50kFiles(s: SparkSession, dir: String): DataFrame = {
     import graft.index.implicits._
     scratchTable(s, dir, "files50k") { tableDir =>
-      s.range(Files50kSeeds.toLong * Files50kRowsPerSeed)
-        .select((col("id") / Files50kRowsPerSeed).cast("long").as("k"),
-          col("id").as("v"))
-        .repartitionByRange(Files50kSeeds, col("k"))
-        .sortWithinPartitions(col("k"))
+      import s.implicits._
+      val rows = for {
+        k <- 0 until Files50kSeeds
+        r <- 0 until Files50kRowsPerSeed
+      } yield (k.toLong, (k.toLong * Files50kRowsPerSeed) + r)
+      s.sparkContext.parallelize(rows, Files50kSeeds).toDF("k", "v")
         .write.mode("overwrite").parquet(tableDir)
       val d = new java.io.File(tableDir)
       val seeds = d.listFiles().filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(seeds.length == Files50kSeeds,
+        s"expected $Files50kSeeds seed files, got ${seeds.length}")
       seeds.zipWithIndex.foreach { case (f, si) =>
         (0 until Files50kCopies).foreach { j =>
           java.nio.file.Files.copy(f.toPath,
@@ -137,6 +149,38 @@ object SparkEntry {
     // Spark-job fold path is the one a million-file table would take
     s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
       .parquet(s"$scratchRoot/${new java.io.File(dir).getName}/files50k")
+  }
+
+  /** ORC twin of [[indexed50kFiles]]: proves the distributed prune fold
+    * is format-agnostic — stripe statistics feed the same files-table
+    * Spark job the parquet footers do. Create-once. */
+  private[graft] def indexed50kFilesOrc(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.implicits._
+    scratchTable(s, dir, "files50k_orc", source = "orc") { tableDir =>
+      import s.implicits._
+      val rows = for {
+        k <- 0 until Files50kSeeds
+        r <- 0 until Files50kRowsPerSeed
+      } yield (k.toLong, (k.toLong * Files50kRowsPerSeed) + r)
+      s.sparkContext.parallelize(rows, Files50kSeeds).toDF("k", "v")
+        .write.mode("overwrite").orc(tableDir)
+      val d = new java.io.File(tableDir)
+      val seeds = d.listFiles().filter(f => f.getName.endsWith(".orc") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(seeds.length == Files50kSeeds,
+        s"expected $Files50kSeeds seed files, got ${seeds.length}")
+      seeds.zipWithIndex.foreach { case (f, si) =>
+        (0 until Files50kCopies).foreach { j =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(d, s"part-copy-$si-$j.orc").toPath)
+        }
+      }
+      s.index.create.mode("overwrite")
+        .option(graft.index.IndexConf.FilterEnabled, "false")
+        .indexBy("k").orc(tableDir)
+    }
+    s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
+      .orc(s"$scratchRoot/${new java.io.File(dir).getName}/files50k_orc")
   }
 
   /** Indexed lineitem copy with DICT/BITMAP sketches (per-call option):
@@ -919,8 +963,11 @@ object SparkEntry {
       import s.implicits._
       val t = graft.text.TextFunctions
       val docs = tbl(s, dir, "documents")
+      // gate on the exact integer count, not the 4-dp rounded fraction:
+      // a >20k-segment doc with one duplicate rounds to 0.0 but the
+      // DuckDB oracle's count(*) > count(DISTINCT seg) would exclude it
       val seg = docs.filter(
-        t.duplicateSegmentStats($"text", k = 2).getField("dup_fraction") === 0.0)
+        t.duplicateSegmentStats($"text", k = 2).getField("dup_segments") === 0L)
       val lm = graft.text.Tfidf.bigramNll(docs, $"doc_id", $"text")
         .filter($"avg_nll_micro".between(3340000L, 3430000L))
         .select($"doc_id", $"avg_nll_micro")
@@ -1126,16 +1173,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // Inverted index: term → (doc_freq, posting list); postings emitted
-    // as first/last ids (driver compare hashes scalar cells only).
+    // Inverted index: (term, chunk) → bounded posting chunk, with the
+    // per-term doc_freq total re-attached; chunkSize 100 so the sf0.01
+    // corpus genuinely splits terms across chunks. Postings emitted as
+    // size + first/last ids (driver compare hashes scalar cells only).
     "q_text_invindex" -> ((s, dir) => {
       import s.implicits._
       graft.text.TextFunctions.invertedIndex(
-          tbl(s, dir, "documents"), $"doc_id", $"text")
-        .select($"term", $"doc_freq",
+          tbl(s, dir, "documents"), $"doc_id", $"text", chunkSize = 100)
+        .select($"term", $"chunk_idx", $"doc_freq",
+          size($"postings").as("chunk_docs"),
           element_at($"postings", 1).as("first_doc"),
           element_at($"postings", -1).as("last_doc"))
-        .orderBy($"term")
+        .orderBy($"term", $"chunk_idx")
     }),
 
     // Conjunctive keyword search by posting intersection.
@@ -1580,6 +1630,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL video CONTAINER metadata decode (no codec needed): document-
+    // derived MP4 (even ids) / AVI (odd ids) payloads whose duration,
+    // dimensions, track count and frame count all have closed forms —
+    // the oracle states the closed forms, Spark must recover them through
+    // an actual encode → MP4 box walk / AVI RIFF walk inside typed
+    // mapPartitions kernels.
+    "q_multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal
+        .decodeDocumentVideos(s, tbl(s, dir, "documents"))
+        .select($"id".as("doc_id"), $"container", $"width", $"height",
+          $"nTracks".as("n_tracks"), $"frameCount".as("frame_count"),
+          $"durationMs".as("duration_ms"))
+        .orderBy($"doc_id")
+    }),
+
     // JSON extraction from the events props column.
     "q_scalar_json" -> ((s, dir) => {
       import s.implicits._
@@ -1670,6 +1736,17 @@ object SparkEntry {
     // One-pass column profiling over orders (nulls / distincts / bounds).
     "q_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(
+          tbl(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy(col("column_name"))),
+
+    // HyperLogLog profile — the wide-table scale path (no Expand, one
+    // plain aggregation pass). Counts are approximate, so no value
+    // oracle: the driver records a rows-only check, and the bench row
+    // measures the plan the exact variant's width gate steers users to.
+    "q_profile_approx" -> ((s, dir) =>
+      graft.ops.Profile.profileApprox(
           tbl(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
             "o_orderpriority"))
@@ -2538,10 +2615,15 @@ object SparkEntry {
         |  FROM documents),
         |tt AS (SELECT doc_id,
         |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
-        |term AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tt)
-        |SELECT term, count(*)::BIGINT AS doc_freq,
+        |term AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tt),
+        |ch AS (SELECT term, doc_id // 100 AS chunk_idx, count(*)::INT AS chunk_docs,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM term GROUP BY term ORDER BY term""".stripMargin,
+        |  FROM term GROUP BY term, doc_id // 100),
+        |tot AS (SELECT term, sum(chunk_docs)::BIGINT AS doc_freq FROM ch GROUP BY term)
+        |SELECT ch.term, ch.chunk_idx, tot.doc_freq, ch.chunk_docs,
+        |  ch.first_doc, ch.last_doc
+        |FROM ch JOIN tot ON ch.term = tot.term
+        |ORDER BY ch.term, ch.chunk_idx""".stripMargin,
     "q_text_search" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -3038,6 +3120,15 @@ object SparkEntry {
         |  (800 + 8 * (doc_id % 100))::INT AS n_samples,
         |  ((800 + 8 * (doc_id % 100)) // 8)::BIGINT AS duration_ms,
         |  (1 + doc_id % 1000)::BIGINT AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_video" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |  (160 + 16 * (doc_id % 28))::INT AS width,
+        |  (120 + 8 * (doc_id % 30))::INT AS height,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::INT AS n_tracks,
+        |  (50 + doc_id % 200)::BIGINT AS frame_count,
+        |  ((50 + doc_id % 200) * 40)::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_idx_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag

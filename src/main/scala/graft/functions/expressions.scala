@@ -496,12 +496,16 @@ case class QuantizeMilli(child: Expression)
   * PQ-training scan time. Arithmetic is bit-identical to the HOF
   * formulation: per centroid the per-dimension squares accumulate
   * left-to-right from 0.0, and strict `<` keeps the first minimum —
-  * asserted against the HOF path in PipelineSpec. Assumes the vector
-  * and centroids share a dimension (every caller constructs both). */
+  * asserted against the HOF path in PipelineSpec. A vector whose
+  * dimension differs from the centroids' fails fast — the HOF
+  * formulation surfaced a mismatch as nulls; silently truncating the
+  * distance loop would instead produce wrong assignments. */
 case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   extends UnaryExpression with KernelUnaryCodegen {
 
   require(centroids.nonEmpty, "at least one centroid required")
+  require(centroids.forall(_.length == centroids.head.length),
+    "all centroids must share a dimension")
 
   override def dataType: DataType = StructType(Seq(
     StructField("idx", IntegerType, nullable = false),
@@ -514,12 +518,17 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
 
   def compute(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val k = cents.length
+    if (x.numElements() != cents(0).length) {
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector dimension ${x.numElements()} does not " +
+          s"match centroid dimension ${cents(0).length}")
+    }
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < k) {
       val cent = cents(c)
-      val n = math.min(x.numElements(), cent.length)
+      val n = cent.length
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -35,6 +35,13 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * binary bounds). Costs one extra data scan over ONLY the affected
     * files at create/refresh; zero cost when footer stats are usable. */
   def minMaxFallback: Boolean = get(IndexConf.MinMaxFallback, "true").toBoolean
+  /** Seconds a cached metadata entry stays valid before being re-read
+    * from the `_SUCCESS`-gated store (reference expires after 12 h,
+    * Metastore.scala:60-65 — an EXTERNAL writer's refresh becomes
+    * visible to a long-lived session within this window). 0 disables
+    * caching entirely. */
+  def metastoreCacheTtlSeconds: Long =
+    get(IndexConf.MetastoreCacheTtl, "43200").toLong
 }
 
 object IndexConf {
@@ -46,6 +53,7 @@ object IndexConf {
   val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
   val DistributedPruningThreshold = "spark.sql.index.pruning.distributedThreshold"
   val MinMaxFallback = "spark.sql.index.minMaxFallback"
+  val MetastoreCacheTtl = "spark.sql.index.metastore.cacheTtlSeconds"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =
@@ -124,10 +132,14 @@ class Metastore(spark: SparkSession, conf: IndexConf) {
 
   /** Load index metadata, `_SUCCESS`-gated, via the process-wide LRU
     * cache (reference caches the full catalog; we cache the metadata tree
-    * and rebuild the cheap FileIndex wrapper per query). */
+    * and rebuild the cheap FileIndex wrapper per query). Entries expire
+    * after the configured TTL (reference parity: 12 h,
+    * Metastore.scala:60-65) so an EXTERNAL writer's refresh is picked up
+    * by long-lived sessions without an explicit invalidate. */
   def load(dataspace: String, tablePath: Path): (Path, IndexMetadata) = {
     val dir = location(dataspace, tablePath)
-    val meta = Metastore.cacheGet(dir.toString) {
+    val meta = Metastore.cacheGet(dir.toString,
+        ttlMillis = conf.metastoreCacheTtlSeconds * 1000L) {
       if (!fs.exists(new Path(dir, Metastore.SuccessFile))) {
         throw new IllegalStateException(
           s"Index for $tablePath does not exist or is corrupt (no _SUCCESS in $dir). " +
@@ -161,18 +173,22 @@ object Metastore {
   val CatalogDataspace = "catalog"
 
   private val MaxCached = 16
-  private val cache = new mutable.LinkedHashMap[String, IndexMetadata]()
+  // value = (metadata, loaded-at millis) so entries can TTL-expire
+  private val cache = new mutable.LinkedHashMap[String, (IndexMetadata, Long)]()
 
-  private def cacheGet(key: String)(loader: => IndexMetadata): IndexMetadata =
+  private def cacheGet(key: String, ttlMillis: Long)
+      (loader: => IndexMetadata): IndexMetadata =
     cache.synchronized {
+      val now = System.currentTimeMillis()
       cache.get(key) match {
-        case Some(m) =>
-          // refresh LRU position
-          cache.remove(key); cache.put(key, m); m
-        case None =>
+        case Some((m, loadedAt)) if now - loadedAt < ttlMillis =>
+          // refresh LRU position, keep the original load timestamp
+          cache.remove(key); cache.put(key, (m, loadedAt)); m
+        case _ =>
+          cache.remove(key)
           val m = loader
           if (cache.size >= MaxCached) cache.remove(cache.head._1)
-          cache.put(key, m)
+          cache.put(key, (m, now))
           m
       }
     }

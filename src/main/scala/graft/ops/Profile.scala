@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Exact profile (engine-portable, oracle-checkable). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+  /** Exact profile (engine-portable, oracle-checkable). GATED on width:
+    * the exact distinct counts expand the input O(cols)×, so profiling
+    * more than `maxExactCols` columns (default 16) is refused with a
+    * pointer to [[profileApprox]] — at 100 TB a 50-column exact profile
+    * is a 50× row multiplication before the shuffle. Raise the limit
+    * explicitly only when the table is known small. */
+  def profile(df: DataFrame, cols: Seq[String], maxExactCols: Int = 16): DataFrame = {
+    require(cols.size <= maxExactCols,
+      s"exact profile over ${cols.size} columns would expand every row " +
+        s"${cols.size}x before the shuffle (O(rows x cols)); use " +
+        s"profileApprox for wide tables, or pass maxExactCols >= ${cols.size} " +
+        "if the table is known small")
     profileWith(df, cols, c => countDistinct(col(c)))
+  }
 
   /** [[profile]] with HyperLogLog distinct counts (`rsd` relative error):
     * no Expand, one plain aggregation pass — the wide-table / quick-scan

@@ -291,18 +291,35 @@ object TextFunctions {
         col("chunk_text"))
   }
 
-  /** Posting-list inverted index: one row per distinct term with its
-    * document frequency and sorted posting list. The classic text-search
-    * layout — at 100 TB this is materialized once (explode + one shuffle
-    * keyed on term, map-side combine) and keyword queries become posting
-    * joins instead of corpus scans. */
+  /** Posting-list inverted index with CHUNKED postings: one row per
+    * (term, chunk) where chunk_idx = doc_id div chunkSize, so no single
+    * row ever holds more than `chunkSize` ids — a stop-word term at
+    * 100 TB becomes many bounded rows instead of one multi-GB array
+    * (straggler, then OOM). The chunk key is derived from the id VALUE,
+    * not a rank, so chunking is pure map-side (no window over the term
+    * partition, which would rebuild the giant row in one task); chunk
+    * indices are sparse where an id range has no postings, and
+    * concatenating a term's chunks in chunk_idx order yields the globally
+    * sorted posting list (ids must be non-negative for div to agree with
+    * floor). doc_freq (per-term total across chunks) is re-attached by a
+    * streaming sort-merge join on term — bounded memory even for a
+    * degenerate one-term corpus.
+    *
+    * @return (term, chunk_idx, doc_freq, postings) */
   def invertedIndex(
       df: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column): org.apache.spark.sql.DataFrame =
-    df.select(id.as("doc_id"), explode(array_distinct(tokens(text))).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("doc_freq"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+      text: Column, chunkSize: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    val byChunk = df
+      .select(id.as("doc_id"), explode(array_distinct(tokens(text))).as("term"))
+      .groupBy(col("term"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .localCheckpoint(eager = false)
+    val totals = byChunk.groupBy(col("term"))
+      .agg(sum(size(col("postings"))).cast("long").as("doc_freq"))
+    byChunk.join(totals, Seq("term"))
+      .select(col("term"), col("chunk_idx"), col("doc_freq"), col("postings"))
+  }
 
   /** Conjunctive (AND) keyword search: documents containing EVERY term,
     * via count-matching exploded terms — the posting-intersection shape,

@@ -141,8 +141,13 @@ object Tfidf {
     * pipeline as [[tfidf]], restricted to the query terms (the per-doc tf
     * table filters BEFORE its shuffle, so cost scales with hits, not
     * vocabulary); corpus constants (N, avgdl) ride one broadcast row.
-    * Deterministic double arithmetic identical on any engine; rounded at
-    * 4 decimals. Documents matching no term are absent (score 0). */
+    * The corpus is tokenized ONCE: the token table is lazily
+    * local-checkpointed (same pattern as Dedup's shingle table) and feeds
+    * doc lengths, per-doc tf, and df(t) — which is derived from the
+    * query-filtered tf table (df = rows per term there), so no
+    * full-vocabulary aggregation ever runs. Deterministic double
+    * arithmetic identical on any engine; rounded at 4 decimals.
+    * Documents matching no term are absent (score 0). */
   def bm25(
       docs: DataFrame, id: Column, text: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -150,16 +155,16 @@ object Tfidf {
     val distinct = terms.distinct
     val base = docs.select(id.as("doc_id"),
       TextFunctions.tokens(text).as("__toks"))
+      .localCheckpoint(eager = false)
     val lens = base.select(col("doc_id"), size(col("__toks")).as("__len"))
-    val toks = base.select(col("doc_id"), explode(col("__toks")).as("term"))
-    val tfAll = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfQ = base.select(col("doc_id"), explode(col("__toks")).as("term"))
       .filter(col("term").isin(distinct: _*))
-    val tfQ = toks.filter(col("term").isin(distinct: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfT = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // exact-integer token sum / doc count: avg() would fold doubles in
     // partition order; integer sums are order-independent on any engine
-    val consts = docs.agg(count(lit(1)).as("__n"))
+    val consts = base.agg(count(lit(1)).as("__n"))
       .crossJoin(broadcast(lens.agg(
         (sum(col("__len")).cast("double") / count(lit(1)).cast("double"))
           .as("__avgdl"))))

@@ -1008,9 +1008,10 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fi.isDefined)
       assert(fi.get.lastPrunedDistributed,
         "50k files over a 10k threshold must take the Spark-job fold path")
-      assert(fi.get.lastTotalFiles >=
+      // exact: seed construction is deterministic (one key per seed file)
+      assert(fi.get.lastTotalFiles ==
         graft.SparkEntry.Files50kSeeds * expectedFiles,
-        s"expected ~50k files, saw ${fi.get.lastTotalFiles}")
+        s"expected exactly 64*781 files, saw ${fi.get.lastTotalFiles}")
       assert(fi.get.lastListedFiles == expectedFiles,
         s"driver must hold only the ${expectedFiles} survivors, " +
           s"listed ${fi.get.lastListedFiles}")
@@ -1277,6 +1278,33 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rePlan.contains("Exchange hashpartitioning(l_orderkey"),
       s"re-registered bucketed table lost bucket metadata:\n$rePlan")
     checkSame(reJoined, expect)
+  }
+
+  test("metastore cache TTL: expired entries reload from the _SUCCESS-gated store") {
+    val ms = Metastore(spark)
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val (dir, _) = ms.load(Metastore.Dataspace, p) // warm the cache
+    val success = new org.apache.hadoop.fs.Path(dir, Metastore.SuccessFile)
+    val fs = ms.fs
+    fs.delete(success, false)
+    try {
+      // default 12 h TTL: the entry is fresh, disk is not consulted, so
+      // the missing marker is invisible
+      ms.load(Metastore.Dataspace, p)
+      // TTL 0 (= expire immediately): the same load re-reads the
+      // _SUCCESS-gated store and now fails — an external writer's
+      // in-progress rewrite is honored
+      spark.conf.set(IndexConf.MetastoreCacheTtl, "0")
+      intercept[IllegalStateException] {
+        Metastore(spark).load(Metastore.Dataspace, p)
+      }
+      // external writer commits: marker restored, expired load succeeds
+      fs.create(success, true).close()
+      Metastore(spark).load(Metastore.Dataspace, p)
+    } finally {
+      if (!fs.exists(success)) fs.create(success, true).close()
+      spark.conf.unset(IndexConf.MetastoreCacheTtl)
+    }
   }
 
   test("refresh: missing index is rejected") {

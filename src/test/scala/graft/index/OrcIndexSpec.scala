@@ -208,5 +208,31 @@ class OrcIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listed < total, s"partition+index pruning: $listed/$total")
   }
 
+  test("50k-file ORC table takes the distributed prune fold") {
+    // format-agnostic twin of the parquet 50k e2e: stripe statistics
+    // feed the same files-table Spark job, and the driver holds only
+    // the surviving paths (the create-once builder repoints the session
+    // metastore conf — restore it after)
+    val saved = spark.conf.getOption(IndexConf.MetastoreLocation)
+    try {
+    val df = graft.SparkEntry.indexed50kFilesOrc(spark, "/root/testdata/sf0.001")
+    val q = df.filter(col("k") === 5L)
+    val expectedFiles = graft.SparkEntry.Files50kCopies + 1L // seed + copies
+    assert(q.count() == expectedFiles * graft.SparkEntry.Files50kRowsPerSeed)
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.isDefined)
+    assert(fi.get.lastPrunedDistributed,
+      "50k ORC files over a 10k threshold must take the Spark-job fold path")
+    assert(fi.get.lastTotalFiles ==
+      graft.SparkEntry.Files50kSeeds * expectedFiles,
+      s"expected exactly 64*781 files, saw ${fi.get.lastTotalFiles}")
+    assert(fi.get.lastListedFiles == expectedFiles,
+      s"driver must hold only the $expectedFiles survivors, " +
+        s"listed ${fi.get.lastListedFiles}")
+    } finally saved.foreach(spark.conf.set(IndexConf.MetastoreLocation, _))
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }

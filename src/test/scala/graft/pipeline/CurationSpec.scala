@@ -338,14 +338,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "spark window join"), (2L, "spark filter"),
       (3L, "window only here"), (4L, "spark window agg")
     ).toDF("id", "txt")
+    // default chunkSize >> 4 ids: every term collapses to one chunk
     val idx = graft.text.TextFunctions.invertedIndex(docs, col("id"), col("txt"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getSeq[Long](3))).toMap
     assert(idx("spark") == ((3L, Seq(1L, 2L, 4L))))
     assert(idx("window") == ((3L, Seq(1L, 3L, 4L))))
     val hits = graft.text.TextFunctions.searchAll(
         docs, col("id"), col("txt"), Seq("spark", "window", "spark"))
       .collect().map(_.getLong(0)).sorted
     assert(hits.toSeq == Seq(1L, 4L))
+  }
+
+  test("inverted index chunks bound row size on a degenerate one-term corpus") {
+    // every doc is the same single token — the shape that made the old
+    // unchunked layout one giant straggler row per stop-word term
+    val n = 1000L
+    val docs = spark.range(n).select($"id", lit("the").as("txt"))
+    val rows = graft.text.TextFunctions
+      .invertedIndex(docs, col("id"), col("txt"), chunkSize = 64)
+      .collect()
+    assert(rows.forall(_.getString(0) == "the"))
+    assert(rows.forall(_.getLong(2) == n))           // doc_freq on every chunk
+    assert(rows.forall(_.getSeq[Long](3).size <= 64)) // bounded postings
+    assert(rows.length == math.ceil(n / 64.0).toInt)
+    // chunk_idx order concatenation reproduces the sorted posting list
+    val concat = rows.sortBy(_.getLong(1)).flatMap(_.getSeq[Long](3)).toSeq
+    assert(concat == (0L until n))
+    // chunk key is the id value range, not a rank
+    assert(rows.forall(r => r.getSeq[Long](3)
+      .forall(d => d / 64 == r.getLong(1))))
   }
 
   test("packByBudget assigns packs by exclusive prefix sum per shard") {

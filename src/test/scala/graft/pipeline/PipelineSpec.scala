@@ -826,6 +826,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real video container decode: mp4 box walk + avi riff walk") {
+    // MP4: 25 fps, 100 frames, 320x240, one extra dimensionless track
+    val mp4 = Multimodal.encodeMp4(90000L, 100L * 3600L, 320, 240, 100L,
+      3600L, audioTrack = true)
+    val m = Multimodal.decodeVideoMeta(MediaRecord(1L, "video", mp4, Map.empty))
+    assert(m.container == "mp4")
+    assert(m.width == 320 && m.height == 240)
+    assert(m.nTracks == 2 && m.frameCount == 100L)
+    assert(m.durationMs == 4000L && m.byteLen == mp4.length)
+    // AVI: 40 ms/frame, 75 frames, 640x480, single stream
+    val avi = Multimodal.encodeAvi(40000L, 75L, 1L, 640, 480)
+    val a = Multimodal.decodeVideoMeta(MediaRecord(2L, "video", avi, Map.empty))
+    assert(a.container == "avi")
+    assert(a.width == 640 && a.height == 480)
+    assert(a.nTracks == 1 && a.frameCount == 75L)
+    assert(a.durationMs == 3000L && a.byteLen == avi.length)
+    // neither container fails loudly, not silently
+    intercept[Exception] {
+      Multimodal.decodeVideoMeta(
+        MediaRecord(3L, "video", "not a video at all".getBytes, Map.empty))
+    }
+  }
+
+  test("document-derived video corpus decodes to its closed forms") {
+    val docs = Seq((6L, "x"), (7L, "y"), (100L, "z")).toDF("doc_id", "text")
+    val out = Multimodal.decodeDocumentVideos(spark, docs)
+      .orderBy("id").collect()
+    for ((r, d) <- out.zip(Seq(6L, 7L, 100L))) {
+      assert(r.getAs[String]("container") == (if (d % 2 == 0) "mp4" else "avi"))
+      assert(r.getAs[Int]("width") == (160 + 16 * (d % 28)).toInt)
+      assert(r.getAs[Int]("height") == (120 + 8 * (d % 30)).toInt)
+      assert(r.getAs[Int]("nTracks") == (if (d % 3 == 0) 2 else 1))
+      assert(r.getAs[Long]("frameCount") == 50 + d % 200)
+      assert(r.getAs[Long]("durationMs") == (50 + d % 200) * 40)
+    }
+  }
+
   test("frame sampling emits bounded windows") {
     val media = Seq(MediaRecord(1L, "video", Array.tabulate(100)(_.toByte), Map.empty)).toDS()
     val frames = Multimodal.sampleFrames(media, stride = 30, frameLen = 10, maxFrames = 5)
