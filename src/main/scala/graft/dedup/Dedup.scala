@@ -32,11 +32,23 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Duplicate groups (key, size, member ids) with size > 1. */
-  def exactDuplicateGroups(df: DataFrame, key: Column, id: Column): DataFrame =
-    df.groupBy(key.as("dup_key"))
-      .agg(count(lit(1)).as("group_size"), sort_array(collect_list(id)).as("ids"))
+  /** Duplicate groups (key, size, member ids) with size > 1. The member
+    * array is CAPPED at `maxMembers` smallest ids (group_size stays
+    * exact): a degenerate corpus where one value dominates would
+    * otherwise build a single row holding every id — the rank filter
+    * runs in a spillable window over the same key partitioning (no extra
+    * shuffle), so aggregation memory is bounded by the cap. */
+  def exactDuplicateGroups(df: DataFrame, key: Column, id: Column,
+      maxMembers: Int = 1 << 16): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__id"))
+    df.select(key.as("__k"), id.as("__id"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("__k").as("dup_key"))
+      .agg(count(lit(1)).as("group_size"),
+        sort_array(collect_list(when(col("__rn") <= maxMembers, col("__id"))))
+          .as("ids"))
       .filter(col("group_size") > 1)
+  }
 
   // ---- shingling ------------------------------------------------------
 
@@ -310,17 +322,24 @@ object Dedup {
 
   /** Near-duplicate clusters: LSH-candidate pairs verified by exact
     * n-gram Jaccard ≥ threshold, closed under transitivity. One row per
-    * cluster: (cluster_id = min member id, size, sorted members). */
+    * cluster: (cluster_id = min member id, size, sorted members).
+    * Members are capped at `maxMembers` smallest ids (size stays exact)
+    * for the same bounded-row reason as [[exactDuplicateGroups]]. */
   def duplicateClusters(
       df: DataFrame,
       id: Column,
       text: Column,
       shingleK: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxMembers: Int = 1 << 16): DataFrame = {
     val pairs = ngramJaccardPairs(df, id, text, shingleK, threshold)
+    val w = Window.partitionBy(col("label")).orderBy(col("id"))
     connectedComponents(pairs)
+      .withColumn("__rn", row_number().over(w))
       .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("size"), sort_array(collect_list(col("id"))).as("members"))
+      .agg(count(lit(1)).as("size"),
+        sort_array(collect_list(when(col("__rn") <= maxMembers, col("id"))))
+          .as("members"))
   }
 
   // ---- exact n-gram Jaccard -------------------------------------------

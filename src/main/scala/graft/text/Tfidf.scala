@@ -113,7 +113,10 @@ object Tfidf {
       graft.functions.exprs.word_shingles(toks, 2))
       .otherwise(typedLit(Seq.empty[String]))
     val bg = docs.select(id.as("doc_id"), explode(bigrams).as("bigram"))
+    // tf feeds both the model-count side and the per-document scoring
+    // join — checkpoint so the corpus is tokenized/exploded once
     val tf = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val cnt = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt"))
     val prefixTotals = cnt
       .groupBy(substring_index(col("bigram"), " ", 1).as("__w1"))

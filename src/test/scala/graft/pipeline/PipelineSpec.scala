@@ -186,6 +186,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters(1L) == ((3L, Seq(1L, 2L, 5L))), s"got $clusters")
   }
 
+  test("exactDuplicateGroups caps member arrays on a degenerate corpus") {
+    // every row shares one key: the uncapped shape would build a single
+    // row holding every id; the cap keeps the smallest ids and the size
+    // stays exact
+    val df = spark.range(100).select(lit("same").as("k"), $"id")
+    val g = Dedup.exactDuplicateGroups(df, $"k", $"id", maxMembers = 8).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("group_size") == 100L)
+    assert(g(0).getSeq[Long](2) == (0L until 8L))
+  }
+
   test("ngram jaccard: candidate path equals exact path here") {
     val fast = Dedup.ngramJaccardPairs(docs, $"id", $"text", threshold = 0.5)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
