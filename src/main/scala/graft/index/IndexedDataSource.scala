@@ -237,7 +237,12 @@ object IndexedDataSource {
     }
 
     // Distributed diff on (path, size, modificationTime): a rewritten
-    // file (same path, new size/mtime) counts as removed + added.
+    // file (same path, new size/mtime) counts as removed + added. The
+    // listing itself is Spark's InMemoryFileIndex (parallel partition
+    // discovery above spark.sql.sources.parallelPartitionDiscovery
+    // .threshold), and only the ADDED paths are ever collected — the
+    // driver's diff state is O(delta), proven at ~50k files by the e2e
+    // and the bench's refresh_50k_sec row.
     import spark.implicits._
     val currentKeys = current.map { case (_, r) => (r.path, r.size, r.modificationTime) }
       .toDF("path", "size", "modificationTime")

@@ -191,7 +191,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // row holding every id; the cap keeps the smallest ids and the size
     // stays exact
     val df = spark.range(100).select(lit("same").as("k"), $"id")
-    val g = Dedup.exactDuplicateGroups(df, $"k", $"id", maxMembers = 8).collect()
+    val grouped = Dedup.exactDuplicateGroups(df, $"k", $"id", maxMembers = 8)
+    // the rank filter reuses the aggregation's key partitioning: the cap
+    // must not introduce a second shuffle
+    val exchanges = grouped.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one Exchange, got $exchanges")
+    val g = grouped.collect()
     assert(g.length == 1)
     assert(g(0).getAs[Long]("group_size") == 100L)
     assert(g(0).getSeq[Long](2) == (0L until 8L))
