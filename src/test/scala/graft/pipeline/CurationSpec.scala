@@ -350,6 +350,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSeq == Seq(1L, 4L))
   }
 
+  test("inverted index: chunked output reassembles to the unchunked index") {
+    // pseudo-random corpus (deterministic seed arithmetic, no RNG):
+    // chunked postings, concatenated per term in chunk order, must equal
+    // the single-chunk index's postings, and doc_freq must agree on
+    // every chunk row
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = spark.range(200).select($"id",
+      concat_ws(" ",
+        element_at(lit(words), ($"id" % 5 + 1).cast("int")),
+        element_at(lit(words), ($"id" * 7 % 5 + 1).cast("int")),
+        element_at(lit(words), ($"id" * 13 % 5 + 1).cast("int"))).as("txt"))
+    def index(chunk: Int) = graft.text.TextFunctions
+      .invertedIndex(docs, col("id"), col("txt"), chunkSize = chunk)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+    val whole = index(1 << 20)
+      .map { case (t, _, df, ids) => t -> ((df, ids)) }.toMap
+    val chunked = index(17)
+    val reassembled = chunked.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.sortBy(_._2).flatMap(_._4).toSeq
+    }
+    assert(reassembled.keySet == whole.keySet)
+    for ((t, ids) <- reassembled) {
+      assert(ids == whole(t)._2, s"term $t postings differ")
+      assert(chunked.filter(_._1 == t).forall(_._3 == whole(t)._1),
+        s"term $t doc_freq differs on some chunk")
+      assert(chunked.filter(_._1 == t).forall(_._4.size <= 17))
+    }
+  }
+
   test("inverted index chunks bound row size on a degenerate one-term corpus") {
     // every doc is the same single token — the shape that made the old
     // unchunked layout one giant straggler row per stop-word term
@@ -564,6 +594,13 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       graft.ops.Profile.profile(df, Seq("nope"))
     }
+    // width gate: the exact Expand is O(rows x cols) — wide profiles are
+    // refused unless the caller raises the limit explicitly
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.profile(df, Seq("id", "s", "v"), maxExactCols = 2)
+    }
+    assert(graft.ops.Profile.profile(df, Seq("id", "s", "v"), maxExactCols = 3)
+      .count() == 3L)
   }
 
   test("profileApprox: HLL distinct within rsd, no Expand in the plan") {

@@ -864,6 +864,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.decodeVideoMeta(
         MediaRecord(3L, "video", "not a video at all".getBytes, Map.empty))
     }
+    // payloads truncated before/inside moov stop the walk and fail the
+    // no-header check instead of crashing on an out-of-bounds read
+    for (cut <- Seq(4, 12, 40)) {
+      intercept[Exception] {
+        Multimodal.decodeVideoMeta(
+          MediaRecord(4L, "video", mp4.take(cut), Map.empty))
+      }
+    }
+    // a truncated trailing mdat leaves the (complete) moov readable
+    val t = Multimodal.decodeVideoMeta(
+      MediaRecord(5L, "video", mp4.take(mp4.length - 3), Map.empty))
+    assert(t.width == 320 && t.frameCount == 100L && t.durationMs == 4000L)
   }
 
   test("document-derived video corpus decodes to its closed forms") {
