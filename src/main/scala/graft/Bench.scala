@@ -137,14 +137,21 @@ object Bench {
     val pre50k = new java.io.File(dir50k).listFiles().map(_.getName).toSet
     spark.range(100).select(lit(999L).as("k"), $"id".as("v"))
       .coalesce(1).write.mode("append").parquet(dir50k)
-    val tR0 = System.nanoTime()
-    spark.index.refresh.parquet(dir50k)
-    val refresh50kTime = (System.nanoTime() - tR0) / 1e9
-    new java.io.File(dir50k).listFiles()
-      .filter(f => !pre50k.contains(f.getName))
-      .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
-      .foreach(_.delete())
-    spark.index.refresh.parquet(dir50k)
+    val refresh50kTime =
+      try {
+        val tR0 = System.nanoTime()
+        spark.index.refresh.parquet(dir50k)
+        (System.nanoTime() - tR0) / 1e9
+      } finally {
+        // always restore the create-once scratch, even on a failed
+        // refresh — a leftover file would break the next run's exact
+        // file-count asserts
+        new java.io.File(dir50k).listFiles()
+          .filter(f => !pre50k.contains(f.getName))
+          .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
+          .foreach(_.delete())
+        spark.index.refresh.parquet(dir50k)
+      }
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

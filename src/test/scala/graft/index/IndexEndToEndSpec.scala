@@ -1023,26 +1023,29 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.range(100)
         .select(lit(999L).as("k"), col("id").as("v"))
         .coalesce(1).write.mode("append").parquet(tableDir)
-      val st = spark.index.refresh.parquet(tableDir)
-      assert(st.addedFiles == 1L && st.removedFiles == 0L, s"got $st")
-      val q2 = spark.index
-        .option(IndexConf.DistributedPruningThreshold, "10000")
-        .parquet(tableDir).filter(col("k") === 999L)
-      assert(q2.count() == 100L)
-      val fi2 = q2.queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => s.relation.location
-      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
-      assert(fi2.get.lastListedFiles == 1L,
-        s"new key lives in exactly 1 file, listed ${fi2.get.lastListedFiles}")
-
-      // restore the create-once scratch for later bench runs: drop the
-      // appended file (and its crc sidecar) and refresh it back out
-      val added = new java.io.File(tableDir).listFiles()
-        .filter(f => !preListing.contains(f.getName))
-        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
-      added.foreach(f => assert(f.delete()))
-      val st2 = spark.index.refresh.parquet(tableDir)
-      assert(st2 == IndexedDataSource.RefreshStats(0L, 1L), s"got $st2")
+      try {
+        val st = spark.index.refresh.parquet(tableDir)
+        assert(st.addedFiles == 1L && st.removedFiles == 0L, s"got $st")
+        val q2 = spark.index
+          .option(IndexConf.DistributedPruningThreshold, "10000")
+          .parquet(tableDir).filter(col("k") === 999L)
+        assert(q2.count() == 100L)
+        val fi2 = q2.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.relation.location
+        }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+        assert(fi2.get.lastListedFiles == 1L,
+          s"new key lives in exactly 1 file, listed ${fi2.get.lastListedFiles}")
+      } finally {
+        // ALWAYS restore the create-once scratch (even on assert failure
+        // above — a leftover file would flake every later exact-count
+        // assert): drop the appended file + crc sidecar, refresh it out
+        new java.io.File(tableDir).listFiles()
+          .filter(f => !preListing.contains(f.getName))
+          .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
+          .foreach(f => assert(f.delete()))
+        val st2 = spark.index.refresh.parquet(tableDir)
+        assert(st2 == IndexedDataSource.RefreshStats(0L, 1L), s"got $st2")
+      }
     } finally saved.foreach(spark.conf.set(IndexConf.MetastoreLocation, _))
   }
 
