@@ -91,8 +91,7 @@ object Bench {
     }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
     val ratio = fileIndex.map(g =>
       g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles)).getOrElse(1.0)
-    val scratchPath = "/root/repo/target/graft_scratch/" +
-      new java.io.File(sfDir).getName + "/lineitem"
+    val scratchPath = SparkEntry.scratchTableDir(sfDir, "lineitem")
     val plainTime = timeBest(
       spark.read.parquet(scratchPath).filter($"l_orderkey" === key).count())
     val speedup = if (idxTime > 0) plainTime / idxTime else 0.0
@@ -131,32 +130,50 @@ object Bench {
 
     // refresh at 50k files: time one 1-file-delta refresh (re-listing the
     // 50k-file dir + the distributed diff + the 1-file footer job), then
-    // restore the create-once scratch untimed
-    val dir50k = "/root/repo/target/graft_scratch/" +
-      new java.io.File(sfDir).getName + "/files50k"
-    val pre50k = new java.io.File(dir50k).listFiles().map(_.getName).toSet
-    spark.range(100).select(lit(999L).as("k"), $"id".as("v"))
-      .coalesce(1).write.mode("append").parquet(dir50k)
+    // restore the create-once scratch untimed. A refresh failure must not
+    // discard the per-query timings already measured, and the restore must
+    // not mask the original exception — so the block reports -1 + a
+    // `failed` entry instead of propagating.
+    val extraFailed = scala.collection.mutable.ListBuffer.empty[String]
     val refresh50kTime =
       try {
-        val tR0 = System.nanoTime()
-        spark.index.refresh.parquet(dir50k)
-        (System.nanoTime() - tR0) / 1e9
-      } finally {
-        // always restore the create-once scratch, even on a failed
-        // refresh — a leftover file would break the next run's exact
-        // file-count asserts
-        new java.io.File(dir50k).listFiles()
-          .filter(f => !pre50k.contains(f.getName))
-          .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
-          .foreach(_.delete())
-        spark.index.refresh.parquet(dir50k)
+        val dir50k = SparkEntry.scratchTableDir(sfDir, "files50k")
+        val pre50k = new java.io.File(dir50k).listFiles().map(_.getName).toSet
+        spark.range(100).select(lit(999L).as("k"), $"id".as("v"))
+          .coalesce(1).write.mode("append").parquet(dir50k)
+        try {
+          val tR0 = System.nanoTime()
+          spark.index.refresh.parquet(dir50k)
+          (System.nanoTime() - tR0) / 1e9
+        } finally {
+          // always restore the create-once scratch, even on a failed
+          // refresh — a leftover file would break the next run's exact
+          // file-count asserts; restore failures are reported, never
+          // allowed to replace the timed refresh's own exception
+          try {
+            new java.io.File(dir50k).listFiles()
+              .filter(f => !pre50k.contains(f.getName))
+              .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
+              .foreach(_.delete())
+            spark.index.refresh.parquet(dir50k)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAILURE restoring 50k scratch: $e")
+              extraFailed += "refresh_50k_restore"
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in refresh_50k: $e")
+          extraFailed += "refresh_50k"
+          -1.0
       }
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = (failed ++ extraFailed).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +
       s""""files_scanned_ratio":$ratio,"orc_files_scanned_ratio":$orcRatio,""" +

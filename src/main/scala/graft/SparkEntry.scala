@@ -50,6 +50,12 @@ object SparkEntry {
 
   private val scratchRoot = "/root/repo/target/graft_scratch"
 
+  /** Single source of truth for scratch-table locations — Bench reads
+    * tables (plain-scan baseline, 50k refresh target) through this
+    * instead of re-deriving the path convention by string concat. */
+  private[graft] def scratchTableDir(dir: String, name: String): String =
+    s"$scratchRoot/${new java.io.File(dir).getName}/$name"
+
   // second component: scratch-builder revision — bump when a builder's
   // layout changes (e.g. the deterministic 50k seed construction) so
   // stale create-once tables rebuild even though the metadata version
@@ -120,35 +126,45 @@ object SparkEntry {
   private[graft] val Files50kSeeds = 64
   private[graft] val Files50kCopies = 780 // per seed => 64 × 781 = 49,984 files
   private[graft] val Files50kRowsPerSeed = 100
+
+  // Shared parquet/ORC 50k builder — only the format strings differ, so
+  // the seed construction, seed assert, copy loop and index options are
+  // maintained once (a determinism fix can't land in one format only).
+  private def build50k(s: SparkSession, tableDir: String, source: String): Unit = {
+    import graft.index.implicits._
+    import s.implicits._
+    val ext = if (source == "orc") "orc" else "parquet"
+    val rows = for {
+      k <- 0 until Files50kSeeds
+      r <- 0 until Files50kRowsPerSeed
+    } yield (k.toLong, (k.toLong * Files50kRowsPerSeed) + r)
+    val seedWriter = s.sparkContext.parallelize(rows, Files50kSeeds)
+      .toDF("k", "v").write.mode("overwrite")
+    if (source == "orc") seedWriter.orc(tableDir) else seedWriter.parquet(tableDir)
+    val d = new java.io.File(tableDir)
+    val seeds = d.listFiles().filter(f => f.getName.endsWith("." + ext) &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(seeds.length == Files50kSeeds,
+      s"expected $Files50kSeeds seed files, got ${seeds.length}")
+    seeds.zipWithIndex.foreach { case (f, si) =>
+      (0 until Files50kCopies).foreach { j =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(d, s"part-copy-$si-$j.$ext").toPath)
+      }
+    }
+    val create = s.index.create.mode("overwrite")
+      .option(graft.index.IndexConf.FilterEnabled, "false")
+      .indexBy("k")
+    if (source == "orc") create.orc(tableDir) else create.parquet(tableDir)
+  }
+
   private[graft] def indexed50kFiles(s: SparkSession, dir: String): DataFrame = {
     import graft.index.implicits._
-    scratchTable(s, dir, "files50k") { tableDir =>
-      import s.implicits._
-      val rows = for {
-        k <- 0 until Files50kSeeds
-        r <- 0 until Files50kRowsPerSeed
-      } yield (k.toLong, (k.toLong * Files50kRowsPerSeed) + r)
-      s.sparkContext.parallelize(rows, Files50kSeeds).toDF("k", "v")
-        .write.mode("overwrite").parquet(tableDir)
-      val d = new java.io.File(tableDir)
-      val seeds = d.listFiles().filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      assert(seeds.length == Files50kSeeds,
-        s"expected $Files50kSeeds seed files, got ${seeds.length}")
-      seeds.zipWithIndex.foreach { case (f, si) =>
-        (0 until Files50kCopies).foreach { j =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(d, s"part-copy-$si-$j.parquet").toPath)
-        }
-      }
-      s.index.create.mode("overwrite")
-        .option(graft.index.IndexConf.FilterEnabled, "false")
-        .indexBy("k").parquet(tableDir)
-    }
+    scratchTable(s, dir, "files50k")(build50k(s, _, "parquet"))
     // re-open with the distributed threshold under the file count: the
     // Spark-job fold path is the one a million-file table would take
     s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
-      .parquet(s"$scratchRoot/${new java.io.File(dir).getName}/files50k")
+      .parquet(scratchTableDir(dir, "files50k"))
   }
 
   /** ORC twin of [[indexed50kFiles]]: proves the distributed prune fold
@@ -156,31 +172,9 @@ object SparkEntry {
     * Spark job the parquet footers do. Create-once. */
   private[graft] def indexed50kFilesOrc(s: SparkSession, dir: String): DataFrame = {
     import graft.index.implicits._
-    scratchTable(s, dir, "files50k_orc", source = "orc") { tableDir =>
-      import s.implicits._
-      val rows = for {
-        k <- 0 until Files50kSeeds
-        r <- 0 until Files50kRowsPerSeed
-      } yield (k.toLong, (k.toLong * Files50kRowsPerSeed) + r)
-      s.sparkContext.parallelize(rows, Files50kSeeds).toDF("k", "v")
-        .write.mode("overwrite").orc(tableDir)
-      val d = new java.io.File(tableDir)
-      val seeds = d.listFiles().filter(f => f.getName.endsWith(".orc") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      assert(seeds.length == Files50kSeeds,
-        s"expected $Files50kSeeds seed files, got ${seeds.length}")
-      seeds.zipWithIndex.foreach { case (f, si) =>
-        (0 until Files50kCopies).foreach { j =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(d, s"part-copy-$si-$j.orc").toPath)
-        }
-      }
-      s.index.create.mode("overwrite")
-        .option(graft.index.IndexConf.FilterEnabled, "false")
-        .indexBy("k").orc(tableDir)
-    }
+    scratchTable(s, dir, "files50k_orc", source = "orc")(build50k(s, _, "orc"))
     s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
-      .orc(s"$scratchRoot/${new java.io.File(dir).getName}/files50k_orc")
+      .orc(scratchTableDir(dir, "files50k_orc"))
   }
 
   /** Indexed lineitem copy with DICT/BITMAP sketches (per-call option):

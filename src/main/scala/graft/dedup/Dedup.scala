@@ -40,6 +40,7 @@ object Dedup {
     * shuffle), so aggregation memory is bounded by the cap. */
   def exactDuplicateGroups(df: DataFrame, key: Column, id: Column,
       maxMembers: Int = 1 << 16): DataFrame = {
+    require(maxMembers >= 1, s"maxMembers must be >= 1, got $maxMembers")
     val w = Window.partitionBy(col("__k")).orderBy(col("__id"))
     df.select(key.as("__k"), id.as("__id"))
       .withColumn("__rn", row_number().over(w))
@@ -332,6 +333,7 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5,
       maxMembers: Int = 1 << 16): DataFrame = {
+    require(maxMembers >= 1, s"maxMembers must be >= 1, got $maxMembers")
     val pairs = ngramJaccardPairs(df, id, text, shingleK, threshold)
     val w = Window.partitionBy(col("label")).orderBy(col("id"))
     connectedComponents(pairs)

@@ -240,9 +240,12 @@ object IndexedDataSource {
     // file (same path, new size/mtime) counts as removed + added. The
     // listing itself is Spark's InMemoryFileIndex (parallel partition
     // discovery above spark.sql.sources.parallelPartitionDiscovery
-    // .threshold), and only the ADDED paths are ever collected — the
-    // driver's diff state is O(delta), proven at ~50k files by the e2e
-    // and the bench's refresh_50k_sec row.
+    // .threshold) and — like create's listing — materializes one driver-
+    // side FileRef per file, so the driver's LISTING residency is
+    // O(total files) (fine to ~1M files; past that the listing, not the
+    // diff, is the wall). The DIFF adds only O(delta) on top: just the
+    // ADDED paths are collected, proven at ~50k files by the e2e and the
+    // bench's refresh_50k_sec row.
     import spark.implicits._
     val currentKeys = current.map { case (_, r) => (r.path, r.size, r.modificationTime) }
       .toDF("path", "size", "modificationTime")

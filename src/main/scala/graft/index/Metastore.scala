@@ -184,12 +184,28 @@ object Metastore {
         case Some((m, loadedAt)) if now - loadedAt < ttlMillis =>
           // refresh LRU position, keep the original load timestamp
           cache.remove(key); cache.put(key, (m, loadedAt)); m
-        case _ =>
-          cache.remove(key)
-          val m = loader
-          if (cache.size >= MaxCached) cache.remove(cache.head._1)
-          cache.put(key, (m, now))
-          m
+        case stale =>
+          scala.util.Try(loader) match {
+            case scala.util.Success(m) =>
+              cache.remove(key)
+              if (cache.size >= MaxCached) cache.remove(cache.head._1)
+              cache.put(key, (m, now))
+              m
+            case scala.util.Failure(e) =>
+              // A TTL-expired entry that fails to reload usually means an
+              // EXTERNAL writer's refresh is mid-mutation (`_SUCCESS` is
+              // absent until it commits, which can take minutes at scale).
+              // Serve the stale metadata instead of failing the reader; the
+              // entry stays expired so every later call retries the reload
+              // until the writer commits. Explicit invalidation (our own
+              // create/delete/refresh) bypasses this by removing the entry,
+              // and ttl = 0 means "no caching" — there stale is never
+              // consulted and the failure propagates.
+              stale match {
+                case Some((m, _)) if ttlMillis > 0 => m
+                case _ => throw e
+              }
+          }
       }
     }
 

@@ -616,8 +616,13 @@ object Multimodal {
           walkMp4Boxes(d, body, bodyEnd, st, mvhd, t)
           st += t
         case "mvhd" if bodyEnd - body >= 24 =>
-          if (d(body) == 1 && bodyEnd - body >= 32) {
-            mvhd(0) = u32(d, body + 20); mvhd(1) = u64(d, body + 24)
+          if (d(body) == 1) {
+            // version-1 layout needs 32 body bytes; a shorter v1 box is
+            // truncated — leave mvhd unset (decode fails its require)
+            // rather than misreading creation-time bytes via v0 offsets
+            if (bodyEnd - body >= 32) {
+              mvhd(0) = u32(d, body + 20); mvhd(1) = u64(d, body + 24)
+            }
           } else {
             mvhd(0) = u32(d, body + 12); mvhd(1) = u32(d, body + 16)
           }
@@ -668,13 +673,25 @@ object Multimodal {
     * payloads with neither structure — callers own quarantine policy. */
   def decodeVideoMeta(r: MediaRecord): DecodedVideo = {
     val d = r.data
+    // Duration arithmetic over untrusted u32/u64 header fields: a hostile
+    // header can overflow num × mul past Long.MaxValue, which would wrap
+    // to a silently-negative durationMs — make that a decode failure.
+    def durMs(num: Long, mul: Long, den: Long): Long = {
+      require(num >= 0,
+        s"payload for id ${r.id}: duration field exceeds Long range")
+      try Math.multiplyExact(num, mul) / den
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"payload for id ${r.id}: duration overflows (num=$num mul=$mul)")
+      }
+    }
     if (d.length >= 12 && fourcc(d, 0) == "RIFF" && fourcc(d, 8) == "AVI ") {
       val avih = new Array[Long](5)
       walkRiff(d, 12, d.length, avih)
       require(avih(0) > 0 || avih(1) > 0 || avih(2) > 0,
         s"payload for id ${r.id} has no avih header")
       DecodedVideo(r.id, "avi", avih(3).toInt, avih(4).toInt,
-        avih(2).toInt, avih(1), avih(1) * avih(0) / 1000L, d.length)
+        avih(2).toInt, avih(1), durMs(avih(1), avih(0), 1000L), d.length)
     } else {
       val traks = scala.collection.mutable.ArrayBuffer.empty[TrakAcc]
       val mvhd = new Array[Long](2)
@@ -685,7 +702,7 @@ object Multimodal {
         video.map(_.w).getOrElse(0), video.map(_.h).getOrElse(0),
         traks.length,
         video.map(_.frames).getOrElse(traks.map(_.frames).maxOption.getOrElse(0L)),
-        mvhd(1) * 1000L / mvhd(0), d.length)
+        durMs(mvhd(1), 1000L, mvhd(0)), d.length)
     }
   }
 

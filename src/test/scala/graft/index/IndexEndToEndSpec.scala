@@ -1310,6 +1310,31 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("metastore cache TTL: expired entry serves stale during a writer's in-flight refresh") {
+    val ms = Metastore(spark)
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val (dir, warm) = ms.load(Metastore.Dataspace, p) // warm the cache
+    val success = new org.apache.hadoop.fs.Path(dir, Metastore.SuccessFile)
+    val fs = ms.fs
+    try {
+      spark.conf.set(IndexConf.MetastoreCacheTtl, "1") // expires below
+      Thread.sleep(1100)
+      fs.delete(success, false)
+      // expired entry + missing _SUCCESS models an external writer whose
+      // refresh is mid-mutation (marker recreated only at commit): the
+      // reader keeps working from the stale metadata instead of failing
+      val (_, stale) = Metastore(spark).load(Metastore.Dataspace, p)
+      assert(stale == warm)
+      // writer commits: the next (still-expired) load re-reads disk
+      fs.create(success, true).close()
+      val (_, fresh) = Metastore(spark).load(Metastore.Dataspace, p)
+      assert(fresh == warm)
+    } finally {
+      if (!fs.exists(success)) fs.create(success, true).close()
+      spark.conf.unset(IndexConf.MetastoreCacheTtl)
+    }
+  }
+
   test("refresh: missing index is rejected") {
     val mPath = s"$work/lineitem_refresh_missing"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -201,6 +201,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.length == 1)
     assert(g(0).getAs[Long]("group_size") == 100L)
     assert(g(0).getSeq[Long](2) == (0L until 8L))
+    // a nonsensical cap fails fast instead of silently emptying every
+    // member array (same contract as invertedIndex's chunkSize)
+    intercept[IllegalArgumentException] {
+      Dedup.exactDuplicateGroups(df, $"k", $"id", maxMembers = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(df.select($"id", lit("t").as("text")),
+        $"id", $"text", maxMembers = -1)
+    }
   }
 
   test("ngram jaccard: candidate path equals exact path here") {
@@ -876,6 +885,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = Multimodal.decodeVideoMeta(
       MediaRecord(5L, "video", mp4.take(mp4.length - 3), Map.empty))
     assert(t.width == 320 && t.frameCount == 100L && t.durationMs == 4000L)
+  }
+
+  test("video decode rejects adversarial headers instead of emitting garbage") {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def mp4Of(mvhdBody: Array[Byte]): Array[Byte] = {
+      val mvhd = be32(8L + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+      be32(8L + mvhd.length) ++ "moov".getBytes ++ mvhd
+    }
+    // version-1 mvhd with only 28 body bytes: the v1 layout needs 32, and
+    // the v0 offsets would land inside the 64-bit creation/modification
+    // timestamps (here nonzero 0x42 filler) — must fail the no-mvhd check,
+    // not decode 0x42424242 as a timescale
+    val shortV1 = mp4Of(Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](24)(0x42))
+    intercept[Exception] {
+      Multimodal.decodeVideoMeta(MediaRecord(10L, "video", shortV1, Map.empty))
+    }
+    // well-formed v1 mvhd whose u64 duration × 1000 overflows Long: decode
+    // failure, not a silently negative durationMs
+    val hugeV1 = mp4Of(Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(1L) ++ be64(Long.MaxValue))
+    val eMp4 = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoMeta(MediaRecord(11L, "video", hugeV1, Map.empty))
+    }
+    assert(eMp4.getMessage.contains("overflow"))
+    // AVI with dwTotalFrames × dwMicroSecPerFrame past Long.MaxValue
+    val hugeAvi = Multimodal.encodeAvi(0xffffffffL, 0xffffffffL, 1L, 16, 16)
+    val eAvi = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoMeta(MediaRecord(12L, "video", hugeAvi, Map.empty))
+    }
+    assert(eAvi.getMessage.contains("overflow"))
   }
 
   test("document-derived video corpus decodes to its closed forms") {
