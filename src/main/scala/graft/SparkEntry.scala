@@ -1640,6 +1640,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL video frame PIXEL decode + frame sampling: every 2nd frame of
+    // document-derived MJPEG AVIs goes through an actual RIFF walk →
+    // imageio JPEG decode; sampled indices and true codec dimensions
+    // have closed-form oracles (pixel stats are lossy-codec territory —
+    // unit-tested differentially, not oracle-gated).
+    "q_multimodal_videoframes" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal
+        .decodeDocumentVideoFrames(s, tbl(s, dir, "documents"))
+        .select($"id".as("doc_id"), $"frameIdx".cast("long").as("frame_idx"),
+          $"width", $"height")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // JSON extraction from the events props column.
     "q_scalar_json" -> ((s, dir) => {
       import s.implicits._
@@ -3124,6 +3138,14 @@ object SparkEntry {
         |  (50 + doc_id % 200)::BIGINT AS frame_count,
         |  ((50 + doc_id % 200) * 40)::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_videoframes" ->
+      """SELECT d.doc_id, u.frame_idx,
+        |  (16 + 8 * (d.doc_id % 10))::INT AS width,
+        |  (16 + 8 * ((3 * d.doc_id) % 8))::INT AS height
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 4)) AS frame_idx) u
+        |WHERE u.frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_idx_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
         |FROM lineitem

@@ -919,6 +919,77 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eAvi.getMessage.contains("overflow"))
   }
 
+  test("real MJPEG frame decode: pixels, sampling, container metadata") {
+    // 5 identical two-band frames, halves aligned to JPEG's 8-px blocks:
+    // left gray 60, right gray 180 — far enough apart that the aHash band
+    // pattern survives JPEG quantization
+    val jpeg = Multimodal.encodeJpeg(32, 32, (x, _) => {
+      val v = if (x < 16) 60 else 180
+      (v << 16) | (v << 8) | v
+    })
+    val avi = Multimodal.encodeMjpegAvi(40000L, 32, 32, Seq.fill(5)(jpeg))
+    val rec = MediaRecord(20L, "video", avi, Map.empty)
+    // every frame, through a REAL imageio JPEG decode
+    val all = Multimodal.decodeVideoFrames(rec)
+    assert(all.map(_.frameIdx) == (0 until 5))
+    assert(all.forall(f => f.width == 32 && f.height == 32))
+    // mean luma ~ (60 + 180) / 2; JPEG is lossy so tolerance, not equality
+    assert(all.forall(f => (f.meanLuma - 120L).abs <= 3),
+      s"lumas ${all.map(_.meanLuma)}")
+    // right-half cells (cx >= 4) above the mean -> 0xF0 per aHash row
+    val bandHash = 0xF0F0F0F0F0F0F0F0L
+    assert(all.forall(_.aHash == bandHash),
+      s"hashes ${all.map(_.aHash.toHexString)}")
+    // frame-sample: every 2nd frame, skipped frames never decoded
+    assert(Multimodal.decodeVideoFrames(rec, everyN = 2).map(_.frameIdx)
+      == Seq(0, 2, 4))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(rec, everyN = 0)
+    }
+    // the MJPEG AVI is a spec-shaped container: the metadata walk reads
+    // its avih like any other AVI
+    val meta = Multimodal.decodeVideoMeta(rec)
+    assert(meta.container == "avi" && meta.frameCount == 5L &&
+      meta.width == 32 && meta.height == 32 && meta.durationMs == 200L)
+    // MP4 payloads carry codecs the JDK lacks: loud failure, not garbage
+    val mp4 = Multimodal.encodeMp4(90000L, 3600L, 32, 32, 1L, 3600L, false)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(MediaRecord(21L, "video", mp4, Map.empty))
+    }
+  }
+
+  test("video fingerprints: majority vote, dedup blocking") {
+    def twoBand(left: Int, right: Int): Array[Byte] =
+      Multimodal.encodeJpeg(32, 32, (x, _) => {
+        val v = if (x < 16) left else right
+        (v << 16) | (v << 8) | v
+      })
+    val bright = twoBand(60, 180)  // aHash 0xF0F0...
+    val flipped = twoBand(180, 60) // aHash 0x0F0F...
+    val gray = twoBand(120, 120)   // aHash 0 (no cell exceeds the mean)
+    def vid(id: Long, frames: Seq[Array[Byte]]) =
+      MediaRecord(id, "video", Multimodal.encodeMjpegAvi(40000L, 32, 32,
+        frames), Map.empty)
+    val media = Seq(
+      vid(1L, Seq.fill(3)(bright)),
+      vid(2L, Seq(bright, gray, bright)), // 1 of 3 frames corrupted
+      vid(3L, Seq.fill(3)(flipped)))
+    val frames = Multimodal.decodeVideoFrameSets(media.toDS())
+    val fps = Multimodal.videoFingerprints(frames)
+      .as[(Long, Long)].collect().toMap
+    // majority vote absorbs the minority gray frame: 2 matches identically
+    assert(fps(1L) == 0xF0F0F0F0F0F0F0F0L)
+    assert(fps(2L) == fps(1L))
+    assert(fps(3L) == 0x0F0F0F0F0F0F0F0FL)
+    // Hamming blocking: the exact-match pair surfaces, the 64-bit-distant
+    // flipped video never pairs with either
+    val pairs = Dedup.fingerprintPairs(
+        Multimodal.videoFingerprints(frames), col("id"), col("fingerprint"),
+        maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("document-derived video corpus decodes to its closed forms") {
     val docs = Seq((6L, "x"), (7L, "y"), (100L, "z")).toDF("doc_id", "text")
     val out = Multimodal.decodeDocumentVideos(spark, docs)
