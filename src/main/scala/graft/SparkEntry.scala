@@ -911,6 +911,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // BPE tokenizer TRAINING: distributed word-count pass, driver merge
+    // learning over the (distinct-word-sized) table. Learned merges are
+    // a deterministic function of the corpus (lexicographic tie-break),
+    // but not SQL-expressible (iterative argmax) — rows-only check;
+    // the trainer itself is differentially tested against a naive
+    // recount-everything reference in BpeSpec.
+    "q_text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val wc = graft.text.Bpe.wordCounts(
+        tbl(s, dir, "documents"), $"text", minCount = 2L)
+      s.createDataFrame(graft.text.Bpe.train(wc, numMerges = 24))
+        .select($"rank", $"left", $"right", $"pairCount".as("pair_count"))
+        .orderBy($"rank")
+    }),
+
+    // BPE ENCODING under the trained merges: map-side codegen'd kernel,
+    // merge ranks broadcast with the plan, word->subwords memoized per
+    // task. Rows-only (the subword segmentation is the iterative merge
+    // closure); the n_words column and the zero-merge degenerate case
+    // are oracle-shaped equalities covered in BpeSpec.
+    "q_text_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.text.Bpe.mergesOf(graft.text.Bpe.train(
+        graft.text.Bpe.wordCounts(docs, $"text", minCount = 2L), numMerges = 24))
+      val toks = graft.text.TextFunctions.tokens($"text")
+      docs.select($"doc_id",
+          size(toks).as("n_words"),
+          size(graft.text.Bpe.encode(toks, merges)).as("n_subwords"))
+        .orderBy($"doc_id")
+    }),
+
     // Quality scoring: ratios + combined score.
     "q_text_quality" -> ((s, dir) => {
       import s.implicits._
@@ -1309,6 +1341,19 @@ object SparkEntry {
           totalRows = 150L, allowUpsample = true, salt = "mix")
         .select($"doc_id", $"source", $"epoch")
         .orderBy($"doc_id", $"epoch")
+    }),
+
+    // Temperature mixing at tau = 2: per-language weights derived as
+    // sqrt(n_i), flattening the en-dominant skew. Every plan quantity is
+    // exact integer arithmetic (milli-sqrt, 128-bit products), so the
+    // oracle replays membership bit-for-bit in HUGEINT.
+    "q_sample_temperature" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.mixCorpusTemperature(
+          tbl(s, dir, "documents"), $"doc_id", $"lang",
+          sources = Seq("de", "en", "es", "fr", "zh"), salt = "s5")
+        .select($"doc_id", $"lang", $"epoch")
+        .orderBy($"doc_id")
     }),
 
     // Sequence packing: per-source prefix-sum token batching at a 2000-
@@ -2760,6 +2805,30 @@ object SparkEntry {
         |FROM cand
         |WHERE '0' || substr(md5('mix|' || doc_id::VARCHAR || '|' || epoch::VARCHAR), 1, 8) < th
         |ORDER BY doc_id, epoch""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH n AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents
+        |  WHERE lang IN ('de','en','es','fr','zh') GROUP BY lang),
+        |ms AS (
+        |  SELECT lang, n,
+        |    CAST(floor(sqrt(n::DOUBLE * 1000000.0)) AS HUGEINT) AS ms FROM n),
+        |tot AS (SELECT sum(ms) AS stot FROM ms),
+        |tt AS (SELECT min((n::HUGEINT * stot) // ms) AS tt FROM ms, tot),
+        |plan AS (
+        |  SELECT lang, n,
+        |    (2::HUGEINT * ms * (SELECT tt FROM tt) + stot) // (2::HUGEINT * stot)
+        |      AS target
+        |  FROM ms, tot),
+        |thr AS (
+        |  SELECT lang,
+        |    printf('%09x',
+        |      CAST((target * 8589934592::HUGEINT + n) // (2::HUGEINT * n) AS BIGINT))
+        |      AS th
+        |  FROM plan)
+        |SELECT d.doc_id, d.lang, 0::BIGINT AS epoch
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE '0' || substr(md5('s5|' || d.doc_id::VARCHAR || '|0'), 1, 8) < thr.th
+        |ORDER BY doc_id""".stripMargin,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

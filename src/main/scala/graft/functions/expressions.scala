@@ -377,6 +377,93 @@ case class SubwordCount(child: Expression, unit: Int)
   override protected def withNewChildInternal(c: Expression): SubwordCount = copy(child = c)
 }
 
+/** Flattened byte-pair encoding of a token array under a fixed merge
+  * list — the standard BPE inference loop (Sennrich et al. 2016,
+  * arXiv:1508.07909 §3): each token splits to code-point symbols, then
+  * the adjacent pair with the LOWEST merge rank fuses (all occurrences,
+  * left-to-right) until no adjacent pair has a rank; the per-token
+  * subword runs concatenate in order. Merge ranks ride the serialized
+  * expression to every task; a per-task memo caches word → subwords so
+  * a Zipf-distributed corpus pays the merge loop once per DISTINCT word
+  * per task, not once per occurrence. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // first occurrence of a duplicated pair keeps the lower (stronger) rank
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(i))
+    }
+    m
+  }
+  @transient private lazy val memo =
+    new java.util.HashMap[UTF8String, Array[UTF8String]]()
+  private val MemoCap = 1 << 16
+
+  private def encodeWord(word: String): Array[UTF8String] = {
+    var syms: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var done = syms.length <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b
+            i += 2
+          } else {
+            out += syms(i)
+            i += 1
+          }
+        }
+        syms = out.toArray
+        done = syms.length <= 1
+      }
+    }
+    syms.map(UTF8String.fromString)
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        var enc = memo.get(w)
+        if (enc == null) {
+          enc = encodeWord(w.toString)
+          // cloned key: getUTF8String may return a view into reused buffers
+          if (memo.size < MemoCap) memo.put(w.clone(), enc)
+        }
+        out ++= enc
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}
+
 private object VecOps {
   /** Read element i of a numeric array as double. */
   @inline def get(arr: ArrayData, et: DataType, i: Int): Double = et match {
@@ -566,6 +653,8 @@ object exprs {
     SparkInternals.wrap(MinHashSignature(SparkInternals.unwrap(tokens), numHashes))
   def subword_count(tokens: Column, unit: Int): Column =
     SparkInternals.wrap(SubwordCount(SparkInternals.unwrap(tokens), unit))
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    SparkInternals.wrap(BpeEncode(SparkInternals.unwrap(tokens), merges))
   def simhash64(tokens: Column, algo: String = "xx"): Column =
     SparkInternals.wrap(SimHash64(SparkInternals.unwrap(tokens), algo))
   def dot_product(a: Column, b: Column): Column =

@@ -147,11 +147,89 @@ object Sampling {
       (k, math.max(1L, epochs), target.toDouble / (counts(k) * math.max(1L, epochs)))
     }
 
+    applyMixPlan(df, id, source,
+      plan.map { case (k, e, f) => (k, e, thresholdHex(f)) }, salt)
+  }
+
+  /** Temperature-weighted corpus mix at τ = 2 (w_i ∝ √n_i) — the
+    * standard up-weighting of small sources against dominant ones in
+    * multilingual / multi-source training mixes (temperature sampling
+    * p_i ∝ q_i^(1/τ)). Same contract as [[mixCorpus]] — the weights are
+    * DERIVED from the observed source sizes instead of passed in.
+    *
+    * Every step is EXACT INTEGER arithmetic so any engine with 128-bit
+    * integers (DuckDB `HUGEINT`) replays membership bit-for-bit — no
+    * floating-point sum whose result depends on operand order, and no
+    * `pow()` whose last ulp varies by libm (which is why τ is fixed at
+    * 2: `sqrt` is IEEE-754 correctly-rounded everywhere; for other τ
+    * compute weights externally and call [[mixCorpus]]):
+    *
+    *   s_i   = ⌊√(n_i·10⁶)⌋          (integer milli-sqrt; one IEEE
+    *                                  double conversion + sqrt + floor,
+    *                                  identical on every IEEE engine)
+    *   S     = Σ s_i                  (integer sum — order-free)
+    *   T     = min_i ⌊n_i·S / s_i⌋   (largest downsample-only total),
+    *           or `totalRows` when given
+    *   t_i   = ⌊s_i·T/S + ½⌋ = (2·s_i·T + S) div (2·S)
+    *   e_i   = ⌈t_i / n_i⌉ (1 unless `allowUpsample`)
+    *   thr_i = (t_i·2³³ + n_i·e_i) div (2·n_i·e_i)   (= round(f·2³²))
+    *
+    * All products stay within 128 bits far past 100 TB row counts
+    * (n_i ≤ 2⁶³, s_i ≤ 2³², S ≤ k·2³²). Scale shape is [[mixCorpus]]'s:
+    * one k-row count aggregate, then a map-side epoch-explode + hash
+    * filter — the corpus never shuffles. */
+  def mixCorpusTemperature(
+      df: DataFrame, id: Column, source: Column,
+      sources: Seq[String],
+      totalRows: Long = -1L,
+      allowUpsample: Boolean = false,
+      salt: String = "graft"): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    require(sources.distinct.size == sources.size,
+      s"duplicate sources: ${sources.diff(sources.distinct).mkString(", ")}")
+    val keys = sources.sorted
+
+    val counts: Map[String, Long] = df
+      .filter(source.isin(keys: _*))
+      .groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = keys.filterNot(k => counts.getOrElse(k, 0L) > 0L)
+    require(missing.isEmpty, s"sources with no rows: ${missing.mkString(", ")}")
+
+    val s: Map[String, BigInt] = keys.map { k =>
+      k -> BigInt(math.floor(math.sqrt(counts(k).toDouble * 1000000.0)).toLong)
+    }.toMap
+    val bigS = s.values.sum
+    val t: BigInt = if (totalRows > 0L) BigInt(totalRows)
+      else keys.map(k => BigInt(counts(k)) * bigS / s(k)).min
+    val plan: Seq[(String, Long, String)] = keys.map { k =>
+      val target = (2 * s(k) * t + bigS) / (2 * bigS)
+      val n = BigInt(counts(k))
+      val epochs = ((target + n - 1) / n).max(1).toLong
+      require(epochs == 1L || allowUpsample,
+        s"source $k needs $epochs epochs for its target ($target of ${counts(k)} " +
+          "rows); pass allowUpsample = true to replicate it")
+      val denom = n * epochs
+      val thr = ((target * 8589934592L + denom) / (2 * denom))
+        .min(BigInt(4294967296L))
+      (k, epochs, f"${thr.toLong}%09x")
+    }
+    applyMixPlan(df, id, source, plan, salt)
+  }
+
+  /** Shared tail of the mixing operators: epoch-explode each kept source
+    * to its replica count, then keep (id, epoch) pairs whose salted md5
+    * prefix falls under the source's 9-hex-digit threshold. Pure
+    * map-side — no shuffle. */
+  private def applyMixPlan(
+      df: DataFrame, id: Column, source: Column,
+      plan: Seq[(String, Long, String)], salt: String): DataFrame = {
+    val keys = plan.map(_._1)
     val epochsOf = plan.foldLeft(lit(1L)) { case (acc, (k, e, _)) =>
       when(source === k, lit(e)).otherwise(acc)
     }
-    val thresholdOf = plan.foldLeft(lit(thresholdHex(0.0))) { case (acc, (k, _, f)) =>
-      when(source === k, lit(thresholdHex(f))).otherwise(acc)
+    val thresholdOf = plan.foldLeft(lit(thresholdHex(0.0))) { case (acc, (k, _, h)) =>
+      when(source === k, lit(h)).otherwise(acc)
     }
     df.filter(source.isin(keys: _*))
       .withColumn("epoch", explode(sequence(lit(0L), epochsOf - 1)))

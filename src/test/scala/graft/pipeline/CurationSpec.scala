@@ -186,6 +186,53 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"mixing must stay map-side:\n$plan")
   }
 
+  test("mixCorpusTemperature: sqrt weights flatten skew, binding source keeps all") {
+    // 1600 "en" vs 100 "de" → milli-sqrt weights 40000:10000 → T = 500,
+    // targets 400/100: the raw 94/6 skew flattens to 80/20 and the
+    // small source (the binding one) keeps every row.
+    val df = ((1L to 1600L).map(i => (i, "en")) ++
+      (5001L to 5100L).map(i => (i, "de"))).toDF("id", "lang")
+    val mix = Sampling.mixCorpusTemperature(df, $"id", $"lang",
+      sources = Seq("en", "de"), salt = "t")
+    val counts = mix.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts("de") == 100L, s"binding source keeps all rows: $counts")
+    assert(counts("en") > 330 && counts("en") < 470, s"~400 expected: $counts")
+    assert(mix.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    val again = Sampling.mixCorpusTemperature(df, $"id", $"lang",
+      sources = Seq("en", "de"), salt = "t")
+    assert(mix.select($"id", $"epoch").as[(Long, Long)].collect().sorted
+      .sameElements(again.select($"id", $"epoch").as[(Long, Long)].collect().sorted))
+  }
+
+  test("mixCorpusTemperature: upsample refused without the flag, honored with it") {
+    val df = ((1L to 1600L).map(i => (i, "en")) ++
+      (5001L to 5100L).map(i => (i, "de"))).toDF("id", "lang")
+    // totalRows = 1000 → de target 200 of 100 rows → 2 epochs
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixCorpusTemperature(df, $"id", $"lang",
+        sources = Seq("en", "de"), totalRows = 1000L)
+    }
+    assert(e.getMessage.contains("allowUpsample"))
+    val mix = Sampling.mixCorpusTemperature(df, $"id", $"lang",
+      sources = Seq("en", "de"), totalRows = 1000L, allowUpsample = true,
+      salt = "t")
+    val de = mix.filter($"lang" === "de")
+    assert(de.count() == 200L, s"2 full epochs of 100: ${de.count()}")
+    assert(de.select($"epoch").distinct().as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L))
+  }
+
+  test("mixCorpusTemperature: missing source fails fast; map-side after pre-pass") {
+    val df = (1L to 50L).map(i => (i, "en")).toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixCorpusTemperature(df, $"id", $"lang", sources = Seq("en", "xx"))
+    }
+    assert(e.getMessage.contains("xx"))
+    val plan = Sampling.mixCorpusTemperature(df, $"id", $"lang",
+      sources = Seq("en")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must stay map-side:\n$plan")
+  }
+
   test("Web: host/domain extraction and blocklist filtering") {
     import graft.text.Web
     val df = Seq(
