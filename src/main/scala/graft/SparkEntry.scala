@@ -1553,6 +1553,22 @@ object SparkEntry {
         books, k = 10, excludeId = Some(qRow.getLong(0)))
     }),
 
+    // Nearest-class-centroid (Rocchio) classification: 90 seed vectors
+    // labeled c0/c1/c2 by vec_id mod 3 fit one exact-integer-mean
+    // centroid per class (the same portable sum/count arithmetic as a
+    // Lloyd update); every vector then gets the map-side kernel
+    // assignment. The oracle replays the class means and every
+    // assignment from scratch.
+    "q_ann_classify" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val seeds = emb.filter($"vec_id" < 90)
+        .withColumn("label", concat(lit("c"), ($"vec_id" % 3).cast("string")))
+      val cents = graft.ann.Ann.fitClassCentroids(seeds, $"embedding", $"label")
+      graft.ann.Ann.classifyByCentroids(emb, $"vec_id", $"embedding", cents)
+        .orderBy($"vec_id")
+    }),
+
     // TRAINED coarse quantizer IVF: kmeansFit centroids as the coarse
     // cells (L2 assignment, first-min ties), query probes its 4 nearest
     // of 16 data-adapted cells, exact cosine re-rank inside. The oracle
@@ -3018,6 +3034,24 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    "q_ann_classify" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id, q, 'c' || CAST(vec_id % 3 AS VARCHAR) AS l
+        |  FROM v WHERE vec_id < 90),
+        |m AS (SELECT l, t.i, sum(q[t.i]) / count(*) AS val
+        |  FROM seeds, (SELECT unnest(range(1, 65)) AS i) t GROUP BY l, t.i),
+        |cents AS (SELECT l, dense_rank() OVER (ORDER BY l) - 1 AS c,
+        |    list(val ORDER BY i) AS cent
+        |  FROM m GROUP BY l),
+        |df AS (SELECT v.vec_id, cents.l, cents.c,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (v.q[i] - cents.cent[i]) * (v.q[i] - cents.cent[i]))) AS d
+        |  FROM v, cents)
+        |SELECT vec_id, l AS label, round(d / 1000000.0, 6) AS dist2
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_ann_pq_trained" -> pqTrainedSql(m = 8, k = 16, subDim = 8,
       iters = 1, topK = 10),
     "q_ann_diversity" -> ("WITH " + kmeansCentsSql(k = 8, dim = 64, iters = 1) +

@@ -851,6 +851,66 @@ object Ann {
       assigned, col("cluster"), col("vec_id"), nPerCluster, salt)
   }
 
+  /** Per-class centroid fit for the nearest-class-centroid (Rocchio)
+    * classifier below: one aggregation over the LABELED seed set yields
+    * each class's per-dimension exact integer-sum mean over
+    * milli-quantized vectors — the same update arithmetic as one
+    * [[kmeansFit]] Lloyd step, so the SQL oracle replays it with the
+    * proven-portable sum/count derivation. Classes are returned sorted
+    * by label; that order IS the centroid index the classifier's
+    * first-min tie rule resolves against, so ties are deterministic and
+    * engine-replayable.
+    *
+    * Scale shape: the seed set is the small side (thousands of labeled
+    * examples against a 100 TB corpus); the aggregation shuffles
+    * k×(dim+1) values and the driver holds one k×dim matrix. */
+  def fitClassCentroids(
+      labeled: DataFrame, vec: Column, label: Column): Seq[(String, Seq[Double])] = {
+    val q = labeled.select(label.cast("string").as("__l"), quantizeMilli(vec).as("__q"))
+    val first = q.select(col("__q")).head(1)
+    require(first.nonEmpty, "labeled seed set is empty")
+    val dim = first.head.getSeq[Double](0).length
+    val aggs = (0 until dim).map(i =>
+      sum(element_at(col("__q"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+    q.groupBy(col("__l")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0), "labels must be non-null")
+        val n = r.getLong(dim + 1).toDouble
+        (r.getString(0), (0 until dim).map(i => r.getDouble(i + 1) / n): Seq[Double])
+      }
+      .sortBy(_._1).toIndexedSeq
+  }
+
+  /** Nearest-class-centroid classification of every vector — the
+    * zero-dependency analog of the embedding-based quality/topic
+    * classifiers modern corpus curation gates on (label a few thousand
+    * seed documents, score the whole corpus): assignment is the same
+    * map-side [[nearestCentroid]] kernel as [[kmeansAssign]] (class
+    * centroids ride the plan as literals, first-min ties against the
+    * label-sorted order, nothing shuffles), so scoring 100 TB is one
+    * codegen'd scan.
+    *
+    * @param classCentroids [[fitClassCentroids]] output (label-sorted)
+    * @return (vec_id, label, dist2 in original embedding units, 6dp)
+    */
+  def classifyByCentroids(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      classCentroids: Seq[(String, Seq[Double])]): DataFrame = {
+    require(classCentroids.nonEmpty, "at least one class required")
+    require(classCentroids.map(_._1).distinct.size == classCentroids.size,
+      "duplicate class labels")
+    val sorted = classCentroids.sortBy(_._1)
+    val labels = array(sorted.map(c => lit(c._1)): _*)
+    val nc = graft.functions.exprs.nearest_centroid(quantizeMilli(vec), sorted.map(_._2))
+    df.select(id.as("vec_id"), nc.as("__nc"))
+      .select(col("vec_id"),
+        element_at(labels, col("__nc.idx") + 1).as("label"),
+        round(col("__nc.dist") / lit(1e6), 6).as("dist2"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory cut
     * that makes billion-vector ANN fit an executor fleet: each vector is
     * rescaled by `scale = max|v_i| / 127` and stored as small ints.

@@ -447,6 +447,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(div.sortBy(_._1).sameElements(div2.sortBy(_._1)), "rerun-stable")
   }
 
+  test("Rocchio classifier recovers planted-cluster labels from a seed subset") {
+    // 3 planted clusters x 40 vectors in 12 dims, deterministic jitter
+    val dim = 12
+    def center(c: Int, d: Int): Double = (((c * 7 + d * 5) % 9) - 4) * 0.9
+    def jitter(i: Int, d: Int): Double = (((i * 11 + d * 3) % 17) - 8) * 0.02
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (center(i % 3, d) + jitter(i, d)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    // seeds: the first 10 of each plant, labeled by plant
+    val seeds = df.filter($"vec_id" < 30)
+      .withColumn("label", concat(lit("plant"), ($"vec_id" % 3).cast("string")))
+    val cents = Ann.fitClassCentroids(seeds, $"v", $"label")
+    assert(cents.map(_._1) == Seq("plant0", "plant1", "plant2"), "label-sorted")
+    val got = Ann.classifyByCentroids(df, $"vec_id", $"v", cents)
+      .select($"vec_id", $"label").as[(Long, String)].collect()
+    assert(got.length == 120)
+    got.foreach { case (id, l) =>
+      assert(l == s"plant${id % 3}", s"vector $id misclassified as $l")
+    }
+    // scoring is map-side: class centroids ride the plan as literals
+    val plan = Ann.classifyByCentroids(df, $"vec_id", $"v", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classification must not shuffle:\n$plan")
+    // rerun-stable fit
+    assert(Ann.fitClassCentroids(seeds, $"v", $"label") == cents)
+  }
+
   test("IVFPQ codes table: partition pruning + parity with the raw path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/codes"
