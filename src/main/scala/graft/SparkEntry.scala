@@ -27,14 +27,29 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects; read the
-    * raw nanos as long and convert to a microsecond timestamp. */
+  /** Normalize `events.ts` to a session-timezone TIMESTAMP regardless of
+    * how the driver generated the column — the physical type has drifted
+    * across testdata generations (TIMESTAMP(NANOS) → read as raw-nanos
+    * long under `nanosAsLong`; TIMESTAMP(MICROS) without UTC adjustment →
+    * TIMESTAMP_NTZ), and the oracle's DuckDB read is naive either way.
+    * All correctness sessions run with session timeZone = UTC, so the
+    * NTZ→TZ cast is micros-identity and every downstream query
+    * (`date_format`, `unix_micros`, windows) sees identical values on
+    * both engines. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: epoch nanos exceed 2^53, so
+        // double-precision division can be off by 1µs (ADVICE r1)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private[graft] def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // integer `div`, not `/`: epoch nanos exceed 2^53, so double-precision
-    // division can be off by 1µs (ADVICE r1)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

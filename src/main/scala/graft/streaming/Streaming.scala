@@ -31,15 +31,16 @@ object Streaming {
     ss
   }
 
-  /** events.parquet with TIMESTAMP(NANOS) read as micros — streaming twin
-    * of SparkEntry.eventsTbl. */
+  /** events.parquet with `ts` normalized to a session-tz TIMESTAMP —
+    * streaming twin of SparkEntry.eventsTbl (schema-adaptive: raw-nanos
+    * long or TIMESTAMP_NTZ, depending on testdata generation). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .parquet(s"$dir/events.parque[t]") // glob: file source accepts globs, not bare files
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.SparkEntry.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/events.parque[t]")) // glob: file source accepts globs, not bare files
   }
 
   /** Hourly tumbling-window aggregation as a real streaming query:
@@ -267,8 +268,7 @@ object Streaming {
     // keyed staging (the kafka-partition-by-key shape): each source file
     // holds a hash slice of the first index column, so the ingested
     // files carry selective per-file value sets for the index to prune on
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.SparkEntry.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .repartition(sourceFiles, col(indexCols.head))
       .write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
