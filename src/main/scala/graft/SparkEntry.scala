@@ -1399,6 +1399,43 @@ object SparkEntry {
         .orderBy($"doc_id", $"bench_id")
     }),
 
+    // Per-document contamination fraction (the report pipelines gate on,
+    // vs q_decontaminate's binary pair list): share of each corpus doc's
+    // distinct 3-shingles present anywhere in the benchmark slice.
+    // Pure map-side probe — benchmark shingles ride a codegen'd
+    // count-in-set kernel, the corpus never shuffles and never joins.
+    "q_text_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Decontaminate.contaminationScore(
+          docs.filter($"doc_id" % 20 =!= 0), $"doc_id", $"text",
+          docs.filter($"doc_id" % 20 === 0), $"text",
+          shingleK = 3)
+        .orderBy($"doc_id")
+    }),
+
+    // C4-style keep-first segment dedup: every repeated 2-token segment
+    // keeps only its globally-first (doc_id, pos) occurrence; contrast
+    // q_text_segdedup, which drops ALL occurrences of frequent segments.
+    // One shuffle keyed on the segment; no windows over the segment
+    // partition (hot segments stay skew-safe in the partial-agg min).
+    "q_text_segdedup_first" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.dedupSegmentsKeepFirst(
+          tbl(s, dir, "documents"), $"doc_id", $"text", k = 2)
+        .orderBy($"doc_id")
+    }),
+
+    // Duplicated-substring coverage (hash-windowed ExactSubstr shape):
+    // fraction of each doc's tokens covered by a 5-token window that
+    // occurs verbatim 2+ times anywhere in the corpus.
+    "q_text_dupspans" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.duplicateSpans(
+          tbl(s, dir, "documents"), $"doc_id", $"text", windowL = 5)
+        .orderBy($"doc_id")
+    }),
+
     // SimHash Hamming-distance near-dup pairs. Token hash = md5-lower-64
     // so the DuckDB oracle reproduces the fingerprints bit-for-bit
     // (md5_number_lower) — a full value-level check of tokenize → bit
@@ -2888,6 +2925,70 @@ object SparkEntry {
         |SELECT c.doc_id, b.bench_id, len(list_intersect(c.s, b.s)) AS overlap
         |FROM c, b WHERE len(list_intersect(c.s, b.s)) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+    "q_text_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |b AS (SELECT DISTINCT unnest(s) AS shw FROM sh WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |cx AS (SELECT doc_id, unnest(s) AS shw FROM c),
+        |m AS (SELECT cx.doc_id, count(*)::INT AS n_matched
+        |  FROM cx JOIN b USING (shw) GROUP BY cx.doc_id)
+        |SELECT c.doc_id, len(c.s)::INT AS n_shingles,
+        |  coalesce(m.n_matched, 0)::INT AS n_matched,
+        |  CASE WHEN len(c.s) = 0 THEN 0.0
+        |    ELSE round(coalesce(m.n_matched, 0)::DOUBLE / len(c.s), 4) END
+        |    AS contamination
+        |FROM c LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_segdedup_first" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |words AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS idx FROM tt),
+        |segs AS (SELECT doc_id, (idx-1)//2 AS i, string_agg(w, ' ' ORDER BY idx) AS seg
+        |  FROM words GROUP BY doc_id, (idx-1)//2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn FROM segs),
+        |agg AS (SELECT doc_id, count(*)::INT AS segs_total,
+        |    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::INT AS segs_removed,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY i), '') AS clean_text
+        |  FROM r GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.segs_total, 0) AS segs_total,
+        |  coalesce(a.segs_removed, 0) AS segs_removed,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_text_dupspans" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+        |w AS (SELECT doc_id, unnest(range(0, greatest(n - 4, 0))) AS pos, toks FROM n),
+        |ww AS (SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+5], ' ') AS win FROM w),
+        |d AS (SELECT win FROM ww GROUP BY win HAVING count(*) >= 2),
+        |c AS (SELECT ww.doc_id, ww.pos FROM ww JOIN d USING (win)),
+        |dw AS (SELECT doc_id, count(DISTINCT pos)::INT AS dup_windows FROM c GROUP BY doc_id),
+        |p AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS tpos FROM c),
+        |cov AS (SELECT doc_id, count(DISTINCT tpos)::INT AS covered_tokens FROM p GROUP BY doc_id)
+        |SELECT n.doc_id, n.n::INT AS n_tokens,
+        |  (CASE WHEN n.n < 5 THEN 0 ELSE n.n - 4 END)::INT AS n_windows,
+        |  coalesce(dw.dup_windows, 0) AS dup_windows,
+        |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
+        |  CASE WHEN n.n = 0 THEN 0.0
+        |    ELSE round(coalesce(cov.covered_tokens, 0)::DOUBLE / n.n, 4) END
+        |    AS dup_fraction
+        |FROM n LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

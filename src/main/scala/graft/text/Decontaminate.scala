@@ -62,6 +62,62 @@ object Decontaminate {
     corpus.join(broadcast(flagged), corpusId === col("__flagged_id"), "left_anti")
   }
 
+  /** Per-document contamination REPORT — the measurement twin of
+    * [[decontaminate]]'s binary drop: for every corpus document, the
+    * fraction of its distinct k-word shingles that appear anywhere in the
+    * benchmark set. Pipelines gate on the fraction (e.g. drop > 20 %
+    * overlap, audit 1–20 %) rather than any-overlap, and the per-doc
+    * score is what contamination dashboards plot.
+    *
+    * Scale design: pure MAP-SIDE — the benchmark's distinct shingle set
+    * is eval-sized by contract, so it ships to executors once and each
+    * corpus doc counts its own members with the codegen'd
+    * [[graft.functions.CountInSet]] kernel; the corpus NEVER shuffles and
+    * there is no join (plan shape shared with [[decontaminateBloom]],
+    * exact instead of probabilistic). Below `inlineThreshold` distinct
+    * shingles the set is inlined into the expression literal; above it,
+    * it rides the broadcast torrent into a closure. Benchmarks too large
+    * for either are decontaminateBloom territory (probabilistic, no
+    * per-doc exact fraction).
+    *
+    * @return (doc_id, n_shingles, n_matched, contamination) —
+    *         contamination = n_matched / n_shingles rounded to 4 dp,
+    *         0.0 for shingle-less (empty) documents.
+    */
+  def contaminationScore(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      shingleK: Int = 8,
+      inlineThreshold: Int = 4096,
+      maxBenchShingles: Int = 1 << 24): DataFrame = {
+    require(shingleK >= 1, "shingleK must be >= 1")
+    val probe = bench
+      .select(explode(graft.dedup.Dedup.shingles(benchText, shingleK)).as("__sh"))
+      .distinct()
+      .limit(maxBenchShingles + 1)
+      .collect()
+    require(probe.length <= maxBenchShingles,
+      s"benchmark has > $maxBenchShingles distinct shingles — too large for " +
+        "an exact map-side probe; use decontaminateBloom")
+    val benchSet = probe.map(_.getString(0)).sorted
+    val sh = graft.dedup.Dedup.shingles(corpusText, shingleK)
+    val matched =
+      if (benchSet.length <= inlineThreshold) {
+        graft.functions.exprs.count_in_set(sh, benchSet.toIndexedSeq)
+      } else {
+        val bc = corpus.sparkSession.sparkContext.broadcast(benchSet.toSet)
+        val cnt = udf { shs: Seq[String] =>
+          if (shs == null) 0 else shs.count(bc.value.contains)
+        }
+        cnt(sh)
+      }
+    corpus.select(corpusId.as("doc_id"),
+        size(sh).as("n_shingles"), matched.as("n_matched"))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_matched").cast("double") / col("n_shingles"), 4)))
+  }
+
   /** Bloom-probe decontamination — the memory-bounded variant of
     * [[decontaminate]] for benchmark sets too large to broadcast as
     * exact shingle rows (an exact 10⁸-shingle side is GBs of broadcast

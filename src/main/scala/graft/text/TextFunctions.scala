@@ -268,6 +268,115 @@ object TextFunctions {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Global FIRST-OCCURRENCE segment dedup (the C4 recipe: "we removed
+    * all but one of any three-sentence span occurring more than once",
+    * on k-token segments since this corpus has no sentence boundaries):
+    * every repeated segment keeps only its single globally-first
+    * occurrence — the one with the smallest (doc_id, position) — and
+    * every later occurrence, in other documents OR later in the same
+    * document, is dropped. Contrast [[dedupSegments]], which drops ALL
+    * occurrences of frequent segments (boilerplate removal); keep-first
+    * preserves exactly one copy of every span in the corpus.
+    *
+    * Scale design: one shuffle keyed on the segment. The keeper table
+    * (segment → min struct(doc_id, pos), a map-side-partial `min` — one
+    * row per distinct segment, immune to hot-segment skew) re-joins the
+    * exploded corpus as a sort-merge equi-join with exactly one keeper
+    * row per key, then documents reassemble in position order (same
+    * groupBy-doc shape as [[dedupSegments]]'s join tier). No windows over
+    * the segment partition — a stop-word segment at 100 TB would put its
+    * whole occurrence list in one task.
+    *
+    * @return (doc_id, segs_total, segs_removed, clean_text)
+    */
+  def dedupSegmentsKeepFirst(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = df.select(id.as("doc_id"), segments(text, k).as("__segs"))
+      .localCheckpoint(eager = false)
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__segs")).as(Seq("__pos", "__seg")))
+    val keepers = exploded
+      .groupBy(col("__seg"))
+      .agg(min(struct(col("doc_id"), col("__pos"))).as("__first"))
+    val keptRows = exploded.join(keepers, Seq("__seg"))
+      .filter(col("doc_id") === col("__first.doc_id") &&
+        col("__pos") === col("__first.__pos"))
+    val reassembled = keptRows
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            s => s.getField("__seg")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("__segs")).as("segs_total"))
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("segs_total"),
+        (col("segs_total") - coalesce(col("__kept"), lit(0))).as("segs_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Duplicated-substring coverage (the hash-windowed distributed
+    * approximation of suffix-array ExactSubstr dedup, Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"): slide
+    * an L-token window with stride 1 over every document; a window is
+    * DUPLICATED when the same L tokens occur at 2+ positions anywhere in
+    * the corpus (across documents or within one); a document's duplicated
+    * token positions are those covered by at least one duplicated window.
+    * Reports per-document coverage — the "fraction of my text that exists
+    * elsewhere verbatim" signal pipelines threshold on before cutting
+    * spans.
+    *
+    * Scale design: the corpus shuffles once keyed on the window text
+    * (map-side partial count; one count row per distinct window — skew
+    * from hot windows collapses in the partial agg), duplicated windows
+    * re-join the exploded corpus as an equi-join, and coverage is a
+    * per-document distinct-position count whose input is bounded by
+    * actual duplication × L, not corpus size. Windows shorter than L
+    * (document tails, docs with < L tokens) are excluded from both sides
+    * of the ratio. At true 100 TB swap the window STRING for its 128-bit
+    * hash before the shuffle (same grouping, 1/Lth the bytes) — kept as
+    * text here so the oracle can replay byte-for-byte.
+    *
+    * @return (doc_id, n_tokens, n_windows, dup_windows, covered_tokens,
+    *         dup_fraction) — dup_fraction = covered_tokens / n_tokens
+    *         rounded to 4 dp, 0.0 for empty documents.
+    */
+  def duplicateSpans(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      windowL: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(windowL >= 1, s"window length must be >= 1: $windowL")
+    val toks = tokens(text)
+    val base = df.select(id.as("doc_id"), toks.as("__toks"),
+        graft.functions.exprs.word_windows(toks, windowL, 1).as("__wins"))
+      .localCheckpoint(eager = false)
+    // full windows only: position p is valid iff p + L <= n_tokens
+    val wins = base.select(col("doc_id"), size(col("__toks")).as("__n"),
+        posexplode(col("__wins")).as(Seq("__pos", "__win")))
+      .filter(col("__pos") + windowL <= col("__n"))
+    val dups = wins.groupBy(col("__win"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("__win"))
+    val covered = wins.join(dups, Seq("__win"))
+      .select(col("doc_id"), col("__pos"),
+        explode(sequence(col("__pos"), col("__pos") + lit(windowL - 1))).as("__t"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("__t")).cast("int").as("covered_tokens"),
+        countDistinct(col("__pos")).cast("int").as("dup_windows"))
+    base.select(col("doc_id"), size(col("__toks")).as("n_tokens"),
+        greatest(size(col("__toks")) - lit(windowL - 1), lit(0)).as("__nw"))
+      .withColumn("n_windows",
+        when(col("n_tokens") < windowL, lit(0)).otherwise(col("__nw")))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("covered_tokens").cast("double") / col("n_tokens"), 4)))
+  }
+
   /** Sliding-window document chunking: split each document into token
     * windows of size `k` advancing by `stride` (overlapping when
     * stride < k) — the context-window preparation step before embedding

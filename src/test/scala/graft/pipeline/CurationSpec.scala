@@ -603,6 +603,93 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("remove_in_set"))
   }
 
+  test("dedupSegmentsKeepFirst keeps only the globally-first occurrence") {
+    // k=1 segments; "dup" occurs at (1,0), (1,2), (2,1), (3,0): only the
+    // (1,0) copy survives. Within-doc repeats dedup too.
+    val docs = Seq(
+      (1L, "dup alpha dup beta"),
+      (2L, "gamma dup delta"),
+      (3L, "dup epsilon"),
+      (4L, "") // empty doc: 0 segments, clean_text ""
+    ).toDF("id", "txt")
+    val out = graft.text.TextFunctions.dedupSegmentsKeepFirst(
+        docs, col("id"), col("txt"), k = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4, 1, "dup alpha beta"),
+      (2L, 3, 1, "gamma delta"),
+      (3L, 2, 1, "epsilon"),
+      (4L, 0, 0, "")))
+    // order within the keeper doc is preserved even when later positions win
+    val swap = Seq((1L, "b a"), (2L, "a b")).toDF("id", "txt")
+    val got = graft.text.TextFunctions.dedupSegmentsKeepFirst(
+        swap, col("id"), col("txt"), k = 1)
+      .orderBy("doc_id").collect().map(_.getString(3))
+    assert(got.toSeq == Seq("b a", "")) // doc 2's "a b" both seen first in doc 1
+  }
+
+  test("duplicateSpans: coverage union, window bounds, short docs") {
+    // L=3. "one two three four" appears in docs 1 and 2 → windows
+    // "one two three" and "two three four" duplicated; doc 1 tokens 0-3
+    // covered (4 of 6), doc 2 tokens 1-4 covered (4 of 5).
+    val docs = Seq(
+      (1L, "one two three four fife six"),
+      (2L, "zero one two three four"),
+      (3L, "totally different words here"),
+      (4L, "tiny doc"), // 2 tokens < L → 0 windows
+      (5L, "") // empty
+    ).toDF("id", "txt")
+    val out = graft.text.TextFunctions.duplicateSpans(
+        docs, col("id"), col("txt"), windowL = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 6, 4, 2, 4, 0.6667),
+      (2L, 5, 3, 2, 4, 0.8),
+      (3L, 4, 2, 0, 0, 0.0),
+      (4L, 2, 0, 0, 0, 0.0),
+      (5L, 0, 0, 0, 0, 0.0)))
+    // within-one-doc repetition also counts as duplication
+    val selfRep = Seq((1L, "spam spam spam spam")).toDF("id", "txt")
+    val sr = graft.text.TextFunctions.duplicateSpans(
+        selfRep, col("id"), col("txt"), windowL = 2)
+      .collect()(0)
+    assert(sr.getInt(3) == 3 && sr.getInt(4) == 4 && sr.getDouble(5) == 1.0)
+  }
+
+  test("contaminationScore: exact fractions, map-side plan, tier parity") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content with fresh words"),
+      (3L, "")
+    ).toDF("id", "txt")
+    val bench = Seq("the quick brown fox ran away").toDF("txt")
+    val out = graft.text.Decontaminate.contaminationScore(
+        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // doc 1: 7 distinct 3-shingles, 2 of them ("the quick brown",
+    // "quick brown fox") in the bench set
+    assert(out(0) == ((1L, 7, 2, 0.2857)))
+    assert(out(1)._3 == 0 && out(1)._4 == 0.0)
+    // empty doc collapses to the single "" shingle, unmatched
+    assert(out(2) == ((3L, 1, 0, 0.0)))
+    // the probe is map-side: no Exchange, no Join in the corpus scan
+    val plan = graft.text.Decontaminate.contaminationScore(
+        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+    // broadcast tier (inlineThreshold=0) is value-identical to inline
+    val viaBc = graft.text.Decontaminate.contaminationScore(
+        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
+        inlineThreshold = 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.sameElements(viaBc))
+  }
+
   test("chunkDocs: overlap, partial tail, short and empty docs") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, k=4 s=2 → chunks at 0,2,4,6
