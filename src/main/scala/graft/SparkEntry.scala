@@ -403,6 +403,17 @@ object SparkEntry {
         numHashes = 64, bands = 16, shingleK = 3)
     }
 
+  /** Materialized Hamming index over the even-id half's md5-SimHash
+    * fingerprints (portable twin of [[minhashIndexDir]]); create-once. */
+  private[graft] def simhashIndexDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "simhash_index") { td =>
+      graft.dedup.Dedup.buildFingerprintIndex(
+        tbl(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        col("doc_id"),
+        graft.dedup.Dedup.simhash64(col("text"), algo = "md5"),
+        td, maxDist = 3)
+    }
+
   /** Indexed Hive-partitioned copy of orders (partitioned by o_year,
     * indexed on o_custkey); create-once per (sf, engine version). */
   private[graft] def indexedOrdersPart(s: SparkSession, dir: String): DataFrame =
@@ -1436,6 +1447,50 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The CUTTING step of ExactSubstr dedup: every duplicated 5-token
+    // window keeps its globally-first occurrence; positions covered by a
+    // non-first duplicated window are removed and documents reassemble.
+    "q_text_dupspans_cut" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.removeDuplicateSpans(
+          tbl(s, dir, "documents"), $"doc_id", $"text", windowL = 5)
+        .orderBy($"doc_id")
+    }),
+
+    // Round-6 composed pipeline: verbatim-duplication gate (exact
+    // integer inequality, 5·covered <= n ⟺ dup_fraction <= 0.2) →
+    // contamination gate (<10 % of distinct shingles in the benchmark
+    // slice; bench docs themselves drop out) → embedding outlier cut
+    // (5 farthest per k-means cluster, doc_id = vec_id) → deterministic
+    // 10-per-source cap via the portable salted-md5 rank.
+    "q_pipeline_curate4" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.text.TextFunctions
+      val docs = tbl(s, dir, "documents")
+      val spans = t.duplicateSpans(docs, $"doc_id", $"text", windowL = 5)
+        .filter($"covered_tokens" * 5 <= $"n_tokens")
+        .select($"doc_id")
+      val contam = graft.text.Decontaminate.contaminationScore(
+          docs.filter($"doc_id" % 20 =!= 0), $"doc_id", $"text",
+          docs.filter($"doc_id" % 20 === 0), $"text", shingleK = 3)
+        .filter($"n_matched" * 10 < $"n_shingles")
+        .select($"doc_id")
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 2)
+      val outliers = graft.ann.Ann.clusterOutliers(
+          emb, $"vec_id", $"embedding", cents, nPerCluster = 5)
+        .select($"vec_id".as("doc_id"))
+      val kept = docs.select($"doc_id", $"source")
+        .join(spans, Seq("doc_id"))
+        .join(contam, Seq("doc_id"))
+        .join(outliers, Seq("doc_id"), "left_anti")
+      graft.ops.Sampling.stratifiedSample(
+          kept, $"source", $"doc_id", n = 10, salt = "cur4")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
     // SimHash Hamming-distance near-dup pairs. Token hash = md5-lower-64
     // so the DuckDB oracle reproduces the fingerprints bit-for-bit
     // (md5_number_lower) — a full value-level check of tokenize → bit
@@ -1445,6 +1500,22 @@ object SparkEntry {
       graft.dedup.Dedup.simhashPairs(
           tbl(s, dir, "documents"), $"doc_id", $"text", maxDist = 3, algo = "md5")
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // INCREMENTAL Hamming dedup against the materialized fingerprint
+    // index (the SimHash twin of q_dedup_incremental): even-id docs are
+    // fingerprint-indexed once; the odd-id batch computes only its own
+    // fingerprints and joins the stored pigeonhole chunks. Oracle: a
+    // batch doc survives iff no corpus-half partner at Hamming <= 3 over
+    // the bit-exact md5 fingerprint replay.
+    "q_dedup_simhash_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val batch = tbl(s, dir, "documents").filter($"doc_id" % 2 === 1)
+      graft.dedup.Dedup.dedupAgainstFingerprintIndex(s, batch, $"doc_id",
+          graft.dedup.Dedup.simhash64($"text", algo = "md5"),
+          simhashIndexDir(s, dir), maxDist = 3)
+        .select($"doc_id")
+        .orderBy($"doc_id")
     }),
 
     // Brute-force cosine top-10 for the first embedding vector.
@@ -1585,6 +1656,20 @@ object SparkEntry {
       val cents = graft.ann.Ann.kmeansFit(
         emb, $"vec_id", $"embedding", k = 8, iters = 2)
       graft.ann.Ann.kmeansAssign(emb, $"vec_id", $"embedding", cents)
+        .orderBy($"vec_id")
+    }),
+
+    // SemDeDup-companion prototypicality pruning: the 5 farthest vectors
+    // per k-means cluster (off-distribution candidates a curation pass
+    // cuts). Assignment is the map-side codegen'd kernel; the only
+    // shuffle is the k-partition cluster window.
+    "q_ann_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 2)
+      graft.ann.Ann.clusterOutliers(emb, $"vec_id", $"embedding", cents,
+          nPerCluster = 5)
         .orderBy($"vec_id")
     }),
 
@@ -1839,6 +1924,23 @@ object SparkEntry {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
         .orderBy($"user_id")
+    }),
+
+    // Streaming near-dedup ingest: 4 ranged document slices arrive as
+    // separate micro-batches (file source, one file per trigger, arrival
+    // order pinned by mtime); each batch dedups against the materialized
+    // MinHash index of everything kept so far, then within itself, and
+    // the survivors grow the index for later batches. Oracle: unrolled
+    // batch-by-batch replay on exact Jaccard — the same est==exact
+    // pair-set equivalence q_dedup_minhash rests on.
+    "q_stream_neardedup" -> ((s, dir) => {
+      import s.implicits._
+      val sfName = new java.io.File(dir).getName
+      val work = s"$scratchRoot/$sfName/stream_neardedup"
+      graft.streaming.Streaming.nearDedupIngest(s, dir, work, nBatches = 4,
+          numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+        .select($"doc_id")
+        .orderBy($"doc_id")
     }),
 
     // Rolling 1-hour per-user window via a RANGE frame on event time —
@@ -2267,6 +2369,26 @@ object SparkEntry {
          |SELECT vec_id, CAST(c AS INT) AS cluster, round(d / 1000000.0, 6) AS dist2
          |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Cluster-outlier oracle: the [[kmeansSql]] assignment, re-ranked per
+    * cluster by DESCENDING integer distance (monotone with the emitted
+    * 6-dp dist2, so ranking pre-division is exact), vec_id tie-break. */
+  private def outliersSql(k: Int, dim: Int, iters: Int, n: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    "WITH " + kmeansCentsSql(k, dim, iters) +
+      s"""df AS (SELECT v.vec_id, c$iters.c,
+         |  list_sum(list_transform($r,
+         |    i -> (v.q[i] - c$iters.cent[i]) * (v.q[i] - c$iters.cent[i]))) AS d
+         |  FROM v, c$iters),
+         |asg AS (SELECT vec_id, CAST(c AS INT) AS cluster, d
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
+         |  WHERE rn = 1),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY d DESC, vec_id) AS orank FROM asg)
+         |SELECT vec_id, cluster, round(d / 1000000.0, 6) AS dist2,
+         |  CAST(orank AS INT) AS outlier_rank
+         |FROM rk WHERE orank <= $n ORDER BY vec_id""".stripMargin
   }
 
   /** Semantic-dedup oracle: re-derives the k-means centroids, assigns
@@ -2989,6 +3111,88 @@ object SparkEntry {
         |    AS dup_fraction
         |FROM n LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Keeper = the globally-first (doc_id, pos) occurrence of each
+    // duplicated window (row_number over the same ordering as the
+    // operator's min struct); a token position is cut when covered by a
+    // NON-first duplicated window.
+    "q_text_dupspans_cut" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+        |w AS (SELECT doc_id, unnest(range(0, greatest(n - 4, 0))) AS pos, toks FROM n),
+        |ww AS (SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+5], ' ') AS win FROM w),
+        |rk AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY win) AS occ
+        |  FROM ww),
+        |rem0 AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS tpos
+        |  FROM rk WHERE occ >= 2 AND rn > 1),
+        |rem AS (SELECT DISTINCT doc_id, tpos FROM rem0),
+        |toksx AS (SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS tpos FROM tt),
+        |keptx AS (SELECT tx.doc_id, tx.tok, tx.tpos FROM toksx tx
+        |  LEFT JOIN rem ON tx.doc_id = rem.doc_id AND tx.tpos = rem.tpos
+        |  WHERE rem.doc_id IS NULL),
+        |agg AS (SELECT doc_id, count(*)::INT AS kept,
+        |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+        |  FROM keptx GROUP BY doc_id)
+        |SELECT n.doc_id, n.n::INT AS n_tokens,
+        |  (n.n - coalesce(agg.kept, 0))::INT AS removed_tokens,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Stage-by-stage replay of the round-6 composed pipeline: k-means
+    // outlier chain + verbatim-duplication gate + contamination gate +
+    // salted-rank cap, all on exact integer inequalities.
+    "q_pipeline_curate4" ->
+      ("WITH " + {
+        val r = "range(1, 65)"
+        kmeansCentsSql(k = 8, dim = 64, iters = 2) +
+        s"""asg AS (SELECT vec_id, c, d FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+           |  FROM (SELECT v.vec_id, c2.c,
+           |    list_sum(list_transform($r,
+           |      i -> (v.q[i] - c2.cent[i]) * (v.q[i] - c2.cent[i]))) AS d
+           |    FROM v, c2)) WHERE rn = 1),
+           |outl AS (SELECT vec_id FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY c ORDER BY d DESC, vec_id) AS orank FROM asg)
+           |  WHERE orank <= 5),
+           |t AS (SELECT doc_id, source,
+           |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+           |  FROM documents),
+           |tt AS (SELECT doc_id,
+           |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+           |w AS (SELECT doc_id, unnest(range(0, greatest(n - 4, 0))) AS pos, toks FROM n),
+           |ww AS (SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+5], ' ') AS win FROM w),
+           |dupw AS (SELECT win FROM ww GROUP BY win HAVING count(*) >= 2),
+           |cw AS (SELECT ww.doc_id, ww.pos FROM ww JOIN dupw USING (win)),
+           |pp AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS tpos FROM cw),
+           |cov AS (SELECT doc_id, count(DISTINCT tpos) AS covered FROM pp GROUP BY doc_id),
+           |dgate AS (SELECT n.doc_id FROM n LEFT JOIN cov USING (doc_id)
+           |  WHERE coalesce(cov.covered, 0) * 5 <= n.n),
+           |shh AS (SELECT doc_id, list_distinct(
+           |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+           |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+           |  FROM tt),
+           |bsh AS (SELECT DISTINCT unnest(s) AS shw FROM shh WHERE doc_id % 20 = 0),
+           |csh AS (SELECT doc_id, s FROM shh WHERE doc_id % 20 <> 0),
+           |cxx AS (SELECT doc_id, unnest(s) AS shw FROM csh),
+           |mm AS (SELECT cxx.doc_id, count(*) AS n_matched
+           |  FROM cxx JOIN bsh USING (shw) GROUP BY cxx.doc_id),
+           |cgate AS (SELECT csh.doc_id FROM csh LEFT JOIN mm USING (doc_id)
+           |  WHERE coalesce(mm.n_matched, 0) * 10 < len(csh.s)),
+           |kept AS (SELECT d.doc_id, d.source FROM documents d
+           |  JOIN dgate USING (doc_id) JOIN cgate USING (doc_id)
+           |  WHERE d.doc_id NOT IN (SELECT vec_id FROM outl)),
+           |rr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |    ORDER BY md5('cur4|' || doc_id::VARCHAR), doc_id) AS rn FROM kept)
+           |SELECT doc_id, source FROM rr WHERE rn <= 10
+           |ORDER BY doc_id""".stripMargin
+      }),
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -3150,6 +3354,7 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    "q_ann_outliers" -> outliersSql(k = 8, dim = 64, iters = 2, n = 5),
     "q_ann_classify" ->
       """WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
@@ -3302,6 +3507,24 @@ object SparkEntry {
         |  FROM f a, f b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash_incremental" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |h AS (SELECT doc_id, list_transform(toks, s -> md5_number_lower(s)) AS hs FROM tt),
+        |f AS (SELECT doc_id, list_transform(range(0,64), b ->
+        |    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+        |    THEN 1 ELSE 0 END) AS bits
+        |  FROM h),
+        |dropped AS (SELECT b.doc_id FROM f a, f b
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  AND list_sum(list_transform(range(1,65),
+        |    i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3)
+        |SELECT doc_id FROM f
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -3463,6 +3686,46 @@ object SparkEntry {
       """SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Batch-by-batch replay of the streaming near-dedup ingest, unrolled
+    // over the 4 arrival buckets (bucket = doc_id div slice, slice =
+    // max(doc_id)//4 + 1 — the same integer arithmetic as the stager).
+    // Per batch i: s_i = batch minus docs similar to any previously KEPT
+    // doc; k_i = s_i minus docs similar to a smaller doc within s_i.
+    // Similarity = exact 3-shingle Jaccard >= 0.5 (j has ida < idb, and
+    // ranged buckets make every cross-batch pair ida-first).
+    "q_stream_neardedup" -> {
+      val prelude =
+        """WITH t AS (SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+          |  FROM documents),
+          |tt AS (SELECT doc_id,
+          |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+          |sh AS (SELECT doc_id, list_distinct(
+          |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+          |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+          |  FROM tt),
+          |d AS (SELECT doc_id, s,
+          |  doc_id // (SELECT max(doc_id) // 4 + 1 FROM sh) AS b FROM sh),
+          |j AS (SELECT a.doc_id AS ida, x.doc_id AS idb FROM d a JOIN d x
+          |  ON a.doc_id < x.doc_id
+          |  AND round(len(list_intersect(a.s, x.s))::DOUBLE /
+          |    len(list_distinct(list_concat(a.s, x.s)))::DOUBLE, 4) >= 0.5),
+          |s0 AS (SELECT doc_id FROM d WHERE b = 0),
+          |k0 AS (SELECT doc_id FROM s0 WHERE doc_id NOT IN
+          |  (SELECT idb FROM j WHERE ida IN (SELECT doc_id FROM s0)))""".stripMargin
+      val batches = (1 until 4).map { i =>
+        val prevKept = (0 until i).map(jj => s"SELECT doc_id FROM k$jj")
+          .mkString(" UNION ALL ")
+        s"""s$i AS (SELECT doc_id FROM d WHERE b = $i AND doc_id NOT IN
+           |  (SELECT idb FROM j WHERE ida IN ($prevKept))),
+           |k$i AS (SELECT doc_id FROM s$i WHERE doc_id NOT IN
+           |  (SELECT idb FROM j WHERE ida IN (SELECT doc_id FROM s$i)))""".stripMargin
+      }
+      val union = (0 until 4).map(i => s"SELECT doc_id FROM k$i")
+        .mkString(" UNION ALL ")
+      (Seq(prelude) ++ batches).mkString(",\n") +
+        s"\nSELECT doc_id FROM ($union) ORDER BY doc_id"
+    },
     "q_session_window" ->
       """WITH l AS (SELECT user_id, event_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`):
@@ -849,6 +850,47 @@ object Ann {
       nearestCentroid(quantizeMilli(vec), centroids).as("cluster"))
     graft.ops.Sampling.stratifiedSample(
       assigned, col("cluster"), col("vec_id"), nPerCluster, salt)
+  }
+
+  /** Per-cluster OUTLIER extraction over an embedding column — the
+    * prototypicality signal of SemDeDup-style pruning (Abbas et al.
+    * 2023 keep/cut examples by distance to their cluster centroid):
+    * each vector is assigned to its nearest centroid by the map-side
+    * [[nearestCentroid]] kernel, then the `nPerCluster` FARTHEST
+    * vectors per cluster are returned with their rank — the candidates
+    * a curation pass inspects or cuts as off-distribution. Deterministic
+    * ties: equal distances rank by vec_id.
+    *
+    * Scale shape: assignment is a codegen'd scan (centroids are plan
+    * literals, no shuffle); the only shuffle is the per-cluster window —
+    * same stratum shape as [[diversitySample]], bounded by k partitions.
+    * At extreme cluster skew pre-filter by a distance threshold before
+    * the window (the rank is only needed among genuine outliers).
+    *
+    * `centroids` live in the quantizeMilli domain, exactly as
+    * [[kmeansFit]] returns them (same contract as [[kmeansAssign]]).
+    *
+    * @return (vec_id, cluster, dist2, outlier_rank), rank 1 = farthest
+    */
+  def clusterOutliers(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Seq[Seq[Double]],
+      nPerCluster: Int): DataFrame = {
+    require(nPerCluster > 0, s"nPerCluster must be positive: $nPerCluster")
+    val nc = graft.functions.exprs.nearest_centroid(quantizeMilli(vec), centroids)
+    val assigned = df.select(id.as("vec_id"), nc.as("__nc"))
+      .select(col("vec_id"),
+        col("__nc.idx").as("cluster"),
+        col("__nc.dist").as("__d"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__d").desc, col("vec_id"))
+    assigned.withColumn("outlier_rank", row_number().over(w))
+      .filter(col("outlier_rank") <= nPerCluster)
+      .select(col("vec_id"), col("cluster"),
+        round(col("__d") / lit(1e6), 6).as("dist2"),
+        col("outlier_rank"))
   }
 
   /** Per-class centroid fit for the nearest-class-centroid (Rocchio)

@@ -150,17 +150,42 @@ object Dedup {
       dir: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): Unit = {
+      shingleK: Int = 3): Unit =
+    writeMinhashIndex(df, id, text, dir, "overwrite", numHashes, bands, shingleK)
+
+  /** Grow a [[buildMinhashIndex]] table with a delta batch's signatures
+    * and band keys (the ingest-time append: a batch that survived dedup
+    * becomes part of the corpus the NEXT batch dedups against).
+    * Deterministic signatures make append idempotent per batch content. */
+  def appendToMinhashIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): Unit =
+    writeMinhashIndex(df, id, text, dir, "append", numHashes, bands, shingleK)
+
+  private def writeMinhashIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dir: String,
+      mode: String,
+      numHashes: Int,
+      bands: Int,
+      shingleK: Int): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sig = df.select(id.as("doc_id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
       .localCheckpoint(false)
-    sig.write.mode("overwrite").parquet(s"$dir/sigs")
+    sig.write.mode(mode).parquet(s"$dir/sigs")
     sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
   }
 
   /** Drop every row of `df` (a NEW batch) that is a MinHash near-duplicate
@@ -243,6 +268,23 @@ object Dedup {
     * chunks ⇒ some chunk is identical — candidates meet via equi-join
     * on (chunk idx, value); the chunk partition is derived from maxDist so
     * blocking is complete for any 1 ≤ maxDist ≤ 15). */
+  /** The maxDist+1 pigeonhole bit-chunks of a 64-bit fingerprint: chunk c
+    * covers `width` bits starting at `off`; the first `rem` chunks get one
+    * extra bit so the 64 bits are fully partitioned. Two fingerprints at
+    * Hamming ≤ maxDist agree on at least one chunk (pigeonhole), so
+    * equi-joining on (chunk, value) is a complete blocking. */
+  private def fpChunkCols(fp: Column, maxDist: Int): Seq[Column] = {
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    (0 until nChunks).map { c =>
+      val width = base + (if (c < rem) 1 else 0)
+      val off = c * base + math.min(c, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftright", fp, lit(off)).bitwiseAND(mask)
+    }
+  }
+
   def fingerprintPairs(
       df: DataFrame,
       id: Column,
@@ -250,20 +292,10 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15] (need maxDist+1 chunks of >=4 bits): $maxDist")
-    val nChunks = maxDist + 1
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
-    // chunk c covers `width` bits starting at `off`; first `rem` chunks get
-    // one extra bit so the 64 bits are fully partitioned
-    val chunkExprs = (0 until nChunks).map { c =>
-      val width = base + (if (c < rem) 1 else 0)
-      val off = c * base + math.min(c, rem)
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      call_function("shiftright", col("__fp"), lit(off)).bitwiseAND(mask)
-    }
     val fp = df.select(id.as("__id"), fingerprint.as("__fp"))
     val chunked = fp.select(col("__id"), col("__fp"),
-      posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__val")))
+      posexplode(array(fpChunkCols(col("__fp"), maxDist): _*))
+        .as(Seq("__chunk", "__val")))
     val left = chunked.select(col("__chunk"), col("__val"),
       col("__id").as("id_a"), col("__fp").as("__fp_a"))
     val right = chunked.select(col("__chunk"), col("__val"),
@@ -275,6 +307,94 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ---- materialized fingerprint (Hamming) index -----------------------
+
+  /** Materialize the Hamming-space serving index — the fingerprint twin
+    * of [[buildMinhashIndex]], for any 64-bit fingerprint (SimHash,
+    * perceptual image hash, audio envelope): fingerprints are computed
+    * ONCE at index time, and a new batch equi-joins the stored pigeonhole
+    * chunks instead of re-fingerprinting the corpus per batch.
+    *
+    * Two tables under `dir`:
+    *   - `chunks/` (chunk, val, doc_id), partitioned by chunk — the join
+    *     side, same complete blocking as [[fingerprintPairs]];
+    *   - `fps/` (doc_id, fp) — read only to verify candidates by exact
+    *     Hamming distance.
+    *
+    * The index is maxDist-specific (chunk boundaries derive from it);
+    * probe with the same maxDist it was built with. */
+  def buildFingerprintIndex(
+      df: DataFrame,
+      id: Column,
+      fingerprint: Column,
+      dir: String,
+      maxDist: Int = 3): Unit =
+    writeFingerprintIndex(df, id, fingerprint, dir, "overwrite", maxDist)
+
+  /** Grow a [[buildFingerprintIndex]] table with a delta batch (the
+    * ingest-time append, mirroring [[appendToMinhashIndex]]). */
+  def appendToFingerprintIndex(
+      df: DataFrame,
+      id: Column,
+      fingerprint: Column,
+      dir: String,
+      maxDist: Int = 3): Unit =
+    writeFingerprintIndex(df, id, fingerprint, dir, "append", maxDist)
+
+  private def writeFingerprintIndex(
+      df: DataFrame,
+      id: Column,
+      fingerprint: Column,
+      dir: String,
+      mode: String,
+      maxDist: Int): Unit = {
+    require(maxDist >= 1 && maxDist <= 15,
+      s"maxDist must be in [1, 15]: $maxDist")
+    val fp = df.select(id.as("doc_id"), fingerprint.as("fp"))
+      .localCheckpoint(false)
+    fp.write.mode(mode).parquet(s"$dir/fps")
+    fp.select(col("doc_id"),
+        posexplode(array(fpChunkCols(col("fp"), maxDist): _*))
+          .as(Seq("chunk", "val")))
+      .select(col("chunk"), col("val"), col("doc_id"))
+      .write.mode(mode).partitionBy("chunk").parquet(s"$dir/chunks")
+  }
+
+  /** Drop every row of `df` (a NEW batch) whose fingerprint is within
+    * Hamming `maxDist` of any document in the [[buildFingerprintIndex]]
+    * table at `dir`. The batch computes its fingerprints once; the
+    * corpus contributes stored chunk keys (ids through the shuffle) and
+    * candidate fingerprints only — corpus content is never re-read.
+    * In-batch duplicates are NOT removed here (run [[fingerprintPairs]]
+    * on the batch for that level), mirroring [[dedupAgainstIndex]]. */
+  def dedupAgainstFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      id: Column,
+      fingerprint: Column,
+      dir: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 15,
+      s"maxDist must be in [1, 15]: $maxDist")
+    val fpDf = df.select(id.as("__id"), fingerprint.as("__fp"))
+      .localCheckpoint(false)
+    val newChunks = fpDf.select(col("__id"),
+      posexplode(array(fpChunkCols(col("__fp"), maxDist): _*))
+        .as(Seq("chunk", "val")))
+    val corpusChunks = spark.read.parquet(s"$dir/chunks")
+      .select(col("chunk"), col("val"), col("doc_id").as("__corpus_id"))
+    val candidates = newChunks.join(corpusChunks, Seq("chunk", "val"))
+      .select(col("__id"), col("__corpus_id")).distinct()
+    val corpusFps = spark.read.parquet(s"$dir/fps")
+      .select(col("doc_id").as("__corpus_id"), col("fp").as("__corpus_fp"))
+    val dups = candidates
+      .join(fpDf, Seq("__id"))
+      .join(corpusFps, Seq("__corpus_id"))
+      .filter(bit_count(col("__fp").bitwiseXOR(col("__corpus_fp"))) <= maxDist)
+      .select(col("__id").as("__dup_id")).distinct()
+    df.join(dups, id === col("__dup_id"), "left_anti")
   }
 
   // ---- duplicate clusters (connected components) ----------------------

@@ -295,6 +295,91 @@ object Streaming {
     parent.index.parquet(tableDir)
   }
 
+  /** STREAMING NEAR-DUPLICATE-FILTERED INGEST — the dedup-at-the-door
+    * shape a training-data pipeline runs on arriving crawl shards:
+    * documents stream in as files (one micro-batch per file, arrival
+    * order = file mtime), and each batch is (1) deduped against the
+    * MATERIALIZED MinHash index of everything kept so far
+    * ([[graft.dedup.Dedup.dedupAgainstIndex]] — the corpus text is never
+    * re-read), (2) deduped within itself ([[graft.dedup.Dedup.dedupMinhash]]
+    * — drop a doc that pairs with a smaller surviving id), then the kept
+    * docs append to the output table AND their signatures/band keys
+    * append to the index, so every later batch dedups against them.
+    *
+    * At 100 TB this is the shape that keeps ingest incremental: per batch
+    * the work is batch-sized signature computation + an equi-join against
+    * stored band keys (ids-only shuffle), never a corpus re-scan.
+    * Deterministic given the staged file order, which this harness pins
+    * by writing ranged slices (bucket = doc_id div slice) with strictly
+    * increasing mtimes.
+    *
+    * @return the kept documents (read back from the output table) */
+  def nearDedupIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val workPath = new org.apache.hadoop.fs.Path(workDir)
+    val fs = workPath.getFileSystem(hconf)
+    if (fs.exists(workPath)) fs.delete(workPath, true)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val slice = maxId / nBatches + 1 // ids 0..maxId → buckets 0..nBatches-1
+    val staged = s"$workDir/staged"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+    (0 until nBatches).foreach { b =>
+      val bDir = s"$workDir/b$b"
+      docs.filter(expr(s"doc_id div $slice") === b)
+        .coalesce(1).write.mode("overwrite").parquet(bDir)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
+      val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.parquet")
+      fs.rename(part, dst)
+      // strictly increasing mtimes: the file source replays arrival order
+      fs.setTimes(dst, 60000L * (b + 1), -1)
+    }
+    val outDir = s"$workDir/kept"
+    val idxDir = s"$workDir/minhash_index"
+    // foreachBatch runs sequentially on the driver: plain var is safe
+    var indexNonEmpty = false
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val vsIndex =
+          if (indexNonEmpty)
+            graft.dedup.Dedup.dedupAgainstIndex(spark, batch,
+              col("doc_id"), col("text"), idxDir,
+              numHashes, bands, shingleK, threshold)
+          else batch
+        val kept = graft.dedup.Dedup.dedupMinhash(vsIndex,
+            col("doc_id"), col("text"), numHashes, bands, shingleK, threshold)
+          .localCheckpoint() // one computation feeds the table AND the index
+        kept.write.mode("append").parquet(outDir)
+        // an all-duplicates batch appends nothing: skip the index write so
+        // the bands/sigs dirs never hold schema-less empty commits
+        if (kept.take(1).nonEmpty) {
+          graft.dedup.Dedup.appendToMinhashIndex(kept,
+            col("doc_id"), col("text"), idxDir, numHashes, bands, shingleK)
+          indexNonEmpty = true
+        }
+      }
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // explicit schema: a degenerate run whose batches all deduped to
+    // nothing leaves only _SUCCESS markers to read
+    spark.read.schema(docs.schema).parquet(outDir)
+  }
+
   /** Gap-based sessionization, batch formulation: a new session starts
     * after `gapMinutes` of inactivity per user. Declarative window
     * functions (lag → gap flag → running sum) so Catalyst plans one

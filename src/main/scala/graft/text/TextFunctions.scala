@@ -377,6 +377,62 @@ object TextFunctions {
           .otherwise(round(col("covered_tokens").cast("double") / col("n_tokens"), 4)))
   }
 
+  /** Duplicated-substring REMOVAL — the cutting step ExactSubstr dedup
+    * actually ships (where [[duplicateSpans]] only measures): every
+    * duplicated L-token window keeps its single globally-first
+    * (doc_id, pos) occurrence, and a token position is cut when some
+    * duplicated window covering it at that position is NOT the global
+    * first — so exactly one copy of each duplicated string survives
+    * (modulo overlaps with other non-first duplicated windows, the
+    * standard greedy approximation of the suffix-array span rule).
+    *
+    * Scale design: the window table shuffles once keyed on the window
+    * (partial-agg count + min keeper — one row per distinct window,
+    * hot-window skew collapses map-side), non-keeper occurrences explode
+    * to a removal-position set BOUNDED BY ACTUAL DUPLICATION × L, and the
+    * corpus reassembles with one token-level anti-join + groupBy doc —
+    * the same one-corpus-shuffle trade as [[dedupSegments]]'s join tier.
+    *
+    * @return (doc_id, n_tokens, removed_tokens, clean_text)
+    */
+  def removeDuplicateSpans(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      windowL: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(windowL >= 1, s"window length must be >= 1: $windowL")
+    val toks = tokens(text)
+    val base = df.select(id.as("doc_id"), toks.as("__toks"),
+        graft.functions.exprs.word_windows(toks, windowL, 1).as("__wins"))
+      .localCheckpoint(eager = false)
+    val wins = base.select(col("doc_id"), size(col("__toks")).as("__n"),
+        posexplode(col("__wins")).as(Seq("__pos", "__win")))
+      .filter(col("__pos") + windowL <= col("__n"))
+    val dups = wins.groupBy(col("__win"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("doc_id"), col("__pos"))).as("__first"))
+      .filter(col("__occ") >= 2)
+    val removalPos = wins.join(dups, Seq("__win"))
+      .filter(!(col("doc_id") === col("__first.doc_id") &&
+        col("__pos") === col("__first.__pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(windowL - 1))).as("__t"))
+      .distinct()
+    val tokRows = base.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("__t", "__tok")))
+    val keptRows = tokRows.join(removalPos, Seq("doc_id", "__t"), "left_anti")
+    val reassembled = keptRows
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__t"), col("__tok")))),
+            s => s.getField("__tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("__toks")).as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0))).as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Sliding-window document chunking: split each document into token
     * windows of size `k` advancing by `stride` (overlapping when
     * stride < k) — the context-window preparation step before embedding

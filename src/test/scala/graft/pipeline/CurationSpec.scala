@@ -659,6 +659,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sr.getInt(3) == 3 && sr.getInt(4) == 4 && sr.getDouble(5) == 1.0)
   }
 
+  test("removeDuplicateSpans: keeper survives, later occurrences cut") {
+    val docs = Seq(
+      (1L, "one two three four fife six"),
+      (2L, "zero one two three four"),
+      (3L, "totally different words here")
+    ).toDF("id", "txt")
+    val out = graft.text.TextFunctions.removeDuplicateSpans(
+        docs, col("id"), col("txt"), windowL = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1 holds the first occurrences of both duplicated windows →
+    // untouched; doc 2 loses the covered positions 1-4, keeping "zero"
+    assert(out.toSeq == Seq(
+      (1L, 6, 0, "one two three four fife six"),
+      (2L, 5, 4, "zero"),
+      (3L, 4, 0, "totally different words here")))
+    // within-doc repetition: "spam spam" keeper at pos 0, cuts pos 1-3
+    val sr = graft.text.TextFunctions.removeDuplicateSpans(
+        Seq((1L, "spam spam spam spam")).toDF("id", "txt"),
+        col("id"), col("txt"), windowL = 2)
+      .collect()(0)
+    assert(sr.getInt(1) == 4 && sr.getInt(2) == 3 && sr.getString(3) == "spam")
+  }
+
   test("contaminationScore: exact fractions, map-side plan, tier parity") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

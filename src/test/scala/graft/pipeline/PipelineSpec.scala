@@ -591,6 +591,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxDist < 0.01)
   }
 
+  test("fingerprint index: incremental dedup equals one-shot pairs; append grows") {
+    val fps = Seq(
+      (0L, 0x0L), (2L, 0x7F00FF00FF00FF00L), (4L, 0x0123456789ABCDEFL),
+      (1L, 0x3L), // hamming 2 from doc 0 → dropped
+      (3L, 0x7F00FF00FF00FF01L), // hamming 1 from doc 2 → dropped
+      (5L, 0x7777777777777777L) // far from everything → kept
+    ).toDF("id", "fp")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpindex").toString
+    Dedup.buildFingerprintIndex(
+      fps.filter($"id" % 2 === 0), col("id"), col("fp"), dir, maxDist = 3)
+    val kept = Dedup.dedupAgainstFingerprintIndex(spark,
+        fps.filter($"id" % 2 === 1), col("id"), col("fp"), dir, maxDist = 3)
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(5L))
+    // parity with the one-shot blocking: odd ids surviving = odd ids with
+    // no even cross-half partner in fingerprintPairs
+    val pairs = Dedup.fingerprintPairs(fps, col("id"), col("fp"), maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ref = Seq(1L, 3L, 5L).filterNot(b =>
+      Seq(0L, 2L, 4L).exists(a => pairs((a, b)) || pairs((b, a))))
+    assert(kept.toSeq == ref)
+    // append the kept batch; a near-variant of doc 5 now drops too
+    Dedup.appendToFingerprintIndex(
+      fps.filter($"id" === 5), col("id"), col("fp"), dir, maxDist = 3)
+    val kept2 = Dedup.dedupAgainstFingerprintIndex(spark,
+        Seq((7L, 0x7777777777777776L)).toDF("id", "fp"),
+        col("id"), col("fp"), dir, maxDist = 3)
+      .count()
+    assert(kept2 == 0L)
+  }
+
+  test("clusterOutliers: farthest-per-cluster with deterministic ranks") {
+    // cluster 0 around (0,0) with a far point id 5; cluster 1 around
+    // (10,10) with a far point id 11; ranks by distance desc, id ties asc
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.5f, 0.0f)), (5L, Seq(3.0f, 0.0f)),
+      (10L, Seq(10.0f, 10.0f)), (11L, Seq(10.0f, 13.0f)), (12L, Seq(10.5f, 10.0f))
+    ).toDF("id", "v")
+    // centroids live in the quantizeMilli domain, as kmeansFit returns them
+    val cents = Seq(Seq(0.0, 0.0), Seq(10000.0, 10000.0))
+    val top1 = Ann.clusterOutliers(df, col("id"), col("v"), cents, nPerCluster = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).sortBy(_._1)
+    assert(top1.toSeq == Seq((5L, 0, 1), (11L, 1, 1)))
+    // full ranking inside cluster 0: 5 (dist 9) > 1 (0.25) > 0 (0)
+    val all = Ann.clusterOutliers(df, col("id"), col("v"), cents, nPerCluster = 10)
+      .filter($"cluster" === 0)
+      .orderBy($"outlier_rank")
+      .collect().map(_.getLong(0))
+    assert(all.toSeq == Seq(5L, 1L, 0L))
+    // equal distances rank by id: two symmetric points around (0,0)
+    val tie = Seq((7L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val tr = Ann.clusterOutliers(tie, col("id"), col("v"), cents, nPerCluster = 2)
+      .orderBy($"outlier_rank").collect().map(_.getLong(0))
+    assert(tr.toSeq == Seq(3L, 7L))
+  }
+
   test("kmeans farthest-first seeding beats k-smallest-ids on planted clusters") {
     // ids 0..9 ALL live in cluster A, so "first" seeding starts with
     // three centroids inside one planted group; two far groups carry

@@ -150,5 +150,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming near-dedup ingest equals sequential batch incremental dedup") {
+    // 12 docs, nBatches=3 → slice=4: buckets {0-3} {4-7} {8-11}. Planted:
+    // within-batch dup (1≈2), cross-batch dups (0≈5, 3≈9), a chain whose
+    // earlier member was itself dropped (2≈1 kept? no: 1<2 so 2 dropped;
+    // 6≈2 must still be dropped only if similar to a KEPT doc).
+    val fixture = java.nio.file.Files.createTempDirectory("graft-neardedup").toString
+    val mk = (s: String) => s
+    val docs = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "one two three four five six seven",
+      2L -> "one two three four five six eight", // ≈1 (same batch)
+      3L -> "red orange yellow green blue indigo",
+      4L -> "totally fresh content in bucket one",
+      5L -> "alpha beta gamma delta epsilon zeta", // =0 (vs index)
+      6L -> "one two three four five six nine", // ≈1 (kept, earlier batch)
+      7L -> "unique text that matches nothing else",
+      8L -> "more singular prose without a twin",
+      9L -> "red orange yellow green blue violet", // ≈3 (vs index)
+      10L -> "closing words entirely their own here",
+      11L -> "final document with novel token streams"
+    ).map { case (i, s) => (i, mk(s)) }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val work = s"$fixture/work"
+    val streamed = Streaming.nearDedupIngest(spark, fixture, work,
+        nBatches = 3, numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    // reference: same rule replayed sequentially from the one-shot pair set
+    // (dedupAgainstIndex and minhashPairs share signature arithmetic, so
+    // the pair sets are identical)
+    val pairs = graft.dedup.Dedup.minhashPairs(docs, $"doc_id", $"text",
+        numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sim = (a: Long, b: Long) => pairs((a min b, a max b))
+    val slice = 11L / 3 + 1
+    var kept = Vector[Long]()
+    (0L until 3L).foreach { b =>
+      val batch = (0L to 11L).filter(_ / slice == b)
+      val s = batch.filterNot(dd => kept.exists(c => sim(c, dd)))
+      val k = s.filterNot(dd => s.exists(c => c < dd && sim(c, dd)))
+      kept ++= k
+    }
+    assert(streamed.toSeq == kept.sorted)
+    // the planted dups actually engaged each tier
+    assert(!streamed.contains(2L), "within-batch dup must drop")
+    assert(!streamed.contains(5L) && !streamed.contains(9L),
+      "cross-batch dups must drop against the index")
+    assert(streamed.contains(0L) && streamed.contains(1L) && streamed.contains(3L))
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }
