@@ -177,6 +177,9 @@ object Dedup {
       bands: Int,
       shingleK: Int): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spec = s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK"
+    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
+    else checkIndexSpec(df, dir, spec, writeIfMissing = true)
     val rows = numHashes / bands
     val sig = df.select(id.as("doc_id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
@@ -186,6 +189,45 @@ object Dedup {
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
       .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+  }
+
+  // ---- index spec guard ----------------------------------------------
+  //
+  // A serving index probed or appended with parameters other than the
+  // ones it was built with does not fail — it silently misses duplicates
+  // (different band keys / chunk boundaries never collide). The spec
+  // file pins the build parameters; append and probe verify it. Indexes
+  // created before the spec existed are accepted (no file = no check,
+  // append heals by writing it).
+
+  private def specPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_index_spec")
+
+  private def writeIndexSpec(df: DataFrame, dir: String, spec: String): Unit = {
+    val p = specPath(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[dedup] def checkIndexSpec(
+      df: DataFrame, dir: String, spec: String,
+      writeIfMissing: Boolean = false): Unit = {
+    val p = specPath(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          new String(buf, "UTF-8")
+        } finally in.close()
+      require(stored == spec,
+        s"index at $dir was built with '$stored' but accessed with '$spec' — " +
+          "mismatched parameters silently miss duplicates; rebuild or use the " +
+          "original parameters")
+    } else if (writeIfMissing) writeIndexSpec(df, dir, spec)
   }
 
   /** Drop every row of `df` (a NEW batch) that is a MinHash near-duplicate
@@ -208,6 +250,8 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    checkIndexSpec(df, dir,
+      s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK")
     val rows = numHashes / bands
     val sigDf = df.select(id.as("__id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
@@ -352,6 +396,9 @@ object Dedup {
       maxDist: Int): Unit = {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15]: $maxDist")
+    val spec = s"fingerprint maxDist=$maxDist"
+    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
+    else checkIndexSpec(df, dir, spec, writeIfMissing = true)
     val fp = df.select(id.as("doc_id"), fingerprint.as("fp"))
       .localCheckpoint(false)
     fp.write.mode(mode).parquet(s"$dir/fps")
@@ -378,6 +425,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15]: $maxDist")
+    checkIndexSpec(df, dir, s"fingerprint maxDist=$maxDist")
     val fpDf = df.select(id.as("__id"), fingerprint.as("__fp"))
       .localCheckpoint(false)
     val newChunks = fpDf.select(col("__id"),

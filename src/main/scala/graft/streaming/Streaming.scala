@@ -328,7 +328,9 @@ object Streaming {
     if (fs.exists(workPath)) fs.delete(workPath, true)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxIdRow = docs.agg(max(col("doc_id"))).head
+    if (maxIdRow.isNullAt(0)) return docs.limit(0) // empty corpus: nothing to ingest
+    val maxId = maxIdRow.getLong(0)
     val slice = maxId / nBatches + 1 // ids 0..maxId → buckets 0..nBatches-1
     val staged = s"$workDir/staged"
     fs.mkdirs(new org.apache.hadoop.fs.Path(staged))

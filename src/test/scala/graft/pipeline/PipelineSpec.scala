@@ -622,6 +622,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept2 == 0L)
   }
 
+  test("serving indexes reject mismatched build/probe parameters") {
+    val docs = Seq((0L, "a b c d e"), (2L, "f g h i j"), (1L, "k l m n o"))
+      .toDF("id", "txt")
+    val mh = java.nio.file.Files.createTempDirectory("graft-mhspec").toString
+    Dedup.buildMinhashIndex(docs.filter($"id" % 2 === 0), col("id"), col("txt"),
+      mh, numHashes = 64, bands = 16, shingleK = 3)
+    // probe with different banding: silently-missed duplicates → must throw
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(spark, docs.filter($"id" % 2 === 1),
+        col("id"), col("txt"), mh, numHashes = 64, bands = 8, shingleK = 3)
+    }
+    assert(e1.getMessage.contains("mismatched parameters"))
+    // append with a different shingle width → must throw
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(docs.filter($"id" % 2 === 1),
+        col("id"), col("txt"), mh, numHashes = 64, bands = 16, shingleK = 2)
+    }
+    assert(e2.getMessage.contains("mismatched parameters"))
+    // matching parameters still work end to end
+    Dedup.appendToMinhashIndex(docs.filter($"id" % 2 === 1),
+      col("id"), col("txt"), mh, numHashes = 64, bands = 16, shingleK = 3)
+    // fingerprint index: same guard on maxDist
+    val fpd = java.nio.file.Files.createTempDirectory("graft-fpspec").toString
+    val fps = Seq((0L, 1L), (1L, 2L)).toDF("id", "fp")
+    Dedup.buildFingerprintIndex(fps, col("id"), col("fp"), fpd, maxDist = 3)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstFingerprintIndex(spark, fps, col("id"), col("fp"),
+        fpd, maxDist = 2)
+    }
+    assert(e3.getMessage.contains("mismatched parameters"))
+  }
+
   test("clusterOutliers: farthest-per-cluster with deterministic ranks") {
     // cluster 0 around (0,0) with a far point id 5; cluster 1 around
     // (10,10) with a far point id 11; ranks by distance desc, id ties asc
