@@ -1935,8 +1935,7 @@ object SparkEntry {
     // pair-set equivalence q_dedup_minhash rests on.
     "q_stream_neardedup" -> ((s, dir) => {
       import s.implicits._
-      val sfName = new java.io.File(dir).getName
-      val work = s"$scratchRoot/$sfName/stream_neardedup"
+      val work = scratchTableDir(dir, "stream_neardedup")
       graft.streaming.Streaming.nearDedupIngest(s, dir, work, nBatches = 4,
           numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
         .select($"doc_id")

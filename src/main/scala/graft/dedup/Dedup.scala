@@ -178,7 +178,12 @@ object Dedup {
       shingleK: Int): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spec = s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK"
-    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
+    // overwrite: drop the old spec FIRST and write the new one only after
+    // both data writes commit — a build that dies mid-way leaves no spec,
+    // so a later probe under new parameters cannot silently pass the
+    // guard over stale-parameter data. Append: verify (and heal) upfront
+    // so a mismatch fails before any data is written.
+    if (mode == "overwrite") deleteIndexSpec(df, dir)
     else checkIndexSpec(df, dir, spec, writeIfMissing = true)
     val rows = numHashes / bands
     val sig = df.select(id.as("doc_id"),
@@ -189,6 +194,7 @@ object Dedup {
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
       .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
   }
 
   // ---- index spec guard ----------------------------------------------
@@ -201,6 +207,12 @@ object Dedup {
   // append heals by writing it).
 
   private def specPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_index_spec")
+
+  private def deleteIndexSpec(df: DataFrame, dir: String): Unit = {
+    val p = specPath(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
 
   private def writeIndexSpec(df: DataFrame, dir: String, spec: String): Unit = {
     val p = specPath(dir)
@@ -306,12 +318,6 @@ object Dedup {
       algo: String = "xx"): DataFrame =
     fingerprintPairs(df, id, simhash64(text, algo), maxDist)
 
-  /** Near-dup pairs of ANY 64-bit fingerprint column (SimHash, perceptual
-    * image hash, …) by Hamming distance ≤ maxDist, blocked on maxDist+1
-    * contiguous fingerprint chunks (pigeonhole: distance ≤ d over d+1
-    * chunks ⇒ some chunk is identical — candidates meet via equi-join
-    * on (chunk idx, value); the chunk partition is derived from maxDist so
-    * blocking is complete for any 1 ≤ maxDist ≤ 15). */
   /** The maxDist+1 pigeonhole bit-chunks of a 64-bit fingerprint: chunk c
     * covers `width` bits starting at `off`; the first `rem` chunks get one
     * extra bit so the 64 bits are fully partitioned. Two fingerprints at
@@ -329,6 +335,10 @@ object Dedup {
     }
   }
 
+  /** Near-dup pairs of ANY 64-bit fingerprint column (SimHash, perceptual
+    * image hash, …) by Hamming distance ≤ maxDist, blocked on the
+    * [[fpChunkCols]] pigeonhole chunks — complete for any
+    * 1 ≤ maxDist ≤ 15; returns (id_a < id_b, hamming). */
   def fingerprintPairs(
       df: DataFrame,
       id: Column,
@@ -397,7 +407,8 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15]: $maxDist")
     val spec = s"fingerprint maxDist=$maxDist"
-    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
+    // same spec ordering discipline as writeMinhashIndex
+    if (mode == "overwrite") deleteIndexSpec(df, dir)
     else checkIndexSpec(df, dir, spec, writeIfMissing = true)
     val fp = df.select(id.as("doc_id"), fingerprint.as("fp"))
       .localCheckpoint(false)
@@ -407,6 +418,7 @@ object Dedup {
           .as(Seq("chunk", "val")))
       .select(col("chunk"), col("val"), col("doc_id"))
       .write.mode(mode).partitionBy("chunk").parquet(s"$dir/chunks")
+    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
   }
 
   /** Drop every row of `df` (a NEW batch) whose fingerprint is within

@@ -326,8 +326,11 @@ object Streaming {
     val workPath = new org.apache.hadoop.fs.Path(workDir)
     val fs = workPath.getFileSystem(hconf)
     if (fs.exists(workPath)) fs.delete(workPath, true)
+    // eager checkpoint: the max-id probe plus the nBatches bucket writes
+    // otherwise re-scan the source once each
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
+      .localCheckpoint()
     val maxIdRow = docs.agg(max(col("doc_id"))).head
     if (maxIdRow.isNullAt(0)) return docs.limit(0) // empty corpus: nothing to ingest
     val maxId = maxIdRow.getLong(0)

@@ -76,9 +76,13 @@ object Decontaminate {
     * there is no join (plan shape shared with [[decontaminateBloom]],
     * exact instead of probabilistic). Below `inlineThreshold` distinct
     * shingles the set is inlined into the expression literal; above it,
-    * it rides the broadcast torrent into a closure. Benchmarks too large
-    * for either are decontaminateBloom territory (probabilistic, no
-    * per-doc exact fraction).
+    * it rides the broadcast torrent into a closure (like every broadcast
+    * kernel here — dedupSegments, decontaminateBloom — the broadcast
+    * lives until the result DataFrame is unreachable and ContextCleaner
+    * runs; score large benchmarks in a bounded-lifetime session rather
+    * than a years-long REPL). Benchmarks too large for either are
+    * decontaminateBloom territory (probabilistic, no per-doc exact
+    * fraction).
     *
     * @return (doc_id, n_shingles, n_matched, contamination) —
     *         contamination = n_matched / n_shingles rounded to 4 dp,

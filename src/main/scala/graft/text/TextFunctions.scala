@@ -242,6 +242,22 @@ object TextFunctions {
       array_join(kept, " ").as("clean_text"))
   }
 
+  /** Reassemble per-document text from kept (position, unit) rows in
+    * position order — the shared tail of every operator that explodes a
+    * document, filters units, and rebuilds it ([[dedupSegmentsJoin]],
+    * [[dedupSegmentsKeepFirst]], [[removeDuplicateSpans]]). Positions are
+    * unique per document, so the struct sort is a pure position sort.
+    * @return (doc_id, __kept, clean_text) */
+  private def reassembleByPosition(
+      kept: org.apache.spark.sql.DataFrame,
+      pos: Column, unit: Column): org.apache.spark.sql.DataFrame =
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(pos.as("__p"), unit.as("__u")))),
+            s => s.getField("__u")), " ").as("clean_text"))
+
   /** The fully-distributed tier of [[dedupSegments]]: segment-level
     * left-anti join against the (never collected) frequent-segment
     * lexicon, then positional reassembly. Row-identical to the broadcast
@@ -254,13 +270,7 @@ object TextFunctions {
     val exploded = base.select(col("doc_id"),
       posexplode(col("__segs")).as(Seq("__pos", "__seg")))
     val keptRows = exploded.join(lexiconDf, Seq("__seg"), "left_anti")
-    val reassembled = keptRows
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("__kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
-            s => s.getField("__seg")), " ").as("clean_text"))
+    val reassembled = reassembleByPosition(keptRows, col("__pos"), col("__seg"))
     base.select(col("doc_id"), size(col("__segs")).as("segs_total"))
       .join(reassembled, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("segs_total"),
@@ -302,13 +312,7 @@ object TextFunctions {
     val keptRows = exploded.join(keepers, Seq("__seg"))
       .filter(col("doc_id") === col("__first.doc_id") &&
         col("__pos") === col("__first.__pos"))
-    val reassembled = keptRows
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("__kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
-            s => s.getField("__seg")), " ").as("clean_text"))
+    val reassembled = reassembleByPosition(keptRows, col("__pos"), col("__seg"))
     base.select(col("doc_id"), size(col("__segs")).as("segs_total"))
       .join(reassembled, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("segs_total"),
@@ -342,18 +346,28 @@ object TextFunctions {
     *         dup_fraction) — dup_fraction = covered_tokens / n_tokens
     *         rounded to 4 dp, 0.0 for empty documents.
     */
-  def duplicateSpans(
+  /** (base, wins) for stride-1 L-token windowing: base = (doc_id, __toks,
+    * __wins), lazily checkpointed; wins keeps only FULL windows
+    * (position p valid iff p + L ≤ n_tokens). The shared preamble of
+    * [[duplicateSpans]] and [[removeDuplicateSpans]]. */
+  private def windowedBase(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-      windowL: Int = 8): org.apache.spark.sql.DataFrame = {
+      windowL: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(windowL >= 1, s"window length must be >= 1: $windowL")
     val toks = tokens(text)
     val base = df.select(id.as("doc_id"), toks.as("__toks"),
         graft.functions.exprs.word_windows(toks, windowL, 1).as("__wins"))
       .localCheckpoint(eager = false)
-    // full windows only: position p is valid iff p + L <= n_tokens
     val wins = base.select(col("doc_id"), size(col("__toks")).as("__n"),
         posexplode(col("__wins")).as(Seq("__pos", "__win")))
       .filter(col("__pos") + windowL <= col("__n"))
+    (base, wins)
+  }
+
+  def duplicateSpans(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      windowL: Int = 8): org.apache.spark.sql.DataFrame = {
+    val (base, wins) = windowedBase(df, id, text, windowL)
     val dups = wins.groupBy(col("__win"))
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
@@ -398,14 +412,7 @@ object TextFunctions {
   def removeDuplicateSpans(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       windowL: Int = 8): org.apache.spark.sql.DataFrame = {
-    require(windowL >= 1, s"window length must be >= 1: $windowL")
-    val toks = tokens(text)
-    val base = df.select(id.as("doc_id"), toks.as("__toks"),
-        graft.functions.exprs.word_windows(toks, windowL, 1).as("__wins"))
-      .localCheckpoint(eager = false)
-    val wins = base.select(col("doc_id"), size(col("__toks")).as("__n"),
-        posexplode(col("__wins")).as(Seq("__pos", "__win")))
-      .filter(col("__pos") + windowL <= col("__n"))
+    val (base, wins) = windowedBase(df, id, text, windowL)
     val dups = wins.groupBy(col("__win"))
       .agg(count(lit(1)).as("__occ"),
         min(struct(col("doc_id"), col("__pos"))).as("__first"))
@@ -419,13 +426,7 @@ object TextFunctions {
     val tokRows = base.select(col("doc_id"),
       posexplode(col("__toks")).as(Seq("__t", "__tok")))
     val keptRows = tokRows.join(removalPos, Seq("doc_id", "__t"), "left_anti")
-    val reassembled = keptRows
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("__kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__t"), col("__tok")))),
-            s => s.getField("__tok")), " ").as("clean_text"))
+    val reassembled = reassembleByPosition(keptRows, col("__t"), col("__tok"))
     base.select(col("doc_id"), size(col("__toks")).as("n_tokens"))
       .join(reassembled, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_tokens"),
