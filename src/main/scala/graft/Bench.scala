@@ -44,7 +44,10 @@ object Bench {
     SparkEntry.indexedOrdersInt96(spark, sfDir).count()
     SparkEntry.indexedLineitemOrc(spark, sfDir).count()
     SparkEntry.ivfPqCodesDir(spark, sfDir)
+    SparkEntry.ivfPqCodesIncrDir(spark, sfDir)
     SparkEntry.minhashIndexDir(spark, sfDir)
+    SparkEntry.simhashIndexDir(spark, sfDir)
+    SparkEntry.searchIndexDir(spark, sfDir)
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()

@@ -76,7 +76,7 @@ object SparkEntry {
   // stale create-once tables rebuild even though the metadata version
   // didn't move
   private def scratchVersion: String =
-    s"${graft.index.IndexMetadata.CurrentVersion}.1"
+    s"${graft.index.IndexMetadata.CurrentVersion}.2"
 
   /** Create-once protocol shared by every scratch table: version-marked
     * build under target/, then served through the indexed read. The
@@ -390,6 +390,33 @@ object SparkEntry {
       graft.ann.Ann.buildIvfPqIndex(
         tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"), td,
         dim = 64, cells = 16, m = 8, codebookK = 16)
+    }
+
+  /** IVFADC codes table grown INCREMENTALLY: built from the even-id half
+    * ("already-ingested corpus"), odd-id half appended as a later batch —
+    * must serve queries identically to [[ivfPqCodesDir]]'s one-shot
+    * build; create-once. */
+  private[graft] def ivfPqCodesIncrDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "ivfpq_codes_incr") { td =>
+      val emb = tbl(s, dir, "embeddings")
+      graft.ann.Ann.buildIvfPqIndex(
+        emb.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+        td, dim = 64, cells = 16, m = 8, codebookK = 16)
+      graft.ann.Ann.appendToIvfPqIndex(
+        emb.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"),
+        td, dim = 64, cells = 16, m = 8, codebookK = 16)
+    }
+
+  /** Materialized full-text search index grown INCREMENTALLY (built from
+    * the even-id half, odd-id half appended) — index-served search/BM25
+    * must match from-scratch runs over the whole corpus; create-once. */
+  private[graft] def searchIndexDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "search_index") { td =>
+      val docs = tbl(s, dir, "documents")
+      graft.text.SearchIndex.buildSearchIndex(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), td)
+      graft.text.SearchIndex.appendToSearchIndex(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"), td)
     }
 
   /** Materialized MinHash LSH index over the EVEN-id half of documents
@@ -1090,6 +1117,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // PageRank link centrality (the CommonCrawl-style crawl/keep signal)
+    // over a deterministic doc_id-arithmetic link graph, 5 iterations.
+    // Integer nano-rank arithmetic end to end (floor divisions, integer
+    // sums) — the oracle replays all 5 iterations exactly, no float
+    // accumulation anywhere.
+    "q_web_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val n = docs.count()
+      val e = docs.select($"doc_id".as("src"), (($"doc_id" * 7 + 1) % n).as("dst"))
+        .union(docs.select($"doc_id".as("src"), (($"doc_id" * 13 + 5) % n).as("dst")))
+        .filter($"src" =!= $"dst")
+      graft.ops.Graph.pageRank(e, $"src", $"dst", iters = 5)
+        .select($"node", $"rank".as("rank_nano"))
+        .orderBy($"node")
+    }),
+
     // Language-ID heuristic distribution.
     "q_text_langid" -> ((s, dir) => {
       import s.implicits._
@@ -1248,6 +1292,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The same conjunctive search served from the MATERIALIZED index
+    // (built incrementally: even half built, odd half appended) — the
+    // corpus text is never read at query time; term-IN row-group pruning
+    // reads only the probed posting lists. Shares q_text_search's oracle.
+    "q_text_search_indexed" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.SearchIndex.searchIndexAll(
+          s, searchIndexDir(s, dir), Seq("spark", "window"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic train/val/test split by salted-hash range.
     "q_sample_split" -> ((s, dir) => {
       import s.implicits._
@@ -1284,6 +1339,17 @@ object SparkEntry {
       import s.implicits._
       graft.text.Tfidf.bm25(
           tbl(s, dir, "documents"), $"doc_id", $"text", Seq("spark", "window"))
+        .orderBy($"doc_id")
+    }),
+
+    // BM25 served from the materialized search index: stored tf/len
+    // tables through the SAME scoring body (Tfidf.bm25From) — bit-
+    // identical to the from-scratch run, including after the odd-half
+    // append. Shares q_text_bm25's oracle.
+    "q_text_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.SearchIndex.bm25Index(
+          s, searchIndexDir(s, dir), Seq("spark", "window"))
         .orderBy($"doc_id")
     }),
 
@@ -1638,6 +1704,22 @@ object SparkEntry {
         excludeId = Some(qRow.getLong(0)))
     }),
 
+    // The serving index GROWN incrementally (build on the even-id half,
+    // append the odd-id batch — appendToIvfPqIndex): deterministic
+    // codebooks make batch-encoded codes identical to one-shot codes, so
+    // the same query over the incrementally-built table must reproduce
+    // q_ann_ivfpq_indexed exactly (one shared oracle).
+    "q_ann_ivfpq_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.queryIvfPqIndex(s, ivfPqCodesIncrDir(s, dir), q,
+        k = 10, cells = 16, nprobe = 4, m = 8, codebookK = 16,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
     "q_ann_quantize" -> ((s, dir) => {
       import s.implicits._
       graft.ann.Ann.quantizeInt8Summary(
@@ -1657,6 +1739,21 @@ object SparkEntry {
         emb, $"vec_id", $"embedding", k = 8, iters = 2)
       graft.ann.Ann.kmeansAssign(emb, $"vec_id", $"embedding", cents)
         .orderBy($"vec_id")
+    }),
+
+    // Approximate kNN JOIN: each vector's 3 highest-cosine neighbors via
+    // k-means cell blocking (data side 1 cell, probe side 2 cells) + exact
+    // re-rank — the all-rows graph the single-query topk can't build. The
+    // oracle replays the k-means fit, both cell assignments, and the
+    // rounded-cosine rank order from scratch.
+    "q_ann_knn_join" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 2)
+      graft.ann.Ann.knnJoin(emb, $"vec_id", $"embedding", cents,
+          k = 3, nprobe = 2)
+        .orderBy($"vec_id", $"nn_rank")
     }),
 
     // SemDeDup-companion prototypicality pruning: the 5 farthest vectors
@@ -2184,6 +2281,81 @@ object SparkEntry {
     * replay: cell per vector from the centroid dots (first-max ties),
     * query probes the nprobe best cells, codes/ADC score only the
     * survivors. */
+  /** Shared by q_text_search and q_text_search_indexed (index-served
+    * search answers the same query, row-for-row). */
+  private val textSearchSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+      |  FROM documents),
+      |tt AS (SELECT doc_id,
+      |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t)
+      |SELECT doc_id FROM tt
+      |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared by q_text_bm25 and q_text_bm25_indexed (one scoring body —
+    * Tfidf.bm25From — on the Spark side, one oracle here). */
+  private val textBm25Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+      |  FROM documents),
+      |tt AS (SELECT doc_id,
+      |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+      |lens AS (SELECT doc_id, len(toks) AS len FROM tt),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+      |tfall AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dft AS (SELECT term, count(*) AS df FROM tfall
+      |  WHERE term IN ('spark', 'window') GROUP BY term),
+      |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+      |c AS (SELECT (SELECT count(*) FROM tt)::DOUBLE AS n,
+      |  (SELECT sum(len) FROM lens)::DOUBLE / (SELECT count(*) FROM tt)::DOUBLE AS avgdl)
+      |SELECT q.doc_id,
+      |  round(sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |    * q.tf / (q.tf + 1.2 * (0.25 + 0.75 * l.len / c.avgdl))), 4) AS bm25
+      |FROM tfq q JOIN dft d ON q.term = d.term
+      |  JOIN lens l ON q.doc_id = l.doc_id CROSS JOIN c
+      |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin
+
+  /** Unrolled replay of [[graft.ops.Graph.pageRank]] over the
+    * doc_id-arithmetic link fixture: every division is a floor over
+    * non-negative integers (DuckDB `//` = Spark `DIV`), every sum an
+    * integer sum, so all `iters` iterations replay bit-for-bit. */
+  private def pageRankSql(iters: Int, dampPct: Int = 85): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents)
+        |  WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nc AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nc) AS pr FROM nodes),
+        |""".stripMargin)
+    for (t <- 1 to iters) {
+      val prev = s"r${t - 1}"
+      sb.append(
+        s"""r$t AS (SELECT nodes.node,
+           |  (${100 - dampPct} * CAST(1000000000 AS BIGINT)) // (100 * (SELECT n FROM nc))
+           |    + ($dampPct * coalesce(s.s, 0)) // 100 AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst, sum($prev.pr // od.deg) AS s
+           |    FROM $prev JOIN od ON $prev.node = od.src
+           |    JOIN e ON e.src = od.src
+           |    GROUP BY e.dst) s ON nodes.node = s.dst),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT node, pr FROM r$iters)
+         |SELECT node, CAST(pr AS BIGINT) AS rank_nano FROM fin ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   private def ivfPqSql(
       cells: Int, nprobe: Int, dim: Int,
       m: Int, k: Int, subDim: Int, topK: Int): String = {
@@ -2702,6 +2874,7 @@ object SparkEntry {
         |  ((nt >= 40 AND nt <= 100000) AND (nt > 0 AND ml >= 4.0 AND ml <= 10.0)
         |    AND (dr <= 0.2) AND (sh >= 2)) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_web_pagerank" -> pageRankSql(iters = 5),
     "q_web_domains" -> {
       // same public-suffix snapshot as Web.registrableDomainOf — the
       // alternation is generated from it so the two can never drift
@@ -2866,15 +3039,9 @@ object SparkEntry {
         |  ch.first_doc, ch.last_doc
         |FROM ch JOIN tot ON ch.term = tot.term
         |ORDER BY ch.term, ch.chunk_idx""".stripMargin,
-    "q_text_search" ->
-      """WITH t AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
-        |  FROM documents),
-        |tt AS (SELECT doc_id,
-        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t)
-        |SELECT doc_id FROM tt
-        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
-        |ORDER BY doc_id""".stripMargin,
+    "q_text_search" -> textSearchSql,
+    // the index-served search answers the SAME query: one oracle
+    "q_text_search_indexed" -> textSearchSql,
     "q_sample_split" ->
       s"""SELECT doc_id, source,
         |  CASE WHEN '0' || substr(md5('s3|' || doc_id::VARCHAR), 1, 8) <
@@ -2918,27 +3085,10 @@ object SparkEntry {
         |FROM n JOIN ints
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q_text_bm25" ->
-      """WITH t AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
-        |  FROM documents),
-        |tt AS (SELECT doc_id,
-        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
-        |lens AS (SELECT doc_id, len(toks) AS len FROM tt),
-        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
-        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-        |dft AS (SELECT term, count(*) AS df FROM tfall
-        |  WHERE term IN ('spark', 'window') GROUP BY term),
-        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |  WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
-        |c AS (SELECT (SELECT count(*) FROM tt)::DOUBLE AS n,
-        |  (SELECT sum(len) FROM lens)::DOUBLE / (SELECT count(*) FROM tt)::DOUBLE AS avgdl)
-        |SELECT q.doc_id,
-        |  round(sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-        |    * q.tf / (q.tf + 1.2 * (0.25 + 0.75 * l.len / c.avgdl))), 4) AS bm25
-        |FROM tfq q JOIN dft d ON q.term = d.term
-        |  JOIN lens l ON q.doc_id = l.doc_id CROSS JOIN c
-        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
+    "q_text_bm25" -> textBm25Sql,
+    // index-served BM25 shares the scoring body (Tfidf.bm25From) with the
+    // from-scratch path: one oracle
+    "q_text_bm25_indexed" -> textBm25Sql,
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -3322,6 +3472,11 @@ object SparkEntry {
     // the materialized-codes variant serves the SAME query: one oracle
     "q_ann_ivfpq_indexed" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
       m = 8, k = 16, subDim = 8, topK = 10),
+    // build(even half) + append(odd half) must serve the SAME query as a
+    // one-shot build over everything (deterministic codebooks ⇒ identical
+    // codes regardless of which batch encoded a vector): one oracle again
+    "q_ann_ivfpq_incremental" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
+      m = 8, k = 16, subDim = 8, topK = 10),
     "q_ann_quantize" ->
       """WITH v AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
@@ -3353,6 +3508,33 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    // replay the fit (shared centroid chain), then BOTH cell assignments
+    // (data rn=1, probe rn<=2 by (dist, cell)), the cell equi-join, the
+    // exact cosine, and the rounded-cosine rank order
+    "q_ann_knn_join" -> ("WITH " + kmeansCentsSql(k = 8, dim = 64, iters = 2) +
+      """dists AS (SELECT v.vec_id, c2.c,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (v.q[i] - c2.cent[i]) * (v.q[i] - c2.cent[i]))) AS d
+        |  FROM v, c2),
+        |cellr AS (SELECT vec_id, c,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+        |e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+        |n AS (SELECT vec_id, ev,
+        |  sqrt(list_sum(list_transform(ev, x -> x * x))) AS nm FROM e),
+        |cand AS (SELECT p.vec_id AS vec_id, d.vec_id AS neighbor_id
+        |  FROM (SELECT vec_id, c FROM cellr WHERE rn <= 2) p
+        |  JOIN (SELECT vec_id, c FROM cellr WHERE rn = 1) d
+        |  ON p.c = d.c AND p.vec_id <> d.vec_id),
+        |cos AS (SELECT cand.vec_id, cand.neighbor_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> a.ev[i] * b.ev[i])) /
+        |    greatest(a.nm * b.nm, 1e-12), 6) AS cosine
+        |  FROM cand JOIN n a ON cand.vec_id = a.vec_id
+        |  JOIN n b ON cand.neighbor_id = b.vec_id)
+        |SELECT vec_id, neighbor_id, cosine, nn_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, neighbor_id) AS nn_rank FROM cos)
+        |WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""".stripMargin),
     "q_ann_outliers" -> outliersSql(k = 8, dim = 64, iters = 2, n = 5),
     "q_ann_classify" ->
       """WITH v AS (SELECT vec_id,

@@ -299,6 +299,59 @@ object Ann {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Approximate k-nearest-neighbor JOIN: for EVERY vector its `k`
+    * highest-cosine neighbors — the all-rows sibling of the single-query
+    * [[bruteForceTopK]] and the per-pair [[semanticPairs]] (kNN graphs
+    * feed dedup-cluster analysis, diversity scoring and
+    * retrieval-augmented curation).
+    *
+    * Blocking: the DATA side lands in its nearest k-means cell (one row
+    * per vector), the PROBE side is replicated to its `nprobe` nearest
+    * cells (the multi-probe recipe — neighbors just across a Voronoi
+    * boundary are still found when probe > 1). Candidates meet through a
+    * cell equi-join; the exact cosine re-rank and a per-probe-id
+    * row_number window produce ranks 1..k by (cosine desc, neighbor_id
+    * asc) over the ROUNDED cosine (6 dp) — the cross-engine-stable order.
+    *
+    * Scale: no cross join — shuffle cost is nprobe replicas of the probe
+    * side plus the cell equi-join; per-cell work is |cell|×|probes in
+    * cell|, bounded by cluster balance (more cells ⇒ smaller blocks;
+    * fit more centroids at 100 TB). Both cell assignments are map-side
+    * codegen'd kernels ([[graft.functions.NearestCentroids]]). Recall is
+    * approximate: a true neighbor outside the probed cells is missed —
+    * raise nprobe for recall, cells for speed. Deterministic and
+    * oracle-replayable (integer-exact cell distances, rounded-cosine
+    * rank order). */
+  def knnJoin(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      centroidsMilli: Seq[Seq[Double]],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nprobe >= 1 && nprobe <= centroidsMilli.length,
+      s"nprobe must be in [1, ${centroidsMilli.length}]")
+    val data = df.select(
+      nearestCentroid(quantizeMilli(vec), centroidsMilli).as("__c"),
+      id.as("neighbor_id"), vec.as("__vb"), norm(vec).as("__nb"))
+    val probes = df.select(id.as("vec_id"), vec.as("__va"), norm(vec).as("__na"),
+        explode(graft.functions.exprs.nearest_centroids(
+          quantizeMilli(vec), centroidsMilli, nprobe)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(data, Seq("__c"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("__va"), col("__vb")) /
+          greatest(col("__na") * col("__nb"), lit(1e-12)), 6).as("cosine"))
+      // no dedup needed: the data side holds each vector in exactly ONE
+      // cell and the probe cells are distinct, so a (vec_id, neighbor_id)
+      // pair meets at most once
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+  }
+
   /** Semantic dedup: keep one representative (the smallest id) per
     * transitively-connected [[semanticPairs]] component — the
     * cluster-blocked sibling of [[dedupEmbeddings]]. */
@@ -627,13 +680,50 @@ object Ann {
       cells: Int = 16,
       m: Int = 8,
       codebookK: Int = 16,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L): Unit =
+    writeIvfPqIndex(df, id, vec, dir, "overwrite", dim, cells, m, codebookK, seed)
+
+  /** Append a NEW batch of vectors to a [[buildIvfPqIndex]] table — the
+    * ingest-time shape of the vector serving index (the IVFADC twin of
+    * `Dedup.appendToMinhashIndex`): only the batch's cells and codes are
+    * computed (one map-side projection — the deterministic codebooks make
+    * old and new codes consistent by construction), and the new rows land
+    * in their cell partition directories next to the existing ones.
+    * Probing sees the union immediately; the stored corpus is never
+    * re-encoded or re-read. The `_index_spec` guard rejects appends whose
+    * (dim, cells, m, codebookK, seed) differ from the build's — codes
+    * under different codebooks share a table but not a distance space. */
+  def appendToIvfPqIndex(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dir: String,
+      dim: Int,
+      cells: Int = 16,
+      m: Int = 8,
+      codebookK: Int = 16,
+      seed: Long = 42L): Unit =
+    writeIvfPqIndex(df, id, vec, dir, "append", dim, cells, m, codebookK, seed)
+
+  private def ivfPqSpec(dim: Int, cells: Int, m: Int, codebookK: Int, seed: Long) =
+    s"ivfpq dim=$dim cells=$cells m=$m codebookK=$codebookK seed=$seed"
+
+  private def writeIvfPqIndex(
+      df: DataFrame, id: Column, vec: Column, dir: String, mode: String,
+      dim: Int, cells: Int, m: Int, codebookK: Int, seed: Long): Unit = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val spec = ivfPqSpec(dim, cells, m, codebookK, seed)
+    // same spec write-ordering discipline as the MinHash/fingerprint
+    // builders: overwrite drops the old spec before data, writes the new
+    // one after; append verifies (and heals pre-spec indexes) upfront
+    if (mode == "overwrite") graft.ops.IndexSpec.delete(df, dir)
+    else graft.ops.IndexSpec.check(df, dir, spec, writeIfMissing = true)
     val cents = ivfCodebook(cells, dim, seed)
     val books = pqCodebooks(m, codebookK, dim / m, seed)
     df.select(id.as("vec_id"), ivfCell(vec, cents).as("cell"),
         pqEncode(vec, books).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      .write.mode(mode).partitionBy("cell").parquet(dir)
+    if (mode == "overwrite") graft.ops.IndexSpec.write(df, dir, spec)
   }
 
   /** Top-k over a [[buildIvfPqIndex]] table: probe-cell partition
@@ -652,6 +742,8 @@ object Ann {
       seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells, s"nprobe must be in [1, $cells]")
+    graft.ops.IndexSpec.check(spark, dir,
+      ivfPqSpec(query.length, cells, m, codebookK, seed), writeIfMissing = false)
     val cents = ivfCodebook(cells, query.length, seed)
     val probe = ivfProbeCells(query, cents, nprobe)
     val books = pqCodebooks(m, codebookK, query.length / m, seed)

@@ -197,50 +197,18 @@ object Dedup {
     if (mode == "overwrite") writeIndexSpec(df, dir, spec)
   }
 
-  // ---- index spec guard ----------------------------------------------
-  //
-  // A serving index probed or appended with parameters other than the
-  // ones it was built with does not fail — it silently misses duplicates
-  // (different band keys / chunk boundaries never collide). The spec
-  // file pins the build parameters; append and probe verify it. Indexes
-  // created before the spec existed are accepted (no file = no check,
-  // append heals by writing it).
+  // ---- index spec guard (shared mechanism: graft.ops.IndexSpec) ------
 
-  private def specPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_index_spec")
+  private def deleteIndexSpec(df: DataFrame, dir: String): Unit =
+    graft.ops.IndexSpec.delete(df, dir)
 
-  private def deleteIndexSpec(df: DataFrame, dir: String): Unit = {
-    val p = specPath(dir)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, false)
-  }
-
-  private def writeIndexSpec(df: DataFrame, dir: String, spec: String): Unit = {
-    val p = specPath(dir)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(spec.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeIndexSpec(df: DataFrame, dir: String, spec: String): Unit =
+    graft.ops.IndexSpec.write(df, dir, spec)
 
   private[dedup] def checkIndexSpec(
       df: DataFrame, dir: String, spec: String,
-      writeIfMissing: Boolean = false): Unit = {
-    val p = specPath(dir)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored =
-        try {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val buf = new Array[Byte](len)
-          in.readFully(0, buf)
-          new String(buf, "UTF-8")
-        } finally in.close()
-      require(stored == spec,
-        s"index at $dir was built with '$stored' but accessed with '$spec' — " +
-          "mismatched parameters silently miss duplicates; rebuild or use the " +
-          "original parameters")
-    } else if (writeIfMissing) writeIndexSpec(df, dir, spec)
-  }
+      writeIfMissing: Boolean = false): Unit =
+    graft.ops.IndexSpec.check(df, dir, spec, writeIfMissing)
 
   /** Drop every row of `df` (a NEW batch) that is a MinHash near-duplicate
     * (signature-estimated Jaccard ≥ threshold) of any document in the

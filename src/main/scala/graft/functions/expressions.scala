@@ -637,6 +637,73 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
 }
 
+/** Indices of the `n` nearest centroids ordered by (squared L2 asc,
+  * index asc) — the multi-probe sibling of [[NearestCentroid]] (whose
+  * element 0 it reproduces by the same strict-< first-min tie rule).
+  * Same exact arithmetic and same fail-fast dimension guard. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(centroids.nonEmpty, "at least one centroid required")
+  require(centroids.forall(_.length == centroids.head.length),
+    "all centroids must share a dimension")
+  require(n >= 1 && n <= centroids.length,
+    s"n must be in [1, ${centroids.length}]: $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val et = VecOps.elemType(child)
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  def compute(x: ArrayData): ArrayData = {
+    val k = cents.length
+    if (x.numElements() != cents(0).length) {
+      throw new IllegalArgumentException(
+        s"nearest_centroids: vector dimension ${x.numElements()} does not " +
+          s"match centroid dimension ${cents(0).length}")
+    }
+    val keptIdx = new Array[Int](n)
+    val keptDist = new Array[Double](n)
+    var kept = 0
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val dim = cent.length
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val d = VecOps.get(x, et, i) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      // insert at the first kept position with a STRICTLY larger dist:
+      // equal distances keep the earlier index first (idx-asc ties, the
+      // NearestCentroid rule)
+      if (kept < n || acc < keptDist(kept - 1)) {
+        var p = kept
+        while (p > 0 && keptDist(p - 1) > acc) p -= 1
+        val last = math.min(kept, n - 1)
+        var j = last
+        while (j > p) { keptIdx(j) = keptIdx(j - 1); keptDist(j) = keptDist(j - 1); j -= 1 }
+        keptIdx(p) = c
+        keptDist(p) = acc
+        if (kept < n) kept += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      keptIdx.map(i => i: Any))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
+}
+
 /** Column-level wrappers. */
 object exprs {
   def tokenize(text: Column): Column =
@@ -666,4 +733,7 @@ object exprs {
   /** struct(idx, dist) of the nearest centroid (squared L2, first-min). */
   def nearest_centroid(a: Column, centroids: Seq[Seq[Double]]): Column =
     SparkInternals.wrap(NearestCentroid(SparkInternals.unwrap(a), centroids))
+  /** indices of the n nearest centroids, (squared-L2 asc, index asc). */
+  def nearest_centroids(a: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    SparkInternals.wrap(NearestCentroids(SparkInternals.unwrap(a), centroids, n))
 }

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions.tokens
+
+/** Materialized full-text serving index — the search twin of the
+  * MinHash / fingerprint / IVFADC serving indexes (`graft.dedup.Dedup`,
+  * `graft.ann.Ann`): tokenize the corpus ONCE at build, serve keyword
+  * search and BM25 forever after from the stored posting lists, and
+  * grow by appending batches whose postings are computed batch-side
+  * only (the corpus text is never re-read).
+  *
+  * Layout (the segment recipe of every production search engine):
+  *   - `postings/`: (term, chunk_idx, postings: array<struct<doc_id, tf>>)
+  *     — chunk_idx = doc_id DIV chunkSize is VALUE-derived (the chunked
+  *     invertedIndex discipline): no row holds more than chunkSize
+  *     entries (a stop-word term at 100 TB is many bounded rows, not one
+  *     straggler), and a NEW batch's doc-id range lands in NEW chunks,
+  *     so append never rewrites existing rows. Files are repartitioned +
+  *     sorted by term so a `term IN (...)` probe prunes row groups via
+  *     parquet min/max stats.
+  *   - `doclens/`: (doc_id, len) — the BM25 length normalizer; also
+  *     metadata for N and avgdl, recomputed at probe time so append
+  *     keeps scoring exact (stored aggregates would go stale).
+  *
+  * Scoring parity is structural: [[bm25Index]] feeds the STORED tf/len
+  * tables through the same `Tfidf.bm25From` body that scores from raw
+  * text, so index-served BM25 is bit-identical to a from-scratch run
+  * over the same corpus — and stays exact after any number of appends.
+  * The `_index_spec` guard pins `chunkSize` (mismatched chunk arithmetic
+  * would interleave differently-sized chunks; the analyzer is the fixed
+  * [[TextFunctions.tokens]]).
+  */
+object SearchIndex {
+
+  private def spec(chunkSize: Int) = s"search chunkSize=$chunkSize"
+
+  /** Build the index at `dir` (overwrite). One tokenize pass; postings
+    * and doc lengths derive from a shared checkpointed token table. */
+  def buildSearchIndex(
+      docs: DataFrame, id: Column, text: Column, dir: String,
+      chunkSize: Int = 1 << 16): Unit =
+    writeSearchIndex(docs, id, text, dir, "overwrite", chunkSize)
+
+  /** Append a NEW batch of documents. Only the batch is tokenized; its
+    * chunks land next to the stored ones. Batch doc_ids must be fresh
+    * (re-ingesting an id double-counts it, as in every serving index
+    * here — dedup upstream). */
+  def appendToSearchIndex(
+      docs: DataFrame, id: Column, text: Column, dir: String,
+      chunkSize: Int = 1 << 16): Unit =
+    writeSearchIndex(docs, id, text, dir, "append", chunkSize)
+
+  private def writeSearchIndex(
+      docs: DataFrame, id: Column, text: Column, dir: String, mode: String,
+      chunkSize: Int): Unit = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    // spec ordering discipline shared with the other serving indexes:
+    // overwrite drops the spec before data and rewrites it after;
+    // append verifies upfront (healing pre-spec indexes)
+    if (mode == "overwrite") graft.ops.IndexSpec.delete(docs, dir)
+    else graft.ops.IndexSpec.check(docs, dir, spec(chunkSize), writeIfMissing = true)
+    val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .localCheckpoint(eager = false)
+    base.select(col("doc_id"), size(col("__toks")).as("len"))
+      .write.mode(mode).parquet(s"$dir/doclens")
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("chunk_idx"))
+      .write.mode(mode).parquet(s"$dir/postings")
+    if (mode == "overwrite") graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
+  }
+
+  /** The stored (doc_id, term, tf) rows for the given terms — postings
+    * read with a term-IN filter (row-group pruned), exploded. */
+  private def tfFor(
+      spark: SparkSession, dir: String, terms: Seq[String],
+      chunkSize: Int): DataFrame = {
+    graft.ops.IndexSpec.check(spark, dir, spec(chunkSize), writeIfMissing = false)
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), explode(col("postings")).as("__p"))
+      .select(col("__p.doc_id").as("doc_id"), col("term"), col("__p.tf").as("tf"))
+  }
+
+  /** Conjunctive (AND) keyword search served from the index — row-for-row
+    * what [[TextFunctions.searchAll]] answers from raw text. */
+  def searchIndexAll(
+      spark: SparkSession, dir: String, terms: Seq[String],
+      chunkSize: Int = 1 << 16): DataFrame = {
+    require(terms.nonEmpty, "at least one search term required")
+    val distinct = terms.distinct
+    tfFor(spark, dir, terms, chunkSize)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === distinct.size)
+      .select(col("doc_id"))
+  }
+
+  /** BM25 served from the index — bit-identical to [[Tfidf.bm25]] over
+    * the same corpus (shared scoring body, exact stored statistics). */
+  def bm25Index(
+      spark: SparkSession, dir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      chunkSize: Int = 1 << 16): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    val lens = spark.read.parquet(s"$dir/doclens")
+      .select(col("doc_id"), col("len").as("__len"))
+    Tfidf.bm25From(tfFor(spark, dir, terms, chunkSize), lens, k1, b)
+  }
+}

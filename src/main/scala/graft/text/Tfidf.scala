@@ -164,10 +164,22 @@ object Tfidf {
       .filter(col("term").isin(distinct: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
+    bm25From(tfQ, lens, k1, b)
+  }
+
+  /** BM25 scoring from its two sufficient statistics tables —
+    * `tfQ` (doc_id, term, tf) restricted to the query terms and `lens`
+    * (doc_id, __len) over the WHOLE corpus. Shared by [[bm25]] (which
+    * derives both from the raw text) and
+    * [[graft.text.SearchIndex.bm25Index]] (which reads them from the
+    * materialized index) — one scoring body, so the two paths cannot
+    * drift. */
+  private[text] def bm25From(
+      tfQ: DataFrame, lens: DataFrame, k1: Double, b: Double): DataFrame = {
     val dfT = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // exact-integer token sum / doc count: avg() would fold doubles in
     // partition order; integer sums are order-independent on any engine
-    val consts = base.agg(count(lit(1)).as("__n"))
+    val consts = lens.agg(count(lit(1)).as("__n"))
       .crossJoin(broadcast(lens.agg(
         (sum(col("__len")).cast("double") / count(lit(1)).cast("double"))
           .as("__avgdl"))))

@@ -791,6 +791,71 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 4L, 2L, 0.5), (2L, 3L, 3L, 1.0), (3L, 1L, 1L, 1.0)))
   }
 
+  test("search index: incremental build+append serves search and BM25 " +
+      "identically to from-scratch runs; spec guard") {
+    val docs = Seq(
+      (0L, "spark window spark join"), (1L, "window functions in spark"),
+      (2L, "nothing relevant here"), (3L, "spark only"),
+      (4L, "window only window"), (5L, "spark window again")
+    ).toDF("id", "txt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidx").toString
+    graft.text.SearchIndex.buildSearchIndex(
+      docs.filter($"id" % 2 === 0), col("id"), col("txt"), dir, chunkSize = 2)
+    graft.text.SearchIndex.appendToSearchIndex(
+      docs.filter($"id" % 2 === 1), col("id"), col("txt"), dir, chunkSize = 2)
+    val terms = Seq("spark", "window")
+    // search parity with the raw-text path over the SAME corpus
+    val fromIdx = graft.text.SearchIndex.searchIndexAll(spark, dir, terms,
+      chunkSize = 2).as[Long].collect().sorted.toSeq
+    val scratch = graft.text.TextFunctions.searchAll(
+      docs, col("id"), col("txt"), terms).as[Long].collect().sorted.toSeq
+    assert(fromIdx == scratch && fromIdx == Seq(0L, 1L, 5L))
+    // BM25 parity: shared scoring body + exact stored stats ⇒ identical
+    val bIdx = graft.text.SearchIndex.bm25Index(spark, dir, terms, chunkSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bRaw = graft.text.Tfidf.bm25(docs, col("id"), col("txt"), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bIdx == bRaw && bIdx.nonEmpty)
+    // chunk bound honored: no postings row exceeds chunkSize entries
+    val maxLen = spark.read.parquet(s"$dir/postings")
+      .agg(max(size($"postings"))).head.getInt(0)
+    assert(maxLen <= 2)
+    // probing or appending with a different chunkSize → must throw
+    val e = intercept[IllegalArgumentException] {
+      graft.text.SearchIndex.searchIndexAll(spark, dir, terms, chunkSize = 8)
+    }
+    assert(e.getMessage.contains("mismatched parameters"))
+  }
+
+  test("pageRank: exact integer recurrence on a hand-computed cycle") {
+    // 0→{1,2}, 1→2, 2→0; N=3, scale 1e9:
+    //   r0 = 333333333, base = 50000000
+    //   contribs: 0 sends 166666666 to each of 1,2; 1 sends 333333333; 2 sends 333333333
+    //   r1(0) = 50000000 + (85·333333333)//100 = 333333333
+    //   r1(1) = 50000000 + (85·166666666)//100 = 191666666
+    //   r1(2) = 50000000 + (85·(166666666+333333333))//100 = 474999999
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("s", "d")
+    val r1 = graft.ops.Graph.pageRank(e, $"s", $"d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(0L -> 333333333L, 1L -> 191666666L, 2L -> 474999999L))
+    // floor-division leak: total mass stays ≤ scale and shrinks
+    val r5 = graft.ops.Graph.pageRank(e, $"s", $"d", iters = 5)
+      .agg(sum($"rank")).head.getLong(0)
+    assert(r5 <= 1000000000L && r5 >= 900000000L)
+  }
+
+  test("pageRank: no-in-edge node holds exactly base; runs are deterministic") {
+    // 0→1, 1→2, 2→1: node 0 receives nothing → rank = base = 50000000
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("s", "d")
+    def run() = graft.ops.Graph.pageRank(e, $"s", $"d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a(0L) == 50000000L)
+    assert(a == run())
+    // the 1↔2 loop holds the remaining mass; both above base
+    assert(a(1L) > 50000000L && a(2L) > 50000000L)
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()

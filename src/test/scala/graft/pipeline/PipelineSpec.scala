@@ -622,6 +622,114 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept2 == 0L)
   }
 
+  test("nearest_centroids kernel: ordering, ties, head parity, dim guard") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 0.0))
+    val df = Seq((0L, Seq(0.001f, 0.0f)), (1L, Seq(0.009f, 0.0f))).toDF("id", "v")
+    // milli domain: (1,0) and (9,0) → dists to cents (0..3):
+    //   id 0: 1, ~81e3.., ... nearest order 0, then 1 and 3 tie → idx asc
+    val out = df.select($"id", graft.functions.exprs.nearest_centroids(
+        graft.ann.Ann.quantizeMilli($"v"), cents, 4).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) == Seq(0, 1, 3, 2) || out(0L) == Seq(0, 2, 1, 3))
+    // exact check by brute force
+    def brute(v: Seq[Double], n: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(identity).take(n).map(_._2)
+    for (idRow <- Seq((0L, Seq(1.0, 0.0)), (1L, Seq(9.0, 0.0)))) {
+      assert(out(idRow._1) == brute(idRow._2, 4), s"id ${idRow._1}")
+    }
+    // element 0 always equals the single-nearest kernel
+    val both = df.select(
+      graft.functions.exprs.nearest_centroids(
+        graft.ann.Ann.quantizeMilli($"v"), cents, 2).getItem(0).as("a"),
+      graft.functions.exprs.nearest_centroid(
+        graft.ann.Ann.quantizeMilli($"v"), cents).getField("idx").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(both == 0)
+    // dimension mismatch fails fast
+    val e = intercept[Exception] {
+      Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+        .select(graft.functions.exprs.nearest_centroids(
+          graft.ann.Ann.quantizeMilli($"v"), cents, 2)).collect()
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
+  test("knnJoin: full-probe equals brute force; nprobe=1 stays in-cluster") {
+    // two planted clusters; cluster A ids 0-5, cluster B ids 10-15
+    val rows =
+      (0 until 6).map(i => (i.toLong, Seq(1.0f + i * 0.01f, 0.0f))) ++
+      (10 until 16).map(i => (i.toLong, Seq(0.0f, 1.0f + i * 0.01f)))
+    val df = rows.toDF("id", "v")
+    // explicit milli-domain centroids (as kmeansFit returns them) pin the
+    // blocking: cell 0 = cluster A, cell 1 = cluster B
+    val cents = Seq(Seq(1000.0, 0.0), Seq(0.0, 1000.0))
+    // probing every cell makes the blocking exhaustive → brute-force parity
+    val knn = Ann.knnJoin(df, col("id"), col("v"), cents, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    for ((qid, qv) <- rows) {
+      val exact = rows.filter(_._1 != qid).map { case (nid, nv) =>
+        val dot = qv.zip(nv).map { case (a, b) => a.toDouble * b }.sum
+        val na = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(nv.map(x => x.toDouble * x).sum)
+        (BigDecimal(dot / (na * nb)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, nid)
+      }.sortBy { case (c, nid) => (-c, nid) }.take(3).map(_._2)
+      exact.zipWithIndex.foreach { case (nid, i) =>
+        assert(knn((qid, i + 1)) == nid, s"query $qid rank ${i + 1}")
+      }
+    }
+    // nprobe=1: every neighbor comes from the query's own cluster
+    val one = Ann.knnJoin(df, col("id"), col("v"), cents, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.nonEmpty)
+    assert(one.forall { case (a, b) => (a < 6) == (b < 6) })
+  }
+
+  test("ivfpq index: incremental build+append equals one-shot; spec guard") {
+    // 12 vectors, dim 8 → cells=4, m=2, codebookK=4 (dim % m == 0)
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 31 + j * 7) % 13 - 6) / 3.0f))
+    }.toDF("id", "v")
+    val q = vecs.filter($"id" === 0).head.getSeq[Float](1).map(_.toDouble)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-ivfpq1").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
+    Ann.buildIvfPqIndex(vecs, col("id"), col("v"), oneShot,
+      dim = 8, cells = 4, m = 2, codebookK = 4)
+    Ann.buildIvfPqIndex(vecs.filter($"id" % 2 === 0), col("id"), col("v"),
+      incr, dim = 8, cells = 4, m = 2, codebookK = 4)
+    Ann.appendToIvfPqIndex(vecs.filter($"id" % 2 === 1), col("id"), col("v"),
+      incr, dim = 8, cells = 4, m = 2, codebookK = 4)
+    def top(dir: String) = Ann.queryIvfPqIndex(spark, dir, q, k = 5,
+        cells = 4, nprobe = 4, m = 2, codebookK = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // deterministic codebooks ⇒ batch-encoded codes identical to one-shot
+    assert(top(incr) == top(oneShot))
+    assert(top(incr).nonEmpty)
+    // probing with different codebook parameters silently changes the
+    // distance space → must throw
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.queryIvfPqIndex(spark, incr, q, k = 5,
+        cells = 4, nprobe = 2, m = 4, codebookK = 4)
+    }
+    assert(e1.getMessage.contains("mismatched parameters"))
+    // appending under a different seed → must throw
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfPqIndex(vecs, col("id"), col("v"), incr,
+        dim = 8, cells = 4, m = 2, codebookK = 4, seed = 7L)
+    }
+    assert(e2.getMessage.contains("mismatched parameters"))
+    // pre-guard index (no spec file): probe accepted, append heals it
+    val specFile = new java.io.File(incr, "_index_spec")
+    assert(specFile.exists())
+    specFile.delete()
+    assert(top(incr) == top(oneShot)) // no spec = no check
+    Ann.appendToIvfPqIndex(spark.emptyDataset[(Long, Seq[Float])].toDF("id", "v"),
+      col("id"), col("v"), incr, dim = 8, cells = 4, m = 2, codebookK = 4)
+    assert(specFile.exists()) // healed
+  }
+
   test("serving indexes reject mismatched build/probe parameters") {
     val docs = Seq((0L, "a b c d e"), (2L, "f g h i j"), (1L, "k l m n o"))
       .toDF("id", "txt")
