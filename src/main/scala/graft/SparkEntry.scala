@@ -1756,6 +1756,21 @@ object SparkEntry {
         .orderBy($"vec_id", $"nn_rank")
     }),
 
+    // Two-table retrieval: the odd-id half as the query set, the even-id
+    // half as the embedded corpus — each query's 3 nearest corpus
+    // vectors through the same cell blocking as the self-join.
+    "q_ann_knn_retrieve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 2)
+      graft.ann.Ann.knnJoinAgainst(
+          emb.filter($"vec_id" % 2 === 1), $"vec_id", $"embedding",
+          emb.filter($"vec_id" % 2 === 0), $"vec_id", $"embedding",
+          cents, k = 3, nprobe = 2)
+        .orderBy($"vec_id", $"nn_rank")
+    }),
+
     // SemDeDup-companion prototypicality pruning: the 5 farthest vectors
     // per k-means cluster (off-distribution candidates a curation pass
     // cuts). Assignment is the map-side codegen'd kernel; the only
@@ -2039,6 +2054,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Streaming search-index ingest: 4 ranged micro-batches, each
+    // appending its posting chunks batch-side; the grown index then
+    // serves the standard conjunctive query — identical to a one-shot
+    // build, so it shares q_text_search's oracle.
+    "q_stream_searchingest" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_searchingest")
+      graft.streaming.Streaming.searchIngest(s, dir, work,
+          terms = Seq("spark", "window"), nBatches = 4)
+        .orderBy($"doc_id")
+    }),
+
     // Rolling 1-hour per-user window via a RANGE frame on event time —
     // the numeric-range formulation both engines evaluate identically.
     "q_window_range" -> ((s, dir) => {
@@ -2316,6 +2343,38 @@ object SparkEntry {
       |FROM tfq q JOIN dft d ON q.term = d.term
       |  JOIN lens l ON q.doc_id = l.doc_id CROSS JOIN c
       |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin
+
+  /** Replay of [[graft.ann.Ann.knnJoinAgainst]] (and the self-join
+    * specialization): shared k-means centroid chain, both cell
+    * assignments (data rn=1, probe rn<=nprobe by (dist, cell)), the cell
+    * equi-join and the rounded-cosine rank order. `probeWhere` /
+    * `dataWhere` restrict the two sides (empty = self-join). */
+  private def knnJoinSql(
+      topK: Int, probeWhere: String = "", dataWhere: String = ""): String =
+    "WITH " + kmeansCentsSql(k = 8, dim = 64, iters = 2) +
+      s"""dists AS (SELECT v.vec_id, c2.c,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (v.q[i] - c2.cent[i]) * (v.q[i] - c2.cent[i]))) AS d
+        |  FROM v, c2),
+        |cellr AS (SELECT vec_id, c,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+        |e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+        |n AS (SELECT vec_id, ev,
+        |  sqrt(list_sum(list_transform(ev, x -> x * x))) AS nm FROM e),
+        |cand AS (SELECT p.vec_id AS vec_id, d.vec_id AS neighbor_id
+        |  FROM (SELECT vec_id, c FROM cellr WHERE rn <= 2 $probeWhere) p
+        |  JOIN (SELECT vec_id, c FROM cellr WHERE rn = 1 $dataWhere) d
+        |  ON p.c = d.c AND p.vec_id <> d.vec_id),
+        |cos AS (SELECT cand.vec_id, cand.neighbor_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> a.ev[i] * b.ev[i])) /
+        |    greatest(a.nm * b.nm, 1e-12), 6) AS cosine
+        |  FROM cand JOIN n a ON cand.vec_id = a.vec_id
+        |  JOIN n b ON cand.neighbor_id = b.vec_id)
+        |SELECT vec_id, neighbor_id, cosine, nn_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, neighbor_id) AS nn_rank FROM cos)
+        |WHERE nn_rank <= $topK ORDER BY vec_id, nn_rank""".stripMargin
 
   /** Unrolled replay of [[graft.ops.Graph.pageRank]] over the
     * doc_id-arithmetic link fixture: every division is a floor over
@@ -3511,30 +3570,11 @@ object SparkEntry {
     // replay the fit (shared centroid chain), then BOTH cell assignments
     // (data rn=1, probe rn<=2 by (dist, cell)), the cell equi-join, the
     // exact cosine, and the rounded-cosine rank order
-    "q_ann_knn_join" -> ("WITH " + kmeansCentsSql(k = 8, dim = 64, iters = 2) +
-      """dists AS (SELECT v.vec_id, c2.c,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> (v.q[i] - c2.cent[i]) * (v.q[i] - c2.cent[i]))) AS d
-        |  FROM v, c2),
-        |cellr AS (SELECT vec_id, c,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
-        |e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
-        |n AS (SELECT vec_id, ev,
-        |  sqrt(list_sum(list_transform(ev, x -> x * x))) AS nm FROM e),
-        |cand AS (SELECT p.vec_id AS vec_id, d.vec_id AS neighbor_id
-        |  FROM (SELECT vec_id, c FROM cellr WHERE rn <= 2) p
-        |  JOIN (SELECT vec_id, c FROM cellr WHERE rn = 1) d
-        |  ON p.c = d.c AND p.vec_id <> d.vec_id),
-        |cos AS (SELECT cand.vec_id, cand.neighbor_id,
-        |  round(list_sum(list_transform(range(1, 65), i -> a.ev[i] * b.ev[i])) /
-        |    greatest(a.nm * b.nm, 1e-12), 6) AS cosine
-        |  FROM cand JOIN n a ON cand.vec_id = a.vec_id
-        |  JOIN n b ON cand.neighbor_id = b.vec_id)
-        |SELECT vec_id, neighbor_id, cosine, nn_rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cosine DESC, neighbor_id) AS nn_rank FROM cos)
-        |WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""".stripMargin),
+    "q_ann_knn_join" -> knnJoinSql(topK = 3),
+    // retrieval = the same replay with the probe side restricted to the
+    // odd-id half and the corpus side to the even-id half
+    "q_ann_knn_retrieve" -> knnJoinSql(topK = 3,
+      probeWhere = "AND vec_id % 2 = 1", dataWhere = "AND vec_id % 2 = 0"),
     "q_ann_outliers" -> outliersSql(k = 8, dim = 64, iters = 2, n = 5),
     "q_ann_classify" ->
       """WITH v AS (SELECT vec_id,
@@ -3874,6 +3914,8 @@ object SparkEntry {
     // doc; k_i = s_i minus docs similar to a smaller doc within s_i.
     // Similarity = exact 3-shingle Jaccard >= 0.5 (j has ida < idb, and
     // ranged buckets make every cross-batch pair ida-first).
+    // the streamed index serves the same conjunctive query: one oracle
+    "q_stream_searchingest" -> textSearchSql,
     "q_stream_neardedup" -> {
       val prelude =
         """WITH t AS (SELECT doc_id,

@@ -328,16 +328,35 @@ object Ann {
       vec: Column,
       centroidsMilli: Seq[Seq[Double]],
       k: Int,
+      nprobe: Int = 2): DataFrame =
+    knnJoinAgainst(df, id, vec, df, id, vec, centroidsMilli, k, nprobe)
+
+  /** Two-table retrieval form of [[knnJoin]]: each QUERY vector's `k`
+    * nearest CORPUS vectors — the batch-retrieval shape (score a query
+    * set against an embedded corpus) the self-join specializes. Same
+    * blocking (corpus 1 cell, queries nprobe cells), same rounded-cosine
+    * rank order; a corpus row sharing a query's id is excluded (which is
+    * exactly the self-exclusion in the self-join case). */
+  def knnJoinAgainst(
+      queries: DataFrame,
+      qId: Column,
+      qVec: Column,
+      corpus: DataFrame,
+      cId: Column,
+      cVec: Column,
+      centroidsMilli: Seq[Seq[Double]],
+      k: Int,
       nprobe: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(nprobe >= 1 && nprobe <= centroidsMilli.length,
       s"nprobe must be in [1, ${centroidsMilli.length}]")
-    val data = df.select(
-      nearestCentroid(quantizeMilli(vec), centroidsMilli).as("__c"),
-      id.as("neighbor_id"), vec.as("__vb"), norm(vec).as("__nb"))
-    val probes = df.select(id.as("vec_id"), vec.as("__va"), norm(vec).as("__na"),
+    val data = corpus.select(
+      nearestCentroid(quantizeMilli(cVec), centroidsMilli).as("__c"),
+      cId.as("neighbor_id"), cVec.as("__vb"), norm(cVec).as("__nb"))
+    val probes = queries.select(qId.as("vec_id"), qVec.as("__va"),
+        norm(qVec).as("__na"),
         explode(graft.functions.exprs.nearest_centroids(
-          quantizeMilli(vec), centroidsMilli, nprobe)).as("__c"))
+          quantizeMilli(qVec), centroidsMilli, nprobe)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(data, Seq("__c"))
@@ -345,7 +364,7 @@ object Ann {
       .select(col("vec_id"), col("neighbor_id"),
         round(dot(col("__va"), col("__vb")) /
           greatest(col("__na") * col("__nb"), lit(1e-12)), 6).as("cosine"))
-      // no dedup needed: the data side holds each vector in exactly ONE
+      // no dedup needed: the corpus side holds each vector in exactly ONE
       // cell and the probe cells are distinct, so a (vec_id, neighbor_id)
       // pair meets at most once
       .withColumn("nn_rank", row_number().over(w))

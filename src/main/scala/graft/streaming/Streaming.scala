@@ -314,25 +314,19 @@ object Streaming {
     * increasing mtimes.
     *
     * @return the kept documents (read back from the output table) */
-  def nearDedupIngest(
-      parent: SparkSession, dir: String, workDir: String,
-      nBatches: Int = 4,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.5,
-      statePartitions: Int = 8): DataFrame = {
-    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
-    val spark = streamingSession(parent, statePartitions)
+  /** Stage `docs` as `nBatches` ranged doc_id slices under
+    * `workDir/staged`, one parquet file per slice with strictly
+    * increasing mtimes so the file stream source replays arrival order.
+    * Returns None on an empty corpus. Shared by the ingest shapes. */
+  private def stageRangedSlices(
+      spark: SparkSession, docs: DataFrame, workDir: String,
+      nBatches: Int): Option[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val workPath = new org.apache.hadoop.fs.Path(workDir)
     val fs = workPath.getFileSystem(hconf)
     if (fs.exists(workPath)) fs.delete(workPath, true)
-    // eager checkpoint: the max-id probe plus the nBatches bucket writes
-    // otherwise re-scan the source once each
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      .localCheckpoint()
     val maxIdRow = docs.agg(max(col("doc_id"))).head
-    if (maxIdRow.isNullAt(0)) return docs.limit(0) // empty corpus: nothing to ingest
+    if (maxIdRow.isNullAt(0)) return None // empty corpus: nothing to ingest
     val maxId = maxIdRow.getLong(0)
     val slice = maxId / nBatches + 1 // ids 0..maxId → buckets 0..nBatches-1
     val staged = s"$workDir/staged"
@@ -346,6 +340,26 @@ object Streaming {
       fs.rename(part, dst)
       // strictly increasing mtimes: the file source replays arrival order
       fs.setTimes(dst, 60000L * (b + 1), -1)
+    }
+    Some(staged)
+  }
+
+  def nearDedupIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    // eager checkpoint: the max-id probe plus the nBatches bucket writes
+    // otherwise re-scan the source once each
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None => return docs.limit(0)
+      case Some(s) => s
     }
     val outDir = s"$workDir/kept"
     val idxDir = s"$workDir/minhash_index"
@@ -383,6 +397,49 @@ object Streaming {
     // explicit schema: a degenerate run whose batches all deduped to
     // nothing leaves only _SUCCESS markers to read
     spark.read.schema(docs.schema).parquet(outDir)
+  }
+
+  /** Streaming SEARCH-INDEX ingest: ranged document slices arrive as
+    * separate micro-batches (file source, mtime-pinned order) and each
+    * batch APPENDS its posting-list chunks and doc lengths to the
+    * materialized [[graft.text.SearchIndex]] — only the batch is
+    * tokenized (append on a fresh dir is the build: the spec guard heals
+    * the first batch), the stored corpus is never re-read, and
+    * chunk_idx = doc_id DIV chunkSize keeps every batch's chunks
+    * disjoint from the stored ones. After all batches the index serves
+    * queries identically to a one-shot build over the whole corpus, so
+    * the returned index-served conjunctive search shares the
+    * from-scratch oracle. */
+  def searchIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      terms: Seq[String],
+      nBatches: Int = 4,
+      chunkSize: Int = 1 << 16,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None => return docs.select(col("doc_id")).limit(0)
+      case Some(s) => s
+    }
+    val idxDir = s"$workDir/search_index"
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        graft.text.SearchIndex.appendToSearchIndex(
+          batch, col("doc_id"), col("text"), idxDir, chunkSize)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.text.SearchIndex.searchIndexAll(spark, idxDir, terms, chunkSize)
   }
 
   /** Gap-based sessionization, batch formulation: a new session starts

@@ -685,6 +685,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(one.nonEmpty)
     assert(one.forall { case (a, b) => (a < 6) == (b < 6) })
+    // two-table retrieval: odd ids query the even-id corpus; with every
+    // cell probed this is exhaustive, so neighbors are exactly the
+    // brute-force top-k among EVEN ids only
+    val ret = Ann.knnJoinAgainst(
+        df.filter(col("id") % 2 === 1), col("id"), col("v"),
+        df.filter(col("id") % 2 === 0), col("id"), col("v"),
+        cents, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    for ((qid, qv) <- rows if qid % 2 == 1) {
+      val exact = rows.filter(r => r._1 % 2 == 0).map { case (nid, nv) =>
+        val dot = qv.zip(nv).map { case (a, b) => a.toDouble * b }.sum
+        val na = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(nv.map(x => x.toDouble * x).sum)
+        (BigDecimal(dot / (na * nb)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, nid)
+      }.sortBy { case (c, nid) => (-c, nid) }.take(2).map(_._2)
+      exact.zipWithIndex.foreach { case (nid, i) =>
+        assert(ret((qid, i + 1)) == nid, s"retrieval query $qid rank ${i + 1}")
+      }
+    }
   }
 
   test("ivfpq index: incremental build+append equals one-shot; spec guard") {

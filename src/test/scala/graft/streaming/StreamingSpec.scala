@@ -199,5 +199,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.contains(0L) && streamed.contains(1L) && streamed.contains(3L))
   }
 
+  test("streaming search ingest grows the index to one-shot parity") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft-searching").toString
+    val docs = Seq(
+      0L -> "spark window functions", 1L -> "spark alone",
+      2L -> "window alone", 3L -> "nothing at all",
+      4L -> "spark and window again", 5L -> "window spark inverted",
+      6L -> "last plain row", 7L -> "spark window trailer"
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val streamed = Streaming.searchIngest(spark, fixture, s"$fixture/work",
+        terms = Seq("spark", "window"), nBatches = 4, chunkSize = 2)
+      .as[Long].collect().sorted.toSeq
+    // parity with the raw-text path AND the expected hit set
+    val scratch = graft.text.TextFunctions.searchAll(
+      docs, $"doc_id", $"text", Seq("spark", "window"))
+      .as[Long].collect().sorted.toSeq
+    assert(streamed == scratch && streamed == Seq(0L, 4L, 5L, 7L))
+    // BM25 over the streamed index equals the from-scratch run too
+    val bIdx = graft.text.SearchIndex.bm25Index(spark,
+        s"$fixture/work/search_index", Seq("spark", "window"), chunkSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bRaw = graft.text.Tfidf.bm25(docs, $"doc_id", $"text",
+        Seq("spark", "window"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bIdx == bRaw)
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }
