@@ -2348,9 +2348,11 @@ object SparkEntry {
     * specialization): shared k-means centroid chain, both cell
     * assignments (data rn=1, probe rn<=nprobe by (dist, cell)), the cell
     * equi-join and the rounded-cosine rank order. `probeWhere` /
-    * `dataWhere` restrict the two sides (empty = self-join). */
+    * `dataWhere` restrict the two sides (empty = self-join, which also
+    * sets `excludeSame` — the operator's excludeSameId). */
   private def knnJoinSql(
-      topK: Int, probeWhere: String = "", dataWhere: String = ""): String =
+      topK: Int, nprobe: Int, excludeSame: Boolean,
+      probeWhere: String = "", dataWhere: String = ""): String =
     "WITH " + kmeansCentsSql(k = 8, dim = 64, iters = 2) +
       s"""dists AS (SELECT v.vec_id, c2.c,
         |  list_sum(list_transform(range(1, 65),
@@ -2363,9 +2365,9 @@ object SparkEntry {
         |n AS (SELECT vec_id, ev,
         |  sqrt(list_sum(list_transform(ev, x -> x * x))) AS nm FROM e),
         |cand AS (SELECT p.vec_id AS vec_id, d.vec_id AS neighbor_id
-        |  FROM (SELECT vec_id, c FROM cellr WHERE rn <= 2 $probeWhere) p
+        |  FROM (SELECT vec_id, c FROM cellr WHERE rn <= $nprobe $probeWhere) p
         |  JOIN (SELECT vec_id, c FROM cellr WHERE rn = 1 $dataWhere) d
-        |  ON p.c = d.c AND p.vec_id <> d.vec_id),
+        |  ON p.c = d.c${if (excludeSame) " AND p.vec_id <> d.vec_id" else ""}),
         |cos AS (SELECT cand.vec_id, cand.neighbor_id,
         |  round(list_sum(list_transform(range(1, 65), i -> a.ev[i] * b.ev[i])) /
         |    greatest(a.nm * b.nm, 1e-12), 6) AS cosine
@@ -3570,10 +3572,10 @@ object SparkEntry {
     // replay the fit (shared centroid chain), then BOTH cell assignments
     // (data rn=1, probe rn<=2 by (dist, cell)), the cell equi-join, the
     // exact cosine, and the rounded-cosine rank order
-    "q_ann_knn_join" -> knnJoinSql(topK = 3),
+    "q_ann_knn_join" -> knnJoinSql(topK = 3, nprobe = 2, excludeSame = true),
     // retrieval = the same replay with the probe side restricted to the
     // odd-id half and the corpus side to the even-id half
-    "q_ann_knn_retrieve" -> knnJoinSql(topK = 3,
+    "q_ann_knn_retrieve" -> knnJoinSql(topK = 3, nprobe = 2, excludeSame = false,
       probeWhere = "AND vec_id % 2 = 1", dataWhere = "AND vec_id % 2 = 0"),
     "q_ann_outliers" -> outliersSql(k = 8, dim = 64, iters = 2, n = 5),
     "q_ann_classify" ->

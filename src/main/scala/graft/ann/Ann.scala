@@ -329,14 +329,18 @@ object Ann {
       centroidsMilli: Seq[Seq[Double]],
       k: Int,
       nprobe: Int = 2): DataFrame =
-    knnJoinAgainst(df, id, vec, df, id, vec, centroidsMilli, k, nprobe)
+    knnJoinAgainst(df, id, vec, df, id, vec, centroidsMilli, k, nprobe,
+      excludeSameId = true)
 
   /** Two-table retrieval form of [[knnJoin]]: each QUERY vector's `k`
     * nearest CORPUS vectors — the batch-retrieval shape (score a query
     * set against an embedded corpus) the self-join specializes. Same
     * blocking (corpus 1 cell, queries nprobe cells), same rounded-cosine
-    * rank order; a corpus row sharing a query's id is excluded (which is
-    * exactly the self-exclusion in the self-join case). */
+    * rank order. `excludeSameId` drops corpus rows sharing the query's
+    * id — the self-join NEEDS it (a vector is trivially its own nearest
+    * neighbor) and [[knnJoin]] passes true; for independent id spaces it
+    * must stay false, or a corpus doc that merely collides with a query
+    * id would silently vanish from that query's top-k. */
   def knnJoinAgainst(
       queries: DataFrame,
       qId: Column,
@@ -346,7 +350,8 @@ object Ann {
       cVec: Column,
       centroidsMilli: Seq[Seq[Double]],
       k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      excludeSameId: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(nprobe >= 1 && nprobe <= centroidsMilli.length,
       s"nprobe must be in [1, ${centroidsMilli.length}]")
@@ -359,8 +364,9 @@ object Ann {
           quantizeMilli(qVec), centroidsMilli, nprobe)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(data, Seq("__c"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
+    val joined = probes.join(data, Seq("__c"))
+    (if (excludeSameId) joined.filter(col("vec_id") =!= col("neighbor_id"))
+     else joined)
       .select(col("vec_id"), col("neighbor_id"),
         round(dot(col("__va"), col("__vb")) /
           greatest(col("__na") * col("__nb"), lit(1e-12)), 6).as("cosine"))
@@ -733,16 +739,18 @@ object Ann {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val spec = ivfPqSpec(dim, cells, m, codebookK, seed)
     // same spec write-ordering discipline as the MinHash/fingerprint
-    // builders: overwrite drops the old spec before data, writes the new
-    // one after; append verifies (and heals pre-spec indexes) upfront
-    if (mode == "overwrite") graft.ops.IndexSpec.delete(df, dir)
-    else graft.ops.IndexSpec.check(df, dir, spec, writeIfMissing = true)
+    // builders: overwrite drops the old spec before data and writes the
+    // new one after; append verifies upfront but defers a missing spec's
+    // heal/build write until the data commits
+    val hadSpec =
+      if (mode == "overwrite") { graft.ops.IndexSpec.delete(df, dir); false }
+      else graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
     val cents = ivfCodebook(cells, dim, seed)
     val books = pqCodebooks(m, codebookK, dim / m, seed)
     df.select(id.as("vec_id"), ivfCell(vec, cents).as("cell"),
         pqEncode(vec, books).as("codes"))
       .write.mode(mode).partitionBy("cell").parquet(dir)
-    if (mode == "overwrite") graft.ops.IndexSpec.write(df, dir, spec)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
 
   /** Top-k over a [[buildIvfPqIndex]] table: probe-cell partition

@@ -178,13 +178,16 @@ object Dedup {
       shingleK: Int): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spec = s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK"
-    // overwrite: drop the old spec FIRST and write the new one only after
-    // both data writes commit — a build that dies mid-way leaves no spec,
-    // so a later probe under new parameters cannot silently pass the
-    // guard over stale-parameter data. Append: verify (and heal) upfront
-    // so a mismatch fails before any data is written.
-    if (mode == "overwrite") deleteIndexSpec(df, dir)
-    else checkIndexSpec(df, dir, spec, writeIfMissing = true)
+    // spec ordering (graft.ops.IndexSpec): overwrite drops the old spec
+    // FIRST and writes the new one only after both data writes commit —
+    // a build dying mid-way leaves no spec, so a later probe cannot
+    // silently pass the guard over stale/partial data. Append verifies
+    // upfront (mismatch fails before data is written) but DEFERS a
+    // missing spec's heal/build write until after the data commits, for
+    // the same crash guarantee.
+    val hadSpec =
+      if (mode == "overwrite") { graft.ops.IndexSpec.delete(df, dir); false }
+      else graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
     val rows = numHashes / bands
     val sig = df.select(id.as("doc_id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
@@ -194,21 +197,8 @@ object Dedup {
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
       .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
-    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
-
-  // ---- index spec guard (shared mechanism: graft.ops.IndexSpec) ------
-
-  private def deleteIndexSpec(df: DataFrame, dir: String): Unit =
-    graft.ops.IndexSpec.delete(df, dir)
-
-  private def writeIndexSpec(df: DataFrame, dir: String, spec: String): Unit =
-    graft.ops.IndexSpec.write(df, dir, spec)
-
-  private[dedup] def checkIndexSpec(
-      df: DataFrame, dir: String, spec: String,
-      writeIfMissing: Boolean = false): Unit =
-    graft.ops.IndexSpec.check(df, dir, spec, writeIfMissing)
 
   /** Drop every row of `df` (a NEW batch) that is a MinHash near-duplicate
     * (signature-estimated Jaccard ≥ threshold) of any document in the
@@ -230,7 +220,7 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    checkIndexSpec(df, dir,
+    graft.ops.IndexSpec.check(df, dir,
       s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK")
     val rows = numHashes / bands
     val sigDf = df.select(id.as("__id"),
@@ -376,8 +366,9 @@ object Dedup {
       s"maxDist must be in [1, 15]: $maxDist")
     val spec = s"fingerprint maxDist=$maxDist"
     // same spec ordering discipline as writeMinhashIndex
-    if (mode == "overwrite") deleteIndexSpec(df, dir)
-    else checkIndexSpec(df, dir, spec, writeIfMissing = true)
+    val hadSpec =
+      if (mode == "overwrite") { graft.ops.IndexSpec.delete(df, dir); false }
+      else graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
     val fp = df.select(id.as("doc_id"), fingerprint.as("fp"))
       .localCheckpoint(false)
     fp.write.mode(mode).parquet(s"$dir/fps")
@@ -386,7 +377,7 @@ object Dedup {
           .as(Seq("chunk", "val")))
       .select(col("chunk"), col("val"), col("doc_id"))
       .write.mode(mode).partitionBy("chunk").parquet(s"$dir/chunks")
-    if (mode == "overwrite") writeIndexSpec(df, dir, spec)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
 
   /** Drop every row of `df` (a NEW batch) whose fingerprint is within
@@ -405,7 +396,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 15,
       s"maxDist must be in [1, 15]: $maxDist")
-    checkIndexSpec(df, dir, s"fingerprint maxDist=$maxDist")
+    graft.ops.IndexSpec.check(df, dir, s"fingerprint maxDist=$maxDist")
     val fpDf = df.select(id.as("__id"), fingerprint.as("__fp"))
       .localCheckpoint(false)
     val newChunks = fpDf.select(col("__id"),

@@ -47,6 +47,22 @@ private[graft] object IndexSpec {
   def check(
       spark: SparkSession, dir: String, spec: String,
       writeIfMissing: Boolean): Unit = {
+    if (!checkReturningPresence(spark, dir, spec) && writeIfMissing)
+      write(spark, dir, spec)
+  }
+
+  /** Verify the stored spec if one exists and report whether it did.
+    * Append paths use this to DEFER the heal (or first-append build)
+    * spec write until after their data writes commit — writing the spec
+    * upfront on a fresh dir would leave a valid spec over partial data
+    * if the append dies mid-way, the exact silent-miss case the
+    * write-ordering discipline above exists to prevent. */
+  def checkReturningPresence(
+      df: DataFrame, dir: String, spec: String): Boolean =
+    checkReturningPresence(df.sparkSession, dir, spec)
+
+  def checkReturningPresence(
+      spark: SparkSession, dir: String, spec: String): Boolean = {
     val p = specPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
@@ -62,6 +78,7 @@ private[graft] object IndexSpec {
         s"index at $dir was built with '$stored' but accessed with '$spec' — " +
           "mismatched parameters silently miss duplicates; rebuild or use the " +
           "original parameters")
-    } else if (writeIfMissing) write(spark, dir, spec)
+      true
+    } else false
   }
 }

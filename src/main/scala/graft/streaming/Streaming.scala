@@ -295,25 +295,6 @@ object Streaming {
     parent.index.parquet(tableDir)
   }
 
-  /** STREAMING NEAR-DUPLICATE-FILTERED INGEST — the dedup-at-the-door
-    * shape a training-data pipeline runs on arriving crawl shards:
-    * documents stream in as files (one micro-batch per file, arrival
-    * order = file mtime), and each batch is (1) deduped against the
-    * MATERIALIZED MinHash index of everything kept so far
-    * ([[graft.dedup.Dedup.dedupAgainstIndex]] — the corpus text is never
-    * re-read), (2) deduped within itself ([[graft.dedup.Dedup.dedupMinhash]]
-    * — drop a doc that pairs with a smaller surviving id), then the kept
-    * docs append to the output table AND their signatures/band keys
-    * append to the index, so every later batch dedups against them.
-    *
-    * At 100 TB this is the shape that keeps ingest incremental: per batch
-    * the work is batch-sized signature computation + an equi-join against
-    * stored band keys (ids-only shuffle), never a corpus re-scan.
-    * Deterministic given the staged file order, which this harness pins
-    * by writing ranged slices (bucket = doc_id div slice) with strictly
-    * increasing mtimes.
-    *
-    * @return the kept documents (read back from the output table) */
   /** Stage `docs` as `nBatches` ranged doc_id slices under
     * `workDir/staged`, one parquet file per slice with strictly
     * increasing mtimes so the file stream source replays arrival order.
@@ -344,6 +325,25 @@ object Streaming {
     Some(staged)
   }
 
+  /** STREAMING NEAR-DUPLICATE-FILTERED INGEST — the dedup-at-the-door
+    * shape a training-data pipeline runs on arriving crawl shards:
+    * documents stream in as files (one micro-batch per file, arrival
+    * order = file mtime), and each batch is (1) deduped against the
+    * MATERIALIZED MinHash index of everything kept so far
+    * ([[graft.dedup.Dedup.dedupAgainstIndex]] — the corpus text is never
+    * re-read), (2) deduped within itself ([[graft.dedup.Dedup.dedupMinhash]]
+    * — drop a doc that pairs with a smaller surviving id), then the kept
+    * docs append to the output table AND their signatures/band keys
+    * append to the index, so every later batch dedups against them.
+    *
+    * At 100 TB this is the shape that keeps ingest incremental: per batch
+    * the work is batch-sized signature computation + an equi-join against
+    * stored band keys (ids-only shuffle), never a corpus re-scan.
+    * Deterministic given the staged file order, which this harness pins
+    * by writing ranged slices (bucket = doc_id div slice) with strictly
+    * increasing mtimes.
+    *
+    * @return the kept documents (read back from the output table) */
   def nearDedupIngest(
       parent: SparkSession, dir: String, workDir: String,
       nBatches: Int = 4,
@@ -404,9 +404,10 @@ object Streaming {
     * batch APPENDS its posting-list chunks and doc lengths to the
     * materialized [[graft.text.SearchIndex]] — only the batch is
     * tokenized (append on a fresh dir is the build: the spec guard heals
-    * the first batch), the stored corpus is never re-read, and
-    * chunk_idx = doc_id DIV chunkSize keeps every batch's chunks
-    * disjoint from the stored ones. After all batches the index serves
+    * the first batch), the stored corpus is never re-read, and append
+    * only ever adds bounded posting rows (a batch overlapping a stored
+    * chunk's doc range writes a second row for that (term, chunk_idx) —
+    * the probe paths aggregate across rows). After all batches the index serves
     * queries identically to a one-shot build over the whole corpus, so
     * the returned index-served conjunctive search shares the
     * from-scratch oracle. */

@@ -17,10 +17,14 @@ import graft.text.TextFunctions.tokens
   *     — chunk_idx = doc_id DIV chunkSize is VALUE-derived (the chunked
   *     invertedIndex discipline): no row holds more than chunkSize
   *     entries (a stop-word term at 100 TB is many bounded rows, not one
-  *     straggler), and a NEW batch's doc-id range lands in NEW chunks,
-  *     so append never rewrites existing rows. Files are repartitioned +
-  *     sorted by term so a `term IN (...)` probe prunes row groups via
-  *     parquet min/max stats.
+  *     straggler), and append only ever ADDS rows (parquet append —
+  *     existing files are untouched). (term, chunk_idx) is NOT a unique
+  *     key across appends: a batch whose doc-id range overlaps a stored
+  *     chunk's range writes a second bounded row for the same key, so
+  *     readers must aggregate across rows — the probe paths here explode
+  *     and re-group, never assuming one row per key. Files are
+  *     repartitioned + sorted by term so a `term IN (...)` probe prunes
+  *     row groups via parquet min/max stats.
   *   - `doclens/`: (doc_id, len) — the BM25 length normalizer; also
   *     metadata for N and avgdl, recomputed at probe time so append
   *     keeps scoring exact (stored aggregates would go stale).
@@ -58,10 +62,13 @@ object SearchIndex {
       chunkSize: Int): Unit = {
     require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
     // spec ordering discipline shared with the other serving indexes:
-    // overwrite drops the spec before data and rewrites it after;
-    // append verifies upfront (healing pre-spec indexes)
-    if (mode == "overwrite") graft.ops.IndexSpec.delete(docs, dir)
-    else graft.ops.IndexSpec.check(docs, dir, spec(chunkSize), writeIfMissing = true)
+    // overwrite drops the spec before data and rewrites it after; append
+    // verifies upfront but defers a missing spec's heal/build write until
+    // both data writes commit (a first-append-as-build dying mid-way must
+    // not leave a valid spec over partial data)
+    val hadSpec =
+      if (mode == "overwrite") { graft.ops.IndexSpec.delete(docs, dir); false }
+      else graft.ops.IndexSpec.checkReturningPresence(docs, dir, spec(chunkSize))
     val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
       .localCheckpoint(eager = false)
     base.select(col("doc_id"), size(col("__toks")).as("len"))
@@ -74,7 +81,7 @@ object SearchIndex {
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("chunk_idx"))
       .write.mode(mode).parquet(s"$dir/postings")
-    if (mode == "overwrite") graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
+    if (!hadSpec) graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
   }
 
   /** The stored (doc_id, term, tf) rows for the given terms — postings

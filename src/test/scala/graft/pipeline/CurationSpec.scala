@@ -825,6 +825,12 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.text.SearchIndex.searchIndexAll(spark, dir, terms, chunkSize = 8)
     }
     assert(e.getMessage.contains("mismatched parameters"))
+    // plan audit: the term-IN probe reaches the postings parquet scan as
+    // a pushed filter (row-group pruning at scale), and the corpus
+    // documents table appears nowhere in the served plan
+    val plan = graft.text.SearchIndex.searchIndexAll(spark, dir, terms,
+      chunkSize = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"))
   }
 
   test("pageRank: exact integer recurrence on a hand-computed cycle") {

@@ -705,6 +705,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(ret((qid, i + 1)) == nid, s"retrieval query $qid rank ${i + 1}")
       }
     }
+    // two-table mode must NOT drop a corpus row that merely shares a
+    // query's id — the id spaces are independent (self-exclusion is the
+    // self-join's concern only)
+    val q5 = Seq((5L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val c5 = Seq((5L, Seq(1.0f, 0.1f))).toDF("id", "v")
+    val hit = Ann.knnJoinAgainst(q5, col("id"), col("v"),
+      c5, col("id"), col("v"), cents, k = 1, nprobe = 2).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 5L)
+    // plan audit: cell blocking is a real equi-join — no cartesian /
+    // nested-loop fallback anywhere in the kNN plan
+    val plan = Ann.knnJoin(df, col("id"), col("v"), cents, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("ivfpq index: incremental build+append equals one-shot; spec guard") {
