@@ -1,0 +1,142 @@
+"""Python API for the graft training-data pipeline operators.
+
+Thin pyspark wrapper over the JVM facade `graft.PythonApi` (string
+column names, plain lists). Requires the graft jar on the driver
+classpath, like `graft_index.py`:
+
+    from graft_pipeline import Pipeline
+    p = Pipeline(spark)
+
+    kept = p.dedup_minhash(df, "doc_id", "text", threshold=0.5)
+    p.build_search_index(df, "doc_id", "text", "/idx/search")
+    hits = p.search_all(spark, "/idx/search", ["spark", "window"])
+    ranked = p.bm25(spark, "/idx/search", ["spark", "window"])
+    knn = p.knn_join(emb, "vec_id", "embedding", k=10)
+    ranks = p.page_rank(edges, "src", "dst")
+
+Every method returns a pyspark DataFrame (or None for builders); all
+semantics and scale notes live on the Scala operators' scaladoc.
+"""
+
+from pyspark.sql import DataFrame
+
+
+def _jlist(spark, values, element="String"):
+    gateway = spark.sparkContext._gateway
+    lst = gateway.jvm.java.util.ArrayList()
+    for v in values:
+        lst.add(float(v) if element == "Double" else v)
+    return lst
+
+
+class Pipeline:
+    def __init__(self, spark):
+        self._spark = spark
+        self._japi = spark._jvm.graft.PythonApi
+        self._jspark = spark._jsparkSession
+
+    def _df(self, jdf):
+        return DataFrame(jdf, self._spark)
+
+    # ---- dedup ----------------------------------------------------------
+
+    def dedup_exact(self, df, key_col, tie_break_col):
+        return self._df(self._japi.dedupExact(df._jdf, key_col, tie_break_col))
+
+    def dedup_minhash(self, df, id_col, text_col, num_hashes=64, bands=16,
+                      shingle_k=3, threshold=0.5):
+        return self._df(self._japi.dedupMinhash(
+            df._jdf, id_col, text_col, num_hashes, bands, shingle_k, threshold))
+
+    def build_minhash_index(self, df, id_col, text_col, path, num_hashes=64,
+                            bands=16, shingle_k=3):
+        self._japi.buildMinhashIndex(
+            df._jdf, id_col, text_col, path, num_hashes, bands, shingle_k)
+
+    def append_to_minhash_index(self, df, id_col, text_col, path,
+                                num_hashes=64, bands=16, shingle_k=3):
+        self._japi.appendToMinhashIndex(
+            df._jdf, id_col, text_col, path, num_hashes, bands, shingle_k)
+
+    def dedup_against_index(self, df, id_col, text_col, path, num_hashes=64,
+                            bands=16, shingle_k=3, threshold=0.5):
+        return self._df(self._japi.dedupAgainstIndex(
+            self._jspark, df._jdf, id_col, text_col, path,
+            num_hashes, bands, shingle_k, threshold))
+
+    # ---- text quality / decontamination ---------------------------------
+
+    def text_signals(self, df, text_col="text"):
+        return self._df(self._japi.textSignals(df._jdf, text_col))
+
+    def redact_pii(self, df, text_col="text", out_col="redacted"):
+        return self._df(self._japi.redactPii(df._jdf, text_col, out_col))
+
+    def decontaminate(self, corpus, corpus_id, corpus_text,
+                      bench, bench_id, bench_text,
+                      shingle_k=8, min_overlap=1):
+        return self._df(self._japi.decontaminate(
+            corpus._jdf, corpus_id, corpus_text,
+            bench._jdf, bench_id, bench_text, shingle_k, min_overlap))
+
+    # ---- materialized search index --------------------------------------
+
+    def build_search_index(self, df, id_col, text_col, path,
+                           chunk_size=1 << 16):
+        self._japi.buildSearchIndex(df._jdf, id_col, text_col, path, chunk_size)
+
+    def append_to_search_index(self, df, id_col, text_col, path,
+                               chunk_size=1 << 16):
+        self._japi.appendToSearchIndex(
+            df._jdf, id_col, text_col, path, chunk_size)
+
+    def search_all(self, spark, path, terms, chunk_size=1 << 16):
+        return self._df(self._japi.searchIndexAll(
+            self._jspark, path, _jlist(spark, terms), chunk_size))
+
+    def bm25(self, spark, path, terms, k1=1.2, b=0.75, chunk_size=1 << 16):
+        return self._df(self._japi.bm25Index(
+            self._jspark, path, _jlist(spark, terms), k1, b, chunk_size))
+
+    # ---- embeddings / ANN -----------------------------------------------
+
+    def knn_join(self, df, id_col, vec_col, k=10, nprobe=2, kmeans_k=16,
+                 iters=2):
+        return self._df(self._japi.knnJoin(
+            df._jdf, id_col, vec_col, k, nprobe, kmeans_k, iters))
+
+    def build_ivfpq_index(self, df, id_col, vec_col, path, dim, cells=16,
+                          m=8, codebook_k=16, seed=42):
+        self._japi.buildIvfPqIndex(
+            df._jdf, id_col, vec_col, path, dim, cells, m, codebook_k, seed)
+
+    def append_to_ivfpq_index(self, df, id_col, vec_col, path, dim, cells=16,
+                              m=8, codebook_k=16, seed=42):
+        self._japi.appendToIvfPqIndex(
+            df._jdf, id_col, vec_col, path, dim, cells, m, codebook_k, seed)
+
+    def query_ivfpq_index(self, spark, path, query, k=10, cells=16, nprobe=4,
+                          m=8, codebook_k=16, seed=42):
+        return self._df(self._japi.queryIvfPqIndex(
+            self._jspark, path, _jlist(spark, query, element="Double"),
+            k, cells, nprobe, m, codebook_k, seed))
+
+    # ---- sampling / splits ----------------------------------------------
+
+    def hash_sample(self, df, id_col, fraction, salt="graft"):
+        return self._df(self._japi.hashSample(df._jdf, id_col, fraction, salt))
+
+    def assign_split(self, df, id_col, splits, salt="graft"):
+        """splits: list of (name, weight) pairs summing to 1."""
+        names = [n for n, _ in splits]
+        weights = [w for _, w in splits]
+        return self._df(self._japi.assignSplit(
+            df._jdf, id_col,
+            _jlist(self._spark, names),
+            _jlist(self._spark, weights, element="Double"), salt))
+
+    # ---- graph ----------------------------------------------------------
+
+    def page_rank(self, edges, src_col, dst_col, iters=5, damp_pct=85):
+        return self._df(self._japi.pageRank(
+            edges._jdf, src_col, dst_col, iters, damp_pct))

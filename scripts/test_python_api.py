@@ -67,8 +67,42 @@ def main():
     ctx.index.delete.parquet(table)
     assert not ctx.index.exists.parquet(table), "index should be gone"
 
+    # ---- pipeline surface (python/graft_pipeline.py) ----
+    from graft_pipeline import Pipeline
+    p = Pipeline(spark)
+    docs = spark.createDataFrame(
+        [(0, "spark window functions"), (1, "spark window functions"),
+         (2, "unrelated words entirely"), (3, "window spark different")],
+        ["doc_id", "text"])
+    # exact dedup drops the verbatim twin (keeps the smaller id)
+    kept = sorted(r.doc_id for r in p.dedup_exact(docs, "text", "doc_id").collect())
+    assert kept == [0, 2, 3], kept
+    # materialized search index: build even, append odd, conjunctive probe
+    sidx = f"{work}/search_index"
+    p.build_search_index(docs.filter("doc_id % 2 = 0"), "doc_id", "text", sidx)
+    p.append_to_search_index(docs.filter("doc_id % 2 = 1"), "doc_id", "text", sidx)
+    hits = sorted(r.doc_id for r in
+                  p.search_all(spark, sidx, ["spark", "window"]).collect())
+    assert hits == [0, 1, 3], hits
+    scores = {r.doc_id: r.bm25 for r in
+              p.bm25(spark, sidx, ["spark", "window"]).collect()}
+    assert set(scores) == {0, 1, 3} and all(v > 0 for v in scores.values())
+    # text signals are map-side columns
+    sig = p.text_signals(docs).select("doc_id", "lang_pred", "gopher_pass")
+    assert sig.count() == 4
+    # integer-exact PageRank on the hand-computed 3-node cycle
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], ["src", "dst"])
+    pr = {r.node: r.rank for r in
+          p.page_rank(edges, "src", "dst", iters=1).collect()}
+    assert pr == {0: 333333333, 1: 191666666, 2: 474999999}, pr
+    # deterministic split: labels partition the ids
+    sp = p.assign_split(docs, "doc_id", [("train", 0.8), ("test", 0.2)])
+    assert sp.count() == 4 and set(
+        r.split for r in sp.collect()) <= {"train", "test"}
+
     print(f"PYTHON API OK: {len(indexed)} rows matched, "
-          "lifecycle+refresh+compact complete")
+          "lifecycle+refresh+compact+pipeline complete")
     spark.stop()
 
 

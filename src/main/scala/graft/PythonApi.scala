@@ -1,0 +1,150 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Java-friendly facade over the pipeline operators for the Python
+  * wrapper (`python/graft_pipeline.py`): string column names instead of
+  * `Column`s, `java.util.List` instead of Scala collections, no default
+  * arguments (py4j sees plain JVM methods). Each method is a thin
+  * delegation — all semantics, scaladoc and scale notes live on the
+  * underlying operators.
+  *
+  * (The index API needs no such facade: its builder chain is already
+  * string-based — see `python/graft_index.py`.)
+  */
+object PythonApi {
+
+  // ---- dedup ----------------------------------------------------------
+
+  def dedupExact(df: DataFrame, keyCol: String, tieBreakCol: String): DataFrame =
+    graft.dedup.Dedup.dedupExact(df, col(keyCol), col(tieBreakCol))
+
+  def dedupMinhash(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleK: Int, threshold: Double): DataFrame =
+    graft.dedup.Dedup.dedupMinhash(df, col(idCol), col(textCol),
+      numHashes, bands, shingleK, threshold)
+
+  def buildMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      numHashes: Int, bands: Int, shingleK: Int): Unit =
+    graft.dedup.Dedup.buildMinhashIndex(df, col(idCol), col(textCol), dir,
+      numHashes, bands, shingleK)
+
+  def appendToMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      numHashes: Int, bands: Int, shingleK: Int): Unit =
+    graft.dedup.Dedup.appendToMinhashIndex(df, col(idCol), col(textCol), dir,
+      numHashes, bands, shingleK)
+
+  def dedupAgainstIndex(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      dir: String, numHashes: Int, bands: Int, shingleK: Int,
+      threshold: Double): DataFrame =
+    graft.dedup.Dedup.dedupAgainstIndex(spark, df, col(idCol), col(textCol),
+      dir, numHashes, bands, shingleK, threshold)
+
+  // ---- text quality / decontamination ---------------------------------
+
+  /** doc frame + (lang_pred, quality, gopher_pass) appended map-side. */
+  def textSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = graft.text.TextFunctions
+    df.withColumn("lang_pred", t.langId(col(textCol)))
+      .withColumn("quality", t.qualityScore(col(textCol)))
+      .withColumn("gopher_pass", t.gopherFlags(col(textCol)).getField("pass"))
+  }
+
+  def redactPii(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, graft.text.TextFunctions.redactPii(col(textCol)))
+
+  def decontaminate(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleK: Int, minOverlap: Int): DataFrame =
+    graft.text.Decontaminate.decontaminate(
+      corpus, col(corpusIdCol), col(corpusTextCol),
+      bench, col(benchIdCol), col(benchTextCol), shingleK, minOverlap)
+
+  // ---- materialized search index --------------------------------------
+
+  def buildSearchIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      chunkSize: Int): Unit =
+    graft.text.SearchIndex.buildSearchIndex(df, col(idCol), col(textCol),
+      dir, chunkSize)
+
+  def appendToSearchIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      chunkSize: Int): Unit =
+    graft.text.SearchIndex.appendToSearchIndex(df, col(idCol), col(textCol),
+      dir, chunkSize)
+
+  def searchIndexAll(
+      spark: SparkSession, dir: String, terms: java.util.List[String],
+      chunkSize: Int): DataFrame =
+    graft.text.SearchIndex.searchIndexAll(spark, dir, terms.asScala.toSeq,
+      chunkSize)
+
+  def bm25Index(
+      spark: SparkSession, dir: String, terms: java.util.List[String],
+      k1: Double, b: Double, chunkSize: Int): DataFrame =
+    graft.text.SearchIndex.bm25Index(spark, dir, terms.asScala.toSeq,
+      k1, b, chunkSize)
+
+  // ---- embeddings / ANN -----------------------------------------------
+
+  /** Fit k-means once and return every vector's top-k cosine neighbors
+    * (the kNN-graph convenience composition of kmeansFit + knnJoin). */
+  def knnJoin(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, kmeansK: Int, iters: Int): DataFrame = {
+    val cents = graft.ann.Ann.kmeansFit(
+      df, col(idCol), col(vecCol), kmeansK, iters)
+    graft.ann.Ann.knnJoin(df, col(idCol), col(vecCol), cents, k, nprobe)
+  }
+
+  def buildIvfPqIndex(
+      df: DataFrame, idCol: String, vecCol: String, dir: String,
+      dim: Int, cells: Int, m: Int, codebookK: Int, seed: Long): Unit =
+    graft.ann.Ann.buildIvfPqIndex(df, col(idCol), col(vecCol), dir,
+      dim, cells, m, codebookK, seed)
+
+  def appendToIvfPqIndex(
+      df: DataFrame, idCol: String, vecCol: String, dir: String,
+      dim: Int, cells: Int, m: Int, codebookK: Int, seed: Long): Unit =
+    graft.ann.Ann.appendToIvfPqIndex(df, col(idCol), col(vecCol), dir,
+      dim, cells, m, codebookK, seed)
+
+  def queryIvfPqIndex(
+      spark: SparkSession, dir: String, query: java.util.List[java.lang.Double],
+      k: Int, cells: Int, nprobe: Int, m: Int, codebookK: Int,
+      seed: Long): DataFrame =
+    graft.ann.Ann.queryIvfPqIndex(spark, dir,
+      query.asScala.toSeq.map(_.doubleValue()), k, cells, nprobe, m,
+      codebookK, seed, excludeId = None)
+
+  // ---- sampling / splits ----------------------------------------------
+
+  def hashSample(
+      df: DataFrame, idCol: String, fraction: Double, salt: String): DataFrame =
+    graft.ops.Sampling.hashSample(df, col(idCol), fraction, salt)
+
+  def assignSplit(
+      df: DataFrame, idCol: String, names: java.util.List[String],
+      weights: java.util.List[java.lang.Double], salt: String): DataFrame = {
+    require(names.size == weights.size, "names and weights must align")
+    val splits = names.asScala.toSeq
+      .zip(weights.asScala.toSeq.map(_.doubleValue()))
+    graft.ops.Sampling.assignSplit(df, col(idCol), splits, salt)
+  }
+
+  // ---- graph ----------------------------------------------------------
+
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampPct: Int): DataFrame =
+    graft.ops.Graph.pageRank(edges, col(srcCol), col(dstCol), iters, dampPct)
+}

@@ -51,7 +51,13 @@ object SearchIndex {
   /** Append a NEW batch of documents. Only the batch is tokenized; its
     * chunks land next to the stored ones. Batch doc_ids must be fresh
     * (re-ingesting an id double-counts it, as in every serving index
-    * here — dedup upstream). */
+    * here — dedup upstream). The append is TWO parquet jobs (doclens,
+    * postings), each atomic via Spark's commit protocol but not atomic
+    * together: a crash between them leaves lengths without postings, and
+    * replaying the batch then double-counts doclens. A production ingest
+    * that must survive mid-append crashes should stage each batch as a
+    * segment + commit marker (the `ops.Layout` manifest recipe) rather
+    * than re-run a partially-applied batch. */
   def appendToSearchIndex(
       docs: DataFrame, id: Column, text: Column, dir: String,
       chunkSize: Int = 1 << 16): Unit =
