@@ -2054,6 +2054,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Streaming vector-index ingest: 4 ranged micro-batches of
+    // embeddings, each appending its IVFADC cells+codes batch-side; the
+    // grown codes table then serves the standard top-10 probe —
+    // identical to a one-shot build, so it shares q_ann_ivfpq's oracle.
+    "q_stream_vectoringest" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      val work = scratchTableDir(dir, "stream_vectoringest")
+      graft.streaming.Streaming.vectorIngest(s, dir, work, q, k = 10,
+        excludeId = Some(qRow.getLong(0)))
+    }),
+
     // Streaming search-index ingest: 4 ranged micro-batches, each
     // appending its posting chunks batch-side; the grown index then
     // serves the standard conjunctive query — identical to a one-shot
@@ -3918,6 +3933,9 @@ object SparkEntry {
     // ranged buckets make every cross-batch pair ida-first).
     // the streamed index serves the same conjunctive query: one oracle
     "q_stream_searchingest" -> textSearchSql,
+    // the streamed codes table serves the same IVFADC probe: one oracle
+    "q_stream_vectoringest" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
+      m = 8, k = 16, subDim = 8, topK = 10),
     "q_stream_neardedup" -> {
       val prelude =
         """WITH t AS (SELECT doc_id,

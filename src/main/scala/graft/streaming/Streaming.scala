@@ -295,18 +295,18 @@ object Streaming {
     parent.index.parquet(tableDir)
   }
 
-  /** Stage `docs` as `nBatches` ranged doc_id slices under
+  /** Stage `docs` as `nBatches` ranged `idCol` slices under
     * `workDir/staged`, one parquet file per slice with strictly
     * increasing mtimes so the file stream source replays arrival order.
     * Returns None on an empty corpus. Shared by the ingest shapes. */
   private def stageRangedSlices(
       spark: SparkSession, docs: DataFrame, workDir: String,
-      nBatches: Int): Option[String] = {
+      nBatches: Int, idCol: String = "doc_id"): Option[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val workPath = new org.apache.hadoop.fs.Path(workDir)
     val fs = workPath.getFileSystem(hconf)
     if (fs.exists(workPath)) fs.delete(workPath, true)
-    val maxIdRow = docs.agg(max(col("doc_id"))).head
+    val maxIdRow = docs.agg(max(col(idCol))).head
     if (maxIdRow.isNullAt(0)) return None // empty corpus: nothing to ingest
     val maxId = maxIdRow.getLong(0)
     val slice = maxId / nBatches + 1 // ids 0..maxId → buckets 0..nBatches-1
@@ -314,7 +314,7 @@ object Streaming {
     fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
     (0 until nBatches).foreach { b =>
       val bDir = s"$workDir/b$b"
-      docs.filter(expr(s"doc_id div $slice") === b)
+      docs.filter(expr(s"$idCol div $slice") === b)
         .coalesce(1).write.mode("overwrite").parquet(bDir)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
       val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.parquet")
@@ -441,6 +441,52 @@ object Streaming {
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.text.SearchIndex.searchIndexAll(spark, idxDir, terms, chunkSize)
+  }
+
+  /** Streaming VECTOR-INDEX ingest — the embedding twin of
+    * [[searchIngest]]: ranged vec_id slices arrive as micro-batches and
+    * each batch APPENDS its IVFADC cells+codes to the materialized codes
+    * table ([[graft.ann.Ann.appendToIvfPqIndex]] — only the batch is
+    * encoded; deterministic codebooks make batch codes identical to
+    * one-shot codes, so the grown index serves queries exactly like a
+    * one-shot build). Returns the served top-k for `query` (excluding
+    * `excludeId`), which therefore shares the one-shot IVFADC oracle. */
+  def vectorIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      query: Seq[Double],
+      k: Int,
+      excludeId: Option[Long] = None,
+      nBatches: Int = 4,
+      dim: Int = 64, cells: Int = 16, nprobe: Int = 4,
+      m: Int = 8, codebookK: Int = 16,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val staged = stageRangedSlices(spark, vecs, workDir, nBatches,
+        idCol = "vec_id") match {
+      case None => return vecs.select(col("vec_id")).limit(0)
+      case Some(s) => s
+    }
+    val idxDir = s"$workDir/ivfpq_index"
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        graft.ann.Ann.appendToIvfPqIndex(
+          batch, col("vec_id"), col("embedding"), idxDir,
+          dim, cells, m, codebookK)
+    val q = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.ann.Ann.queryIvfPqIndex(spark, idxDir, query, k, cells, nprobe,
+      m, codebookK, excludeId = excludeId)
   }
 
   /** Gap-based sessionization, batch formulation: a new session starts

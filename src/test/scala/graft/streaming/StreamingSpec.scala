@@ -226,5 +226,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bIdx == bRaw)
   }
 
+  test("streaming vector ingest grows the IVFADC index to one-shot parity") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft-vecing").toString
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 31 + j * 7) % 13 - 6) / 3.0f))
+    }.toDF("vec_id", "embedding")
+    vecs.write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    val q = vecs.filter($"vec_id" === 0).head.getSeq[Float](1).map(_.toDouble)
+    val streamed = Streaming.vectorIngest(spark, fixture, s"$fixture/work",
+        q, k = 5, excludeId = Some(0L), nBatches = 3,
+        dim = 8, cells = 4, nprobe = 4, m = 2, codebookK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // parity with a one-shot build over the same vectors
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-vec1").toString
+    graft.ann.Ann.buildIvfPqIndex(vecs, col("vec_id"), col("embedding"),
+      oneShot, dim = 8, cells = 4, m = 2, codebookK = 4)
+    val direct = graft.ann.Ann.queryIvfPqIndex(spark, oneShot, q, k = 5,
+        cells = 4, nprobe = 4, m = 2, codebookK = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == direct && streamed.nonEmpty)
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }
