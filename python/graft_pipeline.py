@@ -90,6 +90,12 @@ class Pipeline:
         self._japi.appendToSearchIndex(
             df._jdf, id_col, text_col, path, chunk_size)
 
+    def append_search_segment(self, df, id_col, text_col, path, segment_id,
+                              chunk_size=1 << 16):
+        """Crash-safe idempotent segment append (commit-marker gated)."""
+        self._japi.appendSearchSegment(
+            df._jdf, id_col, text_col, path, segment_id, chunk_size)
+
     def search_all(self, spark, path, terms, chunk_size=1 << 16):
         return self._df(self._japi.searchIndexAll(
             self._jspark, path, _jlist(spark, terms), chunk_size))

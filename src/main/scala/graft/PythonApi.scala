@@ -82,6 +82,12 @@ object PythonApi {
     graft.text.SearchIndex.appendToSearchIndex(df, col(idCol), col(textCol),
       dir, chunkSize)
 
+  def appendSearchSegment(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      segmentId: String, chunkSize: Int): Unit =
+    graft.text.SearchIndex.appendSegment(df, col(idCol), col(textCol),
+      dir, segmentId, chunkSize)
+
   def searchIndexAll(
       spark: SparkSession, dir: String, terms: java.util.List[String],
       chunkSize: Int): DataFrame =

@@ -401,16 +401,16 @@ object Streaming {
 
   /** Streaming SEARCH-INDEX ingest: ranged document slices arrive as
     * separate micro-batches (file source, mtime-pinned order) and each
-    * batch APPENDS its posting-list chunks and doc lengths to the
-    * materialized [[graft.text.SearchIndex]] — only the batch is
-    * tokenized (append on a fresh dir is the build: the spec guard heals
-    * the first batch), the stored corpus is never re-read, and append
-    * only ever adds bounded posting rows (a batch overlapping a stored
-    * chunk's doc range writes a second row for that (term, chunk_idx) —
-    * the probe paths aggregate across rows). After all batches the index serves
-    * queries identically to a one-shot build over the whole corpus, so
-    * the returned index-served conjunctive search shares the
-    * from-scratch oracle. */
+    * batch writes its posting-list chunks and doc lengths as a COMMITTED
+    * SEGMENT of the materialized [[graft.text.SearchIndex]]
+    * ([[graft.text.SearchIndex.appendSegment]], segmentId = batchId) —
+    * only the batch is tokenized, the stored corpus is never re-read,
+    * and because a re-delivered batch OVERWRITES its own segment, the
+    * ingest is exactly-once under foreachBatch's at-least-once retries
+    * (a batch that dies mid-write leaves an uncommitted, invisible
+    * segment). After all batches the index serves queries identically to
+    * a one-shot build over the whole corpus, so the returned
+    * index-served conjunctive search shares the from-scratch oracle. */
   def searchIngest(
       parent: SparkSession, dir: String, workDir: String,
       terms: Seq[String],
@@ -428,9 +428,9 @@ object Streaming {
     }
     val idxDir = s"$workDir/search_index"
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) =>
-        graft.text.SearchIndex.appendToSearchIndex(
-          batch, col("doc_id"), col("text"), idxDir, chunkSize)
+      (batch, batchId) =>
+        graft.text.SearchIndex.appendSegment(
+          batch, col("doc_id"), col("text"), idxDir, s"b$batchId", chunkSize)
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged)

@@ -92,11 +92,83 @@ object SearchIndex {
 
   /** The stored (doc_id, term, tf) rows for the given terms — postings
     * read with a term-IN filter (row-group pruned), exploded. */
+  // ---- crash-safe SEGMENT appends -------------------------------------
+  //
+  // The plain append above is two parquet jobs with no cross-job
+  // atomicity (scaladoc caveat). Segments close that gap with the
+  // `ops.Layout` manifest recipe: each batch writes its doclens+postings
+  // under `segments/<segmentId>/` and only then creates a `_commit`
+  // marker there. Probes union the base dirs with COMMITTED segments
+  // only, so a batch that dies mid-write is invisible, and re-running it
+  // OVERWRITES its own segment directory — per-segment-id idempotence,
+  // which is exactly-once ingest under Structured Streaming's
+  // at-least-once foreachBatch retries (segmentId = batchId).
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Idempotently (re)write one committed segment. A retried batch with
+    * the same `segmentId` replaces its previous (possibly partial)
+    * attempt instead of double-counting. */
+  def appendSegment(
+      docs: DataFrame, id: Column, text: Column, dir: String,
+      segmentId: String, chunkSize: Int = 1 << 16): Unit = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(segmentId.nonEmpty && segmentId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"segmentId must be [A-Za-z0-9_-]+: '$segmentId'")
+    val spark = docs.sparkSession
+    val hadSpec =
+      graft.ops.IndexSpec.checkReturningPresence(docs, dir, spec(chunkSize))
+    val fs = fsOf(spark, dir)
+    val segDir = s"$dir/segments/$segmentId"
+    val segPath = new org.apache.hadoop.fs.Path(segDir)
+    if (fs.exists(segPath)) fs.delete(segPath, true) // retry replaces
+    val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .localCheckpoint(eager = false)
+    base.select(col("doc_id"), size(col("__toks")).as("len"))
+      .write.mode("overwrite").parquet(s"$segDir/doclens")
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("chunk_idx"))
+      .write.mode("overwrite").parquet(s"$segDir/postings")
+    fs.create(new org.apache.hadoop.fs.Path(segDir, "_commit"), true).close()
+    if (!hadSpec) graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
+  }
+
+  /** Committed segment directories, sorted for deterministic plans. */
+  private def committedSegments(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val segsPath = new org.apache.hadoop.fs.Path(s"$dir/segments")
+    if (!fs.exists(segsPath)) Nil
+    else fs.listStatus(segsPath).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_commit")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** Base dir (if present) + committed segments for one sub-table. An
+    * index may be base-only (build/plain append), segment-only (pure
+    * streaming ingest) or both. */
+  private def readPart(spark: SparkSession, dir: String, sub: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val base = s"$dir/$sub"
+    val paths =
+      (if (fs.exists(new org.apache.hadoop.fs.Path(base))) Seq(base) else Nil) ++
+        committedSegments(spark, dir).map(s => s"$s/$sub")
+    require(paths.nonEmpty, s"no search index data at $dir (missing $sub)")
+    spark.read.parquet(paths: _*)
+  }
+
   private def tfFor(
       spark: SparkSession, dir: String, terms: Seq[String],
       chunkSize: Int): DataFrame = {
     graft.ops.IndexSpec.check(spark, dir, spec(chunkSize), writeIfMissing = false)
-    spark.read.parquet(s"$dir/postings")
+    readPart(spark, dir, "postings")
       .filter(col("term").isin(terms.distinct: _*))
       .select(col("term"), explode(col("postings")).as("__p"))
       .select(col("__p.doc_id").as("doc_id"), col("term"), col("__p.tf").as("tf"))
@@ -123,7 +195,7 @@ object SearchIndex {
       k1: Double = 1.2, b: Double = 0.75,
       chunkSize: Int = 1 << 16): DataFrame = {
     require(terms.nonEmpty, "at least one query term required")
-    val lens = spark.read.parquet(s"$dir/doclens")
+    val lens = readPart(spark, dir, "doclens")
       .select(col("doc_id"), col("len").as("__len"))
     Tfidf.bm25From(tfFor(spark, dir, terms, chunkSize), lens, k1, b)
   }

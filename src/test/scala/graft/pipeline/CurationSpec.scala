@@ -833,6 +833,47 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters") && plan.contains("In(term"))
   }
 
+  test("search index segments: committed-only reads, retry idempotence, " +
+      "base+segment parity") {
+    val docs = Seq(
+      (0L, "spark window spark join"), (1L, "window functions in spark"),
+      (2L, "nothing relevant here"), (3L, "spark only"),
+      (4L, "window only window"), (5L, "spark window again")
+    ).toDF("id", "txt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sseg").toString
+    val terms = Seq("spark", "window")
+    // base build (even) + one committed segment (odd)
+    graft.text.SearchIndex.buildSearchIndex(
+      docs.filter($"id" % 2 === 0), col("id"), col("txt"), dir, chunkSize = 2)
+    graft.text.SearchIndex.appendSegment(
+      docs.filter($"id" % 2 === 1), col("id"), col("txt"), dir, "b1",
+      chunkSize = 2)
+    def search() = graft.text.SearchIndex.searchIndexAll(spark, dir, terms,
+      chunkSize = 2).as[Long].collect().sorted.toSeq
+    def bm25() = graft.text.SearchIndex.bm25Index(spark, dir, terms,
+      chunkSize = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(search() == Seq(0L, 1L, 5L))
+    // retry idempotence: re-running the same segment id changes nothing
+    val before = bm25()
+    graft.text.SearchIndex.appendSegment(
+      docs.filter($"id" % 2 === 1), col("id"), col("txt"), dir, "b1",
+      chunkSize = 2)
+    assert(bm25() == before)
+    // parity with the from-scratch run over the whole corpus
+    val raw = graft.text.Tfidf.bm25(docs, col("id"), col("txt"), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bm25() == raw)
+    // an uncommitted segment (no _commit marker) is invisible to probes
+    val seg2 = new java.io.File(s"$dir/segments/b2")
+    graft.text.SearchIndex.appendSegment(
+      Seq((7L, "spark window ghost")).toDF("id", "txt"),
+      col("id"), col("txt"), dir, "b2", chunkSize = 2)
+    assert(search().contains(7L))
+    new java.io.File(seg2, "_commit").delete()
+    assert(!search().contains(7L), "uncommitted segment must be invisible")
+    assert(bm25() == raw, "uncommitted segment must not affect BM25 stats")
+  }
+
   test("pageRank: exact integer recurrence on a hand-computed cycle") {
     // 0→{1,2}, 1→2, 2→0; N=3, scale 1e9:
     //   r0 = 333333333, base = 50000000
