@@ -96,6 +96,10 @@ class Pipeline:
         self._japi.appendSearchSegment(
             df._jdf, id_col, text_col, path, segment_id, chunk_size)
 
+    def compact_search_segments(self, path, chunk_size=1 << 16):
+        """Merge live segments into one (LSM merge); returns count merged."""
+        return self._japi.compactSearchSegments(self._jspark, path, chunk_size)
+
     def search_all(self, spark, path, terms, chunk_size=1 << 16):
         return self._df(self._japi.searchIndexAll(
             self._jspark, path, _jlist(spark, terms), chunk_size))

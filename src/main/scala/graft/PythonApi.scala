@@ -88,6 +88,10 @@ object PythonApi {
     graft.text.SearchIndex.appendSegment(df, col(idCol), col(textCol),
       dir, segmentId, chunkSize)
 
+  def compactSearchSegments(
+      spark: SparkSession, dir: String, chunkSize: Int): Int =
+    graft.text.SearchIndex.compactSegments(spark, dir, chunkSize)
+
   def searchIndexAll(
       spark: SparkSession, dir: String, terms: java.util.List[String],
       chunkSize: Int): DataFrame =

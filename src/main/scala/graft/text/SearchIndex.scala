@@ -119,6 +119,10 @@ object SearchIndex {
         c.isLetterOrDigit || c == '_' || c == '-'),
       s"segmentId must be [A-Za-z0-9_-]+: '$segmentId'")
     val spark = docs.sparkSession
+    require(!replacedNames(spark, dir).contains(segmentId),
+      s"segment id '$segmentId' was replaced by a compaction and is " +
+        "permanently retired — pick a fresh id (probes skip retired names " +
+        "so a resurrected directory would be silently invisible)")
     val hadSpec =
       graft.ops.IndexSpec.checkReturningPresence(docs, dir, spec(chunkSize))
     val fs = fsOf(spark, dir)
@@ -141,14 +145,85 @@ object SearchIndex {
     if (!hadSpec) graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
   }
 
-  /** Committed segment directories, sorted for deterministic plans. */
+  /** Live committed segment directories, sorted for deterministic
+    * plans: committed, and not listed in any OTHER committed segment's
+    * `_replaces` file (a compacted segment supersedes its inputs the
+    * instant it commits, even before their dirs are lazily deleted). */
   private def committedSegments(spark: SparkSession, dir: String): Seq[String] = {
     val fs = fsOf(spark, dir)
     val segsPath = new org.apache.hadoop.fs.Path(s"$dir/segments")
-    if (!fs.exists(segsPath)) Nil
-    else fs.listStatus(segsPath).filter(_.isDirectory).map(_.getPath)
+    if (!fs.exists(segsPath)) return Nil
+    val committed = fs.listStatus(segsPath).filter(_.isDirectory).map(_.getPath)
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_commit")))
+    val replaced = replacedNames(spark, dir)
+    committed.filterNot(p => replaced.contains(p.getName))
       .map(_.toString).sorted.toSeq
+  }
+
+  /** Segment names superseded by some committed segment's `_replaces`
+    * list. A name on this list is dead PERMANENTLY — probes skip it even
+    * if a directory under it reappears (that closes the pre-deletion
+    * double-count window), so [[appendSegment]] refuses to reuse one. */
+  private def replacedNames(spark: SparkSession, dir: String): Set[String] = {
+    val fs = fsOf(spark, dir)
+    val segsPath = new org.apache.hadoop.fs.Path(s"$dir/segments")
+    if (!fs.exists(segsPath)) return Set.empty
+    fs.listStatus(segsPath).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_commit")))
+      .flatMap { p =>
+        val r = new org.apache.hadoop.fs.Path(p, "_replaces")
+        if (!fs.exists(r)) Nil
+        else {
+          val in = fs.open(r)
+          try {
+            val len = fs.getFileStatus(r).getLen.toInt
+            val buf = new Array[Byte](len)
+            in.readFully(0, buf)
+            new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+          } finally in.close()
+        }
+      }.toSet
+  }
+
+  /** Merge all live segments into ONE canonical segment (unique
+    * (term, chunk_idx) keys again) — the LSM merge step that keeps probe
+    * fan-in bounded after many streamed batches. Crash-safe by write
+    * ordering: the merged segment's `_replaces` list is written BEFORE
+    * its `_commit` marker, so a crash before commit leaves the old
+    * segments live and the merge invisible, and the instant the commit
+    * lands the replaced segments stop being read even though their dirs
+    * are only deleted afterwards (lazy cleanup — re-runnable). The base
+    * build dirs are untouched. Returns the number of segments merged
+    * (0–1 = nothing to do). */
+  def compactSegments(
+      spark: SparkSession, dir: String, chunkSize: Int = 1 << 16): Int = {
+    graft.ops.IndexSpec.check(spark, dir, spec(chunkSize), writeIfMissing = false)
+    val live = committedSegments(spark, dir)
+    if (live.length <= 1) return 0
+    val fs = fsOf(spark, dir)
+    val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    // deterministic target name; a crashed attempt is overwritten
+    val target = {
+      val h = s"compact-${names.hashCode.toHexString}"
+      if (names.contains(h)) s"$h-x" else h // never collide with an input
+    }
+    val segDir = s"$dir/segments/$target"
+    val segPath = new org.apache.hadoop.fs.Path(segDir)
+    if (fs.exists(segPath)) fs.delete(segPath, true)
+    spark.read.parquet(live.map(s => s"$s/doclens"): _*)
+      .write.mode("overwrite").parquet(s"$segDir/doclens")
+    spark.read.parquet(live.map(s => s"$s/postings"): _*)
+      .select(col("term"), col("chunk_idx"), explode(col("postings")).as("__p"))
+      .groupBy(col("term"), col("chunk_idx"))
+      .agg(sort_array(collect_list(col("__p"))).as("postings"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("chunk_idx"))
+      .write.mode("overwrite").parquet(s"$segDir/postings")
+    val rep = fs.create(new org.apache.hadoop.fs.Path(segDir, "_replaces"), true)
+    try rep.write(names.mkString("\n").getBytes("UTF-8")) finally rep.close()
+    fs.create(new org.apache.hadoop.fs.Path(segDir, "_commit"), true).close()
+    live.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    live.length
   }
 
   /** Base dir (if present) + committed segments for one sub-table. An

@@ -874,6 +874,62 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bm25() == raw, "uncommitted segment must not affect BM25 stats")
   }
 
+  test("search index compaction: merges segments losslessly; _replaces " +
+      "supersedes inputs even before deletion") {
+    val docs = Seq(
+      (0L, "spark window spark join"), (1L, "window functions in spark"),
+      (2L, "nothing relevant here"), (3L, "spark only"),
+      (4L, "window only window"), (5L, "spark window again")
+    ).toDF("id", "txt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-scomp").toString
+    val terms = Seq("spark", "window")
+    // three streamed segments, no base
+    for (b <- 0 to 2) {
+      graft.text.SearchIndex.appendSegment(
+        docs.filter($"id" % 3 === b), col("id"), col("txt"), dir, s"b$b",
+        chunkSize = 2)
+    }
+    def bm25() = graft.text.SearchIndex.bm25Index(spark, dir, terms,
+      chunkSize = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val before = bm25()
+    assert(before == graft.text.Tfidf.bm25(docs, col("id"), col("txt"), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    // compact: 3 segments merge into one; results unchanged
+    assert(graft.text.SearchIndex.compactSegments(spark, dir, chunkSize = 2) == 3)
+    assert(bm25() == before)
+    val segs = new java.io.File(s"$dir/segments").listFiles().map(_.getName)
+    assert(segs.length == 1 && segs(0).startsWith("compact-"))
+    // canonical again: unique (term, chunk_idx) keys after the merge
+    val dup = spark.read.parquet(s"$dir/segments/${segs(0)}/postings")
+      .groupBy($"term", $"chunk_idx").count().filter($"count" > 1).count()
+    assert(dup == 0)
+    // a second compact is a no-op
+    assert(graft.text.SearchIndex.compactSegments(spark, dir, chunkSize = 2) == 0)
+    // _replaces supersedes inputs the instant the merge commits: recreate
+    // a replaced input dir — probes must keep ignoring it
+    val ghost = docs.filter($"id" === 0).limit(1)
+    graft.text.SearchIndex.appendSegment(
+      ghost, col("id"), col("txt"), dir, "zz-extra", chunkSize = 2)
+    val merged = graft.text.SearchIndex.compactSegments(spark, dir, chunkSize = 2)
+    assert(merged == 2) // compact-* + zz-extra
+    // a replaced name is permanently retired: reusing it must fail fast
+    // (probes skip retired names, so a resurrected dir would be silently
+    // invisible — the guard turns that footgun into an error)
+    val e = intercept[IllegalArgumentException] {
+      graft.text.SearchIndex.appendSegment(
+        Seq((9L, "spark window phantom")).toDF("id", "txt"),
+        col("id"), col("txt"), dir, "zz-extra", chunkSize = 2)
+    }
+    assert(e.getMessage.contains("retired"))
+    // and a fresh id works
+    graft.text.SearchIndex.appendSegment(
+      Seq((9L, "spark window phantom")).toDF("id", "txt"),
+      col("id"), col("txt"), dir, "zz-extra2", chunkSize = 2)
+    val hits = graft.text.SearchIndex.searchIndexAll(spark, dir, terms,
+      chunkSize = 2).as[Long].collect().toSet
+    assert(hits.contains(9L))
+  }
+
   test("pageRank: exact integer recurrence on a hand-computed cycle") {
     // 0→{1,2}, 1→2, 2→0; N=3, scale 1e9:
     //   r0 = 333333333, base = 50000000
