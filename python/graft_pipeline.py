@@ -58,6 +58,19 @@ class Pipeline:
         self._japi.appendToMinhashIndex(
             df._jdf, id_col, text_col, path, num_hashes, bands, shingle_k)
 
+    def append_minhash_segment(self, df, id_col, text_col, path, segment_id,
+                               num_hashes=64, bands=16, shingle_k=3):
+        """Crash-safe idempotent segment append (commit-marker gated)."""
+        self._japi.appendMinhashSegment(
+            df._jdf, id_col, text_col, path, segment_id,
+            num_hashes, bands, shingle_k)
+
+    def compact_minhash_segments(self, path, num_hashes=64, bands=16,
+                                 shingle_k=3):
+        """Merge live segments into one (LSM merge); returns count merged."""
+        return self._japi.compactMinhashSegments(
+            self._jspark, path, num_hashes, bands, shingle_k)
+
     def dedup_against_index(self, df, id_col, text_col, path, num_hashes=64,
                             bands=16, shingle_k=3, threshold=0.5):
         return self._df(self._japi.dedupAgainstIndex(

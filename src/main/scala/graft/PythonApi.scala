@@ -40,6 +40,18 @@ object PythonApi {
     graft.dedup.Dedup.appendToMinhashIndex(df, col(idCol), col(textCol), dir,
       numHashes, bands, shingleK)
 
+  def appendMinhashSegment(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      segmentId: String, numHashes: Int, bands: Int, shingleK: Int): Unit =
+    graft.dedup.Dedup.appendMinhashSegment(df, col(idCol), col(textCol), dir,
+      segmentId, numHashes, bands, shingleK)
+
+  def compactMinhashSegments(
+      spark: SparkSession, dir: String,
+      numHashes: Int, bands: Int, shingleK: Int): Int =
+    graft.dedup.Dedup.compactMinhashSegments(spark, dir,
+      numHashes, bands, shingleK)
+
   def dedupAgainstIndex(
       spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
       dir: String, numHashes: Int, bands: Int, shingleK: Int,

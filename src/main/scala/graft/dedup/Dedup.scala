@@ -200,6 +200,73 @@ object Dedup {
     if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
 
+  /** Idempotently (re)write one committed SEGMENT of the MinHash index
+    * (the [[graft.ops.Segments]] protocol — the crash-safe sibling of
+    * [[appendToMinhashIndex]], whose sigs+bands writes are two jobs with
+    * no cross-job atomicity): a batch that dies mid-write leaves an
+    * uncommitted, invisible segment, and a retried batch with the same
+    * `segmentId` replaces its previous attempt instead of
+    * double-counting — exactly-once ingest under foreachBatch's
+    * at-least-once retries (segmentId = batchId). Probes union the base
+    * dirs with committed segments transparently. */
+  def appendMinhashSegment(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dir: String,
+      segmentId: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spec = s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK"
+    val spark = df.sparkSession
+    val hadSpec = graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    val rows = numHashes / bands
+    val sig = df.select(id.as("doc_id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+      .localCheckpoint(false)
+    sig.write.mode("overwrite").parquet(s"$segDir/sigs")
+    sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$segDir/bands")
+    graft.ops.Segments.commit(spark, segDir)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
+  }
+
+  /** Merge all live MinHash segments into one (the LSM merge step; same
+    * crash-safe `_replaces`-before-`_commit` ordering as the search
+    * index's [[graft.text.SearchIndex.compactSegments]]). Returns the
+    * number of segments merged (0–1 = nothing to do). */
+  def compactMinhashSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): Int = {
+    graft.ops.IndexSpec.check(spark, dir,
+      s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK",
+      writeIfMissing = false)
+    val live = graft.ops.Segments.live(spark, dir)
+    if (live.length <= 1) return 0
+    val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    val target = {
+      val h = s"compact-${names.hashCode.toHexString}"
+      if (names.contains(h)) s"$h-x" else h
+    }
+    val segDir = graft.ops.Segments.prepare(spark, dir, target)
+    live.map(s => spark.read.parquet(s"$s/sigs")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$segDir/sigs")
+    live.map(s => spark.read.parquet(s"$s/bands")).reduce(_ unionByName _)
+      .select(col("band"), col("key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$segDir/bands")
+    graft.ops.Segments.commit(spark, segDir, replaces = names)
+    graft.ops.Segments.delete(spark, live)
+    live.length
+  }
+
   /** Drop every row of `df` (a NEW batch) that is a MinHash near-duplicate
     * (signature-estimated Jaccard ≥ threshold) of any document in the
     * [[buildMinhashIndex]] table at `dir`. The batch side computes its
@@ -228,11 +295,11 @@ object Dedup {
       .localCheckpoint(false)
     val newBands = sigDf.select(col("__id"),
       posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("band", "key")))
-    val corpusBands = spark.read.parquet(s"$dir/bands")
+    val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
     val candidates = newBands.join(corpusBands, Seq("band", "key"))
       .select(col("__id"), col("__corpus_id")).distinct()
-    val corpusSigs = spark.read.parquet(s"$dir/sigs")
+    val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
       .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
     val dups = candidates
       .join(sigDf, Seq("__id"))

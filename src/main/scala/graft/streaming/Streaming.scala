@@ -366,7 +366,7 @@ object Streaming {
     // foreachBatch runs sequentially on the driver: plain var is safe
     var indexNonEmpty = false
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => {
+      (batch, batchId) => {
         val vsIndex =
           if (indexNonEmpty)
             graft.dedup.Dedup.dedupAgainstIndex(spark, batch,
@@ -378,10 +378,14 @@ object Streaming {
           .localCheckpoint() // one computation feeds the table AND the index
         kept.write.mode("append").parquet(outDir)
         // an all-duplicates batch appends nothing: skip the index write so
-        // the bands/sigs dirs never hold schema-less empty commits
+        // the index never holds schema-less empty segments. The kept docs
+        // land as a committed SEGMENT (segmentId = batchId): a batch that
+        // dies mid-write is invisible to later probes, and a re-delivered
+        // batch overwrites its own segment instead of double-counting
         if (kept.take(1).nonEmpty) {
-          graft.dedup.Dedup.appendToMinhashIndex(kept,
-            col("doc_id"), col("text"), idxDir, numHashes, bands, shingleK)
+          graft.dedup.Dedup.appendMinhashSegment(kept,
+            col("doc_id"), col("text"), idxDir, s"b$batchId",
+            numHashes, bands, shingleK)
           indexNonEmpty = true
         }
       }

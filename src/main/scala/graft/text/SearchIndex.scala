@@ -104,31 +104,18 @@ object SearchIndex {
   // which is exactly-once ingest under Structured Streaming's
   // at-least-once foreachBatch retries (segmentId = batchId).
 
-  private def fsOf(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Idempotently (re)write one committed segment. A retried batch with
-    * the same `segmentId` replaces its previous (possibly partial)
-    * attempt instead of double-counting. */
+  /** Idempotently (re)write one committed segment
+    * ([[graft.ops.Segments]] protocol). A retried batch with the same
+    * `segmentId` replaces its previous (possibly partial) attempt
+    * instead of double-counting. */
   def appendSegment(
       docs: DataFrame, id: Column, text: Column, dir: String,
       segmentId: String, chunkSize: Int = 1 << 16): Unit = {
     require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
-    require(segmentId.nonEmpty && segmentId.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-'),
-      s"segmentId must be [A-Za-z0-9_-]+: '$segmentId'")
     val spark = docs.sparkSession
-    require(!replacedNames(spark, dir).contains(segmentId),
-      s"segment id '$segmentId' was replaced by a compaction and is " +
-        "permanently retired — pick a fresh id (probes skip retired names " +
-        "so a resurrected directory would be silently invisible)")
     val hadSpec =
       graft.ops.IndexSpec.checkReturningPresence(docs, dir, spec(chunkSize))
-    val fs = fsOf(spark, dir)
-    val segDir = s"$dir/segments/$segmentId"
-    val segPath = new org.apache.hadoop.fs.Path(segDir)
-    if (fs.exists(segPath)) fs.delete(segPath, true) // retry replaces
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
     val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
       .localCheckpoint(eager = false)
     base.select(col("doc_id"), size(col("__toks")).as("len"))
@@ -141,48 +128,8 @@ object SearchIndex {
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("chunk_idx"))
       .write.mode("overwrite").parquet(s"$segDir/postings")
-    fs.create(new org.apache.hadoop.fs.Path(segDir, "_commit"), true).close()
+    graft.ops.Segments.commit(spark, segDir)
     if (!hadSpec) graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
-  }
-
-  /** Live committed segment directories, sorted for deterministic
-    * plans: committed, and not listed in any OTHER committed segment's
-    * `_replaces` file (a compacted segment supersedes its inputs the
-    * instant it commits, even before their dirs are lazily deleted). */
-  private def committedSegments(spark: SparkSession, dir: String): Seq[String] = {
-    val fs = fsOf(spark, dir)
-    val segsPath = new org.apache.hadoop.fs.Path(s"$dir/segments")
-    if (!fs.exists(segsPath)) return Nil
-    val committed = fs.listStatus(segsPath).filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_commit")))
-    val replaced = replacedNames(spark, dir)
-    committed.filterNot(p => replaced.contains(p.getName))
-      .map(_.toString).sorted.toSeq
-  }
-
-  /** Segment names superseded by some committed segment's `_replaces`
-    * list. A name on this list is dead PERMANENTLY — probes skip it even
-    * if a directory under it reappears (that closes the pre-deletion
-    * double-count window), so [[appendSegment]] refuses to reuse one. */
-  private def replacedNames(spark: SparkSession, dir: String): Set[String] = {
-    val fs = fsOf(spark, dir)
-    val segsPath = new org.apache.hadoop.fs.Path(s"$dir/segments")
-    if (!fs.exists(segsPath)) return Set.empty
-    fs.listStatus(segsPath).filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_commit")))
-      .flatMap { p =>
-        val r = new org.apache.hadoop.fs.Path(p, "_replaces")
-        if (!fs.exists(r)) Nil
-        else {
-          val in = fs.open(r)
-          try {
-            val len = fs.getFileStatus(r).getLen.toInt
-            val buf = new Array[Byte](len)
-            in.readFully(0, buf)
-            new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
-          } finally in.close()
-        }
-      }.toSet
   }
 
   /** Merge all live segments into ONE canonical segment (unique
@@ -198,18 +145,15 @@ object SearchIndex {
   def compactSegments(
       spark: SparkSession, dir: String, chunkSize: Int = 1 << 16): Int = {
     graft.ops.IndexSpec.check(spark, dir, spec(chunkSize), writeIfMissing = false)
-    val live = committedSegments(spark, dir)
+    val live = graft.ops.Segments.live(spark, dir)
     if (live.length <= 1) return 0
-    val fs = fsOf(spark, dir)
     val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
     // deterministic target name; a crashed attempt is overwritten
     val target = {
       val h = s"compact-${names.hashCode.toHexString}"
       if (names.contains(h)) s"$h-x" else h // never collide with an input
     }
-    val segDir = s"$dir/segments/$target"
-    val segPath = new org.apache.hadoop.fs.Path(segDir)
-    if (fs.exists(segPath)) fs.delete(segPath, true)
+    val segDir = graft.ops.Segments.prepare(spark, dir, target)
     spark.read.parquet(live.map(s => s"$s/doclens"): _*)
       .write.mode("overwrite").parquet(s"$segDir/doclens")
     spark.read.parquet(live.map(s => s"$s/postings"): _*)
@@ -219,25 +163,13 @@ object SearchIndex {
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("chunk_idx"))
       .write.mode("overwrite").parquet(s"$segDir/postings")
-    val rep = fs.create(new org.apache.hadoop.fs.Path(segDir, "_replaces"), true)
-    try rep.write(names.mkString("\n").getBytes("UTF-8")) finally rep.close()
-    fs.create(new org.apache.hadoop.fs.Path(segDir, "_commit"), true).close()
-    live.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    graft.ops.Segments.commit(spark, segDir, replaces = names)
+    graft.ops.Segments.delete(spark, live)
     live.length
   }
 
-  /** Base dir (if present) + committed segments for one sub-table. An
-    * index may be base-only (build/plain append), segment-only (pure
-    * streaming ingest) or both. */
-  private def readPart(spark: SparkSession, dir: String, sub: String): DataFrame = {
-    val fs = fsOf(spark, dir)
-    val base = s"$dir/$sub"
-    val paths =
-      (if (fs.exists(new org.apache.hadoop.fs.Path(base))) Seq(base) else Nil) ++
-        committedSegments(spark, dir).map(s => s"$s/$sub")
-    require(paths.nonEmpty, s"no search index data at $dir (missing $sub)")
-    spark.read.parquet(paths: _*)
-  }
+  private def readPart(spark: SparkSession, dir: String, sub: String): DataFrame =
+    graft.ops.Segments.readPart(spark, dir, sub)
 
   private def tfFor(
       spark: SparkSession, dir: String, terms: Seq[String],

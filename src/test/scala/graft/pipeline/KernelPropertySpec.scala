@@ -130,6 +130,37 @@ class KernelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t == 1, s"first-min tie must pick index 1, got $t")
   }
 
+  test("nearest_centroids (top-n) equals sort-by-(dist,idx) on random input") {
+    // the multi-probe kernel's bounded insertion sort must reproduce the
+    // full (dist asc, idx asc) order for every prefix length n, and its
+    // head must equal the single-nearest kernel
+    val dim = 8; val k = 7
+    val centGen = Gen.listOfN(dim, Gen.chooseNum(-2000.0, 2000.0))
+    val cents0 = (1 to k).flatMap(_ => centGen.sample).map(_.toIndexedSeq)
+    val cents = cents0.updated(4, cents0(2)) // duplicate → idx ties
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-4.0, 4.0))
+    val vecs = (1 to 200).flatMap(_ => vecGen.sample)
+    val df = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toArray)
+    }.toDF("vec_id", "v")
+    for (n <- Seq(1, 3, k)) {
+      val got = df.select($"vec_id", $"v",
+          graft.functions.exprs.nearest_centroids(
+            Ann.quantizeMilli($"v"), cents, n).as("cs"))
+        .as[(Long, Seq[Float], Seq[Int])].collect()
+      got.foreach { case (i, v, cs) =>
+        val q = v.map(x => math.floor(x.toDouble * 1000.0 + 0.5))
+        val ref = cents.zipWithIndex.map { case (c, ci) =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { val d = q(j) - c(j); acc += d * d; j += 1 }
+          (acc, ci)
+        }.sortBy(identity).take(n).map(_._2)
+        assert(cs == ref, s"vec $i n=$n: kernel=$cs ref=$ref")
+      }
+    }
+  }
+
   test("mixCorpus with one full-weight source keeps every row in epoch 0") {
     val df = (1L to 500L).map(i => (i, "only")).toDF("id", "src")
     val mix = graft.ops.Sampling.mixCorpus(

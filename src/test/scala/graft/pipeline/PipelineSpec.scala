@@ -764,6 +764,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(specFile.exists()) // healed
   }
 
+  test("minhash segments: probe parity with plain appends, retry " +
+      "idempotence, compaction") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (4L, "red orange yellow green blue indigo"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // = doc 0
+      (3L, "one two three four five six eight"), // ≈ doc 2
+      (5L, "totally unrelated content right here")
+    ).toDF("id", "txt")
+    val plain = java.nio.file.Files.createTempDirectory("graft-mhseg1").toString
+    val seg = java.nio.file.Files.createTempDirectory("graft-mhseg2").toString
+    // corpus = even ids: plain build vs two segments
+    graft.dedup.Dedup.buildMinhashIndex(
+      docs.filter($"id" % 2 === 0), col("id"), col("txt"), plain)
+    graft.dedup.Dedup.appendMinhashSegment(
+      docs.filter($"id" === 0), col("id"), col("txt"), seg, "b0")
+    graft.dedup.Dedup.appendMinhashSegment(
+      docs.filter($"id" === 2 || $"id" === 4), col("id"), col("txt"), seg, "b1")
+    def probe(dir: String) = graft.dedup.Dedup.dedupAgainstIndex(spark,
+        docs.filter($"id" % 2 === 1), col("id"), col("txt"), dir)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(probe(seg) == probe(plain) && probe(seg) == Seq(5L))
+    // retry idempotence: re-running b1 changes nothing
+    graft.dedup.Dedup.appendMinhashSegment(
+      docs.filter($"id" === 2 || $"id" === 4), col("id"), col("txt"), seg, "b1")
+    assert(probe(seg) == Seq(5L))
+    // compaction merges both segments; probe unchanged; no-op after
+    assert(graft.dedup.Dedup.compactMinhashSegments(spark, seg) == 2)
+    assert(probe(seg) == Seq(5L))
+    assert(graft.dedup.Dedup.compactMinhashSegments(spark, seg) == 0)
+    // spec guard applies to segments too
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.appendMinhashSegment(
+        docs, col("id"), col("txt"), seg, "b9", bands = 8)
+    }
+    assert(e.getMessage.contains("mismatched parameters"))
+  }
+
   test("serving indexes reject mismatched build/probe parameters") {
     val docs = Seq((0L, "a b c d e"), (2L, "f g h i j"), (1L, "k l m n o"))
       .toDF("id", "txt")
