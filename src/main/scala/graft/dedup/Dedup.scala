@@ -447,6 +447,61 @@ object Dedup {
     if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
 
+  /** Crash-safe SEGMENT append for the fingerprint index — the
+    * [[graft.ops.Segments]] twin of [[appendMinhashSegment]] (fps+chunks
+    * are two jobs; the segment commit makes a mid-write crash invisible
+    * and a same-id retry overwrite, i.e. exactly-once ingest). */
+  def appendFingerprintSegment(
+      df: DataFrame,
+      id: Column,
+      fingerprint: Column,
+      dir: String,
+      segmentId: String,
+      maxDist: Int = 3): Unit = {
+    require(maxDist >= 1 && maxDist <= 15,
+      s"maxDist must be in [1, 15]: $maxDist")
+    val spec = s"fingerprint maxDist=$maxDist"
+    val spark = df.sparkSession
+    val hadSpec = graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    val fp = df.select(id.as("doc_id"), fingerprint.as("fp"))
+      .localCheckpoint(false)
+    fp.write.mode("overwrite").parquet(s"$segDir/fps")
+    fp.select(col("doc_id"),
+        posexplode(array(fpChunkCols(col("fp"), maxDist): _*))
+          .as(Seq("chunk", "val")))
+      .select(col("chunk"), col("val"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$segDir/chunks")
+    graft.ops.Segments.commit(spark, segDir)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
+  }
+
+  /** LSM merge for fingerprint segments ([[compactMinhashSegments]]'
+    * twin). Returns the number of segments merged. */
+  def compactFingerprintSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      maxDist: Int = 3): Int = {
+    graft.ops.IndexSpec.check(spark, dir, s"fingerprint maxDist=$maxDist",
+      writeIfMissing = false)
+    val live = graft.ops.Segments.live(spark, dir)
+    if (live.length <= 1) return 0
+    val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    val target = {
+      val h = s"compact-${names.hashCode.toHexString}"
+      if (names.contains(h)) s"$h-x" else h
+    }
+    val segDir = graft.ops.Segments.prepare(spark, dir, target)
+    live.map(s => spark.read.parquet(s"$s/fps")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$segDir/fps")
+    live.map(s => spark.read.parquet(s"$s/chunks")).reduce(_ unionByName _)
+      .select(col("chunk"), col("val"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$segDir/chunks")
+    graft.ops.Segments.commit(spark, segDir, replaces = names)
+    graft.ops.Segments.delete(spark, live)
+    live.length
+  }
+
   /** Drop every row of `df` (a NEW batch) whose fingerprint is within
     * Hamming `maxDist` of any document in the [[buildFingerprintIndex]]
     * table at `dir`. The batch computes its fingerprints once; the
@@ -469,11 +524,11 @@ object Dedup {
     val newChunks = fpDf.select(col("__id"),
       posexplode(array(fpChunkCols(col("__fp"), maxDist): _*))
         .as(Seq("chunk", "val")))
-    val corpusChunks = spark.read.parquet(s"$dir/chunks")
+    val corpusChunks = graft.ops.Segments.readPart(spark, dir, "chunks")
       .select(col("chunk"), col("val"), col("doc_id").as("__corpus_id"))
     val candidates = newChunks.join(corpusChunks, Seq("chunk", "val"))
       .select(col("__id"), col("__corpus_id")).distinct()
-    val corpusFps = spark.read.parquet(s"$dir/fps")
+    val corpusFps = graft.ops.Segments.readPart(spark, dir, "fps")
       .select(col("doc_id").as("__corpus_id"), col("fp").as("__corpus_fp"))
     val dups = candidates
       .join(fpDf, Seq("__id"))

@@ -803,6 +803,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("mismatched parameters"))
   }
 
+  test("fingerprint segments: probe parity, idempotence, compaction") {
+    val fps = Seq(
+      (0L, 0x0L), (2L, 0x7F00FF00FF00FF00L), (4L, 0x0123456789ABCDEFL),
+      (1L, 0x3L), (3L, 0x7F00FF00FF00FF01L), (5L, 0x7777777777777777L)
+    ).toDF("id", "fp")
+    val plain = java.nio.file.Files.createTempDirectory("graft-fpseg1").toString
+    val seg = java.nio.file.Files.createTempDirectory("graft-fpseg2").toString
+    graft.dedup.Dedup.buildFingerprintIndex(
+      fps.filter($"id" % 2 === 0), col("id"), col("fp"), plain, maxDist = 3)
+    graft.dedup.Dedup.appendFingerprintSegment(
+      fps.filter($"id" === 0), col("id"), col("fp"), seg, "b0", maxDist = 3)
+    graft.dedup.Dedup.appendFingerprintSegment(
+      fps.filter($"id" === 2 || $"id" === 4), col("id"), col("fp"), seg, "b1",
+      maxDist = 3)
+    def probe(dir: String) = graft.dedup.Dedup.dedupAgainstFingerprintIndex(
+        spark, fps.filter($"id" % 2 === 1), col("id"), col("fp"), dir,
+        maxDist = 3)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(probe(seg) == probe(plain) && probe(seg) == Seq(5L))
+    // retry + compaction keep the probe identical
+    graft.dedup.Dedup.appendFingerprintSegment(
+      fps.filter($"id" === 0), col("id"), col("fp"), seg, "b0", maxDist = 3)
+    assert(graft.dedup.Dedup.compactFingerprintSegments(spark, seg,
+      maxDist = 3) == 2)
+    assert(probe(seg) == Seq(5L))
+  }
+
   test("serving indexes reject mismatched build/probe parameters") {
     val docs = Seq((0L, "a b c d e"), (2L, "f g h i j"), (1L, "k l m n o"))
       .toDF("id", "txt")
