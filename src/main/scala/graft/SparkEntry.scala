@@ -1371,6 +1371,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Percentile-band perplexity filter (CCNet keep-the-middle by RANK,
+    // self-calibrating — no per-corpus threshold tuning): keep docs whose
+    // exclusive-rank position over avg_nll_micro lies in [20%, 80%).
+    // Ties share a position (membership is a function of the score
+    // value), the band test is exact integer arithmetic, and the
+    // cumulative window runs over DISTINCT quantized scores only.
+    "q_text_band" -> ((s, dir) => {
+      import s.implicits._
+      val nll = graft.text.Tfidf.unigramNll(
+          tbl(s, dir, "documents"), $"doc_id", $"text")
+        .select($"doc_id", $"avg_nll_micro")
+      graft.ops.Sampling.filterByScoreBand(nll, $"avg_nll_micro", 20, 80)
+        .orderBy($"doc_id")
+    }),
+
     // Bigram conditional LM (contextual perplexity filter): avg
     // -ln P(w2|w1) per doc under the corpus's own bigram distribution,
     // integer micro-nats before the per-doc sum — same portability
@@ -3648,6 +3663,36 @@ object SparkEntry {
         |  (pd.nll_micro // pd.n_tokens)::BIGINT AS avg_nll_micro
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // perplexity prelude → per-doc avg scores (nulls out) → per-value
+    // counts → exclusive-rank positions → integer band test → semi-join
+    "q_text_band" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |tc AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+        |nn AS (SELECT sum(cnt) AS n FROM tc),
+        |model AS (SELECT term,
+        |  CAST(floor(ln(cnt::DOUBLE / nn.n::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM tc, nn),
+        |pd AS (SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+        |    -sum(tf.tf * m.lp) AS nll_micro
+        |  FROM tf JOIN model m ON tf.term = m.term GROUP BY tf.doc_id),
+        |scores AS (SELECT doc_id,
+        |    (nll_micro // n_tokens)::BIGINT AS avg_nll_micro
+        |  FROM pd WHERE n_tokens > 0),
+        |cnt2 AS (SELECT count(*) AS n FROM scores),
+        |vc AS (SELECT avg_nll_micro AS s, count(*) AS c FROM scores GROUP BY 1),
+        |cum AS (SELECT s, coalesce(sum(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos FROM vc),
+        |keep AS (SELECT s FROM cum, cnt2
+        |  WHERE 100 * pos >= 20 * cnt2.n AND 100 * pos < 80 * cnt2.n)
+        |SELECT scores.doc_id, scores.avg_nll_micro FROM scores
+        |JOIN keep ON scores.avg_nll_micro = keep.s
+        |ORDER BY scores.doc_id""".stripMargin,
     "q_pipeline_curate3" -> {
       val alt = graft.text.Web.publicSuffixes
         .map(_.replace(".", "\\.")).mkString("|")

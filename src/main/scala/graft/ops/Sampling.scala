@@ -243,4 +243,40 @@ object Sampling {
   // as a string.
   private[ops] def thresholdHex(fraction: Double): String =
     f"${math.round(fraction * 4294967296.0).min(4294967296L)}%09x"
+
+  /** Keep rows whose RANK position over `score` falls in the integer
+    * percent band [loPct, hiPct) — CCNet's keep-the-middle recipe by
+    * PERCENTILE instead of fixed thresholds (a band of values must be
+    * re-tuned per corpus; a band of ranks self-calibrates).
+    *
+    * Exact and engine-portable by construction: a row's position is the
+    * EXCLUSIVE count of strictly-smaller scores (all ties share one
+    * position, so membership is a function of the score value alone),
+    * and the band test is pure integer arithmetic
+    * (100·pos ≥ loPct·N ∧ 100·pos < hiPct·N). Rows with NULL score are
+    * dropped (NULL ordering differs across engines).
+    *
+    * Scale: one distributed groupBy(score) builds the per-value counts;
+    * the cumulative window then runs over DISTINCT scores only — for
+    * quantized scores (integer micro-nats, the repo's LM outputs) that
+    * is ties-compressed and far below row count, but it IS a
+    * single-partition window at |distinct| rows: quantize continuous
+    * scores before banding. The band's score values semi-join back
+    * (equi-join; sized like the distinct values). */
+  def filterByScoreBand(
+      df: DataFrame, score: Column, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= loPct < hiPct <= 100: [$loPct, $hiPct)")
+    val nn = df.filter(score.isNotNull)
+    val n = nn.count()
+    if (n == 0) return nn
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = nn.groupBy(score.as("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__pos", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .filter(lit(100L) * col("__pos") >= lit(loPct.toLong * n) &&
+        lit(100L) * col("__pos") < lit(hiPct.toLong * n))
+      .select(col("__s"))
+    nn.join(kept, score === col("__s"), "left_semi")
+  }
 }

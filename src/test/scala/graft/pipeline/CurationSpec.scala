@@ -930,6 +930,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.contains(9L))
   }
 
+  test("filterByScoreBand: exclusive-rank band, whole tie-groups, null drop") {
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "s")
+    // pos(v) = v-1; [20,80) keeps 100·pos in [200,800) → v ∈ 3..8
+    val kept = Sampling.filterByScoreBand(df, $"s", 20, 80)
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == (3L to 8L))
+    // ties share one position: the whole group is in or out together
+    val tied = Seq(1L, 1L, 1L, 1L, 5L, 5L, 5L, 5L, 9L, 9L).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val keptTied = Sampling.filterByScoreBand(tied, $"s", 20, 80)
+      .select($"s").as[Long].collect().toSeq
+    assert(keptTied == Seq(5L, 5L, 5L, 5L))
+    // nulls are dropped, not banded
+    val withNull = Seq((0L, Some(1L)), (1L, None), (2L, Some(2L)))
+      .toDF("id", "s")
+    assert(Sampling.filterByScoreBand(withNull, $"s", 0, 100).count() == 2)
+  }
+
   test("pageRank: exact integer recurrence on a hand-computed cycle") {
     // 0→{1,2}, 1→2, 2→0; N=3, scale 1e9:
     //   r0 = 333333333, base = 50000000
