@@ -1476,8 +1476,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Pack MANIFESTS: one row per training pack (ordered member ids +
+    // token counts + total) — the unit a trainer consumes. Zero-token
+    // docs filtered upstream (they would share one prefix position and
+    // grow a single pack row unboundedly).
+    "q_pack_manifest" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Packing.packManifest(
+          tbl(s, dir, "documents")
+            .select($"doc_id", $"source",
+              size(graft.text.TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
+            .filter($"n_tokens" >= 1),
+          shard = $"source", order = $"doc_id", tokens = $"n_tokens",
+          budget = 2000L)
+        .orderBy($"shard", $"pack_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
-    // 3-shingles with a held-out "benchmark" slice (every 20th doc).
+    // 3-shingles with a held-out benchmark slice (every 20th doc).
     // Benchmark shingles broadcast; the corpus side never shuffles until
     // the (doc,bench) overlap count. Oracle = exact shingle-set
     // intersection sizes in DuckDB.
@@ -3259,6 +3275,24 @@ object SparkEntry {
         |FROM documents d JOIN thr ON d.lang = thr.lang
         |WHERE '0' || substr(md5('s5|' || d.doc_id::VARCHAR || '|0'), 1, 8) < thr.th
         |ORDER BY doc_id""".stripMargin,
+    "q_pack_manifest" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  len(CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END)::BIGINT AS n_tokens
+        |  FROM t),
+        |f AS (SELECT * FROM n WHERE n_tokens >= 1),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        |p AS (SELECT doc_id, source, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id FROM c)
+        |SELECT source AS shard, pack_id,
+        |  list(doc_id ORDER BY doc_id) AS docs,
+        |  list(n_tokens ORDER BY doc_id) AS token_counts,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -37,4 +37,29 @@ object Packing {
         floor((col("__cum") - tokens) / lit(budget.toDouble)).cast("long"))
       .drop("__cum")
   }
+
+  /** Materialize [[packByBudget]]'s assignment as ONE ROW PER PACK —
+    * the unit a trainer actually consumes: ordered member ids, their
+    * token counts (boundary offsets = its prefix sums) and the pack
+    * total. `order` doubles as the member id.
+    *
+    * Scale: the pack rows are budget-bounded as long as members carry
+    * ≥ 1 token each — FILTER ZERO-TOKEN DOCS UPSTREAM (they all share
+    * one prefix position, so a run of them lands in a single pack and
+    * its row grows unboundedly). One extra shuffle on (shard, pack_id)
+    * over the window's shard shuffle. */
+  def packManifest(
+      df: DataFrame, shard: Column, order: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    val packed = packByBudget(df, shard, order, tokens, budget)
+    packed
+      .groupBy(shard.as("shard"), col("pack_id"))
+      .agg(sort_array(collect_list(struct(order.as("o"), tokens.as("t"))))
+        .as("__m"))
+      .select(col("shard"), col("pack_id"),
+        transform(col("__m"), m => m.getField("o")).as("docs"),
+        transform(col("__m"), m => m.getField("t")).as("token_counts"),
+        aggregate(col("__m"), lit(0L),
+          (acc, m) => acc + m.getField("t")).as("pack_tokens"))
+  }
 }

@@ -460,6 +460,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 1L, 0L), ("B", 2L, 1L)))
   }
 
+  test("packManifest: ordered members, counts, totals per pack") {
+    val df = Seq(
+      ("A", 1L, 800L), ("A", 2L, 800L), ("A", 3L, 800L), ("A", 4L, 800L),
+      ("B", 1L, 2500L), ("B", 2L, 1L)
+    ).toDF("shard", "ord", "toks")
+    val out = graft.ops.Packing.packManifest(
+        df, $"shard", $"ord", $"toks", budget = 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))).toMap
+    assert(out(("A", 0L)) == ((Seq(1L, 2L, 3L), Seq(800L, 800L, 800L), 2400L)))
+    assert(out(("A", 1L)) == ((Seq(4L), Seq(800L), 800L)))
+    assert(out(("B", 0L)) == ((Seq(1L), Seq(2500L), 2500L)))
+    assert(out(("B", 1L)) == ((Seq(2L), Seq(1L), 1L)))
+  }
+
   test("tfidf broadcasts the document-frequency side (plan assert)") {
     val docs = (1L to 50L).map(i => (i, s"w$i common shared")).toDF("id", "txt")
     val plan = Tfidf.tfidf(docs, $"id", $"txt")
