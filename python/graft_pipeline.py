@@ -92,6 +92,16 @@ class Pipeline:
             corpus._jdf, corpus_id, corpus_text,
             bench._jdf, bench_id, bench_text, shingle_k, min_overlap))
 
+    def decontaminate_fuzzy(self, corpus, corpus_id, corpus_text,
+                            bench, bench_id, bench_text,
+                            num_hashes=64, bands=16, shingle_k=3,
+                            threshold=0.5):
+        """Drop corpus docs that MinHash-near-match any benchmark doc."""
+        return self._df(self._japi.decontaminateFuzzy(
+            corpus._jdf, corpus_id, corpus_text,
+            bench._jdf, bench_id, bench_text,
+            num_hashes, bands, shingle_k, threshold))
+
     # ---- materialized search index --------------------------------------
 
     def build_search_index(self, df, id_col, text_col, path,

@@ -80,6 +80,15 @@ object PythonApi {
       corpus, col(corpusIdCol), col(corpusTextCol),
       bench, col(benchIdCol), col(benchTextCol), shingleK, minOverlap)
 
+  def decontaminateFuzzy(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      numHashes: Int, bands: Int, shingleK: Int, threshold: Double): DataFrame =
+    graft.text.Decontaminate.decontaminateFuzzy(
+      corpus, col(corpusIdCol), col(corpusTextCol),
+      bench, col(benchIdCol), col(benchTextCol),
+      numHashes, bands, shingleK, threshold)
+
   // ---- materialized search index --------------------------------------
 
   def buildSearchIndex(

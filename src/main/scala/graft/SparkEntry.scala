@@ -1507,6 +1507,22 @@ object SparkEntry {
         .orderBy($"doc_id", $"bench_id")
     }),
 
+    // FUZZY decontamination (near-match benchmark filter): drop corpus
+    // docs that are MinHash near-duplicates (est Jaccard >= 0.5) of any
+    // benchmark doc — catches paraphrased/truncated copies the exact
+    // shingle overlap misses. Band-key blocking, never all-pairs. The
+    // oracle replays with exact Jaccard (the est==exact equivalence all
+    // minhash oracles rest on for this corpus).
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Decontaminate.decontaminateFuzzy(
+          docs.filter($"doc_id" % 20 =!= 0), $"doc_id", $"text",
+          docs.filter($"doc_id" % 20 === 0), $"doc_id", $"text")
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // Per-document contamination fraction (the report pipelines gate on,
     // vs q_decontaminate's binary pair list): share of each corpus doc's
     // distinct 3-shingles present anywhere in the benchmark slice.
@@ -3506,6 +3522,24 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_decontaminate_fuzzy" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |flagged AS (SELECT c.doc_id
+        |  FROM sh c, sh b
+        |  WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+        |    AND len(list_intersect(c.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(c.s, b.s)))::DOUBLE >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -156,4 +156,45 @@ object Decontaminate {
     corpus.filter(
       hits(graft.dedup.Dedup.shingles(corpusText, shingleK)) < minOverlap)
   }
+
+  /** FUZZY decontamination: drop corpus docs that are MinHash
+    * NEAR-duplicates of any benchmark doc (signature-estimated Jaccard
+    * ≥ `threshold`) — the GPT-3/Llama-style near-match benchmark filter,
+    * where [[decontaminate]]'s exact-shingle overlap misses lightly
+    * paraphrased or truncated benchmark copies.
+    *
+    * Scale shape = `Dedup.dedupAgainstIndex` with the benchmark side
+    * in-memory: both sides compute signatures ONCE (the corpus-sized
+    * work is one signature pass), candidates meet through a band-key
+    * equi-join (ids through the shuffle — band keys block, never an
+    * all-pairs compare), then the signature verify. Same
+    * banding/estimate arithmetic as `Dedup.minhashPairs`, so recall is
+    * identical. */
+  def decontaminateFuzzy(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val d = graft.dedup.Dedup
+    val rows = numHashes / bands
+    val cSig = corpus.select(corpusId.as("__cid"),
+      d.minhashSignature(d.shingles(corpusText, shingleK), numHashes).as("__csig"))
+      .localCheckpoint(false)
+    val bSig = bench.select(benchId.as("__bid"),
+      d.minhashSignature(d.shingles(benchText, shingleK), numHashes).as("__bsig"))
+      .localCheckpoint(false)
+    val cBands = cSig.select(col("__cid"),
+      posexplode(d.bandKeys(col("__csig"), bands, rows)).as(Seq("band", "key")))
+    val bBands = bSig.select(col("__bid"),
+      posexplode(d.bandKeys(col("__bsig"), bands, rows)).as(Seq("band", "key")))
+    val flagged = cBands.join(bBands, Seq("band", "key"))
+      .select(col("__cid"), col("__bid")).distinct()
+      .join(cSig, Seq("__cid"))
+      .join(bSig, Seq("__bid"))
+      .filter(round(d.signatureJaccard(col("__csig"), col("__bsig")), 4)
+        >= threshold)
+      .select(col("__cid").as("__flagged")).distinct()
+    corpus.join(flagged, corpusId === col("__flagged"), "left_anti")
+  }
 }

@@ -945,6 +945,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.contains(9L))
   }
 
+  test("decontaminateFuzzy: near-matches drop, parity with minhashPairs") {
+    val bench = Seq(
+      (100L, "one two three four five six seven eight"),
+      (101L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("id", "txt")
+    val corpus = Seq(
+      (0L, "one two three four five six seven nine"), // near-copy of 100
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // exact copy of 101
+      (2L, "totally unrelated prose with novel words"),
+      (3L, "more singular content matching nothing")
+    ).toDF("id", "txt")
+    val kept = graft.text.Decontaminate.decontaminateFuzzy(
+        corpus, col("id"), col("txt"), bench, col("id"), col("txt"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // differential: a corpus doc is dropped iff minhashPairs over the
+    // union pairs it with a bench doc (same signature arithmetic)
+    val pairs = graft.dedup.Dedup.minhashPairs(
+        corpus.unionByName(bench), col("id"), col("txt"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ref = Seq(0L, 1L, 2L, 3L).filterNot(c =>
+      Seq(100L, 101L).exists(b => pairs((c, b)) || pairs((b, c))))
+    assert(kept == ref)
+  }
+
   test("filterByScoreBand: exclusive-rank band, whole tie-groups, null drop") {
     val df = (1L to 10L).map(i => (i, i)).toDF("id", "s")
     // pos(v) = v-1; [20,80) keeps 100·pos in [200,800) → v ∈ 3..8
