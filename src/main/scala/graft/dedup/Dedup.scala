@@ -249,6 +249,16 @@ object Dedup {
     graft.ops.IndexSpec.check(spark, dir,
       s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK",
       writeIfMissing = false)
+    // single-compactor lock (see SearchIndex.compactSegments)
+    graft.ops.MaintenanceLock.withLock(
+        graft.ops.Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) {
+      compactMinhashLocked(spark, dir)
+    }
+  }
+
+  private def compactMinhashLocked(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
     val live = graft.ops.Segments.live(spark, dir)
     if (live.length <= 1) return 0
     val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
@@ -484,6 +494,16 @@ object Dedup {
       maxDist: Int = 3): Int = {
     graft.ops.IndexSpec.check(spark, dir, s"fingerprint maxDist=$maxDist",
       writeIfMissing = false)
+    // single-compactor lock (see SearchIndex.compactSegments)
+    graft.ops.MaintenanceLock.withLock(
+        graft.ops.Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) {
+      compactFingerprintLocked(spark, dir)
+    }
+  }
+
+  private def compactFingerprintLocked(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
     val live = graft.ops.Segments.live(spark, dir)
     if (live.length <= 1) return 0
     val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)

@@ -145,6 +145,19 @@ object SearchIndex {
   def compactSegments(
       spark: SparkSession, dir: String, chunkSize: Int = 1 << 16): Int = {
     graft.ops.IndexSpec.check(spark, dir, spec(chunkSize), writeIfMissing = false)
+    // single-compactor lock: two concurrent compactions would derive the
+    // SAME deterministic target name from the same live set and write
+    // into one directory concurrently (concurrent APPENDS need no lock —
+    // distinct segment dirs — and an append racing this compaction is
+    // safe: the merge replaces only the segments it listed)
+    graft.ops.MaintenanceLock.withLock(
+        graft.ops.Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) {
+      compactSegmentsLocked(spark, dir)
+    }
+  }
+
+  private def compactSegmentsLocked(spark: SparkSession, dir: String): Int = {
     val live = graft.ops.Segments.live(spark, dir)
     if (live.length <= 1) return 0
     val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)

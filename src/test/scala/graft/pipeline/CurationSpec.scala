@@ -927,6 +927,17 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ghost, col("id"), col("txt"), dir, "zz-extra", chunkSize = 2)
     val merged = graft.text.SearchIndex.compactSegments(spark, dir, chunkSize = 2)
     assert(merged == 2) // compact-* + zz-extra
+    // a held maintenance lock excludes a concurrent compaction (two
+    // compactors would write the same deterministic target dir)
+    val lock = new java.io.File(dir, graft.ops.MaintenanceLock.LockName)
+    graft.text.SearchIndex.appendSegment(
+      docs.filter($"id" === 1), col("id"), col("txt"), dir, "zz-more",
+      chunkSize = 2)
+    assert(lock.createNewFile())
+    intercept[graft.ops.ConcurrentMaintenanceException] {
+      graft.text.SearchIndex.compactSegments(spark, dir, chunkSize = 2)
+    }
+    lock.delete()
     // a replaced name is permanently retired: reusing it must fail fast
     // (probes skip retired names, so a resurrected dir would be silently
     // invisible — the guard turns that footgun into an error)
