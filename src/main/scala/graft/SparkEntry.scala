@@ -1386,6 +1386,62 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): every document scored by
+    // ln p_target/p_raw under hashed unigram+bigram models (1024 buckets,
+    // add-one smoothing), target = the English slice of the corpus. Each
+    // bucket logprob quantizes to integer micro-nats before the integer
+    // dot product, and the bucket hash is md5_number_lower % B — both
+    // replayable bit-for-bit by the oracle.
+    "q_text_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Dsir.importanceWeights(
+          docs, docs.filter($"lang" === "en"), $"doc_id", $"text",
+          buckets = 1024)
+        .orderBy($"doc_id")
+    }),
+
+    // The DSIR selection step: top-100 most-target-like documents by
+    // (logw_micro desc, doc_id) — deterministic membership the oracle
+    // replays with a window rank.
+    "q_text_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Dsir.selectByImportance(
+          docs, docs.filter($"lang" === "en"), $"doc_id", $"text",
+          k = 100, buckets = 1024)
+        .orderBy($"doc_id")
+    }),
+
+    // The paper's actual sampler: Gumbel-top-k importance RESAMPLING
+    // (P ∝ w, without replacement) with deterministic salted-md5 Gumbel
+    // noise quantized to micro-units — membership replays on any engine.
+    "q_text_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Dsir.resampleByImportance(
+          docs, docs.filter($"lang" === "en"), $"doc_id", $"text",
+          k = 100, salt = "dsir1", buckets = 1024)
+        .orderBy($"doc_id")
+    }),
+
+    // Trained quality classifier (the WebText/GPT-3-style LR filter):
+    // 3 full-batch GD steps of logistic regression over hashed
+    // unigram+bigram buckets, positives = the English slice, then every
+    // document scored by its integer margin. Weights live in integer
+    // micro-units, residuals quantize before the gradient sums, updates
+    // divide by truncation (Java / = DuckDB //) — the oracle replays all
+    // 3 unrolled iterations.
+    "q_text_quality_lr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val model = graft.text.LogReg.fit(
+        docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"),
+        $"doc_id", $"text", buckets = 1024, iters = 3, etaMilli = 500)
+      graft.text.LogReg.score(docs, $"doc_id", $"text", model)
+        .orderBy($"doc_id")
+    }),
+
     // Bigram conditional LM (contextual perplexity filter): avg
     // -ln P(w2|w1) per doc under the corpus's own bigram distribution,
     // integer micro-nats before the per-doc sum — same portability
@@ -1601,6 +1657,42 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedSample(
           kept, $"source", $"doc_id", n = 10, salt = "cur4")
         .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Round-6 second composed pipeline — both TRAINED models in one
+    // gate: every document's combined score = DSIR importance weight
+    // (domain relevance vs the English target) + LR quality margin
+    // (3-iteration classifier, same 1024 hashed buckets), top-100 by
+    // (combined desc, doc_id), then a 5-per-source cap by the same
+    // order. All exact integer arithmetic downstream of the micro-nat
+    // quantizations; the oracle replays BOTH model chains off one shared
+    // hashed-feature table. (At 100 TB the three featurization passes
+    // here would share one persisted (doc, bucket) tf table — the oracle
+    // already does.)
+    "q_pipeline_curate5" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val en = docs.filter($"lang" === "en")
+      val w = graft.text.Dsir.importanceWeights(
+        docs, en, $"doc_id", $"text", buckets = 1024)
+      val model = graft.text.LogReg.fit(
+        en, docs.filter($"lang" =!= "en"), $"doc_id", $"text",
+        buckets = 1024, iters = 3, etaMilli = 500)
+      val m = graft.text.LogReg.score(docs, $"doc_id", $"text", model)
+        .select($"doc_id", $"margin_micro")
+      val top = w.join(m, Seq("doc_id"))
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .select($"doc_id", $"source",
+          ($"logw_micro" + $"margin_micro").as("combined_micro"))
+        .orderBy($"combined_micro".desc, $"doc_id")
+        .limit(100)
+      val capped = top.withColumn("__srk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source")
+          .orderBy($"combined_micro".desc, $"doc_id")))
+        .filter($"__srk" <= 5)
+      capped.select($"doc_id", $"source", $"combined_micro")
         .orderBy($"doc_id")
     }),
 
@@ -2620,6 +2712,154 @@ object SparkEntry {
          |ORDER BY adc_dist2, neighbor_id LIMIT $topK""".stripMargin)
     sb.toString
   }
+
+  /** Replay of [[graft.text.Dsir]]: hashed unigram+bigram feature buckets
+    * (md5_number_lower % 1024 — bit-identical to [[graft.functions.Md5Bucket]]),
+    * add-one-smoothed target/raw bucket logprobs quantized to integer
+    * micro-nats, exact integer per-doc dot product; target = lang 'en'.
+    * With `selectK` set, the deterministic top-k selection by
+    * (logw_micro desc, doc_id); with `resample` = (k, salt), the
+    * Gumbel-top-k without-replacement sample (key = logw + salted-md5
+    * Gumbel noise quantized to micro-units). */
+  /** Shared hashed-feature prelude (unigram+bigram md5 buckets over
+    * `documents`) for the DSIR / LR oracle replays: CTEs t, tt, feats,
+    * fb, rtf — ends with a trailing comma. */
+  private def hashedFeatsSql(buckets: Int): String =
+    s"""t AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+       |  FROM documents),
+       |tt AS (SELECT doc_id,
+       |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+       |feats AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2
+       |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |  ELSE [] END) AS f FROM tt),
+       |fb AS (SELECT doc_id, CAST(md5_number_lower(f) % $buckets AS BIGINT) AS bucket FROM feats),
+       |rtf AS (SELECT doc_id, bucket, count(*) AS tf FROM fb GROUP BY 1, 2),
+       |""".stripMargin
+
+  /** DSIR model chain over the prelude's rtf/fb: target/raw bucket
+    * logprobs → per-bucket log-ratio → per-doc weight CTE `pd` (doc_id,
+    * nf, lw) — ends with a trailing comma. */
+  private def dsirChainSql(buckets: Int): String =
+    s"""rc AS (SELECT bucket, sum(tf) AS cnt FROM rtf GROUP BY 1),
+       |rt AS (SELECT sum(cnt) AS t FROM rc),
+       |lpr AS (SELECT bucket, CAST(floor(ln((cnt + 1)::DOUBLE / (rt.t + $buckets)::DOUBLE)
+       |  * 1000000 + 0.5) AS BIGINT) AS lp FROM rc, rt),
+       |ttf AS (SELECT fb.bucket, count(*) AS cnt FROM fb
+       |  JOIN documents d ON fb.doc_id = d.doc_id WHERE d.lang = 'en' GROUP BY 1),
+       |tct AS (SELECT coalesce(sum(cnt), 0) AS t FROM ttf),
+       |lpt AS (SELECT bucket, CAST(floor(ln((cnt + 1)::DOUBLE / (tct.t + $buckets)::DOUBLE)
+       |  * 1000000 + 0.5) AS BIGINT) AS lp FROM ttf, tct),
+       |ratio AS (SELECT r.bucket, coalesce(l.lp,
+       |    (SELECT CAST(floor(ln(1.0 / (tct.t + $buckets)::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+       |     FROM tct)) - r.lp AS lr
+       |  FROM lpr r LEFT JOIN lpt l ON r.bucket = l.bucket),
+       |pd AS (SELECT rtf.doc_id, sum(rtf.tf) AS nf, sum(rtf.tf * ratio.lr) AS lw
+       |  FROM rtf JOIN ratio ON rtf.bucket = ratio.bucket GROUP BY 1),
+       |""".stripMargin
+
+  private def dsirSql(
+      selectK: Option[Int],
+      resample: Option[(Int, String)] = None): String = {
+    val body = "WITH " + hashedFeatsSql(1024) + dsirChainSql(1024) +
+      """w AS (SELECT d.doc_id, coalesce(pd.nf, 0)::BIGINT AS n_features,
+        |    coalesce(pd.lw, 0)::BIGINT AS logw_micro
+        |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)""".stripMargin
+    (selectK, resample) match {
+      case (None, None) => body + "\nSELECT * FROM w ORDER BY doc_id"
+      case (Some(k), None) => body +
+        s""",
+           |sel AS (SELECT doc_id, n_features, logw_micro, row_number()
+           |    OVER (ORDER BY logw_micro DESC, doc_id) AS rk FROM w)
+           |SELECT doc_id, n_features, logw_micro FROM sel WHERE rk <= $k
+           |ORDER BY doc_id""".stripMargin
+      case (None, Some((k, salt))) => body +
+        s""",
+           |keys AS (SELECT doc_id, n_features, logw_micro, logw_micro +
+           |    CAST(floor(-ln(-ln(((md5_number_lower('$salt' || '|' || doc_id::VARCHAR)
+           |      >> 11)::DOUBLE + 0.5) / 9007199254740992.0)) * 1000000 + 0.5) AS BIGINT)
+           |    AS key_micro FROM w),
+           |sel AS (SELECT *, row_number() OVER (ORDER BY key_micro DESC, doc_id)
+           |    AS rk FROM keys)
+           |SELECT doc_id, n_features, logw_micro, key_micro FROM sel
+           |WHERE rk <= $k ORDER BY doc_id""".stripMargin
+      case _ => throw new IllegalArgumentException(
+        "selectK and resample are mutually exclusive")
+    }
+  }
+
+  /** Replay of [[graft.text.LogReg]]: the shared hashed-feature prelude,
+    * then `iters` UNROLLED gradient-descent iterations (the kmeansCentsSql
+    * recipe) — margins by integer dot product, residuals quantized to
+    * micro-units right after the sigmoid, integer gradient sums, weight
+    * updates by DuckDB `//` = Java's truncating `/` — and the final margin
+    * scores. Positives = lang 'en'. */
+  /** Logistic-regression chain over the prelude's rtf: labels, iteration
+    * CTEs w0..wN/b0..bN, and the per-doc score CTE `sc` (doc_id, nf,
+    * dot) — ends with a trailing comma. Final margin = dot + bN. */
+  private def logRegChainSql(iters: Int, etaMilli: Long): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""labels AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w0 AS (SELECT DISTINCT bucket, 0::BIGINT AS w FROM rtf),
+         |b0 AS (SELECT 0::BIGINT AS b),
+         |""".stripMargin)
+    for (i <- 1 to iters) {
+      val (pw, pb) = (s"w${i - 1}", s"b${i - 1}")
+      sb.append(
+        s"""dots$i AS (SELECT rtf.doc_id, sum(rtf.tf * $pw.w) AS dot
+           |  FROM rtf JOIN $pw USING (bucket) GROUP BY 1),
+           |resid$i AS (SELECT l.doc_id, CAST(floor((l.y::DOUBLE -
+           |    1.0 / (1.0 + exp(-((coalesce(d.dot, 0) + $pb.b)::DOUBLE / 1000000))))
+           |    * 1000000 + 0.5) AS BIGINT) AS r
+           |  FROM labels l LEFT JOIN dots$i d USING (doc_id), $pb),
+           |g$i AS (SELECT rtf.bucket, sum(rtf.tf * resid$i.r) AS g
+           |  FROM rtf JOIN resid$i USING (doc_id) GROUP BY 1),
+           |w$i AS (SELECT $pw.bucket,
+           |    ($pw.w + ($etaMilli * coalesce(g$i.g, 0)) // (1000 * nn.n))::BIGINT AS w
+           |  FROM $pw LEFT JOIN g$i USING (bucket), nn),
+           |b$i AS (SELECT ($pb.b + ($etaMilli * (SELECT sum(r) FROM resid$i))
+           |    // (1000 * nn.n))::BIGINT AS b FROM $pb, nn),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""sc AS (SELECT rtf.doc_id, sum(rtf.tf) AS nf,
+         |    sum(rtf.tf * coalesce(w$iters.w, 0)) AS dot
+         |  FROM rtf LEFT JOIN w$iters USING (bucket) GROUP BY 1),
+         |""".stripMargin)
+    sb.toString
+  }
+
+  private def logRegSql(iters: Int, buckets: Int, etaMilli: Long): String =
+    "WITH " + hashedFeatsSql(buckets) + logRegChainSql(iters, etaMilli).stripSuffix(",\n") +
+      s"""
+         |SELECT d.doc_id, coalesce(sc.nf, 0)::BIGINT AS n_features,
+         |  (coalesce(sc.dot, 0) + (SELECT b FROM b$iters))::BIGINT AS margin_micro
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** Replay of [[q_pipeline_curate5]]: BOTH trained-model chains off one
+    * shared hashed-feature table — per-doc combined score = DSIR weight +
+    * LR margin, global top-`topK` by (combined desc, doc_id), then a
+    * `perSource` cap in the same order. */
+  private def curate5Sql(
+      iters: Int, buckets: Int, etaMilli: Long, topK: Int,
+      perSource: Int): String =
+    "WITH " + hashedFeatsSql(buckets) + dsirChainSql(buckets) +
+      logRegChainSql(iters, etaMilli) +
+      s"""comb AS (SELECT d.doc_id, d.source,
+         |    (coalesce(pd.lw, 0) + coalesce(sc.dot, 0) +
+         |     (SELECT b FROM b$iters))::BIGINT AS combined_micro
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |    LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY combined_micro DESC, doc_id)
+         |    AS rk FROM comb),
+         |topd AS (SELECT doc_id, source, combined_micro FROM ranked WHERE rk <= $topK),
+         |capped AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY combined_micro DESC, doc_id) AS srk FROM topd)
+         |SELECT doc_id, source, combined_micro FROM capped WHERE srk <= $perSource
+         |ORDER BY doc_id""".stripMargin
 
   /** Replay of [[graft.ann.Ann.kmeansFit]] + [[graft.ann.Ann.ivfTopKTrained]]:
     * the trained-centroid chain, every vector's L2 cell assignment
@@ -3841,6 +4081,13 @@ object SparkEntry {
         |  (pd.nll_micro // pd.n_bigrams)::BIGINT AS avg_nll_micro
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_text_dsir" -> dsirSql(selectK = None),
+    "q_text_dsir_select" -> dsirSql(selectK = Some(100)),
+    "q_text_dsir_resample" -> dsirSql(selectK = None,
+      resample = Some((100, "dsir1"))),
+    "q_text_quality_lr" -> logRegSql(iters = 3, buckets = 1024, etaMilli = 500),
+    "q_pipeline_curate5" -> curate5Sql(iters = 3, buckets = 1024,
+      etaMilli = 500, topK = 100, perSource = 5),
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

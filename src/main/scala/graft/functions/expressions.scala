@@ -345,6 +345,56 @@ object SimHash64 {
   }
 }
 
+/** md5-lower-64 of a string as a signed long whose BITS equal DuckDB's
+  * `md5_number_lower` UBIGINT — the shared salt-hash primitive for
+  * oracle-replayable randomness (Gumbel keys, bucket hashing). Callers
+  * needing unsigned arithmetic must use unsigned operators
+  * (shiftrightunsigned / remainderUnsigned) on the signed value. */
+case class Md5Lower64(child: Expression)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def compute(s: UTF8String): Long = Hashing.md5Lower64(s)
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): Md5Lower64 = copy(child = c)
+}
+
+/** Feature-hashing bucket of a string: md5-lower-64 reduced modulo
+  * `buckets` with UNSIGNED remainder semantics — bit-identical to DuckDB
+  * `md5_number_lower(s) % buckets` (whose md5_number_lower is a UBIGINT),
+  * so hashed-feature models (DSIR importance weights) are replicable by
+  * an external SQL oracle. Codegen'd map-side kernel: hashing the token
+  * stream of 100 TB is one scan, no shuffle. */
+case class Md5Bucket(child: Expression, buckets: Int)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(buckets >= 1, s"buckets must be >= 1: $buckets")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def compute(s: UTF8String): Int =
+    java.lang.Long.remainderUnsigned(Hashing.md5Lower64(s), buckets.toLong).toInt
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): Md5Bucket = copy(child = c)
+}
+
+object Md5Bucket {
+  /** JVM-side helper for tests. */
+  def of(s: String, buckets: Int): Int =
+    Md5Bucket(null, buckets).compute(UTF8String.fromString(s))
+}
+
 /** Sum over string-array elements of max(1, ceil(numChars / unit)) — the
   * BPE-ish subword estimate, one pass, no per-token lambda. */
 case class SubwordCount(child: Expression, unit: Int)
@@ -724,6 +774,10 @@ object exprs {
     SparkInternals.wrap(BpeEncode(SparkInternals.unwrap(tokens), merges))
   def simhash64(tokens: Column, algo: String = "xx"): Column =
     SparkInternals.wrap(SimHash64(SparkInternals.unwrap(tokens), algo))
+  def md5_bucket(s: Column, buckets: Int): Column =
+    SparkInternals.wrap(Md5Bucket(SparkInternals.unwrap(s), buckets))
+  def md5_lower64(s: Column): Column =
+    SparkInternals.wrap(Md5Lower64(SparkInternals.unwrap(s)))
   def dot_product(a: Column, b: Column): Column =
     SparkInternals.wrap(DotProduct(SparkInternals.unwrap(a), SparkInternals.unwrap(b)))
   def norm_squared(a: Column): Column =
