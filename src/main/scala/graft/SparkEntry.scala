@@ -1413,6 +1413,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-distance diagnostic: KL(target ‖ raw) over the smoothed
+    // hashed-feature bucket models — one exact-integer numerator row
+    // covering the full smoothed bucket space (observed union + the
+    // closed-form never-seen term).
+    "q_text_kl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Dsir.klDivergence(
+        docs, docs.filter($"lang" === "en"), $"doc_id", $"text",
+        buckets = 1024)
+    }),
+
     // The paper's actual sampler: Gumbel-top-k importance RESAMPLING
     // (P ∝ w, without replacement) with deterministic salted-md5 Gumbel
     // noise quantized to micro-units — membership replays on any engine.
@@ -2758,6 +2770,36 @@ object SparkEntry {
        |  FROM rtf JOIN ratio ON rtf.bucket = ratio.bucket GROUP BY 1),
        |""".stripMargin
 
+  /** Replay of [[graft.text.Dsir.klDivergence]]: both smoothed bucket
+    * models, the full-outer union of observed buckets, the exact integer
+    * contribution sum, and the closed-form never-seen-bucket term. */
+  private def klSql(buckets: Int): String =
+    "WITH " + hashedFeatsSql(buckets) +
+      s"""rc AS (SELECT bucket, sum(tf) AS cnt FROM rtf GROUP BY 1),
+         |rt AS (SELECT sum(cnt) AS t FROM rc),
+         |lpr AS (SELECT bucket, CAST(floor(ln((cnt + 1)::DOUBLE / (rt.t + $buckets)::DOUBLE)
+         |  * 1000000 + 0.5) AS BIGINT) AS lp FROM rc, rt),
+         |ttf AS (SELECT fb.bucket, count(*) AS cnt FROM fb
+         |  JOIN documents d ON fb.doc_id = d.doc_id WHERE d.lang = 'en' GROUP BY 1),
+         |tct AS (SELECT coalesce(sum(cnt), 0) AS t FROM ttf),
+         |lpt AS (SELECT bucket, cnt, CAST(floor(ln((cnt + 1)::DOUBLE / (tct.t + $buckets)::DOUBLE)
+         |  * 1000000 + 0.5) AS BIGINT) AS lp FROM ttf, tct),
+         |consts AS (SELECT
+         |  CAST(floor(ln(1.0 / (tct.t + $buckets)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS st,
+         |  CAST(floor(ln(1.0 / (rt.t + $buckets)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sr
+         |  FROM tct, rt),
+         |u AS (SELECT t.cnt AS tcnt, t.lp AS lpt2, r.lp AS lpr2
+         |  FROM lpt t FULL JOIN lpr r ON t.bucket = r.bucket),
+         |obs AS (SELECT count(*) AS nb,
+         |    sum((coalesce(u.tcnt, 0) + 1) * (coalesce(u.lpt2, consts.st)
+         |      - coalesce(u.lpr2, consts.sr))) AS s2
+         |  FROM u, consts)
+         |SELECT obs.nb::BIGINT AS n_buckets_observed, tct.t::BIGINT AS target_total,
+         |  rt.t::BIGINT AS raw_total,
+         |  (coalesce(obs.s2, 0) + ($buckets - obs.nb) * (consts.st - consts.sr))::BIGINT
+         |    AS kl_num_micro
+         |FROM obs, consts, tct, rt""".stripMargin
+
   private def dsirSql(
       selectK: Option[Int],
       resample: Option[(Int, String)] = None): String = {
@@ -4085,6 +4127,7 @@ object SparkEntry {
     "q_text_dsir_select" -> dsirSql(selectK = Some(100)),
     "q_text_dsir_resample" -> dsirSql(selectK = None,
       resample = Some((100, "dsir1"))),
+    "q_text_kl" -> klSql(buckets = 1024),
     "q_text_quality_lr" -> logRegSql(iters = 3, buckets = 1024, etaMilli = 500),
     "q_pipeline_curate5" -> curate5Sql(iters = 3, buckets = 1024,
       etaMilli = 500, topK = 100, perSource = 5),

@@ -131,6 +131,55 @@ object Dsir {
       .limit(k)
   }
 
+  /** Corpus-distance diagnostic: KL(target ‖ raw) over the add-one
+    * smoothed hashed-feature bucket distributions, in integer micro-nats
+    * — the "how far is my mixture from the target domain" number
+    * data-mixing iterations steer by.
+    *
+    * KL = Σ_{b=0..B-1} p_t(b)·(ln p_t(b) − ln p_r(b)) with
+    * p_t(b) = (t_b+1)/(T+B). Computed as an EXACT integer numerator:
+    * contributions (t_b+1)·(lpT_micro − lpR_micro) summed over the union
+    * of observed buckets, plus the closed-form term for the B−observed
+    * buckets neither corpus saw (each contributes 1·(lpT₀ − lpR₀), the
+    * two smoothing constants) — the full smoothed-model sum, no
+    * truncation, no float reduction. The caller divides by (T+B)·10⁶
+    * for nats.
+    *
+    * @return one row: (n_buckets_observed, target_total, raw_total,
+    *         kl_num_micro) where KL ≈ kl_num_micro / (target_total +
+    *         buckets) / 10⁶ nats.
+    */
+  def klDivergence(
+      raw: DataFrame, target: DataFrame, id: Column, text: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val lpT = bucketLogProbs(featureTf(target, id, text, buckets), buckets)
+    val lpR = bucketLogProbs(featureTf(raw, id, text, buckets), buckets)
+    val tTotal = lpT.agg(max(col("__total")).as("__tt"))
+    val rTotal = lpR.agg(max(col("__total")).as("__rt"))
+    def smooth(total: Column): Column =
+      floor(log(lit(1.0) / (coalesce(total, lit(0L)) + lit(buckets))
+        .cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val joined = lpT
+      .select(col("bucket"), col("cnt").as("__tcnt"), col("lp_micro").as("__lpt"))
+      .join(lpR.select(col("bucket"), col("lp_micro").as("__lpr")),
+        Seq("bucket"), "full")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(
+        ((coalesce(col("__tcnt"), lit(0L)) + lit(1)) *
+          (coalesce(col("__lpt"), smooth(col("__tt"))) -
+            coalesce(col("__lpr"), smooth(col("__rt"))))).as("__contrib"))
+      .agg(count(lit(1)).as("n_buckets_observed"),
+        sum(col("__contrib")).as("__observed"))
+    joined.crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("n_buckets_observed"),
+        coalesce(col("__tt"), lit(0L)).as("target_total"),
+        coalesce(col("__rt"), lit(0L)).as("raw_total"),
+        (coalesce(col("__observed"), lit(0L)) +
+          (lit(buckets) - col("n_buckets_observed")) *
+            (smooth(col("__tt")) - smooth(col("__rt")))).as("kl_num_micro"))
+  }
+
   /** The paper's actual sampler — importance RESAMPLING without
     * replacement via the Gumbel-top-k trick (Vieira 2014): each document
     * gets key = log w + G_i with G_i standard Gumbel noise, and the k

@@ -120,6 +120,53 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel == Set(1L, 2L, 3L))
   }
 
+  test("klDivergence matches an independent full-smoothed-sum replay") {
+    val raw = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "le chat noir dort sur le tapis"),
+      (3L, "spark partitions data and computes"),
+      (4L, "der hund läuft schnell"))
+    val target = Seq(
+      (10L, "spark computes aggregates over partitions"),
+      (11L, "the cluster shuffles partitions"))
+    val buckets = 64
+    def feats(text: String): Seq[Int] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val bigrams =
+        if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      (toks ++ bigrams).map(Md5Bucket.of(_, buckets))
+    }
+    def counts(docs: Seq[(Long, String)]): Map[Int, Long] =
+      docs.flatMap(d => feats(d._2)).groupBy(identity)
+        .map { case (b, o) => b -> o.size.toLong }
+    def lp(c: Long, total: Long): Long =
+      math.floor(math.log((c + 1).toDouble / (total + buckets).toDouble)
+        * 1e6 + 0.5).toLong
+    val tc = counts(target); val rc = counts(raw)
+    val tTot = tc.values.sum; val rTot = rc.values.sum
+    val union = tc.keySet ++ rc.keySet
+    val observed = union.toSeq.map { b =>
+      (tc.getOrElse(b, 0L) + 1) *
+        (lp(tc.getOrElse(b, 0L), tTot) - lp(rc.getOrElse(b, 0L), rTot))
+    }.sum
+    val wantKl = observed +
+      (buckets - union.size) * (lp(0, tTot) - lp(0, rTot))
+    val got = Dsir.klDivergence(
+        raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"),
+        $"doc_id", $"text", buckets = buckets)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((union.size.toLong, tTot, rTot, wantKl)))
+    // Identical corpora: every per-bucket term and the never-seen term
+    // cancel to a zero numerator.
+    val self = Dsir.klDivergence(
+        raw.toDF("doc_id", "text"), raw.toDF("doc_id", "text"),
+        $"doc_id", $"text", buckets = buckets)
+      .select($"kl_num_micro").as[Long].head()
+    assert(self == 0L)
+  }
+
   test("resampleByImportance matches an independent Gumbel-key replay") {
     val raw = Seq(
       (1L, "alpha beta gamma delta"), (2L, "uno dos tres cuatro"),
