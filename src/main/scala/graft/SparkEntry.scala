@@ -1448,7 +1448,10 @@ object SparkEntry {
       import s.implicits._
       val docs = tbl(s, dir, "documents")
       val model = graft.text.LogReg.fit(
-        docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"),
+        docs.filter($"lang" === "en"),
+        // NULL-safe complement: the oracle labels every non-'en' doc
+        // (NULL lang included) as the negative class
+        docs.filter(not($"lang" <=> "en")),
         $"doc_id", $"text", buckets = 1024, iters = 3, etaMilli = 500)
       graft.text.LogReg.score(docs, $"doc_id", $"text", model)
         .orderBy($"doc_id")
@@ -1689,7 +1692,7 @@ object SparkEntry {
       val w = graft.text.Dsir.importanceWeights(
         docs, en, $"doc_id", $"text", buckets = 1024)
       val model = graft.text.LogReg.fit(
-        en, docs.filter($"lang" =!= "en"), $"doc_id", $"text",
+        en, docs.filter(not($"lang" <=> "en")), $"doc_id", $"text",
         buckets = 1024, iters = 3, etaMilli = 500)
       val m = graft.text.LogReg.score(docs, $"doc_id", $"text", model)
         .select($"doc_id", $"margin_micro")
@@ -2725,14 +2728,6 @@ object SparkEntry {
     sb.toString
   }
 
-  /** Replay of [[graft.text.Dsir]]: hashed unigram+bigram feature buckets
-    * (md5_number_lower % 1024 — bit-identical to [[graft.functions.Md5Bucket]]),
-    * add-one-smoothed target/raw bucket logprobs quantized to integer
-    * micro-nats, exact integer per-doc dot product; target = lang 'en'.
-    * With `selectK` set, the deterministic top-k selection by
-    * (logw_micro desc, doc_id); with `resample` = (k, salt), the
-    * Gumbel-top-k without-replacement sample (key = logw + salted-md5
-    * Gumbel noise quantized to micro-units). */
   /** Shared hashed-feature prelude (unigram+bigram md5 buckets over
     * `documents`) for the DSIR / LR oracle replays: CTEs t, tt, feats,
     * fb, rtf — ends with a trailing comma. */
@@ -2749,10 +2744,11 @@ object SparkEntry {
        |rtf AS (SELECT doc_id, bucket, count(*) AS tf FROM fb GROUP BY 1, 2),
        |""".stripMargin
 
-  /** DSIR model chain over the prelude's rtf/fb: target/raw bucket
-    * logprobs → per-bucket log-ratio → per-doc weight CTE `pd` (doc_id,
-    * nf, lw) — ends with a trailing comma. */
-  private def dsirChainSql(buckets: Int): String =
+  /** Smoothed bucket models over the prelude's rtf/fb — the ONE copy of
+    * the raw/target logprob CTEs every DSIR-family oracle builds on:
+    * rc/rt/lpr (raw side), ttf/tct/lpt (target side, lpt carries cnt) —
+    * ends with a trailing comma. */
+  private def bucketModelsSql(buckets: Int): String =
     s"""rc AS (SELECT bucket, sum(tf) AS cnt FROM rtf GROUP BY 1),
        |rt AS (SELECT sum(cnt) AS t FROM rc),
        |lpr AS (SELECT bucket, CAST(floor(ln((cnt + 1)::DOUBLE / (rt.t + $buckets)::DOUBLE)
@@ -2760,9 +2756,16 @@ object SparkEntry {
        |ttf AS (SELECT fb.bucket, count(*) AS cnt FROM fb
        |  JOIN documents d ON fb.doc_id = d.doc_id WHERE d.lang = 'en' GROUP BY 1),
        |tct AS (SELECT coalesce(sum(cnt), 0) AS t FROM ttf),
-       |lpt AS (SELECT bucket, CAST(floor(ln((cnt + 1)::DOUBLE / (tct.t + $buckets)::DOUBLE)
+       |lpt AS (SELECT bucket, cnt, CAST(floor(ln((cnt + 1)::DOUBLE / (tct.t + $buckets)::DOUBLE)
        |  * 1000000 + 0.5) AS BIGINT) AS lp FROM ttf, tct),
-       |ratio AS (SELECT r.bucket, coalesce(l.lp,
+       |""".stripMargin
+
+  /** DSIR model chain: the shared bucket models, then per-bucket
+    * log-ratio and the per-doc weight CTE `pd` (doc_id, nf, lw) — ends
+    * with a trailing comma. */
+  private def dsirChainSql(buckets: Int): String =
+    bucketModelsSql(buckets) +
+    s"""ratio AS (SELECT r.bucket, coalesce(l.lp,
        |    (SELECT CAST(floor(ln(1.0 / (tct.t + $buckets)::DOUBLE) * 1000000 + 0.5) AS BIGINT)
        |     FROM tct)) - r.lp AS lr
        |  FROM lpr r LEFT JOIN lpt l ON r.bucket = l.bucket),
@@ -2774,17 +2777,8 @@ object SparkEntry {
     * models, the full-outer union of observed buckets, the exact integer
     * contribution sum, and the closed-form never-seen-bucket term. */
   private def klSql(buckets: Int): String =
-    "WITH " + hashedFeatsSql(buckets) +
-      s"""rc AS (SELECT bucket, sum(tf) AS cnt FROM rtf GROUP BY 1),
-         |rt AS (SELECT sum(cnt) AS t FROM rc),
-         |lpr AS (SELECT bucket, CAST(floor(ln((cnt + 1)::DOUBLE / (rt.t + $buckets)::DOUBLE)
-         |  * 1000000 + 0.5) AS BIGINT) AS lp FROM rc, rt),
-         |ttf AS (SELECT fb.bucket, count(*) AS cnt FROM fb
-         |  JOIN documents d ON fb.doc_id = d.doc_id WHERE d.lang = 'en' GROUP BY 1),
-         |tct AS (SELECT coalesce(sum(cnt), 0) AS t FROM ttf),
-         |lpt AS (SELECT bucket, cnt, CAST(floor(ln((cnt + 1)::DOUBLE / (tct.t + $buckets)::DOUBLE)
-         |  * 1000000 + 0.5) AS BIGINT) AS lp FROM ttf, tct),
-         |consts AS (SELECT
+    "WITH " + hashedFeatsSql(buckets) + bucketModelsSql(buckets) +
+      s"""consts AS (SELECT
          |  CAST(floor(ln(1.0 / (tct.t + $buckets)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS st,
          |  CAST(floor(ln(1.0 / (rt.t + $buckets)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sr
          |  FROM tct, rt),
@@ -2800,6 +2794,14 @@ object SparkEntry {
          |    AS kl_num_micro
          |FROM obs, consts, tct, rt""".stripMargin
 
+  /** Replay of [[graft.text.Dsir]]: hashed unigram+bigram feature buckets
+    * (md5_number_lower % 1024 — bit-identical to [[graft.functions.Md5Bucket]]),
+    * add-one-smoothed target/raw bucket logprobs quantized to integer
+    * micro-nats, exact integer per-doc dot product; target = lang 'en'.
+    * With `selectK` set, the deterministic top-k selection by
+    * (logw_micro desc, doc_id); with `resample` = (k, salt), the
+    * Gumbel-top-k without-replacement sample (key = logw + salted-md5
+    * Gumbel noise quantized to micro-units). */
   private def dsirSql(
       selectK: Option[Int],
       resample: Option[(Int, String)] = None): String = {
@@ -2830,12 +2832,6 @@ object SparkEntry {
     }
   }
 
-  /** Replay of [[graft.text.LogReg]]: the shared hashed-feature prelude,
-    * then `iters` UNROLLED gradient-descent iterations (the kmeansCentsSql
-    * recipe) — margins by integer dot product, residuals quantized to
-    * micro-units right after the sigmoid, integer gradient sums, weight
-    * updates by DuckDB `//` = Java's truncating `/` — and the final margin
-    * scores. Positives = lang 'en'. */
   /** Logistic-regression chain over the prelude's rtf: labels, iteration
     * CTEs w0..wN/b0..bN, and the per-doc score CTE `sc` (doc_id, nf,
     * dot) — ends with a trailing comma. Final margin = dot + bN. */
@@ -2873,6 +2869,12 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Replay of [[graft.text.LogReg]]: the shared hashed-feature prelude,
+    * then `iters` UNROLLED gradient-descent iterations (the kmeansCentsSql
+    * recipe) — margins by integer dot product, residuals quantized to
+    * micro-units right after the sigmoid, integer gradient sums, weight
+    * updates by DuckDB `//` = Java's truncating `/` — and the final margin
+    * scores. Positives = lang 'en'. */
   private def logRegSql(iters: Int, buckets: Int, etaMilli: Long): String =
     "WITH " + hashedFeatsSql(buckets) + logRegChainSql(iters, etaMilli).stripSuffix(",\n") +
       s"""

@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   * score an exact integer dot product, order-independent on any engine. The
   * bucket hash is [[graft.functions.Md5Bucket]] = DuckDB
   * `md5_number_lower(f) % B`, so an external SQL oracle replays membership
-  * bit-for-bit. No integer division anywhere (scores can be negative and
-  * Spark `div` truncates while DuckDB `//` floors — they agree only on
-  * non-negative values).
+  * bit-for-bit. No integer division anywhere — nothing here needs one
+  * (when one IS needed, Java `/`, Spark `div` and DuckDB `//` all
+  * truncate toward zero and agree — see [[LogReg]]'s update rule).
   *
   * Scale shape: the raw corpus tokenizes ONCE map-side (codegen'd
   * [[graft.functions.Tokenize]]/[[graft.functions.WordShingles]]/
@@ -43,7 +43,7 @@ object Dsir {
 
   /** (doc_id, bucket, tf) of hashed unigram+bigram features — the shared
     * featurization of the hashed-n-gram model family ([[Dsir]] importance
-    * weights, [[Quality]] logistic-regression classifier). */
+    * weights, [[LogReg]] logistic-regression classifier). */
   private[text] def featureTf(
       df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame = {
     val toks = TextFunctions.tokens(text)
@@ -89,7 +89,9 @@ object Dsir {
     val rawTf = featureTf(raw, id, text, buckets).localCheckpoint(eager = false)
     val targetTf = featureTf(target, id, text, buckets)
 
-    val lpT = bucketLogProbs(targetTf, buckets)
+    // lpT feeds both the ratio join and the smoothing-constant total;
+    // checkpoint the ≤ B-row table so the target is tokenized once.
+    val lpT = bucketLogProbs(targetTf, buckets).localCheckpoint(eager = false)
     val lpR = bucketLogProbs(rawTf, buckets)
     // Unseen-in-target buckets score the smoothing constant ln(1/(T+B)):
     // rebuild it from the broadcast total (every row carries __total).
@@ -153,8 +155,13 @@ object Dsir {
       raw: DataFrame, target: DataFrame, id: Column, text: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // Checkpoint the ≤ B-row model tables: each feeds both the full join
+    // and its total aggregate, and without it the corpus-sized
+    // tokenize/explode/aggregate lineage would re-execute per consumer.
     val lpT = bucketLogProbs(featureTf(target, id, text, buckets), buckets)
+      .localCheckpoint(eager = false)
     val lpR = bucketLogProbs(featureTf(raw, id, text, buckets), buckets)
+      .localCheckpoint(eager = false)
     val tTotal = lpT.agg(max(col("__total")).as("__tt"))
     val rTotal = lpR.agg(max(col("__total")).as("__rt"))
     def smooth(total: Column): Column =

@@ -70,6 +70,9 @@ object LogReg {
       val dots = tf.join(broadcast(wDf), Seq("bucket"), "left")
         .groupBy(col("doc_id"))
         .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("__dot"))
+      // Checkpoint the residuals: both the per-bucket gradient and the
+      // intercept gradient read them, and without it the broadcast join +
+      // doc aggregation + sigmoid would recompute for the second action.
       val resid = labels.join(dots, Seq("doc_id"), "left")
         .select(col("doc_id"),
           floor((col("y").cast("double") -
@@ -77,11 +80,21 @@ object LogReg {
               (coalesce(col("__dot"), lit(0L)) + lit(b)).cast("double") /
                 lit(1e6))))) * lit(1e6) + lit(0.5))
             .cast("long").as("__r"))
+        .localCheckpoint(eager = false)
       val g = tf.join(resid, Seq("doc_id"))
         .groupBy(col("bucket"))
         .agg(sum(col("tf") * col("__r")).as("__g"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val g0 = resid.agg(sum(col("__r"))).collect()(0).getLong(0)
+      // |residual| ≤ 10⁶, so a gradient sum is bounded by 10⁶ · Σ tf over
+      // the bucket; guard the etaMilli multiply before it can wrap. (A
+      // corpus putting > ~9·10¹² feature occurrences in ONE bucket needs
+      // a larger bucket count before it needs this classifier.)
+      (g.valuesIterator ++ Iterator(g0)).foreach { v =>
+        require(math.abs(v) <= Long.MaxValue / etaMilli,
+          s"gradient $v would overflow the etaMilli=$etaMilli update; " +
+            "increase buckets or lower etaMilli")
+      }
       w = (w.keySet ++ g.keySet).iterator.map { bkt =>
         bkt -> (w.getOrElse(bkt, 0L) +
           etaMilli * g.getOrElse(bkt, 0L) / (1000L * n))
