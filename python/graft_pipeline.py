@@ -173,3 +173,37 @@ class Pipeline:
     def page_rank(self, edges, src_col, dst_col, iters=5, damp_pct=85):
         return self._df(self._japi.pageRank(
             edges._jdf, src_col, dst_col, iters, damp_pct))
+
+    # ---- trained selection models ---------------------------------------
+
+    def dsir_weights(self, raw, target, id_col, text_col, buckets=4096):
+        """DSIR importance weight (log p_target/p_raw, integer micro-nats)
+        per raw document under hashed unigram+bigram bucket models."""
+        return self._df(self._japi.dsirWeights(
+            raw._jdf, target._jdf, id_col, text_col, buckets))
+
+    def dsir_select(self, raw, target, id_col, text_col, k, buckets=4096):
+        """Deterministic top-k most-target-like raw documents."""
+        return self._df(self._japi.dsirSelect(
+            raw._jdf, target._jdf, id_col, text_col, k, buckets))
+
+    def dsir_resample(self, raw, target, id_col, text_col, k, salt="graft",
+                      buckets=4096):
+        """Gumbel-top-k importance resample (P ∝ w, without replacement,
+        deterministic salted-md5 noise)."""
+        return self._df(self._japi.dsirResample(
+            raw._jdf, target._jdf, id_col, text_col, k, salt, buckets))
+
+    def kl_divergence(self, raw, target, id_col, text_col, buckets=4096):
+        """One-row KL(target || raw) numerator over the smoothed hashed
+        bucket models; KL ≈ kl_num_micro / (target_total+buckets) / 1e6."""
+        return self._df(self._japi.klDivergence(
+            raw._jdf, target._jdf, id_col, text_col, buckets))
+
+    def logreg_score(self, docs, pos, neg, id_col, text_col, buckets=1024,
+                     iters=5, eta_milli=500):
+        """Train the LR quality classifier on pos/neg and score docs:
+        (doc_id, n_features, margin_micro)."""
+        return self._df(self._japi.logRegScore(
+            docs._jdf, pos._jdf, neg._jdf, id_col, text_col, buckets, iters,
+            eta_milli))

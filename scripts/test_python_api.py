@@ -100,6 +100,25 @@ def main():
     sp = p.assign_split(docs, "doc_id", [("train", 0.8), ("test", 0.2)])
     assert sp.count() == 4 and set(
         r.split for r in sp.collect()) <= {"train", "test"}
+    # trained selection models: DSIR weights rank the verbatim-target
+    # docs above the off-target one; LR margins separate the classes
+    target = docs.filter("doc_id = 0")
+    w = {r.doc_id: r.logw_micro for r in
+         p.dsir_weights(docs, target, "doc_id", "text", buckets=64).collect()}
+    assert w[0] == w[1] and w[0] > w[2], w
+    sel = sorted(r.doc_id for r in
+                 p.dsir_select(docs, target, "doc_id", "text", k=2,
+                               buckets=64).collect())
+    assert sel == [0, 1], sel
+    assert p.dsir_resample(docs, target, "doc_id", "text", k=2, salt="s1",
+                           buckets=64).count() == 2
+    kl = p.kl_divergence(docs, target, "doc_id", "text", buckets=64).collect()[0]
+    assert kl.kl_num_micro > 0, kl
+    m = {r.doc_id: r.margin_micro for r in
+         p.logreg_score(docs, docs.filter("doc_id <= 1"),
+                        docs.filter("doc_id >= 2"), "doc_id", "text",
+                        buckets=256, iters=6, eta_milli=900).collect()}
+    assert m[0] == m[1] and min(m[0], m[1]) > max(m[2], m[3]), m
 
     print(f"PYTHON API OK: {len(indexed)} rows matched, "
           "lifecycle+refresh+compact+pipeline complete")

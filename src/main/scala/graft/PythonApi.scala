@@ -178,4 +178,40 @@ object PythonApi {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampPct: Int): DataFrame =
     graft.ops.Graph.pageRank(edges, col(srcCol), col(dstCol), iters, dampPct)
+
+  // ---- trained selection models ---------------------------------------
+
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    graft.text.Dsir.importanceWeights(raw, target, col(idCol), col(textCol),
+      buckets)
+
+  def dsirSelect(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      k: Int, buckets: Int): DataFrame =
+    graft.text.Dsir.selectByImportance(raw, target, col(idCol), col(textCol),
+      k, buckets)
+
+  def dsirResample(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      k: Int, salt: String, buckets: Int): DataFrame =
+    graft.text.Dsir.resampleByImportance(raw, target, col(idCol), col(textCol),
+      k, salt, buckets)
+
+  def klDivergence(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    graft.text.Dsir.klDivergence(raw, target, col(idCol), col(textCol), buckets)
+
+  /** Fit + score in one call (py4j needs no model object round-trip):
+    * trains on pos/neg, scores `docs`. */
+  def logRegScore(
+      docs: DataFrame, pos: DataFrame, neg: DataFrame,
+      idCol: String, textCol: String,
+      buckets: Int, iters: Int, etaMilli: Long): DataFrame = {
+    val model = graft.text.LogReg.fit(pos, neg, col(idCol), col(textCol),
+      buckets, iters, etaMilli)
+    graft.text.LogReg.score(docs, col(idCol), col(textCol), model)
+  }
 }
