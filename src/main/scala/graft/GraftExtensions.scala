@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSignature, NormSquared, SimHash64, SubwordCount, Tokenize, WordShingles, WordWindows}
+import graft.functions.{DotProduct, Md5Bucket, Md5Lower64, MinHashSignature, NormSquared, SimHash64, SubwordCount, Tokenize, WordShingles, WordWindows}
 
 /** Session extension (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the graft native expressions as SQL functions so pure-SQL
@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_subword_count",
       "graft_subword_count(tokens, unit) - sum of max(1, ceil(chars/unit)) per token") {
       exprs => SubwordCount(exprs.head, intLit(exprs(1), "unit"))
+    }
+    register("graft_md5_lower64",
+      "graft_md5_lower64(s) - md5 lower 8 bytes as a signed long (bits = DuckDB md5_number_lower)") {
+      exprs => Md5Lower64(exprs.head)
+    }
+    register("graft_md5_bucket",
+      "graft_md5_bucket(s, buckets) - unsigned md5-lower-64 mod buckets (feature hashing)") {
+      exprs => Md5Bucket(exprs.head, intLit(exprs(1), "buckets"))
     }
   }
 }

@@ -27,13 +27,20 @@ case class LogRegModel(
   * (exp inside σ) sits immediately before a quantization, the same
   * accepted 1-ulp caveat as [[Tfidf.unigramNll]]'s ln.
   *
-  * Scale shape: featurization is one map-side codegen pass + ONE shuffle to
-  * (doc_id, bucket) counts, repartitioned by doc_id and checkpointed once.
-  * Each iteration then runs margin (broadcast weight join + exchange-free
-  * doc aggregation on the co-partitioned table), residual, and a gradient
-  * aggregation whose output is ≤ `buckets` rows — the only data reaching
-  * the driver, per iteration, is the model itself. Scoring 100 TB is one
-  * broadcast join + one aggregation.
+  * Scale shape: featurization is one map-side codegen pass + TWO shuffles
+  * (to (doc_id, bucket) counts, then to one bounded feature array per
+  * document — ≤ `buckets` entries each), checkpointed once. Each GD
+  * iteration is then ONE Spark job with no doc-keyed shuffle at all:
+  * margins and residuals evaluate map-side over the feature arrays
+  * (weights ride the plan as a ≤ `buckets`-entry map literal), per-bucket
+  * gradients partial-aggregate map-side, and only ≤ `buckets`+1 rows (the
+  * bucket gradients plus a sentinel for the intercept) cross the network
+  * to the driver. (A broadcast-join + re-aggregation formulation was
+  * measured first: Catalyst re-shuffles the checkpointed table every
+  * iteration because a LogicalRDD does not carry its writer's
+  * partitioning — the array formulation sidesteps the shuffle instead of
+  * trying to reuse it.) Scoring 100 TB is one broadcast join + one
+  * aggregation.
   */
 object LogReg {
 
@@ -48,54 +55,57 @@ object LogReg {
     val labeled = pos.select(id.as("doc_id"), text.as("__text"), lit(1L).as("y"))
       .unionByName(
         neg.select(id.as("doc_id"), text.as("__text"), lit(0L).as("y")))
-    // One featurization pass; co-partition by doc so every per-iteration
-    // doc-keyed aggregation and join is exchange-free.
-    val tf = Dsir.featureTf(labeled, col("doc_id"), col("__text"), buckets)
-      .repartition(col("doc_id"))
+    // One featurization pass, folded to ONE bounded array per document
+    // (≤ `buckets` distinct entries — the bucket domain caps the row) so
+    // every GD iteration can evaluate margins entirely map-side.
+    val emptyFeats = array().cast("array<struct<bucket:int,tf:bigint>>")
+    val docFeats = labeled.select(col("doc_id"), col("y"))
+      .join(
+        Dsir.featureTf(labeled, col("doc_id"), col("__text"), buckets)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("bucket"), col("tf"))).as("__feats")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("__feats"), emptyFeats).as("__feats"))
       .localCheckpoint(eager = false)
-    val labels = labeled.select(col("doc_id"), col("y"))
-      .repartition(col("doc_id"))
-      .localCheckpoint(eager = false)
-    val n = labels.count()
+    val n = docFeats.count()
     require(n > 0, "at least one labeled document required")
 
-    val spark = pos.sparkSession
     var w = Map.empty[Int, Long]
     var b = 0L
     for (_ <- 0 until iters) {
-      val wDf =
-        if (w.isEmpty) spark.createDataFrame(Seq.empty[(Int, Long)])
-          .toDF("bucket", "w")
-        else spark.createDataFrame(w.toSeq).toDF("bucket", "w")
-      val dots = tf.join(broadcast(wDf), Seq("bucket"), "left")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("__dot"))
-      // Checkpoint the residuals: both the per-bucket gradient and the
-      // intercept gradient read them, and without it the broadcast join +
-      // doc aggregation + sigmoid would recompute for the second action.
-      val resid = labels.join(dots, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          floor((col("y").cast("double") -
-            lit(1.0) / (lit(1.0) + exp(-(
-              (coalesce(col("__dot"), lit(0L)) + lit(b)).cast("double") /
-                lit(1e6))))) * lit(1e6) + lit(0.5))
-            .cast("long").as("__r"))
-        .localCheckpoint(eager = false)
-      val g = tf.join(resid, Seq("doc_id"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("tf") * col("__r")).as("__g"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val g0 = resid.agg(sum(col("__r"))).collect()(0).getLong(0)
+      // Weights ride the plan as a map literal; margin, sigmoid and the
+      // quantized residual are all map-side expressions over the array.
+      val wm = typedLit(w)
+      val margin = aggregate(col("__feats"), lit(0L), (acc, x) =>
+        acc + x.getField("tf") *
+          coalesce(element_at(wm, x.getField("bucket")), lit(0L))) + lit(b)
+      val r = floor((col("y").cast("double") -
+        lit(1.0) / (lit(1.0) + exp(-(margin.cast("double") / lit(1e6))))) *
+        lit(1e6) + lit(0.5)).cast("long")
+      // One job: per-bucket gradient rows plus a bucket -1 sentinel
+      // carrying the doc's residual (the intercept gradient) — partial
+      // aggregation means only ≤ buckets+1 rows leave any task.
+      val g = docFeats.select(r.as("__r"), col("__feats"))
+        .select(explode(concat(
+          transform(col("__feats"), x =>
+            struct(x.getField("bucket").as("bucket"),
+              (x.getField("tf") * col("__r")).as("g"))),
+          array(struct(lit(-1).as("bucket"), col("__r").as("g"))))).as("e"))
+        .groupBy(col("e.bucket"))
+        .agg(sum(col("e.g")).as("__g"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val g0 = g.getOrElse(-1, 0L)
       // |residual| ≤ 10⁶, so a gradient sum is bounded by 10⁶ · Σ tf over
       // the bucket; guard the etaMilli multiply before it can wrap. (A
       // corpus putting > ~9·10¹² feature occurrences in ONE bucket needs
       // a larger bucket count before it needs this classifier.)
-      (g.valuesIterator ++ Iterator(g0)).foreach { v =>
+      g.valuesIterator.foreach { v =>
         require(math.abs(v) <= Long.MaxValue / etaMilli,
           s"gradient $v would overflow the etaMilli=$etaMilli update; " +
             "increase buckets or lower etaMilli")
       }
-      w = (w.keySet ++ g.keySet).iterator.map { bkt =>
+      w = (w.keySet ++ g.keySet - (-1)).iterator.map { bkt =>
         bkt -> (w.getOrElse(bkt, 0L) +
           etaMilli * g.getOrElse(bkt, 0L) / (1000L * n))
       }.toMap

@@ -22,7 +22,9 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  graft_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
         |  graft_norm2(array(3.0, 4.0)) AS n2,
         |  graft_tokenize('Hello, World-42!') AS tk,
-        |  graft_subword_count(array('abcdefgh', 'xy'), 6) AS sw
+        |  graft_subword_count(array('abcdefgh', 'xy'), 6) AS sw,
+        |  graft_md5_lower64('fox') AS ml,
+        |  graft_md5_bucket('fox', 64) AS mb
         |""".stripMargin).head()
     assert(row.getAs[scala.collection.Seq[String]]("ws").toSeq == Seq("a b c", "b c d"))
     assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
@@ -30,6 +32,9 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("n2") == 25.0)
     assert(row.getAs[scala.collection.Seq[String]]("tk").toSeq == Seq("hello", "world", "42"))
     assert(row.getAs[Int]("sw") == 3) // ceil(8/6)=2 + max(1, ceil(2/6))=1
+    assert(row.getAs[Long]("ml") == graft.functions.Md5Lower64(null)
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString("fox")))
+    assert(row.getAs[Int]("mb") == graft.functions.Md5Bucket.of("fox", 64))
     // determinism
     val again = spark.sql("SELECT graft_simhash64(array('a','b','c'))").head().getLong(0)
     assert(row.getAs[Long]("sh") == again)
