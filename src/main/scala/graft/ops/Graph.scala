@@ -31,11 +31,17 @@ object Graph {
     *
     * Scale: nodes and out-degrees are computed once; each iteration is
     * one node-keyed join (rank ⋈ outdeg ⋈ edges on src) and one
-    * aggregation shuffle on dst — the irreducible PageRank cost. Edges
-    * are hash-partitioned on src once and reused co-located across all
-    * iterations; rank lineage is truncated per iteration
-    * (localCheckpoint) so 50 iterations do not build a 50-join plan.
-    * Returns (node, rank) with rank in `scale` units.
+    * aggregation shuffle on dst — the irreducible PageRank cost. The
+    * static sides (edges, out-degrees, nodes) are hash-partitioned once
+    * and PERSISTED — measured on Spark 4.1: a cached InMemoryRelation
+    * keeps its outputPartitioning under AQE, so per-iteration joins add
+    * no exchange above it, while a localCheckpoint'ed scan does NOT (AQE
+    * re-inserts ENSURE_REQUIREMENTS above LogicalRDD, re-shuffling the
+    * big edge table every iteration — the formulation this replaced).
+    * Rank lineage is truncated per iteration (localCheckpoint) so 50
+    * iterations do not build a 50-join plan; the final ranks materialize
+    * before the static caches are released. Returns (node, rank) with
+    * rank in `scale` units.
     */
   def pageRank(
       edges: DataFrame,
@@ -49,13 +55,13 @@ object Graph {
     require(scale > 0, s"scale must be positive: $scale")
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src"))
-      .localCheckpoint(false)
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(false)
+      .persist()
     val n = nodes.count()
     val base = ((100L - dampPct) * scale) / (100L * n)
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
@@ -71,6 +77,11 @@ object Graph {
           (lit(base) + expr(s"($dampPct * coalesce(s, 0L)) DIV 100")).as("rank"))
         .localCheckpoint(false)
     }
+    // Materialize the (lazily checkpointed) final ranks while the static
+    // caches are still alive, then release them — callers get a
+    // lineage-truncated result and leave no pinned storage behind.
+    ranks.count()
+    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
     ranks
   }
 }
