@@ -2056,6 +2056,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Nearest-neighbor image RESIZE over the two-band fixture: 32x32 ->
+    // 8x8 samples columns {0,4,..,28} (4 per band), so the re-decoded
+    // mean luma of every thumbnail has the closed form
+    // (v1 + v2 + 1) div 2 the oracle replays from doc_id arithmetic —
+    // while Spark must run the real decode -> integer-floor sample ->
+    // PNG re-encode -> re-decode chain to produce it.
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.gradientImagesFromDocuments(
+            s, tbl(s, dir, "documents")), outW = 8, outH = 8)
+        .select($"id".as("doc_id"), $"width", $"height", $"meanLuma".as("mean_luma"))
+        .orderBy($"doc_id")
+    }),
+
     // Audio envelope fingerprint dedup over REAL WAV decode — the audio
     // twin of q_multimodal_imagehash: the two-phase fixture gives every
     // doc's 64-bit fingerprint a closed form the oracle replays from
@@ -4200,6 +4215,10 @@ object SparkEntry {
         |SELECT doc_id, phash,
         |  (doc_id = min(doc_id) OVER (PARTITION BY phash)) AS kept
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_multimodal_resize" ->
+      """SELECT doc_id, 8 AS width, 8 AS height,
+        |  (((doc_id % 200) + ((7 * doc_id) % 200) + 1) // 2)::BIGINT AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_image" ->
       """SELECT doc_id,
         |  (16 + doc_id % 64)::INT AS width,

@@ -62,6 +62,17 @@ case class DecodedImage(
     meanLuma: Long,
     feature: Array[Float])
 
+/** One resized image: the re-encoded PNG payload plus the integer mean
+  * luma RE-DECODED from it — proof the full decode → sample → encode →
+  * decode pipeline ran, not just an in-memory array op. */
+case class ResizedImage(
+    id: Long,
+    width: Int,
+    height: Int,
+    nBytes: Int,
+    meanLuma: Long,
+    data: Array[Byte])
+
 /** One PIXEL-decoded video frame: true codec dimensions, integer mean
   * luma and the 64-bit aHash of the frame — the per-frame unit the
   * frame-sample operator emits and video fingerprinting folds over. */
@@ -308,6 +319,39 @@ object Multimodal {
   def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => (r.id, perceptualHash(r)))).toDF("id", "phash")
+  }
+
+  /** Deterministic nearest-neighbor resize: target pixel (tx, ty) copies
+    * source pixel (tx·w DIV outW, ty·h DIV outH) — integer floor
+    * sampling, identical on any platform (no interpolation arithmetic to
+    * drift), re-encoded as PNG with the JDK writer. The thumbnail /
+    * normalization step of an image pipeline. */
+  def resizeImagePng(data: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW >= 1 && outH >= 1, s"target must be >= 1x1: ${outW}x$outH")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    encodePng(outW, outH, (tx, ty) =>
+      img.getRGB((tx.toLong * w / outW).toInt, (ty.toLong * h / outH).toInt)
+        & 0xffffff)
+  }
+
+  /** Batch resize through the typed mapPartitions seam; the reported
+    * mean luma is computed by DECODING the freshly encoded PNG (the same
+    * integer pass as [[decodeImage]]) — the value only comes out right if
+    * the whole decode → sample → encode → decode chain did. */
+  def resizeImages(
+      media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val png = resizeImagePng(r.data, outW, outH)
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val (_, _, total) = lumaCells(back, grid = 1)
+      val meanLuma = math.floor(
+        total.toDouble / (1000.0 * outW * outH) + 0.5).toLong
+      ResizedImage(r.id, outW, outH, png.length, meanLuma, png)
+    })
   }
 
   /** Two-band PNG fixture for the perceptual-hash path: 32×32, left half

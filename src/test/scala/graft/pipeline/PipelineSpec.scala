@@ -1056,6 +1056,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearest-neighbor resize: exact pixel duplication and fixture closed form") {
+    // 2x2 distinct colors upscaled to 4x4: NN floor sampling duplicates
+    // each source pixel into a 2x2 block — verify every target pixel.
+    val colors = Array(Array(0x102030, 0x405060), Array(0x708090, 0xa0b0c0))
+    val src = Multimodal.encodePng(2, 2, (x, y) => colors(y)(x))
+    val up = Multimodal.resizeImagePng(src, 4, 4)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    for (ty <- 0 until 4; tx <- 0 until 4)
+      assert((img.getRGB(tx, ty) & 0xffffff) == colors(ty / 2)(tx / 2),
+        s"pixel ($tx,$ty)")
+    // downscale of the two-band fixture: re-decoded mean luma has the
+    // closed form (v1 + v2 + 1) div 2
+    val docs = Seq((5L, "x"), (100L, "y"), (263L, "z")).toDF("doc_id", "text")
+    val out = Multimodal.resizeImages(
+        Multimodal.gradientImagesFromDocuments(spark, docs), 8, 8)
+      .collect().sortBy(_.id)
+    for ((r, d) <- out.zip(Seq(5L, 100L, 263L))) {
+      val (v1, v2) = (d % 200, (7 * d) % 200)
+      assert(r.width == 8 && r.height == 8 && r.nBytes > 0)
+      assert(r.meanLuma == (v1 + v2 + 1) / 2, s"doc $d")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImagePng(src, 0, 4)
+    }
+  }
+
   test("perceptual hash: closed-form bands, hamming pairs over real decodes") {
     // checkerboard from the decode test: 8x8 aHash cells sit wholly in
     // one tile, alternating above/below the global mean
