@@ -214,12 +214,18 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     val (cellSum, cellN, total) = lumaCells(img, grid)
-    val meanLuma = math.floor(total.toDouble / (1000.0 * w * h) + 0.5).toLong
+    val meanLuma = meanLumaOf(total, w, h)
     val feature = Array.tabulate(grid * grid)(c =>
       if (cellN(c) == 0) 0.0f
       else (cellSum(c).toDouble / (1000.0 * cellN(c))).toFloat)
     DecodedImage(r.id, w, h, r.data.length, meanLuma, feature)
   }
+
+  /** floor(x + 0.5) rounding of the exact mean luma rational — the ONE
+    * copy of the image-family rounding rule (decode, video frames,
+    * resize all report through it, so their oracles cannot drift). */
+  private[multimodal] def meanLumaOf(total: Long, w: Int, h: Int): Long =
+    math.floor(total.toDouble / (1000.0 * w * h) + 0.5).toLong
 
   /** One shared integer pixel pass: per-cell milli-luma sums over a
     * grid×grid partition plus the whole-image total (BT.601 integer
@@ -348,8 +354,7 @@ object Multimodal {
       val png = resizeImagePng(r.data, outW, outH)
       val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
       val (_, _, total) = lumaCells(back, grid = 1)
-      val meanLuma = math.floor(
-        total.toDouble / (1000.0 * outW * outH) + 0.5).toLong
+      val meanLuma = meanLumaOf(total, outW, outH)
       ResizedImage(r.id, outW, outH, png.length, meanLuma, png)
     })
   }
@@ -921,7 +926,7 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val (cellSum, cellN, total) = lumaCells(img, grid = 8)
-      val meanLuma = math.floor(total.toDouble / (1000.0 * w * h) + 0.5).toLong
+      val meanLuma = meanLumaOf(total, w, h)
       DecodedFrame(r.id, i, w, h, meanLuma,
         hashFromCells(cellSum, cellN, total, w.toLong * h))
     }

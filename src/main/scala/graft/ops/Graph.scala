@@ -53,6 +53,11 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100]: $dampPct")
     require(scale > 0, s"scale must be positive: $scale")
+    // Caveat inherited from persist(): a partition lost to executor
+    // failure recomputes silently from the caller's `edges` lineage —
+    // callers feeding a NONDETERMINISTIC edge plan (sample/limit) should
+    // materialize it first. (localCheckpoint would fail loudly instead,
+    // but loses its partitioning under AQE — see the scaladoc.)
     val e = edges.select(src.as("src"), dst.as("dst"))
       .repartition(col("src"))
       .persist()
@@ -62,26 +67,33 @@ object Graph {
       .persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist()
-    val n = nodes.count()
-    val base = ((100L - dampPct) * scale) / (100L * n)
-    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
-    for (_ <- 1 to iters) {
-      val sums = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("rank DIV outdeg").as("contrib"))
-        .join(e, "src")
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("s"))
-      ranks = nodes.join(sums, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampPct * coalesce(s, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(false)
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank needs a non-empty edge list")
+      val base = ((100L - dampPct) * scale) / (100L * n)
+      var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+      for (_ <- 1 to iters) {
+        val sums = ranks
+          .join(outdeg, ranks("node") === outdeg("src"))
+          .select(col("src"), expr("rank DIV outdeg").as("contrib"))
+          .join(e, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("s"))
+        ranks = nodes.join(sums, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"($dampPct * coalesce(s, 0L)) DIV 100")).as("rank"))
+          .localCheckpoint(false)
+      }
+      // Materialize the (lazily checkpointed) final ranks while the
+      // static caches are still alive — callers get a lineage-truncated
+      // result and leave no pinned storage behind.
+      ranks.count()
+      ranks
+    } finally {
+      // CacheManager entries hold strong references (unlike checkpoint
+      // RDDs, which the ContextCleaner collects) — release them on every
+      // path, including failures.
+      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
     }
-    // Materialize the (lazily checkpointed) final ranks while the static
-    // caches are still alive, then release them — callers get a
-    // lineage-truncated result and leave no pinned storage behind.
-    ranks.count()
-    e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
-    ranks
   }
 }

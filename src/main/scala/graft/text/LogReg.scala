@@ -74,12 +74,15 @@ object LogReg {
     var w = Map.empty[Int, Long]
     var b = 0L
     for (_ <- 0 until iters) {
-      // Weights ride the plan as a map literal; margin, sigmoid and the
-      // quantized residual are all map-side expressions over the array.
-      val wm = typedLit(w)
+      // Weights ride the plan as a DENSE array literal indexed by bucket:
+      // element_at by position is O(1), where a map literal
+      // (ArrayBasedMapData) would linear-scan its keys per feature
+      // occurrence. Margin, sigmoid and the quantized residual are all
+      // map-side expressions over the feature array.
+      val wm = typedLit(Array.tabulate(buckets)(bkt => w.getOrElse(bkt, 0L)).toSeq)
       val margin = aggregate(col("__feats"), lit(0L), (acc, x) =>
         acc + x.getField("tf") *
-          coalesce(element_at(wm, x.getField("bucket")), lit(0L))) + lit(b)
+          element_at(wm, x.getField("bucket") + lit(1))) + lit(b)
       val r = floor((col("y").cast("double") -
         lit(1.0) / (lit(1.0) + exp(-(margin.cast("double") / lit(1e6))))) *
         lit(1e6) + lit(0.5)).cast("long")
