@@ -1183,6 +1183,17 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Directed containment pairs (excerpt / quote / truncated-copy
+    // detection): C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥ 0.7 via the LOSSLESS
+    // prefix-filter join (PPJoin family) — the asymmetric signal Jaccard
+    // LSH can't see. Oracle: exact cross-join containment.
+    "q_dedup_containment" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.containmentPairs(
+          tbl(s, dir, "documents"), $"doc_id", $"text", shingleK = 3, threshold = 0.7)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // MinHash+LSH near-dup pairs — same planted duplicates, banded join
     // (no cross join). Oracle: the exact-Jaccard pair SET (id_a, id_b);
     // est_jaccard is signature-estimated so only pair identity is
@@ -1879,6 +1890,32 @@ object SparkEntry {
       graft.ann.Ann.quantizeInt8Summary(
           tbl(s, dir, "embeddings"), $"vec_id", $"embedding")
         .orderBy($"vec_id")
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: seeded ±1
+    // Rademacher matrix (md5-parity signs) × milli-quantized vectors —
+    // exact integer outputs the oracle regenerates from (seed, j, i)
+    // alone. Map-side codegen'd kernel; nothing shuffles.
+    "q_ann_rp" -> ((s, dir) => {
+      import s.implicits._
+      graft.ann.Ann.randomProjection(
+          tbl(s, dir, "embeddings"), $"vec_id", $"embedding",
+          outDim = 16, dim = 64, seed = 42L)
+        .orderBy($"vec_id")
+    }),
+
+    // Top-10 nearest neighbors in the PROJECTED space (squared L2 over
+    // exact-integer 16-dim projections, ties by id) — the JL-compressed
+    // search baseline. Oracle replays matrix, projections, query
+    // projection and the ranking.
+    "q_ann_rp_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qRow = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding").head
+      val q = qRow.getSeq[Float](1).map(_.toDouble)
+      graft.ann.Ann.rpTopK(emb, $"vec_id", $"embedding", q,
+        k = 10, outDim = 16, seed = 42L, excludeId = Some(qRow.getLong(0)))
     }),
 
     // Lloyd's k-means over embeddings (k=8, 2 iterations): trained
@@ -3385,6 +3422,21 @@ object SparkEntry {
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS c
+        |  FROM sh a, sh b WHERE a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, round(c, 4) AS containment FROM p WHERE c >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_redact" ->
       """WITH p AS (SELECT doc_id,
         |  substr(text, 1, 80) || ' contact user' || doc_id ||
@@ -3949,6 +4001,32 @@ object SparkEntry {
         |  list_min(qs) AS q_min, list_max(qs) AS q_max,
         |  len(list_filter(qs, x -> abs(x) = 127))::INT AS n_saturated
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_ann_rp" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+        |  FROM embeddings)
+        |SELECT vec_id, list_transform(range(0, 16), j ->
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    (CASE WHEN md5_number_lower('42:' || j || ':' || i) % 2 = 0
+        |     THEN 1 ELSE -1 END) * qv[i + 1])) AS BIGINT)) AS proj
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_ann_rp_topk" ->
+      """WITH q0 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, list_transform(range(0, 16), j ->
+        |  list_sum(list_transform(range(0, 64), i ->
+        |    (CASE WHEN md5_number_lower('42:' || j || ':' || i) % 2 = 0
+        |     THEN 1 ELSE -1 END) * qv[i + 1]))) AS proj FROM q0),
+        |qq AS (SELECT proj AS qp FROM p
+        |  WHERE vec_id = (SELECT min(vec_id) FROM p)),
+        |d AS (SELECT vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    (proj[j + 1] - qp[j + 1]) * (proj[j + 1] - qp[j + 1]))) AS BIGINT)
+        |    AS proj_dist2
+        |  FROM p, qq WHERE vec_id <> (SELECT min(vec_id) FROM p))
+        |SELECT neighbor_id, proj_dist2 FROM d
+        |ORDER BY proj_dist2, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding,
         |  ${ivfDotsSql("embedding", 16, 64)} AS dots

@@ -794,6 +794,61 @@ object Ann {
   def quantizeMilli(vec: Column): Column =
     graft.functions.exprs.quantize_milli(vec)
 
+  // ---- random projection (Johnson–Lindenstrauss) ----------------------
+
+  /** Seeded ±1 Rademacher projection matrix: sign(j, i) = +1 iff
+    * md5_lower64("seed:j:i") is even under UNSIGNED remainder — bit-
+    * identical to DuckDB `md5_number_lower(concat(seed,':',j,':',i)) % 2
+    * = 0`, so an external oracle regenerates the whole matrix from
+    * (outDim, dim, seed) without shipping it. Rademacher entries satisfy
+    * the JL lemma like Gaussians do (Achlioptas 2003) while keeping
+    * every projected component an exact integer over milli-quantized
+    * inputs. */
+  def rademacherMatrix(outDim: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(outDim >= 1 && dim >= 1, s"matrix dims must be >= 1: $outDim x $dim")
+    (0 until outDim).map(j => (0 until dim).map(i =>
+      if (graft.functions.Md5Bucket.of(s"$seed:$j:$i", 2) == 0) 1.0 else -1.0))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions —
+    * the standard cost-cutter BEFORE clustering / kNN-graph work at
+    * scale: pairwise distances are preserved within 1±ε for
+    * outDim = O(log n / ε²), and every downstream distance loop shrinks
+    * by dim/outDim. Pure map-side codegen'd kernel (the matrix rides the
+    * plan as one literal, the corpus never shuffles); milli-quantized
+    * inputs × ±1 entries make each output an exact integer the oracle
+    * replays bit-for-bit.
+    *
+    * @return (vec_id, proj: array<bigint>) */
+  def randomProjection(df: DataFrame, id: Column, vec: Column,
+      outDim: Int, dim: Int, seed: Long = 42L): DataFrame =
+    df.select(id.as("vec_id"),
+      graft.functions.exprs.mat_vec(quantizeMilli(vec),
+        rademacherMatrix(outDim, dim, seed)).cast("array<bigint>").as("proj"))
+
+  /** Brute-force top-k in the PROJECTED space: the JL-compressed search
+    * baseline (compare against [[bruteForceTopK]] recall to size outDim).
+    * The query is projected driver-side with the same exact integer
+    * arithmetic the kernel uses; candidates rank by squared L2 between
+    * exact-integer projections (ties by id). One map-side scan +
+    * TakeOrdered — no shuffle of the corpus. */
+  def rpTopK(df: DataFrame, id: Column, vec: Column, query: Seq[Double],
+      k: Int, outDim: Int, seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    val mat = rademacherMatrix(outDim, query.length, seed)
+    val qProj = mat.map(row =>
+      row.zip(query).map { case (s, x) => s * math.floor(x * 1000.0 + 0.5) }.sum)
+    val qLit = array(qProj.map(lit): _*)
+    val projected = df.select(id.as("vec_id"),
+      graft.functions.exprs.mat_vec(quantizeMilli(vec),
+        rademacherMatrix(outDim, query.length, seed)).as("__proj"))
+    val base = projected.select(col("vec_id").as("neighbor_id"),
+      squaredDistance(col("__proj"), qLit).cast("bigint").as("proj_dist2"))
+    excludeId.fold(base)(x => base.filter(col("neighbor_id") =!= x))
+      .orderBy(col("proj_dist2").asc, col("neighbor_id").asc)
+      .limit(k)
+  }
+
   /** Squared L2 distance as a sequential left fold — the exact
     * formulation `list_sum(list_transform(...))` evaluates in DuckDB, so
     * both engines add the per-dimension squares in the same order. */

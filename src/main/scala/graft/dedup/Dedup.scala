@@ -679,4 +679,84 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ---- containment (prefix-filter set-similarity join) ----------------
+
+  /** Directed containment pairs: C(A→B) = |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| ≥ threshold — the ASYMMETRIC near-dup signal symmetric
+    * Jaccard misses: a short excerpt, quote, or truncated copy sits almost
+    * entirely inside its source (C ≈ 1) while their Jaccard is tiny, so
+    * neither MinHash LSH nor `ngramJaccardPairs` can find it.
+    *
+    * Default (scale) path is PREFIX FILTERING (the PPJoin family,
+    * Xiao et al. 2008), which unlike LSH is LOSSLESS for containment:
+    * order each set's shingles by ascending global document frequency
+    * (ties by value); a pair with |A∩B| ≥ ⌈τ·|A|⌉ must share a shingle
+    * among A's first |A| − ⌈τ·|A|⌉ + 1 — otherwise the whole intersection
+    * would have to fit in the remaining ⌈τ·|A|⌉ − 1 positions. Candidates
+    * come from an equi-join of A-prefixes against the full shingle
+    * postings, then exact containment verifies each candidate.
+    *
+    * Scale design: the probe side carries only the RAREST 1−τ fraction of
+    * each doc's shingles (at τ=0.8, 1/5th), so hot boilerplate shingles
+    * almost never appear as probe keys; the full-postings side is the
+    * inverted-index shape — one shuffle on shingle, skew handled by AQE
+    * skew-join (frequency ordering already concentrates matches on rare
+    * keys). Everything past candidate generation is ids-only until the
+    * two bounded verify joins. The `exact=true` path cross-joins — small
+    * inputs only.
+    *
+    * @return (id_a, id_b, containment) directed: id_a is the contained
+    *         doc, id_b the container; both directions may appear.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      exact: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // shingle sets feed candidate generation + two verify-side joins —
+    // compute once (see minhashPairs note)
+    val sh = df.select(id.as("__id"), shingles(text, shingleK).as("__sh"))
+      .localCheckpoint(false)
+    val candidates: DataFrame =
+      if (exact) {
+        sh.select(col("__id").as("id_a"))
+          .crossJoin(sh.select(col("__id").as("id_b")))
+          .filter(col("id_a") =!= col("id_b"))
+      } else {
+        val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+          explode(col("__sh")).as("__s"))
+        val freq = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+        // rank each doc's shingles rarest-first; the prefix is lossless
+        // by the pigeonhole argument above. floor+1 ≥ the exact
+        // n − ⌈τn⌉ + 1 bound, so a float ⌈⌉ that rounds τ·n UP across an
+        // integer (0.7·10 → 7.000…01) can never shorten the prefix below
+        // soundness — at worst one extra probe shingle per doc.
+        val ranked = ex.join(freq, Seq("__s"))
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))))
+        val prefix = ranked.filter(
+          col("__r") <= col("__n") - floor(lit(threshold) * col("__n")) + 1)
+        prefix.select(col("__s"), col("__id").as("id_a"))
+          .join(ex.select(col("__s"), col("__id").as("id_b")), Seq("__s"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+      }
+    // Filter on the UNROUNDED ratio (rounding first would admit
+    // inter = ⌈τn⌉ − 1 via 4-dp round-up on ≥20k-shingle docs — outside
+    // the prefix guarantee); the reported value is rounded for cross-
+    // engine display stability only.
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(col("__sh_a")).cast("double")).as("__c"))
+      .filter(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("containment"))
+  }
 }

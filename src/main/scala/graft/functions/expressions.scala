@@ -754,6 +754,56 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
   override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
 }
 
+/** Dense matrix–vector product against a fixed plan-literal matrix:
+  * out(j) = Σ_i mat(j)(i)·x(i), per-row sums accumulating left-to-right
+  * from 0.0 — the codegen'd kernel behind seeded random projection
+  * (Johnson–Lindenstrauss dimensionality reduction before clustering /
+  * ANN at scale). With milli-quantized integer-valued inputs and a ±1
+  * Rademacher matrix every output is an exact integer, so an external
+  * SQL oracle replays the projection bit-for-bit. Same fail-fast
+  * dimension guard as [[NearestCentroid]]. */
+case class MatVec(child: Expression, mat: Seq[Seq[Double]])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(mat.nonEmpty, "matrix must have at least one row")
+  require(mat.forall(_.length == mat.head.length),
+    "all matrix rows must share a length")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val et = VecOps.elemType(child)
+  @transient private lazy val m: Array[Array[Double]] = mat.map(_.toArray).toArray
+
+  def compute(x: ArrayData): ArrayData = {
+    if (x.numElements() != m(0).length) {
+      throw new IllegalArgumentException(
+        s"mat_vec: vector dimension ${x.numElements()} does not match " +
+          s"matrix column count ${m(0).length}")
+    }
+    val out = new Array[Double](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) {
+        acc += row(i) * VecOps.get(x, et, i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): MatVec = copy(child = c)
+}
+
 /** Column-level wrappers. */
 object exprs {
   def tokenize(text: Column): Column =
@@ -790,4 +840,7 @@ object exprs {
   /** indices of the n nearest centroids, (squared-L2 asc, index asc). */
   def nearest_centroids(a: Column, centroids: Seq[Seq[Double]], n: Int): Column =
     SparkInternals.wrap(NearestCentroids(SparkInternals.unwrap(a), centroids, n))
+  /** out(j) = Σ_i mat(j)(i)·a(i) against a plan-literal matrix. */
+  def mat_vec(a: Column, mat: Seq[Seq[Double]]): Column =
+    SparkInternals.wrap(MatVec(SparkInternals.unwrap(a), mat))
 }

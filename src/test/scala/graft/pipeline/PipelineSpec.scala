@@ -222,6 +222,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.exists { case (a, b, j) => a == 1L && b == 5L && j == 1.0 })
   }
 
+  test("containment: prefix-filter path equals exact path (lossless)") {
+    // corpus with a planted excerpt: doc 6 is a verbatim slice of doc 7's
+    // much longer text — containment(6→7) = 1 while their Jaccard is far
+    // below any useful threshold, so the symmetric paths cannot find it
+    val long = Array.tabulate(80)(i => s"w$i").mkString(" ")
+    val excerpt = (20 to 31).map(i => s"w$i").mkString(" ") // 12 of 80 tokens
+    val corpus = docs.union(Seq((6L, excerpt), (7L, long)).toDF("id", "text"))
+    val fast = Dedup.containmentPairs(corpus, $"id", $"text", threshold = 0.7)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.containmentPairs(corpus, $"id", $"text", threshold = 0.7,
+        exact = true)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == exact, s"prefix filter lost/invented pairs: $fast vs $exact")
+    // the excerpt is found in its source direction only
+    assert(exact.contains((6L, 7L, 1.0)))
+    assert(!exact.exists { case (a, b, _) => a == 7L && b == 6L })
+    // ...and symmetric Jaccard indeed misses it
+    val jac = Dedup.ngramJaccardPairs(corpus, $"id", $"text", threshold = 0.5,
+        exact = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((6L, 7L)))
+    // identical docs contain each other in BOTH directions
+    assert(exact.contains((1L, 5L, 1.0)) && exact.contains((5L, 1L, 1.0)))
+  }
+
   // ---- ann -------------------------------------------------------------
 
   private val vecs = Seq(
@@ -237,6 +264,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(1.0, 0.0, 0.0, 0.0), k = 3, excludeId = Some(0L))
       .select($"neighbor_id").as[Long].collect()
     assert(got.sameElements(Array(4L, 1L, 2L)))
+  }
+
+  test("mat_vec kernel: parity with the HOF formulation, dim guard") {
+    val mat = Ann.rademacherMatrix(outDim = 5, dim = 4, seed = 7L)
+    val matLit = array(mat.map(r => array(r.map(lit): _*)): _*)
+    val hof = transform(matLit, r =>
+      aggregate(zip_with(r, Ann.quantizeMilli($"v"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+    val diff = vecs.select(
+        graft.functions.exprs.mat_vec(Ann.quantizeMilli($"v"), mat).as("a"),
+        hof.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    // signs are genuinely mixed (not a degenerate all-+1 matrix)
+    assert(mat.flatten.toSet == Set(1.0, -1.0))
+    // a vector shorter than the matrix's columns fails fast
+    val err = intercept[Throwable] {
+      Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+        .select(graft.functions.exprs.mat_vec($"v", mat)).collect()
+    }
+    assert(err.getMessage.contains("mat_vec") ||
+      Option(err.getCause).exists(_.getMessage.contains("mat_vec")))
+  }
+
+  test("random projection: deterministic, linear, twins project together") {
+    val proj = Ann.randomProjection(vecs, $"vec_id", $"v", outDim = 3, dim = 4)
+    val m = proj.as[(Long, Array[Long])].collect().toMap
+    // identical inputs → identical projections (vec 0 vs a replanted copy)
+    val again = Ann.randomProjection(vecs, $"vec_id", $"v", outDim = 3, dim = 4)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(m.forall { case (k, v) => again(k).sameElements(v) })
+    // linearity over exact integers: proj(1000·e1) + proj(1000·e2) =
+    // proj(1000·e1 + 1000·e2) — Rademacher projection is a linear map
+    val basis = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+    val b = Ann.randomProjection(basis, $"vec_id", $"v", outDim = 3, dim = 4)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(b(2L).sameElements(b(0L).zip(b(1L)).map { case (x, y) => x + y }))
+    // rpTopK: an exact duplicate of the query projects to distance 0
+    val withTwin = vecs.union(Seq((9L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "v"))
+    val top = Ann.rpTopK(withTwin, $"vec_id", $"v",
+        Seq(1.0, 0.0, 0.0, 0.0), k = 2, outDim = 3, excludeId = Some(0L))
+      .as[(Long, Long)].collect()
+    assert(top.head == ((9L, 0L)), s"twin not first: ${top.mkString(",")}")
   }
 
   test("cosine of identical vector is 1, opposite is -1") {
