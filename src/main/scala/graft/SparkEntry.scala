@@ -1117,6 +1117,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Canonical URL normalization (the first, cheapest crawl-dedup tier):
+    // planted URLs vary scheme case, www/sub labels, default vs explicit
+    // ports, trailing slashes, tracking params, param order and
+    // fragments; the oracle replays construction AND every normalization
+    // rule with the same engine-portable regexes. Pure map-side.
+    "q_web_urlnorm" -> ((s, dir) => {
+      import s.implicits._
+      val scheme = when($"doc_id" % 2 === 0, "HTTPS://").otherwise("http://")
+      val sub = when($"doc_id" % 4 === 0, "WWW.")
+        .when($"doc_id" % 4 === 1, "a.B.").otherwise("")
+      val port = when($"doc_id" % 3 === 0, ":443")
+        .when($"doc_id" % 3 === 1, ":8080").otherwise("")
+      val pathTail = when($"doc_id" % 2 === 1, "/").otherwise("")
+      val qs = when($"doc_id" % 4 === 0, "?utm_source=news&b=2&a=1")
+        .when($"doc_id" % 4 === 1, "?gclid=99")
+        .when($"doc_id" % 4 === 2, "?z=1&fbclid=abc&a=2&").otherwise("")
+      val frag = when($"doc_id" % 5 === 0, "#Sec2").otherwise("")
+      tbl(s, dir, "documents")
+        .withColumn("url", concat(scheme, sub, $"source", lit(".com"), port,
+          lit("/Doc/"), $"doc_id", pathTail, qs, frag))
+        .select($"doc_id", $"url",
+          graft.text.Web.normalizeUrl($"url").as("norm_url"))
+        .orderBy($"doc_id")
+    }),
+
     // PageRank link centrality (the CommonCrawl-style crawl/keep signal)
     // over a deterministic doc_id-arithmetic link graph, 5 iterations.
     // Integer nano-rank arithmetic end to end (floor divisions, integer
@@ -1548,6 +1573,29 @@ object SparkEntry {
     // Sequence packing: per-source prefix-sum token batching at a 2000-
     // token budget — the pack assignment is a pure window computation the
     // oracle replays exactly.
+    // Keyed-table MERGE with partition-level rewrite: base = docs with
+    // doc_id % 7 != 3 (score = n_chars), updates = docs with doc_id % 5
+    // == 0 at score × 10 — replacements AND inserts in one delta; only
+    // the buckets holding updated keys are read or rewritten (the
+    // incremental-update story for a 100 TB mutable corpus table). The
+    // table is rebuilt fresh each invocation so reruns stay
+    // deterministic; the oracle replays the merge as updates ∪
+    // (base ∖ updated-keys).
+    "q_upsert_keyed" -> ((s, dir) => {
+      import s.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/upsert_keyed"
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Upsert.writeKeyedTable(
+        docs.filter($"doc_id" % 7 =!= 3)
+          .select($"doc_id", $"source", $"n_chars".as("score")),
+        key = "doc_id", dir = td, numBuckets = 16, mode = "overwrite")
+      graft.ops.Upsert.upsertByKey(s, td,
+        docs.filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"source", ($"n_chars" * 10).as("score")),
+        key = "doc_id", numBuckets = 16)
+      graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Packing.packByBudget(
@@ -3334,6 +3382,41 @@ object SparkEntry {
         |    AND (dr <= 0.2) AND (sh >= 2)) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_web_pagerank" -> pageRankSql(iters = 5),
+    "q_web_urlnorm" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+        |    WHEN doc_id % 4 = 1 THEN 'a.B.' ELSE '' END) ||
+        |  source || '.com' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ':443'
+        |    WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+        |  '/Doc/' || doc_id::VARCHAR ||
+        |  (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&b=2&a=1'
+        |    WHEN doc_id % 4 = 1 THEN '?gclid=99'
+        |    WHEN doc_id % 4 = 2 THEN '?z=1&fbclid=abc&a=2&' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#Sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |comp AS (SELECT doc_id, url, scheme,
+        |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  regexp_replace(path, '/+$', '') AS cpath,
+        |  list_sort(list_filter(string_split(q, '&'), p -> p <> '' AND
+        |    NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$'))) AS params
+        |  FROM parts)
+        |SELECT doc_id, url, scheme || '://' || host ||
+        |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |    OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+        |  cpath ||
+        |  (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+        |    ELSE '' END) AS norm_url
+        |FROM comp ORDER BY doc_id""".stripMargin,
     "q_web_domains" -> {
       // same public-suffix snapshot as Web.registrableDomainOf — the
       // alternation is generated from it so the two can never drift
@@ -3660,6 +3743,16 @@ object SparkEntry {
         |  list(n_tokens ORDER BY doc_id) AS token_counts,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+    "q_upsert_keyed" ->
+      """WITH base AS (SELECT doc_id, source, n_chars AS score
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |u AS (SELECT doc_id, source, n_chars * 10 AS score
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, source, score FROM u
+        |UNION ALL
+        |SELECT b.doc_id, b.source, b.score FROM base b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
+        |ORDER BY doc_id""".stripMargin,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed-table MERGE (upsert) with partition-level rewrite — the
+  * incremental-update story for a mutable corpus table: crawl re-fetches,
+  * quality-score refreshes, GDPR deletions-by-replacement all arrive as a
+  * small keyed delta against a 100 TB base, and the merge cost must be
+  * proportional to the DELTA, not the table.
+  *
+  * Layout: the base table is Hive-partitioned by `__bucket =
+  * pmod(xxhash64(key), numBuckets)`. An upsert then:
+  *
+  *   1. buckets the updates and collects the ≤ numBuckets TOUCHED bucket
+  *      ids (the only data-proportional driver traffic is one int per
+  *      touched bucket);
+  *   2. reads ONLY the touched partitions of the base — Spark partition
+  *      pruning, no file of an untouched bucket is opened;
+  *   3. anti-joins out the base rows whose key is updated, unions the
+  *      updates in;
+  *   4. rewrites JUST the touched partitions via dynamic partition
+  *      overwrite (untouched bucket dirs are never listed, read, or
+  *      written).
+  *
+  * Cost at 100 TB: with numBuckets sized so a bucket ≈ a few GB, a
+  * k-key delta touches ≤ k buckets → the rewrite is O(k · bucketBytes)
+  * regardless of table size. Size numBuckets at table-creation time for
+  * the target table bytes (buckets of 1–4 GB); the count is pinned in
+  * the table's `_index_spec` so a mis-parameterized upsert FAILS instead
+  * of silently landing keys in the wrong buckets (the serving-index
+  * guard, applied to mutable tables).
+  *
+  * Crash story: the merged partitions are materialized (localCheckpoint)
+  * before the overwrite — the write never reads the dir it replaces —
+  * and the overwrite commits per-partition. A crash mid-commit can leave
+  * a mix of old and new buckets; RERUNNING the same upsert converges
+  * (anti-join + union is idempotent: already-updated buckets merge to
+  * themselves). Concurrent upserts of one table are excluded by the
+  * table's [[MaintenanceLock]].
+  */
+object Upsert {
+
+  /** Outcome of [[upsertByKey]]: partitions rewritten vs total, update
+    * rows applied, untouched-key rows carried through the rewrite. */
+  case class UpsertStats(
+      touchedBuckets: Int, totalBuckets: Int, upserted: Long, carried: Long)
+
+  private def spec(key: String, numBuckets: Int): String =
+    s"keyed-table:v1 key=$key buckets=$numBuckets"
+
+  /** Bucket id of a key under this table layout. */
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets)).cast("int")
+
+  /** Create the keyed base table: Hive-partitioned by `__bucket` so
+    * later upserts prune to touched partitions. `numBuckets` is pinned
+    * in `_index_spec` (see class doc); pick it for ~1–4 GB per bucket at
+    * the table's target size. */
+  def writeKeyedTable(
+      df: DataFrame, key: String, dir: String, numBuckets: Int,
+      mode: String = "error"): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    require(df.columns.contains(key), s"key column '$key' not in ${df.columns.toSeq}")
+    // spec write-ordering discipline: no spec may cover partial data
+    IndexSpec.delete(df, dir)
+    df.withColumn("__bucket", bucketOf(col(key), numBuckets))
+      .write.mode(mode).partitionBy("__bucket").parquet(dir)
+    IndexSpec.write(df, dir, spec(key, numBuckets))
+  }
+
+  /** Read the keyed table back as a plain DataFrame (layout column
+    * dropped). */
+  def readKeyedTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("__bucket")
+
+  /** MERGE `updates` into the keyed table at `dir`: rows whose key
+    * matches an update are replaced, new keys are inserted, everything
+    * else is untouched — only the buckets containing updated keys are
+    * read or rewritten. `updates` must be key-unique (two updates for
+    * one key have no defined winner — fail fast rather than keep both);
+    * its schema must match the table's data columns. */
+  def upsertByKey(
+      spark: SparkSession, dir: String, updates: DataFrame, key: String,
+      numBuckets: Int,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): UpsertStats = {
+    require(updates.columns.contains(key),
+      s"key column '$key' not in updates: ${updates.columns.toSeq}")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dirPath), s"keyed table missing at $dir — writeKeyedTable first")
+    val specPresent =
+      IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
+    MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
+      // the delta is the small side — one shuffle of it for the
+      // uniqueness guard is cheap insurance against a silent double-row
+      val dups = updates.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0L, s"updates contain duplicate '$key' values — " +
+        "an upsert needs exactly one row per key")
+      val bucketed = updates
+        .withColumn("__bucket", bucketOf(col(key), numBuckets))
+        .localCheckpoint(false)
+      val touched = bucketed.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val upserted = bucketed.count()
+      // partition pruning: only touched bucket dirs are listed/read
+      val base = spark.read.parquet(dir)
+        .filter(col("__bucket").isin(touched.map(Int.box): _*))
+      val carried = base.join(bucketed.select(col(key)), Seq(key), "left_anti")
+      // eager checkpoint severs the plan's lineage to `dir` so the
+      // dynamic overwrite below is not a read-write conflict, and the
+      // merged delta is safe before any base partition is replaced
+      val merged = carried.unionByName(bucketed.select(carried.columns.map(col): _*))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(dir)
+      if (!specPresent) IndexSpec.write(spark, dir, spec(key, numBuckets))
+      UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
+    }
+  }
+}

@@ -120,4 +120,47 @@ object Web {
     require(blockedDomains.nonEmpty, "empty blocklist: nothing to filter")
     df.filter(!registrableDomainOf(url).isin(blockedDomains: _*))
   }
+
+  /** Canonical URL form for URL-level dedup — the first dedup tier of a
+    * crawl pipeline (two fetches of the same page routinely differ only
+    * in tracking params, fragment, default port, or a trailing slash,
+    * and URL equality is orders of magnitude cheaper than content
+    * hashing). Rules, all applied map-side with engine-portable regexes:
+    *
+    *   1. scheme and host lowercased; one leading `www.` label stripped;
+    *   2. the scheme's DEFAULT port stripped (`:80` http / `:443`
+    *      https), any other explicit port kept;
+    *   3. fragment (`#…`) removed;
+    *   4. query params split on `&`: empties and tracking params
+    *      (`utm_*`, `gclid`, `fbclid`, `ref`) dropped, the rest SORTED
+    *      (param order never changes content) and re-joined — an empty
+    *      result drops the `?` entirely;
+    *   5. trailing `/`s stripped from the path (path case kept — paths
+    *      are case-sensitive, hosts are not).
+    *
+    * A value with no `scheme://host` shape passes through UNCHANGED
+    * (never invent a canonical form for a non-URL). Deduplicate with
+    * `dedupExact(df, normalizeUrl(url), tieBreak)`. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+    val portPart = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+([^?#]*)", 1)
+    val cleanPath = regexp_replace(path, "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$"))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    when(hostport === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, cleanPath, queryPart))
+  }
 }

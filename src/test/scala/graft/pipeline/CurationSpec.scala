@@ -313,6 +313,47 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptDf == Seq(1L, 2L, 3L, 7L, 8L, 9L))
   }
 
+  test("normalizeUrl: each canonicalization rule, non-URL passthrough") {
+    import graft.text.Web
+    val df = Seq(
+      // scheme/host case + www strip + default port + trailing slash
+      (1L, "HTTPS://WWW.Example.COM:443/Path/"),
+      // non-default port kept; path case kept
+      (2L, "http://example.com:8080/A/b"),
+      // http default port stripped; https' 443 on http KEPT
+      (3L, "http://example.com:80/x"),
+      (4L, "http://example.com:443/x"),
+      // tracking params dropped, remainder sorted, fragment dropped
+      (5L, "https://example.com/p?utm_source=n&b=2&a=1&gclid=9#frag"),
+      // tracking-only query loses its '?'; empty params vanish
+      (6L, "https://example.com/p?utm_campaign=x&fbclid=1&"),
+      (7L, "https://example.com/p?ref=tw&z=1&ref2=keep"),
+      // userinfo skipped for host; root path collapses
+      (8L, "https://u:pw@Www.Example.com/"),
+      // identical pages differing only in canonicalized bits
+      (9L, "https://www.example.com/doc?b=2&a=1#x"),
+      (10L, "https://example.com:443/doc/?a=1&b=2&utm_medium=m"),
+      (11L, "not a url"),
+      (12L, "")
+    ).toDF("id", "url")
+    val got = df.select($"id", Web.normalizeUrl($"url").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "https://example.com/Path")
+    assert(got(2L) == "http://example.com:8080/A/b")
+    assert(got(3L) == "http://example.com/x")
+    assert(got(4L) == "http://example.com:443/x")
+    assert(got(5L) == "https://example.com/p?a=1&b=2")
+    assert(got(6L) == "https://example.com/p")
+    assert(got(7L) == "https://example.com/p?ref2=keep&z=1")
+    assert(got(8L) == "https://example.com")
+    assert(got(9L) == got(10L), s"9=${got(9L)} 10=${got(10L)}")
+    assert(got(11L) == "not a url")
+    assert(got(12L) == "")
+    // map-side: no Exchange in the plan
+    assert(!df.select(Web.normalizeUrl($"url"))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("duplicateSegmentStats counts repeats of identical segments") {
     import graft.text.TextFunctions
     val docs = Seq(

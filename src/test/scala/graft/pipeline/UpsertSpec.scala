@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Upsert
+
+/** Keyed-table upsert: merge semantics, delta-proportional IO, guards. */
+class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-upsert-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-upsert").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/t"
+  }
+
+  private def bucketDirs(dir: String): Map[String, Long] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(f => f.getName ->
+        f.listFiles().map(_.lastModified()).maxOption.getOrElse(0L))
+      .toMap
+
+  test("upsert: replace + insert + carry, only touched buckets rewritten") {
+    val dir = tmpDir()
+    val base = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.writeKeyedTable(base, "k", dir, numBuckets = 8)
+    val before = bucketDirs(dir)
+    assert(before.size == 8, s"expected all 8 bucket dirs: ${before.keys}")
+    // updates: replace keys 0..4, insert keys 1000..1002
+    val updates = ((0L until 5L) ++ (1000L until 1003L))
+      .map(i => (i, s"NEW$i")).toDF("k", "v")
+    Thread.sleep(1100) // mtime resolution guard
+    val stats = Upsert.upsertByKey(spark, dir, updates, "k", numBuckets = 8)
+    assert(stats.upserted == 8L)
+    assert(stats.touchedBuckets < 8,
+      s"8 updated keys should not touch every bucket: $stats")
+    // carried = base rows living in touched buckets minus the 5 replaced
+    val touchedSet = updates.select(Upsert.bucketOf($"k", 8))
+      .distinct().as[Int].collect().toSet
+    val baseInTouched = base
+      .filter(Upsert.bucketOf($"k", 8).isin(touchedSet.toSeq.map(Int.box): _*))
+      .count()
+    assert(stats.carried == baseInTouched - 5L, s"$stats vs base $baseInTouched")
+    // content = reference merge
+    val got = Upsert.readKeyedTable(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val expect = ((0L until 200L).map(i => i -> s"v$i").toMap
+      ++ ((0L until 5L) ++ (1000L until 1003L)).map(i => i -> s"NEW$i").toMap)
+    assert(got == expect)
+    // untouched bucket dirs were not rewritten
+    val after = bucketDirs(dir)
+    val touchedNames = updates
+      .select(Upsert.bucketOf($"k", 8)).distinct().as[Int].collect()
+      .map(b => s"__bucket=$b").toSet
+    assert(touchedNames.size == stats.touchedBuckets)
+    before.foreach { case (name, mtime) =>
+      if (!touchedNames.contains(name)) {
+        assert(after(name) == mtime, s"untouched $name was rewritten")
+      }
+    }
+    // the base read prunes partitions (plan-level evidence)
+    val pruned = spark.read.parquet(dir).filter($"__bucket".isin(0, 1))
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+  }
+
+  test("upsert: rerun of the same delta is idempotent") {
+    val dir = tmpDir()
+    Upsert.writeKeyedTable(
+      (0L until 50L).map(i => (i, i * 2)).toDF("k", "x"), "k", dir, 4)
+    val updates = Seq((3L, 999L), (60L, 600L)).toDF("k", "x")
+    Upsert.upsertByKey(spark, dir, updates, "k", 4)
+    val first = Upsert.readKeyedTable(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    Upsert.upsertByKey(spark, dir, updates, "k", 4)
+    val second = Upsert.readKeyedTable(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(first == second)
+    assert(first.toMap.apply(3L) == 999L && first.toMap.apply(60L) == 600L)
+    assert(first.size == 51)
+  }
+
+  test("upsert guards: duplicate update keys, mismatched bucket count") {
+    val dir = tmpDir()
+    Upsert.writeKeyedTable(
+      (0L until 10L).map(i => (i, i)).toDF("k", "x"), "k", dir, 4)
+    intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, dir,
+        Seq((1L, 1L), (1L, 2L)).toDF("k", "x"), "k", 4)
+    }
+    // wrong numBuckets would land keys in the wrong partitions — the
+    // pinned spec fails fast instead
+    val err = intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, dir, Seq((1L, 9L)).toDF("k", "x"), "k", 8)
+    }
+    assert(err.getMessage.contains("buckets=4"))
+    // missing table fails fast
+    intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, tmpDir(), Seq((1L, 9L)).toDF("k", "x"), "k", 4)
+    }
+  }
+
+  test("upsert: insert into a bucket dir that does not exist yet") {
+    val dir = tmpDir()
+    // 3 rows across 64 buckets — most bucket dirs absent initially
+    Upsert.writeKeyedTable(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k", dir, 64)
+    val nBefore = bucketDirs(dir).size
+    assert(nBefore <= 3)
+    // insert keys until one lands in a previously-absent bucket
+    val fresh = (100L until 200L).find { i =>
+      val b = Seq(Tuple1(i)).toDF("k")
+        .select(Upsert.bucketOf($"k", 64)).as[Int].head()
+      !new java.io.File(s"$dir/__bucket=$b").exists()
+    }.get
+    Upsert.upsertByKey(spark, dir, Seq((fresh, "new")).toDF("k", "v"), "k", 64)
+    val got = Upsert.readKeyedTable(spark, dir).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c", fresh -> "new"))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
