@@ -207,3 +207,53 @@ class Pipeline:
         return self._df(self._japi.logRegScore(
             docs._jdf, pos._jdf, neg._jdf, id_col, text_col, buckets, iters,
             eta_milli))
+
+    # ---- containment / projection / URL / keyed table --------------------
+
+    def containment_pairs(self, df, id_col, text_col, shingle_k=3,
+                          threshold=0.8):
+        """Directed containment pairs (id_a contained in id_b) via the
+        lossless prefix-filter join — excerpt/quote detection."""
+        return self._df(self._japi.containmentPairs(
+            df._jdf, id_col, text_col, shingle_k, threshold))
+
+    def decontaminate_containment(self, corpus, corpus_id, corpus_text,
+                                  bench, bench_id, bench_text, shingle_k=8,
+                                  threshold=0.6):
+        """Drop corpus docs containing >= threshold of some benchmark
+        doc's shingles (the quoted-verbatim case Jaccard misses)."""
+        return self._df(self._japi.decontaminateContainment(
+            corpus._jdf, corpus_id, corpus_text,
+            bench._jdf, bench_id, bench_text, shingle_k, threshold))
+
+    def random_projection(self, df, id_col, vec_col, out_dim, dim, seed=42):
+        """Johnson-Lindenstrauss +/-1 projection to out_dim exact-integer
+        components: (vec_id, proj)."""
+        return self._df(self._japi.randomProjection(
+            df._jdf, id_col, vec_col, out_dim, dim, seed))
+
+    def normalize_url(self, df, url_col, out_col="norm_url"):
+        """Canonical URL form (case, www, default ports, tracking params,
+        param order, fragments, trailing slashes) for URL-level dedup."""
+        return self._df(self._japi.normalizeUrl(df._jdf, url_col, out_col))
+
+    def write_keyed_table(self, df, key_col, path, num_buckets,
+                          mode="error"):
+        """Create a hash-bucket-partitioned keyed table for
+        delta-proportional upserts/deletes."""
+        self._japi.writeKeyedTable(df._jdf, key_col, path, num_buckets, mode)
+
+    def read_keyed_table(self, spark, path):
+        return self._df(self._japi.readKeyedTable(self._jspark, path))
+
+    def upsert_by_key(self, spark, path, updates, key_col, num_buckets):
+        """MERGE a keyed delta; returns (touched_buckets, total_buckets,
+        upserted, carried)."""
+        return tuple(self._japi.upsertByKey(
+            self._jspark, path, updates._jdf, key_col, num_buckets))
+
+    def delete_by_key(self, spark, path, keys, key_col, num_buckets):
+        """DELETE keys from the keyed table; returns (touched_buckets,
+        total_buckets, deleted, carried)."""
+        return tuple(self._japi.deleteByKey(
+            self._jspark, path, keys._jdf, key_col, num_buckets))

@@ -120,6 +120,39 @@ def main():
                         buckets=256, iters=6, eta_milli=900).collect()}
     assert m[0] == m[1] and min(m[0], m[1]) > max(m[2], m[3]), m
 
+    # URL canonicalization: two variants of one page normalize identically
+    urls = spark.createDataFrame(
+        [(1, "https://www.Ex.com/d?b=2&a=1#x"),
+         (2, "HTTPS://ex.com:443/d/?a=1&b=2&utm_source=n")], ["id", "url"])
+    n = {r.id: r.norm_url for r in p.normalize_url(urls, "url").collect()}
+    assert n[1] == n[2] == "https://ex.com/d?a=1&b=2", n
+    # keyed table: upsert replaces + inserts, delete removes; stats exact
+    kt = tempfile.mkdtemp() + "/kt"
+    basedf = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(20)], ["k", "v"])
+    p.write_keyed_table(basedf, "k", kt, 4)
+    touched, total, ups, carried = p.upsert_by_key(
+        spark, kt, spark.createDataFrame(
+            [(1, "NEW"), (50, "ins")], ["k", "v"]), "k", 4)
+    assert total == 4 and ups == 2, (touched, total, ups, carried)
+    got = {r.k: r.v for r in p.read_keyed_table(spark, kt).collect()}
+    assert got[1] == "NEW" and got[50] == "ins" and len(got) == 21, got
+    _, _, deleted, _ = p.delete_by_key(
+        spark, kt, spark.createDataFrame([(50,), (999,)], ["k"]), "k", 4)
+    assert deleted == 1
+    assert p.read_keyed_table(spark, kt).count() == 20
+    # containment decon from python: the quoting page drops
+    quoted = spark.createDataFrame(
+        [(1, " ".join("w%d" % i for i in range(40)) +
+          " what is the capital of france answer paris today")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(9, "what is the capital of france answer paris today")],
+        ["doc_id", "text"])
+    assert p.decontaminate_containment(
+        quoted, "doc_id", "text", bench, "doc_id", "text",
+        shingle_k=3, threshold=0.6).count() == 0
+
     print(f"PYTHON API OK: {len(indexed)} rows matched, "
           "lifecycle+refresh+compact+pipeline complete")
     spark.stop()

@@ -214,4 +214,52 @@ object PythonApi {
       buckets, iters, etaMilli)
     graft.text.LogReg.score(docs, col(idCol), col(textCol), model)
   }
+
+  // ---- containment / projection / URL / keyed-table -------------------
+
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, threshold: Double): DataFrame =
+    graft.dedup.Dedup.containmentPairs(df, col(idCol), col(textCol),
+      shingleK, threshold)
+
+  def decontaminateContainment(
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleK: Int, threshold: Double): DataFrame =
+    graft.text.Decontaminate.decontaminateContainment(
+      corpus, col(corpusIdCol), col(corpusTextCol),
+      bench, col(benchIdCol), col(benchTextCol), shingleK, threshold)
+
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int, seed: Long): DataFrame =
+    graft.ann.Ann.randomProjection(df, col(idCol), col(vecCol), outDim, dim, seed)
+
+  def normalizeUrl(df: DataFrame, urlCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, graft.text.Web.normalizeUrl(col(urlCol)))
+
+  def writeKeyedTable(
+      df: DataFrame, keyCol: String, dir: String, numBuckets: Int,
+      mode: String): Unit =
+    graft.ops.Upsert.writeKeyedTable(df, keyCol, dir, numBuckets, mode)
+
+  def readKeyedTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Upsert.readKeyedTable(spark, dir)
+
+  /** @return [touchedBuckets, totalBuckets, upserted, carried] */
+  def upsertByKey(
+      spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
+      numBuckets: Int): java.util.List[Long] = {
+    val s = graft.ops.Upsert.upsertByKey(spark, dir, updates, keyCol, numBuckets)
+    Seq(s.touchedBuckets.toLong, s.totalBuckets.toLong, s.upserted, s.carried).asJava
+  }
+
+  /** @return [touchedBuckets, totalBuckets, deleted, carried] */
+  def deleteByKey(
+      spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
+      numBuckets: Int): java.util.List[Long] = {
+    val s = graft.ops.Upsert.deleteByKey(spark, dir, keys, keyCol, numBuckets)
+    Seq(s.touchedBuckets.toLong, s.totalBuckets.toLong, s.deleted, s.carried).asJava
+  }
 }

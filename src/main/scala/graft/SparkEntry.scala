@@ -1596,6 +1596,25 @@ object SparkEntry {
       graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
     }),
 
+    // Keyed-table DELETE (the GDPR/takedown path): same delta-
+    // proportional cost as the merge — only buckets holding requested
+    // keys are read/rewritten, and a bucket emptied by the delete is
+    // dropped explicitly (dynamic overwrite alone would leave its old
+    // files). Requested keys absent from the table are a no-op.
+    "q_delete_keyed" -> ((s, dir) => {
+      import s.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/delete_keyed"
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Upsert.writeKeyedTable(
+        docs.select($"doc_id", $"source", $"n_chars"),
+        key = "doc_id", dir = td, numBuckets = 16, mode = "overwrite")
+      graft.ops.Upsert.deleteByKey(s, td,
+        docs.filter($"doc_id" % 6 === 1).select($"doc_id")
+          .union(docs.limit(3).select($"doc_id" + 1000000L)),
+        key = "doc_id", numBuckets = 16)
+      graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Packing.packByBudget(
@@ -1635,6 +1654,22 @@ object SparkEntry {
           docs.filter($"doc_id" % 20 === 0), $"doc_id", $"text",
           shingleK = 3, minOverlap = 2)
         .orderBy($"doc_id", $"bench_id")
+    }),
+
+    // CONTAINMENT decontamination: drop corpus docs containing >= 60% of
+    // some benchmark doc's distinct shingles — the quoted-verbatim case
+    // symmetric Jaccard misses. Benchmark side broadcasts; corpus never
+    // shuffles. Oracle: exact per-pair containment over the same shingle
+    // sets.
+    "q_decontaminate_contain" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      graft.text.Decontaminate.decontaminateContainment(
+          docs.filter($"doc_id" % 20 =!= 0), $"doc_id", $"text",
+          docs.filter($"doc_id" % 20 === 0), $"doc_id", $"text",
+          shingleK = 3, threshold = 0.6)
+        .select($"doc_id")
+        .orderBy($"doc_id")
     }),
 
     // FUZZY decontamination (near-match benchmark filter): drop corpus
@@ -3743,6 +3778,9 @@ object SparkEntry {
         |  list(n_tokens ORDER BY doc_id) AS token_counts,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+    "q_delete_keyed" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 6 <> 1 ORDER BY doc_id""".stripMargin,
     "q_upsert_keyed" ->
       """WITH base AS (SELECT doc_id, source, n_chars AS score
         |  FROM documents WHERE doc_id % 7 <> 3),
@@ -3802,6 +3840,22 @@ object SparkEntry {
         |    ELSE round(coalesce(m.n_matched, 0)::DOUBLE / len(c.s), 4) END
         |    AS contamination
         |FROM c LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_contain" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 = 0),
+        |f AS (SELECT DISTINCT c.doc_id FROM c, b
+        |  WHERE len(list_intersect(c.s, b.s))::DOUBLE / len(b.s)::DOUBLE >= 0.6)
+        |SELECT doc_id FROM c WHERE doc_id NOT IN (SELECT doc_id FROM f)
         |ORDER BY doc_id""".stripMargin,
     "q_text_segdedup_first" ->
       """WITH t AS (SELECT doc_id,

@@ -120,4 +120,61 @@ object Upsert {
       UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
     }
   }
+
+  /** Outcome of [[deleteByKey]]: partitions touched vs total, rows
+    * deleted, untouched-key rows carried through the rewrite. */
+  case class DeleteStats(
+      touchedBuckets: Int, totalBuckets: Int, deleted: Long, carried: Long)
+
+  /** DELETE the rows of `keys` (one column, the key values) from the
+    * keyed table — the deletion-request path (GDPR/takedown) with the
+    * same delta-proportional cost as [[upsertByKey]]: only the buckets
+    * holding requested keys are read or rewritten.
+    *
+    * Dynamic partition overwrite only replaces partitions PRESENT in the
+    * written data, so a bucket whose every row is deleted would silently
+    * keep its old files — those buckets are removed explicitly after the
+    * write commits (a crash between the two converges on rerun, like the
+    * upsert). Keys absent from the table are a no-op, not an error. */
+  def deleteByKey(
+      spark: SparkSession, dir: String, keys: DataFrame, key: String,
+      numBuckets: Int,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): DeleteStats = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column DataFrame of key values: ${keys.columns.toSeq}")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dirPath), s"keyed table missing at $dir — writeKeyedTable first")
+    IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
+    MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
+      val keyed = keys.toDF(key).distinct()
+        .withColumn("__bucket", bucketOf(col(key), numBuckets))
+        .localCheckpoint(false)
+      val touched = keyed.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) DeleteStats(0, numBuckets, 0L, 0L)
+      else {
+        val base = spark.read.parquet(dir)
+          .filter(col("__bucket").isin(touched.map(Int.box): _*))
+        val baseCount = base.count()
+        val survivors = base.join(keyed.select(col(key)), Seq(key), "left_anti")
+          .localCheckpoint(true)
+        val carried = survivors.count()
+        if (carried > 0) {
+          survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket").parquet(dir)
+        }
+        // buckets with zero survivors: dynamic overwrite never wrote them
+        // — drop their dirs so the deleted rows actually disappear
+        val surviving = survivors.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        touched.filterNot(surviving).foreach { b =>
+          val p = new org.apache.hadoop.fs.Path(dir, s"__bucket=$b")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        DeleteStats(touched.length, numBuckets, baseCount - carried, carried)
+      }
+    }
+  }
 }

@@ -157,6 +157,43 @@ object Decontaminate {
       hits(graft.dedup.Dedup.shingles(corpusText, shingleK)) < minOverlap)
   }
 
+  /** CONTAINMENT decontamination: drop corpus docs that contain at least
+    * `threshold` of some benchmark document's distinct shingles —
+    * C(bench→doc) = |sh(bench) ∩ sh(doc)| / |sh(bench)| ≥ τ. This is the
+    * quoted-verbatim case the other variants handle poorly: a benchmark
+    * question quoted inside a much larger page has near-total per-BENCH
+    * containment but tiny symmetric Jaccard (invisible to
+    * [[decontaminateFuzzy]]), and [[decontaminate]]'s fixed `minOverlap`
+    * cannot distinguish a 10-shingle question fully contained from 10
+    * incidental shingles of a 500-shingle one.
+    *
+    * Scale shape = [[contaminatedPairs]]: the benchmark side broadcasts,
+    * the 100 TB corpus streams map-side through the join with no corpus
+    * shuffle; the overlap aggregation's input is the matched rows only.
+    * The ratio is compared UNROUNDED (the containmentPairs discipline —
+    * a 4-dp round-up must not admit a sub-threshold pair). */
+  def decontaminateContainment(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      shingleK: Int = 8, threshold: Double = 0.6): DataFrame = {
+    require(shingleK >= 1, "shingleK must be >= 1")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cSh = corpus.select(corpusId.as("__did"),
+      explode(graft.dedup.Dedup.shingles(corpusText, shingleK)).as("__sh"))
+    val bSh = bench.select(benchId.as("__bid"),
+        graft.dedup.Dedup.shingles(benchText, shingleK).as("__bsh"))
+      .select(col("__bid"), size(col("__bsh")).as("__bn"),
+        explode(col("__bsh")).as("__sh"))
+    val flagged = cSh.join(broadcast(bSh), Seq("__sh"))
+      .groupBy(col("__did"), col("__bid"), col("__bn"))
+      .agg(count(lit(1)).as("__inter"))
+      .filter(col("__inter").cast("double") / col("__bn").cast("double")
+        >= threshold)
+      .select(col("__did").as("__flagged")).distinct()
+    corpus.join(broadcast(flagged), corpusId === col("__flagged"), "left_anti")
+  }
+
   /** FUZZY decontamination: drop corpus docs that are MinHash
     * NEAR-duplicates of any benchmark doc (signature-estimated Jaccard
     * ≥ `threshold`) — the GPT-3/Llama-style near-match benchmark filter,

@@ -997,6 +997,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.contains(9L))
   }
 
+  test("decontaminateContainment: quoted benchmark drops where fuzzy misses") {
+    // corpus doc 1 QUOTES the whole benchmark question inside a much
+    // longer page: containment(bench→doc) = 1 but Jaccard ≈ 10/78 —
+    // invisible to the fuzzy (symmetric) variant at any useful threshold
+    val page = (0 until 60).map(i => s"w$i").mkString(" ") +
+      " what is the capital of france answer paris obviously " +
+      (60 until 80).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, page),
+      (2L, "a completely unrelated page about spark physical plans"),
+      (3L, "another page mentioning france once in passing")).toDF("id", "text")
+    val bench = Seq(
+      (100L, "what is the capital of france answer paris obviously"))
+      .toDF("id", "text")
+    val kept = graft.text.Decontaminate.decontaminateContainment(
+        corpus, $"id", $"text", bench, $"id", $"text",
+        shingleK = 3, threshold = 0.6)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"expected only the quote dropped: $kept")
+    // the fuzzy (symmetric-Jaccard) variant keeps the quoting page
+    val fuzzyKept = graft.text.Decontaminate.decontaminateFuzzy(
+        corpus, $"id", $"text", bench, $"id", $"text", threshold = 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(fuzzyKept.contains(1L))
+    // corpus side never shuffles before the broadcast join: the kept-side
+    // plan has no Exchange upstream of the join (anti-join flag side is
+    // broadcast too)
+    val plan = graft.text.Decontaminate.decontaminateContainment(
+      corpus, $"id", $"text", bench, $"id", $"text",
+      shingleK = 3, threshold = 0.6).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("decontaminateFuzzy: near-matches drop, parity with minhashPairs") {
     val bench = Seq(
       (100L, "one two three four five six seven eight"),

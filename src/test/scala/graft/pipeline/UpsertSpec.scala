@@ -112,6 +112,45 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("delete: removes keys, empties whole buckets, no-ops absent keys") {
+    val dir = tmpDir()
+    val base = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.writeKeyedTable(base, "k", dir, numBuckets = 8)
+    val before = bucketDirs(dir)
+    // delete EVERY key of bucket 3 (whole-bucket wipe), a couple of keys
+    // of other buckets, and two keys that do not exist
+    val bucket3Keys = base.filter(Upsert.bucketOf($"k", 8) === 3)
+      .select($"k").as[Long].collect().toSeq
+    assert(bucket3Keys.nonEmpty)
+    val scattered = Seq(0L, 1L).filterNot(bucket3Keys.contains)
+    val toDelete = (bucket3Keys ++ scattered ++ Seq(5000L, 6000L)).toDF("k")
+    Thread.sleep(1100)
+    val stats = Upsert.deleteByKey(spark, dir, toDelete, "k", 8)
+    assert(stats.deleted == bucket3Keys.size + scattered.size, stats.toString)
+    val got = Upsert.readKeyedTable(spark, dir).as[(Long, String)].collect().toMap
+    val expect = (0L until 100L)
+      .filterNot(i => bucket3Keys.contains(i) || scattered.contains(i))
+      .map(i => i -> s"v$i").toMap
+    assert(got == expect)
+    // the emptied bucket dir is GONE (dynamic overwrite alone would have
+    // left its old files in place)
+    assert(!new java.io.File(s"$dir/__bucket=3").exists())
+    // untouched buckets were not rewritten
+    val touchedNames = toDelete
+      .select(Upsert.bucketOf($"k", 8)).distinct().as[Int].collect()
+      .map(b => s"__bucket=$b").toSet
+    val after = bucketDirs(dir)
+    before.foreach { case (name, mtime) =>
+      if (!touchedNames.contains(name)) {
+        assert(after(name) == mtime, s"untouched $name was rewritten")
+      }
+    }
+    // deleting only-absent keys changes nothing
+    val st2 = Upsert.deleteByKey(spark, dir, Seq(7777L).toDF("k"), "k", 8)
+    assert(st2.deleted == 0L)
+    assert(Upsert.readKeyedTable(spark, dir).count() == expect.size.toLong)
+  }
+
   test("upsert: insert into a bucket dir that does not exist yet") {
     val dir = tmpDir()
     // 3 rows across 64 buckets — most bucket dirs absent initially
