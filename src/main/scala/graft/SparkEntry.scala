@@ -2343,6 +2343,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Streaming CDC upsert ingest: keyed update micro-batches merge into
+    // the bucket-partitioned keyed table (delta-proportional per-batch
+    // IO; re-delivered batches converge). Final table = one-shot merge,
+    // so the oracle replays updates ∪ (base ∖ updated-keys).
+    "q_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_upsert")
+      graft.streaming.Streaming.upsertIngest(s, dir, work,
+          nBatches = 4, numBuckets = 16)
+        .orderBy($"doc_id")
+    }),
+
     // Streaming vector-index ingest: 4 ranged micro-batches of
     // embeddings, each appending its IVFADC cells+codes batch-side; the
     // grown codes table then serves the standard top-10 probe —
@@ -3781,6 +3793,15 @@ object SparkEntry {
     "q_delete_keyed" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 6 <> 1 ORDER BY doc_id""".stripMargin,
+    "q_stream_upsert" ->
+      """WITH base AS (SELECT doc_id, source, n_chars AS score FROM documents),
+        |u AS (SELECT doc_id, source, n_chars * 10 AS score
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, score FROM u
+        |UNION ALL
+        |SELECT b.doc_id, b.source, b.score FROM base b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
+        |ORDER BY doc_id""".stripMargin,
     "q_upsert_keyed" ->
       """WITH base AS (SELECT doc_id, source, n_chars AS score
         |  FROM documents WHERE doc_id % 7 <> 3),

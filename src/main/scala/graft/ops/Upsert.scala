@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * small keyed delta against a 100 TB base, and the merge cost must be
   * proportional to the DELTA, not the table.
   *
-  * Layout: the base table is Hive-partitioned by `__bucket =
+  * Layout: the base table is Hive-partitioned by `graft_bucket =
   * pmod(xxhash64(key), numBuckets)`. An upsert then:
   *
   *   1. buckets the updates and collects the ≤ numBuckets TOUCHED bucket
@@ -53,7 +53,7 @@ object Upsert {
   def bucketOf(key: Column, numBuckets: Int): Column =
     pmod(xxhash64(key), lit(numBuckets)).cast("int")
 
-  /** Create the keyed base table: Hive-partitioned by `__bucket` so
+  /** Create the keyed base table: Hive-partitioned by `graft_bucket` so
     * later upserts prune to touched partitions. `numBuckets` is pinned
     * in `_index_spec` (see class doc); pick it for ~1–4 GB per bucket at
     * the table's target size. */
@@ -64,15 +64,15 @@ object Upsert {
     require(df.columns.contains(key), s"key column '$key' not in ${df.columns.toSeq}")
     // spec write-ordering discipline: no spec may cover partial data
     IndexSpec.delete(df, dir)
-    df.withColumn("__bucket", bucketOf(col(key), numBuckets))
-      .write.mode(mode).partitionBy("__bucket").parquet(dir)
+    df.withColumn("graft_bucket", bucketOf(col(key), numBuckets))
+      .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
     IndexSpec.write(df, dir, spec(key, numBuckets))
   }
 
   /** Read the keyed table back as a plain DataFrame (layout column
     * dropped). */
   def readKeyedTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("__bucket")
+    spark.read.parquet(dir).drop("graft_bucket")
 
   /** MERGE `updates` into the keyed table at `dir`: rows whose key
     * matches an update are replaced, new keys are inserted, everything
@@ -99,14 +99,14 @@ object Upsert {
       require(dups == 0L, s"updates contain duplicate '$key' values — " +
         "an upsert needs exactly one row per key")
       val bucketed = updates
-        .withColumn("__bucket", bucketOf(col(key), numBuckets))
+        .withColumn("graft_bucket", bucketOf(col(key), numBuckets))
         .localCheckpoint(false)
-      val touched = bucketed.select(col("__bucket")).distinct()
+      val touched = bucketed.select(col("graft_bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       val upserted = bucketed.count()
       // partition pruning: only touched bucket dirs are listed/read
       val base = spark.read.parquet(dir)
-        .filter(col("__bucket").isin(touched.map(Int.box): _*))
+        .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
       val carried = base.join(bucketed.select(col(key)), Seq(key), "left_anti")
       // eager checkpoint severs the plan's lineage to `dir` so the
       // dynamic overwrite below is not a read-write conflict, and the
@@ -115,7 +115,7 @@ object Upsert {
         .localCheckpoint(true)
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket").parquet(dir)
+        .partitionBy("graft_bucket").parquet(dir)
       if (!specPresent) IndexSpec.write(spark, dir, spec(key, numBuckets))
       UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
     }
@@ -148,14 +148,14 @@ object Upsert {
     IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
       val keyed = keys.toDF(key).distinct()
-        .withColumn("__bucket", bucketOf(col(key), numBuckets))
+        .withColumn("graft_bucket", bucketOf(col(key), numBuckets))
         .localCheckpoint(false)
-      val touched = keyed.select(col("__bucket")).distinct()
+      val touched = keyed.select(col("graft_bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) DeleteStats(0, numBuckets, 0L, 0L)
       else {
         val base = spark.read.parquet(dir)
-          .filter(col("__bucket").isin(touched.map(Int.box): _*))
+          .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
         val baseCount = base.count()
         val survivors = base.join(keyed.select(col(key)), Seq(key), "left_anti")
           .localCheckpoint(true)
@@ -163,14 +163,14 @@ object Upsert {
         if (carried > 0) {
           survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket").parquet(dir)
+            .partitionBy("graft_bucket").parquet(dir)
         }
         // buckets with zero survivors: dynamic overwrite never wrote them
         // — drop their dirs so the deleted rows actually disappear
-        val surviving = survivors.select(col("__bucket")).distinct()
+        val surviving = survivors.select(col("graft_bucket")).distinct()
           .collect().map(_.getInt(0)).toSet
         touched.filterNot(surviving).foreach { b =>
-          val p = new org.apache.hadoop.fs.Path(dir, s"__bucket=$b")
+          val p = new org.apache.hadoop.fs.Path(dir, s"graft_bucket=$b")
           if (fs.exists(p)) fs.delete(p, true)
         }
         DeleteStats(touched.length, numBuckets, baseCount - carried, carried)

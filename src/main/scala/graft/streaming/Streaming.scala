@@ -493,6 +493,63 @@ object Streaming {
       m, codebookK, excludeId = excludeId)
   }
 
+  /** STREAMING CDC UPSERT INGEST — keyed update batches merging into the
+    * hash-bucket-partitioned keyed table ([[graft.ops.Upsert]]) via
+    * foreachBatch: the base table is built once (documents at
+    * score = n_chars), then the update stream (doc_id % 3 == 0 at
+    * score × 10) arrives as ranged micro-batches and each batch MERGES
+    * with [[graft.ops.Upsert.upsertByKey]] — only the buckets holding
+    * that batch's keys are read or rewritten, so per-batch cost is
+    * delta-proportional no matter how large the table grows. Correct
+    * under foreachBatch's at-least-once retries because re-merging the
+    * same batch CONVERGES (anti-join + union idempotence — the
+    * UpsertSpec rerun test); a crash mid-merge is a rerun, not a
+    * double-apply. Returns the final table, which equals the one-shot
+    * merge of all updates (batches partition the key space), so the
+    * query shares an upsert-shaped oracle. */
+  def upsertIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4, numBuckets: Int = 16,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .localCheckpoint()
+    val updates = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"), (col("n_chars") * 10).as("score"))
+      .localCheckpoint()
+    // stage FIRST: stageRangedSlices clears workDir
+    val staged = stageRangedSlices(spark, updates, workDir, nBatches)
+    val tableDir = s"$workDir/keyed"
+    graft.ops.Upsert.writeKeyedTable(
+      docs.select(col("doc_id"), col("source"), col("n_chars").as("score")),
+      "doc_id", tableDir, numBuckets, mode = "overwrite")
+    staged match {
+      case None => graft.ops.Upsert.readKeyedTable(spark, tableDir)
+      case Some(s) =>
+        val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) =>
+            // an empty re-trigger merges nothing (and must not write an
+            // empty dynamic-overwrite job against the table)
+            if (batch.take(1).nonEmpty) {
+              graft.ops.Upsert.upsertByKey(
+                spark, tableDir, batch, "doc_id", numBuckets)
+              ()
+            }
+        val q = spark.readStream.schema(updates.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$workDir/_checkpoint")
+          .foreachBatch(ingest)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.ops.Upsert.readKeyedTable(spark, tableDir)
+    }
+  }
+
   /** Gap-based sessionization, batch formulation: a new session starts
     * after `gapMinutes` of inactivity per user. Declarative window
     * functions (lag → gap flag → running sum) so Catalyst plans one

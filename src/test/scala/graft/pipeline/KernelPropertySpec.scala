@@ -130,6 +130,28 @@ class KernelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t == 1, s"first-min tie must pick index 1, got $t")
   }
 
+  test("mat_vec kernel equals the HOF formulation on random matrices") {
+    // same bit-identity contract as nearest_centroid: per-row products
+    // accumulate left-to-right from 0.0, so the q_ann_rp oracle's
+    // list_sum replay stays valid
+    val dim = 12; val out = 7
+    val rowGen = Gen.listOfN(dim, Gen.chooseNum(-9.0, 9.0))
+    val mat = (1 to out).flatMap(_ => rowGen.sample).map(_.toIndexedSeq)
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0))
+    val vecs = (1 to 300).flatMap(_ => vecGen.sample)
+    val df = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toArray)
+    }.toDF("vec_id", "v")
+    val matLit = typedLit(mat.toIndexedSeq)
+    val hof = transform(matLit, r =>
+      aggregate(zip_with(r, $"v".cast("array<double>"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+    val diff = df.select(
+        graft.functions.exprs.mat_vec($"v", mat).as("a"), hof.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("nearest_centroids (top-n) equals sort-by-(dist,idx) on random input") {
     // the multi-probe kernel's bounded insertion sort must reproduce the
     // full (dist asc, idx asc) order for every prefix length n, and its

@@ -27,7 +27,7 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def bucketDirs(dir: String): Map[String, Long] =
     new java.io.File(dir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
       .map(f => f.getName ->
         f.listFiles().map(_.lastModified()).maxOption.getOrElse(0L))
       .toMap
@@ -63,7 +63,7 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = bucketDirs(dir)
     val touchedNames = updates
       .select(Upsert.bucketOf($"k", 8)).distinct().as[Int].collect()
-      .map(b => s"__bucket=$b").toSet
+      .map(b => s"graft_bucket=$b").toSet
     assert(touchedNames.size == stats.touchedBuckets)
     before.foreach { case (name, mtime) =>
       if (!touchedNames.contains(name)) {
@@ -71,7 +71,7 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     // the base read prunes partitions (plan-level evidence)
-    val pruned = spark.read.parquet(dir).filter($"__bucket".isin(0, 1))
+    val pruned = spark.read.parquet(dir).filter($"graft_bucket".isin(0, 1))
     assert(pruned.queryExecution.executedPlan.toString
       .contains("PartitionFilters"))
   }
@@ -134,11 +134,11 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
     // the emptied bucket dir is GONE (dynamic overwrite alone would have
     // left its old files in place)
-    assert(!new java.io.File(s"$dir/__bucket=3").exists())
+    assert(!new java.io.File(s"$dir/graft_bucket=3").exists())
     // untouched buckets were not rewritten
     val touchedNames = toDelete
       .select(Upsert.bucketOf($"k", 8)).distinct().as[Int].collect()
-      .map(b => s"__bucket=$b").toSet
+      .map(b => s"graft_bucket=$b").toSet
     val after = bucketDirs(dir)
     before.foreach { case (name, mtime) =>
       if (!touchedNames.contains(name)) {
@@ -162,11 +162,37 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fresh = (100L until 200L).find { i =>
       val b = Seq(Tuple1(i)).toDF("k")
         .select(Upsert.bucketOf($"k", 64)).as[Int].head()
-      !new java.io.File(s"$dir/__bucket=$b").exists()
+      !new java.io.File(s"$dir/graft_bucket=$b").exists()
     }.get
     Upsert.upsertByKey(spark, dir, Seq((fresh, "new")).toDF("k", "v"), "k", 64)
     val got = Upsert.readKeyedTable(spark, dir).as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c", fresh -> "new"))
+  }
+
+  test("small-file keyed table: compact heals buckets in place") {
+    val dir = tmpDir()
+    // a many-task base write sprays several small files into each bucket
+    // dir (the real at-scale accumulation: wide ingests × tiny buckets).
+    // Note single-key UPSERTS do not accumulate: dynamic overwrite
+    // replaces the whole touched partition each time.
+    Upsert.writeKeyedTable(
+      (0L until 400L).map(i => (i, i)).toDF("k", "x").repartition(8),
+      "k", dir, 4)
+    val someBucket = new java.io.File(s"$dir/graft_bucket=0")
+    assert(someBucket.listFiles().count(_.getName.endsWith(".parquet")) >= 2,
+      "fixture should start with multiple small files per bucket")
+    val before = Upsert.readKeyedTable(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val stats = graft.ops.Layout.compact(spark, dir,
+      smallFileBytes = 1L << 20, targetFileBytes = 4L << 20, minFiles = 2)
+    assert(stats.compactedFiles >= 8, s"expected a real compaction: $stats")
+    val after = Upsert.readKeyedTable(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before, "compaction changed table content")
+    // the compacted table still upserts correctly
+    Upsert.upsertByKey(spark, dir, Seq((7L, 999L)).toDF("k", "x"), "k", 4)
+    assert(Upsert.readKeyedTable(spark, dir)
+      .filter($"k" === 7L).as[(Long, Long)].head()._2 == 999L)
   }
 
   override def afterAll(): Unit = spark.stop()

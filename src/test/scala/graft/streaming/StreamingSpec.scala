@@ -199,6 +199,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.contains(0L) && streamed.contains(1L) && streamed.contains(3L))
   }
 
+  test("streaming upsert ingest equals the one-shot merge") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft-upsing").toString
+    val docs = (0L until 30L).map(i => (i, s"s${i % 3}", i * 7))
+      .toDF("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val got = Streaming.upsertIngest(spark, fixture, s"$fixture/work",
+        nBatches = 3, numBuckets = 8)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = (0L until 30L).map { i =>
+      (i, (s"s${i % 3}", if (i % 3 == 0) i * 70 else i * 7))
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("streaming upsert: a later batch overrides an earlier one's key") {
+    // hand-staged batches (ranged slicing never repeats a key): both
+    // update k=1, the mtime-later file must win in the final table
+    val root = java.nio.file.Files.createTempDirectory("graft-upsord").toString
+    val tableDir = s"$root/keyed"
+    graft.ops.Upsert.writeKeyedTable(
+      Seq((1L, "orig"), (2L, "keep")).toDF("k", "v"), "k", tableDir, 4)
+    val staged = s"$root/staged"
+    new java.io.File(staged).mkdirs()
+    Seq(Seq((1L, "first")), Seq((1L, "second"), (3L, "ins")))
+      .zipWithIndex.foreach { case (rows, i) =>
+        val b = s"$root/b$i"
+        rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(b)
+        val part = new java.io.File(b).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        val dst = new java.io.File(staged, f"b$i%04d.parquet")
+        assert(part.renameTo(dst))
+        dst.setLastModified(60000L * (i + 1))
+      }
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (batch.take(1).nonEmpty) {
+          graft.ops.Upsert.upsertByKey(spark, tableDir, batch, "k", 4)
+          ()
+        }
+    val q = spark.readStream
+      .schema(Seq((1L, "x")).toDF("k", "v").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.ops.Upsert.readKeyedTable(spark, tableDir)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "second", 2L -> "keep", 3L -> "ins"), got.toString)
+  }
+
   test("streaming search ingest grows the index to one-shot parity") {
     val fixture = java.nio.file.Files.createTempDirectory("graft-searching").toString
     val docs = Seq(
