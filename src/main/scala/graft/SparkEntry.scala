@@ -1769,6 +1769,39 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Round-6 fourth composed pipeline — the crawl-hygiene front door
+    // built from this block's new operators: (1) canonical-URL dedup
+    // (pairs of docs carry two messy variants of one page URL — scheme
+    // case, www, :443, tracking param, trailing slash — and collapse
+    // after normalizeUrl, keeping the smallest doc_id), (2) containment
+    // decontamination against the doc_id % 25 == 0 benchmark slice
+    // (drop pages containing >= 60% of a benchmark doc's shingles),
+    // (3) deterministic 20-per-source cap. The oracle replays the FULL
+    // normalization regex chain, the per-pair containment, and the
+    // salted-md5 rank.
+    "q_pipeline_curate6" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val page = expr("doc_id div 2")
+      val url = when($"doc_id" % 2 === 0,
+          concat(lit("https://www.ex"), page % 7, lit(".com/p/"), page,
+            lit("?utm_source=x")))
+        .otherwise(concat(lit("HTTPS://ex"), page % 7, lit(".com:443/p/"),
+          page, lit("/")))
+      val urlDeduped = graft.dedup.Dedup.dedupExact(
+        docs.withColumn("url", url),
+        graft.text.Web.normalizeUrl($"url"), $"doc_id")
+      val corpus = urlDeduped.filter($"doc_id" % 25 =!= 0)
+      val bench = docs.filter($"doc_id" % 25 === 0)
+      val cleaned = graft.text.Decontaminate.decontaminateContainment(
+        corpus, $"doc_id", $"text", bench, $"doc_id", $"text",
+        shingleK = 3, threshold = 0.6)
+      graft.ops.Sampling.stratifiedSample(
+          cleaned.select($"doc_id", $"source"),
+          $"source", $"doc_id", n = 20, salt = "cur6")
+        .orderBy($"doc_id")
+    }),
+
     // Round-6 second composed pipeline — both TRAINED models in one
     // gate: every document's combined score = DSIR importance weight
     // (domain relevance vs the English target) + LR quality margin
@@ -4392,6 +4425,56 @@ object SparkEntry {
       resample = Some((100, "dsir1"))),
     "q_text_kl" -> klSql(buckets = 1024),
     "q_text_quality_lr" -> logRegSql(iters = 3, buckets = 1024, etaMilli = 500),
+    "q_pipeline_curate6" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'https://www.ex' || ((doc_id // 2) % 7)::VARCHAR || '.com/p/'
+        |      || (doc_id // 2)::VARCHAR || '?utm_source=x'
+        |    ELSE 'HTTPS://ex' || ((doc_id // 2) % 7)::VARCHAR || '.com:443/p/'
+        |      || (doc_id // 2)::VARCHAR || '/' END AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, source, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |comp AS (SELECT doc_id, source, scheme,
+        |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  regexp_replace(path, '/+$', '') AS cpath,
+        |  list_sort(list_filter(string_split(q, '&'), p -> p <> '' AND
+        |    NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$'))) AS params
+        |  FROM parts),
+        |nrm AS (SELECT doc_id, source, scheme || '://' || host ||
+        |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |    OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+        |  cpath ||
+        |  (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+        |    ELSE '' END) AS norm_url
+        |  FROM comp),
+        |kept AS (SELECT doc_id, source FROM (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) AS rn
+        |  FROM nrm) WHERE rn = 1),
+        |t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) <= 3 THEN [array_to_string(toks,' ')]
+        |  ELSE list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3],' ')) END) AS s
+        |  FROM tt),
+        |c AS (SELECT k.doc_id, k.source, sh.s FROM kept k
+        |  JOIN sh ON k.doc_id = sh.doc_id WHERE k.doc_id % 25 <> 0),
+        |b AS (SELECT s FROM sh WHERE doc_id % 25 = 0),
+        |f AS (SELECT DISTINCT c.doc_id FROM c, b
+        |  WHERE len(list_intersect(c.s, b.s))::DOUBLE / len(b.s)::DOUBLE >= 0.6),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('cur6|' || doc_id::VARCHAR), doc_id) AS rn
+        |  FROM c WHERE doc_id NOT IN (SELECT doc_id FROM f))
+        |SELECT doc_id, source FROM r WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
     "q_pipeline_curate5" -> curate5Sql(iters = 3, buckets = 1024,
       etaMilli = 500, topK = 100, perSource = 5),
     "q_dedup_simhash" ->

@@ -700,6 +700,56 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pruning: ${fi.get.lastListedFiles} of ${fi.get.lastTotalFiles}")
   }
 
+  test("indexed keyed table: upsert + refresh keeps pruning, O(delta) diff") {
+    import spark.implicits._
+    val p = s"$work/keyed_indexed"
+    graft.ops.Upsert.writeKeyedTable(
+      spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")),
+      "k", p, numBuckets = 8, mode = "overwrite")
+    spark.index.create.mode("overwrite").indexBy("k").parquet(p)
+    // indexed point query over the fresh table prunes and matches plain
+    def prunedScan(k: Long): (Long, Long) = {
+      val q = spark.index.parquet(p).filter(col("k") === k)
+      q.collect()
+      val fi = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+      (fi.lastListedFiles, fi.lastTotalFiles)
+    }
+    checkSame(spark.index.parquet(p).filter(col("k") === 123L),
+      spark.read.parquet(p).filter(col("k") === 123L))
+    val (listed0, total0) = prunedScan(123L)
+    assert(listed0 < total0, s"expected pruning: $listed0 of $total0")
+
+    // MERGE a small delta, then refresh: the index diff is the touched
+    // buckets' files only (delta-proportional), never a full rebuild
+    val totalFiles = filesScanned(spark.read.parquet(p))
+    val st = graft.ops.Upsert.upsertByKey(spark, p,
+      spark.range(0, 3).select(col("id").as("k"),
+        concat(lit("NEW"), col("id")).as("v"))
+        .union(Seq((5000L, "ins")).toDF("k", "v")),
+      "k", numBuckets = 8)
+    assert(st.touchedBuckets < 8)
+    val rs = spark.index.refresh.parquet(p)
+    assert(rs.addedFiles > 0L && rs.addedFiles < totalFiles,
+      s"refresh should touch only delta buckets: $rs vs $totalFiles files")
+    // updated + inserted keys served THROUGH the index, still pruned
+    val got = spark.index.parquet(p).filter(col("k").isin(1L, 5000L))
+      .select(col("k"), col("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "NEW1", 5000L -> "ins"))
+    checkSame(
+      spark.index.parquet(p).filter(col("k") === 700L),
+      spark.read.parquet(p).filter(col("k") === 700L))
+
+    // DELETE keys, refresh, the key is gone through the index too
+    graft.ops.Upsert.deleteByKey(spark, p, Seq(700L).toDF("k"), "k", 8)
+    val rs2 = spark.index.refresh.parquet(p)
+    assert(rs2.removedFiles > 0L)
+    assert(spark.index.parquet(p).filter(col("k") === 700L).isEmpty)
+    assert(spark.index.parquet(p).count() == 1000L) // 1000 + 1 ins - 1 del
+  }
+
   test("maintenance lock: concurrent run fails fast, lease expiry heals") {
     val p = s"$work/lock_tbl"
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
