@@ -92,15 +92,18 @@ object Upsert {
     val specPresent =
       IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
-      // the delta is the small side — one shuffle of it for the
-      // uniqueness guard is cheap insurance against a silent double-row
-      val dups = updates.groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dups == 0L, s"updates contain duplicate '$key' values — " +
-        "an upsert needs exactly one row per key")
+      // checkpoint FIRST so the delta is computed once — the uniqueness
+      // guard, touched-bucket probe and merge all read the materialized
+      // blocks instead of re-running the caller's plan three times
       val bucketed = updates
         .withColumn("graft_bucket", bucketOf(col(key), numBuckets))
         .localCheckpoint(false)
+      // the delta is the small side — one shuffle of it for the
+      // uniqueness guard is cheap insurance against a silent double-row
+      val dups = bucketed.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0L, s"updates contain duplicate '$key' values — " +
+        "an upsert needs exactly one row per key")
       val touched = bucketed.select(col("graft_bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       val upserted = bucketed.count()
