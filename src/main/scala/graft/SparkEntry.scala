@@ -1615,6 +1615,54 @@ object SparkEntry {
       graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
     }),
 
+    // SCD Type-2 history from the event change log: each user's
+    // event_type state versioned with validity intervals. One key
+    // shuffle folds the whole log (change collapse + interval close +
+    // versions share a single Exchange/Sort); same-instant collisions
+    // resolved by event_id (last wins). Intervals surface as epoch
+    // micros — exact integers on both engines.
+    "q_scd2" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Scd2.fromChangeLog(eventsTbl(s, dir), "user_id", "ts",
+          Seq("event_type"), tieBreaks = Seq("event_id"))
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"),
+          $"version".cast("long").as("version"), $"is_current")
+        .orderBy($"user_id", $"version")
+    }),
+
+    // Incremental SCD-2: the same history built by three TIME-RANGED
+    // keyed MERGE batches into a bucket-partitioned table (per-batch
+    // cost ∝ touched buckets — the CDC-to-history path at 100 TB). For
+    // in-order batches, batch-by-batch merging is definitionally
+    // equivalent to the one-shot fold (see mergeChanges's late-data
+    // contract), so the oracle replays the FULL log — a value-level
+    // check that the incremental path converges to the batch answer.
+    "q_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/scd2_merge"
+      val ev = eventsTbl(s, dir)
+      graft.ops.Scd2.writeHistory(spark = s,
+        changes = ev.filter($"ts" < "2024-01-11"),
+        key = "user_id", ts = "ts", attrs = Seq("event_type"), dir = td,
+        numBuckets = 16, tieBreaks = Seq("event_id"), mode = "overwrite")
+      graft.ops.Scd2.mergeChanges(s, td,
+        ev.filter($"ts" >= "2024-01-11" && $"ts" < "2024-01-21"),
+        key = "user_id", ts = "ts", attrs = Seq("event_type"),
+        numBuckets = 16, tieBreaks = Seq("event_id"))
+      graft.ops.Scd2.mergeChanges(s, td,
+        ev.filter($"ts" >= "2024-01-21"),
+        key = "user_id", ts = "ts", attrs = Seq("event_type"),
+        numBuckets = 16, tieBreaks = Seq("event_id"))
+      graft.ops.Scd2.readHistory(s, td)
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"),
+          $"version".cast("long").as("version"), $"is_current")
+        .orderBy($"user_id", $"version")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Packing.packByBudget(
@@ -2668,6 +2716,31 @@ object SparkEntry {
       |SELECT doc_id FROM tt
       |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
       |ORDER BY doc_id""".stripMargin
+
+  /** Shared by q_scd2 (one-shot fold) and q_scd2_merge (batch-by-batch
+    * keyed merges — definitionally equivalent, so one full-log replay
+    * checks both): instant collapse by event_id-desc winner, null-safe
+    * change detection, interval close + versions per user. */
+  private val scd2Sql: String =
+    """WITH vis AS (SELECT user_id, ts, event_type,
+      |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, ts, event_type FROM vis WHERE rn = 1),
+      |o AS (SELECT user_id, ts, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM v),
+      |op AS (SELECT user_id, ts, event_type FROM o
+      |  WHERE pts IS NULL OR prev IS DISTINCT FROM event_type),
+      |h AS (SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+      |  FROM op)
+      |SELECT user_id, event_type,
+      |  epoch_us(valid_from) AS valid_from_us,
+      |  epoch_us(valid_to) AS valid_to_us,
+      |  version, (valid_to IS NULL) AS is_current
+      |FROM h ORDER BY user_id, version""".stripMargin
 
   /** Shared by q_text_bm25 and q_text_bm25_indexed (one scoring body —
     * Tfidf.bm25From — on the Spark side, one oracle here). */
@@ -3845,6 +3918,9 @@ object SparkEntry {
         |SELECT b.doc_id, b.source, b.score FROM base b
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
         |ORDER BY doc_id""".stripMargin,
+    "q_scd2" -> scd2Sql,
+    // incremental merges converge to the one-shot fold — same replay
+    "q_scd2_merge" -> scd2Sql,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
