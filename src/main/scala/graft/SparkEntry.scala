@@ -1389,6 +1389,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Hybrid lexical+vector retrieval: BM25 candidates for a two-term
+    // query and cosine candidates for a probe vector (each top-20 via
+    // distributed TakeOrdered), fused by reciprocal-rank fusion to the
+    // final top-10. Ranks assign over the ROUNDED scores with id
+    // tie-breaks and the fused order uses the ROUNDED rrf, so the
+    // oracle replays ranking and fusion exactly.
+    "q_hybrid_retrieve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.orderBy($"vec_id").limit(1).select($"embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      graft.text.Hybrid.hybridRetrieve(
+          tbl(s, dir, "documents"), $"doc_id", $"text",
+          emb, $"vec_id", $"embedding",
+          terms = Seq("spark", "window"), queryVec = q,
+          nCandidates = 20, k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"rrf".desc, $"doc_id")
+    }),
+
     // Per-(doc, term) TF-IDF over a bounded corpus slice; tf/df are
     // integers, the score rounds at the cross-engine double noise floor.
     // Unigram LM quality scoring (the CCNet-style perplexity filter):
@@ -3796,6 +3816,56 @@ object SparkEntry {
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bm25" -> textBm25Sql,
+    // full replay of both retrievers + reciprocal-rank fusion: BM25
+    // candidate list (rounded-score ranks), cosine candidate list
+    // (membership by raw cosine, ranks over the 6dp round — mirroring
+    // bruteForceTopK feeding rrfFuse), rrf = Σ 1/(60+rank) rounded 6dp
+    "q_hybrid_retrieve" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |lens AS (SELECT doc_id, len(toks) AS len FROM tt),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('spark', 'window') GROUP BY term),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+        |c AS (SELECT (SELECT count(*) FROM tt)::DOUBLE AS n,
+        |  (SELECT sum(len) FROM lens)::DOUBLE / (SELECT count(*) FROM tt)::DOUBLE AS avgdl),
+        |bscore AS (SELECT q.doc_id,
+        |  round(sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |    * q.tf / (q.tf + 1.2 * (0.25 + 0.75 * l.len / c.avgdl))), 4) AS bm25
+        |  FROM tfq q JOIN dft d ON q.term = d.term
+        |    JOIN lens l ON q.doc_id = l.doc_id CROSS JOIN c
+        |  GROUP BY q.doc_id),
+        |btop AS (SELECT doc_id, bm25 FROM bscore
+        |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |brank AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM btop),
+        |qv AS (SELECT embedding AS e FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |s AS (SELECT vec_id AS doc_id,
+        |  list_sum(list_transform(range(1,65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv.e[i] AS DOUBLE)))
+        |  / greatest(
+        |      sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(qv.e[i] AS DOUBLE) * CAST(qv.e[i] AS DOUBLE)))), 1e-12) AS craw
+        |  FROM embeddings, qv),
+        |ctop AS (SELECT doc_id, round(craw, 6) AS cosine FROM s
+        |  ORDER BY craw DESC, doc_id LIMIT 20),
+        |crank AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank FROM ctop),
+        |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+        |    b.lex_rank, v.vec_rank,
+        |    round(coalesce(1.0/(60 + b.lex_rank), 0)
+        |      + coalesce(1.0/(60 + v.vec_rank), 0), 6) AS rrf
+        |  FROM brank b FULL OUTER JOIN crank v ON b.doc_id = v.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // index-served BM25 shares the scoring body (Tfidf.bm25From) with the
     // from-scratch path: one oracle
     "q_text_bm25_indexed" -> textBm25Sql,
