@@ -1389,6 +1389,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Count-min sketch point-frequency probes: all document tokens fold
+    // into a 4×512 cell grid (ONE map-side-combined shuffle of ≤2048
+    // rows regardless of corpus size or token skew — the mergeable,
+    // persistable frequency summary), then fixed query terms probe the
+    // broadcast cells. est = min over rows, never under the true count.
+    "q_text_cms" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tbl(s, dir, "documents")
+        .select(explode(graft.text.TextFunctions.tokens($"text")).as("term"))
+      val cells = graft.ops.Cms.countMinCells(toks, $"term",
+        depth = 4, width = 512)
+      graft.ops.Cms.estimateCounts(cells,
+          Seq("spark", "window", "data", "the", "graftabsent").toDF("term"),
+          $"term", depth = 4, width = 512)
+        .withColumnRenamed("item", "term")
+        .orderBy($"term")
+    }),
+
+    // Heavy-hitter sweep through the same sketch: every distinct token
+    // whose CMS estimate reaches the threshold — a guaranteed SUPERSET
+    // of the true heavy vocabulary (est never underestimates), with
+    // width bounding false positives.
+    "q_text_cms_heavy" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tbl(s, dir, "documents")
+        .select(explode(graft.text.TextFunctions.tokens($"text")).as("term"))
+      graft.ops.Cms.heavyHitters(toks, $"term", depth = 4, width = 512,
+          minCount = 200L)
+        .withColumnRenamed("item", "term")
+        .orderBy($"term")
+    }),
+
     // Hybrid lexical+vector retrieval: BM25 candidates for a two-term
     // query and cosine candidates for a probe vector (each top-20 via
     // distributed TakeOrdered), fused by reciprocal-rank fusion to the
@@ -2737,6 +2769,21 @@ object SparkEntry {
       |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared by q_text_cms / q_text_cms_heavy: the tokenized stream and
+    * the 4×512 count-min cell grid (salted md5 buckets, unsigned
+    * remainder). */
+  private val cmsCellsSql: String =
+    """t AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+      |  FROM documents),
+      |tt AS (SELECT doc_id,
+      |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+      |tok AS (SELECT unnest(toks) AS term FROM tt),
+      |h AS (SELECT r.d,
+      |    CAST(md5_number_lower('cms' || r.d || ':' || t.term) % 512 AS INT) AS bucket
+      |  FROM tok t CROSS JOIN range(0, 4) r(d)),
+      |cells AS (SELECT d, bucket, count(*) AS cnt FROM h GROUP BY d, bucket)""".stripMargin
+
   /** Shared by q_scd2 (one-shot fold) and q_scd2_merge (batch-by-batch
     * keyed merges — definitionally equivalent, so one full-log replay
     * checks both): instant collapse by event_id-desc winner, null-safe
@@ -3816,6 +3863,28 @@ object SparkEntry {
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bm25" -> textBm25Sql,
+    // exact replay of the count-min grid: same salted md5 buckets
+    // (unsigned remainder — the Dsir-proven md5_number_lower pattern),
+    // same min-over-rows estimate
+    "q_text_cms" ->
+      s"""WITH $cmsCellsSql,
+        |q AS (SELECT unnest(['spark','window','data','the','graftabsent']) AS term),
+        |qh AS (SELECT q.term, r.d,
+        |    CAST(md5_number_lower('cms' || r.d || ':' || q.term) % 512 AS INT) AS bucket
+        |  FROM q CROSS JOIN range(0, 4) r(d))
+        |SELECT qh.term, min(coalesce(c.cnt, 0)) AS est
+        |FROM qh LEFT JOIN cells c ON qh.d = c.d AND qh.bucket = c.bucket
+        |GROUP BY qh.term ORDER BY term""".stripMargin,
+    "q_text_cms_heavy" ->
+      s"""WITH $cmsCellsSql,
+        |q AS (SELECT DISTINCT term FROM tok),
+        |qh AS (SELECT q.term, r.d,
+        |    CAST(md5_number_lower('cms' || r.d || ':' || q.term) % 512 AS INT) AS bucket
+        |  FROM q CROSS JOIN range(0, 4) r(d)),
+        |e AS (SELECT qh.term, min(coalesce(c.cnt, 0)) AS est
+        |  FROM qh LEFT JOIN cells c ON qh.d = c.d AND qh.bucket = c.bucket
+        |  GROUP BY qh.term)
+        |SELECT term, est FROM e WHERE est >= 200 ORDER BY term""".stripMargin,
     // full replay of both retrievers + reciprocal-rank fusion: BM25
     // candidate list (rounded-score ranks), cosine candidate list
     // (membership by raw cosine, ranks over the 6dp round — mirroring
