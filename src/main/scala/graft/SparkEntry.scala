@@ -1389,6 +1389,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Robust JSON ingest with quarantine routing: the event payloads
+    // with a deterministic slice corrupted in-flight (truncation —
+    // every 7th row), parsed under a target schema in ONE map-side
+    // from_json projection. Good rows surface parsed, malformed rows
+    // flag quarantined=true — no job failure, no silent drop.
+    "q_ingest_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsTbl(s, dir).select($"event_id",
+        when($"event_id" % 7 === 3,
+            expr("substring(props, 1, length(props)-2)"))
+          .otherwise($"props").as("payload"))
+      graft.ops.Ingest.parseJsonTagged(ev, $"payload",
+          new org.apache.spark.sql.types.StructType()
+            .add("k", org.apache.spark.sql.types.IntegerType))
+        .select($"event_id", $"k", $"quarantined")
+        .orderBy($"event_id")
+    }),
+
     // Count-min sketch point-frequency probes: all document tokens fold
     // into a 4×512 cell grid (ONE map-side-combined shuffle of ≤2048
     // rows regardless of corpus size or token skew — the mergeable,
@@ -3863,6 +3881,18 @@ object SparkEntry {
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bm25" -> textBm25Sql,
+    // same deterministic truncation; json_valid mirrors PERMISSIVE
+    // from_json's row-level corrupt routing for malformed payloads
+    "q_ingest_quarantine" ->
+      """WITH p AS (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 3
+        |    THEN substr(props, 1, length(props) - 2) ELSE props END AS payload
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(payload)
+        |    THEN CAST(json_extract(payload, '$.k') AS INTEGER) END AS k,
+        |  NOT json_valid(payload) AS quarantined
+        |FROM p ORDER BY event_id""".stripMargin,
     // exact replay of the count-min grid: same salted md5 buckets
     // (unsigned remainder — the Dsir-proven md5_number_lower pattern),
     // same min-over-rows estimate

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Robust semi-structured ingest — parse a JSON payload column under a
+  * target schema with QUARANTINE routing instead of job failure: the
+  * crawl/API/log firehose always carries some malformed rows, and at
+  * 100 TB a pipeline that dies on row 40-billion (or silently drops the
+  * evidence) is operationally broken. Good rows surface parsed; bad
+  * rows keep their raw payload for replay after the producer is fixed.
+  *
+  * Everything is a map-side projection over one `from_json` pass — no
+  * shuffle, no second scan: [[parseJsonTagged]] returns ONE DataFrame
+  * carrying parsed fields + the routing flag + the raw payload of
+  * quarantined rows, so a single write (e.g. partitioned by the flag)
+  * lands both streams. The [[parseJson]] pair view is a convenience
+  * over it; materialize both sides from one scan via the tagged shape
+  * (or checkpoint) rather than running the parse twice. */
+object Ingest {
+
+  /** Reserved corrupt-capture field name inside the parse. */
+  private val CorruptField = "_graft_corrupt"
+
+  /** One-pass parse: original columns + one column per `schema` field
+    * (null where absent or unparseable) + `quarantined` (true for
+    * malformed-JSON or null payloads) + `raw` (the offending payload
+    * for quarantined rows, null otherwise — the replay evidence).
+    *
+    * Field-level semantics are Spark PERMISSIVE `from_json`: a payload
+    * that is not valid JSON quarantines the ROW; a valid payload
+    * missing a field just nulls that field. */
+  def parseJsonTagged(
+      df: DataFrame, json: Column, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptField),
+      s"schema may not contain reserved field '$CorruptField'")
+    require(schema.nonEmpty, "target schema must have at least one field")
+    val augmented = schema.add(CorruptField, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptField)
+    val parsed = df.withColumn("__graft_p", from_json(json, augmented, opts))
+    val bad = col(s"__graft_p.$CorruptField").isNotNull || json.isNull
+    parsed
+      .select((df.columns.map(col) ++
+        schema.fieldNames.map(f => col(s"__graft_p.$f").as(f)) ++ Seq(
+          bad.as("quarantined"),
+          when(bad, json).as("raw"))): _*)
+  }
+
+  /** The routed pair view over [[parseJsonTagged]]: `good` = original
+    * columns + parsed fields; `quarantine` = original columns + the raw
+    * payload. Both filter the SAME tagged plan — if you collect or
+    * write both, checkpoint the tagged frame first (or write the tagged
+    * shape partitioned by the flag) to avoid parsing twice. */
+  case class Routed(good: DataFrame, quarantine: DataFrame)
+
+  def parseJson(df: DataFrame, json: Column, schema: StructType): Routed = {
+    val tagged = parseJsonTagged(df, json, schema)
+    Routed(
+      good = tagged.filter(!col("quarantined"))
+        .drop("quarantined", "raw"),
+      quarantine = tagged.filter(col("quarantined"))
+        .select(df.columns.map(col) :+ col("raw"): _*))
+  }
+}

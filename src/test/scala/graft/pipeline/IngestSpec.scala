@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Ingest
+
+/** JSON ingest with quarantine routing. */
+class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ingest-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val schema = new StructType()
+    .add("k", IntegerType).add("name", StringType)
+
+  private val rows = Seq(
+    (1L, """{"k": 7, "name": "ok"}"""),     // good
+    (2L, """{"k": 8}"""),                   // good, missing field -> null
+    (3L, """{"k": 9, "name":"""),           // malformed -> quarantine
+    (4L, null.asInstanceOf[String]),        // null payload -> quarantine
+    (5L, """not json at all""")             // malformed -> quarantine
+  ).toDF("id", "payload")
+
+  test("tagged: parse + route flags + raw evidence in one projection") {
+    val t = Ingest.parseJsonTagged(rows, $"payload", schema)
+      .select($"id", $"k", $"name", $"quarantined", $"raw")
+      .as[(Long, Option[Int], Option[String], Boolean, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(t == Seq(
+      (1L, Some(7), Some("ok"), false, None),
+      (2L, Some(8), None, false, None),
+      (3L, None, None, true, Some("""{"k": 9, "name":""")),
+      (4L, None, None, true, None),
+      (5L, None, None, true, Some("not json at all"))))
+  }
+
+  test("routed pair: good parsed, quarantine keeps raw payload") {
+    val r = Ingest.parseJson(rows, $"payload", schema)
+    assert(r.good.select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(r.good.columns.toSeq == Seq("id", "payload", "k", "name"))
+    val q = r.quarantine.select($"id", $"raw")
+      .as[(Long, Option[String])].collect().toMap
+    assert(q.keySet == Set(3L, 4L, 5L))
+    assert(q(5L) == Some("not json at all"))
+  }
+
+  test("single from_json pass, no shuffle (map-side projection)") {
+    val plan = Ingest.parseJsonTagged(rows, $"payload", schema)
+      .queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(plan).length <= schema.size + 2,
+      s"plan should carry one parse projection:\n$plan")
+    assert(!plan.contains("Exchange"), s"no shuffle expected:\n$plan")
+  }
+
+  test("reserved field name rejected") {
+    val bad = new StructType().add("_graft_corrupt", StringType)
+    intercept[IllegalArgumentException] {
+      Ingest.parseJsonTagged(rows, $"payload", bad)
+    }
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
