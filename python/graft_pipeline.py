@@ -257,3 +257,77 @@ class Pipeline:
         total_buckets, deleted, carried)."""
         return tuple(self._japi.deleteByKey(
             self._jspark, path, keys._jdf, key_col, num_buckets))
+
+    def scd2_from_change_log(self, changes, key_col, ts_col, attr_cols,
+                             tie_break_cols=()):
+        """Collapse a change log into SCD Type-2 history rows
+        (valid_from/valid_to/version/is_current)."""
+        return self._df(self._japi.scd2FromChangeLog(
+            changes._jdf, key_col, ts_col,
+            _jlist(self._spark, list(attr_cols)),
+            _jlist(self._spark, list(tie_break_cols))))
+
+    def scd2_write_history(self, changes, key_col, ts_col, attr_cols, path,
+                           num_buckets, tie_break_cols=(), mode="error"):
+        """Create the bucketed SCD-2 history table from an initial log."""
+        self._japi.scd2WriteHistory(
+            self._jspark, changes._jdf, key_col, ts_col,
+            _jlist(self._spark, list(attr_cols)), path, num_buckets,
+            _jlist(self._spark, list(tie_break_cols)), mode)
+
+    def scd2_read_history(self, spark, path):
+        return self._df(self._japi.scd2ReadHistory(self._jspark, path))
+
+    def scd2_merge_changes(self, spark, path, batch, key_col, ts_col,
+                           attr_cols, num_buckets, tie_break_cols=()):
+        """MERGE a change batch into the history table (delta-proportional
+        partition rewrite); returns (touched_buckets, total_buckets,
+        applied, rewritten)."""
+        return tuple(self._japi.scd2MergeChanges(
+            self._jspark, path, batch._jdf, key_col, ts_col,
+            _jlist(self._spark, list(attr_cols)), num_buckets,
+            _jlist(self._spark, list(tie_break_cols))))
+
+    def scd2_as_of(self, history, at):
+        """Point-in-time view: versions valid at ISO instant `at`."""
+        return self._df(self._japi.scd2AsOf(history._jdf, at))
+
+    def hybrid_retrieve(self, docs, id_col, text_col, embeddings,
+                        emb_id_col, vec_col, terms, query_vec,
+                        n_candidates=100, k=10, c=60):
+        """BM25 + cosine candidates fused by reciprocal-rank fusion."""
+        return self._df(self._japi.hybridRetrieve(
+            docs._jdf, id_col, text_col, embeddings._jdf, emb_id_col,
+            vec_col, _jlist(self._spark, list(terms)),
+            _jlist(self._spark, list(query_vec), element="Double"),
+            n_candidates, k, c))
+
+    def rrf_fuse(self, lexical, vector, k=10, c=60):
+        """Fuse two (id, score) candidate lists by RRF."""
+        return self._df(self._japi.rrfFuse(lexical._jdf, vector._jdf, k, c))
+
+    def count_min_cells(self, items, item_col, depth=4, width=4096):
+        """Build the mergeable count-min cell grid over an item stream."""
+        return self._df(self._japi.countMinCells(
+            items._jdf, item_col, depth, width))
+
+    def cms_merge_cells(self, a, b):
+        return self._df(self._japi.cmsMergeCells(a._jdf, b._jdf))
+
+    def cms_estimate_counts(self, cells, queries, item_col, depth=4,
+                            width=4096):
+        """Point-frequency upper-bound estimates for query items."""
+        return self._df(self._japi.cmsEstimateCounts(
+            cells._jdf, queries._jdf, item_col, depth, width))
+
+    def cms_heavy_hitters(self, items, item_col, min_count, depth=4,
+                          width=4096):
+        """Superset of items occurring >= min_count times."""
+        return self._df(self._japi.cmsHeavyHitters(
+            items._jdf, item_col, depth, width, min_count))
+
+    def parse_json_tagged(self, df, json_col, schema_ddl):
+        """One-pass JSON parse with quarantine routing; schema_ddl is a
+        DDL fragment like 'k INT, name STRING'."""
+        return self._df(self._japi.parseJsonTagged(
+            df._jdf, json_col, schema_ddl))

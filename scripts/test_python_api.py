@@ -153,6 +153,49 @@ def main():
         quoted, "doc_id", "text", bench, "doc_id", "text",
         shingle_k=3, threshold=0.6).count() == 0
 
+    # SCD2 history: fold + incremental merge + as-of snapshot
+    log = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-02 00:00:00", "a"),
+         (1, "2024-01-03 00:00:00", "b"), (2, "2024-01-01 12:00:00", "x")],
+        ["k", "t", "attr"]).selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "attr")
+    hist = p.scd2_from_change_log(log, "k", "t", ["attr"])
+    assert hist.count() == 3, hist.collect()  # the 01-02 'a' collapses
+    cur = {r.k: r.attr for r in hist.filter("is_current").collect()}
+    assert cur == {1: "b", 2: "x"}, cur
+    ht = tempfile.mkdtemp() + "/hist"
+    p.scd2_write_history(log.filter("t < '2024-01-03'"), "k", "t",
+                         ["attr"], ht, 4)
+    touched, total, applied, _ = p.scd2_merge_changes(
+        spark, ht, log.filter("t >= '2024-01-03'"), "k", "t", ["attr"], 4)
+    assert total == 4 and applied == 1, (touched, total, applied)
+    merged = p.scd2_read_history(spark, ht)
+    assert merged.count() == 3
+    asof = {r.k: r.attr for r in
+            p.scd2_as_of(merged, "2024-01-02 06:00:00").collect()}
+    assert asof == {1: "a", 2: "x"}, asof
+    # hybrid retrieval: doc 0/1 lead both keyword and vector lists
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        ["doc_id", "embedding"])
+    fused = p.hybrid_retrieve(docs, "doc_id", "text", embs, "doc_id",
+                              "embedding", ["spark", "window"], [1.0, 0.0],
+                              n_candidates=4, k=2)
+    assert fused.collect()[0].id in (0, 1), fused.collect()
+    # count-min sketch: exact in a wide grid, merge == one-shot
+    toks = docs.selectExpr("explode(split(text, ' ')) AS term")
+    cells = p.count_min_cells(toks, "term", depth=4, width=256)
+    est = {r.item: r.est for r in p.cms_estimate_counts(
+        cells, toks, "term", depth=4, width=256).collect()}
+    assert est["spark"] == 3 and est["unrelated"] == 1, est
+    hh = p.cms_heavy_hitters(toks, "term", min_count=3, depth=4, width=256)
+    assert {r.item for r in hh.collect()} == {"spark", "window"}
+    # quarantine ingest: malformed payload routes with raw evidence
+    pay = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": bad')], ["id", "payload"])
+    tagged = p.parse_json_tagged(pay, "payload", "k INT")
+    routed = {r.id: (r.k, r.quarantined) for r in tagged.collect()}
+    assert routed == {1: (5, False), 2: (None, True)}, routed
+
     print(f"PYTHON API OK: {len(indexed)} rows matched, "
           "lifecycle+refresh+compact+pipeline complete")
     spark.stop()

@@ -262,4 +262,81 @@ object PythonApi {
     val s = graft.ops.Upsert.deleteByKey(spark, dir, keys, keyCol, numBuckets)
     Seq(s.touchedBuckets.toLong, s.totalBuckets.toLong, s.deleted, s.carried).asJava
   }
+
+  // ---- SCD Type-2 history ---------------------------------------------
+
+  def scd2FromChangeLog(
+      changes: DataFrame, keyCol: String, tsCol: String,
+      attrCols: java.util.List[String],
+      tieBreakCols: java.util.List[String]): DataFrame =
+    graft.ops.Scd2.fromChangeLog(changes, keyCol, tsCol,
+      attrCols.asScala.toSeq, tieBreakCols.asScala.toSeq)
+
+  def scd2WriteHistory(
+      spark: SparkSession, changes: DataFrame, keyCol: String, tsCol: String,
+      attrCols: java.util.List[String], dir: String, numBuckets: Int,
+      tieBreakCols: java.util.List[String], mode: String): Unit =
+    graft.ops.Scd2.writeHistory(spark, changes, keyCol, tsCol,
+      attrCols.asScala.toSeq, dir, numBuckets, tieBreakCols.asScala.toSeq,
+      mode)
+
+  def scd2ReadHistory(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.readHistory(spark, dir)
+
+  /** @return [touchedBuckets, totalBuckets, applied, rewritten] */
+  def scd2MergeChanges(
+      spark: SparkSession, dir: String, batch: DataFrame, keyCol: String,
+      tsCol: String, attrCols: java.util.List[String], numBuckets: Int,
+      tieBreakCols: java.util.List[String]): java.util.List[Long] = {
+    val s = graft.ops.Scd2.mergeChanges(spark, dir, batch, keyCol, tsCol,
+      attrCols.asScala.toSeq, numBuckets, tieBreakCols.asScala.toSeq)
+    Seq(s.touchedBuckets.toLong, s.totalBuckets.toLong, s.applied,
+      s.rewritten).asJava
+  }
+
+  /** `at` is an ISO timestamp/date string, e.g. "2024-01-15 00:00:00". */
+  def scd2AsOf(history: DataFrame, at: String): DataFrame =
+    graft.ops.Scd2.asOf(history,
+      org.apache.spark.sql.functions.lit(at).cast("timestamp"))
+
+  // ---- hybrid retrieval -----------------------------------------------
+
+  def hybridRetrieve(
+      docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, embIdCol: String, vecCol: String,
+      terms: java.util.List[String], queryVec: java.util.List[Double],
+      nCandidates: Int, k: Int, c: Int): DataFrame =
+    graft.text.Hybrid.hybridRetrieve(docs, col(idCol), col(textCol),
+      embeddings, col(embIdCol), col(vecCol), terms.asScala.toSeq,
+      queryVec.asScala.toSeq.map(_.doubleValue), nCandidates, k, c)
+
+  def rrfFuse(lexical: DataFrame, vector: DataFrame, k: Int, c: Int): DataFrame =
+    graft.text.Hybrid.rrfFuse(lexical, vector, k, c)
+
+  // ---- count-min sketch -----------------------------------------------
+
+  def countMinCells(
+      items: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame =
+    graft.ops.Cms.countMinCells(items, col(itemCol), depth, width)
+
+  def cmsMergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    graft.ops.Cms.mergeCells(a, b)
+
+  def cmsEstimateCounts(
+      cells: DataFrame, queries: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame =
+    graft.ops.Cms.estimateCounts(cells, queries, col(itemCol), depth, width)
+
+  def cmsHeavyHitters(
+      items: DataFrame, itemCol: String, depth: Int, width: Int,
+      minCount: Long): DataFrame =
+    graft.ops.Cms.heavyHitters(items, col(itemCol), depth, width, minCount)
+
+  // ---- robust ingest --------------------------------------------------
+
+  /** `schemaDdl` is a DDL fragment, e.g. "k INT, name STRING". */
+  def parseJsonTagged(
+      df: DataFrame, jsonCol: String, schemaDdl: String): DataFrame =
+    graft.ops.Ingest.parseJsonTagged(df, col(jsonCol),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
 }
