@@ -320,6 +320,23 @@ class Pipeline:
         return self._df(self._japi.cmsEstimateCounts(
             cells._jdf, queries._jdf, item_col, depth, width))
 
+    def cms_append_cells_segment(self, items, item_col, path, segment_id,
+                                 depth=4, width=4096):
+        """Append one batch's cells as a committed segment of a
+        materialized sketch table (params pinned in _index_spec)."""
+        self._japi.cmsAppendCellsSegment(items._jdf, item_col, depth,
+                                         width, path, segment_id)
+
+    def cms_read_cells(self, spark, path, depth=4, width=4096):
+        """Merged sketch over all live segments (== one-shot build)."""
+        return self._df(self._japi.cmsReadCells(self._jspark, path,
+                                                depth, width))
+
+    def cms_compact_cells_segments(self, spark, path, depth=4, width=4096):
+        """Fold live segments into one; returns segments merged."""
+        return self._japi.cmsCompactCellsSegments(self._jspark, path,
+                                                  depth, width)
+
     def cms_heavy_hitters(self, items, item_col, min_count, depth=4,
                           width=4096):
         """Superset of items occurring >= min_count times."""

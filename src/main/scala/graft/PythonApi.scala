@@ -327,6 +327,20 @@ object PythonApi {
       depth: Int, width: Int): DataFrame =
     graft.ops.Cms.estimateCounts(cells, queries, col(itemCol), depth, width)
 
+  def cmsAppendCellsSegment(
+      items: DataFrame, itemCol: String, depth: Int, width: Int,
+      dir: String, segmentId: String): Unit =
+    graft.ops.Cms.appendCellsSegment(items, col(itemCol), depth, width,
+      dir, segmentId)
+
+  def cmsReadCells(
+      spark: SparkSession, dir: String, depth: Int, width: Int): DataFrame =
+    graft.ops.Cms.readCells(spark, dir, depth, width)
+
+  def cmsCompactCellsSegments(
+      spark: SparkSession, dir: String, depth: Int, width: Int): Int =
+    graft.ops.Cms.compactCellsSegments(spark, dir, depth, width)
+
   def cmsHeavyHitters(
       items: DataFrame, itemCol: String, depth: Int, width: Int,
       minCount: Long): DataFrame =

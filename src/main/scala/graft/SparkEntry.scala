@@ -2521,6 +2521,19 @@ object SparkEntry {
         excludeId = Some(qRow.getLong(0)))
     }),
 
+    // Streaming sketch ingest: 4 ranged micro-batches, each appending
+    // its count-min cell grid as a committed segment; mergeability makes
+    // the read-time cell-wise sum identical to a one-shot build, so the
+    // served point estimates share q_text_cms's oracle.
+    "q_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_cms")
+      graft.streaming.Streaming.cmsIngest(s, dir, work,
+          queryTerms = Seq("spark", "window", "data", "the", "graftabsent"),
+          nBatches = 4, depth = 4, width = 512)
+        .orderBy($"term")
+    }),
+
     // Streaming search-index ingest: 4 ranged micro-batches, each
     // appending its posting chunks batch-side; the grown index then
     // serves the standard conjunctive query — identical to a one-shot
@@ -3897,6 +3910,16 @@ object SparkEntry {
     // (unsigned remainder — the Dsir-proven md5_number_lower pattern),
     // same min-over-rows estimate
     "q_text_cms" ->
+      s"""WITH $cmsCellsSql,
+        |q AS (SELECT unnest(['spark','window','data','the','graftabsent']) AS term),
+        |qh AS (SELECT q.term, r.d,
+        |    CAST(md5_number_lower('cms' || r.d || ':' || q.term) % 512 AS INT) AS bucket
+        |  FROM q CROSS JOIN range(0, 4) r(d))
+        |SELECT qh.term, min(coalesce(c.cnt, 0)) AS est
+        |FROM qh LEFT JOIN cells c ON qh.d = c.d AND qh.bucket = c.bucket
+        |GROUP BY qh.term ORDER BY term""".stripMargin,
+    // mergeable segments ⇒ the streamed sketch equals the one-shot grid
+    "q_stream_cms" ->
       s"""WITH $cmsCellsSql,
         |q AS (SELECT unnest(['spark','window','data','the','graftabsent']) AS term),
         |qh AS (SELECT q.term, r.d,

@@ -79,6 +79,75 @@ object Cms {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  private def sketchSpec(depth: Int, width: Int): String =
+    s"cms-sketch:v1 depth=$depth width=$width"
+
+  /** Append one batch's cells as a SEGMENT of a materialized sketch
+    * table — the ingest-time shape: each micro-batch/partition writes
+    * its own depth×width grid under a fresh segment id and the merged
+    * sketch is recovered on read ([[readCells]]) by cell-wise sum,
+    * which mergeability makes exactly the one-shot sketch. Segment
+    * commit markers make a crashed append invisible (rerun with the
+    * same id converges); (depth, width) are pinned in `_index_spec` so
+    * a mismatched append fails instead of silently folding into wrong
+    * cells. */
+  def appendCellsSegment(
+      items: DataFrame, item: Column, depth: Int, width: Int,
+      dir: String, segmentId: String): Unit = {
+    val spark = items.sparkSession
+    val hadSpec =
+      IndexSpec.checkReturningPresence(items, dir, sketchSpec(depth, width))
+    val segDir = Segments.prepare(spark, dir, segmentId)
+    countMinCells(items, item, depth, width)
+      .write.mode("overwrite").parquet(s"$segDir/cells")
+    Segments.commit(spark, segDir)
+    if (!hadSpec) IndexSpec.write(items, dir, sketchSpec(depth, width))
+  }
+
+  /** The merged sketch over every live segment (cell-wise sum — by
+    * mergeability, identical to a one-shot build over all ingested
+    * data). The result has ≤ depth·width rows however many segments
+    * exist. */
+  def readCells(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      depth: Int, width: Int): DataFrame = {
+    IndexSpec.check(spark, dir, sketchSpec(depth, width), writeIfMissing = false)
+    Segments.readPart(spark, dir, "cells")
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Fold all live segments into one (the LSM merge keeping read fan-in
+    * bounded after many streamed batches); crash-safe via the segment
+    * `_replaces`-before-`_commit` ordering, single-compactor locked.
+    * Returns segments merged (0–1 = nothing to do). */
+  def compactCellsSegments(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      depth: Int, width: Int,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Int = {
+    IndexSpec.check(spark, dir, sketchSpec(depth, width), writeIfMissing = false)
+    MaintenanceLock.withLock(Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir), lockLeaseMs) {
+      val live = Segments.live(spark, dir)
+      if (live.length <= 1) 0
+      else {
+        val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+        val target = {
+          val h = s"compact-${names.hashCode.toHexString}"
+          if (names.contains(h)) s"$h-x" else h
+        }
+        val segDir = Segments.prepare(spark, dir, target)
+        spark.read.parquet(live.map(s => s"$s/cells"): _*)
+          .groupBy(col("d"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .write.mode("overwrite").parquet(s"$segDir/cells")
+        Segments.commit(spark, segDir, replaces = names)
+        Segments.delete(spark, live)
+        live.length
+      }
+    }
+  }
+
   /** Heavy-hitter candidates: every distinct item whose CMS estimate
     * reaches `minCount`. Guaranteed a SUPERSET of the true ≥ minCount
     * items (est never underestimates); width controls false positives.

@@ -403,6 +403,57 @@ object Streaming {
     spark.read.schema(docs.schema).parquet(outDir)
   }
 
+  /** Streaming SKETCH ingest: ranged document slices arrive as separate
+    * micro-batches and each batch appends its own count-min cell grid
+    * as a COMMITTED SEGMENT of the materialized sketch table
+    * ([[graft.ops.Cms.appendCellsSegment]], segmentId = batchId) — only
+    * the batch is tokenized, the stored corpus is never re-read, and a
+    * re-delivered batch OVERWRITES its own segment (exactly-once under
+    * foreachBatch's at-least-once retries). Because the sketch is
+    * MERGEABLE, the read-time cell-wise sum over segments equals a
+    * one-shot build over the whole corpus, so the returned point
+    * estimates for `queryTerms` share the from-scratch oracle. */
+  def cmsIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      queryTerms: Seq[String],
+      nBatches: Int = 4,
+      depth: Int = 4,
+      width: Int = 512,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val sketchDir = s"$workDir/cms_sketch"
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None =>
+        import spark.implicits._
+        return Seq.empty[(String, Long)].toDF("term", "est")
+      case Some(s) => s
+    }
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.ops.Cms.appendCellsSegment(
+          batch.select(explode(
+            graft.text.TextFunctions.tokens(col("text"))).as("term")),
+          col("term"), depth, width, sketchDir, s"b$batchId")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    graft.ops.Cms.estimateCounts(
+        graft.ops.Cms.readCells(spark, sketchDir, depth, width),
+        queryTerms.toDF("term"), col("term"), depth, width)
+      .withColumnRenamed("item", "term")
+  }
+
   /** Streaming SEARCH-INDEX ingest: ranged document slices arrive as
     * separate micro-batches (file source, mtime-pinned order) and each
     * batch writes its posting-list chunks and doc lengths as a COMMITTED

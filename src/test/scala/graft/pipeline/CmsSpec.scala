@@ -82,6 +82,46 @@ class CmsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est("zebra") == 0L || est("zebra") == 3L)
   }
 
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-cms").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/sketch"
+  }
+
+  test("segmented sketch: append-per-batch == one-shot; rerun converges") {
+    val dir = tmpDir()
+    val a = occurrences(Map("a" -> 5, "b" -> 2))
+    val b = occurrences(Map("b" -> 3, "c" -> 9))
+    Cms.appendCellsSegment(a, $"x", 4, 32, dir, "b0")
+    Cms.appendCellsSegment(b, $"x", 4, 32, dir, "b1")
+    // re-delivered batch overwrites its own segment (exactly-once)
+    Cms.appendCellsSegment(b, $"x", 4, 32, dir, "b1")
+    val merged = Cms.readCells(spark, dir, 4, 32)
+      .as[(Int, Int, Long)].collect().toSet
+    val oneShot = Cms.countMinCells(a.union(b), $"x", 4, 32)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged == oneShot)
+    // mismatched parameters fail fast against the pinned spec
+    intercept[IllegalArgumentException] {
+      Cms.appendCellsSegment(a, $"x", 4, 64, dir, "b2")
+    }
+  }
+
+  test("segment compaction folds to one segment, same cells") {
+    val dir = tmpDir()
+    val a = occurrences(Map("a" -> 5))
+    val b = occurrences(Map("a" -> 2, "b" -> 7))
+    Cms.appendCellsSegment(a, $"x", 3, 16, dir, "b0")
+    Cms.appendCellsSegment(b, $"x", 3, 16, dir, "b1")
+    val before = Cms.readCells(spark, dir, 3, 16)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(Cms.compactCellsSegments(spark, dir, 3, 16) == 2)
+    assert(Cms.compactCellsSegments(spark, dir, 3, 16) == 0) // idempotent
+    val after = Cms.readCells(spark, dir, 3, 16)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(after == before)
+  }
+
   test("probe plan is a broadcast join (cells never shuffle the corpus)") {
     val items = occurrences(Map("a" -> 3, "b" -> 2))
     val cells = Cms.countMinCells(items, $"x", 2, 16)
