@@ -343,6 +343,20 @@ class Pipeline:
         return self._df(self._japi.cmsHeavyHitters(
             items._jdf, item_col, depth, width, min_count))
 
+    def hll_registers(self, items, item_col, p=12):
+        """Engine-portable HyperLogLog register table (mergeable)."""
+        return self._df(self._japi.hllRegisters(items._jdf, item_col, p))
+
+    def hll_merge_registers(self, a, b):
+        return self._df(self._japi.hllMergeRegisters(a._jdf, b._jdf))
+
+    def hll_estimate_distinct(self, registers, p=12):
+        return self._japi.hllEstimateDistinct(registers._jdf, p)
+
+    def hll_approx_distinct(self, items, item_col, p=12):
+        """One-call approximate distinct count (~1.04/sqrt(2^p) error)."""
+        return self._japi.hllApproxDistinct(items._jdf, item_col, p)
+
     def parse_json_tagged(self, df, json_col, schema_ddl):
         """One-pass JSON parse with quarantine routing; schema_ddl is a
         DDL fragment like 'k INT, name STRING'."""

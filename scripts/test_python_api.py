@@ -189,6 +189,11 @@ def main():
     assert est["spark"] == 3 and est["unrelated"] == 1, est
     hh = p.cms_heavy_hitters(toks, "term", min_count=3, depth=4, width=256)
     assert {r.item for r in hh.collect()} == {"spark", "window"}
+    # portable HLL: tiny-set estimate is near-exact (linear counting)
+    distinct_est = p.hll_approx_distinct(toks, "term", p=10)
+    true_distinct = toks.distinct().count()
+    assert abs(distinct_est - true_distinct) <= max(2, 0.2 * true_distinct), \
+        (distinct_est, true_distinct)
     # quarantine ingest: malformed payload routes with raw evidence
     pay = spark.createDataFrame(
         [(1, '{"k": 5}'), (2, '{"k": bad')], ["id", "payload"])

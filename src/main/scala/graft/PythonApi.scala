@@ -346,6 +346,20 @@ object PythonApi {
       minCount: Long): DataFrame =
     graft.ops.Cms.heavyHitters(items, col(itemCol), depth, width, minCount)
 
+  // ---- portable HyperLogLog -------------------------------------------
+
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame =
+    graft.ops.Hll.hllRegisters(items, col(itemCol), p)
+
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    graft.ops.Hll.mergeRegisters(a, b)
+
+  def hllEstimateDistinct(registers: DataFrame, p: Int): Double =
+    graft.ops.Hll.estimateDistinct(registers, p)
+
+  def hllApproxDistinct(items: DataFrame, itemCol: String, p: Int): Double =
+    graft.ops.Hll.approxDistinct(items, col(itemCol), p)
+
   // ---- robust ingest --------------------------------------------------
 
   /** `schemaDdl` is a DDL fragment, e.g. "k INT, name STRING". */

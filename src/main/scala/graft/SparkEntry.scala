@@ -1389,6 +1389,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Engine-portable HyperLogLog sketch over the document vocabulary:
+    // the register table (top-10-bit register, leading-zero rank via
+    // OR-smear + bit_count — pure integer ops) IS the output, replayed
+    // bit-for-bit by the oracle; ≤1024 rows from one map-side-combined
+    // shuffle however large the corpus. (The estimate arithmetic is
+    // unit-tested against exact distincts — HllSpec.)
+    "q_text_hll" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tbl(s, dir, "documents")
+        .select(explode(graft.text.TextFunctions.tokens($"text")).as("term"))
+      graft.ops.Hll.hllRegisters(toks, $"term", p = 10)
+        .orderBy($"register")
+    }),
+
     // Robust JSON ingest with quarantine routing: the event payloads
     // with a deterministic slice corrupted in-flight (truncation —
     // every 7th row), parsed under a target schema in ONE map-side
@@ -2519,6 +2533,23 @@ object SparkEntry {
       val work = scratchTableDir(dir, "stream_vectoringest")
       graft.streaming.Streaming.vectorIngest(s, dir, work, q, k = 10,
         excludeId = Some(qRow.getLong(0)))
+    }),
+
+    // Streaming CDC → SCD-2 history: the event log arrives as 4 ranged
+    // (= time-ordered) micro-batches, batch 0 bootstraps the bucketed
+    // history table, later batches take the delta-proportional keyed
+    // merge. In-order batches ≡ the one-shot fold, so the served
+    // history shares the from-scratch SCD-2 oracle.
+    "q_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_scd2")
+      graft.streaming.Streaming.scd2Ingest(s, dir, work,
+          nBatches = 4, numBuckets = 16)
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"),
+          $"version".cast("long").as("version"), $"is_current")
+        .orderBy($"user_id", $"version")
     }),
 
     // Streaming sketch ingest: 4 ranged micro-batches, each appending
@@ -3894,6 +3925,30 @@ object SparkEntry {
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bm25" -> textBm25Sql,
+    // bit-exact replay of the HLL register table: md5_number_lower is
+    // the proven md5-lower-64 twin; register = top 10 bits, rank via
+    // the same OR-smear + bit_count ladder (integer ops only)
+    "q_text_hll" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT unnest(toks) AS term FROM tt),
+        |hh AS (SELECT md5_number_lower('hll:' || term) AS h FROM tok),
+        |b AS (SELECT CAST(h >> 54 AS INT) AS register,
+        |  h & ((1::UBIGINT << 54) - 1) AS w FROM hh),
+        |s1 AS (SELECT register, w, w | (w >> 1) AS s FROM b),
+        |s2 AS (SELECT register, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT register, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT register, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT register, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT register, w, s | (s >> 32) AS s FROM s5),
+        |r AS (SELECT register,
+        |  CASE WHEN w = 0 THEN 55 ELSE 55 - CAST(bit_count(s) AS INT) END AS rnk
+        |  FROM s6)
+        |SELECT register, max(rnk) AS rank FROM r
+        |GROUP BY register ORDER BY register""".stripMargin,
     // same deterministic truncation; json_valid mirrors PERMISSIVE
     // from_json's row-level corrupt routing for malformed payloads
     "q_ingest_quarantine" ->
@@ -4113,6 +4168,8 @@ object SparkEntry {
     "q_scd2" -> scd2Sql,
     // incremental merges converge to the one-shot fold — same replay
     "q_scd2_merge" -> scd2Sql,
+    // in-order streamed CDC batches converge to the same fold
+    "q_stream_scd2" -> scd2Sql,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

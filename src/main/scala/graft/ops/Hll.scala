@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs
+
+/** Engine-portable HyperLogLog (Flajolet et al. 2007) — approximate
+  * distinct counting whose SKETCH is exactly replayable by an external
+  * SQL engine, unlike `approx_count_distinct`'s opaque HLL++ binary.
+  *
+  * Register assignment is pure integer arithmetic over the md5-derived
+  * 64-bit item hash: the top `p` bits pick the register, the rank is
+  * the leading-zero count of the remaining `64-p` bits + 1, computed by
+  * OR-smearing + `bit_count` (builtin, codegen'd — no log2 whose double
+  * rounding could differ between engines). The register table
+  * (`register`, `max rank`) is the whole sketch: ≤ 2^p rows from ONE
+  * map-side-combined shuffle regardless of data size or skew, MERGEABLE
+  * by register-wise max ([[mergeRegisters]]) — the per-batch /
+  * per-partition composition shape — and byte-identical to a DuckDB
+  * replay of the same bit formulas.
+  *
+  * [[estimateDistinct]] applies the standard harmonic-mean estimator
+  * with the small-range (linear-counting) correction on the collected
+  * ≤ 2^p rows — driver-side by construction, like the repo's other
+  * bounded collects. Standard error ≈ 1.04/√(2^p) (p=10 → ~3.3 %). */
+object Hll {
+
+  /** Non-empty registers of the sketch: (register, rank) with
+    * rank = max over items hashing there. `p` ∈ [4, 16] picks
+    * m = 2^p registers. Null items are skipped. */
+  def hllRegisters(items: DataFrame, item: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16]: $p")
+    val wBits = 64 - p
+    // leading-zero rank of the low wBits bits via OR-smear + bit_count:
+    // bit_length(w) = popcount(smear(w)); rank = wBits - bit_length + 1
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("__w")) { (s, k) =>
+      s.bitwiseOR(shiftrightunsigned(s, k))
+    }
+    items.select(item.as("__item")).filter(col("__item").isNotNull)
+      .select(exprs.md5_lower64(concat(lit("hll:"), col("__item"))).as("__h"))
+      .select(
+        shiftrightunsigned(col("__h"), wBits).cast("int").as("register"),
+        col("__h").bitwiseAND(lit((1L << wBits) - 1L)).as("__w"))
+      .select(col("register"),
+        when(col("__w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - bit_count(smeared).cast("int"))
+          .as("rank"))
+      .groupBy(col("register"))
+      .agg(max(col("rank")).as("rank"))
+  }
+
+  /** Register-wise max of two sketches built with the SAME `p` —
+    * `mergeRegisters(hll(A), hll(B)) == hll(A ∪ B)` exactly. */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("register"))
+      .agg(max(col("rank")).as("rank"))
+
+  /** The HLL cardinality estimate from a register table: harmonic mean
+    * with the linear-counting small-range correction. Collects ≤ 2^p
+    * rows. */
+  def estimateDistinct(registers: DataFrame, p: Int): Double = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16]: $p")
+    val m = 1 << p
+    val filled = registers.select(col("register"), col("rank"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    require(filled.keys.forall(j => j >= 0 && j < m),
+      s"register out of range for p=$p")
+    val ranks = (0 until m).map(j => filled.getOrElse(j, 0))
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / ranks.map(r => math.pow(2.0, -r)).sum
+    val zeros = ranks.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  /** One-call convenience: approximate distinct count of `item`. */
+  def approxDistinct(items: DataFrame, item: Column, p: Int = 12): Double =
+    estimateDistinct(hllRegisters(items, item, p), p)
+}

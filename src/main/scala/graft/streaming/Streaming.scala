@@ -403,6 +403,67 @@ object Streaming {
     spark.read.schema(docs.schema).parquet(outDir)
   }
 
+  /** STREAMING CDC → SCD-2 HISTORY: the event change log arrives as
+    * ranged micro-batches (event_id order = time order here, the normal
+    * in-order CDC shape) and each batch MERGES into the bucketed
+    * history table via [[graft.ops.Scd2.mergeChanges]] — per-batch cost
+    * ∝ touched buckets, the stored corpus is never re-folded. Batch 0
+    * bootstraps with an idempotent overwrite build (a retried or
+    * crashed bootstrap converges; a later batch retry converges because
+    * re-merging the same points re-folds to the same history —
+    * Scd2Spec's rerun test). In-order batches make the final table
+    * equal the one-shot fold of the whole log, so the query shares the
+    * from-scratch SCD-2 oracle. */
+  def scd2Ingest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4, numBuckets: Int = 16,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.SparkEntry.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .localCheckpoint()
+    val staged =
+      stageRangedSlices(spark, ev, workDir, nBatches, idCol = "event_id")
+    val histDir = s"$workDir/scd2_history"
+    staged match {
+      case None => ev.limit(0)
+      case Some(s) =>
+        val fs = new org.apache.hadoop.fs.Path(histDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, batchId) =>
+            if (batch.take(1).nonEmpty) {
+              // bootstrap (or re-bootstrap after a crashed bootstrap):
+              // overwrite is the idempotent first write; later batches
+              // take the delta-proportional merge
+              if (batchId == 0L ||
+                  !fs.exists(new org.apache.hadoop.fs.Path(histDir))) {
+                graft.ops.Scd2.writeHistory(spark, batch, "user_id", "ts",
+                  Seq("event_type"), histDir, numBuckets,
+                  tieBreaks = Seq("event_id"), mode = "overwrite")
+              } else {
+                graft.ops.Scd2.mergeChanges(spark, histDir, batch,
+                  "user_id", "ts", Seq("event_type"), numBuckets,
+                  tieBreaks = Seq("event_id"))
+                ()
+              }
+            }
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$workDir/_checkpoint")
+          .foreachBatch(ingest)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.ops.Scd2.readHistory(spark, histDir)
+    }
+  }
+
   /** Streaming SKETCH ingest: ranged document slices arrive as separate
     * micro-batches and each batch appends its own count-min cell grid
     * as a COMMITTED SEGMENT of the materialized sketch table

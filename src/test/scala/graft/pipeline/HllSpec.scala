@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Hll
+
+/** Portable HyperLogLog: register formula, mergeability, accuracy. */
+class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-hll-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("register/rank replicate the reference bit formula") {
+    // independent Scala reimplementation straight from the definition:
+    // top-p bits pick the register; rank = leading zeros of the low
+    // 64-p bits (within that width) + 1
+    // md5-lower-64 re-derived from its definition (little-endian long of
+    // MD5 digest bytes 8..15 — DuckDB's md5_number_lower)
+    def md5lo(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (15 to 8 by -1).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xffL))
+    }
+    val p = 10
+    val items = Seq("alpha", "beta", "gamma", "", "42")
+    val expected: Map[Int, Int] = items.map { s =>
+      val h = md5lo("hll:" + s)
+      val reg = (h >>> (64 - p)).toInt
+      val w = h & ((1L << (64 - p)) - 1L)
+      val rank =
+        if (w == 0L) 64 - p + 1
+        else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+      reg -> rank
+    }.groupBy(_._1).map { case (r, rs) => r -> rs.map(_._2).max }.toMap
+    val got = Hll.hllRegisters(items.toDF("x"), $"x", p)
+      .as[(Int, Int)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("duplicates do not move the sketch") {
+    val once = Hll.hllRegisters(Seq("a", "b", "c").toDF("x"), $"x", 8)
+      .as[(Int, Int)].collect().toSet
+    val dup = Hll.hllRegisters(
+        Seq("a", "a", "b", "b", "b", "c").toDF("x"), $"x", 8)
+      .as[(Int, Int)].collect().toSet
+    assert(once == dup)
+  }
+
+  test("mergeRegisters(hll(A), hll(B)) == hll(A union B)") {
+    val a = (1 to 500).map(i => s"a$i").toDF("x")
+    val b = (1 to 500).map(i => s"b$i").toDF("x")
+    val merged = Hll.mergeRegisters(
+        Hll.hllRegisters(a, $"x", 10), Hll.hllRegisters(b, $"x", 10))
+      .as[(Int, Int)].collect().toSet
+    val oneShot = Hll.hllRegisters(a.union(b), $"x", 10)
+      .as[(Int, Int)].collect().toSet
+    assert(merged == oneShot)
+  }
+
+  test("estimate lands within theoretical error across regimes") {
+    // small range (linear counting) and the raw harmonic-mean regime
+    for ((n, tolPct) <- Seq((300, 10.0), (20000, 12.0))) {
+      val items = (1 to n).map(i => s"item-$i").toDF("x")
+      val est = Hll.approxDistinct(items, $"x", p = 10)
+      val errPct = math.abs(est - n) / n * 100.0
+      assert(errPct <= tolPct,
+        s"n=$n est=$est err=${errPct}% (expected ~3.3% typical, $tolPct% cap)")
+    }
+  }
+
+  test("sketch size is bounded by 2^p however large the input") {
+    val items = (1 to 50000).map(i => s"v$i").toDF("x")
+    assert(Hll.hllRegisters(items, $"x", 6).count() <= 64L)
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
