@@ -1716,6 +1716,23 @@ object SparkEntry {
         .orderBy($"user_id", $"version")
     }),
 
+    // Point-in-time SCD-2 lookup — the classic consumer: every event
+    // enriched with its user's STATE VERSION valid at that event's
+    // instant (as-of join on valid_from: one key shuffle, no join
+    // node). The oracle replays the history fold plus a per-event
+    // latest-version-at-or-before pick.
+    "q_scd2_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsTbl(s, dir)
+      val hist = graft.ops.Scd2.fromChangeLog(ev, "user_id", "ts",
+        Seq("event_type"), tieBreaks = Seq("event_id"))
+      graft.ops.Scd2.lookupAsOf(
+          ev.select($"event_id", $"user_id", $"ts"), "user_id", "ts",
+          hist, "user_id", Seq("event_type"))
+        .select($"event_id", $"user_id", $"state_event_type")
+        .orderBy($"event_id")
+    }),
+
     // Incremental SCD-2: the same history built by three TIME-RANGED
     // keyed MERGE batches into a bucket-partitioned table (per-batch
     // cost ∝ touched buckets — the CDC-to-history path at 100 TB). For
@@ -4170,6 +4187,23 @@ object SparkEntry {
     "q_scd2_merge" -> scd2Sql,
     // in-order streamed CDC batches converge to the same fold
     "q_stream_scd2" -> scd2Sql,
+    // history fold + per-event latest-version-at-or-before pick
+    "q_scd2_lookup" ->
+      """WITH vis AS (SELECT user_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_type FROM vis WHERE rn = 1),
+        |o AS (SELECT user_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM v),
+        |h AS (SELECT user_id, ts AS valid_from, event_type FROM o
+        |  WHERE pts IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT e.event_id, e.user_id,
+        |  (SELECT h.event_type FROM h
+        |   WHERE h.user_id = e.user_id AND h.valid_from <= e.ts
+        |   ORDER BY h.valid_from DESC LIMIT 1) AS state_event_type
+        |FROM events e ORDER BY event_id""".stripMargin,
     "q_pack_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -210,4 +210,22 @@ object Scd2 {
   def asOf(history: DataFrame, at: Column): DataFrame =
     history.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Point-in-time ENRICHMENT — the classic SCD-2 consumer: each fact
+    * row joined to the dimension version valid AT ITS OWN instant
+    * (`valid_from <= factTime`, latest wins; `valid_to` needs no check —
+    * it IS the next version's `valid_from`). Delegates to
+    * [[Temporal.asofJoin]], so the plan is ONE shuffle on the key with
+    * no join node; facts before a key's first version (or with no key
+    * in the dimension) carry null attributes. Output columns:
+    * `prefix + attr`. */
+  def lookupAsOf(
+      facts: DataFrame, factKey: String, factTime: String,
+      history: DataFrame, key: String, attrs: Seq[String],
+      prefix: String = "state_"): DataFrame = {
+    require(attrs.nonEmpty, "at least one attribute to look up")
+    Temporal.asofJoin(facts, factKey, factTime,
+      history, key, "valid_from", payload = attrs,
+      tieBreak = "version", prefix = prefix)
+  }
 }

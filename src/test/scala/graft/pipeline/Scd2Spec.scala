@@ -111,6 +111,27 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
   private def mkLog(rows: Seq[(Long, Long, String)]): DataFrame =
     rows.map { case (k, t, a) => (k, ts(t), a) }.toDF("k", "t", "attr")
 
+  test("lookupAsOf enriches facts with the version valid at their instant") {
+    val hist = Scd2.fromChangeLog(
+      mkLog(Seq((1L, 10L, "a"), (1L, 30L, "b"), (2L, 20L, "x"))),
+      "k", "t", Seq("attr"))
+    val facts = Seq(
+      (100L, 1L, ts(10)), // at the open instant -> that version
+      (101L, 1L, ts(29)), // inside v1
+      (102L, 1L, ts(30)), // at v2 open -> v2
+      (103L, 1L, ts(99)), // current
+      (104L, 2L, ts(25)),
+      (105L, 2L, ts(5)),  // before first version -> null
+      (106L, 3L, ts(50))  // unknown key -> null
+    ).toDF("fid", "k", "ft")
+    val got = Scd2.lookupAsOf(facts, "k", "ft", hist, "k", Seq("attr"))
+      .select($"fid", $"state_attr").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(
+      100L -> Some("a"), 101L -> Some("a"), 102L -> Some("b"),
+      103L -> Some("b"), 104L -> Some("x"), 105L -> None, 106L -> None))
+  }
+
   test("mergeChanges batch-by-batch == fromChangeLog from scratch") {
     val all = (0L until 40L).flatMap { k =>
       (0L until 6L).map(i => (k, 10L + i * 10L, s"s${(k + i) % 3}"))
