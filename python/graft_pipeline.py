@@ -292,6 +292,33 @@ class Pipeline:
         """Point-in-time view: versions valid at ISO instant `at`."""
         return self._df(self._japi.scd2AsOf(history._jdf, at))
 
+    def scd2_lookup_as_of(self, facts, fact_key, fact_time, history,
+                          key_col, attr_cols, prefix="state_"):
+        """Enrich each fact row with the dimension version valid at its
+        own instant (single-shuffle as-of join)."""
+        return self._df(self._japi.scd2LookupAsOf(
+            facts._jdf, fact_key, fact_time, history._jdf, key_col,
+            _jlist(self._spark, list(attr_cols)), prefix))
+
+    def trigram_append_segment(self, docs, id_col, text_col, path,
+                               segment_id, chunk_size=1 << 16):
+        """Append a batch's character trigrams as a committed segment of
+        the substring (pg_trgm-style) index."""
+        self._japi.trigramAppendSegment(docs._jdf, id_col, text_col, path,
+                                        segment_id, chunk_size)
+
+    def trigram_compact_segments(self, spark, path, chunk_size=1 << 16):
+        return self._japi.trigramCompactSegments(self._jspark, path,
+                                                 chunk_size)
+
+    def trigram_search_substring(self, spark, path, corpus, id_col,
+                                 text_col, pattern, chunk_size=1 << 16):
+        """Exact substring search served index-first (candidates via
+        all-trigram intersection, contains verify on candidates only)."""
+        return self._df(self._japi.trigramSearchSubstring(
+            self._jspark, path, corpus._jdf, id_col, text_col, pattern,
+            chunk_size))
+
     def hybrid_retrieve(self, docs, id_col, text_col, embeddings,
                         emb_id_col, vec_col, terms, query_vec,
                         n_candidates=100, k=10, c=60):

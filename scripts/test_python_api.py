@@ -189,6 +189,18 @@ def main():
     assert est["spark"] == 3 and est["unrelated"] == 1, est
     hh = p.cms_heavy_hitters(toks, "term", min_count=3, depth=4, width=256)
     assert {r.item for r in hh.collect()} == {"spark", "window"}
+    # scd2 lookup: facts pick the version valid at their instant
+    facts = spark.createDataFrame(
+        [(7, 1, "2024-01-02 12:00:00")], ["fid", "k", "ft"]) \
+        .selectExpr("fid", "k", "CAST(ft AS TIMESTAMP) AS ft")
+    lk = p.scd2_lookup_as_of(facts, "k", "ft", merged, "k", ["attr"])
+    assert lk.collect()[0].state_attr == "a", lk.collect()
+    # trigram index: cross-word substring served index-first
+    tg = tempfile.mkdtemp() + "/trgm"
+    p.trigram_append_segment(docs, "doc_id", "text", tg, "b0")
+    tri = sorted(r.doc_id for r in p.trigram_search_substring(
+        spark, tg, docs, "doc_id", "text", "park wind").collect())
+    assert tri == [0, 1], tri
     # portable HLL: tiny-set estimate is near-exact (linear counting)
     distinct_est = p.hll_approx_distinct(toks, "term", p=10)
     true_distinct = toks.distinct().count()

@@ -299,6 +299,31 @@ object PythonApi {
     graft.ops.Scd2.asOf(history,
       org.apache.spark.sql.functions.lit(at).cast("timestamp"))
 
+  def scd2LookupAsOf(
+      facts: DataFrame, factKeyCol: String, factTimeCol: String,
+      history: DataFrame, keyCol: String, attrCols: java.util.List[String],
+      prefix: String): DataFrame =
+    graft.ops.Scd2.lookupAsOf(facts, factKeyCol, factTimeCol, history,
+      keyCol, attrCols.asScala.toSeq, prefix)
+
+  // ---- trigram substring index ----------------------------------------
+
+  def trigramAppendSegment(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      segmentId: String, chunkSize: Int): Unit =
+    graft.text.Trigram.appendSegment(docs, col(idCol), col(textCol), dir,
+      segmentId, chunkSize)
+
+  def trigramCompactSegments(
+      spark: SparkSession, dir: String, chunkSize: Int): Int =
+    graft.text.Trigram.compactSegments(spark, dir, chunkSize)
+
+  def trigramSearchSubstring(
+      spark: SparkSession, dir: String, corpus: DataFrame, idCol: String,
+      textCol: String, pattern: String, chunkSize: Int): DataFrame =
+    graft.text.Trigram.searchSubstring(spark, dir, corpus, col(idCol),
+      col(textCol), pattern, chunkSize)
+
   // ---- hybrid retrieval -----------------------------------------------
 
   def hybridRetrieve(

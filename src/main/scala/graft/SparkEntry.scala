@@ -1389,6 +1389,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Trigram-index substring search (the pg_trgm shape): the corpus's
+    // distinct character trigrams land as two chunked posting segments
+    // (even/odd halves — the append path), then a cross-word pattern is
+    // served index-first: posting reads pruned to the pattern's grams,
+    // all-gram intersection candidates, exact contains verify over ONLY
+    // candidate corpus rows. Verify makes it exact, so the oracle is
+    // the brute substring scan — a blocking false-negative would
+    // surface as a missing row.
+    "q_text_trgm" -> ((s, dir) => {
+      import s.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/trgm_index"
+      val fs = new org.apache.hadoop.fs.Path(td)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(td), true)
+      val docs = tbl(s, dir, "documents")
+      graft.text.Trigram.appendSegment(
+        docs.filter($"doc_id" % 2 === 0), $"doc_id", $"text", td, "b0")
+      graft.text.Trigram.appendSegment(
+        docs.filter($"doc_id" % 2 === 1), $"doc_id", $"text", td, "b1")
+      graft.text.Trigram.searchSubstring(s, td, docs, $"doc_id", $"text",
+          pattern = "spark wind")
+        .orderBy($"doc_id")
+    }),
+
     // Engine-portable HyperLogLog sketch over the document vocabulary:
     // the register table (top-10-bit register, leading-zero rank via
     // OR-smear + bit_count — pure integer ops) IS the output, replayed
@@ -3942,6 +3966,13 @@ object SparkEntry {
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bm25" -> textBm25Sql,
+    // the index-served search is EXACT (contains verify), so the
+    // brute-force normalized substring scan is the complete oracle
+    "q_text_trgm" ->
+      """SELECT doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS n
+        |  FROM documents)
+        |WHERE contains(n, 'spark wind') ORDER BY doc_id""".stripMargin,
     // bit-exact replay of the HLL register table: md5_number_lower is
     // the proven md5-lower-64 twin; register = top 10 bits, rank via
     // the same OR-smear + bit_count ladder (integer ops only)
