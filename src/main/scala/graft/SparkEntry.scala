@@ -1389,6 +1389,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Per-document token-distribution entropy (diversity/boilerplate
+    // signal): c·ln(c) quantized to integer micro-nats before the
+    // per-doc sum, integer division — exact integer arithmetic in every
+    // cross-row reduction, replayed by the oracle.
+    "q_text_entropy" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Tfidf.tokenEntropy(tbl(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
     // Trigram-index substring search (the pg_trgm shape): the corpus's
     // distinct character trigrams land as two chunked posting segments
     // (even/odd halves — the append path), then a cross-word pattern is
@@ -3966,6 +3976,26 @@ object SparkEntry {
         |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_bm25" -> textBm25Sql,
+    // same micro-nat quantization before the integer per-doc sum
+    "q_text_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+        |per AS (SELECT doc_id, c,
+        |  CAST(floor(c::DOUBLE * ln(c::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |  FROM tf),
+        |a AS (SELECT doc_id, sum(c)::BIGINT AS n, sum(m)::BIGINT AS s
+        |  FROM per GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_tokens,
+        |  CASE WHEN a.n > 0 THEN
+        |    CAST(floor(ln(a.n::DOUBLE) * 1000000 + 0.5) AS BIGINT) - (a.s // a.n)
+        |  END AS entropy_micro
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the index-served search is EXACT (contains verify), so the
     // brute-force normalized substring scan is the complete oracle
     "q_text_trgm" ->

@@ -167,6 +167,37 @@ object Tfidf {
     bm25From(tfQ, lens, k1, b)
   }
 
+  /** Per-document token-distribution SHANNON ENTROPY — the classic
+    * diversity/boilerplate quality signal (low entropy ⇒ a few tokens
+    * dominate: repeated boilerplate; high ⇒ diverse vocabulary):
+    * `H = ln(n) − (Σ_t c_t·ln(c_t))/n` over the doc's token counts.
+    *
+    * Engine-portable like [[unigramNll]]: each term's `c·ln(c)` is
+    * quantized to integer micro-nats (`floor(x·10⁶ + 0.5)`) BEFORE the
+    * per-doc sum, and the final division is integer `div` — every
+    * cross-row reduction is exact integer arithmetic, so an external
+    * SQL engine replays `entropy_micro` exactly (same 1-ulp `ln`
+    * residual caveat as the LM scores). One (doc, term) shuffle + one
+    * doc shuffle; empty docs surface with n_tokens = 0, NULL entropy. */
+  def tokenEntropy(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = docs.select(id.as("doc_id"),
+        explode(TextFunctions.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__c"))
+    val agg = tf
+      .select(col("doc_id"), col("__c"),
+        floor(col("__c").cast("double") * log(col("__c").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("__m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__s"))
+    docs.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        when(col("__n") > 0L,
+          floor(log(col("__n").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long") - expr("__s div __n"))
+          .as("entropy_micro"))
+  }
+
   /** BM25 scoring from its two sufficient statistics tables —
     * `tfQ` (doc_id, term, tf) restricted to the query terms and `lens`
     * (doc_id, __len) over the WHOLE corpus. Shared by [[bm25]] (which
