@@ -68,6 +68,15 @@ class TrigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("serving plan pushes the gram filter into the postings scan") {
+    val dir = tmpDir()
+    Trigram.appendSegment(docs, $"doc_id", $"text", dir, "b0")
+    val plan = Trigram.searchSubstring(spark, dir, docs, $"doc_id", $"text",
+      "spark wind").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(gram"),
+      s"gram filter should reach the parquet scan:\n$plan")
+  }
+
   test("sub-trigram patterns are rejected toward a plain scan") {
     val dir = tmpDir()
     Trigram.appendSegment(docs, $"doc_id", $"text", dir, "b0")
