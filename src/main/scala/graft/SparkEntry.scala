@@ -1750,6 +1750,31 @@ object SparkEntry {
         .orderBy($"user_id", $"version")
     }),
 
+    // Interval-interval OVERLAP join (session-concurrency primitive):
+    // per-user daily activity spans, pairs of users concurrently active
+    // on the same day. Both sides explode to hour buckets and meet in
+    // an equi-join on (day, bucket) — no cross join; the first-shared-
+    // bucket gate emits each pair exactly once with no dedup pass.
+    "q_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val spans = eventsTbl(s, dir)
+        .filter($"user_id" < 12)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(unix_micros(min($"ts")).as("lo"), unix_micros(max($"ts")).as("hi"))
+      val lft = spans.select($"user_id".as("user_a"), $"day".as("day_a"),
+        $"lo".as("lo_a"), $"hi".as("hi_a"))
+      val rgt = spans.select($"user_id".as("user_b"), $"day".as("day_b"),
+        $"lo".as("lo_b"), $"hi".as("hi_b"))
+      graft.ops.Temporal.intervalOverlapJoin(
+          lft, "lo_a", "hi_a", rgt, "lo_b", "hi_b",
+          bucketWidth = 3600L * 1000000L, keys = Some(("day_a", "day_b")))
+        .filter($"user_a" < $"user_b")
+        .select(date_format($"day_a", "yyyy-MM-dd").as("day"),
+          $"user_a", $"user_b",
+          (least($"hi_a", $"hi_b") - greatest($"lo_a", $"lo_b")).as("overlap_us"))
+        .orderBy($"day", $"user_a", $"user_b")
+    }),
+
     // Point-in-time SCD-2 lookup — the classic consumer: every event
     // enriched with its user's STATE VERSION valid at that event's
     // instant (as-of join on valid_from: one key shuffle, no join
@@ -4248,6 +4273,18 @@ object SparkEntry {
     "q_scd2_merge" -> scd2Sql,
     // in-order streamed CDC batches converge to the same fold
     "q_stream_scd2" -> scd2Sql,
+    // plain overlap predicates — bucketing must not change the answer
+    "q_interval_join" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |  FROM events WHERE user_id < 12
+        |  GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |  a.user_id AS user_a, b.user_id AS user_b,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+        |FROM s a JOIN s b ON a.day = b.day AND a.user_id < b.user_id
+        |  AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY day, user_a, user_b""".stripMargin,
     // history fold + per-event latest-version-at-or-before pick
     "q_scd2_lookup" ->
       """WITH vis AS (SELECT user_id, ts, event_type,

@@ -131,4 +131,53 @@ object Temporal {
       .select((left.columns.map(c => col(s"__L.$c")) ++
         right.columns.map(c => col(s"__R.$c"))).toIndexedSeq: _*)
   }
+
+  /** Interval-interval OVERLAP join: inner-joins left `[lLo, lHi]` to
+    * right `[rLo, rHi]` where the closed intervals intersect
+    * (`lLo <= rHi AND rLo <= lHi`), optionally also on an equi-key —
+    * the session-concurrency / availability-window primitive the
+    * interval-point [[rangeJoin]] cannot express.
+    *
+    * Plan shape: BOTH sides explode to the time buckets they cover and
+    * meet in an equi-join on the bucket (plus the key), so no cross
+    * join ever forms. An overlapping pair shares every bucket of its
+    * intersection — it is emitted ONLY in the FIRST shared bucket
+    * (`bucket == max(floor(lLo/w), floor(rLo/w))`, a post-join filter),
+    * so each pair appears exactly once with NO distinct/dedup pass.
+    * Shuffle amplification is ceil(span/bucketWidth)+1 per side — pick
+    * `bucketWidth` near the typical span. Time columns must share one
+    * numeric unit; the two sides' column names must be disjoint. */
+  def intervalOverlapJoin(
+      left: DataFrame, lLoName: String, lHiName: String,
+      right: DataFrame, rLoName: String, rHiName: String,
+      bucketWidth: Long,
+      keys: Option[(String, String)] = None): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"left/right column names must be disjoint, both have: $dup")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "column name __bucket is reserved by intervalOverlapJoin")
+    def buckets(lo: String, hi: String) =
+      explode(sequence(
+        floor(col(lo).cast("long") / bucketWidth).cast("long"),
+        floor(col(hi).cast("long") / bucketWidth).cast("long")))
+    val lb = left.withColumn("__bucket", buckets(lLoName, lHiName)).alias("__L")
+    val rb = right.withColumn("__bucket", buckets(rLoName, rHiName)).alias("__R")
+    val bucketEq = col("__L.__bucket") === col("__R.__bucket")
+    val cond = keys match {
+      case Some((lk, rk)) => bucketEq && col(s"__L.$lk") === col(s"__R.$rk")
+      case None => bucketEq
+    }
+    val lLo = col(lLoName).cast("long")
+    val lHi = col(lHiName).cast("long")
+    val rLo = col(rLoName).cast("long")
+    val rHi = col(rHiName).cast("long")
+    lb.join(rb, cond)
+      .filter(lLo <= rHi && rLo <= lHi)
+      // first-shared-bucket gate: exactly-once emission, no dedup pass
+      .filter(col("__L.__bucket") ===
+        greatest(floor(lLo / bucketWidth), floor(rLo / bucketWidth)).cast("long"))
+      .select((left.columns.map(c => col(s"__L.$c")) ++
+        right.columns.map(c => col(s"__R.$c"))).toIndexedSeq: _*)
+  }
 }

@@ -164,6 +164,45 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("intervalOverlapJoin == brute-force overlap, exactly once per pair") {
+    // spans crossing many buckets (width 10): duplicates would surface
+    val left = Seq((1L, 0L, 35L), (2L, 40L, 45L), (3L, 90L, 95L))
+      .toDF("lid", "lo_a", "hi_a")
+    val right = Seq((10L, 30L, 60L), (11L, 44L, 44L), (12L, 96L, 99L))
+      .toDF("rid", "lo_b", "hi_b")
+    val got = graft.ops.Temporal.intervalOverlapJoin(
+        left, "lo_a", "hi_a", right, "lo_b", "hi_b", bucketWidth = 10L)
+      .select($"lid", $"rid").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val brute = (for {
+      (l, llo, lhi) <- Seq((1L, 0L, 35L), (2L, 40L, 45L), (3L, 90L, 95L))
+      (r, rlo, rhi) <- Seq((10L, 30L, 60L), (11L, 44L, 44L), (12L, 96L, 99L))
+      if llo <= rhi && rlo <= lhi
+    } yield (l, r)).toSet
+    assert(got.keySet == brute, s"got ${got.keySet} want $brute")
+    assert(got.values.forall(_ == 1), s"pairs must appear exactly once: $got")
+  }
+
+  test("intervalOverlapJoin: touching endpoints overlap (closed intervals)") {
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "lo_a", "hi_a")
+    val r = Seq((2L, 10L, 20L), (3L, 11L, 20L)).toDF("rid", "lo_b", "hi_b")
+    val got = graft.ops.Temporal.intervalOverlapJoin(
+        l, "lo_a", "hi_a", r, "lo_b", "hi_b", bucketWidth = 7L)
+      .select($"rid").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("intervalOverlapJoin keys restrict pairs; plan has no cartesian") {
+    val l = Seq((1L, "x", 0L, 10L), (2L, "y", 0L, 10L)).toDF("lid", "lk", "lo_a", "hi_a")
+    val r = Seq((9L, "x", 5L, 15L)).toDF("rid", "rk", "lo_b", "hi_b")
+    val joined = graft.ops.Temporal.intervalOverlapJoin(
+      l, "lo_a", "hi_a", r, "lo_b", "hi_b", bucketWidth = 8L,
+      keys = Some(("lk", "rk")))
+    assert(joined.select($"lid").as[Long].collect().toSeq == Seq(1L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"no cartesian expected:\n$plan")
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()
