@@ -1823,6 +1823,20 @@ object SparkEntry {
         .orderBy($"user_id", $"version")
     }),
 
+    // Deterministic negative sampling for contrastive training: k
+    // non-positive corpus ids per query via salted-md5 hash probing —
+    // k·oversample probe rows per query built MAP-SIDE (no
+    // query×corpus blow-up), positives anti-joined out, rerun-stable
+    // and engine-replayable.
+    "q_sample_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val pos = tbl(s, dir, "documents").filter($"doc_id" < 50)
+        .select($"doc_id".as("q_id"), (($"doc_id" * 7 + 3) % 500).as("pos_id"))
+      graft.ops.Contrastive.sampleNegatives(pos, $"q_id", $"pos_id",
+          corpusSize = 500, k = 5)
+        .orderBy($"q_id", $"rank")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Packing.packByBudget(
@@ -2284,6 +2298,31 @@ object SparkEntry {
           emb.filter($"vec_id" % 2 === 0), $"vec_id", $"embedding",
           cents, k = 3, nprobe = 2)
         .orderBy($"vec_id", $"nn_rank")
+    }),
+
+    // ANN HARD-NEGATIVE mining (contrastive training's quality lever):
+    // each odd-id query's highest-cosine even-id corpus neighbors that
+    // are NOT its positive — the same cell-blocked kNN machinery, a
+    // positives anti-join, and a bounded per-query re-rank. k=4
+    // candidates absorb the one possible positive hit, then top-3.
+    "q_ann_hardneg" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.ann.Ann.kmeansFit(
+        emb, $"vec_id", $"embedding", k = 8, iters = 2)
+      val pos = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id", (($"vec_id" + 1) % 500).as("neighbor_id"))
+      graft.ann.Ann.knnJoinAgainst(
+          emb.filter($"vec_id" % 2 === 1), $"vec_id", $"embedding",
+          emb.filter($"vec_id" % 2 === 0), $"vec_id", $"embedding",
+          cents, k = 4, nprobe = 2)
+        .join(pos, Seq("vec_id", "neighbor_id"), "left_anti")
+        .withColumn("hn_rank", row_number().over(
+          Window.partitionBy($"vec_id")
+            .orderBy($"cosine".desc, $"neighbor_id")).cast("long"))
+        .filter($"hn_rank" <= 3)
+        .select($"vec_id", $"neighbor_id", $"cosine", $"hn_rank")
+        .orderBy($"vec_id", $"hn_rank")
     }),
 
     // SemDeDup-companion prototypicality pruning: the 5 farthest vectors
@@ -4273,6 +4312,25 @@ object SparkEntry {
     "q_scd2_merge" -> scd2Sql,
     // in-order streamed CDC batches converge to the same fold
     "q_stream_scd2" -> scd2Sql,
+    // replay of the salted-md5 probe sequence, dedup, anti-join, rank
+    "q_sample_negatives" ->
+      """WITH q AS (SELECT doc_id AS q_id, (doc_id * 7 + 3) % 500 AS pos_id
+        |  FROM documents WHERE doc_id < 50),
+        |probes AS (SELECT d.q_id, r.slot,
+        |    CAST(md5_number_lower('graft:' || d.q_id || ':' || r.slot) % 500
+        |      AS BIGINT) AS neg_id
+        |  FROM (SELECT DISTINCT q_id FROM q) d CROSS JOIN range(0, 20) r(slot)),
+        |ded AS (SELECT q_id, slot, neg_id,
+        |    row_number() OVER (PARTITION BY q_id, neg_id ORDER BY slot) AS f
+        |  FROM probes),
+        |keep AS (SELECT d.q_id, d.slot, d.neg_id FROM ded d
+        |  WHERE f = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM q WHERE q.q_id = d.q_id AND q.pos_id = d.neg_id)),
+        |r AS (SELECT q_id, neg_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY slot) AS rank
+        |  FROM keep)
+        |SELECT q_id, neg_id, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // plain overlap predicates — bucketing must not change the answer
     "q_interval_join" ->
       """WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day,
@@ -4710,6 +4768,20 @@ object SparkEntry {
     // odd-id half and the corpus side to the even-id half
     "q_ann_knn_retrieve" -> knnJoinSql(topK = 3, nprobe = 2, excludeSame = false,
       probeWhere = "AND vec_id % 2 = 1", dataWhere = "AND vec_id % 2 = 0"),
+    // the retrieval chain at k=4, positives dropped arithmetically,
+    // bounded per-query re-rank to the 3 hardest negatives
+    "q_ann_hardneg" ->
+      s"""WITH hard AS (
+        |  SELECT vec_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, neighbor_id) AS hn_rank
+        |  FROM (
+        |${knnJoinSql(topK = 4, nprobe = 2, excludeSame = false,
+          probeWhere = "AND vec_id % 2 = 1", dataWhere = "AND vec_id % 2 = 0")}
+        |  ) base
+        |  WHERE neighbor_id <> (vec_id + 1) % 500)
+        |SELECT vec_id, neighbor_id, cosine, hn_rank FROM hard
+        |WHERE hn_rank <= 3 ORDER BY vec_id, hn_rank""".stripMargin,
     "q_ann_outliers" -> outliersSql(k = 8, dim = 64, iters = 2, n = 5),
     "q_ann_classify" ->
       """WITH v AS (SELECT vec_id,
