@@ -1823,6 +1823,38 @@ object SparkEntry {
         .orderBy($"user_id", $"version")
     }),
 
+    // Round-6 fifth composed pipeline — entropy-banded packing: the new
+    // token-entropy signal gates the corpus by RANK band (keep the
+    // middle 10–90%: cut both word-salad and degenerate boilerplate
+    // tails, no absolute threshold to tune), survivors pack into
+    // 1500-token training shards per source. Every stage integer-exact;
+    // the oracle replays entropy, band membership, and the cumulative
+    // pack arithmetic.
+    "q_pipeline_curate7" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val ent = graft.text.Tfidf.tokenEntropy(docs, $"doc_id", $"text")
+      val banded = graft.ops.Sampling.filterByScoreBand(
+          ent, $"entropy_micro", 10, 90)
+        .select($"doc_id", $"n_tokens")
+      graft.ops.Packing.packByBudget(
+          banded.join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+            .select($"doc_id", $"source", $"n_tokens"),
+          shard = $"source", order = $"doc_id", tokens = $"n_tokens",
+          budget = 1500L)
+        .orderBy($"doc_id")
+    }),
+
+    // Adjacent-chunk positive pairs (self-supervised contrastive
+    // positives): consecutive 32-token windows of each doc paired
+    // (anchor, positive) via one doc-key shuffle + bounded lead window.
+    "q_text_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Contrastive.adjacentChunkPairs(
+          tbl(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Deterministic negative sampling for contrastive training: k
     // non-positive corpus ids per query via salted-md5 hash probing —
     // k·oversample probe rows per query built MAP-SIDE (no
@@ -4312,6 +4344,59 @@ object SparkEntry {
     "q_scd2_merge" -> scd2Sql,
     // in-order streamed CDC batches converge to the same fold
     "q_stream_scd2" -> scd2Sql,
+    // entropy replay -> rank-band membership -> cumulative pack ids
+    "q_pipeline_curate7" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+        |per AS (SELECT doc_id, c,
+        |  CAST(floor(c::DOUBLE * ln(c::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |  FROM tf),
+        |a AS (SELECT doc_id, sum(c)::BIGINT AS n, sum(m)::BIGINT AS s
+        |  FROM per GROUP BY doc_id),
+        |scores AS (SELECT doc_id, n AS n_tokens,
+        |    CAST(floor(ln(n::DOUBLE) * 1000000 + 0.5) AS BIGINT) - (s // n) AS e
+        |  FROM a WHERE n > 0),
+        |cnt2 AS (SELECT count(*) AS n FROM scores),
+        |vc AS (SELECT e AS sv, count(*) AS c FROM scores GROUP BY 1),
+        |cum AS (SELECT sv, coalesce(sum(c) OVER (ORDER BY sv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos FROM vc),
+        |keep AS (SELECT sv FROM cum, cnt2
+        |  WHERE 100 * pos >= 10 * cnt2.n AND 100 * pos < 90 * cnt2.n),
+        |kept AS (SELECT s.doc_id, s.n_tokens FROM scores s
+        |  JOIN keep ON s.e = keep.sv),
+        |wsrc AS (SELECT k.doc_id, d.source, k.n_tokens FROM kept k
+        |  JOIN documents d ON k.doc_id = d.doc_id),
+        |c3 AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM wsrc)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 1500.0) AS BIGINT) AS pack_id
+        |FROM c3 ORDER BY doc_id""".stripMargin,
+    // the chunk replay joined to its successor chunk
+    "q_text_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM tt),
+        |ints AS (SELECT unnest(range(0, (SELECT
+        |  coalesce(max((greatest(n - 32, 0) + 15) // 16 + 1), 0) FROM n))) AS c),
+        |chunks AS (SELECT doc_id, c::INT AS chunk_idx,
+        |  array_to_string(toks[c*16+1 : c*16+32], ' ') AS chunk_text
+        |  FROM n JOIN ints
+        |  ON n.n > 0 AND c <= (greatest(n.n - 32, 0) + 15) // 16),
+        |p AS (SELECT doc_id, chunk_idx, chunk_text AS anchor,
+        |    lead(chunk_text) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+        |      AS positive
+        |  FROM chunks)
+        |SELECT doc_id, chunk_idx, anchor, positive FROM p
+        |WHERE positive IS NOT NULL ORDER BY doc_id, chunk_idx""".stripMargin,
     // replay of the salted-md5 probe sequence, dedup, anti-join, rank
     "q_sample_negatives" ->
       """WITH q AS (SELECT doc_id AS q_id, (doc_id * 7 + 3) % 500 AS pos_id

@@ -59,4 +59,23 @@ object Contrastive {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neg_id"), col("rank"))
   }
+
+  /** Adjacent-chunk POSITIVE pairs — the standard self-supervised
+    * positives for contrastive pretraining: consecutive sliding-window
+    * chunks of one document ([[graft.text.TextFunctions.chunkDocs]])
+    * paired (anchor, positive). One doc-key shuffle; the lead window
+    * runs over each doc's bounded chunk list. Returns
+    * (doc_id, chunk_idx, anchor, positive). */
+  def adjacentChunkPairs(
+      docs: DataFrame, id: Column, text: Column,
+      chunkTokens: Int = 32, stride: Int = 16): DataFrame = {
+    val chunks = graft.text.TextFunctions.chunkDocs(
+      docs, id, text, chunkTokens, stride)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    chunks
+      .withColumn("positive", lead(col("chunk_text"), 1).over(w))
+      .filter(col("positive").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("chunk_text").as("anchor"), col("positive"))
+  }
 }
