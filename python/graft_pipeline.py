@@ -370,6 +370,32 @@ class Pipeline:
         return self._df(self._japi.cmsHeavyHitters(
             items._jdf, item_col, depth, width, min_count))
 
+    def sample_negatives(self, positives, q_col, pos_col, corpus_size, k,
+                         salt="graft", oversample=4):
+        """Deterministic hash-probe negatives per query (dense-id corpus);
+        returns (q_id, neg_id, rank)."""
+        return self._df(self._japi.sampleNegatives(
+            positives._jdf, q_col, pos_col, corpus_size, k, salt, oversample))
+
+    def adjacent_chunk_pairs(self, docs, id_col, text_col, chunk_tokens=32,
+                             stride=16):
+        """Self-supervised (anchor, positive) pairs from consecutive
+        sliding-window chunks."""
+        return self._df(self._japi.adjacentChunkPairs(
+            docs._jdf, id_col, text_col, chunk_tokens, stride))
+
+    def interval_overlap_join(self, left, l_lo, l_hi, right, r_lo, r_hi,
+                              bucket_width, left_key="", right_key=""):
+        """Interval-interval overlap join (bucket equi-join, exactly-once
+        pair emission, no cross join)."""
+        return self._df(self._japi.intervalOverlapJoin(
+            left._jdf, l_lo, l_hi, right._jdf, r_lo, r_hi, bucket_width,
+            left_key, right_key))
+
+    def token_entropy(self, docs, id_col, text_col):
+        """Per-doc token-distribution entropy in integer micro-nats."""
+        return self._df(self._japi.tokenEntropy(docs._jdf, id_col, text_col))
+
     def hll_registers(self, items, item_col, p=12):
         """Engine-portable HyperLogLog register table (mergeable)."""
         return self._df(self._japi.hllRegisters(items._jdf, item_col, p))

@@ -201,6 +201,25 @@ def main():
     tri = sorted(r.doc_id for r in p.trigram_search_substring(
         spark, tg, docs, "doc_id", "text", "park wind").collect())
     assert tri == [0, 1], tri
+    # contrastive prep: negatives avoid positives, deterministic rank
+    posdf = spark.createDataFrame([(0, 1), (1, 2)], ["q", "p"])
+    negs = p.sample_negatives(posdf, "q", "p", corpus_size=50, k=3)
+    rows = [(r.q_id, r.neg_id, r.rank) for r in negs.collect()]
+    assert len(rows) == 6 and all(
+        (q, n) not in {(0, 1), (1, 2)} for q, n, _ in rows), rows
+    pairs = p.adjacent_chunk_pairs(docs, "doc_id", "text",
+                                   chunk_tokens=2, stride=1)
+    assert pairs.count() > 0 and pairs.columns == [
+        "doc_id", "chunk_idx", "anchor", "positive"]
+    # interval overlap join + entropy signal
+    li = spark.createDataFrame([(1, 0, 100)], ["lid", "lo_a", "hi_a"])
+    ri = spark.createDataFrame([(2, 50, 60), (3, 200, 300)],
+                               ["rid", "lo_b", "hi_b"])
+    ov = p.interval_overlap_join(li, "lo_a", "hi_a", ri, "lo_b", "hi_b",
+                                 bucket_width=40)
+    assert [r.rid for r in ov.collect()] == [2], ov.collect()
+    ent = p.token_entropy(docs, "doc_id", "text")
+    assert ent.filter("entropy_micro IS NOT NULL").count() == 4
     # portable HLL: tiny-set estimate is near-exact (linear counting)
     distinct_est = p.hll_approx_distinct(toks, "term", p=10)
     true_distinct = toks.distinct().count()

@@ -371,6 +371,36 @@ object PythonApi {
       minCount: Long): DataFrame =
     graft.ops.Cms.heavyHitters(items, col(itemCol), depth, width, minCount)
 
+  // ---- contrastive training prep --------------------------------------
+
+  def sampleNegatives(
+      positives: DataFrame, qCol: String, posCol: String, corpusSize: Int,
+      k: Int, salt: String, oversample: Int): DataFrame =
+    graft.ops.Contrastive.sampleNegatives(positives, col(qCol), col(posCol),
+      corpusSize, k, salt, oversample)
+
+  def adjacentChunkPairs(
+      docs: DataFrame, idCol: String, textCol: String, chunkTokens: Int,
+      stride: Int): DataFrame =
+    graft.ops.Contrastive.adjacentChunkPairs(docs, col(idCol), col(textCol),
+      chunkTokens, stride)
+
+  // ---- temporal -------------------------------------------------------
+
+  def intervalOverlapJoin(
+      left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      bucketWidth: Long, leftKey: String, rightKey: String): DataFrame =
+    graft.ops.Temporal.intervalOverlapJoin(left, lLo, lHi, right, rLo, rHi,
+      bucketWidth,
+      if (leftKey == null || leftKey.isEmpty) None
+      else Some((leftKey, rightKey)))
+
+  // ---- quality signals ------------------------------------------------
+
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.Tfidf.tokenEntropy(docs, col(idCol), col(textCol))
+
   // ---- portable HyperLogLog -------------------------------------------
 
   def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame =
