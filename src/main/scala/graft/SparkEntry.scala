@@ -1455,6 +1455,24 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // CSV twin of the quarantine ingest: positional lines with a
+    // deterministic slice's INT field corrupted; type failure routes
+    // the row, the independently-parsed second field survives.
+    "q_ingest_csv" -> ((s, dir) => {
+      import s.implicits._
+      val lines = tbl(s, dir, "orders").select($"o_orderkey",
+        when($"o_orderkey" % 11 === 5,
+            concat(lit("xx,"), $"o_orderstatus"))
+          .otherwise(concat($"o_orderkey".cast("string"), lit(","),
+            $"o_orderstatus")).as("line"))
+      graft.ops.Ingest.parseCsvTagged(lines, $"line",
+          new org.apache.spark.sql.types.StructType()
+            .add("k", org.apache.spark.sql.types.IntegerType)
+            .add("status", org.apache.spark.sql.types.StringType))
+        .select($"o_orderkey", $"k", $"status", $"quarantined")
+        .orderBy($"o_orderkey")
+    }),
+
     // Count-min sketch point-frequency probes: all document tokens fold
     // into a 4×512 cell grid (ONE map-side-combined shuffle of ≤2048
     // rows regardless of corpus size or token skew — the mergeable,
@@ -4123,6 +4141,14 @@ object SparkEntry {
         |  FROM s6)
         |SELECT register, max(rnk) AS rank FROM r
         |GROUP BY register ORDER BY register""".stripMargin,
+    // the corruption is the only failure mode, so the flag and the
+    // nulled INT field are closed-form
+    "q_ingest_csv" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 11 <> 5 THEN o_orderkey::INT END AS k,
+        |  o_orderstatus AS status,
+        |  (o_orderkey % 11 = 5) AS quarantined
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // same deterministic truncation; json_valid mirrors PERMISSIVE
     // from_json's row-level corrupt routing for malformed payloads
     "q_ingest_quarantine" ->

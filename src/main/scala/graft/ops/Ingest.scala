@@ -48,6 +48,30 @@ object Ingest {
           when(bad, json).as("raw"))): _*)
   }
 
+  /** CSV twin of [[parseJsonTagged]] — same one-pass tagged routing via
+    * PERMISSIVE `from_csv`. Note the CSV corruption model differs from
+    * JSON's: a row quarantines when a field fails its declared TYPE
+    * or the row has fewer fields than the schema (PERMISSIVE captures
+    * the raw line in both cases) — CSV rows are positional, so a short
+    * row is structural damage, unlike JSON's legitimately absent
+    * keys. */
+  def parseCsvTagged(
+      df: DataFrame, csv: Column, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptField),
+      s"schema may not contain reserved field '$CorruptField'")
+    require(schema.nonEmpty, "target schema must have at least one field")
+    val augmented = schema.add(CorruptField, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptField)
+    val parsed = df.withColumn("__graft_p", from_csv(csv, augmented, opts))
+    val bad = col(s"__graft_p.$CorruptField").isNotNull || csv.isNull
+    parsed
+      .select((df.columns.map(col) ++
+        schema.fieldNames.map(f => col(s"__graft_p.$f").as(f)) ++ Seq(
+          bad.as("quarantined"),
+          when(bad, csv).as("raw"))): _*)
+  }
+
   /** The routed pair view over [[parseJsonTagged]]: `good` = original
     * columns + parsed fields; `quarantine` = original columns + the raw
     * payload. Both filter the SAME tagged plan — if you collect or

@@ -62,6 +62,26 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"no shuffle expected:\n$plan")
   }
 
+  test("csv twin: type failures and short rows quarantine") {
+    val schema2 = new StructType()
+      .add("k", IntegerType).add("name", StringType)
+    val csvRows = Seq(
+      (1L, "7,ok"),       // good
+      (2L, "8"),          // short row = structural damage -> quarantined
+      (3L, "xx,bad"),     // k fails INT -> quarantined
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "line")
+    val t = Ingest.parseCsvTagged(csvRows, $"line", schema2)
+      .select($"id", $"k", $"name", $"quarantined", $"raw")
+      .as[(Long, Option[Int], Option[String], Boolean, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(t == Seq(
+      (1L, Some(7), Some("ok"), false, None),
+      (2L, Some(8), None, true, Some("8")),
+      (3L, None, Some("bad"), true, Some("xx,bad")),
+      (4L, None, None, true, None)))
+  }
+
   test("reserved field name rejected") {
     val bad = new StructType().add("_graft_corrupt", StringType)
     intercept[IllegalArgumentException] {
