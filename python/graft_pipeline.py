@@ -410,6 +410,12 @@ class Pipeline:
         """One-call approximate distinct count (~1.04/sqrt(2^p) error)."""
         return self._japi.hllApproxDistinct(items._jdf, item_col, p)
 
+    def hll_approx_distinct_by_group(self, items, group_col, item_col, p=10):
+        """Distributed per-group approx distinct with a SQL-replayable
+        estimate; returns (group, v_zero, t_scaled, est)."""
+        return self._df(self._japi.hllApproxDistinctByGroup(
+            items._jdf, group_col, item_col, p))
+
     def parse_json_tagged(self, df, json_col, schema_ddl):
         """One-pass JSON parse with quarantine routing; schema_ddl is a
         DDL fragment like 'k INT, name STRING'."""

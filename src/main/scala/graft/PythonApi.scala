@@ -415,6 +415,10 @@ object PythonApi {
   def hllApproxDistinct(items: DataFrame, itemCol: String, p: Int): Double =
     graft.ops.Hll.approxDistinct(items, col(itemCol), p)
 
+  def hllApproxDistinctByGroup(
+      items: DataFrame, groupCol: String, itemCol: String, p: Int): DataFrame =
+    graft.ops.Hll.approxDistinctByGroup(items, col(groupCol), col(itemCol), p)
+
   // ---- robust ingest --------------------------------------------------
 
   /** `schemaDdl` is a DDL fragment, e.g. "k INT, name STRING". */

@@ -1423,6 +1423,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Distributed per-group approx-distinct over the SAME portable HLL:
+    // per-(source, register) fold, then a per-group harmonic sum in
+    // EXACT integer arithmetic (2^-rank scaled to 2^(48-rank) BIGINTs),
+    // linear-counting correction — the estimate itself replays in SQL,
+    // which approx_count_distinct's opaque sketch cannot.
+    "q_text_hll_group" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tbl(s, dir, "documents")
+        .select($"source",
+          explode(graft.text.TextFunctions.tokens($"text")).as("term"))
+      graft.ops.Hll.approxDistinctByGroup(toks, $"source", $"term", p = 7)
+        .select($"group".as("grp"), $"v_zero", $"t_scaled", $"est")
+        .orderBy($"grp")
+    }),
+
     // Engine-portable HyperLogLog sketch over the document vocabulary:
     // the register table (top-10-bit register, leading-zero rank via
     // OR-smear + bit_count — pure integer ops) IS the output, replayed
@@ -4117,6 +4132,41 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS n
         |  FROM documents)
         |WHERE contains(n, 'spark wind') ORDER BY doc_id""".stripMargin,
+    // per-source register fold + exact-integer harmonic sum + the same
+    // double correction arithmetic (identical IEEE op order)
+    "q_text_hll_group" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT source,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT source, unnest(toks) AS term FROM tt),
+        |hh AS (SELECT source, md5_number_lower('hll:' || term) AS h FROM tok),
+        |b AS (SELECT source, CAST(h >> 57 AS INT) AS register,
+        |  h & ((1::UBIGINT << 57) - 1) AS w FROM hh),
+        |s1 AS (SELECT source, register, w, w | (w >> 1) AS s FROM b),
+        |s2 AS (SELECT source, register, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT source, register, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT source, register, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT source, register, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT source, register, w, s | (s >> 32) AS s FROM s5),
+        |r AS (SELECT source, register,
+        |  CASE WHEN w = 0 THEN 58 ELSE 58 - CAST(bit_count(s) AS INT) END AS rnk
+        |  FROM s6),
+        |regs AS (SELECT source, register, max(rnk) AS rnk FROM r GROUP BY 1, 2),
+        |a AS (SELECT source, count(*) AS filled,
+        |  sum(1::BIGINT << (48 - least(rnk, 48))) AS tf FROM regs GROUP BY source),
+        |f AS (SELECT source AS grp, (128 - filled)::BIGINT AS v_zero,
+        |  (tf + (128 - filled)::BIGINT * (1::BIGINT << 48))::BIGINT AS t_scaled
+        |  FROM a)
+        |SELECT grp, v_zero, t_scaled,
+        |  round(CASE WHEN v_zero > 0 AND
+        |      0.7213 / (1 + 1.079 / 128.0) * 128.0 * 128.0
+        |        * 281474976710656.0 / t_scaled <= 320.0
+        |    THEN 128.0 * ln(128.0 / v_zero)
+        |    ELSE 0.7213 / (1 + 1.079 / 128.0) * 128.0 * 128.0
+        |        * 281474976710656.0 / t_scaled END, 4) AS est
+        |FROM f ORDER BY grp""".stripMargin,
     // bit-exact replay of the HLL register table: md5_number_lower is
     // the proven md5-lower-64 twin; register = top 10 bits, rank via
     // the same OR-smear + bit_count ladder (integer ops only)

@@ -83,4 +83,63 @@ object Hll {
   /** One-call convenience: approximate distinct count of `item`. */
   def approxDistinct(items: DataFrame, item: Column, p: Int = 12): Double =
     estimateDistinct(hllRegisters(items, item, p), p)
+
+  /** DISTRIBUTED per-group approximate distinct — the scale shape of
+    * `GROUP BY g, approx_count_distinct(x)` with a fully replayable
+    * estimate: per (group, register) max-rank fold, then a per-group
+    * harmonic sum computed in EXACT integer arithmetic by scaling
+    * `2^-rank` to `2^(48-rank)` (ranks clamp at 48 — a rank beyond 48
+    * witnesses ≈ m·2⁴⁸ cardinality, far past any estimable range — so
+    * every term is an exact BIGINT and the sum is order-independent).
+    * The only doubles are one final division and the linear-counting
+    * `ln` branch, identical IEEE arithmetic on any engine; `est` rounds
+    * at 4dp. Two map-side-combined shuffles: (group, register) then
+    * group; intermediate size ≤ groups·2^p rows.
+    *
+    * Returns (group, v_zero, t_scaled, est): the exact-integer sketch
+    * summary plus the corrected estimate (linear counting below
+    * 2.5·m when empty registers remain, harmonic mean above). */
+  def approxDistinctByGroup(
+      items: DataFrame, group: Column, item: Column, p: Int): DataFrame = {
+    require(p >= 7 && p <= 12,
+      s"p must be in [7, 12] for the by-group estimator: $p")
+    val m = 1 << p
+    val wBits = 64 - p
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("__w")) { (s, k) =>
+      s.bitwiseOR(shiftrightunsigned(s, k))
+    }
+    val regs = items
+      .select(group.as("group"), item.as("__item"))
+      .filter(col("__item").isNotNull)
+      .select(col("group"),
+        exprs.md5_lower64(concat(lit("hll:"), col("__item"))).as("__h"))
+      .select(col("group"),
+        shiftrightunsigned(col("__h"), wBits).cast("int").as("register"),
+        col("__h").bitwiseAND(lit((1L << wBits) - 1L)).as("__w"))
+      .select(col("group"), col("register"),
+        when(col("__w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - bit_count(smeared).cast("int"))
+          .as("rank"))
+      .groupBy(col("group"), col("register"))
+      .agg(max(col("rank")).as("rank"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(col("group"))
+      .agg(count(lit(1)).as("__filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - least(rank, 48))"))
+          .as("__tf"))
+      .select(col("group"),
+        (lit(m.toLong) - col("__filled")).as("v_zero"),
+        (col("__tf") + (lit(m.toLong) - col("__filled")) * lit(1L << 48))
+          .as("t_scaled"))
+      .select(col("group"), col("v_zero"), col("t_scaled"), {
+        val raw = lit(alpha * m.toDouble * m.toDouble) *
+          lit((1L << 48).toDouble) / col("t_scaled").cast("double")
+        round(
+          when(col("v_zero") > 0L && raw <= lit(2.5 * m),
+            lit(m.toDouble) *
+              log(lit(m.toDouble) / col("v_zero").cast("double")))
+            .otherwise(raw),
+          4).as("est")
+      })
+  }
 }

@@ -77,6 +77,28 @@ class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("by-group estimates track exact distincts per group") {
+    val items = (1 to 3).flatMap { g =>
+      (1 to g * 400).map(i => (s"g$g", s"item-$g-$i"))
+    }.toDF("g", "x")
+    val est = graft.ops.Hll.approxDistinctByGroup(items, $"g", $"x", p = 10)
+      .select($"group", $"est").as[(String, Double)].collect().toMap
+    for (g <- 1 to 3) {
+      val n = g * 400
+      val errPct = math.abs(est(s"g$g") - n) / n * 100.0
+      assert(errPct <= 12.0, s"g$g est=${est(s"g$g")} vs $n ($errPct%)")
+    }
+  }
+
+  test("by-group matches the single-set estimator on one group") {
+    val items = (1 to 5000).map(i => ("only", s"v$i")).toDF("g", "x")
+    val grouped = graft.ops.Hll.approxDistinctByGroup(items, $"g", $"x", p = 10)
+      .select($"est").as[Double].head()
+    val single = graft.ops.Hll.approxDistinct(items.select($"x"), $"x", p = 10)
+    assert(math.abs(grouped - single) <= math.max(1.0, single * 0.001),
+      s"grouped=$grouped single=$single")
+  }
+
   test("sketch size is bounded by 2^p however large the input") {
     val items = (1 to 50000).map(i => s"v$i").toDF("x")
     assert(Hll.hllRegisters(items, $"x", 6).count() <= 64L)
