@@ -1423,6 +1423,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ORACLE-PORTABLE approximate profile: per-column rows/nulls plus a
+    // distinct estimate whose arithmetic replays in SQL (the portable
+    // per-group HLL) — the wide-table profiling path, now value-gated
+    // where approx_count_distinct's opaque sketch couldn't be.
+    "q_profile_portable" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Profile.profilePortable(tbl(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_orderdate"), p = 10)
+        .orderBy($"col")
+    }),
+
     // Distributed per-group approx-distinct over the SAME portable HLL:
     // per-(source, register) fold, then a per-group harmonic sum in
     // EXACT integer arithmetic (2^-rank scaled to 2^(48-rank) BIGINTs),
@@ -4132,6 +4144,46 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS n
         |  FROM documents)
         |WHERE contains(n, 'spark wind') ORDER BY doc_id""".stripMargin,
+    // unpivot the five columns, then the same portable-HLL chain at
+    // p=10 (m=1024) with exact rows/nulls alongside
+    "q_profile_portable" ->
+      """WITH items AS (
+        |  SELECT 'o_orderkey' AS col, o_orderkey::VARCHAR AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderdate', o_orderdate::VARCHAR FROM orders),
+        |cnts AS (SELECT col, count(*) AS rows,
+        |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls
+        |  FROM items GROUP BY col),
+        |hh AS (SELECT col, md5_number_lower('hll:' || v) AS h FROM items
+        |  WHERE v IS NOT NULL),
+        |b AS (SELECT col, CAST(h >> 54 AS INT) AS register,
+        |  h & ((1::UBIGINT << 54) - 1) AS w FROM hh),
+        |s1 AS (SELECT col, register, w, w | (w >> 1) AS s FROM b),
+        |s2 AS (SELECT col, register, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT col, register, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT col, register, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT col, register, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT col, register, w, s | (s >> 32) AS s FROM s5),
+        |r AS (SELECT col, register,
+        |  CASE WHEN w = 0 THEN 55 ELSE 55 - CAST(bit_count(s) AS INT) END AS rnk
+        |  FROM s6),
+        |regs AS (SELECT col, register, max(rnk) AS rnk FROM r GROUP BY 1, 2),
+        |a AS (SELECT col, count(*) AS filled,
+        |  sum(1::BIGINT << (48 - least(rnk, 48))) AS tf FROM regs GROUP BY col),
+        |f AS (SELECT col, (1024 - filled)::BIGINT AS v_zero,
+        |  (tf + (1024 - filled)::BIGINT * (1::BIGINT << 48))::BIGINT AS t_scaled
+        |  FROM a)
+        |SELECT c.col, c.rows, c.nulls, f.v_zero, f.t_scaled,
+        |  round(CASE WHEN f.v_zero > 0 AND
+        |      0.7213 / (1 + 1.079 / 1024.0) * 1024.0 * 1024.0
+        |        * 281474976710656.0 / f.t_scaled <= 2560.0
+        |    THEN 1024.0 * ln(1024.0 / f.v_zero)
+        |    ELSE 0.7213 / (1 + 1.079 / 1024.0) * 1024.0 * 1024.0
+        |        * 281474976710656.0 / f.t_scaled END, 4) AS est
+        |FROM cnts c LEFT JOIN f ON c.col = f.col
+        |ORDER BY c.col""".stripMargin,
     // per-source register fold + exact-integer harmonic sum + the same
     // double correction arithmetic (identical IEEE op order)
     "q_text_hll_group" ->

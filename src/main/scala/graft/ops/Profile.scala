@@ -33,10 +33,40 @@ object Profile {
 
   /** [[profile]] with HyperLogLog distinct counts (`rsd` relative error):
     * no Expand, one plain aggregation pass — the wide-table / quick-scan
-    * variant. Counts are approximate (not engine-portable); everything
-    * else matches [[profile]]. */
+    * variant. Counts are approximate and NOT engine-portable (opaque
+    * HLL++ sketch); when the estimate must be externally checkable,
+    * prefer [[profilePortable]]. Everything else matches [[profile]]. */
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  /** [[profileApprox]]'s ORACLE-PORTABLE successor: per-column
+    * row/null counts plus a distinct-count estimate from the portable
+    * per-group HyperLogLog ([[Hll.approxDistinctByGroup]], group = the
+    * column name over string-cast cell values) — an external SQL engine
+    * replays the ESTIMATE itself, which `approx_count_distinct`'s
+    * opaque HLL++ sketch cannot. Like any multi-column profile the scan
+    * visits each cell once per column (the unpivot), but the shuffle
+    * carries only (column, register) partials — ≤ cols·2^p rows,
+    * however wide the values. Cast caveat: distincts count STRING
+    * representations — exact for ints/strings/dates; avoid raw doubles
+    * (engine formatting differs).
+    * Returns (col, rows, nulls, v_zero, t_scaled, est). */
+  def profilePortable(
+      df: DataFrame, cols: Seq[String], p: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val items = df.select(explode(array(cols.map { c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))
+      }: _*)).as("kv"))
+      .select(col("kv.c").as("col"), col("kv.v").as("v"))
+    val counts = items.groupBy(col("col")).agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"))
+    val est = Hll.approxDistinctByGroup(
+        items.filter(col("v").isNotNull), col("col"), col("v"), p)
+      .withColumnRenamed("group", "col")
+    counts.join(est, Seq("col"), "left_outer")
+  }
 
   private def profileWith(
       df: DataFrame, cols: Seq[String], distinctAgg: String => Column): DataFrame = {
