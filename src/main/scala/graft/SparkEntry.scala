@@ -1820,6 +1820,18 @@ object SparkEntry {
         .orderBy($"day", $"user_a", $"user_b")
     }),
 
+    // Point-in-time SNAPSHOT: the whole dimension "as of" one instant
+    // (training-set reproduction) — the interval filter over the fold.
+    "q_scd2_asof" -> ((s, dir) => {
+      import s.implicits._
+      val hist = graft.ops.Scd2.fromChangeLog(eventsTbl(s, dir), "user_id",
+        "ts", Seq("event_type"), tieBreaks = Seq("event_id"))
+      graft.ops.Scd2.asOf(hist, lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"))
+        .orderBy($"user_id")
+    }),
+
     // Point-in-time SCD-2 lookup — the classic consumer: every event
     // enriched with its user's STATE VERSION valid at that event's
     // instant (as-of join on valid_from: one key shuffle, no join
@@ -4556,6 +4568,26 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.day = b.day AND a.user_id < b.user_id
         |  AND a.lo <= b.hi AND b.lo <= a.hi
         |ORDER BY day, user_a, user_b""".stripMargin,
+    // fold + the covering-interval filter at the snapshot instant
+    "q_scd2_asof" ->
+      """WITH vis AS (SELECT user_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_type FROM vis WHERE rn = 1),
+        |o AS (SELECT user_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM v),
+        |op AS (SELECT user_id, ts, event_type FROM o
+        |  WHERE pts IS NULL OR prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM op)
+        |SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us
+        |FROM h
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < valid_to)
+        |ORDER BY user_id""".stripMargin,
     // history fold + per-event latest-version-at-or-before pick
     "q_scd2_lookup" ->
       """WITH vis AS (SELECT user_id, ts, event_type,
