@@ -421,3 +421,18 @@ class Pipeline:
         DDL fragment like 'k INT, name STRING'."""
         return self._df(self._japi.parseJsonTagged(
             df._jdf, json_col, schema_ddl))
+
+    def parse_csv_tagged(self, df, csv_col, schema_ddl):
+        """CSV twin of parse_json_tagged (type failure / short row
+        quarantines)."""
+        return self._df(self._japi.parseCsvTagged(
+            df._jdf, csv_col, schema_ddl))
+
+    def ingest_json_files(self, spark, input_glob, schema_ddl, out_dir):
+        """JSON-lines files -> routed parquet partitioned by the
+        quarantine flag; returns (good, quarantined)."""
+        return tuple(self._japi.ingestJsonFiles(
+            self._jspark, input_glob, schema_ddl, out_dir))
+
+    def read_ingested(self, spark, out_dir):
+        return self._df(self._japi.readIngested(self._jspark, out_dir))

@@ -426,4 +426,21 @@ object PythonApi {
       df: DataFrame, jsonCol: String, schemaDdl: String): DataFrame =
     graft.ops.Ingest.parseJsonTagged(df, col(jsonCol),
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
+  def parseCsvTagged(
+      df: DataFrame, csvCol: String, schemaDdl: String): DataFrame =
+    graft.ops.Ingest.parseCsvTagged(df, col(csvCol),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
+  /** @return [good, quarantined] */
+  def ingestJsonFiles(
+      spark: SparkSession, inputGlob: String, schemaDdl: String,
+      outDir: String): java.util.List[Long] = {
+    val s = graft.ops.Ingest.ingestJsonFiles(spark, inputGlob,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl), outDir)
+    Seq(s.good, s.quarantined).asJava
+  }
+
+  def readIngested(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.Ingest.readIngested(spark, outDir)
 }

@@ -87,4 +87,41 @@ object Ingest {
       quarantine = tagged.filter(col("quarantined"))
         .select(df.columns.map(col) :+ col("raw"): _*))
   }
+
+  /** Outcome of [[ingestJsonFiles]]. */
+  case class IngestStats(good: Long, quarantined: Long)
+
+  /** Read an [[ingestJsonFiles]] table with the routing flag typed back
+    * to boolean (partition values are stored as path strings). */
+  def readIngested(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .withColumn("quarantined", col("quarantined").cast("boolean"))
+
+  /** The raw-file FRONT DOOR: JSON-lines files → one routed parquet
+    * table in a single pass. Lines parse under `schema`; the table
+    * lands at `outDir` Hive-partitioned by `quarantined` (good rows
+    * carry parsed columns, quarantined rows carry the raw line), so ONE
+    * write serves both consumers — the trainer reads
+    * `quarantined=false`, the replay queue reads `quarantined=true`,
+    * and Spark partition pruning keeps either read from touching the
+    * other's files. Blank lines are skipped (file padding, not data);
+    * the input glob streams through Spark's text source, so nothing is
+    * driver-resident. Rerunning overwrites (idempotent batch). */
+  def ingestJsonFiles(
+      spark: org.apache.spark.sql.SparkSession, inputGlob: String,
+      schema: StructType, outDir: String): IngestStats = {
+    val lines = spark.read.textFile(inputGlob).toDF("raw_line")
+      .filter(length(trim(col("raw_line"))) > 0)
+    val tagged = parseJsonTagged(lines, col("raw_line"), schema)
+      .drop("raw_line")
+    tagged.write.mode("overwrite")
+      .partitionBy("quarantined").parquet(outDir)
+    val written = spark.read.parquet(outDir)
+    // partition values come back as strings (no boolean inference)
+    val counts = written
+      .groupBy(col("quarantined").cast("boolean").as("__q")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    IngestStats(counts.getOrElse(false, 0L), counts.getOrElse(true, 0L))
+  }
 }

@@ -82,6 +82,29 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, None, None, true, None)))
   }
 
+  test("file front door: lines land routed by partition, prunable reads") {
+    val in = java.nio.file.Files.createTempDirectory("graft-ingest-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-out")
+      .resolve("tbl").toString
+    java.nio.file.Files.write(in.resolve("a.jsonl"),
+      java.util.Arrays.asList(
+        """{"k": 1, "name": "x"}""", "", """{"k": 2}""", "broken {"))
+    java.nio.file.Files.write(in.resolve("b.jsonl"),
+      java.util.Arrays.asList("""{"k": 3, "name": "z"}""", "also broken"))
+    val stats = Ingest.ingestJsonFiles(spark, s"$in/*.jsonl", schema, out)
+    assert(stats == Ingest.IngestStats(good = 3, quarantined = 2))
+    val good = Ingest.readIngested(spark, out).filter(!col("quarantined"))
+    assert(good.select($"k").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    val quarantine = Ingest.readIngested(spark, out).filter(col("quarantined"))
+      .select($"raw").as[String].collect().toSet
+    assert(quarantine == Set("broken {", "also broken"))
+    // the good read prunes to its partition directory
+    val scanned = good.queryExecution.executedPlan.toString
+    assert(!scanned.contains("quarantined=true"))
+    // rerun converges (overwrite batch)
+    assert(Ingest.ingestJsonFiles(spark, s"$in/*.jsonl", schema, out) == stats)
+  }
+
   test("reserved field name rejected") {
     val bad = new StructType().add("_graft_corrupt", StringType)
     intercept[IllegalArgumentException] {
