@@ -1926,6 +1926,33 @@ object SparkEntry {
         .orderBy($"q_id", $"rank")
     }),
 
+    // Data-quality expectations (the between-stage assertion gate):
+    // five named predicates over orders in ONE aggregation pass, each
+    // reporting rows/violations/pass; null predicate results count as
+    // violations (conservative).
+    "q_quality_checks" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Expect.check(tbl(s, dir, "orders"), Seq(
+          "price_positive" -> ($"o_totalprice" > 0),
+          "status_known" -> $"o_orderstatus".isin("F", "O", "P"),
+          "date_in_range" ->
+            $"o_orderdate".between("1992-01-01", "1998-12-31"),
+          "custkey_present" -> $"o_custkey".isNotNull,
+          "priority_nonempty" -> (length($"o_orderpriority") > 0)))
+        .orderBy($"check")
+    }),
+
+    // Per-group z-score outliers with ENGINE-EXACT arithmetic: the
+    // cross-multiplied test (n·x−S)² > z²(n·Q−S²) in 38-digit decimals
+    // — no float mean/variance, no sqrt, bit-reproducible outlier set.
+    "q_agg_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsTbl(s, dir).select($"event_id", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      graft.ops.Anomaly.zScoreOutliers(ev, $"event_type", $"cents", z = 3)
+        .orderBy($"event_id")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Packing.packByBudget(
@@ -2754,6 +2781,18 @@ object SparkEntry {
           unix_micros($"valid_to").as("valid_to_us"),
           $"version".cast("long").as("version"), $"is_current")
         .orderBy($"user_id", $"version")
+    }),
+
+    // Streaming trigram-index ingest: 4 ranged micro-batches, each
+    // appending its posting-chunk segment; the grown index serves the
+    // cross-word substring exactly like a one-shot build (contains
+    // verify), so it shares q_text_trgm's brute-scan oracle.
+    "q_stream_trgm" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_trgm")
+      graft.streaming.Streaming.trigramIngest(s, dir, work,
+          pattern = "spark wind", nBatches = 4)
+        .orderBy($"doc_id")
     }),
 
     // Streaming sketch ingest: 4 ranged micro-batches, each appending
@@ -4231,6 +4270,12 @@ object SparkEntry {
         |    ELSE 0.7213 / (1 + 1.079 / 128.0) * 128.0 * 128.0
         |        * 281474976710656.0 / t_scaled END, 4) AS est
         |FROM f ORDER BY grp""".stripMargin,
+    // segmented build == one-shot (contains verify): same brute oracle
+    "q_stream_trgm" ->
+      """SELECT doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS n
+        |  FROM documents)
+        |WHERE contains(n, 'spark wind') ORDER BY doc_id""".stripMargin,
     // bit-exact replay of the HLL register table: md5_number_lower is
     // the proven md5-lower-64 twin; register = top 10 bits, rank via
     // the same OR-smear + bit_count ladder (integer ops only)
@@ -4255,6 +4300,41 @@ object SparkEntry {
         |  FROM s6)
         |SELECT register, max(rnk) AS rank FROM r
         |GROUP BY register ORDER BY register""".stripMargin,
+    // per-check violation counts; same conservative null handling
+    "q_quality_checks" ->
+      """WITH n AS (SELECT count(*) AS rows FROM orders),
+        |v AS (
+        |  SELECT 'price_positive' AS "check",
+        |    sum(CASE WHEN coalesce(o_totalprice > 0, false)
+        |      THEN 0 ELSE 1 END)::BIGINT AS violations FROM orders
+        |  UNION ALL SELECT 'status_known',
+        |    sum(CASE WHEN coalesce(o_orderstatus IN ('F','O','P'), false)
+        |      THEN 0 ELSE 1 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'date_in_range',
+        |    sum(CASE WHEN coalesce(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31', false)
+        |      THEN 0 ELSE 1 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'custkey_present',
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT
+        |    FROM orders
+        |  UNION ALL SELECT 'priority_nonempty',
+        |    sum(CASE WHEN coalesce(length(o_orderpriority) > 0, false)
+        |      THEN 0 ELSE 1 END)::BIGINT FROM orders)
+        |SELECT v."check", n.rows, v.violations,
+        |  (v.violations = 0) AS passed
+        |FROM v, n ORDER BY v."check"""".stripMargin,
+    // exact cross-multiplied z-test in HUGEINT — no float stats
+    "q_agg_outliers" ->
+      """WITH o AS (SELECT event_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type AS g, count(*)::HUGEINT AS n,
+        |  sum(cents::HUGEINT) AS s,
+        |  sum(cents::HUGEINT * cents::HUGEINT) AS q
+        |  FROM o GROUP BY 1)
+        |SELECT o.event_id, o.event_type, o.cents
+        |FROM o JOIN st ON o.event_type = st.g
+        |WHERE (st.n * o.cents::HUGEINT - st.s) * (st.n * o.cents::HUGEINT - st.s)
+        |   > 9 * (st.n * st.q - st.s * st.s)
+        |ORDER BY event_id""".stripMargin,
     // the corruption is the only failure mode, so the flag and the
     // nulled INT field are closed-form
     "q_ingest_csv" ->

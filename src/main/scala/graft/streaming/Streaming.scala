@@ -464,6 +464,48 @@ object Streaming {
     }
   }
 
+  /** Streaming TRIGRAM-INDEX ingest: ranged document slices arrive as
+    * micro-batches and each batch appends its character-trigram posting
+    * chunks as a COMMITTED SEGMENT of the substring index
+    * ([[graft.text.Trigram.appendSegment]], segmentId = batchId) — only
+    * the batch is trigrammed, re-delivered batches overwrite their own
+    * segment (exactly-once). The grown index then serves the substring
+    * query exactly like a one-shot build (the contains-verify makes
+    * results exact regardless of segmentation), so the returned search
+    * shares the brute-scan oracle. */
+  def trigramIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      pattern: String,
+      nBatches: Int = 4,
+      chunkSize: Int = 1 << 16,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None => return docs.select(col("doc_id")).limit(0)
+      case Some(s) => s
+    }
+    val idxDir = s"$workDir/trgm_index"
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.text.Trigram.appendSegment(
+          batch, col("doc_id"), col("text"), idxDir, s"b$batchId", chunkSize)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.text.Trigram.searchSubstring(spark, idxDir, docs,
+      col("doc_id"), col("text"), pattern, chunkSize)
+  }
+
   /** Streaming SKETCH ingest: ranged document slices arrive as separate
     * micro-batches and each batch appends its own count-min cell grid
     * as a COMMITTED SEGMENT of the materialized sketch table

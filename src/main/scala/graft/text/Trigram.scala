@@ -39,12 +39,14 @@ object Trigram {
     pattern.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
       .replaceAll(" +", " ").trim
 
-  /** Distinct character trigrams of a (already normalized) string
-    * column; strings shorter than 3 chars have none. */
-  def trigramsOf(norm: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - 2, lit(0))),
-      i => substring(norm, i, lit(3))))
+  /** Distinct character trigrams of the RAW text column — the
+    * normalization happens inside the codegen'd kernel in the same
+    * byte pass ([[graft.functions.CharNgrams]]; an earlier
+    * `transform(sequence, i -> substring(norm, i, 3))` formulation
+    * re-evaluated the inlined normalization regex per position through
+    * Spark's interpreted lambda — O(len²) regex work per row). */
+  def trigramsOf(text: Column): Column =
+    graft.functions.exprs.char_ngrams(text, 3)
 
   private def trigramSeq(s: String): Seq[String] =
     if (s.length < 3) Nil
@@ -59,7 +61,7 @@ object Trigram {
     val hadSpec =
       graft.ops.IndexSpec.checkReturningPresence(docs, dir, spec(chunkSize))
     val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
-    docs.select(id.as("doc_id"), trigramsOf(normText(text)).as("__g"))
+    docs.select(id.as("doc_id"), trigramsOf(text).as("__g"))
       .select(col("doc_id"), explode(col("__g")).as("gram"))
       .groupBy(col("gram"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
