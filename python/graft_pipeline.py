@@ -396,6 +396,23 @@ class Pipeline:
         """Per-doc token-distribution entropy in integer micro-nats."""
         return self._df(self._japi.tokenEntropy(docs._jdf, id_col, text_col))
 
+    def expect_check(self, df, checks):
+        """Expectation report; checks = [(name, sql_predicate), ...]."""
+        flat = [x for pair in checks for x in pair]
+        return self._df(self._japi.expectCheck(
+            df._jdf, _jlist(self._spark, flat)))
+
+    def expect_enforce(self, df, checks):
+        """expect_check + raise if any expectation fails."""
+        flat = [x for pair in checks for x in pair]
+        return self._df(self._japi.expectEnforce(
+            df._jdf, _jlist(self._spark, flat)))
+
+    def z_score_outliers(self, df, group_col, value_col, z=3):
+        """Per-group z-score outlier rows, exact integer arithmetic."""
+        return self._df(self._japi.zScoreOutliers(
+            df._jdf, group_col, value_col, z))
+
     def hll_registers(self, items, item_col, p=12):
         """Engine-portable HyperLogLog register table (mergeable)."""
         return self._df(self._japi.hllRegisters(items._jdf, item_col, p))

@@ -220,6 +220,16 @@ def main():
     assert [r.rid for r in ov.collect()] == [2], ov.collect()
     ent = p.token_entropy(docs, "doc_id", "text")
     assert ent.filter("entropy_micro IS NOT NULL").count() == 4
+    # expectations + exact outliers from python
+    rep = {r.check: (r.violations, r.passed) for r in p.expect_check(
+        docs, [("has_text", "length(text) > 0"),
+               ("id_small", "doc_id < 2")]).collect()}
+    assert rep["has_text"] == (0, True) and rep["id_small"] == (2, False), rep
+    odf = spark.createDataFrame(
+        [(i, "g", 100) for i in range(50)] + [(99, "g", 99999)],
+        ["id", "g", "v"])
+    out = p.z_score_outliers(odf, "g", "v", z=3)
+    assert [r.id for r in out.collect()] == [99]
     # portable HLL: tiny-set estimate is near-exact (linear counting)
     distinct_est = p.hll_approx_distinct(toks, "term", p=10)
     true_distinct = toks.distinct().count()

@@ -401,6 +401,31 @@ object PythonApi {
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.text.Tfidf.tokenEntropy(docs, col(idCol), col(textCol))
 
+  /** checks = [name, sqlPredicate, name, sqlPredicate, ...]. */
+  def expectCheck(
+      df: DataFrame, checks: java.util.List[String]): DataFrame = {
+    val pairs = checks.asScala.toSeq.grouped(2).map {
+      case Seq(n, p) => n -> org.apache.spark.sql.functions.expr(p)
+      case other => throw new IllegalArgumentException(
+        s"checks must be (name, predicate) pairs, got: $other")
+    }.toSeq
+    graft.ops.Expect.check(df, pairs)
+  }
+
+  def expectEnforce(
+      df: DataFrame, checks: java.util.List[String]): DataFrame = {
+    val pairs = checks.asScala.toSeq.grouped(2).map {
+      case Seq(n, p) => n -> org.apache.spark.sql.functions.expr(p)
+      case other => throw new IllegalArgumentException(
+        s"checks must be (name, predicate) pairs, got: $other")
+    }.toSeq
+    graft.ops.Expect.enforce(df, pairs)
+  }
+
+  def zScoreOutliers(
+      df: DataFrame, groupCol: String, valueCol: String, z: Int): DataFrame =
+    graft.ops.Anomaly.zScoreOutliers(df, col(groupCol), col(valueCol), z)
+
   // ---- portable HyperLogLog -------------------------------------------
 
   def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame =
