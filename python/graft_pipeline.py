@@ -237,6 +237,17 @@ class Pipeline:
         param order, fragments, trailing slashes) for URL-level dedup."""
         return self._df(self._japi.normalizeUrl(df._jdf, url_col, out_col))
 
+    def html_to_text(self, df, html_col, out_col="clean_text"):
+        """HTML -> visible text: script/style/comment removal, tag
+        separators, common-entity decode, whitespace collapse."""
+        return self._df(self._japi.htmlToText(df._jdf, html_col, out_col))
+
+    def top_k_by_group(self, df, group_col, key_col, id_col, k):
+        """Per-group top-k by (key desc, id asc) at aggregation cost
+        (bounded heap, no window sort): (group, rank, key, id)."""
+        return self._df(self._japi.topKByGroup(
+            df._jdf, group_col, key_col, id_col, k))
+
     def write_keyed_table(self, df, key_col, path, num_buckets,
                           mode="error"):
         """Create a hash-bucket-partitioned keyed table for

@@ -239,6 +239,14 @@ object PythonApi {
   def normalizeUrl(df: DataFrame, urlCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, graft.text.Web.normalizeUrl(col(urlCol)))
 
+  def htmlToText(df: DataFrame, htmlCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, graft.text.Web.htmlToText(col(htmlCol)))
+
+  def topKByGroup(
+      df: DataFrame, groupCol: String, keyCol: String, idCol: String,
+      k: Int): DataFrame =
+    graft.ops.TopK.topKByGroup(df, col(groupCol), col(keyCol), col(idCol), k)
+
   def writeKeyedTable(
       df: DataFrame, keyCol: String, dir: String, numBuckets: Int,
       mode: String): Unit =

@@ -1142,6 +1142,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // HTML -> visible text (the step between crawl fetch and every
+    // content heuristic): planted pages exercise script/style content
+    // removal (including '<' inside code), comments, tag separators and
+    // the entity decode chain; the oracle replays the same order-pinned
+    // regex chain. Pure map-side.
+    "q_web_htmltext" -> ((s, dir) => {
+      import s.implicits._
+      val stylePart = when($"doc_id" % 4 === 0,
+        "<style>p { color: #fff; }</style>").otherwise("")
+      val scriptPart = when($"doc_id" % 3 === 0,
+        "<script type=\"text/javascript\">if (a<b && c>d) { alert('x'); }</script>")
+        .otherwise("")
+      val commentPart = when($"doc_id" % 5 === 0,
+        "<!-- hidden <b>note</b> -->").otherwise("")
+      val entities = when($"doc_id" % 2 === 0,
+        " Fish &amp; Chips &lt;tm&gt; say &quot;hi&quot; it&#39;s a&nbsp;b")
+        .otherwise("")
+      tbl(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><head><title>Doc "), $"doc_id", lit("</title>"),
+          stylePart, scriptPart, lit("</head>\n<body>"), commentPart,
+          lit("<h1>Doc "), $"doc_id", lit("</h1>\n<p>"),
+          substring($"text", 1, 120), lit("</p>"), entities,
+          lit("</body></html>")))
+        .select($"doc_id", graft.text.Web.htmlToText($"html").as("clean_text"))
+        .orderBy($"doc_id")
+    }),
+
     // PageRank link centrality (the CommonCrawl-style crawl/keep signal)
     // over a deterministic doc_id-arithmetic link graph, 5 iterations.
     // Integer nano-rank arithmetic end to end (floor divisions, integer
@@ -1951,6 +1979,20 @@ object SparkEntry {
         floor($"value" * 100 + 0.5).cast("long").as("cents"))
       graft.ops.Anomaly.zScoreOutliers(ev, $"event_type", $"cents", z = 3)
         .orderBy($"event_id")
+    }),
+
+    // Per-group top-k at AGGREGATION cost (bounded-heap
+    // TypedImperativeAggregate, map-side partials of <= k pairs per
+    // group per partition) instead of the window shape's
+    // shuffle-and-sort-every-row; the oracle IS the window shape, so the
+    // two formulations are proved equivalent. (key desc, id asc) total
+    // order makes the result input-order-independent.
+    "q_agg_topk" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.TopK.topKByGroup(tbl(s, dir, "documents"),
+          group = $"source", key = length($"text"), id = $"doc_id", k = 5)
+        .toDF("source", "rank", "text_len", "doc_id")
+        .orderBy($"source", $"rank")
     }),
 
     "q_pack_budget" -> ((s, dir) => {
@@ -3926,7 +3968,7 @@ object SparkEntry {
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1) AS hostport,
         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+([^?#]*)', 1) AS path,
-        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
         |  FROM u),
         |comp AS (SELECT doc_id, url, scheme,
         |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
@@ -3942,6 +3984,33 @@ object SparkEntry {
         |  (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
         |    ELSE '' END) AS norm_url
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_web_htmltext" ->
+      """WITH u AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '<style>p { color: #fff; }</style>' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |    THEN '<script type="text/javascript">if (a<b && c>d) { alert(''x''); }</script>'
+        |    ELSE '' END) ||
+        |  '</head>' || chr(10) || '<body>' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '<!-- hidden <b>note</b> -->' ELSE '' END) ||
+        |  '<h1>Doc ' || doc_id::VARCHAR || '</h1>' || chr(10) || '<p>' ||
+        |  substr(text, 1, 120) || '</p>' ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |    THEN ' Fish &amp; Chips &lt;tm&gt; say &quot;hi&quot; it&#39;s a&nbsp;b'
+        |    ELSE '' END) ||
+        |  '</body></html>' AS html FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g') AS t FROM u)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean_text
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_web_domains" -> {
       // same public-suffix snapshot as Web.registrableDomainOf — the
       // alternation is generated from it so the two can never drift
@@ -4335,6 +4404,15 @@ object SparkEntry {
         |WHERE (st.n * o.cents::HUGEINT - st.s) * (st.n * o.cents::HUGEINT - st.s)
         |   > 9 * (st.n * st.q - st.s * st.s)
         |ORDER BY event_id""".stripMargin,
+    // the window formulation IS the oracle for the heap aggregate
+    "q_agg_topk" ->
+      """SELECT source, rank, text_len, doc_id FROM (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY length(text) DESC, doc_id) AS rank,
+        |    length(text)::BIGINT AS text_len, doc_id
+        |  FROM documents) t
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // the corruption is the only failure mode, so the flag and the
     // nulled INT field are closed-form
     "q_ingest_csv" ->
@@ -5291,7 +5369,7 @@ object SparkEntry {
         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1) AS hostport,
         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+([^?#]*)', 1) AS path,
-        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
         |  FROM u),
         |comp AS (SELECT doc_id, source, scheme,
         |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,

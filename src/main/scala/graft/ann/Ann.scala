@@ -840,8 +840,7 @@ object Ann {
       row.zip(query).map { case (s, x) => s * math.floor(x * 1000.0 + 0.5) }.sum)
     val qLit = array(qProj.map(lit): _*)
     val projected = df.select(id.as("vec_id"),
-      graft.functions.exprs.mat_vec(quantizeMilli(vec),
-        rademacherMatrix(outDim, query.length, seed)).as("__proj"))
+      graft.functions.exprs.mat_vec(quantizeMilli(vec), mat).as("__proj"))
     val base = projected.select(col("vec_id").as("neighbor_id"),
       squaredDistance(col("__proj"), qLit).cast("bigint").as("proj_dist2"))
     excludeId.fold(base)(x => base.filter(col("neighbor_id") =!= x))

@@ -901,4 +901,9 @@ object exprs {
   /** out(j) = Σ_i mat(j)(i)·a(i) against a plan-literal matrix. */
   def mat_vec(a: Column, mat: Seq[Seq[Double]]): Column =
     SparkInternals.wrap(MatVec(SparkInternals.unwrap(a), mat))
+  /** bounded-heap per-group top-k: array<struct<key,id>>, (key desc, id asc). */
+  def top_k_by(key: Column, id: Column, k: Int): Column =
+    SparkInternals.wrap(TopKByKey(
+      SparkInternals.unwrap(key), SparkInternals.unwrap(id), k)
+      .toAggregateExpression())
 }

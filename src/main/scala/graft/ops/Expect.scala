@@ -18,19 +18,22 @@ object Expect {
     require(checks.nonEmpty, "at least one expectation required")
     require(checks.map(_._1).distinct.size == checks.size,
       s"duplicate check names: ${checks.map(_._1)}")
-    val aggExprs = count(lit(1)).as("__n") +: checks.map { case (name, cond) =>
-      sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L))
-        .as(s"__viol_$name")
-    }
+    // positional aliases + an exploded (name, count) struct array — check
+    // names are bound as LITERALS, never spliced into SQL text or column
+    // identifiers, so quotes/backticks/dots in a name are just data
+    val aggExprs = count(lit(1)).as("__n") +:
+      checks.zipWithIndex.map { case ((_, cond), i) =>
+        sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L))
+          .as(s"__viol_$i")
+      }
     val row = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val stackArgs = checks
-      .map { case (name, _) => s"'$name', `__viol_$name`" }
-      .mkString(", ")
-    row.selectExpr("__n",
-        s"stack(${checks.size}, $stackArgs) AS (check, violations)")
-      .select(col("check"), col("__n").as("rows"),
-        coalesce(col("violations"), lit(0L)).as("violations"),
-        (coalesce(col("violations"), lit(0L)) === 0L).as("passed"))
+    val pairs = array(checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col(s"__viol_$i").as("violations"))
+    }: _*)
+    row.select(col("__n"), explode(pairs).as("kv"))
+      .select(col("kv.check").as("check"), col("__n").as("rows"),
+        coalesce(col("kv.violations"), lit(0L)).as("violations"),
+        (coalesce(col("kv.violations"), lit(0L)) === 0L).as("passed"))
   }
 
   /** [[check]] + fail-fast: throws listing every failed expectation

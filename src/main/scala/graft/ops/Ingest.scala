@@ -23,6 +23,20 @@ object Ingest {
   /** Reserved corrupt-capture field name inside the parse. */
   private val CorruptField = "_graft_corrupt"
 
+  /** Names the tagged shape itself emits (routing flag, replay payload,
+    * parse scratch) — a schema field OR input column with one of these
+    * would produce duplicate/ambiguous output columns, so fail fast. */
+  private val Reserved = Seq("quarantined", "raw", "__graft_p", CorruptField)
+
+  private def requireNamesFree(
+      df: DataFrame, schema: StructType, fn: String): Unit = {
+    val clash =
+      (schema.fieldNames.toSeq ++ df.columns.toSeq).filter(Reserved.contains).distinct
+    require(clash.isEmpty,
+      s"$fn reserves column names ${Reserved.mkString("'", "', '", "'")}; " +
+        s"rename conflicting column(s) ${clash.mkString("'", "', '", "'")} first")
+  }
+
   /** One-pass parse: original columns + one column per `schema` field
     * (null where absent or unparseable) + `quarantined` (true for
     * malformed-JSON or null payloads) + `raw` (the offending payload
@@ -33,8 +47,7 @@ object Ingest {
     * missing a field just nulls that field. */
   def parseJsonTagged(
       df: DataFrame, json: Column, schema: StructType): DataFrame = {
-    require(!schema.fieldNames.contains(CorruptField),
-      s"schema may not contain reserved field '$CorruptField'")
+    requireNamesFree(df, schema, "parseJsonTagged")
     require(schema.nonEmpty, "target schema must have at least one field")
     val augmented = schema.add(CorruptField, StringType)
     val opts = Map("mode" -> "PERMISSIVE",
@@ -57,8 +70,7 @@ object Ingest {
     * keys. */
   def parseCsvTagged(
       df: DataFrame, csv: Column, schema: StructType): DataFrame = {
-    require(!schema.fieldNames.contains(CorruptField),
-      s"schema may not contain reserved field '$CorruptField'")
+    requireNamesFree(df, schema, "parseCsvTagged")
     require(schema.nonEmpty, "target schema must have at least one field")
     val augmented = schema.add(CorruptField, StringType)
     val opts = Map("mode" -> "PERMISSIVE",

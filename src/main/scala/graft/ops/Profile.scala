@@ -55,10 +55,14 @@ object Profile {
       df: DataFrame, cols: Seq[String], p: Int = 10): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    // the unpivot feeds TWO aggregations (counts + HLL registers) —
+    // materialize it once so the source table is scanned and the
+    // cols-way explode computed a single time (the bm25 pattern)
     val items = df.select(explode(array(cols.map { c =>
         struct(lit(c).as("c"), col(c).cast("string").as("v"))
       }: _*)).as("kv"))
       .select(col("kv.c").as("col"), col("kv.v").as("v"))
+      .localCheckpoint(false)
     val counts = items.groupBy(col("col")).agg(
       count(lit(1)).as("rows"),
       sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"))
@@ -72,21 +76,26 @@ object Profile {
       df: DataFrame, cols: Seq[String], distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
-    val aggExprs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        distinctAgg(c).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
+    // positional aliases + exploded struct array (the Expect.check
+    // pattern): profiled column names are bound as literals, never
+    // spliced into SQL text or backticked identifiers
+    val aggExprs = count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+          distinctAgg(c).as(s"__nd_$i"),
+          min(col(c)).cast("string").as(s"__min_$i"),
+          max(col(c)).cast("string").as(s"__max_$i"))
+      }
     val row = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`")
-      .mkString(", ")
-    row.selectExpr(
-      "__n AS n_rows",
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_val, max_val)")
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    val pairs = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"), col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }: _*)
+    row.select(col("__n").as("n_rows"), explode(pairs).as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("n_rows"),
+        col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"),
+        col("kv.min_val").as("min_val"), col("kv.max_val").as("max_val"))
   }
 }

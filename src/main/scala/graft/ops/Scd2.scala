@@ -101,10 +101,17 @@ object Scd2 {
       tieBreaks: Seq[String] = Nil, mode: String = "error"): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     val hist = fromChangeLog(changes, key, ts, attrs, tieBreaks)
-    IndexSpec.delete(hist, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(dirPath)
+    // same spec-lifecycle discipline as Upsert.writeKeyedTable: only an
+    // overwrite may drop an existing table's spec — a mode="error" write
+    // that throws must leave the old layout guard intact, and a
+    // mode="ignore" no-op write must not re-pin a different layout
+    if (mode == "overwrite") IndexSpec.delete(hist, dir)
     hist.withColumn("graft_bucket", Upsert.bucketOf(col(key), numBuckets))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
-    IndexSpec.write(hist, dir, spec(key, numBuckets))
+    if (!(mode == "ignore" && existed)) IndexSpec.write(hist, dir, spec(key, numBuckets))
   }
 
   /** Read the history table back (layout column dropped). */

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group top-k selection at aggregation cost — "the 5 best documents
+  * per source", "the k nearest candidates per query" — without the
+  * window-function shape's scale trap: `row_number() OVER (PARTITION BY
+  * g ORDER BY key DESC)` shuffles EVERY row to its group's partition and
+  * sorts it (a hot group = one straggling sort task), while this folds a
+  * bounded O(k) heap per group map-side, ships ≤ k pairs per (input
+  * partition × group) through the shuffle, and never sorts more than the
+  * k survivors of a group ([[graft.functions.TopKByKey]]).
+  */
+object TopK {
+
+  /** Top `k` ids per group by `(key desc, id asc)` — deterministic for
+    * any input order (the id tiebreak). Rows with a null key or id are
+    * skipped; a group whose every row is skipped emits nothing.
+    *
+    * `key` and `id` must be integral (cast to long upstream); ranking by
+    * a double belongs behind a fixed-point quantization anyway (the
+    * repo-wide exactness discipline).
+    *
+    * @return (group, rank, key, id) — rank 1 = strongest, ordered within
+    *         each group
+    */
+  def topKByGroup(
+      df: DataFrame, group: Column, key: Column, id: Column, k: Int): DataFrame =
+    df.groupBy(group.as("group"))
+      .agg(graft.functions.exprs.top_k_by(key.cast("long"), id.cast("long"), k)
+        .as("__top"))
+      .select(col("group"), posexplode(col("__top")))
+      .select(col("group"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("key"), col("col.id").as("id"))
+}

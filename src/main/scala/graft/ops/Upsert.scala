@@ -62,11 +62,19 @@ object Upsert {
       mode: String = "error"): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     require(df.columns.contains(key), s"key column '$key' not in ${df.columns.toSeq}")
-    // spec write-ordering discipline: no spec may cover partial data
-    IndexSpec.delete(df, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(dirPath)
+    // spec write-ordering discipline: no spec may cover partial data —
+    // but only an overwrite may invalidate an EXISTING table's spec; a
+    // mode="error" write that throws on an existing dir must leave the
+    // old table's layout guard intact
+    if (mode == "overwrite") IndexSpec.delete(df, dir)
     df.withColumn("graft_bucket", bucketOf(col(key), numBuckets))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
-    IndexSpec.write(df, dir, spec(key, numBuckets))
+    // mode="ignore" over an existing table is a no-op write — the old
+    // spec (whatever layout it pins) stays authoritative
+    if (!(mode == "ignore" && existed)) IndexSpec.write(df, dir, spec(key, numBuckets))
   }
 
   /** Read the keyed table back as a plain DataFrame (layout column
@@ -175,6 +183,15 @@ object Upsert {
         touched.filterNot(surviving).foreach { b =>
           val p = new org.apache.hadoop.fs.Path(dir, s"graft_bucket=$b")
           if (fs.exists(p)) fs.delete(p, true)
+        }
+        // a delete that empties the WHOLE table must leave a readable
+        // (zero-row) table, not a dir with no parquet footers — plant one
+        // empty file carrying the data schema under an empty bucket dir
+        val anyBucketLeft = fs.listStatus(dirPath).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("graft_bucket="))
+        if (!anyBucketLeft) {
+          survivors.drop("graft_bucket").limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/graft_bucket=0")
         }
         DeleteStats(touched.length, numBuckets, baseCount - carried, carried)
       }

@@ -94,7 +94,14 @@ object Streaming {
       .foreachBatch(upsert)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(dataDir)
+    // an all-empty source never creates the sink dir (every micro-batch
+    // hits upsertParquet's no-data early return) — return a typed empty
+    // result instead of letting the parquet read throw
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    if (dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dataPath))
+      spark.read.parquet(dataDir)
+    else
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), agg.schema)
   }
 
   /** Last-write-wins upsert of `batch` into a parquet dir keyed by `keys`:
@@ -102,7 +109,14 @@ object Streaming {
     * written to a temp dir, the old dir is renamed aside, the new one
     * renamed in, and only then is the old data deleted — a crash between
     * steps leaves either the old or the new complete sink on disk, never
-    * neither. The plain-parquet stand-in for a MERGE-capable table format. */
+    * neither. Structured Streaming reruns the crashed batch (same batchId),
+    * and this method self-heals on that retry: a rename-aside copy with no
+    * data dir means the crash hit between the two renames, so the copy is
+    * restored before merging; a rename-aside copy NEXT TO a data dir means
+    * the swap completed and only the cleanup was lost, so the stale copy is
+    * dropped (the merge itself is idempotent — re-applying the same batch
+    * over already-upserted data anti-joins its own keys out first). The
+    * plain-parquet stand-in for a MERGE-capable table format. */
   private[streaming] def upsertParquet(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       path: String,
@@ -115,6 +129,12 @@ object Streaming {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dataPath = new org.apache.hadoop.fs.Path(path)
     val fs = dataPath.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old_$batchId")
+    if (!fs.exists(dataPath) && fs.exists(old)) {
+      // retry after a crash between the two renames: the rename-aside copy
+      // is the only complete sink — restore it before merging
+      fs.rename(old, dataPath)
+    }
     val merged =
       if (!fs.exists(dataPath)) batch
       else {
@@ -127,7 +147,10 @@ object Streaming {
     // magnitude below the input — so a handful of files suffices and
     // avoids per-trigger small-file buildup.
     merged.coalesce(4).write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"${path}_old_$batchId")
+    // stale copy from a retry whose swap completed but whose cleanup
+    // didn't: dataPath is the newer state, drop the leftover so the
+    // rename-aside below can't collide
+    if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(dataPath)) fs.rename(dataPath, old)
     fs.rename(tmp, dataPath)
     if (fs.exists(old)) fs.delete(old, true)

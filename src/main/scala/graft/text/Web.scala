@@ -155,12 +155,53 @@ object Web {
     val path = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+([^?#]*)", 1)
     val cleanPath = regexp_replace(path, "/+$", "")
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored pre-fragment scan: a '?' INSIDE the fragment (SPA routes
+    // like '#/r?tab=1') must not be promoted to a query string — [^#]*?
+    // can never cross the '#', so only a real query's '?' matches
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$"))
     val queryPart = when(size(params) > 0,
       concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
     when(hostport === "", url)
       .otherwise(concat(scheme, lit("://"), host, portPart, cleanPath, queryPart))
+  }
+
+  /** HTML → visible text — the step between the crawl fetch and every
+    * content heuristic in this package (quality, langid, dedup all want
+    * prose, not markup). Order-pinned regex chain, applied map-side and
+    * shared verbatim with the SQL oracle so both engines produce
+    * byte-identical text:
+    *
+    *   1. `<script>`/`<style>` elements removed WITH their content
+    *      (case-insensitive, non-greedy close; an unterminated element
+    *      keeps its text — rule 3 then strips the dangling tag);
+    *   2. comments `<!-- … -->` removed;
+    *   3. every remaining tag `<…>` replaced by a space (the separator
+    *      keeps `…word</p><p>word…` from fusing);
+    *   4. the six ubiquitous named/numeric entities decoded — `&lt;`
+    *      `&gt;` `&quot;` `&#39;` `&nbsp;` first, `&amp;` LAST (so
+    *      double-escaped `&amp;lt;` decodes one level per pass, the
+    *      replace-chain convention both engines share);
+    *   5. whitespace runs collapsed to one space, ends trimmed.
+    *
+    * Deliberately boilerplate-agnostic: nav/footer pruning is a
+    * MODELING choice (link-density thresholds), so it belongs in the
+    * quality gates downstream ([[TextFunctions]]), not in the
+    * deterministic markup strip. NULL html yields NULL. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
 }

@@ -354,6 +354,57 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("htmlToText: script/style content, comments, tags, entities, whitespace") {
+    import graft.text.Web
+    val df = Seq(
+      // script content removed even with '<'/'>' inside code
+      (1L, "<p>keep</p><script>if (a<b && c>d) { x('y'); }</script><p>tail</p>"),
+      // style content removed; case-insensitive open tags
+      (2L, "<STYLE>p{color:red}</STYLE><B>bold</B> text"),
+      // comments vanish including markup inside them
+      (3L, "before<!-- <b>secret</b> -->after"),
+      // tags become separators: adjacent blocks don't fuse
+      (4L, "<p>one</p><p>two</p>"),
+      // entity decode, &amp; last so &amp;lt; decodes one level
+      (5L, "Fish &amp; Chips &lt;tm&gt; it&#39;s &quot;q&quot; a&nbsp;b &amp;lt;raw"),
+      // unterminated script keeps its text (only the dangling tag strips)
+      (6L, "<p>x</p><script>orphan code"),
+      (7L, "   lots \n\t of   space   ")
+    ).toDF("id", "html")
+    val got = df.select($"id", Web.htmlToText($"html").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "keep tail")
+    assert(got(2L) == "bold text")
+    assert(got(3L) == "before after")
+    assert(got(4L) == "one two")
+    assert(got(5L) == "Fish & Chips <tm> it's \"q\" a b &lt;raw")
+    assert(got(6L) == "x orphan code")
+    assert(got(7L) == "lots of space")
+    // null-safe and map-side
+    assert(df.select(Web.htmlToText(lit(null.asInstanceOf[String]))).head().isNullAt(0))
+    assert(!df.select(Web.htmlToText($"html"))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("normalizeUrl: a '?' inside the fragment is not a query string") {
+    import graft.text.Web
+    val df = Seq(
+      // SPA-style routes: everything after '#' must vanish, including '?'
+      (1L, "https://example.com/app#/route?tab=1"),
+      (2L, "https://example.com/app#/route?tab=2&x=9"),
+      // a real query AND a '?' in the fragment: only the real one survives
+      (3L, "https://example.com/app?b=2&a=1#/r?z=3"),
+      (4L, "https://example.com/app#?")
+    ).toDF("id", "url")
+    val got = df.select($"id", Web.normalizeUrl($"url").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "https://example.com/app")
+    assert(got(2L) == "https://example.com/app")
+    assert(got(1L) == got(2L), "fragment-only differences must canonicalize equal")
+    assert(got(3L) == "https://example.com/app?a=1&b=2")
+    assert(got(4L) == "https://example.com/app")
+  }
+
   test("duplicateSegmentStats counts repeats of identical segments") {
     import graft.text.TextFunctions
     val docs = Seq(

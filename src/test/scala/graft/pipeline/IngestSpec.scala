@@ -112,6 +112,24 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("output-clashing names rejected: schema 'raw'/'quarantined', input 'quarantined'") {
+    // a schema field named like a tag column would duplicate it in the output
+    intercept[IllegalArgumentException] {
+      Ingest.parseJsonTagged(rows, $"payload",
+        new StructType().add("raw", StringType))
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.parseCsvTagged(rows, $"payload",
+        new StructType().add("quarantined", StringType))
+    }
+    // re-ingesting previously tagged data: the INPUT carries the clash
+    val tagged = rows.withColumn("quarantined", lit(false))
+    intercept[IllegalArgumentException] {
+      Ingest.parseJsonTagged(tagged, $"payload",
+        new StructType().add("k", StringType))
+    }
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()

@@ -39,6 +39,16 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullRep._3 == 2L) // "b" fails, null fails conservatively
   }
 
+  test("check names with quotes/backticks/dots are data, not SQL") {
+    val rep = Expect.check(df, Seq(
+        "customer's `id`.present" -> $"id".isNotNull,
+        "v > 0 -- or 1=1" -> ($"v" > 0)))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep("customer's `id`.present") == ((3L, 0L, true)))
+    assert(rep("v > 0 -- or 1=1") == ((3L, 1L, false)))
+  }
+
   test("enforce throws listing every failing expectation") {
     val e = intercept[IllegalArgumentException] {
       Expect.enforce(df, Seq(

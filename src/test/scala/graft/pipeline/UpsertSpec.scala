@@ -195,5 +195,43 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter($"k" === 7L).as[(Long, Long)].head()._2 == 999L)
   }
 
+  test("failed mode=error rewrite leaves the existing table's spec intact") {
+    val dir = tmpDir()
+    val base = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.writeKeyedTable(base, "k", dir, numBuckets = 8)
+    // default mode=error against the existing table: the data write
+    // throws — and must NOT have consumed the 8-bucket spec first
+    intercept[Exception] {
+      Upsert.writeKeyedTable(base, "k", dir, numBuckets = 4)
+    }
+    // the surviving spec still guards the layout: a 4-bucket upsert is
+    // refused instead of silently landing keys in wrong buckets
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, dir, Seq((1L, "x")).toDF("k", "v"), "k", 4)
+    }
+    assert(e.getMessage.contains("buckets=8"))
+    // and the correctly-parameterized upsert still works
+    Upsert.upsertByKey(spark, dir, Seq((1L, "x")).toDF("k", "v"), "k", 8)
+    assert(Upsert.readKeyedTable(spark, dir)
+      .filter($"k" === 1L).as[(Long, String)].head()._2 == "x")
+  }
+
+  test("deleting every row leaves a readable empty table that accepts new upserts") {
+    val dir = tmpDir()
+    val base = (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.writeKeyedTable(base, "k", dir, numBuckets = 4)
+    val stats = Upsert.deleteByKey(
+      spark, dir, (0L until 20L).toDF("k"), "k", numBuckets = 4)
+    assert(stats.deleted == 20L && stats.carried == 0L)
+    // the emptied table must still read (zero rows, schema intact) …
+    val empty = Upsert.readKeyedTable(spark, dir)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    // … and accept later upserts
+    Upsert.upsertByKey(spark, dir, Seq((3L, "back")).toDF("k", "v"), "k", 4)
+    assert(Upsert.readKeyedTable(spark, dir)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "back")))
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -65,6 +65,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("h1", "a", 1L, 1.0), ("h2", "a", 5L, 5.0), ("h3", "b", 3L, 3.0)))
   }
 
+  test("upsert crash retry between the two renames restores the rename-aside copy") {
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-crash1").toString + "/data"
+    val keys = Seq("win_start", "event_type")
+    val b0 = Seq(("h1", "a", 1L, 1.0), ("h2", "a", 2L, 2.0))
+      .toDF("win_start", "event_type", "n", "total_value")
+    val b1 = Seq(("h2", "a", 5L, 5.0), ("h3", "b", 3L, 3.0))
+      .toDF("win_start", "event_type", "n", "total_value")
+    Streaming.upsertParquet(b0, path, keys, 0L)
+    // simulate a crash DURING batch 1, after rename(data, old) but before
+    // rename(tmp, data): the sink dir is gone, only the aside copy remains
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"${path}_old_1")))
+    // Structured Streaming reruns the same batchId — the retry must
+    // restore h1 (pre-batch state), not reduce the sink to b1 alone
+    Streaming.upsertParquet(b1, path, keys, 1L)
+    val got = spark.read.parquet(path)
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("h1", "a", 1L, 1.0), ("h2", "a", 5L, 5.0), ("h3", "b", 3L, 3.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old_1")))
+  }
+
+  test("upsert crash retry after a completed swap drops the stale copy idempotently") {
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-crash2").toString + "/data"
+    val keys = Seq("win_start", "event_type")
+    val b0 = Seq(("h1", "a", 1L, 1.0)).toDF("win_start", "event_type", "n", "total_value")
+    val b1 = Seq(("h2", "a", 5L, 5.0)).toDF("win_start", "event_type", "n", "total_value")
+    Streaming.upsertParquet(b0, path, keys, 0L)
+    Streaming.upsertParquet(b1, path, keys, 1L)
+    // simulate a crash AFTER batch 1's swap but before its cleanup: the
+    // stale pre-swap copy is still sitting next to the committed data
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(path),
+      fs, new org.apache.hadoop.fs.Path(s"${path}_old_1"), false, conf)
+    // rerun of batch 1 must converge to the same rows and clear the leftover
+    Streaming.upsertParquet(b1, path, keys, 1L)
+    val got = spark.read.parquet(path)
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("h1", "a", 1L, 1.0), ("h2", "a", 5L, 5.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old_1")))
+  }
+
   test("stream-stream join equals batch interval join") {
     val streamed = Streaming.clickPurchaseJoin(spark, dir, withinMinutes = 240)
       .collect().map(_.toString).sorted
