@@ -362,19 +362,32 @@ object Ann {
         norm(qVec).as("__na"),
         explode(graft.functions.exprs.nearest_centroids(
           quantizeMilli(qVec), centroidsMilli, nprobe)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val joined = probes.join(data, Seq("__c"))
-    (if (excludeSameId) joined.filter(col("vec_id") =!= col("neighbor_id"))
-     else joined)
+    val scored = (if (excludeSameId)
+        joined.filter(col("vec_id") =!= col("neighbor_id"))
+      else joined)
       .select(col("vec_id"), col("neighbor_id"),
         round(dot(col("__va"), col("__vb")) /
           greatest(col("__na") * col("__nb"), lit(1e-12)), 6).as("cosine"))
-      // no dedup needed: the corpus side holds each vector in exactly ONE
-      // cell and the probe cells are distinct, so a (vec_id, neighbor_id)
-      // pair meets at most once
-      .withColumn("nn_rank", row_number().over(w))
-      .filter(col("nn_rank") <= k)
+    // no dedup needed: the corpus side holds each vector in exactly ONE
+    // cell and the probe cells are distinct, so a (vec_id, neighbor_id)
+    // pair meets at most once. Rank via the bounded-heap aggregate
+    // rather than a row_number window: the 6-dp-rounded cosine is
+    // order-isomorphic to its exact micro-units long, so (micro desc,
+    // id asc) reproduces the window order bit-for-bit (micro/1e6 and
+    // round(c, 6) are both the nearest double to the same 6-dp decimal)
+    // — while map-side partials ship <= k candidates per (partition ×
+    // query) through the shuffle instead of every scored pair, and a hot
+    // cell never becomes one straggling per-query sort.
+    scored
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.exprs.top_k_by(
+        round(col("cosine") * 1e6).cast("long"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("vec_id"), posexplode(col("__top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        (col("col.key").cast("double") / 1e6).as("cosine"),
+        (col("pos") + 1).cast("int").as("nn_rank"))
   }
 
   /** Semantic dedup: keep one representative (the smallest id) per

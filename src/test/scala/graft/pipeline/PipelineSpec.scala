@@ -754,6 +754,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(knn((qid, i + 1)) == nid, s"query $qid rank ${i + 1}")
       }
     }
+    // the re-rank is the bounded-heap aggregate, not a per-query window
+    // sort of every scored candidate (map-side partial top-k)
+    val knnPlan = Ann.knnJoin(df, col("id"), col("v"), cents, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!knnPlan.contains("Window"), knnPlan)
+    assert(knnPlan.contains("ObjectHashAggregate"), knnPlan)
     // nprobe=1: every neighbor comes from the query's own cluster
     val one = Ann.knnJoin(df, col("id"), col("v"), cents, k = 3, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
