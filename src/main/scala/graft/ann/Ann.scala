@@ -1048,10 +1048,11 @@ object Ann {
     * ties: equal distances rank by vec_id.
     *
     * Scale shape: assignment is a codegen'd scan (centroids are plan
-    * literals, no shuffle); the only shuffle is the per-cluster window —
-    * same stratum shape as [[diversitySample]], bounded by k partitions.
-    * At extreme cluster skew pre-filter by a distance threshold before
-    * the window (the rank is only needed among genuine outliers).
+    * literals, no shuffle); ranking is the bounded-heap aggregate over
+    * the distance's order-preserving sortable-bits long — map-side
+    * partials ship ≤ nPerCluster rows per (partition × cluster) and no
+    * task ever sorts a whole cluster (the former per-cluster window
+    * made a mega-cluster one straggling sort).
     *
     * `centroids` live in the quantizeMilli domain, exactly as
     * [[kmeansFit]] returns them (same contract as [[kmeansAssign]]).
@@ -1070,13 +1071,19 @@ object Ann {
       .select(col("vec_id"),
         col("__nc.idx").as("cluster"),
         col("__nc.dist").as("__d"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("__d").desc, col("vec_id"))
-    assigned.withColumn("outlier_rank", row_number().over(w))
-      .filter(col("outlier_rank") <= nPerCluster)
-      .select(col("vec_id"), col("cluster"),
-        round(col("__d") / lit(1e6), 6).as("dist2"),
-        col("outlier_rank"))
+    // (dist desc, vec_id asc) through the heap: sortable-bits longs
+    // compare exactly like the doubles, and the original distance is
+    // recovered bit-for-bit for the output column
+    assigned
+      .groupBy(col("cluster"))
+      .agg(graft.functions.exprs.top_k_by(
+        graft.functions.exprs.sortable_double_bits(col("__d")),
+        col("vec_id").cast("long"), nPerCluster).as("__top"))
+      .select(col("cluster"), posexplode(col("__top")))
+      .select(col("col.id").as("vec_id"), col("cluster"),
+        round(graft.functions.exprs.double_from_sortable_bits(col("col.key"))
+          / lit(1e6), 6).as("dist2"),
+        (col("pos") + 1).cast("int").as("outlier_rank"))
   }
 
   /** Per-class centroid fit for the nearest-class-centroid (Rocchio)

@@ -101,6 +101,16 @@ case class TopKByKey(
     StructField("key", LongType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (key.dataType == LongType && id.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by requires (bigint, bigint) inputs — cast upstream; " +
+          s"got (${key.dataType.simpleString}, ${id.dataType.simpleString})")
+    }
+
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {

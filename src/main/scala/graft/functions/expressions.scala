@@ -421,6 +421,51 @@ case class Md5Lower64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Md5Lower64 = copy(child = c)
 }
 
+/** Order-preserving double → long transform (the classic sortable-bits
+  * trick): raw IEEE-754 bits with the lower 63 bits flipped for
+  * negatives, so SIGNED long comparison of the outputs equals
+  * `java.lang.Double.compare` of the inputs (−0.0 < 0.0, infinities at
+  * the ends; NaN above +∞ — callers ranking distances/scores never see
+  * one). The transform is an involution restricted to the sign-bit
+  * classes, inverted exactly by [[DoubleFromSortableBits]] — together
+  * they let the long-keyed [[TopKByKey]] heap rank DOUBLE keys with no
+  * precision loss. */
+case class SortableDoubleBits(child: Expression)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def compute(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Double])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): SortableDoubleBits = copy(child = c)
+}
+
+/** Exact inverse of [[SortableDoubleBits]] — recovers the original
+  * double bit-for-bit from its sortable long form. */
+case class DoubleFromSortableBits(child: Expression)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  def compute(b: Long): Double =
+    java.lang.Double.longBitsToDouble(b ^ ((b >> 63) & 0x7fffffffffffffffL))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Long])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): DoubleFromSortableBits = copy(child = c)
+}
+
 /** Feature-hashing bucket of a string: md5-lower-64 reduced modulo
   * `buckets` with UNSIGNED remainder semantics — bit-identical to DuckDB
   * `md5_number_lower(s) % buckets` (whose md5_number_lower is a UBIGINT),
@@ -906,4 +951,10 @@ object exprs {
     SparkInternals.wrap(TopKByKey(
       SparkInternals.unwrap(key), SparkInternals.unwrap(id), k)
       .toAggregateExpression())
+  /** order-preserving double→long (signed compare == Double.compare). */
+  def sortable_double_bits(d: Column): Column =
+    SparkInternals.wrap(SortableDoubleBits(SparkInternals.unwrap(d)))
+  /** exact inverse of [[sortable_double_bits]]. */
+  def double_from_sortable_bits(b: Column): Column =
+    SparkInternals.wrap(DoubleFromSortableBits(SparkInternals.unwrap(b)))
 }

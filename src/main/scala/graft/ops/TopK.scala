@@ -33,4 +33,26 @@ object TopK {
       .select(col("group"), posexplode(col("__top")))
       .select(col("group"), (col("pos") + 1).cast("long").as("rank"),
         col("col.key").as("key"), col("col.id").as("id"))
+
+  /** [[topKByGroup]] for a DOUBLE ranking key, no precision loss: the
+    * key rides the heap as its order-preserving IEEE sortable-bits long
+    * ([[graft.functions.SortableDoubleBits]] — signed long compare ==
+    * `Double.compare`) and is recovered bit-for-bit on the way out.
+    * `ascending = true` ranks smallest-first (nearest-by-distance) by
+    * heaping the BITWISE-NOT of the bits — strictly order-reversing with
+    * no negation overflow; note the id tiebreak stays ascending. */
+  def topKByGroupDouble(
+      df: DataFrame, group: Column, key: Column, id: Column, k: Int,
+      ascending: Boolean = false): DataFrame = {
+    val bits = graft.functions.exprs.sortable_double_bits(key.cast("double"))
+    val heapKey = if (ascending) bitwise_not(bits) else bits
+    val outKey = graft.functions.exprs.double_from_sortable_bits(
+      if (ascending) bitwise_not(col("col.key")) else col("col.key"))
+    df.groupBy(group.as("group"))
+      .agg(graft.functions.exprs.top_k_by(heapKey, id.cast("long"), k)
+        .as("__top"))
+      .select(col("group"), posexplode(col("__top")))
+      .select(col("group"), (col("pos") + 1).cast("long").as("rank"),
+        outKey.as("key"), col("col.id").as("id"))
+  }
 }

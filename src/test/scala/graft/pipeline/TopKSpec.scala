@@ -75,6 +75,48 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == "tiny") == 1)
   }
 
+  test("sortable double bits: signed-long order == Double.compare; exact involution") {
+    import graft.functions.{DoubleFromSortableBits, SortableDoubleBits}
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(0.0)
+    val fwd = SortableDoubleBits(lit0)
+    val inv = DoubleFromSortableBits(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    val rnd = new scala.util.Random(3)
+    val specials = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0, -1.0, 1e-300, -1e-300)
+    val samples = specials ++ Seq.fill(500)(
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filterNot(_.isNaN)
+    for (a <- samples; b <- samples.take(20)) {
+      assert(java.lang.Long.compare(fwd.compute(a), fwd.compute(b)).signum ==
+        java.lang.Double.compare(a, b).signum, s"order mismatch: $a vs $b")
+    }
+    for (a <- samples) {
+      val back = inv.compute(fwd.compute(a))
+      assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(a), s"roundtrip: $a")
+    }
+  }
+
+  test("topKByGroupDouble: desc and asc match window ranking on doubles") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(300)(i =>
+      (s"g${i % 5}", rnd.nextInt(10) * 0.125 - 0.5, i.toLong))
+    val df = rows.toDF("g", "key", "id")
+    def windowed(desc: Boolean) = {
+      val w = Window.partitionBy($"g")
+        .orderBy(if (desc) $"key".desc else $"key".asc, $"id")
+      df.withColumn("rank", row_number().over(w)).filter($"rank" <= 4)
+        .select($"g", $"rank".cast("long"), $"key", $"id")
+        .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    val gotDesc = TopK.topKByGroupDouble(df, $"g", $"key", $"id", k = 4)
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(gotDesc == windowed(desc = true))
+    val gotAsc = TopK.topKByGroupDouble(df, $"g", $"key", $"id", k = 4, ascending = true)
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(gotAsc == windowed(desc = false))
+  }
+
   test("plan: hash aggregation with map-side partials, no Window, no full sort") {
     val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i.toLong))
       .toDF("g", "key", "id")
