@@ -248,6 +248,21 @@ class Pipeline:
         return self._df(self._japi.topKByGroup(
             df._jdf, group_col, key_col, id_col, k))
 
+    def kmeans_state_init(self, df, id_col, vec_col, k):
+        """Mini-batch k-means: seed + fold the first batch into the
+        per-cluster integer-sum state (cluster, n, sums, seed)."""
+        return self._df(self._japi.kmeansStateInit(df._jdf, id_col, vec_col, k))
+
+    def kmeans_state_update(self, state, df, id_col, vec_col):
+        """Fold one more batch into the state: batch-sized assignment
+        against the live sums/n centroids, exact integer accumulation."""
+        return self._df(self._japi.kmeansStateUpdate(
+            state._jdf, df._jdf, id_col, vec_col))
+
+    def kmeans_state_report(self, state):
+        """Live centroids of a state: (cluster, n, i, c_milli)."""
+        return self._df(self._japi.kmeansStateReport(state._jdf))
+
     def write_keyed_table(self, df, key_col, path, num_buckets,
                           mode="error"):
         """Create a hash-bucket-partitioned keyed table for

@@ -247,6 +247,17 @@ object PythonApi {
       k: Int): DataFrame =
     graft.ops.TopK.topKByGroup(df, col(groupCol), col(keyCol), col(idCol), k)
 
+  def kmeansStateInit(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    graft.ann.Ann.kmeansStateInit(df, col(idCol), col(vecCol), k)
+
+  def kmeansStateUpdate(
+      state: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.ann.Ann.kmeansStateUpdate(state, df, col(idCol), col(vecCol))
+
+  def kmeansStateReport(state: DataFrame): DataFrame =
+    graft.ann.Ann.kmeansStateReport(state)
+
   def writeKeyedTable(
       df: DataFrame, keyCol: String, dir: String, numBuckets: Int,
       mode: String): Unit =

@@ -2428,6 +2428,25 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // Mini-batch (incremental) k-means: 4 modulo-sliced batches fold into
+    // the running per-cluster integer-sum state — the centroid-refresh
+    // path for a live IVF index (batch-sized cost per update, no corpus
+    // re-scan). The oracle replays the ENTIRE batch sequence: seed from
+    // batch 0, assign each batch to the then-current sums/n centroids,
+    // accumulate. Output = per-dimension live centroids + counts.
+    "q_ann_kmeans_minibatch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val nBatches = 4
+      var st = graft.ann.Ann.kmeansStateInit(
+        emb.filter($"vec_id" % nBatches === 0), $"vec_id", $"embedding", k = 8)
+      (1 until nBatches).foreach { t =>
+        st = graft.ann.Ann.kmeansStateUpdate(
+          st, emb.filter($"vec_id" % nBatches === t), $"vec_id", $"embedding")
+      }
+      graft.ann.Ann.kmeansStateReport(st)
+    }),
+
     // Approximate kNN JOIN: each vector's 3 highest-cosine neighbors via
     // k-means cell blocking (data side 1 cell, probe side 2 cells) + exact
     // re-rank — the all-rows graph the single-query topk can't build. The
@@ -2813,6 +2832,17 @@ object SparkEntry {
     // history table, later batches take the delta-proportional keyed
     // merge. In-order batches ≡ the one-shot fold, so the served
     // history shares the from-scratch SCD-2 oracle.
+    // Streaming mini-batch k-means ingest: the modulo-sliced batches
+    // arrive as files and fold into the per-batch-committed centroid
+    // state — the SAME deterministic sequence the one-shot
+    // q_ann_kmeans_minibatch runs, so the two share an oracle.
+    "q_stream_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_kmeans")
+      graft.streaming.Streaming.kmeansIngest(s, dir, work,
+        k = 8, nBatches = 4)
+    }),
+
     "q_stream_scd2" -> ((s, dir) => {
       import s.implicits._
       val work = scratchTableDir(dir, "stream_scd2")
@@ -3602,6 +3632,65 @@ object SparkEntry {
          |  WHERE a.c IN (SELECT c FROM probe))
          |SELECT neighbor_id, round(cs, 6) AS cosine FROM s
          |ORDER BY cs DESC, neighbor_id LIMIT $topK""".stripMargin
+  }
+
+  /** Full replay of the [[graft.ann.Ann.kmeansStateInit]] →
+    * [[graft.ann.Ann.kmeansStateUpdate]] mini-batch sequence: seed
+    * centroids = first k vectors of batch 0, then each modulo-sliced
+    * batch assigns against the then-current `sums/n` centroids
+    * (first-min ties) and folds per-dimension exact integer sums +
+    * counts. Emits (cluster, n, i, c_milli). */
+  private def minibatchKmeansSql(k: Int, dim: Int, batches: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    val zeros = s"list_transform($r, i -> CAST(0 AS DOUBLE))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
+         |  FROM embeddings),
+         |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS seed
+         |  FROM (SELECT vec_id, q FROM v WHERE vec_id % $batches = 0
+         |        ORDER BY vec_id LIMIT $k)),
+         |c0 AS (SELECT c, seed AS cent FROM sd),
+         |""".stripMargin)
+    for (t <- 0 until batches) {
+      val prevState = if (t == 0) "sd" else s"s${t - 1}"
+      // live centroids for this batch's assignment
+      if (t > 0) sb.append(
+        s"""c$t AS (SELECT c, CASE WHEN n > 0
+           |    THEN list_transform(sums, x -> x / n) ELSE seed END AS cent
+           |  FROM $prevState),
+           |""".stripMargin)
+      sb.append(
+        s"""d$t AS (SELECT v.vec_id, v.q, c$t.c,
+           |  list_sum(list_transform($r,
+           |    i -> (v.q[i] - c$t.cent[i]) * (v.q[i] - c$t.cent[i]))) AS d
+           |  FROM v, c$t WHERE v.vec_id % $batches = $t),
+           |a$t AS (SELECT vec_id, q, c FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$t) WHERE rn = 1),
+           |m$t AS (SELECT a$t.c, t.i, sum(q[t.i]) AS sv, count(*) AS cnt
+           |  FROM a$t, (SELECT unnest($r) AS i) t GROUP BY a$t.c, t.i),
+           |g$t AS (SELECT c, list(sv ORDER BY i) AS sums, max(cnt) AS n
+           |  FROM m$t GROUP BY c),
+           |""".stripMargin)
+      val (pn, psums) =
+        if (t == 0) ("CAST(0 AS BIGINT)", zeros)
+        else (s"s${t - 1}.n", s"s${t - 1}.sums")
+      sb.append(
+        s"""s$t AS (SELECT $prevState.c, $pn + coalesce(g$t.n, 0) AS n,
+           |  CASE WHEN g$t.c IS NULL THEN $psums
+           |    ELSE list_transform($r, i -> $psums[i] + g$t.sums[i]) END AS sums,
+           |  $prevState.seed
+           |  FROM $prevState LEFT JOIN g$t ON $prevState.c = g$t.c),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT * FROM s${batches - 1})
+         |SELECT CAST(c AS INT) AS cluster, n, CAST(t.i AS INT) AS i,
+         |  round(CASE WHEN n > 0 THEN sums[t.i] / n ELSE seed[t.i] END, 6) AS c_milli
+         |FROM fin, (SELECT unnest($r) AS i) t
+         |ORDER BY cluster, i""".stripMargin)
+    sb.toString
   }
 
   private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
@@ -4642,6 +4731,8 @@ object SparkEntry {
     "q_scd2_merge" -> scd2Sql,
     // in-order streamed CDC batches converge to the same fold
     "q_stream_scd2" -> scd2Sql,
+    // the streamed batch sequence IS the one-shot mini-batch sequence
+    "q_stream_kmeans" -> minibatchKmeansSql(k = 8, dim = 64, batches = 4),
     // entropy replay -> rank-band membership -> cumulative pack ids
     "q_pipeline_curate7" ->
       """WITH t AS (SELECT doc_id,
@@ -5163,6 +5254,7 @@ object SparkEntry {
         |SELECT neighbor_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, neighbor_id LIMIT 10""".stripMargin,
     "q_ann_kmeans" -> kmeansSql(k = 8, dim = 64, iters = 2),
+    "q_ann_kmeans_minibatch" -> minibatchKmeansSql(k = 8, dim = 64, batches = 4),
     // replay the fit (shared centroid chain), then BOTH cell assignments
     // (data rn=1, probe rn<=2 by (dist, cell)), the cell equi-join, the
     // exact cosine, and the rounded-cosine rank order

@@ -994,6 +994,108 @@ object Ann {
     s
   }
 
+  /** INCREMENTALLY-maintained k-means — the centroid-refresh story for a
+    * live IVF/IVFADC serving index: a full Lloyd refit re-scans the whole
+    * corpus, while the mini-batch fold (Sculley 2010's web-scale k-means,
+    * made deterministic) absorbs each arriving batch into running
+    * per-cluster EXACT INTEGER sums over milli-quantized vectors:
+    *
+    *   - state = k rows `(cluster, n, sums, seed)`; the live centroid is
+    *     `sums/n` (an exact integer-ratio double) or the seed while the
+    *     cluster is empty — so any engine replays the whole batch
+    *     sequence bit-for-bit;
+    *   - [[kmeansStateUpdate]] assigns the batch to the CURRENT
+    *     centroids with the codegen'd [[nearestCentroid]] kernel
+    *     (map-side; first-min ties) and adds per-dimension sums/counts —
+    *     ONE distributed aggregation of ≤ k×(dim+1) values per batch,
+    *     batch-sized cost however large the accumulated corpus;
+    *   - the k-row state itself merges driver-side (the same bounded
+    *     footprint as [[kmeansFit]]'s centroid collect).
+    *
+    * Batch ORDER matters (assignment uses the evolving centroids) and an
+    * update is NOT idempotent against the same state — persist the state
+    * per batch id and rebuild a retry from the PRIOR state (the
+    * committed-segment discipline the streaming ingests use).
+    */
+  def kmeansStateInit(
+      batch: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = batch.select(id.as("__id"), quantizeMilli(vec).as("__q"))
+    val init = q.orderBy(col("__id")).limit(k).collect()
+    require(init.length == k, s"need at least $k vectors, found ${init.length}")
+    val seeds = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    mergeState(batch.sparkSession,
+      seeds.indices.map(j => (j, 0L, IndexedSeq.fill(seeds(j).length)(0.0), seeds(j))),
+      assignAndSum(q, seeds))
+  }
+
+  /** Absorb one batch into the state (see [[kmeansStateInit]]). */
+  def kmeansStateUpdate(
+      state: DataFrame, batch: DataFrame, id: Column, vec: Column): DataFrame = {
+    val rows = collectState(state)
+    val cents = rows.map { case (_, n, sums, seed) =>
+      if (n > 0L) sums.map(_ / n) else seed
+    }
+    val q = batch.select(id.as("__id"), quantizeMilli(vec).as("__q"))
+    mergeState(state.sparkSession, rows, assignAndSum(q, cents))
+  }
+
+  /** Live centroids of a state (milli domain — the [[kmeansAssign]] /
+    * [[clusterOutliers]] / [[knnJoin]] contract). */
+  def kmeansStateCentroids(state: DataFrame): Seq[Seq[Double]] =
+    collectState(state).map { case (_, n, sums, seed) =>
+      if (n > 0L) sums.map(_ / n) else seed
+    }
+
+  /** Flat report of a state's live centroids: (cluster, n, i, c_milli)
+    * — dimension-exploded, 6-dp-rounded milli units (exactly what an
+    * external replay of the batch sequence reproduces). */
+  def kmeansStateReport(state: DataFrame): DataFrame =
+    state.select(col("cluster"), col("n"),
+        when(col("n") > 0, transform(col("sums"), x => x / col("n")))
+          .otherwise(col("seed")).as("cent"))
+      .select(col("cluster"), col("n"), posexplode(col("cent")))
+      .select(col("cluster"), col("n"), (col("pos") + 1).cast("int").as("i"),
+        round(col("col"), 6).as("c_milli"))
+      .orderBy(col("cluster"), col("i"))
+
+  /** One distributed job: nearest-centroid assignment + per-cluster
+    * (count, per-dimension sums) — ≤ k rows back to the driver. */
+  private def assignAndSum(
+      q: DataFrame, cents: IndexedSeq[IndexedSeq[Double]]):
+      Map[Int, (Long, IndexedSeq[Double])] = {
+    val dim = cents.head.length
+    val assigned = q.select(col("__q"), nearestCentroid(col("__q"), cents).as("__c"))
+    val aggs = (0 until dim).map(i =>
+      sum(element_at(col("__q"), i + 1)).as(s"__s$i")) :+ count(lit(1)).as("__n")
+    assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        r.getInt(0) -> ((r.getLong(dim + 1), (0 until dim).map(i => r.getDouble(i + 1))))
+      }.toMap
+  }
+
+  private def collectState(
+      state: DataFrame): IndexedSeq[(Int, Long, IndexedSeq[Double], IndexedSeq[Double])] =
+    state.select(col("cluster"), col("n"), col("sums"), col("seed"))
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toIndexedSeq, r.getSeq[Double](3).toIndexedSeq))
+      .toIndexedSeq
+
+  private def mergeState(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: IndexedSeq[(Int, Long, IndexedSeq[Double], IndexedSeq[Double])],
+      delta: Map[Int, (Long, IndexedSeq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (j, n, sums, seed) =>
+      delta.get(j) match {
+        case Some((dn, dsums)) =>
+          (j, n + dn, sums.zip(dsums).map { case (a, b) => a + b }, seed)
+        case None => (j, n, sums, seed)
+      }
+    }.toDF("cluster", "n", "sums", "seed")
+  }
+
   /** Cluster assignment of every vector against fitted centroids:
     * (vec_id, cluster, dist2 = squared L2 in ORIGINAL embedding units,
     * rounded at 6dp). A pure map-side projection — centroids ride the

@@ -324,7 +324,8 @@ object Streaming {
     * Returns None on an empty corpus. Shared by the ingest shapes. */
   private def stageRangedSlices(
       spark: SparkSession, docs: DataFrame, workDir: String,
-      nBatches: Int, idCol: String = "doc_id"): Option[String] = {
+      nBatches: Int, idCol: String = "doc_id",
+      modulo: Boolean = false): Option[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val workPath = new org.apache.hadoop.fs.Path(workDir)
     val fs = workPath.getFileSystem(hconf)
@@ -337,7 +338,10 @@ object Streaming {
     fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
     (0 until nBatches).foreach { b =>
       val bDir = s"$workDir/b$b"
-      docs.filter(expr(s"$idCol div $slice") === b)
+      val pred =
+        if (modulo) col(idCol) % nBatches === b
+        else expr(s"$idCol div $slice") === b
+      docs.filter(pred)
         .coalesce(1).write.mode("overwrite").parquet(bDir)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
       val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.parquet")
@@ -424,6 +428,76 @@ object Streaming {
     // explicit schema: a degenerate run whose batches all deduped to
     // nothing leaves only _SUCCESS markers to read
     spark.read.schema(docs.schema).parquet(outDir)
+  }
+
+  /** STREAMING MINI-BATCH K-MEANS — live centroid maintenance for the
+    * vector-serving indexes: embedding batches arrive as files (one
+    * micro-batch per file) and fold into the running per-cluster
+    * integer-sum state ([[graft.ann.Ann.kmeansStateInit]] /
+    * [[graft.ann.Ann.kmeansStateUpdate]] — one batch-sized assignment
+    * job per trigger, never a corpus re-scan, k-row state). The state
+    * lands per BATCH ID (`s<batchId>` computed from `s<batchId-1>`), so
+    * a re-delivered batch recomputes from its predecessor instead of
+    * double-folding itself — the committed-unit discipline the other
+    * ingests use. Batches are modulo slices of the embeddings table so
+    * the one-shot oracle replays the identical sequence.
+    *
+    * @return (cluster, n, i, c_milli) — the live centroids after the run
+    */
+  def kmeansIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      k: Int = 8, nBatches: Int = 4,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val staged =
+      stageRangedSlices(spark, emb, workDir, nBatches, idCol = "vec_id",
+        modulo = true) match {
+        case None =>
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("cluster",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("i",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("c_milli",
+                org.apache.spark.sql.types.DoubleType))))
+        case Some(s) => s
+      }
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$workDir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        if (batch.take(1).nonEmpty) {
+          val st =
+            if (batchId == 0L)
+              graft.ann.Ann.kmeansStateInit(
+                batch, col("vec_id"), col("embedding"), k)
+            else
+              graft.ann.Ann.kmeansStateUpdate(
+                spark.read.parquet(s"$stateRoot/s${batchId - 1}"),
+                batch, col("vec_id"), col("embedding"))
+          st.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/s$batchId")
+        }
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val last = fs.listStatus(stateRoot).map(_.getPath.getName)
+      .filter(_.startsWith("s")).map(_.drop(1).toLong).max
+    graft.ann.Ann.kmeansStateReport(
+      spark.read.parquet(s"$stateRoot/s$last"))
   }
 
   /** STREAMING CDC → SCD-2 HISTORY: the event change log arrives as

@@ -1010,6 +1010,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(assigned.forall(_.getInt(1) == 0))
   }
 
+  test("mini-batch kmeans: one-batch state equals a single Lloyd step; folds are exact") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.2f, 0.0f)), (3L, Seq(0.0f, 1.2f)),
+      (4L, Seq(0.8f, 0.0f)), (5L, Seq(0.0f, 0.8f)))
+    val df = rows.toDF("id", "v")
+    // whole corpus as ONE batch: state centroids = mean of the vectors
+    // assigned to the first-k seeds = exactly kmeansFit(iters = 1)
+    val st1 = Ann.kmeansStateInit(df, col("id"), col("v"), k = 2)
+    assert(Ann.kmeansStateCentroids(st1) ==
+      Ann.kmeansFit(df, col("id"), col("v"), k = 2, iters = 1))
+    // sequential batches: counts fold to the corpus size; sums stay
+    // exact integers; a rerun of the same update from the same prior
+    // state is deterministic (the retry contract)
+    val b0 = df.filter(col("id") < 2)
+    val b1 = df.filter(col("id") >= 2 && col("id") < 4)
+    val b2 = df.filter(col("id") >= 4)
+    val s0 = Ann.kmeansStateInit(b0, col("id"), col("v"), k = 2)
+    val s1 = Ann.kmeansStateUpdate(s0, b1, col("id"), col("v"))
+    val s2a = Ann.kmeansStateUpdate(s1, b2, col("id"), col("v"))
+    val s2b = Ann.kmeansStateUpdate(s1, b2, col("id"), col("v"))
+    assert(s2a.collect().map(_.toString).sorted.toSeq ==
+      s2b.collect().map(_.toString).sorted.toSeq)
+    assert(s2a.agg(sum(col("n"))).head.getLong(0) == rows.length.toLong)
+    // planted symmetry: cluster 0 holds the x-axis points (ids 0,2,4 →
+    // milli sums 1000+1200+800), cluster 1 the y-axis points
+    val fin = s2a.orderBy(col("cluster")).collect()
+    assert(fin(0).getLong(1) == 3L && fin(1).getLong(1) == 3L)
+    assert(fin(0).getSeq[Double](2) == Seq(3000.0, 0.0))
+    assert(fin(1).getSeq[Double](2) == Seq(0.0, 3000.0))
+  }
+
+  test("mini-batch kmeans: a cluster no batch feeds keeps its seed centroid") {
+    // seeds = ids 0 and 1 (identical) → cluster 1 never wins a first-min
+    // tie and stays empty through every update
+    val df = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f))).toDF("id", "v")
+    val s0 = Ann.kmeansStateInit(df, col("id"), col("v"), k = 2)
+    val s1 = Ann.kmeansStateUpdate(
+      s0, Seq((2L, Seq(1.1f, 1.1f))).toDF("id", "v"), col("id"), col("v"))
+    val r = s1.orderBy(col("cluster")).collect()
+    assert(r(0).getLong(1) == 3L && r(1).getLong(1) == 0L)
+    assert(Ann.kmeansStateCentroids(s1)(1) == Seq(1000.0, 1000.0))
+  }
+
   test("unigramNll: exact micro-nat arithmetic, empty doc surfaces null") {
     val docs = Seq((1L, "a a"), (2L, "a b"), (3L, "")).toDF("id", "text")
     val out = graft.text.Tfidf.unigramNll(docs, col("id"), col("text"))

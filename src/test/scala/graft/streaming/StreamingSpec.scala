@@ -111,6 +111,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old_1")))
   }
 
+  test("streaming mini-batch kmeans equals the one-shot batch sequence") {
+    import graft.ann.Ann
+    val out = java.nio.file.Files.createTempDirectory("graft-kmeans-ingest").toString
+    val streamed = Streaming.kmeansIngest(spark, dir, out, k = 4, nBatches = 3)
+      .collect().map(_.toString).toSeq
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    var st = Ann.kmeansStateInit(
+      emb.filter($"vec_id" % 3 === 0), $"vec_id", $"embedding", k = 4)
+    (1 until 3).foreach { t =>
+      st = Ann.kmeansStateUpdate(
+        st, emb.filter($"vec_id" % 3 === t), $"vec_id", $"embedding")
+    }
+    val oneShot = Ann.kmeansStateReport(st).collect().map(_.toString).toSeq
+    assert(streamed == oneShot)
+  }
+
   test("stream-stream join equals batch interval join") {
     val streamed = Streaming.clickPurchaseJoin(spark, dir, withinMinutes = 240)
       .collect().map(_.toString).sorted
