@@ -241,6 +241,29 @@ def main():
     tagged = p.parse_json_tagged(pay, "payload", "k INT")
     routed = {r.id: (r.k, r.quarantined) for r in tagged.collect()}
     assert routed == {1: (5, False), 2: (None, True)}, routed
+    # bounded-heap per-group top-k: (key desc, id asc) ranks
+    tdf = spark.createDataFrame(
+        [("a", 5, 1), ("a", 9, 2), ("a", 9, 3), ("b", 1, 4)],
+        ["g", "k", "i"])
+    tk = {(r.group, r.rank): (r.key, r.id)
+          for r in p.top_k_by_group(tdf, "g", "k", "i", 2).collect()}
+    assert tk == {("a", 1): (9, 2), ("a", 2): (9, 3), ("b", 1): (1, 4)}, tk
+    # html -> text: markup strips, entities decode
+    hdf = spark.createDataFrame(
+        [(1, "<p>Fish &amp; chips</p><script>x<1</script>")], ["id", "html"])
+    assert p.html_to_text(hdf, "html").collect()[0].clean_text == \
+        "Fish & chips"
+    # mini-batch kmeans: two planted clusters fold across two batches
+    vdf = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.2, 0.0]), (3, [0.0, 1.2])],
+        ["vec_id", "embedding"])
+    st = p.kmeans_state_init(
+        vdf.filter("vec_id < 2"), "vec_id", "embedding", 2)
+    st = p.kmeans_state_update(
+        st, vdf.filter("vec_id >= 2"), "vec_id", "embedding")
+    rep = {(r.cluster, r.i): (r.n, r.c_milli)
+           for r in p.kmeans_state_report(st).collect()}
+    assert rep[(0, 1)] == (2, 1100.0) and rep[(1, 2)] == (2, 1100.0), rep
 
     print(f"PYTHON API OK: {len(indexed)} rows matched, "
           "lifecycle+refresh+compact+pipeline complete")
