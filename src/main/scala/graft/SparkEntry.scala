@@ -1930,6 +1930,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Round-6 sixth composed pipeline — per-source quality quota: the
+    // trained LR margin (exact integer micro-units) ranks every doc and
+    // the bounded-heap top-k keeps the 10 best PER SOURCE — the "best-k
+    // per domain" selection a curated mixture wants, at aggregation
+    // cost (no per-source sort at 100 TB). The oracle replays the
+    // training chain and the quota as a window.
+    "q_pipeline_curate8" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val model = graft.text.LogReg.fit(
+        docs.filter($"lang" === "en"),
+        docs.filter(not($"lang" <=> "en")),
+        $"doc_id", $"text", buckets = 1024, iters = 3, etaMilli = 500)
+      val scored = graft.text.LogReg.score(docs, $"doc_id", $"text", model)
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      graft.ops.TopK.topKByGroup(
+          scored, $"source", $"margin_micro", $"doc_id", k = 10)
+        .toDF("source", "rank", "margin_micro", "doc_id")
+        .orderBy($"source", $"rank")
+    }),
+
     // Adjacent-chunk positive pairs (self-supervised contrastive
     // positives): consecutive 32-token windows of each doc paired
     // (anchor, positive) via one doc-key shuffle + bounded lead window.
@@ -3579,6 +3600,20 @@ object SparkEntry {
          |  (coalesce(sc.dot, 0) + (SELECT b FROM b$iters))::BIGINT AS margin_micro
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin
+
+  /** Replay of [[q_pipeline_curate8]]: the LR training chain, then the
+    * per-source quality quota as the window formulation of the heap
+    * top-k (margin desc, doc_id asc). */
+  private def curate8Sql(
+      iters: Int, buckets: Int, etaMilli: Long, perSource: Int): String =
+    "WITH " + hashedFeatsSql(buckets) + logRegChainSql(iters, etaMilli) +
+      s"""sco AS (SELECT d.doc_id, d.source,
+         |    (coalesce(sc.dot, 0) + (SELECT b FROM b$iters))::BIGINT AS margin_micro
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY margin_micro DESC, doc_id) AS rank FROM sco)
+         |SELECT source, rank, margin_micro, doc_id FROM rk
+         |WHERE rank <= $perSource ORDER BY source, rank""".stripMargin
 
   /** Replay of [[q_pipeline_curate5]]: BOTH trained-model chains off one
     * shared hashed-feature table — per-doc combined score = DSIR weight +
@@ -5449,6 +5484,8 @@ object SparkEntry {
       resample = Some((100, "dsir1"))),
     "q_text_kl" -> klSql(buckets = 1024),
     "q_text_quality_lr" -> logRegSql(iters = 3, buckets = 1024, etaMilli = 500),
+    "q_pipeline_curate8" ->
+      curate8Sql(iters = 3, buckets = 1024, etaMilli = 500, perSource = 10),
     "q_pipeline_curate6" ->
       """WITH u AS (SELECT doc_id, source,
         |  CASE WHEN doc_id % 2 = 0
