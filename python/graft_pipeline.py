@@ -242,6 +242,14 @@ class Pipeline:
         separators, common-entity decode, whitespace collapse."""
         return self._df(self._japi.htmlToText(df._jdf, html_col, out_col))
 
+    def html_blocks(self, df, id_col, html_col, min_tokens=5,
+                    max_anchor_pct=50):
+        """Link-density boilerplate pruning: split at block tags, score
+        each block's anchor-token share, flag keepers.
+        (doc_id, block_idx, n_tokens, anchor_tokens, kept, text)."""
+        return self._df(self._japi.htmlBlocks(
+            df._jdf, id_col, html_col, min_tokens, max_anchor_pct))
+
     def top_k_by_group(self, df, group_col, key_col, id_col, k):
         """Per-group top-k by (key desc, id asc) at aggregation cost
         (bounded heap, no window sort): (group, rank, key, id)."""

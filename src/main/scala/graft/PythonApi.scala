@@ -242,6 +242,11 @@ object PythonApi {
   def htmlToText(df: DataFrame, htmlCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, graft.text.Web.htmlToText(col(htmlCol)))
 
+  def htmlBlocks(
+      df: DataFrame, idCol: String, htmlCol: String,
+      minTokens: Int, maxAnchorPct: Int): DataFrame =
+    graft.text.Web.htmlBlocks(df, col(idCol), col(htmlCol), minTokens, maxAnchorPct)
+
   def topKByGroup(
       df: DataFrame, groupCol: String, keyCol: String, idCol: String,
       k: Int): DataFrame =

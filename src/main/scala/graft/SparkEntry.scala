@@ -1170,6 +1170,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Link-density boilerplate pruning (the jusText/trafilatura-class
+    // heuristic): planted pages carry a nav bar, a "read more" promo row
+    // and a footer — all mostly anchor text — around real prose; blocks
+    // split at block-tag boundaries, each scored by token count and
+    // anchor-token share (integer cross-multiplied gate). The oracle
+    // replays the split, both text chains and the token arithmetic.
+    "q_web_htmlblocks" -> ((s, dir) => {
+      import s.implicits._
+      val nav = "<nav><a href='/'>Home</a> <a href='/a'>About us</a> " +
+        "<a href='/c'>Contact</a></nav>"
+      val promo = "<div>Read more: <a href='/x'>click here now</a> and " +
+        "<a href='/y'>subscribe to our newsletter</a></div>"
+      val footer = "<footer><a href='/p'>Privacy policy</a> " +
+        "<a href='/t'>Terms</a></footer>"
+      val withHtml = tbl(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><body>" + nav), lit("<h1>Doc "), $"doc_id",
+          lit("</h1><p>"), substring($"text", 1, 200), lit("</p>"),
+          when($"doc_id" % 3 === 0, promo).otherwise(""),
+          lit(footer + "</body></html>")))
+      graft.text.Web.htmlBlocks(withHtml, $"doc_id", $"html",
+          minTokens = 5, maxAnchorPct = 50)
+        .orderBy($"doc_id", $"block_idx")
+    }),
+
     // PageRank link centrality (the CommonCrawl-style crawl/keep signal)
     // over a deterministic doc_id-arithmetic link graph, 5 iterations.
     // Integer nano-rank arithmetic end to end (floor divisions, integer
@@ -3728,6 +3753,58 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Replay of [[graft.text.Web.htmlBlocks]] over the q_web_htmlblocks
+    * page construction: container strip → block split (ordinality via
+    * generate_subscripts) → visible-text + anchor-text chains → token
+    * counts → the integer cross-multiplied link-density gate. */
+  private def htmlBlocksSql(minTokens: Int, maxAnchorPct: Int): String = {
+    // rules 3-5 of the htmlToText chain (tag strip, entities, whitespace)
+    def vis(x: String): String =
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')," +
+        """'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),""" +
+        """'&nbsp;',' '),'&amp;','&'), '\s+',' ','g'))"""
+    // the Tokenize kernel's documented regex equivalent
+    def norm(x: String): String =
+      s"trim(regexp_replace(regexp_replace(lower($x)," +
+        "'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+    def ntok(x: String): String =
+      s"(CASE WHEN length(${norm(x)}) = 0 THEN 0 " +
+        s"ELSE len(string_split(${norm(x)}, ' ')) END)::BIGINT"
+    val blockTag = "(?i)</?(?:p|div|section|article|main|header|footer|" +
+      "nav|aside|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|br|hr)[^>]*>"
+    s"""WITH u AS (SELECT doc_id,
+       |  '<html><body><nav><a href=''/''>Home</a> <a href=''/a''>About us</a> ' ||
+       |  '<a href=''/c''>Contact</a></nav><h1>Doc ' || doc_id::VARCHAR ||
+       |  '</h1><p>' || substr(text, 1, 200) || '</p>' ||
+       |  (CASE WHEN doc_id % 3 = 0
+       |    THEN '<div>Read more: <a href=''/x''>click here now</a> and ' ||
+       |         '<a href=''/y''>subscribe to our newsletter</a></div>'
+       |    ELSE '' END) ||
+       |  '<footer><a href=''/p''>Privacy policy</a> ' ||
+       |  '<a href=''/t''>Terms</a></footer></body></html>' AS html
+       |  FROM documents),
+       |cl AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |  '(?s)<!--.*?-->', ' ', 'g') AS ch FROM u),
+       |sg AS (SELECT doc_id, string_split_regex(ch, '$blockTag') AS l FROM cl),
+       |b AS (SELECT doc_id, unnest(l) AS seg,
+       |  generate_subscripts(l, 1)::INT AS block_idx FROM sg),
+       |t AS (SELECT doc_id, block_idx, ${vis("seg")} AS text,
+       |  ${
+        // DuckDB array_to_string([]) is NULL where Spark array_join([]) is ''
+        vis("coalesce(array_to_string(regexp_extract_all(seg, " +
+          "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS atext
+       |  FROM b),
+       |n AS (SELECT doc_id, block_idx, text,
+       |  ${ntok("text")} AS n_tokens, ${ntok("atext")} AS anchor_tokens FROM t)
+       |SELECT doc_id, block_idx, n_tokens, anchor_tokens,
+       |  (n_tokens >= $minTokens
+       |    AND anchor_tokens * 100 <= $maxAnchorPct * n_tokens) AS kept, text
+       |FROM n WHERE n_tokens > 0 ORDER BY doc_id, block_idx""".stripMargin
+  }
+
   private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
     val r = s"range(1, ${dim + 1})"
     "WITH " + kmeansCentsSql(k, dim, iters) +
@@ -4135,6 +4212,7 @@ object SparkEntry {
         |    '&nbsp;', ' '), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS clean_text
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_web_htmlblocks" -> htmlBlocksSql(minTokens = 5, maxAnchorPct = 50),
     "q_web_domains" -> {
       // same public-suffix snapshot as Web.registrableDomainOf — the
       // alternation is generated from it so the two can never drift

@@ -186,14 +186,22 @@ object Web {
     *   5. whitespace runs collapsed to one space, ends trimmed.
     *
     * Deliberately boilerplate-agnostic: nav/footer pruning is a
-    * MODELING choice (link-density thresholds), so it belongs in the
-    * quality gates downstream ([[TextFunctions]]), not in the
-    * deterministic markup strip. NULL html yields NULL. */
-  def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    * MODELING choice (link-density thresholds) — [[htmlBlocks]] is the
+    * block-level extractor that applies it. NULL html yields NULL. */
+  def htmlToText(html: Column): Column =
+    visibleTail(stripContainers(html))
+
+  /** Rules 1–2 of [[htmlToText]]: elements whose CONTENT must vanish. */
+  private[text] def stripContainers(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Rules 3–5 of [[htmlToText]]: tag separators, entity decode
+    * (`&amp;` last), whitespace collapse. */
+  private[text] def visibleTail(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
     val decoded = replace(replace(replace(replace(replace(replace(
       noTags,
       lit("&lt;"), lit("<")),
@@ -203,5 +211,61 @@ object Web {
       lit("&nbsp;"), lit(" ")),
       lit("&amp;"), lit("&"))
     trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Block-level tag boundary — the segmentation [[htmlBlocks]] splits
+    * on (opening OR closing forms; inline tags like `<a>`/`<b>` stay
+    * inside their block). */
+  private[text] val BlockTagRegex: String =
+    "(?i)</?(?:p|div|section|article|main|header|footer|nav|aside|" +
+      "h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|br|hr)[^>]*>"
+
+  /** BOILERPLATE-pruning block extraction — the LINK-DENSITY heuristic
+    * every production crawl-text extractor centers on (jusText,
+    * trafilatura, RefinedWeb): navigation, footers and "read more" rows
+    * are mostly anchor text, prose is not. Deterministic and
+    * engine-portable end to end:
+    *
+    *   1. script/style/comment CONTENT removed (before splitting — a
+    *      script body must not become a block);
+    *   2. the page splits into blocks at block-level tag boundaries
+    *      ([[BlockTagRegex]]; inline markup stays inside its block);
+    *   3. per block: visible text (the [[htmlToText]] tail), its token
+    *      count, and the token count of the text INSIDE `<a>` elements;
+    *   4. `kept` = at least `minTokens` tokens AND anchor-token share ≤
+    *      `maxAnchorPct`% — compared by integer cross-multiplication
+    *      (`anchor·100 ≤ pct·total`), no float ratio.
+    *
+    * Empty blocks (adjacent tags) are dropped; the rest carry the flag
+    * rather than vanishing, so thresholds stay tunable downstream.
+    * All map-side: split + posexplode + codegen'd regex/token kernels,
+    * no shuffle.
+    *
+    * @return (doc_id, block_idx, n_tokens, anchor_tokens, kept, text)
+    */
+  def htmlBlocks(
+      df: DataFrame, id: Column, html: Column,
+      minTokens: Int = 5, maxAnchorPct: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
+    require(maxAnchorPct >= 0 && maxAnchorPct <= 100,
+      s"maxAnchorPct must be in [0,100]: $maxAnchorPct")
+    val toks = (c: Column) => size(graft.text.TextFunctions.tokens(c))
+    df.select(id.as("doc_id"),
+        posexplode(split(stripContainers(html), BlockTagRegex)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("block_idx"),
+        visibleTail(col("col")).as("text"),
+        visibleTail(array_join(regexp_extract_all(col("col"),
+          lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")).as("__atext"))
+      .select(col("doc_id"), col("block_idx"),
+        toks(col("text")).cast("long").as("n_tokens"),
+        toks(col("__atext")).cast("long").as("anchor_tokens"),
+        col("text"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("block_idx"), col("n_tokens"),
+        col("anchor_tokens"),
+        (col("n_tokens") >= minTokens &&
+          col("anchor_tokens") * 100 <= col("n_tokens") * maxAnchorPct)
+          .as("kept"),
+        col("text"))
   }
 }

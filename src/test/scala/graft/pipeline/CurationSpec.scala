@@ -386,6 +386,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("htmlBlocks: link-density cuts nav/footer, keeps prose; script content never splits") {
+    import graft.text.Web
+    val html = "<html><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About us here</a></nav>" +
+      "<script>var x = '<p>not a block</p>';</script>" +
+      "<p>This is a real paragraph of prose with many plain tokens " +
+      "and just one <a href='/r'>reference</a> inside it.</p>" +
+      "<footer><a href='/p'>Privacy policy</a> <a href='/t'>Terms</a></footer>" +
+      "</body></html>"
+    val df = Seq((1L, html)).toDF("id", "html")
+    val got = Web.htmlBlocks(df, $"id", $"html", minTokens = 5, maxAnchorPct = 50)
+      .orderBy($"block_idx")
+      .as[(Long, Int, Long, Long, Boolean, String)].collect().toSeq
+    // script content produced no block (removed before the split)
+    assert(!got.exists(_._6.contains("not a block")), got)
+    val nav = got.find(_._6.startsWith("Home")).get
+    assert(nav._3 == 4L && nav._4 == 4L && !nav._5, nav) // 100% anchor
+    val prose = got.find(_._6.startsWith("This is a real")).get
+    assert(prose._5, prose)
+    assert(prose._4 == 1L, prose) // only "reference" is anchor text
+    val footer = got.find(_._6.startsWith("Privacy")).get
+    assert(!footer._5, footer)
+    // a short all-plain block fails the min-token gate
+    val short = Web.htmlBlocks(
+        Seq((2L, "<p>too few words</p>")).toDF("id", "html"),
+        $"id", $"html", minTokens = 5, maxAnchorPct = 50)
+      .as[(Long, Int, Long, Long, Boolean, String)].head()
+    assert(short._3 == 3L && !short._5, short)
+    // map-side: no Exchange
+    assert(!Web.htmlBlocks(df, $"id", $"html")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("normalizeUrl: a '?' inside the fragment is not a query string") {
     import graft.text.Web
     val df = Seq(
