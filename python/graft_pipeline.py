@@ -271,6 +271,18 @@ class Pipeline:
         """Live centroids of a state: (cluster, n, i, c_milli)."""
         return self._df(self._japi.kmeansStateReport(state._jdf))
 
+    def write_jsonl_shards(self, df, shard_col, order_col, out_dir,
+                           docs_per_shard):
+        """Export gzipped JSON-lines chunks of N consecutive docs per
+        shard key under shard=/chunk= dirs; returns rows written."""
+        return self._japi.writeJsonlShards(
+            df._jdf, shard_col, order_col, out_dir, docs_per_shard)
+
+    def read_jsonl_shards(self, dir, ddl):
+        """Read an exported shard tree back (JSON fields per `ddl` +
+        shard/chunk directory columns)."""
+        return self._df(self._japi.readJsonlShards(self._jspark, dir, ddl))
+
     def write_keyed_table(self, df, key_col, path, num_buckets,
                           mode="error"):
         """Create a hash-bucket-partitioned keyed table for

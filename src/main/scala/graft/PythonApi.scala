@@ -263,6 +263,16 @@ object PythonApi {
   def kmeansStateReport(state: DataFrame): DataFrame =
     graft.ann.Ann.kmeansStateReport(state)
 
+  def writeJsonlShards(
+      df: DataFrame, shardCol: String, orderCol: String, outDir: String,
+      docsPerShard: Int): Long =
+    graft.ops.Export.writeJsonlShards(
+      df, col(shardCol), col(orderCol), outDir, docsPerShard)
+
+  def readJsonlShards(
+      spark: SparkSession, dir: String, ddl: String): DataFrame =
+    graft.ops.Export.readJsonlShards(spark, dir, ddl)
+
   def writeKeyedTable(
       df: DataFrame, keyCol: String, dir: String, numBuckets: Int,
       mode: String): Unit =

@@ -2041,6 +2041,25 @@ object SparkEntry {
         .orderBy($"source", $"rank")
     }),
 
+    // JSONL shard export ROUND TRIP: write gzipped JSON-lines chunks of
+    // 32 consecutive docs per source, read the tree back (JSON fields +
+    // shard/chunk directory columns) — the oracle replays the chunk
+    // prefix-sum arithmetic and the original values, so a row that
+    // serialized wrong, landed in the wrong chunk, or failed to read
+    // back breaks the hash.
+    "q_export_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      val td = scratchTableDir(dir, "export_jsonl")
+      val docs = tbl(s, dir, "documents").select($"doc_id", $"source", $"text")
+      graft.ops.Export.writeJsonlShards(
+        docs, $"source", $"doc_id", td, docsPerShard = 32)
+      graft.ops.Export.readJsonlShards(
+          s, td, "doc_id BIGINT, source STRING, text STRING")
+        .select($"doc_id", $"source", $"shard", $"chunk".cast("long").as("chunk"),
+          $"text")
+        .orderBy($"doc_id")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Packing.packByBudget(
@@ -4606,6 +4625,13 @@ object SparkEntry {
         |WHERE (st.n * o.cents::HUGEINT - st.s) * (st.n * o.cents::HUGEINT - st.s)
         |   > 9 * (st.n * st.q - st.s * st.s)
         |ORDER BY event_id""".stripMargin,
+    // replay the chunk prefix-sum and the original values
+    "q_export_jsonl" ->
+      """SELECT doc_id, source, source AS shard,
+        |  ((row_number() OVER (PARTITION BY source ORDER BY doc_id)) - 1)
+        |    // 32 AS chunk,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the window formulation IS the oracle for the heap aggregate
     "q_agg_topk" ->
       """SELECT source, rank, text_len, doc_id FROM (

@@ -1054,6 +1054,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Ann.kmeansStateCentroids(s1)(1) == Seq(1000.0, 1000.0))
   }
 
+  test("jsonl shard export: escaping round-trips, chunks split at N, layout is gz") {
+    import graft.ops.Export
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString + "/t"
+    val rows = Seq(
+      (0L, "a", "plain"),
+      (1L, "a", "quote \" backslash \\ newline \n tab \t unicode é日"),
+      (2L, "a", ""),
+      (3L, "a", "fourth doc"),          // chunk 1 with docsPerShard=3
+      (4L, "b", "other shard")
+    )
+    val df = rows.toDF("doc_id", "source", "text")
+    val n = Export.writeJsonlShards(df, $"source", $"doc_id", out, docsPerShard = 3)
+    assert(n == 5L)
+    val back = Export.readJsonlShards(
+        spark, out, "doc_id BIGINT, source STRING, text STRING")
+      .select($"doc_id", $"source", $"shard", $"chunk".cast("int"), $"text")
+      .as[(Long, String, String, Int, String)].collect().sortBy(_._1).toSeq
+    assert(back.map(r => (r._1, r._2, r._5)) == rows.map(r => (r._1, r._2, r._3)),
+      "values must round-trip exactly, escapes included")
+    assert(back.map(r => (r._1, r._3, r._4)) == Seq(
+      (0L, "a", 0), (1L, "a", 0), (2L, "a", 0), (3L, "a", 1), (4L, "b", 0)))
+    // files are gzipped text under shard=/chunk= dirs
+    val files = new java.io.File(s"$out/shard=a/chunk=0").listFiles()
+      .filter(_.getName.endsWith(".txt.gz"))
+    assert(files.nonEmpty, "expected .txt.gz shard files")
+    // reserved directory-column names are refused
+    intercept[IllegalArgumentException] {
+      Export.writeJsonlShards(df.withColumnRenamed("source", "shard"),
+        $"shard", $"doc_id", out, docsPerShard = 3)
+    }
+  }
+
   test("unigramNll: exact micro-nat arithmetic, empty doc surfaces null") {
     val docs = Seq((1L, "a a"), (2L, "a b"), (3L, "")).toDF("id", "text")
     val out = graft.text.Tfidf.unigramNll(docs, col("id"), col("text"))
