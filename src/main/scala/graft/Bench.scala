@@ -173,6 +173,39 @@ object Bench {
           -1.0
       }
 
+    // -- hot-group top-k: the heap aggregate vs the window formulation on
+    // a deliberately skewed table (one group with 4M rows, 63 cold groups
+    // of 10k). The window shape sorts the hot group in ONE task; the heap
+    // folds map-side partials — this is the measured form of the scale
+    // claim behind TopKByKey/knnJoin's re-rank.
+    val (topkHeapSec, topkWindowSec) =
+      try {
+        val hot = 4000000L
+        val skewed = spark.range(hot + 63L * 10000L)
+          .select(
+            when($"id" < hot, lit("hot"))
+              .otherwise(concat(lit("g"), $"id" % 63)).as("g"),
+            (($"id" * 2654435761L) % 1000000007L).as("key"),
+            $"id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        skewed.count() // materialize untimed
+        try {
+          val tHeap = timeBest(
+            graft.ops.TopK.topKByGroup(skewed, $"g", $"key", $"id", 10).count(), 3)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"g").orderBy($"key".desc, $"id")
+          val tWin = timeBest(
+            skewed.withColumn("r", row_number().over(w))
+              .filter($"r" <= 10).count(), 2)
+          (tHeap, tWin)
+        } finally { skewed.unpersist(blocking = false); () }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in topk_hot: $e")
+          extraFailed += "topk_hot"
+          (-1.0, -1.0)
+      }
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -190,6 +223,8 @@ object Bench {
       s""""prune_50k_orc_sec":$prune50kOrcTime,""" +
       s""""files_50k_orc_distributed":$distributed50kOrc,""" +
       s""""refresh_50k_sec":$refresh50kTime,""" +
+      s""""topk_hot_heap_sec":$topkHeapSec,""" +
+      s""""topk_hot_window_sec":$topkWindowSec,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
