@@ -2897,6 +2897,26 @@ object SparkEntry {
     // history table, later batches take the delta-proportional keyed
     // merge. In-order batches ≡ the one-shot fold, so the served
     // history shares the from-scratch SCD-2 oracle.
+    // Streaming JSONL file front door: raw json-lines shards arrive as
+    // files, each batch routes through the one-pass PERMISSIVE parse
+    // into committed batch dirs (redelivery overwrites = exactly-once).
+    // Lines are constructed verbatim in both engines; the oracle derives
+    // routing and parsed fields in closed form from the construction.
+    "q_stream_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_jsonl")
+      val lines = tbl(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 11 === 5,
+          concat(lit("{\"k\": "), $"doc_id", lit(", \"s\": ")))
+          .otherwise(concat(lit("{\"k\": "), $"doc_id",
+            lit(", \"s\": \""), $"source", lit("\"}"))).as("line"))
+      graft.streaming.Streaming.jsonlFileIngest(
+          s, lines, $"doc_id", $"line", work, "k BIGINT, s STRING",
+          nBatches = 4)
+        .select($"k", $"s", $"quarantined", $"raw")
+        .orderBy($"quarantined", $"k", $"raw")
+    }),
+
     // Streaming mini-batch k-means ingest: the modulo-sliced batches
     // arrive as files and fold into the per-batch-committed centroid
     // state — the SAME deterministic sequence the one-shot
@@ -4872,6 +4892,18 @@ object SparkEntry {
     "q_stream_scd2" -> scd2Sql,
     // the streamed batch sequence IS the one-shot mini-batch sequence
     "q_stream_kmeans" -> minibatchKmeansSql(k = 8, dim = 64, batches = 4),
+    // routing and fields in closed form from the line construction
+    "q_stream_jsonl" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 11 = 5
+        |    THEN '{"k": ' || doc_id::VARCHAR || ', "s": '
+        |    ELSE '{"k": ' || doc_id::VARCHAR || ', "s": "' || source || '"}'
+        |  END AS line FROM documents)
+        |SELECT CASE WHEN doc_id % 11 <> 5 THEN doc_id END AS k,
+        |  CASE WHEN doc_id % 11 <> 5 THEN source END AS s,
+        |  (doc_id % 11 = 5) AS quarantined,
+        |  CASE WHEN doc_id % 11 = 5 THEN line END AS raw
+        |FROM u ORDER BY quarantined, k, raw""".stripMargin,
     // entropy replay -> rank-band membership -> cumulative pack ids
     "q_pipeline_curate7" ->
       """WITH t AS (SELECT doc_id,

@@ -430,6 +430,86 @@ object Streaming {
     spark.read.schema(docs.schema).parquet(outDir)
   }
 
+  /** TEXT twin of [[stageRangedSlices]]: `lines` (a single string
+    * column under `lineCol`) land as `nBatches` ranged `.txt` slices
+    * with strictly increasing mtimes. Returns None on empty input. */
+  private def stageRangedTextSlices(
+      spark: SparkSession, lines: DataFrame, workDir: String,
+      nBatches: Int, idCol: String, lineCol: String): Option[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val workPath = new org.apache.hadoop.fs.Path(workDir)
+    val fs = workPath.getFileSystem(hconf)
+    if (fs.exists(workPath)) fs.delete(workPath, true)
+    val maxIdRow = lines.agg(max(col(idCol))).head
+    if (maxIdRow.isNullAt(0)) return None
+    val maxId = maxIdRow.getLong(0)
+    val slice = maxId / nBatches + 1
+    val staged = s"$workDir/staged"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+    (0 until nBatches).foreach { b =>
+      val bDir = s"$workDir/b$b"
+      lines.filter(expr(s"$idCol div $slice") === b)
+        .select(col(lineCol)).coalesce(1)
+        .write.mode("overwrite").text(bDir)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
+      val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.txt")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 60000L * (b + 1), -1)
+    }
+    Some(staged)
+  }
+
+  /** STREAMING JSON-LINES FILE INGEST — the crawl front door, streamed:
+    * raw `.jsonl` shards arrive as files (one micro-batch per file),
+    * each batch routes through the one-pass PERMISSIVE parse
+    * ([[graft.ops.Ingest.parseJsonTagged]] — good rows parsed under
+    * `schemaDdl`, malformed rows keep their raw line as replay
+    * evidence), and lands as a COMMITTED batch directory
+    * (`b<batchId>`, overwritten on redelivery = exactly-once output).
+    * The union of batch parses is the batch parse of the union, so the
+    * served table shares the one-shot routing oracle.
+    *
+    * @return the routed table read back (parsed fields + `quarantined`
+    *         + `raw`), typed empty on an empty source */
+  def jsonlFileIngest(
+      parent: SparkSession, lines: DataFrame,
+      id: org.apache.spark.sql.Column, line: org.apache.spark.sql.Column,
+      workDir: String, schemaDdl: String, nBatches: Int = 4,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val src = lines.select(id.as("__id"), line.as("value")).localCheckpoint()
+    val parseOf = (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) =>
+      graft.ops.Ingest.parseJsonTagged(df.toDF(), col("value"), schema)
+        .drop("value")
+    val staged = stageRangedTextSlices(
+      spark, src, workDir, nBatches, "__id", "value") match {
+      case None => return parseOf(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType)))))
+      case Some(s) => s
+    }
+    val outDir = s"$workDir/routed"
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        if (batch.take(1).nonEmpty) {
+          parseOf(batch).write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        }
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$outDir/b*")
+  }
+
   /** STREAMING MINI-BATCH K-MEANS — live centroid maintenance for the
     * vector-serving indexes: embedding batches arrive as files (one
     * micro-batch per file) and fold into the running per-cluster

@@ -111,6 +111,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old_1")))
   }
 
+  test("streaming jsonl file ingest equals the one-shot tagged parse") {
+    val lines = Seq(
+      (0L, """{"k": 1}"""), (1L, """{"k": bad"""),
+      (2L, """{"k": 3}"""), (3L, """nope""")).toDF("id", "line")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-ingest").toString
+    val got = Streaming.jsonlFileIngest(
+        spark, lines, $"id", $"line", out, "k BIGINT", nBatches = 2)
+      .select($"k", $"quarantined", $"raw")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.ops.Ingest.parseJsonTagged(
+        lines.select($"line".as("value")), col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      .select($"k", $"quarantined", $"raw")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == oneShot)
+    assert(got.size == 4 && oneShot.count(_.contains("true")) == 2)
+  }
+
   test("streaming mini-batch kmeans equals the one-shot batch sequence") {
     import graft.ann.Ann
     val out = java.nio.file.Files.createTempDirectory("graft-kmeans-ingest").toString
