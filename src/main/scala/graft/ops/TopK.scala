@@ -34,6 +34,20 @@ object TopK {
       .select(col("group"), (col("pos") + 1).cast("long").as("rank"),
         col("col.key").as("key"), col("col.id").as("id"))
 
+  /** [[topKByGroup]] that returns the WHOLE winning rows: the heap
+    * selects (group, id, rank) at aggregation cost, then ONE join on the
+    * id column recovers the rows — and the selected side is
+    * groups × k rows, so Spark broadcasts it and the corpus never
+    * shuffles (the id must be unique per row for the join to be 1:1).
+    * Output = the original columns + `rank`. */
+  def topKRowsByGroup(
+      df: DataFrame, group: Column, key: Column, id: Column, k: Int): DataFrame = {
+    val picked = topKByGroup(df, group, key, id, k)
+      .select(col("id").as("__pick_id"), col("rank"))
+    df.join(broadcast(picked), id.cast("long") === col("__pick_id"))
+      .drop("__pick_id")
+  }
+
   /** [[topKByGroup]] for a DOUBLE ranking key, no precision loss: the
     * key rides the heap as its order-preserving IEEE sortable-bits long
     * ([[graft.functions.SortableDoubleBits]] — signed long compare ==

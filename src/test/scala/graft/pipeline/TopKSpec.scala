@@ -117,6 +117,21 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotAsc == windowed(desc = false))
   }
 
+  test("topKRowsByGroup: whole rows back via a broadcast of the picked ids") {
+    val df = (0 until 200).map(i => (s"g${i % 4}", (i % 13).toLong, i.toLong, s"payload$i"))
+      .toDF("g", "key", "id", "extra")
+    val got = TopK.topKRowsByGroup(df, $"g", $"key", $"id", k = 2)
+    val rows = got.select($"g", $"rank", $"key", $"id", $"extra")
+      .as[(String, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val w = Window.partitionBy($"g").orderBy($"key".desc, $"id")
+    val expect = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+      .select($"g", $"rank".cast("long"), $"key", $"id", $"extra")
+      .as[(String, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows == expect)
+    // the recovery join broadcasts the k-sized side
+    assert(got.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("plan: hash aggregation with map-side partials, no Window, no full sort") {
     val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i.toLong))
       .toDF("g", "key", "id")
