@@ -3810,8 +3810,10 @@ object SparkEntry {
     def ntok(x: String): String =
       s"(CASE WHEN length(${norm(x)}) = 0 THEN 0 " +
         s"ELSE len(string_split(${norm(x)}, ' ')) END)::BIGINT"
+    // name boundary: without it `p` would match `<path>`, `li` `<link>`
     val blockTag = "(?i)</?(?:p|div|section|article|main|header|footer|" +
-      "nav|aside|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|br|hr)[^>]*>"
+      "nav|aside|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|br|hr)" +
+      "(?:[\\s/][^>]*)?>"
     s"""WITH u AS (SELECT doc_id,
        |  '<html><body><nav><a href=''/''>Home</a> <a href=''/a''>About us</a> ' ||
        |  '<a href=''/c''>Contact</a></nav><h1>Doc ' || doc_id::VARCHAR ||
@@ -3832,9 +3834,10 @@ object SparkEntry {
        |  generate_subscripts(l, 1)::INT AS block_idx FROM sg),
        |t AS (SELECT doc_id, block_idx, ${vis("seg")} AS text,
        |  ${
-        // DuckDB array_to_string([]) is NULL where Spark array_join([]) is ''
+        // DuckDB array_to_string([]) is NULL where Spark array_join([]) is '';
+        // the '<a' must not swallow <abbr>/<area>/<audio>
         vis("coalesce(array_to_string(regexp_extract_all(seg, " +
-          "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS atext
+          "'(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')")} AS atext
        |  FROM b),
        |n AS (SELECT doc_id, block_idx, text,
        |  ${ntok("text")} AS n_tokens, ${ntok("atext")} AS anchor_tokens FROM t)

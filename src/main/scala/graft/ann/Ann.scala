@@ -1020,13 +1020,18 @@ object Ann {
   def kmeansStateInit(
       batch: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // persisted: the seed collect and the assignment job must see the
+    // SAME rows (and pay the quantize scan once) — the kmeansFit pattern
     val q = batch.select(id.as("__id"), quantizeMilli(vec).as("__q"))
-    val init = q.orderBy(col("__id")).limit(k).collect()
-    require(init.length == k, s"need at least $k vectors, found ${init.length}")
-    val seeds = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    mergeState(batch.sparkSession,
-      seeds.indices.map(j => (j, 0L, IndexedSeq.fill(seeds(j).length)(0.0), seeds(j))),
-      assignAndSum(q, seeds))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = q.orderBy(col("__id")).limit(k).collect()
+      require(init.length == k, s"need at least $k vectors, found ${init.length}")
+      val seeds = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      mergeState(batch.sparkSession,
+        seeds.indices.map(j => (j, 0L, IndexedSeq.fill(seeds(j).length)(0.0), seeds(j))),
+        assignAndSum(q, seeds))
+    } finally { q.unpersist(blocking = false); () }
   }
 
   /** Absorb one batch into the state (see [[kmeansStateInit]]). */

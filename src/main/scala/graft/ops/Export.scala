@@ -30,20 +30,29 @@ object Export {
       df: DataFrame, shard: Column, order: Column, outDir: String,
       docsPerShard: Int): Long = {
     require(docsPerShard >= 1, s"docsPerShard must be >= 1: $docsPerShard")
-    require(!df.columns.contains("shard") && !df.columns.contains("chunk"),
-      "'shard' and 'chunk' are reserved for the output directory layout; " +
-        s"rename the colliding data column: ${df.columns.toSeq}")
+    // 'shard'/'chunk' are the directory columns; 'pack_id'/'__cum' are
+    // claimed by the packing prefix-sum — a data column with any of
+    // these names would be silently replaced before serialization
+    val reserved = Seq("shard", "chunk", "pack_id", "__cum", "value")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column names ${reserved.mkString("'", "', '", "'")} are reserved " +
+        s"by the export layout; rename ${clash.mkString("'", "', '", "'")}")
     val dataCols = df.columns.map(col)
     val assigned = Packing.packByBudget(
       df, shard, order, tokens = lit(1L), budget = docsPerShard.toLong)
+    // observe counts on the WRITTEN plan — no second scan of the (often
+    // expensive) upstream pipeline, and the count is of what landed
+    val obs = org.apache.spark.sql.Observation()
     assigned
       .select(to_json(struct(dataCols: _*)).as("value"),
         shard.as("shard"), col("pack_id").as("chunk"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite")
       .partitionBy("shard", "chunk")
       .option("compression", "gzip")
       .text(outDir)
-    df.count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Read an exported shard tree back: JSON fields under `ddl` plus the

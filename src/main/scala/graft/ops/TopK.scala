@@ -42,6 +42,9 @@ object TopK {
     * Output = the original columns + `rank`. */
   def topKRowsByGroup(
       df: DataFrame, group: Column, key: Column, id: Column, k: Int): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "the output adds a 'rank' column — rename the input's existing " +
+        s"'rank' first: ${df.columns.toSeq}")
     val picked = topKByGroup(df, group, key, id, k)
       .select(col("id").as("__pick_id"), col("rank"))
     df.join(broadcast(picked), id.cast("long") === col("__pick_id"))

@@ -319,32 +319,42 @@ object Streaming {
   }
 
   /** Stage `docs` as `nBatches` ranged `idCol` slices under
-    * `workDir/staged`, one parquet file per slice with strictly
-    * increasing mtimes so the file stream source replays arrival order.
-    * Returns None on an empty corpus. Shared by the ingest shapes. */
+    * `workDir/staged`, one file per slice with strictly increasing
+    * mtimes so the file stream source replays arrival order. `format`
+    * "parquet" keeps all columns; "text" writes the single non-id
+    * column as raw lines. Ids must be non-negative — the range/modulo
+    * bucketing maps a negative id outside [0, nBatches) and the row
+    * would silently vanish from every slice. Returns None on an empty
+    * corpus. Shared by the ingest shapes. */
   private def stageRangedSlices(
       spark: SparkSession, docs: DataFrame, workDir: String,
       nBatches: Int, idCol: String = "doc_id",
-      modulo: Boolean = false): Option[String] = {
+      modulo: Boolean = false, format: String = "parquet"): Option[String] = {
+    require(format == "parquet" || format == "text", s"unsupported: $format")
     val hconf = spark.sparkContext.hadoopConfiguration
     val workPath = new org.apache.hadoop.fs.Path(workDir)
     val fs = workPath.getFileSystem(hconf)
     if (fs.exists(workPath)) fs.delete(workPath, true)
-    val maxIdRow = docs.agg(max(col(idCol))).head
-    if (maxIdRow.isNullAt(0)) return None // empty corpus: nothing to ingest
-    val maxId = maxIdRow.getLong(0)
+    val bounds = docs.agg(min(col(idCol)), max(col(idCol))).head
+    if (bounds.isNullAt(1)) return None // empty corpus: nothing to ingest
+    require(bounds.getLong(0) >= 0L,
+      s"slice ids must be non-negative (got min ${bounds.getLong(0)}) — " +
+        "a negative id falls outside every slice and would be dropped")
+    val maxId = bounds.getLong(1)
     val slice = maxId / nBatches + 1 // ids 0..maxId → buckets 0..nBatches-1
     val staged = s"$workDir/staged"
     fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+    val ext = if (format == "text") "txt" else "parquet"
     (0 until nBatches).foreach { b =>
       val bDir = s"$workDir/b$b"
       val pred =
         if (modulo) col(idCol) % nBatches === b
         else expr(s"$idCol div $slice") === b
-      docs.filter(pred)
-        .coalesce(1).write.mode("overwrite").parquet(bDir)
+      val sliceDf = docs.filter(pred)
+      val out = if (format == "text") sliceDf.drop(idCol) else sliceDf
+      out.coalesce(1).write.mode("overwrite").format(format).save(bDir)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
-      val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.parquet")
+      val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.$ext")
       fs.rename(part, dst)
       // strictly increasing mtimes: the file source replays arrival order
       fs.setTimes(dst, 60000L * (b + 1), -1)
@@ -430,35 +440,6 @@ object Streaming {
     spark.read.schema(docs.schema).parquet(outDir)
   }
 
-  /** TEXT twin of [[stageRangedSlices]]: `lines` (a single string
-    * column under `lineCol`) land as `nBatches` ranged `.txt` slices
-    * with strictly increasing mtimes. Returns None on empty input. */
-  private def stageRangedTextSlices(
-      spark: SparkSession, lines: DataFrame, workDir: String,
-      nBatches: Int, idCol: String, lineCol: String): Option[String] = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val workPath = new org.apache.hadoop.fs.Path(workDir)
-    val fs = workPath.getFileSystem(hconf)
-    if (fs.exists(workPath)) fs.delete(workPath, true)
-    val maxIdRow = lines.agg(max(col(idCol))).head
-    if (maxIdRow.isNullAt(0)) return None
-    val maxId = maxIdRow.getLong(0)
-    val slice = maxId / nBatches + 1
-    val staged = s"$workDir/staged"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
-    (0 until nBatches).foreach { b =>
-      val bDir = s"$workDir/b$b"
-      lines.filter(expr(s"$idCol div $slice") === b)
-        .select(col(lineCol)).coalesce(1)
-        .write.mode("overwrite").text(bDir)
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
-      val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.txt")
-      fs.rename(part, dst)
-      fs.setTimes(dst, 60000L * (b + 1), -1)
-    }
-    Some(staged)
-  }
-
   /** STREAMING JSON-LINES FILE INGEST — the crawl front door, streamed:
     * raw `.jsonl` shards arrive as files (one micro-batch per file),
     * each batch routes through the one-pass PERMISSIVE parse
@@ -483,8 +464,8 @@ object Streaming {
     val parseOf = (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) =>
       graft.ops.Ingest.parseJsonTagged(df.toDF(), col("value"), schema)
         .drop("value")
-    val staged = stageRangedTextSlices(
-      spark, src, workDir, nBatches, "__id", "value") match {
+    val staged = stageRangedSlices(
+      spark, src, workDir, nBatches, idCol = "__id", format = "text") match {
       case None => return parseOf(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -552,17 +533,29 @@ object Streaming {
       }
     val stateRoot = new org.apache.hadoop.fs.Path(s"$workDir/state")
     val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // latest committed state STRICTLY BEFORE batchId — an empty batch
+    // writes no state, so the predecessor may be further back than
+    // batchId-1; a retry of batch b must likewise fold from b's prior
+    // state even if a crashed attempt already wrote s<b>
+    def priorState(batchId: Long): Option[Long] =
+      if (!fs.exists(stateRoot)) None
+      else fs.listStatus(stateRoot).map(_.getPath.getName)
+        .filter(_.startsWith("s")).map(_.drop(1).toLong)
+        .filter(_ < batchId).maxOption
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) =>
         if (batch.take(1).nonEmpty) {
-          val st =
-            if (batchId == 0L)
+          val st = priorState(batchId) match {
+            case None =>
+              // first non-empty batch seeds the state (batch 0 itself
+              // may have been empty — init is not pinned to batchId 0)
               graft.ann.Ann.kmeansStateInit(
                 batch, col("vec_id"), col("embedding"), k)
-            else
+            case Some(t) =>
               graft.ann.Ann.kmeansStateUpdate(
-                spark.read.parquet(s"$stateRoot/s${batchId - 1}"),
+                spark.read.parquet(s"$stateRoot/s$t"),
                 batch, col("vec_id"), col("embedding"))
+          }
           st.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/s$batchId")
         }
     val q = spark.readStream.schema(emb.schema)

@@ -215,10 +215,15 @@ object Web {
 
   /** Block-level tag boundary — the segmentation [[htmlBlocks]] splits
     * on (opening OR closing forms; inline tags like `<a>`/`<b>` stay
-    * inside their block). */
+    * inside their block). After the tag name the regex requires `>`,
+    * `/` or whitespace — without that boundary, `p` would match
+    * `<path>`, `li` would match `<link>`, `tr` would match `<track>`
+    * and split prose spuriously (RE2 has no lookahead, so the boundary
+    * is an optional attribute-tail group rather than `(?=…)`). */
   private[text] val BlockTagRegex: String =
     "(?i)</?(?:p|div|section|article|main|header|footer|nav|aside|" +
-      "h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|br|hr)[^>]*>"
+      "h[1-6]|li|ul|ol|table|tr|td|th|blockquote|pre|br|hr)" +
+      "(?:[\\s/][^>]*)?>"
 
   /** BOILERPLATE-pruning block extraction — the LINK-DENSITY heuristic
     * every production crawl-text extractor centers on (jusText,
@@ -254,8 +259,10 @@ object Web {
         posexplode(split(stripContainers(html), BlockTagRegex)))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("block_idx"),
         visibleTail(col("col")).as("text"),
+        // <a…> must not swallow <abbr>/<area>/<audio>: after 'a' comes
+        // '>' or an attribute list starting with whitespace
         visibleTail(array_join(regexp_extract_all(col("col"),
-          lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")).as("__atext"))
+          lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), " ")).as("__atext"))
       .select(col("doc_id"), col("block_idx"),
         toks(col("text")).cast("long").as("n_tokens"),
         toks(col("__atext")).cast("long").as("anchor_tokens"),

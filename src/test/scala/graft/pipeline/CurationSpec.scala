@@ -419,6 +419,28 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("htmlBlocks: tag-name boundaries — <abbr> is not an anchor, <path>/<link> not blocks") {
+    import graft.text.Web
+    val html = "<html><body>" +
+      // <abbr> must not start an anchor span that swallows the prose
+      "<p><abbr title='HyperText'>HTML</abbr> is the standard markup " +
+      "language for building documents with a <a href='/r'>reference</a></p>" +
+      // <path>/<link>-class tags must not split the paragraph
+      "<p>Total <svg><path d='M0 0'/></svg> sales rose strongly this " +
+      "quarter across <link rel='x'/> every region we track</p>" +
+      "</body></html>"
+    val got = Web.htmlBlocks(Seq((1L, html)).toDF("id", "html"),
+        $"id", $"html", minTokens = 5, maxAnchorPct = 50)
+      .as[(Long, Int, Long, Long, Boolean, String)].collect().toSeq
+    val abbr = got.find(_._6.startsWith("HTML is")).get
+    assert(abbr._4 == 1L, s"only 'reference' is anchor text: $abbr")
+    assert(abbr._5, abbr)
+    val svg = got.find(_._6.startsWith("Total")).get
+    assert(svg._6.contains("sales rose") && svg._6.contains("every region"),
+      s"<path>/<link> must not split the block: $svg")
+    assert(svg._5, svg)
+  }
+
   test("normalizeUrl: a '?' inside the fragment is not a query string") {
     import graft.text.Web
     val df = Seq(

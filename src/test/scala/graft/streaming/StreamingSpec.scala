@@ -129,6 +129,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 4 && oneShot.count(_.contains("true")) == 2)
   }
 
+  test("streaming kmeans ingest survives an empty leading batch (init moves to the first non-empty)") {
+    import graft.ann.Ann
+    // modulo-4 slicing over ONLY odd vec_ids: batches 0 and 2 are empty;
+    // init must happen on batch 1 and batch 3 must fold from batch 1's
+    // state, not from a nonexistent s2
+    val out = java.nio.file.Files.createTempDirectory("graft-kmeans-empty").toString
+    val odd = java.nio.file.Files.createTempDirectory("graft-kmeans-odd").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$odd/embeddings.parquet")
+    val streamed = Streaming.kmeansIngest(spark, odd, out, k = 4, nBatches = 4)
+      .collect().map(_.toString).toSeq
+    val emb = spark.read.parquet(s"$odd/embeddings.parquet")
+    var st = Ann.kmeansStateInit(
+      emb.filter($"vec_id" % 4 === 1), $"vec_id", $"embedding", k = 4)
+    st = Ann.kmeansStateUpdate(
+      st, emb.filter($"vec_id" % 4 === 3), $"vec_id", $"embedding")
+    assert(streamed == Ann.kmeansStateReport(st).collect().map(_.toString).toSeq)
+  }
+
   test("streaming mini-batch kmeans equals the one-shot batch sequence") {
     import graft.ann.Ann
     val out = java.nio.file.Files.createTempDirectory("graft-kmeans-ingest").toString
