@@ -18,6 +18,38 @@ object DevExplore {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.headOption.contains("dpp")) {
+      import graft.index.implicits._
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val work = "/root/repo/target/dpp_probe"
+      val pPath = s"$work/orders_part"
+      spark.conf.set(graft.index.IndexConf.MetastoreLocation, s"$work/metastore")
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(pPath)
+      spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(pPath)
+      val years = spark.read.parquet(pPath).select("o_year").distinct()
+        .as[Int].collect().sorted
+      val target = years.head
+      years.map(y => (y, if (y == target) "keep" else "drop"))
+        .toSeq.toDF("y", "tag")
+        .write.mode("overwrite").parquet(s"$work/dim")
+      val dim = spark.read.parquet(s"$work/dim")
+      for ((label, fact) <- Seq(
+          "plain" -> spark.read.parquet(pPath),
+          "indexed" -> spark.index.parquet(pPath))) {
+        val joined = fact.join(dim.filter($"tag" === "keep"),
+          fact("o_year") === dim("y"))
+        joined.count()
+        val planStr = joined.queryExecution.executedPlan.toString
+        println(s"=== $label: contains dynamicpruning = " +
+          planStr.toLowerCase.contains("dynamicpruning"))
+        println(planStr.take(4000))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("stress")) {
       // 256-file table at sf0.1: driver-fold vs distributed-fold latency
       import graft.index.implicits._

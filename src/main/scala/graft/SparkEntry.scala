@@ -1009,6 +1009,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus DATA CARD: the per-source release summary (volume, exact
+    // verbatim-dup count, language mix, mean quality) in one grouped
+    // pass over the same deterministic signals the curation gates use.
+    // Quality means sum in exact integer 1e-4 units (the per-doc score
+    // is already 4dp-rounded) so the mean is order-independent; the
+    // oracle replays every signal including the langid chain.
+    "q_report_datacard" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Report.corpusDataCard(
+          tbl(s, dir, "documents"), $"source", $"text")
+        .orderBy($"source")
+    }),
+
     // Round-4 composed curation pipeline: Gopher rule gate → URL/domain
     // provenance filter → corpus mix to target composition (with
     // epoch upsampling). The oracle replays all three stages — flags,
@@ -2086,6 +2099,24 @@ object SparkEntry {
         .orderBy($"shard", $"pack_id")
     }),
 
+    // Concat-and-chunk SEQUENCE packing: per source, documents
+    // concatenate in doc_id order and cut into fixed 512-token training
+    // windows, docs SPLITTING across window boundaries (the GPT-style
+    // "make sequences" step packByBudget's whole-doc packs don't do).
+    // One prefix-sum window + pure integer interval intersection; every
+    // window except a source's last is exactly full. Oracle replays the
+    // prefix sum and the slice arithmetic over generate_series.
+    "q_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Packing.packSequences(
+          tbl(s, dir, "documents")
+            .select($"doc_id", $"source",
+              size(graft.text.TextFunctions.tokens($"text")).cast("long").as("n_tokens")),
+          shard = $"source", order = $"doc_id", tokens = $"n_tokens",
+          seqLen = 512L)
+        .orderBy($"shard", $"seq_id", $"seq_off")
+    }),
+
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-shingles with a held-out benchmark slice (every 20th doc).
     // Benchmark shingles broadcast; the corpus side never shuffles until
@@ -2965,6 +2996,19 @@ object SparkEntry {
         .orderBy($"term")
     }),
 
+    // Streaming HLL ingest: 4 ranged micro-batches each append their
+    // own register table as a committed segment; register-wise max over
+    // segments (idempotent + associative) recovers EXACTLY the one-shot
+    // sketch, so the served registers share q_text_hll's bit-level
+    // oracle.
+    "q_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_hll")
+      graft.streaming.Streaming.hllIngest(s, dir, work,
+          nBatches = 4, p = 10)
+        .orderBy($"register")
+    }),
+
     // Streaming search-index ingest: 4 ranged micro-batches, each
     // appending its posting chunks batch-side; the grown index then
     // serves the standard conjunctive query — identical to a one-shot
@@ -3221,6 +3265,30 @@ object SparkEntry {
     * survivors. */
   /** Shared by q_text_search and q_text_search_indexed (index-served
     * search answers the same query, row-for-row). */
+  /** Bit-level HLL register replay (p=10 over document tokens) — shared
+    * by the one-shot sketch and its streamed-segment twin. */
+  private val hllRegistersSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+      |  FROM documents),
+      |tt AS (SELECT doc_id,
+      |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+      |tok AS (SELECT unnest(toks) AS term FROM tt),
+      |hh AS (SELECT md5_number_lower('hll:' || term) AS h FROM tok),
+      |b AS (SELECT CAST(h >> 54 AS INT) AS register,
+      |  h & ((1::UBIGINT << 54) - 1) AS w FROM hh),
+      |s1 AS (SELECT register, w, w | (w >> 1) AS s FROM b),
+      |s2 AS (SELECT register, w, s | (s >> 2) AS s FROM s1),
+      |s3 AS (SELECT register, w, s | (s >> 4) AS s FROM s2),
+      |s4 AS (SELECT register, w, s | (s >> 8) AS s FROM s3),
+      |s5 AS (SELECT register, w, s | (s >> 16) AS s FROM s4),
+      |s6 AS (SELECT register, w, s | (s >> 32) AS s FROM s5),
+      |r AS (SELECT register,
+      |  CASE WHEN w = 0 THEN 55 ELSE 55 - CAST(bit_count(s) AS INT) END AS rnk
+      |  FROM s6)
+      |SELECT register, max(rnk) AS rank FROM r
+      |GROUP BY register ORDER BY register""".stripMargin
+
   private val textSearchSql: String =
     """WITH t AS (SELECT doc_id,
       |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
@@ -4592,27 +4660,48 @@ object SparkEntry {
     // bit-exact replay of the HLL register table: md5_number_lower is
     // the proven md5-lower-64 twin; register = top 10 bits, rank via
     // the same OR-smear + bit_count ladder (integer ops only)
-    "q_text_hll" ->
-      """WITH t AS (SELECT doc_id,
+    "q_report_datacard" ->
+      """WITH t AS (SELECT source, text,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
         |  FROM documents),
-        |tt AS (SELECT doc_id,
+        |tt AS (SELECT source, text,
         |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
-        |tok AS (SELECT unnest(toks) AS term FROM tt),
-        |hh AS (SELECT md5_number_lower('hll:' || term) AS h FROM tok),
-        |b AS (SELECT CAST(h >> 54 AS INT) AS register,
-        |  h & ((1::UBIGINT << 54) - 1) AS w FROM hh),
-        |s1 AS (SELECT register, w, w | (w >> 1) AS s FROM b),
-        |s2 AS (SELECT register, w, s | (s >> 2) AS s FROM s1),
-        |s3 AS (SELECT register, w, s | (s >> 4) AS s FROM s2),
-        |s4 AS (SELECT register, w, s | (s >> 8) AS s FROM s3),
-        |s5 AS (SELECT register, w, s | (s >> 16) AS s FROM s4),
-        |s6 AS (SELECT register, w, s | (s >> 32) AS s FROM s5),
-        |r AS (SELECT register,
-        |  CASE WHEN w = 0 THEN 55 ELSE 55 - CAST(bit_count(s) AS INT) END AS rnk
-        |  FROM s6)
-        |SELECT register, max(rnk) AS rank FROM r
-        |GROUP BY register ORDER BY register""".stripMargin,
+        |m AS (SELECT source,
+        |  len(toks)::BIGINT AS nt,
+        |  length(text)::BIGINT AS chars,
+        |  length(regexp_replace(text,'[^[:punct:]]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS pr,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s))) AS en,
+        |  len(list_filter(toks, s -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','auf'], s))) AS de,
+        |  len(list_filter(toks, s -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], s))) AS fr,
+        |  len(list_filter(toks, s -> list_contains(['el','los','las','y','es','un','una','en','que','por'], s))) AS es,
+        |  length(regexp_replace(text,'[^\x{4e00}-\x{9fff}]','','g'))::DOUBLE
+        |    / greatest(length(text),1)::DOUBLE AS cjkr,
+        |  md5(text) AS h
+        |  FROM tt),
+        |q AS (SELECT source, nt, chars, h,
+        |  CASE WHEN cjkr > 0.05 THEN 'zh'
+        |    WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und'
+        |    WHEN en>=de AND en>=fr AND en>=es THEN 'en'
+        |    WHEN de>=fr AND de>=es THEN 'de'
+        |    WHEN fr>=es THEN 'fr' ELSE 'es' END AS lang,
+        |  CAST(round(10000.0 * round(0.25*least(nt::DOUBLE/64.0, 1.0)
+        |    + 0.25*least(en::DOUBLE / greatest(nt,1)::DOUBLE * 4.0, 1.0)
+        |    + 0.25*(1.0-least(pr*4.0, 1.0))
+        |    + 0.25*(1.0-least(dr*4.0, 1.0)), 4)) AS BIGINT) AS qmicro
+        |  FROM m)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |  round(sum(nt)::DOUBLE / count(*)::DOUBLE, 4) AS avg_tokens,
+        |  sum(chars)::BIGINT AS n_chars,
+        |  (count(*) - count(DISTINCT h))::BIGINT AS dup_docs,
+        |  (count(*) FILTER (lang = 'en'))::BIGINT AS n_en,
+        |  (count(*) FILTER (lang = 'und'))::BIGINT AS n_und,
+        |  round(sum(qmicro)::DOUBLE / 10000.0 / count(*)::DOUBLE, 4) AS avg_quality
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_hll" -> hllRegistersSql,
+    // Streamed segment ingest is exactly the one-shot sketch by
+    // register-wise-max mergeability — same bit-level oracle.
+    "q_stream_hll" -> hllRegistersSql,
     // per-check violation counts; same conservative null handling
     "q_quality_checks" ->
       """WITH n AS (SELECT count(*) AS rows FROM orders),
@@ -5041,6 +5130,27 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens,
         |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  len(CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END)::BIGINT AS n
+        |  FROM t),
+        |c AS (SELECT doc_id, source, n,
+        |  (sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM n WHERE n > 0),
+        |s AS (SELECT source AS shard, doc_id AS doc, cum - n AS st, cum AS en,
+        |  unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS seq_id
+        |  FROM c)
+        |SELECT shard, seq_id::BIGINT AS seq_id,
+        |  (greatest(st, seq_id * 512) - seq_id * 512)::BIGINT AS seq_off,
+        |  doc,
+        |  (greatest(st, seq_id * 512) - st)::BIGINT AS doc_off,
+        |  (least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512))::BIGINT
+        |    AS n_tokens,
+        |  least(en, (seq_id + 1) * 512) = en AS eod
+        |FROM s ORDER BY shard, seq_id, seq_off""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -84,6 +84,74 @@ object Hll {
   def approxDistinct(items: DataFrame, item: Column, p: Int = 12): Double =
     estimateDistinct(hllRegisters(items, item, p), p)
 
+  private def sketchSpec(p: Int): String = s"hll-sketch:v1 p=$p"
+
+  /** Append one batch's registers as a SEGMENT of a materialized HLL
+    * sketch table — the ingest-time shape mirroring
+    * [[Cms.appendCellsSegment]]: each micro-batch/partition writes its
+    * own ≤ 2^p register table under a fresh segment id and the merged
+    * sketch is recovered on read ([[readRegisters]]) by register-wise
+    * MAX, which mergeability makes exactly the one-shot sketch over
+    * everything ingested. Segment commit markers make a crashed append
+    * invisible (rerun with the same id converges); `p` is pinned in
+    * `_index_spec` so a mismatched append fails instead of silently
+    * folding incompatible register spaces. */
+  def appendRegistersSegment(
+      items: DataFrame, item: Column, p: Int,
+      dir: String, segmentId: String): Unit = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16]: $p")
+    val spark = items.sparkSession
+    val hadSpec =
+      IndexSpec.checkReturningPresence(items, dir, sketchSpec(p))
+    val segDir = Segments.prepare(spark, dir, segmentId)
+    hllRegisters(items, item, p)
+      .write.mode("overwrite").parquet(s"$segDir/registers")
+    Segments.commit(spark, segDir)
+    if (!hadSpec) IndexSpec.write(items, dir, sketchSpec(p))
+  }
+
+  /** The merged sketch over every live segment (register-wise max — by
+    * mergeability, identical to a one-shot build over all ingested
+    * data). ≤ 2^p rows however many segments exist. */
+  def readRegisters(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      p: Int): DataFrame = {
+    IndexSpec.check(spark, dir, sketchSpec(p), writeIfMissing = false)
+    Segments.readPart(spark, dir, "registers")
+      .groupBy(col("register"))
+      .agg(max(col("rank")).as("rank"))
+  }
+
+  /** Fold all live segments into one (the LSM merge keeping read fan-in
+    * bounded after many streamed batches); crash-safe via the segment
+    * `_replaces`-before-`_commit` ordering, single-compactor locked.
+    * Returns segments merged (0–1 = nothing to do). */
+  def compactRegistersSegments(
+      spark: org.apache.spark.sql.SparkSession, dir: String, p: Int,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Int = {
+    IndexSpec.check(spark, dir, sketchSpec(p), writeIfMissing = false)
+    MaintenanceLock.withLock(Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir), lockLeaseMs) {
+      val live = Segments.live(spark, dir)
+      if (live.length <= 1) 0
+      else {
+        val names = live.map(d => new org.apache.hadoop.fs.Path(d).getName)
+        val target = {
+          val h = s"compact-${names.hashCode.toHexString}"
+          if (names.contains(h)) s"$h-x" else h
+        }
+        val segDir = Segments.prepare(spark, dir, target)
+        spark.read.parquet(live.map(s => s"$s/registers"): _*)
+          .groupBy(col("register"))
+          .agg(max(col("rank")).as("rank"))
+          .write.mode("overwrite").parquet(s"$segDir/registers")
+        Segments.commit(spark, segDir, replaces = names)
+        Segments.delete(spark, live)
+        live.length
+      }
+    }
+  }
+
   /** DISTRIBUTED per-group approximate distinct — the scale shape of
     * `GROUP BY g, approx_count_distinct(x)` with a fully replayable
     * estimate: per (group, register) max-rank fold, then a per-group

@@ -38,6 +38,61 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Concat-and-chunk SEQUENCE packing — the GPT-style "make training
+    * sequences" step: per shard, documents concatenate in `order` into
+    * one token stream that is cut into fixed `seqLen`-token windows, a
+    * document SPLITTING across windows when it straddles a boundary
+    * (unlike [[packByBudget]], which keeps documents whole and lets a
+    * pack overflow). Output is one row per (sequence, document-slice):
+    *
+    *   shard, seq_id        — the training sequence (shard-local id)
+    *   seq_off              — slice start offset WITHIN the sequence
+    *   doc (= `order`)      — the source document
+    *   doc_off, n_tokens    — the token range [doc_off, doc_off+n) of
+    *                          the document this slice carries
+    *   eod                  — true iff the document ends in this slice
+    *                          (where a trainer drops its EOS / resets
+    *                          attention)
+    *
+    * All integer arithmetic over one prefix sum: a doc spans stream
+    * tokens [cum−n, cum); window s spans [s·L, (s+1)·L); the slice for
+    * (doc, s) is their intersection. Every window except a shard's last
+    * is exactly full, so sequence construction is a pure slice-copy —
+    * no trainer-side repacking.
+    *
+    * Scale: one shuffle on `shard` (the window prefix sum); the explode
+    * emits ceil(n/L)+1 ≥ slices per doc — output is Θ(docs + tokens/L)
+    * rows however the corpus is distributed, and no token array is ever
+    * materialized. Zero-token docs carry no tokens and are dropped.
+    * Shards bound a task's sort exactly as in [[packByBudget]]. */
+  def packSequences(
+      df: DataFrame, shard: Column, order: Column,
+      tokens: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // window over the RENAMED columns — it applies after the projection
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen)
+    df.select(shard.as("shard"), order.as("doc"), tokens.as("__n"))
+      .filter(col("__n") > 0L)
+      .withColumn("__end", sum(col("__n")).over(w))
+      .withColumn("__start", col("__end") - col("__n"))
+      // windows this doc touches: floor(start/L) .. floor((end-1)/L)
+      .withColumn("seq_id", explode(sequence(
+        (col("__start") / L).cast("long"),
+        ((col("__end") - 1L) / L).cast("long"))))
+      .select(col("shard"), col("seq_id"),
+        (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_off"),
+        col("doc"),
+        (greatest(col("__start"), col("seq_id") * L) - col("__start"))
+          .as("doc_off"),
+        (least(col("__end"), (col("seq_id") + 1L) * L) -
+          greatest(col("__start"), col("seq_id") * L)).as("n_tokens"),
+        (least(col("__end"), (col("seq_id") + 1L) * L) === col("__end"))
+          .as("eod"))
+  }
+
   /** Materialize [[packByBudget]]'s assignment as ONE ROW PER PACK —
     * the unit a trainer actually consumes: ordered member ids, their
     * token counts (boundary offsets = its prefix sums) and the pack

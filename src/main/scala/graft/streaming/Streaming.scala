@@ -727,6 +727,53 @@ object Streaming {
       .withColumnRenamed("item", "term")
   }
 
+  /** Streaming HLL ingest: ranged document slices arrive as separate
+    * micro-batches and each batch appends its own register table as a
+    * COMMITTED SEGMENT of the materialized HLL sketch
+    * ([[graft.ops.Hll.appendRegistersSegment]], segmentId = batchId) —
+    * only the batch is tokenized, the stored corpus is never re-read,
+    * and a re-delivered batch OVERWRITES its own segment (exactly-once
+    * under foreachBatch's at-least-once retries). Register-wise MAX is
+    * idempotent as well as associative, so even a partially-visible
+    * duplicate fold could never overcount — the strongest of the sketch
+    * merge semantics. The returned register table equals a one-shot
+    * [[graft.ops.Hll.hllRegisters]] over the whole corpus and shares its
+    * from-scratch oracle. */
+  def hllIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4,
+      p: Int = 10,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val sketchDir = s"$workDir/hll_sketch"
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None =>
+        import spark.implicits._
+        return Seq.empty[(Int, Int)].toDF("register", "rank")
+      case Some(s) => s
+    }
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.ops.Hll.appendRegistersSegment(
+          batch.select(explode(
+            graft.text.TextFunctions.tokens(col("text"))).as("term")),
+          col("term"), p, sketchDir, s"b$batchId")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Hll.readRegisters(spark, sketchDir, p)
+  }
+
   /** Streaming SEARCH-INDEX ingest: ranged document slices arrive as
     * separate micro-batches (file source, mtime-pinned order) and each
     * batch writes its posting-list chunks and doc lengths as a COMMITTED

@@ -386,6 +386,64 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("dynamic partition pruning injects a runtime filter into the indexed scan") {
+    import spark.implicits._
+    // Hive-partitioned indexed table joined to a small FILTERED dim on
+    // the partition column: Spark's DPP rule must plant a runtime
+    // partition filter inside the GraftFileIndex listing (our listFiles
+    // evaluates whatever partitionFilters arrive — planning-time or
+    // runtime), so at 100 TB a star-join touches only the dim-selected
+    // partitions WITHOUT a literal predicate in the query text.
+    val pPath = s"$work/orders_dpp"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(pPath)
+    spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(pPath)
+
+    val years = spark.read.parquet(pPath).select("o_year").distinct()
+      .as[Int].collect().sorted
+    assert(years.length >= 2, "fixture needs multiple partitions")
+    val target = years.head
+    // the dim must be FILE-BACKED: a LocalRelation's filter constant-
+    // folds away at planning and DPP then sees no selective predicate
+    years.map(y => (y, if (y == target) "keep" else "drop"))
+      .toSeq.toDF("y", "tag")
+      .write.mode("overwrite").parquet(s"$work/dpp_dim")
+    val dim = spark.read.parquet(s"$work/dpp_dim")
+    val fact = spark.index.parquet(pPath)
+    val joined = fact.join(dim.filter($"tag" === "keep"),
+      fact("o_year") === dim("y"))
+    val n = joined.count()
+    assert(n == spark.read.parquet(pPath)
+      .filter($"o_year" === target).count())
+    val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a DPP subquery in the indexed scan:\n$planStr")
+    // the join plan is AQE-wrapped — descend through adaptive stages to
+    // reach the scan (plain .collect stops at the AdaptiveSparkPlanExec)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .find(_.relation.location
+        .isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+    assert(factScan.isDefined)
+    // Spark applies the runtime filter to the PartitionDirectory list
+    // AFTER the static GraftFileIndex listing, so the proof of pruning
+    // is the scan's own numFiles metric: only the surviving partition's
+    // files were read
+    val total = factScan.get.relation.location
+      .asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex].lastTotalFiles
+    val read = factScan.get.metrics("numFiles").value
+    assert(read < total, s"DPP should cut files read: $read/$total")
+  }
+
   test("IsNull / null-aware predicates on a table with nulls") {
     val nPath = s"$work/lineitem_nulls"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

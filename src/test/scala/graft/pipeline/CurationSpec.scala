@@ -607,6 +607,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 1L, 0L), ("B", 2L, 1L)))
   }
 
+  test("packSequences: docs split across fixed windows, offsets and eod exact") {
+    val df = Seq(
+      ("A", 1L, 3L), ("A", 2L, 5L), ("A", 3L, 4L), // stream [0,3)[3,8)[8,12)
+      ("A", 4L, 0L),                               // zero-token: dropped
+      ("B", 1L, 9L)                                // [0,9) spans 3 windows
+    ).toDF("shard", "ord", "toks")
+    val out = graft.ops.Packing.packSequences(
+        df, $"shard", $"ord", $"toks", seqLen = 4L)
+      .select($"shard", $"seq_id", $"seq_off", $"doc", $"doc_off",
+        $"n_tokens", $"eod")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("A", 0L, 0L, 1L, 0L, 3L, true),   // doc1 fully inside window 0
+      ("A", 0L, 3L, 2L, 0L, 1L, false),  // doc2 head fills window 0
+      ("A", 1L, 0L, 2L, 1L, 4L, true),   // doc2 tail fills window 1
+      ("A", 2L, 0L, 3L, 0L, 4L, true),
+      ("B", 0L, 0L, 1L, 0L, 4L, false),
+      ("B", 1L, 0L, 1L, 4L, 4L, false),
+      ("B", 2L, 0L, 1L, 8L, 1L, true)))
+    // every window except a shard's last is exactly full
+    val fill = graft.ops.Packing.packSequences(
+        df, $"shard", $"ord", $"toks", seqLen = 4L)
+      .groupBy($"shard", $"seq_id").agg(sum($"n_tokens").as("n"))
+      .as[(String, Long, Long)].collect()
+    val lastSeq = fill.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    fill.foreach { case (sh, s, n) =>
+      if (s < lastSeq(sh)) assert(n == 4L, s"window ($sh,$s) not full: $n")
+      else assert(n <= 4L)
+    }
+    // slices tile each document without gaps or overlap
+    val slices = out.toSeq.filter(_._1 == "B").sortBy(_._5)
+    assert(slices.map(_._5) == Seq(0L, 4L, 8L)) // doc_off contiguous
+    assert(slices.map(_._6).sum == 9L)
+  }
+
   test("packManifest: ordered members, counts, totals per pack") {
     val df = Seq(
       ("A", 1L, 800L), ("A", 2L, 800L), ("A", 3L, 800L), ("A", 4L, 800L),

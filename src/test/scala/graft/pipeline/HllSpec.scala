@@ -104,6 +104,47 @@ class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Hll.hllRegisters(items, $"x", 6).count() <= 64L)
   }
 
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-hll").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/sketch"
+  }
+
+  test("segmented sketch: append-per-batch == one-shot; rerun converges") {
+    val dir = tmpDir()
+    val a = (1 to 200).map(i => s"a$i").toDF("x")
+    val b = (1 to 150).map(i => s"b$i").toDF("x")
+    Hll.appendRegistersSegment(a, $"x", 8, dir, "b0")
+    Hll.appendRegistersSegment(b, $"x", 8, dir, "b1")
+    // re-delivered batch overwrites its own segment (exactly-once; max
+    // is idempotent anyway — doubly safe)
+    Hll.appendRegistersSegment(b, $"x", 8, dir, "b1")
+    val merged = Hll.readRegisters(spark, dir, 8)
+      .as[(Int, Int)].collect().toSet
+    val oneShot = Hll.hllRegisters(a.union(b), $"x", 8)
+      .as[(Int, Int)].collect().toSet
+    assert(merged == oneShot)
+    // mismatched p fails fast against the pinned spec
+    intercept[IllegalArgumentException] {
+      Hll.appendRegistersSegment(a, $"x", 9, dir, "b2")
+    }
+  }
+
+  test("segment compaction folds to one segment, same registers") {
+    val dir = tmpDir()
+    val a = (1 to 100).map(i => s"a$i").toDF("x")
+    val b = (1 to 80).map(i => s"c$i").toDF("x")
+    Hll.appendRegistersSegment(a, $"x", 7, dir, "b0")
+    Hll.appendRegistersSegment(b, $"x", 7, dir, "b1")
+    val before = Hll.readRegisters(spark, dir, 7)
+      .as[(Int, Int)].collect().toSet
+    assert(Hll.compactRegistersSegments(spark, dir, 7) == 2)
+    assert(Hll.compactRegistersSegments(spark, dir, 7) == 0) // idempotent
+    val after = Hll.readRegisters(spark, dir, 7)
+      .as[(Int, Int)].collect().toSet
+    assert(after == before)
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()

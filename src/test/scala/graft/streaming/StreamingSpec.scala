@@ -353,6 +353,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> "second", 2L -> "keep", 3L -> "ins"), got.toString)
   }
 
+  test("streaming hll ingest equals the one-shot register sketch") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft-hlling").toString
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 17} tok${(i * 3) % 29} shared")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val streamed = Streaming.hllIngest(spark, fixture, s"$fixture/work",
+        nBatches = 4, p = 8)
+      .as[(Int, Int)].collect().toSet
+    val oneShot = graft.ops.Hll.hllRegisters(
+        docs.select(explode(
+          graft.text.TextFunctions.tokens($"text")).as("t")),
+        col("t"), p = 8)
+      .as[(Int, Int)].collect().toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
   test("streaming search ingest grows the index to one-shot parity") {
     val fixture = java.nio.file.Files.createTempDirectory("graft-searching").toString
     val docs = Seq(
