@@ -2117,6 +2117,63 @@ object SparkEntry {
         .orderBy($"shard", $"seq_id", $"seq_off")
     }),
 
+    // Deterministic training-order interleave: stride scheduling over
+    // the packed sequences — sequence k of source s runs at virtual
+    // time (k+1)/weight(s), globally ordered. Sources outside the
+    // weight map are excluded; ties break by (shard, seq). The oracle
+    // replays packing, the CASE weight lookup and the row_number.
+    "q_pack_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val seqs = graft.ops.Packing.packSequences(
+        tbl(s, dir, "documents")
+          .select($"doc_id", $"source",
+            size(graft.text.TextFunctions.tokens($"text")).cast("long").as("n_tokens")),
+        shard = $"source", order = $"doc_id", tokens = $"n_tokens",
+        seqLen = 512L)
+      graft.ops.Packing.strideSchedule(seqs, $"shard", $"seq_id",
+          weights = Map("src0" -> 1.0, "src1" -> 3.0, "src2" -> 1.5,
+            "src3" -> 0.5, "src4" -> 2.0, "src5" -> 1.0))
+        .orderBy($"step")
+    }),
+
+    // Ordered funnel (view -> click -> purchase): per user the earliest
+    // completion chain, each step's min-ts STRICTLY AFTER the previous
+    // step's completion — k-1 ids-only equi-joins, never a window over
+    // the raw stream. Timestamps surface as unix micros (the repo's
+    // timestamp-output convention).
+    "q_events_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Funnel.funnel(eventsTbl(s, dir),
+          $"user_id", $"ts", $"event_type",
+          Seq("view", "click", "purchase"))
+        .select($"user".as("user_id"),
+          unix_micros($"t_1").as("t1_us"),
+          unix_micros($"t_2").as("t2_us"),
+          unix_micros($"t_3").as("t3_us"),
+          $"steps_completed")
+        .orderBy($"user_id")
+    }),
+
+    // Funnel conversion table: users completing each step prefix.
+    "q_events_funnel_counts" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Funnel.funnelCounts(eventsTbl(s, dir),
+          $"user_id", $"ts", $"event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy($"step")
+    }),
+
+    // Cohort retention triangle: weekly cohorts by first event, count
+    // of cohort users active k weeks later. Exact integer period
+    // arithmetic (micros div week); two map-side-combined aggregates +
+    // one user-key join.
+    "q_events_retention" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Funnel.retentionCohorts(eventsTbl(s, dir),
+          $"user_id", $"ts", periodDays = 7)
+        .orderBy($"cohort_period", $"period_offset")
+    }),
+
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-shingles with a held-out benchmark slice (every 20th doc).
     // Benchmark shingles broadcast; the corpus side never shuffles until
@@ -5151,6 +5208,70 @@ object SparkEntry {
         |    AS n_tokens,
         |  least(en, (seq_id + 1) * 512) = en AS eod
         |FROM s ORDER BY shard, seq_id, seq_off""".stripMargin,
+    "q_pack_schedule" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  len(CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END)::BIGINT AS n
+        |  FROM t),
+        |c AS (SELECT doc_id, source, n,
+        |  (sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM n WHERE n > 0),
+        |sq AS (SELECT source AS shard,
+        |  unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS seq_id
+        |  FROM c),
+        |d AS (SELECT DISTINCT shard, seq_id::BIGINT AS seq_id FROM sq),
+        |w AS (SELECT shard, seq_id,
+        |  CASE shard WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 3.0
+        |    WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 0.5 WHEN 'src4' THEN 2.0
+        |    WHEN 'src5' THEN 1.0 ELSE NULL END AS wt FROM d),
+        |v AS (SELECT shard, seq_id,
+        |  (seq_id + 1)::DOUBLE / wt AS vt FROM w WHERE wt IS NOT NULL)
+        |SELECT (row_number() OVER (ORDER BY vt, shard, seq_id))::BIGINT AS step,
+        |  shard, seq_id, round(vt, 6) AS vt
+        |FROM v ORDER BY step""".stripMargin,
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT user_id, min(ts) AS t2 FROM e
+        |  JOIN s1 USING (user_id) WHERE event_type = 'click' AND ts > t1
+        |  GROUP BY 1),
+        |s3 AS (SELECT user_id, min(ts) AS t3 FROM e
+        |  JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND ts > t2
+        |  GROUP BY 1)
+        |SELECT s1.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+        |  epoch_us(t3) AS t3_us,
+        |  (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)::INT
+        |    AS steps_completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_events_funnel_counts" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT user_id, min(ts) AS t2 FROM e
+        |  JOIN s1 USING (user_id) WHERE event_type = 'click' AND ts > t1
+        |  GROUP BY 1),
+        |s3 AS (SELECT user_id, min(ts) AS t3 FROM e
+        |  JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND ts > t2
+        |  GROUP BY 1)
+        |SELECT step, action, n_users::BIGINT AS n_users FROM (
+        |  SELECT 1 AS step, 'view' AS action,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step""".stripMargin,
+    "q_events_retention" ->
+      """WITH b AS (SELECT user_id,
+        |  epoch_us(ts) // 604800000000 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort_period FROM b GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, p FROM b)
+        |SELECT cohort_period, p - cohort_period AS period_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -93,6 +93,42 @@ object Packing {
           .as("eod"))
   }
 
+  /** Deterministic TRAINING-ORDER interleave of packed sequences across
+    * weighted sources — stride scheduling (Waldspurger & Weihl, OSDI
+    * 1995): sequence k of source s is assigned virtual time
+    * (k+1)/weight(s), and the global schedule is the ascending
+    * virtual-time order (ties by (shard, seq)). Sources with twice the
+    * weight appear twice as often, evenly spread — the "mix corpora at
+    * fixed ratios without clumping" step between packing and the data
+    * loader. Sources absent from `weights` are excluded (weight 0).
+    *
+    * Returns (step, shard, seq_id, vt): step is the contiguous global
+    * training position. The weight lookup is a literal CASE chain
+    * (map-side, no join); the one global ORDER BY is inherent — a total
+    * training order IS the product — and runs over sequence METADATA
+    * (tokens/seqLen rows, ~1/1000 of corpus rows), range-partitioned by
+    * the sort. vt doubles are (k+1)/w — identical IEEE division on any
+    * engine, so the order and the 6dp-rounded output replay exactly. */
+  def strideSchedule(
+      seqs: DataFrame, shard: Column, seqId: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "at least one source weight required")
+    require(weights.values.forall(_ > 0.0),
+      s"weights must be positive: $weights")
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col("shard") === s, lit(w)).otherwise(acc)
+    }
+    seqs.select(shard.as("shard"), seqId.as("seq_id")).distinct()
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull)
+      .withColumn("vt",
+        (col("seq_id").cast("double") + lit(1.0)) / col("__w"))
+      .withColumn("step", row_number().over(
+        Window.orderBy(col("vt"), col("shard"), col("seq_id"))).cast("long"))
+      .select(col("step"), col("shard"), col("seq_id"),
+        round(col("vt"), 6).as("vt"))
+  }
+
   /** Materialize [[packByBudget]]'s assignment as ONE ROW PER PACK —
     * the unit a trainer actually consumes: ordered member ids, their
     * token counts (boundary offsets = its prefix sums) and the pack

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Funnel, Packing}
+
+/** Event-sequence analytics: ordered funnels, cohort retention, and the
+  * stride training schedule. */
+class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-funnel-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("funnel: steps must complete strictly in order") {
+    val events = Seq(
+      // user 1 completes all three in order
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2's purchase PRECEDES the click -> only 2 steps count
+      (2L, ts(10), "view"), (2L, ts(40), "click"), (2L, ts(20), "purchase"),
+      // user 3 never views -> absent from the funnel entirely
+      (3L, ts(10), "click"), (3L, ts(20), "purchase"),
+      // user 4: click before view doesn't count; later click does
+      (4L, ts(10), "click"), (4L, ts(20), "view"), (4L, ts(30), "click")
+    ).toDF("u", "t", "a")
+    val out = Funnel.funnel(events, $"u", $"t", $"a",
+        Seq("view", "click", "purchase"))
+      .select($"user", unix_micros($"t_1"), unix_micros($"t_2"),
+        unix_micros($"t_3"), $"steps_completed")
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def us(s: Long) = s * 1000000L
+    assert(out(1L) == ((us(10), Some(us(20)), Some(us(30)), 3)))
+    assert(out(2L) == ((us(10), Some(us(40)), None, 2)))
+    assert(!out.contains(3L))
+    assert(out(4L) == ((us(20), Some(us(30)), None, 2)))
+  }
+
+  test("funnelCounts: prefix counts, zero rows kept") {
+    val events = Seq(
+      (1L, ts(10), "view"), (1L, ts(20), "click"),
+      (2L, ts(10), "view")
+    ).toDF("u", "t", "a")
+    val out = Funnel.funnelCounts(events, $"u", $"t", $"a",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "view", 2L), (2, "click", 1L),
+      (3, "purchase", 0L)))
+  }
+
+  test("retentionCohorts: triangle counts by first-activity period") {
+    val day = 86400L
+    val events = Seq(
+      // user 1 first in period 0 (days 0-6), active periods 0,1,2
+      (1L, ts(1 * day)), (1L, ts(8 * day)), (1L, ts(15 * day)),
+      // user 2 first in period 0, active 0 only (two events same period)
+      (2L, ts(2 * day)), (2L, ts(3 * day)),
+      // user 3 first in period 1, active 1,2
+      (3L, ts(8 * day)), (3L, ts(14 * day))
+    ).toDF("u", "t")
+    val out = Funnel.retentionCohorts(events, $"u", $"t", periodDays = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("strideSchedule: weights set appearance frequency, order deterministic") {
+    // shard A weight 2, shard B weight 1, 6 seqs each
+    val seqs = (for (s <- Seq("A", "B"); k <- 0L until 6L) yield (s, k))
+      .toDF("shard", "seq_id")
+    val out = Packing.strideSchedule(seqs, $"shard", $"seq_id",
+        Map("A" -> 2.0, "B" -> 1.0))
+      .orderBy($"step")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // A at vt 0.5,1,1.5,2,2.5,3; B at 1,2,3,4,5,6 -> prefix is A-heavy 2:1
+    assert(out.map(_._2).take(3) == Seq("A", "A", "B"))
+    // every A pair straddles at most one B in any window: check the
+    // full interleave is the stride order (vt ascending, ties A first)
+    val vts = out.map(_._4)
+    assert(vts == vts.sorted)
+    // steps contiguous from 1
+    assert(out.map(_._1) == (1L to 12L))
+    // unknown shard excluded
+    val out2 = Packing.strideSchedule(
+      seqs.union(Seq(("C", 0L)).toDF("shard", "seq_id")),
+      $"shard", $"seq_id", Map("A" -> 2.0, "B" -> 1.0))
+    assert(out2.filter($"shard" === "C").count() == 0)
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
