@@ -499,3 +499,73 @@ class Pipeline:
 
     def read_ingested(self, spark, out_dir):
         return self._df(self._japi.readIngested(self._jspark, out_dir))
+
+    # ---- sequence packing + schedule ---------------------------------
+
+    def pack_by_budget(self, df, shard_col, order_col, tokens_col, budget):
+        """Whole-doc token-budget packs (pack_id per shard)."""
+        return self._df(self._japi.packByBudget(
+            df._jdf, shard_col, order_col, tokens_col, budget))
+
+    def pack_manifest(self, df, shard_col, order_col, tokens_col, budget):
+        """One row per pack: ordered members, counts, total."""
+        return self._df(self._japi.packManifest(
+            df._jdf, shard_col, order_col, tokens_col, budget))
+
+    def pack_sequences(self, df, shard_col, order_col, tokens_col, seq_len):
+        """Concat-and-chunk fixed-window sequence slices (docs split
+        across windows; eod marks attention resets)."""
+        return self._df(self._japi.packSequences(
+            df._jdf, shard_col, order_col, tokens_col, seq_len))
+
+    def stride_schedule(self, seqs, shard_col, seq_id_col, weights):
+        """Deterministic weighted interleave of packed sequences
+        (stride scheduling); weights = {source: weight}."""
+        gateway = self._spark.sparkContext._gateway
+        jmap = gateway.jvm.java.util.HashMap()
+        for k, v in weights.items():
+            jmap.put(k, float(v))
+        return self._df(self._japi.strideSchedule(
+            seqs._jdf, shard_col, seq_id_col, jmap))
+
+    # ---- event analytics ---------------------------------------------
+
+    def funnel(self, events, user_col, ts_col, action_col, actions):
+        """Ordered funnel completion times per user (strictly-after
+        chain); t_1..t_k + steps_completed."""
+        return self._df(self._japi.funnel(
+            events._jdf, user_col, ts_col, action_col,
+            _jlist(self._spark, actions)))
+
+    def funnel_counts(self, events, user_col, ts_col, action_col, actions):
+        """Users completing each funnel prefix: (step, action, n_users)."""
+        return self._df(self._japi.funnelCounts(
+            events._jdf, user_col, ts_col, action_col,
+            _jlist(self._spark, actions)))
+
+    def retention_cohorts(self, events, user_col, ts_col, period_days=7):
+        """Cohort retention triangle: (cohort_period, period_offset,
+        n_users)."""
+        return self._df(self._japi.retentionCohorts(
+            events._jdf, user_col, ts_col, period_days))
+
+    # ---- corpus reporting --------------------------------------------
+
+    def corpus_data_card(self, df, source_col, text_col):
+        """Per-source release summary (volume, exact dup count, language
+        mix, mean quality)."""
+        return self._df(self._japi.corpusDataCard(
+            df._jdf, source_col, text_col))
+
+    # ---- HLL sketch segments -----------------------------------------
+
+    def hll_append_registers_segment(self, items, item_col, path,
+                                     segment_id, p=12):
+        self._japi.hllAppendRegistersSegment(
+            items._jdf, item_col, p, path, segment_id)
+
+    def hll_read_registers(self, spark, path, p=12):
+        return self._df(self._japi.hllReadRegisters(self._jspark, path, p))
+
+    def hll_compact_registers_segments(self, spark, path, p=12):
+        return self._japi.hllCompactRegistersSegments(self._jspark, path, p)

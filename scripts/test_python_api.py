@@ -265,6 +265,56 @@ def main():
            for r in p.kmeans_state_report(st).collect()}
     assert rep[(0, 1)] == (2, 1100.0) and rep[(1, 2)] == (2, 1100.0), rep
 
+    # sequence packing: doc of 5 tokens splits across 4-token windows
+    pdf = spark.createDataFrame(
+        [("A", 1, 3), ("A", 2, 5)], ["src", "d", "n"])
+    sl = {(r.seq_id, r.doc): (r.seq_off, r.doc_off, r.n_tokens, r.eod)
+          for r in p.pack_sequences(pdf, "src", "d", "n", 4).collect()}
+    assert sl == {(0, 1): (0, 0, 3, True), (0, 2): (3, 0, 1, False),
+                  (1, 2): (0, 1, 4, True)}, sl
+    # stride schedule: weight-2 source appears first and twice as often
+    sdf = spark.createDataFrame(
+        [("A", k) for k in range(4)] + [("B", k) for k in range(4)],
+        ["shard", "seq_id"])
+    sched = [r.shard for r in p.stride_schedule(
+        sdf, "shard", "seq_id", {"A": 2.0, "B": 1.0})
+        .orderBy("step").collect()]
+    assert sched[:3] == ["A", "A", "B"], sched
+    # funnel + retention from python
+    from datetime import datetime
+    edf = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "view"),
+         (1, datetime(2024, 1, 2), "buy"),
+         (2, datetime(2024, 1, 10), "view")],
+        ["u", "t", "a"])
+    fc = {r.step: r.n_users for r in p.funnel_counts(
+        edf, "u", "t", "a", ["view", "buy"]).collect()}
+    assert fc == {1: 2, 2: 1}, fc
+    ret = {(r.cohort_period, r.period_offset): r.n_users
+           for r in p.retention_cohorts(edf, "u", "t", 7).collect()}
+    # both of user 1's events share a week -> one active (user, period)
+    # row each; both users at offset 0 of their own cohorts
+    assert sum(ret.values()) == 2 and \
+        all(k[1] == 0 for k in ret), ret
+    # data card: one grouped pass over the curation signals
+    card = p.corpus_data_card(
+        docs.selectExpr("concat('s', doc_id % 2) AS src", "text"),
+        "src", "text").collect()
+    assert len(card) == 2 and \
+        all(r.n_docs >= 1 and r.avg_quality is not None for r in card)
+    # HLL segments: two appends read back as the merged sketch
+    hdir = f"{work}/hll_seg"
+    p.hll_append_registers_segment(toks.limit(20), "term", hdir, "b0", p=8)
+    p.hll_append_registers_segment(toks, "term", hdir, "b1", p=8)
+    merged = p.hll_read_registers(spark, hdir, p=8)
+    one_shot = p.hll_registers(toks, "term", p=8)
+    # any-subset ∪ full = full under register-wise max, whatever rows
+    # limit() picked — merged must equal the one-shot sketch exactly
+    sym_diff = merged.exceptAll(one_shot).count() \
+        + one_shot.exceptAll(merged).count()
+    assert sym_diff == 0, sym_diff
+    assert p.hll_compact_registers_segments(spark, hdir, p=8) == 2
+
     print(f"PYTHON API OK: {len(indexed)} rows matched, "
           "lifecycle+refresh+compact+pipeline complete")
     spark.stop()

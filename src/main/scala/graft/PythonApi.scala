@@ -502,4 +502,71 @@ object PythonApi {
 
   def readIngested(spark: SparkSession, outDir: String): DataFrame =
     graft.ops.Ingest.readIngested(spark, outDir)
+
+  // ---- sequence packing + schedule ------------------------------------
+
+  def packByBudget(
+      df: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    graft.ops.Packing.packByBudget(df, col(shardCol), col(orderCol),
+      col(tokensCol), budget)
+
+  def packManifest(
+      df: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    graft.ops.Packing.packManifest(df, col(shardCol), col(orderCol),
+      col(tokensCol), budget)
+
+  def packSequences(
+      df: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, seqLen: Long): DataFrame =
+    graft.ops.Packing.packSequences(df, col(shardCol), col(orderCol),
+      col(tokensCol), seqLen)
+
+  def strideSchedule(
+      seqs: DataFrame, shardCol: String, seqIdCol: String,
+      weights: java.util.Map[String, java.lang.Double]): DataFrame =
+    graft.ops.Packing.strideSchedule(seqs, col(shardCol), col(seqIdCol),
+      weights.asScala.map { case (k, v) => k -> v.doubleValue }.toMap)
+
+  // ---- event analytics ------------------------------------------------
+
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String, actionCol: String,
+      actions: java.util.List[String]): DataFrame =
+    graft.ops.Funnel.funnel(events, col(userCol), col(tsCol),
+      col(actionCol), actions.asScala.toSeq)
+
+  def funnelCounts(
+      events: DataFrame, userCol: String, tsCol: String, actionCol: String,
+      actions: java.util.List[String]): DataFrame =
+    graft.ops.Funnel.funnelCounts(events, col(userCol), col(tsCol),
+      col(actionCol), actions.asScala.toSeq)
+
+  def retentionCohorts(
+      events: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int): DataFrame =
+    graft.ops.Funnel.retentionCohorts(events, col(userCol), col(tsCol),
+      periodDays)
+
+  // ---- corpus reporting -----------------------------------------------
+
+  def corpusDataCard(
+      df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    graft.ops.Report.corpusDataCard(df, col(sourceCol), col(textCol))
+
+  // ---- HLL sketch segments --------------------------------------------
+
+  def hllAppendRegistersSegment(
+      items: DataFrame, itemCol: String, p: Int,
+      dir: String, segmentId: String): Unit =
+    graft.ops.Hll.appendRegistersSegment(items, col(itemCol), p, dir,
+      segmentId)
+
+  def hllReadRegisters(spark: SparkSession, dir: String, p: Int): DataFrame =
+    graft.ops.Hll.readRegisters(spark, dir, p)
+
+  def hllCompactRegistersSegments(
+      spark: SparkSession, dir: String, p: Int): Int =
+    graft.ops.Hll.compactRegistersSegments(spark, dir, p)
 }
