@@ -518,6 +518,13 @@ class Pipeline:
         return self._df(self._japi.packSequences(
             df._jdf, shard_col, order_col, tokens_col, seq_len))
 
+    def materialize_sequences(self, df, shard_col, order_col,
+                              tokens_arr_col, seq_len):
+        """One row per fixed-length sequence with its actual token
+        content (the shard a data loader consumes)."""
+        return self._df(self._japi.materializeSequences(
+            df._jdf, shard_col, order_col, tokens_arr_col, seq_len))
+
     def stride_schedule(self, seqs, shard_col, seq_id_col, weights):
         """Deterministic weighted interleave of packed sequences
         (stride scheduling); weights = {source: weight}."""

@@ -272,6 +272,12 @@ def main():
           for r in p.pack_sequences(pdf, "src", "d", "n", 4).collect()}
     assert sl == {(0, 1): (0, 0, 3, True), (0, 2): (3, 0, 1, False),
                   (1, 2): (0, 1, 4, True)}, sl
+    # materialized sequences: content tiles the stream
+    mdf = spark.createDataFrame(
+        [("A", 1, ["x", "y", "z"]), ("A", 2, ["w"])], ["src", "d", "tk"])
+    mat = {r.seq_id: r.tokens for r in p.materialize_sequences(
+        mdf, "src", "d", "tk", 3).collect()}
+    assert mat == {0: ["x", "y", "z"], 1: ["w"]}, mat
     # stride schedule: weight-2 source appears first and twice as often
     sdf = spark.createDataFrame(
         [("A", k) for k in range(4)] + [("B", k) for k in range(4)],

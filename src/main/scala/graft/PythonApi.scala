@@ -523,6 +523,12 @@ object PythonApi {
     graft.ops.Packing.packSequences(df, col(shardCol), col(orderCol),
       col(tokensCol), seqLen)
 
+  def materializeSequences(
+      df: DataFrame, shardCol: String, orderCol: String,
+      tokensArrCol: String, seqLen: Long): DataFrame =
+    graft.ops.Packing.materializeSequences(df, col(shardCol), col(orderCol),
+      col(tokensArrCol), seqLen)
+
   def strideSchedule(
       seqs: DataFrame, shardCol: String, seqIdCol: String,
       weights: java.util.Map[String, java.lang.Double]): DataFrame =

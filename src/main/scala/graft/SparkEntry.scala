@@ -2136,6 +2136,22 @@ object SparkEntry {
         .orderBy($"step")
     }),
 
+    // MATERIALIZED training sequences: the concat-and-chunk plan
+    // carrying the token arrays through — one row per 512-token
+    // sequence with its actual content, slices cut map-side and
+    // assembled per sequence. The oracle replays the window, the
+    // 1-based list slicing and the ordered flatten.
+    "q_pack_materialize" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Packing.materializeSequences(
+          tbl(s, dir, "documents")
+            .select($"doc_id", $"source",
+              graft.text.TextFunctions.tokens($"text").as("toks")),
+          shard = $"source", order = $"doc_id", tokensArr = $"toks",
+          seqLen = 512L)
+        .orderBy($"shard", $"seq_id")
+    }),
+
     // Ordered funnel (view -> click -> purchase): per user the earliest
     // completion chain, each step's min-ts STRICTLY AFTER the previous
     // step's completion — k-1 ids-only equi-joins, never a window over
@@ -5231,6 +5247,29 @@ object SparkEntry {
         |SELECT (row_number() OVER (ORDER BY vt, shard, seq_id))::BIGINT AS step,
         |  shard, seq_id, round(vt, 6) AS vt
         |FROM v ORDER BY step""".stripMargin,
+    "q_pack_materialize" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |n AS (SELECT doc_id, source, toks, len(toks)::BIGINT AS n FROM tt
+        |  WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, source, toks, n,
+        |  (sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM n),
+        |s AS (SELECT source AS shard, toks, cum - n AS st, cum AS en,
+        |  unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS seq_id
+        |  FROM c),
+        |sl AS (SELECT shard, seq_id::BIGINT AS seq_id,
+        |  greatest(st, seq_id * 512) - seq_id * 512 AS seq_off,
+        |  toks[(greatest(st, seq_id * 512) - st + 1):
+        |       (least(en, (seq_id + 1) * 512) - st)] AS sl
+        |  FROM s)
+        |SELECT shard, seq_id,
+        |  flatten(list(sl ORDER BY seq_off)) AS tokens,
+        |  len(flatten(list(sl ORDER BY seq_off)))::BIGINT AS n_tokens
+        |FROM sl GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     "q_events_funnel" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM e

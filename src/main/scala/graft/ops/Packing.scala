@@ -93,6 +93,52 @@ object Packing {
           .as("eod"))
   }
 
+  /** MATERIALIZE the training sequences: the same concat-and-chunk plan
+    * as [[packSequences]], but carrying each document's token ARRAY
+    * through so the output is one row per sequence with its actual
+    * `seqLen`-token content (the final shard a data loader memory-maps;
+    * every sequence except a shard's last is exactly full).
+    *
+    * One scan, one plan: the prefix-sum window rides on the array
+    * column, each (doc, window) slice is cut MAP-SIDE
+    * (`slice(toks, doc_off+1, n)` — no token ever leaves its row until
+    * the final assembly), and the per-sequence groupBy concatenates the
+    * ≤ a-handful of slices in seq_off order. Two shuffles of the token
+    * payload (window + assembly) — the floor for a materialization
+    * whose output IS corpus-sized. Empty docs drop as in
+    * [[packSequences]]. */
+  def materializeSequences(
+      df: DataFrame, shard: Column, order: Column,
+      tokensArr: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen)
+    df.select(shard.as("shard"), order.as("doc"), tokensArr.as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0L)
+      .withColumn("__end", sum(col("__n")).over(w))
+      .withColumn("__start", col("__end") - col("__n"))
+      .withColumn("seq_id", explode(sequence(
+        (col("__start") / L).cast("long"),
+        ((col("__end") - 1L) / L).cast("long"))))
+      .select(col("shard"), col("seq_id"),
+        (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("__seq_off"),
+        slice(col("__toks"),
+          (greatest(col("__start"), col("seq_id") * L) - col("__start") +
+            1L).cast("int"),
+          (least(col("__end"), (col("seq_id") + 1L) * L) -
+            greatest(col("__start"), col("seq_id") * L)).cast("int"))
+          .as("__slice"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("__seq_off"), col("__slice")))),
+        m => m.getField("__slice"))).as("tokens"))
+      .select(col("shard"), col("seq_id"), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Deterministic TRAINING-ORDER interleave of packed sequences across
     * weighted sources — stride scheduling (Waldspurger & Weihl, OSDI
     * 1995): sequence k of source s is assigned virtual time

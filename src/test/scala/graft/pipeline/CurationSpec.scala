@@ -642,6 +642,23 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slices.map(_._6).sum == 9L)
   }
 
+  test("materializeSequences: token content tiles the stream exactly") {
+    val df = Seq(
+      ("A", 1L, Seq("a1", "a2", "a3")),
+      ("A", 2L, Seq("b1", "b2", "b3", "b4", "b5")),
+      ("A", 3L, Seq.empty[String]),
+      ("B", 1L, Seq("c1", "c2"))
+    ).toDF("shard", "ord", "toks")
+    val out = graft.ops.Packing.materializeSequences(
+        df, $"shard", $"ord", $"toks", seqLen = 4L)
+      .orderBy($"shard", $"seq_id")
+      .as[(String, Long, Seq[String], Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 0L, Seq("a1", "a2", "a3", "b1"), 4L),
+      ("A", 1L, Seq("b2", "b3", "b4", "b5"), 4L),
+      ("B", 0L, Seq("c1", "c2"), 2L)))
+  }
+
   test("packManifest: ordered members, counts, totals per pack") {
     val df = Seq(
       ("A", 1L, 800L), ("A", 2L, 800L), ("A", 3L, 800L), ("A", 4L, 800L),
