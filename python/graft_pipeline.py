@@ -564,6 +564,16 @@ class Pipeline:
         return self._df(self._japi.corpusDataCard(
             df._jdf, source_col, text_col))
 
+    def append_data_card_segment(self, df, source_col, text_col, path,
+                                 segment_id, p=10):
+        """Append one batch's card partials as a committed segment."""
+        self._japi.appendDataCardSegment(
+            df._jdf, source_col, text_col, p, path, segment_id)
+
+    def read_data_card(self, spark, path, p=10):
+        """Merged incremental card (counts + HLL distinct estimate)."""
+        return self._df(self._japi.readDataCard(self._jspark, path, p))
+
     # ---- HLL sketch segments -----------------------------------------
 
     def hll_append_registers_segment(self, items, item_col, path,

@@ -308,6 +308,18 @@ def main():
         "src", "text").collect()
     assert len(card) == 2 and \
         all(r.n_docs >= 1 and r.avg_quality is not None for r in card)
+    # incremental data card: two appends merge to the full corpus card
+    cdir = f"{work}/card_seg"
+    cdocs = docs.selectExpr("doc_id", "concat('s', doc_id % 2) AS src",
+                            "text")
+    n_total = cdocs.count()
+    mid = n_total // 2
+    p.append_data_card_segment(
+        cdocs.filter(f"doc_id <= {mid}"), "src", "text", cdir, "b0")
+    p.append_data_card_segment(
+        cdocs.filter(f"doc_id > {mid}"), "src", "text", cdir, "b1")
+    icard = p.read_data_card(spark, cdir).collect()
+    assert sum(r.n_docs for r in icard) == n_total, icard
     # HLL segments: two appends read back as the merged sketch
     hdir = f"{work}/hll_seg"
     p.hll_append_registers_segment(toks.limit(20), "term", hdir, "b0", p=8)

@@ -561,6 +561,15 @@ object PythonApi {
       df: DataFrame, sourceCol: String, textCol: String): DataFrame =
     graft.ops.Report.corpusDataCard(df, col(sourceCol), col(textCol))
 
+  def appendDataCardSegment(
+      df: DataFrame, sourceCol: String, textCol: String, p: Int,
+      dir: String, segmentId: String): Unit =
+    graft.ops.Report.appendDataCardSegment(df, col(sourceCol), col(textCol),
+      p, dir, segmentId)
+
+  def readDataCard(spark: SparkSession, dir: String, p: Int): DataFrame =
+    graft.ops.Report.readDataCard(spark, dir, p)
+
   // ---- HLL sketch segments --------------------------------------------
 
   def hllAppendRegistersSegment(

@@ -3082,6 +3082,19 @@ object SparkEntry {
         .orderBy($"register")
     }),
 
+    // Streaming DATA-CARD ingest: 4 ranged micro-batches each append
+    // their per-source count partials + HLL registers as committed
+    // segments; the merged read (sums + register max + estimator)
+    // equals the one-shot card, so it shares a from-scratch oracle —
+    // including the exact-integer distinct-docs estimate.
+    "q_stream_datacard" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_datacard")
+      graft.streaming.Streaming.dataCardIngest(s, dir, work,
+          nBatches = 4, p = 10)
+        .orderBy($"source")
+    }),
+
     // Streaming search-index ingest: 4 ranged micro-batches, each
     // appending its posting chunks batch-side; the grown index then
     // serves the standard conjunctive query — identical to a one-shot
@@ -4771,6 +4784,72 @@ object SparkEntry {
         |  (count(*) FILTER (lang = 'und'))::BIGINT AS n_und,
         |  round(sum(qmicro)::DOUBLE / 10000.0 / count(*)::DOUBLE, 4) AS avg_quality
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_stream_datacard" ->
+      """WITH t AS (SELECT source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT source, text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |m AS (SELECT source, text,
+        |  len(toks)::BIGINT AS nt,
+        |  length(text)::BIGINT AS chars,
+        |  length(regexp_replace(text,'[^[:punct:]]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS pr,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s))) AS en,
+        |  len(list_filter(toks, s -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','auf'], s))) AS de,
+        |  len(list_filter(toks, s -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], s))) AS fr,
+        |  len(list_filter(toks, s -> list_contains(['el','los','las','y','es','un','una','en','que','por'], s))) AS es,
+        |  length(regexp_replace(text,'[^\x{4e00}-\x{9fff}]','','g'))::DOUBLE
+        |    / greatest(length(text),1)::DOUBLE AS cjkr
+        |  FROM tt),
+        |q AS (SELECT source, nt, chars,
+        |  CASE WHEN cjkr > 0.05 THEN 'zh'
+        |    WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und'
+        |    WHEN en>=de AND en>=fr AND en>=es THEN 'en'
+        |    WHEN de>=fr AND de>=es THEN 'de'
+        |    WHEN fr>=es THEN 'fr' ELSE 'es' END AS lang,
+        |  CAST(round(10000.0 * round(0.25*least(nt::DOUBLE/64.0, 1.0)
+        |    + 0.25*least(en::DOUBLE / greatest(nt,1)::DOUBLE * 4.0, 1.0)
+        |    + 0.25*(1.0-least(pr*4.0, 1.0))
+        |    + 0.25*(1.0-least(dr*4.0, 1.0)), 4)) AS BIGINT) AS qmicro
+        |  FROM m),
+        |counts AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS n_tokens, sum(chars)::BIGINT AS n_chars,
+        |  (count(*) FILTER (lang = 'en'))::BIGINT AS n_en,
+        |  (count(*) FILTER (lang = 'und'))::BIGINT AS n_und,
+        |  sum(qmicro)::BIGINT AS qsum
+        |  FROM q GROUP BY source),
+        |hh AS (SELECT source, md5_number_lower('hll:' || text) AS h FROM t),
+        |b AS (SELECT source, CAST(h >> 54 AS INT) AS register,
+        |  h & ((1::UBIGINT << 54) - 1) AS w FROM hh),
+        |s1 AS (SELECT source, register, w, w | (w >> 1) AS s FROM b),
+        |s2 AS (SELECT source, register, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT source, register, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT source, register, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT source, register, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT source, register, w, s | (s >> 32) AS s FROM s5),
+        |r AS (SELECT source, register,
+        |  CASE WHEN w = 0 THEN 55 ELSE 55 - CAST(bit_count(s) AS INT) END AS rnk
+        |  FROM s6),
+        |regs AS (SELECT source, register, max(rnk) AS rnk FROM r GROUP BY 1, 2),
+        |a AS (SELECT source, count(*) AS filled,
+        |  sum(1::BIGINT << (48 - least(rnk, 48))) AS tf FROM regs GROUP BY source),
+        |f AS (SELECT source, (1024 - filled)::BIGINT AS v_zero,
+        |  (tf + (1024 - filled)::BIGINT * (1::BIGINT << 48))::BIGINT AS t_scaled
+        |  FROM a)
+        |SELECT source, c.n_docs, c.n_tokens,
+        |  round(c.n_tokens::DOUBLE / c.n_docs::DOUBLE, 4) AS avg_tokens,
+        |  c.n_chars, c.n_en, c.n_und,
+        |  round(c.qsum::DOUBLE / 10000.0 / c.n_docs::DOUBLE, 4) AS avg_quality,
+        |  f.v_zero, f.t_scaled,
+        |  round(CASE WHEN f.v_zero > 0 AND
+        |      0.7213 / (1 + 1.079 / 1024.0) * 1024.0 * 1024.0
+        |        * 281474976710656.0 / f.t_scaled <= 2560.0
+        |    THEN 1024.0 * ln(1024.0 / f.v_zero)
+        |    ELSE 0.7213 / (1 + 1.079 / 1024.0) * 1024.0 * 1024.0
+        |        * 281474976710656.0 / f.t_scaled END, 4) AS est
+        |FROM counts c JOIN f USING (source)
+        |ORDER BY source""".stripMargin,
     "q_text_hll" -> hllRegistersSql,
     // Streamed segment ingest is exactly the one-shot sketch by
     // register-wise-max mergeability — same bit-level oracle.

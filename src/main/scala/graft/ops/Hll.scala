@@ -168,15 +168,22 @@ object Hll {
     * summary plus the corrected estimate (linear counting below
     * 2.5·m when empty registers remain, harmonic mean above). */
   def approxDistinctByGroup(
+      items: DataFrame, group: Column, item: Column, p: Int): DataFrame =
+    groupEstimateFromRegisters(groupRegisters(items, group, item, p), p)
+
+  /** The (group, register, max rank) fold of [[approxDistinctByGroup]]
+    * — the MERGEABLE half (register-wise max across partials), exposed
+    * so segment/streaming ingests can persist per-batch partials and
+    * recover the exact one-shot estimate at read time. */
+  def groupRegisters(
       items: DataFrame, group: Column, item: Column, p: Int): DataFrame = {
     require(p >= 7 && p <= 12,
       s"p must be in [7, 12] for the by-group estimator: $p")
-    val m = 1 << p
     val wBits = 64 - p
     val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("__w")) { (s, k) =>
       s.bitwiseOR(shiftrightunsigned(s, k))
     }
-    val regs = items
+    items
       .select(group.as("group"), item.as("__item"))
       .filter(col("__item").isNotNull)
       .select(col("group"),
@@ -190,6 +197,14 @@ object Hll {
           .as("rank"))
       .groupBy(col("group"), col("register"))
       .agg(max(col("rank")).as("rank"))
+  }
+
+  /** [[approxDistinctByGroup]]'s estimator stage over an already-folded
+    * (group, register, rank) table. */
+  def groupEstimateFromRegisters(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 12,
+      s"p must be in [7, 12] for the by-group estimator: $p")
+    val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     regs.groupBy(col("group"))
       .agg(count(lit(1)).as("__filled"),

@@ -31,17 +31,22 @@ object Report {
     * exact DISTINCT (Spark's Expand) for `dup_docs` — swap that term
     * for [[Hll.approxDistinctByGroup]] when sources hold billions of
     * docs and an approximate dup count suffices. */
-  def corpusDataCard(
-      df: DataFrame, source: Column, text: Column): DataFrame = {
-    val perDoc = df.select(
+  private def perDocSignals(
+      df: DataFrame, source: Column, text: Column): DataFrame =
+    df.select(
       source.as("source"),
+      text.as("__text"),
       TextFunctions.tokenCount(text).cast("long").as("__nt"),
       length(text).cast("long").as("__chars"),
       round(TextFunctions.qualityScore(text) * lit(10000.0), 0)
         .cast("long").as("__qmicro"),
-      TextFunctions.langId(text).as("__lang"),
-      md5(text.cast("string")).as("__h"))
-    perDoc.groupBy(col("source"))
+      TextFunctions.langId(text).as("__lang"))
+
+  def corpusDataCard(
+      df: DataFrame, source: Column, text: Column): DataFrame = {
+    perDocSignals(df, source, text)
+      .withColumn("__h", md5(col("__text")))
+      .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__nt")).as("n_tokens"),
@@ -56,5 +61,84 @@ object Report {
         col("n_chars"), col("dup_docs"), col("n_en"), col("n_und"),
         round(col("__qsum").cast("double") / lit(10000.0) /
           col("n_docs").cast("double"), 4).as("avg_quality"))
+  }
+
+  // ---- incremental (segment/streaming) data card ----------------------
+  //
+  // Every exact-card signal except dup_docs is an integer SUM — freely
+  // mergeable — and dup_docs' exact per-group DISTINCT is the one term
+  // that cannot merge, so the incremental card swaps it for the
+  // portable per-group HLL distinct estimate ([[Hll.groupRegisters]] /
+  // [[Hll.groupEstimateFromRegisters]] — register-wise max merges, the
+  // estimator replays in SQL). Per-batch partials land as COMMITTED
+  // SEGMENTS; the read-time merge equals a one-shot build over all
+  // ingested data, so a live card costs one batch-sized pass per batch.
+
+  private def cardSpec(p: Int): String = s"datacard:v1 p=$p"
+
+  /** The mergeable per-source integer partials of the card. */
+  def dataCardCounts(
+      df: DataFrame, source: Column, text: Column): DataFrame =
+    countsFromSignals(perDocSignals(df, source, text))
+
+  private def countsFromSignals(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        count(when(col("__lang") === "en", 1)).as("n_en"),
+        count(when(col("__lang") === "und", 1)).as("n_und"),
+        sum(col("__qmicro")).as("qsum"))
+
+  /** Append one batch's card partials (count sums + per-source HLL
+    * registers over the doc text) as a COMMITTED SEGMENT. Crash/retry
+    * semantics as in the other sketch tables: a re-delivered batch
+    * overwrites its own segment. */
+  def appendDataCardSegment(
+      df: DataFrame, source: Column, text: Column, p: Int,
+      dir: String, segmentId: String): Unit = {
+    val spark = df.sparkSession
+    val hadSpec = IndexSpec.checkReturningPresence(df, dir, cardSpec(p))
+    val segDir = Segments.prepare(spark, dir, segmentId)
+    val sigs = perDocSignals(df, source, text).localCheckpoint()
+    countsFromSignals(sigs)
+      .write.mode("overwrite").parquet(s"$segDir/counts")
+    Hll.groupRegisters(sigs, col("source"), col("__text"), p)
+      .write.mode("overwrite").parquet(s"$segDir/registers")
+    Segments.commit(spark, segDir)
+    if (!hadSpec) IndexSpec.write(df, dir, cardSpec(p))
+  }
+
+  /** The merged card over every live segment: counts sum, registers
+    * max, estimator applied — identical to a one-shot build over all
+    * ingested data. Returns (source, n_docs, n_tokens, avg_tokens,
+    * n_chars, n_en, n_und, avg_quality, v_zero, t_scaled, est) — the
+    * last three are the portable distinct-docs estimate. */
+  def readDataCard(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      p: Int): DataFrame = {
+    IndexSpec.check(spark, dir, cardSpec(p), writeIfMissing = false)
+    val counts = Segments.readPart(spark, dir, "counts")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_en")).as("n_en"),
+        sum(col("n_und")).as("n_und"),
+        sum(col("qsum")).as("qsum"))
+    val regs = Segments.readPart(spark, dir, "registers")
+      .groupBy(col("group"), col("register"))
+      .agg(max(col("rank")).as("rank"))
+    val est = Hll.groupEstimateFromRegisters(regs, p)
+      .withColumnRenamed("group", "source")
+    counts.join(est, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 4).as("avg_tokens"),
+        col("n_chars"), col("n_en"), col("n_und"),
+        round(col("qsum").cast("double") / lit(10000.0) /
+          col("n_docs").cast("double"), 4).as("avg_quality"),
+        col("v_zero"), col("t_scaled"), col("est"))
   }
 }

@@ -488,7 +488,21 @@ object Streaming {
       .foreachBatch(ingest)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(s"$outDir/b*")
+    // list the committed batch dirs explicitly: a `b*` glob read makes
+    // Spark's FileStreamSink metadata probe log a spurious
+    // FileNotFoundException stack on every run
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = Option(outFs
+        .globStatus(new org.apache.hadoop.fs.Path(s"$outDir/b*")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    if (batchDirs.isEmpty)
+      parseOf(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType)))))
+    else spark.read.parquet(batchDirs.toIndexedSeq: _*)
   }
 
   /** STREAMING MINI-BATCH K-MEANS — live centroid maintenance for the
@@ -772,6 +786,46 @@ object Streaming {
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.ops.Hll.readRegisters(spark, sketchDir, p)
+  }
+
+  /** Streaming DATA-CARD ingest — the live corpus dashboard: document
+    * batches arrive as files and each appends its card partials (per-
+    * source integer count sums + HLL registers over the doc text) as a
+    * COMMITTED SEGMENT ([[graft.ops.Report.appendDataCardSegment]],
+    * segmentId = batchId); the read-time merge (sums + register max +
+    * estimator) equals a one-shot build over everything ingested, so
+    * the served card shares a from-scratch oracle. Per batch the work
+    * is one batch-sized signal pass — the stored corpus is never
+    * re-read. */
+  def dataCardIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4,
+      p: Int = 10,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+    val cardDir = s"$workDir/datacard"
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None => return docs.select(col("source")).limit(0)
+      case Some(s) => s
+    }
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.ops.Report.appendDataCardSegment(
+          batch.toDF(), col("source"), col("text"), p, cardDir, s"b$batchId")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Report.readDataCard(spark, cardDir, p)
   }
 
   /** Streaming SEARCH-INDEX ingest: ranged document slices arrive as

@@ -130,6 +130,39 @@ class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental data card: segment merge equals one-shot; counts exact") {
+    val docs = (0 until 60).map { i =>
+      (s"s${i % 3}", s"doc $i the quick common words here now ${i % 7}")
+    }.toDF("src", "txt")
+    val (a, b) = (docs.limit(25), docs.exceptAll(docs.limit(25)))
+    val dir = tmpDir()
+    graft.ops.Report.appendDataCardSegment(a, $"src", $"txt", 10, dir, "b0")
+    graft.ops.Report.appendDataCardSegment(b, $"src", $"txt", 10, dir, "b1")
+    val merged = graft.ops.Report.readDataCard(spark, dir, 10)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val oneDir = tmpDir()
+    graft.ops.Report.appendDataCardSegment(docs, $"src", $"txt", 10, oneDir, "all")
+    val oneShot = graft.ops.Report.readDataCard(spark, oneDir, 10)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged == oneShot && merged.keySet == Set("s0", "s1", "s2"))
+    // integer partials agree with the exact card's shared columns
+    val exact = graft.ops.Report.corpusDataCard(docs, $"src", $"txt")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    merged.foreach { case (s, vals) =>
+      assert((vals(0), vals(1), vals(3)) == exact(s),
+        s"counts drift for $s: $vals vs ${exact(s)}")
+    }
+    // distinct estimate is near the true distinct count (20 per source)
+    val est = graft.ops.Report.readDataCard(spark, dir, 10)
+      .select($"source", $"est").as[(String, Double)].collect().toMap
+    est.values.foreach(e => assert(math.abs(e - 20.0) <= 4.0, est))
+    // mismatched p fails against the pinned spec
+    intercept[IllegalArgumentException] {
+      graft.ops.Report.appendDataCardSegment(a, $"src", $"txt", 9, dir, "b2")
+    }
+  }
+
   test("segment compaction folds to one segment, same registers") {
     val dir = tmpDir()
     val a = (1 to 100).map(i => s"a$i").toDF("x")

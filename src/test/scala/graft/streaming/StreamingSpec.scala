@@ -369,6 +369,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == oneShot && streamed.nonEmpty)
   }
 
+  test("streaming data-card ingest equals the one-shot card") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft-carding").toString
+    val docs = (0L until 30L).map(i =>
+      (i, s"s${i % 2}", s"the doc number $i with words ${i % 5}"))
+      .toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val streamed = Streaming.dataCardIngest(spark, fixture, s"$fixture/work",
+        nBatches = 3, p = 10)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val oneDir = s"$fixture/oneshot"
+    graft.ops.Report.appendDataCardSegment(
+      docs, col("source"), col("text"), 10, oneDir, "all")
+    val oneShot = graft.ops.Report.readDataCard(spark, oneDir, 10)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamed == oneShot && streamed.keySet == Set("s0", "s1"))
+  }
+
   test("streaming search ingest grows the index to one-shot parity") {
     val fixture = java.nio.file.Files.createTempDirectory("graft-searching").toString
     val docs = Seq(
