@@ -550,6 +550,17 @@ class Pipeline:
             events._jdf, user_col, ts_col, action_col,
             _jlist(self._spark, actions)))
 
+    def gap_fill_counts(self, events, key_col, ts_col, value_col,
+                        bucket_seconds=3600):
+        """Gap-filled per-key time series (silent buckets are zeros)."""
+        return self._df(self._japi.gapFillCounts(
+            events._jdf, key_col, ts_col, value_col, bucket_seconds))
+
+    def stride_schedule_by(self, seqs, shard_col, seq_id_col, weights_df):
+        """stride_schedule with data-derived (shard, weight) rows."""
+        return self._df(self._japi.strideScheduleBy(
+            seqs._jdf, shard_col, seq_id_col, weights_df._jdf))
+
     def retention_cohorts(self, events, user_col, ts_col, period_days=7):
         """Cohort retention triangle: (cohort_period, period_offset,
         n_users)."""

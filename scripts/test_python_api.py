@@ -302,6 +302,16 @@ def main():
     # row each; both users at offset 0 of their own cohorts
     assert sum(ret.values()) == 2 and \
         all(k[1] == 0 for k in ret), ret
+    # gap-filled resample: silent buckets come back as zeros
+    gf = p.gap_fill_counts(edf, "u", "t", "u", bucket_seconds=86400)
+    # u1 spans 2 adjacent days, u2 one day -> 3 rows, none silent
+    assert gf.count() == 3 and gf.filter("n_events = 0").count() == 0
+    # data-derived stride schedule matches the dict variant
+    wdf = spark.createDataFrame([("A", 2.0), ("B", 1.0)],
+                                ["shard", "weight"])
+    sched_by = [r.shard for r in p.stride_schedule_by(
+        sdf, "shard", "seq_id", wdf).orderBy("step").collect()]
+    assert sched_by == sched, (sched_by, sched)
     # data card: one grouped pass over the curation signals
     card = p.corpus_data_card(
         docs.selectExpr("concat('s', doc_id % 2) AS src", "text"),

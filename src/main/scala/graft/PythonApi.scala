@@ -549,6 +549,18 @@ object PythonApi {
     graft.ops.Funnel.funnelCounts(events, col(userCol), col(tsCol),
       col(actionCol), actions.asScala.toSeq)
 
+  def gapFillCounts(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bucketSeconds: Long): DataFrame =
+    graft.ops.Funnel.gapFillCounts(events, col(keyCol), col(tsCol),
+      col(valueCol), bucketSeconds)
+
+  def strideScheduleBy(
+      seqs: DataFrame, shardCol: String, seqIdCol: String,
+      weights: DataFrame): DataFrame =
+    graft.ops.Packing.strideScheduleBy(seqs, col(shardCol), col(seqIdCol),
+      weights)
+
   def retentionCohorts(
       events: DataFrame, userCol: String, tsCol: String,
       periodDays: Int): DataFrame =

@@ -2179,6 +2179,42 @@ object SparkEntry {
         .orderBy($"step")
     }),
 
+    // Gap-filled hourly resample: every hour between each user's first
+    // and last event carries its count + value sum, silent hours as
+    // ZEROS — the dashboard/anomaly-input shape. Exact integer bucket
+    // arithmetic; output is the series itself.
+    "q_events_resample" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Funnel.gapFillCounts(eventsTbl(s, dir),
+          $"user_id", $"ts", $"value", bucketSeconds = 3600L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy($"user_id", $"bucket")
+    }),
+
+    // Capstone pipeline: quality gate -> concat-and-chunk packing ->
+    // TEMPERATURE-DERIVED weights (w = sqrt of each source's gated
+    // token mass, the tau=2 mix) -> stride-scheduled global training
+    // order, first 100 steps. Weights come from the data via the
+    // broadcast-join schedule variant; the oracle replays the entire
+    // chain: per-doc 4dp quality, the gate, prefix sums, window split,
+    // sqrt weights, vt order and the row_number cut.
+    "q_pipeline_curate9" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.text.TextFunctions
+      val gated = tbl(s, dir, "documents")
+        .filter(t.qualityScore($"text") >= 0.5)
+        .select($"doc_id", $"source",
+          size(t.tokens($"text")).cast("long").as("n_tokens"))
+      val seqs = graft.ops.Packing.packSequences(gated,
+        shard = $"source", order = $"doc_id", tokens = $"n_tokens",
+        seqLen = 256L)
+      val w = gated.groupBy($"source".as("shard"))
+        .agg(sqrt(sum($"n_tokens").cast("double")).as("weight"))
+      graft.ops.Packing.strideScheduleBy(seqs, $"shard", $"seq_id", w)
+        .filter($"step" <= 100)
+        .orderBy($"step")
+    }),
+
     // Cohort retention triangle: weekly cohorts by first event, count
     // of cohort users active k weeks later. Exact integer period
     // arithmetic (micros div week); two map-side-combined aggregates +
@@ -5381,6 +5417,53 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step""".stripMargin,
+    "q_events_resample" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |  value FROM events),
+        |c AS (SELECT user_id, bucket, count(*)::BIGINT AS n_events,
+        |  sum(value) AS sv FROM b GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT user_id,
+        |  unnest(generate_series(lo, hi)) AS bucket FROM r)
+        |SELECT g.user_id, g.bucket::BIGINT AS bucket,
+        |  coalesce(c.n_events, 0)::BIGINT AS n_events,
+        |  round(coalesce(c.sv, 0.0), 4) AS sum_value
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+    "q_pipeline_curate9" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tt AS (SELECT doc_id, source, text,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |m AS (SELECT doc_id, source,
+        |  len(toks)::BIGINT AS nt,
+        |  length(regexp_replace(text,'[^[:punct:]]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS pr,
+        |  length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / greatest(length(text),1)::DOUBLE AS dr,
+        |  len(list_filter(toks, s -> list_contains(['the','a','and','of','to','is','in','that','it','as'], s))) AS en
+        |  FROM tt),
+        |g AS (SELECT doc_id, source, nt AS n FROM m
+        |  WHERE round(0.25*least(nt::DOUBLE/64.0, 1.0)
+        |    + 0.25*least(en::DOUBLE / greatest(nt,1)::DOUBLE * 4.0, 1.0)
+        |    + 0.25*(1.0-least(pr*4.0, 1.0))
+        |    + 0.25*(1.0-least(dr*4.0, 1.0)), 4) >= 0.5),
+        |c AS (SELECT doc_id, source, n,
+        |  (sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM g WHERE n > 0),
+        |sq AS (SELECT source AS shard,
+        |  unnest(generate_series((cum - n) // 256, (cum - 1) // 256)) AS seq_id
+        |  FROM c),
+        |d AS (SELECT DISTINCT shard, seq_id::BIGINT AS seq_id FROM sq),
+        |w AS (SELECT source AS shard, sqrt(sum(n)::DOUBLE) AS wt
+        |  FROM g GROUP BY 1),
+        |v AS (SELECT d.shard, d.seq_id,
+        |  (d.seq_id + 1)::DOUBLE / w.wt AS vt
+        |  FROM d JOIN w ON d.shard = w.shard WHERE w.wt > 0),
+        |s AS (SELECT (row_number() OVER (ORDER BY vt, shard, seq_id))::BIGINT
+        |    AS step, shard, seq_id, round(vt, 6) AS vt FROM v)
+        |SELECT step, shard, seq_id, vt FROM s
+        |WHERE step <= 100 ORDER BY step""".stripMargin,
     "q_events_retention" ->
       """WITH b AS (SELECT user_id,
         |  epoch_us(ts) // 604800000000 AS p FROM events),

@@ -68,6 +68,39 @@ object Funnel {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Gap-filled per-key time series — the resample step dashboards and
+    * anomaly detectors need (a missing bucket is a ZERO, not an absent
+    * row): for every key, every `bucketSeconds` bucket between that
+    * key's first and last event, with its event count and value sum
+    * (0 for silent buckets). Returns (key, bucket, n_events, sum_value).
+    *
+    * Scale: one (key, bucket) aggregate + one per-key min/max aggregate
+    * whose `sequence` explode emits exactly span/bucket rows per key —
+    * output is the resampled series itself, nothing larger; both joins
+    * are equi-joins on (key, bucket). A key spanning years at 1-second
+    * buckets emits millions of rows — pick the bucket for the span. */
+  def gapFillCounts(
+      events: DataFrame, key: Column, ts: Column, value: Column,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1: $bucketSeconds")
+    val bMicros = bucketSeconds * 1000000L
+    val base = events.select(key.as("key"), unix_micros(ts).as("__us"),
+        value.as("__v"))
+      .select(col("key"), expr(s"__us div ${bMicros}L").as("bucket"),
+        col("__v"))
+    val counts = base.groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__v")).as("__sv"))
+    val buckets = base.groupBy(col("key"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col("key"),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    buckets.join(counts, Seq("key", "bucket"), "left_outer")
+      .select(col("key"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("__sv"), lit(0.0)), 4).as("sum_value"))
+  }
+
   /** Cohort retention: users are cohorted by the fixed `periodDays`
     * window of their FIRST event (period = unix_micros // period
     * length, exact integer arithmetic); for every (cohort, offset)

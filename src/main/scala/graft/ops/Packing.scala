@@ -175,6 +175,27 @@ object Packing {
         round(col("vt"), 6).as("vt"))
   }
 
+  /** [[strideSchedule]] with DATA-DERIVED weights: a (shard, weight)
+    * DataFrame instead of a driver-side map — the shape for weights
+    * computed from the corpus itself (e.g. temperature-scaled token
+    * shares). The weight side broadcasts (one row per source); shards
+    * absent from `weights` or with non-positive weight are excluded.
+    * Ordering semantics identical to [[strideSchedule]]. */
+  def strideScheduleBy(
+      seqs: DataFrame, shard: Column, seqId: Column,
+      weights: DataFrame): DataFrame = {
+    seqs.select(shard.as("shard"), seqId.as("seq_id")).distinct()
+      .join(broadcast(weights.select(col("shard"), col("weight"))),
+        Seq("shard"))
+      .filter(col("weight") > 0.0)
+      .withColumn("vt",
+        (col("seq_id").cast("double") + lit(1.0)) / col("weight"))
+      .withColumn("step", row_number().over(
+        Window.orderBy(col("vt"), col("shard"), col("seq_id"))).cast("long"))
+      .select(col("step"), col("shard"), col("seq_id"),
+        round(col("vt"), 6).as("vt"))
+  }
+
   /** Materialize [[packByBudget]]'s assignment as ONE ROW PER PACK —
     * the unit a trainer actually consumes: ordered member ids, their
     * token counts (boundary offsets = its prefix sums) and the pack

@@ -101,6 +101,35 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.filter($"shard" === "C").count() == 0)
   }
 
+  test("gapFillCounts: silent buckets are zeros, span per key") {
+    val h = 3600L
+    val events = Seq(
+      (1L, ts(0 * h + 10), 2.0), (1L, ts(0 * h + 20), 3.0),
+      (1L, ts(3 * h), 1.0),             // hours 1,2 silent
+      (2L, ts(5 * h), 4.0)              // single-bucket key
+    ).toDF("u", "t", "v")
+    val out = Funnel.gapFillCounts(events, $"u", $"t", $"v",
+        bucketSeconds = 3600L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 2L, 5.0), (1L, 1L, 0L, 0.0), (1L, 2L, 0L, 0.0),
+      (1L, 3L, 1L, 1.0), (2L, 5L, 1L, 4.0)))
+  }
+
+  test("strideScheduleBy matches the map variant on equal weights") {
+    val seqs = (for (s <- Seq("A", "B"); k <- 0L until 5L) yield (s, k))
+      .toDF("shard", "seq_id")
+    val wdf = Seq(("A", 2.0), ("B", 1.0), ("C", 0.0)).toDF("shard", "weight")
+    val byDf = Packing.strideScheduleBy(seqs, $"shard", $"seq_id", wdf)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    val byMap = Packing.strideSchedule(seqs, $"shard", $"seq_id",
+        Map("A" -> 2.0, "B" -> 1.0))
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(byDf == byMap)
+    // zero-weight shard excluded even if present in the weight table
+    assert(!byDf.exists(_._2 == "C"))
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()
