@@ -206,6 +206,48 @@ object Bench {
           (-1.0, -1.0)
       }
 
+    // -- dynamic partition pruning through the indexed source: star-join
+    // on the partition column against a file-backed filtered dim; the
+    // scan's numFiles metric counts only the dim-selected partition's
+    // files (the measured form of the DPP e2e).
+    val (dppFilesRead, dppFilesTotal) =
+      try {
+        val fact = SparkEntry.indexedOrdersPart(spark, sfDir)
+        val years = spark.read
+          .parquet(SparkEntry.scratchTableDir(sfDir, "orders_part"))
+          .select($"o_year").distinct().as[Int].collect().sorted
+        val dimDir = SparkEntry.scratchTableDir(sfDir, "dpp_dim")
+        years.map(y => (y, if (y == years.head) "keep" else "drop"))
+          .toSeq.toDF("y", "tag")
+          .write.mode("overwrite").parquet(dimDir)
+        val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+        val joined = fact.join(dim, fact("o_year") === dim("y"))
+        // execute THIS QueryExecution (count() would plan a fresh one
+        // and leave the inspected scan's metrics at zero)
+        joined.queryExecution.toRdd.count()
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(scans)
+        }
+        val factScan = scans(joined.queryExecution.executedPlan)
+          .find(_.relation.location
+            .isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+        val total = factScan.map(_.relation.location
+          .asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex]
+          .lastTotalFiles).getOrElse(-1L)
+        (factScan.map(_.metrics("numFiles").value).getOrElse(-1L), total)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in dpp_probe: $e")
+          extraFailed += "dpp_probe"
+          (-1L, -1L)
+      }
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -225,6 +267,7 @@ object Bench {
       s""""refresh_50k_sec":$refresh50kTime,""" +
       s""""topk_hot_heap_sec":$topkHeapSec,""" +
       s""""topk_hot_window_sec":$topkWindowSec,""" +
+      s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -83,6 +83,7 @@ object Funnel {
       events: DataFrame, key: Column, ts: Column, value: Column,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1: $bucketSeconds")
+    // same epoch-positive `div` caveat as [[retentionCohorts]]
     val bMicros = bucketSeconds * 1000000L
     val base = events.select(key.as("key"), unix_micros(ts).as("__us"),
         value.as("__v"))
@@ -117,7 +118,9 @@ object Funnel {
     require(periodDays >= 1, s"periodDays must be >= 1: $periodDays")
     val periodMicros = periodDays.toLong * 86400L * 1000000L
     // integer `div`: exact at any timestamp (long / long in Column
-    // algebra would detour through double)
+    // algebra would detour through double). `div` truncates toward
+    // zero, so pre-1970 timestamps would need a floor adjustment —
+    // event streams are epoch-positive by construction here
     val base = events.select(user.as("user"), unix_micros(ts).as("__us"))
       .select(col("user"), expr(s"__us div ${periodMicros}L").as("__p"))
     val cohort = base.groupBy(col("user"))

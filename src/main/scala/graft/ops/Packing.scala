@@ -158,6 +158,8 @@ object Packing {
   def strideSchedule(
       seqs: DataFrame, shard: Column, seqId: Column,
       weights: Map[String, Double]): DataFrame = {
+    // the CASE chain grows with the map — for thousands of sources use
+    // [[strideScheduleBy]] (broadcast weight table) instead
     require(weights.nonEmpty, "at least one source weight required")
     require(weights.values.forall(_ > 0.0),
       s"weights must be positive: $weights")

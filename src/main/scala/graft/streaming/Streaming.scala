@@ -809,7 +809,13 @@ object Streaming {
       .localCheckpoint()
     val cardDir = s"$workDir/datacard"
     val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
-      case None => return docs.select(col("source")).limit(0)
+      case None =>
+        // typed empty with the SAME schema the served card carries
+        import spark.implicits._
+        return Seq.empty[(String, Long, Long, Double, Long, Long, Long,
+            Double, Long, Long, Double)]
+          .toDF("source", "n_docs", "n_tokens", "avg_tokens", "n_chars",
+            "n_en", "n_und", "avg_quality", "v_zero", "t_scaled", "est")
       case Some(s) => s
     }
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =

@@ -413,7 +413,9 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fact = spark.index.parquet(pPath)
     val joined = fact.join(dim.filter($"tag" === "keep"),
       fact("o_year") === dim("y"))
-    val n = joined.count()
+    // execute THIS QueryExecution — a .count() plans a fresh one whose
+    // scan instance is different, leaving the inspected metrics at zero
+    val n = joined.queryExecution.toRdd.count()
     assert(n == spark.read.parquet(pPath)
       .filter($"o_year" === target).count())
     val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
@@ -441,6 +443,7 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = factScan.get.relation.location
       .asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex].lastTotalFiles
     val read = factScan.get.metrics("numFiles").value
+    assert(read > 0, "metric must be populated (plan actually executed)")
     assert(read < total, s"DPP should cut files read: $read/$total")
   }
 
