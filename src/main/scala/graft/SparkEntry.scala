@@ -1274,6 +1274,32 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Edit-distance similarity self-join (record linkage / fuzzy entity
+    // matching): all customer-name pairs within levenshtein 1 via
+    // symmetric-delete blocking (exact recall, no cross join). Oracle:
+    // exact cross-join levenshtein.
+    "q_dedup_editdist" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.editDistancePairs(
+          tbl(s, dir, "customer"), $"c_custkey", $"c_name", maxDist = 1)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Spell correction against a corpus-derived vocabulary: per mutated
+    // part-name token the closest dictionary word within levenshtein 1
+    // (ties by match asc); the exploded dictionary broadcasts so the
+    // query side never shuffles. Oracle: exact cross-join + window rank.
+    "q_text_spellcorrect" -> ((s, dir) => {
+      import s.implicits._
+      val p = tbl(s, dir, "part")
+      val dict = p.select(explode(split($"p_name", " ")).as("w"))
+      val qs = p.select($"p_partkey".as("qid"),
+        expr("substr(element_at(split(p_name, ' '), 1), 1, 1) || " +
+          "substr(element_at(split(p_name, ' '), 1), 3)").as("q"))
+      graft.dedup.Dedup.spellCorrect(qs, $"qid", $"q", dict, $"w", maxDist = 1)
+        .orderBy($"id")
+    }),
+
     // Directed containment pairs (excerpt / quote / truncated-copy
     // detection): C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥ 0.7 via the LOSSLESS
     // prefix-filter join (PPJoin family) — the asymmetric signal Jaccard
@@ -4517,6 +4543,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT dup_key, count(*) AS group_size, min(doc_id) AS keeper_id
         |FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+    "q_dedup_editdist" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.name, b.name)::INT AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE abs(length(a.name) - length(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_spellcorrect" ->
+      """WITH dict AS (
+        |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),
+        |q AS (SELECT p_partkey AS id,
+        |    substr(string_split(p_name,' ')[1], 1, 1) ||
+        |    substr(string_split(p_name,' ')[1], 3) AS query
+        |  FROM part),
+        |m AS (SELECT q.id, q.query, d.w AS match, levenshtein(q.query, d.w)::INT AS dist
+        |  FROM q CROSS JOIN dict d WHERE levenshtein(q.query, d.w) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, match) AS rn
+        |  FROM m)
+        |SELECT id, query, match, dist FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -759,4 +759,119 @@ object Dedup {
       .filter(col("__c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("containment"))
   }
+
+  // ---- edit distance (symmetric-delete blocking) -----------------------
+
+  /** All pairs within levenshtein distance `maxDist`, blocked by the
+    * SYMMETRIC-DELETE neighborhood
+    * ([[graft.functions.DeletionNeighborhood]]): each string explodes its
+    * ≤ maxDist-deletion variants, candidates meet through an equi-join on
+    * the variant, a codegen'd `levenshtein` verifies — EXACT recall (a
+    * pair within distance d always shares a variant) with no cross join.
+    * The record-linkage / fuzzy-entity-matching primitive the n-gram
+    * operators don't cover: token-level shingles can't see single-
+    * character typos inside a word.
+    *
+    * Scale design: one shuffle on the variant key carrying (id, string) —
+    * strings here are short ATTRIBUTE values (names, titles, codes;
+    * neighborhood is O(len^maxDist)), so carrying them beats two extra
+    * verify-side joins; candidate dedup happens before the levenshtein
+    * DP. Hot variants (e.g. many length-1 strings collapsing to "")
+    * concentrate pairs exactly where true matches are — AQE skew-join
+    * splits the outliers. The `exact=true` path cross-joins: small
+    * inputs / differential testing only.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      id: Column,
+      s: Column,
+      maxDist: Int,
+      exact: Boolean = false): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3]: $maxDist")
+    val base = df.select(id.as("__id"), s.as("__s")).filter(col("__s").isNotNull)
+    val candidates: DataFrame =
+      if (exact) {
+        base.select(col("__id").as("id_a"), col("__s").as("__sa"))
+          .crossJoin(base.select(col("__id").as("id_b"), col("__s").as("__sb")))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        val v = base.select(col("__id"), col("__s"),
+          explode(graft.functions.exprs.deletion_neighborhood(col("__s"), maxDist))
+            .as("__v"))
+        v.select(col("__v"), col("__id").as("id_a"), col("__s").as("__sa"))
+          .join(v.select(col("__v"), col("__id").as("id_b"), col("__s").as("__sb")),
+            Seq("__v"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+          .distinct()
+      }
+    candidates
+      // length gap > d can't be within d — prunes before the O(len²) DP
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Dictionary lookup within edit distance (the spell-correction /
+    * canonicalization shape): every (query, dict entry) pair with
+    * levenshtein <= maxDist, via the same symmetric-delete blocking as
+    * [[editDistancePairs]]. With `broadcastDict` (vocabularies are small)
+    * the exploded dictionary broadcasts and the corpus side NEVER
+    * shuffles — a pure map-side plan however large the query table.
+    *
+    * @return (id, query, match, dist), one row per qualifying pair.
+    */
+  def editDistanceLookup(
+      queries: DataFrame,
+      qId: Column,
+      q: Column,
+      dict: DataFrame,
+      w: Column,
+      maxDist: Int,
+      broadcastDict: Boolean = true): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3]: $maxDist")
+    val qb = queries.select(qId.as("__qid"), q.as("__q"))
+      .filter(col("__q").isNotNull)
+    val db = dict.select(w.as("__w")).filter(col("__w").isNotNull).distinct()
+    val qv = qb.select(col("__qid"), col("__q"),
+      explode(graft.functions.exprs.deletion_neighborhood(col("__q"), maxDist))
+        .as("__v"))
+    val dv0 = db.select(col("__w"),
+      explode(graft.functions.exprs.deletion_neighborhood(col("__w"), maxDist))
+        .as("__v"))
+    val dv = if (broadcastDict) broadcast(dv0) else dv0
+    qv.join(dv, Seq("__v"))
+      .select(col("__qid"), col("__q"), col("__w")).distinct()
+      .filter(abs(length(col("__q")) - length(col("__w"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__q"), col("__w")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__qid").as("id"), col("__q").as("query"),
+        col("__w").as("match"), col("dist"))
+  }
+
+  /** Best dictionary correction per query: the [[editDistanceLookup]]
+    * match with the smallest distance, ties broken by match string
+    * ascending (deterministic). Queries with no dictionary entry within
+    * `maxDist` are absent from the output. */
+  def spellCorrect(
+      queries: DataFrame,
+      qId: Column,
+      q: Column,
+      dict: DataFrame,
+      w: Column,
+      maxDist: Int,
+      broadcastDict: Boolean = true): DataFrame =
+    editDistanceLookup(queries, qId, q, dict, w, maxDist, broadcastDict)
+      .groupBy(col("id"), col("query"))
+      // struct min = (dist asc, match asc) lexicographic — one aggregate,
+      // no window sort
+      .agg(min(struct(col("dist"), col("match"))).as("__b"))
+      .select(col("id"), col("query"),
+        col("__b").getField("match").as("match"),
+        col("__b").getField("dist").as("dist"))
 }

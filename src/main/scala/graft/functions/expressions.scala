@@ -421,6 +421,63 @@ case class Md5Lower64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Md5Lower64 = copy(child = c)
 }
 
+/** All DISTINCT strings reachable by deleting up to `d` code points
+  * from the input, the original included — the symmetric-delete blocking
+  * key set (SymSpell): if levenshtein(a, b) <= d then some variant is in
+  * both neighborhoods (fix an optimal alignment; delete from `a` the
+  * characters it substitutes or deletes, from `b` those it substitutes
+  * or inserts — each side drops <= d characters and the remainders are
+  * equal), so an equi-join on the exploded variants has EXACT recall
+  * for edit distance <= d with no cross join. Neighborhood size is
+  * O(C(len, d)) — intended for short attribute strings (names, titles,
+  * codes); block document-scale text on q-grams/shingles instead.
+  * BFS first-occurrence order; duplicate variants (e.g. deleting either
+  * of two adjacent equal characters) emitted once. */
+case class DeletionNeighborhood(child: Expression, d: Int)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(d >= 0 && d <= 3, s"deletion depth must be in [0, 3]: $d")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: UTF8String): ArrayData = {
+    val s0 = input.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s0)
+    var frontier: List[String] = s0 :: Nil
+    var depth = 0
+    while (depth < d && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[String]
+      frontier.foreach { s =>
+        var i = 0
+        while (i < s.length) {
+          // one code point per step (surrogate pairs stay intact)
+          val step = Character.charCount(s.codePointAt(i))
+          val v = s.substring(0, i) + s.substring(i + step)
+          if (seen.add(v)) next += v
+          i += step
+        }
+      }
+      // descendants depend only on the string, so duplicate-path pruning
+      // via `seen` loses nothing
+      frontier = next.toList
+      depth += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): DeletionNeighborhood = copy(child = c)
+}
+
 /** Order-preserving double → long transform (the classic sortable-bits
   * trick): raw IEEE-754 bits with the lower 63 bits flipped for
   * negatives, so SIGNED long comparison of the outputs equals
@@ -931,6 +988,9 @@ object exprs {
     SparkInternals.wrap(Md5Bucket(SparkInternals.unwrap(s), buckets))
   def md5_lower64(s: Column): Column =
     SparkInternals.wrap(Md5Lower64(SparkInternals.unwrap(s)))
+  /** symmetric-delete blocking keys: all <= d-deletion variants. */
+  def deletion_neighborhood(s: Column, d: Int): Column =
+    SparkInternals.wrap(DeletionNeighborhood(SparkInternals.unwrap(s), d))
   def dot_product(a: Column, b: Column): Column =
     SparkInternals.wrap(DotProduct(SparkInternals.unwrap(a), SparkInternals.unwrap(b)))
   def norm_squared(a: Column): Column =

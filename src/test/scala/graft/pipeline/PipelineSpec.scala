@@ -249,6 +249,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.contains((1L, 5L, 1.0)) && exact.contains((5L, 1L, 1.0)))
   }
 
+  test("deletion neighborhood kernel: exact sets, depth, multibyte") {
+    def nb(s: String, d: Int): Set[String] =
+      Seq(s).toDF("s")
+        .select(graft.functions.exprs.deletion_neighborhood($"s", d).as("v"))
+        .as[Seq[String]].head().toSet
+    assert(nb("abc", 0) == Set("abc"))
+    assert(nb("abc", 1) == Set("abc", "bc", "ac", "ab"))
+    assert(nb("abc", 2) == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // duplicate variants (equal adjacent chars) collapse
+    assert(nb("aab", 1) == Set("aab", "ab", "aa"))
+    // code points, not UTF-16 units: é never splits
+    assert(nb("né", 1) == Set("né", "n", "é"))
+    assert(nb("", 2) == Set(""))
+  }
+
+  test("editDistancePairs: blocked path equals exact; finds planted typos") {
+    val names = Seq(
+      (1L, "jonathan smith"), (2L, "jonathon smith"), // 1 substitution
+      (3L, "jon smith"), (4L, "jhn smith"),           // 1 substitution
+      (5L, "completely different"), (6L, "jonathan smith"), // exact dup of 1
+      (7L, "smith jonathan")                          // far from all
+    ).toDF("id", "name")
+    val fast = Dedup.editDistancePairs(names, $"id", $"name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Dedup.editDistancePairs(names, $"id", $"name", maxDist = 2,
+        exact = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast == exact, s"symmetric-delete blocking lost/invented: $fast vs $exact")
+    assert(fast.contains((1L, 2L, 1)) && fast.contains((3L, 4L, 1)) &&
+      fast.contains((1L, 6L, 0)))
+    assert(!fast.exists { case (a, b, _) => a == 5L || b == 5L })
+    assert(fast.forall { case (a, b, d) => a < b && d <= 2 })
+  }
+
+  test("spellCorrect: broadcast dict, deterministic best match") {
+    val dict = Seq("red", "green", "blue", "linen", "lemon").toDF("w")
+    val qs = Seq((1L, "gren"), (2L, "blu"), (3L, "lnen"), (4L, "zzzz"))
+      .toDF("id", "q")
+    val all = Dedup.editDistanceLookup(qs, $"id", $"q", dict, $"w", maxDist = 1)
+    // dict side broadcast: the corpus side never shuffles
+    val plan = all.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcasthashjoin"), plan)
+    val rows = Dedup.spellCorrect(qs, $"id", $"q", dict, $"w", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(rows(1L) == ("green", 1))
+    assert(rows(2L) == ("blue", 1))
+    // "lnen" is 1 edit from BOTH "linen" (insert i) and "lemon"? no —
+    // levenshtein(lnen, lemon)=2; unique best is linen
+    assert(rows(3L) == ("linen", 1))
+    assert(!rows.contains(4L), "no dict entry within 1 of zzzz")
+  }
+
   // ---- ann -------------------------------------------------------------
 
   private val vecs = Seq(
