@@ -1274,6 +1274,19 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // MOSS winnowing matches (Schleimer et al. 2003): document pairs
+    // sharing >= 5 selected k-gram fingerprints after a max-df boilerplate
+    // cull — the POSITIONAL substring-match signal (guaranteed for shared
+    // runs >= k+w-1 chars) set-based shingles drop. md5-lower-64 gram
+    // hashes make the whole selection DuckDB-replayable bit-for-bit.
+    "q_text_winnow" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.winnowPairs(
+          tbl(s, dir, "documents"), $"doc_id", $"text",
+          k = 12, w = 8, minShared = 5L, maxDf = 40L)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Edit-distance similarity self-join (record linkage / fuzzy entity
     // matching): all customer-name pairs within levenshtein 1 via
     // symmetric-delete blocking (exact recall, no cross join). Oracle:
@@ -4543,6 +4556,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT dup_key, count(*) AS group_size, min(doc_id) AS keeper_id
         |FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+    "q_text_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(0, greatest(length(norm) - 11, 0)),
+        |    p -> md5_number_lower(substr(norm, p::INT + 1, 12))) AS hs FROM t),
+        |sel AS (SELECT doc_id, hs, unnest(list_transform(
+        |    range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - 7, 1) END),
+        |    j -> j::INT + least(8, len(hs) - j::INT)
+        |       - list_position(list_reverse(hs[j+1 : j+8]), list_min(hs[j+1 : j+8])))) AS pos
+        |  FROM h),
+        |fp AS (SELECT DISTINCT doc_id, hs[pos+1] AS hash FROM sel),
+        |ok AS (SELECT hash FROM fp GROUP BY hash HAVING count(*) <= 40),
+        |fc AS (SELECT fp.doc_id, fp.hash FROM fp JOIN ok USING (hash))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM fc a JOIN fc b ON a.hash = b.hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_editdist" ->
       """WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer)
         |SELECT a.id AS id_a, b.id AS id_b,

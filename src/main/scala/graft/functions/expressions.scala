@@ -153,6 +153,94 @@ case class CharNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): CharNgrams = copy(child = c)
 }
 
+/** MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  * "robust winnowing"): normalize like [[CharNgrams]] (lower →
+  * non-[a-z0-9]→space → squeeze → trim; all-ASCII after, so byte
+  * positions ARE character positions), hash every k-char gram with
+  * md5-lower-64 (bit-identical to DuckDB `md5_number_lower` — the whole
+  * selection is SQL-replayable), then slide a window of `w` gram hashes
+  * and select the minimum per window in UNSIGNED order (DuckDB's UBIGINT
+  * order), RIGHTMOST on ties. Guarantee: any substring match of at least
+  * k + w − 1 normalized characters shares at least one selected
+  * fingerprint; density ≈ 2/(w+1). Fewer than `w` grams collapse to one
+  * whole-string window; fewer than one gram yields an empty set.
+  *
+  * @return array<struct<pos:int, hash:long>> of DISTINCT selections in
+  *         increasing position order (positions are 0-based gram starts
+  *         in the normalized string; the long carries md5-lower-64 bits,
+  *         unsigned semantics). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(k >= 1, s"gram size must be >= 1: $k")
+  require(w >= 1, s"window size must be >= 1: $w")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: UTF8String): ArrayData = {
+    val bytes = input.toLowerCase.getBytes
+    val norm = new Array[Byte](bytes.length)
+    var m = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && m > 0) { norm(m) = ' '; m += 1 }
+        pendingSpace = false
+        norm(m) = b
+        m += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    val grams = m - k + 1
+    if (grams <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](grams)
+    var p = 0
+    while (p < grams) {
+      hs(p) = Hashing.md5Lower64(UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(norm, p, p + k)))
+      p += 1
+    }
+    val windows = math.max(grams - w + 1, 1)
+    // selected positions are non-decreasing as the window slides, so a
+    // last-emitted check is a full distinct
+    val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var j = 0
+    var last = -1
+    while (j < windows) {
+      val end = math.min(j + w, grams)
+      var best = j
+      var q = j + 1
+      // rightmost minimum: strictly-greater keeps the earlier index, so
+      // >= moves it right — unsigned compare matches DuckDB UBIGINT order
+      while (q < end) {
+        if (java.lang.Long.compareUnsigned(hs(q), hs(best)) <= 0) best = q
+        q += 1
+      }
+      if (best != last) { pos += best; last = best }
+      j += 1
+    }
+    val out = new Array[Any](pos.length)
+    var t = 0
+    while (t < pos.length) {
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](pos(t), hs(pos(t))))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+}
+
 /** Count of array elements contained in a fixed string set (codegen-free
   * replacement for `size(filter(tokens, t => array_contains(lits, t)))`,
   * whose lambda evaluates interpreted per token). */
@@ -972,6 +1060,9 @@ object exprs {
     SparkInternals.wrap(RemoveInSet(SparkInternals.unwrap(tokens), words))
   def char_ngrams(text: Column, n: Int): Column =
     SparkInternals.wrap(CharNgrams(SparkInternals.unwrap(text), n))
+  /** MOSS winnowing: distinct (pos, md5-lower-64) fingerprint selections. */
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    SparkInternals.wrap(WinnowFingerprints(SparkInternals.unwrap(text), k, w))
   def word_shingles(tokens: Column, k: Int): Column =
     SparkInternals.wrap(WordShingles(SparkInternals.unwrap(tokens), k))
   def word_windows(tokens: Column, k: Int, stride: Int): Column =

@@ -487,6 +487,57 @@ object TextFunctions {
       .select(col("term"), col("chunk_idx"), col("doc_freq"), col("postings"))
   }
 
+  /** MOSS winnowing fingerprint table (Schleimer et al. 2003): one row
+    * per selected (position, hash) — see
+    * [[graft.functions.WinnowFingerprints]] for the selection rule. The
+    * POSITIONAL substring-match signal the set-based shingle operators
+    * drop: any shared normalized substring of >= k + w - 1 characters is
+    * guaranteed a shared fingerprint, at density ~2/(w+1). Selection is
+    * pure map-side kernel work; nothing shuffles.
+    *
+    * @return (doc_id, pos, hash) */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 12, w: Int = 8): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+        explode(graft.functions.exprs.winnow_fingerprints(text, k, w)).as("__f"))
+      .select(col("doc_id"), col("__f").getField("pos").as("pos"),
+        col("__f").getField("hash").as("hash"))
+
+  /** Cross-document winnowing matches: pairs sharing at least `minShared`
+    * distinct selected fingerprints (the MOSS match score). Candidates
+    * meet through an equi-join on the 64-bit fingerprint — ids-only after
+    * the map-side selection, no cross join. `maxDf` drops fingerprints
+    * selected in more than that many documents (boilerplate guard, the
+    * MOSS "too common" cull): a header shared by a million docs would
+    * otherwise emit a quadratic pair set for one hash; matches inside it
+    * are noise anyway.
+    *
+    * @return (id_a, id_b, shared) with id_a < id_b, shared >= minShared. */
+  def winnowPairs(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 12, w: Int = 8, minShared: Long = 2L,
+      maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf < 2 can never match: $maxDf")
+    // distinct hash set feeds the df-cull and both join sides — once
+    val fp = winnowFingerprints(df, id, text, k, w)
+      .select(col("doc_id"), col("hash")).distinct()
+      .localCheckpoint(eager = false)
+    val culled =
+      if (maxDf == Long.MaxValue) fp
+      else fp.join(
+        fp.groupBy(col("hash")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select(col("hash")),
+        Seq("hash"))
+    culled.select(col("hash"), col("doc_id").as("id_a"))
+      .join(culled.select(col("hash"), col("doc_id").as("id_b")), Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Conjunctive (AND) keyword search: documents containing EVERY term,
     * via count-matching exploded terms — the posting-intersection shape,
     * no per-term corpus rescans. */

@@ -89,6 +89,61 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     (5L, "the quick brown fox jumps over the lazy dog near the river bank today")
   ).toDF("id", "text")
 
+  test("winnow kernel: exact selections, edge cases, unsigned tie order") {
+    def sel(s: String, k: Int, w: Int): Seq[(Int, Long)] =
+      Seq(s).toDF("t")
+        .select(graft.functions.exprs.winnow_fingerprints($"t", k, w).as("f"))
+        .as[Seq[(Int, Long)]].head()
+    // positions independently derived from the published robust-winnowing
+    // rule (rightmost unsigned-min per window of w gram hashes)
+    val t1 = sel("The quick brown fox jumps over the lazy dog!", 8, 4)
+    assert(t1.map(_._1) == Seq(1, 3, 7, 8, 12, 14, 17, 20, 24, 26, 30, 31, 32))
+    // each selected hash is the md5-lower-64 of its gram
+    val norm = "the quick brown fox jumps over the lazy dog"
+    val hashOf = Seq.tabulate(norm.length - 7)(p => norm.substring(p, p + 8))
+      .toDF("g").select(graft.functions.exprs.md5_lower64($"g"))
+      .as[Long].collect()
+    assert(t1.forall { case (p, h) => hashOf(p) == h })
+    // shorter than k: empty; fewer grams than w: one whole-string window
+    assert(sel("short", 8, 4).isEmpty)
+    assert(sel("tiny kgram", 8, 4).size == 1)
+    // "hix" k=2: grams "hi","ix" — md5("hi") has the top bit CLEAR and
+    // md5("ix") SET, so unsigned order picks "hi" where signed would
+    // pick "ix"; DuckDB UBIGINT order is unsigned
+    assert(sel("hix", 2, 2).map(_._1) == Seq(0))
+  }
+
+  test("winnowPairs: guarantee on long matches, maxDf cull, no cross join") {
+    val common = "the missile knows where it is at all times because " +
+      "it knows where it is not"
+    val corpus = Seq(
+      (1L, s"alpha preamble $common trailing alpha"),
+      (2L, s"totally different beginning $common other ending words"),
+      (3L, "unrelated text about completely other things entirely here"),
+      (4L, s"boiler plate header $common boiler plate footer")
+    ).toDF("id", "text")
+    val pairs = TextFunctions.winnowPairs(corpus, $"id", $"text",
+        k = 12, w = 8, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // any shared normalized run >= k+w-1 chars MUST share a fingerprint
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxDf = 2 culls fingerprints present in all three common-run docs;
+    // remaining matches can only come from hashes in <= 2 docs
+    val culled = TextFunctions.winnowPairs(corpus, $"id", $"text",
+        k = 12, w = 8, minShared = 1L, maxDf = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    culled.foreach { case (a, b, shared) =>
+      assert(shared <= full((a, b)), "cull can only reduce shared counts") }
+    // plan: candidates meet on the hash equi-join — no cartesian product
+    val plan = TextFunctions.winnowPairs(corpus, $"id", $"text")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian"), plan)
+  }
+
   test("exact dedup keeps one representative per key") {
     val out = Dedup.dedupExact(docs, TextFunctions.fingerprint($"text"), $"id")
     assert(out.count() == 4) // 1 and 5 are identical
