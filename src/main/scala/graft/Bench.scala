@@ -47,6 +47,7 @@ object Bench {
     SparkEntry.ivfPqCodesIncrDir(spark, sfDir)
     SparkEntry.minhashIndexDir(spark, sfDir)
     SparkEntry.simhashIndexDir(spark, sfDir)
+    SparkEntry.winnowIndexDir(spark, sfDir)
     SparkEntry.searchIndexDir(spark, sfDir)
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)

@@ -432,6 +432,13 @@ object SparkEntry {
 
   /** Materialized Hamming index over the even-id half's md5-SimHash
     * fingerprints (portable twin of [[minhashIndexDir]]); create-once. */
+  private[graft] def winnowIndexDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "winnow_index") { td =>
+      graft.text.TextFunctions.buildWinnowIndex(
+        tbl(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), td, k = 12, w = 8)
+    }
+
   private[graft] def simhashIndexDir(s: SparkSession, dir: String): String =
     scratchPlain(s, dir, "simhash_index") { td =>
       graft.dedup.Dedup.buildFingerprintIndex(
@@ -1285,6 +1292,22 @@ object SparkEntry {
           tbl(s, dir, "documents"), $"doc_id", $"text",
           k = 12, w = 8, minShared = 5L, maxDf = 40L)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // INCREMENTAL winnow dedup against the materialized fingerprint
+    // table (the exact-substring twin of q_dedup_simhash_incremental):
+    // even-id docs are winnow-indexed once; the odd-id batch selects only
+    // its own fingerprints and equi-joins the stored table. Oracle: a
+    // batch doc survives iff no corpus-half partner shares >= 5 distinct
+    // fingerprints over the bit-exact md5 winnow replay.
+    "q_text_winnow_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val batch = tbl(s, dir, "documents").filter($"doc_id" % 2 === 1)
+      graft.text.TextFunctions.dedupAgainstWinnowIndex(s, batch,
+          $"doc_id", $"text", winnowIndexDir(s, dir),
+          k = 12, w = 8, minShared = 5L)
+        .select($"doc_id")
+        .orderBy($"doc_id")
     }),
 
     // Edit-distance similarity self-join (record linkage / fuzzy entity
@@ -4556,6 +4579,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT dup_key, count(*) AS group_size, min(doc_id) AS keeper_id
         |FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+    "q_text_winnow_incremental" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(0, greatest(length(norm) - 11, 0)),
+        |    p -> md5_number_lower(substr(norm, p::INT + 1, 12))) AS hs FROM t),
+        |sel AS (SELECT doc_id, hs, unnest(list_transform(
+        |    range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - 7, 1) END),
+        |    j -> j::INT + least(8, len(hs) - j::INT)
+        |       - list_position(list_reverse(hs[j+1 : j+8]), list_min(hs[j+1 : j+8])))) AS pos
+        |  FROM h),
+        |fp AS (SELECT DISTINCT doc_id, hs[pos+1] AS hash FROM sel),
+        |dup AS (SELECT b.doc_id FROM fp b JOIN fp c ON b.hash = c.hash
+        |  AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        |  GROUP BY b.doc_id, c.doc_id HAVING count(*) >= 5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_winnow" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -538,6 +538,114 @@ object TextFunctions {
       .filter(col("shared") >= minShared)
   }
 
+  // ---- materialized winnow index (ingest-time substring-match check) --
+
+  /** Materialize the winnow fingerprint table — the exact-substring-match
+    * twin of the minhash/fingerprint serving indexes: fingerprints are
+    * selected ONCE at index time; a new batch computes only its own
+    * selections and equi-joins the stored table, so corpus text is never
+    * re-read per batch. One sub-table `fps/` (hash, doc_id), distinct.
+    * The index is (k, w)-specific — probe with the parameters it was
+    * built with (`_index_spec`-pinned). */
+  def buildWinnowIndex(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      dir: String, k: Int = 12, w: Int = 8): Unit =
+    writeWinnowIndex(df, id, text, dir, "overwrite", k, w)
+
+  /** Grow a [[buildWinnowIndex]] table with a delta batch. */
+  def appendToWinnowIndex(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      dir: String, k: Int = 12, w: Int = 8): Unit =
+    writeWinnowIndex(df, id, text, dir, "append", k, w)
+
+  private def writeWinnowIndex(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      dir: String, mode: String, k: Int, w: Int): Unit = {
+    val spec = s"winnow k=$k w=$w"
+    val hadSpec =
+      if (mode == "overwrite") { graft.ops.IndexSpec.delete(df, dir); false }
+      else graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
+    winnowFingerprints(df, id, text, k, w)
+      .select(col("hash"), col("doc_id")).distinct()
+      .write.mode(mode).parquet(s"$dir/fps")
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
+  }
+
+  /** Crash-safe SEGMENT append for the winnow index (the
+    * [[graft.ops.Segments]] shape shared by the minhash / fingerprint /
+    * search indexes: a mid-write crash is invisible until the commit
+    * marker lands, and a same-id retry overwrites its own segment —
+    * exactly-once ingest). */
+  def appendWinnowSegment(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      dir: String, segmentId: String, k: Int = 12, w: Int = 8): Unit = {
+    val spec = s"winnow k=$k w=$w"
+    val spark = df.sparkSession
+    val hadSpec = graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    winnowFingerprints(df, id, text, k, w)
+      .select(col("hash"), col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$segDir/fps")
+    graft.ops.Segments.commit(spark, segDir)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
+  }
+
+  /** LSM merge for winnow segments. Returns the number merged. */
+  def compactWinnowSegments(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 12, w: Int = 8): Int = {
+    graft.ops.IndexSpec.check(spark, dir, s"winnow k=$k w=$w",
+      writeIfMissing = false)
+    graft.ops.MaintenanceLock.withLock(
+        graft.ops.Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) {
+      val live = graft.ops.Segments.live(spark, dir)
+      if (live.length <= 1) 0
+      else {
+        val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+        val target = {
+          val h = s"compact-${names.hashCode.toHexString}"
+          if (names.contains(h)) s"$h-x" else h
+        }
+        val segDir = graft.ops.Segments.prepare(spark, dir, target)
+        live.map(s => spark.read.parquet(s"$s/fps")).reduce(_ unionByName _)
+          .select(col("hash"), col("doc_id")).distinct()
+          .write.mode("overwrite").parquet(s"$segDir/fps")
+        graft.ops.Segments.commit(spark, segDir, replaces = names)
+        graft.ops.Segments.delete(spark, live)
+        live.length
+      }
+    }
+  }
+
+  /** Drop every row of `df` (a NEW batch) sharing at least `minShared`
+    * distinct winnow fingerprints with any indexed document — the
+    * ingest-time verbatim-overlap gate (guaranteed to catch any shared
+    * normalized run >= k+w-1 characters when minShared fingerprints of
+    * it survive). The batch selects its fingerprints once map-side; the
+    * corpus contributes only stored (hash, id) rows through one
+    * equi-join — no re-fingerprinting, no text re-read. In-batch
+    * duplicates are NOT removed here (run [[winnowPairs]] on the batch
+    * for that level), mirroring the other incremental dedup fronts. */
+  def dedupAgainstWinnowIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      dir: String, k: Int = 12, w: Int = 8,
+      minShared: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    graft.ops.IndexSpec.check(df, dir, s"winnow k=$k w=$w")
+    val batch = winnowFingerprints(df, id, text, k, w)
+      .select(col("hash"), col("doc_id").as("__id")).distinct()
+    val corpus = graft.ops.Segments.readPart(spark, dir, "fps")
+      .select(col("hash"), col("doc_id").as("__corpus_id"))
+    val dups = batch.join(corpus, Seq("hash"))
+      .groupBy(col("__id"), col("__corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__id").as("__dup_id")).distinct()
+    df.join(dups, id === col("__dup_id"), "left_anti")
+  }
+
   /** Conjunctive (AND) keyword search: documents containing EVERY term,
     * via count-matching exploded terms — the posting-intersection shape,
     * no per-term corpus rescans. */

@@ -803,6 +803,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept2 == 0L)
   }
 
+  test("winnow index: incremental dedup parity, segment append, spec guard") {
+    val run = "the missile knows where it is at all times because it " +
+      "knows where it is not and by subtracting where it is from where " +
+      "it is not it obtains a difference"
+    val all = Seq(
+      (0L, s"corpus preamble $run corpus tail"),
+      (2L, "even doc about entirely different things with no overlap at all"),
+      (4L, "another standalone even document on some unrelated subject"),
+      (1L, s"batch copy intro $run batch outro"), // shares the long run → dup
+      (3L, "a fresh batch document with its own unique phrasing throughout"),
+      (5L, s"later near copy $run with different framing")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnowidx").toString
+    TextFunctions.buildWinnowIndex(all.filter($"id" % 2 === 0),
+      col("id"), col("text"), dir, k = 12, w = 8)
+    val kept = TextFunctions.dedupAgainstWinnowIndex(spark,
+        all.filter($"id" % 2 === 1), col("id"), col("text"), dir,
+        k = 12, w = 8, minShared = 3L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L))
+    // parity with the one-shot pair join: a batch doc survives iff no
+    // cross-half partner with >= minShared shared fingerprints
+    val pairs = TextFunctions.winnowPairs(all, $"id", $"text",
+        k = 12, w = 8, minShared = 3L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ref = Seq(1L, 3L, 5L).filterNot(b =>
+      Seq(0L, 2L, 4L).exists(a => pairs((a, b)) || pairs((b, a))))
+    assert(kept == ref)
+    // crash-safe segment append: doc 3 joins the corpus; its twin drops
+    TextFunctions.appendWinnowSegment(all.filter($"id" === 3),
+      col("id"), col("text"), dir, "b1", k = 12, w = 8)
+    val twin = Seq((7L, "a fresh batch document with its own unique " +
+      "phrasing throughout plus a little extra")).toDF("id", "text")
+    assert(TextFunctions.dedupAgainstWinnowIndex(spark, twin,
+      col("id"), col("text"), dir, k = 12, w = 8, minShared = 3L).count() == 0L)
+    // compaction folds segments, probe unchanged
+    TextFunctions.appendWinnowSegment(all.filter($"id" === 1),
+      col("id"), col("text"), dir, "b2", k = 12, w = 8)
+    assert(TextFunctions.compactWinnowSegments(spark, dir, k = 12, w = 8) == 2)
+    assert(TextFunctions.dedupAgainstWinnowIndex(spark, twin,
+      col("id"), col("text"), dir, k = 12, w = 8, minShared = 3L).count() == 0L)
+    // probing with mismatched build parameters is rejected
+    intercept[IllegalArgumentException] {
+      TextFunctions.dedupAgainstWinnowIndex(spark, twin,
+        col("id"), col("text"), dir, k = 10, w = 8, minShared = 3L).count()
+    }
+  }
+
   test("nearest_centroids kernel: ordering, ties, head parity, dim guard") {
     val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 0.0))
     val df = Seq((0L, Seq(0.001f, 0.0f)), (1L, Seq(0.009f, 0.0f))).toDF("id", "v")
