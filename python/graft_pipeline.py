@@ -77,6 +77,55 @@ class Pipeline:
             self._jspark, df._jdf, id_col, text_col, path,
             num_hashes, bands, shingle_k, threshold))
 
+    def edit_distance_pairs(self, df, id_col, str_col, max_dist=1):
+        """All pairs within levenshtein max_dist (symmetric-delete blocking,
+        exact recall, no cross join). Returns (id_a, id_b, dist)."""
+        return self._df(self._japi.editDistancePairs(
+            df._jdf, id_col, str_col, max_dist))
+
+    def edit_distance_lookup(self, queries, q_id_col, q_col, dict_df, w_col,
+                             max_dist=1):
+        """Every (query, dict entry) pair within levenshtein max_dist; the
+        dictionary broadcasts so the query side never shuffles."""
+        return self._df(self._japi.editDistanceLookup(
+            queries._jdf, q_id_col, q_col, dict_df._jdf, w_col, max_dist))
+
+    def spell_correct(self, queries, q_id_col, q_col, dict_df, w_col,
+                      max_dist=1):
+        """Best dictionary correction per query (dist asc, match asc)."""
+        return self._df(self._japi.spellCorrect(
+            queries._jdf, q_id_col, q_col, dict_df._jdf, w_col, max_dist))
+
+    def winnow_fingerprints(self, df, id_col, text_col, k=12, w=8):
+        """MOSS winnowing selections: (doc_id, pos, hash) per document."""
+        return self._df(self._japi.winnowFingerprints(
+            df._jdf, id_col, text_col, k, w))
+
+    def winnow_pairs(self, df, id_col, text_col, k=12, w=8, min_shared=2,
+                     max_df=2**62):
+        """Document pairs sharing >= min_shared winnow fingerprints
+        (positional substring-match signal); max_df culls boilerplate."""
+        return self._df(self._japi.winnowPairs(
+            df._jdf, id_col, text_col, k, w, min_shared, max_df))
+
+    def build_winnow_index(self, df, id_col, text_col, path, k=12, w=8):
+        self._japi.buildWinnowIndex(df._jdf, id_col, text_col, path, k, w)
+
+    def append_winnow_segment(self, df, id_col, text_col, path, segment_id,
+                              k=12, w=8):
+        self._japi.appendWinnowSegment(
+            df._jdf, id_col, text_col, path, segment_id, k, w)
+
+    def compact_winnow_segments(self, spark, path, k=12, w=8):
+        return self._japi.compactWinnowSegments(self._jspark, path, k, w)
+
+    def dedup_against_winnow_index(self, df, id_col, text_col, path,
+                                   k=12, w=8, min_shared=2):
+        """Drop batch docs sharing >= min_shared stored fingerprints with
+        any indexed document (ingest-time verbatim-overlap gate)."""
+        return self._df(self._japi.dedupAgainstWinnowIndex(
+            self._jspark, df._jdf, id_col, text_col, path, k, w, min_shared))
+
     # ---- text quality / decontamination ---------------------------------
 
     def text_signals(self, df, text_col="text"):

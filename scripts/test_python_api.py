@@ -126,6 +126,30 @@ def main():
          (2, "HTTPS://ex.com:443/d/?a=1&b=2&utm_source=n")], ["id", "url"])
     n = {r.id: r.norm_url for r in p.normalize_url(urls, "url").collect()}
     assert n[1] == n[2] == "https://ex.com/d?a=1&b=2", n
+    # edit-distance join: symmetric-delete blocking finds the typo pair
+    names = spark.createDataFrame(
+        [(1, "jonathan"), (2, "jonathon"), (3, "different")], ["id", "name"])
+    ed = {(r.id_a, r.id_b): r.dist for r in
+          p.edit_distance_pairs(names, "id", "name", max_dist=1).collect()}
+    assert ed == {(1, 2): 1}, ed
+    best = {r.id: (r.match, r.dist) for r in p.spell_correct(
+        names.selectExpr("id", "substr(name, 2) AS q"),
+        "id", "q", names.select("name"), "name", max_dist=1).collect()}
+    assert best[1] == ("jonathan", 1) and best[2] == ("jonathon", 1), best
+    # winnowing: a long shared run guarantees a match; index probe drops it
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    wdocs = spark.createDataFrame(
+        [(0, "intro " + run + " outro"),
+         (2, "nothing in common here at all with anything"),
+         (1, "other prefix " + run + " other suffix")], ["doc_id", "text"])
+    wp = {(r.id_a, r.id_b) for r in
+          p.winnow_pairs(wdocs, "doc_id", "text", min_shared=2).collect()}
+    assert (0, 1) in wp and not any(2 in t for t in wp), wp
+    widx = f"{work}/winnow_index"
+    p.build_winnow_index(wdocs.filter("doc_id % 2 = 0"), "doc_id", "text", widx)
+    assert p.dedup_against_winnow_index(
+        wdocs.filter("doc_id = 1"), "doc_id", "text", widx,
+        min_shared=2).count() == 0
     # keyed table: upsert replaces + inserts, delete removes; stats exact
     kt = tempfile.mkdtemp() + "/kt"
     basedf = spark.createDataFrame(

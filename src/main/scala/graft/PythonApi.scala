@@ -59,6 +59,54 @@ object PythonApi {
     graft.dedup.Dedup.dedupAgainstIndex(spark, df, col(idCol), col(textCol),
       dir, numHashes, bands, shingleK, threshold)
 
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame =
+    graft.dedup.Dedup.editDistancePairs(df, col(idCol), col(strCol), maxDist)
+
+  def editDistanceLookup(
+      queries: DataFrame, qIdCol: String, qCol: String,
+      dict: DataFrame, wCol: String, maxDist: Int): DataFrame =
+    graft.dedup.Dedup.editDistanceLookup(queries, col(qIdCol), col(qCol),
+      dict, col(wCol), maxDist)
+
+  def spellCorrect(
+      queries: DataFrame, qIdCol: String, qCol: String,
+      dict: DataFrame, wCol: String, maxDist: Int): DataFrame =
+    graft.dedup.Dedup.spellCorrect(queries, col(qIdCol), col(qCol),
+      dict, col(wCol), maxDist)
+
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
+    graft.text.TextFunctions.winnowFingerprints(df, col(idCol), col(textCol), k, w)
+
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int,
+      minShared: Long, maxDf: Long): DataFrame =
+    graft.text.TextFunctions.winnowPairs(df, col(idCol), col(textCol), k, w,
+      minShared, maxDf)
+
+  def buildWinnowIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int, w: Int): Unit =
+    graft.text.TextFunctions.buildWinnowIndex(df, col(idCol), col(textCol),
+      dir, k, w)
+
+  def appendWinnowSegment(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      segmentId: String, k: Int, w: Int): Unit =
+    graft.text.TextFunctions.appendWinnowSegment(df, col(idCol), col(textCol),
+      dir, segmentId, k, w)
+
+  def compactWinnowSegments(spark: SparkSession, dir: String,
+      k: Int, w: Int): Int =
+    graft.text.TextFunctions.compactWinnowSegments(spark, dir, k, w)
+
+  def dedupAgainstWinnowIndex(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int, w: Int, minShared: Long): DataFrame =
+    graft.text.TextFunctions.dedupAgainstWinnowIndex(spark, df, col(idCol),
+      col(textCol), dir, k, w, minShared)
+
   // ---- text quality / decontamination ---------------------------------
 
   /** doc frame + (lang_pred, quality, gopher_pass) appended map-side. */
