@@ -809,6 +809,22 @@ object SparkEntry {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // Semi-join reduction through the index ("dynamic FILE pruning" for a
+    // NON-partition join key — the shape DPP can't cover): the small dim's
+    // distinct keys become an IN-list the per-file sketches prune with, so
+    // the fact side reads only files that can contain a matching supplier.
+    // Falls back to the plain join past the key cap; semantics identical.
+    "q_idx_join_prune" -> ((s, dir) => {
+      import s.implicits._
+      val dim = tbl(s, dir, "supplier").filter($"s_suppkey" <= 3)
+        .select($"s_suppkey", $"s_name")
+      graft.index.JoinPrune.semiJoinPruned(
+          indexedLineitem(s, dir), dim, $"l_suppkey", $"s_suppkey")
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"s_name",
+          $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Query through an index built by create-on-half + append + refresh:
     // both file generations must answer, with pruning (the point key is
     // odd, so it lives only in refresh-appended files).
@@ -6391,6 +6407,11 @@ object SparkEntry {
     "q_idx_in_list" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem WHERE l_suppkey IN (1, 2, 3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_join_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_extendedprice
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey <= 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_idx_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag

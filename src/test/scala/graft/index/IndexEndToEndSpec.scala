@@ -228,6 +228,43 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pruning: ${pruned.get.lastListedFiles}/${pruned.get.lastTotalFiles}")
   }
 
+  test("semi-join file pruning: join parity, files cut, cap fallback") {
+    import spark.implicits._
+    val keys = spark.read.parquet(tablePath).select("l_orderkey")
+      .distinct().limit(2).collect().map(_.getLong(0)).toSeq
+    val dim = keys.map(k => (k, s"name$k")).toDF("k", "name")
+    val fact = spark.index.parquet(tablePath)
+    val pruned = graft.index.JoinPrune.semiJoinPruned(
+      fact, dim, col("l_orderkey"), col("k"))
+    val plain = spark.read.parquet(tablePath)
+      .join(dim, col("l_orderkey") === col("k"))
+    checkSame(pruned, plain)
+    // the IN-list derived from the dim reaches the index: files cut.
+    // Walk through AQE wrappers — the scan hides inside a QueryStageExec.
+    pruned.collect() // force listFiles
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val fi = scans(pruned.queryExecution.executedPlan)
+      .map(_.relation.location)
+      .collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.isDefined, "fact side must scan through GraftFileIndex")
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected file cut: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+    // past the cap the plain join comes back — same rows either way
+    checkSame(graft.index.JoinPrune.semiJoinPruned(
+      fact, dim, col("l_orderkey"), col("k"), maxKeys = 1), plain)
+    // empty dim: empty IN-list short-circuits to zero rows, no error
+    assert(graft.index.JoinPrune.semiJoinPruned(fact,
+      dim.filter(col("k") < 0), col("l_orderkey"), col("k")).count() == 0L)
+  }
+
   test("IN list matches") {
     val keys = spark.read.parquet(tablePath)
       .select("l_orderkey").distinct().limit(3).collect().map(_.getLong(0))
