@@ -96,6 +96,29 @@ class Pipeline:
         return self._df(self._japi.spellCorrect(
             queries._jdf, q_id_col, q_col, dict_df._jdf, w_col, max_dist))
 
+    def build_edit_distance_index(self, df, id_col, str_col, path, max_dist=1):
+        self._japi.buildEditDistanceIndex(df._jdf, id_col, str_col, path, max_dist)
+
+    def append_edit_distance_segment(self, df, id_col, str_col, path,
+                                     segment_id, max_dist=1):
+        self._japi.appendEditDistanceSegment(
+            df._jdf, id_col, str_col, path, segment_id, max_dist)
+
+    def compact_edit_distance_segments(self, spark, path, max_dist=1):
+        return self._japi.compactEditDistanceSegments(self._jspark, path, max_dist)
+
+    def match_against_edit_distance_index(self, df, id_col, str_col, path,
+                                          max_dist=1):
+        """(id, corpus_id, dist) pairs within max_dist of indexed rows."""
+        return self._df(self._japi.matchAgainstEditDistanceIndex(
+            self._jspark, df._jdf, id_col, str_col, path, max_dist))
+
+    def dedup_against_edit_distance_index(self, df, id_col, str_col, path,
+                                          max_dist=1):
+        """Drop batch rows within max_dist of any indexed corpus row."""
+        return self._df(self._japi.dedupAgainstEditDistanceIndex(
+            self._jspark, df._jdf, id_col, str_col, path, max_dist))
+
     def winnow_fingerprints(self, df, id_col, text_col, k=12, w=8):
         """MOSS winnowing selections: (doc_id, pos, hash) per document."""
         return self._df(self._japi.winnowFingerprints(

@@ -150,6 +150,14 @@ def main():
     assert p.dedup_against_winnow_index(
         wdocs.filter("doc_id = 1"), "doc_id", "text", widx,
         min_shared=2).count() == 0
+    # streaming entity resolution: indexed variants catch the typo batch
+    eidx = f"{work}/editdist_index"
+    p.build_edit_distance_index(names.filter("id = 1"), "id", "name", eidx)
+    em = p.match_against_edit_distance_index(
+        names.filter("id = 2"), "id", "name", eidx).collect()
+    assert len(em) == 1 and em[0].corpus_id == 1 and em[0].dist == 1, em
+    assert p.dedup_against_edit_distance_index(
+        names.filter("id = 2"), "id", "name", eidx).count() == 0
     # keyed table: upsert replaces + inserts, delete removes; stats exact
     kt = tempfile.mkdtemp() + "/kt"
     basedf = spark.createDataFrame(

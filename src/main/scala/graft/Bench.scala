@@ -48,6 +48,7 @@ object Bench {
     SparkEntry.minhashIndexDir(spark, sfDir)
     SparkEntry.simhashIndexDir(spark, sfDir)
     SparkEntry.winnowIndexDir(spark, sfDir)
+    SparkEntry.editDistIndexDir(spark, sfDir)
     SparkEntry.searchIndexDir(spark, sfDir)
     SparkEntry.streamIngestedEvents(spark, sfDir).count()
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)

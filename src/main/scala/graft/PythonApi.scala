@@ -75,6 +75,34 @@ object PythonApi {
     graft.dedup.Dedup.spellCorrect(queries, col(qIdCol), col(qCol),
       dict, col(wCol), maxDist)
 
+  def buildEditDistanceIndex(
+      df: DataFrame, idCol: String, strCol: String, dir: String,
+      maxDist: Int): Unit =
+    graft.dedup.Dedup.buildEditDistanceIndex(df, col(idCol), col(strCol),
+      dir, maxDist)
+
+  def appendEditDistanceSegment(
+      df: DataFrame, idCol: String, strCol: String, dir: String,
+      segmentId: String, maxDist: Int): Unit =
+    graft.dedup.Dedup.appendEditDistanceSegment(df, col(idCol), col(strCol),
+      dir, segmentId, maxDist)
+
+  def compactEditDistanceSegments(spark: SparkSession, dir: String,
+      maxDist: Int): Int =
+    graft.dedup.Dedup.compactEditDistanceSegments(spark, dir, maxDist)
+
+  def matchAgainstEditDistanceIndex(
+      spark: SparkSession, df: DataFrame, idCol: String, strCol: String,
+      dir: String, maxDist: Int): DataFrame =
+    graft.dedup.Dedup.matchAgainstEditDistanceIndex(spark, df, col(idCol),
+      col(strCol), dir, maxDist)
+
+  def dedupAgainstEditDistanceIndex(
+      spark: SparkSession, df: DataFrame, idCol: String, strCol: String,
+      dir: String, maxDist: Int): DataFrame =
+    graft.dedup.Dedup.dedupAgainstEditDistanceIndex(spark, df, col(idCol),
+      col(strCol), dir, maxDist)
+
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
     graft.text.TextFunctions.winnowFingerprints(df, col(idCol), col(textCol), k, w)

@@ -432,6 +432,13 @@ object SparkEntry {
 
   /** Materialized Hamming index over the even-id half's md5-SimHash
     * fingerprints (portable twin of [[minhashIndexDir]]); create-once. */
+  private[graft] def editDistIndexDir(s: SparkSession, dir: String): String =
+    scratchPlain(s, dir, "editdist_index") { td =>
+      graft.dedup.Dedup.buildEditDistanceIndex(
+        tbl(s, dir, "customer").filter(col("c_custkey") % 2 === 0),
+        col("c_custkey"), col("c_name"), td, maxDist = 1)
+    }
+
   private[graft] def winnowIndexDir(s: SparkSession, dir: String): String =
     scratchPlain(s, dir, "winnow_index") { td =>
       graft.text.TextFunctions.buildWinnowIndex(
@@ -1335,6 +1342,19 @@ object SparkEntry {
       graft.dedup.Dedup.editDistancePairs(
           tbl(s, dir, "customer"), $"c_custkey", $"c_name", maxDist = 1)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // INCREMENTAL record linkage against the materialized edit-distance
+    // index (streaming entity resolution): even-id customers' deletion
+    // variants are indexed once; the odd-id batch generates only its own
+    // neighborhood and equi-joins the stored variants, then levenshtein
+    // verifies. Oracle: exact cross-half levenshtein join.
+    "q_dedup_editdist_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val batch = tbl(s, dir, "customer").filter($"c_custkey" % 2 === 1)
+      graft.dedup.Dedup.matchAgainstEditDistanceIndex(s, batch,
+          $"c_custkey", $"c_name", editDistIndexDir(s, dir), maxDist = 1)
+        .orderBy($"id", $"corpus_id")
     }),
 
     // Spell correction against a corpus-derived vocabulary: per mutated
@@ -4639,6 +4659,15 @@ object SparkEntry {
         |WHERE abs(length(a.name) - length(b.name)) <= 1
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_editdist_incremental" ->
+      """WITH b AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE c_custkey % 2 = 1),
+        |e AS (SELECT c_custkey AS corpus_id, c_name AS name FROM customer
+        |  WHERE c_custkey % 2 = 0)
+        |SELECT b.id, e.corpus_id, levenshtein(b.name, e.name)::INT AS dist
+        |FROM b JOIN e ON abs(length(b.name) - length(e.name)) <= 1
+        |  AND levenshtein(b.name, e.name) <= 1
+        |ORDER BY id, corpus_id""".stripMargin,
     "q_text_spellcorrect" ->
       """WITH dict AS (
         |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),

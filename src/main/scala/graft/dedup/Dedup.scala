@@ -816,6 +816,138 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  // ---- materialized edit-distance index (streaming entity resolution) --
+
+  /** Materialize the symmetric-delete variant table — the edit-distance
+    * twin of the winnow/minhash serving indexes, for ingest-time record
+    * linkage: corpus variants are generated ONCE at index time into
+    * `vars/ (variant, doc_id, s)`; a new batch generates only its own
+    * neighborhood and equi-joins the stored table (the stored string
+    * rides along for the levenshtein verify — attribute strings are
+    * short). `_index_spec`-pinned maxDist: variants depend on it. */
+  def buildEditDistanceIndex(
+      df: DataFrame, id: Column, s: Column,
+      dir: String, maxDist: Int = 1): Unit =
+    writeEditDistanceIndex(df, id, s, dir, "overwrite", maxDist)
+
+  /** Grow a [[buildEditDistanceIndex]] table with a delta batch. */
+  def appendToEditDistanceIndex(
+      df: DataFrame, id: Column, s: Column,
+      dir: String, maxDist: Int = 1): Unit =
+    writeEditDistanceIndex(df, id, s, dir, "append", maxDist)
+
+  private def writeEditDistanceIndex(
+      df: DataFrame, id: Column, s: Column,
+      dir: String, mode: String, maxDist: Int): Unit = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3]: $maxDist")
+    val spec = s"editdist maxDist=$maxDist"
+    val hadSpec =
+      if (mode == "overwrite") { graft.ops.IndexSpec.delete(df, dir); false }
+      else graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
+    df.select(id.as("doc_id"), s.as("s")).filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s"),
+        explode(graft.functions.exprs.deletion_neighborhood(col("s"), maxDist))
+          .as("variant"))
+      .select(col("variant"), col("doc_id"), col("s"))
+      .write.mode(mode).parquet(s"$dir/vars")
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
+  }
+
+  /** Crash-safe SEGMENT append for the edit-distance index (the
+    * [[graft.ops.Segments]] shape: commit marker, retry-overwrite,
+    * exactly-once ingest). */
+  def appendEditDistanceSegment(
+      df: DataFrame, id: Column, s: Column,
+      dir: String, segmentId: String, maxDist: Int = 1): Unit = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3]: $maxDist")
+    val spec = s"editdist maxDist=$maxDist"
+    val spark = df.sparkSession
+    val hadSpec = graft.ops.IndexSpec.checkReturningPresence(df, dir, spec)
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    df.select(id.as("doc_id"), s.as("s")).filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s"),
+        explode(graft.functions.exprs.deletion_neighborhood(col("s"), maxDist))
+          .as("variant"))
+      .select(col("variant"), col("doc_id"), col("s"))
+      .write.mode("overwrite").parquet(s"$segDir/vars")
+    graft.ops.Segments.commit(spark, segDir)
+    if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
+  }
+
+  /** LSM merge for edit-distance segments. Returns the number merged. */
+  def compactEditDistanceSegments(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxDist: Int = 1): Int = {
+    graft.ops.IndexSpec.check(spark, dir, s"editdist maxDist=$maxDist",
+      writeIfMissing = false)
+    graft.ops.MaintenanceLock.withLock(
+        graft.ops.Segments.fsOf(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) {
+      val live = graft.ops.Segments.live(spark, dir)
+      if (live.length <= 1) 0
+      else {
+        val names = live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+        val target = {
+          val h = s"compact-${names.hashCode.toHexString}"
+          if (names.contains(h)) s"$h-x" else h
+        }
+        val segDir = graft.ops.Segments.prepare(spark, dir, target)
+        live.map(s => spark.read.parquet(s"$s/vars")).reduce(_ unionByName _)
+          .select(col("variant"), col("doc_id"), col("s"))
+          .write.mode("overwrite").parquet(s"$segDir/vars")
+        graft.ops.Segments.commit(spark, segDir, replaces = names)
+        graft.ops.Segments.delete(spark, live)
+        live.length
+      }
+    }
+  }
+
+  /** Match a NEW batch against the indexed corpus: every (batch row,
+    * corpus row) pair within levenshtein `maxDist` — the streaming
+    * record-linkage probe. The batch generates its neighborhood once
+    * map-side; candidates meet through one equi-join on the stored
+    * variants, then the codegen'd levenshtein verifies.
+    *
+    * @return (id, corpus_id, dist). */
+  def matchAgainstEditDistanceIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, id: Column, s: Column,
+      dir: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in [1, 3]: $maxDist")
+    graft.ops.IndexSpec.check(df, dir, s"editdist maxDist=$maxDist")
+    val batch = df.select(id.as("__id"), s.as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("__id"), col("__s"),
+        explode(graft.functions.exprs.deletion_neighborhood(col("__s"), maxDist))
+          .as("variant"))
+    val corpus = graft.ops.Segments.readPart(spark, dir, "vars")
+      .select(col("variant"), col("doc_id").as("corpus_id"),
+        col("s").as("__cs"))
+    batch.join(corpus, Seq("variant"))
+      .select(col("__id"), col("__s"), col("corpus_id"), col("__cs"))
+      .distinct()
+      .filter(abs(length(col("__s")) - length(col("__cs"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__s"), col("__cs")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__id").as("id"), col("corpus_id"), col("dist"))
+  }
+
+  /** Drop every batch row within levenshtein `maxDist` of ANY indexed
+    * corpus row (the dedup front over
+    * [[matchAgainstEditDistanceIndex]]). In-batch duplicates are NOT
+    * removed here, mirroring the other incremental dedup fronts. */
+  def dedupAgainstEditDistanceIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, id: Column, s: Column,
+      dir: String, maxDist: Int = 1): DataFrame = {
+    val dups = matchAgainstEditDistanceIndex(spark, df, id, s, dir, maxDist)
+      .select(col("id").as("__dup_id")).distinct()
+    df.join(dups, id === col("__dup_id"), "left_anti")
+  }
+
   /** Dictionary lookup within edit distance (the spell-correction /
     * canonicalization shape): every (query, dict entry) pair with
     * levenshtein <= maxDist, via the same symmetric-delete blocking as

@@ -803,6 +803,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept2 == 0L)
   }
 
+  test("edit-distance index: match parity, dedup front, segments, guard") {
+    val names = Seq(
+      (0L, "jonathan smith"), (2L, "maria garcia"), (4L, "wei chen"),
+      (1L, "jonathon smith"), // 1 sub from 0 → matches
+      (3L, "completely unrelated"), // far from all → survives
+      (5L, "wei che") // 1 deletion from 4 → matches
+    ).toDF("id", "name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-edidx").toString
+    Dedup.buildEditDistanceIndex(names.filter($"id" % 2 === 0),
+      col("id"), col("name"), dir, maxDist = 1)
+    val batch = names.filter($"id" % 2 === 1)
+    val matches = Dedup.matchAgainstEditDistanceIndex(spark, batch,
+        col("id"), col("name"), dir, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(matches == Set((1L, 0L, 1), (5L, 4L, 1)))
+    // parity with the one-shot pair join restricted to cross-half pairs
+    val pairs = Dedup.editDistancePairs(names, $"id", $"name", maxDist = 1)
+      .as[(Long, Long, Int)].collect()
+      .filter { case (a, b, _) => a % 2 == 0 ^ b % 2 == 0 }
+      .map { case (a, b, d) =>
+        if (a % 2 == 1) (a, b, d) else (b, a, d) }.toSet
+    assert(matches == pairs)
+    // dedup front drops matched batch rows only
+    val kept = Dedup.dedupAgainstEditDistanceIndex(spark, batch,
+        col("id"), col("name"), dir, maxDist = 1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L))
+    // segment append: new corpus entity catches its later variant
+    Dedup.appendEditDistanceSegment(
+      Seq((6L, "completely unrelated")).toDF("id", "name"),
+      col("id"), col("name"), dir, "s1", maxDist = 1)
+    assert(Dedup.dedupAgainstEditDistanceIndex(spark, batch,
+      col("id"), col("name"), dir, maxDist = 1).count() == 0L)
+    // compaction folds, probe unchanged; mismatched maxDist rejected
+    Dedup.appendEditDistanceSegment(
+      Seq((8L, "zzz")).toDF("id", "name"),
+      col("id"), col("name"), dir, "s2", maxDist = 1)
+    assert(Dedup.compactEditDistanceSegments(spark, dir, maxDist = 1) == 2)
+    assert(Dedup.dedupAgainstEditDistanceIndex(spark, batch,
+      col("id"), col("name"), dir, maxDist = 1).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.matchAgainstEditDistanceIndex(spark, batch,
+        col("id"), col("name"), dir, maxDist = 2).count()
+    }
+  }
+
   test("winnow index: incremental dedup parity, segment append, spec guard") {
     val run = "the missile knows where it is at all times because it " +
       "knows where it is not and by subtracting where it is from where " +
