@@ -119,6 +119,17 @@ class Pipeline:
         return self._df(self._japi.dedupAgainstEditDistanceIndex(
             self._jspark, df._jdf, id_col, str_col, path, max_dist))
 
+    def blocklist_matches(self, df, id_col, text_col, phrases):
+        """(doc_id, matched) for docs containing any blocklisted phrase —
+        one Aho-Corasick pass per doc however long the list."""
+        return self._df(self._japi.blocklistMatches(
+            df._jdf, id_col, text_col, _jlist(self._spark, phrases)))
+
+    def filter_blocked_phrases(self, df, text_col, phrases):
+        """Rows whose text contains NO blocklisted phrase."""
+        return self._df(self._japi.filterBlockedPhrases(
+            df._jdf, text_col, _jlist(self._spark, phrases)))
+
     def winnow_fingerprints(self, df, id_col, text_col, k=12, w=8):
         """MOSS winnowing selections: (doc_id, pos, hash) per document."""
         return self._df(self._japi.winnowFingerprints(

@@ -150,6 +150,12 @@ def main():
     assert p.dedup_against_winnow_index(
         wdocs.filter("doc_id = 1"), "doc_id", "text", widx,
         min_shared=2).count() == 0
+    # blocklist gate: one AC pass flags the phrase carrier, gate drops it
+    bl = p.blocklist_matches(wdocs, "doc_id", "text", ["lazy dog", "zzz"])
+    blr = {r.doc_id: list(r.matched) for r in bl.collect()}
+    assert blr == {0: ["lazy dog"], 1: ["lazy dog"]}, blr
+    assert p.filter_blocked_phrases(
+        wdocs, "text", ["lazy dog"]).count() == 1
     # streaming entity resolution: indexed variants catch the typo batch
     eidx = f"{work}/editdist_index"
     p.build_edit_distance_index(names.filter("id = 1"), "id", "name", eidx)

@@ -103,6 +103,18 @@ object PythonApi {
     graft.dedup.Dedup.dedupAgainstEditDistanceIndex(spark, df, col(idCol),
       col(strCol), dir, maxDist)
 
+  def blocklistMatches(
+      df: DataFrame, idCol: String, textCol: String,
+      phrases: java.util.List[String]): DataFrame =
+    graft.text.TextFunctions.blocklistMatches(df, col(idCol), col(textCol),
+      scala.jdk.CollectionConverters.ListHasAsScala(phrases).asScala.toSeq)
+
+  def filterBlockedPhrases(
+      df: DataFrame, textCol: String,
+      phrases: java.util.List[String]): DataFrame =
+    graft.text.TextFunctions.filterBlockedPhrases(df, col(textCol),
+      scala.jdk.CollectionConverters.ListHasAsScala(phrases).asScala.toSeq)
+
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
     graft.text.TextFunctions.winnowFingerprints(df, col(idCol), col(textCol), k, w)

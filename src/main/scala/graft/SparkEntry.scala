@@ -1304,6 +1304,20 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Phrase-blocklist audit (safety filtering): which banned phrases
+    // each document contains, via ONE Aho-Corasick pass per doc over the
+    // plan-literal phrase set — O(len + matches) however long the list,
+    // where per-phrase contains() rescans the corpus N times. Substring
+    // semantics == contains, so the oracle is a list_filter replay.
+    "q_text_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.TextFunctions.blocklistMatches(
+          tbl(s, dir, "documents"), $"doc_id", $"text",
+          Seq("fast table", "scan slow", "batch window spark",
+            "customer query", "value sort column"))
+        .orderBy($"doc_id")
+    }),
+
     // MOSS winnowing matches (Schleimer et al. 2003): document pairs
     // sharing >= 5 selected k-gram fingerprints after a max-df boilerplate
     // cull — the POSITIONAL substring-match signal (guaranteed for shared
@@ -4615,6 +4629,14 @@ object SparkEntry {
         |  FROM t)
         |SELECT dup_key, count(*) AS group_size, min(doc_id) AS keeper_id
         |FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+    "q_text_blocklist" ->
+      """WITH m AS (SELECT doc_id,
+        |  list_filter(['fast table', 'scan slow', 'batch window spark',
+        |    'customer query', 'value sort column'],
+        |    p -> contains(text, p)) AS matched
+        |  FROM documents)
+        |SELECT doc_id, matched FROM m WHERE len(matched) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_text_winnow_incremental" ->
       """WITH t AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm

@@ -241,6 +241,92 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
 }
 
+/** All blocklist phrases occurring as SUBSTRINGS of the text, in
+  * phrase-list order — ONE Aho–Corasick pass (O(len + matches)) over a
+  * plan-literal phrase set instead of N `contains` scans (O(N·len)):
+  * the multi-phrase safety / blocklist gate at corpus scale, where the
+  * banned-phrase list is thousands long and the text is the whole
+  * corpus. Matching is raw case-sensitive substring semantics, exactly
+  * `contains` — pre-lowercase input AND phrases for case-folded gates;
+  * duplicate phrases collapse to their first occurrence. */
+case class MatchedPhrases(child: Expression, phrases: Seq[String])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(phrases.nonEmpty, "at least one phrase required")
+  require(phrases.forall(_.nonEmpty), "phrases must be non-empty")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val distinctPhrases: Array[String] =
+    phrases.distinct.toArray
+
+  // goto trie + BFS fail links + per-node matched phrase ids (outputs of
+  // the fail chain merged in, so one state lookup yields every match)
+  @transient private lazy val automaton: (Array[scala.collection.mutable.HashMap[Char, Int]], Array[Int], Array[List[Int]]) = {
+    val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Char, Int])
+    val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    distinctPhrases.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        s = children(s).getOrElseUpdate(c, {
+          children += scala.collection.mutable.HashMap.empty[Char, Int]
+          outs += List.empty[Int]
+          children.length - 1
+        })
+      }
+      outs(s) = pi :: outs(s)
+    }
+    val fail = new Array[Int](children.length)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    children(0).valuesIterator.foreach { c => fail(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      children(s).foreach { case (ch, t) =>
+        var f = fail(s)
+        while (f != 0 && !children(f).contains(ch)) f = fail(f)
+        // f follows fail links from fail(s), always shallower than s, so
+        // children(f)(ch) can never be t itself
+        fail(t) = if (children(f).contains(ch)) children(f)(ch) else 0
+        outs(t) = outs(t) ++ outs(fail(t))
+        queue += t
+      }
+    }
+    (children.toArray, fail, outs.toArray)
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val (children, fail, outs) = automaton
+    val text = input.toString
+    val matched = new java.util.BitSet(distinctPhrases.length)
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      while (s != 0 && !children(s).contains(c)) s = fail(s)
+      s = children(s).getOrElse(c, 0)
+      var o = outs(s)
+      while (o.nonEmpty) { matched.set(o.head); o = o.tail }
+      i += 1
+    }
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pi = 0
+    while (pi < distinctPhrases.length) {
+      if (matched.get(pi)) hits += UTF8String.fromString(distinctPhrases(pi))
+      pi += 1
+    }
+    new GenericArrayData(hits.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): MatchedPhrases = copy(child = c)
+}
+
 /** Count of array elements contained in a fixed string set (codegen-free
   * replacement for `size(filter(tokens, t => array_contains(lits, t)))`,
   * whose lambda evaluates interpreted per token). */
@@ -1063,6 +1149,9 @@ object exprs {
   /** MOSS winnowing: distinct (pos, md5-lower-64) fingerprint selections. */
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     SparkInternals.wrap(WinnowFingerprints(SparkInternals.unwrap(text), k, w))
+  /** Aho–Corasick: blocklist phrases contained in the text, list order. */
+  def matched_phrases(text: Column, phrases: Seq[String]): Column =
+    SparkInternals.wrap(MatchedPhrases(SparkInternals.unwrap(text), phrases))
   def word_shingles(tokens: Column, k: Int): Column =
     SparkInternals.wrap(WordShingles(SparkInternals.unwrap(tokens), k))
   def word_windows(tokens: Column, k: Int, stride: Int): Column =

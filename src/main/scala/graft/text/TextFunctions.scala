@@ -538,6 +538,28 @@ object TextFunctions {
       .filter(col("shared") >= minShared)
   }
 
+  /** Phrase-blocklist audit table: one row per document with at least one
+    * blocklisted phrase, carrying WHICH phrases matched (phrase-list
+    * order) — the safety-filter audit trail. One Aho–Corasick pass per
+    * document over the plan-literal phrase set
+    * ([[graft.functions.MatchedPhrases]]), map-side, O(len + matches)
+    * however long the blocklist; substring semantics == `contains`
+    * (pre-lowercase text and phrases for case-folded gates).
+    *
+    * @return (doc_id, matched) */
+  def blocklistMatches(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.exprs.matched_phrases(text, phrases).as("matched"))
+      .filter(size(col("matched")) > 0)
+
+  /** The gate itself: rows whose text contains NO blocklisted phrase. */
+  def filterBlockedPhrases(
+      df: org.apache.spark.sql.DataFrame, text: Column,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(size(graft.functions.exprs.matched_phrases(text, phrases)) === 0)
+
   // ---- materialized winnow index (ingest-time substring-match check) --
 
   /** Materialize the winnow fingerprint table — the exact-substring-match

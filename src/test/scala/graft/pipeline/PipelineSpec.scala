@@ -144,6 +144,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("cartesian"), plan)
   }
 
+  test("aho-corasick matched_phrases: classic fixtures + differential") {
+    def m(text: String, ph: Seq[String]): Seq[String] =
+      Seq(text).toDF("t")
+        .select(graft.functions.exprs.matched_phrases($"t", ph).as("m"))
+        .as[Seq[String]].head()
+    // the textbook she/he/his/hers automaton: fail links cross patterns
+    val ph = Seq("he", "she", "his", "hers")
+    assert(m("ushers", ph) == Seq("he", "she", "hers"))
+    assert(m("his hers", ph) == Seq("he", "his", "hers"))
+    assert(m("nothing", ph).isEmpty)
+    // overlaps, phrase-inside-phrase, duplicates collapse, order is
+    // phrase-list order regardless of match position
+    assert(m("ababa", Seq("aba", "ba", "ab", "aba")) == Seq("aba", "ba", "ab"))
+    assert(m("zzabcz", Seq("abc", "ab", "b")) == Seq("abc", "ab", "b"))
+    // differential vs the N-contains formulation on real corpus docs
+    val ph2 = Seq("fast table", "scan slow", "value sort column",
+      "a a the", "query line")
+    val diff = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        graft.functions.exprs.matched_phrases($"text", ph2).as("a"),
+        filter(
+          typedLit(ph2),
+          p => $"text".contains(p)).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("exact dedup keeps one representative per key") {
     val out = Dedup.dedupExact(docs, TextFunctions.fingerprint($"text"), $"id")
     assert(out.count() == 4) // 1 and 5 are identical
