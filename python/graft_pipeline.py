@@ -119,6 +119,13 @@ class Pipeline:
         return self._df(self._japi.dedupAgainstEditDistanceIndex(
             self._jspark, df._jdf, id_col, str_col, path, max_dist))
 
+    def leakage_matrix(self, df, id_col, text_col, source_col,
+                       k=12, w=8, min_shared=5, max_df=2**62):
+        """Cross-source verbatim-overlap matrix over the winnow match
+        join: (source_a, source_b, n_pairs, shared_total)."""
+        return self._df(self._japi.leakageMatrix(
+            df._jdf, id_col, text_col, source_col, k, w, min_shared, max_df))
+
     def blocklist_matches(self, df, id_col, text_col, phrases):
         """(doc_id, matched) for docs containing any blocklisted phrase —
         one Aho-Corasick pass per doc however long the list."""

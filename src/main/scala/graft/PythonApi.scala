@@ -103,6 +103,12 @@ object PythonApi {
     graft.dedup.Dedup.dedupAgainstEditDistanceIndex(spark, df, col(idCol),
       col(strCol), dir, maxDist)
 
+  def leakageMatrix(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      k: Int, w: Int, minShared: Long, maxDf: Long): DataFrame =
+    graft.ops.Report.leakageMatrix(df, col(idCol), col(textCol),
+      col(sourceCol), k, w, minShared, maxDf)
+
   def blocklistMatches(
       df: DataFrame, idCol: String, textCol: String,
       phrases: java.util.List[String]): DataFrame =

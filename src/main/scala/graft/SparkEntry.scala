@@ -1304,6 +1304,19 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Cross-source LEAKAGE matrix (data governance): per unordered source
+    // pair, document pairs sharing verbatim content through the winnow
+    // match join — the "does src A copy from src B" release review.
+    // Oracle: the full winnow replay + source joins + least/greatest
+    // grouping.
+    "q_report_leakage" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Report.leakageMatrix(
+          tbl(s, dir, "documents"), $"doc_id", $"text", $"source",
+          k = 12, w = 8, minShared = 5L, maxDf = 40L)
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // Phrase-blocklist audit (safety filtering): which banned phrases
     // each document contains, via ONE Aho-Corasick pass per doc over the
     // plan-literal phrase set — O(len + matches) however long the list,
@@ -4629,6 +4642,30 @@ object SparkEntry {
         |  FROM t)
         |SELECT dup_key, count(*) AS group_size, min(doc_id) AS keeper_id
         |FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+    "q_report_leakage" ->
+      """WITH t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(0, greatest(length(norm) - 11, 0)),
+        |    p -> md5_number_lower(substr(norm, p::INT + 1, 12))) AS hs FROM t),
+        |sel AS (SELECT doc_id, hs, unnest(list_transform(
+        |    range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - 7, 1) END),
+        |    j -> j::INT + least(8, len(hs) - j::INT)
+        |       - list_position(list_reverse(hs[j+1 : j+8]), list_min(hs[j+1 : j+8])))) AS pos
+        |  FROM h),
+        |fp AS (SELECT DISTINCT doc_id, hs[pos+1] AS hash FROM sel),
+        |ok AS (SELECT hash FROM fp GROUP BY hash HAVING count(*) <= 40),
+        |fc AS (SELECT fp.doc_id, fp.hash FROM fp JOIN ok USING (hash)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM fc a JOIN fc b ON a.hash = b.hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ps AS (SELECT least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b, p.shared
+        |  FROM p JOIN documents sa ON p.id_a = sa.doc_id
+        |         JOIN documents sb ON p.id_b = sb.doc_id)
+        |SELECT source_a, source_b, count(*) AS n_pairs,
+        |  sum(shared)::BIGINT AS shared_total
+        |FROM ps GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "q_text_blocklist" ->
       """WITH m AS (SELECT doc_id,
         |  list_filter(['fast table', 'scan slow', 'batch window spark',

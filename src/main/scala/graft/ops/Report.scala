@@ -141,4 +141,36 @@ object Report {
           col("n_docs").cast("double"), 4).as("avg_quality"),
         col("v_zero"), col("t_scaled"), col("est"))
   }
+
+  /** Cross-source LEAKAGE matrix — the data-governance view of the
+    * winnowing match join: for every unordered source pair, how many
+    * document pairs share verbatim content (>= minShared winnow
+    * fingerprints) and how strong the overlap is in total. The diagonal
+    * (source_a == source_b) is within-source duplication; off-diagonal
+    * cells are cross-source contamination — exactly what a release
+    * review asks before mixing corpora ("does src A copy from src B?").
+    *
+    * Scale: rides entirely on [[TextFunctions.winnowPairs]]' bucketed
+    * plan (map-side selection, hash equi-join, max-df cull); the source
+    * attachment is two ids-only joins and the matrix aggregate is
+    * O(sources²) rows at most.
+    *
+    * @return (source_a, source_b, n_pairs, shared_total) with
+    *         source_a <= source_b. */
+  def leakageMatrix(
+      df: DataFrame, id: Column, text: Column, source: Column,
+      k: Int = 12, w: Int = 8, minShared: Long = 5L,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = TextFunctions.winnowPairs(df, id, text, k, w, minShared, maxDf)
+    val src = df.select(id.as("__id"), source.as("__src"))
+    pairs
+      .join(src.select(col("__id").as("id_a"), col("__src").as("__sa")), Seq("id_a"))
+      .join(src.select(col("__id").as("id_b"), col("__src").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("shared"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("shared")).as("shared_total"))
+  }
 }

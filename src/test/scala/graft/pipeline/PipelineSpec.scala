@@ -171,6 +171,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("leakage matrix: diagonal = within-source, cells undirected") {
+    val run = "the missile knows where it is at all times because it " +
+      "knows where it is not at all"
+    val corpus = Seq(
+      (1L, "A", s"alpha $run tail one"),
+      (2L, "B", s"beta $run tail two"),   // A↔B cross-source pair
+      (3L, "B", s"gamma $run tail three"), // B↔B within + pairs with 1,2
+      (4L, "C", "entirely different text with nothing shared at all here")
+    ).toDF("id", "src", "text")
+    val m = graft.ops.Report.leakageMatrix(corpus, $"id", $"text", $"src",
+        minShared = 1L)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, b, n, s) => (a, b) -> (n, s) }.toMap
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B — source_a <= source_b
+    assert(m(("A", "B"))._1 == 2L)
+    assert(m(("B", "B"))._1 == 1L)
+    assert(!m.keySet.exists { case (a, b) => a == "C" || b == "C" })
+    assert(m.values.forall(_._2 > 0))
+  }
+
   test("exact dedup keeps one representative per key") {
     val out = Dedup.dedupExact(docs, TextFunctions.fingerprint($"text"), $"id")
     assert(out.count() == 4) // 1 and 5 are identical
