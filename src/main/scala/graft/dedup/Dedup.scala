@@ -798,9 +798,12 @@ object Dedup {
           .crossJoin(base.select(col("__id").as("id_b"), col("__s").as("__sb")))
           .filter(col("id_a") < col("id_b"))
       } else {
+        // both join sides read the exploded variants — compute once
+        // (localCheckpoint, same shape as the minhash/shingle reuse)
         val v = base.select(col("__id"), col("__s"),
           explode(graft.functions.exprs.deletion_neighborhood(col("__s"), maxDist))
             .as("__v"))
+          .localCheckpoint(eager = false)
         v.select(col("__v"), col("__id").as("id_a"), col("__s").as("__sa"))
           .join(v.select(col("__v"), col("__id").as("id_b"), col("__s").as("__sb")),
             Seq("__v"))

@@ -29,7 +29,10 @@ object JoinPrune {
     * @param fact    indexed scan (`spark.index.parquet(...)`) — plain
     *                DataFrames also work, degrading to a row-level
     *                pushed filter without the file cut
-    * @param dim     build side; read per call (values at execution time)
+    * @param dim     build side; evaluated TWICE (key probe + the join
+    *                itself), so it must be deterministic — a sampled or
+    *                otherwise nondeterministic dim could yield probe keys
+    *                that miss join-time rows and silently drop matches
     * @param factKey fact join column (the indexed one)
     * @param dimKey  dim join column
     * @param maxKeys driver cap on collected distinct keys; above it the
