@@ -207,6 +207,75 @@ class KernelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("symmetric-delete EXACT RECALL: edited pairs always share a variant") {
+    // the soundness claim editDistancePairs rests on: apply <= d random
+    // edits (insert/delete/substitute) to a random string; the pair must
+    // share a <= d-deletion variant, whatever the edit mix
+    val rng = new scala.util.Random(20260814)
+    val alpha = "abcde" // small alphabet → frequent repeats/collisions
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rng.nextInt(5))).mkString
+    def edit(s: String): String = {
+      val kind = rng.nextInt(3)
+      if (kind == 0 && s.nonEmpty) { // delete
+        val i = rng.nextInt(s.length); s.substring(0, i) + s.substring(i + 1)
+      } else if (kind == 1) { // insert
+        val i = rng.nextInt(s.length + 1)
+        s.substring(0, i) + alpha(rng.nextInt(5)) + s.substring(i)
+      } else if (s.nonEmpty) { // substitute
+        val i = rng.nextInt(s.length)
+        s.substring(0, i) + alpha(rng.nextInt(5)) + s.substring(i + 1)
+      } else s
+    }
+    val d = 2
+    val cases = (1 to 300).map { _ =>
+      val a = randStr(2 + rng.nextInt(12))
+      var b = a
+      (1 to rng.nextInt(d + 1)).foreach(_ => b = edit(b))
+      (a, b)
+    }
+    val rows = cases.toDF("a", "b").select(
+        graft.functions.exprs.deletion_neighborhood($"a", d).as("na"),
+        graft.functions.exprs.deletion_neighborhood($"b", d).as("nb"),
+        $"a", $"b")
+      .select($"a", $"b", size(array_intersect($"na", $"nb")).as("n"))
+      .as[(String, String, Int)].collect()
+    rows.foreach { case (a, b, n) =>
+      assert(n > 0, s"pair within $d edits shares no variant: <$a> <$b>")
+    }
+  }
+
+  test("winnowing guarantee: shared run >= k+w-1 chars => shared fingerprint") {
+    val rng = new scala.util.Random(42)
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def salad(n: Int) = (1 to n).map(_ => words(rng.nextInt(words.length))).mkString(" ")
+    val k = 8; val w = 4 // guarantee threshold: 11 normalized chars
+    val cases = (1 to 150).map { _ =>
+      val shared = salad(4 + rng.nextInt(6)) // >= 11 chars normalized
+      (s"${salad(rng.nextInt(8))} $shared ${salad(rng.nextInt(8))}".trim,
+        s"${salad(rng.nextInt(8))} $shared ${salad(rng.nextInt(8))}".trim)
+    }
+    val viol = cases.toDF("a", "b").select(
+        size(array_intersect(
+          transform(graft.functions.exprs.winnow_fingerprints($"a", k, w),
+            f => f.getField("hash")),
+          transform(graft.functions.exprs.winnow_fingerprints($"b", k, w),
+            f => f.getField("hash")))).as("n"))
+      .filter($"n" === 0).count()
+    assert(viol == 0, s"$viol pairs with a shared >=${k + w - 1}-char run share no fingerprint")
+  }
+
+  test("aho-corasick equals per-phrase contains on random small-alphabet input") {
+    val rng = new scala.util.Random(7)
+    def s(n: Int) = (1 to n).map(_ => "ab" (rng.nextInt(2))).mkString
+    val phrases = (1 to 12).map(_ => s(1 + rng.nextInt(4))).distinct
+    val texts = (1 to 400).map(_ => s(rng.nextInt(24)))
+    val diff = texts.toDF("t").select(
+        graft.functions.exprs.matched_phrases($"t", phrases).as("a"),
+        filter(typedLit(phrases), p => $"t".contains(p)).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("mixCorpus with one full-weight source keeps every row in epoch 0") {
     val df = (1L to 500L).map(i => (i, "only")).toDF("id", "src")
     val mix = graft.ops.Sampling.mixCorpus(
