@@ -3121,6 +3121,20 @@ object SparkEntry {
     // the survivors grow the index for later batches. Oracle: unrolled
     // batch-by-batch replay on exact Jaccard — the same est==exact
     // pair-set equivalence q_dedup_minhash rests on.
+    // Streaming winnow-gated ingest (nearDedupIngest's exact-substring
+    // twin): per batch, dedup against the materialized winnow index of
+    // everything kept so far, in-batch keep-smallest, kept fingerprints
+    // land as committed segments. Oracle: sequential replay of the batch
+    // fold over the bit-exact winnow pair set.
+    "q_stream_winnow" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratchTableDir(dir, "stream_winnow")
+      graft.streaming.Streaming.winnowIngest(s, dir, work, nBatches = 4,
+          k = 12, w = 8, minShared = 5L)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     "q_stream_neardedup" -> ((s, dir) => {
       import s.implicits._
       val work = scratchTableDir(dir, "stream_neardedup")
@@ -6548,6 +6562,41 @@ object SparkEntry {
     // the streamed codes table serves the same IVFADC probe: one oracle
     "q_stream_vectoringest" -> ivfPqSql(cells = 16, nprobe = 4, dim = 64,
       m = 8, k = 16, subDim = 8, topK = 10),
+    "q_stream_winnow" -> {
+      val prelude =
+        """WITH t AS (SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+          |  FROM documents),
+          |h AS (SELECT doc_id, list_transform(range(0, greatest(length(norm) - 11, 0)),
+          |    p -> md5_number_lower(substr(norm, p::INT + 1, 12))) AS hs FROM t),
+          |sel AS (SELECT doc_id, hs, unnest(list_transform(
+          |    range(0, CASE WHEN len(hs) = 0 THEN 0 ELSE greatest(len(hs) - 7, 1) END),
+          |    j -> j::INT + least(8, len(hs) - j::INT)
+          |       - list_position(list_reverse(hs[j+1 : j+8]), list_min(hs[j+1 : j+8])))) AS pos
+          |  FROM h),
+          |fp AS (SELECT DISTINCT doc_id, hs[pos+1] AS hash FROM sel),
+          |j AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM fp a JOIN fp b
+          |  ON a.hash = b.hash AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 5),
+          |d AS (SELECT doc_id,
+          |  doc_id // (SELECT max(doc_id) // 4 + 1 FROM documents) AS b
+          |  FROM documents),
+          |s0 AS (SELECT doc_id FROM d WHERE b = 0),
+          |k0 AS (SELECT doc_id FROM s0 WHERE doc_id NOT IN
+          |  (SELECT idb FROM j WHERE ida IN (SELECT doc_id FROM s0)))""".stripMargin
+      val batches = (1 until 4).map { i =>
+        val prevKept = (0 until i).map(jj => s"SELECT doc_id FROM k$jj")
+          .mkString(" UNION ALL ")
+        s"""s$i AS (SELECT doc_id FROM d WHERE b = $i AND doc_id NOT IN
+           |  (SELECT idb FROM j WHERE ida IN ($prevKept))),
+           |k$i AS (SELECT doc_id FROM s$i WHERE doc_id NOT IN
+           |  (SELECT idb FROM j WHERE ida IN (SELECT doc_id FROM s$i)))""".stripMargin
+      }
+      val union = (0 until 4).map(i => s"SELECT doc_id FROM k$i")
+        .mkString(" UNION ALL ")
+      (Seq(prelude) ++ batches).mkString(",\n") +
+        s"\nSELECT doc_id FROM ($union) ORDER BY doc_id"
+    },
     "q_stream_neardedup" -> {
       val prelude =
         """WITH t AS (SELECT doc_id,

@@ -440,6 +440,71 @@ object Streaming {
     spark.read.schema(docs.schema).parquet(outDir)
   }
 
+  /** STREAMING VERBATIM-OVERLAP-GATED INGEST — [[nearDedupIngest]]'s
+    * winnowing twin, for the EXACT-substring duplication MinHash can't
+    * see (a long copied passage inside an otherwise fresh doc): each
+    * arriving batch is (1) checked against the MATERIALIZED winnow index
+    * of everything kept so far
+    * ([[graft.text.TextFunctions.dedupAgainstWinnowIndex]] — corpus text
+    * never re-read), (2) deduped within itself (keep-smallest id per
+    * match pair), then kept docs append to the output table AND their
+    * fingerprints land as a committed index SEGMENT (redelivery
+    * overwrites its own segment — exactly-once). Per batch the work is
+    * batch-sized map-side selection + one hash equi-join against stored
+    * fingerprints.
+    *
+    * @return the kept documents (read back from the output table) */
+  def winnowIngest(
+      parent: SparkSession, dir: String, workDir: String,
+      nBatches: Int = 4,
+      k: Int = 12, w: Int = 8, minShared: Long = 5L,
+      statePartitions: Int = 8): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1: $nBatches")
+    val spark = streamingSession(parent, statePartitions)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val staged = stageRangedSlices(spark, docs, workDir, nBatches) match {
+      case None => return docs.limit(0)
+      case Some(s) => s
+    }
+    val outDir = s"$workDir/kept"
+    val idxDir = s"$workDir/winnow_index"
+    // foreachBatch runs sequentially on the driver: plain var is safe
+    var indexNonEmpty = false
+    val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val vsIndex =
+          if (indexNonEmpty)
+            graft.text.TextFunctions.dedupAgainstWinnowIndex(spark, batch,
+              col("doc_id"), col("text"), idxDir, k, w, minShared)
+          else batch
+        val kept = graft.text.TextFunctions.dedupWinnow(vsIndex,
+            col("doc_id"), col("text"), k, w, minShared)
+          .localCheckpoint() // one computation feeds the table AND the index
+        kept.write.mode("append").parquet(outDir)
+        // all-duplicates batches append nothing: skip the index write so
+        // the index never holds schema-less empty segments
+        if (kept.take(1).nonEmpty) {
+          graft.text.TextFunctions.appendWinnowSegment(kept,
+            col("doc_id"), col("text"), idxDir, s"b$batchId", k, w)
+          indexNonEmpty = true
+        }
+      }
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .foreachBatch(ingest)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // explicit schema: a degenerate run whose batches all deduped to
+    // nothing leaves only _SUCCESS markers to read
+    spark.read.schema(docs.schema).parquet(outDir)
+  }
+
   /** STREAMING JSON-LINES FILE INGEST — the crawl front door, streamed:
     * raw `.jsonl` shards arrive as files (one micro-batch per file),
     * each batch routes through the one-pass PERMISSIVE parse

@@ -560,6 +560,18 @@ object TextFunctions {
       phrases: Seq[String]): org.apache.spark.sql.DataFrame =
     df.filter(size(graft.functions.exprs.matched_phrases(text, phrases)) === 0)
 
+  /** In-batch winnow dedup: drop the LARGER id of every
+    * [[winnowPairs]] match (keep-smallest, the [[graft.dedup.Dedup]]
+    * convention), leaving one representative per overlap cluster edge. */
+  def dedupWinnow(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 12, w: Int = 8, minShared: Long = 2L,
+      maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    val dupIds = winnowPairs(df, id, text, k, w, minShared, maxDf)
+      .select(col("id_b").as("__dup_id")).distinct()
+    df.join(dupIds, id === col("__dup_id"), "left_anti")
+  }
+
   // ---- materialized winnow index (ingest-time substring-match check) --
 
   /** Materialize the winnow fingerprint table — the exact-substring-match

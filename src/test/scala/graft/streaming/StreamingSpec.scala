@@ -299,6 +299,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.contains(0L) && streamed.contains(1L) && streamed.contains(3L))
   }
 
+  test("streaming winnow ingest equals sequential batch replay") {
+    val run = "the missile knows where it is at all times because it " +
+      "knows where it is not and by subtracting where it is"
+    val fixture = java.nio.file.Files.createTempDirectory("graft-wining").toString
+    val docs = Seq(
+      0L -> s"first carrier $run first tail",
+      1L -> "fresh words with no overlap at all in this one",
+      2L -> s"second carrier $run second tail", // ≈0 (same batch) → drop
+      3L -> "another standalone document with its own content",
+      4L -> s"third carrier later on $run third tail", // ≈0 (vs index)
+      5L -> "yet more singular prose in the second bucket",
+      6L -> "closing text matching nothing else anywhere",
+      7L -> s"fourth carrier $run fourth tail" // ≈0 (vs index)
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val streamed = Streaming.winnowIngest(spark, fixture, s"$fixture/work",
+        nBatches = 3, k = 12, w = 8, minShared = 3L)
+      .select($"doc_id").as[Long].collect().sorted
+    // reference: the same keep rule replayed sequentially from the
+    // one-shot pair set (index probe and winnowPairs share the kernel)
+    val pairs = graft.text.TextFunctions.winnowPairs(docs, $"doc_id",
+        $"text", k = 12, w = 8, minShared = 3L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sim = (a: Long, b: Long) => pairs((a min b, a max b))
+    val slice = 7L / 3 + 1
+    var kept = Vector[Long]()
+    (0L until 3L).foreach { b =>
+      val batch = (0L to 7L).filter(_ / slice == b)
+      val s = batch.filterNot(dd => kept.exists(c => sim(c, dd)))
+      val k = s.filterNot(dd => s.exists(c => c < dd && sim(c, dd)))
+      kept ++= k
+    }
+    assert(streamed.toSeq == kept.sorted)
+    assert(!streamed.contains(2L), "within-batch overlap must drop")
+    assert(!streamed.contains(4L) && !streamed.contains(7L),
+      "cross-batch overlaps must drop against the index")
+    assert(streamed.contains(0L) && streamed.contains(1L))
+  }
+
   test("streaming upsert ingest equals the one-shot merge") {
     val fixture = java.nio.file.Files.createTempDirectory("graft-upsing").toString
     val docs = (0L until 30L).map(i => (i, s"s${i % 3}", i * 7))
