@@ -227,26 +227,30 @@ object Bench {
         // execute THIS QueryExecution (count() would plan a fresh one
         // and leave the inspected scan's metrics at zero)
         joined.queryExecution.toRdd.count()
-        def scans(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[FileSourceScanExec] = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            scans(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            scans(q.plan)
-          case s: FileSourceScanExec => Seq(s)
-          case other => other.children.flatMap(scans)
-        }
-        val factScan = scans(joined.queryExecution.executedPlan)
-          .find(_.relation.location
-            .isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
-        val total = factScan.map(_.relation.location
-          .asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex]
-          .lastTotalFiles).getOrElse(-1L)
-        (factScan.map(_.metrics("numFiles").value).getOrElse(-1L), total)
+        graftScanFiles(joined)
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE in dpp_probe: $e")
           extraFailed += "dpp_probe"
+          (-1L, -1L)
+      }
+
+    // -- semi-join FILE pruning on a NON-partition join key: lineitems
+    // of one customer's orders — the dim's orderkeys become an IN-list
+    // the per-file sketches prune with (JoinPrune.semiJoinPruned).
+    val (jpFilesRead, jpFilesTotal) =
+      try {
+        val fact = SparkEntry.indexedLineitem(spark, sfDir)
+        val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter($"o_custkey" === 1L).select($"o_orderkey")
+        val joined = graft.index.JoinPrune.semiJoinPruned(
+          fact, dim, $"l_orderkey", $"o_orderkey")
+        joined.queryExecution.toRdd.count()
+        graftScanFiles(joined)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in joinprune_probe: $e")
+          extraFailed += "joinprune_probe"
           (-1L, -1L)
       }
 
@@ -270,7 +274,31 @@ object Bench {
       s""""topk_hot_heap_sec":$topkHeapSec,""" +
       s""""topk_hot_window_sec":$topkWindowSec,""" +
       s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +
+      s""""joinprune_files_read":$jpFilesRead,""" +
+      s""""joinprune_files_total":$jpFilesTotal,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** (files read, total files) of the EXECUTED plan's GraftFileIndex
+    * scan — walk AQE wrappers; metrics populate only for the executed
+    * QueryExecution (use `toRdd.count()`, not a fresh `count()`). */
+  private def graftScanFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(df.queryExecution.executedPlan)
+      .find(_.relation.location
+        .isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+    val total = factScan.map(_.relation.location
+      .asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex]
+      .lastTotalFiles).getOrElse(-1L)
+    (factScan.map(_.metrics("numFiles").value).getOrElse(-1L), total)
   }
 }
