@@ -175,6 +175,32 @@ object Bench {
           -1.0
       }
 
+    // -- metadata-only aggregate at 50k files: count/min/max answered
+    // from the index files table (one metadata-sized Spark job, zero
+    // data files opened — MetadataAggregateRule) vs the same aggregate
+    // scanning all ~50k parquet files. A fresh indexed DataFrame per
+    // repetition so the per-FileIndex memo can't turn later reps into
+    // cache hits.
+    val (metaAgg50kSec, scanAgg50kSec, metaAgg50kLocal) =
+      try {
+        def freshAgg() = SparkEntry.indexed50kFiles(spark, sfDir)
+          .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+        val isLocal = freshAgg().queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.isDefined
+        val tMeta = timeBest(freshAgg().count(), 3)
+        val dir50k = SparkEntry.scratchTableDir(sfDir, "files50k")
+        val tScan = timeBest(
+          spark.read.parquet(dir50k)
+            .agg(count(lit(1)), min($"k"), max($"k")).count(), 1)
+        (tMeta, tScan, isLocal)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in meta_agg_50k: $e")
+          extraFailed += "meta_agg_50k"
+          (-1.0, -1.0, false)
+      }
+
     // -- hot-group top-k: the heap aggregate vs the window formulation on
     // a deliberately skewed table (one group with 4M rows, 63 cold groups
     // of 10k). The window shape sorts the hot group in ONE task; the heap
@@ -271,6 +297,9 @@ object Bench {
       s""""prune_50k_orc_sec":$prune50kOrcTime,""" +
       s""""files_50k_orc_distributed":$distributed50kOrc,""" +
       s""""refresh_50k_sec":$refresh50kTime,""" +
+      s""""meta_agg_50k_sec":$metaAgg50kSec,""" +
+      s""""scan_agg_50k_sec":$scanAgg50kSec,""" +
+      s""""meta_agg_50k_local":$metaAgg50kLocal,""" +
       s""""topk_hot_heap_sec":$topkHeapSec,""" +
       s""""topk_hot_window_sec":$topkWindowSec,""" +
       s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +

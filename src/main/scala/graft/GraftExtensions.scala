@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.index.GraftSqlParser(delegate))
+    // metadata-only aggregates + (opt-in) transparent index substitution
+    // for pure-SQL sessions; API users get the same rules lazily on first
+    // `spark.index` touch (GraftRules.ensure — both paths idempotent)
+    ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.MetadataAggregateRule(s))
+    ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.AutoIndexSubstitutionRule(s))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((

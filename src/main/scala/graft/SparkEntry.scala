@@ -832,6 +832,22 @@ object SparkEntry {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // Runtime BLOOM join pruning (big-dim sibling of q_idx_join_prune):
+    // dim keys never collected — a min/max range cut prunes fact FILES
+    // through the index and a broadcast bloom gates rows map-side before
+    // the join shuffle. Bloom has no false negatives, so the result is
+    // the plain inner join bit-for-bit.
+    "q_idx_join_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val dim = tbl(s, dir, "orders")
+        .filter($"o_custkey" === 1L).select($"o_orderkey", $"o_orderpriority")
+      graft.index.JoinPrune.bloomJoinPruned(
+          indexedLineitem(s, dir), dim, $"l_orderkey", $"o_orderkey")
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
+          $"o_orderpriority", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Query through an index built by create-on-half + append + refresh:
     // both file generations must answer, with pruning (the point key is
     // odd, so it lives only in refresh-appended files).
@@ -907,6 +923,79 @@ object SparkEntry {
         .filter($"l_suppkey".between(10, 25) && $"l_orderkey".between(5000, 20000))
         .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
         .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Metadata-only aggregates (MetadataAggregateRule): unfiltered
+    // count/min/max over the indexed relation rewrite to a LocalRelation
+    // computed from the index files table — ZERO data files opened (the
+    // e2e suite asserts the plan; this row gates the VALUES). The date
+    // column rides the same canonical epoch-day stats as range pruning.
+    "q_idx_agg_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_orderkey").as("n_keys"),
+        min($"l_orderkey").as("min_key"),
+        max($"l_orderkey").as("max_key"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"))
+    }),
+
+    // Metadata-only DISTINCT: the exact dict sketches enumerate each
+    // file's value set, so SELECT DISTINCT is the union of sketches —
+    // no data scan (plan asserted in the e2e suite, values here).
+    "q_idx_distinct_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedPartDict(s, dir).select($"p_brand").distinct().orderBy($"p_brand")
+    }),
+
+    // Metadata-only count(distinct) + string min/max through the dict
+    // sketch union (plain string BOUNDS may be truncated and are never
+    // served as answers; the dict enumerates attained values).
+    "q_idx_agg_dict_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedPartDict(s, dir).agg(
+        countDistinct($"p_type").as("n_types"),
+        min($"p_type").as("min_type"),
+        max($"p_type").as("max_type"))
+    }),
+
+    // Metadata-only GROUP BY partition column: per-partition stat folds
+    // merged per group — the generalized spark.sql.optimizer.metadataOnly
+    // (counts and bounds, not just keys). Zero data files opened.
+    "q_idx_group_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrdersPart(s, dir)
+        .groupBy($"o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"o_custkey").as("min_cust"),
+          max($"o_custkey").as("max_cust"))
+        .orderBy($"o_year")
+    }),
+
+    // Metadata-only partition-filtered global aggregate: the WHERE prunes
+    // via partition values, the answer merges surviving partitions' folds.
+    "q_idx_filter_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrdersPart(s, dir)
+        .filter($"o_year" >= 1994 && $"o_year" <= 1996)
+        .agg(count(lit(1)).as("n_orders"),
+          min($"o_custkey").as("min_cust"),
+          max($"o_custkey").as("max_cust"),
+          min($"o_year").as("min_year"),
+          max($"o_year").as("max_year"))
+    }),
+
+    // Index-backed TOP-K pruning: the per-block stats prove a cutoff T
+    // with >= 100 non-null l_orderkey values above it, so `key >= T`
+    // prunes whole files before the sort runs (e2e asserts the file cut;
+    // this row gates the VALUES against the plain ORDER BY ... LIMIT).
+    "q_idx_topk" -> ((s, dir) => {
+      import s.implicits._
+      graft.index.TopK.topKPruned(indexedLineitem(s, dir), $"l_orderkey", 100)
+        .orderBy($"l_orderkey".desc, $"l_linenumber".desc)
+        .limit(100)
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
     }),
 
     // Salted equi-join (hot-key skew shape): deterministic row-hash salt
@@ -6506,6 +6595,31 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_idx_agg_meta" ->
+      """SELECT count(*) AS n_rows, count(l_orderkey) AS n_keys,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "q_idx_distinct_meta" ->
+      "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+    "q_idx_agg_dict_meta" ->
+      """SELECT count(DISTINCT p_type) AS n_types, min(p_type) AS min_type,
+        |  max(p_type) AS max_type
+        |FROM part""".stripMargin,
+    "q_idx_group_meta" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q_idx_filter_meta" ->
+      """SELECT count(*) AS n_orders, min(o_custkey) AS min_cust,
+        |  max(o_custkey) AS max_cust,
+        |  CAST(min(year(o_orderdate)) AS INT) AS min_year,
+        |  CAST(max(year(o_orderdate)) AS INT) AS max_year
+        |FROM orders WHERE year(o_orderdate) BETWEEN 1994 AND 1996""".stripMargin,
+    "q_idx_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100""".stripMargin,
     "q_idx_in_list" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem WHERE l_suppkey IN (1, 2, 3)
@@ -6514,6 +6628,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_extendedprice
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey <= 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_join_bloom" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, o_orderpriority,
+        |  l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_idx_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag

@@ -1137,6 +1137,55 @@ case class MatVec(child: Expression, mat: Seq[Seq[Double]])
 }
 
 /** Column-level wrappers. */
+/** Bloom-filter membership probe against a BROADCAST filter — the
+  * row-level half of runtime join pruning ([[graft.index.JoinPrune]]
+  * `bloomJoinPruned`). Spark's own `BloomFilterMightContain` carries the
+  * serialized filter as a plan literal; at a few MB per filter that
+  * bloats plan serialization per task, so this probe rides the broadcast
+  * torrent instead (the [[RemoveInSet]]-vs-broadcast-lexicon trade,
+  * applied to blooms). No false negatives, so filtering an inner-join
+  * probe side with it never changes the join result.
+  *
+  * Key encoding must match the build side exactly: integral types hash
+  * via `putLong`/`mightContainLong` widening, strings via UTF-8 bytes
+  * (`putBinary`/`mightContainBinary`). */
+case class InBloom(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"in_bloom supports integral and string keys, got $other")
+    }
+
+  def computeLong(v: Long): Boolean = bloom.value.mightContainLong(v)
+  def computeString(v: UTF8String): Boolean = bloom.value.mightContainBinary(v.getBytes)
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => computeString(s)
+    case b: Byte => computeLong(b.toLong)
+    case s: Short => computeLong(s.toLong)
+    case i: Int => computeLong(i.toLong)
+    case l: Long => computeLong(l)
+  }
+
+  override protected def kernelCall(ref: String, c: String): String =
+    child.dataType match {
+      case StringType => s"$ref.computeString($c)"
+      case _ => s"$ref.computeLong((long) $c)"
+    }
+
+  override protected def withNewChildInternal(c: Expression): InBloom = copy(child = c)
+}
+
 object exprs {
   def tokenize(text: Column): Column =
     SparkInternals.wrap(Tokenize(SparkInternals.unwrap(text)))

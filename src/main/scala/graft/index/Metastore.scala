@@ -42,6 +42,21 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * caching entirely. */
   def metastoreCacheTtlSeconds: Long =
     get(IndexConf.MetastoreCacheTtl, "43200").toLong
+  /** Answer eligible unfiltered aggregates (count/min/max/distinct) over
+    * indexed relations from index metadata alone — zero data files read
+    * (see MetadataAggregateRule). Sound by construction; on by default. */
+  def metadataOnlyAggregates: Boolean =
+    get(IndexConf.MetadataOnlyAggregates, "true").toBoolean
+  /** Re-point PLAIN parquet/orc reads at a committed index's FileIndex
+    * (see AutoIndexSubstitutionRule). Off by default: enabling accepts
+    * the index's appends-invisible staleness for plain reads too. */
+  def autoIndexSubstitution: Boolean =
+    get(IndexConf.AutoIndexSubstitution, "false").toBoolean
+  /** Largest distinct-value set the metadata-only DISTINCT/count-distinct
+    * path will materialize from dict/bitmap sketches before bailing to a
+    * scan (driver holds the union once; executors hold per-slice sets). */
+  def metadataDistinctMaxValues: Int =
+    get(IndexConf.MetadataDistinctMaxValues, "100000").toInt
 }
 
 object IndexConf {
@@ -54,6 +69,9 @@ object IndexConf {
   val DistributedPruningThreshold = "spark.sql.index.pruning.distributedThreshold"
   val MinMaxFallback = "spark.sql.index.minMaxFallback"
   val MetastoreCacheTtl = "spark.sql.index.metastore.cacheTtlSeconds"
+  val MetadataOnlyAggregates = "spark.sql.index.metadataOnlyAggregates"
+  val AutoIndexSubstitution = "spark.sql.index.autoSubstitution"
+  val MetadataDistinctMaxValues = "spark.sql.index.metadataDistinctMaxValues"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =

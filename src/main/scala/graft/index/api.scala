@@ -30,6 +30,12 @@ class QueryContext(spark: SparkSession) {
 
 class IndexManager(spark: SparkSession) {
 
+  // lazy rule registration on first `spark.index` touch, mirroring the
+  // reference's strategy registration (package.scala:28-31): sessions
+  // without GraftExtensions still get metadata-only aggregates and (if
+  // enabled) auto index substitution
+  org.apache.spark.sql.graft.GraftRules.ensure(spark)
+
   private var extraOptions: Map[String, String] = Map.empty
   private var sourceFormat: String = Sources.Parquet
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.{And => SAnd, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.index.{FileEntry, FileListRow, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
+import graft.index.{BlockStats, FileEntry, FileListRow, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
 
 /** The product: a Spark [[FileIndex]] that serves the file listing from the
   * persisted index metadata and prunes partitions AND files inside
@@ -35,9 +35,9 @@ import graft.index.{FileEntry, FileListRow, FileStatsRow, FilterFold, IndexConf,
   */
 class GraftFileIndex(
     spark: SparkSession,
-    indexDir: Path,
-    meta: IndexMetadata,
-    conf: IndexConf)
+    val indexDir: Path,
+    val meta: IndexMetadata,
+    val conf: IndexConf)
   extends FileIndex with Logging {
 
   def this(spark: SparkSession, indexDir: Path, meta: IndexMetadata) =
@@ -239,6 +239,265 @@ class GraftFileIndex(
       kept.map(_.toListRow)
     }.collect()
     survivors.toSeq.groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
+  }
+
+  // ---- metadata-only aggregates (MetadataAggregateRule) ----------------
+  // Memoized per FileIndex instance (= per query) so optimizer fixed-point
+  // iterations never recompute; same two-tier driver/Spark-job design as
+  // listFiles pruning.
+
+  private val metaAggCache =
+    new scala.collection.concurrent.TrieMap[Seq[String], MetaTableAgg]()
+  private val metaAggByPartCache =
+    new scala.collection.concurrent.TrieMap[Seq[String], Map[Int, MetaTableAgg]]()
+  private val metaDistinctCache =
+    new scala.collection.concurrent.TrieMap[String, Option[Seq[Any]]]()
+
+  /** Partition indices whose value rows satisfy every filter — the same
+    * interpreted-predicate pruning listFiles step 1 applies, exposed so
+    * [[MetadataAggregateRule]] consumes a partition-only Filter exactly. */
+  def matchingPartitions(filters: Seq[Expression]): Seq[Int] = {
+    if (filters.isEmpty || meta.partitionSchema.isEmpty) partitionValueRows.indices
+    else {
+      val pred = SparkInternals.compilePredicate(filters, meta.partitionSchema)
+      partitionValueRows.zipWithIndex.collect { case (row, i) if pred(row) => i }
+    }
+  }
+
+  /** Catalyst value of partition column `fieldIdx` for partition `idx`. */
+  def partitionValue(idx: Int, fieldIdx: Int): Any = {
+    val f = meta.partitionSchema.fields(fieldIdx)
+    partitionValueRows(idx).get(fieldIdx, f.dataType)
+  }
+
+  def partitionCount: Int = meta.partitionValues.size
+
+  /** [[metadataStats]] keyed by partitionIdx: the per-partition folds the
+    * filtered/grouped metadata-aggregate paths merge driver-side. Driver
+    * residency is O(partitions × cols) small structs — the same order as
+    * `meta.partitionValues` itself, which already lives on the driver.
+    * Partitions with no files are absent (callers treat missing as the
+    * zero fold). Distributed tier: one files-table job emitting per-task
+    * partial maps, merged pairwise — no shuffle, partials are
+    * metadata-sized. */
+  def metadataStatsByPartition(colsIn: Seq[String]): Map[Int, MetaTableAgg] = {
+    val cols = colsIn.sorted
+    metaAggByPartCache.getOrElseUpdate(cols, {
+      if (meta.fileCount < conf.distributedPruningThreshold) {
+        entriesByPartition.map { case (idx, fs) =>
+          idx -> fs.foldLeft(MetadataAggregates.zero(cols)) { (acc, f) =>
+            MetadataAggregates.foldFile(acc, f.blocks, cols)
+          }
+        }
+      } else {
+        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        val colsB = cols
+        def mergeMaps(a: Map[Int, MetaTableAgg], b: Map[Int, MetaTableAgg]) =
+          (a.keySet ++ b.keySet).iterator.map { k =>
+            k -> ((a.get(k), b.get(k)) match {
+              case (Some(x), Some(y)) => x merge y
+              case (x, y) => x.orElse(y).get
+            })
+          }.toMap
+        classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.HashMap.empty[Int, MetaTableAgg]
+            it.foreach { r =>
+              val acc = m.getOrElse(r.partitionIdx, MetadataAggregates.zero(colsB))
+              m(r.partitionIdx) = MetadataAggregates.foldFile(
+                acc, IndexMetadata.blocksFromJsonString(r.blocksJson), colsB)
+            }
+            Iterator.single(m.toMap)
+          }
+          .fold(Map.empty[Int, MetaTableAgg])(mergeMaps)
+      }
+    })
+  }
+
+  /** Fold row counts / null counts / bounds for `cols` (index-schema
+    * names) over every file of the index. */
+  def metadataStats(colsIn: Seq[String]): MetaTableAgg = {
+    val cols = colsIn.sorted
+    metaAggCache.getOrElseUpdate(cols, {
+      if (meta.fileCount < conf.distributedPruningThreshold) {
+        entriesByPartition.valuesIterator.flatten
+          .foldLeft(MetadataAggregates.zero(cols)) { (acc, f) =>
+            MetadataAggregates.foldFile(acc, f.blocks, cols)
+          }
+      } else {
+        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        val colsB = cols
+        classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
+          .mapPartitions { it =>
+            var acc = MetadataAggregates.zero(colsB)
+            it.foreach { r =>
+              acc = MetadataAggregates.foldFile(
+                acc, IndexMetadata.blocksFromJsonString(r.blocksJson), colsB)
+            }
+            Iterator.single(acc)
+          }
+          .fold(MetadataAggregates.zero(colsB))(_ merge _)
+      }
+    })
+  }
+
+  /** Exact distinct (non-null, canonical) values of an indexed column, if
+    * the index carries an EXACT membership sketch for it (dict/bitmap —
+    * bloom cannot enumerate) and the set stays within `cap`. The union is
+    * computed by a Spark job over the sketch table (executors
+    * deserialize their slice; only value sets cross to the driver). */
+  def metadataDistinct(colName: String, dt: org.apache.spark.sql.types.DataType,
+      cap: Int): Option[Seq[Any]] = {
+    metaDistinctCache.getOrElseUpdate(colName, {
+      val sketchPath = new Path(indexDir, graft.index.Metastore.SketchDir)
+      val exact = meta.sketchKind.exists(k =>
+        graft.index.Sketch.resolveKind(k, dt) != graft.index.Sketch.Bloom)
+      if (!exact) None
+      else if (!sketchPath.getFileSystem(hadoopConf).exists(sketchPath)) {
+        // sketch table absent (e.g. zero-file table): no values at all
+        if (meta.fileCount == 0) Some(Nil) else None
+      } else {
+        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        val partials = classic.read.parquet(sketchPath.toString)
+          .where($"column" === colName)
+          .select($"kind", $"data").as[(String, Array[Byte])]
+          .rdd.mapPartitions { it =>
+            val set = new java.util.HashSet[Any]()
+            var exactUnion = true
+            it.foreach { case (kind, bytes) =>
+              if (exactUnion && set.size <= cap) {
+                graft.index.Sketch.deserialize(kind, bytes) match {
+                  case d: graft.index.DictSketch => set.addAll(d.set)
+                  case b: graft.index.BitmapSketch =>
+                    b.bm.forEach(new org.roaringbitmap.IntConsumer {
+                      override def accept(i: Int): Unit = { set.add(i.toLong); () }
+                    })
+                  case _ => exactUnion = false // bloom row: cannot enumerate
+                }
+              }
+            }
+            Iterator.single(if (exactUnion && set.size <= cap) Some(set) else None)
+          }.collect()
+        if (partials.exists(_.isEmpty)) None
+        else {
+          val union = new java.util.HashSet[Any]()
+          partials.foreach(p => union.addAll(p.get))
+          if (union.size > cap) None
+          else {
+            import scala.jdk.CollectionConverters._
+            Some(union.asScala.toSeq)
+          }
+        }
+      }
+    })
+  }
+
+  /** Canonical threshold for index-backed TOP-K pruning
+    * ([[graft.index.TopK.topKPruned]]). With `largest = true`, finds T =
+    * the kth best LOWER bound over the per-block multiset
+    * {min_b × nonNull_b}: at least k non-null values of `colName` are
+    * >= T, so `colName >= T` provably preserves any
+    * `ORDER BY colName DESC (nulls last) LIMIT k` result — and that
+    * range predicate is exactly what [[listFiles]] prunes whole files
+    * with. Mirrored via block maxes for `largest = false`. Blocks with
+    * unknown null counts or missing bounds contribute no guarantee
+    * (weaker T, never unsound); truncated string bounds stay sound here
+    * because T is used as a bound, not an answer. None = not computable
+    * (fewer than k guaranteed non-null values, or a string column above
+    * the distributed threshold) — callers skip pruning.
+    *
+    * Scale: driver fold below the distributed-pruning threshold; above
+    * it, a metadata-sized sort over the files table plus the classic
+    * two-pass kth-element walk (per-partition totals collected — one
+    * Long per task — then ONE partition scanned), so the driver never
+    * holds per-file state. */
+  def topKBound(colName: String, dt: org.apache.spark.sql.types.DataType,
+      k: Long, largest: Boolean): Option[Any] = {
+    require(k >= 1, s"k must be >= 1: $k")
+
+    // (guaranteed bound, guaranteed non-null count) per row-group
+    def blockPairs(blocks: Seq[BlockStats]): Iterator[(Any, Long)] =
+      blocks.iterator.flatMap { b =>
+        b.columns.get(colName) match {
+          case Some(cs) =>
+            val bound = if (largest) cs.min else cs.max
+            (bound, cs.nullCount) match {
+              case (Some(bd), Some(nc)) if b.rowCount - nc > 0 =>
+                Iterator.single((bd, b.rowCount - nc))
+              case _ => Iterator.empty
+            }
+          case None => Iterator.empty
+        }
+      }
+
+    if (meta.fileCount < conf.distributedPruningThreshold) {
+      val pairs = entriesByPartition.valuesIterator.flatten
+        .flatMap(f => blockPairs(f.blocks)).toArray
+      val best = new Ordering[(Any, Long)] {
+        override def compare(a: (Any, Long), b: (Any, Long)): Int = {
+          val c = graft.index.Canon.compare(a._1, b._1)
+          if (largest) -c else c
+        }
+      }
+      val sorted = pairs.sorted(best)
+      var rem = k
+      var i = 0
+      var ans: Option[Any] = None
+      while (i < sorted.length && rem > 0) {
+        ans = Some(sorted(i)._1); rem -= sorted(i)._2; i += 1
+      }
+      if (rem > 0) None else ans
+    } else if (dt == org.apache.spark.sql.types.StringType) {
+      None // distributed tier keys the sort on the Long canonical domain
+    } else {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val (colB, largestB) = (colName, largest)
+      val sorted = classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            IndexMetadata.blocksFromJsonString(r.blocksJson).iterator.flatMap { b =>
+              b.columns.get(colB) match {
+                case Some(cs) =>
+                  val bound = if (largestB) cs.min else cs.max
+                  (bound, cs.nullCount) match {
+                    case (Some(bd: Long), Some(nc)) if b.rowCount - nc > 0 =>
+                      Iterator.single((bd, b.rowCount - nc))
+                    case _ => Iterator.empty
+                  }
+                case None => Iterator.empty
+              }
+            }
+          }
+        }
+        .sortBy(_._1, ascending = !largestB)
+      val partTotals = sorted
+        .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
+        .collect().sortBy(_._1)
+      var rem = k
+      var target = -1
+      partTotals.foreach { case (i, s) =>
+        if (target < 0) { if (rem <= s) target = i else rem -= s }
+      }
+      if (target < 0) None
+      else {
+        val (remB, targetB) = (rem, target)
+        sorted.mapPartitionsWithIndex { (i, it) =>
+          if (i != targetB) Iterator.empty
+          else {
+            var need = remB
+            var ans: Option[Any] = None
+            while (it.hasNext && need > 0) {
+              val (bd, c) = it.next(); ans = Some(bd); need -= c
+            }
+            Iterator.single(ans)
+          }
+        }.collect().headOption.flatten
+      }
+    }
   }
 
   private def toFileStatus(f: FileEntry): FileStatus = {

@@ -265,6 +265,102 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       dim.filter(col("k") < 0), col("l_orderkey"), col("k")).count() == 0L)
   }
 
+  test("bloom join pruning: parity, file cut, string keys, empty dim") {
+    import spark.implicits._
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    // contiguous low-key dim: the min/max range cut must prune files
+    val keys = spark.read.parquet(tablePath).select("l_orderkey")
+      .distinct().orderBy("l_orderkey").limit(3).collect().map(_.getLong(0)).toSeq
+    val dim = keys.map(k => (k, s"name$k")).toDF("k", "name")
+    val fact = spark.index.parquet(tablePath)
+    val pruned = graft.index.JoinPrune.bloomJoinPruned(
+      fact, dim, col("l_orderkey"), col("k"))
+    val plain = spark.read.parquet(tablePath)
+      .join(dim, col("l_orderkey") === col("k"))
+    checkSame(pruned, plain)
+    pruned.collect() // force listFiles
+    val fi = scans(pruned.queryExecution.executedPlan)
+      .map(_.relation.location)
+      .collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.isDefined, "fact side must scan through GraftFileIndex")
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected file cut: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+    // string keys take the UTF-8 putBinary/mightContainBinary path
+    val sdim = Seq(("A", 1)).toDF("rf", "tag")
+    checkSame(
+      graft.index.JoinPrune.bloomJoinPruned(
+        fact, sdim, col("l_returnflag"), col("rf")),
+      spark.read.parquet(tablePath).join(sdim, col("l_returnflag") === col("rf")))
+    // empty dim: no non-null keys — inner join empty, no job failure
+    assert(graft.index.JoinPrune.bloomJoinPruned(fact,
+      dim.filter(col("k") < 0), col("l_orderkey"), col("k")).count() == 0L)
+  }
+
+  test("top-k pruning: desc/asc parity, files cut, degradations") {
+    import spark.implicits._
+    val fact = spark.index.parquet(tablePath)
+    val plain = spark.read.parquet(tablePath)
+    def topRows(df: org.apache.spark.sql.DataFrame, desc: Boolean, k: Int) = {
+      val keyOrd =
+        if (desc) col("l_orderkey").desc_nulls_last else col("l_orderkey").asc_nulls_last
+      val tie = if (desc) col("l_linenumber").desc else col("l_linenumber").asc
+      df.orderBy(keyOrd, tie).limit(k)
+        .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted.toSeq
+    }
+    // desc parity + the file cut the threshold predicate buys
+    val prunedTop = graft.index.TopK.topKPruned(fact, col("l_orderkey"), 50)
+    assert(topRows(prunedTop, desc = true, 50) == topRows(plain, desc = true, 50))
+    prunedTop.collect() // force listFiles with the pushed bound
+    val fi = prunedTop.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.isDefined, "top-k pruned scan must use GraftFileIndex")
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected file cut: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+    // asc (bottom-k) parity
+    val prunedBot =
+      graft.index.TopK.topKPruned(fact, col("l_orderkey"), 50, largest = false)
+    assert(topRows(prunedBot, desc = false, 50) == topRows(plain, desc = false, 50))
+    // j < k stays exact (the documented contract)
+    assert(topRows(prunedTop, desc = true, 7) == topRows(plain, desc = true, 7))
+    // k > guaranteed non-null rows: threshold unprovable, frame unchanged
+    val total = plain.count()
+    assert(graft.index.TopK.topKPruned(
+      fact, col("l_orderkey"), total.toInt + 1).count() == total)
+    // unindexed column / plain frame / join shape: all degrade untouched
+    assert(graft.index.TopK.topKPruned(fact, col("l_extendedprice"), 5)
+      .count() == total)
+    assert(graft.index.TopK.topKPruned(plain, col("l_orderkey"), 5)
+      .count() == total)
+    assert(graft.index.TopK.topKPruned(
+      fact.join(Seq((1L, "x")).toDF("l_orderkey", "t"), Seq("l_orderkey")),
+      col("l_orderkey"), 5).columns.contains("t"))
+    // nullable key: nulls never rank, parity against explicit nulls-last
+    val p = s"$work/topk_nulls"
+    (0L until 400L).map(i => (if (i % 7 == 0) None else Some(i), i))
+      .toDF("v", "id").repartition(8, col("id")).write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("v").parquet(p)
+    val nf = spark.index.parquet(p)
+    val np = spark.read.parquet(p)
+    def nullTop(df: org.apache.spark.sql.DataFrame, desc: Boolean) = {
+      val o = if (desc) col("v").desc_nulls_last else col("v").asc_nulls_last
+      df.orderBy(o, col("id")).limit(20)
+        .select("v", "id").collect().map(_.toString).sorted.toSeq
+    }
+    assert(nullTop(graft.index.TopK.topKPruned(nf, col("v"), 20), desc = true)
+      == nullTop(np, desc = true))
+    assert(nullTop(graft.index.TopK.topKPruned(nf, col("v"), 20, largest = false),
+      desc = false) == nullTop(np, desc = false))
+  }
+
   test("IN list matches") {
     val keys = spark.read.parquet(tablePath)
       .select("l_orderkey").distinct().limit(3).collect().map(_.getLong(0))
@@ -975,6 +1071,13 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.index.parquet(tablePath).filter(col("l_orderkey") > key),
         spark.read.parquet(tablePath).filter(col("l_orderkey") > key))
       checkSame(spark.index.parquet(tablePath), spark.read.parquet(tablePath))
+      // top-k threshold takes the files-table sort + kth-element walk here
+      checkSame(
+        graft.index.TopK.topKPruned(
+            spark.index.parquet(tablePath), col("l_orderkey"), 25)
+          .orderBy(col("l_orderkey").desc, col("l_linenumber")).limit(25),
+        spark.read.parquet(tablePath)
+          .orderBy(col("l_orderkey").desc, col("l_linenumber")).limit(25))
     } finally spark.conf.unset(IndexConf.DistributedPruningThreshold)
 
     // per-call option switches the path too (no session conf set)

@@ -1,0 +1,310 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFileIndex
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.implicits._
+
+/** Metadata-only aggregates + transparent index substitution
+  * (MetadataAggregateRule / AutoIndexSubstitutionRule): eligible
+  * unfiltered aggregates over indexed relations must be answered from
+  * index metadata with ZERO data files opened, every bail-out path must
+  * leave the scan plan untouched but still correct, and (opt-in) plain
+  * reads must be re-pointed at the pruning FileIndex. */
+class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val work = Files.createTempDirectory("graft-metaagg").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-metaagg")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(IndexConf.MetastoreLocation, s"$work/metastore")
+    .config("spark.sql.warehouse.dir", s"$work/warehouse")
+    .getOrCreate()
+
+  // 200 rows; code is null every 10th row, low-cardinality otherwise;
+  // ship walks a date range. Written as 8 files so bounds/null counts
+  // genuinely merge across files.
+  private def sourceDf: DataFrame = {
+    import spark.implicits._
+    (1 to 200).toDF("i")
+      .select(
+        $"i".cast("long").as("id"),
+        when($"i" % 10 === 0, lit(null: String))
+          .otherwise(concat(lit("c"), ($"i" % 7).cast("string"))).as("code"),
+        date_add(lit("2024-01-01").cast("date"), $"i").as("ship"))
+  }
+
+  private lazy val bloomTable = {
+    val p = s"$work/bloom_t"
+    sourceDf.repartition(8, col("id")).write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id", "code", "ship").parquet(p)
+    p
+  }
+
+  private lazy val dictTable = {
+    val p = s"$work/dict_t"
+    sourceDf.repartition(8, col("id")).write.parquet(p)
+    spark.index.create.mode("overwrite")
+      .option(IndexConf.FilterType, "dict")
+      .indexBy("id", "code", "ship").parquet(p)
+    p
+  }
+
+  /** Walk through AQE wrappers to the real scans (a plain .collect stops
+    * at the AdaptiveSparkPlanExec leaf). */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scansOf(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scansOf)
+  }
+
+  /** Answered from metadata: optimized plan is a LocalRelation and the
+    * executed plan opens no files. */
+  private def assertMetadataOnly(df: DataFrame): Unit = {
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collectFirst { case l: LocalRelation => l }.isDefined,
+      s"expected LocalRelation in:\n$opt")
+    df.collect()
+    assert(scansOf(df.queryExecution.executedPlan).isEmpty,
+      "metadata-only plan must not contain a file scan")
+  }
+
+  private def assertScans(df: DataFrame): Unit = {
+    df.collect()
+    assert(scansOf(df.queryExecution.executedPlan).nonEmpty,
+      "expected the plan to keep its file scan")
+  }
+
+  test("count/min/max over long and date answered from metadata, values exact") {
+    val agg = spark.index.parquet(bloomTable).agg(
+      count(lit(1)).as("n"),
+      count(col("code")).as("n_code"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"),
+      min(col("ship")).as("min_ship"),
+      max(col("ship")).as("max_ship"))
+    assertMetadataOnly(agg)
+    val expected = spark.read.parquet(bloomTable).agg(
+      count(lit(1)), count(col("code")), min(col("id")), max(col("id")),
+      min(col("ship")), max(col("ship"))).head
+    assert(agg.head == expected)
+  }
+
+  test("dataset count() is metadata-only on an indexed relation") {
+    val ds = spark.index.parquet(bloomTable)
+    val opt = ds.groupBy().count().queryExecution.optimizedPlan
+    assert(opt.collectFirst { case l: LocalRelation => l }.isDefined)
+    assert(ds.count() == 200L)
+  }
+
+  test("SELECT DISTINCT over a dict-sketched string column is metadata-only, null included") {
+    val d = spark.index.parquet(dictTable).select("code").distinct()
+    assertMetadataOnly(d)
+    val got = d.collect().map(r => Option(r.getString(0))).toSet
+    val want = spark.read.parquet(dictTable).select("code").distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(got == want)
+    assert(got.contains(None), "null must appear in the distinct set")
+  }
+
+  test("count(distinct)/min/max of a string column via the exact dict sketch") {
+    val agg = spark.index.parquet(dictTable).agg(
+      countDistinct(col("code")).as("n_codes"),
+      min(col("code")).as("min_code"),
+      max(col("code")).as("max_code"))
+    assertMetadataOnly(agg)
+    val expected = spark.read.parquet(dictTable).agg(
+      countDistinct(col("code")), min(col("code")), max(col("code"))).head
+    assert(agg.head == expected)
+  }
+
+  test("DISTINCT over a bitmap-sketched int column is metadata-only") {
+    val p = s"$work/bitmap_t"
+    sourceDf.select((col("id") % 5).cast("int").as("grp"), col("id"))
+      .repartition(4, col("id")).write.parquet(p)
+    spark.index.create.mode("overwrite")
+      .option(IndexConf.FilterType, "dict") // int column upgrades to bitmap
+      .indexBy("grp", "id").parquet(p)
+    val d = spark.index.parquet(p).select("grp").distinct()
+    assertMetadataOnly(d)
+    assert(d.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  // Hive-partitioned by pyear (2024 + i%3); indexed id/code. 3 partitions
+  // × multiple files, so per-partition folds genuinely merge.
+  private lazy val partTable = {
+    val p = s"$work/part_t"
+    sourceDf.withColumn("pyear", (lit(2024) + col("id") % 3).cast("int"))
+      .repartition(4, col("id"))
+      .write.partitionBy("pyear").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id", "code").parquet(p)
+    p
+  }
+
+  test("partition-filtered global aggregate is metadata-only and exact") {
+    val t = spark.index.parquet(partTable)
+    val agg = t.filter(col("pyear") >= 2025).agg(
+      count(lit(1)).as("n"),
+      count(col("code")).as("n_code"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"))
+    assertMetadataOnly(agg)
+    val expected = spark.read.parquet(partTable).filter(col("pyear") >= 2025).agg(
+      count(lit(1)), count(col("code")), min(col("id")), max(col("id"))).head
+    assert(agg.head == expected)
+  }
+
+  test("GROUP BY partition column answered from per-partition folds") {
+    val t = spark.index.parquet(partTable)
+    val agg = t.groupBy(col("pyear")).agg(
+      count(lit(1)).as("n"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id")).orderBy(col("pyear"))
+    assertMetadataOnly(agg)
+    val expected = spark.read.parquet(partTable).groupBy(col("pyear")).agg(
+      count(lit(1)).as("n"), min(col("id")).as("min_id"),
+      max(col("id")).as("max_id")).orderBy(col("pyear"))
+    assert(agg.collect().toSeq == expected.collect().toSeq)
+  }
+
+  test("partition-filtered GROUP BY with min/max over the partition column itself") {
+    val t = spark.index.parquet(partTable)
+    val agg = t.filter(col("pyear") =!= 2024).groupBy(col("pyear"))
+      .agg(count(lit(1)).as("n"), max(col("pyear")).as("maxy"))
+      .orderBy(col("pyear"))
+    assertMetadataOnly(agg)
+    val expected = spark.read.parquet(partTable).filter(col("pyear") =!= 2024)
+      .groupBy(col("pyear")).agg(count(lit(1)).as("n"), max(col("pyear")).as("maxy"))
+      .orderBy(col("pyear"))
+    assert(agg.collect().toSeq == expected.collect().toSeq)
+    // global min/max of the partition column too
+    val g = t.agg(min(col("pyear")).as("mn"), max(col("pyear")).as("mx"),
+      count(col("pyear")).as("n"))
+    assertMetadataOnly(g)
+    assert(g.head == spark.read.parquet(partTable)
+      .agg(min(col("pyear")), max(col("pyear")), count(col("pyear"))).head)
+  }
+
+  test("SELECT DISTINCT partition column is metadata-only") {
+    val d = spark.index.parquet(partTable).select("pyear").distinct().orderBy("pyear")
+    assertMetadataOnly(d)
+    assert(d.collect().map(_.getInt(0)).toSeq == Seq(2024, 2025, 2026))
+  }
+
+  test("partitioned bail-outs: data filter or data grouping keeps the scan") {
+    val t = spark.index.parquet(partTable)
+    // data-column filter blocks the rewrite
+    val f = t.filter(col("id") > 100).agg(count(lit(1)).as("n"))
+    assertScans(f)
+    assert(f.head.getLong(0) == 100L)
+    // mixed partition+data filter blocks too
+    val m = t.filter(col("pyear") === 2025 && col("id") > 100).agg(count(lit(1)).as("n"))
+    assertScans(m)
+    assert(m.head.getLong(0) ==
+      spark.read.parquet(partTable)
+        .filter(col("pyear") === 2025 && col("id") > 100).count())
+    // grouping by a data column blocks
+    val g = t.groupBy(col("code")).agg(count(lit(1)).as("n"))
+    assertScans(g)
+    // filtered string min/max cannot use the (table-wide) dict fallback
+    val s = t.filter(col("pyear") === 2025).agg(min(col("code")).as("m"))
+    assertScans(s)
+    assert(s.head.getString(0) ==
+      spark.read.parquet(partTable).filter(col("pyear") === 2025)
+        .agg(min(col("code"))).head.getString(0))
+  }
+
+  test("bail-outs keep the scan and stay correct") {
+    val t = spark.index.parquet(bloomTable)
+    // a filter blocks the rewrite
+    val filtered = t.filter(col("id") > 100).agg(count(lit(1)).as("n"))
+    assertScans(filtered)
+    assert(filtered.head.getLong(0) == 100L)
+    // string min/max without a dict sketch cannot come from (possibly
+    // truncated) bounds
+    val strMin = t.agg(min(col("code")).as("m"))
+    assertScans(strMin)
+    assert(strMin.head.getString(0) == "c0")
+    // DISTINCT under bloom cannot enumerate
+    val dist = t.select("code").distinct()
+    assertScans(dist)
+    assert(dist.count() == 8) // c0..c6 + null
+    // unsupported aggregate (sum) blocks the whole rewrite
+    val withSum = t.agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    assertScans(withSum)
+    assert(withSum.head.getLong(0) == 200L)
+    // conf off: even eligible aggregates scan
+    spark.conf.set(IndexConf.MetadataOnlyAggregates, "false")
+    try {
+      val off = t.agg(count(lit(1)).as("n"))
+      assertScans(off)
+      assert(off.head.getLong(0) == 200L)
+    } finally spark.conf.set(IndexConf.MetadataOnlyAggregates, "true")
+  }
+
+  test("auto substitution: plain read served and pruned by the index when enabled") {
+    spark.conf.set(IndexConf.AutoIndexSubstitution, "true")
+    try {
+      val df = spark.read.parquet(bloomTable).filter(col("id") === 7L)
+      val rows = df.collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("id") == 7L)
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      val loc = scan.relation.location
+      assert(loc.isInstanceOf[GraftFileIndex], s"expected GraftFileIndex, got $loc")
+      val gfi = loc.asInstanceOf[GraftFileIndex]
+      assert(gfi.lastListedFiles < gfi.lastTotalFiles,
+        s"substituted scan should prune: ${gfi.lastListedFiles}/${gfi.lastTotalFiles}")
+      // composes with the metadata-aggregate rewrite: a plain read's
+      // count(*) also becomes metadata-only
+      assertMetadataOnly(spark.read.parquet(bloomTable).agg(count(lit(1)).as("n")))
+      // an unindexed path is untouched
+      val plainDir = s"$work/unindexed"
+      sourceDf.limit(10).write.parquet(plainDir)
+      val un = spark.read.parquet(plainDir).filter(col("id") === 3L)
+      un.collect()
+      val unLoc = un.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head.relation.location
+      assert(!unLoc.isInstanceOf[GraftFileIndex])
+    } finally spark.conf.set(IndexConf.AutoIndexSubstitution, "false")
+  }
+
+  test("auto substitution off by default: plain read keeps its own listing") {
+    val df = spark.read.parquet(bloomTable).filter(col("id") === 7L)
+    df.collect()
+    val loc = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head.relation.location
+    assert(!loc.isInstanceOf[GraftFileIndex])
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    bloomTable
+    dictTable
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      spark.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    } finally super.afterAll()
+  }
+}
