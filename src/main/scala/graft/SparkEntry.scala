@@ -1098,20 +1098,22 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
-    // BPE ENCODING under the trained merges: map-side codegen'd kernel,
-    // merge ranks broadcast with the plan, word->subwords memoized per
-    // task. Rows-only (the subword segmentation is the iterative merge
-    // closure); the n_words column and the zero-merge degenerate case
-    // are oracle-shaped equalities covered in BpeSpec.
+    // BPE ENCODING, value-gated: the codegen'd kernel under a FIXED
+    // plan-literal merge table (hierarchical, a != b for every pair, so
+    // a single round's sweep has no overlapping occurrences and the
+    // oracle's recursive-CTE replay over distinct words is exact —
+    // lowest-rank adjacent pair per round, all occurrences merged
+    // left-to-right). Emits the full subword segmentation per doc.
+    // Encoding under TRAINED merges (the q_text_bpe_merges output) is
+    // the same kernel + BpeSpec's differential tests.
     "q_text_bpe_encode" -> ((s, dir) => {
       import s.implicits._
-      val docs = tbl(s, dir, "documents")
-      val merges = graft.text.Bpe.mergesOf(graft.text.Bpe.train(
-        graft.text.Bpe.wordCounts(docs, $"text", minCount = 2L), numMerges = 24))
       val toks = graft.text.TextFunctions.tokens($"text")
-      docs.select($"doc_id",
+      val enc = graft.text.Bpe.encode(toks, bpeFixedMerges)
+      tbl(s, dir, "documents").select($"doc_id",
           size(toks).as("n_words"),
-          size(graft.text.Bpe.encode(toks, merges)).as("n_subwords"))
+          size(enc).as("n_subwords"),
+          concat_ws(" ", enc).as("subwords"))
         .orderBy($"doc_id")
     }),
 
@@ -1417,6 +1419,8 @@ object SparkEntry {
           tbl(s, dir, "documents"), $"doc_id", $"text",
           Seq("fast table", "scan slow", "batch window spark",
             "customer query", "value sort column"))
+        // comparator-safe: the driver's pandas sort can't hash raw arrays
+        .select($"doc_id", concat_ws("|", $"matched").as("matched"))
         .orderBy($"doc_id")
     }),
 
@@ -2310,6 +2314,11 @@ object SparkEntry {
             .filter($"n_tokens" >= 1),
           shard = $"source", order = $"doc_id", tokens = $"n_tokens",
           budget = 2000L)
+        // comparator-safe: join member/count arrays to strings
+        .select($"shard", $"pack_id",
+          concat_ws(",", $"docs".cast("array<string>")).as("docs"),
+          concat_ws(",", $"token_counts".cast("array<string>")).as("token_counts"),
+          $"pack_tokens")
         .orderBy($"shard", $"pack_id")
     }),
 
@@ -2363,6 +2372,9 @@ object SparkEntry {
               graft.text.TextFunctions.tokens($"text").as("toks")),
           shard = $"source", order = $"doc_id", tokensArr = $"toks",
           seqLen = 512L)
+        // comparator-safe: tokens never contain spaces (whitespace split)
+        .select($"shard", $"seq_id",
+          concat_ws(" ", $"tokens").as("tokens"), $"n_tokens")
         .orderBy($"shard", $"seq_id")
     }),
 
@@ -2816,6 +2828,9 @@ object SparkEntry {
       graft.ann.Ann.randomProjection(
           tbl(s, dir, "embeddings"), $"vec_id", $"embedding",
           outDim = 16, dim = 64, seed = 42L)
+        // comparator-safe: exact-integer projection joins to one string
+        .select($"vec_id",
+          concat_ws(",", $"proj".cast("array<string>")).as("proj"))
         .orderBy($"vec_id")
     }),
 
@@ -3392,16 +3407,11 @@ object SparkEntry {
             "o_orderpriority"))
         .orderBy(col("column_name"))),
 
-    // HyperLogLog profile — the wide-table scale path (no Expand, one
-    // plain aggregation pass). Counts are approximate, so no value
-    // oracle: the driver records a rows-only check, and the bench row
-    // measures the plan the exact variant's width gate steers users to.
-    "q_profile_approx" -> ((s, dir) =>
-      graft.ops.Profile.profileApprox(
-          tbl(s, dir, "orders"),
-          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
-            "o_orderpriority"))
-        .orderBy(col("column_name"))),
+    // NOTE: the HLL wide-table profile (Profile.profileApprox) is no
+    // longer a scoreboard row — q_profile_portable value-gates the same
+    // plan shape with SQL-replayable arithmetic, so the opaque-sketch
+    // variant would only add a permanent rows-only row. The API remains
+    // (CurationSpec's "profileApprox" test covers it).
 
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -3663,6 +3673,32 @@ object SparkEntry {
       |    CAST(md5_number_lower('cms' || r.d || ':' || t.term) % 512 AS INT) AS bucket
       |  FROM tok t CROSS JOIN range(0, 4) r(d)),
       |cells AS (SELECT d, bucket, count(*) AS cnt FROM h GROUP BY d, bucket)""".stripMargin
+
+  /** Fixed plan-literal BPE merge table for the value-gated encode query
+    * (q_text_bpe_encode). Hierarchical — later ranks consume earlier
+    * merge outputs, so the oracle's recursion runs multiple rounds — and
+    * strictly `a != b` for every pair, so within one round occurrences
+    * of the chosen pair can never overlap and "merge all occurrences
+    * left-to-right" equals "merge every matching position", which IS
+    * expressible as one list_transform in SQL. */
+  private val bpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "t"), ("th", "at"), ("i", "n"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+    ("o", "r"), ("s", "t"), ("e", "n"), ("o", "u"), ("c", "h"),
+    ("q", "u"), ("qu", "er"), ("i", "s"), ("a", "s"), ("l", "e"))
+
+  /** DuckDB list-of-structs literal of [[bpeFixedMerges]], rank = list
+    * position - 1 (kept sorted so `M[best + 1]` indexes the winning pair). */
+  private val bpeMergesLit: String = bpeFixedMerges.zipWithIndex
+    .map { case ((a, b), r) => s"{'r': $r, 'a': '$a', 'b': '$b'}" }
+    .mkString("[", ", ", "]")
+
+  /** The lowest applicable merge rank over adjacent symbol pairs —
+    * NULL when no merge applies (the encoder's termination test). */
+  private def bpeBestSql(syms: String): String =
+    s"list_min(flatten(list_transform(range(1, len($syms)), i -> " +
+      s"list_transform($bpeMergesLit, mm -> CASE WHEN mm.a = $syms[i] " +
+      s"AND mm.b = $syms[i+1] THEN mm.r END))))"
 
   /** Shared by q_scd2 (one-shot fold) and q_scd2_merge (batch-by-batch
     * keyed merges — definitionally equivalent, so one full-log replay
@@ -4775,7 +4811,47 @@ object SparkEntry {
         |    'customer query', 'value sort column'],
         |    p -> contains(text, p)) AS matched
         |  FROM documents)
-        |SELECT doc_id, matched FROM m WHERE len(matched) > 0
+        |SELECT doc_id, array_to_string(matched, '|') AS matched
+        |FROM m WHERE len(matched) > 0
+        |ORDER BY doc_id""".stripMargin,
+    // exact replay of the BPE encoder under the plan-literal merge
+    // table: recursive CTE over DISTINCT words, one round per step =
+    // lowest-rank adjacent pair merged at every matching position
+    // (a != b for all pairs makes positions non-overlapping)
+    "q_text_bpe_encode" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+        |tok AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos,
+        |  unnest(toks) AS word FROM d),
+        |w AS (SELECT DISTINCT word FROM tok),
+        |enc AS (
+        |  SELECT word, list_transform(range(1, length(word)+1),
+        |    i -> substr(word, i::INT, 1)) AS syms FROM w
+        |  UNION ALL
+        |  SELECT word, list_filter(list_transform(range(1, len(syms)+1), i ->
+        |      CASE WHEN i < len(syms) AND syms[i] = mg.a AND syms[i+1] = mg.b
+        |             THEN mg.a || mg.b
+        |           WHEN i > 1 AND syms[i-1] = mg.a AND syms[i] = mg.b THEN NULL
+        |           ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+        |  FROM (SELECT word, syms,
+        |        $bpeMergesLit[${bpeBestSql("syms")} + 1] AS mg FROM enc) z
+        |  WHERE mg IS NOT NULL),
+        |fin AS (SELECT word, syms FROM (SELECT word, syms,
+        |    $bpeMergesLit[${bpeBestSql("syms")} + 1] AS mg FROM enc) z
+        |  WHERE mg IS NULL),
+        |ew AS (SELECT word, array_to_string(syms, ' ') AS sub,
+        |  len(syms) AS n_sub FROM fin),
+        |agg AS (SELECT tok.doc_id, count(*) AS n_words,
+        |  sum(ew.n_sub) AS n_subwords,
+        |  array_to_string(list(ew.sub ORDER BY tok.pos), ' ') AS subwords
+        |  FROM tok JOIN ew USING (word) GROUP BY tok.doc_id)
+        |SELECT dd.doc_id, coalesce(a.n_words, 0)::INT AS n_words,
+        |  coalesce(a.n_subwords, 0)::INT AS n_subwords,
+        |  coalesce(a.subwords, '') AS subwords
+        |FROM documents dd LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_text_winnow_incremental" ->
       """WITH t AS (SELECT doc_id,
@@ -5464,8 +5540,8 @@ object SparkEntry {
         |p AS (SELECT doc_id, source, n_tokens,
         |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS pack_id FROM c)
         |SELECT source AS shard, pack_id,
-        |  list(doc_id ORDER BY doc_id) AS docs,
-        |  list(n_tokens ORDER BY doc_id) AS token_counts,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs,
+        |  array_to_string(list(n_tokens ORDER BY doc_id), ',') AS token_counts,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
     "q_delete_keyed" ->
@@ -5707,7 +5783,7 @@ object SparkEntry {
         |       (least(en, (seq_id + 1) * 512) - st)] AS sl
         |  FROM s)
         |SELECT shard, seq_id,
-        |  flatten(list(sl ORDER BY seq_off)) AS tokens,
+        |  array_to_string(flatten(list(sl ORDER BY seq_off)), ' ') AS tokens,
         |  len(flatten(list(sl ORDER BY seq_off)))::BIGINT AS n_tokens
         |FROM sl GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     "q_events_funnel" ->
@@ -6146,10 +6222,10 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id,
         |  list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
         |  FROM embeddings)
-        |SELECT vec_id, list_transform(range(0, 16), j ->
+        |SELECT vec_id, array_to_string(list_transform(range(0, 16), j ->
         |  CAST(list_sum(list_transform(range(0, 64), i ->
         |    (CASE WHEN md5_number_lower('42:' || j || ':' || i) % 2 = 0
-        |     THEN 1 ELSE -1 END) * qv[i + 1])) AS BIGINT)) AS proj
+        |     THEN 1 ELSE -1 END) * qv[i + 1])) AS BIGINT)), ',') AS proj
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_ann_rp_topk" ->
       """WITH q0 AS (SELECT vec_id,

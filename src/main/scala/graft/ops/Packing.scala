@@ -31,10 +31,9 @@ object Packing {
     val w = Window.partitionBy(shard).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(tokens).over(w))
-      // (cum - tokens) = exclusive prefix; exact in double far past any
-      // real corpus shard (2^53 tokens)
-      .withColumn("pack_id",
-        floor((col("__cum") - tokens) / lit(budget.toDouble)).cast("long"))
+      // (cum - tokens) = exclusive prefix; exact integer division at
+      // any shard size (double floor mis-rounds past 2^53 tokens)
+      .withColumn("pack_id", ColMath.floorDiv(col("__cum") - tokens, budget))
       .drop("__cum")
   }
 
@@ -77,10 +76,12 @@ object Packing {
       .filter(col("__n") > 0L)
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("__start", col("__end") - col("__n"))
-      // windows this doc touches: floor(start/L) .. floor((end-1)/L)
+      // windows this doc touches: floor(start/L) .. floor((end-1)/L),
+      // in exact integer arithmetic (prefix sums are non-negative, but
+      // double division would drift past 2^53 tokens)
       .withColumn("seq_id", explode(sequence(
-        (col("__start") / L).cast("long"),
-        ((col("__end") - 1L) / L).cast("long"))))
+        ColMath.floorDiv(col("__start"), seqLen),
+        ColMath.floorDiv(col("__end") - 1L, seqLen))))
       .select(col("shard"), col("seq_id"),
         (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L)
           .as("seq_off"),
@@ -120,8 +121,8 @@ object Packing {
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("__start", col("__end") - col("__n"))
       .withColumn("seq_id", explode(sequence(
-        (col("__start") / L).cast("long"),
-        ((col("__end") - 1L) / L).cast("long"))))
+        ColMath.floorDiv(col("__start"), seqLen),
+        ColMath.floorDiv(col("__end") - 1L, seqLen))))
       .select(col("shard"), col("seq_id"),
         (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L)
           .as("__seq_off"),

@@ -132,7 +132,15 @@ object Report {
       .agg(max(col("rank")).as("rank"))
     val est = Hll.groupEstimateFromRegisters(regs, p)
       .withColumnRenamed("group", "source")
-    counts.join(est, Seq("source"))
+    // left_outer: a source whose every document has NULL text produces
+    // counts rows but no registers (groupRegisters drops null items) —
+    // it must appear in the card with the all-zero-register estimate
+    // (v_zero = m, t_scaled = m * 2^48, est = 0), not silently vanish
+    val m = (1 << p).toLong
+    counts.join(est, Seq("source"), "left_outer")
+      .withColumn("v_zero", coalesce(col("v_zero"), lit(m)))
+      .withColumn("t_scaled", coalesce(col("t_scaled"), lit(m * (1L << 48))))
+      .withColumn("est", coalesce(col("est"), lit(0.0)))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") /
           col("n_docs").cast("double"), 4).as("avg_tokens"),

@@ -109,9 +109,15 @@ object Scd2 {
     // that throws must leave the old layout guard intact, and a
     // mode="ignore" no-op write must not re-pin a different layout
     if (mode == "overwrite") IndexSpec.delete(hist, dir)
+    // append onto an existing history must match the pinned layout —
+    // same fail-fast as Upsert.writeKeyedTable (a re-pinned different
+    // numBuckets would leave keys spread across two bucket layouts)
+    val appendSpecPresent = mode == "append" && existed &&
+      IndexSpec.checkReturningPresence(hist, dir, spec(key, numBuckets))
     hist.withColumn("graft_bucket", Upsert.bucketOf(col(key), numBuckets))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
-    if (!(mode == "ignore" && existed)) IndexSpec.write(hist, dir, spec(key, numBuckets))
+    if (!(mode == "ignore" && existed) && !appendSpecPresent)
+      IndexSpec.write(hist, dir, spec(key, numBuckets))
   }
 
   /** Read the history table back (layout column dropped). */

@@ -157,10 +157,13 @@ object Temporal {
     require(dup.isEmpty, s"left/right column names must be disjoint, both have: $dup")
     require(!(left.columns ++ right.columns).contains("__bucket"),
       "column name __bucket is reserved by intervalOverlapJoin")
+    // ColMath.floorDiv, not `/`: double division can mis-bucket epoch
+    // micros above 2^53 and the first-shared-bucket gate would then
+    // drop or double-emit the pair
     def buckets(lo: String, hi: String) =
       explode(sequence(
-        floor(col(lo).cast("long") / bucketWidth).cast("long"),
-        floor(col(hi).cast("long") / bucketWidth).cast("long")))
+        ColMath.floorDiv(col(lo).cast("long"), bucketWidth),
+        ColMath.floorDiv(col(hi).cast("long"), bucketWidth)))
     val lb = left.withColumn("__bucket", buckets(lLoName, lHiName)).alias("__L")
     val rb = right.withColumn("__bucket", buckets(rLoName, rHiName)).alias("__R")
     val bucketEq = col("__L.__bucket") === col("__R.__bucket")
@@ -176,7 +179,8 @@ object Temporal {
       .filter(lLo <= rHi && rLo <= lHi)
       // first-shared-bucket gate: exactly-once emission, no dedup pass
       .filter(col("__L.__bucket") ===
-        greatest(floor(lLo / bucketWidth), floor(rLo / bucketWidth)).cast("long"))
+        greatest(ColMath.floorDiv(lLo, bucketWidth),
+          ColMath.floorDiv(rLo, bucketWidth)))
       .select((left.columns.map(c => col(s"__L.$c")) ++
         right.columns.map(c => col(s"__R.$c"))).toIndexedSeq: _*)
   }

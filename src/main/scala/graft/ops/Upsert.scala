@@ -70,11 +70,20 @@ object Upsert {
     // mode="error" write that throws on an existing dir must leave the
     // old table's layout guard intact
     if (mode == "overwrite") IndexSpec.delete(df, dir)
+    // an append onto an existing table must MATCH the pinned layout —
+    // fail fast before any data write; silently re-pinning a different
+    // numBuckets would mix two bucket layouts, after which upsertByKey
+    // misses the old rows of a key (duplicate keys)
+    val appendSpecPresent = mode == "append" && existed &&
+      IndexSpec.checkReturningPresence(df, dir, spec(key, numBuckets))
     df.withColumn("graft_bucket", bucketOf(col(key), numBuckets))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
     // mode="ignore" over an existing table is a no-op write — the old
-    // spec (whatever layout it pins) stays authoritative
-    if (!(mode == "ignore" && existed)) IndexSpec.write(df, dir, spec(key, numBuckets))
+    // spec (whatever layout it pins) stays authoritative; a validated
+    // append keeps the existing pin (re-writing it is harmless but the
+    // heal-if-missing ordering below stays uniform with upsertByKey)
+    if (!(mode == "ignore" && existed) && !appendSpecPresent)
+      IndexSpec.write(df, dir, spec(key, numBuckets))
   }
 
   /** Read the keyed table back as a plain DataFrame (layout column

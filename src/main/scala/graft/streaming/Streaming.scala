@@ -318,6 +318,23 @@ object Streaming {
     parent.index.parquet(tableDir)
   }
 
+  /** Read back the union of committed per-batch output dirs (`b<id>`,
+    * each written with mode=overwrite, so a redelivered batch replaces
+    * its own output — exactly-once). Listed explicitly: a `b*` glob
+    * read trips Spark's FileStreamSink metadata probe, and a run whose
+    * batches all filtered to nothing has no dirs at all. */
+  private def readCommittedBatches(
+      spark: SparkSession, outDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$outDir/b*")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    if (dirs.isEmpty) spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+  }
+
   /** Stage `docs` as `nBatches` ranged `idCol` slices under
     * `workDir/staged`, one file per slice with strictly increasing
     * mtimes so the file stream source replays arrival order. `format`
@@ -413,13 +430,16 @@ object Streaming {
         val kept = graft.dedup.Dedup.dedupMinhash(vsIndex,
             col("doc_id"), col("text"), numHashes, bands, shingleK, threshold)
           .localCheckpoint() // one computation feeds the table AND the index
-        kept.write.mode("append").parquet(outDir)
-        // an all-duplicates batch appends nothing: skip the index write so
-        // the index never holds schema-less empty segments. The kept docs
-        // land as a committed SEGMENT (segmentId = batchId): a batch that
-        // dies mid-write is invisible to later probes, and a re-delivered
-        // batch overwrites its own segment instead of double-counting
+        // an all-duplicates batch writes nothing: the output dir never
+        // holds schema-less empty batch dirs and the index never holds
+        // empty segments. Kept docs land in a PER-BATCH dir written with
+        // overwrite (b<batchId>, like jsonlFileIngest) and fingerprints
+        // as a committed SEGMENT (segmentId = batchId): a batch that
+        // dies mid-write is invisible, and a re-delivered batch
+        // OVERWRITES its own output instead of appending the same kept
+        // rows twice — exactly-once for the table AND the index
         if (kept.take(1).nonEmpty) {
+          kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
           graft.dedup.Dedup.appendMinhashSegment(kept,
             col("doc_id"), col("text"), idxDir, s"b$batchId",
             numHashes, bands, shingleK)
@@ -435,9 +455,7 @@ object Streaming {
       .foreachBatch(ingest)
       .start()
     try q.processAllAvailable() finally q.stop()
-    // explicit schema: a degenerate run whose batches all deduped to
-    // nothing leaves only _SUCCESS markers to read
-    spark.read.schema(docs.schema).parquet(outDir)
+    readCommittedBatches(spark, outDir, docs.schema)
   }
 
   /** STREAMING VERBATIM-OVERLAP-GATED INGEST — [[nearDedupIngest]]'s
@@ -482,10 +500,12 @@ object Streaming {
         val kept = graft.text.TextFunctions.dedupWinnow(vsIndex,
             col("doc_id"), col("text"), k, w, minShared)
           .localCheckpoint() // one computation feeds the table AND the index
-        kept.write.mode("append").parquet(outDir)
-        // all-duplicates batches append nothing: skip the index write so
-        // the index never holds schema-less empty segments
+        // per-batch overwrite dir + committed segment, both keyed by
+        // batchId: a re-delivered batch overwrites its own output
+        // instead of re-appending kept rows — exactly-once, matching
+        // the docstring (all-duplicates batches write nothing at all)
         if (kept.take(1).nonEmpty) {
+          kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
           graft.text.TextFunctions.appendWinnowSegment(kept,
             col("doc_id"), col("text"), idxDir, s"b$batchId", k, w)
           indexNonEmpty = true
@@ -500,9 +520,7 @@ object Streaming {
       .foreachBatch(ingest)
       .start()
     try q.processAllAvailable() finally q.stop()
-    // explicit schema: a degenerate run whose batches all deduped to
-    // nothing leaves only _SUCCESS markers to read
-    spark.read.schema(docs.schema).parquet(outDir)
+    readCommittedBatches(spark, outDir, docs.schema)
   }
 
   /** STREAMING JSON-LINES FILE INGEST — the crawl front door, streamed:

@@ -315,7 +315,9 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.orderBy(keyOrd, tie).limit(k)
         .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted.toSeq
     }
-    // desc parity + the file cut the threshold predicate buys
+    // desc parity on the HASH-partitioned fixture: every file's [min,max]
+    // spans the key domain, so no cut is provable — values must still be
+    // exact and the scan must still route through GraftFileIndex
     val prunedTop = graft.index.TopK.topKPruned(fact, col("l_orderkey"), 50)
     assert(topRows(prunedTop, desc = true, 50) == topRows(plain, desc = true, 50))
     prunedTop.collect() // force listFiles with the pushed bound
@@ -323,12 +325,35 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       case s: FileSourceScanExec => s.relation.location
     }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
     assert(fi.isDefined, "top-k pruned scan must use GraftFileIndex")
-    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
-      s"expected file cut: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
     // asc (bottom-k) parity
     val prunedBot =
       graft.index.TopK.topKPruned(fact, col("l_orderkey"), 50, largest = false)
     assert(topRows(prunedBot, desc = false, 50) == topRows(plain, desc = false, 50))
+    // the file cut the threshold predicate buys needs a layout whose
+    // per-file ranges are disjoint: range-cluster by the ranking key
+    val ckPath = s"$work/topk_clustered"
+    graft.ops.Layout.clusterBy(plain, 8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(ckPath)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey").parquet(ckPath)
+    val cFact = spark.index.parquet(ckPath)
+    val cPlain = spark.read.parquet(ckPath)
+    def cutOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      df.collect()
+      val g = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+      (g.lastListedFiles, g.lastTotalFiles)
+    }
+    val cTop = graft.index.TopK.topKPruned(cFact, col("l_orderkey"), 50)
+    assert(topRows(cTop, desc = true, 50) == topRows(cPlain, desc = true, 50))
+    val (descListed, descTotal) = cutOf(cTop)
+    assert(descListed < descTotal,
+      s"expected file cut on clustered layout: $descListed/$descTotal")
+    val cBot = graft.index.TopK.topKPruned(cFact, col("l_orderkey"), 50, largest = false)
+    assert(topRows(cBot, desc = false, 50) == topRows(cPlain, desc = false, 50))
+    val (ascListed, ascTotal) = cutOf(cBot)
+    assert(ascListed < ascTotal,
+      s"expected file cut on clustered layout (asc): $ascListed/$ascTotal")
     // j < k stays exact (the documented contract)
     assert(topRows(prunedTop, desc = true, 7) == topRows(plain, desc = true, 7))
     // k > guaranteed non-null rows: threshold unprovable, frame unchanged
