@@ -50,6 +50,43 @@ object DevExplore {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("meta50k")) {
+      // decompose the 50k-file metadata-aggregate latency: optimizer
+      // rewrite vs fold vs execution, cold vs memoized
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val sfDir = "/root/testdata/sf0.001"
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      val df = t("load")(SparkEntry.indexed50kFiles(spark, sfDir))
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+      val gfi = df.queryExecution.analyzed.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+        .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex]
+      (1 to 3).foreach(i => t(s"metadataStats #$i")(gfi.metadataStats(Seq("k"))))
+      (1 to 3).foreach(i => t(s"optimize only #$i") {
+        val p = agg(df).queryExecution.optimizedPlan
+        if (i == 1) println("  rewritten = " + p.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.isDefined)
+      })
+      (1 to 3).foreach(i => t(s"agg collect #$i")(agg(df).collect()))
+      (1 to 3).foreach(i => t(s"agg count #$i")(agg(df).count()))
+      val qe = agg(df).count() match { case _ => agg(df).queryExecution }
+      println("=== optimized ===\n" + qe.optimizedPlan.toString.take(1500))
+      println("=== executed ===\n" + qe.executedPlan.toString.take(1500))
+      val qc = {
+        val d = agg(df).groupBy().count()
+        d.collect(); d.queryExecution
+      }
+      println("=== count executed ===\n" + qc.executedPlan.toString.take(2500))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("stress")) {
       // 256-file table at sf0.1: driver-fold vs distributed-fold latency
       import graft.index.implicits._

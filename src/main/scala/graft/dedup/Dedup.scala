@@ -772,14 +772,17 @@ object Dedup {
     * operators don't cover: token-level shingles can't see single-
     * character typos inside a word.
     *
-    * Scale design: one shuffle on the variant key carrying (id, string) —
-    * strings here are short ATTRIBUTE values (names, titles, codes;
-    * neighborhood is O(len^maxDist)), so carrying them beats two extra
-    * verify-side joins; candidate dedup happens before the levenshtein
-    * DP. Hot variants (e.g. many length-1 strings collapsing to "")
-    * concentrate pairs exactly where true matches are — AQE skew-join
-    * splits the outliers. The `exact=true` path cross-joins: small
-    * inputs / differential testing only.
+    * Scale design: the variant join runs over DISTINCT strings, never
+    * records — a corpus where thousands of records share one attribute
+    * value (the adversarial skew case for symmetric-delete blocking)
+    * contributes ONE row to the neighborhood join, not a quadratically
+    * hot variant key. Same-string record pairs (distance 0) bypass the
+    * variant machinery entirely through a plain string equi-join, and
+    * cross-string matches expand from the verified string-pair table
+    * back to records through two output-proportional joins; the
+    * levenshtein DP also runs once per distinct string PAIR instead of
+    * once per record pair. Recall stays EXACT. The `exact=true` path
+    * cross-joins: small inputs / differential testing only.
     *
     * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist.
     */
@@ -792,31 +795,50 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3]: $maxDist")
     val base = df.select(id.as("__id"), s.as("__s")).filter(col("__s").isNotNull)
-    val candidates: DataFrame =
-      if (exact) {
-        base.select(col("__id").as("id_a"), col("__s").as("__sa"))
-          .crossJoin(base.select(col("__id").as("id_b"), col("__s").as("__sb")))
-          .filter(col("id_a") < col("id_b"))
-      } else {
-        // both join sides read the exploded variants — compute once
-        // (localCheckpoint, same shape as the minhash/shingle reuse)
-        val v = base.select(col("__id"), col("__s"),
+    if (exact) {
+      base.select(col("__id").as("id_a"), col("__s").as("__sa"))
+        .crossJoin(base.select(col("__id").as("id_b"), col("__s").as("__sb")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+        .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+        .filter(col("dist") <= maxDist)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    } else {
+      // records sharing a string are distance-0 pairs by definition:
+      // one equi-join on the string, no variants, no DP
+      val samePairs = base.select(col("__s"), col("__id").as("__ida"))
+        .join(base.select(col("__s"), col("__id").as("__idb")), Seq("__s"))
+        .filter(col("__ida") < col("__idb"))
+        .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+          lit(0).as("dist"))
+      // neighborhood join over distinct strings only; both sides read
+      // the exploded variants — compute once (localCheckpoint, same
+      // shape as the minhash/shingle reuse)
+      val v = base.select(col("__s")).distinct()
+        .select(col("__s"),
           explode(graft.functions.exprs.deletion_neighborhood(col("__s"), maxDist))
             .as("__v"))
-          .localCheckpoint(eager = false)
-        v.select(col("__v"), col("__id").as("id_a"), col("__s").as("__sa"))
-          .join(v.select(col("__v"), col("__id").as("id_b"), col("__s").as("__sb")),
-            Seq("__v"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
-          .distinct()
-      }
-    candidates
-      // length gap > d can't be within d — prunes before the O(len²) DP
-      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+        .localCheckpoint(eager = false)
+      val strPairs = v.select(col("__v"), col("__s").as("__sa"))
+        .join(v.select(col("__v"), col("__s").as("__sb")), Seq("__v"))
+        .filter(col("__sa") < col("__sb"))
+        .select(col("__sa"), col("__sb"))
+        .distinct()
+        // length gap > d can't be within d — prunes before the O(len²) DP
+        .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+        .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+        .filter(col("dist") <= maxDist)
+      // expand verified string pairs to record pairs; strings differ, so
+      // each unordered record pair surfaces exactly once — order the ids
+      val crossPairs = strPairs
+        .join(base.select(col("__s").as("__sa"), col("__id").as("__ida")),
+          Seq("__sa"))
+        .join(base.select(col("__s").as("__sb"), col("__id").as("__idb")),
+          Seq("__sb"))
+        .select(least(col("__ida"), col("__idb")).as("id_a"),
+          greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
+      samePairs.unionByName(crossPairs)
+    }
   }
 
   // ---- materialized edit-distance index (streaming entity resolution) --
@@ -909,9 +931,12 @@ object Dedup {
 
   /** Match a NEW batch against the indexed corpus: every (batch row,
     * corpus row) pair within levenshtein `maxDist` — the streaming
-    * record-linkage probe. The batch generates its neighborhood once
-    * map-side; candidates meet through one equi-join on the stored
-    * variants, then the codegen'd levenshtein verifies.
+    * record-linkage probe. Candidate generation runs over DISTINCT
+    * strings on both sides (the batch's, and the distinct (variant, s)
+    * projection of the stored table), so a corpus where many records
+    * share one attribute value never forms a quadratic candidate set:
+    * string pairs verify once through the codegen'd levenshtein, then
+    * expand to record pairs through two output-proportional joins.
     *
     * @return (id, corpus_id, dist). */
   def matchAgainstEditDistanceIndex(
@@ -921,20 +946,23 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3]: $maxDist")
     graft.ops.IndexSpec.check(df, dir, s"editdist maxDist=$maxDist")
-    val batch = df.select(id.as("__id"), s.as("__s"))
+    val batchRecs = df.select(id.as("__id"), s.as("__s"))
       .filter(col("__s").isNotNull)
-      .select(col("__id"), col("__s"),
+      .localCheckpoint(eager = false)
+    val batchVars = batchRecs.select(col("__s")).distinct()
+      .select(col("__s"),
         explode(graft.functions.exprs.deletion_neighborhood(col("__s"), maxDist))
           .as("variant"))
-    val corpus = graft.ops.Segments.readPart(spark, dir, "vars")
-      .select(col("variant"), col("doc_id").as("corpus_id"),
-        col("s").as("__cs"))
-    batch.join(corpus, Seq("variant"))
-      .select(col("__id"), col("__s"), col("corpus_id"), col("__cs"))
-      .distinct()
+    val stored = graft.ops.Segments.readPart(spark, dir, "vars")
+    val corpusVars = stored.select(col("variant"), col("s").as("__cs")).distinct()
+    val strPairs = batchVars.join(corpusVars, Seq("variant"))
+      .select(col("__s"), col("__cs")).distinct()
       .filter(abs(length(col("__s")) - length(col("__cs"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__s"), col("__cs")))
       .filter(col("dist") <= maxDist)
+    val corpusRecs = stored
+      .select(col("doc_id").as("corpus_id"), col("s").as("__cs")).distinct()
+    strPairs.join(batchRecs, Seq("__s")).join(corpusRecs, Seq("__cs"))
       .select(col("__id").as("id"), col("corpus_id"), col("dist"))
   }
 

@@ -300,13 +300,17 @@ class GraftFileIndex(
               case (x, y) => x.orElse(y).get
             })
           }.toMap
-        classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
+        // only the two needed columns reach the deserializer — the
+        // files table also carries per-file schema/location blobs that
+        // would otherwise dominate a 50k-row fold
+        classic.read.parquet(filesDir.toString)
+          .select($"partitionIdx", $"blocksJson").as[(Int, String)].rdd
           .mapPartitions { it =>
             val m = scala.collection.mutable.HashMap.empty[Int, MetaTableAgg]
-            it.foreach { r =>
-              val acc = m.getOrElse(r.partitionIdx, MetadataAggregates.zero(colsB))
-              m(r.partitionIdx) = MetadataAggregates.foldFile(
-                acc, IndexMetadata.blocksFromJsonString(r.blocksJson), colsB)
+            it.foreach { case (idx, blocksJson) =>
+              val acc = m.getOrElse(idx, MetadataAggregates.zero(colsB))
+              m(idx) = MetadataAggregates.foldFile(
+                acc, IndexMetadata.blocksFromJsonString(blocksJson), colsB)
             }
             Iterator.single(m.toMap)
           }
@@ -329,12 +333,14 @@ class GraftFileIndex(
         val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         import classic.implicits._
         val colsB = cols
-        classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
+        // column-pruned like metadataStatsByPartition: blocksJson only
+        classic.read.parquet(filesDir.toString)
+          .select($"blocksJson").as[String].rdd
           .mapPartitions { it =>
             var acc = MetadataAggregates.zero(colsB)
-            it.foreach { r =>
+            it.foreach { blocksJson =>
               acc = MetadataAggregates.foldFile(
-                acc, IndexMetadata.blocksFromJsonString(r.blocksJson), colsB)
+                acc, IndexMetadata.blocksFromJsonString(blocksJson), colsB)
             }
             Iterator.single(acc)
           }

@@ -329,6 +329,13 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (if (cs.nulls > 0) Seq(InternalRow(null)) else Nil)
         Some(LocalRelation(agg.output, rows))
 
+      // the EMPTY global aggregate (no keys, no functions): Spark's own
+      // optimizer collapses count-over-aggregate into this shape, and
+      // its value is ONE empty row whatever the relation holds — answer
+      // it directly instead of paying an empty-schema scan of every file
+      case Aggregate(Nil, resultExprs, _, _) if resultExprs.isEmpty =>
+        Some(LocalRelation(agg.output, Seq(InternalRow.empty)))
+
       // global aggregates (optionally partition-filtered): every result
       // expression must be a supported aggregate over a bare attribute
       // (or count of a literal)
@@ -439,12 +446,14 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
   *
   * Guards (any miss leaves the plan untouched): v1 file relation, no
   * bucketing, exactly one root path, a `_SUCCESS`-committed index whose
-  * source format matches, and data/partition schemas equal to the
-  * relation's (case-insensitive, nullability-ignored) — a schema drift
-  * means the table changed since indexing, where substitution could
-  * silently hide new files. Off by default because an index is a
-  * SNAPSHOT of the listing: enabling accepts the reference's
-  * appends-invisible staleness contract for plain reads too.
+  * source format matches, data/partition schemas equal to the
+  * relation's (case-insensitive, nullability-ignored), and a file COUNT
+  * matching the index snapshot — schema or listing drift means the
+  * table changed since indexing, where substitution could silently hide
+  * new files, so appends leave plain reads untouched (and correct).
+  * Off by default regardless: a same-count rewrite (compaction) still
+  * slips the guard, the residual staleness window of a listing
+  * snapshot.
   */
 class AutoIndexSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -482,6 +491,14 @@ class AutoIndexSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!DataType.equalsIgnoreCaseAndNullability(meta.partitionSchema, fs.partitionSchema)) {
       return None
     }
+    // listing drift: the index is a SNAPSHOT of the file listing — if the
+    // live relation sees a different file count (append / compaction /
+    // delete since create), substitution would silently hide new files or
+    // resurrect removed ones. The plain relation has already paid its full
+    // listing, so the count is an in-memory read. Same-count rewrites
+    // still slip through (the documented staleness contract); appends —
+    // the common drift — now leave the plan untouched.
+    if (fs.location.inputFiles.length.toLong != meta.fileCount) return None
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val gfi = new GraftFileIndex(spark, indexDir, meta, conf)
     logInfo(s"graft auto-index substitution: ${roots.head} now served by $indexDir")

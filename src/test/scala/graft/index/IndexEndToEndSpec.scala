@@ -605,6 +605,53 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read < total, s"DPP should cut files read: $read/$total")
   }
 
+  test("within-file row groups: native parquet pushdown skips blocks the file fold admits") {
+    import spark.implicits._
+    // The index ORs per-block verdicts into FILE verdicts for listing
+    // (reference ParquetIndexFilters.scala:29-46); within-file skipping
+    // is deliberately delegated to parquet's native row-group pushdown,
+    // which prunes on the same min/max the index stores — so a selective
+    // predicate on a clustered multi-row-group file reads one block, not
+    // the file, with no custom scan node. This proves that division of
+    // labor end to end.
+    val p = s"$work/rowgroups"
+    spark.range(0L, 80000L)
+      .select($"id", concat(lit("pay-"), $"id").as("payload"))
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (128 * 1024).toString)
+      .option("parquet.page.size", (32 * 1024).toString)
+      .parquet(p)
+    val nGroups = {
+      val fs = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(fs.length == 1, s"fixture wants ONE data file, got ${fs.length}")
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(fs.head.getAbsolutePath),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.size
+    }
+    assert(nGroups >= 4, s"fixture wants several row groups, got $nGroups")
+    spark.index.create.mode("overwrite").indexBy("id").parquet(p)
+
+    val q = spark.index.parquet(p).filter(col("id") === 42L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // the file-level fold keeps the (only) file — the cut must be inside
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles == 1L && fi.lastTotalFiles == 1L)
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(id,42)"),
+      s"predicate must reach the parquet reader: ${scan.metadata("PushedFilters")}")
+    val out = scan.metrics("numOutputRows").value
+    assert(out > 0L && out < 80000L / 2,
+      s"row-group pushdown should cut within-file rows, scan emitted $out")
+  }
+
   test("IsNull / null-aware predicates on a table with nulls") {
     val nPath = s"$work/lineitem_nulls"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -295,6 +295,122 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!loc.isInstanceOf[GraftFileIndex])
   }
 
+  test("count over a metadata aggregate stays metadata-only (empty global agg)") {
+    // Dataset.count() over an already-aggregated frame collapses the
+    // inner aggregate into an EMPTY global aggregate over the relation
+    // (no keys, no functions = always one empty row); without its own
+    // rewrite case that shape pays a zero-column scan of EVERY file
+    val t = spark.index.parquet(bloomTable)
+    val inner = t.agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    assert(inner.count() == 1L)
+    val counted = inner.groupBy().count()
+    assertMetadataOnly(counted)
+    assert(counted.head.getLong(0) == 1L)
+    // the empty shape is sound under partition filters too (a global
+    // aggregate yields one row whatever the input)
+    val part = spark.index.parquet(partTable)
+    assert(part.filter(col("pyear") >= 2025)
+      .agg(max(col("id")).as("mx")).count() == 1L)
+  }
+
+  test("auto substitution: appended files back the plan off (listing drift)") {
+    import spark.implicits._
+    val p = s"$work/drift_t"
+    sourceDf.repartition(4, col("id")).write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id").parquet(p)
+    spark.conf.set(IndexConf.AutoIndexSubstitution, "true")
+    try {
+      def loc(df: DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }.head.relation.location
+      }
+      assert(loc(spark.read.parquet(p)).isInstanceOf[GraftFileIndex],
+        "freshly-indexed table must substitute")
+      // same-schema append: the index snapshot no longer matches the
+      // live listing — substitution must back off, keeping the NEW rows
+      // visible (the silent-staleness case the file-count guard closes)
+      sourceDf.select(($"id" + 1000L).as("id"), $"code", $"ship")
+        .limit(5).coalesce(1).write.mode("append").parquet(p)
+      val after = spark.read.parquet(p)
+      assert(!loc(after).isInstanceOf[GraftFileIndex],
+        "appended table must NOT be served by the stale index")
+      assert(after.count() == 205L, "appended rows must stay visible")
+      assert(after.filter($"id" === 1001L).count() == 1L)
+      // refresh re-snapshots the listing: substitution resumes
+      spark.index.refresh.parquet(p)
+      val refreshed = spark.read.parquet(p)
+      assert(loc(refreshed).isInstanceOf[GraftFileIndex],
+        "refreshed index must substitute again")
+      assert(refreshed.count() == 205L)
+    } finally spark.conf.set(IndexConf.AutoIndexSubstitution, "false")
+  }
+
+  test("auto substitution: catalog-table relation served by the catalog index") {
+    import spark.implicits._
+    sourceDf.write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_autosub_tbl")
+    try {
+      spark.index.create.mode("overwrite").indexBy("id")
+        .table("graft_autosub_tbl")
+      spark.conf.set(IndexConf.AutoIndexSubstitution, "true")
+      try {
+        val t = spark.table("graft_autosub_tbl").filter($"id" === 7L)
+        val rows = t.collect()
+        assert(rows.length == 1 && rows.head.getAs[Long]("id") == 7L)
+        val locs = t.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.relation.location
+        }
+        assert(locs.head.isInstanceOf[GraftFileIndex],
+          s"catalog relation must substitute, got ${locs.head}")
+        // parity with the plain read
+        spark.conf.set(IndexConf.AutoIndexSubstitution, "false")
+        assert(t.collect().map(_.toString).sorted.sameElements(
+          spark.table("graft_autosub_tbl").filter($"id" === 7L)
+            .collect().map(_.toString).sorted))
+      } finally spark.conf.set(IndexConf.AutoIndexSubstitution, "false")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_autosub_tbl")
+  }
+
+  test("auto substitution composes with DPP/AQE: star join prunes partitions") {
+    import spark.implicits._
+    val p = s"$work/autosub_dpp"
+    sourceDf.withColumn("pt", ($"id" % 4L).cast("int"))
+      .write.partitionBy("pt").mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id").parquet(p)
+    // the dim must be FILE-BACKED: a LocalRelation's filter constant-
+    // folds away and DPP sees no selective predicate
+    (0 until 4).map(v => (v, if (v == 1) "keep" else "drop"))
+      .toDF("pv", "tag").write.mode("overwrite").parquet(s"$work/autosub_dim")
+    spark.conf.set(IndexConf.AutoIndexSubstitution, "true")
+    try {
+      val fact = spark.read.parquet(p)
+      val dim = spark.read.parquet(s"$work/autosub_dim").filter($"tag" === "keep")
+      val joined = fact.join(dim, fact("pt") === dim("pv"))
+      // execute THIS QueryExecution so the inspected scan's metrics fill
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == sourceDf.filter($"id" % 4L === 1L).count())
+      def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = pl match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      val factScan = scans(joined.queryExecution.executedPlan)
+        .find(_.relation.location.isInstanceOf[GraftFileIndex])
+      assert(factScan.isDefined, "substituted fact scan must use GraftFileIndex")
+      val total = factScan.get.relation.location
+        .asInstanceOf[GraftFileIndex].lastTotalFiles
+      val read = factScan.get.metrics("numFiles").value
+      assert(read > 0, "metric must be populated (plan actually executed)")
+      assert(read < total, s"DPP under substitution should cut files: $read/$total")
+    } finally spark.conf.set(IndexConf.AutoIndexSubstitution, "false")
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     bloomTable

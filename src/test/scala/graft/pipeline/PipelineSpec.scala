@@ -385,6 +385,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.forall { case (a, b, d) => a < b && d <= 2 })
   }
 
+  test("editDistancePairs: degenerate same-attribute corpus stays distinct-string-sized") {
+    // adversarial skew: one attribute value shared by the whole corpus.
+    // The neighborhood join must run over DISTINCT strings (one row
+    // here), never records — the record-level formulation would push a
+    // quadratic candidate set through the variant-key shuffle.
+    val n = 500
+    val rows = (0 until n).map(i => (i.toLong, "acme corporation")) ++
+      Seq((9000L, "acme corporatio"), (9001L, "zzz unrelated"))
+    val df = rows.toDF("id", "name")
+    val pairs = Dedup.editDistancePairs(df, $"id", $"name", maxDist = 1)
+    // white-box: candidate dedup must happen at STRING-PAIR level (a
+    // width-2 all-string grouping), never over record ids — the
+    // record-level distinct is exactly the quadratic set this corpus
+    // blows up (the neighborhood explode itself hides behind the
+    // variant localCheckpoint, so the Aggregate shape is the signal)
+    val groupings = pairs.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions
+    }
+    assert(groupings.exists(g => g.length == 2 &&
+      g.forall(_.dataType == org.apache.spark.sql.types.StringType)),
+      s"expected a distinct over string pairs, got groupings: $groupings")
+    assert(!groupings.exists(_.exists(
+        _.dataType == org.apache.spark.sql.types.LongType)),
+      "no record-id-level distinct may remain in the candidate path")
+    // exact recall: all same-string pairs at dist 0, the typo matches
+    // every corpus record at dist 1, the unrelated string matches none
+    val total = pairs.count()
+    val expected = n.toLong * (n - 1) / 2 + n
+    assert(total == expected, s"pair count $total != $expected")
+    assert(pairs.filter($"dist" === 0).count() == n.toLong * (n - 1) / 2)
+    assert(pairs.filter($"id_b" === 9001L || $"id_a" === 9001L).count() == 0)
+  }
+
   test("spellCorrect: broadcast dict, deterministic best match") {
     val dict = Seq("red", "green", "blue", "linen", "lemon").toDF("w")
     val qs = Seq((1L, "gren"), (2L, "blu"), (3L, "lnen"), (4L, "zzzz"))
