@@ -1084,11 +1084,14 @@ object SparkEntry {
     }),
 
     // BPE tokenizer TRAINING: distributed word-count pass, driver merge
-    // learning over the (distinct-word-sized) table. Learned merges are
-    // a deterministic function of the corpus (lexicographic tie-break),
-    // but not SQL-expressible (iterative argmax) — rows-only check;
-    // the trainer itself is differentially tested against a naive
-    // recount-everything reference in BpeSpec.
+    // learning over the (distinct-word-sized) table. VALUE-GATED: the
+    // trainer's whole iterative loop replays in SQL — a recursive CTE
+    // whose working table is the per-round word/symbol state, the
+    // global argmax an aggregate over the previous iteration (count
+    // desc, pair asc tie-break), the merge sweep a parity-selected
+    // non-overlapping replacement (handles a == b runs) — and matches
+    // the TreeSet trainer bit-for-bit; BpeSpec additionally diffs it
+    // against a naive recount-everything reference.
     "q_text_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       val wc = graft.text.Bpe.wordCounts(
@@ -4814,6 +4817,52 @@ object SparkEntry {
         |SELECT doc_id, array_to_string(matched, '|') AS matched
         |FROM m WHERE len(matched) > 0
         |ORDER BY doc_id""".stripMargin,
+    // exact replay of the BPE TRAINER: recursive CTE whose working
+    // table is the (word, count, symbols) state of one round; the best
+    // pair is a global aggregate over the previous iteration (count
+    // desc, (left, right) asc — the TreeSet's order), and the sweep
+    // merges non-overlapping occurrences left-to-right via the parity
+    // of each occurrence's run position (sound for a == b runs, where
+    // "aaa" counts the pair twice but merges once). Stops below
+    // minPairCount = 2 or at 24 merges. Matches trainLocal bit-for-bit.
+    "q_text_bpe_merges" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT unnest(CASE WHEN length(norm)=0 THEN []
+        |  ELSE string_split(norm,' ') END) AS word FROM t),
+        |wc AS (SELECT word, count(*)::BIGINT AS n FROM tok
+        |  GROUP BY word HAVING count(*) >= 2),
+        |st AS (
+        |  SELECT 0 AS round, NULL::VARCHAR AS ma, NULL::VARCHAR AS mb,
+        |         NULL::BIGINT AS mc, word, n,
+        |         list_transform(range(1, length(word)+1),
+        |           i -> substr(word, i::INT, 1)) AS syms
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT z.round + 1, z.a, z.b, z.c, z.word, z.n,
+        |    list_filter(list_transform(range(1, len(z.syms)+1), i ->
+        |      CASE WHEN z.sel[i] THEN z.a || z.b
+        |           WHEN i > 1 AND z.sel[i-1] THEN NULL
+        |           ELSE z.syms[i] END), x -> x IS NOT NULL) AS syms
+        |  FROM (
+        |    SELECT st.round, st.word, st.n, st.syms, b2.a, b2.b, b2.c,
+        |      list_transform(range(1, len(st.syms)+1), i ->
+        |        (i < len(st.syms) AND st.syms[i] = b2.a AND st.syms[i+1] = b2.b) AND
+        |        (i - coalesce(list_max(list_transform(range(1, i+1), j ->
+        |           CASE WHEN NOT (j < len(st.syms) AND st.syms[j] = b2.a
+        |                AND st.syms[j+1] = b2.b) THEN j END)), 0)) % 2 = 1) AS sel
+        |    FROM st CROSS JOIN (
+        |      SELECT a, b, c FROM (
+        |        SELECT x.syms[x.j] AS a, x.syms[x.j + 1] AS b, sum(x.n)::BIGINT AS c
+        |        FROM (SELECT n, syms, unnest(range(1, len(syms)))::INT AS j FROM st) x
+        |        GROUP BY 1, 2)
+        |      ORDER BY c DESC, a, b LIMIT 1) b2(a, b, c)
+        |    WHERE st.round < 24 AND b2.c >= 2) z
+        |)
+        |SELECT DISTINCT (round - 1)::INT AS rank, ma AS "left", mb AS "right",
+        |  mc AS pair_count
+        |FROM st WHERE round >= 1 ORDER BY rank""".stripMargin,
     // exact replay of the BPE encoder under the plan-literal merge
     // table: recursive CTE over DISTINCT words, one round per step =
     // lowest-rank adjacent pair merged at every matching position
