@@ -1120,6 +1120,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The TRAIN -> ENCODE integration gate: merges learned from the
+    // corpus (the q_text_bpe_merges trainer), then the codegen'd encode
+    // kernel segments every document under them — and the ORACLE
+    // replays BOTH stages in SQL (trainer recursion + encoder recursion
+    // composed), so the full tokenizer pipeline is hash-verified, not
+    // just its parts.
+    "q_text_bpe_encode_trained" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.text.Bpe.mergesOf(graft.text.Bpe.train(
+        graft.text.Bpe.wordCounts(docs, $"text", minCount = 2L), numMerges = 24))
+      val enc = graft.text.Bpe.encode(
+        graft.text.TextFunctions.tokens($"text"), merges)
+      docs.select($"doc_id",
+          size(enc).as("n_subwords"),
+          concat_ws(" ", enc).as("subwords"))
+        .orderBy($"doc_id")
+    }),
+
     // Quality scoring: ratios + combined score.
     "q_text_quality" -> ((s, dir) => {
       import s.implicits._
@@ -3703,6 +3722,63 @@ object SparkEntry {
       s"list_transform($bpeMergesLit, mm -> CASE WHEN mm.a = $syms[i] " +
       s"AND mm.b = $syms[i+1] THEN mm.r END))))"
 
+  /** Shared trainer-replay CTE block (q_text_bpe_merges and
+    * q_text_bpe_encode_trained): tokenization with per-doc positions,
+    * the >= 2-count word table, the recursive per-round trainer state
+    * `st`, and the learned merge list `ml` (structs ordered by rank).
+    * The sweep's occurrence selection is PARITY-based — within a run of
+    * consecutive occurrences (possible only when a == b) the 1st, 3rd,
+    * ... merge and the rest skip, exactly the kernels' left-to-right
+    * non-overlapping scan. */
+  private val bpeTrainerCtes: String =
+    """t AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |  CASE WHEN length(norm)=0 THEN [] ELSE string_split(norm,' ') END AS toks FROM t),
+      |tok AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos,
+      |  unnest(toks) AS word FROM d),
+      |wc AS (SELECT word, count(*)::BIGINT AS n FROM tok
+      |  GROUP BY word HAVING count(*) >= 2),
+      |st AS (
+      |  SELECT 0 AS round, NULL::VARCHAR AS ma, NULL::VARCHAR AS mb,
+      |         NULL::BIGINT AS mc, word, n,
+      |         list_transform(range(1, length(word)+1),
+      |           i -> substr(word, i::INT, 1)) AS syms
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT z.round + 1, z.a, z.b, z.c, z.word, z.n,
+      |    list_filter(list_transform(range(1, len(z.syms)+1), i ->
+      |      CASE WHEN z.sel[i] THEN z.a || z.b
+      |           WHEN i > 1 AND z.sel[i-1] THEN NULL
+      |           ELSE z.syms[i] END), x -> x IS NOT NULL) AS syms
+      |  FROM (
+      |    SELECT st.round, st.word, st.n, st.syms, b2.a, b2.b, b2.c,
+      |      list_transform(range(1, len(st.syms)+1), i ->
+      |        (i < len(st.syms) AND st.syms[i] = b2.a AND st.syms[i+1] = b2.b) AND
+      |        (i - coalesce(list_max(list_transform(range(1, i+1), j ->
+      |           CASE WHEN NOT (j < len(st.syms) AND st.syms[j] = b2.a
+      |                AND st.syms[j+1] = b2.b) THEN j END)), 0)) % 2 = 1) AS sel
+      |    FROM st CROSS JOIN (
+      |      SELECT a, b, c FROM (
+      |        SELECT x.syms[x.j] AS a, x.syms[x.j + 1] AS b, sum(x.n)::BIGINT AS c
+      |        FROM (SELECT n, syms, unnest(range(1, len(syms)))::INT AS j FROM st) x
+      |        GROUP BY 1, 2)
+      |      ORDER BY c DESC, a, b LIMIT 1) b2(a, b, c)
+      |    WHERE st.round < 24 AND b2.c >= 2) z
+      |),
+      |mg AS (SELECT DISTINCT (round - 1)::INT AS r, ma AS a, mb AS b
+      |  FROM st WHERE round >= 1),
+      |ml AS (SELECT coalesce(list(struct_pack(r := r, a := a, b := b)
+      |  ORDER BY r), []) AS ms FROM mg)""".stripMargin
+
+  /** Lowest-rank merge applicable to adjacent pairs of `syms`, over the
+    * struct-list `ms` — NULL when no merge applies (encode termination). */
+  private def bpeBestRankSql(syms: String, ms: String): String =
+    s"list_min(flatten(list_transform(range(1, len($syms)), i -> " +
+      s"list_transform($ms, mm -> CASE WHEN mm.a = $syms[i] " +
+      s"AND mm.b = $syms[i+1] THEN mm.r END))))"
+
   /** Shared by q_scd2 (one-shot fold) and q_scd2_merge (batch-by-batch
     * keyed merges — definitionally equivalent, so one full-log replay
     * checks both): instant collapse by event_id-desc winner, null-safe
@@ -4826,43 +4902,53 @@ object SparkEntry {
     // "aaa" counts the pair twice but merges once). Stops below
     // minPairCount = 2 or at 24 merges. Matches trainLocal bit-for-bit.
     "q_text_bpe_merges" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')) AS norm
-        |  FROM documents),
-        |tok AS (SELECT unnest(CASE WHEN length(norm)=0 THEN []
-        |  ELSE string_split(norm,' ') END) AS word FROM t),
-        |wc AS (SELECT word, count(*)::BIGINT AS n FROM tok
-        |  GROUP BY word HAVING count(*) >= 2),
-        |st AS (
-        |  SELECT 0 AS round, NULL::VARCHAR AS ma, NULL::VARCHAR AS mb,
-        |         NULL::BIGINT AS mc, word, n,
-        |         list_transform(range(1, length(word)+1),
-        |           i -> substr(word, i::INT, 1)) AS syms
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT z.round + 1, z.a, z.b, z.c, z.word, z.n,
-        |    list_filter(list_transform(range(1, len(z.syms)+1), i ->
-        |      CASE WHEN z.sel[i] THEN z.a || z.b
-        |           WHEN i > 1 AND z.sel[i-1] THEN NULL
-        |           ELSE z.syms[i] END), x -> x IS NOT NULL) AS syms
-        |  FROM (
-        |    SELECT st.round, st.word, st.n, st.syms, b2.a, b2.b, b2.c,
-        |      list_transform(range(1, len(st.syms)+1), i ->
-        |        (i < len(st.syms) AND st.syms[i] = b2.a AND st.syms[i+1] = b2.b) AND
-        |        (i - coalesce(list_max(list_transform(range(1, i+1), j ->
-        |           CASE WHEN NOT (j < len(st.syms) AND st.syms[j] = b2.a
-        |                AND st.syms[j+1] = b2.b) THEN j END)), 0)) % 2 = 1) AS sel
-        |    FROM st CROSS JOIN (
-        |      SELECT a, b, c FROM (
-        |        SELECT x.syms[x.j] AS a, x.syms[x.j + 1] AS b, sum(x.n)::BIGINT AS c
-        |        FROM (SELECT n, syms, unnest(range(1, len(syms)))::INT AS j FROM st) x
-        |        GROUP BY 1, 2)
-        |      ORDER BY c DESC, a, b LIMIT 1) b2(a, b, c)
-        |    WHERE st.round < 24 AND b2.c >= 2) z
-        |)
+      s"""WITH RECURSIVE $bpeTrainerCtes
         |SELECT DISTINCT (round - 1)::INT AS rank, ma AS "left", mb AS "right",
         |  mc AS pair_count
         |FROM st WHERE round >= 1 ORDER BY rank""".stripMargin,
+    // the TRAIN -> ENCODE composition: the recursive trainer CTE learns
+    // the merges, a second recursion replays the encoder under them
+    // (lowest-rank applicable pair per round, parity-selected sweep)
+    // over distinct words, and per-doc subword streams reassemble in
+    // token order — the full pipeline hash-verified end to end
+    "q_text_bpe_encode_trained" ->
+      s"""WITH RECURSIVE $bpeTrainerCtes,
+        |w AS (SELECT DISTINCT word FROM tok),
+        |enc AS (
+        |  SELECT word, list_transform(range(1, length(word)+1),
+        |    i -> substr(word, i::INT, 1)) AS syms FROM w
+        |  UNION ALL
+        |  SELECT z.word, list_filter(list_transform(range(1, len(z.syms)+1), i ->
+        |      CASE WHEN z.sel[i] THEN z.pa || z.pb
+        |           WHEN i > 1 AND z.sel[i-1] THEN NULL
+        |           ELSE z.syms[i] END), x -> x IS NOT NULL) AS syms
+        |  FROM (
+        |    SELECT y.word, y.syms,
+        |      (y.ms[y.best + 1]).a AS pa, (y.ms[y.best + 1]).b AS pb,
+        |      list_transform(range(1, len(y.syms)+1), i ->
+        |        (i < len(y.syms) AND y.syms[i] = (y.ms[y.best+1]).a
+        |           AND y.syms[i+1] = (y.ms[y.best+1]).b) AND
+        |        (i - coalesce(list_max(list_transform(range(1, i+1), j ->
+        |          CASE WHEN NOT (j < len(y.syms) AND y.syms[j] = (y.ms[y.best+1]).a
+        |               AND y.syms[j+1] = (y.ms[y.best+1]).b) THEN j END)), 0)) % 2 = 1)
+        |        AS sel
+        |    FROM (SELECT e.word, e.syms, ml.ms,
+        |            ${bpeBestRankSql("e.syms", "ml.ms")} AS best
+        |          FROM enc e CROSS JOIN ml) y
+        |    WHERE y.best IS NOT NULL) z
+        |),
+        |fin AS (SELECT word, syms FROM
+        |  (SELECT e.word, e.syms, ${bpeBestRankSql("e.syms", "ml.ms")} AS best
+        |   FROM enc e CROSS JOIN ml) y WHERE best IS NULL),
+        |ew AS (SELECT word, array_to_string(syms, ' ') AS sub,
+        |  len(syms) AS n_sub FROM fin),
+        |agg AS (SELECT tok.doc_id, sum(ew.n_sub) AS n_subwords,
+        |  array_to_string(list(ew.sub ORDER BY tok.pos), ' ') AS subwords
+        |  FROM tok JOIN ew USING (word) GROUP BY tok.doc_id)
+        |SELECT dd.doc_id, coalesce(a.n_subwords, 0)::INT AS n_subwords,
+        |  coalesce(a.subwords, '') AS subwords
+        |FROM documents dd LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // exact replay of the BPE encoder under the plan-literal merge
     // table: recursive CTE over DISTINCT words, one round per step =
     // lowest-rank adjacent pair merged at every matching position
