@@ -130,6 +130,26 @@ class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("data card: a source whose text is all NULL still gets a row (est 0)") {
+    // counts partials exist for the source but groupRegisters drops null
+    // items — the serve-side left join must keep the source visible with
+    // the all-zero-register estimate instead of silently dropping it
+    val docs = Seq(
+      ("alive", Option("some words here")), ("alive", Option("more words")),
+      ("ghost", Option.empty[String]), ("ghost", Option.empty[String])
+    ).toDF("src", "txt")
+    val dir = tmpDir()
+    graft.ops.Report.appendDataCardSegment(docs, $"src", $"txt", 10, dir, "b0")
+    val card = graft.ops.Report.readDataCard(spark, dir, 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("alive", "ghost"), s"got ${card.keySet}")
+    val g = card("ghost")
+    assert(g.getAs[Long]("n_docs") == 2L)
+    assert(g.getAs[Long]("v_zero") == (1L << 10))
+    assert(g.getAs[Double]("est") == 0.0)
+    assert(card("alive").getAs[Double]("est") > 0.0)
+  }
+
   test("incremental data card: segment merge equals one-shot; counts exact") {
     val docs = (0 until 60).map { i =>
       (s"s${i % 3}", s"doc $i the quick common words here now ${i % 7}")

@@ -276,6 +276,26 @@ class KernelPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("ColMath.floorDiv equals Math.floorDiv over the full long domain") {
+    // the bucket-id arithmetic intervalOverlapJoin/packSequences ride on:
+    // double division mis-rounds above 2^53 and SQL div truncates toward
+    // zero — floorDiv must match java.lang.Math.floorDiv everywhere
+    val edge = Seq(Long.MinValue, Long.MinValue + 1, -(1L << 54) - 3,
+      -(1L << 53), -1L, 0L, 1L, (1L << 53) + 1, Long.MaxValue)
+    val gen = Gen.oneOf(Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.oneOf(edge))
+    val divisors = Seq(1L, 2L, 3L, 512L, 3600L * 1000000L, (1L << 53) + 5)
+    val prop = Prop.forAll(Gen.listOfN(50, gen)) { xs =>
+      val df = xs.toDF("x")
+      divisors.forall { w =>
+        val got = df.select(graft.ops.ColMath.floorDiv(col("x"), w))
+          .as[Long].collect().toSeq
+        got == xs.map(java.lang.Math.floorDiv(_, w))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mixCorpus with one full-weight source keeps every row in epoch 0") {
     val df = (1L to 500L).map(i => (i, "only")).toDF("id", "src")
     val mix = graft.ops.Sampling.mixCorpus(

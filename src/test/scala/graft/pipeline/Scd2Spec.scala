@@ -132,6 +132,21 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
       103L -> Some("b"), 104L -> Some("x"), 105L -> None, 106L -> None))
   }
 
+  test("writeHistory append with a different bucket layout fails fast") {
+    val dir = tmpDir()
+    val rows = (0L until 20L).map(k => (k, 10L, "a"))
+    Scd2.writeHistory(spark, mkLog(rows), "k", "t", Seq("attr"), dir,
+      numBuckets = 8)
+    // a re-pinned different layout would leave keys spread across two
+    // bucketings — the guard must refuse before any data write
+    val e = intercept[IllegalArgumentException] {
+      Scd2.writeHistory(spark, mkLog(Seq((100L, 10L, "b"))), "k", "t",
+        Seq("attr"), dir, numBuckets = 16, mode = "append")
+    }
+    assert(e.getMessage.contains("buckets=8"), e.getMessage)
+    assert(Scd2.readHistory(spark, dir).count() == 20L)
+  }
+
   test("mergeChanges batch-by-batch == fromChangeLog from scratch") {
     val all = (0L until 40L).flatMap { k =>
       (0L until 6L).map(i => (k, 10L + i * 10L, s"s${(k + i) % 3}"))

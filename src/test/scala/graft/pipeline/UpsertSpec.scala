@@ -32,6 +32,30 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
         f.listFiles().map(_.lastModified()).maxOption.getOrElse(0L))
       .toMap
 
+  test("append with a different bucket layout fails fast; matching append lands") {
+    val dir = tmpDir()
+    val base = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.writeKeyedTable(base, "k", dir, numBuckets = 8)
+    // a silently re-pinned different layout would spread one key across
+    // two bucketings and make later upserts miss rows — must refuse
+    // BEFORE any data write
+    val more = (100L until 110L).map(i => (i, s"v$i")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.writeKeyedTable(more, "k", dir, numBuckets = 16, mode = "append")
+    }
+    assert(e.getMessage.contains("buckets=8"), e.getMessage)
+    assert(Upsert.readKeyedTable(spark, dir).count() == 50L,
+      "failed append must not have written rows")
+    // the matching layout appends fine and stays upsert-consistent
+    Upsert.writeKeyedTable(more, "k", dir, numBuckets = 8, mode = "append")
+    assert(Upsert.readKeyedTable(spark, dir).count() == 60L)
+    val up = Seq((100L, "NEW")).toDF("k", "v")
+    Upsert.upsertByKey(spark, dir, up, "k", numBuckets = 8)
+    val got = Upsert.readKeyedTable(spark, dir).filter($"k" === 100L)
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("NEW"), s"exactly one row for the key: $got")
+  }
+
   test("upsert: replace + insert + carry, only touched buckets rewritten") {
     val dir = tmpDir()
     val base = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
