@@ -180,6 +180,41 @@ class Ops:
                                     lock_lease_ms)
 
 
+class Prune:
+    """Index-backed pruning operators that compose with `index.parquet`
+    loads (graft.index.TopK / JoinPrune): top-k file pruning, semi-join
+    IN-list pruning, and runtime bloom join pruning."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._japi = spark._jvm.graft.PythonApi
+
+    def _df(self, jdf):
+        return DataFrame(jdf, self._spark)
+
+    def topk(self, df, key_col, k, largest=True):
+        """Prune an indexed frame to rows that can appear in its top-k by
+        key_col (largest=False for bottom-k); degrades to the unchanged
+        frame when no bound is provable."""
+        return self._df(self._japi.topKPruned(df._jdf, key_col, k, largest))
+
+    def semi_join(self, fact, dim, fact_key_col, dim_key_col,
+                  max_keys=10000):
+        """Inner equi-join where the dim's (<= max_keys) keys become an
+        IN-list the index prunes fact files with."""
+        return self._df(self._japi.semiJoinPruned(
+            fact._jdf, dim._jdf, fact_key_col, dim_key_col, max_keys))
+
+    def bloom_join(self, fact, dim, fact_key_col, dim_key_col,
+                   expected_keys=0, fpp=0.03):
+        """Inner equi-join with a dim-key bloom probed map-side plus the
+        dim [min,max] range pushed into the index's file pruning — the
+        any-size-dim sibling of semi_join."""
+        return self._df(self._japi.bloomJoinPruned(
+            fact._jdf, dim._jdf, fact_key_col, dim_key_col,
+            expected_keys, fpp))
+
+
 class QueryContext:
     """Entry point, shaped like the reference's QueryContext."""
 
@@ -193,3 +228,7 @@ class QueryContext:
     @property
     def ops(self):
         return Ops(self._spark)
+
+    @property
+    def prune(self):
+        return Prune(self._spark)

@@ -64,6 +64,26 @@ def main():
     assert sorted(map(str, indexed3)) == sorted(map(str, indexed2)), "post-compact differ"
     assert ctx.ops.vacuum(table) == 0
 
+    # ---- index-backed pruning surface (ctx.prune) ----
+    fact = ctx.index.parquet(table)
+    plain_df = spark.read.parquet(table)
+    want_top = sorted(
+        (r.l_orderkey, r.l_linenumber) for r in plain_df
+        .orderBy(plain_df.l_orderkey.desc(), plain_df.l_linenumber.desc())
+        .limit(5).collect())
+    pruned = ctx.prune.topk(fact, "l_orderkey", 5)
+    got_top = sorted(
+        (r.l_orderkey, r.l_linenumber) for r in pruned
+        .orderBy(pruned.l_orderkey.desc(), pruned.l_linenumber.desc())
+        .limit(5).collect())
+    assert got_top == want_top, (got_top, want_top)
+    dim = spark.createDataFrame([(key,)], ["k"])
+    n_key = plain_df.filter(f"l_orderkey = {key}").count()
+    assert ctx.prune.semi_join(
+        ctx.index.parquet(table), dim, "l_orderkey", "k").count() == n_key
+    assert ctx.prune.bloom_join(
+        ctx.index.parquet(table), dim, "l_orderkey", "k").count() == n_key
+
     ctx.index.delete.parquet(table)
     assert not ctx.index.exists.parquet(table), "index should be gone"
 

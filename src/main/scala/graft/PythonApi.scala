@@ -346,6 +346,24 @@ object PythonApi {
       k: Int): DataFrame =
     graft.ops.TopK.topKByGroup(df, col(groupCol), col(keyCol), col(idCol), k)
 
+  // ---- index-backed pruning (compose with spark.index loads) ----------
+
+  def topKPruned(
+      df: DataFrame, keyCol: String, k: Int, largest: Boolean): DataFrame =
+    graft.index.TopK.topKPruned(df, col(keyCol), k, largest)
+
+  def semiJoinPruned(
+      fact: DataFrame, dim: DataFrame, factKeyCol: String, dimKeyCol: String,
+      maxKeys: Int): DataFrame =
+    graft.index.JoinPrune.semiJoinPruned(fact, dim, col(factKeyCol),
+      col(dimKeyCol), maxKeys)
+
+  def bloomJoinPruned(
+      fact: DataFrame, dim: DataFrame, factKeyCol: String, dimKeyCol: String,
+      expectedKeys: Long, fpp: Double): DataFrame =
+    graft.index.JoinPrune.bloomJoinPruned(fact, dim, col(factKeyCol),
+      col(dimKeyCol), expectedKeys, fpp)
+
   def kmeansStateInit(
       df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     graft.ann.Ann.kmeansStateInit(df, col(idCol), col(vecCol), k)
