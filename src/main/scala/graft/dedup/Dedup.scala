@@ -794,7 +794,12 @@ object Dedup {
       exact: Boolean = false): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3]: $maxDist")
-    val base = df.select(id.as("__id"), s.as("__s")).filter(col("__s").isNotNull)
+    // distinct: replayed (id, s) rows must not double-emit edges, and the
+    // record table feeds five plan legs below — checkpoint it once
+    val base = df.select(id.as("__id"), s.as("__s"))
+      .filter(col("__s").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false)
     if (exact) {
       base.select(col("__id").as("id_a"), col("__s").as("__sa"))
         .crossJoin(base.select(col("__id").as("id_b"), col("__s").as("__sb")))
@@ -829,12 +834,15 @@ object Dedup {
         .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
         .filter(col("dist") <= maxDist)
       // expand verified string pairs to record pairs; strings differ, so
-      // each unordered record pair surfaces exactly once — order the ids
+      // each unordered record pair surfaces exactly once — order the ids,
+      // and drop the id_a == id_b degenerate (one id carrying two strings
+      // within maxDist of each other is not a pair with itself)
       val crossPairs = strPairs
         .join(base.select(col("__s").as("__sa"), col("__id").as("__ida")),
           Seq("__sa"))
         .join(base.select(col("__s").as("__sb"), col("__id").as("__idb")),
           Seq("__sb"))
+        .filter(col("__ida") =!= col("__idb"))
         .select(least(col("__ida"), col("__idb")).as("id_a"),
           greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
       samePairs.unionByName(crossPairs)
@@ -946,8 +954,11 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3]: $maxDist")
     graft.ops.IndexSpec.check(df, dir, s"editdist maxDist=$maxDist")
+    // distinct: a replayed (id, s) batch row must not double-emit its
+    // match links (the removed record-level distinct's remaining duty)
     val batchRecs = df.select(id.as("__id"), s.as("__s"))
       .filter(col("__s").isNotNull)
+      .distinct()
       .localCheckpoint(eager = false)
     val batchVars = batchRecs.select(col("__s")).distinct()
       .select(col("__s"),

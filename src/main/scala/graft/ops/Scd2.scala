@@ -111,9 +111,13 @@ object Scd2 {
     if (mode == "overwrite") IndexSpec.delete(hist, dir)
     // append onto an existing history must match the pinned layout —
     // same fail-fast as Upsert.writeKeyedTable (a re-pinned different
-    // numBuckets would leave keys spread across two bucket layouts)
+    // numBuckets would leave keys spread across two bucket layouts);
+    // existing data without a spec = crashed create, equally refused
     val appendSpecPresent = mode == "append" && existed &&
       IndexSpec.checkReturningPresence(hist, dir, spec(key, numBuckets))
+    require(!(mode == "append" && existed) || appendSpecPresent,
+      s"history table at $dir exists but carries no _index_spec — a crashed " +
+        "create left unpinned data; rebuild with mode=\"overwrite\"")
     hist.withColumn("graft_bucket", Upsert.bucketOf(col(key), numBuckets))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
     if (!(mode == "ignore" && existed) && !appendSpecPresent)
@@ -159,8 +163,12 @@ object Scd2 {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dirPath), s"history table missing at $dir — writeHistory first")
-    val specPresent =
-      IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
+    // existing data without a spec = crashed create; merging under an
+    // assumed layout would land keys in wrong buckets (same refusal as
+    // writeHistory append and the keyed-table paths)
+    require(IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets)),
+      s"history table at $dir carries no _index_spec — a crashed create left " +
+        "unpinned data; rebuild with writeHistory(mode = \"overwrite\")")
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
       val bucketed = batch
         .select(((key +: ts +: attrs) ++ tieBreaks).map(col): _*)
@@ -212,7 +220,6 @@ object Scd2 {
         merged.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("graft_bucket").parquet(dir)
-        if (!specPresent) IndexSpec.write(spark, dir, spec(key, numBuckets))
         Scd2MergeStats(touched.length, numBuckets, applied, merged.count())
       }
     }

@@ -73,9 +73,15 @@ object Upsert {
     // an append onto an existing table must MATCH the pinned layout —
     // fail fast before any data write; silently re-pinning a different
     // numBuckets would mix two bucket layouts, after which upsertByKey
-    // misses the old rows of a key (duplicate keys)
+    // misses the old rows of a key (duplicate keys). A keyed table has
+    // carried a spec since creation, so existing data WITHOUT one is a
+    // crashed create (the spec-after-data write ordering's failure
+    // window) — appending onto unpinned data is equally unsafe
     val appendSpecPresent = mode == "append" && existed &&
       IndexSpec.checkReturningPresence(df, dir, spec(key, numBuckets))
+    require(!(mode == "append" && existed) || appendSpecPresent,
+      s"keyed table at $dir exists but carries no _index_spec — a crashed " +
+        "create left unpinned data; rebuild with mode=\"overwrite\"")
     df.withColumn("graft_bucket", bucketOf(col(key), numBuckets))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
     // mode="ignore" over an existing table is a no-op write — the old
@@ -106,8 +112,14 @@ object Upsert {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dirPath), s"keyed table missing at $dir — writeKeyedTable first")
+    // a keyed table has carried a spec since creation: existing data
+    // without one is a crashed create — merging under an assumed layout
+    // would land keys in wrong buckets (same refusal as append)
     val specPresent =
       IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
+    require(specPresent,
+      s"keyed table at $dir carries no _index_spec — a crashed create left " +
+        "unpinned data; rebuild with writeKeyedTable(mode = \"overwrite\")")
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
       // checkpoint FIRST so the delta is computed once — the uniqueness
       // guard, touched-bucket probe and merge all read the materialized
@@ -136,7 +148,6 @@ object Upsert {
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("graft_bucket").parquet(dir)
-      if (!specPresent) IndexSpec.write(spark, dir, spec(key, numBuckets))
       UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
     }
   }
@@ -165,7 +176,9 @@ object Upsert {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dirPath), s"keyed table missing at $dir — writeKeyedTable first")
-    IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets))
+    require(IndexSpec.checkReturningPresence(spark, dir, spec(key, numBuckets)),
+      s"keyed table at $dir carries no _index_spec — a crashed create left " +
+        "unpinned data; rebuild with writeKeyedTable(mode = \"overwrite\")")
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
       val keyed = keys.toDF(key).distinct()
         .withColumn("graft_bucket", bucketOf(col(key), numBuckets))

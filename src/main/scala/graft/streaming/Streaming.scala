@@ -417,8 +417,12 @@ object Streaming {
     }
     val outDir = s"$workDir/kept"
     val idxDir = s"$workDir/minhash_index"
-    // foreachBatch runs sequentially on the driver: plain var is safe
-    var indexNonEmpty = false
+    // foreachBatch runs sequentially on the driver: plain var is safe.
+    // Initialized from COMMITTED segments, not false: a crash-restart
+    // replays batches against the index state earlier batches already
+    // committed — starting blind would skip the cross-batch dedup the
+    // ingest exists for
+    var indexNonEmpty = graft.ops.Segments.live(spark, idxDir).nonEmpty
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) => {
         val vsIndex =
@@ -488,8 +492,9 @@ object Streaming {
     }
     val outDir = s"$workDir/kept"
     val idxDir = s"$workDir/winnow_index"
-    // foreachBatch runs sequentially on the driver: plain var is safe
-    var indexNonEmpty = false
+    // committed-segment init, same crash-restart rationale as
+    // nearDedupIngest
+    var indexNonEmpty = graft.ops.Segments.live(spark, idxDir).nonEmpty
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) => {
         val vsIndex =
@@ -571,21 +576,14 @@ object Streaming {
       .foreachBatch(ingest)
       .start()
     try q.processAllAvailable() finally q.stop()
-    // list the committed batch dirs explicitly: a `b*` glob read makes
-    // Spark's FileStreamSink metadata probe log a spurious
-    // FileNotFoundException stack on every run
-    val outFs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs = Option(outFs
-        .globStatus(new org.apache.hadoop.fs.Path(s"$outDir/b*")))
-      .getOrElse(Array.empty).map(_.getPath.toString)
-    if (batchDirs.isEmpty)
-      parseOf(spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.StringType)))))
-    else spark.read.parquet(batchDirs.toIndexedSeq: _*)
+    // shared committed-batch readback; the routed schema is the parse of
+    // an empty value frame (same shape every batch dir carries)
+    val routedSchema = parseOf(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))).schema
+    readCommittedBatches(spark, outDir, routedSchema)
   }
 
   /** STREAMING MINI-BATCH K-MEANS — live centroid maintenance for the

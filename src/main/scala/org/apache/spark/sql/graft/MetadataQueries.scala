@@ -494,11 +494,19 @@ class AutoIndexSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // listing drift: the index is a SNAPSHOT of the file listing — if the
     // live relation sees a different file count (append / compaction /
     // delete since create), substitution would silently hide new files or
-    // resurrect removed ones. The plain relation has already paid its full
-    // listing, so the count is an in-memory read. Same-count rewrites
-    // still slip through (the documented staleness contract); appends —
-    // the common drift — now leave the plan untouched.
-    if (fs.location.inputFiles.length.toLong != meta.fileCount) return None
+    // resurrect removed ones. Only relations whose listing is ALREADY
+    // materialized in memory (path reads and unpartitioned catalog tables
+    // = PartitioningAwareFileIndex) are checked and substituted; a
+    // partitioned catalog table's CatalogFileIndex would pay a metastore
+    // listPartitions + fresh listing on EVERY optimize just to verify the
+    // guard, so it stays unsubstituted rather than un-guarded. Same-count
+    // rewrites still slip through (the documented staleness contract);
+    // appends — the common drift — leave the plan untouched.
+    fs.location match {
+      case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+        if (p.inputFiles.length.toLong != meta.fileCount) return None
+      case _ => return None
+    }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val gfi = new GraftFileIndex(spark, indexDir, meta, conf)
     logInfo(s"graft auto-index substitution: ${roots.head} now served by $indexDir")

@@ -385,6 +385,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.forall { case (a, b, d) => a < b && d <= 2 })
   }
 
+  test("editDistancePairs: no self-pairs, replayed rows emit each edge once") {
+    // one id carrying two strings within maxDist is NOT a pair with
+    // itself, and duplicated (id, s) rows must not double-count edges
+    val df = Seq(
+      (5L, "abc"), (5L, "abd"),             // same id, two close strings
+      (7L, "abd"), (7L, "abd"),             // replayed row
+      (9L, "abc")
+    ).toDF("id", "name")
+    val pairs = Dedup.editDistancePairs(df, $"id", $"name", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.size == pairs.toSet.size, s"duplicate edges: $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == b }, s"self-pair: $pairs")
+    val set = pairs.toSet
+    assert(set == Set((5L, 7L, 1), (5L, 7L, 0), (5L, 9L, 0), (5L, 9L, 1),
+      (7L, 9L, 1)), s"got $set")
+  }
+
   test("editDistancePairs: degenerate same-attribute corpus stays distinct-string-sized") {
     // adversarial skew: one attribute value shared by the whole corpus.
     // The neighborhood join must run over DISTINCT strings (one row
