@@ -382,6 +382,13 @@ class Pipeline:
     def read_keyed_table(self, spark, path):
         return self._df(self._japi.readKeyedTable(self._jspark, path))
 
+    def rebucket_keyed_table(self, spark, path, key_col, old_buckets,
+                             new_buckets):
+        """Migrate the keyed table to a new bucket count (paid-once full
+        rewrite; the layout pin otherwise refuses mismatched mutation)."""
+        self._japi.rebucketKeyedTable(self._jspark, path, key_col,
+                                      old_buckets, new_buckets)
+
     def upsert_by_key(self, spark, path, updates, key_col, num_buckets):
         """MERGE a keyed delta; returns (touched_buckets, total_buckets,
         upserted, carried)."""

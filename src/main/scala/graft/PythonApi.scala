@@ -393,6 +393,11 @@ object PythonApi {
   def readKeyedTable(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Upsert.readKeyedTable(spark, dir)
 
+  def rebucketKeyedTable(
+      spark: SparkSession, dir: String, keyCol: String,
+      oldBuckets: Int, newBuckets: Int): Unit =
+    graft.ops.Upsert.rebucketKeyedTable(spark, dir, keyCol, oldBuckets, newBuckets)
+
   /** @return [touchedBuckets, totalBuckets, upserted, carried] */
   def upsertByKey(
       spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,

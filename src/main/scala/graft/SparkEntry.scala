@@ -2065,6 +2065,29 @@ object SparkEntry {
       graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
     }),
 
+    // Layout MIGRATION mid-lifecycle: build at 4 buckets, REBUCKET to
+    // 16 (the paid-once full rewrite for a table that outgrew its pin —
+    // the spec guard refuses every cheaper path), then a normal
+    // delta-proportional merge under the NEW layout. Values must be
+    // indistinguishable from never having migrated, so the oracle is
+    // the plain upsert replay.
+    "q_upsert_rebucket" -> ((s, dir) => {
+      import s.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/upsert_rebucket"
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Upsert.writeKeyedTable(
+        docs.filter($"doc_id" % 7 =!= 3)
+          .select($"doc_id", $"source", $"n_chars".as("score")),
+        key = "doc_id", dir = td, numBuckets = 4, mode = "overwrite")
+      graft.ops.Upsert.rebucketKeyedTable(s, td, key = "doc_id",
+        oldBuckets = 4, newBuckets = 16)
+      graft.ops.Upsert.upsertByKey(s, td,
+        docs.filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"source", ($"n_chars" * 10).as("score")),
+        key = "doc_id", numBuckets = 16)
+      graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
+    }),
+
     // Keyed-table DELETE (the GDPR/takedown path): same delta-
     // proportional cost as the merge — only buckets holding requested
     // keys are read/rewritten, and a bucket emptied by the delete is
@@ -5692,6 +5715,17 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
         |ORDER BY doc_id""".stripMargin,
     "q_upsert_keyed" ->
+      """WITH base AS (SELECT doc_id, source, n_chars AS score
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |u AS (SELECT doc_id, source, n_chars * 10 AS score
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, source, score FROM u
+        |UNION ALL
+        |SELECT b.doc_id, b.source, b.score FROM base b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
+        |ORDER BY doc_id""".stripMargin,
+    // rebucketing must be value-invisible: same replay as q_upsert_keyed
+    "q_upsert_rebucket" ->
       """WITH base AS (SELECT doc_id, source, n_chars AS score
         |  FROM documents WHERE doc_id % 7 <> 3),
         |u AS (SELECT doc_id, source, n_chars * 10 AS score

@@ -97,6 +97,38 @@ object Upsert {
   def readKeyedTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("graft_bucket")
 
+  /** RE-BUCKET the keyed table to `newBuckets` — the migration path for
+    * a table that outgrew (or over-provisioned) its pinned layout, which
+    * the `_index_spec` guard otherwise correctly refuses to mutate under
+    * a different count. One full-table rewrite under the table's
+    * [[MaintenanceLock]]; the old layout is validated first, the rows are
+    * eagerly checkpointed (severs lineage to `dir` before the overwrite
+    * and is the op's scale cost — deliberate, paid once; day-to-day
+    * mutation stays delta-proportional), the spec is deleted BEFORE the
+    * data write and re-pinned AFTER it, so a crash leaves exactly the
+    * guarded no-spec state every other path refuses to build on. A plain
+    * (non-dynamic) overwrite drops stale bucket dirs when shrinking. */
+  def rebucketKeyedTable(
+      spark: SparkSession, dir: String, key: String,
+      oldBuckets: Int, newBuckets: Int,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dirPath), s"keyed table missing at $dir — writeKeyedTable first")
+    require(IndexSpec.checkReturningPresence(spark, dir, spec(key, oldBuckets)),
+      s"keyed table at $dir carries no _index_spec — a crashed create left " +
+        "unpinned data; rebuild with writeKeyedTable(mode = \"overwrite\")")
+    MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
+      val data = spark.read.parquet(dir).drop("graft_bucket")
+        .localCheckpoint(true)
+      IndexSpec.delete(spark, dir)
+      data.withColumn("graft_bucket", bucketOf(col(key), newBuckets))
+        .write.mode("overwrite").partitionBy("graft_bucket").parquet(dir)
+      IndexSpec.write(spark, dir, spec(key, newBuckets))
+    }
+  }
+
   /** MERGE `updates` into the keyed table at `dir`: rows whose key
     * matches an update are replaced, new keys are inserted, everything
     * else is untouched — only the buckets containing updated keys are

@@ -56,6 +56,34 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("NEW"), s"exactly one row for the key: $got")
   }
 
+  test("rebucket: grow and shrink migrate the pin; shrink drops stale dirs") {
+    val dir = tmpDir()
+    val base = (0L until 300L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.writeKeyedTable(base, "k", dir, numBuckets = 8)
+    // grow 8 -> 16: old-layout ops refuse, new-layout merge works
+    Upsert.rebucketKeyedTable(spark, dir, "k", oldBuckets = 8, newBuckets = 16)
+    intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, dir, Seq((1L, "X")).toDF("k", "v"), "k", 8)
+    }
+    Upsert.upsertByKey(spark, dir, Seq((1L, "NEW")).toDF("k", "v"), "k", 16)
+    val afterGrow = Upsert.readKeyedTable(spark, dir)
+    assert(afterGrow.count() == 300L)
+    assert(afterGrow.filter($"k" === 1L).select("v").as[String]
+      .collect().toSeq == Seq("NEW"))
+    assert(bucketDirs(dir).size == 16)
+    // wrong old-layout claim refuses the migration itself
+    intercept[IllegalArgumentException] {
+      Upsert.rebucketKeyedTable(spark, dir, "k", oldBuckets = 8, newBuckets = 4)
+    }
+    // shrink 16 -> 4: stale bucket dirs must not survive the rewrite
+    Upsert.rebucketKeyedTable(spark, dir, "k", oldBuckets = 16, newBuckets = 4)
+    assert(bucketDirs(dir).size == 4, s"stale dirs: ${bucketDirs(dir).keys}")
+    val afterShrink = Upsert.readKeyedTable(spark, dir)
+    assert(afterShrink.count() == 300L)
+    assert(afterShrink.filter($"k" === 1L).select("v").as[String]
+      .collect().toSeq == Seq("NEW"))
+  }
+
   test("upsert: replace + insert + carry, only touched buckets rewritten") {
     val dir = tmpDir()
     val base = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
