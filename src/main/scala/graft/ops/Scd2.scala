@@ -128,6 +128,17 @@ object Scd2 {
   def readHistory(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("graft_bucket")
 
+  /** Migrate the history table to a new bucket count — the SCD-2 twin of
+    * [[Upsert.rebucketKeyedTable]] (same paid-once rewrite, same
+    * crash-safe spec ordering, same stale-dir guarantee on shrink). */
+  def rebucketHistory(
+      spark: SparkSession, dir: String, key: String,
+      oldBuckets: Int, newBuckets: Int,
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Unit =
+    Upsert.rebucketBucketed(spark, dir, key, newBuckets,
+      oldSpec = spec(key, oldBuckets), newSpec = spec(key, newBuckets),
+      what = "history table", rebuild = "writeHistory", lockLeaseMs)
+
   /** Outcome of [[mergeChanges]]: partitions rewritten vs total, change
     * rows applied, history rows for the touched keys after the merge. */
   case class Scd2MergeStats(

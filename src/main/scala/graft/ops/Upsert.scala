@@ -111,21 +111,32 @@ object Upsert {
   def rebucketKeyedTable(
       spark: SparkSession, dir: String, key: String,
       oldBuckets: Int, newBuckets: Int,
-      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Unit = {
+      lockLeaseMs: Long = MaintenanceLock.DefaultLeaseMs): Unit =
+    rebucketBucketed(spark, dir, key, newBuckets,
+      oldSpec = spec(key, oldBuckets), newSpec = spec(key, newBuckets),
+      what = "keyed table", rebuild = "writeKeyedTable", lockLeaseMs)
+
+  /** The shared layout-migration rewrite behind [[rebucketKeyedTable]]
+    * and [[Scd2.rebucketHistory]] — see rebucketKeyedTable's scaladoc
+    * for the crash-ordering contract. */
+  private[ops] def rebucketBucketed(
+      spark: SparkSession, dir: String, key: String, newBuckets: Int,
+      oldSpec: String, newSpec: String, what: String, rebuild: String,
+      lockLeaseMs: Long): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dirPath), s"keyed table missing at $dir — writeKeyedTable first")
-    require(IndexSpec.checkReturningPresence(spark, dir, spec(key, oldBuckets)),
-      s"keyed table at $dir carries no _index_spec — a crashed create left " +
-        "unpinned data; rebuild with writeKeyedTable(mode = \"overwrite\")")
+    require(fs.exists(dirPath), s"$what missing at $dir — $rebuild first")
+    require(IndexSpec.checkReturningPresence(spark, dir, oldSpec),
+      s"$what at $dir carries no _index_spec — a crashed create left " +
+        s"unpinned data; rebuild with $rebuild(mode = \"overwrite\")")
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
       val data = spark.read.parquet(dir).drop("graft_bucket")
         .localCheckpoint(true)
       IndexSpec.delete(spark, dir)
       data.withColumn("graft_bucket", bucketOf(col(key), newBuckets))
         .write.mode("overwrite").partitionBy("graft_bucket").parquet(dir)
-      IndexSpec.write(spark, dir, spec(key, newBuckets))
+      IndexSpec.write(spark, dir, newSpec)
     }
   }
 

@@ -147,6 +147,25 @@ class Scd2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Scd2.readHistory(spark, dir).count() == 20L)
   }
 
+  test("rebucketHistory: merges keep converging across the migration") {
+    val all = (0L until 30L).flatMap { k =>
+      (0L until 4L).map(i => (k, 10L + i * 10L, s"s${(k + i) % 3}"))
+    }
+    val (b0, b1) = all.partition(_._2 <= 20L)
+    val dir = tmpDir()
+    Scd2.writeHistory(spark, mkLog(b0), "k", "t", Seq("attr"), dir,
+      numBuckets = 4)
+    Scd2.rebucketHistory(spark, dir, "k", oldBuckets = 4, newBuckets = 8)
+    intercept[IllegalArgumentException] {
+      Scd2.mergeChanges(spark, dir, mkLog(b1), "k", "t", Seq("attr"),
+        numBuckets = 4)
+    }
+    Scd2.mergeChanges(spark, dir, mkLog(b1), "k", "t", Seq("attr"),
+      numBuckets = 8)
+    assert(histRows(Scd2.readHistory(spark, dir)) ==
+      histRows(Scd2.fromChangeLog(mkLog(all), "k", "t", Seq("attr"))))
+  }
+
   test("mergeChanges batch-by-batch == fromChangeLog from scratch") {
     val all = (0L until 40L).flatMap { k =>
       (0L until 6L).map(i => (k, 10L + i * 10L, s"s${(k + i) % 3}"))
