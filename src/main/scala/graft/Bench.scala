@@ -62,7 +62,14 @@ object Bench {
     // JIT/GC noise can't double a 0.1 s number between rounds; multi-second
     // queries are best-of-2 (one repeat buys a noise floor without letting
     // the heavyweights dominate bench wall-clock).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY (comma list) restricts the suite to named queries —
+    // the adjudication knob for re-running a suspect mover back-to-back on
+    // a quiet box (bench_notes discipline); probes below still run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
