@@ -199,6 +199,18 @@ def main():
         spark, kt, spark.createDataFrame([(50,), (999,)], ["k"]), "k", 4)
     assert deleted == 1
     assert p.read_keyed_table(spark, kt).count() == 20
+    # layout migration: rebucket, then merge under the NEW count only
+    p.rebucket_keyed_table(spark, kt, "k", 4, 8)
+    try:
+        p.upsert_by_key(spark, kt, spark.createDataFrame(
+            [(2, "X")], ["k", "v"]), "k", 4)
+        assert False, "old layout must be refused after rebucket"
+    except Exception:
+        pass
+    p.upsert_by_key(spark, kt, spark.createDataFrame(
+        [(2, "REB")], ["k", "v"]), "k", 8)
+    got2 = {r.k: r.v for r in p.read_keyed_table(spark, kt).collect()}
+    assert got2[2] == "REB" and got2[1] == "NEW" and len(got2) == 20, got2
     # containment decon from python: the quoting page drops
     quoted = spark.createDataFrame(
         [(1, " ".join("w%d" % i for i in range(40)) +
