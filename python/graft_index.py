@@ -198,6 +198,13 @@ class Prune:
         frame when no bound is provable."""
         return self._df(self._japi.topKPruned(df._jdf, key_col, k, largest))
 
+    def topk_per_group(self, df, group_col, key_col, k, largest=True):
+        """Prune an indexed frame to rows that can appear in ANY group's
+        top-k by key_col — group_col must be a partition column of the
+        index (degrades to the unchanged frame otherwise)."""
+        return self._df(self._japi.topKPerGroupPruned(
+            df._jdf, group_col, key_col, k, largest))
+
     def semi_join(self, fact, dim, fact_key_col, dim_key_col,
                   max_keys=10000):
         """Inner equi-join where the dim's (<= max_keys) keys become an

@@ -352,6 +352,11 @@ object PythonApi {
       df: DataFrame, keyCol: String, k: Int, largest: Boolean): DataFrame =
     graft.index.TopK.topKPruned(df, col(keyCol), k, largest)
 
+  def topKPerGroupPruned(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int,
+      largest: Boolean): DataFrame =
+    graft.index.TopK.topKPerGroupPruned(df, col(groupCol), col(keyCol), k, largest)
+
   def semiJoinPruned(
       fact: DataFrame, dim: DataFrame, factKeyCol: String, dimKeyCol: String,
       maxKeys: Int): DataFrame =

@@ -998,6 +998,24 @@ object SparkEntry {
         .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
     }),
 
+    // GROUPED top-k with index-backed file pruning: the 10 highest
+    // custkeys PER YEAR over the Hive-partitioned orders table — one
+    // range predicate (the weakest per-partition kth bound) preserves
+    // every year's top-10 at once, then the window ranks survivors. The
+    // fixture's hash-ish layout proves VALUES; the file cut on a
+    // clustered layout is e2e-asserted in IndexEndToEndSpec.
+    "q_idx_topk_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_year").orderBy($"o_custkey".desc, $"o_orderkey")
+      graft.index.TopK.topKPerGroupPruned(
+          indexedOrdersPart(s, dir), $"o_year", $"o_custkey", 10)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"o_year", $"rn", $"o_orderkey", $"o_custkey")
+        .orderBy($"o_year", $"rn")
+    }),
+
     // Salted equi-join (hot-key skew shape): deterministic row-hash salt
     // on the big side, small side replicated xsalts, join on (key, salt);
     // merge hint keeps it a shuffle join so the salt actually matters.
@@ -6865,6 +6883,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem
         |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100""".stripMargin,
+    "q_idx_topk_group" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  year(o_orderdate)::INT AS o_year FROM orders),
+        |r AS (SELECT o_year, o_orderkey, o_custkey,
+        |  (row_number() OVER (PARTITION BY o_year
+        |     ORDER BY o_custkey DESC, o_orderkey))::INT AS rn FROM o)
+        |SELECT o_year, rn, o_orderkey, o_custkey FROM r WHERE rn <= 10
+        |ORDER BY o_year, rn""".stripMargin,
     "q_idx_in_list" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem WHERE l_suppkey IN (1, 2, 3)

@@ -70,4 +70,47 @@ object TopK {
         if (largest) df.filter(key >= bound) else df.filter(key <= bound)
     }
   }
+
+  /** Prune `df` to rows that can appear in the top-k by `key` of ANY
+    * `group` — the grouped sibling of [[topKPruned]] for "best k per
+    * partition" selections (top documents per source, hottest keys per
+    * day). Sound only when the group IS a partition column of the
+    * index: each partition's own kth-best block bound is provable there,
+    * and the WEAKEST of them is a single range predicate preserving
+    * every group's `orderBy(key.desc_nulls_last).limit(j <= k)` (see
+    * [[org.apache.spark.sql.graft.GraftFileIndex.topKBoundByPartitions]]).
+    * On a layout clustered by key within partitions the cut is real; on
+    * hash layouts, or when ANY group cannot prove k non-null values, the
+    * frame returns UNCHANGED — degrade, never a wrong answer. */
+  def topKPerGroupPruned(df: DataFrame, group: Column, key: Column, k: Int,
+      largest: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val keyField = df.select(key).schema.fields.head
+    if (!Canon.isSupported(keyField.dataType)) return df
+    val groupName = df.select(group).schema.fields.head.name
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val gfi = leaves match {
+      case Seq(lr: LogicalRelation) => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex => g
+          case _ => return df
+        }
+        case _ => return df
+      }
+      case _ => return df
+    }
+    if (!gfi.meta.partitionSchema.fieldNames
+        .exists(_.equalsIgnoreCase(groupName))) return df
+    val indexedName = gfi.meta.indexSchema.fieldNames
+      .find(_.equalsIgnoreCase(keyField.name)).getOrElse(return df)
+    gfi.topKBoundByPartitions(indexedName, keyField.dataType, k.toLong,
+        largest) match {
+      case None => df
+      case Some(canon) =>
+        val bound = SparkInternals.wrap(Literal(
+          MetadataAggregates.toCatalyst(keyField.dataType, canon),
+          keyField.dataType))
+        if (largest) df.filter(key >= bound) else df.filter(key <= bound)
+    }
+  }
 }

@@ -506,6 +506,111 @@ class GraftFileIndex(
     }
   }
 
+  /** The GROUPED sibling of [[topKBound]]: the WEAKEST per-partition
+    * TOP-K bound — T = the least favorable (min for `largest = true`)
+    * over partitions of that partition's own kth-best per-block lower
+    * bound. `col >= T` then provably preserves EVERY partition group's
+    * `ORDER BY col DESC (nulls last) LIMIT k` result at once, as one
+    * plain range predicate [[listFiles]] prunes files with. None unless
+    * EVERY partition that has files proves a bound (a group with fewer
+    * than k guaranteed non-null values admits rows below any cutoff, so
+    * no global cut is sound).
+    *
+    * Scale: driver fold below the distributed threshold; above it one
+    * files-table job folds each partition's block multiset inside
+    * `groupByKey(partitionIdx).mapGroups` (a partition's BLOCK STATS
+    * must fit a task — metadata-sized, orders of magnitude under the
+    * data itself) and only #partitions bounds reach the driver. */
+  def topKBoundByPartitions(colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      k: Long, largest: Boolean): Option[Any] = {
+    require(k >= 1, s"k must be >= 1: $k")
+
+    def blockPairs(blocks: Seq[BlockStats]): Iterator[(Any, Long)] =
+      blocks.iterator.flatMap { b =>
+        b.columns.get(colName) match {
+          case Some(cs) =>
+            val bound = if (largest) cs.min else cs.max
+            (bound, cs.nullCount) match {
+              case (Some(bd), Some(nc)) if b.rowCount - nc > 0 =>
+                Iterator.single((bd, b.rowCount - nc))
+              case _ => Iterator.empty
+            }
+          case None => Iterator.empty
+        }
+      }
+    def kthWalk(pairs: Array[(Any, Long)]): Option[Any] = {
+      val best = new Ordering[(Any, Long)] {
+        override def compare(a: (Any, Long), b: (Any, Long)): Int = {
+          val c = graft.index.Canon.compare(a._1, b._1)
+          if (largest) -c else c
+        }
+      }
+      val sorted = pairs.sorted(best)
+      var rem = k
+      var i = 0
+      var ans: Option[Any] = None
+      while (i < sorted.length && rem > 0) {
+        ans = Some(sorted(i)._1); rem -= sorted(i)._2; i += 1
+      }
+      if (rem > 0) None else ans
+    }
+    def weakest(bounds: Seq[Option[Any]]): Option[Any] =
+      if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+      else Some(bounds.flatten.reduce { (a, b) =>
+        val c = graft.index.Canon.compare(a, b)
+        if (largest) { if (c <= 0) a else b } else { if (c >= 0) a else b }
+      })
+
+    if (meta.fileCount < conf.distributedPruningThreshold) {
+      weakest(entriesByPartition.valuesIterator.map { fs =>
+        kthWalk(fs.iterator.flatMap(f => blockPairs(f.blocks)).toArray)
+      }.toSeq)
+    } else if (dt == org.apache.spark.sql.types.StringType) {
+      None // executors fold the Long canonical domain only
+    } else {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val (colB, largestB, kB) = (colName, largest, k)
+      val perPart: Array[Option[Long]] = classic.read.parquet(filesDir.toString)
+        .select($"partitionIdx", $"blocksJson").as[(Int, String)]
+        .flatMap { case (idx, blocksJson) =>
+          IndexMetadata.blocksFromJsonString(blocksJson).iterator.flatMap { b =>
+            b.columns.get(colB) match {
+              case Some(cs) =>
+                val bound = if (largestB) cs.min else cs.max
+                (bound, cs.nullCount) match {
+                  case (Some(bd: Long), Some(nc)) if b.rowCount - nc > 0 =>
+                    Iterator.single((idx, bd, b.rowCount - nc))
+                  case _ => Iterator.empty
+                }
+              case None => Iterator.empty
+            }
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val pairs = it.map(t => (t._2, t._3)).toArray
+          val sorted = if (largestB) pairs.sortBy(-_._1) else pairs.sortBy(_._1)
+          var rem = kB
+          var i = 0
+          var ans: Option[Long] = None
+          while (i < sorted.length && rem > 0) {
+            ans = Some(sorted(i)._1); rem -= sorted(i)._2; i += 1
+          }
+          if (rem > 0) None else ans
+        }
+        .collect()
+      // a partition whose blocks yield NO usable pairs never reaches the
+      // grouped fold — but its files exist and admit any value, so the
+      // cut is only sound when every file-bearing partition reported
+      val partsWithFiles = classic.read.parquet(filesDir.toString)
+        .select($"partitionIdx").distinct().count()
+      if (perPart.length.toLong != partsWithFiles) None
+      else weakest(perPart.toSeq.map(_.map(_.asInstanceOf[Any])))
+    }
+  }
+
   private def toFileStatus(f: FileEntry): FileStatus = {
     val base = new FileStatus(
       f.size, false, 1, f.blockSize, f.modificationTime, new Path(f.path))

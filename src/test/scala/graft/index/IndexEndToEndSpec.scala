@@ -386,6 +386,70 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       desc = false) == nullTop(np, desc = false))
   }
 
+  test("grouped top-k pruning: per-partition bounds cut files, degradations") {
+    import spark.implicits._
+    // orders partitioned by year, custkey-clustered WITHIN partitions so
+    // per-file [min,max] are tight — the layout a grouped top-k prunes on
+    val p = s"$work/orders_topk_group"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.repartitionByRange(16, col("o_year"), col("o_custkey"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(p)
+    val fact = spark.index.parquet(p)
+    val plain = spark.read.parquet(p)
+    def top(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_year")).orderBy(col("o_custkey").desc, col("o_orderkey"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("o_year", "rn", "o_orderkey", "o_custkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val pruned = graft.index.TopK.topKPerGroupPruned(
+      fact, col("o_year"), col("o_custkey"), 10)
+    assert(top(pruned, 10) == top(plain, 10), "per-group top-10 must survive")
+    assert(top(pruned, 3) == top(plain, 3), "j < k stays exact")
+    pruned.collect()
+    val fi = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"expected grouped file cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+    // degradations: non-partition group column, k above a group's rows,
+    // plain frame — all return the frame unchanged
+    val total = plain.count()
+    assert(graft.index.TopK.topKPerGroupPruned(
+      fact, col("o_orderstatus"), col("o_custkey"), 10).count() == total)
+    assert(graft.index.TopK.topKPerGroupPruned(
+      fact, col("o_year"), col("o_custkey"), total.toInt + 1).count() == total)
+    assert(graft.index.TopK.topKPerGroupPruned(
+      plain, col("o_year"), col("o_custkey"), 10).count() == total)
+    // distributed tier: per-partition folds run as a files-table job
+    // (threshold forced under the file count) — same values, same cut
+    val factDist = spark.index
+      .option(graft.index.IndexConf.DistributedPruningThreshold, "1")
+      .parquet(p)
+    val prunedDist = graft.index.TopK.topKPerGroupPruned(
+      factDist, col("o_year"), col("o_custkey"), 10)
+    assert(top(prunedDist, 10) == top(plain, 10), "distributed-tier parity")
+    prunedDist.collect()
+    val fiD = prunedDist.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fiD.lastListedFiles < fiD.lastTotalFiles,
+      s"distributed grouped cut: ${fiD.lastListedFiles}/${fiD.lastTotalFiles}")
+    // bottom-k (asc) parity on the same fixture
+    def bottom(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_year")).orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("o_year", "rn", "o_orderkey", "o_custkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(bottom(graft.index.TopK.topKPerGroupPruned(
+      fact, col("o_year"), col("o_custkey"), 10, largest = false)) == bottom(plain))
+  }
+
   test("IN list matches") {
     val keys = spark.read.parquet(tablePath)
       .select("l_orderkey").distinct().limit(3).collect().map(_.getLong(0))
