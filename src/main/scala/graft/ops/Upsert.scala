@@ -101,13 +101,15 @@ object Upsert {
     * a table that outgrew (or over-provisioned) its pinned layout, which
     * the `_index_spec` guard otherwise correctly refuses to mutate under
     * a different count. One full-table rewrite under the table's
-    * [[MaintenanceLock]]; the old layout is validated first, the rows are
-    * eagerly checkpointed (severs lineage to `dir` before the overwrite
-    * and is the op's scale cost — deliberate, paid once; day-to-day
-    * mutation stays delta-proportional), the spec is deleted BEFORE the
-    * data write and re-pinned AFTER it, so a crash leaves exactly the
-    * guarded no-spec state every other path refuses to build on. A plain
-    * (non-dynamic) overwrite drops stale bucket dirs when shrinking. */
+    * [[MaintenanceLock]]; the old layout is validated first, the new
+    * layout is written to a sibling scratch dir (the op's scale cost —
+    * deliberate, paid once; day-to-day mutation stays
+    * delta-proportional) while the source table stays intact, then
+    * spec-delete -> swap (rename) -> re-pin, so a crash anywhere leaves
+    * either the untouched old table or complete new data in the guarded
+    * no-spec state every other path refuses to build on — never a
+    * half-written table. Writing fresh dirs also drops stale bucket
+    * dirs when shrinking. */
   def rebucketKeyedTable(
       spark: SparkSession, dir: String, key: String,
       oldBuckets: Int, newBuckets: Int,
@@ -131,11 +133,25 @@ object Upsert {
       s"$what at $dir carries no _index_spec — a crashed create left " +
         s"unpinned data; rebuild with $rebuild(mode = \"overwrite\")")
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
-      val data = spark.read.parquet(dir).drop("graft_bucket")
-        .localCheckpoint(true)
+      // build the new layout in a SIBLING dir first: the source table
+      // stays intact (and readable under its old spec) until the new
+      // data is fully durable, so an executor/block loss mid-rewrite
+      // loses only scratch — never the table. Only then delete-spec →
+      // swap → re-pin; a crash inside that tail window leaves either
+      // the intact old table (pre-swap) or complete new data missing
+      // only its spec — exactly the guarded no-spec state every other
+      // path refuses to build on.
+      val tmpPath = new org.apache.hadoop.fs.Path(dir + "_rebucket_tmp")
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale scratch from a prior crash
+      spark.read.parquet(dir).drop("graft_bucket")
+        .withColumn("graft_bucket", bucketOf(col(key), newBuckets))
+        .write.mode("overwrite").partitionBy("graft_bucket")
+        .parquet(tmpPath.toString)
       IndexSpec.delete(spark, dir)
-      data.withColumn("graft_bucket", bucketOf(col(key), newBuckets))
-        .write.mode("overwrite").partitionBy("graft_bucket").parquet(dir)
+      fs.delete(dirPath, true)
+      require(fs.rename(tmpPath, dirPath),
+        s"rename $tmpPath -> $dirPath failed; rebucketed data is intact " +
+          s"at $tmpPath — move it into place and re-pin the spec manually")
       IndexSpec.write(spark, dir, newSpec)
     }
   }

@@ -575,7 +575,7 @@ class GraftFileIndex(
       val perPart: Array[Option[Long]] = classic.read.parquet(filesDir.toString)
         .select($"partitionIdx", $"blocksJson").as[(Int, String)]
         .flatMap { case (idx, blocksJson) =>
-          IndexMetadata.blocksFromJsonString(blocksJson).iterator.flatMap { b =>
+          val pairs = IndexMetadata.blocksFromJsonString(blocksJson).iterator.flatMap { b =>
             b.columns.get(colB) match {
               case Some(cs) =>
                 val bound = if (largestB) cs.min else cs.max
@@ -586,12 +586,21 @@ class GraftFileIndex(
                 }
               case None => Iterator.empty
             }
-          }
+          }.toSeq
+          // a file whose blocks yield no usable pairs still admits any
+          // value — emit a zero-count sentinel so its partition reaches
+          // the grouped fold (and folds to None there) instead of
+          // silently dropping out, which would make the cut unsound
+          if (pairs.isEmpty) Seq((idx, 0L, 0L)) else pairs
         }
         .groupByKey(_._1)
         .mapGroups { (_, it) =>
-          val pairs = it.map(t => (t._2, t._3)).toArray
-          val sorted = if (largestB) pairs.sortBy(-_._1) else pairs.sortBy(_._1)
+          val pairs = it.filter(_._3 > 0).map(t => (t._2, t._3)).toArray
+          // explicit reverse ordering: negating the key overflows on
+          // Long.MinValue and would break the walked-bounds invariant
+          val sorted =
+            if (largestB) pairs.sortBy(_._1)(Ordering[Long].reverse)
+            else pairs.sortBy(_._1)
           var rem = kB
           var i = 0
           var ans: Option[Long] = None
@@ -601,13 +610,7 @@ class GraftFileIndex(
           if (rem > 0) None else ans
         }
         .collect()
-      // a partition whose blocks yield NO usable pairs never reaches the
-      // grouped fold — but its files exist and admit any value, so the
-      // cut is only sound when every file-bearing partition reported
-      val partsWithFiles = classic.read.parquet(filesDir.toString)
-        .select($"partitionIdx").distinct().count()
-      if (perPart.length.toLong != partsWithFiles) None
-      else weakest(perPart.toSeq.map(_.map(_.asInstanceOf[Any])))
+      weakest(perPart.toSeq.map(_.map(_.asInstanceOf[Any])))
     }
   }
 
