@@ -69,26 +69,80 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // per-batch WORK seconds for q_stream_* queries (foreachBatch bodies
+    // only — the harness's fixed micro-batch overhead excluded), taken
+    // from the best-elapsed repetition
+    val streamWork = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      graft.streaming.Streaming.BatchWork.reset()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, graft.streaming.Streaming.BatchWork.seconds)
+    }
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
       val timed = try {
-        val first = once()
+        val first = runOnce(fn)
         val best =
-          if (first < 1.0) math.min(first, math.min(once(), once()))
-          else math.min(first, once())
+          if (first._1 < 1.0) Seq(first, runOnce(fn), runOnce(fn)).minBy(_._1)
+          else Seq(first, runOnce(fn)).minBy(_._1)
         Some(best)
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE in $name: $e")
           None
       }
-      name -> (timed.getOrElse(0.0), timed.isDefined)
+      timed.foreach { case (_, w) =>
+        if (name.startsWith("q_stream_") && w > 0) streamWork(name) = w
+      }
+      name -> (timed.map(_._1).getOrElse(0.0), timed.isDefined)
     }
     val failed = results.collect { case (n, (_, false)) => n }
+
+    // -- self-adjudication: any query >2x its previous recorded time gets
+    // an automatic back-to-back quiet re-run (best-of-2) appended to the
+    // JSON, so a transient box-contention mover is adjudicated IN the
+    // artifact of record instead of in a follow-up session. The reference
+    // times come from SPARK_GRAFT_BENCH_PREV (default
+    // bench_notes/bench_prev.json — committed at each round's end) and
+    // only apply when that file was measured at the same SF dir.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      "bench_notes/bench_prev.json")
+    val prevTimes: Map[String, Double] =
+      try {
+        val f = new java.io.File(prevPath)
+        if (!f.exists()) Map.empty
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+            .forall(_.group(1) == sfDir)
+          val qobj = txt.indexOf("\"queries\":{") match {
+            case -1 => ""
+            case i =>
+              val start = i + "\"queries\":{".length
+              txt.substring(start, txt.indexOf('}', start).max(start))
+          }
+          if (!sfOk) Map.empty
+          else """"([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(qobj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH WARN: cannot read $prevPath: $e"); Map.empty
+      }
+    val adjudicated: Seq[(String, Double, Double, Double)] =
+      results.flatMap { case (name, (cur, ok)) =>
+        prevTimes.get(name) match {
+          case Some(prev) if ok && cur >= 0.3 && cur > 2.0 * prev =>
+            val fn = SparkEntry.queries(name)
+            try {
+              val rerun = math.min(runOnce(fn)._1, runOnce(fn)._1)
+              Some((name, prev, cur, rerun))
+            } catch { case _: Throwable => None }
+          case _ => None
+        }
+      }
 
     // -- index effectiveness on a selective point query
     val key = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -339,8 +393,15 @@ object Bench {
     val total = results.collect { case (_, (v, true)) => v }.sum
     val failedJson = (failed ++ extraFailed).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val streamWorkJson = streamWork
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val adjudicatedJson = adjudicated.map { case (n, prev, cur, rerun) =>
+      s""""$n":{"prev":$prev,"first":$cur,"rerun":$rerun}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +
+      s""""stream_work":$streamWorkJson,""" +
+      s""""adjudicated":$adjudicatedJson,""" +
       s""""files_scanned_ratio":$ratio,"orc_files_scanned_ratio":$orcRatio,""" +
       s""""indexed_speedup":$speedup,""" +
       s""""point_query_indexed_sec":$idxTime,"point_query_plain_sec":$plainTime,""" +
@@ -364,7 +425,20 @@ object Bench {
       s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +
       s""""joinprune_files_read":$jpFilesRead,""" +
       s""""joinprune_files_total":$jpFilesTotal,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the line to a file: the round artifact must never again
+    // be a truncated stdout tail (BENCH_r07.json parsed:null)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_notes/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH WARN: could not write $outPath: $e")
+    }
     spark.stop()
   }
 

@@ -19,6 +19,30 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
+  /** Wall-clock spent INSIDE foreachBatch bodies since the last reset —
+    * the per-batch WORK of a streaming query, separated from the
+    * micro-batch harness's fixed overhead (source listing, checkpoint
+    * commits, trigger scheduling). The bench resets this around each
+    * `q_stream_*` run and reports it as `stream_work` so a real
+    * per-batch regression is visible above the 4-micro-batch cascade
+    * noise. foreachBatch bodies run on the streaming query thread, so
+    * the clock is an AtomicLong, not a ThreadLocal. */
+  object BatchWork {
+    private val nanos = new java.util.concurrent.atomic.AtomicLong(0)
+    private[streaming] def add(n: Long): Unit = { nanos.addAndGet(n); () }
+    def reset(): Unit = nanos.set(0)
+    def seconds: Double = nanos.get / 1e9
+  }
+
+  /** Wrap a foreachBatch body so its wall-clock lands on [[BatchWork]]. */
+  private def timedBatch(
+      f: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (b, id) => {
+      val t0 = System.nanoTime()
+      try f(b, id) finally BatchWork.add(System.nanoTime() - t0)
+    }
+
   /** Session for a streaming query with bounded state-shuffle parallelism:
     * the hourly aggregations key on windows × event types, far below the
     * batch shuffle default, so fewer state-store partitions mean far
@@ -91,7 +115,7 @@ object Streaming {
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch(upsert)
+      .foreachBatch(timedBatch(upsert))
       .start()
     try q.processAllAvailable() finally q.stop()
     // an all-empty source never creates the sink dir (every micro-batch
@@ -312,7 +336,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$work/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     parent.index.parquet(tableDir)
@@ -456,7 +480,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     readCommittedBatches(spark, outDir, docs.schema)
@@ -522,7 +546,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     readCommittedBatches(spark, outDir, docs.schema)
@@ -573,7 +597,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     // shared committed-batch readback; the routed schema is the parse of
@@ -659,7 +683,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     val last = fs.listStatus(stateRoot).map(_.getPath.getName)
@@ -722,7 +746,7 @@ object Streaming {
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$workDir/_checkpoint")
-          .foreachBatch(ingest)
+          .foreachBatch(timedBatch(ingest))
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.ops.Scd2.readHistory(spark, histDir)
@@ -764,7 +788,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.text.Trigram.searchSubstring(spark, idxDir, docs,
@@ -812,7 +836,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     import spark.implicits._
@@ -863,7 +887,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.ops.Hll.readRegisters(spark, sketchDir, p)
@@ -909,7 +933,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.ops.Report.readDataCard(spark, cardDir, p)
@@ -953,7 +977,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.text.SearchIndex.searchIndexAll(spark, idxDir, terms, chunkSize)
@@ -998,7 +1022,7 @@ object Streaming {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/_checkpoint")
-      .foreachBatch(ingest)
+      .foreachBatch(timedBatch(ingest))
       .start()
     try q.processAllAvailable() finally q.stop()
     graft.ann.Ann.queryIvfPqIndex(spark, idxDir, query, k, cells, nprobe,
@@ -1055,7 +1079,7 @@ object Streaming {
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$workDir/_checkpoint")
-          .foreachBatch(ingest)
+          .foreachBatch(timedBatch(ingest))
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.ops.Upsert.readKeyedTable(spark, tableDir)
