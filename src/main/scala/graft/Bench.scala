@@ -39,6 +39,7 @@ object Bench {
     SparkEntry.indexedLineitemRefreshed(spark, sfDir).count()
     SparkEntry.indexedLineitemClustered(spark, sfDir).count()
     SparkEntry.indexedLineitemZorder(spark, sfDir).count()
+    SparkEntry.indexedLineitemPrice(spark, sfDir).count()
     SparkEntry.indexedPartDict(spark, sfDir).count()
     SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
     SparkEntry.indexedOrdersInt96(spark, sfDir).count()

@@ -286,6 +286,27 @@ object SparkEntry {
         .indexBy("l_shipdate", "l_orderkey").parquet(tableDir)
     }
 
+  /** Price-clustered indexed lineitem with DOUBLE / DECIMAL(12,2) / FLOAT
+    * indexed columns — the floating-point Canon domain fixture
+    * (IEEE754-sortable-bits Long canonical; the reference stops at five
+    * types, ParquetSchemaUtils.scala:32-33, a 2016-era footer-stats limit
+    * modern parquet no longer has). Clustered on l_extendedprice so
+    * double-range predicates provably cut files; create-once. */
+  private[graft] def indexedLineitemPrice(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "lineitem_price") { tableDir =>
+      import graft.index.implicits._
+      graft.ops.Layout.clusterBy(
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .withColumn("l_quantity_dec",
+              col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .withColumn("l_discount_f", col("l_discount").cast("float")),
+          16, col("l_extendedprice"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("l_extendedprice", "l_quantity_dec", "l_discount_f")
+        .parquet(tableDir)
+    }
+
   /** INT96-timestamp orders copy — the legacy-writer fixture: written
     * with outputTimestampType=INT96, whose footers carry NO usable
     * timestamp statistics, so RANGE pruning on o_ordertime exists only
@@ -887,6 +908,67 @@ object SparkEntry {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"l_returnflag")
+    }),
+
+    // DOUBLE range over the price-clustered layout: footer DOUBLE stats
+    // ride the IEEE754-sortable-bits canonical Long domain — pruning on
+    // price/score predicates the reference's 5-type limit never served
+    // (file cut asserted in IndexEndToEndSpec).
+    "q_idx_range_double" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemPrice(s, dir)
+        .filter($"l_extendedprice" >= 50000.0 && $"l_extendedprice" < 55000.0)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // DOUBLE point lookup through the membership sketch: equality probes
+    // hash the canonical sortable-bits Long, so bloom/dict sharpen the
+    // verdict exactly as for integer keys.
+    "q_idx_point_double" -> ((s, dir) => {
+      import s.implicits._
+      val key = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(max($"l_extendedprice")).head.getDouble(0)
+      indexedLineitemPrice(s, dir)
+        .filter($"l_extendedprice" === key)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // DECIMAL(12,2) range: canonical = unscaled Long; parquet int-backed
+    // decimal footer stats serve it directly.
+    "q_idx_range_decimal" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemPrice(s, dir)
+        .filter($"l_quantity_dec" >= lit(BigDecimal("10.00")) &&
+          $"l_quantity_dec" <= lit(BigDecimal("12.00")))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity_dec").cast("double"), 2).as("sum_q"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // FLOAT range filter (canonical = sortable float bits widened to
+    // Long); the float column only filters — outputs stay exact.
+    "q_idx_range_float" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemPrice(s, dir)
+        .filter($"l_discount_f" >= lit(0.09f))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Metadata-only min/max/count over the DOUBLE column: answered from
+    // the index files table, zero data files opened (MetadataAggregateRule
+    // over the extended Canon domain).
+    "q_idx_double_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitemPrice(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"))
     }),
 
     // Range over an INT96-written (legacy) timestamp column: footer stats
@@ -6838,6 +6920,32 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_range_double" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 50000.0 AND l_extendedprice < 55000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_point_double" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_extendedprice = (SELECT max(l_extendedprice) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_range_decimal" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_q
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) >= 10.00
+        |  AND CAST(l_quantity AS DECIMAL(12,2)) <= 12.00
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_range_float" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE CAST(l_discount AS REAL) >= CAST(0.09 AS REAL)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_idx_double_meta" ->
+      """SELECT count(*) AS n_rows, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
     "q_idx_range_ts_int96" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders

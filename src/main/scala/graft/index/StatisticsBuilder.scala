@@ -169,13 +169,42 @@ object StatisticsBuilder {
       case _ => None
     }
 
+    def decScale: Option[Int] = prim.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
+
     val minmax: Option[(Any, Any)] = (dt, prim.getPrimitiveTypeName) match {
+      case (dec: DecimalType, PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64) =>
+        // int-backed decimal stats are the unscaled values — exactly the
+        // canonical domain, provided the footer's scale matches the
+        // column's. Binary/fixed-len decimals degrade to None (the
+        // full-scan fallback patches them from data).
+        decScale.filter(_ == dec.scale).map { _ =>
+          (st.genericGetMin.asInstanceOf[Number].longValue,
+            st.genericGetMax.asInstanceOf[Number].longValue)
+        }
       case (IntegerType, PrimitiveTypeName.INT32) | (DateType, PrimitiveTypeName.INT32) =>
         Some((st.genericGetMin.asInstanceOf[Number].longValue,
           st.genericGetMax.asInstanceOf[Number].longValue))
       case (LongType, PrimitiveTypeName.INT64) =>
         Some((st.genericGetMin.asInstanceOf[Number].longValue,
           st.genericGetMax.asInstanceOf[Number].longValue))
+      case (DoubleType, PrimitiveTypeName.DOUBLE) =>
+        // parquet-mr's Math.min/max fold poisons FP stats to NaN when any
+        // NaN is present — degrade to unknown and let the full-scan
+        // fallback supply exact NaN-aware bounds. (A spec-recommended
+        // NaN-SKIPPING writer is trusted as-is, the same exposure Spark's
+        // own parquet pushdown accepts.)
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue
+        if (mn.isNaN || mx.isNaN) None
+        else Some((Canon.sortableDouble(mn), Canon.sortableDouble(mx)))
+      case (FloatType, PrimitiveTypeName.FLOAT) =>
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Float].floatValue
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Float].floatValue
+        if (mn.isNaN || mx.isNaN) None
+        else Some((Canon.sortableFloat(mn), Canon.sortableFloat(mx)))
       case (TimestampType, PrimitiveTypeName.INT64) | (TimestampNTZType, PrimitiveTypeName.INT64) =>
         tsScale.map { f =>
           (f(st.genericGetMin.asInstanceOf[Number].longValue),
@@ -274,6 +303,16 @@ object StatisticsBuilder {
         Option(s.getMinimumUTC).zip(Option(s.getMaximumUTC)).map { case (a, b) =>
           (a.getTime * 1000L, b.getTime * 1000L + 999L)
         }
+      case (dec: DecimalType, s: org.apache.orc.DecimalColumnStatistics) =>
+        for {
+          mn <- Option(s.getMinimum).flatMap(d => Canon.decimalCanon(dec, d.bigDecimalValue))
+          mx <- Option(s.getMaximum).flatMap(d => Canon.decimalCanon(dec, d.bigDecimalValue))
+        } yield (mn, mx)
+      // Double/Float: ORC's stats writer silently SKIPS NaN (primitive
+      // comparisons never update min/max on NaN), so a NaN-bearing stripe
+      // would carry bounds that exclude a value Spark orders ABOVE them —
+      // unsound for max-side pruning. Degrade to None; the full-scan
+      // fallback computes exact NaN-aware bounds from the data.
       // TimestampNTZ: ORC's local-vs-UTC accessor semantics differ across
       // writers — degrade to None; the full-scan fallback supplies bounds.
       case _ => None

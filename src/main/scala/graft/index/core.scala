@@ -20,9 +20,52 @@ import org.apache.spark.unsafe.types.UTF8String
 object Canon {
 
   val supportedTypes: Set[DataType] =
-    Set(IntegerType, LongType, StringType, DateType, TimestampType, TimestampNTZType)
+    Set(IntegerType, LongType, StringType, DateType, TimestampType, TimestampNTZType,
+      DoubleType, FloatType)
 
-  def isSupported(dt: DataType): Boolean = supportedTypes.contains(dt)
+  /** Decimal joins the Long domain as its unscaled value, so only
+    * precisions whose unscaled value fits a Long are indexable (the same
+    * bound as Catalyst's own long-backed Decimal). */
+  def isSupported(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+    case other => supportedTypes.contains(other)
+  }
+
+  /** IEEE754 sortable-bits encoding: a Long whose SIGNED order equals the
+    * double order under Spark SQL's comparison semantics — NaN greatest
+    * (all NaN bit patterns canonicalized by doubleToLongBits) and
+    * -0.0 == 0.0 (normalized before encoding). Negative doubles flip all
+    * non-sign bits so larger magnitude sorts lower; positives map to
+    * their raw (non-negative) bits. */
+  def sortableDouble(d: Double): Long = {
+    val norm = if (d == 0.0d) 0.0d else d // -0.0 -> 0.0 (SQL-equal)
+    val bits = java.lang.Double.doubleToLongBits(norm)
+    if (bits >= 0L) bits else bits ^ 0x7FFFFFFFFFFFFFFFL
+  }
+
+  def sortableToDouble(l: Long): Double =
+    java.lang.Double.longBitsToDouble(if (l >= 0L) l else l ^ 0x7FFFFFFFFFFFFFFFL)
+
+  def sortableFloat(f: Float): Long = {
+    val norm = if (f == 0.0f) 0.0f else f
+    val bits = java.lang.Float.floatToIntBits(norm)
+    (if (bits >= 0) bits else bits ^ 0x7FFFFFFF).toLong
+  }
+
+  def sortableToFloat(l: Long): Float = {
+    val i = l.toInt
+    java.lang.Float.intBitsToFloat(if (i >= 0) i else i ^ 0x7FFFFFFF)
+  }
+
+  /** BigDecimal → unscaled Long at the COLUMN's scale. None when the
+    * value doesn't rescale losslessly or overflows a Long — the fold
+    * treats that as "cannot normalize" (conservative no-prune). */
+  def decimalCanon(dt: DecimalType, bd: java.math.BigDecimal): Option[Long] =
+    try {
+      val scaled = bd.setScale(dt.scale) // throws unless lossless
+      val unscaled = scaled.unscaledValue
+      if (unscaled.bitLength >= 64) None else Some(unscaled.longValueExact)
+    } catch { case _: ArithmeticException => None }
 
   /** Catalyst-internal value (Int days, Long micros, UTF8String, …) →
     * canonical. Caller guarantees v != null and dt is supported. */
@@ -31,6 +74,11 @@ object Canon {
     case LongType => v.asInstanceOf[Long]
     case DateType => v.asInstanceOf[Int].toLong
     case TimestampType | TimestampNTZType => v.asInstanceOf[Long]
+    case DoubleType => sortableDouble(v.asInstanceOf[Double])
+    case FloatType => sortableFloat(v.asInstanceOf[Float])
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      // Catalyst guarantees stored values conform to the column's scale
+      v.asInstanceOf[Decimal].toUnscaledLong
     case StringType => v.toString
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
@@ -50,6 +98,14 @@ object Canon {
     case (TimestampType, t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
     case (TimestampType, i: java.time.Instant) => Some(DateTimeUtils.instantToMicros(i))
     case (TimestampNTZType, ldt: java.time.LocalDateTime) => Some(DateTimeUtils.localDateTimeToMicros(ldt))
+    case (DoubleType, d: java.lang.Double) => Some(sortableDouble(d))
+    case (FloatType, f: java.lang.Float) => Some(sortableFloat(f))
+    case (dec: DecimalType, bd: java.math.BigDecimal)
+        if dec.precision <= Decimal.MAX_LONG_DIGITS =>
+      decimalCanon(dec, bd).map(identity[Any])
+    case (dec: DecimalType, d: Decimal)
+        if dec.precision <= Decimal.MAX_LONG_DIGITS =>
+      decimalCanon(dec, d.toJavaBigDecimal).map(identity[Any])
     case (StringType, s: String) => Some(s)
     case (StringType, u: UTF8String) => Some(u.toString)
     case _ => None

@@ -119,6 +119,16 @@ object MetadataAggregates {
   def boundsAttained(dt: DataType, source: String): Boolean = dt match {
     case IntegerType | LongType | DateType => true
     case TimestampType | TimestampNTZType => source == Sources.Parquet
+    // Double/Float bounds are exact data values: parquet footers carry
+    // full-precision FP stats (NaN-poisoned footers degrade at build and
+    // are patched by the full-scan fallback from data); ORC FP stats are
+    // never trusted at build, so ORC bounds ALWAYS come from the
+    // fallback. One caveat, documented: a min of -0.0 answers as 0.0
+    // (the canonical domain normalizes them — SQL-equal values).
+    case DoubleType | FloatType => true
+    // int-backed parquet / ORC decimal stats are exact unscaled values;
+    // binary-backed ones come from the fallback
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
     case _ => false
   }
 
@@ -129,6 +139,9 @@ object MetadataAggregates {
     case (LongType, l: Long) => l
     case (TimestampType, l: Long) => l
     case (TimestampNTZType, l: Long) => l
+    case (DoubleType, l: Long) => Canon.sortableToDouble(l)
+    case (FloatType, l: Long) => Canon.sortableToFloat(l)
+    case (d: DecimalType, l: Long) => Decimal(l, d.precision, d.scale)
     case (StringType, s: String) => UTF8String.fromString(s)
     case other => throw new IllegalArgumentException(s"bad canonical pair $other")
   }

@@ -276,4 +276,96 @@ class FilterFoldSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- double/float/decimal domain (IEEE754 sortable-bits canonical) ---
+
+  /** Spark SQL double comparison (SQLOrderingUtil): -0.0 == 0.0, NaN
+    * greatest and equal to itself. */
+  private def sqlCmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  test("sortable bits: Long order == Spark SQL double order; round-trips") {
+    val specials = Seq(Double.NegativeInfinity, -Double.MaxValue, -1.5,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue, 1.5,
+      Double.MaxValue, Double.PositiveInfinity, Double.NaN)
+    for (a <- specials; b <- specials) {
+      val c = java.lang.Long.compare(Canon.sortableDouble(a), Canon.sortableDouble(b))
+      assert(Integer.signum(c) == Integer.signum(sqlCmp(a, b)), s"$a vs $b")
+    }
+    for (d <- specials if !d.isNaN && d != -0.0) {
+      assert(Canon.sortableToDouble(Canon.sortableDouble(d)) == d, s"round trip $d")
+    }
+    assert(Canon.sortableToDouble(Canon.sortableDouble(Double.NaN)).isNaN)
+    assert(Canon.sortableDouble(-0.0) == Canon.sortableDouble(0.0))
+    // float twin
+    assert(Canon.sortableToFloat(Canon.sortableFloat(-3.25f)) == -3.25f)
+    assert(Canon.sortableFloat(-0.0f) == Canon.sortableFloat(0.0f))
+    assert(Canon.sortableFloat(1.5f) < Canon.sortableFloat(Float.NaN))
+  }
+
+  test("decimal canonical: unscaled-long round-trip and lossy rescale bail") {
+    val dt = DecimalType(10, 2)
+    assert(Canon.decimalCanon(dt, new java.math.BigDecimal("12.34")) === Some(1234L))
+    assert(Canon.decimalCanon(dt, new java.math.BigDecimal("12.3")) === Some(1230L))
+    assert(Canon.decimalCanon(dt, new java.math.BigDecimal("12.345")) === None)
+    assert(Canon.fromExternal(dt, new java.math.BigDecimal("-0.01")) === Some(-1L))
+    assert(Canon.isSupported(DecimalType(18, 4)))
+    assert(!Canon.isSupported(DecimalType(19, 4)))
+  }
+
+  test("soundness on doubles: verdict=false implies no row matches (SQL semantics)") {
+    val dSchema = StructType(Seq(StructField("a", DoubleType)))
+    val dGen: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-50.0, 50.0),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        -0.0, 0.0, 1e-300, -1e-300))
+    val dRows = Gen.nonEmptyListOf(Gen.option(dGen))
+    val dLeaf: Gen[Filter] = Gen.oneOf(
+      dGen.map(v => EqualTo("a", v)),
+      dGen.map(v => GreaterThan("a", v)),
+      dGen.map(v => GreaterThanOrEqual("a", v)),
+      dGen.map(v => LessThan("a", v)),
+      dGen.map(v => LessThanOrEqual("a", v)),
+      Gen.listOf(dGen).map(vs => In("a", vs.map(_.asInstanceOf[Any]).toArray)),
+      Gen.const(IsNull("a")))
+    def dFilter(depth: Int): Gen[Filter] =
+      if (depth == 0) dLeaf
+      else Gen.oneOf(
+        dLeaf,
+        Gen.zip(dFilter(depth - 1), dFilter(depth - 1)).map { case (l, r) => And(l, r) },
+        Gen.zip(dFilter(depth - 1), dFilter(depth - 1)).map { case (l, r) => Or(l, r) },
+        dFilter(depth - 1).map(Not))
+    def rowM(f: Filter, v: Option[Double]): Boolean = f match {
+      case EqualTo("a", x) => v.exists(sqlCmp(_, x.asInstanceOf[Double]) == 0)
+      case GreaterThan("a", x) => v.exists(sqlCmp(_, x.asInstanceOf[Double]) > 0)
+      case GreaterThanOrEqual("a", x) => v.exists(sqlCmp(_, x.asInstanceOf[Double]) >= 0)
+      case LessThan("a", x) => v.exists(sqlCmp(_, x.asInstanceOf[Double]) < 0)
+      case LessThanOrEqual("a", x) => v.exists(sqlCmp(_, x.asInstanceOf[Double]) <= 0)
+      case In("a", xs) => v.exists(r => xs.exists(x => sqlCmp(r, x.asInstanceOf[Double]) == 0))
+      case IsNull("a") => v.isEmpty
+      case And(l, r) => rowM(l, v) && rowM(r, v)
+      case Or(l, r) => rowM(l, v) || rowM(r, v)
+      case Not(c) => !rowM(c, v)
+      case _ => true
+    }
+    val prop = Prop.forAll(dRows, dFilter(3)) { (rows, f) =>
+      val nonNull = rows.flatten
+      // stats as the full-scan fallback computes them: SQL-ordered
+      // min/max, canonicalized through sortable bits
+      val stats =
+        if (nonNull.isEmpty) ColumnStats(None, None, Some(rows.size.toLong))
+        else {
+          val mn = nonNull.reduce((a, b) => if (sqlCmp(a, b) <= 0) a else b)
+          val mx = nonNull.reduce((a, b) => if (sqlCmp(a, b) >= 0) a else b)
+          ColumnStats(Some(Canon.sortableDouble(mn)), Some(Canon.sortableDouble(mx)),
+            Some(rows.count(_.isEmpty).toLong))
+        }
+      val blocks = Seq(BlockStats(rows.size.toLong, Map("a" -> stats)))
+      val v = FilterFold.fileMayContain(f, blocks, noSketch, dSchema)
+      v || !rows.exists(r => rowM(f, r))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

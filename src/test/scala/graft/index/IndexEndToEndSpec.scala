@@ -203,6 +203,64 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.sameElements(before), "evolved column must survive compaction")
   }
 
+  test("double/decimal/float indexing: parity, file cut, NaN and -0.0 safety") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val p = s"$work/prices"
+    val base = spark.range(0, 4000).select(
+      $"id",
+      ($"id".cast("double") * 2.5).as("price"),
+      ($"id" % 100).cast(DecimalType(10, 2)).as("amt"),
+      ($"id" % 7).cast("float").as("disc"))
+    // range-clustered on price so the cut is observable, plus one special
+    // file carrying NaN / -0.0 / -Inf (NaN poisons parquet-mr FP footer
+    // stats -> create's full-scan fallback patches exact NaN-aware bounds)
+    graft.ops.Layout.clusterBy(base, 8, col("price"))
+      .write.mode("overwrite").parquet(p)
+    Seq((-1L, Double.NaN, BigDecimal("1.00"), 0.5f),
+        (-2L, -0.0d, BigDecimal("2.00"), 1.5f),
+        (-3L, Double.NegativeInfinity, BigDecimal("3.00"), 2.5f))
+      .toDF("id", "price", "amt", "disc")
+      .select($"id", $"price", $"amt".cast(DecimalType(10, 2)).as("amt"), $"disc")
+      .coalesce(1).write.mode("append").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("price", "amt", "disc").parquet(p)
+
+    def both(f: DataFrame => DataFrame): Unit =
+      checkSame(f(spark.index.parquet(p)), f(spark.read.parquet(p)))
+
+    both(_.filter(col("price") >= 2000.0 && col("price") < 2500.0))
+    both(_.filter(col("price") === 250.0))
+    both(_.filter(col("price") === Double.NaN)) // NaN = NaN is true in SQL
+    both(_.filter(col("price") > 1e308)) // NaN ranks above every bound
+    both(_.filter(col("price") <= 0.0)) // -0.0 == 0.0
+    both(_.filter(col("price") < -1e308)) // only -Inf
+    both(_.filter(col("amt") >= lit(BigDecimal("50.00"))))
+    both(_.filter(col("amt").isin(BigDecimal("3.00"), BigDecimal("4.00"))))
+    both(_.filter(col("disc") === lit(3.0f)))
+    both(_.filter(col("disc") > lit(4.5f)))
+
+    // the clustered double range must CUT files, not just match
+    val q = spark.index.parquet(p)
+      .filter(col("price") >= 2000.0 && col("price") < 2500.0)
+    q.collect()
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fi.isDefined, "indexed scan must use GraftFileIndex")
+    assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+      s"expected double-range cut: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+
+    // the > 1e308 probe must keep the NaN-bearing file ONLY (plus nothing
+    // else): exactly one file listed, and the row comes back
+    val qNaN = spark.index.parquet(p).filter(col("price") > 1e308)
+    assert(qNaN.collect().map(_.getLong(0)).toSet == Set(-1L))
+    val fiN = qNaN.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+    assert(fiN.get.lastListedFiles == 1L,
+      s"NaN file alone should survive: ${fiN.get.lastListedFiles}")
+  }
+
   test("create + exists + delete lifecycle") {
     assert(spark.index.exists.parquet(tablePath))
     spark.index.delete.parquet(tablePath)
@@ -384,6 +442,34 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       == nullTop(np, desc = true))
     assert(nullTop(graft.index.TopK.topKPruned(nf, col("v"), 20, largest = false),
       desc = false) == nullTop(np, desc = false))
+  }
+
+  test("top-k pruning on a DOUBLE key: parity and file cut") {
+    val p = s"$work/topk_double"
+    val plain0 = spark.read.parquet(tablePath)
+    graft.ops.Layout.clusterBy(plain0, 8, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("l_extendedprice").parquet(p)
+    val fact = spark.index.parquet(p)
+    val plain = spark.read.parquet(p)
+    def top(df: DataFrame, desc: Boolean) = {
+      val o = if (desc) col("l_extendedprice").desc_nulls_last
+        else col("l_extendedprice").asc_nulls_last
+      df.orderBy(o, col("l_orderkey"), col("l_linenumber")).limit(40)
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val pr = graft.index.TopK.topKPruned(fact, col("l_extendedprice"), 40)
+    assert(top(pr, desc = true) == top(plain, desc = true))
+    pr.collect()
+    val fi = pr.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"expected double top-k cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+    val prA = graft.index.TopK.topKPruned(
+      fact, col("l_extendedprice"), 40, largest = false)
+    assert(top(prA, desc = false) == top(plain, desc = false))
   }
 
   test("grouped top-k pruning: per-partition bounds cut files, degradations") {
@@ -574,10 +660,22 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unsupported column type rejected") {
-    val e = intercept[IllegalArgumentException] {
-      spark.index.create.mode("overwrite").indexBy("l_quantity").parquet(tablePath)
+    // doubles/decimals index since the Canon sortable-bits extension, so
+    // the rejection fixture needs genuinely unsupported types: boolean,
+    // array, and a decimal too wide for the unscaled-Long domain
+    import spark.implicits._
+    val p = s"$work/unsupported_t"
+    spark.range(10).select(
+        $"id", ($"id" % 2 === 0).as("flag"),
+        array($"id").as("arr"),
+        $"id".cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("wide"))
+      .write.mode("overwrite").parquet(p)
+    for (c <- Seq("flag", "arr", "wide")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.index.create.mode("overwrite").indexBy(c).parquet(p)
+      }
+      assert(e.getMessage.contains("unsupported type"), s"col $c: ${e.getMessage}")
     }
-    assert(e.getMessage.contains("unsupported type"))
   }
 
   test("partitioned table: partition pruning + index pruning") {

@@ -105,6 +105,39 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.head == expected)
   }
 
+  test("min/max over double and decimal columns answered from metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val p = s"$work/fp_t"
+    (1 to 200).toDF("i")
+      .select(
+        $"i".cast("long").as("id"),
+        ($"i".cast("double") * 1.25 - 100.0).as("price"),
+        ($"i" % 40).cast(DecimalType(10, 2)).as("amt"))
+      .repartition(8, col("id")).write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("price", "amt").parquet(p)
+    val agg = spark.index.parquet(p).agg(
+      count(lit(1)).as("n"),
+      min(col("price")).as("min_p"), max(col("price")).as("max_p"),
+      min(col("amt")).as("min_a"), max(col("amt")).as("max_a"))
+    assertMetadataOnly(agg)
+    val expected = spark.read.parquet(p).agg(
+      count(lit(1)), min(col("price")), max(col("price")),
+      min(col("amt")), max(col("amt"))).head
+    assert(agg.head == expected)
+    // a NaN anywhere poisons the footer -> full-scan fallback patches ->
+    // max answers NaN exactly as the scan would
+    val p2 = s"$work/fp_nan_t"
+    Seq(1.0, 2.0, Double.NaN, -0.5).toDF("price")
+      .coalesce(2).write.parquet(p2)
+    spark.index.create.mode("overwrite").indexBy("price").parquet(p2)
+    val agg2 = spark.index.parquet(p2)
+      .agg(min(col("price")).as("mn"), max(col("price")).as("mx"))
+    assertMetadataOnly(agg2)
+    val r = agg2.head
+    assert(r.getDouble(0) == -0.5 && r.getDouble(1).isNaN)
+  }
+
   test("dataset count() is metadata-only on an indexed relation") {
     val ds = spark.index.parquet(bloomTable)
     val opt = ds.groupBy().count().queryExecution.optimizedPlan
