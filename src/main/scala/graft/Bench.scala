@@ -310,6 +310,30 @@ object Bench {
           (-1.0, -1.0, 1.0)
       }
 
+    // -- the AUTOMATIC rewrite twin of topk_prune_50k: stock
+    // orderBy().limit() over the same 50k-file index, no API call —
+    // TopKRewriteRule injects the proven bound during optimization
+    val (topkAuto50kSec, topkAuto50kRatio) =
+      try {
+        def auto() = SparkEntry.indexed50kFiles(spark, sfDir)
+          .orderBy($"k".desc, $"v".desc).limit(100)
+        val probe = auto()
+        probe.collect()
+        val fi = probe.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.relation.location
+        }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+        val ratio = fi.map(g =>
+          g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles))
+          .getOrElse(1.0)
+        val t = timeBest(auto().count(), 3)
+        (t, ratio)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in topk_auto_50k: $e")
+          extraFailed += "topk_auto_50k"
+          (-1.0, 1.0)
+      }
+
     // -- hot-group top-k: the heap aggregate vs the window formulation on
     // a deliberately skewed table (one group with 4M rows, 63 cold groups
     // of 10k). The window shape sorts the hot group in ONE task; the heap
@@ -421,6 +445,8 @@ object Bench {
       s""""topk_prune_50k_sec":$topkPrune50kSec,""" +
       s""""topk_scan_50k_sec":$topkScan50kSec,""" +
       s""""topk_prune_50k_ratio":$topkPrune50kRatio,""" +
+      s""""topk_auto_50k_sec":$topkAuto50kSec,""" +
+      s""""topk_auto_50k_ratio":$topkAuto50kRatio,""" +
       s""""topk_hot_heap_sec":$topkHeapSec,""" +
       s""""topk_hot_window_sec":$topkWindowSec,""" +
       s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +

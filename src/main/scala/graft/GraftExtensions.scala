@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `spark.index` touch (GraftRules.ensure — both paths idempotent)
     ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.MetadataAggregateRule(s))
     ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.AutoIndexSubstitutionRule(s))
+    ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.TopKRewriteRule(s))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((

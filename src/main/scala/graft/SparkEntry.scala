@@ -1080,6 +1080,17 @@ object SparkEntry {
         .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
     }),
 
+    // The AUTOMATIC twin of q_idx_topk: stock orderBy().limit() with no
+    // TopK API call — TopKRewriteRule injects the index-proven bound
+    // (plan-asserted + file-cut e2e in IndexEndToEndSpec).
+    "q_idx_topk_auto" -> ((s, dir) => {
+      import s.implicits._
+      indexedLineitem(s, dir)
+        .orderBy($"l_orderkey".desc, $"l_linenumber".desc)
+        .limit(100)
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_extendedprice")
+    }),
+
     // GROUPED top-k with index-backed file pruning: the 10 highest
     // custkeys PER YEAR over the Hive-partitioned orders table — one
     // range predicate (the weakest per-partition kth bound) preserves
@@ -6988,6 +6999,10 @@ object SparkEntry {
         |  CAST(max(year(o_orderdate)) AS INT) AS max_year
         |FROM orders WHERE year(o_orderdate) BETWEEN 1994 AND 1996""".stripMargin,
     "q_idx_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100""".stripMargin,
+    "q_idx_topk_auto" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
         |FROM lineitem
         |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100""".stripMargin,

@@ -57,6 +57,12 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * scan (driver holds the union once; executors hold per-slice sets). */
   def metadataDistinctMaxValues: Int =
     get(IndexConf.MetadataDistinctMaxValues, "100000").toInt
+  /** Rewrite `ORDER BY col [DESC] LIMIT k` over an indexed relation into
+    * the same sort+limit above an index-proven bound filter, so the scan
+    * lists only files that can hold a top-k row (see TopKRewriteRule).
+    * Sound by construction (degrades to the plain sort when no bound is
+    * provable); on by default. */
+  def topKRewrite: Boolean = get(IndexConf.TopKRewrite, "true").toBoolean
 }
 
 object IndexConf {
@@ -72,6 +78,7 @@ object IndexConf {
   val MetadataOnlyAggregates = "spark.sql.index.metadataOnlyAggregates"
   val AutoIndexSubstitution = "spark.sql.index.autoSubstitution"
   val MetadataDistinctMaxValues = "spark.sql.index.metadataDistinctMaxValues"
+  val TopKRewrite = "spark.sql.index.topKRewrite"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =

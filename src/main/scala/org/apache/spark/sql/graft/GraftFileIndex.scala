@@ -506,6 +506,18 @@ class GraftFileIndex(
     }
   }
 
+  /** Per-index memo of [[topKBound]] results: the optimizer's
+    * fixed-point iterations (TopKRewriteRule) and repeated queries over
+    * one live index must not redo the fold — metadata is an immutable
+    * snapshot, so the memo can never go stale within this instance. */
+  private val topKBoundCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Boolean), Option[Any]]()
+
+  def topKBoundCached(colName: String, dt: org.apache.spark.sql.types.DataType,
+      k: Long, largest: Boolean): Option[Any] =
+    topKBoundCache.computeIfAbsent((colName, k, largest),
+      _ => topKBound(colName, dt, k, largest))
+
   /** The GROUPED sibling of [[topKBound]]: the WEAKEST per-partition
     * TOP-K bound — T = the least favorable (min for `largest = true`)
     * over partitions of that partition's own kth-best per-block lower

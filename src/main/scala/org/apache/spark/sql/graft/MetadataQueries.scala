@@ -536,7 +536,8 @@ object GraftRules {
     val cur = classic.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[MetadataAggregateRule])) {
       classic.experimental.extraOptimizations =
-        cur :+ new MetadataAggregateRule(spark) :+ new AutoIndexSubstitutionRule(spark)
+        cur :+ new MetadataAggregateRule(spark) :+ new AutoIndexSubstitutionRule(spark) :+
+          new TopKRewriteRule(spark)
     }
   }
 }

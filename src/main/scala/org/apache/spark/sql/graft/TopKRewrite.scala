@@ -1,0 +1,127 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, GreaterThanOrEqual, IntegerLiteral, IsNull, LessThanOrEqual, Literal, NullsFirst, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.index.IndexConf
+
+/** Automatic index-backed TOP-K pruning: rewrites the plain
+  *
+  * {{{ df.orderBy($"key".desc).limit(k) }}}
+  *
+  * shape — `GlobalLimit(k, LocalLimit(k, Sort(key, ...)))` over a single
+  * indexed relation — into the same sort+limit above an injected
+  * `key >= T` filter, where T is the index-proven kth-best per-block
+  * bound ([[GraftFileIndex.topKBound]]): at least k non-null values are
+  * >= T, so no row below T can rank, and the range predicate reaches
+  * `listFiles` as ordinary file pruning. The user writes stock Spark;
+  * the 50k-file cut of `graft.index.TopK.topKPruned` happens anyway.
+  *
+  * Soundness gates (any miss leaves the plan untouched):
+  *   - the Sort is global and its FIRST key is a bare attribute of the
+  *     relation's output, present in the index schema (secondary keys are
+  *     free: a row below T on the first key is beaten by >= k rows
+  *     regardless of ties);
+  *   - between Sort and the relation: only attribute-only Projects —
+  *     a user Filter invalidates the bound (the k proven rows might not
+  *     survive it), so filtered sorts always bail;
+  *   - nulls: `key >= T` drops null keys, which is exact for the default
+  *     DESC NULLS LAST / ASC-with-NULLS-LAST orders (the bound exists
+  *     only when >= k NON-NULL values rank above it); a NULLS FIRST
+  *     order keeps nulls via `... OR key IS NULL` — nulls all survive,
+  *     non-null survivors are a superset of the non-null top, so the
+  *     lexicographic top-k is preserved either way;
+  *   - the bound itself is None (fewer than k provable non-null values,
+  *     unindexed key, string key above the distributed threshold) —
+  *     degrade to the plain sort, never a wrong answer.
+  *
+  * Idempotency under the optimizer's fixed point: the injected filter is
+  * recognized on re-entry (same memoized bound → semantically equal
+  * predicate directly under the Sort) and skipped; any OTHER filter in
+  * that position bails as a user filter. Bound computation memoizes on
+  * the [[GraftFileIndex]] instance, so fixed-point iterations and
+  * repeated queries over a live index pay the fold once.
+  */
+class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!IndexConf(spark).topKRewrite) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(IntegerLiteral(k), ll: LocalLimit) if k >= 1 =>
+        rewriteUnder(k, ll.child) match {
+          case Some(newChild) => gl.copy(child = ll.copy(child = newChild))
+          case None => gl
+        }
+    }
+  }
+
+  /** The Sort can hide under attribute-only Projects the optimizer's
+    * column pruning inserts between LocalLimit and Sort (a count() over
+    * the limit leaves an EMPTY Project there). */
+  private def rewriteUnder(k: Int, p: LogicalPlan): Option[LogicalPlan] = p match {
+    case s: Sort if s.global && s.order.nonEmpty => rewrite(k, s)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteUnder(k, pr.child).map(c => pr.copy(child = c))
+    case _ => None
+  }
+
+  /** The indexed relation under attribute-only projections (column
+    * pruning); anything else — joins, filters, computed projects — bails. */
+  private def relOf(p: LogicalPlan): Option[(LogicalRelation, GraftFileIndex)] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex => Some((lr, g))
+          case _ => None
+        }
+        case _ => None
+      }
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        relOf(pr.child)
+      case _ => None
+    }
+
+  private def rewrite(k: Int, s: Sort): Option[Sort] = {
+    val firstOrder = s.order.head
+    val attr = firstOrder.child match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    // an already-injected bound sits directly under the Sort: recognize
+    // it (semantic equality below) instead of stacking another copy; any
+    // other filter invalidates the bound
+    val (childPlan, existing) = s.child match {
+      case f: Filter => (f.child, Some(f.condition))
+      case other => (other, None)
+    }
+    val (lr, gfi) = relOf(childPlan).getOrElse(return None)
+    if (!lr.output.exists(_.exprId == attr.exprId)) return None
+    val indexedName = gfi.meta.indexSchema.fieldNames
+      .find(_.equalsIgnoreCase(attr.name)).getOrElse(return None)
+
+    val largest = firstOrder.direction match {
+      case Descending => true
+      case Ascending => false
+    }
+    val bound = gfi.topKBoundCached(indexedName, attr.dataType, k.toLong, largest)
+      .getOrElse(return None)
+    val lit = Literal(MetadataAggregates.toCatalyst(attr.dataType, bound), attr.dataType)
+    val cmp =
+      if (largest) GreaterThanOrEqual(attr, lit) else LessThanOrEqual(attr, lit)
+    // NULLS FIRST ranks nulls into the top-k — keep them all; the bound
+    // only cuts non-null rows that >= k non-null rows provably beat
+    val pred =
+      if (firstOrder.nullOrdering == NullsFirst) Or(cmp, IsNull(attr)) else cmp
+
+    existing match {
+      case Some(cond) if cond.semanticEquals(pred) => None // already rewritten
+      case Some(_) => None // user filter: the k proven rows might not survive it
+      case None =>
+        logInfo(s"graft top-k rewrite: injected $pred under sort for limit $k")
+        Some(s.copy(child = Filter(pred, childPlan)))
+    }
+  }
+}

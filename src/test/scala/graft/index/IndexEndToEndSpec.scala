@@ -472,6 +472,69 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(prA, desc = false) == top(plain, desc = false))
   }
 
+  test("automatic top-k rewrite: plain orderBy().limit() prunes files") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical
+    val p = s"$work/topk_auto"
+    graft.ops.Layout.clusterBy(spark.read.parquet(tablePath), 8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("l_orderkey").parquet(p)
+    val fact = spark.index.parquet(p)
+    val plain = spark.read.parquet(p)
+    def rows(df: DataFrame, o: org.apache.spark.sql.Column) =
+      df.orderBy(o, col("l_linenumber")).limit(30)
+        .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted.toSeq
+
+    // stock Spark shape — no TopK API call — gets the injected bound:
+    // filter visible in the optimized plan, files cut, rows exact
+    val q = fact.orderBy(col("l_orderkey").desc, col("l_linenumber")).limit(30)
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collectFirst { case f: logical.Filter => f }.isDefined,
+      s"expected the injected bound filter in:\n$opt")
+    assert(rows(fact, col("l_orderkey").desc) == rows(plain, col("l_orderkey").desc))
+    assert(rows(fact, col("l_orderkey").asc) == rows(plain, col("l_orderkey").asc))
+    q.collect()
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"expected auto top-k cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+
+    // a USER filter between sort and relation invalidates the bound —
+    // no injection (no filter in the plan may touch the sort key)
+    val qf = fact.filter(col("l_returnflag") === "R")
+      .orderBy(col("l_orderkey").desc).limit(30)
+    val condsF = qf.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f.condition
+    }
+    assert(!condsF.exists(_.references.exists(_.name.equalsIgnoreCase("l_orderkey"))),
+      s"user-filtered sort must not gain a bound: $condsF")
+    assert(
+      qf.select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted.toSeq ==
+        plain.filter(col("l_returnflag") === "R")
+          .orderBy(col("l_orderkey").desc).limit(30)
+          .select("l_orderkey", "l_linenumber").collect().map(_.toString).sorted.toSeq)
+
+    // NULLS FIRST (asc default) on a nullable key: nulls rank and are all
+    // kept via the OR IS NULL arm
+    val pn = s"$work/topk_auto_nulls"
+    (0L until 400L).map(i => (if (i % 7 == 0) None else Some(i), i))
+      .toDF("v", "id").repartition(8, col("id")).write.mode("overwrite").parquet(pn)
+    spark.index.create.mode("overwrite").indexBy("v").parquet(pn)
+    def nrows(df: DataFrame) = df.orderBy(col("v"), col("id")).limit(20)
+      .select("v", "id").collect().map(_.toString).sorted.toSeq
+    assert(nrows(spark.index.parquet(pn)) == nrows(spark.read.parquet(pn)))
+
+    // conf off: plan untouched
+    spark.conf.set(IndexConf.TopKRewrite, "false")
+    try {
+      val qOff = fact.orderBy(col("l_orderkey").desc).limit(30)
+      assert(qOff.queryExecution.optimizedPlan.collectFirst {
+        case f: logical.Filter => f
+      }.isEmpty, "rewrite must respect the conf gate")
+    } finally spark.conf.unset(IndexConf.TopKRewrite)
+  }
+
   test("grouped top-k pruning: per-partition bounds cut files, degradations") {
     import spark.implicits._
     // orders partitioned by year, custkey-clustered WITHIN partitions so
