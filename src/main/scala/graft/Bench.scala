@@ -40,6 +40,7 @@ object Bench {
     SparkEntry.indexedLineitemClustered(spark, sfDir).count()
     SparkEntry.indexedLineitemZorder(spark, sfDir).count()
     SparkEntry.indexedLineitemPrice(spark, sfDir).count()
+    SparkEntry.indexedOrdersNested(spark, sfDir).count()
     SparkEntry.indexedPartDict(spark, sfDir).count()
     SparkEntry.indexedLineitemCompacted(spark, sfDir).count()
     SparkEntry.indexedOrdersInt96(spark, sfDir).count()
@@ -334,6 +335,30 @@ object Bench {
           (-1.0, 1.0)
       }
 
+    // -- STRING-keyed top-k at 50k files: the distributed kth walk on the
+    // UTF-8 canonical domain (formerly a silent full-sort degrade)
+    val (topkString50kSec, topkString50kRatio) =
+      try {
+        def prunedS() = graft.index.TopK.topKPruned(
+            SparkEntry.indexed50kFiles(spark, sfDir), $"ks", 100)
+          .orderBy($"ks".desc, $"v".desc).limit(100)
+        val probe = prunedS()
+        probe.collect()
+        val fi = probe.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.relation.location
+        }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+        val ratio = fi.map(g =>
+          g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles))
+          .getOrElse(1.0)
+        val t = timeBest(prunedS().count(), 3)
+        (t, ratio)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in topk_string_50k: $e")
+          extraFailed += "topk_string_50k"
+          (-1.0, 1.0)
+      }
+
     // -- hot-group top-k: the heap aggregate vs the window formulation on
     // a deliberately skewed table (one group with 4M rows, 63 cold groups
     // of 10k). The window shape sorts the hot group in ONE task; the heap
@@ -447,6 +472,8 @@ object Bench {
       s""""topk_prune_50k_ratio":$topkPrune50kRatio,""" +
       s""""topk_auto_50k_sec":$topkAuto50kSec,""" +
       s""""topk_auto_50k_ratio":$topkAuto50kRatio,""" +
+      s""""topk_string_50k_sec":$topkString50kSec,""" +
+      s""""topk_string_50k_ratio":$topkString50kRatio,""" +
       s""""topk_hot_heap_sec":$topkHeapSec,""" +
       s""""topk_hot_window_sec":$topkWindowSec,""" +
       s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +

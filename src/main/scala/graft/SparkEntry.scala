@@ -76,7 +76,7 @@ object SparkEntry {
   // stale create-once tables rebuild even though the metadata version
   // didn't move
   private def scratchVersion: String =
-    s"${graft.index.IndexMetadata.CurrentVersion}.2"
+    s"${graft.index.IndexMetadata.CurrentVersion}.3"
 
   /** Create-once protocol shared by every scratch table: version-marked
     * build under target/, then served through the indexed read. The
@@ -149,12 +149,14 @@ object SparkEntry {
     import graft.index.implicits._
     import s.implicits._
     val ext = if (source == "orc") "orc" else "parquet"
+    // ks: a string twin of k (zero-padded so UTF-8 binary order == numeric
+    // order) — the distributed STRING kth-walk/prune fixture key
     val rows = for {
       k <- 0 until Files50kSeeds
       r <- 0 until Files50kRowsPerSeed
-    } yield (k.toLong, (k.toLong * Files50kRowsPerSeed) + r)
+    } yield (k.toLong, f"s$k%03d", (k.toLong * Files50kRowsPerSeed) + r)
     val seedWriter = s.sparkContext.parallelize(rows, Files50kSeeds)
-      .toDF("k", "v").write.mode("overwrite")
+      .toDF("k", "ks", "v").write.mode("overwrite")
     if (source == "orc") seedWriter.orc(tableDir) else seedWriter.parquet(tableDir)
     val d = new java.io.File(tableDir)
     val seeds = d.listFiles().filter(f => f.getName.endsWith("." + ext) &&
@@ -169,7 +171,7 @@ object SparkEntry {
     }
     val create = s.index.create.mode("overwrite")
       .option(graft.index.IndexConf.FilterEnabled, "false")
-      .indexBy("k")
+      .indexBy("k", "ks")
     if (source == "orc") create.orc(tableDir) else create.parquet(tableDir)
   }
 
@@ -305,6 +307,26 @@ object SparkEntry {
       s.index.create.mode("overwrite")
         .indexBy("l_extendedprice", "l_quantity_dec", "l_discount_f")
         .parquet(tableDir)
+    }
+
+  /** Orders folded into a STRUCT column and indexed on nested leaves
+    * (`payload.user_id`, `payload.status`) — the event-style table shape
+    * (crawl/clickstream payloads) the reference's top-level-only limit
+    * never served (ParquetSchemaUtils.scala:40-54); modern footers carry
+    * per-leaf stats. user_id-clustered so nested range predicates cut
+    * files; create-once. */
+  private[graft] def indexedOrdersNested(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "orders_nested") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("user_id"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")).as("payload"))
+        .repartitionByRange(16, col("payload.user_id"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite")
+        .indexBy("payload.user_id", "payload.status").parquet(tableDir)
     }
 
   /** INT96-timestamp orders copy — the legacy-writer fixture: written
@@ -969,6 +991,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           min($"l_extendedprice").as("min_price"),
           max($"l_extendedprice").as("max_price"))
+    }),
+
+    // NESTED-leaf predicates (payload.user_id / payload.status) served by
+    // per-leaf footer stats — range + equality pruning on an event-style
+    // struct table (file cut asserted in IndexEndToEndSpec).
+    "q_idx_nested" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrdersNested(s, dir)
+        .filter($"payload.user_id" <= 50L && $"payload.status" === "O")
+        .select($"o_orderkey", $"payload.user_id".as("user_id"),
+          $"payload.status".as("status"),
+          round($"payload.price", 2).as("price"))
+        .orderBy($"o_orderkey")
     }),
 
     // Range over an INT96-written (legacy) timestamp column: footer stats
@@ -6957,6 +6992,12 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+    "q_idx_nested" ->
+      """SELECT o_orderkey, o_custkey AS user_id, o_orderstatus AS status,
+        |  round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_custkey <= 50 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_idx_range_ts_int96" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders

@@ -133,8 +133,15 @@ object IndexedDataSource {
   }
 
   /** Validate/choose indexed columns (reference ParquetSchemaUtils.scala:
-    * 40-87 + ParquetMetastoreSupport.scala:111-117): top-level, supported
-    * type, unique, not a partition column; indexByAll prunes to supported. */
+    * 40-87 + ParquetMetastoreSupport.scala:111-117, EXTENDED to dotted
+    * nested leaves — modern footers carry per-leaf stats, so the
+    * reference's top-level-only limit no longer applies): supported leaf
+    * type, unique, not a partition column, path through NON-REPEATED
+    * structs only (a leaf under an array/map counts values, not rows —
+    * its stats can't answer row predicates); indexByAll prunes to
+    * supported TOP-LEVEL columns. The index-schema field NAME is the
+    * dotted path in the table's own casing — the key the footer
+    * dot-strings, sketches and filter fold all join on. */
   private def resolveIndexSchema(
       dataSchema: StructType,
       partitionSchema: StructType,
@@ -151,16 +158,42 @@ object IndexedDataSource {
       val fields = columns.map { c =>
         require(!partitionCols.contains(c.toLowerCase),
           s"cannot index partition column $c (reference ParquetMetastoreSupport.scala:111-117)")
-        val f = dataSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        val f = resolveLeaf(dataSchema, c).getOrElse(
           throw new IllegalArgumentException(
-            s"column $c not found in table schema ${dataSchema.simpleString}"))
+            s"column $c not found in table schema ${dataSchema.simpleString} " +
+              "(nested paths resolve through structs only, not arrays/maps)"))
         require(Canon.isSupported(f.dataType),
           s"column $c has unsupported type ${f.dataType.simpleString}; " +
-            s"supported: int, bigint, string, date, timestamp, timestamp_ntz")
+            "supported: int, bigint, string, date, timestamp, timestamp_ntz, " +
+            "double, float, decimal(p<=18)")
         f
       }
-      StructType(fields.map(f => StructField(f.name, f.dataType, f.nullable, f.metadata)))
+      StructType(fields)
     }
+  }
+
+  /** Resolve a (possibly dotted) column path to its leaf field — struct
+    * hops only, case-insensitive per segment; the returned field carries
+    * the FULL dotted path in the table's own casing as its name. */
+  private def resolveLeaf(schema: StructType, path: String): Option[StructField] = {
+    val segs = path.split('.')
+    var cur: org.apache.spark.sql.types.DataType = schema
+    val actual = scala.collection.mutable.ArrayBuffer.empty[String]
+    var leaf: Option[StructField] = None
+    for ((seg, i) <- segs.zipWithIndex) {
+      cur match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(seg)) match {
+            case Some(f) =>
+              actual += f.name
+              cur = f.dataType
+              if (i == segs.length - 1) leaf = Some(f)
+            case None => return None
+          }
+        case _ => return None // path hops through a non-struct
+      }
+    }
+    leaf.map(f => StructField(actual.mkString("."), f.dataType, f.nullable, f.metadata))
   }
 
   /** Outcome of [[refreshIndex]]: how many data files were (re-)indexed

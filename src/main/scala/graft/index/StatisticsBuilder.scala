@@ -106,6 +106,14 @@ object StatisticsBuilder {
     summarizeFilesTable(spark, filesDir)
   }
 
+  /** Does the frame resolve `name` — as a top-level column, or (for a
+    * dotted index path) through nested struct resolution? Guards the
+    * add-missing-as-null folds: a flat `withColumn("a.b", null)` would
+    * SHADOW a real nested a.b. */
+  private def hasColumn(d: DataFrame, name: String): Boolean =
+    d.columns.exists(_.equalsIgnoreCase(name)) ||
+      (name.contains(".") && scala.util.Try(d(name)).isSuccess)
+
   /** Summary + schema merge over the whole files table (columnar reads of
     * three small columns; distinct schemas are few even at 1M files). */
   def summarizeFilesTable(spark: SparkSession, filesDir: Path): FileStatsSummary = {
@@ -135,9 +143,16 @@ object StatisticsBuilder {
       val fileMeta = reader.getFooter.getFileMetaData
       val schema = SparkInternals.footerSparkSchema(
         fileMeta.getKeyValueMetaData, fileMeta.getSchema)
+      val msgType = fileMeta.getSchema
       val blocks = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+        // nested leaves join on the dot-string path; a leaf under a
+        // REPEATED group counts values (not rows), so its stats can't
+        // answer row predicates — require maxRepetitionLevel == 0
         val byName = block.getColumns.asScala
-          .filter(_.getPath.size == 1)
+          .filter { c =>
+            c.getPath.size == 1 ||
+              msgType.getColumnDescription(c.getPath.toArray).getMaxRepetitionLevel == 0
+          }
           .map(c => c.getPath.toDotString -> c)
           .toMap
         val cols = indexed.flatMap { case (name, dt) =>
@@ -247,10 +262,17 @@ object StatisticsBuilder {
     try {
       val td = reader.getSchema
       val schema = SparkInternals.orcSparkSchema(td)
-      val idOf: Map[String, Int] =
-        td.getFieldNames.asScala.zip(td.getChildren.asScala).map {
-          case (n, child) => n.toLowerCase -> child.getId
-        }.toMap
+      // dotted paths through STRUCT children only — array/map leaves count
+      // values, not rows, so they never carry row-predicate stats
+      def walkIds(prefix: String,
+          t: org.apache.orc.TypeDescription): Seq[(String, Int)] =
+        if (t.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) Nil
+        else t.getFieldNames.asScala.toSeq.zip(t.getChildren.asScala).flatMap {
+          case (n, child) =>
+            val path = if (prefix.isEmpty) n else s"$prefix.$n"
+            (path.toLowerCase -> child.getId) +: walkIds(path, child)
+        }
+      val idOf: Map[String, Int] = walkIds("", td).toMap
       val stripes = reader.getStripes.asScala.toSeq
       val stripeStats = reader.getStripeStatistics.asScala.toSeq
       // A writer that omitted the stripe-statistics section must NOT make
@@ -379,7 +401,7 @@ object StatisticsBuilder {
     //    affected columns (ReadSchema carries only those + file name)
     val read = Sources.read(spark, source, paths)
     val withCols = colNames.foldLeft(read) { (d, c) =>
-      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      if (hasColumn(d, c)) d
       else d.withColumn(c, lit(null).cast(DataType.fromJson(colTypes(c))))
     }
     val normPath = udf((s: String) => SketchStore.normalizePath(s))
@@ -456,7 +478,7 @@ object StatisticsBuilder {
     // refresh over a homogeneous delta) must still aggregate — as all-null,
     // yielding an empty sketch (sound: the files really contain no values).
     val df = indexSchema.fields.foldLeft(read) { (d, f) =>
-      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      if (hasColumn(d, f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
     val aggs = indexSchema.fields.map { f =>

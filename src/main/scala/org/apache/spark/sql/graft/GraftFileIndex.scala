@@ -457,52 +457,72 @@ class GraftFileIndex(
       }
       if (rem > 0) None else ans
     } else if (dt == org.apache.spark.sql.types.StringType) {
-      None // distributed tier keys the sort on the Long canonical domain
+      // string keys fold distributed too: the canonical String domain
+      // sorts in UTF-8 binary order (Canon.compare). Footer-TRUNCATED
+      // bounds stay sound here — a truncated lower bound still lower-
+      // bounds every value of its block (and upper bounds upper-bound),
+      // which is all the kth-walk guarantee needs.
+      distributedKthWalk[String](colName, k, largest,
+        { case s: String => s })(GraftFileIndex.Utf8Ordering, implicitly)
     } else {
-      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      import classic.implicits._
-      val (colB, largestB) = (colName, largest)
-      val sorted = classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
-        .mapPartitions { it =>
-          it.flatMap { r =>
-            IndexMetadata.blocksFromJsonString(r.blocksJson).iterator.flatMap { b =>
-              b.columns.get(colB) match {
-                case Some(cs) =>
-                  val bound = if (largestB) cs.min else cs.max
-                  (bound, cs.nullCount) match {
-                    case (Some(bd: Long), Some(nc)) if b.rowCount - nc > 0 =>
-                      Iterator.single((bd, b.rowCount - nc))
-                    case _ => Iterator.empty
-                  }
-                case None => Iterator.empty
-              }
+      distributedKthWalk[Long](colName, k, largest, { case l: Long => l })(
+        Ordering.Long, implicitly)
+    }
+  }
+
+  /** The distributed kth-element walk shared by [[topKBound]]'s Long and
+    * String canonical domains: one files-table job emits (bound,
+    * nonNullCount) pairs, a distributed sort orders them, per-partition
+    * totals (one Long per task) locate the kth element's partition, and
+    * ONE partition is scanned — the driver never holds per-file state. */
+  private def distributedKthWalk[K](
+      colName: String, k: Long, largest: Boolean,
+      extract: PartialFunction[Any, K])(
+      implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K]): Option[K] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val (colB, largestB) = (colName, largest)
+    val extractB = extract
+    val sorted = classic.read.parquet(filesDir.toString).as[FileStatsRow].rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          IndexMetadata.blocksFromJsonString(r.blocksJson).iterator.flatMap { b =>
+            b.columns.get(colB) match {
+              case Some(cs) =>
+                val bound = (if (largestB) cs.min else cs.max).collect(extractB)
+                (bound, cs.nullCount) match {
+                  case (Some(bd), Some(nc)) if b.rowCount - nc > 0 =>
+                    Iterator.single((bd, b.rowCount - nc))
+                  case _ => Iterator.empty
+                }
+              case None => Iterator.empty
             }
           }
         }
-        .sortBy(_._1, ascending = !largestB)
-      val partTotals = sorted
-        .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
-        .collect().sortBy(_._1)
-      var rem = k
-      var target = -1
-      partTotals.foreach { case (i, s) =>
-        if (target < 0) { if (rem <= s) target = i else rem -= s }
       }
-      if (target < 0) None
-      else {
-        val (remB, targetB) = (rem, target)
-        sorted.mapPartitionsWithIndex { (i, it) =>
-          if (i != targetB) Iterator.empty
-          else {
-            var need = remB
-            var ans: Option[Any] = None
-            while (it.hasNext && need > 0) {
-              val (bd, c) = it.next(); ans = Some(bd); need -= c
-            }
-            Iterator.single(ans)
+      .sortBy(_._1, ascending = !largestB)
+    val partTotals = sorted
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1)
+    var rem = k
+    var target = -1
+    partTotals.foreach { case (i, s) =>
+      if (target < 0) { if (rem <= s) target = i else rem -= s }
+    }
+    if (target < 0) None
+    else {
+      val (remB, targetB) = (rem, target)
+      sorted.mapPartitionsWithIndex { (i, it) =>
+        if (i != targetB) Iterator.empty
+        else {
+          var need = remB
+          var ans: Option[K] = None
+          while (it.hasNext && need > 0) {
+            val (bd, c) = it.next(); ans = Some(bd); need -= c
           }
-        }.collect().headOption.flatten
-      }
+          Iterator.single(ans)
+        }
+      }.collect().headOption.flatten
     }
   }
 
@@ -579,51 +599,74 @@ class GraftFileIndex(
         kthWalk(fs.iterator.flatMap(f => blockPairs(f.blocks)).toArray)
       }.toSeq)
     } else if (dt == org.apache.spark.sql.types.StringType) {
-      None // executors fold the Long canonical domain only
+      val perPart = distributedGroupedFold[String](colName, k, largest,
+        { case s: String => s }, sentinel = "")(
+        GraftFileIndex.Utf8Ordering, org.apache.spark.sql.Encoders.STRING)
+      weakest(perPart.toSeq.map(_.map(_.asInstanceOf[Any])))
     } else {
-      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      import classic.implicits._
-      val (colB, largestB, kB) = (colName, largest, k)
-      val perPart: Array[Option[Long]] = classic.read.parquet(filesDir.toString)
-        .select($"partitionIdx", $"blocksJson").as[(Int, String)]
-        .flatMap { case (idx, blocksJson) =>
-          val pairs = IndexMetadata.blocksFromJsonString(blocksJson).iterator.flatMap { b =>
-            b.columns.get(colB) match {
-              case Some(cs) =>
-                val bound = if (largestB) cs.min else cs.max
-                (bound, cs.nullCount) match {
-                  case (Some(bd: Long), Some(nc)) if b.rowCount - nc > 0 =>
-                    Iterator.single((idx, bd, b.rowCount - nc))
-                  case _ => Iterator.empty
-                }
-              case None => Iterator.empty
-            }
-          }.toSeq
-          // a file whose blocks yield no usable pairs still admits any
-          // value — emit a zero-count sentinel so its partition reaches
-          // the grouped fold (and folds to None there) instead of
-          // silently dropping out, which would make the cut unsound
-          if (pairs.isEmpty) Seq((idx, 0L, 0L)) else pairs
-        }
-        .groupByKey(_._1)
-        .mapGroups { (_, it) =>
-          val pairs = it.filter(_._3 > 0).map(t => (t._2, t._3)).toArray
-          // explicit reverse ordering: negating the key overflows on
-          // Long.MinValue and would break the walked-bounds invariant
-          val sorted =
-            if (largestB) pairs.sortBy(_._1)(Ordering[Long].reverse)
-            else pairs.sortBy(_._1)
-          var rem = kB
-          var i = 0
-          var ans: Option[Long] = None
-          while (i < sorted.length && rem > 0) {
-            ans = Some(sorted(i)._1); rem -= sorted(i)._2; i += 1
-          }
-          if (rem > 0) None else ans
-        }
-        .collect()
+      val perPart = distributedGroupedFold[Long](colName, k, largest,
+        { case l: Long => l }, sentinel = 0L)(
+        Ordering.Long, org.apache.spark.sql.Encoders.scalaLong)
       weakest(perPart.toSeq.map(_.map(_.asInstanceOf[Any])))
     }
+  }
+
+  /** The distributed grouped kth fold shared by [[topKBoundByPartitions]]'
+    * Long and String canonical domains: each partition's block multiset
+    * folds inside `groupByKey(partitionIdx).mapGroups`, and only
+    * #partitions bounds reach the driver. */
+  private def distributedGroupedFold[K](
+      colName: String, k: Long, largest: Boolean,
+      extract: PartialFunction[Any, K], sentinel: K)(
+      implicit ord: Ordering[K],
+      kEnc: org.apache.spark.sql.Encoder[K]): Array[Option[K]] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.scalaInt, kEnc, Encoders.scalaLong)
+    val enc2 = Encoders.tuple(Encoders.scalaBoolean, kEnc)
+    val (colB, largestB, kB) = (colName, largest, k)
+    val (extractB, sentinelB, ordB) = (extract, sentinel, ord)
+    classic.read.parquet(filesDir.toString)
+      .select($"partitionIdx", $"blocksJson").as[(Int, String)]
+      .flatMap { case (idx, blocksJson) =>
+        val pairs = IndexMetadata.blocksFromJsonString(blocksJson).iterator.flatMap { b =>
+          b.columns.get(colB) match {
+            case Some(cs) =>
+              val bound = (if (largestB) cs.min else cs.max).collect(extractB)
+              (bound, cs.nullCount) match {
+                case (Some(bd), Some(nc)) if b.rowCount - nc > 0 =>
+                  Iterator.single((idx, bd, b.rowCount - nc))
+                case _ => Iterator.empty
+              }
+            case None => Iterator.empty
+          }
+        }.toSeq
+        // a file whose blocks yield no usable pairs still admits any
+        // value — emit a zero-count sentinel so its partition reaches
+        // the grouped fold (and folds to None there) instead of
+        // silently dropping out, which would make the cut unsound
+        if (pairs.isEmpty) Seq((idx, sentinelB, 0L)) else pairs
+      }(enc)
+      .groupByKey(_._1)
+      .mapGroups { (_: Int, it: Iterator[(Int, K, Long)]) =>
+        val pairs = it.filter(_._3 > 0).map(t => (t._2, t._3)).toArray
+        // explicit reverse ordering: negating a Long key overflows on
+        // Long.MinValue and would break the walked-bounds invariant
+        val sorted =
+          if (largestB) pairs.sortBy(_._1)(ordB.reverse)
+          else pairs.sortBy(_._1)(ordB)
+        var rem = kB
+        var i = 0
+        var ans: Option[K] = None
+        while (i < sorted.length && rem > 0) {
+          ans = Some(sorted(i)._1); rem -= sorted(i)._2; i += 1
+        }
+        // Option doesn't encode generically: (found, value) tuple instead
+        if (rem > 0) (false, sentinelB) else (true, ans.get)
+      }(enc2)
+      .collect()
+      .map { case (found, v) => if (found) Some(v) else None }
   }
 
   private def toFileStatus(f: FileEntry): FileStatus = {
@@ -647,4 +690,13 @@ class GraftFileIndex(
     * output, `spark.sql.adaptive.autoBroadcastJoinThreshold` converts
     * the join) — the idiomatic Spark path, not a stats hack here. */
   override def sizeInBytes: Long = meta.totalBytes
+}
+
+object GraftFileIndex {
+  /** UTF-8 binary order on canonical Strings — a named serializable
+    * Ordering (lambda/comparator wrappers don't survive task
+    * serialization in the distributed sort). */
+  object Utf8Ordering extends Ordering[String] {
+    override def compare(a: String, b: String): Int = graft.index.Canon.compare(a, b)
+  }
 }

@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.StructType
 object SparkInternals {
 
   /** Catalyst predicate expression → data-source filter (None if not
-    * translatable). Mirrors what FileSourceStrategy pushes to scans. */
+    * translatable). Mirrors what FileSourceStrategy pushes to scans.
+    * Nested pushdown ON: a predicate on `payload.user_id` arrives as a
+    * dotted attribute — exactly the key the index schema stores for a
+    * nested leaf, so the filter fold binds on it directly. Filters whose
+    * dotted attribute is NOT indexed are discarded by the caller's
+    * indexed-columns check, same as any other unindexed column. */
   def translateFilter(e: Expression): Option[sources.Filter] =
-    DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false)
+    DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
 
   /** Compile a predicate over the given schema, binding attribute
     * references by (case-insensitive) name. */

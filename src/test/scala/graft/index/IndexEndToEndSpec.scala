@@ -261,6 +261,50 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"NaN file alone should survive: ${fiN.get.lastListedFiles}")
   }
 
+  test("nested-leaf indexing: parity, file cut, array paths rejected") {
+    import spark.implicits._
+    val p = s"$work/nested_t"
+    spark.range(0, 2000).select(
+        $"id",
+        struct(($"id" % 500).as("user_id"),
+          concat(lit("s"), ($"id" % 5)).as("status"),
+          struct(($"id" % 37).cast("double").as("score")).as("inner")).as("payload"),
+        array($"id").as("tags"))
+      .repartitionByRange(8, col("payload.user_id"))
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite")
+      .indexBy("payload.user_id", "payload.status", "payload.inner.score")
+      .parquet(p)
+
+    def both(f: DataFrame => DataFrame): Unit =
+      checkSame(f(spark.index.parquet(p)), f(spark.read.parquet(p)))
+    both(_.filter(col("payload.user_id") <= 30L))
+    both(_.filter(col("payload.user_id") === 123L))
+    both(_.filter(col("payload.status") === "s3"))
+    both(_.filter(col("payload.inner.score") > 30.0)) // two hops + double leaf
+    both(_.filter(col("payload.user_id").between(10L, 20L) &&
+      col("payload.status").isin("s1", "s2")))
+    // null-struct semantics: payload.user_id IS NULL when payload is null
+    both(_.filter(col("payload.user_id").isNull))
+
+    // the user_id-clustered layout must CUT files on the nested range
+    val q = spark.index.parquet(p).filter(col("payload.user_id") <= 30L)
+    q.collect()
+    val fi = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"expected nested-range cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+
+    // paths through arrays (value-level stats, not row-level) and missing
+    // leaves are rejected at create
+    for (bad <- Seq("tags.element", "payload.nope", "payload.user_id.x")) {
+      intercept[IllegalArgumentException] {
+        spark.index.create.mode("overwrite").indexBy(bad).parquet(p)
+      }
+    }
+  }
+
   test("create + exists + delete lifecycle") {
     assert(spark.index.exists.parquet(tablePath))
     spark.index.delete.parquet(tablePath)
@@ -1375,6 +1419,33 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
           .orderBy(col("l_orderkey").desc, col("l_linenumber")).limit(25),
         spark.read.parquet(tablePath)
           .orderBy(col("l_orderkey").desc, col("l_linenumber")).limit(25))
+      // STRING keys fold distributed too (formerly a silent None degrade):
+      // both the ungrouped walk and the grouped fold must prove a bound
+      // on this tier, and the pruned result stays exact
+      checkSame(
+        graft.index.TopK.topKPruned(
+            spark.index.parquet(tablePath), col("l_returnflag"), 25)
+          .orderBy(col("l_returnflag").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(25),
+        spark.read.parquet(tablePath)
+          .orderBy(col("l_returnflag").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(25))
+      locally {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val gfi = spark.index.parquet(tablePath).queryExecution.analyzed
+          .collectLeaves().collectFirst {
+            case lr: LogicalRelation => lr.relation.asInstanceOf[HadoopFsRelation]
+              .location.asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex]
+          }.get
+        assert(gfi.topKBound("l_returnflag",
+          org.apache.spark.sql.types.StringType, 5, largest = true).isDefined,
+          "distributed string kth walk must prove a bound")
+        assert(gfi.topKBound("l_returnflag",
+          org.apache.spark.sql.types.StringType, 5, largest = false).isDefined)
+        assert(gfi.topKBoundByPartitions("l_returnflag",
+          org.apache.spark.sql.types.StringType, 5, largest = true).isDefined,
+          "distributed grouped string fold must prove a bound")
+      }
     } finally spark.conf.unset(IndexConf.DistributedPruningThreshold)
 
     // per-call option switches the path too (no session conf set)

@@ -83,6 +83,26 @@ class OrcIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("o_orderdate") === lit(d).cast("date")))
   }
 
+  test("nested leaves index on ORC: stripe ids walk structs, parity + cut") {
+    val p = s"$work/orc_nested"
+    spark.range(0, 2000).select(
+        col("id"),
+        struct((col("id") % 500).as("user_id"),
+          concat(lit("s"), col("id") % 5).as("status")).as("payload"))
+      .repartitionByRange(8, col("payload.user_id"))
+      .write.mode("overwrite").orc(p)
+    spark.index.create.mode("overwrite")
+      .indexBy("payload.user_id", "payload.status").orc(p)
+    val q = spark.index.orc(p).filter(col("payload.user_id") <= 30L)
+    checkSame(q, spark.read.orc(p).filter(col("payload.user_id") <= 30L))
+    checkSame(
+      spark.index.orc(p).filter(col("payload.status") === "s2"),
+      spark.read.orc(p).filter(col("payload.status") === "s2"))
+    q.collect()
+    val (listed, total) = pruning(q)
+    assert(listed < total, s"expected nested ORC cut: $listed/$total")
+  }
+
   test("timestamp range prunes on a range-clustered ORC table") {
     val p = s"$work/orders_orc_ts"
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
