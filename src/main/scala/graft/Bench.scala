@@ -211,8 +211,13 @@ object Bench {
         spark.range(100).select(lit(999L).as("k"), $"id".as("v"))
           .coalesce(1).write.mode("append").parquet(dir50k)
         try {
+          // threshold under the file count: the DISTRIBUTED listing tier
+          // (level-walk job + delta-only diff), the path a million-file
+          // table would take
           val tR0 = System.nanoTime()
-          spark.index.refresh.parquet(dir50k)
+          spark.index
+            .option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
+            .refresh.parquet(dir50k)
           (System.nanoTime() - tR0) / 1e9
         } finally {
           // always restore the create-once scratch, even on a failed

@@ -242,55 +242,68 @@ object IndexedDataSource {
     val filesDir = new Path(indexDir, Metastore.FilesDir)
     val sketchDir = new Path(indexDir, Metastore.SketchDir)
 
-    val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
-    require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
-        partitionSchema, meta.partitionSchema),
-      s"partition schema changed (${meta.partitionSchema.simpleString} -> " +
-        s"${partitionSchema.simpleString}); rebuild the index with create.mode(\"overwrite\")")
-
     // Stable partition indexing: existing entries keep their position,
     // newly appeared partition dirs append. Entries whose partition
     // vanished stay (no file row references them — harmless).
     val partValues = scala.collection.mutable.ArrayBuffer(meta.partitionValues: _*)
     val idxByValues = scala.collection.mutable.HashMap(
       meta.partitionValues.zipWithIndex: _*)
-    val current: Seq[(Int, StatisticsBuilder.FileRef)] = partDirs.flatMap { case (values, files) =>
-      val vStr: Seq[Option[String]] = partitionSchema.fields.zipWithIndex.toSeq.map {
-        case (f, i) => IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
-      }
-      val idx = idxByValues.getOrElseUpdate(vStr, { partValues += vStr; partValues.size - 1 })
-      files.filter(_.getLen > 0).map { f =>
-        val locs = SparkInternals.blockLocations(f)
-        idx -> StatisticsBuilder.FileRef(
-          f.getPath.toString, f.getLen, f.getModificationTime,
-          blockSize = if (f.getBlockSize > 0) f.getBlockSize else FileEntry.DefaultBlockSize,
-          locationsJson = IndexMetadata.locationsToJsonString(locs),
-          hosts = locs.flatMap(_.hosts).distinct)
-      }
-    }
 
-    // Distributed diff on (path, size, modificationTime): a rewritten
-    // file (same path, new size/mtime) counts as removed + added. The
-    // listing itself is Spark's InMemoryFileIndex (parallel partition
-    // discovery above spark.sql.sources.parallelPartitionDiscovery
-    // .threshold) and — like create's listing — materializes one driver-
-    // side FileRef per file, so the driver's LISTING residency is
-    // O(total files) (fine to ~1M files; past that the listing, not the
-    // diff, is the wall). The DIFF adds only O(delta) on top: just the
-    // ADDED paths are collected, proven at ~50k files by the e2e and the
-    // bench's refresh_50k_sec row.
     import spark.implicits._
-    val currentKeys = current.map { case (_, r) => (r.path, r.size, r.modificationTime) }
-      .toDF("path", "size", "modificationTime")
+    val keyCols = Seq("path", "size", "modificationTime")
     val oldKeys = spark.read.parquet(filesDir.toString)
       .select(col("path"), col("size"), col("modificationTime"))
-    val keyCols = Seq("path", "size", "modificationTime")
-    val addedPaths = currentKeys.join(oldKeys, keyCols, "left_anti")
-      .select("path").as[String].collect().toSet
-    val removedCount = oldKeys.join(currentKeys, keyCols, "left_anti").count()
-    if (addedPaths.isEmpty && removedCount == 0) return RefreshStats(0L, 0L)
+    val listingTmp = new Path(indexDir, Metastore.FilesDir + "_listing_tmp")
 
-    val addedRefs = current.filter { case (_, r) => addedPaths.contains(r.path) }
+    // Diff on (path, size, modificationTime): a rewritten file (same
+    // path, new size/mtime) counts as removed + added. TWO listing tiers,
+    // same threshold as pruning:
+    //   - below it, Spark's InMemoryFileIndex (driver residency O(total
+    //     files), block locations kept);
+    //   - at/above it, a DISTRIBUTED level-walk — executors list their
+    //     directory slices and write file rows straight to a scratch
+    //     parquet table, the driver holds only the directory frontier
+    //     (O(dirs)) and the diff collects only ADDED refs, so driver
+    //     residency is O(delta) however many files the table holds.
+    val distributedListing = meta.fileCount >= conf.distributedPruningThreshold
+    val (currentKeys, addedRefs, removedCount):
+        (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long) =
+      if (!distributedListing) {
+        val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
+        require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+            partitionSchema, meta.partitionSchema),
+          s"partition schema changed (${meta.partitionSchema.simpleString} -> " +
+            s"${partitionSchema.simpleString}); rebuild the index with create.mode(\"overwrite\")")
+        val current: Seq[(Int, StatisticsBuilder.FileRef)] = partDirs.flatMap { case (values, files) =>
+          val vStr: Seq[Option[String]] = partitionSchema.fields.zipWithIndex.toSeq.map {
+            case (f, i) => IndexMetadata.castToString(f.dataType, values.get(i, f.dataType))
+          }
+          val idx = idxByValues.getOrElseUpdate(vStr, { partValues += vStr; partValues.size - 1 })
+          files.filter(_.getLen > 0).map { f =>
+            val locs = SparkInternals.blockLocations(f)
+            idx -> StatisticsBuilder.FileRef(
+              f.getPath.toString, f.getLen, f.getModificationTime,
+              blockSize = if (f.getBlockSize > 0) f.getBlockSize else FileEntry.DefaultBlockSize,
+              locationsJson = IndexMetadata.locationsToJsonString(locs),
+              hosts = locs.flatMap(_.hosts).distinct)
+          }
+        }
+        val ck = current.map { case (_, r) => (r.path, r.size, r.modificationTime) }
+          .toDF("path", "size", "modificationTime")
+        val added = ck.join(oldKeys, keyCols, "left_anti")
+          .select("path").as[String].collect().toSet
+        val removed = oldKeys.join(ck, keyCols, "left_anti").count()
+        (ck, current.filter { case (_, r) => added.contains(r.path) }, removed)
+      } else {
+        distributedListingDiff(
+          spark, tablePath, meta, oldKeys, keyCols, listingTmp, partValues, idxByValues)
+      }
+    val addedPaths = addedRefs.map(_._2.path).toSet
+
+    if (addedRefs.isEmpty && removedCount == 0) {
+      if (fs.exists(listingTmp)) fs.delete(listingTmp, true)
+      return RefreshStats(0L, 0L)
+    }
 
     // Single-writer enforcement: the whole mutation (files-table rewrite,
     // sketch append, metadata + _SUCCESS) runs under the index's SIBLING
@@ -375,9 +388,131 @@ object IndexedDataSource {
       fileCount = summary.fileCount,
       totalBytes = summary.totalBytes))
     fs.create(new Path(indexDir, Metastore.SuccessFile), true).close()
-    RefreshStats(addedPaths.size.toLong, removedCount)
+    val stats = RefreshStats(addedPaths.size.toLong, removedCount)
 
+    // the distributed listing's scratch table (read lazily by the stale-
+    // row semi-join above) is only droppable once the mutation settled
+    if (fs.exists(listingTmp)) fs.delete(listingTmp, true)
+    stats
     } // MaintenanceLock.withLock
+  }
+
+  /** The distributed listing + diff tier of [[refreshIndex]]: a level-walk
+    * over the table's directory tree — each level is one Spark job whose
+    * tasks `listStatus` their directory slice, append file rows straight
+    * to a scratch parquet table, and hand only the CHILD DIRECTORIES back
+    * to the driver. Hive `k=v` segments are parsed and value-normalized
+    * (cast round-trip through the partition type, so `k=01` and the
+    * metadata's "1" can't fork a duplicate partition) on executors, and
+    * the diff collects ONLY added refs — driver residency is O(dirs +
+    * partitions + delta), never O(files). Tradeoff vs the driver tier:
+    * block-location hints are not fetched for added files (one extra RPC
+    * per file — the footer job re-derives locality from the read itself).
+    * Returns (currentKeys frame backed by the scratch table, added refs,
+    * removed count); the caller drops the scratch table after the
+    * mutation settles. */
+  private def distributedListingDiff(
+      spark: SparkSession,
+      tablePath: Path,
+      meta: IndexMetadata,
+      oldKeys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      listingTmp: Path,
+      partValues: scala.collection.mutable.ArrayBuffer[Seq[Option[String]]],
+      idxByValues: scala.collection.mutable.HashMap[Seq[Option[String]], Int])
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tfs = tablePath.getFileSystem(hconf)
+    val rootStr = tfs.makeQualified(tablePath).toString
+    if (tfs.exists(listingTmp)) tfs.delete(listingTmp, true) // crashed-run debris
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+
+    // level-walk: files stream to the scratch table, dirs come back
+    var dirs: Seq[String] = Seq(rootStr)
+    var depth = 0
+    while (dirs.nonEmpty) {
+      require(depth < 64, s"directory nesting beyond 64 levels under $rootStr")
+      val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, dirs.size))
+      val level = spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
+        val p = new Path(d)
+        p.getFileSystem(confBc.value.value).listStatus(p).iterator
+          .filter { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".") // Spark's hidden-file rule
+          }
+          .map(st => (st.isDirectory, st.getPath.toString, st.getLen,
+            st.getModificationTime,
+            if (st.getBlockSize > 0) st.getBlockSize else FileEntry.DefaultBlockSize))
+      }.toDF("isDir", "path", "size", "modificationTime", "blockSize")
+        .persist()
+      level.filter(!col("isDir") && col("size") > 0).drop("isDir")
+        .write.mode("append").parquet(listingTmp.toString)
+      dirs = level.filter(col("isDir")).select("path").as[String].collect().toSeq
+      level.unpersist()
+      depth += 1
+    }
+    // an all-empty walk still needs a readable (empty) scratch table
+    if (!tfs.exists(listingTmp)) {
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("path", "size", "modificationTime", "blockSize")
+        .write.parquet(listingTmp.toString)
+    }
+
+    // executor-side partition parse: k=v segments of the path relative to
+    // the root, normalized through the partition type's cast round-trip;
+    // a name/depth mismatch = the partition layout changed -> fail fast
+    val fieldNames = meta.partitionSchema.fieldNames.toSeq
+    val fieldTypeJson = meta.partitionSchema.fields.map(_.dataType.json).toSeq
+    val rootB = rootStr
+    val parseVals = udf { (path: String) =>
+      val rel = path.stripPrefix(rootB).stripPrefix("/")
+      val segs = rel.split('/').dropRight(1).toSeq
+      if (fieldNames.isEmpty) Array.empty[String]
+      else {
+        require(segs.length == fieldNames.length,
+          s"partition depth changed under $rootB at $path " +
+            "(rebuild the index with create.mode(\"overwrite\"))")
+        segs.zipWithIndex.map { case (seg, i) =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"non-partition directory '$seg' under partitioned table $rootB")
+          val kName = SparkInternals.unescapePathName(seg.substring(0, eq))
+          require(kName.equalsIgnoreCase(fieldNames(i)),
+            s"partition column changed ($kName vs ${fieldNames(i)}); " +
+              "rebuild the index with create.mode(\"overwrite\")")
+          val raw = SparkInternals.unescapePathName(seg.substring(eq + 1))
+          val opt = if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+          val dt = org.apache.spark.sql.types.DataType.fromJson(fieldTypeJson(i))
+          IndexMetadata.castToString(dt, IndexMetadata.castFromString(dt, opt)).orNull
+        }.toArray
+      }
+    }
+    val listing = spark.read.parquet(listingTmp.toString)
+      .withColumn("partVals", parseVals(col("path")))
+
+    // new partition dirs append (sorted for determinism); O(partitions)
+    val tuples: Seq[Seq[Option[String]]] = listing.select("partVals").distinct()
+      .as[Seq[String]].collect().toSeq
+      .map(_.map(Option(_)))
+      .sortBy(_.map(_.getOrElse("")).mkString(" "))
+    tuples.foreach { t =>
+      idxByValues.getOrElseUpdate(t, { partValues += t; partValues.size - 1 })
+    }
+
+    // the diff: only ADDED refs are ever collected
+    val addedRows = listing.join(oldKeys, keyCols, "left_anti").collect()
+    val addedRefs = addedRows.toSeq.map { r =>
+      val vals: Seq[Option[String]] =
+        r.getAs[scala.collection.Seq[String]]("partVals").toSeq.map(Option(_))
+      idxByValues(vals) -> StatisticsBuilder.FileRef(
+        r.getAs[String]("path"), r.getAs[Long]("size"),
+        r.getAs[Long]("modificationTime"), r.getAs[Long]("blockSize"))
+    }
+    val removedCount = oldKeys
+      .join(listing.select(keyCols.map(col): _*), keyCols, "left_anti").count()
+    (listing.select(keyCols.map(col): _*), addedRefs, removedCount)
   }
 
   def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean = {

@@ -106,6 +106,12 @@ object SparkInternals {
     (partitionSchema, dirs)
   }
 
+  /** Hive path-segment unescape (`%xx` decoding) — executor-safe public
+    * bridge to Spark's own implementation, so distributed listings parse
+    * `k=v` dirs exactly as InMemoryFileIndex would. */
+  def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
   /** Block locations of a listed file (present when the listing produced
     * LocatedFileStatus — e.g. HDFS; empty on plain FileStatus). */
   def blockLocations(f: FileStatus): Seq[graft.index.BlockLoc] = f match {

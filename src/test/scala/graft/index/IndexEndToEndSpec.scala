@@ -1580,6 +1580,58 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("l_orderkey") === oddKey && col("l_returnflag") === "R"))
   }
 
+  test("refresh: distributed listing tier — level-walk, k=v parse, delta-only driver") {
+    import spark.implicits._
+    val rPath = s"$work/orders_refresh_dist"
+    val lowThreshold = Map(IndexConf.DistributedPruningThreshold -> "1")
+    def refreshDist() = IndexedDataSource.refreshIndex(
+      spark, rPath, Metastore.Dataspace, lowThreshold)
+    // Hive-partitioned fixture WITH a null-partition
+    // (__HIVE_DEFAULT_PARTITION__) to exercise the executor-side parse
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year",
+        when(col("o_custkey") % 97 === 0, lit(null: Integer))
+          .otherwise(year(col("o_orderdate"))))
+    val years = orders.select("o_year").na.drop().distinct()
+      .as[Int].collect().sorted
+    orders.filter(col("o_year") === years.head)
+      .write.mode("overwrite").partitionBy("o_year").parquet(rPath)
+    spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(rPath)
+
+    // no-op distributed refresh
+    assert(refreshDist() == IndexedDataSource.RefreshStats(0L, 0L))
+
+    // append into NEW partitions (incl. the null one) — the distributed
+    // walk must discover the dirs, parse values, and index the delta
+    orders.filter(col("o_year").isNull || col("o_year") =!= years.head)
+      .write.mode("append").partitionBy("o_year").parquet(rPath)
+    val stats = refreshDist()
+    assert(stats.addedFiles > 0L && stats.removedFiles == 0L, s"got $stats")
+    checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))
+
+    // the NEW partition is pruned by partition value, incl. IS NULL
+    val yNew = years.last
+    checkSame(
+      spark.index.parquet(rPath).filter(col("o_year") === yNew && col("o_custkey") <= 10),
+      spark.read.parquet(rPath).filter(col("o_year") === yNew && col("o_custkey") <= 10))
+    checkSame(
+      spark.index.parquet(rPath).filter(col("o_year").isNull),
+      spark.read.parquet(rPath).filter(col("o_year").isNull))
+
+    // removal through the distributed diff
+    val leaf = new java.io.File(s"$rPath/o_year=$yNew")
+    val victim = leaf.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val stats2 = refreshDist()
+    assert(stats2 == IndexedDataSource.RefreshStats(0L, 1L), s"got $stats2")
+    checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))
+
+    // scratch listing table cleaned up after the mutation
+    assert(!new java.io.File(s"$work/metastore").exists() ||
+      !java.nio.file.Files.walk(java.nio.file.Paths.get(s"$work/metastore"))
+        .anyMatch(p => p.getFileName.toString == "files_listing_tmp"))
+  }
+
   test("refresh: removed and rewritten files drop stale index entries") {
     val rPath = s"$work/lineitem_refresh_rm"
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
