@@ -84,6 +84,20 @@ case class DecodedFrame(
     meanLuma: Long,
     aHash: Long)
 
+/** SPI for plugging an EXTERNAL video-frame decoder (an ffmpeg/JavaCV
+  * binding, a JNI wrapper, …) for codecs the JDK cannot decode (H.264,
+  * VP9, …). Implementations need a public no-arg constructor; executors
+  * instantiate one per partition from the class name configured at
+  * `spark.graft.multimodal.videoDecoderClass`. The engine computes
+  * luma/aHash/fingerprints from the returned pixels with the SAME
+  * integer arithmetic as the built-in MJPEG path, so downstream dedup
+  * keys don't depend on which decoder produced a frame. */
+trait VideoFrameDecoder extends Serializable {
+  /** Decode every `everyN`-th frame: (frameIdx, width, height, ARGB
+    * row-major pixels, length w*h). */
+  def decodeFrames(data: Array[Byte], everyN: Int): Iterator[(Int, Int, Int, Array[Int])]
+}
+
 /** Multimodal-column plumbing for training-data pipelines: media as opaque
   * `binary` columns with typed metadata, decode / feature-extract /
   * frame-sample as typed `mapPartitions` stages (the Scala analogue of a
@@ -101,11 +115,13 @@ case class DecodedFrame(
   * video frame PIXELS are REAL for MJPEG-in-AVI — each movi chunk is an
   * independent JPEG the JDK's imageio codec decodes (see
   * [[decodeVideoFrames]]: frame-sample, per-frame luma/aHash, majority
-  * video fingerprint). Only non-MJPEG codecs (H.264 etc., which the JDK
-  * cannot decode) stay behind the deterministic stub, and everything
-  * around that kernel (schemas, Dataset plumbing, partition-iterator
-  * batch shape, frame explode) is real and is what an ffmpeg kernel
-  * would drop into.
+  * video fingerprint). Non-MJPEG codecs (H.264 etc., which the JDK
+  * cannot decode) route through the config-gated EXTERNAL-DECODER SEAM
+  * ([[VideoFrameDecoder]], `spark.graft.multimodal.videoDecoderClass`) —
+  * an ffmpeg/JavaCV binding drops in with no bundled dependencies, its
+  * pixels folding through the same integer luma/aHash pass so
+  * fingerprints stay decoder-independent; with the conf unset those
+  * payloads fail loudly naming the key.
   */
 object Multimodal {
 
@@ -909,12 +925,26 @@ object Multimodal {
     * image path emits (shared [[lumaCells]] pass ⇒ same Hamming space).
     * Throws on non-AVI payloads or undecodable frames — callers own
     * quarantine policy. */
-  def decodeVideoFrames(r: MediaRecord, everyN: Int = 1): Seq[DecodedFrame] = {
+  def decodeVideoFrames(r: MediaRecord, everyN: Int = 1,
+      external: Option[VideoFrameDecoder] = None): Seq[DecodedFrame] = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     val d = r.data
-    require(d.length >= 12 && fourcc(d, 0) == "RIFF" && fourcc(d, 8) == "AVI ",
-      s"payload for id ${r.id}: frame decode needs an AVI container " +
-        "(MJPEG); MP4 payloads carry codecs the JDK cannot decode")
+    val isAvi = d.length >= 12 && fourcc(d, 0) == "RIFF" && fourcc(d, 8) == "AVI "
+    if (!isAvi) {
+      // non-MJPEG codec: the external-decoder seam, or a clear error
+      val dec = external.getOrElse(throw new IllegalArgumentException(
+        s"payload for id ${r.id}: built-in frame decode covers MJPEG-in-AVI " +
+          "only (the one codec the JDK ships); for H.264/VP9/... set " +
+          s"$VideoDecoderClassKey to a ${classOf[VideoFrameDecoder].getName} " +
+          "implementation (ffmpeg/JavaCV binding)"))
+      return dec.decodeFrames(d, everyN).map { case (idx, w, h, argb) =>
+        require(argb.length == w * h,
+          s"external decoder returned ${argb.length} pixels for ${w}x$h")
+        val (cellSum, cellN, total) = lumaCellsFromArgb(argb, w, h, grid = 8)
+        DecodedFrame(r.id, idx, w, h, meanLumaOf(total, w, h),
+          hashFromCells(cellSum, cellN, total, w.toLong * h))
+      }.toSeq
+    }
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     walkRiffFrames(d, 12, d.length, chunks)
     require(chunks.nonEmpty, s"payload for id ${r.id} has no frame chunks")
@@ -932,13 +962,52 @@ object Multimodal {
     }
   }
 
+  /** Conf key naming a [[VideoFrameDecoder]] implementation for codecs
+    * the JDK cannot decode. Unset (default) = MJPEG-in-AVI only. */
+  val VideoDecoderClassKey = "spark.graft.multimodal.videoDecoderClass"
+
+  /** The [[lumaCells]] pixel pass over a raw ARGB array — the external
+    * decoder's frames fold with the SAME integer arithmetic as imageio
+    * frames, keeping hashes decoder-independent. */
+  private def lumaCellsFromArgb(argb: Array[Int], w: Int, h: Int, grid: Int)
+      : (Array[Long], Array[Long], Long) = {
+    val cellSum = new Array[Long](grid * grid)
+    val cellN = new Array[Long](grid * grid)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val p = argb(y * w + x)
+        val milli = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        val c = cy * grid + math.min(grid - 1, x * grid / w)
+        cellSum(c) += milli
+        cellN(c) += 1L
+        total += milli
+        x += 1
+      }
+      y += 1
+    }
+    (cellSum, cellN, total)
+  }
+
   /** Batch frame-sample + decode — the typed mapPartitions stage a
     * frame-level pipeline plugs in after a media scan: one input video
-    * row fans out to its sampled frames. */
+    * row fans out to its sampled frames. Non-MJPEG payloads route through
+    * the decoder class configured at [[VideoDecoderClassKey]] (one
+    * instance per partition, executor-side Class.forName). */
   def decodeVideoFrameSets(media: Dataset[MediaRecord],
       everyN: Int = 1): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap(decodeVideoFrames(_, everyN)))
+    val decoderClass = media.sparkSession.conf.getOption(VideoDecoderClassKey)
+    media.mapPartitions { it =>
+      val external = decoderClass.map(c =>
+        Class.forName(c).getDeclaredConstructor().newInstance()
+          .asInstanceOf[VideoFrameDecoder])
+      it.flatMap(decodeVideoFrames(_, everyN, external))
+    }
   }
 
   /** 64-bit video fingerprint: per-bit MAJORITY vote across the sampled

@@ -1764,6 +1764,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("external video-decoder seam: conf-gated class, hash parity, clear error") {
+    import graft.multimodal.{MediaRecord, Multimodal}
+    // fake-codec payload: FAKE magic, w, h, nFrames, then per-frame gray
+    def fakeVid(id: Long, w: Int, h: Int, grays: Seq[Int]): MediaRecord = {
+      val bb = java.nio.ByteBuffer.allocate(16 + grays.length)
+      bb.putInt(0x46414b45).putInt(w).putInt(h).putInt(grays.length)
+      grays.foreach(g => bb.put(g.toByte))
+      MediaRecord(id, "video", bb.array(), Map.empty)
+    }
+    // unset: loud error naming the conf key, not garbage
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(fakeVid(1L, 8, 8, Seq(100)))
+    }
+    assert(e.getMessage.contains(Multimodal.VideoDecoderClassKey))
+
+    spark.conf.set(Multimodal.VideoDecoderClassKey,
+      classOf[graft.pipeline.FakeCodecDecoder].getName)
+    try {
+      // mixed corpus: built-in MJPEG path and the external seam COEXIST
+      val jpeg = Multimodal.encodeJpeg(32, 32, (_, _) => (120 << 16) | (120 << 8) | 120)
+      val avi = MediaRecord(2L, "video",
+        Multimodal.encodeMjpegAvi(40000L, 32, 32, Seq.fill(3)(jpeg)), Map.empty)
+      val frames = Multimodal.decodeVideoFrameSets(
+        Seq(fakeVid(1L, 16, 16, Seq(50, 200, 50)), avi).toDS())
+        .collect().groupBy(_.id)
+      val fake = frames(1L).sortBy(_.frameIdx)
+      assert(fake.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+      assert(fake.forall(f => f.width == 16 && f.height == 16))
+      // uniform gray frames: meanLuma == gray exactly, aHash == 0
+      assert(fake.map(_.meanLuma).toSeq == Seq(50L, 200L, 50L))
+      assert(fake.forall(_.aHash == 0L))
+      assert(frames(2L).length == 3 && frames(2L).forall(_.width == 32))
+      // frame sampling reaches the external decoder too
+      val sampled = Multimodal.decodeVideoFrameSets(
+        Seq(fakeVid(3L, 8, 8, Seq(10, 20, 30, 40, 50))).toDS(), everyN = 2)
+        .collect().sortBy(_.frameIdx)
+      assert(sampled.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+      assert(sampled.map(_.meanLuma).toSeq == Seq(10L, 30L, 50L))
+    } finally spark.conf.unset(Multimodal.VideoDecoderClassKey)
+  }
+
   test("video fingerprints: majority vote, dedup blocking") {
     def twoBand(left: Int, right: Int): Array[Byte] =
       Multimodal.encodeJpeg(32, 32, (x, _) => {
@@ -1827,4 +1868,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+}
+
+/** Test stand-in for an ffmpeg/JavaCV binding behind the
+  * [[graft.multimodal.VideoFrameDecoder]] seam: "decodes" the FAKE-codec
+  * payload `[FAKE][w:Int][h:Int][n:Int][gray byte per frame]` into
+  * uniform-gray ARGB frames. Instantiated executor-side by class name. */
+class FakeCodecDecoder extends graft.multimodal.VideoFrameDecoder {
+  override def decodeFrames(data: Array[Byte], everyN: Int)
+      : Iterator[(Int, Int, Int, Array[Int])] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+    require(bb.getInt() == 0x46414b45, "not a FAKE-codec payload")
+    val w = bb.getInt()
+    val h = bb.getInt()
+    val n = bb.getInt()
+    (0 until n by everyN).iterator.map { i =>
+      val g = data(16 + i) & 0xff
+      val px = (0xff << 24) | (g << 16) | (g << 8) | g
+      (i, w, h, Array.fill(w * h)(px))
+    }
+  }
 }
