@@ -1144,6 +1144,21 @@ object SparkEntry {
         .orderBy($"o_year", $"rn")
     }),
 
+    // The AUTOMATIC twin of q_idx_topk_group: stock window rank filter,
+    // no API call — TopKRewriteRule bounds Spark's WindowGroupLimit
+    // lowering with the weakest per-partition kth bound (plan-asserted +
+    // file-cut e2e in IndexEndToEndSpec).
+    "q_idx_topk_group_auto" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_year").orderBy($"o_custkey".desc, $"o_orderkey")
+      indexedOrdersPart(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"o_year", $"rn", $"o_orderkey", $"o_custkey")
+        .orderBy($"o_year", $"rn")
+    }),
+
     // Salted equi-join (hot-key skew shape): deterministic row-hash salt
     // on the big side, small side replicated xsalts, join on (key, salt);
     // merge hint keeps it a shuffle join so the salt actually matters.
@@ -7048,6 +7063,14 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100""".stripMargin,
     "q_idx_topk_group" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  year(o_orderdate)::INT AS o_year FROM orders),
+        |r AS (SELECT o_year, o_orderkey, o_custkey,
+        |  (row_number() OVER (PARTITION BY o_year
+        |     ORDER BY o_custkey DESC, o_orderkey))::INT AS rn FROM o)
+        |SELECT o_year, rn, o_orderkey, o_custkey FROM r WHERE rn <= 10
+        |ORDER BY o_year, rn""".stripMargin,
+    "q_idx_topk_group_auto" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |  year(o_orderdate)::INT AS o_year FROM orders),
         |r AS (SELECT o_year, o_orderkey, o_custkey,

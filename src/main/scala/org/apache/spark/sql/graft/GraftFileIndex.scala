@@ -538,6 +538,15 @@ class GraftFileIndex(
     topKBoundCache.computeIfAbsent((colName, k, largest),
       _ => topKBound(colName, dt, k, largest))
 
+  private val topKGroupBoundCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Boolean), Option[Any]]()
+
+  def topKBoundByPartitionsCached(colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      k: Long, largest: Boolean): Option[Any] =
+    topKGroupBoundCache.computeIfAbsent((colName, k, largest),
+      _ => topKBoundByPartitions(colName, dt, k, largest))
+
   /** The GROUPED sibling of [[topKBound]]: the WEAKEST per-partition
     * TOP-K bound — T = the least favorable (min for `largest = true`)
     * over partitions of that partition's own kth-best per-block lower

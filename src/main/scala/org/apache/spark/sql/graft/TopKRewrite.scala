@@ -1,8 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, GreaterThanOrEqual, IntegerLiteral, IsNull, LessThanOrEqual, Literal, NullsFirst, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Expression, GreaterThanOrEqual, IntegerLiteral, IsNull, LessThanOrEqual, Literal, NullsFirst, Or, Rank, RowNumber, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -55,6 +55,12 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(newChild) => gl.copy(child = ll.copy(child = newChild))
           case None => gl
         }
+      // the GROUPED twin: `row_number()/rank() OVER (PARTITION BY part
+      // ORDER BY key DESC) <= k` — Spark's InferWindowGroupLimit lowers
+      // that to a WindowGroupLimit node, the one hook that carries
+      // (partitionSpec, orderSpec, rank fn, k) together
+      case wgl: WindowGroupLimit if wgl.limit >= 1 =>
+        rewriteGroupLimit(wgl).getOrElse(wgl)
     }
   }
 
@@ -84,44 +90,96 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** An already-injected bound sits directly under the node: split it off
+    * for the semantic-equality re-entry check; any other filter there
+    * invalidates the bound (the k proven rows might not survive it). */
+  private def splitOwnFilter(p: LogicalPlan): (LogicalPlan, Option[Expression]) =
+    p match {
+      case f: Filter => (f.child, Some(f.condition))
+      case other => (other, None)
+    }
+
+  /** The injected predicate for a proven canonical bound. NULLS FIRST
+    * ranks nulls into the top-k — keep them all via the IS NULL arm; the
+    * bound only cuts non-null rows that >= k non-null rows provably beat. */
+  private def boundPred(attr: AttributeReference, order: SortOrder,
+      bound: Any): Expression = {
+    val largest = order.direction == Descending
+    val lit = Literal(MetadataAggregates.toCatalyst(attr.dataType, bound), attr.dataType)
+    val cmp =
+      if (largest) GreaterThanOrEqual(attr, lit) else LessThanOrEqual(attr, lit)
+    if (order.nullOrdering == NullsFirst) Or(cmp, IsNull(attr)) else cmp
+  }
+
   private def rewrite(k: Int, s: Sort): Option[Sort] = {
     val firstOrder = s.order.head
     val attr = firstOrder.child match {
       case a: AttributeReference => a
       case _ => return None
     }
-    // an already-injected bound sits directly under the Sort: recognize
-    // it (semantic equality below) instead of stacking another copy; any
-    // other filter invalidates the bound
-    val (childPlan, existing) = s.child match {
-      case f: Filter => (f.child, Some(f.condition))
-      case other => (other, None)
-    }
+    val (childPlan, existing) = splitOwnFilter(s.child)
     val (lr, gfi) = relOf(childPlan).getOrElse(return None)
     if (!lr.output.exists(_.exprId == attr.exprId)) return None
     val indexedName = gfi.meta.indexSchema.fieldNames
       .find(_.equalsIgnoreCase(attr.name)).getOrElse(return None)
-
-    val largest = firstOrder.direction match {
-      case Descending => true
-      case Ascending => false
-    }
+    val largest = firstOrder.direction == Descending
     val bound = gfi.topKBoundCached(indexedName, attr.dataType, k.toLong, largest)
       .getOrElse(return None)
-    val lit = Literal(MetadataAggregates.toCatalyst(attr.dataType, bound), attr.dataType)
-    val cmp =
-      if (largest) GreaterThanOrEqual(attr, lit) else LessThanOrEqual(attr, lit)
-    // NULLS FIRST ranks nulls into the top-k — keep them all; the bound
-    // only cuts non-null rows that >= k non-null rows provably beat
-    val pred =
-      if (firstOrder.nullOrdering == NullsFirst) Or(cmp, IsNull(attr)) else cmp
-
+    val pred = boundPred(attr, firstOrder, bound)
     existing match {
       case Some(cond) if cond.semanticEquals(pred) => None // already rewritten
-      case Some(_) => None // user filter: the k proven rows might not survive it
+      case Some(_) => None
       case None =>
         logInfo(s"graft top-k rewrite: injected $pred under sort for limit $k")
         Some(s.copy(child = Filter(pred, childPlan)))
+    }
+  }
+
+  /** The grouped rewrite over Spark's own WindowGroupLimit lowering.
+    * Soundness: each window group must be a UNION of index partitions
+    * (every partition expr a bare index PARTITION column), so the
+    * weakest per-partition kth bound T preserves every group's top-k — a
+    * row below T is beaten by >= k non-null rows of its OWN index
+    * partition, all inside its group. row_number and rank exclude a row
+    * with >= k strictly-better predecessors; dense_rank does NOT (k
+    * better rows can share one rank), so it bails. An EMPTY partition
+    * spec is the global shape — served by the ungrouped bound. */
+  private def rewriteGroupLimit(wgl: WindowGroupLimit): Option[WindowGroupLimit] = {
+    wgl.rankLikeFunction match {
+      case _: RowNumber | _: Rank =>
+      case _ => return None
+    }
+    val firstOrder = wgl.orderSpec.headOption.getOrElse(return None)
+    val attr = firstOrder.child match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val (childPlan, existing) = splitOwnFilter(wgl.child)
+    val (lr, gfi) = relOf(childPlan).getOrElse(return None)
+    if (!lr.output.exists(_.exprId == attr.exprId)) return None
+    val indexedName = gfi.meta.indexSchema.fieldNames
+      .find(_.equalsIgnoreCase(attr.name)).getOrElse(return None)
+    val partNames = gfi.meta.partitionSchema.fieldNames
+    val partsArePartitionCols = wgl.partitionSpec.forall {
+      case a: AttributeReference => lr.output.exists(_.exprId == a.exprId) &&
+        partNames.exists(_.equalsIgnoreCase(a.name))
+      case _ => false
+    }
+    val largest = firstOrder.direction == Descending
+    val bound = (if (wgl.partitionSpec.isEmpty) {
+      gfi.topKBoundCached(indexedName, attr.dataType, wgl.limit.toLong, largest)
+    } else if (partsArePartitionCols) {
+      gfi.topKBoundByPartitionsCached(
+        indexedName, attr.dataType, wgl.limit.toLong, largest)
+    } else None).getOrElse(return None)
+    val pred = boundPred(attr, firstOrder, bound)
+    existing match {
+      case Some(cond) if cond.semanticEquals(pred) => None
+      case Some(_) => None
+      case None =>
+        logInfo(s"graft grouped top-k rewrite: injected $pred under " +
+          s"window-group-limit ${wgl.limit}")
+        Some(wgl.copy(child = Filter(pred, childPlan)))
     }
   }
 }

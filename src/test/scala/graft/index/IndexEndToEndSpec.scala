@@ -579,6 +579,71 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(IndexConf.TopKRewrite)
   }
 
+  test("automatic grouped top-k rewrite: window rank filter prunes files") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical
+    // year-partitioned, custkey-clustered within partitions — the layout
+    // a grouped bound cuts on (same shape as the API-path test fixture)
+    val p = s"$work/wgl_auto"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartitionByRange(16, col("o_year"), col("o_custkey"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("o_custkey").parquet(p)
+    val fact = spark.index.parquet(p)
+    val plain = spark.read.parquet(p)
+    def grouped(df: DataFrame, fn: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_year")).orderBy(col("o_custkey").desc, col("o_orderkey"))
+      df.withColumn("rn", fn.over(w)).filter(col("rn") <= 10)
+        .select("o_year", "rn", "o_orderkey", "o_custkey")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // stock window shape, no API call: parity for row_number AND rank
+    assert(grouped(fact, row_number()) == grouped(plain, row_number()))
+    assert(grouped(fact, rank()) == grouped(plain, rank()))
+    // the injected bound is visible and the files are cut
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_year")).orderBy(col("o_custkey").desc, col("o_orderkey"))
+    val q = fact.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    val conds = q.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f.condition
+    }
+    assert(conds.exists(_.references.exists(_.name.equalsIgnoreCase("o_custkey"))),
+      s"expected an injected o_custkey bound, got: $conds")
+    q.collect()
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(qe.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val fi = scansOf(q.queryExecution.executedPlan).map(_.relation.location)
+      .collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"expected grouped auto cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+    // dense_rank admits rank ties past k — must NOT gain a bound
+    val qd = fact.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 10)
+    val condsD = qd.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f.condition
+    }
+    assert(!condsD.exists(_.references.exists(_.name.equalsIgnoreCase("o_custkey"))),
+      "dense_rank must not be bounded")
+    assert(grouped(fact, dense_rank()) == grouped(plain, dense_rank()))
+    // window partitioned by a NON-partition column: untouched, still exact
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_custkey").desc, col("o_orderkey"))
+    val qn = fact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 5)
+    val condsN = qn.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => f.condition
+    }
+    assert(!condsN.exists(_.references.exists(_.name.equalsIgnoreCase("o_custkey"))),
+      "non-partition grouping must not be bounded")
+  }
+
   test("grouped top-k pruning: per-partition bounds cut files, degradations") {
     import spark.implicits._
     // orders partitioned by year, custkey-clustered WITHIN partitions so
