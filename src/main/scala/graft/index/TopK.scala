@@ -42,8 +42,8 @@ object TopK {
   def topKPruned(df: DataFrame, key: Column, k: Int,
       largest: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val keyField = df.select(key).schema.fields.head
-    if (!Canon.isSupported(keyField.dataType)) return df
+    val (path, keyType) = resolveKey(df, key).getOrElse(return df)
+    if (!Canon.isSupported(keyType)) return df
 
     // exactly one leaf, and it is an indexed relation — anything else
     // (joins, unions, plain reads) is left untouched
@@ -59,16 +59,30 @@ object TopK {
       case _ => return df
     }
     val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(keyField.name)).getOrElse(return df)
+      .find(_.equalsIgnoreCase(path)).getOrElse(return df)
 
-    gfi.topKBound(indexedName, keyField.dataType, k.toLong, largest) match {
+    gfi.topKBound(indexedName, keyType, k.toLong, largest) match {
       case None => df
       case Some(canon) =>
         val bound = SparkInternals.wrap(Literal(
-          MetadataAggregates.toCatalyst(keyField.dataType, canon),
-          keyField.dataType))
+          MetadataAggregates.toCatalyst(keyType, canon), keyType))
         if (largest) df.filter(key >= bound) else df.filter(key <= bound)
     }
+  }
+
+  /** Resolve the ranking column to its INDEX-SCHEMA name: a top-level
+    * attribute, or a nested struct leaf whose dotted path
+    * (`payload.user_id`) the index keys on. */
+  private def resolveKey(df: DataFrame, key: Column): Option[(String, org.apache.spark.sql.types.DataType)] = {
+    val expr = df.select(key).queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case e => e
+        }
+      case _ => return None
+    }
+    MetadataAggregates.dottedPath(expr).map { case (_, path) => (path, expr.dataType) }
   }
 
   /** Prune `df` to rows that can appear in the top-k by `key` of ANY
@@ -85,8 +99,8 @@ object TopK {
   def topKPerGroupPruned(df: DataFrame, group: Column, key: Column, k: Int,
       largest: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val keyField = df.select(key).schema.fields.head
-    if (!Canon.isSupported(keyField.dataType)) return df
+    val (path, keyType) = resolveKey(df, key).getOrElse(return df)
+    if (!Canon.isSupported(keyType)) return df
     val groupName = df.select(group).schema.fields.head.name
     val leaves = df.queryExecution.analyzed.collectLeaves()
     val gfi = leaves match {
@@ -102,14 +116,13 @@ object TopK {
     if (!gfi.meta.partitionSchema.fieldNames
         .exists(_.equalsIgnoreCase(groupName))) return df
     val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(keyField.name)).getOrElse(return df)
-    gfi.topKBoundByPartitions(indexedName, keyField.dataType, k.toLong,
+      .find(_.equalsIgnoreCase(path)).getOrElse(return df)
+    gfi.topKBoundByPartitions(indexedName, keyType, k.toLong,
         largest) match {
       case None => df
       case Some(canon) =>
         val bound = SparkInternals.wrap(Literal(
-          MetadataAggregates.toCatalyst(keyField.dataType, canon),
-          keyField.dataType))
+          MetadataAggregates.toCatalyst(keyType, canon), keyType))
         if (largest) df.filter(key >= bound) else df.filter(key <= bound)
     }
   }

@@ -132,6 +132,18 @@ object MetadataAggregates {
     case _ => false
   }
 
+  /** A (possibly nested) column reference: a bare attribute, or a
+    * GetStructField chain over one — the base attribute plus the dotted
+    * path (`payload.inner.score`) the index schema keys nested leaves
+    * on. Anything else (array ordinals, map lookups, computed exprs)
+    * is None. */
+  def dottedPath(e: Expression): Option[(AttributeReference, String)] = e match {
+    case a: AttributeReference => Some((a, a.name))
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      dottedPath(g.child).map { case (a, p) => (a, p + "." + g.extractFieldName) }
+    case _ => None
+  }
+
   /** Canonical value (Long/String — see [[Canon]]) → Catalyst internal. */
   def toCatalyst(dt: DataType, canon: Any): Any = (dt, canon) match {
     case (IntegerType, l: Long) => l.toInt
@@ -198,32 +210,48 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The relation under the aggregate, looking through attribute-only
-    * projections (column pruning) and PARTITION-COLUMN-only filters
-    * (accumulated and evaluated against partition values — the exact
-    * pruning `listFiles` step 1 would apply). Any other Filter blocks
-    * the match — data-filtered aggregates always scan. */
+  /** The relation under the aggregate, looking through projections
+    * (column pruning, including ALIAS-carrying projects — Spark's
+    * NestedColumnAliasing rewrites `min(payload.user_id)` into
+    * `min(_extract_user_id)` over `Project(payload.user_id AS
+    * _extract_user_id)`, so the alias map lets [[rewrite]] resolve those
+    * attributes back to their defining expressions) and
+    * PARTITION-COLUMN-only filters (accumulated and evaluated against
+    * partition values — the exact pruning `listFiles` step 1 would
+    * apply). Any other Filter blocks the match — data-filtered
+    * aggregates always scan. */
   private def indexedChild(plan: LogicalPlan)
-      : Option[(LogicalRelation, GraftFileIndex, Seq[Expression])] =
+      : Option[(LogicalRelation, GraftFileIndex, Seq[Expression],
+        Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] =
     plan match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location match {
-          case g: GraftFileIndex => Some((lr, g, Nil))
+          case g: GraftFileIndex => Some((lr, g, Nil, Map.empty))
           case _ => None
         }
         case _ => None
       }
-      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        indexedChild(p.child)
+      case p: Project if p.projectList.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        indexedChild(p.child).map { case (lr, gfi, conds, subst) =>
+          // inline LOWER substitutions into this project's alias bodies so
+          // every map value is expressed over the relation's own output
+          val added = p.projectList.collect {
+            case al: Alias => al.exprId -> al.child.transformUp {
+              case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+            }
+          }
+          (lr, gfi, conds, subst ++ added)
+        }
       case f: Filter =>
-        indexedChild(f.child).flatMap { case (lr, gfi, conds) =>
+        indexedChild(f.child).flatMap { case (lr, gfi, conds, subst) =>
           val partNames = gfi.meta.partitionSchema.fieldNames
           val ok = f.condition.deterministic &&
             f.condition.references.nonEmpty &&
             f.condition.references.forall(a =>
               partNames.exists(_.equalsIgnoreCase(a.name))) &&
             !f.condition.exists(_.isInstanceOf[PlanExpression[_]])
-          if (ok) Some((lr, gfi, conds :+ f.condition)) else None
+          if (ok) Some((lr, gfi, conds :+ f.condition, subst)) else None
         }
       case _ => None
     }
@@ -240,7 +268,7 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class GroupKey(pos: Int) extends Spec
 
   private def rewrite(agg: Aggregate): Option[LocalRelation] = {
-    val (lr, gfi, partFilters) = indexedChild(agg.child).getOrElse(return None)
+    val (lr, gfi, partFilters, subst) = indexedChild(agg.child).getOrElse(return None)
     val meta = gfi.meta
     val cap = gfi.conf.metadataDistinctMaxValues
     val unfiltered = partFilters.isEmpty
@@ -251,6 +279,21 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def fieldOf(a: AttributeReference): Option[StructField] =
       if (!lr.output.exists(_.exprId == a.exprId)) None
       else meta.indexSchema.fields.find(_.name.equalsIgnoreCase(a.name))
+
+    // ... including NESTED leaves: min/max/count over payload.user_id
+    // resolve through the dotted index-schema name, after inlining any
+    // NestedColumnAliasing extraction aliases back to their struct paths
+    // (null semantics compose — a null struct counts as a null leaf,
+    // exactly what count(payload.user_id) skips)
+    def fieldOfExpr(e: Expression): Option[StructField] = {
+      val inlined = e.transformUp {
+        case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+      }
+      MetadataAggregates.dottedPath(inlined).flatMap { case (a, path) =>
+        if (!lr.output.exists(_.exprId == a.exprId)) None
+        else meta.indexSchema.fields.find(_.name.equalsIgnoreCase(path))
+      }
+    }
 
     def partFieldIdx(a: AttributeReference): Option[Int] =
       if (!lr.output.exists(_.exprId == a.exprId)) None
@@ -265,14 +308,29 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if !ae.isDistinct && l.value != null =>
           Some(RowsCount)
-        case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
-          fieldOf(a).map(ColCount).orElse(partFieldIdx(a).map(PartCount))
-        case Count(Seq(a: AttributeReference)) if ae.isDistinct && unfiltered =>
-          fieldOf(a).map(ColCountDistinct)
-        case Min(a: AttributeReference) if !ae.isDistinct =>
-          fieldOf(a).map(ColMin).orElse(partFieldIdx(a).map(PartMin))
-        case Max(a: AttributeReference) if !ae.isDistinct =>
-          fieldOf(a).map(ColMax).orElse(partFieldIdx(a).map(PartMax))
+        case Count(Seq(e)) if !ae.isDistinct =>
+          (e match {
+            case a: AttributeReference =>
+              fieldOf(a).map(ColCount).orElse(partFieldIdx(a).map(PartCount))
+            case _ => None
+          }).orElse(fieldOfExpr(e).map(ColCount))
+        case Count(Seq(e)) if ae.isDistinct && unfiltered =>
+          (e match {
+            case a: AttributeReference => fieldOf(a).map(ColCountDistinct)
+            case _ => None
+          }).orElse(fieldOfExpr(e).map(ColCountDistinct))
+        case Min(e) if !ae.isDistinct =>
+          (e match {
+            case a: AttributeReference =>
+              fieldOf(a).map(ColMin).orElse(partFieldIdx(a).map(PartMin))
+            case _ => None
+          }).orElse(fieldOfExpr(e).map(ColMin))
+        case Max(e) if !ae.isDistinct =>
+          (e match {
+            case a: AttributeReference =>
+              fieldOf(a).map(ColMax).orElse(partFieldIdx(a).map(PartMax))
+            case _ => None
+          }).orElse(fieldOfExpr(e).map(ColMax))
         case _ => None
       }
 

@@ -101,31 +101,33 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The injected predicate for a proven canonical bound. NULLS FIRST
     * ranks nulls into the top-k — keep them all via the IS NULL arm; the
-    * bound only cuts non-null rows that >= k non-null rows provably beat. */
-  private def boundPred(attr: AttributeReference, order: SortOrder,
+    * bound only cuts non-null rows that >= k non-null rows provably beat.
+    * `keyExpr` may be a nested GetStructField chain — the predicate is
+    * built on it verbatim, so the scan's nested pushdown binds it. */
+  private def boundPred(keyExpr: Expression, order: SortOrder,
       bound: Any): Expression = {
-    val largest = order.direction == Descending
-    val lit = Literal(MetadataAggregates.toCatalyst(attr.dataType, bound), attr.dataType)
+    val dt = keyExpr.dataType
+    val lit = Literal(MetadataAggregates.toCatalyst(dt, bound), dt)
     val cmp =
-      if (largest) GreaterThanOrEqual(attr, lit) else LessThanOrEqual(attr, lit)
-    if (order.nullOrdering == NullsFirst) Or(cmp, IsNull(attr)) else cmp
+      if (order.direction == Descending) GreaterThanOrEqual(keyExpr, lit)
+      else LessThanOrEqual(keyExpr, lit)
+    if (order.nullOrdering == NullsFirst) Or(cmp, IsNull(keyExpr)) else cmp
   }
 
   private def rewrite(k: Int, s: Sort): Option[Sort] = {
     val firstOrder = s.order.head
-    val attr = firstOrder.child match {
-      case a: AttributeReference => a
-      case _ => return None
-    }
+    val (baseAttr, path) = MetadataAggregates.dottedPath(firstOrder.child)
+      .getOrElse(return None)
     val (childPlan, existing) = splitOwnFilter(s.child)
     val (lr, gfi) = relOf(childPlan).getOrElse(return None)
-    if (!lr.output.exists(_.exprId == attr.exprId)) return None
+    if (!lr.output.exists(_.exprId == baseAttr.exprId)) return None
     val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(attr.name)).getOrElse(return None)
+      .find(_.equalsIgnoreCase(path)).getOrElse(return None)
     val largest = firstOrder.direction == Descending
-    val bound = gfi.topKBoundCached(indexedName, attr.dataType, k.toLong, largest)
+    val bound = gfi.topKBoundCached(
+        indexedName, firstOrder.child.dataType, k.toLong, largest)
       .getOrElse(return None)
-    val pred = boundPred(attr, firstOrder, bound)
+    val pred = boundPred(firstOrder.child, firstOrder, bound)
     existing match {
       case Some(cond) if cond.semanticEquals(pred) => None // already rewritten
       case Some(_) => None
@@ -150,15 +152,13 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val firstOrder = wgl.orderSpec.headOption.getOrElse(return None)
-    val attr = firstOrder.child match {
-      case a: AttributeReference => a
-      case _ => return None
-    }
+    val (baseAttr, path) = MetadataAggregates.dottedPath(firstOrder.child)
+      .getOrElse(return None)
     val (childPlan, existing) = splitOwnFilter(wgl.child)
     val (lr, gfi) = relOf(childPlan).getOrElse(return None)
-    if (!lr.output.exists(_.exprId == attr.exprId)) return None
+    if (!lr.output.exists(_.exprId == baseAttr.exprId)) return None
     val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(attr.name)).getOrElse(return None)
+      .find(_.equalsIgnoreCase(path)).getOrElse(return None)
     val partNames = gfi.meta.partitionSchema.fieldNames
     val partsArePartitionCols = wgl.partitionSpec.forall {
       case a: AttributeReference => lr.output.exists(_.exprId == a.exprId) &&
@@ -167,12 +167,12 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val largest = firstOrder.direction == Descending
     val bound = (if (wgl.partitionSpec.isEmpty) {
-      gfi.topKBoundCached(indexedName, attr.dataType, wgl.limit.toLong, largest)
+      gfi.topKBoundCached(indexedName, firstOrder.child.dataType, wgl.limit.toLong, largest)
     } else if (partsArePartitionCols) {
       gfi.topKBoundByPartitionsCached(
-        indexedName, attr.dataType, wgl.limit.toLong, largest)
+        indexedName, firstOrder.child.dataType, wgl.limit.toLong, largest)
     } else None).getOrElse(return None)
-    val pred = boundPred(attr, firstOrder, bound)
+    val pred = boundPred(firstOrder.child, firstOrder, bound)
     existing match {
       case Some(cond) if cond.semanticEquals(pred) => None
       case Some(_) => None

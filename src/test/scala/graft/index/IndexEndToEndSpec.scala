@@ -303,6 +303,25 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.index.create.mode("overwrite").indexBy(bad).parquet(p)
       }
     }
+
+    // nested TOP-K: the API resolves the dotted leaf and cuts files on
+    // the user_id-clustered layout; results stay exact
+    def topRows(df: DataFrame) =
+      df.orderBy(col("payload.user_id").desc_nulls_last, col("id")).limit(25)
+        .select(col("id"), col("payload.user_id"))
+        .collect().map(_.toString).sorted.toSeq
+    val topApi = graft.index.TopK.topKPruned(
+      spark.index.parquet(p), col("payload.user_id"), 25)
+    assert(topRows(topApi) == topRows(spark.read.parquet(p)))
+    topApi.orderBy(col("payload.user_id").desc_nulls_last).limit(25).collect()
+    val fiT = topApi.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fiT.lastListedFiles < fiT.lastTotalFiles,
+      s"expected nested top-k cut: ${fiT.lastListedFiles}/${fiT.lastTotalFiles}")
+    // the automatic rewrite on the nested sort key stays EXACT (the cut
+    // itself depends on whether nested column pruning aliases the key)
+    assert(topRows(spark.index.parquet(p)) == topRows(spark.read.parquet(p)))
   }
 
   test("create + exists + delete lifecycle") {

@@ -138,6 +138,27 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == -0.5 && r.getDouble(1).isNaN)
   }
 
+  test("min/max/count over NESTED leaves answered from metadata") {
+    import spark.implicits._
+    val p = s"$work/nested_meta_t"
+    spark.range(0, 300).select(
+        $"id",
+        struct(($"id" % 50).as("user_id"),
+          concat(lit("s"), $"id" % 5).as("status")).as("payload"))
+      .repartition(4, col("id")).write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("payload.user_id").parquet(p)
+    def aggs(df: DataFrame) = df.agg(
+      count(lit(1)).as("rows"),
+      count(col("payload.user_id")).as("n"),
+      min(col("payload.user_id")).as("mn"),
+      max(col("payload.user_id")).as("mx"))
+    val agg = aggs(spark.index.parquet(p))
+    assertMetadataOnly(agg)
+    assert(agg.head == aggs(spark.read.parquet(p)).head)
+    // an unindexed nested leaf keeps the scan
+    assertScans(spark.index.parquet(p).agg(min(col("payload.status"))))
+  }
+
   test("dataset count() is metadata-only on an indexed relation") {
     val ds = spark.index.parquet(bloomTable)
     val opt = ds.groupBy().count().queryExecution.optimizedPlan
