@@ -107,6 +107,24 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.index.exists.table("sqlddl_orders"))
   }
 
+  test("nested and double columns index through the SQL DDL surface") {
+    import spark.implicits._
+    val p = s"$work/sqlddl_nested"
+    spark.range(0, 500).select(
+        $"id", ($"id".cast("double") * 1.5).as("price"),
+        struct(($"id" % 40).as("user_id")).as("payload"))
+      .repartition(4, col("id")).write.mode("overwrite").parquet(p)
+    spark.sql(s"CREATE INDEX ON PARQUET '$p' (price, payload.user_id)")
+    assert(spark.index.exists.parquet(p))
+    val q = spark.index.parquet(p)
+      .filter(col("payload.user_id") === 7L && col("price") < 300.0)
+    assert(q.collect().toSeq ==
+      spark.read.parquet(p)
+        .filter(col("payload.user_id") === 7L && col("price") < 300.0)
+        .collect().toSeq)
+    spark.sql(s"DROP INDEX ON PARQUET '$p'")
+  }
+
   test("malformed graft statements fail with the graft grammar message") {
     val e = intercept[ParseException] {
       spark.sql(s"CREATE INDEX ON PARQUET '$tablePath'") // no column list
