@@ -334,6 +334,107 @@ object Dedup {
     df.join(dupIds, id === col("__dup_id"), "left_anti")
   }
 
+  // ---- shared-signature batch path (streaming ingest) ------------------
+  //
+  // A streaming near-dedup batch needs signatures THREE times — the
+  // index probe, the in-batch dedup, and the kept-segment append. The
+  // *Signed variants run the identical banding/verify arithmetic over a
+  // (doc_id, text, sig) frame computed once, so the tokenize→shingle→
+  // minhash kernel is paid once per batch instead of three times.
+
+  /** Sign a batch once: (doc_id, sig) ONLY — ~512 B/doc of shareable
+    * checkpointed blocks (lazy localCheckpoint). Deliberately WITHOUT the
+    * text column: checkpointing document text costs more than the
+    * signature kernel saves; callers recover text with one final
+    * semi-join against the batch. */
+  def minhashSigned(df: DataFrame, id: Column, text: Column,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    df.select(id.as("doc_id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+      .localCheckpoint(false)
+
+  /** [[dedupAgainstIndex]] over a pre-signed frame — returns the
+    * SURVIVING signed rows. */
+  def dedupAgainstIndexSigned(
+      spark: org.apache.spark.sql.SparkSession,
+      signed: DataFrame,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    graft.ops.IndexSpec.check(signed, dir,
+      s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK")
+    val rows = numHashes / bands
+    val newBands = signed.select(col("doc_id").as("__id"),
+      posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
+      .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
+    val candidates = newBands.join(corpusBands, Seq("band", "key"))
+      .select(col("__id"), col("__corpus_id")).distinct()
+    val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
+      .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
+    val dups = candidates
+      .join(signed.select(col("doc_id").as("__id"), col("sig").as("__sig")),
+        Seq("__id"))
+      .join(corpusSigs, Seq("__corpus_id"))
+      .filter(round(signatureJaccard(col("__sig"), col("__corpus_sig")), 4)
+        >= threshold)
+      .select(col("__id").as("__dup_id")).distinct()
+    signed.join(dups, col("doc_id") === col("__dup_id"), "left_anti")
+  }
+
+  /** [[dedupMinhash]] over a pre-signed frame — drops every doc pairing
+    * (est. Jaccard >= threshold) with a smaller id, returns surviving
+    * signed rows. */
+  def dedupMinhashSigned(
+      signed: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigDf = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"))
+    val banded = sigDf.select(col("__id"),
+      posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("__band", "__key")))
+    val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
+        Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val dupIds = candidates
+      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .filter(round(signatureJaccard(col("__sig_a"), col("__sig_b")), 4) >= threshold)
+      .select(col("id_b").as("__dup_id")).distinct()
+    signed.join(dupIds, col("doc_id") === col("__dup_id"), "left_anti")
+  }
+
+  /** [[appendMinhashSegment]] from pre-signed rows — no re-signing. */
+  def appendMinhashSegmentSigned(
+      signed: DataFrame,
+      dir: String,
+      segmentId: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spec = s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK"
+    val spark = signed.sparkSession
+    val hadSpec = graft.ops.IndexSpec.checkReturningPresence(signed, dir, spec)
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    val rows = numHashes / bands
+    val sig = signed.select(col("doc_id"), col("sig"))
+    sig.write.mode("overwrite").parquet(s"$segDir/sigs")
+    sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$segDir/bands")
+    graft.ops.Segments.commit(spark, segDir)
+    if (!hadSpec) graft.ops.IndexSpec.write(signed, dir, spec)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash of the token multiset: per token hash, each bit votes

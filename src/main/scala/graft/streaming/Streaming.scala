@@ -449,14 +449,20 @@ object Streaming {
     var indexNonEmpty = graft.ops.Segments.live(spark, idxDir).nonEmpty
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) => {
+        // sign ONCE per batch — (doc_id, sig) only, ~512 B/doc: the
+        // probe, the in-batch dedup and the segment append all share
+        // this frame (the tokenize→shingle→minhash kernel used to run
+        // three times per batch); text is recovered by ONE semi-join at
+        // the end instead of riding the checkpoints
+        val signed = graft.dedup.Dedup.minhashSigned(
+          batch, col("doc_id"), col("text"), numHashes, shingleK)
         val vsIndex =
           if (indexNonEmpty)
-            graft.dedup.Dedup.dedupAgainstIndex(spark, batch,
-              col("doc_id"), col("text"), idxDir,
+            graft.dedup.Dedup.dedupAgainstIndexSigned(spark, signed, idxDir,
               numHashes, bands, shingleK, threshold)
-          else batch
-        val kept = graft.dedup.Dedup.dedupMinhash(vsIndex,
-            col("doc_id"), col("text"), numHashes, bands, shingleK, threshold)
+          else signed
+        val kept = graft.dedup.Dedup.dedupMinhashSigned(vsIndex,
+            numHashes, bands, threshold)
           .localCheckpoint() // one computation feeds the table AND the index
         // an all-duplicates batch writes nothing: the output dir never
         // holds schema-less empty batch dirs and the index never holds
@@ -467,10 +473,10 @@ object Streaming {
         // OVERWRITES its own output instead of appending the same kept
         // rows twice — exactly-once for the table AND the index
         if (kept.take(1).nonEmpty) {
-          kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          graft.dedup.Dedup.appendMinhashSegment(kept,
-            col("doc_id"), col("text"), idxDir, s"b$batchId",
-            numHashes, bands, shingleK)
+          batch.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          graft.dedup.Dedup.appendMinhashSegmentSigned(kept,
+            idxDir, s"b$batchId", numHashes, bands, shingleK)
           indexNonEmpty = true
         }
       }
