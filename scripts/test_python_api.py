@@ -87,6 +87,25 @@ def main():
     ctx.index.delete.parquet(table)
     assert not ctx.index.exists.parquet(table), "index should be gone"
 
+    # ---- extended Canon domain through the Python surface: DOUBLE and
+    # NESTED leaf columns index and prune like any other type ----
+    from pyspark.sql import functions as F
+    fp_table = f"{work}/fp_table"
+    (spark.range(0, 800)
+        .select("id", (F.col("id") * 2.5).alias("price"),
+                F.struct((F.col("id") % 40).alias("user_id")).alias("payload"))
+        .repartition(4, "id").write.mode("overwrite").parquet(fp_table))
+    ctx.index.create.mode("overwrite") \
+        .indexBy("price", "payload.user_id").parquet(fp_table)
+    got = sorted(r.id for r in ctx.index.parquet(fp_table)
+                 .filter("price >= 100.0 AND price < 200.0 AND payload.user_id = 2")
+                 .collect())
+    want = sorted(r.id for r in spark.read.parquet(fp_table)
+                  .filter("price >= 100.0 AND price < 200.0 AND payload.user_id = 2")
+                  .collect())
+    assert got == want and len(got) > 0, (got, want)
+    ctx.index.delete.parquet(fp_table)
+
     # ---- pipeline surface (python/graft_pipeline.py) ----
     from graft_pipeline import Pipeline
     p = Pipeline(spark)

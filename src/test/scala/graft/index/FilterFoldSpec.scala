@@ -313,6 +313,55 @@ class FilterFoldSpec extends AnyFunSuite {
     assert(!Canon.isSupported(DecimalType(19, 4)))
   }
 
+  test("soundness on decimals: verdict=false implies no row matches") {
+    val dt = DecimalType(10, 2)
+    val decSchema = StructType(Seq(StructField("a", dt)))
+    // values at the column's scale (the only values Catalyst stores)
+    val vGen: Gen[java.math.BigDecimal] =
+      Gen.chooseNum(-5000L, 5000L).map(u => new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(u), 2))
+    val rowsG = Gen.nonEmptyListOf(Gen.option(vGen))
+    val leaf: Gen[Filter] = Gen.oneOf(
+      vGen.map(v => EqualTo("a", v)),
+      vGen.map(v => GreaterThan("a", v)),
+      vGen.map(v => LessThanOrEqual("a", v)),
+      Gen.listOf(vGen).map(vs => In("a", vs.map(_.asInstanceOf[Any]).toArray)),
+      Gen.const(IsNull("a")))
+    def fGen(d: Int): Gen[Filter] =
+      if (d == 0) leaf
+      else Gen.oneOf(leaf,
+        Gen.zip(fGen(d - 1), fGen(d - 1)).map { case (l, r) => And(l, r) },
+        Gen.zip(fGen(d - 1), fGen(d - 1)).map { case (l, r) => Or(l, r) },
+        fGen(d - 1).map(Not))
+    def rowM(f: Filter, v: Option[java.math.BigDecimal]): Boolean = f match {
+      case EqualTo("a", x) => v.exists(_.compareTo(x.asInstanceOf[java.math.BigDecimal]) == 0)
+      case GreaterThan("a", x) => v.exists(_.compareTo(x.asInstanceOf[java.math.BigDecimal]) > 0)
+      case LessThanOrEqual("a", x) => v.exists(_.compareTo(x.asInstanceOf[java.math.BigDecimal]) <= 0)
+      case In("a", xs) => v.exists(r => xs.exists(x =>
+        r.compareTo(x.asInstanceOf[java.math.BigDecimal]) == 0))
+      case IsNull("a") => v.isEmpty
+      case And(l, r) => rowM(l, v) && rowM(r, v)
+      case Or(l, r) => rowM(l, v) || rowM(r, v)
+      case Not(c) => !rowM(c, v)
+      case _ => true
+    }
+    val prop = Prop.forAll(rowsG, fGen(3)) { (rows, f) =>
+      val nonNull = rows.flatten
+      val stats =
+        if (nonNull.isEmpty) ColumnStats(None, None, Some(rows.size.toLong))
+        else ColumnStats(
+          Some(nonNull.map(Canon.decimalCanon(dt, _).get).min),
+          Some(nonNull.map(Canon.decimalCanon(dt, _).get).max),
+          Some(rows.count(_.isEmpty).toLong))
+      val blocks = Seq(BlockStats(rows.size.toLong, Map("a" -> stats)))
+      val v = FilterFold.fileMayContain(f, blocks, noSketch, decSchema)
+      v || !rows.exists(r => rowM(f, r))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("soundness on doubles: verdict=false implies no row matches (SQL semantics)") {
     val dSchema = StructType(Seq(StructField("a", DoubleType)))
     val dGen: Gen[Double] = Gen.oneOf(

@@ -367,6 +367,36 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(max(col("id")).as("mx")).count() == 1L)
   }
 
+  test("auto substitution composes with the top-k rewrite: plain read, plain orderBy().limit(), files cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical
+    val p = s"$work/autosub_topk"
+    graft.ops.Layout.clusterBy(
+        spark.range(0, 4000).select($"id", ($"id" * 7 % 4001).as("v")), 8, col("id"))
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("id").parquet(p)
+    spark.conf.set(IndexConf.AutoIndexSubstitution, "true")
+    try {
+      // STOCK SPARK both ways: plain read + plain sort/limit — the
+      // substitution re-points the scan at the index, then the rewrite
+      // proves the bound on it
+      val q = spark.read.parquet(p).orderBy($"id".desc).limit(20)
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.collectFirst { case f: logical.Filter => f }.isDefined,
+        s"expected the injected bound through substitution:\n$opt")
+      assert(
+        q.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+          (3980L until 4000L).toSeq)
+      q.collect()
+      val fi = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+      assert(fi.isDefined, "substituted scan must use GraftFileIndex")
+      assert(fi.get.lastListedFiles < fi.get.lastTotalFiles,
+        s"composed cut: ${fi.get.lastListedFiles}/${fi.get.lastTotalFiles}")
+    } finally spark.conf.unset(IndexConf.AutoIndexSubstitution)
+  }
+
   test("auto substitution: appended files back the plan off (listing drift)") {
     import spark.implicits._
     val p = s"$work/drift_t"
