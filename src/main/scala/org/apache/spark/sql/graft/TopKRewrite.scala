@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Expression, GreaterThanOrEqual, IntegerLiteral, IsNull, LessThanOrEqual, Literal, NullsFirst, Or, Rank, RowNumber, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, Expression, GreaterThanOrEqual, IntegerLiteral, IsNull, LessThanOrEqual, Literal, NullsFirst, Or, Rank, RowNumber, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -20,9 +20,14 @@ import graft.index.IndexConf
   * `listFiles` as ordinary file pruning. The user writes stock Spark;
   * the 50k-file cut of `graft.index.TopK.topKPruned` happens anyway.
   *
+  * The GROUPED shape — `row_number()/rank() OVER (PARTITION BY part
+  * ORDER BY key) <= k` via Spark's WindowGroupLimit lowering — rewrites
+  * too (see [[rewriteGroupLimit]]).
+  *
   * Soundness gates (any miss leaves the plan untouched):
   *   - the Sort is global and its FIRST key is a bare attribute of the
-  *     relation's output, present in the index schema (secondary keys are
+  *     relation's output — or a nested struct leaf (GetStructField
+  *     chain) — present in the index schema (secondary keys are
   *     free: a row below T on the first key is beaten by >= k rows
   *     regardless of ties);
   *   - between Sort and the relation: only attribute-only Projects —
