@@ -1006,6 +1006,28 @@ object SparkEntry {
         .orderBy($"o_orderkey")
     }),
 
+    // NESTED top-k: stock orderBy on the struct leaf + limit — the
+    // automatic rewrite resolves the dotted path and injects the bound.
+    "q_idx_nested_topk" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrdersNested(s, dir)
+        .orderBy($"payload.user_id".desc, $"o_orderkey")
+        .limit(100)
+        .select($"o_orderkey", $"payload.user_id".as("user_id"))
+    }),
+
+    // NESTED metadata-only aggregate: count/min/max of the struct leaf
+    // answered from the index files table (plan-asserted in
+    // MetadataAggSpec).
+    "q_idx_nested_meta" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrdersNested(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count($"payload.user_id").as("n_users"),
+        min($"payload.user_id").as("min_user"),
+        max($"payload.user_id").as("max_user"))
+    }),
+
     // Range over an INT96-written (legacy) timestamp column: footer stats
     // are unusable for INT96, so this exercises the full-scan min/max
     // fallback end-to-end — pruning is asserted in IndexEndToEndSpec.
@@ -7013,6 +7035,14 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey <= 50 AND o_orderstatus = 'O'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_idx_nested_topk" ->
+      """SELECT o_orderkey, o_custkey AS user_id
+        |FROM orders
+        |ORDER BY o_custkey DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_idx_nested_meta" ->
+      """SELECT count(*) AS n_rows, count(o_custkey) AS n_users,
+        |  min(o_custkey) AS min_user, max(o_custkey) AS max_user
+        |FROM orders""".stripMargin,
     "q_idx_range_ts_int96" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
