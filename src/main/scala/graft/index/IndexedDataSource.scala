@@ -496,7 +496,7 @@ object IndexedDataSource {
     val tuples: Seq[Seq[Option[String]]] = listing.select("partVals").distinct()
       .as[Seq[String]].collect().toSeq
       .map(_.map(Option(_)))
-      .sortBy(_.map(_.getOrElse("")).mkString(" "))
+      .sortBy(_.map(_.getOrElse("")).mkString("\u0000"))
     tuples.foreach { t =>
       idxByValues.getOrElseUpdate(t, { partValues += t; partValues.size - 1 })
     }

@@ -34,6 +34,18 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object StatisticsBuilder {
 
+  /** Is a footer's Double/Float min/max trustworthy given its writer
+    * (`created_by`)? Only NaN-POISONING writers qualify: parquet-mr's
+    * sticky Math.min/max fold turns both bounds to NaN the moment a NaN
+    * value arrives, so a surviving non-NaN bound pair proves the chunk
+    * holds no NaN (FpNanFooterSpec pins that behavior against the
+    * bundled writer). Spec-recommended NaN-SKIPPING writers
+    * (arrow/parquet-cpp) and unknown writers leave no trace of NaN
+    * presence — their bounds exclude a value Spark orders ABOVE max, so
+    * they degrade to the full-scan fallback instead. */
+  def fpFooterTrusted(createdBy: Option[String]): Boolean =
+    createdBy.exists(_.startsWith("parquet-mr"))
+
   /** Serializable file handle shipped to the footer job. `hosts` carries
     * the file's block hosts for task locality (reference
     * ParquetStatisticsRDD.getPreferredLocations, :100-121). */
@@ -144,6 +156,18 @@ object StatisticsBuilder {
       val schema = SparkInternals.footerSparkSchema(
         fileMeta.getKeyValueMetaData, fileMeta.getSchema)
       val msgType = fileMeta.getSchema
+      // FP footer bounds are trusted only from NaN-POISONING writers
+      // (parquet-mr's sticky Math.min/max fold turns min/max to NaN the
+      // moment a NaN arrives, so surviving non-NaN bounds PROVE NaN
+      // absence — pinned empirically by FpNanFooterSpec against the
+      // bundled writer). Spec-recommended NaN-SKIPPING writers
+      // (arrow/parquet-cpp) leave no trace of NaN presence: their max
+      // excludes a value Spark orders ABOVE it, unsound both for
+      // max-side pruning and for metadata-only answers — those degrade
+      // to None and the full-scan fallback computes exact NaN-aware
+      // bounds from data, the same contract ORC FP always uses.
+      val fpNanPoisoning = StatisticsBuilder.fpFooterTrusted(
+        Option(fileMeta.getCreatedBy))
       val blocks = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
         // nested leaves join on the dot-string path; a leaf under a
         // REPEATED group counts values (not rows), so its stats can't
@@ -157,7 +181,7 @@ object StatisticsBuilder {
           .toMap
         val cols = indexed.flatMap { case (name, dt) =>
           byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
-            .map(c => name -> chunkStats(c, dt))
+            .map(c => name -> chunkStats(c, dt, fpNanPoisoning))
         }.toMap
         BlockStats(block.getRowCount, cols)
       }
@@ -168,7 +192,8 @@ object StatisticsBuilder {
   /** Column-chunk footer statistics → canonical ColumnStats. Unusable or
     * absent stats (e.g. INT96 timestamps) degrade to all-None, which the
     * fold treats as may-contain. */
-  private def chunkStats(c: ColumnChunkMetaData, dt: DataType): ColumnStats = {
+  private def chunkStats(
+      c: ColumnChunkMetaData, dt: DataType, fpNanPoisoning: Boolean): ColumnStats = {
     val st = c.getStatistics
     if (st == null) return ColumnStats(None, None, None)
     val nullCount = if (st.isNumNullsSet) Some(st.getNumNulls) else None
@@ -205,17 +230,19 @@ object StatisticsBuilder {
       case (LongType, PrimitiveTypeName.INT64) =>
         Some((st.genericGetMin.asInstanceOf[Number].longValue,
           st.genericGetMax.asInstanceOf[Number].longValue))
-      case (DoubleType, PrimitiveTypeName.DOUBLE) =>
+      case (DoubleType, PrimitiveTypeName.DOUBLE) if fpNanPoisoning =>
         // parquet-mr's Math.min/max fold poisons FP stats to NaN when any
-        // NaN is present — degrade to unknown and let the full-scan
-        // fallback supply exact NaN-aware bounds. (A spec-recommended
-        // NaN-SKIPPING writer is trusted as-is, the same exposure Spark's
-        // own parquet pushdown accepts.)
+        // NaN is present — so a NaN-free bound pair from such a writer
+        // PROVES NaN absence (exact attained values, sound for answers
+        // AND for max-side pruning under Spark's NaN-largest order).
+        // Poisoned stats degrade to unknown and the full-scan fallback
+        // supplies exact NaN-aware bounds. Non-poisoning writers never
+        // reach here (fpNanPoisoning gate — see readFooterBlocks).
         val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue
         val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue
         if (mn.isNaN || mx.isNaN) None
         else Some((Canon.sortableDouble(mn), Canon.sortableDouble(mx)))
-      case (FloatType, PrimitiveTypeName.FLOAT) =>
+      case (FloatType, PrimitiveTypeName.FLOAT) if fpNanPoisoning =>
         val mn = st.genericGetMin.asInstanceOf[java.lang.Float].floatValue
         val mx = st.genericGetMax.asInstanceOf[java.lang.Float].floatValue
         if (mn.isNaN || mx.isNaN) None

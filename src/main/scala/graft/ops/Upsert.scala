@@ -128,7 +128,10 @@ object Upsert {
     require(newBuckets >= 1, s"newBuckets must be >= 1: $newBuckets")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dirPath), s"$what missing at $dir — $rebuild first")
+    require(fs.exists(dirPath),
+      s"$what missing at $dir — $rebuild first (if a rebucket crashed " +
+        s"mid-swap, a complete copy survives at ${dir}_rebucket_old and/or " +
+        s"${dir}_rebucket_tmp: rename one back to $dir and re-pin its spec)")
     require(IndexSpec.checkReturningPresence(spark, dir, oldSpec),
       s"$what at $dir carries no _index_spec — a crashed create left " +
         s"unpinned data; rebuild with $rebuild(mode = \"overwrite\")")
@@ -142,17 +145,32 @@ object Upsert {
       // only its spec — exactly the guarded no-spec state every other
       // path refuses to build on.
       val tmpPath = new org.apache.hadoop.fs.Path(dir + "_rebucket_tmp")
+      val oldPath = new org.apache.hadoop.fs.Path(dir + "_rebucket_old")
       if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale scratch from a prior crash
+      if (fs.exists(oldPath)) fs.delete(oldPath, true) // retired copy from a prior run
       spark.read.parquet(dir).drop("graft_bucket")
         .withColumn("graft_bucket", bucketOf(col(key), newBuckets))
         .write.mode("overwrite").partitionBy("graft_bucket")
         .parquet(tmpPath.toString)
       IndexSpec.delete(spark, dir)
-      fs.delete(dirPath, true)
-      require(fs.rename(tmpPath, dirPath),
-        s"rename $tmpPath -> $dirPath failed; rebucketed data is intact " +
-          s"at $tmpPath — move it into place and re-pin the spec manually")
+      // retire the old dir by RENAME (cheap even where rename copies —
+      // it's the only copy of the table until the new data is in
+      // place): a crash between here and the swap leaves BOTH complete
+      // copies on disk, never a window where the sole copy lives in a
+      // scratch dir an operator might discard
+      require(fs.rename(dirPath, oldPath),
+        s"rename $dirPath -> $oldPath failed; table unchanged (old spec " +
+          "deleted — re-run rebucket, or re-pin the old spec to keep the layout)")
+      if (!fs.rename(tmpPath, dirPath)) {
+        // roll the old copy back into place before failing
+        fs.rename(oldPath, dirPath)
+        throw new IllegalStateException(
+          s"rename $tmpPath -> $dirPath failed; original table restored at " +
+            s"$dir (unpinned — re-pin the spec or re-run rebucket); " +
+            s"rebucketed data is intact at $tmpPath")
+      }
       IndexSpec.write(spark, dir, newSpec)
+      fs.delete(oldPath, true) // swap complete — retire the old copy
     }
   }
 

@@ -54,11 +54,19 @@ class GraftFileIndex(
       })
     }
 
-  /** Driver-path file entries grouped by partitionIdx (cached per index
-    * dir; only used below the distributed-pruning threshold). */
-  private lazy val entriesByPartition: Map[Int, Seq[FileEntry]] =
-    IndexFilesTable.readAll(filesDir, hadoopConf)
-      .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
+  /** Driver-path file entries grouped by partitionIdx (cached per
+    * instance, dropped by [[refresh]]; only used below the
+    * distributed-pruning threshold). */
+  @volatile private var entriesByPartitionCache: Map[Int, Seq[FileEntry]] = _
+  private def entriesByPartition: Map[Int, Seq[FileEntry]] = {
+    var c = entriesByPartitionCache
+    if (c == null) {
+      c = IndexFilesTable.readAll(filesDir, hadoopConf)
+        .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
+      entriesByPartitionCache = c
+    }
+    c
+  }
 
   private def sketchStore: SketchStore =
     SketchStore.forDir(new Path(indexDir, graft.index.Metastore.SketchDir), hadoopConf)
@@ -529,7 +537,9 @@ class GraftFileIndex(
   /** Per-index memo of [[topKBound]] results: the optimizer's
     * fixed-point iterations (TopKRewriteRule) and repeated queries over
     * one live index must not redo the fold — metadata is an immutable
-    * snapshot, so the memo can never go stale within this instance. */
+    * snapshot, and [[refresh]] drops the memos when that snapshot is
+    * replaced (a stale kth bound would inject a `key >= T` cut proven
+    * on files the refresh removed, silently dropping new top-k rows). */
   private val topKBoundCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Boolean), Option[Any]]()
 
@@ -689,7 +699,21 @@ class GraftFileIndex(
   override def inputFiles: Array[String] =
     IndexFilesTable.readPaths(filesDir, hadoopConf).toArray
 
-  override def refresh(): Unit = IndexFilesTable.invalidate(filesDir)
+  /** Drop EVERY snapshot-derived memo along with the shared files-table
+    * cache: an instance held across an index refresh must re-prove
+    * aggregates, distinct sets, and top-k bounds against the new
+    * snapshot — a stale kth bound in particular would turn the injected
+    * top-k range cut unsound (files the refresh removed could have
+    * proven a tighter T than the new data supports). */
+  override def refresh(): Unit = {
+    IndexFilesTable.invalidate(filesDir)
+    entriesByPartitionCache = null
+    metaAggCache.clear()
+    metaAggByPartCache.clear()
+    metaDistinctCache.clear()
+    topKBoundCache.clear()
+    topKGroupBoundCache.clear()
+  }
 
   /** Whole-table size — the sound pre-filter estimate the v1 FileIndex
     * contract expects (filters arrive only at listFiles time, AFTER join

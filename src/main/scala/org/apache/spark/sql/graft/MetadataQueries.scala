@@ -119,12 +119,14 @@ object MetadataAggregates {
   def boundsAttained(dt: DataType, source: String): Boolean = dt match {
     case IntegerType | LongType | DateType => true
     case TimestampType | TimestampNTZType => source == Sources.Parquet
-    // Double/Float bounds are exact data values: parquet footers carry
-    // full-precision FP stats (NaN-poisoned footers degrade at build and
-    // are patched by the full-scan fallback from data); ORC FP stats are
-    // never trusted at build, so ORC bounds ALWAYS come from the
-    // fallback. One caveat, documented: a min of -0.0 answers as 0.0
-    // (the canonical domain normalizes them — SQL-equal values).
+    // Double/Float bounds are exact data values: parquet footers are
+    // trusted only from NaN-POISONING writers (non-NaN bounds then PROVE
+    // NaN absence; poisoned footers degrade at build and are patched by
+    // the full-scan fallback from data — StatisticsBuilder.fpFooterTrusted);
+    // footers from NaN-skipping/unknown writers and ALL ORC FP stats come
+    // from the fallback, which computes Spark-semantics bounds (max = NaN
+    // when NaN present). One caveat, documented: a min of -0.0 answers as
+    // 0.0 (the canonical domain normalizes them — SQL-equal values).
     case DoubleType | FloatType => true
     // int-backed parquet / ORC decimal stats are exact unscaled values;
     // binary-backed ones come from the fallback
@@ -246,10 +248,18 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case f: Filter =>
         indexedChild(f.child).flatMap { case (lr, gfi, conds, subst) =>
           val partNames = gfi.meta.partitionSchema.fieldNames
+          // partition-filter classification must bind by exprId, not name:
+          // an alias from a lower Project can SHADOW a partition column's
+          // name (e.g. rand().as("o_year") when pushdown is blocked), and
+          // compilePredicate would then evaluate the impostor against
+          // partition values. Only references that are the relation's OWN
+          // output attributes qualify — anything defined by an alias
+          // (present in subst) is by construction not in lr.output.
           val ok = f.condition.deterministic &&
             f.condition.references.nonEmpty &&
             f.condition.references.forall(a =>
-              partNames.exists(_.equalsIgnoreCase(a.name))) &&
+              lr.output.exists(_.exprId == a.exprId) &&
+                partNames.exists(_.equalsIgnoreCase(a.name))) &&
             !f.condition.exists(_.isInstanceOf[PlanExpression[_]])
           if (ok) Some((lr, gfi, conds :+ f.condition, subst)) else None
         }

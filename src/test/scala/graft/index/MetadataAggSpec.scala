@@ -311,6 +311,64 @@ class MetadataAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(IndexConf.MetadataOnlyAggregates, "true")
   }
 
+  test("alias shadowing a partition column's name is not a partition filter") {
+    // rand().as("pyear") blocks filter pushdown (nondeterministic), so the
+    // Filter sits ABOVE the Project when the rule walks the tree — a
+    // name-only gate would evaluate `pyear < 0.5` against the REAL
+    // partition values (no partition year is < 0.5 → a wrong empty fold).
+    // The exprId gate must bail to the scan instead.
+    val t = spark.index.parquet(partTable)
+    val shadowed = t.select(rand(42).as("pyear"), col("id"))
+      .filter(col("pyear") < 0.5)
+      .agg(count(lit(1)).as("n"))
+    assertScans(shadowed)
+    assert(shadowed.head.getLong(0) > 0L,
+      "rand(42) < 0.5 keeps some of the 200 rows — a metadata fold over " +
+        "partition values would have answered 0")
+    // the same shape over a REAL partition column reference still rewrites
+    val real = t.filter(col("pyear") >= 2025).agg(count(lit(1)).as("n"))
+    assertMetadataOnly(real)
+  }
+
+  test("FP footer bounds: parquet-mr NaN-poisoning pinned, foreign writers distrusted") {
+    import spark.implicits._
+    // the unit gate: only parquet-mr provenance is trusted
+    assert(StatisticsBuilder.fpFooterTrusted(Some("parquet-mr version 1.15.1 (build x)")))
+    assert(!StatisticsBuilder.fpFooterTrusted(Some("parquet-cpp-arrow version 16.0.0")))
+    assert(!StatisticsBuilder.fpFooterTrusted(Some("impala version 4.3")))
+    assert(!StatisticsBuilder.fpFooterTrusted(None))
+    // the EMPIRICAL pin behind that trust: the bundled writer must
+    // NaN-POISON (or omit) double stats when NaN is present — if a future
+    // parquet-mr switches to spec NaN-SKIPPING, clean bounds would stop
+    // proving NaN absence and this assertion goes red before any index does
+    val p = s"$work/fp_poison_pin"
+    Seq(1.0, 2.0, Double.NaN, -0.5).toDF("price").coalesce(1).write.parquet(p)
+    val file = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration))
+    try {
+      val meta = reader.getFooter
+      assert(StatisticsBuilder.fpFooterTrusted(
+        Option(meta.getFileMetaData.getCreatedBy)),
+        s"Spark no longer writes via parquet-mr? created_by = " +
+          meta.getFileMetaData.getCreatedBy)
+      val st = meta.getBlocks.get(0).getColumns.get(0).getStatistics
+      val cleanBounds = st != null && st.hasNonNullValue && {
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue
+        !mn.isNaN && !mx.isNaN
+      }
+      assert(!cleanBounds,
+        "the bundled parquet-mr wrote clean (non-NaN) double bounds for a " +
+          "NaN-bearing chunk — it now NaN-SKIPS, so fpFooterTrusted's " +
+          "poisoning assumption is broken and FP footer trust must be revoked")
+    } finally reader.close()
+  }
+
   test("auto substitution: plain read served and pruned by the index when enabled") {
     spark.conf.set(IndexConf.AutoIndexSubstitution, "true")
     try {
