@@ -110,28 +110,31 @@ object Bench {
     // only apply when that file was measured at the same SF dir.
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "bench_notes/bench_prev.json")
-    val prevTimes: Map[String, Double] =
+    def parsePrevObj(txt: String, key: String): Map[String, Double] =
+      txt.indexOf("\"" + key + "\":{") match {
+        case -1 => Map.empty
+        case i =>
+          val start = i + key.length + 4
+          val body = txt.substring(start, txt.indexOf('}', start).max(start))
+          """"([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val (prevTimes, prevStreamWork): (Map[String, Double], Map[String, Double]) =
       try {
         val f = new java.io.File(prevPath)
-        if (!f.exists()) Map.empty
+        if (!f.exists()) (Map.empty, Map.empty)
         else {
           val txt = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
             .forall(_.group(1) == sfDir)
-          val qobj = txt.indexOf("\"queries\":{") match {
-            case -1 => ""
-            case i =>
-              val start = i + "\"queries\":{".length
-              txt.substring(start, txt.indexOf('}', start).max(start))
-          }
-          if (!sfOk) Map.empty
-          else """"([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(qobj)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (!sfOk) (Map.empty, Map.empty)
+          else (parsePrevObj(txt, "queries"), parsePrevObj(txt, "stream_work"))
         }
       } catch {
         case e: Throwable =>
-          System.err.println(s"BENCH WARN: cannot read $prevPath: $e"); Map.empty
+          System.err.println(s"BENCH WARN: cannot read $prevPath: $e")
+          (Map.empty, Map.empty)
       }
     val adjudicated: Seq[(String, Double, Double, Double)] =
       results.flatMap { case (name, (cur, ok)) =>
@@ -141,6 +144,23 @@ object Bench {
             try {
               val rerun = math.min(runOnce(fn)._1, runOnce(fn)._1)
               Some((name, prev, cur, rerun))
+            } catch { case _: Throwable => None }
+          case _ => None
+        }
+      }
+    // the same prev-comparison over per-batch stream WORK: total query
+    // time dampens a real per-batch regression under harness overhead, so
+    // a >2x stream_work mover gets its own back-to-back rerun, recorded
+    // under "<name>:work" in the adjudicated object
+    val adjudicatedWork: Seq[(String, Double, Double, Double)] =
+      streamWork.toSeq.flatMap { case (name, work) =>
+        prevStreamWork.get(name) match {
+          case Some(prev) if work >= 0.3 && work > 2.0 * prev &&
+              !adjudicated.exists(_._1 == name) =>
+            val fn = SparkEntry.queries(name)
+            try {
+              val rerun = math.min(runOnce(fn)._2, runOnce(fn)._2)
+              Some((name + ":work", prev, work, rerun))
             } catch { case _: Throwable => None }
           case _ => None
         }
@@ -443,17 +463,46 @@ object Bench {
           (-1L, -1L)
       }
 
+    // -- AUTOMATIC join pruning at 50k files (zero-API twin of
+    // joinprune_probe): a stock df.join of the 50k-file indexed fact with
+    // a 3-key local dim — JoinPruneRule injects the IN probe at optimize
+    // time and the listing folds to the 3 matching seeds' files.
+    val (jpAutoFilesRead, jpAutoFilesTotal, jpAuto50kSec) =
+      try {
+        def auto() = SparkEntry.indexed50kFiles(spark, sfDir)
+          .join(Seq(5L, 6L, 7L).toDF("dk"), $"k" === $"dk")
+        val probe = auto()
+        probe.queryExecution.toRdd.count()
+        val (r, t) = graftScanFiles(probe)
+        val sec = timeBest(auto().count(), 3)
+        (r, t, sec)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in joinprune_auto: $e")
+          extraFailed += "joinprune_auto"
+          (-1L, -1L, -1.0)
+      }
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
+    // headline with adjudication applied: a >2x mover's quiet rerun
+    // replaces its contended first run, so the total of record reflects
+    // the box the OTHER 200+ queries were measured on
+    val rerunByName = adjudicated.map(a => a._1 -> a._4).toMap
+    val totalAdjudicated = results.collect { case (n, (v, true)) =>
+      math.min(v, rerunByName.getOrElse(n, v))
+    }.sum
     val failedJson = (failed ++ extraFailed).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val streamWorkJson = streamWork
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val adjudicatedJson = adjudicated.map { case (n, prev, cur, rerun) =>
-      s""""$n":{"prev":$prev,"first":$cur,"rerun":$rerun}"""
-    }.mkString("{", ",", "}")
+    val adjudicatedJson = (adjudicated ++ adjudicatedWork)
+      .map { case (n, prev, cur, rerun) =>
+        s""""$n":{"prev":$prev,"first":$cur,"rerun":$rerun}"""
+      }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""total_adjudicated":$totalAdjudicated,""" +
       s""""failed":$failedJson,""" +
       s""""stream_work":$streamWorkJson,""" +
       s""""adjudicated":$adjudicatedJson,""" +
@@ -484,10 +533,15 @@ object Bench {
       s""""dpp_files_read":$dppFilesRead,"dpp_files_total":$dppFilesTotal,""" +
       s""""joinprune_files_read":$jpFilesRead,""" +
       s""""joinprune_files_total":$jpFilesTotal,""" +
+      s""""joinprune_auto_files_read":$jpAutoFilesRead,""" +
+      s""""joinprune_auto_files_total":$jpAutoFilesTotal,""" +
+      s""""joinprune_auto_50k_sec":$jpAuto50kSec,""" +
       s""""sf":"$sfDir"}"""
-    println(json)
-    // ALSO write the line to a file: the round artifact must never again
-    // be a truncated stdout tail (BENCH_r07.json parsed:null)
+    // The FULL line goes to a file; stdout gets a SHORT final line. The
+    // round driver keeps only a ~2 KB stdout TAIL — the full line is
+    // ~10 KB, so printing it last truncated its head and every BENCH_r*
+    // artifact parsed as null. The short line carries the headline
+    // metrics + the path to the full artifact and fits the tail whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_notes/bench_last.json")
     try {
@@ -498,6 +552,19 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"BENCH WARN: could not write $outPath: $e")
     }
+    val shortJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_adjudicated":$totalAdjudicated,""" +
+      s""""n_queries":${results.size},""" +
+      s""""failed":$failedJson,""" +
+      s""""adjudicated_n":${adjudicated.size + adjudicatedWork.size},""" +
+      s""""files_scanned_ratio":$ratio,""" +
+      s""""indexed_speedup":$speedup,""" +
+      s""""point_query_indexed_sec":$idxTime,"point_query_plain_sec":$plainTime,""" +
+      s""""prune_50k_files_sec":$prune50kTime,""" +
+      s""""files_50k_total":${fi50k.map(_.lastTotalFiles).getOrElse(0L)},""" +
+      s""""queries_file":"$outPath",""" +
+      s""""sf":"$sfDir"}"""
+    println(shortJson)
     spark.stop()
   }
 

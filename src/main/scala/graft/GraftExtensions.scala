@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.MetadataAggregateRule(s))
     ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.AutoIndexSubstitutionRule(s))
     ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.TopKRewriteRule(s))
+    ext.injectOptimizerRule(s => new org.apache.spark.sql.graft.JoinPruneRule(s))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((

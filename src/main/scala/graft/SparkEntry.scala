@@ -891,6 +891,20 @@ object SparkEntry {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // AUTOMATIC join pruning (zero-API twin of q_idx_join_prune): a stock
+    // df.join over the indexed fact — no JoinPrune call anywhere — and the
+    // conf-on JoinPruneRule injects the dim-key IN probe at optimize time,
+    // so per-file sketches cut fact files on a NON-partition join key.
+    "q_idx_join_auto" -> ((s, dir) => {
+      import s.implicits._
+      val dim = tbl(s, dir, "supplier").filter($"s_suppkey" <= 3)
+        .select($"s_suppkey", $"s_name")
+      indexedLineitem(s, dir).join(dim, $"l_suppkey" === $"s_suppkey")
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"s_name",
+          $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Query through an index built by create-on-half + append + refresh:
     // both file generations must answer, with pruning (the point key is
     // odd, so it lives only in refresh-appended files).
@@ -7122,6 +7136,11 @@ object SparkEntry {
         |  l_extendedprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_join_auto" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name, l_extendedprice
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey <= 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_idx_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag

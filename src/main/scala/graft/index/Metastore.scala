@@ -63,6 +63,25 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * Sound by construction (degrades to the plain sort when no bound is
     * provable); on by default. */
   def topKRewrite: Boolean = get(IndexConf.TopKRewrite, "true").toBoolean
+  /** Rewrite plain inner/semi equi-joins over an indexed relation into
+    * the same join above an injected dim-key probe (IN-list under the
+    * cap, min/max range + broadcast bloom past it), so the index prunes
+    * fact FILES on a non-partition join key (see JoinPruneRule). Sound by
+    * construction; the probe evaluates the dim once at optimize time, so
+    * it only fires on selective-looking dims. */
+  def joinPrune: Boolean = get(IndexConf.JoinPrune, "true").toBoolean
+  /** Distinct-key cap for the join-prune IN variant (the probe collects
+    * at most cap+1 keys; past it the bloom variant or the plain join). */
+  def joinPruneMaxKeys: Int = get(IndexConf.JoinPruneMaxKeys, "10000").toInt
+  /** Past the key cap, build a range + broadcast-bloom probe instead of
+    * bailing — two more dim passes at optimize time, shuffle-volume ∝
+    * join selectivity at execution. */
+  def joinPruneBloom: Boolean = get(IndexConf.JoinPruneBloom, "true").toBoolean
+  /** A dim with no Filter/Limit is probed only when its leaf scans are
+    * under this many bytes (an unfiltered full-size dim holds every key —
+    * probing it costs a scan and prunes nothing). */
+  def joinPruneMaxDimBytes: Long =
+    get(IndexConf.JoinPruneMaxDimBytes, (128L * 1024 * 1024).toString).toLong
 }
 
 object IndexConf {
@@ -79,6 +98,10 @@ object IndexConf {
   val AutoIndexSubstitution = "spark.sql.index.autoSubstitution"
   val MetadataDistinctMaxValues = "spark.sql.index.metadataDistinctMaxValues"
   val TopKRewrite = "spark.sql.index.topKRewrite"
+  val JoinPrune = "spark.sql.index.joinPrune"
+  val JoinPruneMaxKeys = "spark.sql.index.joinPrune.maxKeys"
+  val JoinPruneBloom = "spark.sql.index.joinPrune.bloom"
+  val JoinPruneMaxDimBytes = "spark.sql.index.joinPrune.maxDimBytes"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =

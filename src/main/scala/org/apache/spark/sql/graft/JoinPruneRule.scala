@@ -1,0 +1,321 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, ExprId, GreaterThanOrEqual, In, InSet, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.index.IndexConf
+
+/** Automatic index-backed JOIN pruning: the zero-API form of
+  * [[graft.index.JoinPrune]]. A user writes the stock star-join shape
+  *
+  * {{{ fact.join(dim.filter(...), fact("k") === dim("k")) }}}
+  *
+  * over an indexed fact, and this rule injects the same sound probe the
+  * explicit API calls build — turning a join key that is NOT a partition
+  * column (the shape DPP cannot cover) into per-file sketch pruning:
+  *
+  *   - small dim (distinct keys under the cap): the keys become a static
+  *     `factKey IN (...)` filter directly above the indexed relation,
+  *     which `listFiles` folds against per-file min/max + bloom +
+  *     dictionary — the fact side reads only files that can contain a
+  *     matching key;
+  *   - large dim (past the cap, [[IndexConf.joinPruneBloom]] on): the
+  *     dim's `[min, max]` key range (a 2-value aggregate at any dim size)
+  *     prunes files, and a distributed-built broadcast bloom gates rows
+  *     map-side via the codegen'd [[graft.functions.InBloom]] probe, so
+  *     only rows that MIGHT join reach the shuffle.
+  *
+  * Soundness (any gate missed leaves the join untouched):
+  *   - join types: Inner (either side may be the indexed fact) and
+  *     LeftSemi (left only) — for both, a fact row whose key has no dim
+  *     match cannot survive, so filtering by dim-key membership is
+  *     semantics-free; `EqualTo` only (null keys never match, and the
+  *     injected `IN`/range/bloom drops nulls the join would drop anyway;
+  *     null-safe `<=>` is NOT eligible and never matches here);
+  *   - the dim subplan must be deterministic and non-streaming — it is
+  *     evaluated again at probe time, and a nondeterministic dim (sample,
+  *     rand) could yield probe keys that miss join-time rows;
+  *   - the dim must look selective: a Filter/Limit/LocalRelation
+  *     somewhere in it, or leaf-scan bytes under
+  *     [[IndexConf.joinPruneMaxDimBytes]] — an unfiltered full-table dim
+  *     contains every key, so probing it buys nothing and costs a scan;
+  *   - the fact-side key must resolve through attribute-only (or
+  *     alias-of-attribute) Projects and pass-through Filters to an output
+  *     attribute of a [[GraftFileIndex]]-backed relation, by exprId, and
+  *     be present in the index schema.
+  *
+  * Idempotency under the optimizer's fixed point is structural, not
+  * memoized: a re-entry sees an `IN`/`InSet`/`InBloom` conjunct on the
+  * same key exprId between the join and the relation and skips — no
+  * probe result is ever cached across queries, so a dim whose DATA
+  * changed between queries is always re-probed (an IN-list of stale keys
+  * would silently drop join rows; staleness is structurally impossible
+  * here). A user's own `k IN (...)` filter suppresses the rewrite the
+  * same way — their list already cuts files, and re-probing under it
+  * could only add a redundant conjunct. Joins the probe REJECTS (cap
+  * exceeded with bloom off, non-selective dim) land in a bounded
+  * negative memo so the fixed point's later iterations — and repeated
+  * session queries of the same shape — don't re-scan the dim; negative
+  * entries can only cost a missed optimization, never a wrong answer.
+  *
+  * At 100 TB this is the selective star join: a thousand-key dim against
+  * a million-file fact becomes a thousand-entry IN probe folded against
+  * per-file sketches on the driver/cluster, reading the handful of fact
+  * files that matter — before AQE, before the shuffle, before any fact
+  * byte is opened.
+  */
+class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import JoinPruneRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = IndexConf(spark)
+    if (!conf.joinPrune || inProbe.get()) return plan
+    plan.transformDown {
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        rewrite(j, conf, factOnLeft = true)
+          .orElse(rewrite(j, conf, factOnLeft = false)).getOrElse(j)
+      case j @ Join(_, _, LeftSemi, Some(_), _) =>
+        rewrite(j, conf, factOnLeft = true).getOrElse(j)
+    }
+  }
+
+  /** One orientation of one join: find an eligible equi-conjunct whose
+    * fact-side key lands on an indexed relation, probe the dim, inject. */
+  private def rewrite(j: Join, conf: IndexConf, factOnLeft: Boolean): Option[Join] = {
+    val (factPlan, dimPlan) = if (factOnLeft) (j.left, j.right) else (j.right, j.left)
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    conjuncts.iterator.flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        // orient the pair: fact key ∈ fact side, dim key ∈ dim side
+        if (factPlan.outputSet.contains(a) && dimPlan.outputSet.contains(b)) {
+          Some((a, b))
+        } else if (factPlan.outputSet.contains(b) && dimPlan.outputSet.contains(a)) {
+          Some((b, a))
+        } else None
+      case _ => None
+    }.flatMap { case (factKey, dimKey) =>
+      tryInject(factPlan, dimPlan, factKey, dimKey, conf)
+    }.nextOption().map { newFact =>
+      if (factOnLeft) j.copy(left = newFact) else j.copy(right = newFact)
+    }
+  }
+
+  private def tryInject(
+      factPlan: LogicalPlan,
+      dimPlan: LogicalPlan,
+      factKey: AttributeReference,
+      dimKey: AttributeReference,
+      conf: IndexConf): Option[LogicalPlan] = {
+    // fact side: resolve the key to the indexed relation's own attribute
+    val (lr, gfi, relAttr) = resolveIndexed(factPlan, factKey.exprId).getOrElse(return None)
+    if (!gfi.meta.indexSchema.fieldNames.exists(_.equalsIgnoreCase(relAttr.name))) return None
+    // structural idempotency: an IN/InSet/InBloom conjunct on this key
+    // anywhere on the fact side means the probe already happened (ours or
+    // the user's own equivalent cut)
+    if (alreadyProbed(factPlan, relAttr.exprId, factKey.exprId)) return None
+    // dim side: safe and worthwhile to evaluate at optimize time
+    if (dimPlan.isStreaming) return None
+    // nondeterministic dims could yield probe keys that miss join-time
+    // rows; PlanExpression.deterministic does not inspect its inner plan,
+    // so subquery-bearing dims bail outright
+    if (dimPlan.exists(_.expressions.exists(e => e.exists(x =>
+      !x.deterministic ||
+        x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))) {
+      return None
+    }
+    if (!selective(dimPlan, conf.joinPruneMaxDimBytes)) return None
+    val dt = relAttr.dataType
+    if (!inEligible(dt)) return None
+
+    val negKey = (dimPlan.canonicalized, dimKey.canonicalized, conf.joinPruneMaxKeys)
+    if (negativeMemo.containsKey(negKey)) return None
+
+    val pred = probe(dimPlan, dimKey, dt, conf).getOrElse {
+      negativeMemo.put(negKey, java.lang.Boolean.TRUE)
+      trimMemo()
+      return None
+    }
+    val bound = pred.transform { case a: AttributeReference => relAttr }
+    logInfo(s"graft join prune: injected $bound above ${gfi.rootPaths.headOption.getOrElse("")}")
+    // transformUp: a transformDown would recurse into the replacement's
+    // children and re-match the same relation forever
+    Some(factPlan.transformUp {
+      case rel: LogicalRelation if rel eq lr => Filter(bound, rel)
+    })
+  }
+
+  /** Execute the dim's key column at optimize time (guarded against
+    * re-entering this rule) and build the probe predicate over a
+    * placeholder attribute the caller rebinds to the relation output.
+    * None = past the cap with bloom off / unsupported bloom key. */
+  private def probe(
+      dimPlan: LogicalPlan,
+      dimKey: AttributeReference,
+      dt: DataType,
+      conf: IndexConf): Option[Expression] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val maxKeys = conf.joinPruneMaxKeys
+    inProbe.set(true)
+    try {
+      val keyed = org.apache.spark.sql.classic.Dataset
+        .ofRows(classic, Project(Seq(dimKey.asInstanceOf[NamedExpression]), dimPlan))
+        .toDF("__k")
+        .filter(org.apache.spark.sql.functions.col("__k").isNotNull)
+      val keys = keyed.distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+      if (keys.isEmpty) {
+        // no non-null dim keys: the inner/semi join is provably empty. An
+        // EMPTY IN is the strongest pushable form of that fact — it
+        // translates to a source filter the index folds to ZERO files
+        // (unlike a raw `false` literal, which is not source-pushable and
+        // would leave the full listing intact when this rule runs in the
+        // late user-optimizer batch); in the extension path the operator
+        // batch additionally collapses it to an empty relation
+        Some(In(dimKey, Nil))
+      } else if (keys.length <= maxKeys) {
+        Some(In(dimKey, keys.map(Literal.create(_, dt))))
+      } else if (conf.joinPruneBloom && bloomEligible(dt)) {
+        val bounds = keyed.agg(
+          org.apache.spark.sql.functions.min("__k"),
+          org.apache.spark.sql.functions.max("__k")).head
+        val capacity = math.max(keyed.count(), 64L)
+        val bf = keyed.rdd.treeAggregate(
+          org.apache.spark.util.sketch.BloomFilter.create(capacity, 0.03))(
+          seqOp = (f, row) => {
+            row.get(0) match {
+              case s: String =>
+                f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              case n: java.lang.Number => f.putLong(n.longValue())
+              case other => throw new IllegalArgumentException(s"unsupported key $other")
+            }
+            f
+          },
+          combOp = (a, b) => { a.mergeInPlace(b); a })
+        val bc = spark.sparkContext.broadcast(bf)
+        Some(And(
+          And(GreaterThanOrEqual(dimKey, Literal.create(bounds.get(0), dt)),
+            LessThanOrEqual(dimKey, Literal.create(bounds.get(1), dt))),
+          graft.functions.InBloom(dimKey, bc)))
+      } else None
+    } finally inProbe.set(false)
+  }
+
+  /** Walk the fact side through attribute-only / alias-of-attribute
+    * Projects and pass-through Filters to a GraftFileIndex relation,
+    * tracking the exprId substitutions aliases introduce; returns the
+    * relation plus the RELATION-level attribute the join key resolves to. */
+  private def resolveIndexed(
+      p: LogicalPlan, key: ExprId): Option[(LogicalRelation, GraftFileIndex, AttributeReference)] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex =>
+            lr.output.collectFirst {
+              case a: AttributeReference if a.exprId == key => (lr, g, a)
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+      case pr: Project =>
+        // map the key through this Project: itself (bare attribute) or the
+        // attribute under an Alias; computed aliases bail
+        val mapped = pr.projectList.collectFirst {
+          case a: AttributeReference if a.exprId == key => a.exprId
+          case al @ Alias(child: AttributeReference, _) if al.exprId == key => child.exprId
+        }
+        val passThrough = pr.projectList.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        }
+        if (passThrough) mapped.flatMap(resolveIndexed(pr.child, _)) else None
+      case f: Filter => resolveIndexed(f.child, key)
+      case _ => None
+    }
+
+  /** Any IN/InSet/InBloom conjunct on the key between the join and the
+    * relation = the probe already happened (either exprId: the key as the
+    * join sees it, or as the relation outputs it). */
+  private def alreadyProbed(p: LogicalPlan, relId: ExprId, topId: ExprId): Boolean = {
+    def onKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == relId || a.exprId == topId
+      case _ => false
+    }
+    p.exists {
+      case f: Filter => splitConjunctivePredicates(f.condition).exists {
+        case In(v, _) => onKey(v)
+        case InSet(v, _) => onKey(v)
+        // OptimizeIn lowers an empty IN to if(isnotnull(k), false, null);
+        // a constant-false filter means the subtree is already provably
+        // empty — nothing left to prune either way
+        case org.apache.spark.sql.catalyst.expressions.If(
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(v), Literal.FalseLiteral, _) =>
+          onKey(v)
+        case Literal.FalseLiteral => true
+        case c => c.exists {
+          case graft.functions.InBloom(v, _) => onKey(v)
+          case _ => false
+        }
+      }
+      case _ => false
+    }
+  }
+
+  /** Worth probing: something already cuts the dim (a REAL Filter —
+    * the optimizer infers bare `IsNotNull(joinKey)` filters onto every
+    * equi-join child, which cut nothing — a Limit, or local rows), or
+    * its leaf scans are small outright. */
+  private def selective(dim: LogicalPlan, maxBytes: Long): Boolean =
+    dim.exists {
+      case f: Filter => splitConjunctivePredicates(f.condition).exists {
+        case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+        case _ => true
+      }
+      case _: GlobalLimit | _: LocalRelation => true
+      case _ => false
+    } || dim.stats.sizeInBytes <= maxBytes
+
+  private def inEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType | TimestampNTZType | DoubleType | FloatType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** [[graft.functions.InBloom]]'s key domain. */
+  private def bloomEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  private def trimMemo(): Unit = {
+    // bounded, eviction order unimportant (pure optimization memo)
+    while (negativeMemo.size() > 128) {
+      val it = negativeMemo.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+  }
+}
+
+object JoinPruneRule {
+  /** Re-entrancy guard: the probe executes a query on the same session,
+    * whose own optimization must not re-fire this rule (a dim containing
+    * another indexed join would otherwise recurse). */
+  private val inProbe = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Joins the probe REJECTED (cap exceeded, bloom-ineligible): skipping
+    * a probe can only miss an optimization, never change results — safe
+    * to remember across queries, unlike probe RESULTS (stale keys would
+    * drop rows). Keyed on canonicalized (dim plan, key, cap). */
+  private val negativeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Int), java.lang.Boolean]()
+}

@@ -605,7 +605,7 @@ object GraftRules {
     if (!cur.exists(_.isInstanceOf[MetadataAggregateRule])) {
       classic.experimental.extraOptimizations =
         cur :+ new MetadataAggregateRule(spark) :+ new AutoIndexSubstitutionRule(spark) :+
-          new TopKRewriteRule(spark)
+          new TopKRewriteRule(spark) :+ new JoinPruneRule(spark)
     }
   }
 }

@@ -1,0 +1,230 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.implicits._
+
+/** Automatic join pruning (JoinPruneRule): a PLAIN inner/semi equi-join
+  * over an indexed fact must get the explicit JoinPrune API's file cut
+  * with zero API — and every soundness gate must leave the join
+  * untouched but correct. */
+class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val work = Files.createTempDirectory("graft-joinprune").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-joinprune")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(IndexConf.MetastoreLocation, s"$work/metastore")
+    .config("spark.sql.warehouse.dir", s"$work/warehouse")
+    .getOrCreate()
+
+  // fact: 16 files clustered by key (key ranges disjoint per file), so an
+  // IN probe on few keys provably cuts files; dim: 64 suppliers
+  private lazy val factPath = {
+    import spark.implicits._
+    val p = s"$work/fact"
+    (0 until 64000).toDF("i")
+      .select(($"i" / 1000).cast("long").as("k"),
+        ($"i" % 997).cast("long").as("v"),
+        concat(lit("row-"), $"i").as("payload"))
+      .repartitionByRange(16, $"k")
+      .sortWithinPartitions($"k")
+      .write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("k", "v").parquet(p)
+    p
+  }
+
+  private lazy val dimPath = {
+    import spark.implicits._
+    val p = s"$work/dim"
+    (0 until 64).toDF("i")
+      .select($"i".cast("long").as("dk"), concat(lit("nm-"), $"i").as("name"))
+      .coalesce(1).write.parquet(p)
+    p
+  }
+
+  private def fact: DataFrame = spark.index.parquet(factPath)
+  private def dim: DataFrame = spark.read.parquet(dimPath)
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scans)
+  }
+
+  /** The injected probe as the OPTIMIZED plan shows it: an In/InSet (or
+    * InBloom) conjunct in a Filter over the indexed relation. */
+  private def probeConjuncts(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: Filter => f.condition
+    }.flatMap { c =>
+      c.collect {
+        case i: In => s"in(${i.value.sql})"
+        case i: InSet => s"inset(${i.child.sql})"
+        case b: graft.functions.InBloom => s"inbloom(${b.child.sql})"
+      }
+    }
+
+  private def factFilesRead(df: DataFrame): (Long, Long) = {
+    df.collect()
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+      .getOrElse(fail("no indexed scan in plan"))
+    val total = new java.io.File(factPath).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toLong
+    (scan.metrics("numFiles").value, total)
+  }
+
+  test("plain inner join over an indexed fact gets the IN probe and the file cut") {
+    import spark.implicits._
+    val joined = fact.join(dim.filter($"dk" <= 2), $"k" === $"dk")
+      .select($"k", $"v", $"name")
+    val probes = probeConjuncts(joined)
+    assert(probes.exists(_.startsWith("in")), s"expected an IN probe, got $probes")
+    val (read, total) = factFilesRead(joined)
+    assert(read > 0 && read < total, s"probe should cut files: $read/$total")
+    // bit-for-bit vs the un-pruned join
+    val expected = spark.read.parquet(factPath)
+      .join(dim.filter($"dk" <= 2), $"k" === $"dk")
+      .select($"k", $"v", $"name")
+    assert(joined.orderBy($"k", $"v", $"name").collect().toSeq ==
+      expected.orderBy($"k", $"v", $"name").collect().toSeq)
+  }
+
+  test("join key reversed and fact on the right still rewrite") {
+    import spark.implicits._
+    val joined = dim.filter($"dk" === 5).join(fact, $"dk" === $"k")
+    assert(probeConjuncts(joined).nonEmpty, "right-side fact must rewrite too")
+    val (read, total) = factFilesRead(joined)
+    assert(read < total)
+    assert(joined.count() == 1000L)
+  }
+
+  test("left-semi (SQL IN-subquery) shape rewrites when fact is on the left") {
+    import spark.implicits._
+    fact.createOrReplaceTempView("jp_fact")
+    dim.createOrReplaceTempView("jp_dim")
+    val q = spark.sql(
+      "SELECT k, v FROM jp_fact WHERE k IN (SELECT dk FROM jp_dim WHERE dk = 7)")
+    assert(probeConjuncts(q).nonEmpty, "IN-subquery lowers to LeftSemi — must rewrite")
+    val (read, total) = factFilesRead(q)
+    assert(read < total)
+    assert(q.count() == 1000L)
+  }
+
+  test("alias-of-attribute projects on the fact side are walked through") {
+    import spark.implicits._
+    val joined = fact.select($"k".as("fk"), $"v")
+      .join(dim.filter($"dk" === 9), $"fk" === $"dk")
+    assert(probeConjuncts(joined).nonEmpty)
+    assert(joined.count() == 1000L)
+  }
+
+  test("empty dim keys: the injected empty IN folds the fact listing to zero files") {
+    import spark.implicits._
+    val joined = fact.join(dim.filter($"dk" < 0), $"k" === $"dk")
+    assert(joined.count() == 0L)
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+    // extension path: the operator batch collapses the empty IN to an
+    // empty relation (no scan at all); extraOptimizations path: the IN is
+    // pushed and the index folds the listing to zero files — both read 0
+    factScan.foreach(s => assert(s.metrics("numFiles").value == 0L,
+      "empty-IN probe must fold the fact listing to zero files"))
+  }
+
+  test("past the key cap the bloom variant fires: range + InBloom, still exact") {
+    import spark.implicits._
+    spark.conf.set(IndexConf.JoinPruneMaxKeys, "4")
+    try {
+      val joined = fact.join(dim.filter($"dk" >= 10 && $"dk" <= 20), $"k" === $"dk")
+        .select($"k", $"name")
+      val probes = probeConjuncts(joined)
+      assert(probes.exists(_.startsWith("inbloom")), s"expected bloom probe, got $probes")
+      val (read, total) = factFilesRead(joined)
+      assert(read < total, s"range cut should prune clustered files: $read/$total")
+      assert(joined.count() == 11000L)
+    } finally spark.conf.unset(IndexConf.JoinPruneMaxKeys)
+  }
+
+  test("soundness gates: nondeterministic dim, outer join, <=> and conf-off bail") {
+    import spark.implicits._
+    val nondet = fact.join(
+      dim.filter(rand(7) < 0.99).filter($"dk" === 3), $"k" === $"dk")
+    assert(probeConjuncts(nondet).isEmpty, "nondeterministic dim must not be probed")
+    assert(nondet.count() <= 1000L)
+
+    val outer = fact.join(dim.filter($"dk" === 3), $"k" === $"dk", "left_outer")
+    assert(probeConjuncts(outer).isEmpty, "left-outer fact side must not be filtered")
+    assert(outer.count() == 64000L)
+
+    val nullSafe = fact.join(dim.filter($"dk" === 3), $"k" <=> $"dk")
+    assert(probeConjuncts(nullSafe).isEmpty, "null-safe equality is not eligible")
+    assert(nullSafe.count() == 1000L)
+
+    spark.conf.set(IndexConf.JoinPrune, "false")
+    try {
+      val off = fact.join(dim.filter($"dk" === 3), $"k" === $"dk")
+      assert(probeConjuncts(off).isEmpty)
+      assert(off.count() == 1000L)
+    } finally spark.conf.unset(IndexConf.JoinPrune)
+  }
+
+  test("non-selective dim (no filter, over the byte gate) is not probed") {
+    import spark.implicits._
+    spark.conf.set(IndexConf.JoinPruneMaxDimBytes, "0")
+    try {
+      val joined = fact.join(dim, $"k" === $"dk")
+      assert(probeConjuncts(joined).isEmpty,
+        "unfiltered dim past the byte gate must not be probed")
+      assert(joined.count() == 64000L)
+    } finally spark.conf.unset(IndexConf.JoinPruneMaxDimBytes)
+    // under the gate (test dim is tiny) the unfiltered join IS probed —
+    // every key matches, result unchanged
+    val joined = fact.join(dim, $"k" === $"dk")
+    assert(probeConjuncts(joined).nonEmpty)
+    assert(joined.count() == 64000L)
+  }
+
+  test("a user IN filter on the key suppresses a second probe (idempotent shape)") {
+    import spark.implicits._
+    val joined = fact.filter($"k".isin(1L, 2L, 3L))
+      .join(dim.filter($"dk" <= 10), $"k" === $"dk")
+    // exactly ONE In conjunct on k in the optimized plan: the user's
+    // (Spark's own constraint propagation may mirror it onto dk — that
+    // one is not ours either)
+    val probes = probeConjuncts(joined)
+    assert(probes.count(p => p == "in(k)" || p == "inset(k)") == 1,
+      s"expected the user's IN only, got $probes")
+    assert(joined.count() == 3000L)
+  }
+
+  test("explicit JoinPrune API calls are not double-probed by the rule") {
+    import spark.implicits._
+    val viaApi = graft.index.JoinPrune.semiJoinPruned(
+      fact, dim.filter($"dk" === 4), $"k", $"dk")
+    val probes = probeConjuncts(viaApi)
+    assert(probes.count(_.startsWith("in")) == 1, s"got $probes")
+    assert(viaApi.count() == 1000L)
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
