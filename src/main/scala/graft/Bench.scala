@@ -483,6 +483,79 @@ object Bench {
           (-1L, -1L, -1.0)
       }
 
+    // -- 200k-file scale probe (r8 verdict #2): every distributed-tier
+    // claim benched at 50k files, re-measured one scale step up — the
+    // prune fold, the automatic top-k rewrite, and a 1-file-delta refresh
+    // through the level-walk listing, with the listing's DRIVER RESIDENCY
+    // (max dir rows at any level, partition tuples, added refs) reported
+    // so O(dirs + partitions + delta) is a measured number, not a claim.
+    val (prune200kSec, ratio200k, distributed200k, files200kTotal,
+        topkAuto200kSec, topkAuto200kRatio, refresh200kSec,
+        res200kDirs, res200kParts, res200kAdded) =
+      try {
+        val df200k = SparkEntry.indexed200kFiles(spark, sfDir)
+        val q200k = df200k.filter($"k" === 5L)
+        val tPrune = timeBest(q200k.count(), 3)
+        val fi200k = q200k.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.relation.location
+        }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+        val ratio = fi200k.map(g =>
+          g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles)).getOrElse(1.0)
+        val dist = fi200k.exists(_.lastPrunedDistributed)
+        val totalFiles = fi200k.map(_.lastTotalFiles).getOrElse(0L)
+
+        def auto200k() = SparkEntry.indexed200kFiles(spark, sfDir)
+          .orderBy($"k".desc, $"v".desc).limit(100)
+        val probeA = auto200k()
+        probeA.collect()
+        val ratioA = probeA.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.relation.location
+        }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }
+          .map(g => g.lastListedFiles.toDouble / math.max(1L, g.lastTotalFiles))
+          .getOrElse(1.0)
+        val tAuto = timeBest(auto200k().count(), 3)
+
+        val dir200k = SparkEntry.scratchTableDir(sfDir, "files200k")
+        val pre200k = new java.io.File(dir200k).listFiles().map(_.getName).toSet
+        spark.range(100).select(lit(9999L).as("k"), lit("s9999").as("ks"),
+            $"id".as("v"))
+          .coalesce(1).write.mode("append").parquet(dir200k)
+        graft.index.IndexedDataSource.lastListingResidency = None
+        // residency must be captured INSIDE the try: the restore's own
+        // refresh (also distributed at this file count) would overwrite it
+        var res200k = (-1L, -1L, -1L)
+        val tRefresh =
+          try {
+            val tR0 = System.nanoTime()
+            spark.index
+              .option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
+              .refresh.parquet(dir200k)
+            val t = (System.nanoTime() - tR0) / 1e9
+            res200k = graft.index.IndexedDataSource.lastListingResidency
+              .getOrElse((-1L, -1L, -1L))
+            t
+          } finally {
+            try {
+              new java.io.File(dir200k).listFiles()
+                .filter(f => !pre200k.contains(f.getName))
+                .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".crc"))
+                .foreach(_.delete())
+              spark.index.refresh.parquet(dir200k)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"BENCH FAILURE restoring 200k scratch: $e")
+                extraFailed += "refresh_200k_restore"
+            }
+          }
+        val (rd, rp, ra) = res200k
+        (tPrune, ratio, dist, totalFiles, tAuto, ratioA, tRefresh, rd, rp, ra)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in scale_200k: $e")
+          extraFailed += "scale_200k"
+          (-1.0, 1.0, false, 0L, -1.0, 1.0, -1.0, -1L, -1L, -1L)
+      }
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -536,6 +609,16 @@ object Bench {
       s""""joinprune_auto_files_read":$jpAutoFilesRead,""" +
       s""""joinprune_auto_files_total":$jpAutoFilesTotal,""" +
       s""""joinprune_auto_50k_sec":$jpAuto50kSec,""" +
+      s""""prune_200k_files_sec":$prune200kSec,""" +
+      s""""files_200k_scanned_ratio":$ratio200k,""" +
+      s""""files_200k_distributed":$distributed200k,""" +
+      s""""files_200k_total":$files200kTotal,""" +
+      s""""topk_auto_200k_sec":$topkAuto200kSec,""" +
+      s""""topk_auto_200k_ratio":$topkAuto200kRatio,""" +
+      s""""refresh_200k_sec":$refresh200kSec,""" +
+      s""""refresh_200k_driver_dir_rows":$res200kDirs,""" +
+      s""""refresh_200k_driver_part_rows":$res200kParts,""" +
+      s""""refresh_200k_driver_added_rows":$res200kAdded,""" +
       s""""sf":"$sfDir"}"""
     // The FULL line goes to a file; stdout gets a SHORT final line. The
     // round driver keeps only a ~2 KB stdout TAIL — the full line is

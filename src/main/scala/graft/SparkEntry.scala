@@ -141,34 +141,50 @@ object SparkEntry {
   private[graft] val Files50kSeeds = 64
   private[graft] val Files50kCopies = 780 // per seed => 64 × 781 = 49,984 files
   private[graft] val Files50kRowsPerSeed = 100
+  // 4x the seeds (so the grouped/kth folds see 4x the key domain too),
+  // same copies => 256 × 781 = 199,936 files — the r8 verdict's scale
+  // probe above the 50k table every distributed-tier claim was benched at
+  private[graft] val Files200kSeeds = 256
+  private[graft] val Files200kCopies = 780
 
   // Shared parquet/ORC 50k builder — only the format strings differ, so
   // the seed construction, seed assert, copy loop and index options are
   // maintained once (a determinism fix can't land in one format only).
-  private def build50k(s: SparkSession, tableDir: String, source: String): Unit = {
+  private def build50k(s: SparkSession, tableDir: String, source: String): Unit =
+    buildManyFiles(s, tableDir, source, Files50kSeeds, Files50kCopies)
+
+  /** The many-tiny-files fixture builder: `seeds` one-k-value seed files,
+    * each copied `copies` times (copies run as a Spark job — 200k
+    * driver-side NIO copies would dominate the build). ks: a string twin
+    * of k (zero-padded so UTF-8 binary order == numeric order) — the
+    * distributed STRING kth-walk/prune fixture key. */
+  private def buildManyFiles(s: SparkSession, tableDir: String, source: String,
+      seedCount: Int, copies: Int): Unit = {
     import graft.index.implicits._
     import s.implicits._
     val ext = if (source == "orc") "orc" else "parquet"
-    // ks: a string twin of k (zero-padded so UTF-8 binary order == numeric
-    // order) — the distributed STRING kth-walk/prune fixture key
     val rows = for {
-      k <- 0 until Files50kSeeds
+      k <- 0 until seedCount
       r <- 0 until Files50kRowsPerSeed
     } yield (k.toLong, f"s$k%03d", (k.toLong * Files50kRowsPerSeed) + r)
-    val seedWriter = s.sparkContext.parallelize(rows, Files50kSeeds)
+    val seedWriter = s.sparkContext.parallelize(rows, seedCount)
       .toDF("k", "ks", "v").write.mode("overwrite")
     if (source == "orc") seedWriter.orc(tableDir) else seedWriter.parquet(tableDir)
     val d = new java.io.File(tableDir)
     val seeds = d.listFiles().filter(f => f.getName.endsWith("." + ext) &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    assert(seeds.length == Files50kSeeds,
-      s"expected $Files50kSeeds seed files, got ${seeds.length}")
-    seeds.zipWithIndex.foreach { case (f, si) =>
-      (0 until Files50kCopies).foreach { j =>
-        java.nio.file.Files.copy(f.toPath,
-          new java.io.File(d, s"part-copy-$si-$j.$ext").toPath)
+    assert(seeds.length == seedCount,
+      s"expected $seedCount seed files, got ${seeds.length}")
+    val copyJobs = seeds.zipWithIndex.flatMap { case (f, si) =>
+      (0 until copies).map(j => (f.getAbsolutePath, s"part-copy-$si-$j.$ext"))
+    }.toSeq
+    val dirB = d.getAbsolutePath
+    s.sparkContext.parallelize(copyJobs, math.max(1, copyJobs.size / 4096))
+      .foreach { case (src, dstName) =>
+        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+          java.nio.file.Paths.get(dirB, dstName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    }
     val create = s.index.create.mode("overwrite")
       .option(graft.index.IndexConf.FilterEnabled, "false")
       .indexBy("k", "ks")
@@ -182,6 +198,19 @@ object SparkEntry {
     // Spark-job fold path is the one a million-file table would take
     s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
       .parquet(scratchTableDir(dir, "files50k"))
+  }
+
+  /** The 200k-file scale probe over [[indexed50kFiles]]'s design: 4x the
+    * files AND 4x the key domain, same per-file shape — the fixture for
+    * proving the distributed prune/kth/listing tiers hold their
+    * driver-residency and latency claims one scale step up. Create-once
+    * (the build itself runs the copies as a Spark job). */
+  private[graft] def indexed200kFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.implicits._
+    scratchTable(s, dir, "files200k")(
+      buildManyFiles(s, _, "parquet", Files200kSeeds, Files200kCopies))
+    s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
+      .parquet(scratchTableDir(dir, "files200k"))
   }
 
   /** ORC twin of [[indexed50kFiles]]: proves the distributed prune fold
@@ -2260,6 +2289,41 @@ object SparkEntry {
           .select($"doc_id", $"source", ($"n_chars" * 10).as("score")),
         key = "doc_id", numBuckets = 16)
       graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
+    }),
+
+    // The MERGE ∘ INDEX composition, hook-driven: same merge as
+    // q_upsert_keyed but the table carries an index and
+    // refreshAfterMaintenance=true makes the upsert refresh it inside its
+    // own table lock — the result is read back THROUGH the index (stale
+    // listing would fail loudly on the rewritten buckets), and the oracle
+    // is the plain merge replay, so freshness is value-gated.
+    "q_upsert_indexed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.index.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/upsert_indexed"
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Upsert.writeKeyedTable(
+        docs.filter($"doc_id" % 7 =!= 3)
+          .select($"doc_id", $"source", $"n_chars".as("score")),
+        key = "doc_id", dir = td, numBuckets = 16, mode = "overwrite")
+      // same metastore the scratch tables use (standalone runs would
+      // otherwise default to a stray ./index_metastore)
+      s.conf.set(graft.index.IndexConf.MetastoreLocation,
+        s"$scratchRoot/${new java.io.File(dir).getName}/metastore")
+      s.index.create.mode("overwrite").indexBy("doc_id").parquet(td)
+      val prev = s.conf.getOption(graft.index.IndexConf.RefreshAfterMaintenance)
+      s.conf.set(graft.index.IndexConf.RefreshAfterMaintenance, "true")
+      try {
+        graft.ops.Upsert.upsertByKey(s, td,
+          docs.filter($"doc_id" % 5 === 0)
+            .select($"doc_id", $"source", ($"n_chars" * 10).as("score")),
+          key = "doc_id", numBuckets = 16)
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.index.IndexConf.RefreshAfterMaintenance, v)
+        case None => s.conf.unset(graft.index.IndexConf.RefreshAfterMaintenance)
+      }
+      s.index.parquet(td).select($"doc_id", $"source", $"score")
+        .orderBy($"doc_id")
     }),
 
     // Layout MIGRATION mid-lifecycle: build at 4 buckets, REBUCKET to
@@ -5912,6 +5976,17 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
         |ORDER BY doc_id""".stripMargin,
     "q_upsert_keyed" ->
+      """WITH base AS (SELECT doc_id, source, n_chars AS score
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |u AS (SELECT doc_id, source, n_chars * 10 AS score
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, source, score FROM u
+        |UNION ALL
+        |SELECT b.doc_id, b.source, b.score FROM base b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
+        |ORDER BY doc_id""".stripMargin,
+    // the hook-refreshed INDEXED read must equal the plain merge replay
+    "q_upsert_indexed" ->
       """WITH base AS (SELECT doc_id, source, n_chars AS score
         |  FROM documents WHERE doc_id % 7 <> 3),
         |u AS (SELECT doc_id, source, n_chars * 10 AS score

@@ -1186,6 +1186,164 @@ case class InBloom(
   override protected def withNewChildInternal(c: Expression): InBloom = copy(child = c)
 }
 
+/** Hadoop-Path normalization of a path/URI string — scheme + authority
+  * stripped, path component normalized — as a codegen'd kernel, so the
+  * index build/refresh frames that key sketch rows by file stay inside
+  * whole-stage codegen instead of paying a Scala-UDF boundary. MUST stay
+  * semantically identical to [[graft.index.SketchStore.normalizePath]]
+  * (it calls it): the driver-side key maps use that function directly,
+  * and the two sides join on these strings. */
+case class NormalizePath(child: Expression)
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_path takes a string, got $other")
+    }
+
+  def compute(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.index.SketchStore.normalizePath(s.toString))
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String =
+    s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): NormalizePath =
+    copy(child = c)
+}
+
+/** [[RemoveInSet]]'s BROADCAST tier: same per-element hash-set removal,
+  * but the lexicon rides a broadcast variable instead of the serialized
+  * plan — the over-`inlineThreshold` arm of `dedupSegments`, previously a
+  * Scala UDF (a codegen boundary on the hottest per-document path). */
+case class RemoveInBroadcastSet(
+    child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[Set[String]])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+
+  def compute(arr: ArrayData): ArrayData = {
+    val s = set.value
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (v == null || !s.contains(v.toString)) out.add(v)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): RemoveInBroadcastSet =
+    copy(child = c)
+}
+
+/** [[CountInSet]]'s BROADCAST tier (the decontamination probe past the
+  * inline-literal threshold) — count of array elements present in the
+  * broadcast set, codegen'd. Null input yields null (callers coalesce to
+  * 0, preserving the former UDF's null-in-zero-out behavior). */
+case class CountInBroadcastSet(
+    child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[Set[String]])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def compute(arr: ArrayData): Int = {
+    val s = set.value
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && s.contains(arr.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): CountInBroadcastSet =
+    copy(child = c)
+}
+
+/** Bloom-probe count over a string array — how many elements MIGHT be in
+  * the broadcast filter ([[graft.text.Decontaminate.decontaminateBloom]]'s
+  * map-side probe, previously a Scala UDF over every corpus document).
+  * Same broadcast-over-plan-literal trade as [[InBloom]]. */
+case class CountInBloom(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def compute(arr: ArrayData): Int = {
+    val bf = bloom.value
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && bf.mightContainString(arr.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): CountInBloom =
+    copy(child = c)
+}
+
+/** Executor-side Hive `k=v` partition parse for the distributed refresh
+  * listing — [[graft.index.IndexMetadata.parsePartitionPath]] as a
+  * codegen'd kernel over the listed path column (the last non-UDF holdout
+  * of the refresh path). Field types travel as DataType JSON and parse
+  * once per executor; a layout drift inside throws, failing the listing
+  * job loudly with the rebuild hint. */
+case class ParsePartitionValues(child: Expression, root: String,
+    fieldNames: Seq[String], fieldTypesJson: Seq[String])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val fieldTypes =
+    fieldTypesJson.map(org.apache.spark.sql.types.DataType.fromJson)
+
+  def compute(p: UTF8String): ArrayData = {
+    val vals = graft.index.IndexMetadata.parsePartitionPath(
+      p.toString, root, fieldNames, fieldTypes)
+    new GenericArrayData(vals.map(v =>
+      if (v == null) null else UTF8String.fromString(v)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ref: String, c: String): String =
+    s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): ParsePartitionValues =
+    copy(child = c)
+}
+
 object exprs {
   def tokenize(text: Column): Column =
     SparkInternals.wrap(Tokenize(SparkInternals.unwrap(text)))
@@ -1195,6 +1353,25 @@ object exprs {
     SparkInternals.wrap(RemoveInSet(SparkInternals.unwrap(tokens), words))
   def char_ngrams(text: Column, n: Int): Column =
     SparkInternals.wrap(CharNgrams(SparkInternals.unwrap(text), n))
+  /** [[NormalizePath]] as a Column (the executor-side twin of
+    * SketchStore.normalizePath). */
+  def normalize_path(c: Column): Column =
+    SparkInternals.wrap(NormalizePath(SparkInternals.unwrap(c)))
+  def remove_in_broadcast_set(tokens: Column,
+      set: org.apache.spark.broadcast.Broadcast[Set[String]]): Column =
+    SparkInternals.wrap(RemoveInBroadcastSet(SparkInternals.unwrap(tokens), set))
+  def count_in_broadcast_set(tokens: Column,
+      set: org.apache.spark.broadcast.Broadcast[Set[String]]): Column =
+    SparkInternals.wrap(CountInBroadcastSet(SparkInternals.unwrap(tokens), set))
+  def count_in_bloom(tokens: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : Column =
+    SparkInternals.wrap(CountInBloom(SparkInternals.unwrap(tokens), bloom))
+  /** [[ParsePartitionValues]] as a Column. */
+  def parse_partition_values(c: Column, root: String,
+      fieldNames: Seq[String], fieldTypesJson: Seq[String]): Column =
+    SparkInternals.wrap(ParsePartitionValues(
+      SparkInternals.unwrap(c), root, fieldNames, fieldTypesJson))
   /** MOSS winnowing: distinct (pos, md5-lower-64) fingerprint selections. */
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     SparkInternals.wrap(WinnowFingerprints(SparkInternals.unwrap(text), k, w))

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object IndexedDataSource {
 
+  /** Driver residency of the LAST distributed listing+diff run: (max
+    * directory rows collected at any level, partition tuples collected,
+    * added file refs collected). The O(dirs + partitions + delta) claim
+    * made measurable — Bench and the scale e2e assert these stay orders
+    * of magnitude under the file count. */
+  @volatile private[graft] var lastListingResidency: Option[(Long, Long, Long)] = None
+
   def resolveTablePath(spark: SparkSession, path: String): Path = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -232,7 +239,7 @@ object IndexedDataSource {
       path: String,
       dataspace: String,
       options: Map[String, String] = Map.empty): RefreshStats = {
-    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.functions.col
 
     val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
@@ -360,7 +367,7 @@ object IndexedDataSource {
     //    could win a probe and mis-prune the rewritten content.
     meta.sketchKind.foreach { kind =>
       if (removedCount > 0 && fs.exists(sketchDir)) {
-        val normPath = udf((s: String) => SketchStore.normalizePath(s))
+        val normPath = (c: org.apache.spark.sql.Column) => graft.functions.exprs.normalize_path(c)
         val liveKeys = spark.read.parquet(filesDir.toString)
           .select(normPath(col("path")).as("file"))
         val addedKeys = addedPaths.toSeq.map(SketchStore.normalizePath)
@@ -422,7 +429,7 @@ object IndexedDataSource {
       idxByValues: scala.collection.mutable.HashMap[Seq[Option[String]], Int])
       : (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long) = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.functions.col
     val hconf = spark.sparkContext.hadoopConfiguration
     val tfs = tablePath.getFileSystem(hconf)
     val rootStr = tfs.makeQualified(tablePath).toString
@@ -433,6 +440,7 @@ object IndexedDataSource {
     // level-walk: files stream to the scratch table, dirs come back
     var dirs: Seq[String] = Seq(rootStr)
     var depth = 0
+    var maxDirRows = 1L
     while (dirs.nonEmpty) {
       require(depth < 64, s"directory nesting beyond 64 levels under $rootStr")
       val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, dirs.size))
@@ -451,6 +459,7 @@ object IndexedDataSource {
       level.filter(!col("isDir") && col("size") > 0).drop("isDir")
         .write.mode("append").parquet(listingTmp.toString)
       dirs = level.filter(col("isDir")).select("path").as[String].collect().toSeq
+      maxDirRows = math.max(maxDirRows, dirs.size.toLong)
       level.unpersist()
       depth += 1
     }
@@ -467,28 +476,8 @@ object IndexedDataSource {
     val fieldNames = meta.partitionSchema.fieldNames.toSeq
     val fieldTypeJson = meta.partitionSchema.fields.map(_.dataType.json).toSeq
     val rootB = rootStr
-    val parseVals = udf { (path: String) =>
-      val rel = path.stripPrefix(rootB).stripPrefix("/")
-      val segs = rel.split('/').dropRight(1).toSeq
-      if (fieldNames.isEmpty) Array.empty[String]
-      else {
-        require(segs.length == fieldNames.length,
-          s"partition depth changed under $rootB at $path " +
-            "(rebuild the index with create.mode(\"overwrite\"))")
-        segs.zipWithIndex.map { case (seg, i) =>
-          val eq = seg.indexOf('=')
-          require(eq > 0, s"non-partition directory '$seg' under partitioned table $rootB")
-          val kName = SparkInternals.unescapePathName(seg.substring(0, eq))
-          require(kName.equalsIgnoreCase(fieldNames(i)),
-            s"partition column changed ($kName vs ${fieldNames(i)}); " +
-              "rebuild the index with create.mode(\"overwrite\")")
-          val raw = SparkInternals.unescapePathName(seg.substring(eq + 1))
-          val opt = if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
-          val dt = org.apache.spark.sql.types.DataType.fromJson(fieldTypeJson(i))
-          IndexMetadata.castToString(dt, IndexMetadata.castFromString(dt, opt)).orNull
-        }.toArray
-      }
-    }
+    val parseVals = (c: org.apache.spark.sql.Column) =>
+      graft.functions.exprs.parse_partition_values(c, rootB, fieldNames, fieldTypeJson)
     val listing = spark.read.parquet(listingTmp.toString)
       .withColumn("partVals", parseVals(col("path")))
 
@@ -512,6 +501,7 @@ object IndexedDataSource {
     }
     val removedCount = oldKeys
       .join(listing.select(keyCols.map(col): _*), keyCols, "left_anti").count()
+    lastListingResidency = Some((maxDirRows, tuples.size.toLong, addedRefs.size.toLong))
     (listing.select(keyCols.map(col): _*), addedRefs, removedCount)
   }
 

@@ -82,6 +82,13 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * probing it costs a scan and prunes nothing). */
   def joinPruneMaxDimBytes: Long =
     get(IndexConf.JoinPruneMaxDimBytes, (128L * 1024 * 1024).toString).toLong
+  /** Refresh the source-dataspace index of a table as the final step of
+    * every mutable-table maintenance op on it (keyed merge/delete,
+    * compact, rebucket) — the opt-out of the appends-invisible staleness
+    * contract for tables this engine itself mutates (see
+    * graft.ops.IndexFreshness). Off by default. */
+  def refreshAfterMaintenance: Boolean =
+    get(IndexConf.RefreshAfterMaintenance, "false").toBoolean
 }
 
 object IndexConf {
@@ -102,6 +109,7 @@ object IndexConf {
   val JoinPruneMaxKeys = "spark.sql.index.joinPrune.maxKeys"
   val JoinPruneBloom = "spark.sql.index.joinPrune.bloom"
   val JoinPruneMaxDimBytes = "spark.sql.index.joinPrune.maxDimBytes"
+  val RefreshAfterMaintenance = "spark.sql.index.refreshAfterMaintenance"
 
   def apply(spark: SparkSession): IndexConf = new IndexConf(spark)
   def apply(spark: SparkSession, overrides: Map[String, String]): IndexConf =

@@ -431,7 +431,7 @@ object StatisticsBuilder {
       if (hasColumn(d, c)) d
       else d.withColumn(c, lit(null).cast(DataType.fromJson(colTypes(c))))
     }
-    val normPath = udf((s: String) => SketchStore.normalizePath(s))
+    val normPath = (c: org.apache.spark.sql.Column) => graft.functions.exprs.normalize_path(c)
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     val perFile = withCols
@@ -517,7 +517,7 @@ object StatisticsBuilder {
     // Key rows by the NORMALIZED path (same normalization the read side
     // uses) so query-time `file IN (...)` pushdown filters on exact
     // stored values.
-    val normPath = udf((s: String) => SketchStore.normalizePath(s))
+    val normPath = (c: org.apache.spark.sql.Column) => graft.functions.exprs.normalize_path(c)
     val wide = df
       .select((col("*") +: Seq(normPath(input_file_name()).as("__file"))): _*)
       .groupBy(col("__file"))

@@ -105,6 +105,38 @@ object IndexMetadata {
       Cast(Literal(UTF8String.fromString(str), StringType), dt, Some("UTC")).eval(null)
     }.orNull
 
+  /** Parse + value-normalize a data file's Hive `k=v` partition path
+    * segments relative to `root` (nulls for `__HIVE_DEFAULT_PARTITION__`;
+    * each value round-tripped through its partition type's cast so `k=01`
+    * and the metadata's "1" can't fork a duplicate partition). Shared by
+    * the distributed refresh listing's executor-side parse (via the
+    * [[graft.functions.ParsePartitionValues]] kernel) — a layout drift
+    * (depth or column-name change) fails fast with a rebuild hint. */
+  def parsePartitionPath(path: String, root: String,
+      fieldNames: Seq[String], fieldTypes: Seq[DataType]): Array[String] = {
+    val rel = path.stripPrefix(root).stripPrefix("/")
+    val segs = rel.split('/').dropRight(1).toSeq
+    if (fieldNames.isEmpty) Array.empty[String]
+    else {
+      require(segs.length == fieldNames.length,
+        s"partition depth changed under $root at $path " +
+          "(rebuild the index with create.mode(\"overwrite\"))")
+      segs.zipWithIndex.map { case (seg, i) =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"non-partition directory '$seg' under partitioned table $root")
+        val kName = org.apache.spark.sql.graft.SparkInternals
+          .unescapePathName(seg.substring(0, eq))
+        require(kName.equalsIgnoreCase(fieldNames(i)),
+          s"partition column changed ($kName vs ${fieldNames(i)}); " +
+            "rebuild the index with create.mode(\"overwrite\")")
+        val raw = org.apache.spark.sql.graft.SparkInternals
+          .unescapePathName(seg.substring(eq + 1))
+        val opt = if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        castToString(fieldTypes(i), castFromString(fieldTypes(i), opt)).orNull
+      }.toArray
+    }
+  }
+
   // ---- JSON codec ------------------------------------------------------
 
   private def canonToJson(v: Any): JValue = v match {

@@ -165,7 +165,10 @@ object Layout {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     MaintenanceLock.withLock(fs, dir, lockLeaseMs) {
-      compactDir(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles, src)
+      val stats =
+        compactDir(spark, fs, dir, smallFileBytes, targetFileBytes, minFiles, src)
+      IndexFreshness.afterMaintenance(spark, tableDir)
+      stats
     }
   }
 

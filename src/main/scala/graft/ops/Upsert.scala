@@ -171,6 +171,7 @@ object Upsert {
       }
       IndexSpec.write(spark, dir, newSpec)
       fs.delete(oldPath, true) // swap complete — retire the old copy
+      IndexFreshness.afterMaintenance(spark, dir)
     }
   }
 
@@ -225,6 +226,7 @@ object Upsert {
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("graft_bucket").parquet(dir)
+      IndexFreshness.afterMaintenance(spark, dir)
       UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
     }
   }
@@ -292,6 +294,7 @@ object Upsert {
           survivors.drop("graft_bucket").limit(0).coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/graft_bucket=0")
         }
+        IndexFreshness.afterMaintenance(spark, dir)
         DeleteStats(touched.length, numBuckets, baseCount - carried, carried)
       }
     }

@@ -110,10 +110,8 @@ object Decontaminate {
         graft.functions.exprs.count_in_set(sh, benchSet.toIndexedSeq)
       } else {
         val bc = corpus.sparkSession.sparkContext.broadcast(benchSet.toSet)
-        val cnt = udf { shs: Seq[String] =>
-          if (shs == null) 0 else shs.count(bc.value.contains)
-        }
-        cnt(sh)
+        // coalesce preserves the former UDF's null-shingles → 0 behavior
+        coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0))
       }
     corpus.select(corpusId.as("doc_id"),
         size(sh).as("n_shingles"), matched.as("n_matched"))
@@ -149,12 +147,11 @@ object Decontaminate {
       .stat.bloomFilter("__sh", expectedShingles, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
     // broadcast-variable probe kernel: the filter cannot ride a codegen
-    // literal (same trade as dedupSegments' broadcast tier)
-    val hits = udf { shs: Seq[String] =>
-      if (shs == null) 0 else shs.count(bc.value.mightContainString)
-    }
+    // literal (same trade as dedupSegments' broadcast tier); coalesce
+    // preserves the former UDF's null-shingles → 0 behavior
     corpus.filter(
-      hits(graft.dedup.Dedup.shingles(corpusText, shingleK)) < minOverlap)
+      coalesce(graft.functions.exprs.count_in_bloom(
+        graft.dedup.Dedup.shingles(corpusText, shingleK), bc), lit(0)) < minOverlap)
   }
 
   /** CONTAINMENT decontamination: drop corpus docs that contain at least

@@ -231,10 +231,7 @@ object TextFunctions {
         // broadcast-variable kernel: same semantics, lexicon rides the
         // broadcast torrent instead of the serialized plan
         val bc = df.sparkSession.sparkContext.broadcast(lexicon.toSet)
-        val rm = udf { segsIn: Seq[String] =>
-          if (segsIn == null) null else segsIn.filterNot(bc.value.contains)
-        }
-        rm(segs)
+        graft.functions.exprs.remove_in_broadcast_set(segs, bc)
       }
     df.select(id.as("doc_id"),
       size(segs).as("segs_total"),

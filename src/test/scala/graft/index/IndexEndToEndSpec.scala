@@ -1689,8 +1689,20 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     // walk must discover the dirs, parse values, and index the delta
     orders.filter(col("o_year").isNull || col("o_year") =!= years.head)
       .write.mode("append").partitionBy("o_year").parquet(rPath)
+    IndexedDataSource.lastListingResidency = None
     val stats = refreshDist()
     assert(stats.addedFiles > 0L && stats.removedFiles == 0L, s"got $stats")
+    // the measured form of the O(dirs + partitions + delta) residency
+    // claim: the level-walk hands the driver at most the partition-dir
+    // fan-out per level, the partition tuples once, and ONLY added refs
+    val (resDirs, resParts, resAdded) =
+      IndexedDataSource.lastListingResidency.getOrElse(
+        fail("distributed listing tier did not run"))
+    val nParts = years.length + 1L // incl. the null partition
+    assert(resDirs <= nParts, s"dir rows per level must be <= $nParts, got $resDirs")
+    assert(resParts == nParts, s"partition tuples: got $resParts, want $nParts")
+    assert(resAdded == stats.addedFiles,
+      s"only added refs reach the driver: got $resAdded vs ${stats.addedFiles}")
     checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))
 
     // the NEW partition is pruned by partition value, incl. IS NULL
