@@ -239,6 +239,23 @@ object SparkEntry {
         .parquet(tableDir)
     }
 
+  /** Per-order supplier-key ARRAYS (collect_list over lineitem), indexed
+    * on the array column's ELEMENT domain — the `array_contains` pruning
+    * fixture (element min/max + dict/bloom membership per file);
+    * create-once. */
+  private[graft] def indexedOrderSupps(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "order_supps") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_suppkey")).as("supps"),
+          count(lit(1)).as("n_items"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite").indexBy("supps", "l_orderkey")
+        .parquet(tableDir)
+    }
+
   /** Indexed part copy with exact DICT sketches on the low-cardinality
     * string columns, laid out so p_type values cluster per file — the
     * fixture for substring (Contains/EndsWith) pruning, which only an
@@ -918,6 +935,20 @@ object SparkEntry {
         .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
           $"o_orderpriority", $"l_extendedprice")
         .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ARRAY-element membership through the index: the orders-to-supplier
+    // arrays table is indexed on the array column's ELEMENT domain, so
+    // array_contains(supps, 3) prunes files by element min/max + sketch
+    // membership — the oracle replays containment as a HAVING over the
+    // base lineitem rows (order-independent, so collect_list ordering
+    // cannot flake the gate).
+    "q_idx_array_contains" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrderSupps(s, dir)
+        .filter(array_contains($"supps", 3L))
+        .select($"l_orderkey", $"n_items")
+        .orderBy($"l_orderkey")
     }),
 
     // AUTOMATIC join pruning (zero-API twin of q_idx_join_prune): a stock
@@ -7217,6 +7248,11 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey <= 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_idx_array_contains" ->
+      """SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) > 0
+        |ORDER BY l_orderkey""".stripMargin,
     "q_idx_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
         |FROM lineitem

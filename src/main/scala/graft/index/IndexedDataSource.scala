@@ -169,11 +169,28 @@ object IndexedDataSource {
           throw new IllegalArgumentException(
             s"column $c not found in table schema ${dataSchema.simpleString} " +
               "(nested paths resolve through structs only, not arrays/maps)"))
-        require(Canon.isSupported(f.dataType),
-          s"column $c has unsupported type ${f.dataType.simpleString}; " +
-            "supported: int, bigint, string, date, timestamp, timestamp_ntz, " +
-            "double, float, decimal(p<=18)")
-        f
+        f.dataType match {
+          // array<primitive>: the index field carries the ELEMENT type +
+          // a marker — element min/max + dict/bloom answer
+          // array_contains(col, v) membership soundly (a file with no
+          // element == v has no containing row); row-domain consumers
+          // (metadata aggregates, top-k, null reasoning) skip the field
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            require(Canon.isSupported(et),
+              s"column $c is an array of unsupported element type " +
+                s"${et.simpleString}; supported elements: int, bigint, string, " +
+                "date, timestamp, timestamp_ntz, double, float, decimal(p<=18)")
+            StructField(f.name, et, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putBoolean(IndexMetadata.ArrayElementKey, true).build())
+          case dt =>
+            require(Canon.isSupported(dt),
+              s"column $c has unsupported type ${dt.simpleString}; " +
+                "supported: int, bigint, string, date, timestamp, timestamp_ntz, " +
+                "double, float, decimal(p<=18), array<primitive>")
+            f
+        }
       }
       StructType(fields)
     }

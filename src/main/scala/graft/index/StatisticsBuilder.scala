@@ -89,7 +89,8 @@ object StatisticsBuilder {
     val src = Sources.normalize(source)
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-    val fields = indexSchema.fields.map(f => (f.name, f.dataType.json))
+    val fields = indexSchema.fields.map(f =>
+      (f.name, f.dataType.json, IndexMetadata.isArrayElement(f)))
     val slices = math.max(1, math.min(numPartitions, refs.size))
     val perSlice = (refs.size + slices - 1) / slices
     val grouped: Seq[(Seq[(Int, FileRef)], Seq[String])] =
@@ -102,7 +103,7 @@ object StatisticsBuilder {
     val rows = spark.sparkContext
       .makeRDD(grouped)
       .flatMap { group =>
-        val types = fields.map { case (n, dj) => (n, DataType.fromJson(dj)) }
+        val types = fields.map { case (n, dj, arr) => (n, DataType.fromJson(dj), arr) }
         group.iterator.map { case (partitionIdx, ref) =>
           val footer =
             if (src == Sources.Orc) readOrcBlocks(ref.path, types, confBc.value.value)
@@ -148,7 +149,7 @@ object StatisticsBuilder {
   /** Executor-side: one footer read → schema + BlockStats per row group. */
   private def readFooterBlocks(
       path: String,
-      indexed: Array[(String, DataType)],
+      indexed: Array[(String, DataType, Boolean)],
       conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
@@ -171,7 +172,10 @@ object StatisticsBuilder {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
         // nested leaves join on the dot-string path; a leaf under a
         // REPEATED group counts values (not rows), so its stats can't
-        // answer row predicates — require maxRepetitionLevel == 0
+        // answer row predicates — require maxRepetitionLevel == 0.
+        // ELEMENT-DOMAIN fields are the deliberate exception: they bind
+        // the repeated leaf under their list column on purpose, and the
+        // fold only ever consults them for element membership.
         val byName = block.getColumns.asScala
           .filter { c =>
             c.getPath.size == 1 ||
@@ -179,9 +183,25 @@ object StatisticsBuilder {
           }
           .map(c => c.getPath.toDotString -> c)
           .toMap
-        val cols = indexed.flatMap { case (name, dt) =>
-          byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
-            .map(c => name -> chunkStats(c, dt, fpNanPoisoning))
+        lazy val byNameAll = block.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        val cols = indexed.flatMap { case (name, dt, isArr) =>
+          val chunk =
+            if (!isArr) byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
+            else {
+              // list-encoding leaf paths: modern 3-level, legacy 2-level
+              val suffixes = Seq(".list.element", ".list.item", ".array",
+                ".bag.array", ".bag.array_element")
+              byNameAll.collectFirst {
+                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(name + s)) => c
+              }
+            }
+          chunk.map { c =>
+            val cs = chunkStats(c, dt, fpNanPoisoning)
+            // element null/value counts are NOT row counts: suppress the
+            // null count so row-domain null reasoning degrades to unknown
+            name -> (if (isArr) cs.copy(nullCount = None) else cs)
+          }
         }.toMap
         BlockStats(block.getRowCount, cols)
       }
@@ -282,7 +302,7 @@ object StatisticsBuilder {
     * (root = 0, top-level fields follow in order). */
   private def readOrcBlocks(
       path: String,
-      indexed: Array[(String, DataType)],
+      indexed: Array[(String, DataType, Boolean)],
       conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = org.apache.orc.OrcFile.createReader(
       new Path(path), org.apache.orc.OrcFile.readerOptions(conf))
@@ -300,6 +320,20 @@ object StatisticsBuilder {
             (path.toLowerCase -> child.getId) +: walkIds(path, child)
         }
       val idOf: Map[String, Int] = walkIds("", td).toMap
+      // LIST columns: the ELEMENT child's stats (element-domain fields)
+      def walkElemIds(prefix: String,
+          t: org.apache.orc.TypeDescription): Seq[(String, Int)] =
+        if (t.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) Nil
+        else t.getFieldNames.asScala.toSeq.zip(t.getChildren.asScala).flatMap {
+          case (n, child) =>
+            val path = if (prefix.isEmpty) n else s"$prefix.$n"
+            val here =
+              if (child.getCategory == org.apache.orc.TypeDescription.Category.LIST)
+                Seq(path.toLowerCase -> child.getChildren.get(0).getId)
+              else Nil
+            here ++ walkElemIds(path, child)
+        }
+      val elemIdOf: Map[String, Int] = walkElemIds("", td).toMap
       val stripes = reader.getStripes.asScala.toSeq
       val stripeStats = reader.getStripeStatistics.asScala.toSeq
       // A writer that omitted the stripe-statistics section must NOT make
@@ -309,9 +343,13 @@ object StatisticsBuilder {
         if (stripeStats.size == stripes.size) {
           stripes.zip(stripeStats).map { case (si, ss) =>
             val colStats = ss.getColumnStatistics
-            val cols = indexed.flatMap { case (name, dt) =>
-              idOf.get(name.toLowerCase).map { cid =>
-                name -> orcStats(colStats(cid), si.getNumberOfRows, dt)
+            val cols = indexed.flatMap { case (name, dt, isArr) =>
+              val cid = if (isArr) elemIdOf.get(name.toLowerCase)
+                else idOf.get(name.toLowerCase)
+              cid.map { id =>
+                val cs = orcStats(colStats(id), si.getNumberOfRows, dt)
+                // element counts are not row counts (see parquet twin)
+                name -> (if (isArr) cs.copy(nullCount = None) else cs)
               }
             }.toMap
             BlockStats(si.getNumberOfRows, cols)
@@ -319,7 +357,7 @@ object StatisticsBuilder {
         } else {
           // explicit all-unknown entries (not an empty map) so the
           // full-scan min/max fallback recognizes and patches them
-          val unknown = indexed.map { case (n, _) => n -> ColumnStats(None, None, None) }.toMap
+          val unknown = indexed.map { case (n, _, _) => n -> ColumnStats(None, None, None) }.toMap
           stripes.map(si => BlockStats(si.getNumberOfRows, unknown))
         }
       FileFooter(schema.json, blocks)
@@ -403,7 +441,13 @@ object StatisticsBuilder {
       source: String = Sources.Parquet): Long = {
     import spark.implicits._
     if (indexSchema.isEmpty) return 0L
-    val indexedNames = indexSchema.fields.map(_.name)
+    // element-domain (array) fields are excluded: min(arrayCol) is the
+    // wrong domain (lexicographic array order, not element bounds); a
+    // stat-less array column simply stays may-contain, with the dict /
+    // bloom sketch still answering array_contains membership
+    val indexedNames = indexSchema.fields
+      .filterNot(IndexMetadata.isArrayElement).map(_.name)
+    if (indexedNames.isEmpty) return 0L
     val files = spark.read.parquet(filesDir.toString).as[FileStatsRow]
 
     // 1. detection — executor-side JSON parse, only hits come back
@@ -560,7 +604,19 @@ case class SketchAgg(
 
   override def update(buffer: Sketch, input: InternalRow): Sketch = {
     val v = child.eval(input)
-    if (v != null) buffer.put(Canon.fromCatalyst(child.dataType, v))
+    if (v != null) child.dataType match {
+      // element-domain sketch: every non-null element of the array joins
+      // the file's membership set (array_contains pruning)
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i)) buffer.put(Canon.fromCatalyst(et, arr.get(i, et)))
+          i += 1
+        }
+      case dt => buffer.put(Canon.fromCatalyst(dt, v))
+    }
     buffer
   }
 

@@ -58,8 +58,12 @@ object TopK {
       }
       case _ => return df
     }
-    val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(path)).getOrElse(return df)
+    // element-domain (array) fields are excluded: their stats describe
+    // element values, not row-sortable keys
+    val indexedName = gfi.meta.indexSchema.fields
+      .find(f => f.name.equalsIgnoreCase(path) &&
+        !graft.index.IndexMetadata.isArrayElement(f))
+      .map(_.name).getOrElse(return df)
 
     gfi.topKBound(indexedName, keyType, k.toLong, largest) match {
       case None => df
@@ -115,8 +119,12 @@ object TopK {
     }
     if (!gfi.meta.partitionSchema.fieldNames
         .exists(_.equalsIgnoreCase(groupName))) return df
-    val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(path)).getOrElse(return df)
+    // element-domain (array) fields are excluded: their stats describe
+    // element values, not row-sortable keys
+    val indexedName = gfi.meta.indexSchema.fields
+      .find(f => f.name.equalsIgnoreCase(path) &&
+        !graft.index.IndexMetadata.isArrayElement(f))
+      .map(_.name).getOrElse(return df)
     gfi.topKBoundByPartitions(indexedName, keyType, k.toLong,
         largest) match {
       case None => df

@@ -1,7 +1,7 @@
 package graft.index
 
 import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -86,6 +86,18 @@ case class FileListRow(
 }
 
 object IndexMetadata {
+
+  /** StructField-metadata marker for ELEMENT-DOMAIN index fields: the
+    * table column is `array<elementType>`, the index field carries the
+    * element type, and its stats/sketches describe element VALUES (so
+    * only element-membership predicates — `array_contains(col, v)` — may
+    * consult them; row-domain consumers like metadata-only aggregates,
+    * top-k bounds and null reasoning must skip such fields). */
+  val ArrayElementKey = "graft.arrayElement"
+
+  def isArrayElement(f: StructField): Boolean =
+    f.metadata.contains(ArrayElementKey) && f.metadata.getBoolean(ArrayElementKey)
+
   // v2: sketch table keyed by normalized file path + sorted by (file,
   // column) for pruned query-time reads.
   // v3: per-file stats moved out of metadata.json into the `files`

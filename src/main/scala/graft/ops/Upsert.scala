@@ -169,6 +169,15 @@ object Upsert {
             s"$dir (unpinned — re-pin the spec or re-run rebucket); " +
             s"rebucketed data is intact at $tmpPath")
       }
+      // the swap carried OUR lock file away inside the retired dir —
+      // re-plant it in the new dir at once, so the single-writer guard
+      // covers the re-pin + freshness refresh below and the outer
+      // release deletes a lock we actually own (not one a racer slipped
+      // in during the rename gap — that residual window is part of the
+      // lock's documented best-effort contract)
+      val lo = fs.create(
+        new org.apache.hadoop.fs.Path(dirPath, MaintenanceLock.LockName), true)
+      lo.close()
       IndexSpec.write(spark, dir, newSpec)
       fs.delete(oldPath, true) // swap complete — retire the old copy
       IndexFreshness.afterMaintenance(spark, dir)

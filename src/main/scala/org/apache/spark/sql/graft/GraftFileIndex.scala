@@ -102,8 +102,28 @@ class GraftFileIndex(
     //    by indexed columns (reference IndexSourceStrategy.scala:63-66),
     //    And-reduce, fold per file.
     val indexed = meta.indexedColumns.map(_.toLowerCase)
-    val indexFilters: Seq[Filter] = dataFilters
-      .flatMap(SparkInternals.translateFilter)
+    // array_contains(arr, lit) over an element-domain index field IS an
+    // element point-lookup: pre-translate it to a source EqualTo on the
+    // field, which the fold answers from element min/max + dict/bloom
+    // membership (a file with no element == v cannot hold a containing
+    // row). Spark's own translateFilter has no array predicate — without
+    // this, array fields would never prune. Generic translated filters
+    // that happen to reference an element-domain field (whole-array
+    // comparisons) stay fold-safe: Canon.fromExternal type-gates every
+    // value and degrades mismatches to may-contain.
+    val arrayElemFilters: Seq[Filter] = dataFilters.flatMap {
+      case org.apache.spark.sql.catalyst.expressions.ArrayContains(
+          c, org.apache.spark.sql.catalyst.expressions.Literal(v, vt)) if v != null =>
+        MetadataAggregates.dottedPath(c).flatMap { case (_, path) =>
+          meta.indexSchema.fields.find(f =>
+            f.name.equalsIgnoreCase(path) && graft.index.IndexMetadata.isArrayElement(f))
+            .map(f => org.apache.spark.sql.sources.EqualTo(f.name,
+              org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, vt)))
+        }
+      case _ => None
+    }
+    val indexFilters: Seq[Filter] = (dataFilters
+      .flatMap(SparkInternals.translateFilter) ++ arrayElemFilters)
       .filter(_.references.forall(r => indexed.contains(r.toLowerCase)))
 
     val distributed = meta.fileCount >= conf.distributedPruningThreshold

@@ -288,7 +288,8 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // resolved separately); any other column bails
     def fieldOf(a: AttributeReference): Option[StructField] =
       if (!lr.output.exists(_.exprId == a.exprId)) None
-      else meta.indexSchema.fields.find(_.name.equalsIgnoreCase(a.name))
+      else meta.indexSchema.fields.find(f => f.name.equalsIgnoreCase(a.name) &&
+        !graft.index.IndexMetadata.isArrayElement(f))
 
     // ... including NESTED leaves: min/max/count over payload.user_id
     // resolve through the dotted index-schema name, after inlining any
@@ -301,7 +302,8 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       MetadataAggregates.dottedPath(inlined).flatMap { case (a, path) =>
         if (!lr.output.exists(_.exprId == a.exprId)) None
-        else meta.indexSchema.fields.find(_.name.equalsIgnoreCase(path))
+        else meta.indexSchema.fields.find(f => f.name.equalsIgnoreCase(path) &&
+          !graft.index.IndexMetadata.isArrayElement(f))
       }
     }
 

@@ -126,8 +126,11 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (childPlan, existing) = splitOwnFilter(s.child)
     val (lr, gfi) = relOf(childPlan).getOrElse(return None)
     if (!lr.output.exists(_.exprId == baseAttr.exprId)) return None
-    val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(path)).getOrElse(return None)
+    // element-domain (array) index fields never supply a row-sort bound
+    val indexedName = gfi.meta.indexSchema.fields
+      .find(f => f.name.equalsIgnoreCase(path) &&
+        !graft.index.IndexMetadata.isArrayElement(f))
+      .map(_.name).getOrElse(return None)
     val largest = firstOrder.direction == Descending
     val bound = gfi.topKBoundCached(
         indexedName, firstOrder.child.dataType, k.toLong, largest)
@@ -162,8 +165,11 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (childPlan, existing) = splitOwnFilter(wgl.child)
     val (lr, gfi) = relOf(childPlan).getOrElse(return None)
     if (!lr.output.exists(_.exprId == baseAttr.exprId)) return None
-    val indexedName = gfi.meta.indexSchema.fieldNames
-      .find(_.equalsIgnoreCase(path)).getOrElse(return None)
+    // element-domain (array) index fields never supply a row-sort bound
+    val indexedName = gfi.meta.indexSchema.fields
+      .find(f => f.name.equalsIgnoreCase(path) &&
+        !graft.index.IndexMetadata.isArrayElement(f))
+      .map(_.name).getOrElse(return None)
     val partNames = gfi.meta.partitionSchema.fieldNames
     val partsArePartitionCols = wgl.partitionSpec.forall {
       case a: AttributeReference => lr.output.exists(_.exprId == a.exprId) &&

@@ -851,21 +851,23 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unsupported column type rejected") {
-    // doubles/decimals index since the Canon sortable-bits extension, so
-    // the rejection fixture needs genuinely unsupported types: boolean,
-    // array, and a decimal too wide for the unscaled-Long domain
+    // doubles/decimals index since the Canon sortable-bits extension and
+    // array<primitive> since the element-domain extension, so the
+    // rejection fixture needs genuinely unsupported types: boolean, an
+    // array of an unsupported ELEMENT type, and a decimal too wide for
+    // the unscaled-Long domain
     import spark.implicits._
     val p = s"$work/unsupported_t"
     spark.range(10).select(
         $"id", ($"id" % 2 === 0).as("flag"),
-        array($"id").as("arr"),
+        array($"id" % 2 === 0).as("arr"),
         $"id".cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("wide"))
       .write.mode("overwrite").parquet(p)
     for (c <- Seq("flag", "arr", "wide")) {
       val e = intercept[IllegalArgumentException] {
         spark.index.create.mode("overwrite").indexBy(c).parquet(p)
       }
-      assert(e.getMessage.contains("unsupported type"), s"col $c: ${e.getMessage}")
+      assert(e.getMessage.contains("unsupported"), s"col $c: ${e.getMessage}")
     }
   }
 
@@ -1162,15 +1164,17 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(p).filter(col("id") === 2L))
   }
 
-  test("unsupported types rejected: array and struct columns") {
+  test("unsupported types rejected: array-of-struct and struct columns") {
     import spark.implicits._
     val p = s"$work/unsupported"
-    Seq(("a", Seq("x", "y"), (1, 2))).toDF("c1", "arr", "st")
+    Seq(("a", Seq((1, 2)), (1, 2))).toDF("c1", "arrst", "st")
       .write.mode("overwrite").parquet(p)
+    // array<primitive> is supported (element-domain — ArrayIndexSpec);
+    // an array of STRUCT has no canonical element domain and must reject
     val e1 = intercept[IllegalArgumentException] {
-      spark.index.create.mode("overwrite").indexBy("arr").parquet(p)
+      spark.index.create.mode("overwrite").indexBy("arrst").parquet(p)
     }
-    assert(e1.getMessage.contains("unsupported type"))
+    assert(e1.getMessage.contains("unsupported"))
     val e2 = intercept[IllegalArgumentException] {
       spark.index.create.mode("overwrite").indexBy("c1", "st").parquet(p)
     }
