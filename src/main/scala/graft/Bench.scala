@@ -483,6 +483,28 @@ object Bench {
           (-1L, -1L, -1.0)
       }
 
+    // -- the rule's BLOOM tier at 50k files: key cap forced under the
+    // dim's distinct count, so the injected probe is range + broadcast
+    // bloom (the any-size-dim path) — still cutting files via the range
+    val (jpBloomFilesRead, jpBloomFilesTotal, jpBloom50kSec) =
+      try {
+        spark.conf.set(graft.index.IndexConf.JoinPruneMaxKeys, "2")
+        try {
+          def bloomJoin() = SparkEntry.indexed50kFiles(spark, sfDir)
+            .join(Seq(5L, 6L, 7L, 8L).toDF("dk"), $"k" === $"dk")
+          val probe = bloomJoin()
+          probe.queryExecution.toRdd.count()
+          val (r, t) = graftScanFiles(probe)
+          val sec = timeBest(bloomJoin().count(), 3)
+          (r, t, sec)
+        } finally spark.conf.unset(graft.index.IndexConf.JoinPruneMaxKeys)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in joinprune_auto_bloom: $e")
+          extraFailed += "joinprune_auto_bloom"
+          (-1L, -1L, -1.0)
+      }
+
     // -- 200k-file scale probe (r8 verdict #2): every distributed-tier
     // claim benched at 50k files, re-measured one scale step up — the
     // prune fold, the automatic top-k rewrite, and a 1-file-delta refresh
@@ -609,6 +631,9 @@ object Bench {
       s""""joinprune_auto_files_read":$jpAutoFilesRead,""" +
       s""""joinprune_auto_files_total":$jpAutoFilesTotal,""" +
       s""""joinprune_auto_50k_sec":$jpAuto50kSec,""" +
+      s""""joinprune_auto_bloom_files_read":$jpBloomFilesRead,""" +
+      s""""joinprune_auto_bloom_files_total":$jpBloomFilesTotal,""" +
+      s""""joinprune_auto_bloom_50k_sec":$jpBloom50kSec,""" +
       s""""prune_200k_files_sec":$prune200kSec,""" +
       s""""files_200k_scanned_ratio":$ratio200k,""" +
       s""""files_200k_distributed":$distributed200k,""" +

@@ -951,6 +951,18 @@ object SparkEntry {
         .orderBy($"l_orderkey")
     }),
 
+    // Element IN-list through the same index: arrays_overlap with a
+    // literal array pre-translates to In(element-domain) — file cut on
+    // any of the probe values; the oracle replays overlap as a HAVING
+    // over base rows.
+    "q_idx_arrays_overlap" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrderSupps(s, dir)
+        .filter(arrays_overlap($"supps", array(lit(3L), lit(7L))))
+        .select($"l_orderkey", $"n_items")
+        .orderBy($"l_orderkey")
+    }),
+
     // AUTOMATIC join pruning (zero-API twin of q_idx_join_prune): a stock
     // df.join over the indexed fact — no JoinPrune call anywhere — and the
     // conf-on JoinPruneRule injects the dim-key IN probe at optimize time,
@@ -7252,6 +7264,11 @@ object SparkEntry {
       """SELECT l_orderkey, count(*) AS n_items FROM lineitem
         |GROUP BY l_orderkey
         |HAVING sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) > 0
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_idx_arrays_overlap" ->
+      """SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING sum(CASE WHEN l_suppkey IN (3, 7) THEN 1 ELSE 0 END) > 0
         |ORDER BY l_orderkey""".stripMargin,
     "q_idx_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag

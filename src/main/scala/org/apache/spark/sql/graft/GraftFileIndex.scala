@@ -102,23 +102,48 @@ class GraftFileIndex(
     //    by indexed columns (reference IndexSourceStrategy.scala:63-66),
     //    And-reduce, fold per file.
     val indexed = meta.indexedColumns.map(_.toLowerCase)
-    // array_contains(arr, lit) over an element-domain index field IS an
-    // element point-lookup: pre-translate it to a source EqualTo on the
-    // field, which the fold answers from element min/max + dict/bloom
-    // membership (a file with no element == v cannot hold a containing
-    // row). Spark's own translateFilter has no array predicate — without
-    // this, array fields would never prune. Generic translated filters
-    // that happen to reference an element-domain field (whole-array
-    // comparisons) stay fold-safe: Canon.fromExternal type-gates every
-    // value and degrades mismatches to may-contain.
+    // Element-membership predicates over an element-domain index field
+    // pre-translate to ordinary source filters the fold answers from
+    // element min/max + dict/bloom membership (Spark's own
+    // translateFilter has no array predicates — without this, array
+    // fields would never prune):
+    //   - array_contains(col, v)        → EqualTo(col, v): a file with
+    //     no element == v cannot hold a containing row;
+    //   - arrays_overlap(col, literal)  → In(col, nonNullElems):
+    //     overlap is true only on a shared NON-NULL element (null
+    //     elements yield null, which the filter drops), so a file
+    //     holding none of the literal's non-null elements cannot match
+    //     — an all-null/empty literal gives In(col, []) = never true.
+    // Generic translated filters that happen to reference an
+    // element-domain field (whole-array comparisons) stay fold-safe:
+    // Canon.fromExternal type-gates every value and degrades mismatches
+    // to may-contain.
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArraysOverlap, Literal => CLit}
+    def elementField(c: Expression): Option[String] =
+      MetadataAggregates.dottedPath(c).flatMap { case (_, path) =>
+        meta.indexSchema.fields.find(f =>
+          f.name.equalsIgnoreCase(path) && graft.index.IndexMetadata.isArrayElement(f))
+          .map(_.name)
+      }
     val arrayElemFilters: Seq[Filter] = dataFilters.flatMap {
-      case org.apache.spark.sql.catalyst.expressions.ArrayContains(
-          c, org.apache.spark.sql.catalyst.expressions.Literal(v, vt)) if v != null =>
-        MetadataAggregates.dottedPath(c).flatMap { case (_, path) =>
-          meta.indexSchema.fields.find(f =>
-            f.name.equalsIgnoreCase(path) && graft.index.IndexMetadata.isArrayElement(f))
-            .map(f => org.apache.spark.sql.sources.EqualTo(f.name,
-              org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, vt)))
+      case ArrayContains(c, CLit(v, vt)) if v != null =>
+        elementField(c).map(n => org.apache.spark.sql.sources.EqualTo(n,
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, vt)))
+      case ArraysOverlap(l, r) =>
+        val probed = (l, r) match {
+          case (c, CLit(v, t: org.apache.spark.sql.types.ArrayType)) if v != null =>
+            Some((c, v, t))
+          case (CLit(v, t: org.apache.spark.sql.types.ArrayType), c) if v != null =>
+            Some((c, v, t))
+          case _ => None
+        }
+        probed.flatMap { case (c, v, t) =>
+          elementField(c).map { n =>
+            val elems = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(v, t).asInstanceOf[scala.collection.Seq[Any]]
+              .filter(_ != null).toArray
+            org.apache.spark.sql.sources.In(n, elems)
+          }
         }
       case _ => None
     }

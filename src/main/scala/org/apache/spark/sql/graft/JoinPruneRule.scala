@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, ExprId, GreaterThanOrEqual, In, InSet, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -82,6 +82,15 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         rewrite(j, conf, factOnLeft = true)
           .orElse(rewrite(j, conf, factOnLeft = false)).getOrElse(j)
       case j @ Join(_, _, LeftSemi, Some(_), _) =>
+        rewrite(j, conf, factOnLeft = true).getOrElse(j)
+      // outer joins: only the NON-preserved side may be filtered — a
+      // right row whose key has no left match contributes nothing to a
+      // LEFT OUTER result (unmatched left rows emit nulls either way),
+      // and symmetrically for RIGHT OUTER; the preserved side must never
+      // lose rows, so its orientation is not attempted
+      case j @ Join(_, _, LeftOuter, Some(_), _) =>
+        rewrite(j, conf, factOnLeft = false).getOrElse(j)
+      case j @ Join(_, _, RightOuter, Some(_), _) =>
         rewrite(j, conf, factOnLeft = true).getOrElse(j)
     }
   }

@@ -40,6 +40,43 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("sh") == again)
   }
 
+  test("join-prune + top-k rewrite fire through the EXTENSIONS injection path") {
+    // the extension path injects the rules INTO the operator-optimization
+    // fixed point (vs extraOptimizations' late batch the other specs
+    // exercise) — different rule interactions (PushDownPredicates,
+    // OptimizeIn, PruneFilters all run over the injected filter), so the
+    // probe + idempotency must be proven here too
+    import org.apache.spark.sql.functions._
+    import graft.index.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ext-join").toString
+    spark.conf.set(graft.index.IndexConf.MetastoreLocation, s"$work/metastore")
+    val p = s"$work/fact"
+    val sq = spark.sqlContext
+    import sq.implicits._
+    (0 until 8000).map(i => (i / 1000L, i.toLong)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("k").parquet(p)
+    val fact = spark.index.parquet(p)
+    val dim = Seq(2L).toDF("dk")
+    val joined = fact.join(dim, col("k") === col("dk"))
+    val probes = joined.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(_.collect {
+      case i: org.apache.spark.sql.catalyst.expressions.In => i
+      case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+    })
+    assert(probes.nonEmpty, "extension-path join probe must be injected")
+    assert(joined.count() == 1000L)
+    // the empty-dim IN collapses INSIDE the operator batch here
+    // (OptimizeIn + PruneFilters) — the fixed point must converge and
+    // the result stay empty
+    val empty = fact.join(dim.filter(col("dk") < 0), col("k") === col("dk"))
+    assert(empty.count() == 0L)
+    // top-k rewrite through the same path
+    val top = fact.orderBy(col("k").desc, col("v").desc).limit(5)
+    assert(top.collect().map(_.getLong(1)).toSeq == (7995L to 7999L).reverse)
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_word_shingles(array('a'), 1 + 1)").head()

@@ -96,6 +96,25 @@ class ArrayIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listed < total, s"tag7 lives in one file: $listed/$total")
   }
 
+  test("arrays_overlap with a literal array prunes by element IN-list") {
+    import spark.implicits._
+    // 250 and 840 live in files 2 and 8 respectively
+    val probe = array(lit(250L), lit(840L))
+    val q = indexed.filter(arrays_overlap($"vals", probe))
+    checkSame(q, plain.filter(arrays_overlap($"vals", probe)))
+    val (listed, total) = listedFiles(indexed.filter(arrays_overlap($"vals", probe)))
+    assert(listed <= 4L && listed >= 2L,
+      s"two probe values in file-disjoint ranges: expected <=4 of $total, listed $listed")
+    // literal-on-the-left symmetric form
+    val q2 = indexed.filter(arrays_overlap(probe, $"vals"))
+    checkSame(q2, plain.filter(arrays_overlap(probe, $"vals")))
+    // all-out-of-range probe lists zero files
+    val none = indexed.filter(arrays_overlap($"vals", array(lit(88888L))))
+    assert(none.count() == 0L)
+    val (l0, _) = listedFiles(indexed.filter(arrays_overlap($"vals", array(lit(88888L)))))
+    assert(l0 == 0L, s"no element range holds 88888, listed $l0")
+  }
+
   test("conjunction with a scalar predicate composes both cuts") {
     import spark.implicits._
     val q = indexed.filter(array_contains($"vals", 250L) && $"id" >= 0L)

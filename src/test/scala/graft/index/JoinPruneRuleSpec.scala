@@ -214,6 +214,29 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 3000L)
   }
 
+  test("outer joins prune only the non-preserved indexed side") {
+    import spark.implicits._
+    // dk=999 has no fact match — the preserved dim row must survive with
+    // nulls while the fact side is cut to dk=3's files
+    val dim2 = Seq(3L, 999L).toDF("dk")
+    val lo = dim2.join(fact, $"dk" === $"k", "left_outer")
+    assert(probeConjuncts(lo).nonEmpty, "left-outer RIGHT (indexed) side must be probed")
+    assert(lo.count() == 1001L, "1000 matches + 1 preserved unmatched dim row")
+    val (readL, totalL) = factFilesRead(lo)
+    assert(readL < totalL, s"expected a file cut: $readL/$totalL")
+
+    val ro = fact.join(dim2, $"k" === $"dk", "right_outer")
+    assert(probeConjuncts(ro).nonEmpty, "right-outer LEFT (indexed) side must be probed")
+    assert(ro.count() == 1001L)
+    val (readR, totalR) = factFilesRead(ro)
+    assert(readR < totalR, s"expected a file cut: $readR/$totalR")
+
+    // full outer preserves BOTH sides — never rewritten
+    val fo = fact.join(dim2, $"k" === $"dk", "full_outer")
+    assert(probeConjuncts(fo).isEmpty, "full-outer must not be probed")
+    assert(fo.count() == 64000L + 1L)
+  }
+
   test("explicit JoinPrune API calls are not double-probed by the rule") {
     import spark.implicits._
     val viaApi = graft.index.JoinPrune.semiJoinPruned(
