@@ -2350,10 +2350,14 @@ object SparkEntry {
           .select($"doc_id", $"source", $"n_chars".as("score")),
         key = "doc_id", dir = td, numBuckets = 16, mode = "overwrite")
       // same metastore the scratch tables use (standalone runs would
-      // otherwise default to a stray ./index_metastore)
+      // otherwise default to a stray ./index_metastore); stats-only index
+      // (no sketch scan) — the gate proves freshness through the hook,
+      // and min/max stats alone drive the listing
       s.conf.set(graft.index.IndexConf.MetastoreLocation,
         s"$scratchRoot/${new java.io.File(dir).getName}/metastore")
-      s.index.create.mode("overwrite").indexBy("doc_id").parquet(td)
+      s.index.create.mode("overwrite")
+        .option(graft.index.IndexConf.FilterEnabled, "false")
+        .indexBy("doc_id").parquet(td)
       val prev = s.conf.getOption(graft.index.IndexConf.RefreshAfterMaintenance)
       s.conf.set(graft.index.IndexConf.RefreshAfterMaintenance, "true")
       try {

@@ -31,12 +31,16 @@ import graft.index.IndexConf
   *     only rows that MIGHT join reach the shuffle.
   *
   * Soundness (any gate missed leaves the join untouched):
-  *   - join types: Inner (either side may be the indexed fact) and
-  *     LeftSemi (left only) — for both, a fact row whose key has no dim
-  *     match cannot survive, so filtering by dim-key membership is
-  *     semantics-free; `EqualTo` only (null keys never match, and the
-  *     injected `IN`/range/bloom drops nulls the join would drop anyway;
-  *     null-safe `<=>` is NOT eligible and never matches here);
+  *   - join types: Inner (either side may be the indexed fact), LeftSemi
+  *     (left only), and the NON-preserved side of LeftOuter/RightOuter —
+  *     in every eligible orientation a fact row whose key has no dim
+  *     match contributes nothing to the result (inner/semi drop it;
+  *     outer emits the preserved row with nulls either way), so
+  *     filtering by dim-key membership is semantics-free; full outer
+  *     preserves both sides and is never touched; `EqualTo` only (null
+  *     keys never match, and the injected `IN`/range/bloom drops nulls
+  *     the join would drop anyway; null-safe `<=>` is NOT eligible and
+  *     never matches here);
   *   - the dim subplan must be deterministic and non-streaming — it is
   *     evaluated again at probe time, and a nondeterministic dim (sample,
   *     rand) could yield probe keys that miss join-time rows;
@@ -179,7 +183,8 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         .filter(org.apache.spark.sql.functions.col("__k").isNotNull)
       val keys = keyed.distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
       if (keys.isEmpty) {
-        // no non-null dim keys: the inner/semi join is provably empty. An
+        // no non-null dim keys: no fact row can match (for outer joins
+        // the non-preserved fact side then contributes nothing). An
         // EMPTY IN is the strongest pushable form of that fact — it
         // translates to a source filter the index folds to ZERO files
         // (unlike a raw `false` literal, which is not source-pushable and
