@@ -99,12 +99,14 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** One orientation of one join: find an eligible equi-conjunct whose
-    * fact-side key lands on an indexed relation, probe the dim, inject. */
+  /** One orientation of one join: every eligible equi-conjunct whose
+    * fact-side key lands on an indexed relation probes the dim and
+    * injects independently (a composite-key join gets one probe per key
+    * — each is sound alone, and their conjunction only cuts more). */
   private def rewrite(j: Join, conf: IndexConf, factOnLeft: Boolean): Option[Join] = {
     val (factPlan, dimPlan) = if (factOnLeft) (j.left, j.right) else (j.right, j.left)
     val conjuncts = splitConjunctivePredicates(j.condition.get)
-    conjuncts.iterator.flatMap {
+    val pairs = conjuncts.flatMap {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         // orient the pair: fact key ∈ fact side, dim key ∈ dim side
         if (factPlan.outputSet.contains(a) && dimPlan.outputSet.contains(b)) {
@@ -113,11 +115,16 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           Some((b, a))
         } else None
       case _ => None
-    }.flatMap { case (factKey, dimKey) =>
-      tryInject(factPlan, dimPlan, factKey, dimKey, conf)
-    }.nextOption().map { newFact =>
-      if (factOnLeft) j.copy(left = newFact) else j.copy(right = newFact)
     }
+    var cur = factPlan
+    var changed = false
+    pairs.foreach { case (factKey, dimKey) =>
+      tryInject(cur, dimPlan, factKey, dimKey, conf).foreach { nf =>
+        cur = nf; changed = true
+      }
+    }
+    if (!changed) None
+    else Some(if (factOnLeft) j.copy(left = cur) else j.copy(right = cur))
   }
 
   private def tryInject(

@@ -214,6 +214,22 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 3000L)
   }
 
+  test("composite-key join: every eligible equi-conjunct probes independently") {
+    import spark.implicits._
+    val dim2 = Seq((3L, 3391L)).toDF("dk", "dv")
+    val joined = fact.join(dim2, $"k" === $"dk" && $"v" === $"dv")
+    val probes = probeConjuncts(joined)
+    assert(probes.count(p => p == "in(k)" || p == "inset(k)") == 1, s"got $probes")
+    assert(probes.count(p => p == "in(v)" || p == "inset(v)") == 1, s"got $probes")
+    // i = 3391: k = 3391/1000 = 3, v = 3391 % 997 = 400 — no row matches
+    // (3, 3391) on v, so assert against the plain join, not a guess
+    val expected = spark.read.parquet(factPath)
+      .join(dim2, $"k" === $"dk" && $"v" === $"dv").count()
+    assert(joined.count() == expected)
+    val (read, total) = factFilesRead(joined)
+    assert(read < total)
+  }
+
   test("outer joins prune only the non-preserved indexed side") {
     import spark.implicits._
     // dk=999 has no fact match — the preserved dim row must survive with
