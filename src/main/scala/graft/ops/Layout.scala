@@ -320,7 +320,13 @@ object Layout {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) {
-      MaintenanceLock.withLock(fs, dir, lockLeaseMs)(vacuumBody(fs, dir))
+      MaintenanceLock.withLock(fs, dir, lockLeaseMs) {
+        val n = vacuumBody(fs, dir)
+        // rolling a crashed compaction forward/back changes the live
+        // file set — same freshness exposure as compact itself
+        if (n > 0) IndexFreshness.afterMaintenance(spark, tableDir)
+        n
+      }
     } else vacuumBody(fs, dir)
   }
 

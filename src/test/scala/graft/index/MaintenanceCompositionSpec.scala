@@ -141,6 +141,23 @@ class MaintenanceCompositionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("refreshAfterMaintenance: vacuum refreshes only when it recovered something") {
+    val p = s"$work/keyed_vacuum"
+    buildKeyed(p)
+    withHook {
+      // nothing to heal: vacuum must NOT refresh (cheap no-op), index
+      // snapshot untouched
+      assert(graft.ops.Layout.vacuum(spark, p) == 0)
+      // plant dead compaction debris; healing it changes the candidate
+      // file set, so the hook refreshes and reads stay consistent
+      new java.io.File(s"$p/_compact_tmp_dead1").mkdirs()
+      assert(graft.ops.Layout.vacuum(spark, p) >= 1)
+      assert(spark.index.parquet(p).count() == 1000L)
+      val (listed, total) = pruned(spark.index.parquet(p).filter(col("k") === 5L))
+      assert(listed < total)
+    }
+  }
+
   test("refreshAfterMaintenance on an UN-indexed table is a no-op, not an error") {
     val p = s"$work/keyed_noindex"
     graft.ops.Upsert.writeKeyedTable(
