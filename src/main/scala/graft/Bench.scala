@@ -659,6 +659,11 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH WARN: could not write $outPath: $e")
+        // the file was the only carrier of the full artifact — don't let
+        // a disk/permission error lose an hours-long run's detail. Print
+        // the full line to STDERR (stdout stays short so the driver's
+        // ~2 KB stdout tail still parses the short line whole)
+        System.err.println(json)
     }
     val shortJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_adjudicated":$totalAdjudicated,""" +

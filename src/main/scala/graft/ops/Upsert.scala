@@ -162,12 +162,25 @@ object Upsert {
         s"rename $dirPath -> $oldPath failed; table unchanged (old spec " +
           "deleted — re-run rebucket, or re-pin the old spec to keep the layout)")
       if (!fs.rename(tmpPath, dirPath)) {
-        // roll the old copy back into place before failing
-        fs.rename(oldPath, dirPath)
+        // roll the old copy back into place before failing — and tell
+        // the operator the TRUTH about where the data is if even that
+        // fails (a message claiming "restored" after a failed rollback
+        // could lead them to re-run rebucket, whose preamble deletes
+        // the scratch dirs that hold the only surviving copies)
+        val rolledBack = fs.rename(oldPath, dirPath)
         throw new IllegalStateException(
-          s"rename $tmpPath -> $dirPath failed; original table restored at " +
-            s"$dir (unpinned — re-pin the spec or re-run rebucket); " +
-            s"rebucketed data is intact at $tmpPath")
+          if (rolledBack) {
+            s"rename $tmpPath -> $dirPath failed; original table restored at " +
+              s"$dir (unpinned — re-pin the spec or re-run rebucket); " +
+              s"rebucketed data is intact at $tmpPath"
+          } else {
+            s"rename $tmpPath -> $dirPath failed AND the rollback rename " +
+              s"$oldPath -> $dirPath failed: $dir is ABSENT. Both complete " +
+              s"copies survive — old layout at $oldPath, new layout at " +
+              s"$tmpPath. Manually rename ONE back to $dir and re-pin its " +
+              s"spec; do NOT re-run rebucket first (its preamble deletes " +
+              s"those scratch dirs)"
+          })
       }
       // the swap carried OUR lock file away inside the retired dir —
       // re-plant it in the new dir at once, so the single-writer guard

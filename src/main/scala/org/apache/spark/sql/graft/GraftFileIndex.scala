@@ -58,12 +58,35 @@ class GraftFileIndex(
     * instance, dropped by [[refresh]]; only used below the
     * distributed-pruning threshold). */
   @volatile private var entriesByPartitionCache: Map[Int, Seq[FileEntry]] = _
+
+  /** Snapshot epoch for every memo derived from the files table, bumped
+    * by [[refresh]]. Guards the check-then-act race between a memo
+    * computation and a concurrent refresh: a load that BEGAN before the
+    * refresh may legitimately serve its pre-refresh snapshot to the
+    * in-flight caller (the documented stale-serve contract), but must
+    * never be INSTALLED after the refresh cleared the memos — an
+    * unguarded install would resurrect exactly the stale file list /
+    * kth bound that refresh() exists to kill, and a stale kth bound
+    * makes the injected top-k range cut unsound. */
+  private val snapshotEpoch = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Epoch-guarded get-or-compute: serves an existing memo, else
+    * computes and installs only if no refresh intervened. */
+  private def memoized[K, V](cache: scala.collection.concurrent.Map[K, V], key: K)
+      (compute: => V): V =
+    cache.get(key).getOrElse {
+      val e = snapshotEpoch.get()
+      val v = compute
+      if (snapshotEpoch.get() == e) cache.putIfAbsent(key, v).getOrElse(v) else v
+    }
+
   private def entriesByPartition: Map[Int, Seq[FileEntry]] = {
     var c = entriesByPartitionCache
     if (c == null) {
+      val e = snapshotEpoch.get()
       c = IndexFilesTable.readAll(filesDir, hadoopConf)
         .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
-      entriesByPartitionCache = c
+      if (snapshotEpoch.get() == e) entriesByPartitionCache = c
     }
     c
   }
@@ -335,7 +358,7 @@ class GraftFileIndex(
     * metadata-sized. */
   def metadataStatsByPartition(colsIn: Seq[String]): Map[Int, MetaTableAgg] = {
     val cols = colsIn.sorted
-    metaAggByPartCache.getOrElseUpdate(cols, {
+    memoized(metaAggByPartCache, cols) {
       if (meta.fileCount < conf.distributedPruningThreshold) {
         entriesByPartition.map { case (idx, fs) =>
           idx -> fs.foldLeft(MetadataAggregates.zero(cols)) { (acc, f) =>
@@ -369,14 +392,14 @@ class GraftFileIndex(
           }
           .fold(Map.empty[Int, MetaTableAgg])(mergeMaps)
       }
-    })
+    }
   }
 
   /** Fold row counts / null counts / bounds for `cols` (index-schema
     * names) over every file of the index. */
   def metadataStats(colsIn: Seq[String]): MetaTableAgg = {
     val cols = colsIn.sorted
-    metaAggCache.getOrElseUpdate(cols, {
+    memoized(metaAggCache, cols) {
       if (meta.fileCount < conf.distributedPruningThreshold) {
         entriesByPartition.valuesIterator.flatten
           .foldLeft(MetadataAggregates.zero(cols)) { (acc, f) =>
@@ -399,7 +422,7 @@ class GraftFileIndex(
           }
           .fold(MetadataAggregates.zero(colsB))(_ merge _)
       }
-    })
+    }
   }
 
   /** Exact distinct (non-null, canonical) values of an indexed column, if
@@ -409,7 +432,7 @@ class GraftFileIndex(
     * deserialize their slice; only value sets cross to the driver). */
   def metadataDistinct(colName: String, dt: org.apache.spark.sql.types.DataType,
       cap: Int): Option[Seq[Any]] = {
-    metaDistinctCache.getOrElseUpdate(colName, {
+    memoized(metaDistinctCache, colName) {
       val sketchPath = new Path(indexDir, graft.index.Metastore.SketchDir)
       val exact = meta.sketchKind.exists(k =>
         graft.index.Sketch.resolveKind(k, dt) != graft.index.Sketch.Bloom)
@@ -451,7 +474,7 @@ class GraftFileIndex(
           }
         }
       }
-    })
+    }
   }
 
   /** Canonical threshold for index-backed TOP-K pruning
@@ -586,21 +609,23 @@ class GraftFileIndex(
     * replaced (a stale kth bound would inject a `key >= T` cut proven
     * on files the refresh removed, silently dropping new top-k rows). */
   private val topKBoundCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Boolean), Option[Any]]()
+    new scala.collection.concurrent.TrieMap[(String, Long, Boolean), Option[Any]]()
 
   def topKBoundCached(colName: String, dt: org.apache.spark.sql.types.DataType,
       k: Long, largest: Boolean): Option[Any] =
-    topKBoundCache.computeIfAbsent((colName, k, largest),
-      _ => topKBound(colName, dt, k, largest))
+    memoized(topKBoundCache, (colName, k, largest)) {
+      topKBound(colName, dt, k, largest)
+    }
 
   private val topKGroupBoundCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Boolean), Option[Any]]()
+    new scala.collection.concurrent.TrieMap[(String, Long, Boolean), Option[Any]]()
 
   def topKBoundByPartitionsCached(colName: String,
       dt: org.apache.spark.sql.types.DataType,
       k: Long, largest: Boolean): Option[Any] =
-    topKGroupBoundCache.computeIfAbsent((colName, k, largest),
-      _ => topKBoundByPartitions(colName, dt, k, largest))
+    memoized(topKGroupBoundCache, (colName, k, largest)) {
+      topKBoundByPartitions(colName, dt, k, largest)
+    }
 
   /** The GROUPED sibling of [[topKBound]]: the WEAKEST per-partition
     * TOP-K bound — T = the least favorable (min for `largest = true`)
@@ -751,7 +776,14 @@ class GraftFileIndex(
     * top-k range cut unsound (files the refresh removed could have
     * proven a tighter T than the new data supports). */
   override def refresh(): Unit = {
+    // ordering matters against a RACING memo computation (see
+    // snapshotEpoch): invalidate the files-table cache FIRST (a compute
+    // that starts after this point reads fresh data), THEN bump the
+    // epoch (a compute that started before it can no longer install),
+    // THEN drop the memos. A compute that lands in the middle at worst
+    // skips installing a fresh value — never installs a stale one.
     IndexFilesTable.invalidate(filesDir)
+    snapshotEpoch.incrementAndGet()
     entriesByPartitionCache = null
     metaAggCache.clear()
     metaAggByPartCache.clear()

@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, ExprId, GreaterThanOrEqual, In, InSet, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualNullSafe, EqualTo, Expression, ExprId, GreaterThanOrEqual, In, InSet, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Offset, Project, Sample, Tail}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
@@ -42,10 +42,17 @@ import graft.index.IndexConf
   *     the join would drop anyway; null-safe `<=>` is NOT eligible and
   *     never matches here);
   *   - the dim subplan must be deterministic and non-streaming — it is
-  *     evaluated again at probe time, and a nondeterministic dim (sample,
-  *     rand) could yield probe keys that miss join-time rows;
-  *   - the dim must look selective: a Filter/Limit/LocalRelation
-  *     somewhere in it, or leaf-scan bytes under
+  *     evaluated again at probe time, and a nondeterministic dim could
+  *     yield probe keys that miss join-time rows. Expression-level
+  *     nondeterminism (`rand()`) is caught per expression; row-SET
+  *     nondeterminism is operator-level and invisible to
+  *     `Expression.deterministic`, so any `Limit`/`Offset`/`Tail`/
+  *     `Sample` in the dim bails outright — a `limit(n)` above a shuffle
+  *     is not guaranteed to re-yield the same n rows when the join
+  *     re-executes the dim, and an IN-list collected from the probe's
+  *     row set would then silently drop join rows;
+  *   - the dim must look selective: a Filter/LocalRelation somewhere in
+  *     it, or leaf-scan bytes under
   *     [[IndexConf.joinPruneMaxDimBytes]] — an unfiltered full-table dim
   *     contains every key, so probing it buys nothing and costs a scan;
   *   - the fact-side key must resolve through attribute-only (or
@@ -55,7 +62,8 @@ import graft.index.IndexConf
   *
   * Idempotency under the optimizer's fixed point is structural, not
   * memoized: a re-entry sees an `IN`/`InSet`/`InBloom` conjunct on the
-  * same key exprId between the join and the relation and skips — no
+  * same key exprId between the join and the relation — or the literal
+  * `EqualTo` that `OptimizeIn` lowers a one-element `IN` to — and skips; no
   * probe result is ever cached across queries, so a dim whose DATA
   * changed between queries is always re-probed (an IN-list of stale keys
   * would silently drop join rows; staleness is structurally impossible
@@ -150,11 +158,22 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))) {
       return None
     }
+    // row-SET nondeterminism is operator-level (every expression inside
+    // is deterministic, yet the operator's OUTPUT row set depends on
+    // arrival order): limit/offset/tail over an unordered exchange and
+    // sample (seeded per partition, order-sensitive within one) can all
+    // re-yield a DIFFERENT key set when the join re-executes the dim
+    // than the one the probe collected — the injected IN would then
+    // silently drop join rows
+    if (dimPlan.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail | _: Sample => true
+      case _ => false
+    }) return None
     if (!selective(dimPlan, conf.joinPruneMaxDimBytes)) return None
     val dt = relAttr.dataType
     if (!inEligible(dt)) return None
 
-    val negKey = (dimPlan.canonicalized, dimKey.canonicalized, conf.joinPruneMaxKeys)
+    val negKey = memoKey(dimPlan, dimKey, conf)
     if (negativeMemo.containsKey(negKey)) return None
 
     val pred = probe(dimPlan, dimKey, dt, conf).getOrElse {
@@ -202,10 +221,15 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       } else if (keys.length <= maxKeys) {
         Some(In(dimKey, keys.map(Literal.create(_, dt))))
       } else if (conf.joinPruneBloom && bloomEligible(dt)) {
+        // one aggregate pass carries bounds AND the bloom-sizing count —
+        // the bloom tier costs two dim passes beyond the distinct probe
+        // (this agg + the treeAggregate build), not three
         val bounds = keyed.agg(
           org.apache.spark.sql.functions.min("__k"),
-          org.apache.spark.sql.functions.max("__k")).head
-        val capacity = math.max(keyed.count(), 64L)
+          org.apache.spark.sql.functions.max("__k"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).head
+        val capacity = math.max(bounds.getLong(2), 64L)
         val bf = keyed.rdd.treeAggregate(
           org.apache.spark.util.sketch.BloomFilter.create(capacity, 0.03))(
           seqOp = (f, row) => {
@@ -273,6 +297,15 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case f: Filter => splitConjunctivePredicates(f.condition).exists {
         case In(v, _) => onKey(v)
         case InSet(v, _) => onKey(v)
+        // OptimizeIn rewrites a single-element injected IN to EqualTo in
+        // the SAME fixed-point batch; without this case every later pass
+        // would re-run the dim probe (a real collect job) from scratch.
+        // A user's own literal equality on the key is the same evidence:
+        // the fold already prunes by it, a probe under it is redundant
+        case EqualTo(v, _: Literal) => onKey(v)
+        case EqualTo(_: Literal, v) => onKey(v)
+        case EqualNullSafe(v, _: Literal) => onKey(v)
+        case EqualNullSafe(_: Literal, v) => onKey(v)
         // OptimizeIn lowers an empty IN to if(isnotnull(k), false, null);
         // a constant-false filter means the subtree is already provably
         // empty — nothing left to prune either way
@@ -291,15 +324,17 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** Worth probing: something already cuts the dim (a REAL Filter —
     * the optimizer infers bare `IsNotNull(joinKey)` filters onto every
-    * equi-join child, which cut nothing — a Limit, or local rows), or
-    * its leaf scans are small outright. */
+    * equi-join child, which cut nothing — or local rows), or its leaf
+    * scans are small outright. Limits are NOT selectivity evidence here:
+    * a limit-bearing dim already bailed at the row-set-determinism gate
+    * above, because its probe-time and join-time row sets can differ. */
   private def selective(dim: LogicalPlan, maxBytes: Long): Boolean =
     dim.exists {
       case f: Filter => splitConjunctivePredicates(f.condition).exists {
         case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
         case _ => true
       }
-      case _: GlobalLimit | _: LocalRelation => true
+      case _: LocalRelation => true
       case _ => false
     } || dim.stats.sizeInBytes <= maxBytes
 
@@ -314,6 +349,25 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def bloomEligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
     case _ => false
+  }
+
+  /** Digest memo key: a fixed-size string, never the canonicalized plan
+    * object itself — a plan key would pin the dim's whole object graph
+    * (HadoopFsRelation → FileIndex listing → SparkSession) in the
+    * process-global map past query and session lifetime. Canonicalized
+    * toString normalizes exprIds (stable across re-parses of the same
+    * shape); its field-list truncation can at worst make two distinct
+    * dims share a digest, which skips a probe — a missed optimization,
+    * never a wrong answer. The bloom flag is part of the key so a shape
+    * rejected with bloom OFF is re-probed after the user turns it on. */
+  private def memoKey(dimPlan: LogicalPlan, dimKey: Expression, conf: IndexConf): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(dimPlan.canonicalized.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(dimKey.canonicalized.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(s"|${conf.joinPruneMaxKeys}|${conf.joinPruneBloom}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
   private def trimMemo(): Unit = {
@@ -336,7 +390,8 @@ object JoinPruneRule {
   /** Joins the probe REJECTED (cap exceeded, bloom-ineligible): skipping
     * a probe can only miss an optimization, never change results — safe
     * to remember across queries, unlike probe RESULTS (stale keys would
-    * drop rows). Keyed on canonicalized (dim plan, key, cap). */
+    * drop rows). Keyed on a DIGEST of the canonicalized (dim plan, key,
+    * cap, bloom flag) — see [[JoinPruneRule.memoKey]]. */
   private val negativeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

@@ -108,10 +108,28 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("join key reversed and fact on the right still rewrite") {
     import spark.implicits._
-    val joined = dim.filter($"dk" === 5).join(fact, $"dk" === $"k")
+    // a RANGE dim filter: constraint propagation mirrors the range (not
+    // an equality) onto the fact key, so the probe is still the only
+    // path to an exact key cut
+    val joined = dim.filter($"dk" >= 5 && $"dk" <= 6).join(fact, $"dk" === $"k")
     assert(probeConjuncts(joined).nonEmpty, "right-side fact must rewrite too")
     val (read, total) = factFilesRead(joined)
     assert(read < total)
+    assert(joined.count() == 2000L)
+  }
+
+  test("single-key dim: the INFERRED equality cuts files and the probe stands down") {
+    import spark.implicits._
+    // dk === 5 propagates k = 5 onto the fact side (constraint
+    // propagation); that literal equality is maximally selective for the
+    // fold already, so the rule must NOT stack a redundant probe (and
+    // re-run dim jobs every fixed-point pass) — but the file cut must
+    // still happen, via the inferred equality itself
+    val joined = dim.filter($"dk" === 5).join(fact, $"dk" === $"k")
+    assert(probeConjuncts(joined).isEmpty,
+      s"inferred equality suppresses the probe, got ${probeConjuncts(joined)}")
+    val (read, total) = factFilesRead(joined)
+    assert(read < total, s"equality itself must cut files: $read/$total")
     assert(joined.count() == 1000L)
   }
 
@@ -130,9 +148,9 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("alias-of-attribute projects on the fact side are walked through") {
     import spark.implicits._
     val joined = fact.select($"k".as("fk"), $"v")
-      .join(dim.filter($"dk" === 9), $"fk" === $"dk")
+      .join(dim.filter($"dk" >= 9 && $"dk" <= 10), $"fk" === $"dk")
     assert(probeConjuncts(joined).nonEmpty)
-    assert(joined.count() == 1000L)
+    assert(joined.count() == 2000L)
   }
 
   test("empty dim keys: the injected empty IN folds the fact listing to zero files") {
@@ -253,13 +271,48 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fo.count() == 64000L + 1L)
   }
 
+  test("row-set-nondeterministic dims (limit / sample) are never probed") {
+    import spark.implicits._
+    // every expression inside is deterministic, but limit-over-a-scan can
+    // re-yield a DIFFERENT 5 rows when the join re-executes the dim than
+    // the probe collected — an IN of the probe's keys would drop rows
+    val lim = fact.join(dim.filter($"dk" <= 30).limit(5), $"k" === $"dk")
+    assert(probeConjuncts(lim).isEmpty,
+      "limit dim must bail: probe-time and join-time row sets can differ")
+    assert(lim.count() == 5000L, "each of the 5 dim keys matches 1000 fact rows")
+    val samp = fact.join(dim.sample(0.5, 42L).filter($"dk" === 3), $"k" === $"dk")
+    assert(probeConjuncts(samp).isEmpty, "sample dim must bail (order-sensitive row set)")
+    samp.collect()
+  }
+
+  test("a literal equality on the key suppresses probing (OptimizeIn's one-element form)") {
+    import spark.implicits._
+    // the shape OptimizeIn lowers a one-element injected IN to — and
+    // equally a user's own point filter: the fold already prunes by the
+    // equality, so a probe under it would only re-run dim jobs on every
+    // fixed-point pass
+    val joined = fact.filter($"k" === 3L).join(dim.filter($"dk" <= 10), $"k" === $"dk")
+    assert(probeConjuncts(joined).isEmpty,
+      s"equality already cuts — no probe expected, got ${probeConjuncts(joined)}")
+    assert(joined.count() == 1000L)
+    // end-to-end: a single-key dim still injects and cuts files
+    val single = fact.join(dim.filter($"dk" === 11), $"k" === $"dk")
+    assert(single.count() == 1000L)
+    val (read, total) = factFilesRead(single)
+    assert(read < total, s"single-key probe should cut files: $read/$total")
+  }
+
   test("explicit JoinPrune API calls are not double-probed by the rule") {
     import spark.implicits._
+    // two keys: a one-element API IN would be lowered to EqualTo by
+    // OptimizeIn and probeConjuncts could not see it
     val viaApi = graft.index.JoinPrune.semiJoinPruned(
-      fact, dim.filter($"dk" === 4), $"k", $"dk")
+      fact, dim.filter($"dk" >= 4 && $"dk" <= 5), $"k", $"dk")
     val probes = probeConjuncts(viaApi)
-    assert(probes.count(_.startsWith("in")) == 1, s"got $probes")
-    assert(viaApi.count() == 1000L)
+    // exactly ONE In on the fact key: the API's (constraint propagation
+    // may mirror it onto dk — that one is not ours either)
+    assert(probes.count(p => p == "in(k)" || p == "inset(k)") == 1, s"got $probes")
+    assert(viaApi.count() == 2000L)
   }
 
   override def afterAll(): Unit = {
