@@ -256,6 +256,25 @@ object SparkEntry {
         .parquet(tableDir)
     }
 
+  /** Per-order supplier→count MAPS (map_from_entries over lineitem),
+    * indexed on the map column's KEY domain — the `map_contains_key`
+    * pruning fixture (key min/max + dict/bloom membership per file);
+    * create-once. */
+  private[graft] def indexedOrderSuppMap(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "order_suppmap") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(collect_list(struct(col("l_suppkey"), col("n"))))
+          .as("suppmap"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite").indexBy("suppmap", "l_orderkey")
+        .parquet(tableDir)
+    }
+
   /** Indexed part copy with exact DICT sketches on the low-cardinality
     * string columns, laid out so p_type values cluster per file — the
     * fixture for substring (Contains/EndsWith) pruning, which only an
@@ -948,6 +967,18 @@ object SparkEntry {
       indexedOrderSupps(s, dir)
         .filter(array_contains($"supps", 3L))
         .select($"l_orderkey", $"n_items")
+        .orderBy($"l_orderkey")
+    }),
+
+    // Key-domain pruning of map<primitive,_> columns: map_contains_key
+    // pre-translates to key membership the index answers from key
+    // min/max + dict/bloom per file; the answered VALUE (element_at)
+    // comes from the scan, keyed rows only.
+    "q_idx_map_contains" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrderSuppMap(s, dir)
+        .filter(map_contains_key($"suppmap", 3L))
+        .select($"l_orderkey", element_at($"suppmap", 3L).as("n_supp3"))
         .orderBy($"l_orderkey")
     }),
 
@@ -7273,6 +7304,12 @@ object SparkEntry {
       """SELECT l_orderkey, count(*) AS n_items FROM lineitem
         |GROUP BY l_orderkey
         |HAVING sum(CASE WHEN l_suppkey IN (3, 7) THEN 1 ELSE 0 END) > 0
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_idx_map_contains" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_supp3
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) > 0
         |ORDER BY l_orderkey""".stripMargin,
     "q_idx_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag

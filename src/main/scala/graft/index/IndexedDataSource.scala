@@ -184,11 +184,25 @@ object IndexedDataSource {
               new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
                 .putBoolean(IndexMetadata.ArrayElementKey, true).build())
+          // map<primitive, _>: the index field carries the KEY type + a
+          // marker — key min/max + dict/bloom answer map_contains_key
+          // (col, k) / col[k] = lit membership soundly (a file with no
+          // entry keyed k has no matching row); same row-domain
+          // exclusions as array elements
+          case org.apache.spark.sql.types.MapType(kt, _, _) =>
+            require(Canon.isSupported(kt),
+              s"column $c is a map with unsupported key type " +
+                s"${kt.simpleString}; supported keys: int, bigint, string, " +
+                "date, timestamp, timestamp_ntz, double, float, decimal(p<=18)")
+            StructField(f.name, kt, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putBoolean(IndexMetadata.MapKeyKey, true).build())
           case dt =>
             require(Canon.isSupported(dt),
               s"column $c has unsupported type ${dt.simpleString}; " +
                 "supported: int, bigint, string, date, timestamp, timestamp_ntz, " +
-                "double, float, decimal(p<=18), array<primitive>")
+                "double, float, decimal(p<=18), array<primitive>, map<primitive, _>")
             f
         }
       }

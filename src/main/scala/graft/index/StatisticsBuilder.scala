@@ -90,7 +90,7 @@ object StatisticsBuilder {
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val fields = indexSchema.fields.map(f =>
-      (f.name, f.dataType.json, IndexMetadata.isArrayElement(f)))
+      (f.name, f.dataType.json, IndexMetadata.domainOf(f)))
     val slices = math.max(1, math.min(numPartitions, refs.size))
     val perSlice = (refs.size + slices - 1) / slices
     val grouped: Seq[(Seq[(Int, FileRef)], Seq[String])] =
@@ -103,7 +103,7 @@ object StatisticsBuilder {
     val rows = spark.sparkContext
       .makeRDD(grouped)
       .flatMap { group =>
-        val types = fields.map { case (n, dj, arr) => (n, DataType.fromJson(dj), arr) }
+        val types = fields.map { case (n, dj, dom) => (n, DataType.fromJson(dj), dom) }
         group.iterator.map { case (partitionIdx, ref) =>
           val footer =
             if (src == Sources.Orc) readOrcBlocks(ref.path, types, confBc.value.value)
@@ -149,7 +149,7 @@ object StatisticsBuilder {
   /** Executor-side: one footer read → schema + BlockStats per row group. */
   private def readFooterBlocks(
       path: String,
-      indexed: Array[(String, DataType, Boolean)],
+      indexed: Array[(String, DataType, Int)],
       conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
@@ -185,22 +185,29 @@ object StatisticsBuilder {
           .toMap
         lazy val byNameAll = block.getColumns.asScala
           .map(c => c.getPath.toDotString -> c).toMap
-        val cols = indexed.flatMap { case (name, dt, isArr) =>
-          val chunk =
-            if (!isArr) byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
-            else {
+        val cols = indexed.flatMap { case (name, dt, dom) =>
+          val chunk = dom match {
+            case 0 => byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
+            case 1 =>
               // list-encoding leaf paths: modern 3-level, legacy 2-level
               val suffixes = Seq(".list.element", ".list.item", ".array",
                 ".bag.array", ".bag.array_element")
               byNameAll.collectFirst {
                 case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(name + s)) => c
               }
-            }
+            case _ =>
+              // map-encoding KEY leaf paths: modern 3-level, legacy MAP_KEY_VALUE
+              val suffixes = Seq(".key_value.key", ".map.key")
+              byNameAll.collectFirst {
+                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(name + s)) => c
+              }
+          }
           chunk.map { c =>
             val cs = chunkStats(c, dt, fpNanPoisoning)
-            // element null/value counts are NOT row counts: suppress the
-            // null count so row-domain null reasoning degrades to unknown
-            name -> (if (isArr) cs.copy(nullCount = None) else cs)
+            // element/key null+value counts are NOT row counts: suppress
+            // the null count so row-domain null reasoning degrades to
+            // unknown
+            name -> (if (dom != 0) cs.copy(nullCount = None) else cs)
           }
         }.toMap
         BlockStats(block.getRowCount, cols)
@@ -302,7 +309,7 @@ object StatisticsBuilder {
     * (root = 0, top-level fields follow in order). */
   private def readOrcBlocks(
       path: String,
-      indexed: Array[(String, DataType, Boolean)],
+      indexed: Array[(String, DataType, Int)],
       conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = org.apache.orc.OrcFile.createReader(
       new Path(path), org.apache.orc.OrcFile.readerOptions(conf))
@@ -334,6 +341,20 @@ object StatisticsBuilder {
             here ++ walkElemIds(path, child)
         }
       val elemIdOf: Map[String, Int] = walkElemIds("", td).toMap
+      // MAP columns: the KEY child's stats (key-domain fields)
+      def walkKeyIds(prefix: String,
+          t: org.apache.orc.TypeDescription): Seq[(String, Int)] =
+        if (t.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) Nil
+        else t.getFieldNames.asScala.toSeq.zip(t.getChildren.asScala).flatMap {
+          case (n, child) =>
+            val path = if (prefix.isEmpty) n else s"$prefix.$n"
+            val here =
+              if (child.getCategory == org.apache.orc.TypeDescription.Category.MAP)
+                Seq(path.toLowerCase -> child.getChildren.get(0).getId)
+              else Nil
+            here ++ walkKeyIds(path, child)
+        }
+      val keyIdOf: Map[String, Int] = walkKeyIds("", td).toMap
       val stripes = reader.getStripes.asScala.toSeq
       val stripeStats = reader.getStripeStatistics.asScala.toSeq
       // A writer that omitted the stripe-statistics section must NOT make
@@ -343,13 +364,16 @@ object StatisticsBuilder {
         if (stripeStats.size == stripes.size) {
           stripes.zip(stripeStats).map { case (si, ss) =>
             val colStats = ss.getColumnStatistics
-            val cols = indexed.flatMap { case (name, dt, isArr) =>
-              val cid = if (isArr) elemIdOf.get(name.toLowerCase)
-                else idOf.get(name.toLowerCase)
+            val cols = indexed.flatMap { case (name, dt, dom) =>
+              val cid = dom match {
+                case 0 => idOf.get(name.toLowerCase)
+                case 1 => elemIdOf.get(name.toLowerCase)
+                case _ => keyIdOf.get(name.toLowerCase)
+              }
               cid.map { id =>
                 val cs = orcStats(colStats(id), si.getNumberOfRows, dt)
-                // element counts are not row counts (see parquet twin)
-                name -> (if (isArr) cs.copy(nullCount = None) else cs)
+                // element/key counts are not row counts (see parquet twin)
+                name -> (if (dom != 0) cs.copy(nullCount = None) else cs)
               }
             }.toMap
             BlockStats(si.getNumberOfRows, cols)
@@ -446,7 +470,7 @@ object StatisticsBuilder {
     // stat-less array column simply stays may-contain, with the dict /
     // bloom sketch still answering array_contains membership
     val indexedNames = indexSchema.fields
-      .filterNot(IndexMetadata.isArrayElement).map(_.name)
+      .filterNot(IndexMetadata.isElementDomain).map(_.name)
     if (indexedNames.isEmpty) return 0L
     val files = spark.read.parquet(filesDir.toString).as[FileStatsRow]
 
@@ -613,6 +637,16 @@ case class SketchAgg(
         val n = arr.numElements()
         while (i < n) {
           if (!arr.isNullAt(i)) buffer.put(Canon.fromCatalyst(et, arr.get(i, et)))
+          i += 1
+        }
+      // key-domain sketch: every key of the map joins the file's
+      // membership set (map_contains_key pruning; keys are never null)
+      case org.apache.spark.sql.types.MapType(kt, _, _) =>
+        val keys = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].keyArray()
+        var i = 0
+        val n = keys.numElements()
+        while (i < n) {
+          buffer.put(Canon.fromCatalyst(kt, keys.get(i, kt)))
           i += 1
         }
       case dt => buffer.put(Canon.fromCatalyst(dt, v))

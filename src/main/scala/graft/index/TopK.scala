@@ -62,7 +62,7 @@ object TopK {
     // element values, not row-sortable keys
     val indexedName = gfi.meta.indexSchema.fields
       .find(f => f.name.equalsIgnoreCase(path) &&
-        !graft.index.IndexMetadata.isArrayElement(f))
+        !graft.index.IndexMetadata.isElementDomain(f))
       .map(_.name).getOrElse(return df)
 
     gfi.topKBound(indexedName, keyType, k.toLong, largest) match {
@@ -123,7 +123,7 @@ object TopK {
     // element values, not row-sortable keys
     val indexedName = gfi.meta.indexSchema.fields
       .find(f => f.name.equalsIgnoreCase(path) &&
-        !graft.index.IndexMetadata.isArrayElement(f))
+        !graft.index.IndexMetadata.isElementDomain(f))
       .map(_.name).getOrElse(return df)
     gfi.topKBoundByPartitions(indexedName, keyType, k.toLong,
         largest) match {

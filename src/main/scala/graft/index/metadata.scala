@@ -98,6 +98,30 @@ object IndexMetadata {
   def isArrayElement(f: StructField): Boolean =
     f.metadata.contains(ArrayElementKey) && f.metadata.getBoolean(ArrayElementKey)
 
+  /** StructField-metadata marker for KEY-DOMAIN index fields: the table
+    * column is `map<keyType, _>`, the index field carries the KEY type,
+    * and its stats/sketches describe key VALUES — only key-membership
+    * predicates (`map_contains_key(col, k)`, `col[k] = v` with a
+    * non-null literal v) may consult them; same row-domain exclusions
+    * as [[ArrayElementKey]]. */
+  val MapKeyKey = "graft.mapKey"
+
+  def isMapKey(f: StructField): Boolean =
+    f.metadata.contains(MapKeyKey) && f.metadata.getBoolean(MapKeyKey)
+
+  /** True for any field whose stats describe collection MEMBERS (array
+    * elements / map keys) instead of row values — every row-domain
+    * consumer (metadata-only aggregates, top-k bounds, null reasoning,
+    * the min/max full-scan fallback) must skip such fields. */
+  def isElementDomain(f: StructField): Boolean = isArrayElement(f) || isMapKey(f)
+
+  /** Stats-domain code shipped to footer-reading executors: 0 = row
+    * values, 1 = array elements, 2 = map keys (decides which physical
+    * leaf the dotted path binds to and suppresses per-row null counts
+    * for the collection domains). */
+  def domainOf(f: StructField): Int =
+    if (isArrayElement(f)) 1 else if (isMapKey(f)) 2 else 0
+
   // v2: sketch table keyed by normalized file path + sorted by (file,
   // column) for pruned query-time reads.
   // v3: per-file stats moved out of metadata.json into the `files`

@@ -125,32 +125,44 @@ class GraftFileIndex(
     //    by indexed columns (reference IndexSourceStrategy.scala:63-66),
     //    And-reduce, fold per file.
     val indexed = meta.indexedColumns.map(_.toLowerCase)
-    // Element-membership predicates over an element-domain index field
-    // pre-translate to ordinary source filters the fold answers from
-    // element min/max + dict/bloom membership (Spark's own
-    // translateFilter has no array predicates — without this, array
-    // fields would never prune):
+    // Membership predicates over an element-domain (array) or key-domain
+    // (map) index field pre-translate to ordinary source filters the
+    // fold answers from member min/max + dict/bloom membership (Spark's
+    // own translateFilter has no collection predicates — without this,
+    // array/map fields would never prune):
     //   - array_contains(col, v)        → EqualTo(col, v): a file with
     //     no element == v cannot hold a containing row;
     //   - arrays_overlap(col, literal)  → In(col, nonNullElems):
     //     overlap is true only on a shared NON-NULL element (null
     //     elements yield null, which the filter drops), so a file
     //     holding none of the literal's non-null elements cannot match
-    //     — an all-null/empty literal gives In(col, []) = never true.
+    //     — an all-null/empty literal gives In(col, []) = never true;
+    //   - map_contains_key(m, k) — which ReplaceExpressions lowers to
+    //     array_contains(map_keys(m), k) — and m[k] = v both cut by
+    //     KEY membership of k.
     // Generic translated filters that happen to reference an
-    // element-domain field (whole-array comparisons) stay fold-safe:
-    // Canon.fromExternal type-gates every value and degrades mismatches
-    // to may-contain.
-    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArraysOverlap, Literal => CLit}
-    def elementField(c: Expression): Option[String] =
+    // element/key-domain field (whole-collection comparisons) stay
+    // fold-safe: Canon.fromExternal type-gates every value and degrades
+    // mismatches to may-contain.
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArraysOverlap, EqualTo => CEq, GetMapValue, MapKeys, Literal => CLit}
+    def domainField(
+        c: Expression,
+        wanted: org.apache.spark.sql.types.StructField => Boolean): Option[String] =
       MetadataAggregates.dottedPath(c).flatMap { case (_, path) =>
         meta.indexSchema.fields.find(f =>
-          f.name.equalsIgnoreCase(path) && graft.index.IndexMetadata.isArrayElement(f))
-          .map(_.name)
+          f.name.equalsIgnoreCase(path) && wanted(f)).map(_.name)
       }
+    // The collection whose MEMBERS the probe tests: an array column
+    // indexed on its element domain, or map_keys(m) over a map column
+    // indexed on its key domain (map_contains_key(m, k) optimizes to
+    // array_contains(map_keys(m), k), so both spellings land here).
+    def memberField(c: Expression): Option[String] = c match {
+      case MapKeys(m) => domainField(m, graft.index.IndexMetadata.isMapKey)
+      case _ => domainField(c, graft.index.IndexMetadata.isArrayElement)
+    }
     val arrayElemFilters: Seq[Filter] = dataFilters.flatMap {
       case ArrayContains(c, CLit(v, vt)) if v != null =>
-        elementField(c).map(n => org.apache.spark.sql.sources.EqualTo(n,
+        memberField(c).map(n => org.apache.spark.sql.sources.EqualTo(n,
           org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, vt)))
       case ArraysOverlap(l, r) =>
         val probed = (l, r) match {
@@ -161,13 +173,33 @@ class GraftFileIndex(
           case _ => None
         }
         probed.flatMap { case (c, v, t) =>
-          elementField(c).map { n =>
+          memberField(c).map { n =>
             val elems = org.apache.spark.sql.catalyst.CatalystTypeConverters
               .convertToScala(v, t).asInstanceOf[scala.collection.Seq[Any]]
               .filter(_ != null).toArray
             org.apache.spark.sql.sources.In(n, elems)
           }
         }
+      // m[k] = v (non-null literals, either side): only rows whose map
+      // HAS key k can satisfy it (GetMapValue on a missing key is null,
+      // and null = v is never true) — so key-domain membership of k is
+      // a sound file cut
+      case CEq(GetMapValue(c, CLit(k, kt)), CLit(v, _)) if k != null && v != null =>
+        domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
+          org.apache.spark.sql.sources.EqualTo(n,
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(k, kt)))
+      case CEq(CLit(v, _), GetMapValue(c, CLit(k, kt))) if k != null && v != null =>
+        domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
+          org.apache.spark.sql.sources.EqualTo(n,
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(k, kt)))
+      // m[k] IS NOT NULL: a missing key yields null, so only rows whose
+      // map has key k (with a non-null value) can pass — key membership
+      // of k is again a sound file cut
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          GetMapValue(c, CLit(k, kt))) if k != null =>
+        domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
+          org.apache.spark.sql.sources.EqualTo(n,
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(k, kt)))
       case _ => None
     }
     val indexFilters: Seq[Filter] = (dataFilters

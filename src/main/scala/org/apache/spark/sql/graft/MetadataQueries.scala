@@ -289,7 +289,7 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def fieldOf(a: AttributeReference): Option[StructField] =
       if (!lr.output.exists(_.exprId == a.exprId)) None
       else meta.indexSchema.fields.find(f => f.name.equalsIgnoreCase(a.name) &&
-        !graft.index.IndexMetadata.isArrayElement(f))
+        !graft.index.IndexMetadata.isElementDomain(f))
 
     // ... including NESTED leaves: min/max/count over payload.user_id
     // resolve through the dotted index-schema name, after inlining any
@@ -303,7 +303,7 @@ class MetadataAggregateRule(spark: SparkSession) extends Rule[LogicalPlan] {
       MetadataAggregates.dottedPath(inlined).flatMap { case (a, path) =>
         if (!lr.output.exists(_.exprId == a.exprId)) None
         else meta.indexSchema.fields.find(f => f.name.equalsIgnoreCase(path) &&
-          !graft.index.IndexMetadata.isArrayElement(f))
+          !graft.index.IndexMetadata.isElementDomain(f))
       }
     }
 

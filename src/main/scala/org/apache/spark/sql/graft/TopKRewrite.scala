@@ -129,7 +129,7 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // element-domain (array) index fields never supply a row-sort bound
     val indexedName = gfi.meta.indexSchema.fields
       .find(f => f.name.equalsIgnoreCase(path) &&
-        !graft.index.IndexMetadata.isArrayElement(f))
+        !graft.index.IndexMetadata.isElementDomain(f))
       .map(_.name).getOrElse(return None)
     val largest = firstOrder.direction == Descending
     val bound = gfi.topKBoundCached(
@@ -168,7 +168,7 @@ class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // element-domain (array) index fields never supply a row-sort bound
     val indexedName = gfi.meta.indexSchema.fields
       .find(f => f.name.equalsIgnoreCase(path) &&
-        !graft.index.IndexMetadata.isArrayElement(f))
+        !graft.index.IndexMetadata.isElementDomain(f))
       .map(_.name).getOrElse(return None)
     val partNames = gfi.meta.partitionSchema.fieldNames
     val partsArePartitionCols = wgl.partitionSpec.forall {
