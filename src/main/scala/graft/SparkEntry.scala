@@ -93,11 +93,22 @@ object SparkEntry {
       val upToDate = marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
       if (!upToDate) {
+        // a version-stale fixture rebuilds from CLEAN: incremental
+        // builders (streaming ingests with checkpoints, refresh
+        // fixtures) would otherwise resume onto the old-version index
+        // left in the dir and fail the metadata version gate
+        deleteRecursively(new java.io.File(tableDir))
         build(tableDir)
         java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
       }
       if (source == "orc") s.index.orc(tableDir) else s.index.parquet(tableDir)
     }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
 
   /** Indexed multi-file copy of lineitem for sfDir; create-once. */
   private[graft] def indexedLineitem(s: SparkSession, dir: String): DataFrame =
@@ -485,6 +496,7 @@ object SparkEntry {
       val upToDate = marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == scratchVersion
       if (!upToDate) {
+        deleteRecursively(new java.io.File(tableDir)) // clean rebuild, like scratchTable
         build(tableDir)
         java.nio.file.Files.write(marker.toPath, scratchVersion.getBytes)
       }

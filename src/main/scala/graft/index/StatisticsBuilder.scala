@@ -640,13 +640,16 @@ case class SketchAgg(
           i += 1
         }
       // key-domain sketch: every key of the map joins the file's
-      // membership set (map_contains_key pruning; keys are never null)
+      // membership set (map_contains_key pruning). SQL map keys are
+      // never null, but foreign-written files (ORC permits it) can
+      // carry one — guard like the array branch rather than NPE/poison
+      // the sketch with an unboxed phantom key
       case org.apache.spark.sql.types.MapType(kt, _, _) =>
         val keys = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].keyArray()
         var i = 0
         val n = keys.numElements()
         while (i < n) {
-          buffer.put(Canon.fromCatalyst(kt, keys.get(i, kt)))
+          if (!keys.isNullAt(i)) buffer.put(Canon.fromCatalyst(kt, keys.get(i, kt)))
           i += 1
         }
       case dt => buffer.put(Canon.fromCatalyst(dt, v))

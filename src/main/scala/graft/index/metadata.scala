@@ -127,7 +127,12 @@ object IndexMetadata {
   // v3: per-file stats moved out of metadata.json into the `files`
   // parquet table (written by the stats job's executors); metadata.json
   // is an O(partitions) summary. Older indexes must be rebuilt.
-  val CurrentVersion = 3
+  // v4: collection-domain index fields (array ELEMENT / map KEY markers
+  // [[ArrayElementKey]]/[[MapKeyKey]]): their stats describe members,
+  // not rows. A pre-v4 binary would misread such a field as row-domain
+  // (e.g. run min() over the raw map column in the stats fallback), so
+  // the version gate must reject rather than misinterpret.
+  val CurrentVersion = 4
 
   /** Render a Catalyst-internal partition value as a string (via Cast to
     * string), parse back with [[castFromString]]. */

@@ -319,15 +319,21 @@ object Streaming {
       .repartition(sourceFiles, col(indexCols.head))
       .write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
+    // batch 0 CREATEs with overwrite (replacing any stale metastore
+    // entry left by a prior build — possibly an older metadata version
+    // that refresh() would reject); later batches take the incremental
+    // refresh. The start-clean above always deletes the checkpoint, so
+    // batch ids are fresh from 0 — an `exists` probe here would instead
+    // see the stale entry and mis-route the first batch to refresh()
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => {
+      (batch, batchId) => {
         batch.write.mode("append").parquet(tableDir)
-        if (spark.index.exists.parquet(tableDir)) {
-          spark.index.refresh.parquet(tableDir)
-          ()
-        } else {
+        if (batchId == 0L) {
           spark.index.create.mode("overwrite")
             .indexBy(indexCols: _*).parquet(tableDir)
+        } else {
+          spark.index.refresh.parquet(tableDir)
+          ()
         }
       }
     val q = spark.readStream.schema(schema)
@@ -527,13 +533,27 @@ object Streaming {
     var indexNonEmpty = graft.ops.Segments.live(spark, idxDir).nonEmpty
     val ingest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) => {
-        val vsIndex =
+        // fingerprint ONCE per batch — a distinct (doc_id, hash) frame
+        // shared by the index probe, the in-batch dedup and the segment
+        // append (the rolling-hash selection kernel used to run three
+        // times per batch). Dup sets are ID frames anti-joined against
+        // the FULL batch: a too-short doc has zero fingerprint rows but
+        // must still be kept (it can't match anything)
+        val fp = graft.text.TextFunctions.winnowFingerprintSet(
+          batch, col("doc_id"), col("text"), k, w)
+        val idxDups =
           if (indexNonEmpty)
-            graft.text.TextFunctions.dedupAgainstWinnowIndex(spark, batch,
-              col("doc_id"), col("text"), idxDir, k, w, minShared)
-          else batch
-        val kept = graft.text.TextFunctions.dedupWinnow(vsIndex,
-            col("doc_id"), col("text"), k, w, minShared)
+            Some(graft.text.TextFunctions.winnowIndexDupIdsFp(spark, fp,
+              idxDir, k, w, minShared).localCheckpoint(eager = false))
+          else None
+        val fpAfterIdx = idxDups.map(d =>
+          fp.join(d, fp("doc_id") === d("__dup_id"), "left_anti")).getOrElse(fp)
+        val batchDups = graft.text.TextFunctions
+          .winnowDupIdsFp(fpAfterIdx, minShared)
+          .localCheckpoint(eager = false)
+        val allDups = idxDups.map(_.union(batchDups)).getOrElse(batchDups)
+        val kept = batch.join(allDups,
+            batch("doc_id") === allDups("__dup_id"), "left_anti")
           .localCheckpoint() // one computation feeds the table AND the index
         // per-batch overwrite dir + committed segment, both keyed by
         // batchId: a re-delivered batch overwrites its own output
@@ -541,8 +561,10 @@ object Streaming {
         // the docstring (all-duplicates batches write nothing at all)
         if (kept.take(1).nonEmpty) {
           kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          graft.text.TextFunctions.appendWinnowSegment(kept,
-            col("doc_id"), col("text"), idxDir, s"b$batchId", k, w)
+          val keptFp = fpAfterIdx.join(batchDups,
+            fpAfterIdx("doc_id") === batchDups("__dup_id"), "left_anti")
+          graft.text.TextFunctions.appendWinnowSegmentFp(
+            keptFp, idxDir, s"b$batchId", k, w)
           indexNonEmpty = true
         }
       }

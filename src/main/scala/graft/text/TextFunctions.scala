@@ -535,6 +535,87 @@ object TextFunctions {
       .filter(col("shared") >= minShared)
   }
 
+  // ---- shared-fingerprint batch path (streaming ingest) ----------------
+  //
+  // A streaming winnow batch needs fingerprints THREE times — the index
+  // probe, the in-batch dedup, and the kept-segment append. The *Fp
+  // variants run the identical join arithmetic over a DISTINCT
+  // (doc_id, hash) frame computed once, so the rolling-hash selection
+  // kernel is paid once per batch instead of three times. Unlike the
+  // minhash Signed frame, a too-short document yields ZERO fingerprint
+  // rows — it can never match anything, so the Fp helpers return DUP-ID
+  // frames the caller anti-joins against the full batch (a survivor-rows
+  // design would silently drop fingerprint-less docs).
+
+  /** Fingerprint a batch once: DISTINCT (doc_id, hash) ONLY — the
+    * shareable frame (lazy localCheckpoint); position is not needed by
+    * any consumer and text deliberately does not ride the checkpoint. */
+  def winnowFingerprintSet(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int = 12, w: Int = 8): org.apache.spark.sql.DataFrame =
+    winnowFingerprints(df, id, text, k, w)
+      .select(col("doc_id"), col("hash")).distinct()
+      .localCheckpoint(eager = false)
+
+  /** [[dedupAgainstWinnowIndex]]'s probe over a pre-fingerprinted frame:
+    * the ids of fp's documents sharing >= `minShared` distinct selected
+    * fingerprints with any ONE indexed document, as (`__dup_id`). */
+  def winnowIndexDupIdsFp(
+      spark: org.apache.spark.sql.SparkSession,
+      fp: org.apache.spark.sql.DataFrame, dir: String,
+      k: Int = 12, w: Int = 8,
+      minShared: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    graft.ops.IndexSpec.check(fp, dir, s"winnow k=$k w=$w")
+    val corpus = graft.ops.Segments.readPart(spark, dir, "fps")
+      .select(col("hash"), col("doc_id").as("__corpus_id"))
+    fp.select(col("hash"), col("doc_id").as("__id"))
+      .join(corpus, Seq("hash"))
+      .groupBy(col("__id"), col("__corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__id").as("__dup_id")).distinct()
+  }
+
+  /** [[dedupWinnow]]'s in-batch drop set over a pre-fingerprinted frame:
+    * the LARGER id of every match pair (keep-smallest), as (`__dup_id`). */
+  def winnowDupIdsFp(
+      fp: org.apache.spark.sql.DataFrame,
+      minShared: Long = 2L,
+      maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf < 2 can never match: $maxDf")
+    val culled =
+      if (maxDf == Long.MaxValue) fp
+      else fp.join(
+        fp.groupBy(col("hash")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select(col("hash")),
+        Seq("hash"))
+    culled.select(col("hash"), col("doc_id").as("id_a"))
+      .join(culled.select(col("hash"), col("doc_id").as("id_b")), Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_b").as("__dup_id")).distinct()
+  }
+
+  /** [[appendWinnowSegment]] from pre-fingerprinted rows — no re-hash
+    * (the frame is already the distinct (hash, doc_id) the segment
+    * stores). */
+  def appendWinnowSegmentFp(
+      fp: org.apache.spark.sql.DataFrame,
+      dir: String, segmentId: String, k: Int = 12, w: Int = 8): Unit = {
+    val spec = s"winnow k=$k w=$w"
+    val spark = fp.sparkSession
+    val hadSpec = graft.ops.IndexSpec.checkReturningPresence(fp, dir, spec)
+    val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    fp.select(col("hash"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$segDir/fps")
+    graft.ops.Segments.commit(spark, segDir)
+    if (!hadSpec) graft.ops.IndexSpec.write(fp, dir, spec)
+  }
+
   /** Phrase-blocklist audit table: one row per document with at least one
     * blocklisted phrase, carrying WHICH phrases matched (phrase-list
     * order) — the safety-filter audit trail. One Aho–Corasick pass per
@@ -564,9 +645,8 @@ object TextFunctions {
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       k: Int = 12, w: Int = 8, minShared: Long = 2L,
       maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
-    val dupIds = winnowPairs(df, id, text, k, w, minShared, maxDf)
-      .select(col("id_b").as("__dup_id")).distinct()
-    df.join(dupIds, id === col("__dup_id"), "left_anti")
+    val fp = winnowFingerprintSet(df, id, text, k, w)
+    df.join(winnowDupIdsFp(fp, minShared, maxDf), id === col("__dup_id"), "left_anti")
   }
 
   // ---- materialized winnow index (ingest-time substring-match check) --

@@ -57,7 +57,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .repartitionByRange(8, col("k")).write.parquet(p)
     spark.index.create.mode("overwrite").indexBy("k").parquet(p)
     val fact = spark.index.parquet(p)
-    val dim = Seq(2L).toDF("dk")
+    // TWO keys: a one-element injected IN is lowered to EqualTo by
+    // OptimizeIn inside this very fixed point, which the probe-form
+    // assertion below could not see
+    val dim = Seq(2L, 3L).toDF("dk")
     val joined = fact.join(dim, col("k") === col("dk"))
     val probes = joined.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -66,7 +69,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case i: org.apache.spark.sql.catalyst.expressions.InSet => i
     })
     assert(probes.nonEmpty, "extension-path join probe must be injected")
-    assert(joined.count() == 1000L)
+    assert(joined.count() == 2000L)
+    // single-key dim: the injected IN lowers to EqualTo and later passes
+    // stand down (alreadyProbed) — the fixed point must converge with
+    // the correct result
+    val single = fact.join(Seq(2L).toDF("dk"), col("k") === col("dk"))
+    assert(single.count() == 1000L)
     // the empty-dim IN collapses INSIDE the operator batch here
     // (OptimizeIn + PruneFilters) — the fixed point must converge and
     // the result stay empty

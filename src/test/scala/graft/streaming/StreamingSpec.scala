@@ -220,6 +220,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ingested index should prune: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
   }
 
+  test("ingest restart over a stale metastore entry (table dir gone) recreates the index") {
+    import graft.index.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ingest-stale").toString
+    spark.conf.set(graft.index.IndexConf.MetastoreLocation, s"$work/metastore")
+    val tableDir = s"$work/events_table"
+    // first build leaves a live index entry in the metastore
+    Streaming.ingestIndexed(spark, dir, tableDir, indexCols = Seq("user_id"))
+    assert(spark.index.exists.parquet(tableDir))
+    // simulate the stale-restart state: the TABLE dir is gone (e.g. a
+    // fixture cleanup) while the metastore entry survives — possibly
+    // from an older metadata version. The re-ingest must CREATE over it
+    // on batch 0, not route to refresh() and trip the version gate
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+    val again = Streaming.ingestIndexed(spark, dir, tableDir, indexCols = Seq("user_id"))
+    assert(again.count() == batchEvents.count())
+    assert(spark.index.exists.parquet(tableDir))
+  }
+
   test("stateful sessionizer agrees with window-function sessionize") {
     val events = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
