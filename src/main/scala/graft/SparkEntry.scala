@@ -982,6 +982,22 @@ object SparkEntry {
         .orderBy($"l_orderkey")
     }),
 
+    // AUTOMATIC join pruning on a NESTED struct-leaf key: the stock join
+    // condition payload.user_id = c_custkey resolves by the chain's root
+    // attribute, the probe IN binds to the relation-level dotted path,
+    // and the nested fold cuts files — zero API, composing the r8 nested
+    // leaves with the r9 join rule.
+    "q_idx_join_auto_nested" -> ((s, dir) => {
+      import s.implicits._
+      val dim = tbl(s, dir, "customer").filter($"c_custkey" <= 3)
+        .select($"c_custkey")
+      indexedOrdersNested(s, dir)
+        .join(dim, $"payload.user_id" === $"c_custkey")
+        .select($"o_orderkey", $"payload.user_id".as("user_id"),
+          round($"payload.price", 2).as("price"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Key-domain pruning of map<primitive,_> columns: map_contains_key
     // pre-translates to key membership the index answers from key
     // min/max + dict/bloom per file; the answered VALUE (element_at)
@@ -7317,6 +7333,12 @@ object SparkEntry {
         |GROUP BY l_orderkey
         |HAVING sum(CASE WHEN l_suppkey IN (3, 7) THEN 1 ELSE 0 END) > 0
         |ORDER BY l_orderkey""".stripMargin,
+    "q_idx_join_auto_nested" ->
+      """SELECT o_orderkey, o_custkey AS user_id,
+        |  round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey <= 3)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_idx_map_contains" ->
       """SELECT l_orderkey,
         |  CAST(sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_supp3

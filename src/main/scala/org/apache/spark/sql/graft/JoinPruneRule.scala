@@ -58,7 +58,10 @@ import graft.index.IndexConf
   *   - the fact-side key must resolve through attribute-only (or
   *     alias-of-attribute) Projects and pass-through Filters to an output
   *     attribute of a [[GraftFileIndex]]-backed relation, by exprId, and
-  *     be present in the index schema.
+  *     be present in the index schema. A struct-LEAF key
+  *     (`fact("payload.user_id")`) resolves by its root attribute and
+  *     joins the index schema on the relation-level dotted path — the
+  *     same dot-string the nested fold prunes by.
   *
   * Idempotency under the optimizer's fixed point is structural, not
   * memoized: a re-entry sees an `IN`/`InSet`/`InBloom` conjunct on the
@@ -110,18 +113,29 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** One orientation of one join: every eligible equi-conjunct whose
     * fact-side key lands on an indexed relation probes the dim and
     * injects independently (a composite-key join gets one probe per key
-    * — each is sound alone, and their conjunction only cuts more). */
+    * — each is sound alone, and their conjunction only cuts more). The
+    * fact-side key may be a bare attribute OR a struct-leaf chain
+    * (`fact("payload.user_id") === dim("uid")`) — the index prunes
+    * nested leaves by dot-string, so the injected IN composes the same
+    * way. */
   private def rewrite(j: Join, conf: IndexConf, factOnLeft: Boolean): Option[Join] = {
     val (factPlan, dimPlan) = if (factOnLeft) (j.left, j.right) else (j.right, j.left)
     val conjuncts = splitConjunctivePredicates(j.condition.get)
+    // orient each pair: fact key (attribute or struct chain rooted in the
+    // fact side), dim key (bare attribute of the dim side)
+    def factKey(e: Expression): Option[Expression] =
+      MetadataAggregates.dottedPath(e) match {
+        case Some((root, _)) if factPlan.outputSet.contains(root) => Some(e)
+        case _ => None
+      }
+    def dimAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if dimPlan.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
     val pairs = conjuncts.flatMap {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        // orient the pair: fact key ∈ fact side, dim key ∈ dim side
-        if (factPlan.outputSet.contains(a) && dimPlan.outputSet.contains(b)) {
-          Some((a, b))
-        } else if (factPlan.outputSet.contains(b) && dimPlan.outputSet.contains(a)) {
-          Some((b, a))
-        } else None
+      case EqualTo(a, b) =>
+        factKey(a).flatMap(f => dimAttr(b).map((f, _)))
+          .orElse(factKey(b).flatMap(f => dimAttr(a).map((f, _))))
       case _ => None
     }
     var cur = factPlan
@@ -138,16 +152,24 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def tryInject(
       factPlan: LogicalPlan,
       dimPlan: LogicalPlan,
-      factKey: AttributeReference,
+      factKey: Expression,
       dimKey: AttributeReference,
       conf: IndexConf): Option[LogicalPlan] = {
-    // fact side: resolve the key to the indexed relation's own attribute
-    val (lr, gfi, relAttr) = resolveIndexed(factPlan, factKey.exprId).getOrElse(return None)
-    if (!gfi.meta.indexSchema.fieldNames.exists(_.equalsIgnoreCase(relAttr.name))) return None
+    // fact side: resolve the key's ROOT attribute to the indexed
+    // relation's own attribute (a nested chain rides that root — the
+    // pass-through Project walk preserves its struct type, so the chain
+    // rebuilt over the relation attribute extracts the same leaf)
+    val (rootAttr, fullPath) = MetadataAggregates.dottedPath(factKey).getOrElse(return None)
+    val restPath = fullPath.split('.').drop(1).toSeq
+    val (lr, gfi, relAttr) = resolveIndexed(factPlan, rootAttr.exprId).getOrElse(return None)
+    // the index field joins on the RELATION-level dotted path (alias
+    // renames between the join and the relation change the root name)
+    val relPath = (relAttr.name +: restPath).mkString(".")
+    if (!gfi.meta.indexSchema.fieldNames.exists(_.equalsIgnoreCase(relPath))) return None
     // structural idempotency: an IN/InSet/InBloom conjunct on this key
     // anywhere on the fact side means the probe already happened (ours or
     // the user's own equivalent cut)
-    if (alreadyProbed(factPlan, relAttr.exprId, factKey.exprId)) return None
+    if (alreadyProbed(factPlan, relAttr.exprId, rootAttr.exprId, restPath)) return None
     // dim side: safe and worthwhile to evaluate at optimize time
     if (dimPlan.isStreaming) return None
     // nondeterministic dims could yield probe keys that miss join-time
@@ -170,7 +192,7 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }) return None
     if (!selective(dimPlan, conf.joinPruneMaxDimBytes)) return None
-    val dt = relAttr.dataType
+    val dt = factKey.dataType
     if (!inEligible(dt)) return None
 
     val negKey = memoKey(dimPlan, dimKey, conf)
@@ -181,7 +203,13 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       trimMemo()
       return None
     }
-    val bound = pred.transform { case a: AttributeReference => relAttr }
+    // rebind the probe's placeholder to the key AS THE RELATION SEES IT:
+    // the relation attribute itself, or the struct chain rebuilt over it.
+    // transformUp, NOT transformDown: the replacement chain CONTAINS an
+    // AttributeReference, which a top-down rewrite would re-match inside
+    // its own replacement forever
+    val relKey = factKey.transformUp { case _: AttributeReference => relAttr }
+    val bound = pred.transformUp { case _: AttributeReference => relKey }
     logInfo(s"graft join prune: injected $bound above ${gfi.rootPaths.headOption.getOrElse("")}")
     // transformUp: a transformDown would recurse into the replacement's
     // children and re-match the same relation forever
@@ -286,13 +314,17 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
   /** Any IN/InSet/InBloom conjunct on the key between the join and the
-    * relation = the probe already happened (either exprId: the key as the
-    * join sees it, or as the relation outputs it). */
-  private def alreadyProbed(p: LogicalPlan, relId: ExprId, topId: ExprId): Boolean = {
-    def onKey(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.exprId == relId || a.exprId == topId
-      case _ => false
-    }
+    * relation = the probe already happened (either exprId: the key's
+    * root as the join sees it, or as the relation outputs it; nested
+    * keys additionally match on the struct-leaf path). */
+  private def alreadyProbed(
+      p: LogicalPlan, relId: ExprId, topId: ExprId,
+      restPath: Seq[String]): Boolean = {
+    def onKey(e: Expression): Boolean =
+      MetadataAggregates.dottedPath(e).exists { case (root, path) =>
+        (root.exprId == relId || root.exprId == topId) &&
+          path.split('.').drop(1).toSeq == restPath
+      }
     p.exists {
       case f: Filter => splitConjunctivePredicates(f.condition).exists {
         case In(v, _) => onKey(v)

@@ -271,6 +271,38 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fo.count() == 64000L + 1L)
   }
 
+  test("nested struct-leaf join key probes and cuts files by the dotted path") {
+    import spark.implicits._
+    // nested fact: payload.uid clusters per file like k does
+    val p = s"$work/fact_nested"
+    (0 until 64000).toDF("i")
+      .select(struct(($"i" / 1000).cast("long").as("uid"),
+        concat(lit("s"), $"i").as("tag")).as("payload"),
+        ($"i" % 997).cast("long").as("v"))
+      .repartitionByRange(16, $"payload.uid")
+      .sortWithinPartitions($"payload.uid")
+      .write.parquet(p)
+    spark.index.create.mode("overwrite").indexBy("payload.uid").parquet(p)
+    val nested = spark.index.parquet(p)
+    val joined = nested.join(dim.filter($"dk" >= 3 && $"dk" <= 4),
+      $"payload.uid" === $"dk")
+    val probes = probeConjuncts(joined)
+    assert(probes.exists(_.startsWith("in")),
+      s"nested key must probe, got $probes")
+    joined.collect()
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+      .getOrElse(fail("no indexed scan"))
+    val fi = scan.relation.location.asInstanceOf[org.apache.spark.sql.graft.GraftFileIndex]
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"nested IN must cut files: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+    // bit-for-bit vs the un-pruned join
+    val expected = spark.read.parquet(p).join(dim.filter($"dk" >= 3 && $"dk" <= 4),
+      $"payload.uid" === $"dk")
+    assert(joined.select($"payload.uid", $"v", $"dk").orderBy($"v", $"dk").collect().toSeq ==
+      expected.select($"payload.uid", $"v", $"dk").orderBy($"v", $"dk").collect().toSeq)
+  }
+
   test("row-set-nondeterministic dims (limit / sample) are never probed") {
     import spark.implicits._
     // every expression inside is deterministic, but limit-over-a-scan can
