@@ -122,10 +122,13 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val (factPlan, dimPlan) = if (factOnLeft) (j.left, j.right) else (j.right, j.left)
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     // orient each pair: fact key (attribute or struct chain rooted in the
-    // fact side), dim key (bare attribute of the dim side)
-    def factKey(e: Expression): Option[Expression] =
-      MetadataAggregates.dottedPath(e) match {
-        case Some((root, _)) if factPlan.outputSet.contains(root) => Some(e)
+    // fact side), dim key (bare attribute of the dim side). Segments are
+    // decomposed STRUCTURALLY (never by splitting a dotted string — an
+    // attribute NAME may itself contain a literal dot)
+    def factKey(e: Expression): Option[(Expression, AttributeReference, Seq[String])] =
+      keySegments(e) match {
+        case Some((root, segs)) if factPlan.outputSet.contains(root) =>
+          Some((e, root, segs))
         case _ => None
       }
     def dimAttr(e: Expression): Option[AttributeReference] = e match {
@@ -140,8 +143,8 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     var cur = factPlan
     var changed = false
-    pairs.foreach { case (factKey, dimKey) =>
-      tryInject(cur, dimPlan, factKey, dimKey, conf).foreach { nf =>
+    pairs.foreach { case ((factKey, rootAttr, restPath), dimKey) =>
+      tryInject(cur, dimPlan, factKey, rootAttr, restPath, dimKey, conf).foreach { nf =>
         cur = nf; changed = true
       }
     }
@@ -153,14 +156,14 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       factPlan: LogicalPlan,
       dimPlan: LogicalPlan,
       factKey: Expression,
+      rootAttr: AttributeReference,
+      restPath: Seq[String],
       dimKey: AttributeReference,
       conf: IndexConf): Option[LogicalPlan] = {
     // fact side: resolve the key's ROOT attribute to the indexed
     // relation's own attribute (a nested chain rides that root — the
     // pass-through Project walk preserves its struct type, so the chain
     // rebuilt over the relation attribute extracts the same leaf)
-    val (rootAttr, fullPath) = MetadataAggregates.dottedPath(factKey).getOrElse(return None)
-    val restPath = fullPath.split('.').drop(1).toSeq
     val (lr, gfi, relAttr) = resolveIndexed(factPlan, rootAttr.exprId).getOrElse(return None)
     // the index field joins on the RELATION-level dotted path (alias
     // renames between the join and the relation change the root name)
@@ -321,9 +324,13 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       p: LogicalPlan, relId: ExprId, topId: ExprId,
       restPath: Seq[String]): Boolean = {
     def onKey(e: Expression): Boolean =
-      MetadataAggregates.dottedPath(e).exists { case (root, path) =>
+      keySegments(e).exists { case (root, segs) =>
         (root.exprId == relId || root.exprId == topId) &&
-          path.split('.').drop(1).toSeq == restPath
+          segs.length == restPath.length &&
+          // case-insensitive like every path match in the engine: the
+          // user's own filter may spell the leaf in different case than
+          // the join condition under default resolution
+          segs.zip(restPath).forall { case (a, b) => a.equalsIgnoreCase(b) }
       }
     p.exists {
       case f: Filter => splitConjunctivePredicates(f.condition).exists {
@@ -382,6 +389,17 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     case ByteType | ShortType | IntegerType | LongType | StringType => true
     case _ => false
   }
+
+  /** Decompose an attribute-or-struct-leaf key into (root attribute,
+    * leaf segments) — structurally, so attribute names containing
+    * literal dots never corrupt the path. Nil segments = a bare key. */
+  private def keySegments(e: Expression): Option[(AttributeReference, Seq[String])] =
+    e match {
+      case a: AttributeReference => Some((a, Nil))
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        keySegments(g.child).map { case (a, segs) => (a, segs :+ g.extractFieldName) }
+      case _ => None
+    }
 
   /** Digest memo key: a fixed-size string, never the canonicalized plan
     * object itself — a plan key would pin the dim's whole object graph
