@@ -286,6 +286,43 @@ object SparkEntry {
         .parquet(tableDir)
     }
 
+  /** Per-order item ARRAYS OF STRUCTS (collect_list of (supp, qty) over
+    * lineitem), indexed on the STRUCT LEAF `items.supp` through the
+    * repeated level — the `exists(items, x -> x.supp = v)` pruning
+    * fixture (leaf element min/max + dict/bloom per file); create-once. */
+  private[graft] def indexedOrderItems(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "order_items") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_suppkey").as("supp"),
+          col("l_quantity").as("qty"))).as("items"),
+          count(lit(1)).as("n_items"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite").indexBy("items.supp", "l_orderkey")
+        .parquet(tableDir)
+    }
+
+  /** Per-order attribute MAPS with file-UNIFORM keys and order-correlated
+    * values (okey → l_orderkey), range-laid-out so only the VALUE domain
+    * (`m#value` field) can cut files for `m['okey'] = v` — the map
+    * value-domain pruning fixture; create-once. */
+  private[graft] def indexedOrderValMap(s: SparkSession, dir: String): DataFrame =
+    scratchTable(s, dir, "order_valmap") { tableDir =>
+      import graft.index.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .select(col("l_orderkey"), col("n_items"),
+          map_from_arrays(array(lit("okey"), lit("cnt")),
+            array(col("l_orderkey"), col("n_items"))).as("attrs"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tableDir)
+      s.index.create.mode("overwrite").indexBy("attrs")
+        .parquet(tableDir)
+    }
+
   /** Indexed part copy with exact DICT sketches on the low-cardinality
     * string columns, laid out so p_type values cluster per file — the
     * fixture for substring (Contains/EndsWith) pruning, which only an
@@ -1007,6 +1044,31 @@ object SparkEntry {
       indexedOrderSuppMap(s, dir)
         .filter(map_contains_key($"suppmap", 3L))
         .select($"l_orderkey", element_at($"suppmap", 3L).as("n_supp3"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // STRUCT-LEAF element pruning through ONE repeated level (the most
+    // common real nested shape: array<struct<...>>): indexing items.supp
+    // records element-domain stats over the leaf, and exists(items,
+    // x -> x.supp = 3) prunes files by leaf membership; the oracle
+    // replays containment as a HAVING over the base lineitem rows.
+    "q_idx_array_struct" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrderItems(s, dir)
+        .filter(exists($"items", x => x.getField("supp") === 3L))
+        .select($"l_orderkey", $"n_items")
+        .orderBy($"l_orderkey")
+    }),
+
+    // MAP VALUE-domain pruning: every file's maps carry the SAME keys
+    // (key membership can't cut), but values are range-clustered, so
+    // m['okey'] = 1 cuts files by VALUE membership intersected with the
+    // key verdict; the oracle replays the map lookup on base rows.
+    "q_idx_map_value" -> ((s, dir) => {
+      import s.implicits._
+      indexedOrderValMap(s, dir)
+        .filter($"attrs".getItem("okey") === 1L)
+        .select($"l_orderkey", $"n_items")
         .orderBy($"l_orderkey")
     }),
 
@@ -7332,6 +7394,16 @@ object SparkEntry {
       """SELECT l_orderkey, count(*) AS n_items FROM lineitem
         |GROUP BY l_orderkey
         |HAVING sum(CASE WHEN l_suppkey IN (3, 7) THEN 1 ELSE 0 END) > 0
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_idx_array_struct" ->
+      """SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) > 0
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_idx_map_value" ->
+      """SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING l_orderkey = 1
         |ORDER BY l_orderkey""".stripMargin,
     "q_idx_join_auto_nested" ->
       """SELECT o_orderkey, o_custkey AS user_id,

@@ -121,7 +121,9 @@ object IndexedDataSource {
       }
 
       metastore.writeMetadata(indexDir, IndexMetadata(
-        version = IndexMetadata.CurrentVersion,
+        // the LOWEST version describing this schema, so indexes without
+        // new-domain fields stay readable by older binaries
+        version = IndexMetadata.versionFor(indexSchema),
         tablePath = tablePath.toString,
         dataSchema = dataSchema,
         indexSchema = indexSchema,
@@ -162,48 +164,83 @@ object IndexedDataSource {
       require(columns.nonEmpty, "no columns given to indexBy")
       val dups = columns.groupBy(_.toLowerCase).filter(_._2.size > 1).keys
       require(dups.isEmpty, s"duplicate index columns: ${dups.mkString(", ")}")
-      val fields = columns.map { c =>
+      val fields = columns.flatMap { c =>
         require(!partitionCols.contains(c.toLowerCase),
           s"cannot index partition column $c (reference ParquetMetastoreSupport.scala:111-117)")
-        val f = resolveLeaf(dataSchema, c).getOrElse(
+        require(!c.endsWith(IndexMetadata.MapValueSuffix),
+          s"column name $c collides with the reserved map value-domain " +
+            s"suffix '${IndexMetadata.MapValueSuffix}'")
+        val (f, arrayPrefix) = resolveLeaf(dataSchema, c).getOrElse(
           throw new IllegalArgumentException(
             s"column $c not found in table schema ${dataSchema.simpleString} " +
-              "(nested paths resolve through structs only, not arrays/maps)"))
-        f.dataType match {
+              "(nested paths resolve through structs, plus at most ONE " +
+              "array-of-struct level; never through maps)"))
+        (f.dataType, arrayPrefix) match {
+          // leaf under ONE array-of-struct level (events.type over
+          // events: array<struct<type,...>>): an ELEMENT domain over the
+          // leaf values of every element — exists(col, x -> x.f = v) and
+          // array_contains(col.f, v) prune by element membership; the
+          // prefix records where the repeated level splits the physical
+          // leaf path
+          case (dt, Some(prefix)) =>
+            require(Canon.isSupported(dt),
+              s"column $c is an array-of-struct leaf of unsupported type " +
+                s"${dt.simpleString}; supported leaves: int, bigint, string, " +
+                "date, timestamp, timestamp_ntz, double, float, decimal(p<=18)")
+            Seq(StructField(f.name, dt, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putBoolean(IndexMetadata.ArrayElementKey, true)
+                .putString(IndexMetadata.ArrayPrefixKey, prefix).build()))
           // array<primitive>: the index field carries the ELEMENT type +
           // a marker — element min/max + dict/bloom answer
           // array_contains(col, v) membership soundly (a file with no
           // element == v has no containing row); row-domain consumers
           // (metadata aggregates, top-k, null reasoning) skip the field
-          case org.apache.spark.sql.types.ArrayType(et, _) =>
+          case (org.apache.spark.sql.types.ArrayType(et, _), None) =>
             require(Canon.isSupported(et),
               s"column $c is an array of unsupported element type " +
                 s"${et.simpleString}; supported elements: int, bigint, string, " +
                 "date, timestamp, timestamp_ntz, double, float, decimal(p<=18)")
-            StructField(f.name, et, f.nullable,
+            Seq(StructField(f.name, et, f.nullable,
               new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
-                .putBoolean(IndexMetadata.ArrayElementKey, true).build())
+                .putBoolean(IndexMetadata.ArrayElementKey, true).build()))
           // map<primitive, _>: the index field carries the KEY type + a
           // marker — key min/max + dict/bloom answer map_contains_key
           // (col, k) / col[k] = lit membership soundly (a file with no
           // entry keyed k has no matching row); same row-domain
-          // exclusions as array elements
-          case org.apache.spark.sql.types.MapType(kt, _, _) =>
+          // exclusions as array elements. A supported VALUE type adds a
+          // second, `#value`-suffixed field over the entry values, so
+          // m[k] = v also prunes by value membership of v.
+          case (org.apache.spark.sql.types.MapType(kt, vt, _), None) =>
             require(Canon.isSupported(kt),
               s"column $c is a map with unsupported key type " +
                 s"${kt.simpleString}; supported keys: int, bigint, string, " +
                 "date, timestamp, timestamp_ntz, double, float, decimal(p<=18)")
-            StructField(f.name, kt, f.nullable,
+            val keyField = StructField(f.name, kt, f.nullable,
               new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
                 .putBoolean(IndexMetadata.MapKeyKey, true).build())
-          case dt =>
+            val valueField =
+              if (!Canon.isSupported(vt)) Nil
+              else {
+                val vName = IndexMetadata.mapValueFieldName(f.name)
+                require(resolveLeaf(dataSchema, vName).isEmpty,
+                  s"table column $vName collides with the generated map " +
+                    s"value-domain field for $c")
+                Seq(StructField(vName, vt, nullable = true,
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .putBoolean(IndexMetadata.MapValueKey, true).build()))
+              }
+            keyField +: valueField
+          case (dt, None) =>
             require(Canon.isSupported(dt),
               s"column $c has unsupported type ${dt.simpleString}; " +
                 "supported: int, bigint, string, date, timestamp, timestamp_ntz, " +
-                "double, float, decimal(p<=18), array<primitive>, map<primitive, _>")
-            f
+                "double, float, decimal(p<=18), array<primitive>, map<primitive, _>, " +
+                "and struct leaves under at most one array level")
+            Seq(f)
         }
       }
       StructType(fields)
@@ -211,13 +248,20 @@ object IndexedDataSource {
   }
 
   /** Resolve a (possibly dotted) column path to its leaf field — struct
-    * hops only, case-insensitive per segment; the returned field carries
-    * the FULL dotted path in the table's own casing as its name. */
-  private def resolveLeaf(schema: StructType, path: String): Option[StructField] = {
+    * hops plus at most ONE hop through an array-of-structs (the repeated
+    * level `array<struct<...>>`, the most common real nested shape),
+    * case-insensitive per segment; the returned field carries the FULL
+    * dotted path in the table's own casing as its name, and the second
+    * element is the dotted path of the crossed ARRAY column when the
+    * leaf sits inside one (its stats then describe array ELEMENTS, not
+    * rows). Paths through maps or a second array level return None. */
+  private def resolveLeaf(
+      schema: StructType, path: String): Option[(StructField, Option[String])] = {
     val segs = path.split('.')
     var cur: org.apache.spark.sql.types.DataType = schema
     val actual = scala.collection.mutable.ArrayBuffer.empty[String]
     var leaf: Option[StructField] = None
+    var arrayPrefix: Option[String] = None
     for ((seg, i) <- segs.zipWithIndex) {
       cur match {
         case st: StructType =>
@@ -225,13 +269,24 @@ object IndexedDataSource {
             case Some(f) =>
               actual += f.name
               cur = f.dataType
+              // descend INTO an array-of-structs exactly once: the path
+              // continues into the element struct; remember where the
+              // repeated level sits
+              cur match {
+                case org.apache.spark.sql.types.ArrayType(et: StructType, _)
+                    if i < segs.length - 1 && arrayPrefix.isEmpty =>
+                  arrayPrefix = Some(actual.mkString("."))
+                  cur = et
+                case _ =>
+              }
               if (i == segs.length - 1) leaf = Some(f)
             case None => return None
           }
         case _ => return None // path hops through a non-struct
       }
     }
-    leaf.map(f => StructField(actual.mkString("."), f.dataType, f.nullable, f.metadata))
+    leaf.map(f =>
+      (StructField(actual.mkString("."), f.dataType, f.nullable, f.metadata), arrayPrefix))
   }
 
   /** Outcome of [[refreshIndex]]: how many data files were (re-)indexed

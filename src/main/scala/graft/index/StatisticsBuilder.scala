@@ -63,6 +63,27 @@ object StatisticsBuilder {
     def rowCount: Long = blocks.map(_.rowCount).sum
   }
 
+  /** One indexed field as shipped to the footer-reading executors:
+    * `(name, dataTypeJson, dom, base, rest)` where dom is
+    * [[IndexMetadata.domainOf]]'s code, `base` the dotted path of the
+    * COLLECTION column for member domains (= name for plain
+    * element/key domains; the array prefix for struct leaves; the map
+    * column for value domains) and `rest` the leaf path INSIDE the
+    * element struct ("" except for array-of-struct leaves). */
+  private[index] def domainSpec(f: StructField): (String, String, Int, String, String) = {
+    val dom = IndexMetadata.domainOf(f)
+    val (base, rest) = dom match {
+      case 1 =>
+        IndexMetadata.arrayPrefixOf(f) match {
+          case Some(prefix) => (prefix, f.name.drop(prefix.length + 1))
+          case None => (f.name, "")
+        }
+      case 3 => (IndexMetadata.mapValueBase(f.name), "")
+      case _ => (f.name, "")
+    }
+    (f.name, f.dataType.json, dom, base, rest)
+  }
+
   /** Driver-side summary of the footer job (everything metadata.json
     * needs; per-file rows live only in the written files table). */
   case class FileStatsSummary(
@@ -89,8 +110,7 @@ object StatisticsBuilder {
     val src = Sources.normalize(source)
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-    val fields = indexSchema.fields.map(f =>
-      (f.name, f.dataType.json, IndexMetadata.domainOf(f)))
+    val fields = indexSchema.fields.map(domainSpec)
     val slices = math.max(1, math.min(numPartitions, refs.size))
     val perSlice = (refs.size + slices - 1) / slices
     val grouped: Seq[(Seq[(Int, FileRef)], Seq[String])] =
@@ -103,7 +123,8 @@ object StatisticsBuilder {
     val rows = spark.sparkContext
       .makeRDD(grouped)
       .flatMap { group =>
-        val types = fields.map { case (n, dj, dom) => (n, DataType.fromJson(dj), dom) }
+        val types = fields.map { case (n, dj, dom, base, rest) =>
+          (n, DataType.fromJson(dj), dom, base, rest) }
         group.iterator.map { case (partitionIdx, ref) =>
           val footer =
             if (src == Sources.Orc) readOrcBlocks(ref.path, types, confBc.value.value)
@@ -149,7 +170,7 @@ object StatisticsBuilder {
   /** Executor-side: one footer read → schema + BlockStats per row group. */
   private def readFooterBlocks(
       path: String,
-      indexed: Array[(String, DataType, Int)],
+      indexed: Array[(String, DataType, Int, String, String)],
       conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
@@ -185,21 +206,30 @@ object StatisticsBuilder {
           .toMap
         lazy val byNameAll = block.getColumns.asScala
           .map(c => c.getPath.toDotString -> c).toMap
-        val cols = indexed.flatMap { case (name, dt, dom) =>
+        val cols = indexed.flatMap { case (name, dt, dom, base, rest) =>
           val chunk = dom match {
             case 0 => byName.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
             case 1 =>
-              // list-encoding leaf paths: modern 3-level, legacy 2-level
+              // list-encoding leaf paths: modern 3-level, legacy 2-level;
+              // a struct-leaf element appends its path INSIDE the element
+              // (base.list.element.rest)
+              val tail = if (rest.isEmpty) "" else "." + rest
               val suffixes = Seq(".list.element", ".list.item", ".array",
                 ".bag.array", ".bag.array_element")
               byNameAll.collectFirst {
-                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(name + s)) => c
+                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(base + s + tail)) => c
               }
-            case _ =>
+            case 2 =>
               // map-encoding KEY leaf paths: modern 3-level, legacy MAP_KEY_VALUE
               val suffixes = Seq(".key_value.key", ".map.key")
               byNameAll.collectFirst {
-                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(name + s)) => c
+                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(base + s)) => c
+              }
+            case _ =>
+              // map-encoding VALUE leaf paths
+              val suffixes = Seq(".key_value.value", ".map.value")
+              byNameAll.collectFirst {
+                case (n, c) if suffixes.exists(s => n.equalsIgnoreCase(base + s)) => c
               }
           }
           chunk.map { c =>
@@ -309,7 +339,7 @@ object StatisticsBuilder {
     * (root = 0, top-level fields follow in order). */
   private def readOrcBlocks(
       path: String,
-      indexed: Array[(String, DataType, Int)],
+      indexed: Array[(String, DataType, Int, String, String)],
       conf: org.apache.hadoop.conf.Configuration): FileFooter = {
     val reader = org.apache.orc.OrcFile.createReader(
       new Path(path), org.apache.orc.OrcFile.readerOptions(conf))
@@ -341,8 +371,9 @@ object StatisticsBuilder {
             here ++ walkElemIds(path, child)
         }
       val elemIdOf: Map[String, Int] = walkElemIds("", td).toMap
-      // MAP columns: the KEY child's stats (key-domain fields)
-      def walkKeyIds(prefix: String,
+      // MAP columns: the KEY child's stats (key-domain fields) and the
+      // VALUE child's (value-domain fields)
+      def walkMapChildIds(prefix: String, childIdx: Int,
           t: org.apache.orc.TypeDescription): Seq[(String, Int)] =
         if (t.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) Nil
         else t.getFieldNames.asScala.toSeq.zip(t.getChildren.asScala).flatMap {
@@ -350,11 +381,39 @@ object StatisticsBuilder {
             val path = if (prefix.isEmpty) n else s"$prefix.$n"
             val here =
               if (child.getCategory == org.apache.orc.TypeDescription.Category.MAP)
-                Seq(path.toLowerCase -> child.getChildren.get(0).getId)
+                Seq(path.toLowerCase -> child.getChildren.get(childIdx).getId)
               else Nil
-            here ++ walkKeyIds(path, child)
+            here ++ walkMapChildIds(path, childIdx, child)
         }
-      val keyIdOf: Map[String, Int] = walkKeyIds("", td).toMap
+      val keyIdOf: Map[String, Int] = walkMapChildIds("", 0, td).toMap
+      val valueIdOf: Map[String, Int] = walkMapChildIds("", 1, td).toMap
+      // struct leaves INSIDE a LIST element: descend from the LIST child
+      // through struct fields along `rest`
+      def descendStruct(t: org.apache.orc.TypeDescription, rest: String): Option[Int] =
+        rest.split('.').foldLeft(Option(t)) { (cur, seg) =>
+          cur.flatMap { c =>
+            if (c.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) None
+            else c.getFieldNames.asScala.zip(c.getChildren.asScala)
+              .collectFirst { case (n, ch) if n.equalsIgnoreCase(seg) => ch }
+          }
+        }.map(_.getId)
+      def listElemType(base: String): Option[org.apache.orc.TypeDescription] = {
+        // re-walk to the LIST node itself to hand its child to descendStruct
+        def walk(prefix: String, t: org.apache.orc.TypeDescription):
+            Option[org.apache.orc.TypeDescription] =
+          if (t.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) None
+          else t.getFieldNames.asScala.toSeq.zip(t.getChildren.asScala).flatMap {
+            case (n, child) =>
+              val path = if (prefix.isEmpty) n else s"$prefix.$n"
+              val here =
+                if (path.equalsIgnoreCase(base) &&
+                    child.getCategory == org.apache.orc.TypeDescription.Category.LIST)
+                  Seq(child.getChildren.get(0))
+                else Nil
+              here ++ walk(path, child).toSeq
+          }.headOption
+        walk("", td)
+      }
       val stripes = reader.getStripes.asScala.toSeq
       val stripeStats = reader.getStripeStatistics.asScala.toSeq
       // A writer that omitted the stripe-statistics section must NOT make
@@ -364,11 +423,13 @@ object StatisticsBuilder {
         if (stripeStats.size == stripes.size) {
           stripes.zip(stripeStats).map { case (si, ss) =>
             val colStats = ss.getColumnStatistics
-            val cols = indexed.flatMap { case (name, dt, dom) =>
+            val cols = indexed.flatMap { case (name, dt, dom, base, rest) =>
               val cid = dom match {
                 case 0 => idOf.get(name.toLowerCase)
-                case 1 => elemIdOf.get(name.toLowerCase)
-                case _ => keyIdOf.get(name.toLowerCase)
+                case 1 if rest.isEmpty => elemIdOf.get(base.toLowerCase)
+                case 1 => listElemType(base).flatMap(descendStruct(_, rest))
+                case 2 => keyIdOf.get(base.toLowerCase)
+                case _ => valueIdOf.get(base.toLowerCase)
               }
               cid.map { id =>
                 val cs = orcStats(colStats(id), si.getNumberOfRows, dt)
@@ -381,7 +442,7 @@ object StatisticsBuilder {
         } else {
           // explicit all-unknown entries (not an empty map) so the
           // full-scan min/max fallback recognizes and patches them
-          val unknown = indexed.map { case (n, _, _) => n -> ColumnStats(None, None, None) }.toMap
+          val unknown = indexed.map { case (n, _, _, _, _) => n -> ColumnStats(None, None, None) }.toMap
           stripes.map(si => BlockStats(si.getNumberOfRows, unknown))
         }
       FileFooter(schema.json, blocks)
@@ -573,13 +634,26 @@ object StatisticsBuilder {
     // refresh over a homogeneous delta) must still aggregate — as all-null,
     // yielding an empty sketch (sound: the files really contain no values).
     val df = indexSchema.fields.foldLeft(read) { (d, f) =>
-      if (hasColumn(d, f.name)) d
+      if (IndexMetadata.isMapValue(f) || hasColumn(d, f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
     val aggs = indexSchema.fields.map { f =>
       val kind = Sketch.resolveKind(confKind, f.dataType)
+      // map VALUE domains sketch map_values(mapCol) — there is no data
+      // column named `m#value`; a batch missing the map column entirely
+      // aggregates an all-null array (empty sketch, sound)
+      val input: org.apache.spark.sql.Column =
+        if (!IndexMetadata.isMapValue(f)) col(f.name)
+        else {
+          // presence checked against the ORIGINAL read: the fold above may
+          // have stubbed the missing map column as a null KEY-typed scalar
+          // (for the sibling key-domain field), which map_values can't take
+          val base = IndexMetadata.mapValueBase(f.name)
+          if (hasColumn(read, base)) map_values(col(base))
+          else lit(null).cast(ArrayType(f.dataType))
+        }
       SparkInternals.wrap(
-        SketchAgg(SparkInternals.unwrap(col(f.name)), kind, expectedItems)
+        SketchAgg(SparkInternals.unwrap(input), kind, expectedItems)
           .toAggregateExpression()).as(f.name)
     }
     // Key rows by the NORMALIZED path (same normalization the read side

@@ -109,18 +109,60 @@ object IndexMetadata {
   def isMapKey(f: StructField): Boolean =
     f.metadata.contains(MapKeyKey) && f.metadata.getBoolean(MapKeyKey)
 
+  /** StructField-metadata key for ELEMENT-DOMAIN fields whose leaf sits
+    * INSIDE an array of structs (`events.type` over
+    * `events: array<struct<type,...>>`): the value is the dotted path of
+    * the ARRAY column itself (`events`), so the stats builder knows
+    * where the repeated level splits the physical leaf path
+    * (`events.list.element.type` in parquet; LIST child struct in ORC).
+    * Always set together with [[ArrayElementKey]] — the fold treats the
+    * field as an ordinary element domain. */
+  val ArrayPrefixKey = "graft.arrayPrefix"
+
+  def arrayPrefixOf(f: StructField): Option[String] =
+    if (f.metadata.contains(ArrayPrefixKey)) Some(f.metadata.getString(ArrayPrefixKey))
+    else None
+
+  /** StructField-metadata marker for VALUE-DOMAIN index fields of
+    * `map<primitive, primitive>` columns: the index field is NAMED
+    * `<mapCol>#value` ([[mapValueFieldName]]), carries the VALUE type,
+    * and its stats/sketches describe entry VALUES — `m[k] = v` prunes by
+    * value membership of v (the matching entry (k, v) has value v) IN
+    * ADDITION to key membership of k; same row-domain exclusions as
+    * [[ArrayElementKey]]. */
+  val MapValueKey = "graft.mapValue"
+
+  def isMapValue(f: StructField): Boolean =
+    f.metadata.contains(MapValueKey) && f.metadata.getBoolean(MapValueKey)
+
+  /** Reserved name suffix for map value-domain index fields. A '#' keeps
+    * it out of the dotted-path grammar resolveLeaf parses, so it can
+    * never alias a real nested leaf; index creation rejects tables whose
+    * own columns collide with a generated name. */
+  val MapValueSuffix = "#value"
+
+  def mapValueFieldName(mapCol: String): String = mapCol + MapValueSuffix
+
+  def mapValueBase(fieldName: String): String = fieldName.stripSuffix(MapValueSuffix)
+
   /** True for any field whose stats describe collection MEMBERS (array
-    * elements / map keys) instead of row values — every row-domain
-    * consumer (metadata-only aggregates, top-k bounds, null reasoning,
-    * the min/max full-scan fallback) must skip such fields. */
-  def isElementDomain(f: StructField): Boolean = isArrayElement(f) || isMapKey(f)
+    * elements / map keys / map values) instead of row values — every
+    * row-domain consumer (metadata-only aggregates, top-k bounds, null
+    * reasoning, the min/max full-scan fallback) must skip such fields. */
+  def isElementDomain(f: StructField): Boolean =
+    isArrayElement(f) || isMapKey(f) || isMapValue(f)
 
   /** Stats-domain code shipped to footer-reading executors: 0 = row
-    * values, 1 = array elements, 2 = map keys (decides which physical
-    * leaf the dotted path binds to and suppresses per-row null counts
-    * for the collection domains). */
+    * values, 1 = array elements (including struct leaves under ONE
+    * repeated level — [[ArrayPrefixKey]] locates the split), 2 = map
+    * keys, 3 = map values (decides which physical leaf the dotted path
+    * binds to and suppresses per-row null counts for the collection
+    * domains). */
   def domainOf(f: StructField): Int =
-    if (isArrayElement(f)) 1 else if (isMapKey(f)) 2 else 0
+    if (isArrayElement(f)) 1
+    else if (isMapKey(f)) 2
+    else if (isMapValue(f)) 3
+    else 0
 
   // v2: sketch table keyed by normalized file path + sorted by (file,
   // column) for pruned query-time reads.
@@ -132,7 +174,25 @@ object IndexMetadata {
   // not rows. A pre-v4 binary would misread such a field as row-domain
   // (e.g. run min() over the raw map column in the stats fallback), so
   // the version gate must reject rather than misinterpret.
-  val CurrentVersion = 4
+  // v5: array-of-struct leaves ([[ArrayPrefixKey]]) and map VALUE
+  // domains ([[MapValueKey]]) — a v4 binary would bind the leaf path to
+  // the wrong physical column / treat `m#value` as a row column, so
+  // again: reject, don't misread.
+  val CurrentVersion = 5
+
+  /** Oldest metadata version this binary reads correctly. v3/v4 indexes
+    * differ from v5 only by which field markers CAN appear, all of which
+    * this binary understands — so scalar-only v3 indexes keep working
+    * across the upgrade instead of forcing a rebuild. */
+  val MinReadableVersion = 3
+
+  /** The LOWEST version that still describes `indexSchema` — so an index
+    * using no new-domain features stays readable by older binaries
+    * (whose strict gates exist to reject only what they would MISread). */
+  def versionFor(indexSchema: StructType): Int =
+    if (indexSchema.fields.exists(f => arrayPrefixOf(f).isDefined || isMapValue(f))) 5
+    else if (indexSchema.fields.exists(f => isArrayElement(f) || isMapKey(f))) 4
+    else 3
 
   /** Render a Catalyst-internal partition value as a string (via Cast to
     * string), parse back with [[castFromString]]. */
@@ -274,7 +334,9 @@ object IndexMetadata {
       case JLong(l) => l.toInt
       case other => throw new IllegalArgumentException(s"bad version $other")
     }
-    require(version == CurrentVersion, s"unsupported index metadata version $version")
+    require(version >= MinReadableVersion && version <= CurrentVersion,
+      s"unsupported index metadata version $version " +
+        s"(this binary reads $MinReadableVersion..$CurrentVersion)")
     IndexMetadata(
       version = version,
       tablePath = (j \ "tablePath").asInstanceOf[JString].s,

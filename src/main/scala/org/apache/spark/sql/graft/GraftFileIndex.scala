@@ -144,7 +144,8 @@ class GraftFileIndex(
     // element/key-domain field (whole-collection comparisons) stay
     // fold-safe: Canon.fromExternal type-gates every value and degrades
     // mismatches to may-contain.
-    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArraysOverlap, EqualTo => CEq, GetMapValue, MapKeys, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArrayExists, ArraysOverlap, EqualTo => CEq, GetArrayStructFields, GetMapValue, GetStructField, LambdaFunction, MapKeys, NamedLambdaVariable, Literal => CLit}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
     def domainField(
         c: Expression,
         wanted: org.apache.spark.sql.types.StructField => Boolean): Option[String] =
@@ -152,18 +153,123 @@ class GraftFileIndex(
         meta.indexSchema.fields.find(f =>
           f.name.equalsIgnoreCase(path) && wanted(f)).map(_.name)
       }
+    def fieldNamed(
+        path: String,
+        wanted: org.apache.spark.sql.types.StructField => Boolean): Option[String] =
+      meta.indexSchema.fields.find(f =>
+        f.name.equalsIgnoreCase(path) && wanted(f)).map(_.name)
+    // `col.f` over `col: array<struct<...>>` extracts the per-element
+    // leaf — decompose GetArrayStructFields chains (one array level, any
+    // struct depth either side) back to the relation-level dotted path
+    // the element-domain index field is named by.
+    def arrayStructPath(e: Expression): Option[String] = e match {
+      case g: GetArrayStructFields =>
+        val inner = g.child match {
+          case c: GetArrayStructFields => arrayStructPath(c)
+          case other => MetadataAggregates.dottedPath(other).map(_._2)
+        }
+        inner.map(_ + "." + g.field.name)
+      case _ => None
+    }
     // The collection whose MEMBERS the probe tests: an array column
-    // indexed on its element domain, or map_keys(m) over a map column
-    // indexed on its key domain (map_contains_key(m, k) optimizes to
+    // indexed on its element domain, a struct-leaf extraction over an
+    // array of structs, or map_keys(m) over a map column indexed on its
+    // key domain (map_contains_key(m, k) optimizes to
     // array_contains(map_keys(m), k), so both spellings land here).
     def memberField(c: Expression): Option[String] = c match {
       case MapKeys(m) => domainField(m, graft.index.IndexMetadata.isMapKey)
+      case g: GetArrayStructFields =>
+        arrayStructPath(g).flatMap(
+          fieldNamed(_, graft.index.IndexMetadata.isArrayElement))
       case _ => domainField(c, graft.index.IndexMetadata.isArrayElement)
+    }
+    // Leaf path of `e` INSIDE the lambda element `v` ("" = the element
+    // itself), via GetStructField hops only.
+    def lambdaLeaf(e: Expression, v: NamedLambdaVariable): Option[String] = e match {
+      case x: NamedLambdaVariable if x.exprId == v.exprId => Some("")
+      case g: GetStructField =>
+        lambdaLeaf(g.child, v).map { p =>
+          if (p.isEmpty) g.extractFieldName else p + "." + g.extractFieldName
+        }
+      case _ => None
+    }
+    // Translate one conjunct of an exists() lambda into an element-domain
+    // source filter: the element witnessing exists=TRUE satisfies every
+    // conjunct, so each comparison against a literal is individually a
+    // sound membership/range cut over the leaf's element domain.
+    // Untranslatable conjuncts drop out (And keeps what it can).
+    def existsConjunct(arrPath: String, v: NamedLambdaVariable,
+        pred: Expression): Seq[Filter] = {
+      def field(leafE: Expression): Option[String] =
+        lambdaLeaf(leafE, v).flatMap { rel =>
+          val full = if (rel.isEmpty) arrPath else arrPath + "." + rel
+          fieldNamed(full, graft.index.IndexMetadata.isArrayElement)
+        }
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, InSet, LessThan => CLt, LessThanOrEqual => CLe}
+      pred match {
+        case CAnd(l, r) => existsConjunct(arrPath, v, l) ++ existsConjunct(arrPath, v, r)
+        case CEq(le, CLit(x, xt)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.EqualTo(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CEq(CLit(x, xt), le) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.EqualTo(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CIn(le, vs) if vs.nonEmpty && vs.forall {
+            case CLit(x, _) => x != null; case _ => false } =>
+          field(le).map(n => org.apache.spark.sql.sources.In(n,
+            vs.map { case CLit(x, xt) => convertToScala(x, xt) }.toArray): Filter).toSeq
+        case InSet(le, hset) if hset != null && !hset.contains(null) =>
+          field(le).map(n => org.apache.spark.sql.sources.In(n,
+            hset.toArray.map(convertToScala(_, le.dataType))): Filter).toSeq
+        case CGt(le, CLit(x, xt)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.GreaterThan(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CGe(le, CLit(x, xt)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.GreaterThanOrEqual(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CLt(le, CLit(x, xt)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.LessThan(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CLe(le, CLit(x, xt)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.LessThanOrEqual(
+            n, convertToScala(x, xt)): Filter).toSeq
+        // literal-on-the-left range forms flip the operator
+        case CGt(CLit(x, xt), le) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.LessThan(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CGe(CLit(x, xt), le) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.LessThanOrEqual(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CLt(CLit(x, xt), le) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.GreaterThan(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case CLe(CLit(x, xt), le) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.GreaterThanOrEqual(
+            n, convertToScala(x, xt)): Filter).toSeq
+        case _ => Nil
+      }
+    }
+    // m[k] = v cuts by KEY membership of k and, when the map's VALUE
+    // domain is indexed too, by VALUE membership of v (the matching
+    // entry (k, v) contributes v to the file's value domain) — the two
+    // verdicts intersect through the And-reduce below.
+    def mapEqFilters(c: Expression, k: Any, kt: org.apache.spark.sql.types.DataType,
+        v: Option[(Any, org.apache.spark.sql.types.DataType)]): Seq[Filter] = {
+      val keyCut = domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
+        org.apache.spark.sql.sources.EqualTo(n, convertToScala(k, kt)): Filter)
+      val valueCut = v.flatMap { case (x, xt) =>
+        MetadataAggregates.dottedPath(c).flatMap { case (_, path) =>
+          fieldNamed(graft.index.IndexMetadata.mapValueFieldName(path),
+            graft.index.IndexMetadata.isMapValue).map(n =>
+            org.apache.spark.sql.sources.EqualTo(n, convertToScala(x, xt)): Filter)
+        }
+      }
+      keyCut.toSeq ++ valueCut.toSeq
     }
     val arrayElemFilters: Seq[Filter] = dataFilters.flatMap {
       case ArrayContains(c, CLit(v, vt)) if v != null =>
         memberField(c).map(n => org.apache.spark.sql.sources.EqualTo(n,
-          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, vt)))
+          convertToScala(v, vt)))
       case ArraysOverlap(l, r) =>
         val probed = (l, r) match {
           case (c, CLit(v, t: org.apache.spark.sql.types.ArrayType)) if v != null =>
@@ -174,33 +280,32 @@ class GraftFileIndex(
         }
         probed.flatMap { case (c, v, t) =>
           memberField(c).map { n =>
-            val elems = org.apache.spark.sql.catalyst.CatalystTypeConverters
-              .convertToScala(v, t).asInstanceOf[scala.collection.Seq[Any]]
+            val elems = convertToScala(v, t).asInstanceOf[scala.collection.Seq[Any]]
               .filter(_ != null).toArray
             org.apache.spark.sql.sources.In(n, elems)
           }
         }
+      // exists(col, x -> pred): a TRUE row has a witnessing element, so
+      // every lambda conjunct comparing a struct leaf (or the element
+      // itself) to a literal cuts by that leaf's element domain
+      case ArrayExists(arr, LambdaFunction(pred, Seq(v: NamedLambdaVariable), _), _) =>
+        MetadataAggregates.dottedPath(arr).map(_._2).orElse(arrayStructPath(arr))
+          .toSeq.flatMap(p => existsConjunct(p, v, pred))
       // m[k] = v (non-null literals, either side): only rows whose map
       // HAS key k can satisfy it (GetMapValue on a missing key is null,
-      // and null = v is never true) — so key-domain membership of k is
-      // a sound file cut
-      case CEq(GetMapValue(c, CLit(k, kt)), CLit(v, _)) if k != null && v != null =>
-        domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
-          org.apache.spark.sql.sources.EqualTo(n,
-            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(k, kt)))
-      case CEq(CLit(v, _), GetMapValue(c, CLit(k, kt))) if k != null && v != null =>
-        domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
-          org.apache.spark.sql.sources.EqualTo(n,
-            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(k, kt)))
+      // and null = v is never true) — key-domain membership of k, plus
+      // value-domain membership of v when indexed
+      case CEq(GetMapValue(c, CLit(k, kt)), CLit(v, vt)) if k != null && v != null =>
+        mapEqFilters(c, k, kt, Some((v, vt)))
+      case CEq(CLit(v, vt), GetMapValue(c, CLit(k, kt))) if k != null && v != null =>
+        mapEqFilters(c, k, kt, Some((v, vt)))
       // m[k] IS NOT NULL: a missing key yields null, so only rows whose
       // map has key k (with a non-null value) can pass — key membership
-      // of k is again a sound file cut
+      // of k is again a sound file cut (value unknown: no value cut)
       case org.apache.spark.sql.catalyst.expressions.IsNotNull(
           GetMapValue(c, CLit(k, kt))) if k != null =>
-        domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
-          org.apache.spark.sql.sources.EqualTo(n,
-            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(k, kt)))
-      case _ => None
+        mapEqFilters(c, k, kt, None)
+      case _ => Nil
     }
     val indexFilters: Seq[Filter] = (dataFilters
       .flatMap(SparkInternals.translateFilter) ++ arrayElemFilters)
