@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's final stdout JSON line; sbt's
+// default LoggedOutput prefixes every forked-run line with "[info] ",
+// which the driver's JSON parser rejects (BENCH artifacts parsed as
+// null). StdoutOutput passes the forked process's stdout through bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // `sbt test` verifies the Python surface too: PythonApiSpec shells out to
 // scripts/test_python_api.py against the packaged jar, so package first.
 Test / test := (Test / test).dependsOn(Compile / packageBin).value

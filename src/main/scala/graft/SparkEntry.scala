@@ -157,6 +157,12 @@ object SparkEntry {
   // probe above the 50k table every distributed-tier claim was benched at
   private[graft] val Files200kSeeds = 256
   private[graft] val Files200kCopies = 780
+  // 5x the 200k probe => 1280 × 781 = 999,680 files — the LAST scale
+  // decade reachable on one box (~4 GB of 4 KB files): the r9 verdict's
+  // final listing probe, where prune latency and refresh driver
+  // residency must still hold their O(survivors)/O(dirs+delta) claims
+  private[graft] val Files1mSeeds = 1280
+  private[graft] val Files1mCopies = 780
 
   // Shared parquet/ORC 50k builder — only the format strings differ, so
   // the seed construction, seed assert, copy loop and index options are
@@ -222,6 +228,18 @@ object SparkEntry {
       buildManyFiles(s, _, "parquet", Files200kSeeds, Files200kCopies))
     s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
       .parquet(scratchTableDir(dir, "files200k"))
+  }
+
+  /** The ~1M-file scale probe (5× [[indexed200kFiles]], same per-file
+    * shape): the final local decade for the distributed prune / kth walk
+    * / level-walk refresh claims. Create-once (copies + footers all run
+    * as Spark jobs; budget ~5-10 min on first build, then cached). */
+  private[graft] def indexed1mFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.implicits._
+    scratchTable(s, dir, "files1m")(
+      buildManyFiles(s, _, "parquet", Files1mSeeds, Files1mCopies))
+    s.index.option(graft.index.IndexConf.DistributedPruningThreshold, "10000")
+      .parquet(scratchTableDir(dir, "files1m"))
   }
 
   /** ORC twin of [[indexed50kFiles]]: proves the distributed prune fold
@@ -2452,6 +2470,32 @@ object SparkEntry {
         docs.filter($"doc_id" % 5 === 0)
           .select($"doc_id", $"source", ($"n_chars" * 10).as("score")),
         key = "doc_id", numBuckets = 16)
+      graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
+    }),
+
+    // The SQL MERGE surface: the same keyed merge spelled as
+    // `MERGE INTO PARQUET '<path>' USING (<query>) ON KEY doc_id` —
+    // parsed by GraftSqlParser (dispatch via spark.sql is pinned in
+    // SqlDdlSpec; this session has no parser extension, so the parsed
+    // command plan executes directly), bucket count derived from the
+    // pinned _index_spec, stats row returned, oracle = the merge replay.
+    "q_upsert_sql" -> ((s, dir) => {
+      import s.implicits._
+      val td = s"$scratchRoot/${new java.io.File(dir).getName}/upsert_sql"
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Upsert.writeKeyedTable(
+        docs.filter($"doc_id" % 7 =!= 3)
+          .select($"doc_id", $"source", $"n_chars".as("score")),
+        key = "doc_id", dir = td, numBuckets = 16, mode = "overwrite")
+      docs.createOrReplaceTempView("graft_merge_docs")
+      val mergeSql =
+        s"""MERGE INTO PARQUET '$td' USING (
+           |  SELECT doc_id, source, n_chars * 10 AS score
+           |  FROM graft_merge_docs WHERE doc_id % 5 = 0
+           |) ON KEY doc_id""".stripMargin
+      val plan = graft.index.GraftSqlParser.parseGraftPlan(mergeSql).getOrElse(
+        throw new IllegalStateException(s"graft MERGE failed to parse: $mergeSql"))
+      org.apache.spark.sql.graft.SparkInternals.runPlan(s, plan).collect()
       graft.ops.Upsert.readKeyedTable(s, td).orderBy($"doc_id")
     }),
 
@@ -6144,6 +6188,17 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
         |ORDER BY doc_id""".stripMargin,
     "q_upsert_keyed" ->
+      """WITH base AS (SELECT doc_id, source, n_chars AS score
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |u AS (SELECT doc_id, source, n_chars * 10 AS score
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, source, score FROM u
+        |UNION ALL
+        |SELECT b.doc_id, b.source, b.score FROM base b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM u)
+        |ORDER BY doc_id""".stripMargin,
+    // SQL MERGE surface: same merge replay as q_upsert_keyed
+    "q_upsert_sql" ->
       """WITH base AS (SELECT doc_id, source, n_chars AS score
         |  FROM documents WHERE doc_id % 7 <> 3),
         |u AS (SELECT doc_id, source, n_chars * 10 AS score

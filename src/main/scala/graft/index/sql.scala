@@ -85,6 +85,14 @@ object GraftSqlParser {
     ("""(?is)^\s*refresh\s+index\s+on\s+""" + TargetRe + OptionsRe + """\s*;?\s*$""").r
   private val ShowRe =
     ("""(?is)^\s*show\s+index\s+on\s+""" + TargetRe + """\s*;?\s*$""").r
+  // MERGE over a KEYED parquet table (graft.ops.Upsert layout — paths
+  // only; Spark's own `MERGE INTO <table>` never mentions PARQUET and
+  // always delegates). The source is a parenthesized query or a
+  // table/view name; key column must match the table's pinned
+  // _index_spec, from which the bucket count is derived.
+  private val MergeRe =
+    ("""(?is)^\s*merge\s+into\s+parquet\s*'((?:[^']|'')*)'\s+using\s+""" +
+      """(?:\(\s*(.+)\s*\)|([\w.`]+))\s+on\s+key\s+`?([\w.]+)`?\s*;?\s*$""").r
 
   /** Does the text LOOK like a graft index statement? Used so that a
     * malformed graft statement raises a graft parse error instead of
@@ -93,6 +101,7 @@ object GraftSqlParser {
     * matches, because this requires `index on (parquet|table)`. */
   private val ShapeRe =
     """(?is)^\s*(?:create\s+(?:or\s+replace\s+)?index|drop\s+index|refresh\s+index|show\s+index)\s+(?:if\s+(?:not\s+)?exists\s+)?on\s+(?:parquet|orc|table)\b.*""".r
+  private val MergeShapeRe = """(?is)^\s*merge\s+into\s+parquet\b.*""".r
 
   private def unquote(s: String): String = s.replace("''", "'")
 
@@ -131,6 +140,13 @@ object GraftSqlParser {
       Some(SqlRefreshIndex(target(src, path, table), options(opts)))
     case ShowRe(src, path, table) =>
       Some(SqlShowIndex(target(src, path, table)))
+    case MergeRe(path, query, table, key) =>
+      Some(SqlMergeInto(unquote(path), Option(query),
+        Option(table).map(_.replace("`", "")), key))
+    case MergeShapeRe() =>
+      fail(sqlText, "malformed graft MERGE statement; expected " +
+        "MERGE INTO PARQUET '<keyed-table-path>' USING ((<query>)|<table>) " +
+        "ON KEY <column>")
     case ShapeRe() =>
       fail(sqlText, "malformed graft index statement; expected " +
         "CREATE [OR REPLACE] INDEX [IF NOT EXISTS] ON (PARQUET|ORC '<path>'|TABLE <name>) " +
@@ -190,6 +206,49 @@ case class SqlRefreshIndex(target: Target, options: Map[String, String])
       case TableTarget(t) => cmd.table(t)
     }
     Seq(Row(stats.addedFiles, stats.removedFiles))
+  }
+}
+
+/** `MERGE INTO PARQUET '<path>' USING ((<query>)|<table>) ON KEY <col>` —
+  * the SQL spelling of [[graft.ops.Upsert.upsertByKey]]: rows whose key
+  * matches an update are replaced, new keys insert, only the buckets
+  * holding updated keys are rewritten. The bucket count comes from the
+  * table's pinned `_index_spec` (the single source of layout truth — a
+  * statement cannot drift from the build), the given key must match the
+  * pinned one, and the call inherits the API's whole contract: the
+  * table lock, the key-uniqueness guard, and the
+  * `refreshAfterMaintenance` index-freshness hook. Returns the merge
+  * stats row. */
+case class SqlMergeInto(
+    path: String, usingQuery: Option[String], usingTable: Option[String],
+    key: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("touched_buckets", LongType, nullable = false)(),
+    AttributeReference("total_buckets", LongType, nullable = false)(),
+    AttributeReference("upserted", LongType, nullable = false)(),
+    AttributeReference("carried", LongType, nullable = false)())
+
+  private val SpecRe = """keyed-table:v1 key=(.+) buckets=(\d+)""".r
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val stored = graft.ops.IndexSpec.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"keyed table at $path carries no _index_spec — MERGE INTO targets " +
+          "tables built by writeKeyedTable; a crashed create left unpinned " +
+          "data, rebuild with writeKeyedTable(mode = \"overwrite\")"))
+    val (storedKey, buckets) = stored match {
+      case SpecRe(k, b) => (k, b.toInt)
+      case other => throw new IllegalArgumentException(
+        s"table at $path is pinned as '$other', not a keyed table — " +
+          "MERGE INTO only targets writeKeyedTable layouts")
+    }
+    require(key.equalsIgnoreCase(storedKey),
+      s"MERGE key '$key' does not match the table's pinned key '$storedKey'")
+    val updates = usingQuery.map(spark.sql)
+      .getOrElse(spark.table(usingTable.get))
+    val stats = graft.ops.Upsert.upsertByKey(spark, path, updates, storedKey, buckets)
+    Seq(Row(stats.touchedBuckets.toLong, stats.totalBuckets.toLong,
+      stats.upserted, stats.carried))
   }
 }
 

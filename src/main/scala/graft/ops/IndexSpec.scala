@@ -61,6 +61,24 @@ private[graft] object IndexSpec {
       df: DataFrame, dir: String, spec: String): Boolean =
     checkReturningPresence(df.sparkSession, dir, spec)
 
+  /** The stored spec line, if the table carries one — the SQL MERGE
+    * surface derives (key, buckets) from it so the statement cannot
+    * drift from the pinned layout. */
+  def read(spark: SparkSession, dir: String): Option[String] = {
+    val p = specPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(new String(buf, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
   def checkReturningPresence(
       spark: SparkSession, dir: String, spec: String): Boolean = {
     val p = specPath(dir)

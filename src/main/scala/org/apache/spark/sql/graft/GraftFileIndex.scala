@@ -71,13 +71,24 @@ class GraftFileIndex(
   private val snapshotEpoch = new java.util.concurrent.atomic.AtomicLong()
 
   /** Epoch-guarded get-or-compute: serves an existing memo, else
-    * computes and installs only if no refresh intervened. */
+    * computes and installs only if no refresh intervened. The install is
+    * re-validated AFTER it lands: a refresh can bump the epoch and clear
+    * the memos between the pre-install check and the putIfAbsent, so on
+    * a post-install epoch mismatch we remove our own (possibly stale)
+    * entry — refresh() bumps BEFORE clearing, so an install that
+    * survived the clear always fails this re-check and gets undone (at
+    * worst evicting an equal fresh value some other thread installed,
+    * which is just a lost memo, recomputed next call). */
   private def memoized[K, V](cache: scala.collection.concurrent.Map[K, V], key: K)
       (compute: => V): V =
     cache.get(key).getOrElse {
       val e = snapshotEpoch.get()
       val v = compute
-      if (snapshotEpoch.get() == e) cache.putIfAbsent(key, v).getOrElse(v) else v
+      if (snapshotEpoch.get() == e) {
+        val served = cache.putIfAbsent(key, v).getOrElse(v)
+        if (snapshotEpoch.get() != e) cache.remove(key, v)
+        served
+      } else v
     }
 
   private def entriesByPartition: Map[Int, Seq[FileEntry]] = {
@@ -86,7 +97,12 @@ class GraftFileIndex(
       val e = snapshotEpoch.get()
       c = IndexFilesTable.readAll(filesDir, hadoopConf)
         .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
-      if (snapshotEpoch.get() == e) entriesByPartitionCache = c
+      if (snapshotEpoch.get() == e) {
+        entriesByPartitionCache = c
+        // same post-install re-validation as memoized(): an assignment
+        // that landed after refresh()'s null-out must not survive it
+        if (snapshotEpoch.get() != e) entriesByPartitionCache = null
+      }
     }
     c
   }

@@ -51,6 +51,15 @@ object SparkInternals {
   def wrap(e: Expression): Column = ExpressionUtils.column(e)
   def unwrap(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Execute a logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql]) — used to run graft SQL command plans from sessions
+    * whose parser extension is not installed. */
+  def runPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def partitionDirectory(values: InternalRow, files: Array[FileStatus]): PartitionDirectory =
     PartitionDirectory(values, files)
 

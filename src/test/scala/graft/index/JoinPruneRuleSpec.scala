@@ -347,6 +347,46 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaApi.count() == 2000L)
   }
 
+  test("fact-fact: BOTH indexed sides get cut by ping-pong probes, no loop") {
+    import spark.implicits._
+    // second INDEXED table on the same key domain: 16 files, 4 keys each
+    val p2 = s"$work/fact2"
+    (0 until 64).toDF("i")
+      .select($"i".cast("long").as("k2"), concat(lit("m-"), $"i").as("meta"))
+      .repartitionByRange(16, $"k2")
+      .write.mode("overwrite").parquet(p2)
+    spark.index.create.mode("overwrite").indexBy("k2").parquet(p2)
+    val t2 = spark.index.parquet(p2)
+    // kill the small-bytes selectivity shortcut so only REAL filters make
+    // a side probe-worthy — the composition must bootstrap off the user's
+    // filter alone
+    spark.conf.set(IndexConf.JoinPruneMaxDimBytes, "0")
+    try {
+      val q = fact.filter($"k" <= 2).join(t2, $"k" === $"k2")
+        .select($"k", $"v", $"meta")
+      // chosen semantics (pinned): the fixed point PING-PONGS — iteration
+      // 1 probes the filtered side and cuts the other; iteration 2 sees
+      // the injected IN as a real filter and probes back; iteration 3 is
+      // structurally idempotent (alreadyProbed on both) — so BOTH sides
+      // end up cut and the optimizer converges
+      val probes = probeConjuncts(q)
+      assert(probes.exists(_.contains("(k)")), s"left probe missing: $probes")
+      assert(probes.exists(_.contains("(k2)")), s"right probe missing: $probes")
+      val expected = spark.read.parquet(factPath).filter($"k" <= 2)
+        .join(spark.read.parquet(p2), $"k" === $"k2").select($"k", $"v", $"meta")
+      assert(q.collect().map(_.toString).sorted.toSeq ==
+        expected.collect().map(_.toString).sorted.toSeq)
+      q.collect()
+      val ss = scans(q.queryExecution.executedPlan).filter(
+        _.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+      assert(ss.size == 2, s"expected two indexed scans, got ${ss.size}")
+      ss.foreach { s =>
+        val read = s.metrics("numFiles").value
+        assert(read < 16, s"each indexed side should cut: read $read/16 files")
+      }
+    } finally spark.conf.unset(IndexConf.JoinPruneMaxDimBytes)
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()

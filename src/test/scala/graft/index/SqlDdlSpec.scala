@@ -152,5 +152,57 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("MERGE INTO a keyed parquet table runs upsertByKey with the pinned layout") {
+    import spark.implicits._
+    val td = s"$work/merge_keyed"
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "tag", "score")
+    graft.ops.Upsert.writeKeyedTable(base, key = "id", dir = td,
+      numBuckets = 4, mode = "overwrite")
+    Seq((2L, "B", 200L), (9L, "i", 90L)).toDF("id", "tag", "score")
+      .createOrReplaceTempView("merge_updates")
+    // subquery source; stats row comes back
+    val stats = spark.sql(
+      s"MERGE INTO PARQUET '$td' USING (SELECT * FROM merge_updates) ON KEY id")
+      .head()
+    assert(stats.getAs[Long]("upserted") == 2L)
+    assert(stats.getAs[Long]("total_buckets") == 4L)
+    val after = graft.ops.Upsert.readKeyedTable(spark, td)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(after.toSeq == Seq((1L, "a", 10L), (2L, "B", 200L),
+      (3L, "c", 30L), (9L, "i", 90L)))
+    // bare table-name source spelling
+    Seq((3L, "C", 300L)).toDF("id", "tag", "score")
+      .createOrReplaceTempView("merge_updates2")
+    spark.sql(s"MERGE INTO PARQUET '$td' USING merge_updates2 ON KEY `id`").collect()
+    assert(graft.ops.Upsert.readKeyedTable(spark, td)
+      .filter($"id" === 3L).head().getString(1) == "C")
+    // wrong key name fails against the pinned spec
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO PARQUET '$td' USING merge_updates2 ON KEY tag").collect()
+    }
+    assert(e.getMessage.contains("pinned key"))
+    // a non-keyed parquet dir is refused (no _index_spec)
+    base.write.mode("overwrite").parquet(s"$work/merge_unkeyed")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"MERGE INTO PARQUET '$work/merge_unkeyed' USING merge_updates2 ON KEY id")
+        .collect()
+    }
+    assert(e2.getMessage.contains("_index_spec"))
+    // malformed graft MERGE raises a graft parse error, not a Spark one
+    val e3 = intercept[ParseException] {
+      spark.sql(s"MERGE INTO PARQUET '$td' USING ON KEY id")
+    }
+    assert(e3.getMessage.contains("malformed graft MERGE"))
+    // Spark's own MERGE INTO <table> shape still delegates (resolution
+    // fails on the missing table, NOT on our parser)
+    val e4 = intercept[Exception] {
+      spark.sql("MERGE INTO some_tbl USING src ON some_tbl.id = src.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(!e4.getMessage.contains("malformed graft"))
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }
