@@ -307,8 +307,12 @@ object Dedup {
       posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("band", "key")))
     val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
+    // no intermediate distinct: a pair surfacing from several shared
+    // bands only re-evaluates the cheap signatureJaccard in the verify
+    // join, while the distinct costs a full extra Exchange per batch;
+    // the final dup-id distinct already dedups the output
     val candidates = newBands.join(corpusBands, Seq("band", "key"))
-      .select(col("__id"), col("__corpus_id")).distinct()
+      .select(col("__id"), col("__corpus_id"))
     val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
       .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
     val dups = candidates
@@ -371,8 +375,12 @@ object Dedup {
       posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
+    // no intermediate distinct: a pair surfacing from several shared
+    // bands only re-evaluates the cheap signatureJaccard in the verify
+    // join, while the distinct costs a full extra Exchange per batch;
+    // the final dup-id distinct already dedups the output
     val candidates = newBands.join(corpusBands, Seq("band", "key"))
-      .select(col("__id"), col("__corpus_id")).distinct()
+      .select(col("__id"), col("__corpus_id"))
     val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
       .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
     val dups = candidates
@@ -398,11 +406,13 @@ object Dedup {
     val sigDf = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"))
     val banded = sigDf.select(col("__id"),
       posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("__band", "__key")))
+    // intermediate pairs keep band-collision multiplicity (no distinct —
+    // an Exchange per micro-batch) since dupIds below distincts anyway
     val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
       .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
         Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
     val dupIds = candidates
       .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
       .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))

@@ -194,6 +194,11 @@ class GraftFileIndex(
     // array_contains(map_keys(m), k), so both spellings land here).
     def memberField(c: Expression): Option[String] = c match {
       case MapKeys(m) => domainField(m, graft.index.IndexMetadata.isMapKey)
+      case org.apache.spark.sql.catalyst.expressions.MapValues(m) =>
+        MetadataAggregates.dottedPath(m).flatMap { case (_, path) =>
+          fieldNamed(graft.index.IndexMetadata.mapValueFieldName(path),
+            graft.index.IndexMetadata.isMapValue)
+        }
       case g: GetArrayStructFields =>
         arrayStructPath(g).flatMap(
           fieldNamed(_, graft.index.IndexMetadata.isArrayElement))
@@ -212,18 +217,23 @@ class GraftFileIndex(
     // Translate one conjunct of an exists() lambda into an element-domain
     // source filter: the element witnessing exists=TRUE satisfies every
     // conjunct, so each comparison against a literal is individually a
-    // sound membership/range cut over the leaf's element domain.
-    // Untranslatable conjuncts drop out (And keeps what it can).
-    def existsConjunct(arrPath: String, v: NamedLambdaVariable,
+    // sound membership/range cut over the leaf's element domain. The
+    // bare element (`rel == ""`) resolves through memberField, so
+    // exists() over map_keys/map_values cuts by the key/value domain
+    // too. Untranslatable conjuncts drop out (And keeps what it can).
+    def existsConjunct(arr: Expression, v: NamedLambdaVariable,
         pred: Expression): Seq[Filter] = {
+      lazy val arrPath: Option[String] =
+        MetadataAggregates.dottedPath(arr).map(_._2).orElse(arrayStructPath(arr))
       def field(leafE: Expression): Option[String] =
         lambdaLeaf(leafE, v).flatMap { rel =>
-          val full = if (rel.isEmpty) arrPath else arrPath + "." + rel
-          fieldNamed(full, graft.index.IndexMetadata.isArrayElement)
+          if (rel.isEmpty) memberField(arr)
+          else arrPath.flatMap(p =>
+            fieldNamed(p + "." + rel, graft.index.IndexMetadata.isArrayElement))
         }
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, InSet, LessThan => CLt, LessThanOrEqual => CLe}
       pred match {
-        case CAnd(l, r) => existsConjunct(arrPath, v, l) ++ existsConjunct(arrPath, v, r)
+        case CAnd(l, r) => existsConjunct(arr, v, l) ++ existsConjunct(arr, v, r)
         case CEq(le, CLit(x, xt)) if x != null =>
           field(le).map(n => org.apache.spark.sql.sources.EqualTo(
             n, convertToScala(x, xt)): Filter).toSeq
@@ -265,23 +275,70 @@ class GraftFileIndex(
         case _ => Nil
       }
     }
-    // m[k] = v cuts by KEY membership of k and, when the map's VALUE
-    // domain is indexed too, by VALUE membership of v (the matching
-    // entry (k, v) contributes v to the file's value domain) — the two
-    // verdicts intersect through the And-reduce below.
-    def mapEqFilters(c: Expression, k: Any, kt: org.apache.spark.sql.types.DataType,
-        v: Option[(Any, org.apache.spark.sql.types.DataType)]): Seq[Filter] = {
+    // Any comparison on m[k] (against a literal) implies the row's map
+    // HAS key k — a missing key makes GetMapValue null and every
+    // comparison with null evaluates null, which the filter drops — so
+    // key-domain membership of k always cuts; when the map's VALUE
+    // domain is indexed too, the comparison additionally cuts by the
+    // value domain (the witnessing entry (k, v) contributes v to the
+    // file's value domain, so v must satisfy the pushed value filter).
+    // The verdicts intersect through the And-reduce below.
+    def mapCuts(c: Expression, k: Any, kt: org.apache.spark.sql.types.DataType,
+        valueCut: Option[String => Filter]): Seq[Filter] = {
       val keyCut = domainField(c, graft.index.IndexMetadata.isMapKey).map(n =>
         org.apache.spark.sql.sources.EqualTo(n, convertToScala(k, kt)): Filter)
-      val valueCut = v.flatMap { case (x, xt) =>
+      val vCut = valueCut.flatMap { mk =>
         MetadataAggregates.dottedPath(c).flatMap { case (_, path) =>
           fieldNamed(graft.index.IndexMetadata.mapValueFieldName(path),
-            graft.index.IndexMetadata.isMapValue).map(n =>
-            org.apache.spark.sql.sources.EqualTo(n, convertToScala(x, xt)): Filter)
+            graft.index.IndexMetadata.isMapValue).map(mk)
         }
       }
-      keyCut.toSeq ++ valueCut.toSeq
+      keyCut.toSeq ++ vCut.toSeq
     }
+    // value-side filter builder for one comparison op, literal-nullsafe:
+    // a null literal yields no value cut (the key cut alone stays sound —
+    // the comparison can never be TRUE, so pruning only by key presence
+    // can never drop a passing row)
+    def vf(v: Any, vt: org.apache.spark.sql.types.DataType)(
+        mk: (String, Any) => Filter): Option[String => Filter] =
+      Option(v).map(x => (n: String) => mk(n, convertToScala(x, vt)))
+    // A map lookup by literal key: `m[k]` (GetMapValue) or
+    // `element_at(m, k)` — the latter ONLY in its null-on-missing form
+    // (ANSI element_at ERRORS on a missing key; pruning a file would
+    // turn that error into silence)
+    object MapLookup {
+      def unapply(e: Expression)
+          : Option[(Expression, Any, org.apache.spark.sql.types.DataType)] = e match {
+        case GetMapValue(c, CLit(k, kt)) if k != null => Some((c, k, kt))
+        case ea: org.apache.spark.sql.catalyst.expressions.ElementAt
+            if ea.left.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+              !ea.failOnError =>
+          ea.right match {
+            case CLit(k, kt) if k != null => Some((ea.left, k, kt))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    // An array lookup by literal position: `arr[i]` (GetArrayItem) or
+    // `element_at(arr, i)`, null-on-out-of-bounds forms only. A
+    // comparison on the looked-up element being TRUE means SOME element
+    // satisfies it — an element-domain membership/range cut.
+    object ArrayLookup {
+      def unapply(e: Expression): Option[Expression] = e match {
+        case g: org.apache.spark.sql.catalyst.expressions.GetArrayItem
+            if !g.failOnError && g.right.isInstanceOf[CLit] => Some(g.left)
+        case ea: org.apache.spark.sql.catalyst.expressions.ElementAt
+            if ea.left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+              !ea.failOnError && ea.right.isInstanceOf[CLit] => Some(ea.left)
+        case _ => None
+      }
+    }
+    // element-domain cut for a comparison on an array lookup
+    def arrayCut(c: Expression, v: Any, vt: org.apache.spark.sql.types.DataType,
+        mk: (String, Any) => Filter): Seq[Filter] =
+      if (v == null) Nil
+      else memberField(c).map(n => mk(n, convertToScala(v, vt))).toSeq
     val arrayElemFilters: Seq[Filter] = dataFilters.flatMap {
       case ArrayContains(c, CLit(v, vt)) if v != null =>
         memberField(c).map(n => org.apache.spark.sql.sources.EqualTo(n,
@@ -305,22 +362,101 @@ class GraftFileIndex(
       // every lambda conjunct comparing a struct leaf (or the element
       // itself) to a literal cuts by that leaf's element domain
       case ArrayExists(arr, LambdaFunction(pred, Seq(v: NamedLambdaVariable), _), _) =>
-        MetadataAggregates.dottedPath(arr).map(_._2).orElse(arrayStructPath(arr))
-          .toSeq.flatMap(p => existsConjunct(p, v, pred))
-      // m[k] = v (non-null literals, either side): only rows whose map
-      // HAS key k can satisfy it (GetMapValue on a missing key is null,
-      // and null = v is never true) — key-domain membership of k, plus
-      // value-domain membership of v when indexed
-      case CEq(GetMapValue(c, CLit(k, kt)), CLit(v, vt)) if k != null && v != null =>
-        mapEqFilters(c, k, kt, Some((v, vt)))
-      case CEq(CLit(v, vt), GetMapValue(c, CLit(k, kt))) if k != null && v != null =>
-        mapEqFilters(c, k, kt, Some((v, vt)))
+        existsConjunct(arr, v, pred)
+      // m[k] ⊙ literal (either side, ⊙ ∈ {=, >, >=, <, <=}): key-domain
+      // membership of k always cuts (see mapCuts), and the value domain
+      // folds the comparison itself (equality via min/max + sketches,
+      // ranges via min/max)
+      case CEq(MapLookup(c, k, kt), CLit(v, vt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.EqualTo))
+      case CEq(CLit(v, vt), MapLookup(c, k, kt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.EqualTo))
+      // null-safe equality: m[k] <=> null is TRUE for rows WITHOUT key k,
+      // so only the non-null-literal form may cut at all
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          MapLookup(c, k, kt), CLit(v, vt)) if k != null && v != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.EqualTo))
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          CLit(v, vt), MapLookup(c, k, kt)) if k != null && v != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.EqualTo))
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          MapLookup(c, k, kt), CLit(v, vt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.GreaterThan))
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          CLit(v, vt), MapLookup(c, k, kt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.LessThan))
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          MapLookup(c, k, kt), CLit(v, vt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.GreaterThanOrEqual))
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          CLit(v, vt), MapLookup(c, k, kt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.LessThanOrEqual))
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+          MapLookup(c, k, kt), CLit(v, vt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.LessThan))
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+          CLit(v, vt), MapLookup(c, k, kt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.GreaterThan))
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          MapLookup(c, k, kt), CLit(v, vt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.LessThanOrEqual))
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          CLit(v, vt), MapLookup(c, k, kt)) if k != null =>
+        mapCuts(c, k, kt, vf(v, vt)(org.apache.spark.sql.sources.GreaterThanOrEqual))
+      // m[k] IN (v1, ...): key presence + value-domain membership of any
+      // non-null probe value (null probes never match — an all-null list
+      // leaves the never-true In(field, []) cut, sound like the empty-IN
+      // join probe)
+      case org.apache.spark.sql.catalyst.expressions.In(
+          MapLookup(c, k, kt), vs) if k != null && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) =>
+        val values = vs.collect {
+          case CLit(x, xt) if x != null => convertToScala(x, xt)
+        }
+        mapCuts(c, k, kt, Some(n => org.apache.spark.sql.sources.In(n, values.toArray)))
+      case org.apache.spark.sql.catalyst.expressions.InSet(
+          MapLookup(c, k, kt), hset)
+          if k != null && hset != null =>
+        val vt = c.dataType.asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+        val values = hset.toArray.filter(_ != null).map(convertToScala(_, vt))
+        mapCuts(c, k, kt, Some(n => org.apache.spark.sql.sources.In(n, values)))
       // m[k] IS NOT NULL: a missing key yields null, so only rows whose
       // map has key k (with a non-null value) can pass — key membership
       // of k is again a sound file cut (value unknown: no value cut)
       case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-          GetMapValue(c, CLit(k, kt))) if k != null =>
-        mapEqFilters(c, k, kt, None)
+          MapLookup(c, k, kt)) if k != null =>
+        mapCuts(c, k, kt, None)
+      // arr[i] ⊙ lit / element_at(arr, i) ⊙ lit (null-on-out-of-bounds
+      // forms): TRUE requires the looked-up ELEMENT to satisfy ⊙, so the
+      // element domain folds the comparison directly
+      case CEq(ArrayLookup(c), CLit(v, vt)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.EqualTo)
+      case CEq(CLit(v, vt), ArrayLookup(c)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.EqualTo)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          ArrayLookup(c), CLit(v, vt)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.GreaterThan)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          CLit(v, vt), ArrayLookup(c)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.LessThan)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          ArrayLookup(c), CLit(v, vt)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.GreaterThanOrEqual)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          CLit(v, vt), ArrayLookup(c)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.LessThanOrEqual)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+          ArrayLookup(c), CLit(v, vt)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.LessThan)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+          CLit(v, vt), ArrayLookup(c)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.GreaterThan)
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          ArrayLookup(c), CLit(v, vt)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.LessThanOrEqual)
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          CLit(v, vt), ArrayLookup(c)) =>
+        arrayCut(c, v, vt, org.apache.spark.sql.sources.GreaterThanOrEqual)
       case _ => Nil
     }
     val indexFilters: Seq[Filter] = (dataFilters

@@ -86,6 +86,80 @@ class MapValueIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listed == 0L, s"no file's value range holds 99999, listed $listed")
   }
 
+  test("range and IN comparisons on m[k] cut by the value domain") {
+    import spark.implicits._
+    // only file 15's values exceed 1500
+    def qr(d: DataFrame) = d.filter($"kv".getItem("hi") >= 1500L)
+    checkSame(qr(indexed), qr(plain))
+    val (lr, _) = listedFiles(qr(indexed))
+    assert(lr <= 2L, s"range cut expected <=2 files, listed $lr")
+    // literal-on-the-left flips the operator
+    def qrl(d: DataFrame) = d.filter(lit(120L) > $"kv".getItem("lo"))
+    checkSame(qrl(indexed), qrl(plain))
+    val (ll, _) = listedFiles(qrl(indexed))
+    assert(ll <= 2L, s"flipped range cut expected <=2 files, listed $ll")
+    // IN list of values from two files
+    def qi(d: DataFrame) = d.filter($"kv".getItem("lo").isin(250L, 1250L))
+    checkSame(qi(indexed), qi(plain))
+    val (li, _) = listedFiles(qi(indexed))
+    assert(li <= 4L, s"IN cut expected <=4 files, listed $li")
+    // null probe values never widen the cut unsoundly
+    def qn(d: DataFrame) = d.filter($"kv".getItem("lo")
+      .isin(lit(250L), lit(null).cast("long")))
+    checkSame(qn(indexed), qn(plain))
+  }
+
+  test("element_at spelling and positional array lookups cut the same way") {
+    import spark.implicits._
+    // try_element_at never errors (failOnError=false) — the ElementAt
+    // translation fires and the value domain cuts
+    def qt(d: DataFrame) = d.filter(try_element_at($"kv", lit("lo")) === 250L)
+    checkSame(qt(indexed), qt(plain))
+    val (l, _) = listedFiles(qt(indexed))
+    assert(l <= 2L, s"try_element_at value cut expected <=2 files, listed $l")
+    // ANSI element_at ERRORS on a missing key — the translation must NOT
+    // fire (pruning would silence the error), but results stay correct
+    def q(d: DataFrame) = d.filter(element_at($"kv", "lo") === 250L)
+    checkSame(q(indexed), q(plain))
+    // positional array lookup over an element-domain indexed array
+    val p = s"$work/mapval_arrpos"
+    (0 until 8).flatMap { f =>
+      (0 until 20).map(r => (f.toLong * 100 + r, Seq(f * 100L + r, f * 100L + r + 1)))
+    }.toDF("id", "vals")
+      .repartitionByRange(8, $"id")
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("vals").parquet(p)
+    val t = spark.index.parquet(p)
+    val pl = spark.read.parquet(p)
+    // try_element_at is 1-based and null-on-out-of-bounds: translation fires
+    def qa(d: DataFrame) = d.filter(try_element_at($"vals", lit(1)) === 305L)
+    checkSame(qa(t), qa(pl))
+    val probe = qa(t)
+    probe.collect()
+    val fi = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"try_element_at element cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+    // range form through the same translation
+    def qar(d: DataFrame) = d.filter(try_element_at($"vals", lit(2)) >= 700L)
+    checkSame(qar(t), qar(pl))
+    // ANSI arr[i] (GetArrayItem, failOnError) stays untranslated but correct
+    def qansi(d: DataFrame) = d.filter($"vals".getItem(0) === 305L)
+    checkSame(qansi(t), qansi(pl))
+  }
+
+  test("map_values membership prunes by the value domain") {
+    import spark.implicits._
+    def q(d: DataFrame) = d.filter(array_contains(map_values($"kv"), 250L))
+    checkSame(q(indexed), q(plain))
+    val (listed, total) = listedFiles(q(indexed))
+    assert(listed <= 2L, s"value membership should cut: $listed/$total")
+    // exists over map_values with a range predicate
+    def qe(d: DataFrame) = d.filter(exists(map_values($"kv"), x => x >= 1500L))
+    checkSame(qe(indexed), qe(plain))
+  }
+
   test("key membership still intersects: absent key prunes even with a live value") {
     import spark.implicits._
     // value 250 exists (file 2) but key "absent" exists nowhere — the key
