@@ -93,6 +93,14 @@ object GraftSqlParser {
   private val MergeRe =
     ("""(?is)^\s*merge\s+into\s+parquet\s*'((?:[^']|'')*)'\s+using\s+""" +
       """(?:\(\s*(.+)\s*\)|([\w.`]+))\s+on\s+key\s+`?([\w.]+)`?\s*;?\s*$""").r
+  // small-file compaction / crash recovery over a path-addressed table
+  // (neither verb exists in stock Spark SQL; VACUUM requires our
+  // PARQUET/ORC '<path>' spelling so Delta-style `VACUUM tbl` delegates)
+  private val CompactRe =
+    ("""(?is)^\s*compact\s+(parquet|orc)\s*'((?:[^']|'')*)'""" + OptionsRe +
+      """\s*;?\s*$""").r
+  private val VacuumRe =
+    """(?is)^\s*vacuum\s+(?:parquet|orc)\s*'((?:[^']|'')*)'\s*;?\s*$""".r
 
   /** Does the text LOOK like a graft index statement? Used so that a
     * malformed graft statement raises a graft parse error instead of
@@ -143,6 +151,10 @@ object GraftSqlParser {
     case MergeRe(path, query, table, key) =>
       Some(SqlMergeInto(unquote(path), Option(query),
         Option(table).map(_.replace("`", "")), key))
+    case CompactRe(src, path, opts) =>
+      Some(SqlCompactTable(src.toLowerCase, unquote(path), options(opts)))
+    case VacuumRe(path) =>
+      Some(SqlVacuumTable(unquote(path)))
     case MergeShapeRe() =>
       fail(sqlText, "malformed graft MERGE statement; expected " +
         "MERGE INTO PARQUET '<keyed-table-path>' USING ((<query>)|<table>) " +
@@ -250,6 +262,42 @@ case class SqlMergeInto(
     Seq(Row(stats.touchedBuckets.toLong, stats.totalBuckets.toLong,
       stats.upserted, stats.carried))
   }
+}
+
+/** `COMPACT (PARQUET|ORC) '<path>' [OPTIONS ('smallFileBytes'='...',
+  * 'targetFileBytes'='...', 'minFiles'='...')]` — the SQL spelling of
+  * [[graft.ops.Layout.compact]]: rewrite runs of small files into
+  * target-sized ones per partition leaf, under the table lock, with the
+  * crash-safe manifest protocol and the refreshAfterMaintenance hook.
+  * Returns the compaction stats row. */
+case class SqlCompactTable(source: String, path: String,
+    options: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("compacted_files", LongType, nullable = false)(),
+    AttributeReference("produced_files", LongType, nullable = false)(),
+    AttributeReference("bytes_rewritten", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    def long(k: String, dflt: Long): Long =
+      options.get(k).map(_.toLong).getOrElse(dflt)
+    val stats = graft.ops.Layout.compact(spark, path,
+      smallFileBytes = long("smallFileBytes", 32L << 20),
+      targetFileBytes = long("targetFileBytes", 128L << 20),
+      minFiles = long("minFiles", 2L).toInt,
+      source = source)
+    Seq(Row(stats.compactedFiles.toLong, stats.producedFiles.toLong,
+      stats.bytesRewritten))
+  }
+}
+
+/** `VACUUM (PARQUET|ORC) '<path>'` — the SQL spelling of
+  * [[graft.ops.Layout.vacuum]]: heal interrupted compactions (roll
+  * forward/back) and crashed upsert staging dirs; returns the number of
+  * items healed. */
+case class SqlVacuumTable(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("healed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.Layout.vacuum(spark, path).toLong))
 }
 
 /** `SHOW INDEX ON <target>` — one row of index metadata (exists=false

@@ -204,5 +204,31 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!e4.getMessage.contains("malformed graft"))
   }
 
+  test("COMPACT and VACUUM SQL verbs run the layout maintenance ops") {
+    import spark.implicits._
+    val td = s"$work/compact_sql"
+    // 8 tiny files — all below the smallFileBytes threshold
+    (0 until 800).toDF("v").repartition(8)
+      .write.mode("overwrite").parquet(td)
+    val before = new java.io.File(td).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before == 8)
+    val stats = spark.sql(
+      s"COMPACT PARQUET '$td' OPTIONS ('minFiles'='2')").head()
+    assert(stats.getAs[Long]("compacted_files") == 8L)
+    assert(stats.getAs[Long]("produced_files") >= 1L)
+    val after = new java.io.File(td).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(after < before, s"compaction should shrink the file count: $after")
+    assert(spark.read.parquet(td).count() == 800L)
+    // vacuum on a healthy table heals nothing and returns 0
+    val healed = spark.sql(s"VACUUM PARQUET '$td'").head().getAs[Long]("healed")
+    assert(healed == 0L)
+    // Delta-style VACUUM <table> still delegates to Spark (resolution
+    // error, not our grammar error)
+    val e = intercept[Exception] { spark.sql("VACUUM some_missing_table") }
+    assert(!e.getMessage.contains("malformed graft"))
+  }
+
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 }
