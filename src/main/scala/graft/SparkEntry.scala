@@ -1102,6 +1102,22 @@ object SparkEntry {
         .orderBy($"l_orderkey")
     }),
 
+    // ANTI-join probe-side pruning (the NOT-EXISTS decontamination
+    // shape): the indexed fact sits on the RIGHT of a left_anti join —
+    // probe-only, so the rule injects the dim-key IN over it (a right
+    // row whose key misses every left key can never kill a left row)
+    // and the fact files cut; the oracle replays NOT EXISTS.
+    "q_idx_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val dim = tbl(s, dir, "supplier").filter($"s_suppkey" <= 20)
+        .select($"s_suppkey")
+      dim.join(
+          indexedLineitem(s, dir)
+            .filter($"l_quantity" === 50 && $"l_linenumber" === 7),
+          $"s_suppkey" === $"l_suppkey", "left_anti")
+        .orderBy($"s_suppkey")
+    }),
+
     // AUTOMATIC join pruning (zero-API twin of q_idx_join_prune): a stock
     // df.join over the indexed fact — no JoinPrune call anywhere — and the
     // conf-on JoinPruneRule injects the dim-key IN probe at optimize time,
@@ -7455,6 +7471,13 @@ object SparkEntry {
         |GROUP BY l_orderkey
         |HAVING sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) > 0
         |ORDER BY l_orderkey""".stripMargin,
+    "q_idx_join_anti" ->
+      """SELECT s_suppkey FROM supplier
+        |WHERE s_suppkey <= 20
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s_suppkey
+        |    AND l.l_quantity = 50 AND l.l_linenumber = 7)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_idx_map_value" ->
       """SELECT l_orderkey, count(*) AS n_items FROM lineitem
         |GROUP BY l_orderkey

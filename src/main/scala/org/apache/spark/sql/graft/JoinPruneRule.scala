@@ -96,8 +96,24 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case j @ Join(_, _, Inner, Some(_), _) =>
         rewrite(j, conf, factOnLeft = true)
           .orElse(rewrite(j, conf, factOnLeft = false)).getOrElse(j)
+      // semi joins emit LEFT rows only, so BOTH sides may be filtered: a
+      // left row without a right-key match is dropped by the join anyway,
+      // and a right row whose key misses every left key can never create
+      // a match — pruning the probe side cuts the indexed EXISTS-subquery
+      // relation too
       case j @ Join(_, _, LeftSemi, Some(_), _) =>
-        rewrite(j, conf, factOnLeft = true).getOrElse(j)
+        rewrite(j, conf, factOnLeft = true)
+          .orElse(rewrite(j, conf, factOnLeft = false)).getOrElse(j)
+      // anti joins emit left rows with NO match: the left side must never
+      // lose rows (its non-matching rows ARE the result), but a right row
+      // whose key misses every left key can never KILL a left row, so the
+      // right/probe side prunes — the NOT-EXISTS decontamination shape
+      // with a huge indexed corpus on the right. Null-aware NOT IN never
+      // reaches here: its condition is an Or(=, isnull(=)), not a plain
+      // equi-conjunct, and dropping right rows could flip its
+      // any-null-key semantics
+      case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftAnti, Some(_), _) =>
+        rewrite(j, conf, factOnLeft = false).getOrElse(j)
       // outer joins: only the NON-preserved side may be filtered — a
       // right row whose key has no left match contributes nothing to a
       // LEFT OUTER result (unmatched left rows emit nulls either way),

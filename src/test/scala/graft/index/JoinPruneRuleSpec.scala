@@ -347,6 +347,42 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaApi.count() == 2000L)
   }
 
+  test("semi/anti joins prune the indexed PROBE side (fact on the right)") {
+    import spark.implicits._
+    // EXISTS shape with the INDEXED table as the subquery: left is the
+    // small filtered driver, right (fact) is probe-only — prunable
+    val small = dim.filter($"dk" >= 4 && $"dk" <= 5).select($"dk")
+    val semi = small.join(fact, $"dk" === $"k", "left_semi")
+    val semiProbes = probeConjuncts(semi)
+    assert(semiProbes.exists(p => p.contains("(k)")), s"got $semiProbes")
+    assert(semi.count() == 2L)
+    semi.collect()
+    val semiScan = scans(semi.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+      .getOrElse(fail("no indexed scan"))
+    assert(semiScan.metrics("numFiles").value < 16L,
+      s"semi probe side should cut: ${semiScan.metrics("numFiles").value}/16")
+    // NOT EXISTS (plain anti): right/probe side prunes, left never does
+    val anti = small.join(fact.filter($"v" < 0L), $"dk" === $"k", "left_anti")
+    val antiProbes = probeConjuncts(anti)
+    assert(antiProbes.exists(p => p.contains("(k)")), s"got $antiProbes")
+    // no fact row has v < 0, so nothing kills the two left rows
+    assert(anti.count() == 2L)
+    // row parity against the unindexed replay
+    val plainFact = spark.read.parquet(factPath)
+    val expected = dim.filter($"dk" >= 4 && $"dk" <= 5).select($"dk")
+      .join(plainFact.filter($"v" < 0L), $"dk" === $"k", "left_anti")
+      .collect().map(_.toString).sorted.toSeq
+    assert(anti.collect().map(_.toString).sorted.toSeq == expected)
+    // null-aware NOT IN (Or-shaped condition) is never rewritten — and
+    // stays correct
+    fact.createOrReplaceTempView("jp_fact")
+    dim.filter($"dk" >= 4 && $"dk" <= 5).createOrReplaceTempView("jp_dim")
+    val notIn = spark.sql(
+      "SELECT dk FROM jp_dim WHERE dk NOT IN (SELECT k FROM jp_fact WHERE v < 0)")
+    assert(notIn.count() == 2L)
+  }
+
   test("fact-fact: BOTH indexed sides get cut by ping-pong probes, no loop") {
     import spark.implicits._
     // second INDEXED table on the same key domain: 16 files, 4 keys each
