@@ -259,6 +259,21 @@ class GraftFileIndex(
         case CLe(le, CLit(x, xt)) if x != null =>
           field(le).map(n => org.apache.spark.sql.sources.LessThanOrEqual(
             n, convertToScala(x, xt)): Filter).toSeq
+        // string predicates on a string leaf: the witnessing element's
+        // leaf value must satisfy them, so the element domain's byte-range
+        // (StartsWith) / exact-dict (Contains/EndsWith) verdicts apply
+        case org.apache.spark.sql.catalyst.expressions.StartsWith(
+            le, CLit(x, _)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.StringStartsWith(
+            n, x.toString): Filter).toSeq
+        case org.apache.spark.sql.catalyst.expressions.Contains(
+            le, CLit(x, _)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.StringContains(
+            n, x.toString): Filter).toSeq
+        case org.apache.spark.sql.catalyst.expressions.EndsWith(
+            le, CLit(x, _)) if x != null =>
+          field(le).map(n => org.apache.spark.sql.sources.StringEndsWith(
+            n, x.toString): Filter).toSeq
         // literal-on-the-left range forms flip the operator
         case CGt(CLit(x, xt), le) if x != null =>
           field(le).map(n => org.apache.spark.sql.sources.LessThan(

@@ -114,6 +114,12 @@ class JoinPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       // any-null-key semantics
       case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftAnti, Some(_), _) =>
         rewrite(j, conf, factOnLeft = false).getOrElse(j)
+      // existence joins (IN-subqueries under a disjunction) emit every
+      // left row plus a match flag — the left side must never lose rows,
+      // but a right row whose key misses every left key can never set
+      // any flag, so the probe side prunes exactly like semi/anti
+      case j @ Join(_, _, _: org.apache.spark.sql.catalyst.plans.ExistenceJoin, Some(_), _) =>
+        rewrite(j, conf, factOnLeft = false).getOrElse(j)
       // outer joins: only the NON-preserved side may be filtered — a
       // right row whose key has no left match contributes nothing to a
       // LEFT OUTER result (unmatched left rows emit nulls either way),

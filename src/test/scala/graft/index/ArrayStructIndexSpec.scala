@@ -125,6 +125,25 @@ class ArrayStructIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l2 <= 2L, s"conjunct cut expected <=2 files, listed $l2")
   }
 
+  test("string predicates inside the lambda cut by the leaf's byte range") {
+    import spark.implicits._
+    // LIKE 't25%' → StartsWith: only files whose tag range intersects
+    // [t25, t26) survive the byte-range fold
+    def q(d: DataFrame) = d.filter(exists($"events", x =>
+      x.getField("tag").startsWith("t25")))
+    checkSame(q(indexed), q(plain))
+    val (listed, total) = listedFiles(q(indexed))
+    assert(listed < total, s"prefix cut expected: $listed/$total")
+    // contains/endsWith parity (no dict sketch on this fixture: correct,
+    // unpruned)
+    def qc(d: DataFrame) = d.filter(exists($"events", x =>
+      x.getField("tag").contains("250")))
+    checkSame(qc(indexed), qc(plain))
+    def qe(d: DataFrame) = d.filter(exists($"events", x =>
+      x.getField("tag").endsWith("250")))
+    checkSame(qe(indexed), qe(plain))
+  }
+
   test("exists over an UNINDEXED leaf or unsupported shape never misprunes") {
     import spark.implicits._
     // qty is not indexed: no cut, but correct results

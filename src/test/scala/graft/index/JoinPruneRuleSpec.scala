@@ -381,6 +381,19 @@ class JoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val notIn = spark.sql(
       "SELECT dk FROM jp_dim WHERE dk NOT IN (SELECT k FROM jp_fact WHERE v < 0)")
     assert(notIn.count() == 2L)
+    // existence join (IN-subquery under a disjunction): every left row
+    // is emitted with a flag, the indexed probe side still prunes
+    val exist = spark.sql(
+      "SELECT dk FROM jp_dim WHERE dk IN (SELECT k FROM jp_fact) OR dk = 4")
+    val existProbes = probeConjuncts(exist)
+    assert(existProbes.exists(_.contains("(k)")), s"got $existProbes")
+    assert(exist.count() == 2L)
+    exist.collect()
+    val existScan = scans(exist.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[org.apache.spark.sql.graft.GraftFileIndex])
+      .getOrElse(fail("no indexed scan"))
+    assert(existScan.metrics("numFiles").value < 16L,
+      s"existence probe side should cut: ${existScan.metrics("numFiles").value}/16")
   }
 
   test("fact-fact: BOTH indexed sides get cut by ping-pong probes, no loop") {
