@@ -205,6 +205,38 @@ class ArrayStructIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage != null)
   }
 
+  test("array-of-struct NESTED under a struct (payload.events.supp) indexes too") {
+    import spark.implicits._
+    val p = s"$work/arrstruct_nested"
+    val rows = (0 until 8).flatMap { f =>
+      (0 until 20).map { r =>
+        val base = f * 100L + r
+        (f.toLong * 100 + r, Seq(Tuple1(base), Tuple1(base + 1)))
+      }
+    }
+    rows.toDF("id", "raw")
+      .select($"id", struct(transform($"raw", x =>
+        struct(x.getField("_1").as("supp"))).as("events")).as("payload"))
+      .repartitionByRange(8, $"id")
+      .write.mode("overwrite").parquet(p)
+    spark.index.create.mode("overwrite").indexBy("payload.events.supp").parquet(p)
+    val t = spark.index.parquet(p)
+    val pl = spark.read.parquet(p)
+    def q(d: DataFrame) = d.filter(exists($"payload.events", x =>
+      x.getField("supp") === 305L))
+    checkSame(q(t), q(pl))
+    val probe = q(t)
+    probe.collect()
+    val fi = probe.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: org.apache.spark.sql.graft.GraftFileIndex => g }.get
+    assert(fi.lastListedFiles < fi.lastTotalFiles,
+      s"nested-prefix leaf should cut: ${fi.lastListedFiles}/${fi.lastTotalFiles}")
+    // the extraction spelling over the nested path prunes the same way
+    def q2(d: DataFrame) = d.filter(array_contains($"payload.events.supp", 305L))
+    checkSame(q2(t), q2(pl))
+  }
+
   test("refresh: appended file's new leaf values are found and pruned to") {
     import spark.implicits._
     val p = s"$work/arrstruct_refresh"
