@@ -44,8 +44,13 @@ class CreateIndexCommand:
         self._jcmd = self._jcmd.indexByAll()
         return self
 
-    def parquet(self, path):
-        self._jcmd.parquet(path)
+    def parquet(self, *paths):
+        """One or more roots (or globs): a multi-path call builds ONE
+        index over the resolved root set."""
+        if len(paths) == 1:
+            self._jcmd.parquet(paths[0])
+        else:
+            self._jcmd.parquet(_to_jarray(self._spark, list(paths)))
 
     def orc(self, path):
         self._jcmd.orc(path)
@@ -59,11 +64,14 @@ class CreateIndexCommand:
 
 
 class ExistsIndexCommand:
-    def __init__(self, jcmd):
+    def __init__(self, jcmd, spark=None):
         self._jcmd = jcmd
+        self._spark = spark
 
-    def parquet(self, path):
-        return self._jcmd.parquet(path)
+    def parquet(self, *paths):
+        if len(paths) == 1:
+            return self._jcmd.parquet(paths[0])
+        return self._jcmd.parquet(_to_jarray(self._spark, list(paths)))
 
     def orc(self, path):
         return self._jcmd.orc(path)
@@ -73,11 +81,15 @@ class ExistsIndexCommand:
 
 
 class DeleteIndexCommand:
-    def __init__(self, jcmd):
+    def __init__(self, jcmd, spark=None):
         self._jcmd = jcmd
+        self._spark = spark
 
-    def parquet(self, path):
-        self._jcmd.parquet(path)
+    def parquet(self, *paths):
+        if len(paths) == 1:
+            self._jcmd.parquet(paths[0])
+        else:
+            self._jcmd.parquet(_to_jarray(self._spark, list(paths)))
 
     def orc(self, path):
         self._jcmd.orc(path)
@@ -90,15 +102,18 @@ class RefreshIndexCommand:
     """Incremental refresh after table files changed; returns a dict with
     the (re-)indexed and dropped file counts."""
 
-    def __init__(self, jcmd):
+    def __init__(self, jcmd, spark=None):
         self._jcmd = jcmd
+        self._spark = spark
 
     @staticmethod
     def _stats(jstats):
         return {"addedFiles": jstats.addedFiles(), "removedFiles": jstats.removedFiles()}
 
-    def parquet(self, path):
-        return self._stats(self._jcmd.parquet(path))
+    def parquet(self, *paths):
+        if len(paths) == 1:
+            return self._stats(self._jcmd.parquet(paths[0]))
+        return self._stats(self._jcmd.parquet(_to_jarray(self._spark, list(paths))))
 
     def orc(self, path):
         return self._stats(self._jcmd.orc(path))
@@ -118,15 +133,15 @@ class IndexManager:
 
     @property
     def refresh(self):
-        return RefreshIndexCommand(self._jmgr.refresh())
+        return RefreshIndexCommand(self._jmgr.refresh(), self._spark)
 
     @property
     def exists(self):
-        return ExistsIndexCommand(self._jmgr.exists())
+        return ExistsIndexCommand(self._jmgr.exists(), self._spark)
 
     @property
     def delete(self):
-        return DeleteIndexCommand(self._jmgr.delete())
+        return DeleteIndexCommand(self._jmgr.delete(), self._spark)
 
     def format(self, source):
         self._jmgr = self._jmgr.format(source)
@@ -136,8 +151,12 @@ class IndexManager:
         self._jmgr = self._jmgr.option(key, str(value))
         return self
 
-    def parquet(self, path):
-        return DataFrame(self._jmgr.parquet(path), self._spark)
+    def parquet(self, *paths):
+        """Load one root — or several roots/globs indexed as one set."""
+        if len(paths) == 1:
+            return DataFrame(self._jmgr.parquet(paths[0]), self._spark)
+        return DataFrame(
+            self._jmgr.parquet(_to_jarray(self._spark, list(paths))), self._spark)
 
     def orc(self, path):
         return DataFrame(self._jmgr.orc(path), self._spark)

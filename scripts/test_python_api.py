@@ -53,6 +53,23 @@ def main():
     plain2 = spark.read.parquet(table).filter(f"l_orderkey = {key}").collect()
     assert sorted(map(str, indexed2)) == sorted(map(str, plain2)), "post-refresh differ"
 
+    # multi-root: two sibling roots indexed as ONE set (list + glob)
+    mr_a = f"{work}/mr/even"
+    mr_b = f"{work}/mr/odd"
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.filter("l_orderkey % 2 = 0").repartition(2).write.parquet(mr_a)
+    li.filter("l_orderkey % 2 = 1").repartition(2).write.parquet(mr_b)
+    ctx.index.create.mode("overwrite").indexBy("l_orderkey").parquet(mr_a, mr_b)
+    assert ctx.index.exists.parquet(mr_a, mr_b), "multi-root index should exist"
+    assert ctx.index.exists.parquet(f"{work}/mr/*"), "glob should hit the same entry"
+    assert not ctx.index.exists.parquet(mr_a), "single root is a different set"
+    mr_rows = ctx.index.parquet(mr_a, mr_b).count()
+    assert mr_rows == li.count(), (mr_rows, li.count())
+    mr_stats = ctx.index.refresh.parquet(mr_a, mr_b)
+    assert mr_stats == {"addedFiles": 0, "removedFiles": 0}, mr_stats
+    ctx.index.delete.parquet(mr_a, mr_b)
+    assert not ctx.index.exists.parquet(mr_a, mr_b), "multi-root delete failed"
+
     # ops surface: compact the small-file tail, refresh, re-query
     before = spark.read.parquet(table).count()
     cstats = ctx.ops.compact(table)

@@ -697,6 +697,44 @@ case class DoubleFromSortableBits(child: Expression)
   override protected def withNewChildInternal(c: Expression): DoubleFromSortableBits = copy(child = c)
 }
 
+/** Bucket index of a double against a FIXED ascending boundary array:
+  * the count of boundaries strictly below the value (binary search,
+  * O(log B) per row, codegen'd). Monotone in the value and a PURE
+  * function of it — equal values always share a bucket, and the bucket
+  * order agrees with the value order — which is what lets
+  * [[graft.ops.GlobalOrder]] recompute bucket membership across
+  * independent jobs without caching: membership depends only on the
+  * row, never on shuffle layout. A value equal to a boundary lands in
+  * the LOWER bucket (strict <). */
+case class BucketByBounds(child: Expression, bounds: Seq[Double])
+  extends UnaryExpression with KernelUnaryCodegen {
+
+  require(bounds.nonEmpty, "at least one boundary required")
+  require(bounds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+    "boundaries must be ascending")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val arr: Array[Double] = bounds.toArray
+
+  def compute(v: Double): Int = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (arr(m) < v) lo = m + 1 else hi = m
+    }
+    lo
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Double])
+
+  override protected def kernelCall(ref: String, c: String): String = s"$ref.compute($c)"
+
+  override protected def withNewChildInternal(c: Expression): BucketByBounds = copy(child = c)
+}
+
 /** Feature-hashing bucket of a string: md5-lower-64 reduced modulo
   * `buckets` with UNSIGNED remainder semantics — bit-identical to DuckDB
   * `md5_number_lower(s) % buckets` (whose md5_number_lower is a UBIGINT),
@@ -1423,4 +1461,7 @@ object exprs {
   /** exact inverse of [[sortable_double_bits]]. */
   def double_from_sortable_bits(b: Column): Column =
     SparkInternals.wrap(DoubleFromSortableBits(SparkInternals.unwrap(b)))
+  /** count of ascending literal boundaries strictly below the value. */
+  def bucket_by_bounds(v: Column, bounds: Seq[Double]): Column =
+    SparkInternals.wrap(BucketByBounds(SparkInternals.unwrap(v), bounds))
 }

@@ -30,6 +30,46 @@ object IndexedDataSource {
     fs.makeQualified(p)
   }
 
+  /** Hadoop glob metacharacters (GlobFilter's alphabet). */
+  private def isGlob(s: String): Boolean =
+    s.exists(c => "{}[]*?\\".indexOf(c) >= 0)
+
+  /** Resolve path specs — concrete dirs/files, globs, or several of
+    * either — to the SORTED, deduplicated set of qualified non-glob
+    * roots (the reference resolves exactly one non-glob dir,
+    * IndexedDataSource.scala:173-177; multi-root and glob tables are a
+    * deliberate extension — same index machinery, several listing
+    * roots). The sort makes the set canonical, so the same spec always
+    * lands on the same metastore entry. Nested roots are rejected: the
+    * outer root's listing already contains the inner's files, so the
+    * index would double-count them. */
+  def resolveTableRoots(spark: SparkSession, paths: Seq[String]): Seq[Path] = {
+    require(paths.nonEmpty, "at least one table path required")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val roots = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (isGlob(p)) {
+        val hits = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+        require(hits.nonEmpty, s"glob matched nothing: $p")
+        hits.map(st => fs.makeQualified(st.getPath))
+      } else {
+        require(fs.exists(hp), s"table path does not exist: $p")
+        Seq(fs.makeQualified(hp))
+      }
+    }.distinct.sortBy(_.toString)
+    val set = roots.map(_.toString).toSet
+    roots.foreach { r =>
+      var p = r.getParent
+      while (p != null) {
+        require(!set.contains(p.toString),
+          s"table roots must not nest: $p contains $r")
+        p = p.getParent
+      }
+    }
+    roots
+  }
+
   /** Build and persist the index (reference flow §3.1). `options` are
     * per-call `spark.sql.index.*` overrides from the fluent API. */
   def createIndex(
@@ -40,19 +80,34 @@ object IndexedDataSource {
       columns: Seq[String],
       indexAll: Boolean,
       options: Map[String, String] = Map.empty,
-      source: String = Sources.Parquet): Unit = {
+      source: String = Sources.Parquet): Unit =
+    createIndex(spark, Seq(path), dataspace, mode, columns, indexAll, options, source)
+
+  /** Multi-root/glob create: the resolved root SET gets one metastore
+    * entry; listing, stats and pruning treat the union of roots as one
+    * table. */
+  def createIndex(
+      spark: SparkSession,
+      paths: Seq[String],
+      dataspace: String,
+      mode: SaveMode,
+      columns: Seq[String],
+      indexAll: Boolean,
+      options: Map[String, String],
+      source: String): Unit = {
     val src = Sources.normalize(source)
     val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
-    val tablePath = resolveTablePath(spark, path)
+    val roots = resolveTableRoots(spark, paths)
 
     // Discovery + validation BEFORE the SaveMode transaction, so a bad
     // indexBy() cannot destroy an existing index under Overwrite (the
     // reference validates inside the create body and loses the old index
     // on validation failure — deliberate delta).
-    val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
+    val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, roots)
     val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
-    require(allFiles.nonEmpty || partDirs.nonEmpty, s"no $src files under $tablePath")
+    require(allFiles.nonEmpty || partDirs.nonEmpty,
+      s"no $src files under ${roots.mkString(", ")}")
 
     // First-file schema is enough to validate the indexBy() columns (the
     // reference also infers the index schema from the first footer); the
@@ -67,8 +122,8 @@ object IndexedDataSource {
     // Same sibling lock refresh holds: a create (overwrite deletes the
     // index dir) cannot interleave with a live refresh of the same index.
     graft.ops.MaintenanceLock.withSiblingLock(
-        metastore.fs, metastore.location(dataspace, tablePath)) {
-    metastore.create(dataspace, tablePath, mode) { indexDir =>
+        metastore.fs, metastore.location(dataspace, roots)) {
+    metastore.create(dataspace, roots, mode) { indexDir =>
       SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
       IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
       val numParts =
@@ -123,8 +178,9 @@ object IndexedDataSource {
       metastore.writeMetadata(indexDir, IndexMetadata(
         // the LOWEST version describing this schema, so indexes without
         // new-domain fields stay readable by older binaries
-        version = IndexMetadata.versionFor(indexSchema),
-        tablePath = tablePath.toString,
+        version = IndexMetadata.versionFor(indexSchema, roots.size > 1),
+        tablePath = roots.head.toString,
+        tablePaths = if (roots.size > 1) roots.map(_.toString) else Nil,
         dataSchema = dataSchema,
         indexSchema = indexSchema,
         partitionSchema = partitionSchema,
@@ -324,13 +380,25 @@ object IndexedDataSource {
       spark: SparkSession,
       path: String,
       dataspace: String,
-      options: Map[String, String] = Map.empty): RefreshStats = {
+      options: Map[String, String] = Map.empty): RefreshStats =
+    refreshIndex(spark, Seq(path), dataspace, options)
+
+  /** Multi-root refresh. The ROOT SET is frozen at create (it keys the
+    * metastore entry): a glob that matches new directories resolves to
+    * a DIFFERENT set — create a new index for it; refresh picks up new
+    * FILES under the existing roots. */
+  def refreshIndex(
+      spark: SparkSession,
+      paths: Seq[String],
+      dataspace: String,
+      options: Map[String, String]): RefreshStats = {
     import org.apache.spark.sql.functions.col
 
     val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
-    val tablePath = resolveTablePath(spark, path)
-    val (indexDir, meta) = metastore.load(dataspace, tablePath)
+    val roots = resolveTableRoots(spark, paths)
+    val (indexDir, meta) = metastore.load(dataspace, roots)
+    val metaRoots = meta.rootPathStrings.map(new Path(_))
     val fs = metastore.fs
     val filesDir = new Path(indexDir, Metastore.FilesDir)
     val sketchDir = new Path(indexDir, Metastore.SketchDir)
@@ -359,10 +427,10 @@ object IndexedDataSource {
     //     (O(dirs)) and the diff collects only ADDED refs, so driver
     //     residency is O(delta) however many files the table holds.
     val distributedListing = meta.fileCount >= conf.distributedPruningThreshold
-    val (currentKeys, addedRefs, removedCount):
-        (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long) =
+    val (currentKeys, addedRefs, removedCount, removedBytes):
+        (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long, Long) =
       if (!distributedListing) {
-        val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, tablePath)
+        val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, metaRoots)
         require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
             partitionSchema, meta.partitionSchema),
           s"partition schema changed (${meta.partitionSchema.simpleString} -> " +
@@ -385,11 +453,16 @@ object IndexedDataSource {
           .toDF("path", "size", "modificationTime")
         val added = ck.join(oldKeys, keyCols, "left_anti")
           .select("path").as[String].collect().toSet
-        val removed = oldKeys.join(ck, keyCols, "left_anti").count()
-        (ck, current.filter { case (_, r) => added.contains(r.path) }, removed)
+        val rem = oldKeys.join(ck, keyCols, "left_anti")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(col("size"))).head
+        val removed = rem.getLong(0)
+        val removedB = if (rem.isNullAt(1)) 0L else rem.getLong(1)
+        (ck, current.filter { case (_, r) => added.contains(r.path) }, removed, removedB)
       } else {
         distributedListingDiff(
-          spark, tablePath, meta, oldKeys, keyCols, listingTmp, partValues, idxByValues)
+          spark, metaRoots, meta, oldKeys, keyCols, listingTmp, partValues, idxByValues)
       }
     val addedPaths = addedRefs.map(_._2.path).toSet
 
@@ -423,25 +496,35 @@ object IndexedDataSource {
     }
 
     // 2. Footer job over the added files only, appended to the files
-    //    table; the returned summary re-aggregates the WHOLE table, so
-    //    counts and the merged schema are global.
+    //    table. The summary is DELTA-scoped and composed with the
+    //    previous metadata incrementally (count/bytes arithmetic, schema
+    //    widened by the delta) — a 1-file append must never re-aggregate
+    //    the whole 10^6-row files table (the schemaJson blob column made
+    //    that the refresh floor). Exact by induction from create, which
+    //    summarizes the full table.
     val numParts =
       if (conf.numPartitions > 0) conf.numPartitions
       else math.min(spark.sparkContext.defaultParallelism * 3,
         spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    val summary =
+    val delta =
       if (addedRefs.nonEmpty) {
         val s = StatisticsBuilder.writeFileStats(
           spark, addedRefs, meta.indexSchema, numParts, filesDir, mode = "append",
-          source = meta.source)
+          source = meta.source, summarizeDelta = true)
         // Detection only fires on statless rows, which after an append can
-        // only be the delta — already-patched files keep their bounds.
+        // only be the delta — scope the blocksJson parse to it too.
         if (conf.minMaxFallback && meta.indexSchema.nonEmpty) {
           StatisticsBuilder.fullScanMinMaxFallback(
-            spark, filesDir, meta.indexSchema, source = meta.source)
+            spark, filesDir, meta.indexSchema, source = meta.source,
+            onlyPaths = Some(addedRefs.map(_._2.path)))
         }
         s
-      } else StatisticsBuilder.summarizeFilesTable(spark, filesDir)
+      } else StatisticsBuilder.FileStatsSummary(None, 0L, 0L, 0L)
+    val newFileCount = meta.fileCount - removedCount + delta.fileCount
+    val newTotalBytes = meta.totalBytes - removedBytes + delta.totalBytes
+    val newDataSchema = delta.dataSchema
+      .map(d => org.apache.spark.sql.graft.SparkInternals.mergeSchemas(meta.dataSchema, d))
+      .getOrElse(meta.dataSchema)
 
     // 3. Sketches: drop stale rows first (only when removals exist —
     //    semi-join against the settled files table, fully distributed),
@@ -468,18 +551,20 @@ object IndexedDataSource {
         fs.rename(tmp, sketchDir)
       }
       if (addedRefs.nonEmpty) {
+        // sketch sizing needs to cover the files being sketched — the
+        // ADDED ones — so the delta max is the right bound
         StatisticsBuilder.buildSketches(
           spark, addedRefs.map(_._2.path), meta.indexSchema, kind,
-          expectedItems = math.max(4096L, summary.maxFileRows),
+          expectedItems = math.max(4096L, delta.maxFileRows),
           sketchDir, mode = "append", source = meta.source)
       }
     }
 
     metastore.writeMetadata(indexDir, meta.copy(
-      dataSchema = summary.dataSchema.getOrElse(meta.dataSchema),
+      dataSchema = newDataSchema,
       partitionValues = partValues.toSeq,
-      fileCount = summary.fileCount,
-      totalBytes = summary.totalBytes))
+      fileCount = newFileCount,
+      totalBytes = newTotalBytes))
     fs.create(new Path(indexDir, Metastore.SuccessFile), true).close()
     val stats = RefreshStats(addedPaths.size.toLong, removedCount)
 
@@ -506,41 +591,80 @@ object IndexedDataSource {
     * mutation settles. */
   private def distributedListingDiff(
       spark: SparkSession,
-      tablePath: Path,
+      roots: Seq[Path],
       meta: IndexMetadata,
       oldKeys: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String],
       listingTmp: Path,
       partValues: scala.collection.mutable.ArrayBuffer[Seq[Option[String]]],
       idxByValues: scala.collection.mutable.HashMap[Seq[Option[String]], Int])
-      : (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long) = {
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long, Long) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val hconf = spark.sparkContext.hadoopConfiguration
-    val tfs = tablePath.getFileSystem(hconf)
-    val rootStr = tfs.makeQualified(tablePath).toString
+    val tfs = roots.head.getFileSystem(hconf)
+    val rootStrs = roots.map(r => r.getFileSystem(hconf).makeQualified(r).toString)
     if (tfs.exists(listingTmp)) tfs.delete(listingTmp, true) // crashed-run debris
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(hconf))
 
-    // level-walk: files stream to the scratch table, dirs come back
-    var dirs: Seq[String] = Seq(rootStr)
+    // level-walk seeded with EVERY root at once: files stream to the
+    // scratch table, dirs come back (roots never nest, so each listed
+    // path belongs to exactly one root)
+    var dirs: Seq[String] = rootStrs
     var depth = 0
-    var maxDirRows = 1L
+    var maxDirRows = rootStrs.size.toLong
     while (dirs.nonEmpty) {
-      require(depth < 64, s"directory nesting beyond 64 levels under $rootStr")
+      require(depth < 64, s"directory nesting beyond 64 levels under ${rootStrs.mkString(", ")}")
       val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, dirs.size))
-      val level = spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
-        val p = new Path(d)
-        p.getFileSystem(confBc.value.value).listStatus(p).iterator
-          .filter { st =>
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".") // Spark's hidden-file rule
+      val statSlices = math.max(slices, spark.sparkContext.defaultParallelism * 2)
+      val allLocal = dirs.forall(_.startsWith("file:"))
+      val level = (if (!allLocal) {
+        // cluster filesystems: one listStatus per dir — HDFS/S3A return
+        // size+mtime in bulk listing pages, so this IS the cheap path
+        spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
+          val p = new Path(d)
+          p.getFileSystem(confBc.value.value).listStatus(p).iterator
+            .filter { st =>
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".") // Spark's hidden-file rule
+            }
+            .map(st => (st.isDirectory, st.getPath.toString, st.getLen,
+              st.getModificationTime,
+              if (st.getBlockSize > 0) st.getBlockSize else FileEntry.DefaultBlockSize))
+        }
+      } else {
+        // file:// — RawLocalFileSystem.listStatus costs SEVERAL stat
+        // syscalls per child inside ONE task, so a flat million-file dir
+        // pays ~12 s serially. Split it the way a cluster FS does
+        // natively: a names-only readdir per dir (no stat), shuffled
+        // across executors, then ONE statx per file in parallel.
+        // qualified local paths are exactly "file:" + POSIX path (empty
+        // authority), so stripPrefix round-trips spaces/special chars
+        // that java.net.URI parsing would reject. The name shuffle runs
+        // as a DATASET exchange (Tungsten rows), not an RDD repartition,
+        // so no generic serializer ever touches the records.
+        spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
+          val dirFile = new java.io.File(d.stripPrefix("file:"))
+          Option(dirFile.list()).iterator.flatten
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .map(n => d + "/" + n)
+        }.toDF("p").repartition(statSlices).as[String].mapPartitions { it =>
+          it.flatMap { full =>
+            val f = java.nio.file.Paths.get(full.stripPrefix("file:"))
+            try {
+              val a = java.nio.file.Files.readAttributes(
+                f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              Iterator.single((a.isDirectory, full, a.size(),
+                a.lastModifiedTime().toMillis, FileEntry.DefaultBlockSize))
+            } catch {
+              // deleted between readdir and stat — same as listStatus
+              // racing a concurrent writer: skip
+              case _: java.io.IOException => Iterator.empty
+            }
           }
-          .map(st => (st.isDirectory, st.getPath.toString, st.getLen,
-            st.getModificationTime,
-            if (st.getBlockSize > 0) st.getBlockSize else FileEntry.DefaultBlockSize))
-      }.toDF("isDir", "path", "size", "modificationTime", "blockSize")
+        }.rdd
+      }).toDF("isDir", "path", "size", "modificationTime", "blockSize")
         .persist()
       level.filter(!col("isDir") && col("size") > 0).drop("isDir")
         .write.mode("append").parquet(listingTmp.toString)
@@ -561,23 +685,53 @@ object IndexedDataSource {
     // a name/depth mismatch = the partition layout changed -> fail fast
     val fieldNames = meta.partitionSchema.fieldNames.toSeq
     val fieldTypeJson = meta.partitionSchema.fields.map(_.dataType.json).toSeq
-    val rootB = rootStr
-    val parseVals = (c: org.apache.spark.sql.Column) =>
-      graft.functions.exprs.parse_partition_values(c, rootB, fieldNames, fieldTypeJson)
-    val listing = spark.read.parquet(listingTmp.toString)
-      .withColumn("partVals", parseVals(col("path")))
+    val rawListing = spark.read.parquet(listingTmp.toString)
+    // each file parses relative to ITS root (prefix match is unambiguous:
+    // resolveTableRoots rejects nested roots); a root that is itself a
+    // data FILE matches by equality and parses as depth-0 (unpartitioned)
+    val listing = rootStrs.map { rootB =>
+      val parseVals = (c: org.apache.spark.sql.Column) =>
+        graft.functions.exprs.parse_partition_values(c, rootB, fieldNames, fieldTypeJson)
+      rawListing
+        .filter(col("path") === rootB || col("path").startsWith(rootB + "/"))
+        .withColumn("partVals", parseVals(col("path")))
+    }.reduce(_.unionAll(_))
 
-    // new partition dirs append (sorted for determinism); O(partitions)
-    val tuples: Seq[Seq[Option[String]]] = listing.select("partVals").distinct()
-      .as[Seq[String]].collect().toSeq
-      .map(_.map(Option(_)))
+    // ONE full-outer pass computes both sides of the diff: added rows
+    // are collected (O(delta)), the removed side is reduced to
+    // (count, bytes) INSIDE the same action via Observation — no second
+    // O(all files) anti-join, no second read of the scratch table.
+    val obs = org.apache.spark.sql.Observation(
+      "graft-refresh-diff-" + java.util.UUID.randomUUID())
+    import org.apache.spark.sql.functions.lit
+    val joined = listing.withColumn("__live", lit(1))
+      .join(oldKeys.withColumn("__known", lit(1)), keyCols, "full_outer")
+    val addedRows = joined
+      .observe(obs,
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("__live").isNull, lit(1L)).otherwise(lit(0L))).as("rc"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("__live").isNull, col("size")).otherwise(lit(0L))).as("rb"))
+      .filter(col("__known").isNull)
+      .collect()
+    val metrics = obs.get
+    val removedCount = Option(metrics.getOrElse("rc", null))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val removedBytes = Option(metrics.getOrElse("rb", null))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+    // new partition dirs append (sorted for determinism) — derived from
+    // the ADDED rows only: existing partitions are already in the
+    // metadata, and a new partition dir implies at least one added file,
+    // so the full-listing distinct the old shape ran is pure overhead
+    val tuples: Seq[Seq[Option[String]]] = addedRows.toSeq
+      .map(_.getAs[scala.collection.Seq[String]]("partVals").toSeq.map(Option(_)))
+      .distinct
       .sortBy(_.map(_.getOrElse("")).mkString("\u0000"))
     tuples.foreach { t =>
       idxByValues.getOrElseUpdate(t, { partValues += t; partValues.size - 1 })
     }
 
-    // the diff: only ADDED refs are ever collected
-    val addedRows = listing.join(oldKeys, keyCols, "left_anti").collect()
     val addedRefs = addedRows.toSeq.map { r =>
       val vals: Seq[Option[String]] =
         r.getAs[scala.collection.Seq[String]]("partVals").toSeq.map(Option(_))
@@ -585,28 +739,32 @@ object IndexedDataSource {
         r.getAs[String]("path"), r.getAs[Long]("size"),
         r.getAs[Long]("modificationTime"), r.getAs[Long]("blockSize"))
     }
-    val removedCount = oldKeys
-      .join(listing.select(keyCols.map(col): _*), keyCols, "left_anti").count()
     lastListingResidency = Some((maxDirRows, tuples.size.toLong, addedRefs.size.toLong))
-    (listing.select(keyCols.map(col): _*), addedRefs, removedCount)
+    (listing.select(keyCols.map(col): _*), addedRefs, removedCount, removedBytes)
   }
 
-  def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean = {
+  def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean =
+    existsIndex(spark, Seq(path), dataspace)
+
+  def existsIndex(spark: SparkSession, paths: Seq[String], dataspace: String): Boolean = {
     val metastore = Metastore(spark)
-    try metastore.exists(dataspace, resolveTablePath(spark, path))
+    try metastore.exists(dataspace, resolveTableRoots(spark, paths))
     catch { case _: Exception => false }
   }
 
-  def deleteIndex(spark: SparkSession, path: String, dataspace: String): Unit = {
+  def deleteIndex(spark: SparkSession, path: String, dataspace: String): Unit =
+    deleteIndex(spark, Seq(path), dataspace)
+
+  def deleteIndex(spark: SparkSession, paths: Seq[String], dataspace: String): Unit = {
     val metastore = Metastore(spark)
-    val tablePath = resolveTablePath(spark, path)
-    val indexDir = metastore.location(dataspace, tablePath)
+    val roots = resolveTableRoots(spark, paths)
+    val indexDir = metastore.location(dataspace, roots)
     // Sibling lock (shared with create/refresh): deleting an index out
     // from under a live refresh would leave a torn, _SUCCESS-less dir.
     graft.ops.MaintenanceLock.withSiblingLock(metastore.fs, indexDir) {
       SketchStore.invalidate(new Path(indexDir, Metastore.SketchDir))
       IndexFilesTable.invalidate(new Path(indexDir, Metastore.FilesDir))
-      metastore.delete(dataspace, tablePath)
+      metastore.delete(dataspace, roots)
     }
   }
 
@@ -621,18 +779,28 @@ object IndexedDataSource {
       path: String,
       dataspace: String,
       options: Map[String, String] = Map.empty,
-      expectedSource: Option[String] = None): DataFrame = {
+      expectedSource: Option[String] = None): DataFrame =
+    load(spark, Seq(path), dataspace, options, expectedSource)
+
+  /** Multi-root/glob load: the resolved root set keys the metastore
+    * entry exactly as at create time. */
+  def load(
+      spark: SparkSession,
+      paths: Seq[String],
+      dataspace: String,
+      options: Map[String, String],
+      expectedSource: Option[String]): DataFrame = {
     val conf = IndexConf(spark, options)
     val metastore = new Metastore(spark, conf)
-    val tablePath = resolveTablePath(spark, path)
-    if (conf.createIfNotExists && !metastore.exists(dataspace, tablePath)) {
-      createIndex(spark, path, dataspace, SaveMode.Overwrite, Nil, indexAll = true,
+    val roots = resolveTableRoots(spark, paths)
+    if (conf.createIfNotExists && !metastore.exists(dataspace, roots)) {
+      createIndex(spark, paths, dataspace, SaveMode.Overwrite, Nil, indexAll = true,
         options, expectedSource.getOrElse(Sources.Parquet))
     }
-    val (indexDir, meta) = metastore.load(dataspace, tablePath)
+    val (indexDir, meta) = metastore.load(dataspace, roots)
     expectedSource.map(Sources.normalize).foreach { s =>
       require(s == meta.source,
-        s"index at $tablePath was built over ${meta.source} data, not $s; " +
+        s"index at ${roots.mkString(", ")} was built over ${meta.source} data, not $s; " +
           s"load it with format(\"${meta.source}\") / .${meta.source}(path)")
     }
     val fileIndex = new GraftFileIndex(spark, indexDir, meta, conf)

@@ -144,6 +144,30 @@ class Metastore(spark: SparkSession, conf: IndexConf) {
     new Path(new Path(new Path(metastorePath, dataspace), scheme), cleanPath)
   }
 
+  /** Index directory for a RESOLVED ROOT SET (multi-root / glob tables):
+    * one metastore entry per distinct set. The directory name is the
+    * first root's entry plus a digest of the full sorted set, so the
+    * same roots always resolve to the same index and a different set
+    * (even sharing the first root) never collides. Single-element sets
+    * use the plain single-root location — unchanged layout. */
+  def location(dataspace: String, roots: Seq[Path]): Path = {
+    require(roots.nonEmpty, "at least one table root required")
+    if (roots.size == 1) location(dataspace, roots.head)
+    else {
+      val primary = location(dataspace, roots.head)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(roots.map(_.toString).sorted.mkString("\u0000")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      new Path(primary.getParent, s"${primary.getName}__multiroot_$digest")
+    }
+  }
+
+  def exists(dataspace: String, roots: Seq[Path]): Boolean = {
+    val dir = location(dataspace, roots)
+    try fs.exists(new Path(dir, Metastore.SuccessFile)) catch { case _: Exception => false }
+  }
+
   def exists(dataspace: String, tablePath: Path): Boolean = {
     val dir = location(dataspace, tablePath)
     try fs.exists(new Path(dir, Metastore.SuccessFile)) catch { case _: Exception => false }
@@ -153,10 +177,14 @@ class Metastore(spark: SparkSession, conf: IndexConf) {
     * Overwrite deletes and rebuilds; ErrorIfExists throws; Ignore no-ops;
     * Append is delegated to the body (Parquet support rejects it). Writes
     * `_SUCCESS` on success; cleans up on failure. */
-  def create(dataspace: String, tablePath: Path, mode: SaveMode)(body: Path => Unit): Unit = {
-    val dir = location(dataspace, tablePath)
+  def create(dataspace: String, tablePath: Path, mode: SaveMode)(body: Path => Unit): Unit =
+    create(dataspace, Seq(tablePath), mode)(body)
+
+  def create(dataspace: String, roots: Seq[Path], mode: SaveMode)(body: Path => Unit): Unit = {
+    val dir = location(dataspace, roots)
+    val tablePath = roots.head
     Metastore.cacheInvalidate(dir.toString)
-    val alreadyExists = exists(dataspace, tablePath)
+    val alreadyExists = exists(dataspace, roots)
     mode match {
       case SaveMode.Overwrite =>
         if (fs.exists(dir)) fs.delete(dir, true)
@@ -180,8 +208,11 @@ class Metastore(spark: SparkSession, conf: IndexConf) {
     }
   }
 
-  def delete(dataspace: String, tablePath: Path): Unit = {
-    val dir = location(dataspace, tablePath)
+  def delete(dataspace: String, tablePath: Path): Unit =
+    delete(dataspace, Seq(tablePath))
+
+  def delete(dataspace: String, roots: Seq[Path]): Unit = {
+    val dir = location(dataspace, roots)
     Metastore.cacheInvalidate(dir.toString)
     try { fs.delete(dir, true); () } catch { case _: Exception => }
   }
@@ -192,8 +223,12 @@ class Metastore(spark: SparkSession, conf: IndexConf) {
     * after the configured TTL (reference parity: 12 h,
     * Metastore.scala:60-65) so an EXTERNAL writer's refresh is picked up
     * by long-lived sessions without an explicit invalidate. */
-  def load(dataspace: String, tablePath: Path): (Path, IndexMetadata) = {
-    val dir = location(dataspace, tablePath)
+  def load(dataspace: String, tablePath: Path): (Path, IndexMetadata) =
+    load(dataspace, Seq(tablePath))
+
+  def load(dataspace: String, roots: Seq[Path]): (Path, IndexMetadata) = {
+    val dir = location(dataspace, roots)
+    val tablePath = roots.head
     val meta = Metastore.cacheGet(dir.toString,
         ttlMillis = conf.metastoreCacheTtlSeconds * 1000L) {
       if (!fs.exists(new Path(dir, Metastore.SuccessFile))) {

@@ -105,7 +105,8 @@ object StatisticsBuilder {
       numPartitions: Int,
       filesDir: Path,
       mode: String = "overwrite",
-      source: String = Sources.Parquet): FileStatsSummary = {
+      source: String = Sources.Parquet,
+      summarizeDelta: Boolean = false): FileStatsSummary = {
     if (refs.isEmpty) return FileStatsSummary(None, 0L, 0L, 0L)
     val src = Sources.normalize(source)
     val confBc = spark.sparkContext.broadcast(
@@ -134,10 +135,29 @@ object StatisticsBuilder {
             IndexMetadata.blocksToJsonString(footer.blocks), footer.rowCount)
         }
       }
-    spark.createDataFrame(rows)
-      .sortWithinPartitions("partitionIdx", "path")
-      .write.mode(mode).parquet(filesDir.toString)
-    summarizeFilesTable(spark, filesDir)
+    val frame = spark.createDataFrame(rows)
+    if (!summarizeDelta) {
+      frame.sortWithinPartitions("partitionIdx", "path")
+        .write.mode(mode).parquet(filesDir.toString)
+      summarizeFilesTable(spark, filesDir)
+    } else {
+      // delta-scoped summary: counts/schema over THESE refs only, so a
+      // refresh never re-aggregates the whole table (O(all files), with
+      // the schemaJson blob column read row by row) for a small append —
+      // the caller composes the global summary incrementally from the
+      // previous metadata. Persist so the footer job runs once (the
+      // summary aggregation would otherwise recompute the RDD and read
+      // every delta footer a second time).
+      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        frame.sortWithinPartitions("partitionIdx", "path")
+          .write.mode(mode).parquet(filesDir.toString)
+        summarizeFrame(frame)
+      } finally {
+        frame.unpersist()
+        ()
+      }
+    }
   }
 
   /** Does the frame resolve `name` — as a top-level column, or (for a
@@ -150,8 +170,12 @@ object StatisticsBuilder {
 
   /** Summary + schema merge over the whole files table (columnar reads of
     * three small columns; distinct schemas are few even at 1M files). */
-  def summarizeFilesTable(spark: SparkSession, filesDir: Path): FileStatsSummary = {
-    val back = spark.read.parquet(filesDir.toString)
+  def summarizeFilesTable(spark: SparkSession, filesDir: Path): FileStatsSummary =
+    summarizeFrame(spark.read.parquet(filesDir.toString))
+
+  /** The same summary over an arbitrary FileStatsRow frame (the whole
+    * table at create, the delta slice at refresh). */
+  def summarizeFrame(back: org.apache.spark.sql.DataFrame): FileStatsSummary = {
     val agg = back.agg(
       count(lit(1)), sum(col("size")), max(col("rowCount"))).head
     val schemaJsons = back.groupBy(col("schemaJson"))
@@ -523,7 +547,8 @@ object StatisticsBuilder {
       spark: SparkSession,
       filesDir: Path,
       indexSchema: StructType,
-      source: String = Sources.Parquet): Long = {
+      source: String = Sources.Parquet,
+      onlyPaths: Option[Seq[String]] = None): Long = {
     import spark.implicits._
     if (indexSchema.isEmpty) return 0L
     // element-domain (array) fields are excluded: min(arrayCol) is the
@@ -533,7 +558,17 @@ object StatisticsBuilder {
     val indexedNames = indexSchema.fields
       .filterNot(IndexMetadata.isElementDomain).map(_.name)
     if (indexedNames.isEmpty) return 0L
-    val files = spark.read.parquet(filesDir.toString).as[FileStatsRow]
+    val allRows = spark.read.parquet(filesDir.toString).as[FileStatsRow]
+    // refresh knows only the DELTA can be statless — an isin on the
+    // sorted path column pushes into the parquet scan and skips every
+    // pre-existing row group, so detection never parses the whole
+    // table's blocksJson for a small append (the 10^6-file refresh
+    // floor). Large deltas fall back to the full detection scan.
+    val files = onlyPaths match {
+      case Some(ps) if ps.nonEmpty && ps.size <= 10000 =>
+        allRows.filter(col("path").isin(ps: _*)).as[FileStatsRow]
+      case _ => allRows
+    }
 
     // 1. detection — executor-side JSON parse, only hits come back
     val affected: Array[(String, Seq[String])] = files.flatMap { r =>
@@ -568,10 +603,13 @@ object StatisticsBuilder {
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
 
-    // 3. join + patch + rewrite (tmp + rename, as refresh does)
+    // 3. join + patch + rewrite (tmp + rename, as refresh does). The
+    //    rewrite covers the WHOLE table (allRows, never the onlyPaths
+    //    slice — replacing the table with just the delta would drop
+    //    every pre-existing row); only the affected rows change.
     val colNamesB = colNames
     val colTypesB = colTypes
-    val patched = files.toDF()
+    val patched = allRows.toDF()
       .join(perFile, normPath(col("path")) === col("__file"), "left")
       .map { row =>
         val base = FileStatsRow(

@@ -52,6 +52,12 @@ class IndexManager(spark: SparkSession) {
     IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions,
       expectedSource = Some(sourceFormat))
 
+  /** Multi-root/glob load (extension; the reference resolves one
+    * non-glob dir): the same resolved root set as at create time. */
+  def load(paths: String*): DataFrame =
+    IndexedDataSource.load(spark, paths.toSeq, Metastore.Dataspace, extraOptions,
+      expectedSource = Some(sourceFormat))
+
   /** Per-call options (reference DataFrameIndexManager.option/options,
     * DataFrameIndexManager.scala:29-128): `spark.sql.index.*` keys
     * override the session conf for this manager's loads/creates; other
@@ -79,10 +85,27 @@ class IndexManager(spark: SparkSession) {
     IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions,
       expectedSource = Some(Sources.Parquet))
 
+  /** Multi-root/glob variant: load the index created over this exact
+    * resolved root set. */
+  def parquet(paths: String*): DataFrame =
+    IndexedDataSource.load(spark, paths.toSeq, Metastore.Dataspace, extraOptions,
+      expectedSource = Some(Sources.Parquet))
+
+  /** Java/py4j-friendly multi-root overload. */
+  def parquet(paths: Array[String]): DataFrame = parquet(paths.toSeq: _*)
+
   /** Load an indexed ORC table as a DataFrame with index-driven pruning. */
   def orc(path: String): DataFrame =
     IndexedDataSource.load(spark, path, Metastore.Dataspace, extraOptions,
       expectedSource = Some(Sources.Orc))
+
+  /** Multi-root/glob ORC variant. */
+  def orc(paths: String*): DataFrame =
+    IndexedDataSource.load(spark, paths.toSeq, Metastore.Dataspace, extraOptions,
+      expectedSource = Some(Sources.Orc))
+
+  /** Java/py4j-friendly multi-root overload. */
+  def orc(paths: Array[String]): DataFrame = orc(paths.toSeq: _*)
 
   /** Load an indexed catalog table (format from the table's provider). */
   def table(tableName: String): DataFrame = {
@@ -141,9 +164,25 @@ class CreateIndexCommand(
       spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions,
       Sources.Parquet)
 
+  /** Multi-root/glob create: ONE index over the union of the resolved
+    * roots (extension; the reference resolves one non-glob dir). */
+  def parquet(paths: String*): Unit =
+    IndexedDataSource.createIndex(
+      spark, paths.toSeq, Metastore.Dataspace, saveMode, columns, all, extraOptions,
+      Sources.Parquet)
+
+  /** Java/py4j-friendly multi-root overload. */
+  def parquet(paths: Array[String]): Unit = parquet(paths.toSeq: _*)
+
   def orc(path: String): Unit =
     IndexedDataSource.createIndex(
       spark, path, Metastore.Dataspace, saveMode, columns, all, extraOptions,
+      Sources.Orc)
+
+  /** Multi-root/glob ORC create. */
+  def orc(paths: String*): Unit =
+    IndexedDataSource.createIndex(
+      spark, paths.toSeq, Metastore.Dataspace, saveMode, columns, all, extraOptions,
       Sources.Orc)
 
   /** format(...)-selected build over a path (reference
@@ -175,6 +214,14 @@ class RefreshIndexCommand(spark: SparkSession, initialOptions: Map[String, Strin
   def parquet(path: String): IndexedDataSource.RefreshStats =
     IndexedDataSource.refreshIndex(spark, path, Metastore.Dataspace, extraOptions)
 
+  /** Multi-root/glob refresh: new FILES under the frozen root set. */
+  def parquet(paths: String*): IndexedDataSource.RefreshStats =
+    IndexedDataSource.refreshIndex(spark, paths.toSeq, Metastore.Dataspace, extraOptions)
+
+  /** Java/py4j-friendly multi-root overload. */
+  def parquet(paths: Array[String]): IndexedDataSource.RefreshStats =
+    parquet(paths.toSeq: _*)
+
   /** Refresh an ORC-table index (the format is read from the index
     * metadata, so this is the parquet terminal's path-addressed twin). */
   def orc(path: String): IndexedDataSource.RefreshStats = parquet(path)
@@ -189,6 +236,12 @@ class RefreshIndexCommand(spark: SparkSession, initialOptions: Map[String, Strin
 class ExistsIndexCommand(spark: SparkSession) {
   def parquet(path: String): Boolean =
     IndexedDataSource.existsIndex(spark, path, Metastore.Dataspace)
+  /** Multi-root/glob exists. */
+  def parquet(paths: String*): Boolean =
+    IndexedDataSource.existsIndex(spark, paths.toSeq, Metastore.Dataspace)
+
+  /** Java/py4j-friendly multi-root overload. */
+  def parquet(paths: Array[String]): Boolean = parquet(paths.toSeq: _*)
   def orc(path: String): Boolean = parquet(path)
   def table(tableName: String): Boolean = {
     val (_, location) = new IndexManager(spark).requireSupportedTable(spark, tableName)
@@ -199,6 +252,12 @@ class ExistsIndexCommand(spark: SparkSession) {
 class DeleteIndexCommand(spark: SparkSession) {
   def parquet(path: String): Unit =
     IndexedDataSource.deleteIndex(spark, path, Metastore.Dataspace)
+  /** Multi-root/glob delete. */
+  def parquet(paths: String*): Unit =
+    IndexedDataSource.deleteIndex(spark, paths.toSeq, Metastore.Dataspace)
+
+  /** Java/py4j-friendly multi-root overload. */
+  def parquet(paths: Array[String]): Unit = parquet(paths.toSeq: _*)
   def orc(path: String): Unit = parquet(path)
   def table(tableName: String): Unit = {
     val (_, location) = new IndexManager(spark).requireSupportedTable(spark, tableName)

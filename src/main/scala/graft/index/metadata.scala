@@ -25,9 +25,17 @@ case class IndexMetadata(
     partitionValues: Seq[Seq[Option[String]]],
     fileCount: Long,
     totalBytes: Long,
-    source: String = Sources.Parquet) {
+    source: String = Sources.Parquet,
+    tablePaths: Seq[String] = Nil) {
 
   def indexedColumns: Set[String] = indexSchema.fieldNames.toSet
+
+  /** Every root this index covers: `tablePaths` when the index was
+    * created over several roots (or a glob), else the single
+    * `tablePath`. Single-root indexes keep `tablePaths` EMPTY so their
+    * JSON (and version) is unchanged from pre-multi-root binaries. */
+  def rootPathStrings: Seq[String] =
+    if (tablePaths.nonEmpty) tablePaths else Seq(tablePath)
 }
 
 /** One data-file block location (host list for an offset range). */
@@ -178,7 +186,12 @@ object IndexMetadata {
   // domains ([[MapValueKey]]) — a v4 binary would bind the leaf path to
   // the wrong physical column / treat `m#value` as a row column, so
   // again: reject, don't misread.
-  val CurrentVersion = 5
+  // v6: MULTI-ROOT tables (`tablePaths` carries several roots — a glob
+  // or an explicit root list). A pre-v6 binary would refresh/list only
+  // `tablePath` and silently drop the other roots' files, so the gate
+  // must reject, not misread. Single-root indexes keep writing their
+  // schema-implied version (3..5) and stay readable by older binaries.
+  val CurrentVersion = 6
 
   /** Oldest metadata version this binary reads correctly. v3/v4 indexes
     * differ from v5 only by which field markers CAN appear, all of which
@@ -188,9 +201,12 @@ object IndexMetadata {
 
   /** The LOWEST version that still describes `indexSchema` — so an index
     * using no new-domain features stays readable by older binaries
-    * (whose strict gates exist to reject only what they would MISread). */
-  def versionFor(indexSchema: StructType): Int =
-    if (indexSchema.fields.exists(f => arrayPrefixOf(f).isDefined || isMapValue(f))) 5
+    * (whose strict gates exist to reject only what they would MISread).
+    * Multi-root indexes always write v6: an older binary would treat
+    * them as single-root and silently lose roots. */
+  def versionFor(indexSchema: StructType, multiRoot: Boolean = false): Int =
+    if (multiRoot) 6
+    else if (indexSchema.fields.exists(f => arrayPrefixOf(f).isDefined || isMapValue(f))) 5
     else if (indexSchema.fields.exists(f => isArrayElement(f) || isMapKey(f))) 4
     else 3
 
@@ -323,7 +339,11 @@ object IndexMetadata {
         JArray(p.toList.map(_.map(JString(_): JValue).getOrElse(JNull))))),
       "fileCount" -> JLong(m.fileCount),
       "totalBytes" -> JLong(m.totalBytes),
-      "source" -> JString(m.source))
+      "source" -> JString(m.source),
+      // only multi-root (v6) indexes carry the list — single-root JSON
+      // stays byte-compatible with older readers
+      "tablePaths" -> (if (m.tablePaths.size > 1)
+        JArray(m.tablePaths.toList.map(JString(_): JValue)) else JNothing))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -355,7 +375,11 @@ object IndexMetadata {
       totalBytes = jlong(j \ "totalBytes"),
       // absent in pre-ORC metadata — those indexes are all parquet
       source = (j \ "source").toOption.collect { case JString(s) => s }
-        .getOrElse(Sources.Parquet))
+        .getOrElse(Sources.Parquet),
+      // absent below v6 (single-root indexes)
+      tablePaths = (j \ "tablePaths").toOption.collect {
+        case JArray(ps) => ps.map(_.asInstanceOf[JString].s)
+      }.getOrElse(Nil))
   }
 }
 

@@ -312,20 +312,23 @@ case class SqlShowIndex(target: Target) extends LeafRunnableCommand {
     AttributeReference("file_count", LongType)(),
     AttributeReference("total_bytes", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (tablePath, dataspace) = target match {
+    // resolveTableRoots so glob/multi-root targets SHOW the same entry
+    // they CREATE (a glob is one path string through the whole surface)
+    val (roots, dataspace) = target match {
       case PathTarget(_, p) =>
-        (IndexedDataSource.resolveTablePath(spark, p), Metastore.Dataspace)
+        (IndexedDataSource.resolveTableRoots(spark, Seq(p)), Metastore.Dataspace)
       case TableTarget(t) =>
         val (_, location) = new IndexManager(spark).requireSupportedTable(spark, t)
-        (IndexedDataSource.resolveTablePath(spark, location.toString),
+        (IndexedDataSource.resolveTableRoots(spark, Seq(location.toString)),
           Metastore.CatalogDataspace)
     }
+    val tablePath = roots.mkString(", ")
     val metastore = Metastore(spark)
-    if (!metastore.exists(dataspace, tablePath)) {
-      Seq(Row(false, tablePath.toString, null, null, null, null, null))
+    if (!metastore.exists(dataspace, roots)) {
+      Seq(Row(false, tablePath, null, null, null, null, null))
     } else {
-      val (_, meta) = metastore.load(dataspace, tablePath)
-      Seq(Row(true, tablePath.toString, meta.source,
+      val (_, meta) = metastore.load(dataspace, roots)
+      Seq(Row(true, tablePath, meta.source,
         meta.indexSchema.fieldNames.mkString(","),
         meta.sketchKind.orNull, meta.fileCount, meta.totalBytes))
     }

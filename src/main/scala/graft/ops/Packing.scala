@@ -151,11 +151,15 @@ object Packing {
     *
     * Returns (step, shard, seq_id, vt): step is the contiguous global
     * training position. The weight lookup is a literal CASE chain
-    * (map-side, no join); the one global ORDER BY is inherent — a total
-    * training order IS the product — and runs over sequence METADATA
-    * (tokens/seqLen rows, ~1/1000 of corpus rows), range-partitioned by
-    * the sort. vt doubles are (k+1)/w — identical IEEE division on any
-    * engine, so the order and the 6dp-rounded output replay exactly. */
+    * (map-side, no join); the global order is inherent — a total
+    * training order IS the product — but it is produced DISTRIBUTED:
+    * [[GlobalOrder.rowNumber]] quantile-buckets the vt axis, ranks
+    * inside buckets (a PARTITIONED window) and adds bucket-count
+    * offsets, so no task ever holds more than ~2²² sequence-metadata
+    * rows (vs a partition-less row_number window pulling the whole
+    * schedule — billions of rows at 100 TB — through one task).
+    * vt doubles are (k+1)/w — identical IEEE division on any engine,
+    * so the order and the 6dp-rounded output replay exactly. */
   def strideSchedule(
       seqs: DataFrame, shard: Column, seqId: Column,
       weights: Map[String, Double]): DataFrame = {
@@ -167,16 +171,20 @@ object Packing {
     val wCol = weights.foldLeft(lit(null).cast("double")) {
       case (acc, (s, w)) => when(col("shard") === s, lit(w)).otherwise(acc)
     }
-    seqs.select(shard.as("shard"), seqId.as("seq_id")).distinct()
+    stepOrder(seqs.select(shard.as("shard"), seqId.as("seq_id")).distinct()
       .withColumn("__w", wCol)
       .filter(col("__w").isNotNull)
       .withColumn("vt",
-        (col("seq_id").cast("double") + lit(1.0)) / col("__w"))
-      .withColumn("step", row_number().over(
-        Window.orderBy(col("vt"), col("shard"), col("seq_id"))).cast("long"))
+        (col("seq_id").cast("double") + lit(1.0)) / col("__w")))
+  }
+
+  /** Shared schedule tail: distributed global step over (vt, shard,
+    * seq_id) — see [[GlobalOrder]] for why not a bare row_number. */
+  private def stepOrder(withVt: DataFrame): DataFrame =
+    GlobalOrder.rowNumber(withVt,
+        Seq(col("vt"), col("shard"), col("seq_id")), "step")
       .select(col("step"), col("shard"), col("seq_id"),
         round(col("vt"), 6).as("vt"))
-  }
 
   /** [[strideSchedule]] with DATA-DERIVED weights: a (shard, weight)
     * DataFrame instead of a driver-side map — the shape for weights
@@ -187,16 +195,13 @@ object Packing {
   def strideScheduleBy(
       seqs: DataFrame, shard: Column, seqId: Column,
       weights: DataFrame): DataFrame = {
-    seqs.select(shard.as("shard"), seqId.as("seq_id")).distinct()
+    stepOrder(seqs.select(shard.as("shard"), seqId.as("seq_id")).distinct()
       .join(broadcast(weights.select(col("shard"), col("weight"))),
         Seq("shard"))
       .filter(col("weight") > 0.0)
       .withColumn("vt",
         (col("seq_id").cast("double") + lit(1.0)) / col("weight"))
-      .withColumn("step", row_number().over(
-        Window.orderBy(col("vt"), col("shard"), col("seq_id"))).cast("long"))
-      .select(col("step"), col("shard"), col("seq_id"),
-        round(col("vt"), 6).as("vt"))
+      .drop("weight", "__w"))
   }
 
   /** Materialize [[packByBudget]]'s assignment as ONE ROW PER PACK —

@@ -257,12 +257,15 @@ object Sampling {
     * dropped (NULL ordering differs across engines).
     *
     * Scale: one distributed groupBy(score) builds the per-value counts;
-    * the cumulative window then runs over DISTINCT scores only — for
-    * quantized scores (integer micro-nats, the repo's LM outputs) that
-    * is ties-compressed and far below row count, but it IS a
-    * single-partition window at |distinct| rows: quantize continuous
-    * scores before banding. The band's score values semi-join back
-    * (equi-join; sized like the distinct values). */
+    * the exclusive cumulative position over distinct scores is then
+    * produced DISTRIBUTED by [[GlobalOrder.exclusivePrefixSum]]
+    * (quantile-bucketed, PARTITIONED window + bucket offsets) — a
+    * continuous double score no longer degrades to an all-distinct
+    * single-task window. The band's score values semi-join back
+    * (equi-join; sized like the distinct values). Non-numeric score
+    * types fall back to one bucket inside GlobalOrder (quantile
+    * boundaries need a numeric axis) — quantize or rank-encode such
+    * scores upstream. */
   def filterByScoreBand(
       df: DataFrame, score: Column, loPct: Int, hiPct: Int): DataFrame = {
     require(0 <= loPct && loPct < hiPct && hiPct <= 100,
@@ -270,10 +273,9 @@ object Sampling {
     val nn = df.filter(score.isNotNull)
     val n = nn.count()
     if (n == 0) return nn
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val kept = nn.groupBy(score.as("__s")).agg(count(lit(1)).as("__c"))
-      .withColumn("__pos", coalesce(sum(col("__c")).over(w), lit(0L)))
+    val counts = nn.groupBy(score.as("__s")).agg(count(lit(1)).as("__c"))
+    val kept = GlobalOrder.exclusivePrefixSum(
+        counts, Seq(col("__s")), col("__c"), "__pos")
       .filter(lit(100L) * col("__pos") >= lit(loPct.toLong * n) &&
         lit(100L) * col("__pos") < lit(hiPct.toLong * n))
       .select(col("__s"))

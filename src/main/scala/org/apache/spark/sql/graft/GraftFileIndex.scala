@@ -57,7 +57,7 @@ class GraftFileIndex(
   /** Driver-path file entries grouped by partitionIdx (cached per
     * instance, dropped by [[refresh]]; only used below the
     * distributed-pruning threshold). */
-  @volatile private var entriesByPartitionCache: Map[Int, Seq[FileEntry]] = _
+  @volatile private var entriesByPartitionCache: (Long, Map[Int, Seq[FileEntry]]) = _
 
   /** Snapshot epoch for every memo derived from the files table, bumped
     * by [[refresh]]. Guards the check-then-act race between a memo
@@ -70,41 +70,44 @@ class GraftFileIndex(
     * makes the injected top-k range cut unsound. */
   private val snapshotEpoch = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Epoch-guarded get-or-compute: serves an existing memo, else
-    * computes and installs only if no refresh intervened. The install is
-    * re-validated AFTER it lands: a refresh can bump the epoch and clear
-    * the memos between the pre-install check and the putIfAbsent, so on
-    * a post-install epoch mismatch we remove our own (possibly stale)
-    * entry — refresh() bumps BEFORE clearing, so an install that
-    * survived the clear always fails this re-check and gets undone (at
-    * worst evicting an equal fresh value some other thread installed,
-    * which is just a lost memo, recomputed next call). */
-  private def memoized[K, V](cache: scala.collection.concurrent.Map[K, V], key: K)
-      (compute: => V): V =
-    cache.get(key).getOrElse {
-      val e = snapshotEpoch.get()
-      val v = compute
-      if (snapshotEpoch.get() == e) {
-        val served = cache.putIfAbsent(key, v).getOrElse(v)
-        if (snapshotEpoch.get() != e) cache.remove(key, v)
-        served
-      } else v
+  /** Epoch-guarded get-or-compute: every memo entry is TAGGED with the
+    * epoch it was computed under, and a reader serves an entry only if
+    * its tag equals the CURRENT epoch. This closes the install/clear
+    * race completely: an install that sneaks past refresh()'s clear
+    * (computed pre-refresh, landed post-clear) carries a stale tag and
+    * is therefore invisible to every subsequent reader — it just sits
+    * until the next compute replaces it. The in-flight caller that
+    * began before the refresh still gets its own pre-refresh snapshot
+    * back (the documented stale-serve contract), but no OTHER caller
+    * can ever be served it. */
+  private def memoized[K, V](cache: scala.collection.concurrent.Map[K, (Long, V)],
+      key: K)(compute: => V): V = {
+    val e = snapshotEpoch.get()
+    cache.get(key) match {
+      case Some((ep, v)) if ep == e => v
+      case stale =>
+        val v = compute
+        if (snapshotEpoch.get() == e) stale match {
+          case Some(old) => cache.replace(key, old, (e, v))
+          case None => cache.putIfAbsent(key, (e, v))
+        }
+        v
     }
+  }
 
   private def entriesByPartition: Map[Int, Seq[FileEntry]] = {
-    var c = entriesByPartitionCache
-    if (c == null) {
-      val e = snapshotEpoch.get()
-      c = IndexFilesTable.readAll(filesDir, hadoopConf)
-        .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
-      if (snapshotEpoch.get() == e) {
-        entriesByPartitionCache = c
-        // same post-install re-validation as memoized(): an assignment
-        // that landed after refresh()'s null-out must not survive it
-        if (snapshotEpoch.get() != e) entriesByPartitionCache = null
-      }
+    val e = snapshotEpoch.get()
+    entriesByPartitionCache match {
+      case (ep, c) if ep == e && c != null => c
+      case _ =>
+        val c = IndexFilesTable.readAll(filesDir, hadoopConf)
+          .groupBy(_.partitionIdx).view.mapValues(_.map(_.toEntry)).toMap
+        // epoch-tagged install, same contract as memoized(): a stale
+        // assignment that lands after refresh()'s clear carries an old
+        // tag and is never served to later callers
+        if (snapshotEpoch.get() == e) entriesByPartitionCache = (e, c)
+        c
     }
-    c
   }
 
   private def sketchStore: SketchStore =
@@ -117,7 +120,7 @@ class GraftFileIndex(
   /** True iff the last listFiles pruning ran as a Spark job. */
   @volatile var lastPrunedDistributed: Boolean = false
 
-  override def rootPaths: Seq[Path] = Seq(new Path(meta.tablePath))
+  override def rootPaths: Seq[Path] = meta.rootPathStrings.map(new Path(_))
 
   override def partitionSchema: StructType = meta.partitionSchema
 
@@ -343,9 +346,18 @@ class GraftFileIndex(
       def unapply(e: Expression): Option[Expression] = e match {
         case g: org.apache.spark.sql.catalyst.expressions.GetArrayItem
             if !g.failOnError && g.right.isInstanceOf[CLit] => Some(g.left)
+        // element_at(arr, 0) throws INVALID_ARRAY_INDEX unconditionally
+        // (even with failOnError=false, 1-based ordinals exclude 0) —
+        // pruning files on it would turn that mandatory runtime error
+        // into silent empty results, so only a non-null ordinal != 0
+        // qualifies. GetArrayItem's 0-based ordinal has no such hole.
         case ea: org.apache.spark.sql.catalyst.expressions.ElementAt
             if ea.left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-              !ea.failOnError && ea.right.isInstanceOf[CLit] => Some(ea.left)
+              !ea.failOnError =>
+          ea.right match {
+            case CLit(ord, _) if ord != null && ord != 0 => Some(ea.left)
+            case _ => None
+          }
         case _ => None
       }
     }
@@ -627,11 +639,11 @@ class GraftFileIndex(
   // listFiles pruning.
 
   private val metaAggCache =
-    new scala.collection.concurrent.TrieMap[Seq[String], MetaTableAgg]()
+    new scala.collection.concurrent.TrieMap[Seq[String], (Long, MetaTableAgg)]()
   private val metaAggByPartCache =
-    new scala.collection.concurrent.TrieMap[Seq[String], Map[Int, MetaTableAgg]]()
+    new scala.collection.concurrent.TrieMap[Seq[String], (Long, Map[Int, MetaTableAgg])]()
   private val metaDistinctCache =
-    new scala.collection.concurrent.TrieMap[String, Option[Seq[Any]]]()
+    new scala.collection.concurrent.TrieMap[String, (Long, Option[Seq[Any]])]()
 
   /** Partition indices whose value rows satisfy every filter — the same
     * interpreted-predicate pruning listFiles step 1 applies, exposed so
@@ -913,7 +925,7 @@ class GraftFileIndex(
     * replaced (a stale kth bound would inject a `key >= T` cut proven
     * on files the refresh removed, silently dropping new top-k rows). */
   private val topKBoundCache =
-    new scala.collection.concurrent.TrieMap[(String, Long, Boolean), Option[Any]]()
+    new scala.collection.concurrent.TrieMap[(String, Long, Boolean), (Long, Option[Any])]()
 
   def topKBoundCached(colName: String, dt: org.apache.spark.sql.types.DataType,
       k: Long, largest: Boolean): Option[Any] =
@@ -922,7 +934,7 @@ class GraftFileIndex(
     }
 
   private val topKGroupBoundCache =
-    new scala.collection.concurrent.TrieMap[(String, Long, Boolean), Option[Any]]()
+    new scala.collection.concurrent.TrieMap[(String, Long, Boolean), (Long, Option[Any])]()
 
   def topKBoundByPartitionsCached(colName: String,
       dt: org.apache.spark.sql.types.DataType,

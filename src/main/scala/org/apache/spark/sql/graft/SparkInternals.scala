@@ -105,9 +105,17 @@ object SparkInternals {
     * root, via Spark's own InMemoryFileIndex. Returns (partitionSchema,
     * Seq[(partitionValues, partitionValueStrings, files)]). */
   def discoverTable(spark: SparkSession, root: Path)
+      : (StructType, Seq[(InternalRow, Seq[FileStatus])]) =
+    discoverTable(spark, Seq(root))
+
+  /** Multi-root listing + partition discovery: InMemoryFileIndex treats
+    * every root as a partition-discovery base path, so `k=v` layouts
+    * under each root merge into one partition spec (files of equal
+    * tuples across roots share a PartitionDirectory). */
+  def discoverTable(spark: SparkSession, roots: Seq[Path])
       : (StructType, Seq[(InternalRow, Seq[FileStatus])]) = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val idx = new InMemoryFileIndex(classic, Seq(root), Map.empty, None)
+    val idx = new InMemoryFileIndex(classic, roots, Map.empty, None)
     val partitionSchema = idx.partitionSpec().partitionColumns
     val dirs = idx.listFiles(Nil, Nil).map { pd =>
       (pd.values, pd.files.map(_.fileStatus))

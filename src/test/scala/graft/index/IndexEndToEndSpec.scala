@@ -1704,7 +1704,11 @@ class IndexEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
         fail("distributed listing tier did not run"))
     val nParts = years.length + 1L // incl. the null partition
     assert(resDirs <= nParts, s"dir rows per level must be <= $nParts, got $resDirs")
-    assert(resParts == nParts, s"partition tuples: got $resParts, want $nParts")
+    // r11: tuples are derived from ADDED rows only (existing partitions
+    // are already in the metadata), so the driver holds the DELTA's
+    // partition tuples — here everything but the pre-existing first year
+    assert(resParts == nParts - 1,
+      s"partition tuples: got $resParts, want ${nParts - 1} (delta only)")
     assert(resAdded == stats.addedFiles,
       s"only added refs reach the driver: got $resAdded vs ${stats.addedFiles}")
     checkSame(spark.index.parquet(rPath), spark.read.parquet(rPath))

@@ -147,6 +147,17 @@ class MapValueIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ANSI arr[i] (GetArrayItem, failOnError) stays untranslated but correct
     def qansi(d: DataFrame) = d.filter($"vals".getItem(0) === 305L)
     checkSame(qansi(t), qansi(pl))
+    // ordinal 0 THROWS unconditionally even in try_element_at (array
+    // ordinals are 1-based; 0 is INVALID_ARRAY_INDEX, not null). The
+    // translation must NOT fire: with a probe value absent from every
+    // file, an unguarded element cut would empty the listing and return
+    // silent zero rows instead of the mandatory runtime error.
+    def q0(d: DataFrame) = d.filter(try_element_at($"vals", lit(0)) === -999L)
+    val ePlain = intercept[Exception] { q0(pl).collect() }
+    val eIdx = intercept[Exception] { q0(t).collect() }
+    assert(eIdx.getClass == ePlain.getClass,
+      s"indexed path must surface the same ordinal-0 error: " +
+        s"${eIdx.getClass} vs ${ePlain.getClass}")
   }
 
   test("map_values membership prunes by the value domain") {

@@ -94,6 +94,27 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP INDEX IF EXISTS ON PARQUET '$tablePath'")
   }
 
+  test("GLOB path through the whole DDL lifecycle addresses the root SET") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val a = s"$work/ddl_mr/even"
+    val b = s"$work/ddl_mr/odd"
+    li.filter($"l_orderkey" % 2 === 0).repartition(2, $"l_orderkey").write.parquet(a)
+    li.filter($"l_orderkey" % 2 === 1).repartition(2, $"l_orderkey").write.parquet(b)
+    val glob = s"$work/ddl_mr/*"
+    spark.sql(s"CREATE INDEX ON PARQUET '$glob' (l_orderkey)")
+    // SHOW resolves the same root set the CREATE keyed
+    val show = spark.sql(s"SHOW INDEX ON PARQUET '$glob'").head()
+    assert(show.getAs[Boolean]("exists"))
+    assert(show.getAs[Long]("file_count") == 4L)
+    // the glob load reads the union and prunes across both roots
+    assert(spark.index.parquet(glob).count() == li.count())
+    // neither single root owns an entry of its own
+    assert(!spark.index.exists.parquet(a))
+    spark.sql(s"DROP INDEX ON PARQUET '$glob'")
+    assert(!spark.sql(s"SHOW INDEX ON PARQUET '$glob'").head().getAs[Boolean]("exists"))
+  }
+
   test("catalog-table target and OPTIONS pass-through") {
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .write.mode("overwrite").format("parquet").saveAsTable("sqlddl_orders")

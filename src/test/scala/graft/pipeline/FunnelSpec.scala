@@ -116,6 +116,50 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, 1L, 1.0), (2L, 5L, 1L, 4.0)))
   }
 
+  test("strideSchedule / filterByScoreBand: no partition-less WindowExec") {
+    // the global step / exclusive rank must be produced by a PARTITIONED
+    // window (GlobalOrder's bucket design) — a Window.orderBy with no
+    // partition spec funnels the whole schedule through one task
+    def assertPartitionedWindows(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bare = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"partition-less WindowExec in:\n${df.queryExecution.executedPlan}")
+    }
+    val seqs = (for (s <- Seq("A", "B"); k <- 0L until 50L) yield (s, k))
+      .toDF("shard", "seq_id")
+    assertPartitionedWindows(
+      Packing.strideSchedule(seqs, $"shard", $"seq_id", Map("A" -> 2.0, "B" -> 1.0)))
+    val scored = (1 to 200).map(i => (i.toLong, i * 0.37)).toDF("id", "s")
+    assertPartitionedWindows(
+      graft.ops.Sampling.filterByScoreBand(scored, $"s", 20, 80))
+  }
+
+  test("GlobalOrder: bucketed prefix sums match the single-window oracle") {
+    import graft.ops.GlobalOrder
+    // enough rows + forced multi-bucket path via many distinct doubles:
+    // compare against a driver-side oracle on the same total order
+    val rows = (1 to 3000).map { i =>
+      val v = math.sin(i * 12.9898) * 43758.5453 % 7.0  // scattered doubles
+      (v, i.toLong, (i % 13).toLong)
+    }
+    val df = rows.toDF("v", "id", "w")
+    // rowsPerBucket=100 forces ~30 quantile buckets — the multi-bucket
+    // path (bucket assignment + offset join), not the 1-bucket fallback
+    val got = GlobalOrder.exclusivePrefixSum(
+        df, Seq($"v", $"id"), $"w", "pre", rowsPerBucket = 100L)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = rows.sortBy(r => (r._1, r._2)).map { r =>
+      val o = (r._2, acc); acc += r._3; o
+    }.toMap
+    assert(got == want)
+    val rn = GlobalOrder.rowNumber(df, Seq($"v", $"id"), "step")
+      .select($"step").as[Long].collect().sorted.toSeq
+    assert(rn == (1L to 3000L))
+  }
+
   test("strideScheduleBy matches the map variant on equal weights") {
     val seqs = (for (s <- Seq("A", "B"); k <- 0L until 5L) yield (s, k))
       .toDF("shard", "seq_id")

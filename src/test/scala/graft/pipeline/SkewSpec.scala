@@ -64,6 +64,31 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.sameElements(plain))
   }
 
+  test("explicit ordinal makes the salt invariant under repartitioning") {
+    // with a caller-supplied unique ordinal the salt is a pure function
+    // of row content: the per-row assignment must not move when the
+    // physical layout changes (the monotonically_increasing_id fallback
+    // cannot promise this — that's exactly what the ordinal buys)
+    val rows = (1 to 500).map(i => (i.toLong, (i % 5).toLong, i * 0.5))
+      .toDF("rid", "bkey", "bval")
+    def saltMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.withColumn("__salt",
+          Skew.saltExpr(Seq(col("bkey"), col("bval")), 8, Some(col("rid"))))
+        .select($"rid", $"__salt").as[(Long, Int)].collect().toMap
+    val a = saltMap(rows.repartition(3))
+    val b = saltMap(rows.repartition(11, $"bval"))
+    val c = saltMap(rows.coalesce(1))
+    assert(a == b && b == c)
+    // and the salted join with an ordinal stays row-identical
+    val salted = Skew.saltedJoin(rows, "bkey", small, "skey", salts = 8,
+        ordinal = Some($"rid"))
+      .collect().map(_.toString).sorted
+    val plain = rows.join(small, $"bkey" === $"skey")
+      .select($"rid", $"bkey", $"bval", $"skey", $"sname")
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+  }
+
   test("saltedJoin rejects a user column named __salt") {
     val l = Seq((1L, 2L)).toDF("id", "__salt")
     val r = Seq((1L, 2L)).toDF("rid", "y")
