@@ -23,6 +23,14 @@ object IndexedDataSource {
     * of magnitude under the file count. */
   @volatile private[graft] var lastListingResidency: Option[(Long, Long, Long)] = None
 
+  /** Telemetry of the LAST manifest-guided refresh listing:
+    * (manifest dirs probed, dirs re-listed [changed+new], dirs deleted,
+    * dirs skipped as unchanged). None when the manifest tier didn't run
+    * (first refresh, conf off, or unreadable manifest). */
+  @volatile private[graft] var lastManifestStats: Option[(Long, Long, Long, Long)] = None
+
+
+
   def resolveTablePath(spark: SparkSession, path: String): Path = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -161,6 +169,45 @@ object IndexedDataSource {
       if (conf.minMaxFallback && indexSchema.nonEmpty && refs.nonEmpty) {
         StatisticsBuilder.fullScanMinMaxFallback(
           spark, new Path(indexDir, Metastore.FilesDir), indexSchema, source = src)
+      }
+
+      // Seed the dir-mtime manifest for incremental refresh listing
+      // (only worth maintaining at distributed-listing scale): every
+      // ancestor dir of every file, with its CURRENT mtime — a later
+      // refresh re-lists only dirs whose mtime moved. The capture time
+      // is AFTER the listing, so the slack rule protects dirs whose
+      // files landed within the same mtime tick.
+      if (conf.refreshDirManifest && refs.size >= conf.distributedPruningThreshold) {
+        val rootStrsM = roots.map(_.toString)
+        val dirSet = scala.collection.mutable.HashSet.empty[String]
+        rootStrsM.foreach(dirSet += _)
+        refs.foreach { case (_, r) =>
+          var p = new Path(r.path).getParent
+          while (p != null && !dirSet.contains(p.toString) &&
+              rootStrsM.exists(rt =>
+                p.toString == rt || p.toString.startsWith(rt + "/"))) {
+            dirSet += p.toString
+            p = p.getParent
+          }
+        }
+        val nowMs = System.currentTimeMillis()
+        val dl = dirSet.toSeq.sorted
+        val slices = math.max(1,
+          math.min(spark.sparkContext.defaultParallelism * 2, dl.size))
+        val confBcM = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val probed = spark.sparkContext.parallelize(dl, slices).flatMap { d =>
+          try {
+            val st = new Path(d).getFileSystem(confBcM.value.value)
+              .getFileStatus(new Path(d))
+            Iterator.single((d, st.getModificationTime, nowMs))
+          } catch { case _: java.io.IOException => Iterator.empty }
+        }.collect() // O(dirs) — same class as the refresh walk's frontier
+        import spark.implicits._
+        probed.toSeq.toDF("dir", "mtime", "capturedAt")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(indexDir, Metastore.DirsDir).toString)
       }
 
       val sketchKind = if (conf.filterEnabled && indexSchema.nonEmpty) Some(conf.filterType) else None
@@ -427,8 +474,9 @@ object IndexedDataSource {
     //     (O(dirs)) and the diff collects only ADDED refs, so driver
     //     residency is O(delta) however many files the table holds.
     val distributedListing = meta.fileCount >= conf.distributedPruningThreshold
-    val (currentKeys, addedRefs, removedCount, removedBytes):
-        (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long, Long) =
+    val (currentKeys, addedRefs, removedCount, removedBytes, commitManifest):
+        (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)],
+         Long, Long, () => Unit) =
       if (!distributedListing) {
         val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, metaRoots)
         require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
@@ -459,14 +507,27 @@ object IndexedDataSource {
             org.apache.spark.sql.functions.sum(col("size"))).head
         val removed = rem.getLong(0)
         val removedB = if (rem.isNullAt(1)) 0L else rem.getLong(1)
-        (ck, current.filter { case (_, r) => added.contains(r.path) }, removed, removedB)
+        // the driver tier does not maintain the dir manifest — drop any
+        // stale one so a later distributed refresh can't trust it
+        val dropManifest: () => Unit = () => {
+          try {
+            val dp = new Path(indexDir, Metastore.DirsDir)
+            if (fs.exists(dp)) { fs.delete(dp, true); () }
+          } catch { case _: Exception => () }
+        }
+        (ck, current.filter { case (_, r) => added.contains(r.path) },
+          removed, removedB, dropManifest)
       } else {
         distributedListingDiff(
-          spark, metaRoots, meta, oldKeys, keyCols, listingTmp, partValues, idxByValues)
+          spark, metaRoots, meta, oldKeys, keyCols, listingTmp, partValues,
+          idxByValues, indexDir, conf)
       }
     val addedPaths = addedRefs.map(_._2.path).toSet
 
     if (addedRefs.isEmpty && removedCount == 0) {
+      // nothing to mutate: still persist the refreshed manifest so dirs
+      // captured inside the mtime-slack window stop re-listing forever
+      commitManifest()
       if (fs.exists(listingTmp)) fs.delete(listingTmp, true)
       return RefreshStats(0L, 0L)
     }
@@ -565,6 +626,7 @@ object IndexedDataSource {
       partitionValues = partValues.toSeq,
       fileCount = newFileCount,
       totalBytes = newTotalBytes))
+    commitManifest()
     fs.create(new Path(indexDir, Metastore.SuccessFile), true).close()
     val stats = RefreshStats(addedPaths.size.toLong, removedCount)
 
@@ -597,8 +659,11 @@ object IndexedDataSource {
       keyCols: Seq[String],
       listingTmp: Path,
       partValues: scala.collection.mutable.ArrayBuffer[Seq[Option[String]]],
-      idxByValues: scala.collection.mutable.HashMap[Seq[Option[String]], Int])
-      : (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)], Long, Long) = {
+      idxByValues: scala.collection.mutable.HashMap[Seq[Option[String]], Int],
+      indexDir: Path,
+      conf: IndexConf)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, StatisticsBuilder.FileRef)],
+         Long, Long, () => Unit) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -608,12 +673,93 @@ object IndexedDataSource {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(hconf))
 
-    // level-walk seeded with EVERY root at once: files stream to the
+    // ---- dir-mtime manifest (see Metastore.DirsDir): probe every KNOWN
+    // dir's current mtime in one distributed job and re-list only the
+    // changed ones — rename-based writers (every Spark/Hadoop committer)
+    // always bump the parent dir's mtime on add/remove, so an unchanged
+    // (and slack-safe) mtime proves the stored rows for that dir are
+    // current. First refresh / conf off / unreadable manifest -> full
+    // walk (and the manifest gets (re)written after the mutation
+    // commits, so an aborted refresh can never mark unindexed files as
+    // captured).
+    val dirsPath = new Path(indexDir, Metastore.DirsDir)
+    val nowMs = System.currentTimeMillis()
+    val slackMs = conf.refreshDirMtimeSlackMs
+    val manifest: Map[String, (Long, Long)] =
+      if (!conf.refreshDirManifest) Map.empty
+      else try {
+        if (!tfs.exists(dirsPath)) Map.empty
+        else spark.read.parquet(dirsPath.toString)
+          .select(col("dir"), col("mtime"), col("capturedAt")).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } catch { case _: Exception => Map.empty }
+    val manifestActive = manifest.nonEmpty && rootStrs.forall(manifest.contains)
+    lastManifestStats = None
+
+    var changedSeeds: Seq[String] = rootStrs
+    var deletedDirs: Set[String] = Set.empty
+    var unchangedDirs: Seq[String] = Nil
+    // (dir -> (mtime, capturedAt)) rows for the NEW manifest; changed/new
+    // dirs are stamped with this refresh's capture time
+    val newManifest = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    if (manifestActive) {
+      val keys = manifest.keys.toSeq.sorted
+      val probeSlices = math.max(1,
+        math.min(spark.sparkContext.defaultParallelism * 2, keys.size))
+      val probed: Array[(String, Long, Boolean)] =
+        spark.sparkContext.parallelize(keys, probeSlices).map { d =>
+          try {
+            val st = new Path(d).getFileSystem(confBc.value.value)
+              .getFileStatus(new Path(d))
+            (d, st.getModificationTime, true)
+          } catch {
+            case _: java.io.FileNotFoundException => (d, -1L, false)
+          }
+        }.collect()
+      val changed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val unchanged = scala.collection.mutable.ArrayBuffer.empty[String]
+      val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+      probed.foreach { case (d, mt, exists) =>
+        if (!exists) deleted += d
+        else {
+          val (oldMt, capAt) = manifest(d)
+          // unchanged AND captured safely past the mtime tick -> skip;
+          // anything else (moved mtime, capture inside the slack window,
+          // a dir replaced by a file) re-lists
+          if (mt == oldMt && capAt > oldMt + slackMs) {
+            unchanged += d
+            newManifest(d) = (oldMt, capAt) // entry still vouched-for
+          } else {
+            changed += d
+            newManifest(d) = (mt, nowMs)
+          }
+        }
+      }
+      changedSeeds = changed.toSeq
+      deletedDirs = deleted.toSet
+      unchangedDirs = unchanged.toSeq
+      lastManifestStats = Some((probed.length.toLong, changed.size.toLong,
+        deleted.size.toLong, unchanged.size.toLong))
+    } else {
+      // full walk: seed with the roots, stamped into the new manifest
+      // with their current mtimes
+      rootStrs.foreach { r =>
+        try {
+          val st = tfs.getFileStatus(new Path(r))
+          newManifest(r) = (st.getModificationTime, nowMs)
+        } catch { case _: Exception => }
+      }
+    }
+    val manifestKnown = manifest.keySet
+
+    // level-walk seeded with the dirs to (re-)list: files stream to the
     // scratch table, dirs come back (roots never nest, so each listed
-    // path belongs to exactly one root)
-    var dirs: Seq[String] = rootStrs
+    // path belongs to exactly one root). Under an active manifest the
+    // walk descends ONLY into dirs the manifest does not know (new
+    // subtrees) — known children were probed above.
+    var dirs: Seq[String] = changedSeeds
     var depth = 0
-    var maxDirRows = rootStrs.size.toLong
+    var maxDirRows = math.max(1L, changedSeeds.size.toLong)
     while (dirs.nonEmpty) {
       require(depth < 64, s"directory nesting beyond 64 levels under ${rootStrs.mkString(", ")}")
       val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism * 2, dirs.size))
@@ -673,8 +819,18 @@ object IndexedDataSource {
         .persist()
       level.filter(!col("isDir") && col("size") > 0).drop("isDir")
         .write.mode("append").parquet(listingTmp.toString)
-      dirs = level.filter(col("isDir")).select("path").as[String].collect().toSeq
-      maxDirRows = math.max(maxDirRows, dirs.size.toLong)
+      val childDirs = level.filter(col("isDir"))
+        .select(col("path"), col("modificationTime"))
+        .as[(String, Long)].collect().toSeq
+      childDirs.foreach { case (d, mt) =>
+        if (!newManifest.contains(d)) newManifest(d) = (mt, nowMs)
+      }
+      dirs =
+        if (manifestActive) childDirs.collect {
+          case (d, _) if !manifestKnown.contains(d) => d
+        }
+        else childDirs.map(_._1)
+      maxDirRows = math.max(maxDirRows, childDirs.size.toLong)
       level.unpersist()
       depth += 1
     }
@@ -702,15 +858,38 @@ object IndexedDataSource {
         .withColumn("partVals", parseVals(col("path")))
     }.reduce(_.unionAll(_))
 
+    // Under an active manifest the diff runs over the RE-LISTED SCOPE
+    // only: stored rows under changed/deleted dirs (plus changed
+    // file-roots) participate; rows under unchanged dirs are current by
+    // the mtime proof and flow straight into currentKeys. Without a
+    // manifest the scope is everything (oldScoped == oldKeys).
+    import org.apache.spark.sql.functions.{broadcast, lit, regexp_replace, when}
+    val (oldScoped, unchangedKeys) =
+      if (!manifestActive || unchangedDirs.isEmpty) (oldKeys, None)
+      // ^ nothing skippable (e.g. a flat single-dir layout whose root
+      //   always changes): the scope-split joins would partition the
+      //   stored rows into (everything, nothing) — pure overhead
+      else {
+        val scope = (changedSeeds ++ deletedDirs).distinct
+        val scopeDf = broadcast(scope.toDF("__d"))
+        // a root that is itself a FILE scopes by its own path (it has no
+        // tracked parent dir); everything else by its parent dir
+        val dCol = when(col("path").isin(rootStrs: _*), col("path"))
+          .otherwise(regexp_replace(col("path"), "/[^/]+$", ""))
+        val oldWith = oldKeys.withColumn("__d", dCol)
+        (oldWith.join(scopeDf, Seq("__d"), "left_semi").drop("__d"),
+          Some(oldWith.join(scopeDf, Seq("__d"), "left_anti").drop("__d")
+            .select(keyCols.map(col): _*)))
+      }
+
     // ONE full-outer pass computes both sides of the diff: added rows
     // are collected (O(delta)), the removed side is reduced to
     // (count, bytes) INSIDE the same action via Observation — no second
     // O(all files) anti-join, no second read of the scratch table.
     val obs = org.apache.spark.sql.Observation(
       "graft-refresh-diff-" + java.util.UUID.randomUUID())
-    import org.apache.spark.sql.functions.lit
     val joined = listing.withColumn("__live", lit(1))
-      .join(oldKeys.withColumn("__known", lit(1)), keyCols, "full_outer")
+      .join(oldScoped.withColumn("__known", lit(1)), keyCols, "full_outer")
     val addedRows = joined
       .observe(obs,
         org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
@@ -745,7 +924,30 @@ object IndexedDataSource {
         r.getAs[Long]("modificationTime"), r.getAs[Long]("blockSize"))
     }
     lastListingResidency = Some((maxDirRows, tuples.size.toLong, addedRefs.size.toLong))
-    (listing.select(keyCols.map(col): _*), addedRefs, removedCount, removedBytes)
+    // persist the refreshed (dir, mtime, capturedAt) manifest for the
+    // NEXT refresh. The caller invokes this only once the mutation has
+    // committed (or when there was nothing to mutate) — writing earlier
+    // would let an aborted refresh mark unindexed files as captured.
+    val manifestWriter: () => Unit = () => {
+      if (conf.refreshDirManifest) {
+        try {
+          val rows = newManifest.toSeq.sortBy(_._1)
+            .map { case (d, (m, c)) => (d, m, c) }
+          val tmp = new Path(indexDir, Metastore.DirsDir + "_tmp")
+          val out = if (rows.isEmpty) Seq(("", 0L, 0L)).take(0) else rows
+          spark.createDataFrame(out).toDF("dir", "mtime", "capturedAt")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          if (tfs.exists(dirsPath)) tfs.delete(dirsPath, true)
+          tfs.rename(tmp, dirsPath)
+          ()
+        } catch { case _: Exception => () } // best-effort cache
+      }
+    }
+    val currentKeys = unchangedKeys match {
+      case Some(uk) => uk.unionAll(listing.select(keyCols.map(col): _*))
+      case None => listing.select(keyCols.map(col): _*)
+    }
+    (currentKeys, addedRefs, removedCount, removedBytes, manifestWriter)
   }
 
   def existsIndex(spark: SparkSession, path: String, dataspace: String): Boolean =

@@ -30,6 +30,20 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * the files table instead of a driver-side fold. */
   def distributedPruningThreshold: Long =
     get(IndexConf.DistributedPruningThreshold, "100000").toLong
+  /** Use the persisted (dir, mtime) manifest to re-list ONLY directories
+    * whose mtime moved during a distributed refresh (rename-based
+    * writers — every Spark/Hive/Hadoop committer — always touch the
+    * parent dir's mtime on add/remove). Disable for stores whose
+    * writers rewrite file CONTENT in place without creating/renaming
+    * entries: such a change leaves the dir mtime untouched and would be
+    * missed. */
+  def refreshDirManifest: Boolean =
+    get(IndexConf.RefreshDirManifest, "true").toBoolean
+  /** Dirs whose stored mtime is within this window of its capture time
+    * re-list unconditionally (mtime granularity can hide a same-tick
+    * change; FAT-era filesystems tick at 2 s). */
+  def refreshDirMtimeSlackMs: Long =
+    get(IndexConf.RefreshDirMtimeSlack, "2000").toLong
   /** Full-scan min/max fallback for indexed columns whose footers carry
     * no usable statistics (INT96 timestamps, non-round-tripping truncated
     * binary bounds). Costs one extra data scan over ONLY the affected
@@ -99,6 +113,8 @@ object IndexConf {
   val FilterType = "spark.sql.index.parquet.filter.type"
   val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
   val DistributedPruningThreshold = "spark.sql.index.pruning.distributedThreshold"
+  val RefreshDirManifest = "spark.sql.index.refresh.dirManifest"
+  val RefreshDirMtimeSlack = "spark.sql.index.refresh.dirMtimeSlackMs"
   val MinMaxFallback = "spark.sql.index.minMaxFallback"
   val MetastoreCacheTtl = "spark.sql.index.metastore.cacheTtlSeconds"
   val MetadataOnlyAggregates = "spark.sql.index.metadataOnlyAggregates"
@@ -259,6 +275,8 @@ object Metastore {
   val MetadataFile = "metadata.json"
   val SketchDir = "sketches"
   val FilesDir = "files"
+  /** Directory-mtime manifest for incremental refresh listing. */
+  val DirsDir = "dirs"
 
   val Dataspace = "source"
   val CatalogDataspace = "catalog"
