@@ -38,6 +38,15 @@ object IndexedDataSource {
     fs.makeQualified(p)
   }
 
+  /** Manifest-tier engagement for a root set: "auto" = remote roots
+    * only (see IndexConf.refreshDirManifest). */
+  private def manifestEnabled(conf: IndexConf, rootStrs: Seq[String]): Boolean =
+    conf.refreshDirManifest match {
+      case "true" => true
+      case "false" => false
+      case _ => !rootStrs.forall(_.startsWith("file:"))
+    }
+
   /** Hadoop glob metacharacters (GlobFilter's alphabet). */
   private def isGlob(s: String): Boolean =
     s.exists(c => "{}[]*?\\".indexOf(c) >= 0)
@@ -177,21 +186,28 @@ object IndexedDataSource {
       // refresh re-lists only dirs whose mtime moved. The capture time
       // is AFTER the listing, so the slack rule protects dirs whose
       // files landed within the same mtime tick.
-      if (conf.refreshDirManifest && refs.size >= conf.distributedPruningThreshold) {
-        val rootStrsM = roots.map(_.toString)
-        val dirSet = scala.collection.mutable.HashSet.empty[String]
-        rootStrsM.foreach(dirSet += _)
-        refs.foreach { case (_, r) =>
-          var p = new Path(r.path).getParent
-          while (p != null && !dirSet.contains(p.toString) &&
-              rootStrsM.exists(rt =>
-                p.toString == rt || p.toString.startsWith(rt + "/"))) {
-            dirSet += p.toString
-            p = p.getParent
+      val rootStrsM = roots.map(_.toString)
+      val manifestDirSet: Option[Seq[String]] =
+        if (!manifestEnabled(conf, rootStrsM) ||
+            refs.size < conf.distributedPruningThreshold) None
+        else {
+          val dirSet = scala.collection.mutable.HashSet.empty[String]
+          rootStrsM.foreach(dirSet += _)
+          refs.foreach { case (_, r) =>
+            var p = new Path(r.path).getParent
+            while (p != null && !dirSet.contains(p.toString) &&
+                rootStrsM.exists(rt =>
+                  p.toString == rt || p.toString.startsWith(rt + "/"))) {
+              dirSet += p.toString
+              p = p.getParent
+            }
           }
+          // a roots-only manifest (flat layout) can never skip a dir
+          if (dirSet.size <= rootStrsM.size) None else Some(dirSet.toSeq)
         }
+      manifestDirSet.foreach { dirsFound =>
         val nowMs = System.currentTimeMillis()
-        val dl = dirSet.toSeq.sorted
+        val dl = dirsFound.sorted
         val slices = math.max(1,
           math.min(spark.sparkContext.defaultParallelism * 2, dl.size))
         val confBcM = spark.sparkContext.broadcast(
@@ -685,15 +701,20 @@ object IndexedDataSource {
     val dirsPath = new Path(indexDir, Metastore.DirsDir)
     val nowMs = System.currentTimeMillis()
     val slackMs = conf.refreshDirMtimeSlackMs
+    val useManifest = manifestEnabled(conf, rootStrs)
     val manifest: Map[String, (Long, Long)] =
-      if (!conf.refreshDirManifest) Map.empty
+      if (!useManifest) Map.empty
       else try {
         if (!tfs.exists(dirsPath)) Map.empty
         else spark.read.parquet(dirsPath.toString)
           .select(col("dir"), col("mtime"), col("capturedAt")).collect()
           .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       } catch { case _: Exception => Map.empty }
-    val manifestActive = manifest.nonEmpty && rootStrs.forall(manifest.contains)
+    // a manifest that tracks nothing beyond the roots (flat layouts)
+    // cannot skip anything — the probed root always changes — so the
+    // tier disengages entirely rather than paying its read/probe/rewrite
+    val manifestActive = manifest.nonEmpty && rootStrs.forall(manifest.contains) &&
+      manifest.size > rootStrs.size
     lastManifestStats = None
 
     var changedSeeds: Seq[String] = rootStrs
@@ -929,7 +950,12 @@ object IndexedDataSource {
     // committed (or when there was nothing to mutate) — writing earlier
     // would let an aborted refresh mark unindexed files as captured.
     val manifestWriter: () => Unit = () => {
-      if (conf.refreshDirManifest) {
+      // nothing beyond the roots -> persisting buys nothing (see
+      // manifestActive); drop any stale manifest instead
+      if (useManifest && newManifest.size <= rootStrs.size) {
+        try { if (tfs.exists(dirsPath)) { tfs.delete(dirsPath, true); () } }
+        catch { case _: Exception => () }
+      } else if (useManifest) {
         try {
           val rows = newManifest.toSeq.sortBy(_._1)
             .map { case (d, (m, c)) => (d, m, c) }

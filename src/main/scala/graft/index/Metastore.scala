@@ -33,12 +33,16 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
   /** Use the persisted (dir, mtime) manifest to re-list ONLY directories
     * whose mtime moved during a distributed refresh (rename-based
     * writers — every Spark/Hive/Hadoop committer — always touch the
-    * parent dir's mtime on add/remove). Disable for stores whose
-    * writers rewrite file CONTENT in place without creating/renaming
-    * entries: such a change leaves the dir mtime untouched and would be
-    * missed. */
-  def refreshDirManifest: Boolean =
-    get(IndexConf.RefreshDirManifest, "true").toBoolean
+    * parent dir's mtime on add/remove). "auto" (default) engages the
+    * tier for NON-local roots only: remote stores pay real latency per
+    * LIST page, which the per-dir probe avoids, while file:// listing
+    * under the parallel-statx walk is already cheaper than the tier's
+    * own read/probe/rewrite. "true"/"false" force. Disable for stores
+    * whose writers rewrite file CONTENT in place without
+    * creating/renaming entries: such a change leaves the dir mtime
+    * untouched and would be missed. */
+  def refreshDirManifest: String =
+    get(IndexConf.RefreshDirManifest, "auto").toLowerCase
   /** Dirs whose stored mtime is within this window of its capture time
     * re-list unconditionally (mtime granularity can hide a same-tick
     * change; FAT-era filesystems tick at 2 s). */

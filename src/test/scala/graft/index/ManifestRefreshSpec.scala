@@ -35,6 +35,8 @@ class ManifestRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
   // very first refresh can already skip unchanged dirs
   private val opts = Map(
     IndexConf.DistributedPruningThreshold -> "1",
+    // "auto" would disable the tier for file:// roots — force it on
+    IndexConf.RefreshDirManifest -> "true",
     IndexConf.RefreshDirMtimeSlack -> "0")
 
   private val tablePath = s"$work/orders_part"
