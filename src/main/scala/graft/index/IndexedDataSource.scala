@@ -38,13 +38,25 @@ object IndexedDataSource {
     fs.makeQualified(p)
   }
 
-  /** Manifest-tier engagement for a root set: "auto" = remote roots
-    * only (see IndexConf.refreshDirManifest). */
+  /** Manifest-tier engagement for a root set: "auto" engages only when
+    * EVERY root lives on a scheme with real directory mtimes
+    * (IndexConf.refreshDirManifestSchemes — HDFS-family by default).
+    * Object stores (s3a/gs/...) have synthetic directories whose mtime
+    * never moves when files land, so an auto-engaged probe there would
+    * report "unchanged" forever and refresh would silently stop
+    * indexing new data; they must opt in with "true". Local file:// is
+    * excluded too — the parallel-statx walk already beats the tier's
+    * read/probe/rewrite there. */
   private def manifestEnabled(conf: IndexConf, rootStrs: Seq[String]): Boolean =
     conf.refreshDirManifest match {
       case "true" => true
       case "false" => false
-      case _ => !rootStrs.forall(_.startsWith("file:"))
+      case _ =>
+        val allowed = conf.refreshDirManifestSchemes
+        rootStrs.nonEmpty && rootStrs.forall { r =>
+          val i = r.indexOf(':')
+          i > 0 && allowed.contains(r.substring(0, i).toLowerCase)
+        }
     }
 
   /** Hadoop glob metacharacters (GlobFilter's alphabet). */
@@ -121,6 +133,14 @@ object IndexedDataSource {
     // indexBy() cannot destroy an existing index under Overwrite (the
     // reference validates inside the create body and loses the old index
     // on validation failure — deliberate delta).
+    // The manifest seed's capture time is taken BEFORE the listing: the
+    // stats build below can run for minutes at manifest scale, and a
+    // file committed to an already-listed dir during that window bakes
+    // its bump into the recorded dir mtime while being absent from the
+    // index. capturedAt <= the listing start keeps such dirs failing the
+    // `capturedAt > mtime + slack` skip proof, so the first refresh
+    // re-lists them and picks the file up.
+    val seedCaptureMs = System.currentTimeMillis()
     val (partitionSchema, partDirs) = SparkInternals.discoverTable(spark, roots)
     val allFiles = partDirs.flatMap(_._2).filter(_.getLen > 0)
     require(allFiles.nonEmpty || partDirs.nonEmpty,
@@ -182,10 +202,10 @@ object IndexedDataSource {
 
       // Seed the dir-mtime manifest for incremental refresh listing
       // (only worth maintaining at distributed-listing scale): every
-      // ancestor dir of every file, with its CURRENT mtime — a later
-      // refresh re-lists only dirs whose mtime moved. The capture time
-      // is AFTER the listing, so the slack rule protects dirs whose
-      // files landed within the same mtime tick.
+      // ancestor dir of every file, with its CURRENT mtime. The capture
+      // time is `seedCaptureMs`, taken BEFORE the listing started (see
+      // above), so any dir written during the whole listing-to-probe
+      // window fails the refresh skip proof and re-lists.
       val rootStrsM = roots.map(_.toString)
       val manifestDirSet: Option[Seq[String]] =
         if (!manifestEnabled(conf, rootStrsM) ||
@@ -206,7 +226,7 @@ object IndexedDataSource {
           if (dirSet.size <= rootStrsM.size) None else Some(dirSet.toSeq)
         }
       manifestDirSet.foreach { dirsFound =>
-        val nowMs = System.currentTimeMillis()
+        val nowMs = seedCaptureMs
         val dl = dirsFound.sorted
         val slices = math.max(1,
           math.min(spark.sparkContext.defaultParallelism * 2, dl.size))
@@ -597,11 +617,26 @@ object IndexedDataSource {
         }
         s
       } else StatisticsBuilder.FileStatsSummary(None, 0L, 0L, 0L)
-    val newFileCount = meta.fileCount - removedCount + delta.fileCount
-    val newTotalBytes = meta.totalBytes - removedBytes + delta.totalBytes
-    val newDataSchema = delta.dataSchema
-      .map(d => org.apache.spark.sql.graft.SparkInternals.mergeSchemas(meta.dataSchema, d))
-      .getOrElse(meta.dataSchema)
+    // Append-only refreshes compose the metadata incrementally (schema
+    // only ever widens — exact, since nothing was removed). When
+    // removals exist, the delta composition would DRIFT monotonically
+    // (a removed file's last-of-a-kind columns would linger in
+    // dataSchema forever), so re-aggregate the settled files table —
+    // removals already forced its full rewrite above, so the
+    // re-aggregation is not the refresh floor.
+    val (newFileCount, newTotalBytes, newDataSchema) =
+      if (removedCount > 0) {
+        // the table already holds (kept + appended delta) rows here, so
+        // the summary IS the final metadata — no arithmetic composition
+        val full = StatisticsBuilder.summarizeFilesTable(spark, filesDir)
+        (full.fileCount, full.totalBytes, full.dataSchema.getOrElse(meta.dataSchema))
+      } else {
+        (meta.fileCount + delta.fileCount,
+          meta.totalBytes + delta.totalBytes,
+          delta.dataSchema
+            .map(d => org.apache.spark.sql.graft.SparkInternals.mergeSchemas(meta.dataSchema, d))
+            .getOrElse(meta.dataSchema))
+      }
 
     // 3. Sketches: drop stale rows first (only when removals exist —
     //    semi-join against the settled files table, fully distributed),
@@ -683,9 +718,15 @@ object IndexedDataSource {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val hconf = spark.sparkContext.hadoopConfiguration
+    // TWO filesystems: the TABLE's (probed dirs, walked roots) and the
+    // INDEX dir's (scratch listing table, dir manifest — both live in
+    // the metastore). They differ whenever the indexed table sits on a
+    // remote scheme and the metastore is local (or vice versa) — using
+    // one for the other throws "Wrong FS" (caught by MockFsRefreshSpec).
     val tfs = roots.head.getFileSystem(hconf)
+    val ifs = indexDir.getFileSystem(hconf)
     val rootStrs = roots.map(r => r.getFileSystem(hconf).makeQualified(r).toString)
-    if (tfs.exists(listingTmp)) tfs.delete(listingTmp, true) // crashed-run debris
+    if (ifs.exists(listingTmp)) ifs.delete(listingTmp, true) // crashed-run debris
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(hconf))
 
@@ -702,10 +743,14 @@ object IndexedDataSource {
     val nowMs = System.currentTimeMillis()
     val slackMs = conf.refreshDirMtimeSlackMs
     val useManifest = manifestEnabled(conf, rootStrs)
+    // fullWalk: the per-call reconciliation hatch — ignore the stored
+    // manifest (walk everything, diff everything) but still REBUILD it
+    // from the walk, so one forced pass heals the in-place-rewrite blind
+    // spot and the tier resumes skipping afterwards.
     val manifest: Map[String, (Long, Long)] =
-      if (!useManifest) Map.empty
+      if (!useManifest || conf.refreshFullWalk) Map.empty
       else try {
-        if (!tfs.exists(dirsPath)) Map.empty
+        if (!ifs.exists(dirsPath)) Map.empty
         else spark.read.parquet(dirsPath.toString)
           .select(col("dir"), col("mtime"), col("capturedAt")).collect()
           .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -746,8 +791,11 @@ object IndexedDataSource {
           val (oldMt, capAt) = manifest(d)
           // unchanged AND captured safely past the mtime tick -> skip;
           // anything else (moved mtime, capture inside the slack window,
-          // a dir replaced by a file) re-lists
-          if (mt == oldMt && capAt > oldMt + slackMs) {
+          // a dir replaced by a file) re-lists. An mtime of 0 is never
+          // trusted: synthetic directories (object stores) report 0 (or
+          // a constant), which would read as "unchanged" forever — such
+          // dirs always re-list, even under a forced-on manifest.
+          if (mt > 0L && mt == oldMt && capAt > oldMt + slackMs) {
             unchanged += d
             newManifest(d) = (oldMt, capAt) // entry still vouched-for
           } else {
@@ -856,7 +904,7 @@ object IndexedDataSource {
       depth += 1
     }
     // an all-empty walk still needs a readable (empty) scratch table
-    if (!tfs.exists(listingTmp)) {
+    if (!ifs.exists(listingTmp)) {
       Seq.empty[(String, Long, Long, Long)]
         .toDF("path", "size", "modificationTime", "blockSize")
         .write.parquet(listingTmp.toString)
@@ -953,7 +1001,7 @@ object IndexedDataSource {
       // nothing beyond the roots -> persisting buys nothing (see
       // manifestActive); drop any stale manifest instead
       if (useManifest && newManifest.size <= rootStrs.size) {
-        try { if (tfs.exists(dirsPath)) { tfs.delete(dirsPath, true); () } }
+        try { if (ifs.exists(dirsPath)) { ifs.delete(dirsPath, true); () } }
         catch { case _: Exception => () }
       } else if (useManifest) {
         try {
@@ -963,8 +1011,8 @@ object IndexedDataSource {
           val out = if (rows.isEmpty) Seq(("", 0L, 0L)).take(0) else rows
           spark.createDataFrame(out).toDF("dir", "mtime", "capturedAt")
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          if (tfs.exists(dirsPath)) tfs.delete(dirsPath, true)
-          tfs.rename(tmp, dirsPath)
+          if (ifs.exists(dirsPath)) ifs.delete(dirsPath, true)
+          ifs.rename(tmp, dirsPath)
           ()
         } catch { case _: Exception => () } // best-effort cache
       }

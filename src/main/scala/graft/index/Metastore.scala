@@ -43,6 +43,25 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     * untouched and would be missed. */
   def refreshDirManifest: String =
     get(IndexConf.RefreshDirManifest, "auto").toLowerCase
+  /** Schemes whose directory mtimes are REAL (bumped by every child
+    * add/remove) — the only stores where "auto" may engage the manifest
+    * tier. Object stores are deliberately absent: S3A/GCS directories
+    * are synthetic (mtime 0 or creation-time), so an mtime probe would
+    * report "unchanged" forever and refresh would silently stop seeing
+    * new files. Force "true" only for a store you know bumps parent-dir
+    * mtimes on rename-commit. */
+  def refreshDirManifestSchemes: Set[String] =
+    get(IndexConf.RefreshDirManifestSchemes,
+      "hdfs,webhdfs,httpfs,viewfs,abfs,abfss,o3fs,ofs")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+  /** Per-call escape hatch: ignore the stored dir manifest for THIS
+    * refresh and walk the whole tree (the manifest is rebuilt from the
+    * walk). Heals the tier's documented blind spot — an in-place content
+    * rewrite that preserves the parent dir's mtime — without turning the
+    * tier off permanently. SQL spelling:
+    * `REFRESH INDEX ON ... OPTIONS ('spark.sql.index.refresh.fullWalk'='true')`. */
+  def refreshFullWalk: Boolean =
+    get(IndexConf.RefreshFullWalk, "false").toBoolean
   /** Dirs whose stored mtime is within this window of its capture time
     * re-list unconditionally (mtime granularity can hide a same-tick
     * change; FAT-era filesystems tick at 2 s). */
@@ -118,6 +137,8 @@ object IndexConf {
   val EagerLoading = "spark.sql.index.parquet.filter.eagerLoading"
   val DistributedPruningThreshold = "spark.sql.index.pruning.distributedThreshold"
   val RefreshDirManifest = "spark.sql.index.refresh.dirManifest"
+  val RefreshDirManifestSchemes = "spark.sql.index.refresh.dirManifestSchemes"
+  val RefreshFullWalk = "spark.sql.index.refresh.fullWalk"
   val RefreshDirMtimeSlack = "spark.sql.index.refresh.dirMtimeSlackMs"
   val MinMaxFallback = "spark.sql.index.minMaxFallback"
   val MetastoreCacheTtl = "spark.sql.index.metastore.cacheTtlSeconds"

@@ -31,10 +31,22 @@ import org.apache.spark.sql.functions._
   * membership here depends ONLY on the row's value, so every pass
   * agrees on it by construction, cache or no cache.
   */
-object GlobalOrder {
+object GlobalOrder extends org.apache.spark.internal.Logging {
+
+  /** Telemetry of the last run's worst bucket when it overflowed:
+    * (bucket id, row count). A bucket is a function of the LEADING order
+    * value only, so a tie run longer than `rowsPerBucket` cannot be
+    * split by quantile boundaries and degrades that bucket to one window
+    * task — the per-bucket totals already sit on the driver, so the
+    * detection is free. None when every bucket stayed within bounds. */
+  @volatile private[graft] var lastBucketOverflow: Option[(Int, Long)] = None
 
   /** approx_percentile probability grid: 4095 interior quantiles. */
   private val Grid = 4096
+
+  /** Overflow warn threshold: quantile-sketch noise alone can skew a
+    * bucket ~2x, so only a >4x bucket is called a tie run. */
+  private val OverflowFactor = 4L
 
   /** Target rows per bucket (4M): one window task's comfortable sort. */
   private val RowsPerBucket = 1L << 22
@@ -66,15 +78,35 @@ object GlobalOrder {
     // caller still holds the lazy result). MEMORY_AND_DISK: the frame is
     // order-metadata sized, spilling beats recomputing.
     val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lead = orderCols.head.cast("double")
+    // Quantile banding needs a lead that casts to double MONOTONICALLY —
+    // i.e. a numeric lead. A non-numeric lead (string score, struct key)
+    // must NOT be cast: under ANSI (Spark 4 default) the cast throws
+    // CAST_INVALID_INPUT mid-job, and with ANSI off it yields null
+    // buckets that drop rows through the offset join. Such frames take
+    // the single-bucket path on a hash-derived lead instead — hash() is
+    // total over every type, and in one bucket the banding value never
+    // influences the ORDER (orderCols do), only the partitionSpec.
+    val leadType = df.select(orderCols.head).schema.head.dataType
+    val numericLead = leadType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val lead =
+      if (numericLead) orderCols.head.cast("double")
+      else hash(orderCols.head).cast("double")
     // pass 1: count (materializes the cache). The 4095-point quantile
     // sketch only runs when the data actually needs multiple buckets —
     // at or under one bucket's worth of rows it is pure fixed overhead
     // (the common toy/verify size), and above, its scan reads the cache.
     val n = in.agg(count(lit(1))).head.getLong(0)
     if (n == 0) { in.unpersist(); return df.withColumn(outName, lit(0L)) }
-    val nBuckets = math.min(Grid.toLong,
-      math.max(1L, (n + rowsPerBucket - 1) / rowsPerBucket)).toInt
+    val nBuckets =
+      if (!numericLead) 1
+      else math.min(Grid.toLong,
+        math.max(1L, (n + rowsPerBucket - 1) / rowsPerBucket)).toInt
+    if (!numericLead && n > rowsPerBucket) {
+      logWarning(s"GlobalOrder: non-numeric leading order column " +
+        s"(${leadType.simpleString}) over $n rows cannot be quantile-banded — " +
+        "running as ONE window task; cast or quantize the lead to a numeric " +
+        "score to distribute the order")
+    }
     val grid: Seq[Double] =
       if (nBuckets <= 1) Nil
       else {
@@ -95,13 +127,32 @@ object GlobalOrder {
       else (1 until nBuckets)
         .map(i => grid((i.toLong * Grid / nBuckets).toInt - 1))
         .distinct.sorted
-    val bucket: Column = graft.functions.exprs.bucket_by_bounds(lead, bounds)
+    // a null lead (doc contract says non-null, but callers pass user
+    // frames) banding to a null bucket would NPE the totals collect /
+    // drop rows through the offset join — coalesce it into bucket 0,
+    // which is exactly where asc NULLS FIRST ordering puts those rows
+    val bucket: Column = coalesce(
+      graft.functions.exprs.bucket_by_bounds(lead, bounds), lit(0))
     val bucketed = in.withColumn("__go_b", bucket)
-    // pass 2: per-bucket weight totals — ≤ 4096 rows to the driver;
-    // deterministic because the bucket is a pure function of the row
-    val totals = bucketed.groupBy(col("__go_b"))
-      .agg(sum(weight.cast("long")).as("__go_w"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // pass 2: per-bucket weight totals + row counts — ≤ 4096 rows to the
+    // driver; deterministic because the bucket is a pure function of the
+    // row. The counts feed the tie-run overflow telemetry for free.
+    val totals3 = bucketed.groupBy(col("__go_b"))
+      .agg(sum(weight.cast("long")).as("__go_w"), count(lit(1)).as("__go_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    lastBucketOverflow = None
+    if (nBuckets > 1) {
+      totals3.filter(_._3 > OverflowFactor * rowsPerBucket)
+        .sortBy(-_._3).headOption.foreach { case (b, _, cnt) =>
+          lastBucketOverflow = Some((b, cnt))
+          logWarning(s"GlobalOrder bucket $b holds $cnt rows " +
+            s"(> ${OverflowFactor}x the $rowsPerBucket target): the leading " +
+            "order column has a tie run longer than a bucket, so that bucket " +
+            "degrades to ONE window task — pre-quantize the lead or add a " +
+            "higher-cardinality leading axis")
+        }
+    }
+    val totals = totals3.map { case (b, w, _) => (b, w) }
     var acc = 0L
     val offsets = totals.map { case (b, w) => val o = (b, acc); acc += w; o }
     val spark = df.sparkSession

@@ -80,9 +80,15 @@ object Decontaminate {
     * kernel here — dedupSegments, decontaminateBloom — the broadcast
     * lives until the result DataFrame is unreachable and ContextCleaner
     * runs; score large benchmarks in a bounded-lifetime session rather
-    * than a years-long REPL). Benchmarks too large for either are
-    * decontaminateBloom territory (probabilistic, no per-doc exact
-    * fraction).
+    * than a years-long REPL).
+    *
+    * Benchmarks past `maxBenchShingles` distinct shingles AUTO-ROUTE to
+    * a Bloom-filter probe (built by `stat.bloomFilter`'s distributed
+    * merge — the driver never holds the shingle strings): conservative
+    * per-doc counts — false positives can only INFLATE `n_matched`, so
+    * bloom-tier contamination is an upper bound and a gate "drop when
+    * contamination > τ" only over-drops, never leaks benchmark text.
+    * The route taken is observable via [[lastScoreRouting]].
     *
     * @return (doc_id, n_shingles, n_matched, contamination) —
     *         contamination = n_matched / n_shingles rounded to 4 dp,
@@ -93,25 +99,47 @@ object Decontaminate {
       bench: DataFrame, benchText: Column,
       shingleK: Int = 8,
       inlineThreshold: Int = 4096,
-      maxBenchShingles: Int = 1 << 24): DataFrame = {
+      maxBenchShingles: Int = 1 << 22,
+      bloomFpp: Double = 0.0001): DataFrame = {
     require(shingleK >= 1, "shingleK must be >= 1")
-    val probe = bench
+    val benchShingles = bench
       .select(explode(graft.dedup.Dedup.shingles(benchText, shingleK)).as("__sh"))
-      .distinct()
-      .limit(maxBenchShingles + 1)
-      .collect()
-    require(probe.length <= maxBenchShingles,
-      s"benchmark has > $maxBenchShingles distinct shingles — too large for " +
-        "an exact map-side probe; use decontaminateBloom")
-    val benchSet = probe.map(_.getString(0)).sorted
     val sh = graft.dedup.Dedup.shingles(corpusText, shingleK)
+    // Bloom tier: distributed-merged filter — the driver never holds the
+    // shingle strings, only the (bounded, ~MBs) filter bytes. Counts are
+    // conservative (fp can only inflate n_matched). Sized by the actual
+    // distinct estimate, not the cap.
+    def bloomTier(expected: Long): Column = {
+      lastScoreRouting = "bloom"
+      val bf = benchShingles.stat.bloomFilter(
+        "__sh", math.max(1L << 16, expected * 2), bloomFpp)
+      val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+      coalesce(graft.functions.exprs.count_in_bloom(sh, bc), lit(0))
+    }
+    // Route on a cheap distinct ESTIMATE first, so an oversized
+    // benchmark never triggers a multi-million-string driver collect
+    // just to discover it is oversized (the bench side is one scan
+    // either way). 5% margin under the cap covers the sketch's rsd.
+    val approxN = benchShingles
+      .agg(approx_count_distinct(col("__sh"), 0.01).as("n")).head.getLong(0)
     val matched =
-      if (benchSet.length <= inlineThreshold) {
-        graft.functions.exprs.count_in_set(sh, benchSet.toIndexedSeq)
-      } else {
-        val bc = corpus.sparkSession.sparkContext.broadcast(benchSet.toSet)
-        // coalesce preserves the former UDF's null-shingles → 0 behavior
-        coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0))
+      if (approxN > (maxBenchShingles.toLong * 95) / 100) bloomTier(approxN)
+      else {
+        val probe = benchShingles.distinct().limit(maxBenchShingles + 1).collect()
+        if (probe.length > maxBenchShingles) {
+          // the estimate undercounted past the margin — fall through
+          bloomTier(probe.length.toLong * 2)
+        } else if (probe.length <= inlineThreshold) {
+          lastScoreRouting = "inline"
+          graft.functions.exprs.count_in_set(
+            sh, probe.map(_.getString(0)).sorted.toIndexedSeq)
+        } else {
+          lastScoreRouting = "broadcast"
+          val bc = corpus.sparkSession.sparkContext.broadcast(
+            probe.map(_.getString(0)).toSet)
+          // coalesce preserves the former UDF's null-shingles → 0 behavior
+          coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0))
+        }
       }
     corpus.select(corpusId.as("doc_id"),
         size(sh).as("n_shingles"), matched.as("n_matched"))
@@ -119,6 +147,11 @@ object Decontaminate {
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(round(col("n_matched").cast("double") / col("n_shingles"), 4)))
   }
+
+  /** Which probe tier the last [[contaminationScore]] call built:
+    * "inline" (codegen literal set), "broadcast" (exact driver-collected
+    * set), or "bloom" (distributed-merged filter, conservative counts). */
+  @volatile private[graft] var lastScoreRouting: String = ""
 
   /** Bloom-probe decontamination — the memory-bounded variant of
     * [[decontaminate]] for benchmark sets too large to broadcast as

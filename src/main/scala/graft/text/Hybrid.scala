@@ -41,10 +41,13 @@ object Hybrid {
     // a value-derived constant bucket (every non-null score > -Inf) so
     // the single-task plan is explicit in the spec instead of tripping
     // WindowExec's partition-less warning wall; ranks are unchanged
-    // because all rows share the one bucket.
+    // because ALL rows share the one bucket — including null scores,
+    // which the coalesce folds into the same bucket (a bare null bucket
+    // would form its own partition and restart rank at 1, colliding
+    // with the real rank 1; desc ordering already puts nulls last).
     val oneBucket = (s: Column) =>
-      graft.functions.exprs.bucket_by_bounds(s.cast("double"),
-        Seq(Double.NegativeInfinity))
+      coalesce(graft.functions.exprs.bucket_by_bounds(s.cast("double"),
+        Seq(Double.NegativeInfinity)), lit(1))
     val lr = lexical.select(col(lexId).as("id"), col(lexScore).as("__s"))
       .withColumn("lex_rank", row_number()
         .over(Window.partitionBy(oneBucket(col("__s")))

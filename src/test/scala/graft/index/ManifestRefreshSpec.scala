@@ -145,6 +145,70 @@ class ManifestRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probed $probedAfter, want ${probedBefore - 1}")
   }
 
+  test("auto mode never engages for file:// roots (scheme-gated)") {
+    IndexedDataSource.lastManifestStats = None
+    val auto = opts + (IndexConf.RefreshDirManifest -> "auto")
+    val stats = IndexedDataSource.refreshIndex(
+      spark, tablePath, Metastore.Dataspace, auto)
+    assert(stats == IndexedDataSource.RefreshStats(0L, 0L))
+    assert(IndexedDataSource.lastManifestStats.isEmpty,
+      "auto must not engage the tier on a local (non-whitelisted) scheme")
+    checkSame()
+  }
+
+  test("mtime 0 is never trusted: such a dir re-lists on every refresh") {
+    // settle to a clean manifest first
+    assert(refresh() == IndexedDataSource.RefreshStats(0L, 0L))
+    val y = years(1)
+    val victim = java.nio.file.Paths.get(s"$work/orders_part/o_year=$y")
+    val origMtime = java.nio.file.Files.getLastModifiedTime(victim)
+    try {
+      // synthetic-directory simulation: an object store reports mtime 0
+      java.nio.file.Files.setLastModifiedTime(
+        victim, java.nio.file.attribute.FileTime.fromMillis(0L))
+      (1 to 2).foreach { i =>
+        IndexedDataSource.lastManifestStats = None
+        assert(refresh() == IndexedDataSource.RefreshStats(0L, 0L))
+        val (_, changed, _, _) = IndexedDataSource.lastManifestStats
+          .getOrElse(fail("manifest tier did not run"))
+        assert(changed >= 1L,
+          s"refresh #$i must treat the mtime-0 dir as changed (always re-list)")
+      }
+    } finally {
+      java.nio.file.Files.setLastModifiedTime(victim, origMtime)
+    }
+  }
+
+  test("fullWalk option heals a preserved-mtime blind spot the probe misses") {
+    // settle: manifest current, nothing to do
+    assert(refresh() == IndexedDataSource.RefreshStats(0L, 0L))
+    val y = years(2)
+    val dir = java.nio.file.Paths.get(s"$work/orders_part/o_year=$y")
+    val origMtime = java.nio.file.Files.getLastModifiedTime(dir)
+    // land a new file, then restore the dir's mtime — the adversarial
+    // writer the manifest tier documents as invisible
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .filter(col("o_year") === y).limit(10).drop("o_year")
+      .coalesce(1).write.mode("append").parquet(s"$tablePath/o_year=$y")
+    java.nio.file.Files.setLastModifiedTime(dir, origMtime)
+    // the probe-guided refresh is blind to it (this IS the blind spot)
+    IndexedDataSource.lastManifestStats = None
+    assert(refresh() == IndexedDataSource.RefreshStats(0L, 0L),
+      "probe-guided refresh seeing the hidden file would make this test vacuous")
+    // the escape hatch walks everything and picks the file up
+    val stats = IndexedDataSource.refreshIndex(spark, tablePath,
+      Metastore.Dataspace, opts + (IndexConf.RefreshFullWalk -> "true"))
+    assert(stats == IndexedDataSource.RefreshStats(1L, 0L), s"got $stats")
+    checkSame()
+    // and the manifest was REBUILT by the walk: the next probe-guided
+    // refresh runs the tier and is current
+    IndexedDataSource.lastManifestStats = None
+    assert(refresh() == IndexedDataSource.RefreshStats(0L, 0L))
+    assert(IndexedDataSource.lastManifestStats.nonEmpty,
+      "tier must resume after the full walk")
+  }
+
   test("manifest off: refresh works without the tier (full walk)") {
     IndexedDataSource.lastManifestStats = None
     val noManifest = opts + (IndexConf.RefreshDirManifest -> "false")

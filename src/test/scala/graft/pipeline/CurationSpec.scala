@@ -926,6 +926,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     assert(out.sameElements(viaBc))
+    assert(graft.text.Decontaminate.lastScoreRouting == "broadcast")
+  }
+
+  test("contaminationScore: oversized benchmarks auto-route to the bloom tier") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content with fresh words"),
+      (3L, "")
+    ).toDF("id", "txt")
+    val bench = Seq("the quick brown fox ran away").toDF("txt")
+    val exact = graft.text.Decontaminate.contaminationScore(
+        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(graft.text.Decontaminate.lastScoreRouting == "inline")
+    // a 1-shingle cap forces the route the driver would take on a
+    // benchmark too large to collect: no exact-set collect, a
+    // distributed-merged bloom probe, CONSERVATIVE counts (>= exact;
+    // at 0.01% fpp over 6 shingles, equality in practice)
+    val bloom = graft.text.Decontaminate.contaminationScore(
+        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
+        maxBenchShingles = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(graft.text.Decontaminate.lastScoreRouting == "bloom")
+    exact.zip(bloom).foreach { case ((id, n, m), (idB, nB, mB)) =>
+      assert(id == idB && n == nB, "ids and shingle counts must agree")
+      assert(mB >= m, s"bloom tier undercounted doc $id: $mB < $m")
+      assert(mB <= n, s"bloom tier counted more matches than shingles on doc $id")
+    }
+    // still map-side: no Exchange, no Join in the corpus scan
+    val plan = graft.text.Decontaminate.contaminationScore(
+        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
+        maxBenchShingles = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
   }
 
   test("chunkDocs: overlap, partial tail, short and empty docs") {

@@ -171,6 +171,49 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rn == (1L to 3000L))
   }
 
+  test("GlobalOrder: non-numeric lead takes the single-bucket path (no ANSI cast)") {
+    import graft.ops.GlobalOrder
+    // a STRING lead previously hit cast("double") — CAST_INVALID_INPUT
+    // under Spark 4 ANSI; now it must band to one bucket and rank fine
+    val df = Seq(("banana", 2L), ("apple", 1L), ("cherry", 3L), ("date", 4L))
+      .toDF("s", "id")
+    val got = GlobalOrder.rowNumber(df, Seq($"s", $"id"), "rk")
+      .select($"s", $"rk").as[(String, Long)].collect().toMap
+    assert(got == Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 3L, "date" -> 4L))
+  }
+
+  test("GlobalOrder: null numeric leads rank first, no NPE, no dropped rows") {
+    import graft.ops.GlobalOrder
+    val df = Seq[(java.lang.Double, Long)]((2.0, 2L), (null, 10L), (1.0, 1L),
+      (null, 11L), (3.0, 3L)).toDF("v", "id")
+    val got = GlobalOrder.rowNumber(df, Seq($"v", $"id"), "rk")
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    // asc NULLS FIRST: the two null-score rows take ranks 1-2 by id
+    assert(got == Map(10L -> 1L, 11L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 5L))
+  }
+
+  test("GlobalOrder: a lead-value tie run longer than a bucket trips the overflow telemetry") {
+    import graft.ops.GlobalOrder
+    // constant lead: quantile bounds cannot split it — everything lands
+    // in one bucket, 200 rows >> 4x the 10-row target. The result must
+    // stay exact; the telemetry must name the overflowing bucket.
+    val df = (1 to 200).map(i => (0.0, i.toLong)).toDF("v", "id")
+    GlobalOrder.lastBucketOverflow = None
+    val rn = GlobalOrder.exclusivePrefixSum(
+        df, Seq($"v", $"id"), lit(1L), "pre", rowsPerBucket = 10L)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    assert(rn == (1 to 200).map(i => i.toLong -> (i - 1).toLong).toMap)
+    val (_, cnt) = GlobalOrder.lastBucketOverflow.getOrElse(
+      fail("overflow telemetry did not fire on a constant lead"))
+    assert(cnt == 200L)
+    // balanced data must NOT trip it
+    GlobalOrder.lastBucketOverflow = None
+    val spread = (1 to 200).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    GlobalOrder.exclusivePrefixSum(
+      spread, Seq($"v", $"id"), lit(1L), "pre", rowsPerBucket = 10L).count()
+    assert(GlobalOrder.lastBucketOverflow.isEmpty)
+  }
+
   test("strideScheduleBy matches the map variant on equal weights") {
     val seqs = (for (s <- Seq("A", "B"); k <- 0L until 5L) yield (s, k))
       .toDF("shard", "seq_id")
