@@ -20,10 +20,19 @@ package graft.multimodal
   * aHash parity with the built-in MJPEG decoder on the same frames. */
 class FfmpegVideoFrameDecoder extends VideoFrameDecoder {
 
+  /** Binary names resolve through executor-JVM system properties
+    * (`graft.ffmpeg.bin` / `graft.ffprobe.bin`, default PATH lookup of
+    * the plain names) — lets a cluster pin absolute paths via
+    * `spark.executor.extraJavaOptions` and lets the protocol spec drive
+    * the full argv/stdin-feeder/frame-slicing path with fake binaries
+    * in environments without codecs. */
+  private def ffmpegBin: String = sys.props.getOrElse("graft.ffmpeg.bin", "ffmpeg")
+  private def ffprobeBin: String = sys.props.getOrElse("graft.ffprobe.bin", "ffprobe")
+
   override def decodeFrames(
       data: Array[Byte], everyN: Int): Iterator[(Int, Int, Int, Array[Int])] = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
-    val (pCode, pOut, pErr) = run(Seq("ffprobe", "-v", "error",
+    val (pCode, pOut, pErr) = run(Seq(ffprobeBin, "-v", "error",
       "-select_streams", "v:0", "-show_entries", "stream=width,height",
       "-of", "csv=p=0", "pipe:0"), data)
     require(pCode == 0, s"ffprobe failed ($pCode): ${tail(pErr)}")
@@ -36,7 +45,7 @@ class FfmpegVideoFrameDecoder extends VideoFrameDecoder {
     val select =
       if (everyN == 1) Nil
       else Seq("-vf", s"select=not(mod(n\\,$everyN))", "-fps_mode", "passthrough")
-    val (code, out, err) = run(Seq("ffmpeg", "-v", "error", "-i", "pipe:0") ++
+    val (code, out, err) = run(Seq(ffmpegBin, "-v", "error", "-i", "pipe:0") ++
       select ++ Seq("-f", "rawvideo", "-pix_fmt", "argb", "pipe:1"), data)
     require(code == 0, s"ffmpeg failed ($code): ${tail(err)}")
     val frameBytes = w * h * 4
