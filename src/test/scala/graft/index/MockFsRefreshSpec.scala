@@ -148,6 +148,28 @@ class MockFsRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!IndexedDataSource.existsIndex(spark, tablePath, Metastore.Dataspace))
   }
 
+  test("metastore on the remote scheme, table local: the symmetric cross-scheme case") {
+    // the Wrong-FS class of bug has two directions; the other tests pin
+    // table-remote/metastore-local, this one pins the inverse
+    val t2 = s"$work/local_table"
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    nation.coalesce(2).write.mode("overwrite").parquet(t2)
+    val o2 = Map(
+      IndexConf.MetastoreLocation -> s"mockfs://$work/metastore2",
+      IndexConf.DistributedPruningThreshold -> "1")
+    IndexedDataSource.createIndex(spark, t2, Metastore.Dataspace,
+      org.apache.spark.sql.SaveMode.Overwrite, Seq("n_nationkey"),
+      indexAll = false, o2, "parquet")
+    nation.limit(5).coalesce(1).write.mode("append").parquet(t2)
+    val st = IndexedDataSource.refreshIndex(spark, t2, Metastore.Dataspace, o2)
+    assert(st == IndexedDataSource.RefreshStats(1L, 0L), s"got $st")
+    val df = IndexedDataSource.load(spark, Seq(t2), Metastore.Dataspace, o2, None)
+    assert(df.count() == spark.read.parquet(t2).count())
+    val key = nation.select("n_nationkey").as[Long].head()
+    assert(df.filter(col("n_nationkey") === key).count() ==
+      spark.read.parquet(t2).filter(col("n_nationkey") === key).count())
+  }
+
   override def afterAll(): Unit = {
     spark.stop()
     super.afterAll()
