@@ -116,29 +116,37 @@ object Decontaminate {
       val bc = corpus.sparkSession.sparkContext.broadcast(bf)
       coalesce(graft.functions.exprs.count_in_bloom(sh, bc), lit(0))
     }
-    // Route on a cheap distinct ESTIMATE first, so an oversized
-    // benchmark never triggers a multi-million-string driver collect
-    // just to discover it is oversized (the bench side is one scan
-    // either way). 5% margin under the cap covers the sketch's rsd.
-    val approxN = benchShingles
-      .agg(approx_count_distinct(col("__sh"), 0.01).as("n")).head.getLong(0)
+    def exactTier(benchSet: Array[String]): Column =
+      if (benchSet.length <= inlineThreshold) {
+        lastScoreRouting = "inline"
+        graft.functions.exprs.count_in_set(sh, benchSet.sorted.toIndexedSeq)
+      } else {
+        lastScoreRouting = "broadcast"
+        val bc = corpus.sparkSession.sparkContext.broadcast(benchSet.toSet)
+        // coalesce preserves the former UDF's null-shingles → 0 behavior
+        coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0))
+      }
+    // TWO-TIER routing, sized so the common case stays ONE bench-side
+    // job: real eval sets are well under 2^18 distinct shingles, and the
+    // small probe collects at most that many strings (bounded, ~tens of
+    // MB worst case). Only a benchmark that blows past the small cut
+    // pays the distinct ESTIMATE, which then decides exact-vs-bloom
+    // WITHOUT a multi-million-string driver collect. 5% margin under
+    // the cap covers the sketch's rsd.
+    val smallCut = math.min(maxBenchShingles, 1 << 18)
+    val probe1 = benchShingles.distinct().limit(smallCut + 1).collect()
     val matched =
-      if (approxN > (maxBenchShingles.toLong * 95) / 100) bloomTier(approxN)
+      if (probe1.length <= smallCut) exactTier(probe1.map(_.getString(0)))
       else {
-        val probe = benchShingles.distinct().limit(maxBenchShingles + 1).collect()
-        if (probe.length > maxBenchShingles) {
-          // the estimate undercounted past the margin — fall through
-          bloomTier(probe.length.toLong * 2)
-        } else if (probe.length <= inlineThreshold) {
-          lastScoreRouting = "inline"
-          graft.functions.exprs.count_in_set(
-            sh, probe.map(_.getString(0)).sorted.toIndexedSeq)
-        } else {
-          lastScoreRouting = "broadcast"
-          val bc = corpus.sparkSession.sparkContext.broadcast(
-            probe.map(_.getString(0)).toSet)
-          // coalesce preserves the former UDF's null-shingles → 0 behavior
-          coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0))
+        val approxN = benchShingles
+          .agg(approx_count_distinct(col("__sh"), 0.01).as("n")).head.getLong(0)
+        if (approxN > (maxBenchShingles.toLong * 95) / 100) bloomTier(approxN)
+        else {
+          val probe2 = benchShingles.distinct().limit(maxBenchShingles + 1).collect()
+          if (probe2.length > maxBenchShingles) {
+            // the estimate undercounted past the margin — fall through
+            bloomTier(probe2.length.toLong * 2)
+          } else exactTier(probe2.map(_.getString(0)))
         }
       }
     corpus.select(corpusId.as("doc_id"),
