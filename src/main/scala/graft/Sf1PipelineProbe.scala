@@ -55,8 +55,15 @@ object Sf1PipelineProbe {
     // real sf0.1 runs
     val bigDir = s"$scratch/sf1pipe_data"
     val marker = new java.io.File(s"$scratch/sf1pipe_data_ready")
+    // versioned marker (same protocol as SparkEntryFixtures.scratchTable):
+    // bump when the synthesis construction changes, or a stale fixture
+    // would silently vouch for ratios the current code never produced
+    val fixtureVersion = "sf1pipe.v1"
+    val fixtureFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fixtureVersion
 
-    if (!marker.exists()) {
+    if (!fixtureFresh) {
+      marker.delete() // a torn build must not leave a vouching marker
       new java.io.File(bigDir).mkdirs()
 
       def replicas(df: DataFrame)(mk: (DataFrame, Int) => DataFrame): DataFrame =
@@ -97,7 +104,7 @@ object Sf1PipelineProbe {
         }: _*)
       }.repartition(40).write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
 
-      java.nio.file.Files.write(marker.toPath, "1".getBytes)
+      java.nio.file.Files.write(marker.toPath, fixtureVersion.getBytes("UTF-8"))
     }
 
     def timeOnce(name: String, dir: String): Double = {

@@ -45,14 +45,16 @@ class IndexConf(spark: SparkSession, overrides: Map[String, String] = Map.empty)
     get(IndexConf.RefreshDirManifest, "auto").toLowerCase
   /** Schemes whose directory mtimes are REAL (bumped by every child
     * add/remove) — the only stores where "auto" may engage the manifest
-    * tier. Object stores are deliberately absent: S3A/GCS directories
-    * are synthetic (mtime 0 or creation-time), so an mtime probe would
-    * report "unchanged" forever and refresh would silently stop seeing
-    * new files. Force "true" only for a store you know bumps parent-dir
-    * mtimes on rename-commit. */
+    * tier. The default is the HDFS family only, where rename-commit
+    * bumping the parent dir's mtime is a documented POSIX-ish guarantee.
+    * Object stores are deliberately absent (S3A/GCS directories are
+    * synthetic — mtime 0 or creation-time — so a probe would report
+    * "unchanged" forever and refresh would silently stop seeing new
+    * files), and stores with real directories but UNVERIFIED
+    * child-add→parent-mtime semantics (ABFS-HNS, Ozone) must be added
+    * here explicitly by an operator who has verified their store. */
   def refreshDirManifestSchemes: Set[String] =
-    get(IndexConf.RefreshDirManifestSchemes,
-      "hdfs,webhdfs,httpfs,viewfs,abfs,abfss,o3fs,ofs")
+    get(IndexConf.RefreshDirManifestSchemes, "hdfs,webhdfs,httpfs,viewfs")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
   /** Per-call escape hatch: ignore the stored dir manifest for THIS
     * refresh and walk the whole tree (the manifest is rebuilt from the

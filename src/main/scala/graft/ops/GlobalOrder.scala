@@ -78,19 +78,35 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
     // caller still holds the lazy result). MEMORY_AND_DISK: the frame is
     // order-metadata sized, spilling beats recomputing.
     val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Quantile banding needs a lead that casts to double MONOTONICALLY —
-    // i.e. a numeric lead. A non-numeric lead (string score, struct key)
-    // must NOT be cast: under ANSI (Spark 4 default) the cast throws
-    // CAST_INVALID_INPUT mid-job, and with ANSI off it yields null
-    // buckets that drop rows through the offset join. Such frames take
-    // the single-bucket path on a hash-derived lead instead — hash() is
-    // total over every type, and in one bucket the banding value never
-    // influences the ORDER (orderCols do), only the partitionSpec.
+    // Quantile banding needs a lead that maps to double MONOTONICALLY.
+    // Numeric leads cast directly; temporal leads derive their epoch
+    // number (a raw cast of a string/struct lead would throw
+    // CAST_INVALID_INPUT under ANSI, Spark 4's default, or yield null
+    // buckets with ANSI off). Non-bandable types take the single-bucket
+    // path on a hash-derived lead instead — hash() is total over every
+    // type, and in one bucket the banding value never influences the
+    // ORDER (orderCols do), only the partitionSpec. NaN leads are folded
+    // onto +Inf BEFORE banding: the binary search would otherwise send
+    // NaN to bucket 0 while asc ordering sorts NaN LAST — a non-monotone
+    // band that silently mis-offsets; as +Inf they band with the top
+    // bucket and the window's true ordering settles them within it.
+    import org.apache.spark.sql.types._
     val leadType = df.select(orderCols.head).schema.head.dataType
-    val numericLead = leadType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val lead =
-      if (numericLead) orderCols.head.cast("double")
-      else hash(orderCols.head).cast("double")
+    val bandLead: Option[Column] = leadType match {
+      case _: NumericType => Some(orderCols.head.cast("double"))
+      case _: TimestampType => Some(unix_micros(orderCols.head).cast("double"))
+      case _: TimestampNTZType =>
+        // ntz→ltz shifts by the session zone — a constant offset, so the
+        // derivation stays monotone, which is all banding needs
+        Some(unix_micros(orderCols.head.cast("timestamp")).cast("double"))
+      case _: DateType => Some(unix_date(orderCols.head).cast("double"))
+      case _ => None
+    }
+    val numericLead = bandLead.isDefined
+    val lead = bandLead match {
+      case Some(c) => nanvl(c, lit(Double.PositiveInfinity))
+      case None => hash(orderCols.head).cast("double")
+    }
     // pass 1: count (materializes the cache). The 4095-point quantile
     // sketch only runs when the data actually needs multiple buckets —
     // at or under one bucket's worth of rows it is pure fixed overhead
@@ -142,11 +158,16 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     lastBucketOverflow = None
     if (nBuckets > 1) {
-      totals3.filter(_._3 > OverflowFactor * rowsPerBucket)
+      // expected size per bucket exceeds rowsPerBucket once n caps the
+      // Grid — compare against the larger of the two, or balanced data
+      // past Grid x target rows would warn spuriously
+      val expectPerBucket = math.max(rowsPerBucket,
+        (n + nBuckets - 1) / nBuckets)
+      totals3.filter(_._3 > OverflowFactor * expectPerBucket)
         .sortBy(-_._3).headOption.foreach { case (b, _, cnt) =>
           lastBucketOverflow = Some((b, cnt))
           logWarning(s"GlobalOrder bucket $b holds $cnt rows " +
-            s"(> ${OverflowFactor}x the $rowsPerBucket target): the leading " +
+            s"(> ${OverflowFactor}x the $expectPerBucket target): the leading " +
             "order column has a tie run longer than a bucket, so that bucket " +
             "degrades to ONE window task — pre-quantize the lead or add a " +
             "higher-cardinality leading axis")

@@ -38,16 +38,17 @@ object Hybrid {
     val Seq(vecId, vecScore) = vector.columns.toSeq.take(2)
     // candidate lists are N-sized by contract — the windows here rank a
     // bounded list, not a table (see class doc). They are PARTITIONED on
-    // a value-derived constant bucket (every non-null score > -Inf) so
-    // the single-task plan is explicit in the spec instead of tripping
-    // WindowExec's partition-less warning wall; ranks are unchanged
-    // because ALL rows share the one bucket — including null scores,
-    // which the coalesce folds into the same bucket (a bare null bucket
-    // would form its own partition and restart rank at 1, colliding
-    // with the real rank 1; desc ordering already puts nulls last).
+    // a value-derived constant bucket so the single-task plan is
+    // explicit in the spec instead of tripping WindowExec's
+    // partition-less warning wall. The bucket derives from hash(score):
+    // hash() is total (never null/NaN, always > -Inf), so EVERY row —
+    // null, NaN, or -Infinity scores included — lands in the same
+    // bucket 1 and row_number stays a single global rank (a score-cast
+    // bucket would give null/NaN/-Inf their own partition and restart
+    // rank at 1, colliding with the real rank 1).
     val oneBucket = (s: Column) =>
-      coalesce(graft.functions.exprs.bucket_by_bounds(s.cast("double"),
-        Seq(Double.NegativeInfinity)), lit(1))
+      graft.functions.exprs.bucket_by_bounds(hash(s).cast("double"),
+        Seq(Double.NegativeInfinity))
     val lr = lexical.select(col(lexId).as("id"), col(lexScore).as("__s"))
       .withColumn("lex_rank", row_number()
         .over(Window.partitionBy(oneBucket(col("__s")))

@@ -192,6 +192,40 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(10L -> 1L, 11L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 5L))
   }
 
+  test("GlobalOrder: timestamp leads band into multiple buckets (epoch derivation)") {
+    import graft.ops.GlobalOrder
+    // 3000 distinct timestamps with rowsPerBucket=100: the temporal
+    // derivation must quantile-band (NOT degrade to one window task),
+    // and the global order must match the driver oracle
+    val rows = (1 to 3000).map(i => (ts(i * 37L), i.toLong))
+    val df = rows.toDF("t", "id")
+    val got = GlobalOrder.exclusivePrefixSum(
+        df, Seq($"t", $"id"), lit(1L), "pre", rowsPerBucket = 100L)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(_._2).zipWithIndex
+      .map { case ((_, id), i) => id -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("GlobalOrder: NaN leads band with the top bucket, order stays exact") {
+    import graft.ops.GlobalOrder
+    // NaN sorts LAST under Spark asc ordering but a raw binary search
+    // would band it to bucket 0 — the nanvl(+Inf) fold keeps banding
+    // monotone. 300 rows force the multi-bucket path at target 50.
+    val rows = (1 to 300).map { i =>
+      val v = if (i % 100 == 0) Double.NaN else i.toDouble
+      (v, i.toLong)
+    }
+    val df = rows.toDF("v", "id")
+    val got = GlobalOrder.rowNumber(df, Seq($"v", $"id"), "rk")
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    // oracle: non-NaN ascending by (v, id), then the three NaN rows by id
+    val (nan, fin) = rows.partition(_._1.isNaN)
+    val want = (fin.sortBy(r => (r._1, r._2)) ++ nan.sortBy(_._2))
+      .zipWithIndex.map { case ((_, id), i) => id -> (i + 1).toLong }.toMap
+    assert(got == want)
+  }
+
   test("GlobalOrder: a lead-value tie run longer than a bucket trips the overflow telemetry") {
     import graft.ops.GlobalOrder
     // constant lead: quantile bounds cannot split it — everything lands
