@@ -226,6 +226,52 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("GlobalOrder property: 20 seeded random frames match the driver oracle") {
+    import graft.ops.GlobalOrder
+    // adversarial mix per case: small value domains (tie runs), nulls
+    // (rank first), NaN (ranks last), random weights, bucket sizes that
+    // force 1..many buckets — exclusive prefix sums must equal the
+    // driver-side fold over Spark's total order in every case
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 20).foreach { case_ =>
+      val n = 1 + rnd.nextInt(400)
+      val domain = 1 + rnd.nextInt(20)
+      val rowsPerBucket = Seq(1L, 7L, 50L)(rnd.nextInt(3))
+      val rows = (1 to n).map { i =>
+        val v: java.lang.Double = rnd.nextInt(10) match {
+          case 0 => null
+          case 1 => Double.NaN
+          case _ => (rnd.nextInt(domain) * 3.5) - 7.0
+        }
+        (v, i.toLong, rnd.nextInt(5).toLong)
+      }
+      val df = rows.toDF("v", "id", "w")
+      val got = GlobalOrder.exclusivePrefixSum(
+          df, Seq($"v", $"id"), $"w", "pre", rowsPerBucket)
+        .select($"id", $"pre").as[(Long, Long)].collect().toMap
+      // driver oracle over Spark's asc order: nulls FIRST, NaN LAST
+      // (java.lang.Double.compare agrees on NaN-largest), id tiebreak
+      val ord = new Ordering[(java.lang.Double, Long, Long)] {
+        def compare(a: (java.lang.Double, Long, Long),
+            b: (java.lang.Double, Long, Long)): Int = {
+          val c = (a._1, b._1) match {
+            case (null, null) => 0
+            case (null, _) => -1
+            case (_, null) => 1
+            case (x, y) => java.lang.Double.compare(x, y)
+          }
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+      var acc = 0L
+      val want = rows.sorted(ord).map { r =>
+        val o = (r._2, acc); acc += r._3; o
+      }.toMap
+      assert(got == want,
+        s"case $case_ (n=$n domain=$domain rpb=$rowsPerBucket) diverged")
+    }
+  }
+
   test("GlobalOrder: a lead-value tie run longer than a bucket trips the overflow telemetry") {
     import graft.ops.GlobalOrder
     // constant lead: quantile bounds cannot split it — everything lands
