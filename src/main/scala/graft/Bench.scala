@@ -170,9 +170,12 @@ object Bench {
         val merged = results0.map { case (name, (v, ok)) =>
           try {
             val (t, w) = runOnce(SparkEntry.queries(name))
-            if (name.startsWith("q_stream_") && w > 0)
-              streamWork(name) =
-                math.min(streamWork.getOrElse(name, Double.MaxValue), w)
+            // merge the (elapsed, work) PAIR by best elapsed — matching
+            // results0's convention (work from the best-elapsed rep), so
+            // the recorded stream_work never mixes runs with the
+            // recorded time
+            if (name.startsWith("q_stream_") && w > 0 && (!ok || t < v))
+              streamWork(name) = w
             name -> (if (ok) math.min(v, t) else t, true)
           } catch { case _: Throwable => name -> (v, ok) }
         }

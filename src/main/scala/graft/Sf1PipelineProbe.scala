@@ -69,8 +69,18 @@ object Sf1PipelineProbe {
       def replicas(df: DataFrame)(mk: (DataFrame, Int) => DataFrame): DataFrame =
         (0 until 10).map(i => mk(df, i)).reduce(_.unionAll(_))
 
+      // max over an empty table is NULL — fail with a clear message
+      // instead of the opaque NPE a bare getLong(0) would throw
+      def spanOf(df: DataFrame, idCol: String, what: String): Long = {
+        val r = df.agg(max(col(idCol))).head
+        require(!r.isNullAt(0),
+          s"empty input: $what under $sfDir has no rows — the probe " +
+            "needs non-empty sf0.1 tables to synthesize the 10x corpus")
+        r.getLong(0) + 1L
+      }
+
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val docSpan = docs.agg(max($"doc_id")).head.getLong(0) + 1L
+      val docSpan = spanOf(docs, "doc_id", "documents.parquet")
       replicas(docs) { (d, i) =>
         val txt =
           if (i == 0) $"text"
@@ -81,7 +91,7 @@ object Sf1PipelineProbe {
       }.repartition(40).write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val vecSpan = emb.agg(max($"vec_id")).head.getLong(0) + 1L
+      val vecSpan = spanOf(emb, "vec_id", "embeddings.parquet")
       replicas(emb) { (e, i) =>
         val rot =
           if (i == 0) $"embedding"
@@ -93,7 +103,7 @@ object Sf1PipelineProbe {
       }.repartition(40).write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
 
       val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-      val custSpan = cust.agg(max($"c_custkey")).head.getLong(0) + 1L
+      val custSpan = spanOf(cust, "c_custkey", "customer.parquet")
       val custCols = cust.columns.toSeq
       replicas(cust) { (c, i) =>
         val nm = if (i == 0) $"c_name" else concat($"c_name", lit(s"_$i$i$i"))

@@ -21,13 +21,18 @@ package graft.multimodal
 class FfmpegVideoFrameDecoder extends VideoFrameDecoder {
 
   /** Binary names resolve through executor-JVM system properties
-    * (`graft.ffmpeg.bin` / `graft.ffprobe.bin`, default PATH lookup of
-    * the plain names) — lets a cluster pin absolute paths via
-    * `spark.executor.extraJavaOptions` and lets the protocol spec drive
-    * the full argv/stdin-feeder/frame-slicing path with fake binaries
-    * in environments without codecs. */
-  private def ffmpegBin: String = sys.props.getOrElse("graft.ffmpeg.bin", "ffmpeg")
-  private def ffprobeBin: String = sys.props.getOrElse("graft.ffprobe.bin", "ffprobe")
+    * (`graft.ffmpeg.bin` / `graft.ffprobe.bin`), then the
+    * `GRAFT_FFMPEG_DIR` environment variable (a directory holding
+    * executable `ffmpeg`+`ffprobe` — e.g. statically-linked builds
+    * dropped into a container without package access), then PATH lookup
+    * of the plain names — lets a cluster pin absolute paths via
+    * `spark.executor.extraJavaOptions` or env, and lets the protocol
+    * spec drive the full argv/stdin-feeder/frame-slicing path with fake
+    * binaries in environments without codecs. */
+  private def ffmpegBin: String = sys.props.getOrElse("graft.ffmpeg.bin",
+    FfmpegVideoFrameDecoder.resolvedFromEnv._1)
+  private def ffprobeBin: String = sys.props.getOrElse("graft.ffprobe.bin",
+    FfmpegVideoFrameDecoder.resolvedFromEnv._2)
 
   override def decodeFrames(
       data: Array[Byte], everyN: Int): Iterator[(Int, Int, Int, Array[Int])] = {
@@ -94,4 +99,25 @@ class FfmpegVideoFrameDecoder extends VideoFrameDecoder {
     val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
     if (s.length <= 500) s else "…" + s.substring(s.length - 500)
   }
+}
+
+object FfmpegVideoFrameDecoder {
+  /** `GRAFT_FFMPEG_DIR` resolution, factored for testability: when the
+    * directory holds BOTH binaries as executables, their absolute paths
+    * win; a missing/partial dir falls back to PATH lookup (never a
+    * half-resolved pair — mixing a pinned ffmpeg with a PATH ffprobe
+    * would make version skew look like a protocol bug). */
+  private[graft] def resolveBinaries(
+      dir: Option[String]): (String, String) = dir match {
+    case Some(d) =>
+      val fm = new java.io.File(d, "ffmpeg")
+      val fp = new java.io.File(d, "ffprobe")
+      if (fm.canExecute && fp.canExecute)
+        (fm.getAbsolutePath, fp.getAbsolutePath)
+      else ("ffmpeg", "ffprobe")
+    case None => ("ffmpeg", "ffprobe")
+  }
+
+  private[graft] lazy val resolvedFromEnv: (String, String) =
+    resolveBinaries(sys.env.get("GRAFT_FFMPEG_DIR"))
 }

@@ -33,13 +33,22 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder extends org.apache.spark.internal.Logging {
 
-  /** Telemetry of the last run's worst bucket when it overflowed:
-    * (bucket id, row count). A bucket is a function of the LEADING order
-    * value only, so a tie run longer than `rowsPerBucket` cannot be
-    * split by quantile boundaries and degrades that bucket to one window
-    * task — the per-bucket totals already sit on the driver, so the
-    * detection is free. None when every bucket stayed within bounds. */
-  @volatile private[graft] var lastBucketOverflow: Option[(Int, Long)] = None
+  /** Per-call telemetry returned by [[exclusivePrefixSumStats]] —
+    * scoped to the call (no shared mutable state; concurrent runs in one
+    * session each read their own). `rows` = input row count;
+    * `buckets` = banding buckets used; `maxRowWeight` = the largest
+    * single-row weight (callers that pre-aggregate ties into weights —
+    * [[Sampling.filterByScoreBand]]'s per-score counts — read their
+    * longest tie run here); `overflow` = (bucket id, row count) of the
+    * worst bucket that blew past [[OverflowFactor]]× the per-bucket
+    * target. A bucket is a function of the LEADING order value only, so
+    * a lead tie run longer than a bucket cannot be split by quantile
+    * boundaries and degrades that bucket to one window task — the
+    * per-bucket totals already sit on the driver, so detection is free.
+    * None when every bucket stayed within bounds. */
+  private[graft] final case class OrderStats(
+      rows: Long, buckets: Int, maxRowWeight: Long,
+      overflow: Option[(Int, Long)])
 
   /** approx_percentile probability grid: 4095 interior quantiles. */
   private val Grid = 4096
@@ -59,14 +68,27 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
   def exclusivePrefixSum(
       df: DataFrame, orderCols: Seq[Column],
       weight: Column, outName: String): DataFrame =
-    exclusivePrefixSum(df, orderCols, weight, outName, RowsPerBucket)
+    exclusivePrefixSumStats(df, orderCols, weight, outName, RowsPerBucket)._1
 
   /** [[exclusivePrefixSum]] with an explicit bucket-size target —
     * package-visible so tests can force the multi-bucket path at unit
     * scale. */
   private[graft] def exclusivePrefixSum(
       df: DataFrame, orderCols: Seq[Column],
-      weight: Column, outName: String, rowsPerBucket: Long): DataFrame = {
+      weight: Column, outName: String, rowsPerBucket: Long): DataFrame =
+    exclusivePrefixSumStats(df, orderCols, weight, outName, rowsPerBucket)._1
+
+  /** Core of [[exclusivePrefixSum]], returning the per-call
+    * [[OrderStats]] alongside the frame. `warner`, when set, replaces
+    * the generic tie-run overflow warning with a caller-specific one
+    * ((bucket, rows) → caller logs its own advice) — public operators
+    * ([[Sampling.filterByScoreBand]], [[Packing.strideSchedule]]) route
+    * it so the user sees advice in their operator's vocabulary. */
+  private[graft] def exclusivePrefixSumStats(
+      df: DataFrame, orderCols: Seq[Column],
+      weight: Column, outName: String,
+      rowsPerBucket: Long = RowsPerBucket,
+      warner: Option[(Int, Long) => Unit] = None): (DataFrame, OrderStats) = {
     require(orderCols.nonEmpty, "at least one order column required")
     require(rowsPerBucket >= 1, "rowsPerBucket must be positive")
     // Three passes consume the input (quantile grid, bucket totals, the
@@ -96,8 +118,11 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
       case _: NumericType => Some(orderCols.head.cast("double"))
       case _: TimestampType => Some(unix_micros(orderCols.head).cast("double"))
       case _: TimestampNTZType =>
-        // ntz→ltz shifts by the session zone — a constant offset, so the
-        // derivation stays monotone, which is all banding needs
+        // ntz→ltz resolves through the session zone; in DST zones the
+        // offset varies per wall-clock value, but the resolution stays
+        // WEAKLY monotone (gaps/ambiguous hours collapse, never
+        // reorder), and weak monotonicity is all banding needs — the
+        // window's true ordering settles order within a bucket
         Some(unix_micros(orderCols.head.cast("timestamp")).cast("double"))
       case _: DateType => Some(unix_date(orderCols.head).cast("double"))
       case _ => None
@@ -112,7 +137,10 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
     // at or under one bucket's worth of rows it is pure fixed overhead
     // (the common toy/verify size), and above, its scan reads the cache.
     val n = in.agg(count(lit(1))).head.getLong(0)
-    if (n == 0) { in.unpersist(); return df.withColumn(outName, lit(0L)) }
+    if (n == 0) {
+      in.unpersist()
+      return (df.withColumn(outName, lit(0L)), OrderStats(0L, 0, 0L, None))
+    }
     val nBuckets =
       if (!numericLead) 1
       else math.min(Grid.toLong,
@@ -150,13 +178,17 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
     val bucket: Column = coalesce(
       graft.functions.exprs.bucket_by_bounds(lead, bounds), lit(0))
     val bucketed = in.withColumn("__go_b", bucket)
-    // pass 2: per-bucket weight totals + row counts — ≤ 4096 rows to the
-    // driver; deterministic because the bucket is a pure function of the
-    // row. The counts feed the tie-run overflow telemetry for free.
+    // pass 2: per-bucket weight totals + row counts + max single-row
+    // weight — ≤ 4096 rows to the driver; deterministic because the
+    // bucket is a pure function of the row. The counts feed the tie-run
+    // overflow telemetry for free; the max weight feeds callers whose
+    // weights are pre-aggregated tie-run lengths (filterByScoreBand).
     val totals3 = bucketed.groupBy(col("__go_b"))
-      .agg(sum(weight.cast("long")).as("__go_w"), count(lit(1)).as("__go_n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    lastBucketOverflow = None
+      .agg(sum(weight.cast("long")).as("__go_w"), count(lit(1)).as("__go_n"),
+        max(weight.cast("long")).as("__go_m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var overflow: Option[(Int, Long)] = None
     if (nBuckets > 1) {
       // expected size per bucket exceeds rowsPerBucket once n caps the
       // Grid — compare against the larger of the two, or balanced data
@@ -164,16 +196,21 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
       val expectPerBucket = math.max(rowsPerBucket,
         (n + nBuckets - 1) / nBuckets)
       totals3.filter(_._3 > OverflowFactor * expectPerBucket)
-        .sortBy(-_._3).headOption.foreach { case (b, _, cnt) =>
-          lastBucketOverflow = Some((b, cnt))
-          logWarning(s"GlobalOrder bucket $b holds $cnt rows " +
-            s"(> ${OverflowFactor}x the $expectPerBucket target): the leading " +
-            "order column has a tie run longer than a bucket, so that bucket " +
-            "degrades to ONE window task — pre-quantize the lead or add a " +
-            "higher-cardinality leading axis")
+        .sortBy(-_._3).headOption.foreach { case (b, _, cnt, _) =>
+          overflow = Some((b, cnt))
+          warner match {
+            case Some(warn) => warn(b, cnt)
+            case None => logWarning(s"GlobalOrder bucket $b holds $cnt rows " +
+              s"(> ${OverflowFactor}x the $expectPerBucket target): the leading " +
+              "order column has a tie run longer than a bucket, so that bucket " +
+              "degrades to ONE window task — pre-quantize the lead or add a " +
+              "higher-cardinality leading axis")
+          }
         }
     }
-    val totals = totals3.map { case (b, w, _) => (b, w) }
+    val maxRowWeight = if (totals3.isEmpty) 0L else totals3.map(_._4).max
+    val stats = OrderStats(n, math.max(nBuckets, 1), maxRowWeight, overflow)
+    val totals = totals3.map { case (b, w, _, _) => (b, w) }
     var acc = 0L
     val offsets = totals.map { case (b, w) => val o = (b, acc); acc += w; o }
     val spark = df.sparkSession
@@ -182,17 +219,26 @@ object GlobalOrder extends org.apache.spark.internal.Logging {
     // pass 3: PARTITIONED window + bucket offset = global prefix sum
     val w = Window.partitionBy(col("__go_b")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(offDf, "__go_b")
+    val out = bucketed.join(offDf, "__go_b")
       .withColumn(outName,
         coalesce(sum(weight.cast("long")).over(w), lit(0L)) + col("__go_off"))
       .drop("__go_b", "__go_off")
+    (out, stats)
   }
 
   /** Adds `outName` = the 1-based global rank (row_number) over the
     * total order `orderCols` — [[exclusivePrefixSum]] with weight 1. */
   def rowNumber(df: DataFrame, orderCols: Seq[Column],
       outName: String): DataFrame =
-    exclusivePrefixSum(df, orderCols, lit(1L), "__go_pre")
-      .withColumn(outName, col("__go_pre") + lit(1L))
-      .drop("__go_pre")
+    rowNumberStats(df, orderCols, outName)._1
+
+  /** [[rowNumber]] returning the per-call [[OrderStats]]; `warner` as in
+    * [[exclusivePrefixSumStats]]. */
+  private[graft] def rowNumberStats(df: DataFrame, orderCols: Seq[Column],
+      outName: String, rowsPerBucket: Long = RowsPerBucket,
+      warner: Option[(Int, Long) => Unit] = None): (DataFrame, OrderStats) = {
+    val (pre, stats) = exclusivePrefixSumStats(
+      df, orderCols, lit(1L), "__go_pre", rowsPerBucket, warner)
+    (pre.withColumn(outName, col("__go_pre") + lit(1L)).drop("__go_pre"), stats)
+  }
 }

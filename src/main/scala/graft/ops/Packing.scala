@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * consecutive token-budget packs (the unit a trainer concatenates into
   * fixed-length sequences).
   */
-object Packing {
+object Packing extends org.apache.spark.internal.Logging {
 
   /** Assign each row a `pack_id` so consecutive rows (in `order` within
     * each `shard`) accumulate ~`budget` tokens per pack:
@@ -179,10 +179,19 @@ object Packing {
   }
 
   /** Shared schedule tail: distributed global step over (vt, shard,
-    * seq_id) — see [[GlobalOrder]] for why not a bare row_number. */
+    * seq_id) — see [[GlobalOrder]] for why not a bare row_number. A
+    * virtual-time tie run longer than a bucket (many sources at
+    * identical weights emitting the same (k+1)/w values) surfaces as a
+    * stride-schedule-specific warning: the schedule stays exact, but
+    * that vt band numbers in one task. */
   private def stepOrder(withVt: DataFrame): DataFrame =
-    GlobalOrder.rowNumber(withVt,
-        Seq(col("vt"), col("shard"), col("seq_id")), "step")
+    GlobalOrder.rowNumberStats(withVt,
+        Seq(col("vt"), col("shard"), col("seq_id")), "step",
+        warner = Some((b, cnt) => logWarning(s"strideSchedule: $cnt " +
+          s"sequences share one virtual-time band ($b) — equal-weight " +
+          "sources emit colliding (k+1)/weight values; the schedule stays " +
+          "exact but that band numbers in ONE task; perturb the source " +
+          "weights slightly (e.g. 1.0, 1.000001, ...) to spread ties")))._1
       .select(col("step"), col("shard"), col("seq_id"),
         round(col("vt"), 6).as("vt"))
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * reproducible by any engine that can md5 (which is how the DuckDB
   * oracle checks them value-for-value).
   */
-object Sampling {
+object Sampling extends org.apache.spark.internal.Logging {
 
   /** Hex md5 of `salt|id` — the shared ranking key. Lowercase fixed-width
     * hex compares lexicographically exactly like the underlying 128-bit
@@ -274,8 +274,27 @@ object Sampling {
     val n = nn.count()
     if (n == 0) return nn
     val counts = nn.groupBy(score.as("__s")).agg(count(lit(1)).as("__c"))
-    val kept = GlobalOrder.exclusivePrefixSum(
-        counts, Seq(col("__s")), col("__c"), "__pos")
+    // caller-specific overflow advice: a GlobalOrder bucket here holds
+    // DISTINCT score values, so overflow means the quantile sketch could
+    // not band them — reported in score-band vocabulary, not GlobalOrder's
+    val (ranked, stats) = GlobalOrder.exclusivePrefixSumStats(
+      counts, Seq(col("__s")), col("__c"), "__pos",
+      warner = Some((b, cnt) => logWarning(s"filterByScoreBand: $cnt " +
+        s"distinct score values collapsed into one rank bucket ($b) — the " +
+        "band stays exact but ranks inside it compute in ONE task; " +
+        "spread the score distribution or rank-encode it upstream")))
+    // the band resolves in units of WHOLE score values (all ties share
+    // one position). A single value repeated >= the band's width means
+    // the kept fraction can deviate arbitrarily from [loPct, hiPct) —
+    // exact by the documented semantics, but worth a loud heads-up.
+    if (stats.maxRowWeight * 100L >= (hiPct - loPct).toLong * n)
+      logWarning(s"filterByScoreBand: one score value repeats " +
+        s"${stats.maxRowWeight} of $n rows (>= the requested " +
+        s"${hiPct - loPct}% band) — rank-band membership is all-or-nothing " +
+        "per value, so the kept fraction can deviate far from the band; " +
+        "quantize the score less aggressively or add a tiebreak axis " +
+        "into the score upstream")
+    val kept = ranked
       .filter(lit(100L) * col("__pos") >= lit(loPct.toLong * n) &&
         lit(100L) * col("__pos") < lit(hiPct.toLong * n))
       .select(col("__s"))

@@ -88,7 +88,8 @@ object Decontaminate {
     * per-doc counts — false positives can only INFLATE `n_matched`, so
     * bloom-tier contamination is an upper bound and a gate "drop when
     * contamination > τ" only over-drops, never leaks benchmark text.
-    * The route taken is observable via [[lastScoreRouting]].
+    * The route taken is observable per call via
+    * [[contaminationScoreRouted]].
     *
     * @return (doc_id, n_shingles, n_matched, contamination) —
     *         contamination = n_matched / n_shingles rounded to 4 dp,
@@ -100,7 +101,23 @@ object Decontaminate {
       shingleK: Int = 8,
       inlineThreshold: Int = 4096,
       maxBenchShingles: Int = 1 << 22,
-      bloomFpp: Double = 0.0001): DataFrame = {
+      bloomFpp: Double = 0.0001): DataFrame =
+    contaminationScoreRouted(corpus, corpusId, corpusText, bench, benchText,
+      shingleK, inlineThreshold, maxBenchShingles, bloomFpp)._1
+
+  /** [[contaminationScore]] plus the probe route it took — "inline"
+    * (codegen literal set), "broadcast" (exact driver-collected set) or
+    * "bloom" (distributed-merged filter, conservative counts). The tag
+    * is scoped to THIS call (threaded through the tier builders, no
+    * shared state), so concurrent scores in one session each read their
+    * own route. */
+  private[graft] def contaminationScoreRouted(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      shingleK: Int = 8,
+      inlineThreshold: Int = 4096,
+      maxBenchShingles: Int = 1 << 22,
+      bloomFpp: Double = 0.0001): (DataFrame, String) = {
     require(shingleK >= 1, "shingleK must be >= 1")
     val benchShingles = bench
       .select(explode(graft.dedup.Dedup.shingles(benchText, shingleK)).as("__sh"))
@@ -109,22 +126,21 @@ object Decontaminate {
     // shingle strings, only the (bounded, ~MBs) filter bytes. Counts are
     // conservative (fp can only inflate n_matched). Sized by the actual
     // distinct estimate, not the cap.
-    def bloomTier(expected: Long): Column = {
-      lastScoreRouting = "bloom"
+    def bloomTier(expected: Long): (Column, String) = {
       val bf = benchShingles.stat.bloomFilter(
         "__sh", math.max(1L << 16, expected * 2), bloomFpp)
       val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-      coalesce(graft.functions.exprs.count_in_bloom(sh, bc), lit(0))
+      (coalesce(graft.functions.exprs.count_in_bloom(sh, bc), lit(0)), "bloom")
     }
-    def exactTier(benchSet: Array[String]): Column =
-      if (benchSet.length <= inlineThreshold) {
-        lastScoreRouting = "inline"
-        graft.functions.exprs.count_in_set(sh, benchSet.sorted.toIndexedSeq)
-      } else {
-        lastScoreRouting = "broadcast"
+    def exactTier(benchSet: Array[String]): (Column, String) =
+      if (benchSet.length <= inlineThreshold)
+        (graft.functions.exprs.count_in_set(sh, benchSet.sorted.toIndexedSeq),
+          "inline")
+      else {
         val bc = corpus.sparkSession.sparkContext.broadcast(benchSet.toSet)
         // coalesce preserves the former UDF's null-shingles → 0 behavior
-        coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0))
+        (coalesce(graft.functions.exprs.count_in_broadcast_set(sh, bc), lit(0)),
+          "broadcast")
       }
     // TWO-TIER routing, sized so the common case stays ONE bench-side
     // job: real eval sets are well under 2^18 distinct shingles, and the
@@ -135,7 +151,7 @@ object Decontaminate {
     // the cap covers the sketch's rsd.
     val smallCut = math.min(maxBenchShingles, 1 << 18)
     val probe1 = benchShingles.distinct().limit(smallCut + 1).collect()
-    val matched =
+    val (matched, route) =
       if (probe1.length <= smallCut) exactTier(probe1.map(_.getString(0)))
       else {
         val approxN = benchShingles
@@ -149,17 +165,13 @@ object Decontaminate {
           } else exactTier(probe2.map(_.getString(0)))
         }
       }
-    corpus.select(corpusId.as("doc_id"),
+    val scored = corpus.select(corpusId.as("doc_id"),
         size(sh).as("n_shingles"), matched.as("n_matched"))
       .withColumn("contamination",
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(round(col("n_matched").cast("double") / col("n_shingles"), 4)))
+    (scored, route)
   }
-
-  /** Which probe tier the last [[contaminationScore]] call built:
-    * "inline" (codegen literal set), "broadcast" (exact driver-collected
-    * set), or "bloom" (distributed-merged filter, conservative counts). */
-  @volatile private[graft] var lastScoreRouting: String = ""
 
   /** Bloom-probe decontamination — the memory-bounded variant of
     * [[decontaminate]] for benchmark sets too large to broadcast as

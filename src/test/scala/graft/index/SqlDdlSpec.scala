@@ -115,6 +115,55 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.sql(s"SHOW INDEX ON PARQUET '$glob'").head().getAs[Boolean]("exists"))
   }
 
+  test("REFRESH INDEX OPTIONS fullWalk heals a preserved-mtime in-place rewrite via SQL") {
+    val p = s"$work/orders_fullwalk"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(p)
+    val manifestOpts =
+      s"'${IndexConf.RefreshDirManifest}'='true'," +
+        s"'${IndexConf.DistributedPruningThreshold}'='1'," +
+        s"'${IndexConf.RefreshDirMtimeSlack}'='0'"
+    // backdate every dir 60 s so the manifest's capture time safely
+    // postdates the mtimes (the unchanged-skip proof holds, no sleeping)
+    val backThen = System.currentTimeMillis() - 60000L
+    val root = new java.io.File(p)
+    (root +: root.listFiles().filter(_.isDirectory).toSeq)
+      .foreach(d => assert(d.setLastModified(backThen)))
+    spark.sql(s"CREATE INDEX ON PARQUET '$p' (o_custkey) OPTIONS ($manifestOpts)")
+
+    // the tier's documented blind spot: new content lands but the dir
+    // mtime is put back — a preserved-mtime in-place rewrite
+    val y = root.listFiles().filter(_.getName.startsWith("o_year="))
+      .head.getName.stripPrefix("o_year=").toInt
+    val dir = new java.io.File(s"$p/o_year=$y")
+    val oldMt = dir.lastModified()
+    orders.filter(col("o_year") === y).limit(20).drop("o_year")
+      .coalesce(1).write.mode("append").parquet(s"$p/o_year=$y")
+    assert(dir.setLastModified(oldMt))
+
+    // a plain manifest-guided refresh MISSES it (the blind spot is real)
+    val missed = spark.sql(
+      s"REFRESH INDEX ON PARQUET '$p' OPTIONS ($manifestOpts)").head()
+    assert(missed.getAs[Long]("added_files") == 0L,
+      "the preserved-mtime rewrite must evade the mtime probe — " +
+        "otherwise this test is not exercising the blind spot")
+
+    // the documented SQL spelling heals it in one pass …
+    val healed = spark.sql(s"REFRESH INDEX ON PARQUET '$p' OPTIONS " +
+      s"($manifestOpts,'${IndexConf.RefreshFullWalk}'='true')").head()
+    assert(healed.getAs[Long]("added_files") == 1L)
+    assert(healed.getAs[Long]("removed_files") == 0L)
+
+    // … the index answers over the grown table, and the rebuilt manifest
+    // resumes skipping on the next plain refresh
+    assert(spark.index.parquet(p).count() == spark.read.parquet(p).count())
+    val after = spark.sql(
+      s"REFRESH INDEX ON PARQUET '$p' OPTIONS ($manifestOpts)").head()
+    assert(after.getAs[Long]("added_files") == 0L)
+    spark.sql(s"DROP INDEX ON PARQUET '$p'")
+  }
+
   test("catalog-table target and OPTIONS pass-through") {
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .write.mode("overwrite").format("parquet").saveAsTable("sqlddl_orders")

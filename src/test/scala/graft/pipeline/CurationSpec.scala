@@ -920,13 +920,13 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"))
     // broadcast tier (inlineThreshold=0) is value-identical to inline
-    val viaBc = graft.text.Decontaminate.contaminationScore(
-        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
-        inlineThreshold = 0)
-      .orderBy("doc_id").collect()
+    val (viaBcDf, bcRoute) = graft.text.Decontaminate.contaminationScoreRouted(
+      corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
+      inlineThreshold = 0)
+    val viaBc = viaBcDf.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     assert(out.sameElements(viaBc))
-    assert(graft.text.Decontaminate.lastScoreRouting == "broadcast")
+    assert(bcRoute == "broadcast")
   }
 
   test("contaminationScore: oversized benchmarks auto-route to the bloom tier") {
@@ -936,21 +936,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "")
     ).toDF("id", "txt")
     val bench = Seq("the quick brown fox ran away").toDF("txt")
-    val exact = graft.text.Decontaminate.contaminationScore(
-        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3)
-      .orderBy("doc_id").collect()
+    val (exactDf, exactRoute) = graft.text.Decontaminate.contaminationScoreRouted(
+      corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3)
+    val exact = exactDf.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-    assert(graft.text.Decontaminate.lastScoreRouting == "inline")
+    assert(exactRoute == "inline")
     // a 1-shingle cap forces the route the driver would take on a
     // benchmark too large to collect: no exact-set collect, a
     // distributed-merged bloom probe, CONSERVATIVE counts (>= exact;
     // at 0.01% fpp over 6 shingles, equality in practice)
-    val bloom = graft.text.Decontaminate.contaminationScore(
-        corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
-        maxBenchShingles = 1)
-      .orderBy("doc_id").collect()
+    val (bloomDf, bloomRoute) = graft.text.Decontaminate.contaminationScoreRouted(
+      corpus, col("id"), col("txt"), bench, col("txt"), shingleK = 3,
+      maxBenchShingles = 1)
+    val bloom = bloomDf.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-    assert(graft.text.Decontaminate.lastScoreRouting == "bloom")
+    assert(bloomRoute == "bloom")
     exact.zip(bloom).foreach { case ((id, n, m), (idB, nB, mB)) =>
       assert(id == idB && n == nB, "ids and shingle counts must agree")
       assert(mB >= m, s"bloom tier undercounted doc $id: $mB < $m")
@@ -1265,6 +1265,50 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withNull = Seq((0L, Some(1L)), (1L, None), (2L, Some(2L)))
       .toDF("id", "s")
     assert(Sampling.filterByScoreBand(withNull, $"s", 0, 100).count() == 2)
+  }
+
+  test("filterByScoreBand: constant score warns through the PUBLIC API, output stays exact") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    // capture WARNs emitted by the Sampling logger — the assertion runs
+    // against the real public entry point, not an internal hook
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new AbstractAppender(
+        "band-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit =
+        captured.add(
+          s"${event.getLevel}:${event.getMessage.getFormattedMessage}")
+    }
+    appender.start()
+    val logger = LogManager.getLogger("graft.ops.Sampling")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    logger.addAppender(appender)
+    try {
+      // one score value repeated across ALL rows: band membership is
+      // all-or-nothing by the documented tie semantics
+      val const = (1L to 50L).map(i => (i, 7L)).toDF("id", "s")
+      // every row's exclusive position is 0 → [0,40) keeps ALL
+      assert(Sampling.filterByScoreBand(const, $"s", 0, 40).count() == 50)
+      // … and [40,80) keeps NONE (0 < 40% lower bound)
+      assert(Sampling.filterByScoreBand(const, $"s", 40, 80).count() == 0)
+      val warns = captured.asScala
+        .filter(m => m.startsWith("WARN") && m.contains("filterByScoreBand"))
+      assert(warns.size == 2, s"expected 2 tie-run warnings, got: $captured")
+      assert(warns.forall(_.contains("all-or-nothing")),
+        "warning must carry the score-band-specific advice")
+      // a well-spread score must NOT warn
+      captured.clear()
+      val spread = (1L to 50L).map(i => (i, i)).toDF("id", "s")
+      assert(Sampling.filterByScoreBand(spread, $"s", 20, 80).count() == 30)
+      assert(!captured.asScala.exists(_.contains("filterByScoreBand")),
+        s"spurious warning on spread scores: $captured")
+    } finally {
+      logger.removeAppender(appender)
+      appender.stop()
+    }
   }
 
   test("pageRank: exact integer recurrence on a hand-computed cycle") {

@@ -20,15 +20,23 @@ class FfmpegDecoderSpec extends AnyFunSuite {
       cmd.!(ProcessLogger(_ => ())) == 0
     } catch { case _: Exception => false }
 
+  // Opportunistic gate: `GRAFT_FFMPEG_DIR` (a dir with executable
+  // static ffmpeg+ffprobe, e.g. dropped into the sandbox by the test
+  // driver) takes precedence over PATH — the same resolution the
+  // decoder itself uses, so the parity test runs whenever ANY way of
+  // supplying the binaries is available. See TESTDATA.md.
+  private val (ffmpegCmd, ffprobeCmd) =
+    graft.multimodal.FfmpegVideoFrameDecoder.resolvedFromEnv
+
   private lazy val haveFfmpeg =
-    haveTool(Seq("ffmpeg", "-version")) && haveTool(Seq("ffprobe", "-version"))
+    haveTool(Seq(ffmpegCmd, "-version")) && haveTool(Seq(ffprobeCmd, "-version"))
 
   /** ffmpeg-synthesized clip bytes: `vcodec` over the testsrc pattern. */
   private def synth(vcodec: String, container: String, frames: Int): Array[Byte] = {
     val tmp = java.nio.file.Files.createTempFile("graft-ffm", "." + container)
     import scala.sys.process._
     val pixFmt = if (vcodec == "libx264") "yuv420p" else "yuvj420p"
-    val cmd = Seq("ffmpeg", "-y", "-v", "error",
+    val cmd = Seq(ffmpegCmd, "-y", "-v", "error",
       "-f", "lavfi", "-i", s"testsrc=size=64x48:rate=10:duration=${frames / 10.0}",
       "-vcodec", vcodec, "-pix_fmt", pixFmt, tmp.toString)
     assert(cmd.! == 0, s"ffmpeg synth failed: $cmd")

@@ -63,6 +63,25 @@ class FfmpegProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def argsOf(name: String): String =
     new String(Files.readAllBytes(dir.resolve(name)), "UTF-8")
 
+  test("GRAFT_FFMPEG_DIR resolution: a dir with both executables wins, partial dirs fall back") {
+    // a fake dir holding BOTH tools resolves to its absolute paths —
+    // this is how the env-gated real-binary spec picks up
+    // driver-provided static builds (see TESTDATA.md)
+    val (fm, fp) = FfmpegVideoFrameDecoder.resolveBinaries(Some(dir.toString))
+    assert(fm == dir.resolve("ffmpeg").toString)
+    assert(fp == dir.resolve("ffprobe").toString)
+    // a dir missing one of the pair falls back to PLAIN names for both
+    // (never a mixed pair)
+    val partial = Files.createTempDirectory("graft-partial-ffmpeg")
+    Files.copy(dir.resolve("ffmpeg"), partial.resolve("ffmpeg"),
+      java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    assert(FfmpegVideoFrameDecoder.resolveBinaries(Some(partial.toString)) ==
+      ("ffmpeg", "ffprobe"))
+    // unset env → plain names
+    assert(FfmpegVideoFrameDecoder.resolveBinaries(None) ==
+      ("ffmpeg", "ffprobe"))
+  }
+
   test("protocol end-to-end: argv, stdin feed past the pipe buffer, frame slicing") {
     // 1 MiB payload: larger than any OS pipe buffer, so the run only
     // completes if the feeder genuinely runs on its own thread

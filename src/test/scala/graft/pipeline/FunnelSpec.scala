@@ -278,20 +278,23 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // in one bucket, 200 rows >> 4x the 10-row target. The result must
     // stay exact; the telemetry must name the overflowing bucket.
     val df = (1 to 200).map(i => (0.0, i.toLong)).toDF("v", "id")
-    GlobalOrder.lastBucketOverflow = None
-    val rn = GlobalOrder.exclusivePrefixSum(
-        df, Seq($"v", $"id"), lit(1L), "pre", rowsPerBucket = 10L)
-      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    var warned = List.empty[(Int, Long)]
+    val (ranked, stats) = GlobalOrder.exclusivePrefixSumStats(
+      df, Seq($"v", $"id"), lit(1L), "pre", rowsPerBucket = 10L,
+      warner = Some((b, c) => warned ::= (b, c)))
+    val rn = ranked.select($"id", $"pre").as[(Long, Long)].collect().toMap
     assert(rn == (1 to 200).map(i => i.toLong -> (i - 1).toLong).toMap)
-    val (_, cnt) = GlobalOrder.lastBucketOverflow.getOrElse(
+    val (_, cnt) = stats.overflow.getOrElse(
       fail("overflow telemetry did not fire on a constant lead"))
     assert(cnt == 200L)
+    assert(warned.map(_._2) == List(200L), "caller warner must fire once")
+    assert(stats.rows == 200L && stats.maxRowWeight == 1L)
     // balanced data must NOT trip it
-    GlobalOrder.lastBucketOverflow = None
     val spread = (1 to 200).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
-    GlobalOrder.exclusivePrefixSum(
-      spread, Seq($"v", $"id"), lit(1L), "pre", rowsPerBucket = 10L).count()
-    assert(GlobalOrder.lastBucketOverflow.isEmpty)
+    val (ranked2, stats2) = GlobalOrder.exclusivePrefixSumStats(
+      spread, Seq($"v", $"id"), lit(1L), "pre", rowsPerBucket = 10L)
+    ranked2.count()
+    assert(stats2.overflow.isEmpty)
   }
 
   test("strideScheduleBy matches the map variant on equal weights") {
