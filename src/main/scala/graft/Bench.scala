@@ -18,20 +18,14 @@ import org.apache.spark.sql.functions._
   * timing so per-query numbers measure the operators, not setup.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    import graft.index.implicits._
 
-    // -- warmup (untimed): scratch tables + index build + codegen paths
+  /** Untimed warmup shared by the bench and the sf1 full-suite probe:
+    * builds every create-once scratch fixture (indexed tables, serving
+    * indexes, streaming ingests, bucketed joins) for `sfDir` and touches
+    * the codegen paths, so timed runs never pay one-time build costs.
+    * Returns the indexed lineitem (the bench's point-query table). */
+  private[graft] def warmup(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame = {
     val indexed = SparkEntry.indexedLineitem(spark, sfDir)
     indexed.count()
     SparkEntry.indexedOrdersPart(spark, sfDir).count()
@@ -56,6 +50,24 @@ object Bench {
     val (bl, bo) = SparkEntry.bucketedJoinTables(spark, sfDir)
     bl.count(); bo.count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    indexed
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.index.implicits._
+
+    // -- warmup (untimed): scratch tables + index build + codegen paths
+    val indexed = Bench.warmup(spark, sfDir)
 
     // Cross-round comparability: queries run in sorted-name order, so adding
     // a query in round N+1 cannot reshuffle the execution order (and the
@@ -727,6 +739,41 @@ object Bench {
           (-1.0, 1.0, false, 0L, 1.0, -1.0, -1L, -1L, -1L, -1.0, -1L, -1.0)
       }
 
+    // -- the OTHER two optimizer products at 10^6 files (r12 verdict #4):
+    // metadata-only aggregates and automatic join pruning are benched at
+    // 50k; both fold the same files table the 1M prune folds, so the
+    // expectation is near-flat vs their 50k rows — measured, not argued.
+    //   meta_agg_1m_cold_sec — fresh relation per rep (load + one
+    //                          distributed files-table fold)
+    //   meta_agg_1m_sec      — steady state (live index, fold memo)
+    //   join_prune_1m_*      — stock join with a 3-key local dim;
+    //                          JoinPruneRule folds the listing to the 3
+    //                          matching seeds' files out of ~1M
+    val (metaAgg1mColdSec, metaAgg1mSec, jp1mFilesRead, jp1mFilesTotal,
+        jp1mSec) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_1M").contains("1"))
+        (-1.0, -1.0, -1L, -1L, -1.0)
+      else try {
+        def fresh1m() = SparkEntry.indexed1mFiles(spark, sfDir)
+        def agg1m(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+        val tCold = timeBest(agg1m(fresh1m()).collect().length.toLong, 3)
+        val steady1m = fresh1m()
+        agg1m(steady1m).collect() // warm the per-index fold memo untimed
+        val tSteady = timeBest(agg1m(steady1m).collect().length.toLong, 5)
+        def auto1m() = fresh1m().join(Seq(5L, 6L, 7L).toDF("dk"), $"k" === $"dk")
+        val probe = auto1m()
+        probe.queryExecution.toRdd.count()
+        val (r, t) = graftScanFiles(probe)
+        val sec = timeBest(auto1m().count(), 3)
+        (tCold, tSteady, r, t, sec)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in scale_1m_optimizers: $e")
+          extraFailed += "scale_1m_optimizers"
+          (-1.0, -1.0, -1L, -1L, -1.0)
+      }
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -805,6 +852,11 @@ object Bench {
       s""""unselective_1m_list_sec":$unsel1mSec,""" +
       s""""unselective_1m_files":$unsel1mFiles,""" +
       s""""unselective_1m_driver_heap_mb":$unsel1mHeapMb,""" +
+      s""""meta_agg_1m_cold_sec":$metaAgg1mColdSec,""" +
+      s""""meta_agg_1m_sec":$metaAgg1mSec,""" +
+      s""""join_prune_1m_files_read":$jp1mFilesRead,""" +
+      s""""join_prune_1m_files_total":$jp1mFilesTotal,""" +
+      s""""join_prune_1m_sec":$jp1mSec,""" +
       s""""sf":"$sfDir"}"""
     // The FULL line goes to a file; stdout gets a SHORT final line. The
     // round driver keeps only a ~2 KB stdout TAIL — the full line is
@@ -851,6 +903,8 @@ object Bench {
       s""""refresh_1m_sec":$refresh1mSec,""" +
       s""""unselective_1m_list_sec":$unsel1mSec,""" +
       s""""unselective_1m_driver_heap_mb":$unsel1mHeapMb,""" +
+      s""""meta_agg_1m_sec":$metaAgg1mSec,""" +
+      s""""join_prune_1m_sec":$jp1mSec,""" +
       s""""queries_file":"$outPath",""" +
       s""""sf":"$sfDir"}"""
     println(shortJson)

@@ -77,9 +77,10 @@ case class FileStatsRow(
     FileListRow(partitionIdx, path, size, modificationTime, blockSize, locationsJson)
 }
 
-/** Slim projection of [[FileStatsRow]] for building the scan listing:
-  * no stats/schema blobs, so collecting survivors of the distributed
-  * prune ships only what toFileStatus needs. */
+/** Slim projection of [[FileStatsRow]] shipping the distributed prune's
+  * survivors back to the driver: no stats/schema blobs, only what
+  * toFileStatus needs (a Dataset exchange — Tungsten rows, no generic
+  * serializer). */
 case class FileListRow(
     partitionIdx: Int,
     path: String,

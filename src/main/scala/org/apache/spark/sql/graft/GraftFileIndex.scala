@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.{And => SAnd, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.index.{BlockStats, FileEntry, FileListRow, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
+import graft.index.{BlockStats, FileEntry, FileStatsRow, FilterFold, IndexConf, IndexFilesTable, IndexMetadata, SketchStore}
 
 /** The product: a Spark [[FileIndex]] that serves the file listing from the
   * persisted index metadata and prunes partitions AND files inside
@@ -492,24 +492,27 @@ class GraftFileIndex(
 
     val distributed = meta.fileCount >= conf.distributedPruningThreshold
     lastPrunedDistributed = false
-    val keptByPartition: Map[Int, Seq[FileEntry]] = indexFilters match {
+    val statusByPartition: Map[Int, Array[FileStatus]] = indexFilters match {
       case Nil =>
         survivorsUnfiltered(keptPartitions.map(_._1), allPartitionsKept, distributed)
       case fs =>
         val combined = fs.reduce(SAnd)
-        if (distributed) {
-          lastPrunedDistributed = true
-          distributedPrune(combined, keptPartitions.map(_._1).toSet, allPartitionsKept)
-        } else {
-          driverPrune(combined, keptPartitions.map(_._1))
-        }
+        val pruned =
+          if (distributed) {
+            lastPrunedDistributed = true
+            distributedPrune(combined, keptPartitions.map(_._1).toSet, allPartitionsKept)
+          } else {
+            driverPrune(combined, keptPartitions.map(_._1))
+          }
+        pruned.map { case (idx, es) => idx -> es.map(toFileStatus).toArray }
     }
 
     val counted = new LongAdder
+    val emptyStatuses = Array.empty[FileStatus]
     val result = keptPartitions.map { case (idx, values) =>
-      val kept = keptByPartition.getOrElse(idx, Nil)
-      counted.add(kept.size.toLong)
-      SparkInternals.partitionDirectory(values, kept.map(toFileStatus).toArray)
+      val kept = statusByPartition.getOrElse(idx, emptyStatuses)
+      counted.add(kept.length.toLong)
+      SparkInternals.partitionDirectory(values, kept)
     }
     lastListedFiles = counted.sum()
     lastTotalFiles = meta.fileCount
@@ -525,25 +528,78 @@ class GraftFileIndex(
     }
   }
 
-  /** No index filters: the listing is every file of the kept partitions. */
+  /** No index filters: the listing is every file of the kept partitions,
+    * materialized straight to per-partition [[FileStatus]] arrays — the
+    * exact shape the v1 contract retains — with no per-file
+    * intermediates (no case-class rows, no FileEntry, no boxed Row
+    * fields; compact UnsafeRows dropped as each status is built, and an
+    * empty-locations fast path skipping JSON parsing). This is the one
+    * intrinsically O(files) driver cost left; every unselective
+    * InMemoryFileIndex scan pays the same.
+    *
+    * MEASURED finding (UnselectiveProbe at 999,680 files, four
+    * materialization variants): the LIVE footprint is invariant at
+    * ~630 B/file (~600 MB) — Spark's own
+    * FileStatus+Path+URI+PartitionDirectory shape owns those bytes, so
+    * only the v1 contract itself (a streamed/v2 listing) could shrink
+    * them. What the intermediates DID control is the transient
+    * allocation under the build (1.29 GB → 1.01 GB at equal
+    * wall-clock); toLocalIterator streaming would cut that to ~0.86 GB
+    * but costs +60% wall-clock (serialized per-partition fetches).
+    * Driver sizing guidance lives in the README conf section. */
   private def survivorsUnfiltered(
       keptIdx: Seq[Int],
       allPartitionsKept: Boolean,
-      distributed: Boolean): Map[Int, Seq[FileEntry]] = {
+      distributed: Boolean): Map[Int, Array[FileStatus]] = {
     if (!distributed) {
-      keptIdx.map(i => i -> entriesByPartition.getOrElse(i, Nil)).toMap
+      keptIdx.map(i =>
+        i -> entriesByPartition.getOrElse(i, Nil).map(toFileStatus).toArray).toMap
     } else {
-      // big table, no cacheable driver copy — collect only the slim
+      // big table, no cacheable driver copy — stream only the slim
       // listing columns of the kept partitions (partitionIdx pushdown +
       // column pruning into the files table; no stats/schema blobs)
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       var ds = classic.read.parquet(filesDir.toString)
       if (!allPartitionsKept) ds = ds.where($"partitionIdx".isin(keptIdx: _*))
-      ds.select($"partitionIdx", $"path", $"size", $"modificationTime",
-          $"blockSize", $"locationsJson").as[FileListRow]
-        .collect().toSeq.groupBy(_.partitionIdx)
-        .view.mapValues(_.map(_.toEntry)).toMap
+      val proj = ds.select($"partitionIdx", $"path", $"size",
+        $"modificationTime", $"blockSize", $"locationsJson")
+      val grouped = new java.util.HashMap[Int, java.util.ArrayList[FileStatus]]()
+      val mkList = new java.util.function.Function[Int, java.util.ArrayList[FileStatus]] {
+        override def apply(i: Int): java.util.ArrayList[FileStatus] =
+          new java.util.ArrayList[FileStatus]()
+      }
+      // one PARALLEL fetch of COMPACT UnsafeRows (executeCollect — one
+      // byte array per row, no per-field boxing, no Row wrappers), then
+      // a single pass that builds the final statuses and DROPS each row
+      // as it goes — toLocalIterator would shave transients further but
+      // serializes the fetch into per-partition jobs (measured +60%
+      // wall-clock at 1M files)
+      val rows = proj.queryExecution.executedPlan.executeCollect()
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri)
+        rows(ri) = null // collectable as soon as its status is built
+        ri += 1
+        val base = new FileStatus(
+          r.getLong(2), false, 1, r.getLong(4), r.getLong(3),
+          new Path(r.getUTF8String(1).toString))
+        val lj = r.getUTF8String(5)
+        val st =
+          if (lj == null || lj.numBytes <= 2) base // "[]" / absent
+          else IndexMetadata.locationsFromJsonString(lj.toString) match {
+            case Nil => base
+            case locs => new LocatedFileStatus(base, locs.map(l =>
+              new BlockLocation(l.hosts.toArray, l.hosts.toArray,
+                l.offset, l.length)).toArray)
+          }
+        grouped.computeIfAbsent(r.getInt(0), mkList).add(st)
+      }
+      val out = Map.newBuilder[Int, Array[FileStatus]]
+      grouped.forEach { (k, v) =>
+        out += (k.intValue -> v.toArray(new Array[FileStatus](v.size())))
+      }
+      out.result()
     }
   }
 
