@@ -758,8 +758,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     // shingle sets feed candidate generation + two verify-side joins —
-    // compute once (see minhashPairs note)
-    val sh = df.select(id.as("__id"), shingles(text, shingleK).as("__sh"))
+    // compute once (see minhashPairs note). cpuBound: shingling + the
+    // minhash kernel are CPU-bound; a single-file scan would run them
+    // on one core (guide §2.6)
+    val sh = graft.ops.Parallel.cpuBoundIfSmall(df.select(id.as("__id"), text.as("__t")))
+      .select(col("__id"), shingles(col("__t"), shingleK).as("__sh"))
       .localCheckpoint(false)
     val candidates: DataFrame =
       if (exact) {
@@ -830,8 +833,10 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // shingle sets feed candidate generation + two verify-side joins —
-    // compute once (see minhashPairs note)
-    val sh = df.select(id.as("__id"), shingles(text, shingleK).as("__sh"))
+    // compute once (see minhashPairs note). cpuBound: shingling is a
+    // CPU-bound kernel; a single-file scan would run it on one core
+    val sh = graft.ops.Parallel.cpuBoundIfSmall(df.select(id.as("__id"), text.as("__t")))
+      .select(col("__id"), shingles(col("__t"), shingleK).as("__sh"))
       .localCheckpoint(false)
     val candidates: DataFrame =
       if (exact) {
@@ -860,8 +865,9 @@ object Dedup {
     // Filter on the UNROUNDED ratio (rounding first would admit
     // inter = ⌈τn⌉ − 1 via 4-dp round-up on ≥20k-shingle docs — outside
     // the prefix guarantee); the reported value is rounded for cross-
-    // engine display stability only.
-    candidates
+    // engine display stability only. cpuBound: the per-candidate
+    // array_intersect verify is the CPU-heavy tail of this operator.
+    graft.ops.Parallel.cpuBound(candidates)
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -906,10 +912,14 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in [1, 3]: $maxDist")
     // distinct: replayed (id, s) rows must not double-emit edges, and the
-    // record table feeds five plan legs below — checkpoint it once
-    val base = df.select(id.as("__id"), s.as("__s"))
-      .filter(col("__s").isNotNull)
-      .distinct()
+    // record table feeds five plan legs below — checkpoint it once.
+    // cpuBound: the deletion-neighborhood explode + levenshtein DP below
+    // are CPU-bound; a byte-sized plan (single-file scan, AQE-coalesced
+    // distinct) would run them on 1–2 cores (guide §2.6)
+    val base = graft.ops.Parallel.cpuBound(
+        df.select(id.as("__id"), s.as("__s"))
+          .filter(col("__s").isNotNull)
+          .distinct())
       .localCheckpoint(eager = false)
     if (exact) {
       base.select(col("__id").as("id_a"), col("__s").as("__sa"))
@@ -930,16 +940,21 @@ object Dedup {
       // neighborhood join over distinct strings only; both sides read
       // the exploded variants — compute once (localCheckpoint, same
       // shape as the minhash/shingle reuse)
-      val v = base.select(col("__s")).distinct()
+      // cpuBound again: the distinct's own exchange AQE-coalesces by
+      // bytes, re-serializing the explode + the DP it feeds
+      val v = graft.ops.Parallel.cpuBound(base.select(col("__s")).distinct())
         .select(col("__s"),
           explode(graft.functions.exprs.deletion_neighborhood(col("__s"), maxDist))
             .as("__v"))
         .localCheckpoint(eager = false)
-      val strPairs = v.select(col("__v"), col("__s").as("__sa"))
-        .join(v.select(col("__v"), col("__s").as("__sb")), Seq("__v"))
-        .filter(col("__sa") < col("__sb"))
-        .select(col("__sa"), col("__sb"))
-        .distinct()
+      // the DP runs after the candidate distinct's exchange — cpuBound
+      // keeps it on every core too (same rationale as the legs above)
+      val strPairs = graft.ops.Parallel.cpuBound(
+          v.select(col("__v"), col("__s").as("__sa"))
+            .join(v.select(col("__v"), col("__s").as("__sb")), Seq("__v"))
+            .filter(col("__sa") < col("__sb"))
+            .select(col("__sa"), col("__sb"))
+            .distinct())
         // length gap > d can't be within d — prunes before the O(len²) DP
         .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
         .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
@@ -1066,10 +1081,13 @@ object Dedup {
       s"maxDist must be in [1, 3]: $maxDist")
     graft.ops.IndexSpec.check(df, dir, s"editdist maxDist=$maxDist")
     // distinct: a replayed (id, s) batch row must not double-emit its
-    // match links (the removed record-level distinct's remaining duty)
-    val batchRecs = df.select(id.as("__id"), s.as("__s"))
-      .filter(col("__s").isNotNull)
-      .distinct()
+    // match links (the removed record-level distinct's remaining duty).
+    // cpuBound: the neighborhood explode + DP verify downstream are
+    // CPU-bound over this bounded distinct-string frame (guide §2.6)
+    val batchRecs = graft.ops.Parallel.cpuBound(
+        df.select(id.as("__id"), s.as("__s"))
+          .filter(col("__s").isNotNull)
+          .distinct())
       .localCheckpoint(eager = false)
     val batchVars = batchRecs.select(col("__s")).distinct()
       .select(col("__s"),

@@ -1049,7 +1049,10 @@ object Multimodal {
   def mjpegVideosFromDocuments(
       spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { d =>
+    // cpuBound: JPEG encode (here) + decode (downstream mapPartitions)
+    // are CPU-bound per row; the ids-only frame is the cheap thing to
+    // re-spread before those kernels (guide §2.6)
+    graft.ops.Parallel.cpuBoundIfSmall(docs.select(col("doc_id"))).as[Long].map { d =>
       val w = (16 + 8 * (d % 10)).toInt
       val h = (16 + 8 * ((3 * d) % 8)).toInt
       val v1 = (50 + d % 150).toInt

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive parallelism for CPU-BOUND kernels.
+  *
+  * Spark sizes scan splits and AQE-coalesced shuffle partitions by BYTES
+  * (`maxPartitionBytes`, `advisoryPartitionSizeInBytes`) — the right call
+  * when work per byte is I/O-shaped. The expression kernels in this repo
+  * (levenshtein DP over a deletion neighborhood, shingling + minhash
+  * signing, winnow rolling hashes, frame decode) cost orders of magnitude
+  * more CPU per byte, so a frame that is small in bytes — a distinct
+  * attribute-string table, one streaming micro-batch staged as a single
+  * file — plans as 1–2 partitions and the kernel runs on 1–2 cores while
+  * the rest of the cluster idles (guide §2.6 stragglers / §1.2 "the
+  * distributed algorithm first").
+  *
+  * [[cpuBound]] round-robin-repartitions such a frame to the session's
+  * default parallelism — a number that scales with the cluster, never a
+  * local constant. The extra exchange moves only the compact pre-kernel
+  * rows (ids + short strings), and only when the input is narrower than
+  * the cluster: callers apply it to frames KNOWN to be kernel inputs that
+  * are bounded (deltas, micro-batches, distinct short-string tables), so
+  * at 100 TB the cost stays one small shuffle against a kernel that then
+  * uses every core.
+  */
+object Parallel {
+
+  /** Repartition `df` to `spark.default.parallelism` ahead of a
+    * CPU-bound kernel. Row-identical: round-robin routing only (every
+    * downstream consumer in this repo aggregates, joins, or totally
+    * orders). UNCONDITIONAL — only for frames bounded BY DESIGN
+    * (streaming micro-batches, keyed deltas, distinct attribute-string
+    * tables), where one extra exchange of compact rows is always cheap
+    * relative to the kernel it parallelizes. */
+  def cpuBound(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** [[cpuBound]] gated on the optimizer's size estimate — for operators
+    * whose input MAY be a whole corpus (pair generators over document
+    * text). Small estimate (byte-based planning would give fewer splits
+    * than the cluster has cores) → repartition; large or UNKNOWN
+    * estimate → leave the plan alone, so a 100 TB text scan is never
+    * re-shuffled just for parallelism it already has (guide §8: move
+    * heavy bytes once). The 32 MB/core unit sits below
+    * `maxPartitionBytes` so the gate can only fire where the scan itself
+    * would under-parallelize. */
+  def cpuBoundIfSmall(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(target.toLong * (32L << 20))) df.repartition(target) else df
+  }
+}

@@ -118,7 +118,10 @@ object Scd2 {
     require(!(mode == "append" && existed) || appendSpecPresent,
       s"history table at $dir exists but carries no _index_spec — a crashed " +
         "create left unpinned data; rebuild with mode=\"overwrite\"")
+    // repartition by bucket: one file per bucket, not one per (history
+    // shuffle partition × bucket) — the REBALANCE-before-write layout
     hist.withColumn("graft_bucket", Upsert.bucketOf(col(key), numBuckets))
+      .repartition(col("graft_bucket"))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
     if (!(mode == "ignore" && existed) && !appendSpecPresent)
       IndexSpec.write(hist, dir, spec(key, numBuckets))
@@ -185,22 +188,28 @@ object Scd2 {
         .select(((key +: ts +: attrs) ++ tieBreaks).map(col): _*)
         .withColumn("graft_bucket", Upsert.bucketOf(col(key), numBuckets))
         .localCheckpoint(false)
+      // ONE probe job for what used to be three (instant-collision
+      // guard, touched-bucket collect, batch count): per-(key, ts)
+      // counts fold to (bucket set, total rows, max multiplicity) —
+      // ≤ numBuckets ints + two longs on the driver
+      val probe = bucketed.groupBy(col(key), col(ts))
+        .agg(first(col("graft_bucket")).as("__b"), count(lit(1)).as("__c"))
+        .agg(sort_array(collect_set(col("__b"))).as("buckets"),
+          sum(col("__c")).as("n"), max(col("__c")).as("maxc"))
+        .head()
       if (tieBreaks.isEmpty) {
         // without tie-breaks a (key, instant) collision has no defined
-        // winner — fail fast (the batch is the small side; one shuffle
-        // of it is cheap insurance, same guard shape as Upsert's)
-        val dups = bucketed.groupBy(col(key), col(ts)).count()
-          .filter(col("count") > 1).limit(1).count()
-        require(dups == 0L, s"batch has several observations at one " +
-          s"('$key', '$ts') instant and no tieBreaks — pass tieBreaks " +
-          "to define which observation wins")
+        // winner — fail fast, same guard shape as Upsert's
+        require(probe.isNullAt(2) || probe.getLong(2) <= 1L,
+          s"batch has several observations at one " +
+            s"('$key', '$ts') instant and no tieBreaks — pass tieBreaks " +
+            "to define which observation wins")
       }
-      val touched = bucketed.select(col("graft_bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val touched = probe.getSeq[Int](0)
       if (touched.isEmpty)
         Scd2MergeStats(0, numBuckets, 0L, 0L)
       else {
-        val applied = bucketed.count()
+        val applied = if (probe.isNullAt(1)) 0L else probe.getLong(1)
         // partition pruning: only touched bucket dirs are listed/read;
         // within them only the batch's keys re-fold (other keys carry)
         val base = spark.read.parquet(dir)
@@ -227,6 +236,7 @@ object Scd2 {
           .withColumn("graft_bucket", Upsert.bucketOf(col(key), numBuckets))
         val merged = carried
           .unionByName(refolded.select(carried.columns.map(col): _*))
+          .repartition(col("graft_bucket")) // one file per touched bucket
           .localCheckpoint(true)
         merged.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

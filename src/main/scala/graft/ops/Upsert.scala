@@ -82,7 +82,11 @@ object Upsert {
     require(!(mode == "append" && existed) || appendSpecPresent,
       s"keyed table at $dir exists but carries no _index_spec — a crashed " +
         "create left unpinned data; rebuild with mode=\"overwrite\"")
+    // repartition by bucket: one file per bucket instead of one per
+    // (input partition × bucket) — the REBALANCE-before-write layout
+    // (guide §6) that keeps bucket reads one-file cheap as the table grows
     df.withColumn("graft_bucket", bucketOf(col(key), numBuckets))
+      .repartition(col("graft_bucket"))
       .write.mode(mode).partitionBy("graft_bucket").parquet(dir)
     // mode="ignore" over an existing table is a no-op write — the old
     // spec (whatever layout it pins) stays authoritative; a validated
@@ -150,6 +154,7 @@ object Upsert {
       if (fs.exists(oldPath)) fs.delete(oldPath, true) // retired copy from a prior run
       spark.read.parquet(dir).drop("graft_bucket")
         .withColumn("graft_bucket", bucketOf(col(key), newBuckets))
+        .repartition(col("graft_bucket")) // one file per bucket (guide §6)
         .write.mode("overwrite").partitionBy("graft_bucket")
         .parquet(tmpPath.toString)
       IndexSpec.delete(spark, dir)
@@ -221,35 +226,47 @@ object Upsert {
       s"keyed table at $dir carries no _index_spec — a crashed create left " +
         "unpinned data; rebuild with writeKeyedTable(mode = \"overwrite\")")
     MaintenanceLock.withLock(fs, dirPath, lockLeaseMs) {
-      // checkpoint FIRST so the delta is computed once — the uniqueness
-      // guard, touched-bucket probe and merge all read the materialized
-      // blocks instead of re-running the caller's plan three times
+      // checkpoint FIRST so the delta is computed once — the probe and
+      // the merge read the materialized blocks instead of re-running the
+      // caller's plan per consumer
       val bucketed = updates
         .withColumn("graft_bucket", bucketOf(col(key), numBuckets))
         .localCheckpoint(false)
-      // the delta is the small side — one shuffle of it for the
-      // uniqueness guard is cheap insurance against a silent double-row
-      val dups = bucketed.groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dups == 0L, s"updates contain duplicate '$key' values — " +
-        "an upsert needs exactly one row per key")
-      val touched = bucketed.select(col("graft_bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val upserted = bucketed.count()
-      // partition pruning: only touched bucket dirs are listed/read
-      val base = spark.read.parquet(dir)
-        .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
-      val carried = base.join(bucketed.select(col(key)), Seq(key), "left_anti")
-      // eager checkpoint severs the plan's lineage to `dir` so the
-      // dynamic overwrite below is not a read-write conflict, and the
-      // merged delta is safe before any base partition is replaced
-      val merged = carried.unionByName(bucketed.select(carried.columns.map(col): _*))
-        .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("graft_bucket").parquet(dir)
-      IndexFreshness.afterMaintenance(spark, dir)
-      UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
+      // ONE probe job for what used to be three (dup-guard count,
+      // touched-bucket collect, delta count): per-key counts fold into
+      // (bucket set, total rows, max per-key multiplicity) — the driver
+      // sees ≤ numBuckets ints + two longs, never data rows
+      val probe = bucketed.groupBy(col(key))
+        .agg(first(col("graft_bucket")).as("__b"), count(lit(1)).as("__c"))
+        .agg(sort_array(collect_set(col("__b"))).as("buckets"),
+          sum(col("__c")).as("n"), max(col("__c")).as("maxc"))
+        .head()
+      require(probe.isNullAt(2) || probe.getLong(2) <= 1L,
+        s"updates contain duplicate '$key' values — " +
+          "an upsert needs exactly one row per key")
+      val touched = probe.getSeq[Int](0)
+      val upserted = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+      if (touched.isEmpty) UpsertStats(0, numBuckets, 0L, 0L)
+      else {
+        // partition pruning: only touched bucket dirs are listed/read
+        val base = spark.read.parquet(dir)
+          .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
+        val carried = base.join(bucketed.select(col(key)), Seq(key), "left_anti")
+        // eager checkpoint severs the plan's lineage to `dir` so the
+        // dynamic overwrite below is not a read-write conflict, and the
+        // merged delta is safe before any base partition is replaced.
+        // repartition by bucket first: each rewritten bucket lands as ONE
+        // file (a REBALANCE before the write — guide §6), instead of one
+        // file per (upstream partition × bucket)
+        val merged = carried.unionByName(bucketed.select(carried.columns.map(col): _*))
+          .repartition(col("graft_bucket"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("graft_bucket").parquet(dir)
+        IndexFreshness.afterMaintenance(spark, dir)
+        UpsertStats(touched.length, numBuckets, upserted, merged.count() - upserted)
+      }
     }
   }
 
@@ -291,9 +308,15 @@ object Upsert {
         val base = spark.read.parquet(dir)
           .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
         val baseCount = base.count()
+        // repartition by bucket: one file per surviving bucket (see
+        // upsertByKey) — and ONE probe job for what used to be two
+        // (carried count + surviving-bucket distinct): per-bucket counts
+        // are ≤ numBuckets driver rows
         val survivors = base.join(keyed.select(col(key)), Seq(key), "left_anti")
+          .repartition(col("graft_bucket"))
           .localCheckpoint(true)
-        val carried = survivors.count()
+        val perBucket = survivors.groupBy(col("graft_bucket")).count().collect()
+        val carried = perBucket.map(_.getLong(1)).sum
         if (carried > 0) {
           survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -301,8 +324,7 @@ object Upsert {
         }
         // buckets with zero survivors: dynamic overwrite never wrote them
         // — drop their dirs so the deleted rows actually disappear
-        val surviving = survivors.select(col("graft_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        val surviving = perBucket.map(_.getInt(0)).toSet
         touched.filterNot(surviving).foreach { b =>
           val p = new org.apache.hadoop.fs.Path(dir, s"graft_bucket=$b")
           if (fs.exists(p)) fs.delete(p, true)

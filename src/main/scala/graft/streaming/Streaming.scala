@@ -392,20 +392,44 @@ object Streaming {
     val staged = s"$workDir/staged"
     fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
     val ext = if (format == "text") "txt" else "parquet"
+    // ONE write job for all slices (was nBatches sequential filter+write
+    // jobs — pure driver/staging overhead inside every timed streaming
+    // query): bucket becomes a partition column, repartition(__b) lands
+    // each bucket in exactly one task ⇒ exactly one file per slice, then
+    // the part files are renamed into the flat mtime-ordered layout the
+    // file source replays. Data per slice is byte-identical to the old
+    // per-slice writes (same rows, same columns — __b never reaches the
+    // file contents).
+    val bucket =
+      if (modulo) col(idCol) % nBatches else expr(s"$idCol div $slice")
+    val tmpDir = s"$workDir/stage_tmp"
+    val out0 = docs.withColumn("__b", bucket.cast("int"))
+      .repartition(col("__b"))
+    val out = if (format == "text") out0.drop(idCol) else out0
+    out.write.mode("overwrite").partitionBy("__b").format(format).save(tmpDir)
     (0 until nBatches).foreach { b =>
-      val bDir = s"$workDir/b$b"
-      val pred =
-        if (modulo) col(idCol) % nBatches === b
-        else expr(s"$idCol div $slice") === b
-      val sliceDf = docs.filter(pred)
-      val out = if (format == "text") sliceDf.drop(idCol) else sliceDf
-      out.coalesce(1).write.mode("overwrite").format(format).save(bDir)
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$bDir/part-*"))(0).getPath
+      val parts = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmpDir/__b=$b/part-*")))
+        .getOrElse(Array.empty)
+      require(parts.length <= 1,
+        s"staging expected at most one file for slice $b, got ${parts.length}")
       val dst = new org.apache.hadoop.fs.Path(f"$staged/b$b%04d.$ext")
-      fs.rename(part, dst)
+      if (parts.length == 1) fs.rename(parts(0).getPath, dst)
+      else {
+        // an EMPTY slice (sparse ids) still stages a zero-row file so the
+        // batch cascade sees every slice — exactly the old per-slice
+        // behavior (the only extra job of the single-pass staging, paid
+        // per empty slice only)
+        out.filter(lit(false)).drop("__b").coalesce(1)
+          .write.mode("overwrite").format(format).save(s"$workDir/bempty$b")
+        val p = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$workDir/bempty$b/part-*"))(0).getPath
+        fs.rename(p, dst)
+      }
       // strictly increasing mtimes: the file source replays arrival order
       fs.setTimes(dst, 60000L * (b + 1), -1)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
     Some(staged)
   }
 

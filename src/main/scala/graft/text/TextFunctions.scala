@@ -745,7 +745,10 @@ object TextFunctions {
       minShared: Long = 2L): org.apache.spark.sql.DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     graft.ops.IndexSpec.check(df, dir, s"winnow k=$k w=$w")
-    val batch = winnowFingerprints(df, id, text, k, w)
+    // cpuBoundIfSmall: the rolling-hash kernel over the batch is
+    // CPU-bound; a single-file batch scan would run it on one core
+    val batch = winnowFingerprints(
+        graft.ops.Parallel.cpuBoundIfSmall(df), id, text, k, w)
       .select(col("hash"), col("doc_id").as("__id")).distinct()
     val corpus = graft.ops.Segments.readPart(spark, dir, "fps")
       .select(col("hash"), col("doc_id").as("__corpus_id"))

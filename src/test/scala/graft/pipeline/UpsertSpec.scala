@@ -223,13 +223,16 @@ class UpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("small-file keyed table: compact heals buckets in place") {
     val dir = tmpDir()
-    // a many-task base write sprays several small files into each bucket
-    // dir (the real at-scale accumulation: wide ingests × tiny buckets).
-    // Note single-key UPSERTS do not accumulate: dynamic overwrite
-    // replaces the whole touched partition each time.
+    // the create path now rebalances to one file per bucket, so
+    // fragmentation accumulates from APPENDS (each lands one more file
+    // per bucket — the real at-scale accumulation for append-mode
+    // ingests). Note single-key UPSERTS do not accumulate: dynamic
+    // overwrite replaces the whole touched partition each time.
     Upsert.writeKeyedTable(
-      (0L until 400L).map(i => (i, i)).toDF("k", "x").repartition(8),
-      "k", dir, 4)
+      (0L until 200L).map(i => (i, i)).toDF("k", "x"), "k", dir, 4)
+    Upsert.writeKeyedTable(
+      (200L until 400L).map(i => (i, i)).toDF("k", "x"), "k", dir, 4,
+      mode = "append")
     val someBucket = new java.io.File(s"$dir/graft_bucket=0")
     assert(someBucket.listFiles().count(_.getName.endsWith(".parquet")) >= 2,
       "fixture should start with multiple small files per bucket")
