@@ -46,6 +46,24 @@ object DevBatch {
     once("cold")
     once("warm")
     once("warm2")
+
+    // LogReg.fit / Dsir cost split (q_pipeline_curate5's trained models)
+    val t0 = System.nanoTime()
+    val en = docs.filter(col("doc_id") % 3 === 0)
+    val model1 = graft.text.LogReg.fit(en, docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), buckets = 1024, iters = 1, etaMilli = 500)
+    val t1 = System.nanoTime()
+    val model3 = graft.text.LogReg.fit(en, docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), buckets = 1024, iters = 3, etaMilli = 500)
+    val t2 = System.nanoTime()
+    graft.text.LogReg.score(docs, col("doc_id"), col("text"), model3)
+      .agg(sum(col("margin_micro"))).head
+    val t3 = System.nanoTime()
+    graft.text.Dsir.importanceWeights(docs, en, col("doc_id"), col("text"), 1024)
+      .agg(sum(col("logw_micro"))).head
+    val t4 = System.nanoTime()
+    println(f"[logreg] fit-1iter ${(t1 - t0) / 1e9}%6.2f  fit-3iter ${(t2 - t1) / 1e9}%6.2f  " +
+      f"score ${(t3 - t2) / 1e9}%6.2f  dsir ${(t4 - t3) / 1e9}%6.2f  (model1 b=${model1.interceptMicro})")
     spark.stop()
   }
 }

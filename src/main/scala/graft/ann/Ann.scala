@@ -355,10 +355,14 @@ object Ann {
     require(k >= 1, s"k must be >= 1: $k")
     require(nprobe >= 1 && nprobe <= centroidsMilli.length,
       s"nprobe must be in [1, ${centroidsMilli.length}]")
-    val data = corpus.select(
+    // cpuBoundIfSmall: cell assignment + the per-candidate dot products
+    // after the join are CPU-bound; a single-file embedding scan would
+    // otherwise run them on one core (guide §2.6)
+    val data = graft.ops.Parallel.cpuBoundIfSmall(corpus).select(
       nearestCentroid(quantizeMilli(cVec), centroidsMilli).as("__c"),
       cId.as("neighbor_id"), cVec.as("__vb"), norm(cVec).as("__nb"))
-    val probes = queries.select(qId.as("vec_id"), qVec.as("__va"),
+    val probes = graft.ops.Parallel.cpuBoundIfSmall(queries)
+      .select(qId.as("vec_id"), qVec.as("__va"),
         norm(qVec).as("__na"),
         explode(graft.functions.exprs.nearest_centroids(
           quantizeMilli(qVec), centroidsMilli, nprobe)).as("__c"))

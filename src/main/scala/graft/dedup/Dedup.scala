@@ -66,10 +66,14 @@ object Dedup {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     graft.functions.exprs.minhash_signature(sh, numHashes)
 
-  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  /** Estimated Jaccard = fraction of agreeing signature positions.
+    * Compiled kernel ([[graft.functions.ArrayAgreeCount]]) — the
+    * aggregate(zip_with(...)) HOF pair evaluated its lambdas interpreted
+    * per signature position; the integer count and the division are
+    * bit-identical. */
   def signatureJaccard(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / size(a).cast("double")
+    graft.functions.exprs.array_agree_count(a, b).cast("double") /
+      size(a).cast("double")
 
   /** The `bands` LSH band keys of a signature: band b hashes its `rows`
     * contiguous signature positions into one long. Shared by the batch
@@ -953,10 +957,12 @@ object Dedup {
           v.select(col("__v"), col("__s").as("__sa"))
             .join(v.select(col("__v"), col("__s").as("__sb")), Seq("__v"))
             .filter(col("__sa") < col("__sb"))
+            // length gap > d can't be within d — prunes before BOTH the
+            // dedup exchange and the O(len²) DP (filter commutes with
+            // distinct: same surviving pair set)
+            .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
             .select(col("__sa"), col("__sb"))
             .distinct())
-        // length gap > d can't be within d — prunes before the O(len²) DP
-        .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
         .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
         .filter(col("dist") <= maxDist)
       // expand verified string pairs to record pairs; strings differ, so
@@ -1081,13 +1087,10 @@ object Dedup {
       s"maxDist must be in [1, 3]: $maxDist")
     graft.ops.IndexSpec.check(df, dir, s"editdist maxDist=$maxDist")
     // distinct: a replayed (id, s) batch row must not double-emit its
-    // match links (the removed record-level distinct's remaining duty).
-    // cpuBound: the neighborhood explode + DP verify downstream are
-    // CPU-bound over this bounded distinct-string frame (guide §2.6)
-    val batchRecs = graft.ops.Parallel.cpuBound(
-        df.select(id.as("__id"), s.as("__s"))
-          .filter(col("__s").isNotNull)
-          .distinct())
+    // match links (the removed record-level distinct's remaining duty)
+    val batchRecs = df.select(id.as("__id"), s.as("__s"))
+      .filter(col("__s").isNotNull)
+      .distinct()
       .localCheckpoint(eager = false)
     val batchVars = batchRecs.select(col("__s")).distinct()
       .select(col("__s"),

@@ -899,6 +899,103 @@ private object VecOps {
     e.dataType.asInstanceOf[ArrayType].elementType
 }
 
+/** One logistic-regression gradient pass per document — the codegen'd
+  * replacement for [[graft.text.LogReg]]'s per-iteration HOF pair
+  * (`aggregate` margin + `transform` gradient rows), whose lambdas
+  * evaluate INTERPRETED per feature occurrence. Arithmetic is
+  * bit-identical to the Column formulation it replaces:
+  * margin = Σ tf·w(bucket) + intercept (exact long adds, wrap-safe
+  * commutative), residual r = floor((y − σ(margin/10⁶))·10⁶ + 0.5) as
+  * long (same Math.exp / floor / truncating cast), output rows =
+  * per-feature (bucket, tf·r) in array order plus the (-1, r) intercept
+  * sentinel. Weights live on the expression OBJECT (addReferenceObj),
+  * not in generated source, so every GD iteration reuses one compiled
+  * codegen class instead of recompiling a 1024-literal plan. */
+case class LogRegGradient(
+    feats: Expression, y: Expression,
+    weightsMicro: Seq[Long], interceptMicro: Long)
+  extends BinaryExpression {
+
+  override def left: Expression = feats
+  override def right: Expression = y
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("g", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val w: Array[Long] = weightsMicro.toArray
+
+  def compute(arr: ArrayData, yv: Long): ArrayData = {
+    val n = arr.numElements()
+    var m = interceptMicro
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      m += row.getLong(1) * w(row.getInt(0))
+      i += 1
+    }
+    val r = math.floor((yv.toDouble -
+      1.0 / (1.0 + math.exp(-(m.toDouble / 1e6)))) * 1e6 + 0.5).toLong
+    val out = new Array[Any](n + 1)
+    i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](row.getInt(0), row.getLong(1) * r))
+      i += 1
+    }
+    out(n) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](-1, r))
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Long].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, classOf[LogRegGradient].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LogRegGradient =
+    copy(feats = l, y = r)
+}
+
+/** Count of positions where two equal-length long arrays agree — the
+  * compiled twin of `aggregate(zip_with(a, b, (x,y) => if(x=y) 1 else 0),
+  * 0, +)` for MinHash signature comparison, whose HOF lambdas evaluate
+  * interpreted per signature position. Integer-exact, so the downstream
+  * ratio is bit-identical. */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def compute(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, classOf[ArrayAgreeCount].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAgreeCount =
+    copy(left = l, right = r)
+}
+
 /** Dot product of two numeric arrays in double precision, accumulating
   * left-to-right (bit-identical to the zip_with/aggregate formulation and
   * to a sequential SQL list_sum). */
@@ -1435,6 +1532,15 @@ object exprs {
   /** symmetric-delete blocking keys: all <= d-deletion variants. */
   def deletion_neighborhood(s: Column, d: Int): Column =
     SparkInternals.wrap(DeletionNeighborhood(SparkInternals.unwrap(s), d))
+  /** per-document LogReg gradient rows (incl. the -1 intercept sentinel). */
+  def logreg_gradient(feats: Column, y: Column,
+      weightsMicro: Seq[Long], interceptMicro: Long): Column =
+    SparkInternals.wrap(LogRegGradient(SparkInternals.unwrap(feats),
+      SparkInternals.unwrap(y), weightsMicro, interceptMicro))
+  /** count of agreeing positions of two equal-length long arrays. */
+  def array_agree_count(a: Column, b: Column): Column =
+    SparkInternals.wrap(ArrayAgreeCount(
+      SparkInternals.unwrap(a), SparkInternals.unwrap(b)))
   def dot_product(a: Column, b: Column): Column =
     SparkInternals.wrap(DotProduct(SparkInternals.unwrap(a), SparkInternals.unwrap(b)))
   def norm_squared(a: Column): Column =

@@ -74,27 +74,19 @@ object LogReg {
     var w = Map.empty[Int, Long]
     var b = 0L
     for (_ <- 0 until iters) {
-      // Weights ride the plan as a DENSE array literal indexed by bucket:
-      // element_at by position is O(1), where a map literal
-      // (ArrayBasedMapData) would linear-scan its keys per feature
-      // occurrence. Margin, sigmoid and the quantized residual are all
-      // map-side expressions over the feature array.
-      val wm = typedLit(Array.tabulate(buckets)(bkt => w.getOrElse(bkt, 0L)).toSeq)
-      val margin = aggregate(col("__feats"), lit(0L), (acc, x) =>
-        acc + x.getField("tf") *
-          element_at(wm, x.getField("bucket") + lit(1))) + lit(b)
-      val r = floor((col("y").cast("double") -
-        lit(1.0) / (lit(1.0) + exp(-(margin.cast("double") / lit(1e6))))) *
-        lit(1e6) + lit(0.5)).cast("long")
       // One job: per-bucket gradient rows plus a bucket -1 sentinel
       // carrying the doc's residual (the intercept gradient) — partial
-      // aggregation means only ≤ buckets+1 rows leave any task.
-      val g = docFeats.select(r.as("__r"), col("__feats"))
-        .select(explode(concat(
-          transform(col("__feats"), x =>
-            struct(x.getField("bucket").as("bucket"),
-              (x.getField("tf") * col("__r")).as("g"))),
-          array(struct(lit(-1).as("bucket"), col("__r").as("g"))))).as("e"))
+      // aggregation means only ≤ buckets+1 rows leave any task. The
+      // whole per-document pass (margin → sigmoid → residual → gradient
+      // rows) is ONE compiled kernel ([[graft.functions.LogRegGradient]],
+      // arithmetic bit-identical to the former aggregate/transform HOF
+      // pair whose lambdas evaluated interpreted per feature); weights
+      // ride the expression OBJECT, so iterations reuse one codegen
+      // class instead of recompiling a dense-literal plan per step.
+      val wArr = Array.tabulate(buckets)(bkt => w.getOrElse(bkt, 0L)).toSeq
+      val g = docFeats
+        .select(explode(graft.functions.exprs.logreg_gradient(
+          col("__feats"), col("y"), wArr, b)).as("e"))
         .groupBy(col("e.bucket"))
         .agg(sum(col("e.g")).as("__g"))
         .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
