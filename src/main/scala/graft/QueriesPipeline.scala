@@ -894,13 +894,18 @@ private[graft] trait QueriesPipeline { self: SparkEntryFixtures =>
     "q_text_quality_lr" -> ((s, dir) => {
       import s.implicits._
       val docs = tbl(s, dir, "documents")
-      val model = graft.text.LogReg.fit(
-        docs.filter($"lang" === "en"),
-        // NULL-safe complement: the oracle labels every non-'en' doc
-        // (NULL lang included) as the negative class
-        docs.filter(not($"lang" <=> "en")),
-        $"doc_id", $"text", buckets = 1024, iters = 3, etaMilli = 500)
-      graft.text.LogReg.score(docs, $"doc_id", $"text", model)
+      // shared featurization: fit + score read one tf table (see curate5).
+      // NULL-safe labels: the oracle labels every non-'en' doc (NULL lang
+      // included) as the negative class — when(=== 'en') sends NULL to
+      // the otherwise(0) branch, the same partition
+      val tfAll = graft.text.Dsir.featureTf(
+          docs, $"doc_id", $"text", buckets = 1024)
+        .localCheckpoint(eager = false)
+      val labels = docs.select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      val model = graft.text.LogReg.fitOnTf(labels, tfAll,
+        buckets = 1024, iters = 3, etaMilli = 500)
+      graft.text.LogReg.scoreOnTf(docs.select($"doc_id"), tfAll, model)
         .orderBy($"doc_id")
     }),
 
@@ -1247,11 +1252,15 @@ private[graft] trait QueriesPipeline { self: SparkEntryFixtures =>
     "q_pipeline_curate8" -> ((s, dir) => {
       import s.implicits._
       val docs = tbl(s, dir, "documents")
-      val model = graft.text.LogReg.fit(
-        docs.filter($"lang" === "en"),
-        docs.filter(not($"lang" <=> "en")),
-        $"doc_id", $"text", buckets = 1024, iters = 3, etaMilli = 500)
-      val scored = graft.text.LogReg.score(docs, $"doc_id", $"text", model)
+      // shared featurization: fit + score read one tf table (see curate5)
+      val tfAll = graft.text.Dsir.featureTf(
+          docs, $"doc_id", $"text", buckets = 1024)
+        .localCheckpoint(eager = false)
+      val labels = docs.select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      val model = graft.text.LogReg.fitOnTf(labels, tfAll,
+        buckets = 1024, iters = 3, etaMilli = 500)
+      val scored = graft.text.LogReg.scoreOnTf(docs.select($"doc_id"), tfAll, model)
         .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
       graft.ops.TopK.topKByGroup(
           scored, $"source", $"margin_micro", $"doc_id", k = 10)
@@ -1678,13 +1687,23 @@ private[graft] trait QueriesPipeline { self: SparkEntryFixtures =>
     "q_pipeline_curate5" -> ((s, dir) => {
       import s.implicits._
       val docs = tbl(s, dir, "documents")
-      val en = docs.filter($"lang" === "en")
-      val w = graft.text.Dsir.importanceWeights(
-        docs, en, $"doc_id", $"text", buckets = 1024)
-      val model = graft.text.LogReg.fit(
-        en, docs.filter(not($"lang" <=> "en")), $"doc_id", $"text",
+      // ONE featurization pass shared by all four consumers (DSIR's raw
+      // and target models, the LR fit, the LR scoring join) via the OnTf
+      // entry points — this used to tokenize/hash the corpus four times
+      // (the r12 plan audit's own note). Arithmetic identical; the
+      // en-slice tf is the semi-join restriction of the shared table.
+      val tfAll = graft.text.Dsir.featureTf(
+          docs, $"doc_id", $"text", buckets = 1024)
+        .localCheckpoint(eager = false)
+      val enIds = docs.filter($"lang" === "en").select($"doc_id")
+      val w = graft.text.Dsir.importanceWeightsOnTf(
+        docs.select($"doc_id"), tfAll,
+        tfAll.join(enIds, Seq("doc_id"), "left_semi"), buckets = 1024)
+      val labels = docs.select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      val model = graft.text.LogReg.fitOnTf(labels, tfAll,
         buckets = 1024, iters = 3, etaMilli = 500)
-      val m = graft.text.LogReg.score(docs, $"doc_id", $"text", model)
+      val m = graft.text.LogReg.scoreOnTf(docs.select($"doc_id"), tfAll, model)
         .select($"doc_id", $"margin_micro")
       val top = w.join(m, Seq("doc_id"))
         .join(docs.select($"doc_id", $"source"), Seq("doc_id"))

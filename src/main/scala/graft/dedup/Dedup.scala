@@ -307,7 +307,10 @@ object Dedup {
     val sigDf = df.select(id.as("__id"),
       minhashSignature(shingles(text, shingleK), numHashes).as("__sig"))
       .localCheckpoint(false)
-    val newBands = sigDf.select(col("__id"),
+    // batch signatures ride the band explode (batch-bounded shuffle) so
+    // the batch re-join disappears; the corpus side stays ids-only —
+    // same shape as dedupAgainstIndexSigned
+    val newBands = sigDf.select(col("__id"), col("__sig"),
       posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("band", "key")))
     val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
@@ -316,11 +319,10 @@ object Dedup {
     // join, while the distinct costs a full extra Exchange per batch;
     // the final dup-id distinct already dedups the output
     val candidates = newBands.join(corpusBands, Seq("band", "key"))
-      .select(col("__id"), col("__corpus_id"))
+      .select(col("__id"), col("__sig"), col("__corpus_id"))
     val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
       .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
     val dups = candidates
-      .join(sigDf, Seq("__id"))
       .join(corpusSigs, Seq("__corpus_id"))
       .filter(round(signatureJaccard(col("__sig"), col("__corpus_sig")), 4)
         >= threshold)
@@ -375,7 +377,12 @@ object Dedup {
     graft.ops.IndexSpec.check(signed, dir,
       s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK")
     val rows = numHashes / bands
-    val newBands = signed.select(col("doc_id").as("__id"),
+    // the BATCH side's signature rides its band explode (batch-bounded,
+    // ~512 B × bands per doc) so the batch re-join disappears; the
+    // CORPUS side stays ids-only through the shuffle — its signatures
+    // live in the stored `sigs/` table and join once per candidate,
+    // exactly the at-scale shape the index exists for
+    val newBands = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"),
       posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
@@ -384,12 +391,10 @@ object Dedup {
     // join, while the distinct costs a full extra Exchange per batch;
     // the final dup-id distinct already dedups the output
     val candidates = newBands.join(corpusBands, Seq("band", "key"))
-      .select(col("__id"), col("__corpus_id"))
+      .select(col("__id"), col("__sig"), col("__corpus_id"))
     val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
       .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
     val dups = candidates
-      .join(signed.select(col("doc_id").as("__id"), col("sig").as("__sig")),
-        Seq("__id"))
       .join(corpusSigs, Seq("__corpus_id"))
       .filter(round(signatureJaccard(col("__sig"), col("__corpus_sig")), 4)
         >= threshold)
@@ -407,19 +412,23 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigDf = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"))
-    val banded = sigDf.select(col("__id"),
-      posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("__band", "__key")))
-    // intermediate pairs keep band-collision multiplicity (no distinct —
-    // an Exchange per micro-batch) since dupIds below distincts anyway
-    val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
-      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_b")),
+    // The input is a BATCH (streaming ingest unit), bounded by design —
+    // unlike the corpus-wide minhashPairs, signatures can ride the band
+    // explode (bands × ~512 B/doc of batch-bounded shuffle), so the
+    // verify runs INSIDE the one band self-join instead of two extra
+    // re-joins against the signature table (2 fewer joins per
+    // micro-batch; identical pair set and verify arithmetic).
+    val banded = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"),
+      posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("__band", "__key")))
+    // band-collision multiplicity re-verifies the cheap agreement count
+    // (no intermediate distinct — an Exchange per micro-batch); the final
+    // dup-id distinct dedups the output
+    val dupIds = banded.select(col("__band"), col("__key"),
+        col("__id").as("id_a"), col("__sig").as("__sig_a"))
+      .join(banded.select(col("__band"), col("__key"),
+        col("__id").as("id_b"), col("__sig").as("__sig_b")),
         Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val dupIds = candidates
-      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
-      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
       .filter(round(signatureJaccard(col("__sig_a"), col("__sig_b")), 4) >= threshold)
       .select(col("id_b").as("__dup_id")).distinct()
     signed.join(dupIds, col("doc_id") === col("__dup_id"), "left_anti")

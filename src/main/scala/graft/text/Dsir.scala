@@ -44,7 +44,7 @@ object Dsir {
   /** (doc_id, bucket, tf) of hashed unigram+bigram features — the shared
     * featurization of the hashed-n-gram model family ([[Dsir]] importance
     * weights, [[LogReg]] logistic-regression classifier). */
-  private[text] def featureTf(
+  private[graft] def featureTf(
       df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame = {
     val toks = TextFunctions.tokens(text)
     val bigrams = when(size(toks) >= 2,
@@ -82,12 +82,21 @@ object Dsir {
     */
   def importanceWeights(
       raw: DataFrame, target: DataFrame, id: Column, text: Column,
-      buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+      buckets: Int = 4096): DataFrame =
     // raw (doc, bucket) tf feeds both the raw model counts and the scoring
     // join — checkpoint so the corpus is tokenized/exploded once
-    val rawTf = featureTf(raw, id, text, buckets).localCheckpoint(eager = false)
-    val targetTf = featureTf(target, id, text, buckets)
+    importanceWeightsOnTf(raw.select(id.as("doc_id")),
+      featureTf(raw, id, text, buckets).localCheckpoint(eager = false),
+      featureTf(target, id, text, buckets), buckets)
+
+  /** [[importanceWeights]] over PRECOMPUTED featurizations (see
+    * [[LogReg.fitOnTf]]): `rawIds` = one (doc_id) per raw doc, `rawTf` /
+    * `targetTf` their featureTf tables (callers checkpoint/share rawTf).
+    * Identical arithmetic to [[importanceWeights]]. */
+  private[graft] def importanceWeightsOnTf(
+      rawIds: DataFrame, rawTf: DataFrame, targetTf: DataFrame,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
 
     // lpT feeds both the ratio join and the smoothing-constant total;
     // checkpoint the ≤ B-row table so the target is tokenized once.
@@ -110,7 +119,7 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_features"),
         sum(col("tf") * col("lr_micro")).as("logw_micro"))
-    raw.select(id.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    rawIds.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_features"), lit(0L)).as("n_features"),
         coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
@@ -132,6 +141,7 @@ object Dsir {
       .orderBy(col("logw_micro").desc, col("doc_id"))
       .limit(k)
   }
+
 
   /** Corpus-distance diagnostic: KL(target ‖ raw) over the add-one
     * smoothed hashed-feature bucket distributions, in integer micro-nats
@@ -207,14 +217,19 @@ object Dsir {
       raw: DataFrame, target: DataFrame, id: Column, text: Column, k: Int,
       salt: String, buckets: Int = 4096): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    importanceWeights(raw, target, id, text, buckets)
+      .withColumn("key_micro", col("logw_micro") + gumbelMicro(salt))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+
+  /** Deterministic salted-md5 Gumbel key in integer micro-units. */
+  private def gumbelMicro(salt: String): Column = {
     val u = (shiftrightunsigned(
       graft.functions.exprs.md5_lower64(
         concat_ws("|", lit(salt), col("doc_id").cast("string"))), 11)
       .cast("double") + lit(0.5)) / lit(9007199254740992.0) // 2^53
-    val gumbelMicro = floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
-    importanceWeights(raw, target, id, text, buckets)
-      .withColumn("key_micro", col("logw_micro") + gumbelMicro)
-      .orderBy(col("key_micro").desc, col("doc_id"))
-      .limit(k)
+    floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
   }
 }

@@ -49,20 +49,34 @@ object LogReg {
   def fit(
       pos: DataFrame, neg: DataFrame, id: Column, text: Column,
       buckets: Int = 1024, iters: Int = 5, etaMilli: Long = 500): LogRegModel = {
-    require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    require(etaMilli >= 1, s"etaMilli must be >= 1: $etaMilli")
     val labeled = pos.select(id.as("doc_id"), text.as("__text"), lit(1L).as("y"))
       .unionByName(
         neg.select(id.as("doc_id"), text.as("__text"), lit(0L).as("y")))
+    fitOnTf(labeled.select(col("doc_id"), col("y")),
+      Dsir.featureTf(labeled, col("doc_id"), col("__text"), buckets),
+      buckets, iters, etaMilli)
+  }
+
+  /** [[fit]] over a PRECOMPUTED featurization — the shared-tf entry for
+    * pipelines that featurize the corpus once and feed several models
+    * (fit + score + DSIR read the same (doc_id, bucket, tf) table instead
+    * of re-running tokenize→hash per consumer). `labels` = (doc_id,
+    * y ∈ {0L, 1L}) for every labeled doc; `tf` must be
+    * [[Dsir.featureTf]]'s output restricted to exactly those docs.
+    * Identical arithmetic to [[fit]] — the wrapper above IS this method. */
+  def fitOnTf(
+      labels: DataFrame, tf: DataFrame,
+      buckets: Int, iters: Int = 5, etaMilli: Long = 500): LogRegModel = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(etaMilli >= 1, s"etaMilli must be >= 1: $etaMilli")
     // One featurization pass, folded to ONE bounded array per document
     // (≤ `buckets` distinct entries — the bucket domain caps the row) so
     // every GD iteration can evaluate margins entirely map-side.
     val emptyFeats = array().cast("array<struct<bucket:int,tf:bigint>>")
-    val docFeats = labeled.select(col("doc_id"), col("y"))
+    val docFeats = labels
       .join(
-        Dsir.featureTf(labeled, col("doc_id"), col("__text"), buckets)
-          .groupBy(col("doc_id"))
+        tf.groupBy(col("doc_id"))
           .agg(collect_list(struct(col("bucket"), col("tf"))).as("__feats")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("y"),
@@ -115,18 +129,26 @@ object LogReg {
     * @return (doc_id, n_features, margin_micro)
     */
   def score(
-      docs: DataFrame, id: Column, text: Column, model: LogRegModel): DataFrame = {
-    val spark = docs.sparkSession
+      docs: DataFrame, id: Column, text: Column, model: LogRegModel): DataFrame =
+    scoreOnTf(docs.select(id.as("doc_id")),
+      Dsir.featureTf(docs, id, text, model.buckets), model)
+
+  /** [[score]] over a PRECOMPUTED featurization (see [[fitOnTf]]):
+    * `ids` = one (doc_id) row per doc to score, `tf` their featureTf
+    * table. Identical arithmetic to [[score]]. */
+  def scoreOnTf(
+      ids: DataFrame, tf: DataFrame, model: LogRegModel): DataFrame = {
+    val spark = ids.sparkSession
     val wDf =
       if (model.weightsMicro.isEmpty)
         spark.createDataFrame(Seq.empty[(Int, Long)]).toDF("bucket", "w")
       else spark.createDataFrame(model.weightsMicro.toSeq).toDF("bucket", "w")
-    val perDoc = Dsir.featureTf(docs, id, text, model.buckets)
+    val perDoc = tf
       .join(broadcast(wDf), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_features"),
         sum(col("tf") * coalesce(col("w"), lit(0L))).as("__dot"))
-    docs.select(id.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    ids.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_features"), lit(0L)).as("n_features"),
         (coalesce(col("__dot"), lit(0L)) + lit(model.interceptMicro))

@@ -37,10 +37,17 @@ class MaintenanceCompositionSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   private def buildKeyed(p: String, buckets: Int = 8): Unit = {
+    // create rebalances to one file per bucket, so the multi-file state
+    // the compact test needs comes from an APPEND (one more file per
+    // bucket — the real accumulation mode for append-mode ingests)
     graft.ops.Upsert.writeKeyedTable(
-      spark.range(0, 1000).select(col("id").as("k"),
+      spark.range(0, 500).select(col("id").as("k"),
         concat(lit("v"), col("id")).as("v")),
       "k", p, numBuckets = buckets, mode = "overwrite")
+    graft.ops.Upsert.writeKeyedTable(
+      spark.range(500, 1000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")),
+      "k", p, numBuckets = buckets, mode = "append")
     spark.index.create.mode("overwrite").indexBy("k").parquet(p)
   }
 
