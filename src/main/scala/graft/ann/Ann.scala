@@ -580,10 +580,7 @@ object Ann {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: $k, $iters")
     require(Seq("first", "farthest").contains(seeding),
       s"seeding must be 'first' or 'farthest': $seeding")
-    // cpuBoundIfSmall: every iteration runs assignment + per-dim sums
-    // over q — parallelize the persisted frame once up front (guide §2.6)
-    val q = graft.ops.Parallel.cpuBoundIfSmall(
-        df.select(id.as("__id"), quantizeMilli(vec).as("__q")))
+    val q = df.select(id.as("__id"), quantizeMilli(vec).as("__q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def sliced(full: Seq[IndexedSeq[Double]], j: Int): IndexedSeq[IndexedSeq[Double]] =
@@ -933,10 +930,7 @@ object Ann {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(Seq("first", "farthest").contains(seeding),
       s"seeding must be 'first' or 'farthest': $seeding")
-    // cpuBoundIfSmall: every iteration runs assignment + per-dim sums
-    // over q — parallelize the persisted frame once up front (guide §2.6)
-    val q = graft.ops.Parallel.cpuBoundIfSmall(
-        df.select(id.as("__id"), quantizeMilli(vec).as("__q")))
+    val q = df.select(id.as("__id"), quantizeMilli(vec).as("__q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[Seq[Double]] = seeding match {
