@@ -863,8 +863,15 @@ object Bench {
     // ~10 KB, so printing it last truncated its head and every BENCH_r*
     // artifact parsed as null. The short line carries the headline
     // metrics + the path to the full artifact and fits the tail whole.
+    // Default out-path is stamped per (sf, cpus) configuration: the round
+    // driver runs the bench at several core counts back-to-back, and a
+    // single mutable path meant the later run clobbered the earlier run's
+    // per-query map (PERF_r13 lost per-query comparison entirely). Each
+    // configuration now gets its own artifact; SPARK_GRAFT_BENCH_OUT still
+    // overrides for ad-hoc probes.
+    val sfBase = new java.io.File(sfDir).getName
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_notes/bench_last.json")
+      s"bench_notes/bench_${sfBase}_c$cpus.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

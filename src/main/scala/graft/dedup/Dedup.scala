@@ -878,9 +878,12 @@ object Dedup {
     // Filter on the UNROUNDED ratio (rounding first would admit
     // inter = ⌈τn⌉ − 1 via 4-dp round-up on ≥20k-shingle docs — outside
     // the prefix guarantee); the reported value is rounded for cross-
-    // engine display stability only. cpuBound: the per-candidate
-    // array_intersect verify is the CPU-heavy tail of this operator.
-    graft.ops.Parallel.cpuBound(candidates)
+    // engine display stability only. cpuBoundIfSmall: the per-candidate
+    // array_intersect verify is the CPU-heavy tail of this operator, but
+    // the candidate set scales with the corpus (NOT bounded by design) —
+    // the stats gate keeps the spread to under-parallelized small frames
+    // and never adds a full extra exchange of a corpus-scale pair set.
+    graft.ops.Parallel.cpuBoundIfSmall(candidates)
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -926,10 +929,13 @@ object Dedup {
       s"maxDist must be in [1, 3]: $maxDist")
     // distinct: replayed (id, s) rows must not double-emit edges, and the
     // record table feeds five plan legs below — checkpoint it once.
-    // cpuBound: the deletion-neighborhood explode + levenshtein DP below
-    // are CPU-bound; a byte-sized plan (single-file scan, AQE-coalesced
-    // distinct) would run them on 1–2 cores (guide §2.6)
-    val base = graft.ops.Parallel.cpuBound(
+    // cpuBoundIfSmall: the deletion-neighborhood explode + levenshtein DP
+    // below are CPU-bound and a byte-sized plan (single-file scan,
+    // AQE-coalesced distinct) would run them on 1–2 cores (guide §2.6) —
+    // but distinct (id, s) RECORDS scale with the corpus, so the spread
+    // is stats-gated (an unconditional repartition(defaultParallelism)
+    // could REDUCE a big input's partition count and concentrate memory)
+    val base = graft.ops.Parallel.cpuBoundIfSmall(
         df.select(id.as("__id"), s.as("__s"))
           .filter(col("__s").isNotNull)
           .distinct())

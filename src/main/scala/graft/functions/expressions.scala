@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.SparkInternals
@@ -914,10 +914,19 @@ private object VecOps {
 case class LogRegGradient(
     feats: Expression, y: Expression,
     weightsMicro: Seq[Long], interceptMicro: Long)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
   override def left: Expression = feats
   override def right: Expression = y
+
+  // analysis-time typing: a caller passing an int y or a differently
+  // shaped feature array gets an AnalysisException, not a runtime
+  // ClassCastException out of nullSafeEval/compute
+  override def inputTypes = Seq(
+    ArrayType(StructType(Seq(
+      StructField("bucket", IntegerType),
+      StructField("tf", LongType)))): DataType,
+    LongType)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("bucket", IntegerType, nullable = false),
@@ -932,7 +941,11 @@ case class LogRegGradient(
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 2)
-      m += row.getLong(1) * w(row.getInt(0))
+      val b = row.getInt(0)
+      if (b < 0 || b >= w.length) throw new IllegalArgumentException(
+        s"feature bucket $b outside the model's ${w.length} weights — " +
+          "features must be hashed with the numBuckets the model was fit with")
+      m += row.getLong(1) * w(b)
       i += 1
     }
     val r = math.floor((yv.toDouble -
@@ -968,7 +981,12 @@ case class LogRegGradient(
   * interpreted per signature position. Integer-exact, so the downstream
   * ratio is bit-identical. */
 case class ArrayAgreeCount(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
+
+  // long arrays only: positional getLong on any other element width would
+  // read garbage — reject at analysis time
+  override def inputTypes =
+    Seq(ArrayType(LongType): DataType, ArrayType(LongType))
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true

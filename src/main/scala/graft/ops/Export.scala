@@ -44,14 +44,18 @@ object Export {
     // observe counts on the WRITTEN plan — no second scan of the (often
     // expensive) upstream pipeline, and the count is of what landed
     val obs = org.apache.spark.sql.Observation()
-    // repartition by (shard, chunk) before the write: to_json + gzip are
-    // CPU-bound and the per-shard window leaves each shard's whole row
-    // set in ONE partition — the rebalance spreads serialization across
-    // the cluster and still lands exactly one file per chunk (guide §6)
+    // repartition by (shard, chunk) BEFORE the to_json projection:
+    // to_json + gzip are CPU-bound and the per-shard window leaves each
+    // shard's whole row set in ONE partition — the rebalance spreads
+    // serialization across the cluster and still lands exactly one file
+    // per chunk (guide §6). The exchange must sit BELOW the projection
+    // (Catalyst won't hoist a Project above a RepartitionByExpression):
+    // repartitioning after the select would serialize pre-shuffle in the
+    // window layout and ship the bigger JSON strings through the shuffle
     assigned
+      .repartition(shard, col("pack_id"))
       .select(to_json(struct(dataCols: _*)).as("value"),
         shard.as("shard"), col("pack_id").as("chunk"))
-      .repartition(col("shard"), col("chunk"))
       .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite")
       .partitionBy("shard", "chunk")

@@ -406,7 +406,12 @@ object Streaming {
     val out0 = docs.withColumn("__b", bucket.cast("int"))
       .repartition(col("__b"))
     val out = if (format == "text") out0.drop(idCol) else out0
-    out.write.mode("overwrite").partitionBy("__b").format(format).save(tmpDir)
+    // maxRecordsPerFile=0 pins the one-file-per-bucket invariant the
+    // renames below rely on, even when the caller's session sets a
+    // global spark.sql.files.maxRecordsPerFile (which would legally
+    // split a bucket into several part files)
+    out.write.mode("overwrite").option("maxRecordsPerFile", 0)
+      .partitionBy("__b").format(format).save(tmpDir)
     (0 until nBatches).foreach { b =>
       val parts = Option(fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$tmpDir/__b=$b/part-*")))
@@ -420,11 +425,15 @@ object Streaming {
         // batch cascade sees every slice — exactly the old per-slice
         // behavior (the only extra job of the single-pass staging, paid
         // per empty slice only)
+        val emptyDir = s"$workDir/bempty$b"
         out.filter(lit(false)).drop("__b").coalesce(1)
-          .write.mode("overwrite").format(format).save(s"$workDir/bempty$b")
+          .write.mode("overwrite").format(format).save(emptyDir)
         val p = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$workDir/bempty$b/part-*"))(0).getPath
+          new org.apache.hadoop.fs.Path(s"$emptyDir/part-*"))(0).getPath
         fs.rename(p, dst)
+        // the scratch dir (committer metadata, _SUCCESS) must not
+        // accumulate next to the staged slices
+        fs.delete(new org.apache.hadoop.fs.Path(emptyDir), true)
       }
       // strictly increasing mtimes: the file source replays arrival order
       fs.setTimes(dst, 60000L * (b + 1), -1)
