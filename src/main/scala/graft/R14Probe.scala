@@ -29,6 +29,12 @@ object R14Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc A/B knobs: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applied to the
+    // probe session (ops read runtime conf, so this flips their behavior)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     // job/task accounting across everything the query triggers (incl.
     // child sessions: the listener is SparkContext-wide)

@@ -139,9 +139,10 @@ object Dedup {
     * tokenize→shingle→minhash over the corpus per batch.
     *
     * Two tables under `dir`, keeping ids-only through the wide join:
-    *   - `bands/` (band, key, doc_id), partitioned by band — the join
-    *     side; a probe shuffles on (band, key) exactly like
-    *     [[minhashPairs]]' in-batch join;
+    *   - `bands/` (band, key, doc_id) — the join side; probes JOIN on
+    *     (band, key) and never filter on band alone, so the table is
+    *     plain parquet (a partitionBy(band) would multiply file count
+    *     ×bands for zero pruning, inflating every probe's listing);
     *   - `sigs/` (doc_id, sig) — read only to verify candidates
     *     (signature-estimated Jaccard), never exploded.
     *
@@ -200,7 +201,7 @@ object Dedup {
     sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
-      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+      .write.mode(mode).parquet(s"$dir/bands")
     if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
 
@@ -235,7 +236,7 @@ object Dedup {
     sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$segDir/bands")
+      .write.mode("overwrite").parquet(s"$segDir/bands")
     graft.ops.Segments.commit(spark, segDir)
     if (!hadSpec) graft.ops.IndexSpec.write(df, dir, spec)
   }
@@ -275,7 +276,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$segDir/sigs")
     live.map(s => spark.read.parquet(s"$s/bands")).reduce(_ unionByName _)
       .select(col("band"), col("key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$segDir/bands")
+      .write.mode("overwrite").parquet(s"$segDir/bands")
     graft.ops.Segments.commit(spark, segDir, replaces = names)
     graft.ops.Segments.delete(spark, live)
     live.length
@@ -378,28 +379,35 @@ object Dedup {
       s"minhash numHashes=$numHashes bands=$bands shingleK=$shingleK")
     val rows = numHashes / bands
     // the BATCH side's signature rides its band explode (batch-bounded,
-    // ~512 B × bands per doc) so the batch re-join disappears; the
-    // CORPUS side stays ids-only through the shuffle — its signatures
-    // live in the stored `sigs/` table and join once per candidate,
-    // exactly the at-scale shape the index exists for
+    // ~512 B × bands per doc) so the batch re-join disappears — and the
+    // batch-derived side BROADCASTS (micro-batches are bounded by design,
+    // the same contract as Parallel.cpuBound): the corpus `bands`/`sigs`
+    // tables — the frames that GROW with the corpus — are only scanned
+    // map-side, never shuffled, per micro-batch. Without the hint the
+    // checkpointed batch's size estimate is unknown, so Catalyst planned
+    // sort-merge and re-shuffled the stored tables on every batch.
     val newBands = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"),
       posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
     val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
     // no intermediate distinct: a pair surfacing from several shared
     // bands only re-evaluates the cheap signatureJaccard in the verify
-    // join, while the distinct costs a full extra Exchange per batch;
-    // the final dup-id distinct already dedups the output
-    val candidates = newBands.join(corpusBands, Seq("band", "key"))
+    // join, while the distinct costs a full extra Exchange per batch
+    val candidates = broadcast(newBands).join(corpusBands, Seq("band", "key"))
       .select(col("__id"), col("__sig"), col("__corpus_id"))
     val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
       .select(col("doc_id").as("__corpus_id"), col("sig").as("__corpus_sig"))
-    val dups = candidates
+    // candidates are bounded by batch × band collisions — broadcast them
+    // through the verify too, so the corpus signature table is likewise
+    // scanned in place; the dup-id distinct is dropped (an anti-join
+    // build side dedups by construction, the distinct only cost an
+    // Exchange per batch)
+    val dups = broadcast(candidates)
       .join(corpusSigs, Seq("__corpus_id"))
       .filter(round(signatureJaccard(col("__sig"), col("__corpus_sig")), 4)
         >= threshold)
-      .select(col("__id").as("__dup_id")).distinct()
-    signed.join(dups, col("doc_id") === col("__dup_id"), "left_anti")
+      .select(col("__id").as("__dup_id"))
+    signed.join(broadcast(dups), col("doc_id") === col("__dup_id"), "left_anti")
   }
 
   /** [[dedupMinhash]] over a pre-signed frame — drops every doc pairing
@@ -421,17 +429,20 @@ object Dedup {
     val banded = signed.select(col("doc_id").as("__id"), col("sig").as("__sig"),
       posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("__band", "__key")))
     // band-collision multiplicity re-verifies the cheap agreement count
-    // (no intermediate distinct — an Exchange per micro-batch); the final
-    // dup-id distinct dedups the output
+    // (no intermediate distinct — an Exchange per micro-batch). The self-
+    // join BROADCASTS its build side (batch-bounded by design, like the
+    // probe in dedupAgainstIndexSigned) so the in-batch dedup plans with
+    // NO shuffle at all; the dup-id distinct is dropped (the anti-join
+    // build side dedups by construction)
     val dupIds = banded.select(col("__band"), col("__key"),
         col("__id").as("id_a"), col("__sig").as("__sig_a"))
-      .join(banded.select(col("__band"), col("__key"),
-        col("__id").as("id_b"), col("__sig").as("__sig_b")),
+      .join(broadcast(banded.select(col("__band"), col("__key"),
+        col("__id").as("id_b"), col("__sig").as("__sig_b"))),
         Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(signatureJaccard(col("__sig_a"), col("__sig_b")), 4) >= threshold)
-      .select(col("id_b").as("__dup_id")).distinct()
-    signed.join(dupIds, col("doc_id") === col("__dup_id"), "left_anti")
+      .select(col("id_b").as("__dup_id"))
+    signed.join(broadcast(dupIds), col("doc_id") === col("__dup_id"), "left_anti")
   }
 
   /** [[appendMinhashSegment]] from pre-signed rows — no re-signing. */
@@ -453,7 +464,7 @@ object Dedup {
     sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$segDir/bands")
+      .write.mode("overwrite").parquet(s"$segDir/bands")
     graft.ops.Segments.commit(spark, segDir)
     if (!hadSpec) graft.ops.IndexSpec.write(signed, dir, spec)
   }
@@ -693,10 +704,19 @@ object Dedup {
     * Every round is one shuffle on id; `localCheckpoint` truncates the
     * growing lineage so plans stay O(1) per round. (At extreme diameters
     * the alternating large-star/small-star formulation halves rounds;
-    * not needed for dedup graphs.) */
+    * not needed for dedup graphs.)
+    *
+    * Round cost shape (guide §1.2/§2.4): the edge table — the side that
+    * grows with the corpus — is checkpointed PRE-PARTITIONED on the join
+    * key, so it crosses the network once total instead of once per
+    * round (each round re-exchanges only the label table); and the
+    * per-round checkpoint is LAZY, so the convergence count is the job
+    * that materializes it — one action per round instead of
+    * checkpoint-job + count-job. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -712,7 +732,7 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1

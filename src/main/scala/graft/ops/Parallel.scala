@@ -36,6 +36,24 @@ object Parallel {
   def cpuBound(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Run two INDEPENDENT driver actions concurrently (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially — overlapping lets the second job's tasks back-fill
+    * executors freed by the first job's tail). Only for actions with no
+    * ordering dependency (e.g. a batch's kept-rows write and its index
+    * segment's data writes — visibility is gated by the segment commit
+    * marker, which the caller still writes after BOTH land). If either
+    * side fails the caller sees the failure only after the other side
+    * finished, so a retry never overlaps a still-running half. */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    try a finally Await.ready(fb, Duration.Inf)
+    fb.value.get.get
+  }
+
   /** [[cpuBound]] gated on the optimizer's size estimate — for operators
     * whose input MAY be a whole corpus (pair generators over document
     * text). Small estimate (byte-based planning would give fewer splits

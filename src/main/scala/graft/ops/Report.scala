@@ -102,10 +102,13 @@ object Report {
     val hadSpec = IndexSpec.checkReturningPresence(df, dir, cardSpec(p))
     val segDir = Segments.prepare(spark, dir, segmentId)
     val sigs = perDocSignals(df, source, text).localCheckpoint()
-    countsFromSignals(sigs)
-      .write.mode("overwrite").parquet(s"$segDir/counts")
-    Hll.groupRegisters(sigs, col("source"), col("__text"), p)
-      .write.mode("overwrite").parquet(s"$segDir/registers")
+    // the two sub-table writes are independent (visibility gated by the
+    // segment commit below) — overlap them (guide §2.6)
+    Parallel.inParallel(
+      countsFromSignals(sigs)
+        .write.mode("overwrite").parquet(s"$segDir/counts"),
+      Hll.groupRegisters(sigs, col("source"), col("__text"), p)
+        .write.mode("overwrite").parquet(s"$segDir/registers"))
     Segments.commit(spark, segDir)
     if (!hadSpec) IndexSpec.write(df, dir, cardSpec(p))
   }

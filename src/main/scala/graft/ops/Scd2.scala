@@ -211,10 +211,16 @@ object Scd2 {
       else {
         val applied = if (probe.isNullAt(1)) 0L else probe.getLong(1)
         // partition pruning: only touched bucket dirs are listed/read;
-        // within them only the batch's keys re-fold (other keys carry)
+        // within them only the batch's keys re-fold (other keys carry).
+        // Batch-derived key frames BROADCAST (probe-measured bound, see
+        // Upsert.broadcastIfBounded): the touched buckets are scanned
+        // map-side by the carry/re-fold split instead of shuffled twice
+        // per merge. No distinct on the key frame — semi/anti build
+        // sides dedup by construction, the distinct cost an Exchange
         val base = spark.read.parquet(dir)
           .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
-        val batchKeys = bucketed.select(col(key)).distinct()
+        val batchKeys = Upsert.broadcastIfBounded(
+          bucketed.select(col(key)), applied)
         val carried = base.join(batchKeys, Seq(key), "left_anti")
         // stored history rows ARE change points: (key, valid_from, attrs).
         // Batch points at an instant the table already versioned replace
@@ -228,7 +234,8 @@ object Scd2 {
           .withColumnRenamed("valid_from", ts)
           .select(((key +: ts +: attrs).map(col) ++
             tieBreaks.map(t => lit(null).cast(bucketed.schema(t).dataType).as(t))): _*)
-          .join(bucketed.select(col(key).as(key), col(ts).as(ts)),
+          .join(Upsert.broadcastIfBounded(
+              bucketed.select(col(key).as(key), col(ts).as(ts)), applied),
             Seq(key, ts), "left_anti")
         val refolded = fromChangeLog(
             storedPoints.unionByName(bucketed.drop("graft_bucket")),

@@ -53,6 +53,23 @@ object Upsert {
   def bucketOf(key: Column, numBuckets: Int): Column =
     pmod(xxhash64(key), lit(numBuckets)).cast("int")
 
+  /** Broadcast a delta-derived key frame when the merge's own probe job
+    * measured it at or below `spark.graft.merge.broadcastDeltaMaxRows`
+    * rows (default 4M ≈ tens of MB of hashed longs/strings): the base-
+    * table legs of the merge then join MAP-SIDE and the touched buckets
+    * are scanned once, never shuffled — at 100 TB the buckets dwarf the
+    * delta, so the shuffle this removes is the merge's dominant exchange.
+    * Above the threshold (an unusually large delta) the plan falls back
+    * to the shuffle joins unchanged. Decision input is a RUNTIME count
+    * from the probe, not an optimizer estimate (checkpointed deltas carry
+    * no stats, which is why Catalyst planned sort-merge here). */
+  private[graft] def broadcastIfBounded(df: DataFrame, nRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.merge.broadcastDeltaMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (cap > 0 && nRows >= 0 && nRows <= cap) broadcast(df) else df
+  }
+
   /** Create the keyed base table: Hive-partitioned by `graft_bucket` so
     * later upserts prune to touched partitions. `numBuckets` is pinned
     * in `_index_spec` (see class doc); pick it for ~1–4 GB per bucket at
@@ -248,10 +265,14 @@ object Upsert {
       val upserted = if (probe.isNullAt(1)) 0L else probe.getLong(1)
       if (touched.isEmpty) UpsertStats(0, numBuckets, 0L, 0L)
       else {
-        // partition pruning: only touched bucket dirs are listed/read
+        // partition pruning: only touched bucket dirs are listed/read;
+        // the delta's keys broadcast (probe-measured bound) so the
+        // touched buckets are scanned map-side, not shuffled
         val base = spark.read.parquet(dir)
           .filter(col("graft_bucket").isin(touched.map(Int.box): _*))
-        val carried = base.join(bucketed.select(col(key)), Seq(key), "left_anti")
+        val carried = base.join(
+          broadcastIfBounded(bucketed.select(col(key)), upserted),
+          Seq(key), "left_anti")
         // eager checkpoint severs the plan's lineage to `dir` so the
         // dynamic overwrite below is not a read-write conflict, and the
         // merged delta is safe before any base partition is replaced.
@@ -301,8 +322,12 @@ object Upsert {
       val keyed = keys.toDF(key).distinct()
         .withColumn("graft_bucket", bucketOf(col(key), numBuckets))
         .localCheckpoint(false)
-      val touched = keyed.select(col("graft_bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      // per-bucket counts: the touched set AND the requested-key total in
+      // one probe job (≤ numBuckets driver rows) — the total feeds the
+      // broadcast bound below
+      val perBucketKeys = keyed.groupBy(col("graft_bucket")).count().collect()
+      val touched = perBucketKeys.map(_.getInt(0)).sorted
+      val nKeys = perBucketKeys.map(_.getLong(1)).sum
       if (touched.isEmpty) DeleteStats(0, numBuckets, 0L, 0L)
       else {
         val base = spark.read.parquet(dir)
@@ -311,8 +336,11 @@ object Upsert {
         // repartition by bucket: one file per surviving bucket (see
         // upsertByKey) — and ONE probe job for what used to be two
         // (carried count + surviving-bucket distinct): per-bucket counts
-        // are ≤ numBuckets driver rows
-        val survivors = base.join(keyed.select(col(key)), Seq(key), "left_anti")
+        // are ≤ numBuckets driver rows. Requested keys broadcast
+        // (probe-measured bound): touched buckets scan map-side
+        val survivors = base.join(
+            broadcastIfBounded(keyed.select(col(key)), nKeys),
+            Seq(key), "left_anti")
           .repartition(col("graft_bucket"))
           .localCheckpoint(true)
         val perBucket = survivors.groupBy(col("graft_bucket")).count().collect()

@@ -512,10 +512,18 @@ object Streaming {
         // OVERWRITES its own output instead of appending the same kept
         // rows twice — exactly-once for the table AND the index
         if (kept.take(1).nonEmpty) {
-          batch.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          graft.dedup.Dedup.appendMinhashSegmentSigned(kept,
-            idxDir, s"b$batchId", numHashes, bands, shingleK)
+          // the kept-docs write and the segment's data writes are
+          // independent (segment visibility is gated by its commit
+          // marker, written after both of ITS writes land) — overlap
+          // them so one batch pays max() instead of sum() of the two
+          // tails (guide §2.6); kept ids broadcast into the text
+          // recovery semi-join (batch-bounded build side)
+          graft.ops.Parallel.inParallel(
+            batch.join(broadcast(kept.select(col("doc_id"))),
+                Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$outDir/b$batchId"),
+            graft.dedup.Dedup.appendMinhashSegmentSigned(kept,
+              idxDir, s"b$batchId", numHashes, bands, shingleK))
           indexNonEmpty = true
         }
       }
@@ -574,18 +582,22 @@ object Streaming {
         // must still be kept (it can't match anything)
         val fp = graft.text.TextFunctions.winnowFingerprintSet(
           batch, col("doc_id"), col("text"), k, w)
+        // dup-id frames are batch-bounded — they BROADCAST into every
+        // anti-join below, so no per-batch exchange of the batch/
+        // fingerprint frames remains
         val idxDups =
           if (indexNonEmpty)
             Some(graft.text.TextFunctions.winnowIndexDupIdsFp(spark, fp,
               idxDir, k, w, minShared).localCheckpoint(eager = false))
           else None
         val fpAfterIdx = idxDups.map(d =>
-          fp.join(d, fp("doc_id") === d("__dup_id"), "left_anti")).getOrElse(fp)
+          fp.join(broadcast(d), fp("doc_id") === d("__dup_id"), "left_anti"))
+          .getOrElse(fp)
         val batchDups = graft.text.TextFunctions
           .winnowDupIdsFp(fpAfterIdx, minShared)
           .localCheckpoint(eager = false)
         val allDups = idxDups.map(_.union(batchDups)).getOrElse(batchDups)
-        val kept = batch.join(allDups,
+        val kept = batch.join(broadcast(allDups),
             batch("doc_id") === allDups("__dup_id"), "left_anti")
           .localCheckpoint() // one computation feeds the table AND the index
         // per-batch overwrite dir + committed segment, both keyed by
@@ -593,11 +605,14 @@ object Streaming {
         // instead of re-appending kept rows — exactly-once, matching
         // the docstring (all-duplicates batches write nothing at all)
         if (kept.take(1).nonEmpty) {
-          kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          val keptFp = fpAfterIdx.join(batchDups,
+          // independent writes overlap (guide §2.6): segment visibility
+          // is still gated by its commit marker, written after its data
+          val keptFp = fpAfterIdx.join(broadcast(batchDups),
             fpAfterIdx("doc_id") === batchDups("__dup_id"), "left_anti")
-          graft.text.TextFunctions.appendWinnowSegmentFp(
-            keptFp, idxDir, s"b$batchId", k, w)
+          graft.ops.Parallel.inParallel(
+            kept.write.mode("overwrite").parquet(s"$outDir/b$batchId"),
+            graft.text.TextFunctions.appendWinnowSegmentFp(
+              keptFp, idxDir, s"b$batchId", k, w))
           indexNonEmpty = true
         }
       }

@@ -118,16 +118,24 @@ object SearchIndex {
     val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
     val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
       .localCheckpoint(eager = false)
-    base.select(col("doc_id"), size(col("__toks")).as("len"))
-      .write.mode("overwrite").parquet(s"$segDir/doclens")
-    base.select(col("doc_id"), explode(col("__toks")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("term"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-        .as("postings"))
-      .repartition(col("term"))
-      .sortWithinPartitions(col("term"), col("chunk_idx"))
-      .write.mode("overwrite").parquet(s"$segDir/postings")
+    // batch-bounded shape (segmentId = one micro-batch): ONE exchange on
+    // term — HashPartitioning(term) satisfies BOTH aggregations'
+    // clustering ((doc_id, term) ⊇ {term} and (term, chunk_idx) ⊇
+    // {term}), so the tf agg, the chunk agg and the file clustering
+    // share a single shuffle where the old plan paid three. The doclens
+    // and postings writes are independent (visibility gated by the
+    // segment commit below) and overlap (guide §2.6).
+    graft.ops.Parallel.inParallel(
+      base.select(col("doc_id"), size(col("__toks")).as("len"))
+        .write.mode("overwrite").parquet(s"$segDir/doclens"),
+      base.select(col("doc_id"), explode(col("__toks")).as("term"))
+        .repartition(col("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+        .sortWithinPartitions(col("term"), col("chunk_idx"))
+        .write.mode("overwrite").parquet(s"$segDir/postings"))
     graft.ops.Segments.commit(spark, segDir)
     if (!hadSpec) graft.ops.IndexSpec.write(docs, dir, spec(chunkSize))
   }

@@ -569,12 +569,18 @@ object TextFunctions {
     graft.ops.IndexSpec.check(fp, dir, s"winnow k=$k w=$w")
     val corpus = graft.ops.Segments.readPart(spark, dir, "fps")
       .select(col("hash"), col("doc_id").as("__corpus_id"))
-    fp.select(col("hash"), col("doc_id").as("__id"))
+    // the batch fingerprints BROADCAST (micro-batch-bounded by design):
+    // the stored corpus table — the side that grows — is scanned
+    // map-side, never shuffled per batch; only the bounded (__id,
+    // __corpus_id) pair counts cross an exchange for the aggregation.
+    // No trailing distinct: consumers anti-join, whose build side
+    // dedups by construction (the distinct cost an Exchange per batch)
+    broadcast(fp.select(col("hash"), col("doc_id").as("__id")))
       .join(corpus, Seq("hash"))
       .groupBy(col("__id"), col("__corpus_id"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)
-      .select(col("__id").as("__dup_id")).distinct()
+      .select(col("__id").as("__dup_id"))
   }
 
   /** [[dedupWinnow]]'s in-batch drop set over a pre-fingerprinted frame:
@@ -591,13 +597,18 @@ object TextFunctions {
         fp.groupBy(col("hash")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).select(col("hash")),
         Seq("hash"))
+    // the self-join BROADCASTS its build side (the frame is one
+    // micro-batch's fingerprints — bounded by design) so the in-batch
+    // match plans without shuffling either side; no trailing distinct
+    // (consumers anti-join, whose build side dedups by construction)
     culled.select(col("hash"), col("doc_id").as("id_a"))
-      .join(culled.select(col("hash"), col("doc_id").as("id_b")), Seq("hash"))
+      .join(broadcast(culled.select(col("hash"), col("doc_id").as("id_b"))),
+        Seq("hash"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .select(col("id_b").as("__dup_id")).distinct()
+      .select(col("id_b").as("__dup_id"))
   }
 
   /** [[appendWinnowSegment]] from pre-fingerprinted rows — no re-hash

@@ -61,11 +61,18 @@ object Trigram {
     val hadSpec =
       graft.ops.IndexSpec.checkReturningPresence(docs, dir, spec(chunkSize))
     val segDir = graft.ops.Segments.prepare(spark, dir, segmentId)
+    // ONE exchange: repartition(gram) BEFORE the aggregation —
+    // HashPartitioning(gram) satisfies the groupBy(gram, chunk_idx)
+    // clustering requirement, so the agg reuses it and the old
+    // agg-exchange + repartition-exchange pair collapses to one shuffle.
+    // Shuffle bytes are identical either way: trigrams are DISTINCT per
+    // doc, so the collect_list partial aggregation shipped every
+    // (gram, doc_id) row regardless.
     docs.select(id.as("doc_id"), trigramsOf(text).as("__g"))
       .select(col("doc_id"), explode(col("__g")).as("gram"))
+      .repartition(col("gram"))
       .groupBy(col("gram"), expr(s"doc_id div $chunkSize").as("chunk_idx"))
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
-      .repartition(col("gram"))
       .sortWithinPartitions(col("gram"), col("chunk_idx"))
       .write.mode("overwrite").parquet(s"$segDir/postings")
     graft.ops.Segments.commit(spark, segDir)

@@ -280,6 +280,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("connected components: deep chain converges across many lazy-checkpoint rounds") {
+    // diameter-9 path: exercises repeated rounds over the lazily
+    // materialized label checkpoints (the convergence count is the job
+    // that persists each round's labels) and the pre-partitioned edge
+    // table being reused round after round
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(labels(_) == 1L), s"got $labels")
+  }
+
   test("duplicateClusters groups transitive near-dups") {
     val clusters = Dedup.duplicateClusters(docs, $"id", $"text", threshold = 0.5)
       .as[(Long, Long, Seq[Long])].collect()
