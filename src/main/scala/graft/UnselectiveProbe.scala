@@ -39,7 +39,11 @@ object UnselectiveProbe {
     def gc(): Unit = { System.gc(); Thread.sleep(200); System.gc() }
 
     // warm once (parquet footer/codegen paths), then measure best-of-3
-    g.listFiles(Nil, Nil).iterator.map(_.files.length).sum
+    val warm = g.listFiles(Nil, Nil)
+    println(s"[probe] status class: " +
+      warm.head.files.head.fileStatus.getClass.getName +
+      s" sample path: ${warm.head.files.head.getPath}")
+    warm.iterator.map(_.files.length).sum
 
     var bestSec = Double.MaxValue
     var heapDeltaMb = Double.MaxValue

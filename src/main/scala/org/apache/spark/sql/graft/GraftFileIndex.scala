@@ -8,7 +8,7 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
 import org.apache.spark.sql.sources.{And => SAnd, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.util.SerializableConfiguration
@@ -492,7 +492,7 @@ class GraftFileIndex(
 
     val distributed = meta.fileCount >= conf.distributedPruningThreshold
     lastPrunedDistributed = false
-    val statusByPartition: Map[Int, Array[FileStatus]] = indexFilters match {
+    val statusByPartition: Map[Int, Seq[FileStatusWithMetadata]] = indexFilters match {
       case Nil =>
         survivorsUnfiltered(keptPartitions.map(_._1), allPartitionsKept, distributed)
       case fs =>
@@ -504,11 +504,13 @@ class GraftFileIndex(
           } else {
             driverPrune(combined, keptPartitions.map(_._1))
           }
-        pruned.map { case (idx, es) => idx -> es.map(toFileStatus).toArray }
+        pruned.map { case (idx, es) =>
+          idx -> GraftFileIndex.wrapEager(es.map(toFileStatus).toArray)
+        }
     }
 
     val counted = new LongAdder
-    val emptyStatuses = Array.empty[FileStatus]
+    val emptyStatuses: Seq[FileStatusWithMetadata] = Nil
     val result = keptPartitions.map { case (idx, values) =>
       val kept = statusByPartition.getOrElse(idx, emptyStatuses)
       counted.add(kept.length.toLong)
@@ -550,54 +552,68 @@ class GraftFileIndex(
   private def survivorsUnfiltered(
       keptIdx: Seq[Int],
       allPartitionsKept: Boolean,
-      distributed: Boolean): Map[Int, Array[FileStatus]] = {
+      distributed: Boolean): Map[Int, Seq[FileStatusWithMetadata]] = {
     if (!distributed) {
       keptIdx.map(i =>
-        i -> entriesByPartition.getOrElse(i, Nil).map(toFileStatus).toArray).toMap
+        i -> GraftFileIndex.wrapEager(
+          entriesByPartition.getOrElse(i, Nil).map(toFileStatus).toArray)).toMap
     } else {
       // big table, no cacheable driver copy — stream only the slim
       // listing columns of the kept partitions (partitionIdx pushdown +
-      // column pruning into the files table; no stats/schema blobs)
+      // column pruning into the files table; no stats/schema blobs).
+      //
+      // The EXECUTORS pack each scan partition of the files table into
+      // ONE columnar [[PackedListing]] (primitive arrays + a single
+      // UTF-8 basename blob, paths split into interned parent + name,
+      // block locations parsed THERE into flattened primitive arrays
+      // with interned host sets — the driver never holds per-file JSON
+      // strings or BlockLocation objects). The packing itself is
+      // garbage-light: no boxing (ArrayBuilder.ofLong/ofInt), no json4s
+      // on the hot path (a byte-level parser for the writer's own
+      // compact location shape; json4s only as a fallback for foreign
+      // JSON), no per-file Strings (parent/host interning compares raw
+      // bytes against the previous row's — directory runs make that hit
+      // nearly always).
+      //
+      // The driver HOLDS only the packed arrays: each partition's
+      // `files` is a lazy [[LazyFileSeq]] over contiguous ranges of the
+      // packed data that materializes a [[SlimFileStatus]] /
+      // [[SlimLocatedFileStatus]] (and its Path / BlockLocations) per
+      // access — scan planning touches each file once — so the v1
+      // listing's HELD footprint drops from ~630 B/file (eager
+      // FileStatus+Path+URI+BlockLocation) to the ~110 B/file of the
+      // packed columns, and the listing allocates no per-file objects
+      // at all.
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       var ds = classic.read.parquet(filesDir.toString)
       if (!allPartitionsKept) ds = ds.where($"partitionIdx".isin(keptIdx: _*))
       val proj = ds.select($"partitionIdx", $"path", $"size",
         $"modificationTime", $"blockSize", $"locationsJson")
-      val grouped = new java.util.HashMap[Int, java.util.ArrayList[FileStatus]]()
-      val mkList = new java.util.function.Function[Int, java.util.ArrayList[FileStatus]] {
-        override def apply(i: Int): java.util.ArrayList[FileStatus] =
-          new java.util.ArrayList[FileStatus]()
-      }
-      // one PARALLEL fetch of COMPACT UnsafeRows (executeCollect — one
-      // byte array per row, no per-field boxing, no Row wrappers), then
-      // a single pass that builds the final statuses and DROPS each row
-      // as it goes — toLocalIterator would shave transients further but
-      // serializes the fetch into per-partition jobs (measured +60%
-      // wall-clock at 1M files)
-      val rows = proj.queryExecution.executedPlan.executeCollect()
-      var ri = 0
-      while (ri < rows.length) {
-        val r = rows(ri)
-        rows(ri) = null // collectable as soon as its status is built
-        ri += 1
-        val base = new FileStatus(
-          r.getLong(2), false, 1, r.getLong(4), r.getLong(3),
-          new Path(r.getUTF8String(1).toString))
-        val lj = r.getUTF8String(5)
-        val st =
-          if (lj == null || lj.numBytes <= 2) base // "[]" / absent
-          else IndexMetadata.locationsFromJsonString(lj.toString) match {
-            case Nil => base
-            case locs => new LocatedFileStatus(base, locs.map(l =>
-              new BlockLocation(l.hosts.toArray, l.hosts.toArray,
-                l.offset, l.length)).toArray)
+      val packed = proj.queryExecution.toRdd.mapPartitions { it =>
+        val b = new PackedListingBuilder
+        while (it.hasNext) b.add(it.next())
+        if (b.isEmpty) Iterator.empty else Iterator.single(b.result())
+      }.collect()
+      val ranges = new java.util.HashMap[Int,
+        scala.collection.mutable.ArrayBuffer[(PackedListing, Int, Int)]]()
+      packed.foreach { p =>
+        var r = 0
+        while (r < p.runIdx.length) {
+          val from = p.runStart(r)
+          val to = if (r + 1 < p.runStart.length) p.runStart(r + 1) else p.numFiles
+          var buf = ranges.get(p.runIdx(r))
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(PackedListing, Int, Int)]()
+            ranges.put(p.runIdx(r), buf)
           }
-        grouped.computeIfAbsent(r.getInt(0), mkList).add(st)
+          buf += ((p, from, to))
+          r += 1
+        }
       }
-      val out = Map.newBuilder[Int, Array[FileStatus]]
-      grouped.forEach { (k, v) =>
-        out += (k.intValue -> v.toArray(new Array[FileStatus](v.size())))
+      val out = Map.newBuilder[Int, Seq[FileStatusWithMetadata]]
+      ranges.forEach { (k, v) =>
+        out += (k.intValue -> new LazyFileSeq(v.toArray))
       }
       out.result()
     }
@@ -1180,5 +1196,359 @@ object GraftFileIndex {
     * serialization in the distributed sort). */
   object Utf8Ordering extends Ordering[String] {
     override def compare(a: String, b: String): Int = graft.index.Canon.compare(a, b)
+  }
+
+  /** Eager statuses (small-table cache / pruned survivors) → the
+    * listing's wrapper type, same shape PartitionDirectory.apply builds. */
+  private[graft] def wrapEager(files: Array[FileStatus]): Seq[FileStatusWithMetadata] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      files.map(FileStatusWithMetadata(_)))
+}
+
+/** A [[FileStatus]] that DEFERS Path construction: at 10^6 files the
+  * eager Path (and its internal URI — several string copies of the full
+  * path each) owned most of the unselective listing's driver footprint.
+  * The slim form keeps the shared parent Path, a slice of the partition's
+  * basename blob, and the numeric fields, and materializes a real Path
+  * only when a consumer calls getPath() (scan planning touches only the
+  * files that survive pruning; the unselective listing itself never
+  * does). Value-equal to the eager form: getPath resolves to the same
+  * path, and every numeric accessor reads the same stored field. */
+private[graft] final class SlimFileStatus(
+    size: Long, mtime: Long, blockSize: Long,
+    parent: Path, nameBlob: Array[Byte], nameStart: Int, nameEnd: Int)
+  extends FileStatus(size, false, 1, blockSize, mtime, null) {
+  override def getPath: Path = new Path(parent,
+    new String(nameBlob, nameStart, nameEnd - nameStart, "UTF-8"))
+}
+
+/** One scan partition's flattened block-location data, shared by all of
+  * its [[SlimLocatedFileStatus]]es: parallel (offset, length, hostSetId)
+  * arrays plus the interned host sets. One object reference per file
+  * instead of per-file BlockLocation[] + hosts arrays. */
+private[graft] final class SlimLocPool(
+    val offsets: Array[Long], val lengths: Array[Long],
+    val hostIds: Array[Int], val hostSets: Array[Array[String]])
+
+/** [[SlimFileStatus]]'s located twin: defers BOTH Path construction and
+  * BlockLocation materialization. The eager form held, per file, a
+  * BlockLocation[] + BlockLocation + two host-array copies + the
+  * Path+URI — together most of the ~630 B/file the unselective listing
+  * kept live. The slim form keeps three ints and two shared refs; a
+  * consumer that asks (scan planning asks only for files that survive
+  * pruning) gets freshly built, value-identical BlockLocations. */
+private[graft] final class SlimLocatedFileStatus(
+    size: Long, mtime: Long, blockSize: Long,
+    parent: Path, nameBlob: Array[Byte], nameStart: Int, nameEnd: Int,
+    pool: SlimLocPool, blockStart: Int, blockEnd: Int)
+  extends LocatedFileStatus(size, false, 1, blockSize, mtime, 0L,
+    null, null, null, null, null, null) {
+  override def getPath: Path = new Path(parent,
+    new String(nameBlob, nameStart, nameEnd - nameStart, "UTF-8"))
+  override def getBlockLocations: Array[BlockLocation] = {
+    val out = new Array[BlockLocation](blockEnd - blockStart)
+    var i = 0
+    while (i < out.length) {
+      val b = blockStart + i
+      val hosts = pool.hostSets(pool.hostIds(b))
+      out(i) = new BlockLocation(hosts, hosts, pool.offsets(b), pool.lengths(b))
+      i += 1
+    }
+    out
+  }
+}
+
+/** Executor-side builder packing one scan partition of the files table
+  * into a [[PackedListing]]. Garbage-light by construction: primitive
+  * ArrayBuilders (no boxing), raw-byte parent/host interning against the
+  * previous row (directory and host runs make the cache hit ~always), a
+  * byte-level parser for the writer's own compact locations shape
+  * (json4s only as fallback for foreign JSON), and a single growable
+  * basename blob. */
+private[graft] final class PackedListingBuilder {
+  import scala.collection.mutable.ArrayBuilder
+  private val sizes = new ArrayBuilder.ofLong
+  private val mtimes = new ArrayBuilder.ofLong
+  private val blockSizes = new ArrayBuilder.ofLong
+  private val parentOf = new ArrayBuilder.ofInt
+  private val parents = new scala.collection.mutable.ArrayBuffer[String]()
+  private val parentIdx = new java.util.HashMap[String, Integer]()
+  private var blob = new Array[Byte](1 << 16)
+  private var blobLen = 0
+  private val offsets = new ArrayBuilder.ofInt
+  offsets += 0
+  private val locAt = new ArrayBuilder.ofInt
+  private val locBlockEnd = new ArrayBuilder.ofInt
+  private val locOffsets = new ArrayBuilder.ofLong
+  private val locLengths = new ArrayBuilder.ofLong
+  private val locHostIds = new ArrayBuilder.ofInt
+  private val hostSets = new scala.collection.mutable.ArrayBuffer[Array[String]]()
+  private val hostIdx = new java.util.HashMap[String, Integer]()
+  private val runIdx = new ArrayBuilder.ofInt
+  private val runStart = new ArrayBuilder.ofInt
+  private var lastRunIdx = -1
+  private var n = 0
+  private var nBlocks = 0
+  private var lastParent: Array[Byte] = null
+  private var lastParentId = -1
+  private var lastHostSeg: Array[Byte] = null
+  private var lastHostSegId = -1
+  // per-file scratch reused across rows (grown rarely, no steady garbage)
+  private var scratchOff = new Array[Long](4)
+  private var scratchLen = new Array[Long](4)
+  private var scratchHost = new Array[Int](4)
+  // reusable row-bytes buffers: UTF8String.writeToMemory into these
+  // instead of getBinary's fresh copy per row (~150 MB of transient
+  // byte[]s at 10^6 files otherwise)
+  private var pathBuf = new Array[Byte](256)
+  private var locBuf = new Array[Byte](256)
+
+  def isEmpty: Boolean = n == 0
+
+  def add(r: InternalRow): Unit = {
+    val pIdx = r.getInt(0)
+    if (n == 0 || pIdx != lastRunIdx) {
+      runIdx += pIdx; runStart += n; lastRunIdx = pIdx
+    }
+    sizes += r.getLong(2)
+    mtimes += r.getLong(3)
+    blockSizes += r.getLong(4)
+    val pu = r.getUTF8String(1)
+    val pbLen = pu.numBytes
+    if (pbLen > pathBuf.length) {
+      pathBuf = new Array[Byte](Integer.highestOneBit(pbLen) * 2)
+    }
+    pu.writeToMemory(pathBuf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    val pb = pathBuf
+    var cut = pbLen - 1
+    while (cut >= 0 && pb(cut) != '/') cut -= 1
+    val plen = math.max(cut, 0)
+    val pid =
+      if (lastParent != null && plen == lastParent.length &&
+          java.util.Arrays.equals(pb, 0, plen, lastParent, 0, plen)) {
+        lastParentId
+      } else {
+        val ps =
+          if (cut <= 0) "/"
+          else new String(pb, 0, cut, java.nio.charset.StandardCharsets.UTF_8)
+        var pi = parentIdx.get(ps)
+        if (pi == null) {
+          parents += ps
+          pi = Integer.valueOf(parents.length - 1)
+          parentIdx.put(ps, pi)
+        }
+        lastParent = java.util.Arrays.copyOfRange(pb, 0, plen)
+        lastParentId = pi.intValue
+        lastParentId
+      }
+    parentOf += pid
+    val nlen = pbLen - cut - 1
+    if (blobLen + nlen > blob.length) {
+      blob = java.util.Arrays.copyOf(blob, math.max(blob.length * 2, blobLen + nlen))
+    }
+    System.arraycopy(pb, cut + 1, blob, blobLen, nlen)
+    blobLen += nlen
+    offsets += blobLen
+    n += 1
+    if (!r.isNullAt(5)) {
+      val lu = r.getUTF8String(5)
+      val lbLen = lu.numBytes
+      if (lbLen > 2) {
+        if (lbLen > locBuf.length) {
+          locBuf = new Array[Byte](Integer.highestOneBit(lbLen) * 2)
+        }
+        lu.writeToMemory(locBuf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+        addLocations(locBuf, lbLen)
+      }
+    }
+  }
+
+  private def addLocations(b: Array[Byte], bLen: Int): Unit = {
+    val k = parseInto(b, bLen)
+    if (k > 0) {
+      locAt += n - 1
+      var i = 0
+      while (i < k) {
+        locOffsets += scratchOff(i)
+        locLengths += scratchLen(i)
+        locHostIds += scratchHost(i)
+        nBlocks += 1
+        i += 1
+      }
+      locBlockEnd += nBlocks
+    } else if (k < 0) {
+      // any deviation from locationsToJsonString's compact shape
+      val locs = IndexMetadata.locationsFromJsonString(
+        new String(b, 0, bLen, java.nio.charset.StandardCharsets.UTF_8))
+      if (locs.nonEmpty) {
+        locAt += n - 1
+        locs.foreach { l =>
+          locOffsets += l.offset
+          locLengths += l.length
+          locHostIds += internHosts(l.hosts.toArray)
+          nBlocks += 1
+        }
+        locBlockEnd += nBlocks
+      }
+    }
+  }
+
+  private def internHosts(hosts: Array[String]): Int = {
+    val key = hosts.mkString(" ")
+    var hi = hostIdx.get(key)
+    if (hi == null) {
+      hostSets += hosts
+      hi = Integer.valueOf(hostSets.length - 1)
+      hostIdx.put(key, hi)
+    }
+    hi.intValue
+  }
+
+  /** Raw host-list segment b[hs..he] (inclusive, '['..']') -> interned
+    * id, via a byte compare against the previous segment first. */
+  private def hostIdFor(b: Array[Byte], hs: Int, he: Int): Int = {
+    val segLen = he - hs + 1
+    if (lastHostSeg != null && segLen == lastHostSeg.length &&
+        java.util.Arrays.equals(b, hs, he + 1, lastHostSeg, 0, segLen)) {
+      return lastHostSegId
+    }
+    val hosts = new scala.collection.mutable.ArrayBuffer[String]()
+    var r = hs + 1
+    while (b(r) != ']') {
+      if (b(r) == '"') {
+        val s0 = r + 1
+        var e0 = s0
+        while (b(e0) != '"') e0 += 1
+        hosts += new String(b, s0, e0 - s0, java.nio.charset.StandardCharsets.UTF_8)
+        r = e0 + 1
+      } else r += 1
+    }
+    val id = internHosts(hosts.toArray)
+    lastHostSeg = java.util.Arrays.copyOfRange(b, hs, he + 1)
+    lastHostSegId = id
+    id
+  }
+
+  /** Parse `[[off,len,["h",...]],...]` into the scratch arrays. Returns
+    * the block count, or -1 on ANY deviation (escapes, signs, spaces --
+    * the caller falls back to the JSON library). */
+  private def parseInto(b: Array[Byte], bLen: Int): Int = {
+    var k = 0
+    if (bLen < 2 || b(0) != '[') return -1
+    var p = 1
+    if (b(p) == ']') return if (p == bLen - 1) 0 else -1
+    while (p < bLen) {
+      if (b(p) != '[') return -1
+      p += 1
+      var off = 0L
+      var any = false
+      while (p < bLen && b(p) >= '0' && b(p) <= '9') {
+        off = off * 10 + (b(p) - '0'); p += 1; any = true
+      }
+      if (!any || p >= bLen || b(p) != ',') return -1
+      p += 1
+      var len = 0L
+      any = false
+      while (p < bLen && b(p) >= '0' && b(p) <= '9') {
+        len = len * 10 + (b(p) - '0'); p += 1; any = true
+      }
+      if (!any || p + 1 >= bLen || b(p) != ',' || b(p + 1) != '[') return -1
+      val hs = p + 1
+      var q = hs + 1
+      while (q < bLen && b(q) != ']') {
+        if (b(q) == '"') {
+          q += 1
+          while (q < bLen && b(q) != '"') {
+            if (b(q) == '\\') return -1
+            q += 1
+          }
+          if (q >= bLen) return -1
+          q += 1
+        } else if (b(q) == ',') q += 1
+        else return -1
+      }
+      if (q >= bLen) return -1
+      val hostId = hostIdFor(b, hs, q)
+      p = q + 1
+      if (p >= bLen || b(p) != ']') return -1
+      p += 1
+      if (k == scratchOff.length) {
+        scratchOff = java.util.Arrays.copyOf(scratchOff, k * 2)
+        scratchLen = java.util.Arrays.copyOf(scratchLen, k * 2)
+        scratchHost = java.util.Arrays.copyOf(scratchHost, k * 2)
+      }
+      scratchOff(k) = off; scratchLen(k) = len; scratchHost(k) = hostId
+      k += 1
+      if (p >= bLen) return -1
+      if (b(p) == ']') return if (p == bLen - 1) k else -1
+      if (b(p) != ',') return -1
+      p += 1
+    }
+    -1
+  }
+
+  def result(): PackedListing = new PackedListing(
+    runIdx.result(), runStart.result(), n,
+    sizes.result(), mtimes.result(), blockSizes.result(),
+    parentOf.result(), parents.toArray,
+    java.util.Arrays.copyOf(blob, blobLen), offsets.result(),
+    locAt.result(), locBlockEnd.result(),
+    locOffsets.result(), locLengths.result(), locHostIds.result(),
+    hostSets.toArray)
+}
+
+/** One scan partition of the files table, packed into primitive columns
+  * (the only per-file driver state the unselective listing holds).
+  * `runIdx`/`runStart` delimit the contiguous partitionIdx runs so the
+  * driver can slice per-partition ranges without per-file indices.
+  * `status(i)` materializes the i-th file's slim FileStatus on demand. */
+private[graft] final class PackedListing(
+    val runIdx: Array[Int], val runStart: Array[Int], val numFiles: Int,
+    sizes: Array[Long], mtimes: Array[Long], blockSizes: Array[Long],
+    parentOf: Array[Int], parentStrs: Array[String],
+    blob: Array[Byte], offsets: Array[Int],
+    locAt: Array[Int], locBlockEnd: Array[Int],
+    locOffsets: Array[Long], locLengths: Array[Long], locHostIds: Array[Int],
+    hostSets: Array[Array[String]]) extends Serializable {
+  @transient private lazy val parents: Array[Path] = parentStrs.map(new Path(_))
+  @transient private lazy val pool: SlimLocPool =
+    new SlimLocPool(locOffsets, locLengths, locHostIds, hostSets)
+  def status(i: Int): FileStatus = {
+    val li = java.util.Arrays.binarySearch(locAt, i)
+    if (li >= 0) {
+      val bEnd = locBlockEnd(li)
+      val bStart = if (li == 0) 0 else locBlockEnd(li - 1)
+      new SlimLocatedFileStatus(sizes(i), mtimes(i), blockSizes(i),
+        parents(parentOf(i)), blob, offsets(i), offsets(i + 1),
+        pool, bStart, bEnd)
+    } else {
+      new SlimFileStatus(sizes(i), mtimes(i), blockSizes(i),
+        parents(parentOf(i)), blob, offsets(i), offsets(i + 1))
+    }
+  }
+}
+
+/** A PartitionDirectory `files` seq backed by [[PackedListing]] ranges:
+  * the listing itself holds no per-file objects; each access builds a
+  * fresh slim status (consumers -- scan planning, listing counters --
+  * touch each file once, so the per-access construction is transient
+  * young-gen work instead of a held 10^6-object graph). */
+private[graft] final class LazyFileSeq(ranges: Array[(PackedListing, Int, Int)])
+  extends scala.collection.immutable.IndexedSeq[FileStatusWithMetadata] {
+  private[this] val cumEnd: Array[Int] = {
+    val a = new Array[Int](ranges.length)
+    var s = 0
+    var i = 0
+    while (i < ranges.length) { s += ranges(i)._3 - ranges(i)._2; a(i) = s; i += 1 }
+    a
+  }
+  override val length: Int = if (cumEnd.isEmpty) 0 else cumEnd(cumEnd.length - 1)
+  override def apply(k: Int): FileStatusWithMetadata = {
+    if (k < 0 || k >= length) throw new IndexOutOfBoundsException(k.toString)
+    var r = java.util.Arrays.binarySearch(cumEnd, k)
+    r = if (r >= 0) r + 1 else -r - 1 // first range whose cumEnd > k
+    val base = if (r == 0) 0 else cumEnd(r - 1)
+    val (p, from, _) = ranges(r)
+    FileStatusWithMetadata(p.status(from + (k - base)))
   }
 }

@@ -63,6 +63,13 @@ object SparkInternals {
   def partitionDirectory(values: InternalRow, files: Array[FileStatus]): PartitionDirectory =
     PartitionDirectory(values, files)
 
+  /** Pre-wrapped (possibly lazy) files seq — no per-file copy. */
+  def partitionDirectory(
+      values: InternalRow,
+      files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata])
+      : PartitionDirectory =
+    PartitionDirectory(values, files)
+
   /** Build a DataFrame over a custom FileIndex backed by the given file
     * format ("parquet" | "orc") — the relation assembly the reference does
     * at IndexedDataSource.scala:80-86, generalized across sources. */
