@@ -41,8 +41,23 @@ object R14Probe {
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val taskNanos = new java.util.concurrent.atomic.AtomicLong(0)
     val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    // SPARK_GRAFT_JOB_LOG=1: print each job's description + callsite so
+    // per-batch job inventories are attributable to operator code lines
+    val jobLog = sys.env.get("SPARK_GRAFT_JOB_LOG").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (jobLog) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          val stg = j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")
+          println(s"[job] ${j.jobId} stages=${j.stageInfos.size} site='$site' " +
+            s"desc='${desc.replace('\n', ' ').take(60)}' stg='${stg.take(160)}'")
+        }
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         taskNanos.addAndGet(s.stageInfo.taskMetrics.executorRunTime * 1000000L)
         tasks.addAndGet(s.stageInfo.numTasks.toLong)

@@ -310,15 +310,17 @@ object Dedup {
       .localCheckpoint(false)
     // batch signatures ride the band explode (batch-bounded shuffle) so
     // the batch re-join disappears; the corpus side stays ids-only —
-    // same shape as dedupAgainstIndexSigned
+    // same shape as dedupAgainstIndexSigned. NO broadcast hints here,
+    // deliberately (A/B'd r14): this one-shot op reads parquet on both
+    // sides, so Catalyst has real size stats and already broadcasts the
+    // bounded batch side (locally AND at scale); forcing hints
+    // serialized the broadcast builds and measured slower. Explicit
+    // hints belong to the stats-less CHECKPOINTED streaming frames
+    // (dedupAgainstIndexSigned).
     val newBands = sigDf.select(col("__id"), col("__sig"),
       posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("band", "key")))
     val corpusBands = graft.ops.Segments.readPart(spark, dir, "bands")
       .select(col("band"), col("key"), col("doc_id").as("__corpus_id"))
-    // no intermediate distinct: a pair surfacing from several shared
-    // bands only re-evaluates the cheap signatureJaccard in the verify
-    // join, while the distinct costs a full extra Exchange per batch;
-    // the final dup-id distinct already dedups the output
     val candidates = newBands.join(corpusBands, Seq("band", "key"))
       .select(col("__id"), col("__sig"), col("__corpus_id"))
     val corpusSigs = graft.ops.Segments.readPart(spark, dir, "sigs")
@@ -676,6 +678,10 @@ object Dedup {
     graft.ops.IndexSpec.check(df, dir, s"fingerprint maxDist=$maxDist")
     val fpDf = df.select(id.as("__id"), fingerprint.as("__fp"))
       .localCheckpoint(false)
+    // NO broadcast hints here, deliberately (A/B'd r14): one-shot op
+    // over parquet — Catalyst has real stats and broadcasts the bounded
+    // batch side itself; forced hints measured slower (serialized
+    // broadcast builds).
     val newChunks = fpDf.select(col("__id"),
       posexplode(array(fpChunkCols(col("__fp"), maxDist): _*))
         .as(Seq("chunk", "val")))
@@ -898,12 +904,14 @@ object Dedup {
     // Filter on the UNROUNDED ratio (rounding first would admit
     // inter = ⌈τn⌉ − 1 via 4-dp round-up on ≥20k-shingle docs — outside
     // the prefix guarantee); the reported value is rounded for cross-
-    // engine display stability only. cpuBoundIfSmall: the per-candidate
-    // array_intersect verify is the CPU-heavy tail of this operator, but
-    // the candidate set scales with the corpus (NOT bounded by design) —
-    // the stats gate keeps the spread to under-parallelized small frames
-    // and never adds a full extra exchange of a corpus-scale pair set.
-    graft.ops.Parallel.cpuBoundIfSmall(candidates)
+    // engine display stability only. cpuSpreadIdsOnly: the per-candidate
+    // array_intersect verify is the CPU-heavy tail of this operator and
+    // the candidate frame is (id, id) — AQE's byte-based coalescing
+    // otherwise collapses the tiny-byte/huge-CPU verify stage onto a
+    // few partitions (measured +69% when the spread was estimate-gated
+    // away); the ids-only exchange is cheap at any corpus scale and the
+    // count never drops below the session's shuffle width.
+    graft.ops.Parallel.cpuSpreadIdsOnly(candidates)
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -54,6 +54,23 @@ object Parallel {
     fb.value.get.get
   }
 
+  /** Unconditional spread for an IDS-ONLY frame feeding a CPU-heavy
+    * verify (candidate pairs before their array/string kernels): round-
+    * robin to the wider of cluster cores and the session's shuffle
+    * width. The exchange ships ~16 B/row at any scale — cheap — while
+    * AQE's BYTE-based partition coalescing would otherwise run the
+    * downstream verify on a handful of partitions (candidate bytes are
+    * tiny, verify CPU is not; measured +69% on q_dedup_containment when
+    * this spread was estimate-gated away, r14). Never reduces the
+    * partition count below the session's configured shuffle width, so it
+    * cannot concentrate a big cluster's input. */
+  def cpuSpreadIdsOnly(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val width = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(0)
+    df.repartition(math.max(s.sparkContext.defaultParallelism, width))
+  }
+
   /** [[cpuBound]] gated on the optimizer's size estimate — for operators
     * whose input MAY be a whole corpus (pair generators over document
     * text). Small estimate (byte-based planning would give fewer splits

@@ -245,10 +245,15 @@ object Scd2 {
           .unionByName(refolded.select(carried.columns.map(col): _*))
           .repartition(col("graft_bucket")) // one file per touched bucket
           .localCheckpoint(true)
-        merged.write.mode("overwrite")
+        // rewritten count observed ON the write job (guide §1.2: the
+        // trailing count() was a whole extra driver action per merge)
+        val obs = org.apache.spark.sql.Observation()
+        merged.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("graft_bucket").parquet(dir)
-        Scd2MergeStats(touched.length, numBuckets, applied, merged.count())
+        Scd2MergeStats(touched.length, numBuckets, applied,
+          obs.get("n").asInstanceOf[Long])
       }
     }
   }

@@ -61,10 +61,14 @@ private[graft] object Segments {
       .map(_.toString).sorted
   }
 
-  /** Base dir (if present) + live segments for one sub-table, each root
-    * read separately and unioned by name (multi-root partition
-    * discovery would otherwise reject base/segment mixtures for
-    * partitionBy'd sub-tables). */
+  /** Base dir (if present) + live segments for one sub-table.
+    *
+    * One multi-root read when it resolves (ONE listing + footer
+    * schema-inference job for ALL roots — a per-root read costs one tiny
+    * driver job each, and streaming probes call this every micro-batch
+    * over a growing segment list, guide §1.2); per-root reads unioned by
+    * name as the fallback for root sets a multi-root scan rejects
+    * (legacy partitionBy'd sub-tables mixed with plain ones). */
   def readPart(spark: SparkSession, dir: String, sub: String): DataFrame = {
     val fs = fsOf(spark, dir)
     val base = s"$dir/$sub"
@@ -72,7 +76,19 @@ private[graft] object Segments {
       (if (fs.exists(new org.apache.hadoop.fs.Path(base))) Seq(base) else Nil) ++
         live(spark, dir).map(s => s"$s/$sub")
     require(roots.nonEmpty, s"no index data at $dir (missing $sub)")
-    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    if (roots.length == 1) spark.read.parquet(roots.head)
+    else {
+      // multi-root resolution fails EAGERLY (schema merge + partition
+      // discovery both run inside load): AnalysisException for schema
+      // conflicts, SparkRuntimeException CONFLICTING_DIRECTORY_STRUCTURES
+      // for partitionBy'd sub-tables at unrelated roots — any of them
+      // means "this root set needs per-root reads"
+      try spark.read.parquet(roots: _*)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      }
+    }
   }
 
   /** Validate + reset a segment dir for (re)writing; returns its path. */

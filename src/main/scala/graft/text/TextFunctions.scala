@@ -763,6 +763,13 @@ object TextFunctions {
       .select(col("hash"), col("doc_id").as("__id")).distinct()
     val corpus = graft.ops.Segments.readPart(spark, dir, "fps")
       .select(col("hash"), col("doc_id").as("__corpus_id"))
+    // NO broadcast hints here, deliberately (A/B'd r14): this one-shot
+    // op reads parquet on both sides, so Catalyst has real size stats
+    // and already broadcasts the bounded batch side (locally AND at
+    // scale); forcing hints serialized the broadcast builds and cost
+    // +57% (2.13 -> 3.75 s on q_text_winnow_incremental). Explicit
+    // hints belong to the stats-less CHECKPOINTED streaming frames
+    // (winnowIndexDupIdsFp / winnowDupIdsFp).
     val dups = batch.join(corpus, Seq("hash"))
       .groupBy(col("__id"), col("__corpus_id"))
       .agg(count(lit(1)).as("__shared"))
