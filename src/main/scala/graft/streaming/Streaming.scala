@@ -500,8 +500,12 @@ object Streaming {
             graft.dedup.Dedup.dedupAgainstIndexSigned(spark, signed, idxDir,
               numHashes, bands, shingleK, threshold)
           else signed
+        // kept-count observed ON the checkpoint job: the emptiness
+        // probe used to be a separate take(1) action per batch
+        val obsKept = org.apache.spark.sql.Observation()
         val kept = graft.dedup.Dedup.dedupMinhashSigned(vsIndex,
             numHashes, bands, threshold)
+          .observe(obsKept, count(lit(1)).as("n"))
           .localCheckpoint() // one computation feeds the table AND the index
         // an all-duplicates batch writes nothing: the output dir never
         // holds schema-less empty batch dirs and the index never holds
@@ -511,7 +515,7 @@ object Streaming {
         // dies mid-write is invisible, and a re-delivered batch
         // OVERWRITES its own output instead of appending the same kept
         // rows twice — exactly-once for the table AND the index
-        if (kept.take(1).nonEmpty) {
+        if (obsKept.get("n").asInstanceOf[Long] > 0L) {
           // the kept-docs write and the segment's data writes are
           // independent (segment visibility is gated by its commit
           // marker, written after both of ITS writes land) — overlap
@@ -597,14 +601,18 @@ object Streaming {
           .winnowDupIdsFp(fpAfterIdx, minShared)
           .localCheckpoint(eager = false)
         val allDups = idxDups.map(_.union(batchDups)).getOrElse(batchDups)
+        // kept-count observed ON the checkpoint job: the emptiness
+        // probe used to be a separate take(1) action per batch
+        val obsKept = org.apache.spark.sql.Observation()
         val kept = batch.join(broadcast(allDups),
             batch("doc_id") === allDups("__dup_id"), "left_anti")
+          .observe(obsKept, count(lit(1)).as("n"))
           .localCheckpoint() // one computation feeds the table AND the index
         // per-batch overwrite dir + committed segment, both keyed by
         // batchId: a re-delivered batch overwrites its own output
         // instead of re-appending kept rows — exactly-once, matching
         // the docstring (all-duplicates batches write nothing at all)
-        if (kept.take(1).nonEmpty) {
+        if (obsKept.get("n").asInstanceOf[Long] > 0L) {
           // independent writes overlap (guide §2.6): segment visibility
           // is still gated by its commit marker, written after its data
           val keptFp = fpAfterIdx.join(broadcast(batchDups),
